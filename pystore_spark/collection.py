@@ -1,0 +1,648 @@
+"""Collection: the workhorse namespace — write/append/read items,
+snapshots, batch ops, metadata cache.
+
+Reference: pystore/collection.py. All data movement is Spark
+DataFrames; only sidecar/catalog bookkeeping is driver-side.
+
+Scale design (vs the reference's read-modify-write-whole-item append,
+pystore/collection.py:505-520):
+
+* time-layout items are hive-partitioned on a derived ``_pb`` bucket;
+  **append merges only the buckets that contain incoming keys** and
+  swaps just those partition directories — work proportional to the
+  touched time range, not the item size.
+* merges are anti/semi joins + window dedup (see merge.py), executed
+  by Catalyst with AQE; nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+import warnings
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Any, Callable, Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pystore_spark import utils
+from pystore_spark.exceptions import (
+    ItemExistsError,
+    ItemNotFoundError,
+    SnapshotNotFoundError,
+    StorageError,
+    ValidationError,
+)
+from pystore_spark.item import Item
+from pystore_spark.merge import STRATEGIES, dedup_within, merge_append
+from pystore_spark.pandas_compat import (
+    DEFAULT_INDEX_NAME,
+    META_KEY,
+    flatten_pandas,
+    index_columns,
+)
+from pystore_spark.partition import (
+    PARTITION_COL,
+    PartitionPlan,
+    apply_layout,
+    plan_partitions,
+)
+from pystore_spark import schema_evolution as se
+from pystore_spark import config
+
+
+class Collection:
+    def __init__(self, spark: SparkSession, datastore: str, collection: str):
+        self.spark = spark
+        self.datastore = str(datastore)
+        self.collection = collection
+        self.path = Path(datastore) / collection
+        self.path.mkdir(parents=True, exist_ok=True)
+        (self.path / utils.SNAPSHOT_DIR).mkdir(exist_ok=True)
+        self._meta_cache: dict[str, tuple[float, dict]] = {}
+        self._cache_lock = threading.Lock()
+        self._threads: list[threading.Thread] = []
+
+    # ------------------------------------------------------------------
+    # catalog
+    # ------------------------------------------------------------------
+    @property
+    def items(self) -> list[str]:
+        return utils.subdirs(self.path)
+
+    def list_items(self, **kwargs: Any) -> list[str]:
+        """List items, optionally filtered by exact metadata matches
+        (``_updated`` excluded) — reference pystore/collection.py:90-110."""
+        items = self.items
+        if not kwargs:
+            return items
+        out = []
+        for item in items:
+            meta = self.get_item_metadata(item)
+            if all(
+                k != "_updated" and k in meta and meta[k] == v
+                for k, v in kwargs.items()
+            ):
+                out.append(item)
+        return out
+
+    def item(
+        self,
+        item: str,
+        snapshot: str | None = None,
+        filters: Sequence | None = None,
+        columns: Sequence[str] | None = None,
+    ) -> Item:
+        return Item(
+            self.spark, self.datastore, self.collection, item,
+            snapshot=snapshot, filters=filters, columns=columns,
+        )
+
+    def _item_path(self, item: str) -> Path:
+        return self.path / item
+
+    def item_exists(self, item: str) -> bool:
+        return self._item_path(item).exists()
+
+    def delete_item(self, item: str, reload_items: bool = False) -> bool:
+        p = self._item_path(item)
+        if not p.exists():
+            raise ItemNotFoundError(
+                f"item {item!r} does not exist in collection {self.collection!r}"
+            )
+        utils.rm_tree(p)
+        self.clear_metadata_cache(item)
+        return True
+
+    # ------------------------------------------------------------------
+    # metadata cache (reference: pystore/collection.py:116-147)
+    # ------------------------------------------------------------------
+    def get_item_metadata(self, item: str, use_cache: bool = True) -> dict:
+        now = time.monotonic()
+        if use_cache:
+            with self._cache_lock:
+                hit = self._meta_cache.get(item)
+                if hit and now - hit[0] < config.METADATA_CACHE_TTL_SECONDS:
+                    return hit[1]
+        meta = utils.read_metadata(self._item_path(item))
+        with self._cache_lock:
+            self._meta_cache[item] = (now, meta)
+        return meta
+
+    def clear_metadata_cache(self, item: str | None = None) -> None:
+        with self._cache_lock:
+            if item is None:
+                self._meta_cache.clear()
+            else:
+                self._meta_cache.pop(item, None)
+
+    # ------------------------------------------------------------------
+    # ingest plumbing
+    # ------------------------------------------------------------------
+    def _prepare_input(
+        self, data: Any, epochdate: bool = False
+    ) -> tuple[DataFrame, dict, int | None, tuple | None]:
+        """Normalize input (pandas / Spark DataFrame / Item) into a flat
+        Spark DataFrame + pandas round-trip metadata.
+
+        Returns (df, pandas_meta, nrows_hint, index_minmax_hint) — the
+        hints avoid extra Spark jobs for the partition planner when the
+        input is pandas (driver already knows them).
+        """
+        if isinstance(data, Item):
+            return data.data, dict(data._pandas_meta), None, None
+        if isinstance(data, DataFrame):
+            meta: dict = {
+                "index": {
+                    "columns": [
+                        DEFAULT_INDEX_NAME
+                        if DEFAULT_INDEX_NAME in data.columns
+                        else data.columns[0]
+                    ],
+                    "multi": False,
+                    "named": True,
+                },
+                "timezones": {},
+                "conversions": {},
+                "ns_columns": [],
+            }
+            return data, meta, None, None
+        if isinstance(data, pd.Series):
+            data = data.to_frame()
+        if not isinstance(data, pd.DataFrame):
+            raise ValidationError(
+                f"unsupported data type for write: {type(data).__name__}"
+            )
+        flat, meta = flatten_pandas(data, epochdate=epochdate)
+        nrows = len(flat)
+        idx_cols = index_columns(meta)
+        minmax = None
+        icol = idx_cols[0]
+        if nrows and icol in flat.columns and (
+            pd.api.types.is_datetime64_any_dtype(flat[icol])
+        ):
+            minmax = (flat[icol].min(), flat[icol].max())
+        sdf = self._create_df(flat)
+        return sdf, meta, nrows, minmax
+
+    def _create_df(self, flat: pd.DataFrame) -> DataFrame:
+        if len(flat) == 0:
+            # empty frame with schema must round-trip
+            # (tests/test_pr77_features.py:578-587)
+            from pyspark.sql import types as T
+
+            fields = []
+            for c in flat.columns:
+                dt = flat[c].dtype
+                if pd.api.types.is_datetime64_any_dtype(dt):
+                    t: T.DataType = T.TimestampType()
+                elif pd.api.types.is_integer_dtype(dt):
+                    t = T.LongType()
+                elif pd.api.types.is_float_dtype(dt):
+                    t = T.DoubleType()
+                elif pd.api.types.is_bool_dtype(dt):
+                    t = T.BooleanType()
+                else:
+                    t = T.StringType()
+                fields.append(T.StructField(str(c), t, True))
+            return self.spark.createDataFrame([], T.StructType(fields))
+        return self.spark.createDataFrame(flat)
+
+    # ------------------------------------------------------------------
+    # write (reference: pystore/collection.py:316-350)
+    # ------------------------------------------------------------------
+    def write(
+        self,
+        item: str,
+        data: Any,
+        metadata: dict | None = None,
+        npartitions: int | None = None,
+        overwrite: bool = False,
+        epochdate: bool = False,
+        reload_items: bool = False,
+        validator: Any = None,
+        **kwargs: Any,
+    ) -> None:
+        item_path = self._item_path(item)
+        if item_path.exists() and not overwrite:
+            raise ItemExistsError(
+                f"item {item!r} already exists; use overwrite=True to replace"
+            )
+        if validator is not None and isinstance(data, pd.DataFrame):
+            validator.validate(data, raise_on_error=True)
+
+        df, pmeta, nrows, minmax = self._prepare_input(data, epochdate=epochdate)
+        idx_cols = index_columns(pmeta)
+        plan = plan_partitions(
+            df, index_col=idx_cols[0], npartitions=npartitions,
+            nrows=nrows, index_minmax=minmax,
+        )
+        shaped = apply_layout(df, plan, index_col=idx_cols[0])
+
+        sidecar = dict(metadata or {})
+        sidecar[META_KEY] = pmeta
+        sidecar["_partition_plan"] = plan.to_dict()
+        self._atomic_write(item, shaped, plan, sidecar)
+        self.clear_metadata_cache(item)
+
+    def _write_df(self, df: DataFrame, path: str, plan: PartitionPlan) -> None:
+        writer = df.write.mode("overwrite").option("compression", "snappy")
+        if plan.kind == "time":
+            writer = writer.partitionBy(PARTITION_COL)
+        writer.parquet(path)
+
+    def _atomic_write(
+        self, item: str, df: DataFrame, plan: PartitionPlan, sidecar: dict
+    ) -> None:
+        """tmp dir → backup → rename protocol (reference
+        _atomic_write: pystore/collection.py:619-675)."""
+        item_path = self._item_path(item)
+        token = uuid.uuid4().hex[:8]
+        tmp = self.path / f".__tmp_{item}_{token}"
+        backup = self.path / f".__backup_{item}_{token}"
+        try:
+            self._write_df(df, str(tmp), plan)
+            utils.write_metadata(tmp, sidecar)
+        except Exception:
+            utils.rm_tree(tmp)
+            raise
+        moved = False
+        try:
+            if item_path.exists():
+                item_path.rename(backup)
+                moved = True
+            tmp.rename(item_path)
+            utils.rm_tree(backup)
+        except Exception as exc:  # restore original on failure
+            if moved and backup.exists() and not item_path.exists():
+                backup.rename(item_path)
+            utils.rm_tree(tmp)
+            raise StorageError(f"atomic write of item {item!r} failed: {exc}") from exc
+
+    # ------------------------------------------------------------------
+    # append / upsert (reference: pystore/collection.py:477-527; spec
+    # tests/test_append.py:53-163)
+    # ------------------------------------------------------------------
+    def append(
+        self,
+        item: str,
+        data: Any,
+        npartitions: int | None = None,
+        epochdate: bool = False,
+        duplicate_handling: str = "keep_last",
+        validate_schema: bool = True,
+        threaded: bool = False,
+        reload_items: bool = False,
+        **kwargs: Any,
+    ) -> None:
+        if duplicate_handling not in STRATEGIES:
+            raise ValueError(
+                f"duplicate_handling must be one of {STRATEGIES}, "
+                f"got {duplicate_handling!r}"
+            )
+        if not self.item_exists(item):
+            # spec: ItemNotFoundError, not ValueError
+            # (tests/test_append.py:34-37; divergence SURVEY §8.2)
+            raise ItemNotFoundError(
+                f"cannot append to missing item {item!r}; write() it first"
+            )
+
+        incoming, inc_meta, nrows, _ = self._prepare_input(data, epochdate=epochdate)
+        if nrows == 0 or (nrows is None and incoming.isEmpty()):
+            warnings.warn(f"append of empty data to {item!r} is a no-op",
+                          stacklevel=2)
+            return
+
+        existing_item = self.item(item)
+        sidecar = dict(existing_item.metadata)
+        pmeta = sidecar.get(META_KEY) or inc_meta
+        idx_cols = index_columns(pmeta)
+        plan = existing_item._plan or PartitionPlan("size", npartitions=1)
+
+        existing = self.spark.read.parquet(existing_item.path)
+
+        # schema compatibility / evolution (C6/C7;
+        # reference pystore/collection.py:568-584, :372-389)
+        evo = sidecar.get("_schema_evolution")
+        ex_cols = [c for c in existing.columns if c != PARTITION_COL]
+        if evo and evo.get("enabled"):
+            strategy = se.EvolutionStrategy(evo.get("strategy", "compatible"))
+            target = se.merged_target_schema(existing, incoming, exclude=[PARTITION_COL])
+            se.validate_evolution(
+                se.Schema.from_spark(existing, exclude=[PARTITION_COL]),
+                se.Schema.from_spark(incoming),
+                strategy,
+            )
+            existing = se.evolve_dataframe(existing.drop(PARTITION_COL), target)
+            incoming = se.evolve_dataframe(incoming, target)
+            evo["version"] = int(evo.get("version", 1)) + 1
+            sidecar["_schema_evolution"] = evo
+        elif validate_schema:
+            missing = [c for c in ex_cols if c not in incoming.columns]
+            extra = [c for c in incoming.columns if c not in ex_cols]
+            if missing or extra:
+                raise ValidationError(
+                    "schema mismatch on append: "
+                    f"missing columns {missing}, unexpected columns {extra}"
+                )
+
+        if plan.kind == "time" and PARTITION_COL in existing.columns and not (
+            evo and evo.get("enabled")
+        ):
+            self._append_partition_scoped(
+                item, existing, incoming, idx_cols, plan, duplicate_handling,
+                sidecar,
+            )
+        else:
+            existing = existing.drop(PARTITION_COL) if PARTITION_COL in existing.columns else existing
+            merged = merge_append(existing, incoming, idx_cols, duplicate_handling)
+            new_plan = plan_partitions(
+                merged, index_col=idx_cols[0], npartitions=npartitions
+            ) if plan.kind != "time" else plan
+            shaped = apply_layout(merged, new_plan, index_col=idx_cols[0])
+            sidecar["_partition_plan"] = new_plan.to_dict()
+            self._atomic_write(item, shaped, new_plan, sidecar)
+        self.clear_metadata_cache(item)
+
+    def _append_partition_scoped(
+        self,
+        item: str,
+        existing: DataFrame,
+        incoming: DataFrame,
+        idx_cols: list[str],
+        plan: PartitionPlan,
+        duplicate_handling: str,
+        sidecar: dict,
+    ) -> None:
+        """Merge only the time-buckets touched by incoming keys, then
+        swap those partition directories — the scalable append path."""
+        from pystore_spark.partition import bucket_expr
+
+        item_path = self._item_path(item)
+        inc = incoming.withColumn(
+            PARTITION_COL, bucket_expr(plan.freq, idx_cols[0])
+        )
+        buckets = [
+            r[PARTITION_COL]
+            for r in inc.select(PARTITION_COL).distinct().collect()
+        ]
+        subset = existing.filter(F.col(PARTITION_COL).isin(buckets)).drop(
+            PARTITION_COL
+        )
+        merged = merge_append(
+            subset, inc.drop(PARTITION_COL), idx_cols, duplicate_handling
+        )
+        shaped = apply_layout(merged, plan, index_col=idx_cols[0])
+
+        token = uuid.uuid4().hex[:8]
+        tmp = self.path / f".__tmp_{item}_{token}"
+        try:
+            self._write_df(shaped, str(tmp), plan)
+            # swap only the touched bucket directories
+            for bdir in sorted(Path(tmp).glob(f"{PARTITION_COL}=*")):
+                target = item_path / bdir.name
+                bkp = item_path / f".__old_{bdir.name}_{token}"
+                if target.exists():
+                    target.rename(bkp)
+                bdir.rename(target)
+                utils.rm_tree(bkp)
+            utils.write_metadata(item_path, sidecar)
+        finally:
+            utils.rm_tree(tmp)
+
+    # ------------------------------------------------------------------
+    # chunked / streaming append (reference: pystore/collection.py:677-751)
+    # ------------------------------------------------------------------
+    def append_stream(
+        self,
+        item: str,
+        data_iterator: Iterable,
+        chunk_size: int = 10_000,
+        epochdate: bool = False,
+        duplicate_handling: str = "keep_last",
+        validate_schema: bool = True,
+        reload_items: bool = False,
+    ) -> int:
+        """Chunked batch append: first chunk may create the item;
+        schema checked on every chunk. Returns rows appended."""
+        total = 0
+        first_cols: list[str] | None = None
+        for chunk in data_iterator:
+            if isinstance(chunk, pd.Series):
+                chunk = chunk.to_frame()
+            if chunk is None or len(chunk) == 0:
+                continue
+            if first_cols is None:
+                first_cols = list(chunk.columns)
+            elif validate_schema and list(chunk.columns) != first_cols:
+                raise ValidationError(
+                    f"stream chunk schema changed: {list(chunk.columns)} != "
+                    f"{first_cols}"
+                )
+            for start in range(0, len(chunk), chunk_size):
+                part = chunk.iloc[start : start + chunk_size]
+                if not self.item_exists(item):
+                    self.write(item, part, epochdate=epochdate)
+                else:
+                    self.append(
+                        item, part, epochdate=epochdate,
+                        duplicate_handling=duplicate_handling,
+                        validate_schema=validate_schema,
+                    )
+                total += len(part)
+        return total
+
+    # ------------------------------------------------------------------
+    # batch ops (reference: pystore/collection.py:753-876)
+    # ------------------------------------------------------------------
+    def write_batch(
+        self,
+        items_data: dict[str, Any],
+        metadata: dict | None = None,
+        npartitions: int | None = None,
+        overwrite: bool = False,
+        epochdate: bool = False,
+        parallel: bool = True,
+    ) -> dict[str, bool]:
+        results: dict[str, bool] = {}
+        errors: dict[str, str] = {}
+
+        def _one(name_data: tuple[str, Any]) -> None:
+            name, data = name_data
+            try:
+                self.write(
+                    name, data, metadata=metadata, npartitions=npartitions,
+                    overwrite=overwrite, epochdate=epochdate,
+                )
+                results[name] = True
+            except Exception as exc:  # noqa: BLE001 — collected below
+                results[name] = False
+                errors[name] = str(exc)
+
+        pairs = list(items_data.items())
+        if parallel and len(pairs) > 1:
+            # Spark's scheduler interleaves the jobs; threads just keep
+            # the driver from serializing job submission.
+            with ThreadPoolExecutor(max_workers=min(8, len(pairs))) as pool:
+                list(pool.map(_one, pairs))
+        else:
+            for p in pairs:
+                _one(p)
+        if errors:
+            raise StorageError(
+                f"write_batch partially failed: {json.dumps(errors)}"
+            )
+        return results
+
+    def read_batch(
+        self,
+        items: Sequence[str],
+        columns: dict | Sequence[str] | None = None,
+        filters: dict | Sequence | None = None,
+    ) -> dict[str, pd.DataFrame | None]:
+        out: dict[str, pd.DataFrame | None] = {}
+        for name in items:
+            try:
+                cols = columns.get(name) if isinstance(columns, dict) else columns
+                filt = filters.get(name) if isinstance(filters, dict) else filters
+                out[name] = self.item(name, filters=filt, columns=cols).to_pandas()
+            except Exception:
+                out[name] = None
+        return out
+
+    def write_threaded(self, item: str, data: Any, **kwargs: Any) -> threading.Thread:
+        """Fire-and-forget write (reference: pystore/collection.py:214-222)."""
+        t = threading.Thread(
+            target=self.write, args=(item, data), kwargs=kwargs, daemon=True
+        )
+        t.start()
+        self._threads.append(t)
+        return t
+
+    def wait_for_tasks(self) -> None:
+        for t in self._threads:
+            t.join()
+        self._threads.clear()
+
+    # ------------------------------------------------------------------
+    # index helpers (reference: pystore/collection.py:149-156)
+    # ------------------------------------------------------------------
+    def index(self, item: str, last: bool = False) -> Any:
+        return self.item(item).index(last=last)
+
+    # ------------------------------------------------------------------
+    # snapshots (reference: pystore/collection.py:529-566;
+    # tests/test_snapshots.py)
+    # ------------------------------------------------------------------
+    @property
+    def _snapshot_root(self) -> Path:
+        return self.path / utils.SNAPSHOT_DIR
+
+    def create_snapshot(self, snapshot: str | None = None) -> str:
+        if snapshot:
+            snapshot = utils.sanitize_snapshot_name(snapshot)
+        else:
+            snapshot = str(int(time.time() * 1_000_000))
+        if not snapshot:
+            raise ValueError("snapshot name sanitized to empty string")
+        dst = self._snapshot_root / snapshot
+        if dst.exists():
+            utils.rm_tree(dst)
+        dst.mkdir(parents=True)
+        for item in self.items:
+            utils.link_tree(self._item_path(item), dst / item)
+        return snapshot
+
+    def list_snapshots(self) -> list[str]:
+        return utils.subdirs(self._snapshot_root)
+
+    def delete_snapshot(self, snapshot: str) -> bool:
+        p = self._snapshot_root / snapshot
+        if not p.exists():
+            raise SnapshotNotFoundError(f"snapshot {snapshot!r} does not exist")
+        utils.rm_tree(p)
+        return True
+
+    def delete_snapshots(self) -> bool:
+        utils.rm_tree(self._snapshot_root)
+        self._snapshot_root.mkdir()
+        return True
+
+    # ------------------------------------------------------------------
+    # maintenance (reference: pystore/partition.py:175-216)
+    # ------------------------------------------------------------------
+    def rebalance_partitions(
+        self, item: str, target_size_mb: int = 128, time_based: bool = True
+    ) -> int:
+        """Compaction/OPTIMIZE: rewrite the item at the target layout.
+        Returns the resulting partition count (files or buckets)."""
+        it = self.item(item)
+        df = it.data
+        sidecar = dict(it.metadata)
+        idx = it.index_column
+        if time_based and it._plan is not None and it._plan.kind == "time":
+            plan = it._plan
+        else:
+            size = None
+            try:
+                size = sum(
+                    f.stat().st_size
+                    for f in Path(it.path).rglob("*.parquet")
+                )
+            except OSError:
+                pass
+            import math
+
+            n = max(1, math.ceil((size or 0) / (target_size_mb * 1024 * 1024)))
+            plan = PartitionPlan("size", npartitions=n)
+        shaped = apply_layout(df, plan, index_col=idx)
+        sidecar["_partition_plan"] = plan.to_dict()
+        sidecar["_partitions"] = plan.npartitions
+        sidecar["_partition_strategy"] = plan.kind
+        self._atomic_write(item, shaped, plan, sidecar)
+        self.clear_metadata_cache(item)
+        return plan.npartitions
+
+    # ------------------------------------------------------------------
+    # schema evolution state (reference: pystore/collection.py:186-212)
+    # ------------------------------------------------------------------
+    def enable_schema_evolution(
+        self, item: str, strategy: "se.EvolutionStrategy | str" = "compatible"
+    ) -> None:
+        if not self.item_exists(item):
+            raise ItemNotFoundError(f"item {item!r} does not exist")
+        if isinstance(strategy, se.EvolutionStrategy):
+            strategy = strategy.value
+        meta = utils.read_metadata(self._item_path(item))
+        meta["_schema_evolution"] = {
+            "enabled": True, "strategy": strategy,
+            "version": int(meta.get("_schema_evolution", {}).get("version", 1)),
+        }
+        utils.write_metadata(self._item_path(item), meta)
+        self.clear_metadata_cache(item)
+
+    def migrate_item_to_version(
+        self,
+        item: str,
+        version: int,
+        migrations: dict[tuple[int, int], Callable] | None = None,
+    ) -> None:
+        """Apply registered migration functions up to ``version`` and
+        rewrite the item (reference: pystore/schema_evolution.py:300-360)."""
+        it = self.item(item)
+        meta = dict(it.metadata)
+        state = meta.get("_schema_evolution") or {"enabled": True, "version": 1}
+        cur = int(state.get("version", 1))
+        df = it.data
+        df = se.run_migrations(df, cur, version, migrations or {})
+        state["version"] = version
+        meta["_schema_evolution"] = state
+        plan = it._plan or PartitionPlan("size", npartitions=1)
+        shaped = apply_layout(df, plan, index_col=it.index_column)
+        self._atomic_write(item, shaped, plan, meta)
+        self.clear_metadata_cache(item)

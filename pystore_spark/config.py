@@ -1,0 +1,42 @@
+"""Engine configuration: warehouse root path and defaults.
+
+Reference: pystore/config.py:24-30 (PYSTORE_PATH env + ~/pystore
+default, partition-size knob).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DEFAULT_PATH = os.path.expanduser("~/pystore_spark")
+
+# write-path partition planning targets (reference:
+# pystore/partition.py:33-35 — 128 MB target, 32 MB min, 512 MB max)
+PARTITION_TARGET_BYTES = 128 * 1024 * 1024
+PARTITION_MIN_BYTES = 32 * 1024 * 1024
+PARTITION_MAX_BYTES = 512 * 1024 * 1024
+MAX_PARTITIONS = 100_000  # reference clamps to 100 (pystore/partition.py:81)
+                          # — far too low for 100 TB items; keep a sane backstop
+
+# metadata cache TTL (reference: pystore/collection.py:116-136 — 5 min)
+METADATA_CACHE_TTL_SECONDS = 300.0
+
+_path: str | None = None
+
+
+def get_path() -> str:
+    """Warehouse root directory (``PYSTORE_SPARK_PATH`` env overrides)."""
+    global _path
+    if _path is None:
+        _path = os.environ.get("PYSTORE_SPARK_PATH", _DEFAULT_PATH)
+    return _path
+
+
+def set_path(path: str) -> str:
+    """Set the warehouse root (reference: pystore/utils.py:116-149)."""
+    global _path
+    path = os.path.expanduser(str(path)).rstrip("/")
+    _path = path
+    Path(path).mkdir(parents=True, exist_ok=True)
+    return _path

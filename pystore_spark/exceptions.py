@@ -1,0 +1,50 @@
+"""Error taxonomy, mirroring the reference's semantics
+(reference: pystore/exceptions.py:26-82)."""
+
+
+class PyStoreError(Exception):
+    """Base exception for all engine errors."""
+
+
+class DataIntegrityError(PyStoreError):
+    """Data integrity issues detected."""
+
+
+class ItemNotFoundError(PyStoreError):
+    """Item not found."""
+
+
+class ItemExistsError(PyStoreError):
+    """Item already exists (write without overwrite)."""
+
+
+class CollectionNotFoundError(PyStoreError):
+    """Collection not found."""
+
+
+class CollectionExistsError(PyStoreError):
+    """Collection already exists."""
+
+
+class SnapshotNotFoundError(PyStoreError):
+    """Snapshot not found."""
+
+
+class StorageError(PyStoreError):
+    """Storage operation failed."""
+
+
+class SchemaError(PyStoreError):
+    """Schema incompatibility."""
+
+
+class ConfigurationError(PyStoreError):
+    """Invalid configuration."""
+
+
+class ValidationError(PyStoreError):
+    """Data validation failed."""
+
+
+class TransactionError(StorageError):
+    """Transaction operation failed."""

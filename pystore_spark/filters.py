@@ -1,0 +1,69 @@
+"""Tuple-DNF predicate sugar → Spark ``Column`` expressions.
+
+The reference exposes pyarrow-style filters on reads:
+``[('col','==',v), ...]`` = AND of terms; a list of such lists = OR of
+ANDs; ops: == = != < <= > >= in not-in (reference: pystore/item.py:64-65,
+exercised by tests/test_performance.py:224-251).
+
+Here the tuples compile to a single Catalyst ``Column`` predicate, so
+predicate pushdown to Parquet row groups (min/max stats) and partition
+pruning happen automatically — no engine-side row filtering.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FilterTuple = tuple  # (column, op, value)
+
+_OPS = {"==", "=", "!=", "<", "<=", ">", ">=", "in", "not in", "not-in"}
+
+
+def _term(col: str, op: str, value: Any) -> Column:
+    c = F.col(col)
+    if op in ("==", "="):
+        return c == F.lit(value)
+    if op == "!=":
+        return c != F.lit(value)
+    if op == "<":
+        return c < F.lit(value)
+    if op == "<=":
+        return c <= F.lit(value)
+    if op == ">":
+        return c > F.lit(value)
+    if op == ">=":
+        return c >= F.lit(value)
+    if op == "in":
+        return c.isin(list(value))
+    if op in ("not in", "not-in"):
+        return ~c.isin(list(value))
+    raise ValueError(f"unsupported filter op {op!r}; supported: {sorted(_OPS)}")
+
+
+def filters_to_column(filters: Sequence | None) -> Column | None:
+    """Compile tuple-DNF filters to one boolean Column (or None)."""
+    if not filters:
+        return None
+    flist = list(filters)
+    # single conjunction: [(c,op,v), ...]
+    if all(isinstance(f, tuple) and len(f) == 3 for f in flist):
+        groups = [flist]
+    else:
+        groups = [list(g) for g in flist]
+    disjuncts: list[Column] = []
+    for g in groups:
+        conj: Column | None = None
+        for col, op, value in g:
+            t = _term(col, op, value)
+            conj = t if conj is None else (conj & t)
+        if conj is not None:
+            disjuncts.append(conj)
+    if not disjuncts:
+        return None
+    out = disjuncts[0]
+    for d in disjuncts[1:]:
+        out = out | d
+    return out

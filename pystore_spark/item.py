@@ -1,0 +1,201 @@
+"""Item: a lazy Spark DataFrame over one partitioned Parquet dataset.
+
+Reference: pystore/item.py:36-100. The scan is declarative —
+``spark.read.parquet`` + ``filter`` + ``select`` — so Catalyst provides
+predicate pushdown to Parquet row groups, column pruning, and (for
+time-layout items) hive partition pruning on the derived ``_pb``
+bucket column, onto which index range predicates are rewritten here.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pystore_spark import utils
+from pystore_spark.exceptions import ItemNotFoundError, SnapshotNotFoundError
+from pystore_spark.filters import filters_to_column
+from pystore_spark.pandas_compat import META_KEY, index_columns, restore_pandas
+from pystore_spark.partition import PARTITION_COL, PartitionPlan, bucket_value
+
+
+def _prune_tuples(
+    filters: Sequence | None, freq: str, index_cols: list[str]
+) -> list:
+    """Derive ``_pb`` predicates from index range predicates so the
+    hive partition layout prunes directories before any file I/O.
+
+    Bucket strings are zero-padded and lexicographically monotonic in
+    time, so ``index >= X`` implies ``_pb >= bucket(X)``.
+    """
+    if not filters:
+        return []
+    flist = list(filters)
+    if all(isinstance(f, tuple) and len(f) == 3 for f in flist):
+        groups = [flist]
+        single = True
+    else:
+        groups = [list(g) for g in flist]
+        single = False
+    out_groups = []
+    for g in groups:
+        extra = []
+        for col, op, value in g:
+            if col not in index_cols:
+                continue
+            try:
+                if op in ("==", "="):
+                    extra.append((PARTITION_COL, "==", bucket_value(freq, value)))
+                elif op in (">", ">="):
+                    extra.append((PARTITION_COL, ">=", bucket_value(freq, value)))
+                elif op in ("<", "<="):
+                    extra.append((PARTITION_COL, "<=", bucket_value(freq, value)))
+                elif op == "in":
+                    extra.append(
+                        (PARTITION_COL, "in",
+                         sorted({bucket_value(freq, v) for v in value}))
+                    )
+            except Exception:
+                continue  # non-timestamp value; skip pruning for this term
+        out_groups.append(g + extra)
+    return out_groups[0] if single else out_groups
+
+
+class Item:
+    """Handle to one stored item; ``.data`` is the lazy DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        datastore: str,
+        collection: str,
+        item: str,
+        snapshot: str | None = None,
+        filters: Sequence | None = None,
+        columns: Sequence[str] | None = None,
+    ):
+        self.spark = spark
+        self.datastore = str(datastore)
+        self.collection = collection
+        self.item = item
+        self.snapshot = snapshot
+
+        base = Path(datastore) / collection
+        if snapshot:
+            snap_root = base / utils.SNAPSHOT_DIR / snapshot
+            if not snap_root.exists():
+                raise SnapshotNotFoundError(
+                    f"snapshot {snapshot!r} does not exist in collection "
+                    f"{collection!r}"
+                )
+            self._path = snap_root / item
+            if not self._path.exists():
+                raise ItemNotFoundError(
+                    f"item {item!r} does not exist in snapshot {snapshot!r}"
+                )
+        else:
+            self._path = base / item
+            if not self._path.exists():
+                raise ItemNotFoundError(
+                    f"item {item!r} does not exist in collection {collection!r}"
+                )
+
+        self.metadata = utils.read_metadata(self._path)
+        self._pandas_meta = self.metadata.get(META_KEY) or {}
+        self._plan = PartitionPlan.from_dict(self.metadata.get("_partition_plan"))
+        self._index_cols = index_columns(self._pandas_meta)
+        self._filters = filters
+        self._columns = list(columns) if columns is not None else None
+        self._df: DataFrame | None = None
+
+    @property
+    def path(self) -> str:
+        return str(self._path)
+
+    @property
+    def index_column(self) -> str:
+        return self._index_cols[0]
+
+    def _load(self) -> DataFrame:
+        df = self.spark.read.parquet(str(self._path))
+        filters = self._filters
+        if (
+            self._plan is not None
+            and self._plan.kind == "time"
+            and PARTITION_COL in df.columns
+        ):
+            filters = _prune_tuples(filters, self._plan.freq, self._index_cols)
+        cond = filters_to_column(filters)
+        if cond is not None:
+            df = df.filter(cond)
+        if PARTITION_COL in df.columns:
+            df = df.drop(PARTITION_COL)
+        if self._columns is not None:
+            keep = [c for c in self._index_cols if c not in self._columns]
+            ns_shadow = [
+                c + "__ns"
+                for c in (self._pandas_meta.get("ns_columns") or [])
+                if (c in self._columns or c in keep) and c + "__ns" in df.columns
+            ]
+            df = df.select(*keep, *self._columns, *ns_shadow)
+        return df
+
+    @property
+    def data(self) -> DataFrame:
+        if self._df is None:
+            self._df = self._load()
+        return self._df
+
+    def to_pandas(self, sort: bool = True) -> pd.DataFrame:
+        """Materialize via Arrow and apply inverse type transforms
+        (reference: pystore/item.py:67-93)."""
+        df = self.data
+        if sort:
+            present = [c for c in self._index_cols if c in df.columns]
+            if present:
+                df = df.orderBy(*present)
+        pdf = df.toPandas()
+        meta = self._pandas_meta
+        if self._columns is not None and meta:
+            meta = dict(meta)
+            meta["conversions"] = {
+                c: s
+                for c, s in (meta.get("conversions") or {}).items()
+                if c in pdf.columns or c + "__left" in pdf.columns
+            }
+        return restore_pandas(pdf, meta)
+
+    def head(self, n: int = 5) -> pd.DataFrame:
+        df = self.data
+        present = [c for c in self._index_cols if c in df.columns]
+        pdf = df.orderBy(*present).limit(n).toPandas() if present else (
+            df.limit(n).toPandas()
+        )
+        return restore_pandas(pdf, self._pandas_meta)
+
+    def tail(self, n: int = 5) -> pd.DataFrame:
+        df = self.data
+        present = [c for c in self._index_cols if c in df.columns]
+        if present:
+            pdf = (
+                df.orderBy(*[F.col(c).desc() for c in present])
+                .limit(n)
+                .toPandas()
+                .iloc[::-1]
+                .reset_index(drop=True)
+            )
+        else:
+            pdf = df.limit(n).toPandas()
+        return restore_pandas(pdf, self._pandas_meta)
+
+    def index(self, last: bool = False) -> Any:
+        """Index-only scan; ``last=True`` returns max(index) (fixes the
+        reference's repr-parsing: pystore/collection.py:149-156)."""
+        col = self.index_column
+        if last:
+            return self.data.agg(F.max(col).alias("last")).first()["last"]
+        return self.data.select(col).toPandas()[col]

@@ -1,0 +1,105 @@
+"""Keyed upsert/merge strategies for append.
+
+The reference's append semantics (spec'd by tests/test_append.py:53-163
+and pystore/collection.py:391-436,516-520,586-617):
+
+* ``keep_last`` (default): incoming rows win on index conflict.
+* ``keep_first``: existing rows win (anti-join drops conflicting
+  incoming rows).
+* ``keep_all``: plain union, duplicates retained.
+* ``error``: raise ``DataIntegrityError`` when any index overlaps.
+
+Spark formulation: anti/semi joins + a ``row_number`` window with a
+deterministic tiebreaker. Spark's ``dropDuplicates`` keeps an
+*arbitrary* row, so keep-first/keep-last need an explicit ordering
+column: ``_src`` (0=existing, 1=incoming) and ``_ord``
+(``monotonically_increasing_id`` over the incoming frame — order-
+preserving for driver-originated input since partition ids are
+sequential).
+
+Scale note: the window shuffles on the key. ``Collection.append``
+restricts the merge to the time-partitions that actually contain
+incoming keys (partition-scoped read + dynamic partition overwrite),
+so the shuffle is proportional to the touched partitions, not the item.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pystore_spark.exceptions import DataIntegrityError
+
+SRC_COL = "_src"
+ORD_COL = "_ord"
+
+STRATEGIES = ("keep_last", "keep_first", "keep_all", "error")
+
+
+def _union(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    return existing.unionByName(incoming, allowMissingColumns=True)
+
+
+def dedup_within(df: DataFrame, keys: list[str], keep: str = "last") -> DataFrame:
+    """Deduplicate a single frame on ``keys`` keeping first/last by
+    input order (reference: pystore/dataframe.py:189-198)."""
+    ordered = df.withColumn(ORD_COL, F.monotonically_increasing_id())
+    order = F.col(ORD_COL).desc() if keep == "last" else F.col(ORD_COL).asc()
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        ordered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", ORD_COL)
+    )
+
+
+def merge_append(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    strategy: str = "keep_last",
+) -> DataFrame:
+    """Merge ``incoming`` into ``existing`` under a duplicate-handling
+    strategy. Returns the merged DataFrame (not yet written)."""
+    if strategy not in STRATEGIES:
+        raise ValueError(f"duplicate_handling must be one of {STRATEGIES}")
+
+    if strategy == "keep_all":
+        return _union(existing, incoming)
+
+    if strategy == "error":
+        overlap = (
+            incoming.select(keys)
+            .join(existing.select(keys), on=keys, how="left_semi")
+            .count()
+        )
+        if overlap:
+            raise DataIntegrityError(
+                f"append would create {overlap} duplicate index entries "
+                "(duplicate_handling='error')"
+            )
+        return _union(existing, incoming)
+
+    if strategy == "keep_first":
+        # existing wins: drop incoming rows whose key already exists
+        # (left-anti join — reference pystore/collection.py:391-407),
+        # and keep only the first occurrence within the incoming frame.
+        fresh = dedup_within(incoming, keys, keep="first").join(
+            existing.select(keys), on=keys, how="left_anti"
+        )
+        return _union(existing, fresh)
+
+    # keep_last: newest wins across existing ∪ incoming.
+    ex = existing.withColumn(SRC_COL, F.lit(0)).withColumn(ORD_COL, F.lit(0))
+    inc = incoming.withColumn(SRC_COL, F.lit(1)).withColumn(
+        ORD_COL, F.monotonically_increasing_id()
+    )
+    unioned = ex.unionByName(inc, allowMissingColumns=True)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(SRC_COL).desc(), F.col(ORD_COL).desc()
+    )
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", SRC_COL, ORD_COL)
+    )

@@ -1,0 +1,182 @@
+"""Write-path partition planning.
+
+The reference plans Dask partitions: time-based monthly/quarterly/
+yearly divisions for datetime-indexed frames >10k rows, else
+size-based ``ceil(bytes / 128MB)`` clamped [1,100]
+(pystore/partition.py:38-172, pystore/collection.py:272-301).
+
+Spark-first translation:
+
+* **time-based** → a derived hive-style bucket column ``_pb``
+  (``2023`` / ``2023-Q1`` / ``2023-03``, lexicographically monotonic in
+  time) written with ``partitionBy('_pb')``. Index range predicates are
+  rewritten onto ``_pb`` at read time → Catalyst partition pruning
+  skips whole directories before any I/O (the 100 TB win).
+* **size-based** → ``repartitionByRange('index')`` into
+  ``ceil(bytes / 128MB)`` output tasks.
+* Always ``sortWithinPartitions('index')`` so Parquet row-group
+  min/max stats stay tight → row-group skipping for index predicates
+  (replaces Dask's sorted divisions).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pystore_spark import config
+
+PARTITION_COL = "_pb"
+
+TIME_PARTITION_MIN_ROWS = 10_000  # reference trigger: pystore/collection.py:283
+
+
+def bucket_expr(freq: str, index_col: str = "index") -> Column:
+    """Lexicographically time-ordered bucket string for the index."""
+    c = F.col(index_col)
+    if freq == "Y":
+        return F.date_format(c, "yyyy")
+    if freq == "Q":
+        return F.concat(
+            F.date_format(c, "yyyy"), F.lit("-Q"), F.quarter(c).cast("string")
+        )
+    if freq == "M":
+        return F.date_format(c, "yyyy-MM")
+    if freq == "D":
+        return F.date_format(c, "yyyy-MM-dd")
+    raise ValueError(f"unknown partition freq {freq!r}")
+
+
+def bucket_value(freq: str, ts: Any) -> str:
+    """Python-side bucket string for a timestamp (for pruning rewrites)."""
+    import pandas as pd
+
+    t = pd.Timestamp(ts)
+    if freq == "Y":
+        return f"{t.year:04d}"
+    if freq == "Q":
+        return f"{t.year:04d}-Q{(t.month - 1) // 3 + 1}"
+    if freq == "M":
+        return f"{t.year:04d}-{t.month:02d}"
+    if freq == "D":
+        return f"{t.year:04d}-{t.month:02d}-{t.day:02d}"
+    raise ValueError(f"unknown partition freq {freq!r}")
+
+
+def choose_time_freq(span_days: float) -> str:
+    """Frequency by index span — reference: pystore/partition.py:117-124
+    (monthly <1y, quarterly <3y, yearly otherwise)."""
+    if span_days <= 366:
+        return "M"
+    if span_days <= 3 * 366:
+        return "Q"
+    return "Y"
+
+
+def size_based_npartitions(size_bytes: int | None, nrows: int | None = None) -> int:
+    """ceil(bytes / 128MB), clamped — reference: pystore/partition.py:38-81."""
+    if size_bytes is None or size_bytes <= 0:
+        if nrows is not None:
+            size_bytes = max(nrows, 1) * 64  # rough 64 B/row fallback
+        else:
+            return 1
+    n = math.ceil(size_bytes / config.PARTITION_TARGET_BYTES)
+    return max(1, min(n, config.MAX_PARTITIONS))
+
+
+def estimate_size_bytes(df: DataFrame) -> int | None:
+    """Best-effort logical-plan size estimate (Catalyst stats)."""
+    try:
+        jdf = df._jdf  # noqa: SLF001 — no public stats API in PySpark
+        stats = jdf.queryExecution().optimizedPlan().stats()
+        size = int(stats.sizeInBytes().toString())
+        # Catalyst returns Long.MaxValue-ish when unknown
+        if 0 < size < (1 << 60):
+            return size
+    except Exception:
+        pass
+    return None
+
+
+class PartitionPlan:
+    """Resolved layout for one item write: either hive time buckets
+    (freq in {Y,Q,M,D}) or N range partitions."""
+
+    def __init__(self, kind: str, freq: str | None = None, npartitions: int = 1):
+        self.kind = kind  # 'time' | 'size'
+        self.freq = freq
+        self.npartitions = npartitions
+
+    def to_dict(self) -> dict:
+        return {
+            "strategy": self.kind,
+            "freq": self.freq,
+            "npartitions": self.npartitions,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict | None) -> "PartitionPlan | None":
+        if not d:
+            return None
+        return cls(d.get("strategy", "size"), d.get("freq"), d.get("npartitions", 1))
+
+
+def plan_partitions(
+    df: DataFrame,
+    index_col: str = "index",
+    npartitions: int | None = None,
+    nrows: int | None = None,
+    index_minmax: tuple | None = None,
+) -> PartitionPlan:
+    """Pick the layout for a write.
+
+    ``nrows``/``index_minmax`` may be passed by callers that already
+    know them (pandas input) to avoid extra Spark jobs.
+    """
+    if npartitions is not None:
+        return PartitionPlan("size", npartitions=max(1, int(npartitions)))
+
+    dtype = dict(df.dtypes).get(index_col)
+    is_time = isinstance(
+        df.schema[index_col].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+    ) if index_col in df.columns else False
+
+    if is_time:
+        if nrows is None:
+            nrows = df.count()
+        if nrows > TIME_PARTITION_MIN_ROWS:
+            if index_minmax is None:
+                row = df.agg(
+                    F.min(index_col).alias("lo"), F.max(index_col).alias("hi")
+                ).first()
+                index_minmax = (row["lo"], row["hi"])
+            lo, hi = index_minmax
+            if lo is not None and hi is not None:
+                span_days = (hi - lo).total_seconds() / 86400.0
+                return PartitionPlan("time", freq=choose_time_freq(span_days))
+    size = estimate_size_bytes(df)
+    return PartitionPlan("size", npartitions=size_based_npartitions(size, nrows))
+
+
+def apply_layout(df: DataFrame, plan: PartitionPlan, index_col: str = "index") -> DataFrame:
+    """Shape the DataFrame for writing under the plan (adds ``_pb`` for
+    time layouts; range-repartitions and sorts within partitions so the
+    on-disk layout is monotonic by index — SURVEY O1)."""
+    if plan.kind == "time" and index_col in df.columns:
+        df = df.withColumn(PARTITION_COL, bucket_expr(plan.freq, index_col))
+        # co-locate each bucket in one task; sort for tight row-group stats
+        df = df.repartition(PARTITION_COL).sortWithinPartitions(
+            PARTITION_COL, index_col
+        )
+        return df
+    if index_col in df.columns and plan.npartitions > 1:
+        return df.repartitionByRange(plan.npartitions, index_col).sortWithinPartitions(
+            index_col
+        )
+    if index_col in df.columns:
+        return df.coalesce(max(1, plan.npartitions)).sortWithinPartitions(index_col)
+    return df.coalesce(max(1, plan.npartitions))

@@ -1,0 +1,63 @@
+"""External sources: CSV reader + the synthetic-benchmark table loader.
+
+``read_csv`` mirrors the reference's CSV → indexed frame helper
+(pystore/utils.py:36-62) but returns a lazy Spark DataFrame.
+
+``load_table``/``load_tables`` read the driver's test parquet,
+normalizing Parquet TIMESTAMP(NANOS) columns (scanned as long ns under
+``spark.sql.legacy.parquet.nanosAsLong``) to µs TimestampType, which
+matches DuckDB's read of the same files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pystore_spark.session import configure
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# columns that are TIMESTAMP(NANOS) in the synthetic data
+_NS_TS_COLS = {"events": ["ts"]}
+
+
+def read_csv(
+    spark: SparkSession,
+    urlpath: str,
+    index_col: str | None = None,
+    index_name: str | None = None,
+    header: bool = True,
+    infer_schema: bool = True,
+    **options: str,
+) -> DataFrame:
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("inferSchema", str(infer_schema).lower())
+        .options(**options)
+        .csv(urlpath)
+    )
+    if index_col is not None and index_name and index_col != index_name:
+        df = df.withColumnRenamed(index_col, index_name)
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NS_TS_COLS.get(name, []):
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            # long ns → µs timestamp (same truncation DuckDB applies)
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,97 @@
+"""Store: top-level namespace of collections.
+
+Reference: pystore/store.py:32-98, pystore/utils.py:116-171.
+All catalog operations are driver-side directory bookkeeping.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from pystore_spark import config, utils
+from pystore_spark.collection import Collection
+from pystore_spark.exceptions import (
+    CollectionExistsError,
+    CollectionNotFoundError,
+)
+from pystore_spark.session import get_spark
+
+
+class Store:
+    def __init__(self, datastore: str, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        root = utils.validate_path_local(config.get_path())
+        self.datastore = Path(root) / datastore
+        self.datastore.mkdir(parents=True, exist_ok=True)
+        meta = utils.read_metadata(self.datastore)
+        if not meta:
+            utils.write_metadata(
+                self.datastore, {"engine": "pystore_spark", "type": "store"}
+            )
+        self.metadata = utils.read_metadata(self.datastore)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"pystore_spark.Store <{self.datastore}>"
+
+    @property
+    def collections(self) -> list[str]:
+        return utils.subdirs(self.datastore)
+
+    def list_collections(self) -> list[str]:
+        return self.collections
+
+    def collection_exists(self, collection: str) -> bool:
+        return (self.datastore / collection).is_dir()
+
+    def collection(self, collection: str, overwrite: bool = False) -> Collection:
+        """Open-or-create a collection (reference pystore/store.py:88-98;
+        ``overwrite=True`` replaces an existing one)."""
+        if self.collection_exists(collection):
+            if overwrite:
+                utils.rm_tree(self.datastore / collection)
+            return Collection(self.spark, str(self.datastore), collection)
+        return Collection(self.spark, str(self.datastore), collection)
+
+    def create_collection(self, collection: str, overwrite: bool = False) -> Collection:
+        """Creating-API: raises CollectionExistsError on existing
+        (spec: tests/test_collection.py:19-24 — SURVEY §8.3 resolution:
+        separate create vs open intents)."""
+        if self.collection_exists(collection) and not overwrite:
+            raise CollectionExistsError(
+                f"collection {collection!r} already exists"
+            )
+        if self.collection_exists(collection):
+            utils.rm_tree(self.datastore / collection)
+        return Collection(self.spark, str(self.datastore), collection)
+
+    def delete_collection(self, collection: str) -> bool:
+        if not self.collection_exists(collection):
+            raise CollectionNotFoundError(
+                f"collection {collection!r} does not exist"
+            )
+        utils.rm_tree(self.datastore / collection)
+        return True
+
+
+def store(datastore: str, spark: SparkSession | None = None) -> Store:
+    return Store(datastore, spark=spark)
+
+
+def list_stores() -> list[str]:
+    root = utils.validate_path_local(config.get_path())
+    return utils.subdirs(root)
+
+
+def delete_store(datastore: str) -> bool:
+    root = utils.validate_path_local(config.get_path())
+    utils.rm_tree(Path(root) / datastore)
+    return True
+
+
+def delete_stores() -> bool:
+    root = utils.validate_path_local(config.get_path())
+    utils.rm_tree(root)
+    Path(root).mkdir(parents=True, exist_ok=True)
+    return True

@@ -1,0 +1,228 @@
+"""Transactions, batch transactions, and collection locks.
+
+Reference: pystore/transactions.py:41-362. These are driver-side
+protocols over the item directory layout:
+
+* ``Transaction`` — ordered write/append/delete ops with per-item
+  backups (hard-linked trees, O(metadata)) and rollback-on-error.
+* ``BatchTransaction`` — dedups ops per item, applies deletes →
+  writes → appends, pre-merging multiple appends with ``unionByName``.
+* ``CollectionLock`` — atomic-mkdir lease with a uuid owner file,
+  timeout/retry (works on any FS with atomic mkdir).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+from typing import Any
+
+import pandas as pd
+
+from pystore_spark import utils
+from pystore_spark.exceptions import TransactionError
+
+
+class Transaction:
+    def __init__(self, collection):
+        self.collection = collection
+        self.ops: list[tuple[str, str, Any, dict]] = []
+        self._backups: dict[str, Path | None] = {}
+        self._token = uuid.uuid4().hex[:8]
+        self.active = False
+        self.committed = False
+
+    # --- op staging -------------------------------------------------
+    def write(self, item: str, data, **kwargs) -> "Transaction":
+        self.ops.append(("write", item, data, kwargs))
+        return self
+
+    def append(self, item: str, data, **kwargs) -> "Transaction":
+        self.ops.append(("append", item, data, kwargs))
+        return self
+
+    def delete(self, item: str, **kwargs) -> "Transaction":
+        self.ops.append(("delete", item, None, kwargs))
+        return self
+
+    # --- protocol ---------------------------------------------------
+    def _backup(self, item: str) -> None:
+        if item in self._backups:
+            return
+        src = self.collection._item_path(item)
+        if not src.exists():
+            self._backups[item] = None
+            return
+        dst = self.collection.path / f".__txn_{self._token}_{item}"
+        utils.link_tree(src, dst)
+        self._backups[item] = dst
+
+    def _restore_all(self) -> None:
+        for item, bkp in self._backups.items():
+            target = self.collection._item_path(item)
+            utils.rm_tree(target)
+            if bkp is not None and bkp.exists():
+                bkp.rename(target)
+        self._backups.clear()
+        self.collection.clear_metadata_cache()
+
+    def _cleanup(self) -> None:
+        for bkp in self._backups.values():
+            if bkp is not None:
+                utils.rm_tree(bkp)
+        self._backups.clear()
+
+    def commit(self) -> None:
+        try:
+            for op, item, data, kwargs in self.ops:
+                self._backup(item)
+                if op == "write":
+                    kwargs.setdefault("overwrite", True)
+                    self.collection.write(item, data, **kwargs)
+                elif op == "append":
+                    self.collection.append(item, data, **kwargs)
+                elif op == "delete":
+                    if self.collection.item_exists(item):
+                        self.collection.delete_item(item)
+        except Exception as exc:
+            self._restore_all()
+            raise TransactionError(f"transaction rolled back: {exc}") from exc
+        else:
+            self._cleanup()
+            self.committed = True
+        finally:
+            self.ops.clear()
+            self.active = False
+
+    def rollback(self) -> None:
+        self._restore_all()
+        self.ops.clear()
+        self.active = False
+
+
+class BatchTransaction(Transaction):
+    """Dedups/merges ops per item before applying (reference:
+    pystore/transactions.py:184-245): deletes first, then writes, then
+    appends; multiple appends to one item pre-merged into one."""
+
+    def commit(self) -> None:
+        deletes: list[str] = []
+        writes: dict[str, tuple[Any, dict]] = {}
+        appends: dict[str, list[tuple[Any, dict]]] = {}
+        for op, item, data, kwargs in self.ops:
+            if op == "delete":
+                deletes.append(item)
+                writes.pop(item, None)
+                appends.pop(item, None)
+            elif op == "write":
+                writes[item] = (data, kwargs)
+                appends.pop(item, None)
+            elif op == "append":
+                appends.setdefault(item, []).append((data, kwargs))
+
+        merged_ops: list[tuple[str, str, Any, dict]] = []
+        for item in deletes:
+            merged_ops.append(("delete", item, None, {}))
+        for item, (data, kwargs) in writes.items():
+            merged_ops.append(("write", item, data, kwargs))
+        for item, chunks in appends.items():
+            if len(chunks) == 1:
+                data, kwargs = chunks[0]
+            else:
+                frames = [c[0] for c in chunks]
+                kwargs = chunks[0][1]
+                if all(isinstance(f, pd.DataFrame) for f in frames):
+                    data = pd.concat(frames)
+                else:
+                    data = frames[0]
+                    for f in frames[1:]:
+                        data = data.unionByName(f, allowMissingColumns=True)
+            merged_ops.append(("append", item, data, kwargs))
+        self.ops = merged_ops
+        super().commit()
+
+
+class transaction:
+    """Context manager (reference: pystore/transactions.py:248-266):
+    commits on clean exit, rolls back staged backups on exception."""
+
+    def __init__(self, collection, batch: bool = False):
+        self.txn = (BatchTransaction if batch else Transaction)(collection)
+
+    def __enter__(self) -> Transaction:
+        self.txn.active = True
+        return self.txn
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None:
+            self.txn.rollback()
+            return False
+        if not self.txn.committed:
+            self.txn.commit()
+        return False
+
+
+class CollectionLock:
+    """mkdir-based lease (reference: pystore/transactions.py:289-362)."""
+
+    def __init__(
+        self,
+        collection,
+        name: str = "collection",
+        timeout: float = 30.0,
+        retry_interval: float = 0.1,
+        stale_after: float = 300.0,
+    ):
+        self.lock_dir = Path(collection.path) / f".__lock_{name}"
+        self.owner = uuid.uuid4().hex
+        self.timeout = timeout
+        self.retry_interval = retry_interval
+        self.stale_after = stale_after
+        self.held = False
+
+    def acquire(self) -> bool:
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                os.mkdir(self.lock_dir)
+                with open(self.lock_dir / "owner.json", "w") as fh:
+                    json.dump(
+                        {"owner": self.owner, "acquired": time.time()}, fh
+                    )
+                self.held = True
+                return True
+            except FileExistsError:
+                self._break_if_stale()
+                if time.monotonic() >= deadline:
+                    raise TransactionError(
+                        f"could not acquire lock {self.lock_dir.name} within "
+                        f"{self.timeout}s"
+                    )
+                time.sleep(self.retry_interval)
+
+    def _break_if_stale(self) -> None:
+        try:
+            with open(self.lock_dir / "owner.json") as fh:
+                info = json.load(fh)
+            if time.time() - float(info.get("acquired", 0)) > self.stale_after:
+                utils.rm_tree(self.lock_dir)
+        except OSError:
+            pass
+        except (ValueError, KeyError):
+            utils.rm_tree(self.lock_dir)
+
+    def release(self) -> None:
+        if self.held:
+            utils.rm_tree(self.lock_dir)
+            self.held = False
+
+    def __enter__(self) -> "CollectionLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        self.release()
+        return False

@@ -1,0 +1,168 @@
+"""Write/read round-trip — tier-1 golden equality (reference test
+strategy: tests/test_write_read.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pystore_spark as ps
+from pystore_spark.exceptions import ItemExistsError, ItemNotFoundError
+
+
+def test_write_read_roundtrip(test_collection, sample_data):
+    test_collection.write("item1", sample_data, metadata={"source": "unit"})
+    out = test_collection.item("item1").to_pandas()
+    pd.testing.assert_frame_equal(
+        out, sample_data.rename_axis("index"), check_freq=False
+    )
+
+
+def test_write_existing_raises(test_collection, sample_data):
+    test_collection.write("item1", sample_data)
+    with pytest.raises(ItemExistsError):
+        test_collection.write("item1", sample_data)
+    test_collection.write("item1", sample_data, overwrite=True)  # ok
+
+
+def test_missing_item_raises(test_collection):
+    with pytest.raises(ItemNotFoundError):
+        test_collection.item("nope")
+
+
+def test_metadata_roundtrip(test_collection, sample_data):
+    test_collection.write("item1", sample_data, metadata={"symbol": "AAPL", "n": 3})
+    meta = test_collection.item("item1").metadata
+    assert meta["symbol"] == "AAPL"
+    assert meta["n"] == 3
+    assert "_updated" in meta
+
+
+def test_filters_and_columns(test_collection, sample_data):
+    test_collection.write("item1", sample_data)
+    it = test_collection.item(
+        "item1", filters=[("category", "==", "A")], columns=["value1"]
+    )
+    out = it.to_pandas()
+    expected = sample_data[sample_data["category"] == "A"][["value1"]]
+    assert len(out) == len(expected)
+    assert list(out.columns) == ["value1"]
+    np.testing.assert_allclose(
+        out["value1"].to_numpy(), expected["value1"].to_numpy()
+    )
+
+
+def test_filters_dnf_or(test_collection, sample_data):
+    test_collection.write("item1", sample_data)
+    out = test_collection.item(
+        "item1",
+        filters=[[("category", "==", "A")], [("category", "==", "B")]],
+    ).to_pandas()
+    expected = sample_data[sample_data["category"].isin(["A", "B"])]
+    assert len(out) == len(expected)
+
+
+def test_filters_in_notin(test_collection, sample_data):
+    test_collection.write("item1", sample_data)
+    n_in = len(
+        test_collection.item(
+            "item1", filters=[("category", "in", ["A", "B"])]
+        ).to_pandas()
+    )
+    n_out = len(
+        test_collection.item(
+            "item1", filters=[("category", "not in", ["A", "B"])]
+        ).to_pandas()
+    )
+    assert n_in + n_out == len(sample_data)
+
+
+def test_index_range_filter(test_collection, sample_data):
+    test_collection.write("item1", sample_data)
+    cut = pd.Timestamp("2024-02-01")
+    out = test_collection.item(
+        "item1", filters=[("index", ">=", cut)]
+    ).to_pandas()
+    assert len(out) == (sample_data.index >= cut).sum()
+    assert out.index.min() >= cut
+
+
+def test_nanosecond_roundtrip(test_collection, sample_data_nanosecond):
+    test_collection.write("ns_item", sample_data_nanosecond)
+    out = test_collection.item("ns_item").to_pandas()
+    assert len(out) == len(sample_data_nanosecond)
+    pd.testing.assert_index_equal(
+        out.index, sample_data_nanosecond.index.rename("index")
+    )
+
+
+def test_epochdate_roundtrip(test_collection, sample_data):
+    test_collection.write("epoch_item", sample_data, epochdate=True)
+    out = test_collection.item("epoch_item").to_pandas()
+    assert isinstance(out.index, pd.DatetimeIndex)
+    assert len(out) == len(sample_data)
+
+
+def test_empty_frame_with_schema(test_collection):
+    empty = pd.DataFrame({"value": pd.Series(dtype="float64"),
+                          "timestamp": pd.Series(dtype="datetime64[ns]")})
+    test_collection.write("empty_item", empty)
+    out = test_collection.item("empty_item").to_pandas()
+    assert list(out.columns) == ["value", "timestamp"]
+    assert len(out) == 0
+
+
+def test_custom_index_name(test_collection):
+    df = pd.DataFrame(
+        {"v": [1.0, 2.0]},
+        index=pd.DatetimeIndex(
+            ["2024-01-01", "2024-01-02"], name="custom_index_name"
+        ),
+    )
+    test_collection.write("named_idx", df)
+    out = test_collection.item("named_idx").to_pandas()
+    assert out.index.name == "custom_index_name"
+
+
+def test_sorted_invariant_on_unsorted_write(test_collection):
+    idx = pd.DatetimeIndex(["2024-01-03", "2024-01-01", "2024-01-02"])
+    df = pd.DataFrame({"v": [3.0, 1.0, 2.0]}, index=idx)
+    test_collection.write("unsorted", df)
+    out = test_collection.item("unsorted").to_pandas()
+    assert out.index.is_monotonic_increasing
+    assert out.loc[pd.Timestamp("2024-01-01"), "v"] == 1.0
+
+
+def test_spark_dataframe_input(test_collection, spark):
+    sdf = spark.range(5).selectExpr(
+        "timestamp_seconds(1704067200 + id*86400) as index", "id * 1.5 as v"
+    )
+    test_collection.write("spark_item", sdf)
+    out = test_collection.item("spark_item").to_pandas()
+    assert len(out) == 5
+    assert list(out.columns) == ["v"]
+
+
+def test_store_catalog(spark, temp_store_path):
+    st = ps.store("s1", spark=spark)
+    st.collection("c1").write(
+        "i1",
+        pd.DataFrame({"v": [1.0]}, index=pd.DatetimeIndex(["2024-01-01"])),
+    )
+    assert "s1" in ps.list_stores()
+    assert "c1" in st.list_collections()
+    assert st.collection("c1").items == ["i1"]
+    st.collection("c1").delete_item("i1")
+    assert st.collection("c1").items == []
+    st.delete_collection("c1")
+    assert "c1" not in st.list_collections()
+    ps.delete_store("s1")
+    assert "s1" not in ps.list_stores()
+
+
+def test_list_items_metadata_filter(test_collection, sample_data):
+    test_collection.write("a", sample_data, metadata={"kind": "x"})
+    test_collection.write("b", sample_data, metadata={"kind": "y"})
+    assert test_collection.list_items(kind="x") == ["a"]
+    assert sorted(test_collection.list_items()) == ["a", "b"]
