@@ -52,9 +52,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NS_TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-            # long ns → µs timestamp (same truncation DuckDB applies)
+            # long ns → µs timestamp (same truncation DuckDB applies);
+            # integer division — ns epochs exceed 2^53, so FP division
+            # would round the low microsecond digit
             df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
     return df
 

@@ -1,0 +1,130 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` at a given
+SF dir; compares row count, column names, and order-insensitive values
+(columns sorted by name, rows sorted, values canonicalized). Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(6)
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    if len(a) == len(b):
+        for c in a.columns:
+            if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+                av = pd.to_numeric(a[c]).to_numpy()
+                bv = pd.to_numeric(b[c]).to_numpy()
+                bad = [
+                    i
+                    for i in range(len(av))
+                    if not (
+                        (math.isnan(av[i]) and math.isnan(bv[i]))
+                        if (isinstance(av[i], float) and isinstance(bv[i], float)
+                            and (math.isnan(av[i]) or math.isnan(bv[i])))
+                        else av[i] == bv[i]
+                    )
+                ]
+                if bad:
+                    i = bad[0]
+                    problems.append(
+                        f"col {c!r}: {len(bad)} mismatches, first at {i}: "
+                        f"{av[i]!r} != {bv[i]!r}"
+                    )
+            else:
+                neq = (a[c].astype(str) != b[c].astype(str))
+                if neq.any():
+                    i = int(neq.idxmax())
+                    problems.append(
+                        f"col {c!r}: {int(neq.sum())} mismatches, first at {i}: "
+                        f"{a[c].iloc[i]!r} != {b[c].iloc[i]!r}"
+                    )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from pystore_spark.session import get_spark
+
+    spark = get_spark(app_name="correctness_check")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(spark_pdf)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK   {name} ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
