@@ -32,6 +32,15 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "top_orders_by_revenue",
     "region_part_supplier",
+    # training-data-pipeline ops (linear cost)
+    "text_quality_scores",
+    "doc_fingerprints",
+    "exact_dedup_groups",
+    "minhash_signatures",
+    "lsh_band_stats",
+    "simhash_fingerprints",
+    "embedding_cosine_topk",
+    "ann_ivf_label_topk",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the LLM-training-data staples, expressed relationally so
+they distribute (no driver materialization, no Python UDFs).
+
+Hash design: every hash is built from ``md5`` (bit-identical across
+engines). MinHash uses the *lexicographic minimum of seeded md5
+hex strings* — min-hashing only needs a uniform hash with a total
+order, and hex strings give one that an ANSI-SQL oracle can
+reproduce exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pystore_spark.functions.text import fingerprint, shingles
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Keep the minimum-id row per duplicate group — a hash groupBy
+    (partial+final agg), not a window, so it map-side combines."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Fingerprint → group stats (keep_id, n_copies)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 8
+) -> Column:
+    """Array of ``num_hashes`` int64 minhash values.
+
+    One md5 per shingle; the hash family is Kirsch-Mitzenmacher double
+    hashing ``h_i = h1 + i*h2`` with h1/h2 = two 14-hex-digit halves
+    of the digest (< 2^56, so ``h1 + 7*h2`` can't overflow int64).
+    ~8× less hashing than seeded-md5-per-hash, and numeric mins beat
+    string mins. Bit-identical in the SQL oracle via
+    ``CAST('0x'||substr(md5(s),...) AS BIGINT)``.
+    """
+    halves = F.transform(
+        shingle_col,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 14), 16, 10)
+            .cast("bigint")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(s), 17, 14), 16, 10)
+            .cast("bigint")
+            .alias("h2"),
+        ),
+    )
+    # single fold over the shingles: acc[i] = min(acc[i], h1 + i*h2).
+    # (N seeded array_min passes would re-inline the md5 transform N
+    # times after projection collapse — one aggregate keeps it to one
+    # digest per shingle.)
+    seeds = F.sequence(F.lit(0).cast("bigint"), F.lit(num_hashes - 1))
+    max_long = F.lit(9223372036854775807).cast("bigint")
+    return F.aggregate(
+        halves,
+        F.array_repeat(max_long, num_hashes),
+        lambda acc, x: F.zip_with(
+            acc, seeds, lambda a, i: F.least(a, x["h1"] + i * x["h2"])
+        ),
+    )
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """Band the signature: md5 of each contiguous ``rows``-slice
+    (int64 minhashes rendered as strings for the digest)."""
+    as_str = F.transform(sig_col, lambda x: x.cast("string"))
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", F.slice(as_str, b * rows + 1, rows)))
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """id → signature array + concatenated signature string."""
+    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
+    return df.select(
+        F.col(id_col),
+        sig.alias("sig"),
+        F.concat_ws("|", F.transform(sig, lambda x: x.cast("string"))).alias(
+            "sig_str"
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (i < j) sharing ≥1 LSH band bucket.
+
+    Plan shape: linear signature pass → explode bands → shuffle on
+    (band_idx, band_key) → per-bucket self-join. At 100 TB the only
+    quadratic term is within-bucket, which banding keeps small;
+    skewed buckets are handled by AQE skew-join splitting.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_i"),
+            F.col(f"b.{id_col}").alias("id_j"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Blocked all-pairs n-gram Jaccard: pairs only within the same
+    block (e.g. source + length bucket), then exact verification.
+    Blocking bounds the quadratic term; the join shuffles once on the
+    block key."""
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        shingles(text_col, shingle_n).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_i"),
+            F.col(f"b.{id_col}").alias("id_j"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash per document.
+
+    Token hash = first 4 md5 hex digits → int (identical in the SQL
+    oracle via CAST('0x…')). Per bit: sum(+1/-1) over token
+    occurrences (explode → groupBy id, 16 conditional sums — one
+    shuffle, map-side combined), then sign-bit assembly.
+    """
+    from pystore_spark.functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int"),
+    )
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Popcount of xor for 16-bit simhashes (bit_count is native)."""
+    return F.bit_count(a.bitwiseXOR(b))

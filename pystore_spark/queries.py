@@ -727,3 +727,7 @@ def get_oracles() -> dict[str, str]:
         for name, spec in QUERIES.items()
         if spec.oracle_sql is not None
     }
+
+
+# extension queries (text/dedup/similarity) register themselves on import
+from pystore_spark import queries_ext  # noqa: E402,F401  isort:skip

@@ -1,0 +1,378 @@
+"""Training-data-pipeline queries: text analysis, dedup (exact /
+MinHash-LSH / SimHash / n-gram Jaccard), embedding similarity search.
+
+Each query pairs a distributed Spark plan (functions/* modules) with a
+DuckDB oracle that reproduces the same hashes bit-for-bit (md5-based
+hashing, identical fold order for float reductions — see module docs
+in functions/similarity.py and functions/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pystore_spark.functions import dedup as D
+from pystore_spark.functions import similarity as S
+from pystore_spark.functions import text as X
+from pystore_spark.queries import register
+from pystore_spark.sources import load_table
+
+# DuckDB token/shingle snippets shared by several oracles
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+_SHINGLES = f"""
+    CASE WHEN len({_TOKS}) >= 3 THEN
+      list_distinct(list_transform(
+        generate_series(1, len({_TOKS}) - 2),
+        i -> array_to_string(({_TOKS})[i:i+2], ' ')))
+    ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+      len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS n_uniq_tokens,
+      ROUND(list_reduce(list_transform(toks, x -> len(x)::DOUBLE),
+                        (a,b) -> a+b) / len(toks), 6) AS avg_token_len
+    FROM t
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.unique_token_count("text").alias("n_uniq_tokens"),
+        F.round(X.avg_token_length("text"), 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    sql=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        len(toks)::DOUBLE AS n,
+        len(list_distinct(toks))::DOUBLE AS uniq,
+        COALESCE(list_reduce(list_transform(toks, x -> len(x)::DOUBLE),
+                             (a,b) -> a+b) / len(toks), 0.0) AS awl
+      FROM t)
+    SELECT doc_id, lang,
+      ROUND(0.4 * LEAST(n / 100.0, 1.0)
+          + 0.4 * (CASE WHEN n > 0 THEN uniq / n ELSE 0.0 END)
+          + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0
+                   THEN 1.0 ELSE 0.5 END), 6) AS quality
+    FROM s
+    """,
+    tags=("text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id", "lang", X.quality_score("text").alias("quality")
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    sql=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+        CASE WHEN len(toks) > 0 THEN
+          len(list_filter(toks, x -> lower(x) IN
+            ('the','a','of','and','to','in','is','it','for','on')))::DOUBLE
+          / len(toks) ELSE 0.0 END AS en,
+        CASE WHEN len(toks) > 0 THEN
+          len(list_filter(toks, x -> lower(x) IN
+            ('der','die','das','und','ist','ein','zu','mit','von')))::DOUBLE
+          / len(toks) ELSE 0.0 END AS de,
+        CASE WHEN len(toks) > 0 THEN
+          len(list_filter(toks, x -> lower(x) IN
+            ('le','la','les','et','est','un','une','pour','dans')))::DOUBLE
+          / len(toks) ELSE 0.0 END AS fr
+      FROM t)
+    SELECT doc_id, lang,
+      CASE WHEN GREATEST(en, de, fr) <= 0.0 THEN 'und'
+           WHEN fr = GREATEST(en, de, fr) THEN 'fr'
+           WHEN en = GREATEST(en, de, fr) THEN 'en'
+           ELSE 'de' END AS pred_lang
+    FROM r
+    """,
+    tags=("text",),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id", "lang", X.detect_language("text").alias("pred_lang")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    sql="""
+    SELECT doc_id,
+      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+@register(
+    "exact_dedup_groups",
+    sql="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return D.duplicate_groups(doc, "text", "doc_id")
+
+
+_SIG = """
+      list_transform(generate_series(0, 7),
+        seed -> list_aggregate(
+          list_transform(sh, x ->
+            CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT)
+            + seed * CAST(('0x' || substr(md5(x), 17, 14)) AS BIGINT)),
+          'min'))
+"""
+
+
+@register(
+    "minhash_signatures",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    SELECT doc_id,
+      array_to_string({_SIG}, '|') AS sig_str
+    FROM s
+    """,
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(doc, "text", "doc_id", num_hashes=8).select(
+        "doc_id", "sig_str"
+    )
+
+
+@register(
+    "lsh_band_stats",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (
+      SELECT doc_id, {_SIG} AS sig
+      FROM s),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+        md5(array_to_string(
+          list_transform(sig[b.band_idx*2+1 : b.band_idx*2+2],
+                         v -> v::VARCHAR), '|'))
+          AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+    buckets AS (
+      SELECT band_idx, band_key, count(*) AS sz
+      FROM banded GROUP BY 1, 2)
+    SELECT band_idx,
+      count(*) AS n_buckets,
+      max(sz) AS max_bucket,
+      CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS n_candidate_pairs
+    FROM buckets GROUP BY band_idx
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding summarized per band: bucket count, max bucket size,
+    implied candidate-pair count (computed from bucket sizes — the
+    quadratic term is never materialized)."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(doc, "text", "doc_id", num_hashes=8)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(D.lsh_band_keys(F.col("sig"), bands=4, rows=2)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint").alias(
+            "n_candidate_pairs"
+        ),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    sql=f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars // 100 AS len_bucket,
+             {_SHINGLES} AS sh
+      FROM documents)
+    SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+      ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(a.sh || b.sh)), 6) AS jac
+    FROM s a JOIN s b
+      ON a.source = b.source AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+    """,
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100)
+    )
+    return D.ngram_jaccard_pairs(
+        doc, "text", "doc_id",
+        block_cols=["source", "len_bucket"], threshold=0.5,
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(text, '\\s+'), t -> t != '')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) AS hv
+      FROM tok),
+    sums AS (
+      SELECT doc_id,
+        {sums}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, {assemble} AS simhash
+    FROM sums
+    """.format(
+        sums=",\n        ".join(
+            f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+            for b in range(16)
+        ),
+        assemble=" + ".join(
+            f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        ),
+    ),
+    tags=("dedup", "simhash"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return D.simhash16(doc, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x,y) -> x+y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_transform(generate_series(1, 64), "
+    "i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x,y) -> x+y))"
+)
+
+
+@register(
+    "embedding_cosine_topk",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS q_vec_id, embedding AS qvec
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.q_vec_id, e.vec_id,
+        ROUND({_DOT.format(a='q.qvec', b='e.embedding')}
+          / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='e.embedding')}),
+          6) AS score
+      FROM embeddings e, q WHERE e.vec_id != q.q_vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT q_vec_id, vec_id, score FROM ranked WHERE rnk <= 10
+    """,
+    tags=("similarity",),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return S.brute_force_topk(
+        emb, queries, "embedding", "vec_id", k=10, query_id_col="q_vec_id"
+    )
+
+
+@register(
+    "ann_ivf_label_topk",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS q_vec_id, embedding AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.q_vec_id, e.vec_id,
+        ROUND({_DOT.format(a='q.qvec', b='e.embedding')}
+          / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='e.embedding')}),
+          6) AS score
+      FROM embeddings e, q
+      WHERE e.label = q.qlabel AND e.vec_id != q.q_vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT q_vec_id, vec_id, score FROM ranked WHERE rnk <= 5
+    """,
+    tags=("similarity", "ann"),
+)
+def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return S.ivf_topk(
+        emb, queries, "embedding", "vec_id", cell_col="label", k=5,
+        query_id_col="q_vec_id",
+    )
+
+
+@register(
+    "embedding_dedup_pairs",
+    sql=f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+      ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+        / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}),
+        6) AS score
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+        / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}),
+        6) >= 0.995
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_dedup_pairs(
+        emb, "embedding", "vec_id", block_col="label", threshold=0.995
+    )

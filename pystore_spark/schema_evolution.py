@@ -249,14 +249,16 @@ def run_migrations(
 def apply_migration(df: DataFrame, fn: Callable) -> DataFrame:
     import pandas as pd
 
-    probe = fn(df.limit(100).toPandas())
-    if isinstance(probe, DataFrame):  # spark-native fn
-        return fn(df)
-    if not isinstance(probe, pd.DataFrame):
-        # fn wants a Spark frame
+    # Spark-native migration first; fall back to a pandas fn run
+    # distributed via mapInPandas (schema inferred from a small probe).
+    try:
         out = fn(df)
         if isinstance(out, DataFrame):
             return out
+    except Exception:
+        pass
+    probe = fn(df.limit(100).toPandas())
+    if not isinstance(probe, pd.DataFrame):
         raise SchemaError("migration function must return a DataFrame")
     schema = _schema_from_pandas(probe)
 

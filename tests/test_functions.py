@@ -1,0 +1,179 @@
+"""Unit tests for the text/dedup/similarity/multimodal function
+modules (the training-data-pipeline operators)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pystore_spark.functions import dedup as D
+from pystore_spark.functions import multimodal as M
+from pystore_spark.functions import similarity as S
+from pystore_spark.functions import text as X
+
+
+@pytest.fixture()
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the busy red "
+        "hen counts seeds in the quiet barn near the old stone well and "
+        "the wind moves softly through tall dry grass at dusk"
+    )
+    rows = [
+        (0, base, "a"),
+        (1, base, "a"),  # exact dup
+        (2, base.replace("stone", "brick"), "a"),  # near dup (1-word diff)
+        (3, "completely different text about spark engines", "b"),
+        (4, "der schnelle braune fuchs und der faule hund ist", "b"),
+        (5, "", "b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "src"])
+
+
+def test_token_stats(spark, docs):
+    base_text = docs.filter("doc_id = 0").first()["text"]
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            X.token_count("text").alias("n"),
+            X.unique_token_count("text").alias("u"),
+            X.avg_token_length("text").alias("awl"),
+        ).collect()
+    }
+    assert out[0]["n"] == len(base_text.split())
+    assert out[0]["u"] == len(set(base_text.split()))
+    assert out[5]["n"] == 0
+    assert out[5]["awl"] is None
+    assert math.isclose(out[3]["awl"], sum(map(len, "completely different text about spark engines".split())) / 6)
+
+
+def test_quality_and_langid(docs):
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            X.quality_score("text").alias("q"),
+            X.detect_language("text").alias("lang"),
+        ).collect()
+    }
+    assert 0 < rows[0]["q"] <= 1
+    assert rows[0]["lang"] == "en"
+    assert rows[4]["lang"] == "de"
+    assert rows[5]["lang"] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world "), (2, "other")],
+        ["doc_id", "text"],
+    )
+    fps = [r["fp"] for r in df.select(X.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_exact_dedup(docs):
+    groups = D.duplicate_groups(docs, "text", "doc_id")
+    dup = groups.filter(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1
+    assert dup[0]["keep_id"] == 0
+    assert dup[0]["n_copies"] == 2
+    kept = D.exact_dedup(
+        docs.withColumn("fp", X.fingerprint("text")), ["fp"], "doc_id"
+    )
+    assert kept.count() == 5  # one of the two dups dropped
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = D.lsh_candidate_pairs(
+        docs.filter(F.col("text") != ""), "text", "doc_id",
+        num_hashes=8, bands=4,
+    ).collect()
+    got = {(r["id_i"], r["id_j"]) for r in pairs}
+    assert (0, 1) in got  # exact dup always collides
+    # near-dup (0,2) shares most shingles; with 4 bands of 2 it is
+    # overwhelmingly likely to collide on at least one band
+    assert (0, 2) in got or (1, 2) in got
+    assert (0, 3) not in got  # unrelated docs don't collide
+
+
+def test_ngram_jaccard(docs):
+    pairs = D.ngram_jaccard_pairs(
+        docs.filter(F.col("text") != ""), "text", "doc_id",
+        block_cols=["src"], threshold=0.3,
+    ).collect()
+    by_pair = {(r["id_i"], r["id_j"]): r["jac"] for r in pairs}
+    assert by_pair[(0, 1)] == 1.0
+    assert 0.3 <= by_pair[(0, 2)] < 1.0
+
+
+def test_simhash_near_dup_distance(docs):
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash16(docs.filter(F.col("text") != ""), "text", "doc_id").collect()
+    }
+    assert sh[0] == sh[1]  # identical text -> identical simhash
+    d_near = bin(sh[0] ^ sh[2]).count("1")
+    d_far = bin(sh[0] ^ sh[3]).count("1")
+    assert d_near <= d_far
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05], 1),  # close to 2
+        (4, [0.0, 0.0, 1.0], 2),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_brute_force_topk(vectors):
+    out = S.brute_force_topk(
+        vectors, vectors.filter("vec_id = 0"), "embedding", "vec_id", k=2
+    ).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["score"] > 0.99
+
+
+def test_ivf_topk_prunes_to_cell(vectors):
+    out = S.ivf_topk(
+        vectors, vectors.filter("vec_id = 2"), "embedding", "vec_id",
+        cell_col="label", k=3,
+    ).collect()
+    assert [r["vec_id"] for r in out] == [3]  # only same-label candidates
+
+
+def test_cosine_dedup_pairs(vectors):
+    out = S.cosine_dedup_pairs(
+        vectors, "embedding", "vec_id", block_col="label", threshold=0.95
+    ).collect()
+    got = {(r["id_i"], r["id_j"]) for r in out}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (i, "img", M.encode_fake_media(i, "img", 64, 48, n_frames=1), None)
+        for i in range(3)
+    ] + [(3, "vid", M.encode_fake_media(3, "vid", 32, 32, n_frames=10), None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in M.extract_features(df).collect()}
+    assert feats[0]["width"] == 64 and feats[0]["height"] == 48
+    assert feats[3]["n_frames"] == 10
+    frames = M.sample_frames(df.filter("media_id = 3"), every_nth=2).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 2, 4, 6, 8]
+
+
+def test_multimodal_real_decoder_is_gated(spark):
+    rows = [(0, "img", M.encode_fake_media(0, "img", 8, 8), None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        M.extract_features(df, decoder="real").collect()

@@ -1,0 +1,62 @@
+"""Transactions, batch transactions, locks (reference spec:
+tests/test_phase4_features.py:103-134, pystore/transactions.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pystore_spark.exceptions import TransactionError
+from pystore_spark.transactions import CollectionLock, transaction
+
+
+def _frame(start="2024-01-01", n=5, v=0.0):
+    idx = pd.date_range(start, periods=n, freq="D")
+    return pd.DataFrame({"value": [v + i for i in range(n)]}, index=idx)
+
+
+def test_transaction_commit(test_collection):
+    with transaction(test_collection) as txn:
+        txn.write("a", _frame())
+        txn.append_called = False
+    assert test_collection.item("a").to_pandas().shape[0] == 5
+
+
+def test_transaction_rollback_on_error(test_collection):
+    test_collection.write("a", _frame(v=1.0))
+    with pytest.raises((TransactionError, RuntimeError)):
+        with transaction(test_collection) as txn:
+            txn.write("a", _frame(v=2.0), overwrite=True)
+            txn.write("b", None)  # invalid data -> fails mid-commit
+    out = test_collection.item("a").to_pandas()
+    assert out["value"].iloc[0] == 1.0  # original restored
+    assert not test_collection.item_exists("b")
+
+
+def test_transaction_delete_and_restore(test_collection):
+    test_collection.write("a", _frame())
+    with pytest.raises((TransactionError, RuntimeError)):
+        with transaction(test_collection) as txn:
+            txn.delete("a")
+            txn.write("bad", None)
+    assert test_collection.item_exists("a")  # delete rolled back
+
+
+def test_batch_transaction_merges_appends(test_collection):
+    test_collection.write("a", _frame("2024-01-01", 3))
+    with transaction(test_collection, batch=True) as txn:
+        txn.append("a", _frame("2024-01-04", 3, v=10.0))
+        txn.append("a", _frame("2024-01-07", 3, v=20.0))
+    out = test_collection.item("a").to_pandas()
+    assert len(out) == 9
+
+
+def test_collection_lock(test_collection):
+    with CollectionLock(test_collection, timeout=2.0) as lock:
+        assert lock.held
+        other = CollectionLock(test_collection, timeout=0.3)
+        with pytest.raises(TransactionError):
+            other.acquire()
+    # released: can acquire again
+    with CollectionLock(test_collection, timeout=2.0):
+        pass
