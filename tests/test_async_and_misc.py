@@ -1,0 +1,126 @@
+"""Async wrappers, chunked reads, CSV source, catalog exceptions,
+metadata cache — remaining reference-surface parity."""
+
+from __future__ import annotations
+
+import asyncio
+
+import pandas as pd
+import pytest
+
+import pystore_spark as ps
+from pystore_spark.async_operations import async_pystore
+from pystore_spark.exceptions import (
+    CollectionExistsError,
+    CollectionNotFoundError,
+    ItemExistsError,
+    ItemNotFoundError,
+    PyStoreError,
+    ValidationError,
+)
+
+
+def _frame(n=5, v=0.0):
+    idx = pd.date_range("2024-01-01", periods=n, freq="D")
+    return pd.DataFrame({"value": [v + i for i in range(n)]}, index=idx)
+
+
+def test_async_write_read_roundtrip(test_collection):
+    async def run():
+        async with async_pystore(test_collection) as ac:
+            await ac.write("a", _frame())
+            out = await ac.read("a")
+            items = await ac.list_items()
+            return out, items
+
+    out, items = asyncio.run(run())
+    assert len(out) == 5
+    assert items == ["a"]
+
+
+def test_async_batch_and_parallel_append(test_collection):
+    async def run():
+        async with async_pystore(test_collection) as ac:
+            await ac.write_batch({"x": _frame(), "y": _frame(v=10)})
+            await ac.parallel_append(
+                {"x": _frame(v=100).iloc[:2], "y": _frame(v=200).iloc[:2]}
+            )
+            return await ac.read_batch(["x", "y"])
+
+    out = asyncio.run(run())
+    assert len(out["x"]) == 5  # 2 overlapping keys upserted
+    assert out["x"]["value"].iloc[0] == 100.0
+
+
+def test_exception_taxonomy(test_store, test_collection):
+    assert issubclass(ItemNotFoundError, PyStoreError)
+    with pytest.raises(ItemNotFoundError):
+        test_collection.delete_item("missing")
+    with pytest.raises(CollectionNotFoundError):
+        test_store.delete_collection("missing")
+    test_collection.write("a", _frame())
+    with pytest.raises(ItemExistsError):
+        test_collection.write("a", _frame())
+    test_store.collection("c2")
+    with pytest.raises(CollectionExistsError):
+        test_store.create_collection("c2")
+    with pytest.raises(ValidationError):
+        test_collection.write("bad_input", 42)  # unsupported type
+
+
+def test_metadata_cache_ttl(test_collection, monkeypatch):
+    test_collection.write("a", _frame(), metadata={"v": 1})
+    m1 = test_collection.get_item_metadata("a")
+    assert m1["v"] == 1
+    # mutate sidecar behind the cache's back; cached copy served
+    from pystore_spark import utils
+
+    meta = utils.read_metadata(test_collection._item_path("a"))
+    meta["v"] = 2
+    utils.write_metadata(test_collection._item_path("a"), meta)
+    assert test_collection.get_item_metadata("a")["v"] == 1
+    assert test_collection.get_item_metadata("a", use_cache=False)["v"] == 2
+
+
+def test_read_csv_source(spark, tmp_path):
+    csv = tmp_path / "data.csv"
+    csv.write_text("ts,value\n2024-01-01,1.5\n2024-01-02,2.5\n")
+    df = ps.read_csv(spark, str(csv), index_col="ts", index_name="index")
+    out = df.toPandas()
+    assert list(out.columns) == ["index", "value"]
+    assert len(out) == 2
+
+
+def test_chunked_read_iterator(test_collection):
+    test_collection.write("big", _frame(100))
+    it = test_collection.item("big")
+    total = 0
+    for row in it.data.toLocalIterator():
+        total += 1
+    assert total == 100
+
+
+def test_item_head_tail_index(test_collection):
+    test_collection.write("a", _frame(10))
+    assert len(test_collection.item("a").head(3)) == 3
+    tail = test_collection.item("a").tail(3)
+    assert len(tail) == 3
+    assert tail.index.is_monotonic_increasing
+    last = test_collection.index("a", last=True)
+    assert last == pd.Timestamp("2024-01-10")
+
+
+def test_write_threaded(test_collection):
+    t = test_collection.write_threaded("bg", _frame())
+    test_collection.wait_for_tasks()
+    assert test_collection.item("bg").to_pandas().shape[0] == 5
+
+
+def test_rebalance_partitions(test_collection):
+    test_collection.write("a", _frame(50))
+    n = test_collection.rebalance_partitions("a", target_size_mb=128)
+    assert n >= 1
+    out = test_collection.item("a").to_pandas()
+    assert len(out) == 50
+    meta = test_collection.item("a").metadata
+    assert "_partitions" in meta and "_partition_strategy" in meta
