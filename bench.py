@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "top_orders_by_revenue",
     "region_part_supplier",
+    "forecast_revenue_delta",
+    "top3_events_per_user",
+    "sessionization",
     # training-data-pipeline ops (linear cost)
     "text_quality_scores",
     "doc_fingerprints",

@@ -376,3 +376,171 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_dedup_pairs(
         emb, "embedding", "vec_id", block_col="label", threshold=0.995
     )
+
+
+# ---------------------------------------------------------------------------
+# additional analytics surface
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_revenue_delta",
+    sql="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+                    * CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "pushdown"),
+)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: highly selective predicates all pushed to the
+    parquet scan, single partial+final agg — at scale this is the
+    canonical row-group-skipping query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(20,6)")
+                * F.col("l_discount").cast("decimal(20,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "top3_events_per_user",
+    sql="""
+    WITH ranked AS (
+      SELECT user_id, event_id, value, row_number() OVER (
+        PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id, event_id, ROUND(value, 6) AS value
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("window", "topk"),
+)
+def top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k: rank window + WindowGroupLimit gives map-side
+    top-k before the shuffle (no full sort of the fact table)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+@register(
+    "sessionization",
+    sql="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps)
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+    tags=("window", "sessionization"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    windows on one user_id shuffle, then an agg reusing the same
+    partitioning — classic event-stream operator the reference lacks."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts")).over(w).cast("long")
+    )
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wrun)
+    )
+    return sess.groupBy("user_id").agg(
+        F.count_distinct(F.col("session_id")).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "downcast_projection",
+    sql="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS SMALLINT) AS l_linenumber_small,
+           CAST(l_quantity AS INTEGER) AS l_quantity_int,
+           CAST(l_discount AS FLOAT) AS l_discount_f
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    """,
+    tags=("scalar", "F13"),
+)
+def downcast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-optimizer downcast pass (reference:
+    pystore/memory.py:156-232) as a single projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 13 == 0).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("smallint").alias("l_linenumber_small"),
+        F.col("l_quantity").cast("int").alias("l_quantity_int"),
+        F.col("l_discount").cast("float").alias("l_discount_f"),
+    )
+
+
+@register(
+    "dnf_filter_or",
+    sql="""
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE (event_type = 'click' AND user_id < 50)
+       OR (event_type = 'purchase' AND value > 10)
+    """,
+    tags=("scan", "P1", "S2"),
+)
+def dnf_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs tuple-DNF compiled through the engine's filter
+    sugar (pystore filters=[[...],[...]] form; reference
+    pystore/item.py:64)."""
+    from pystore_spark.filters import filters_to_column
+
+    ev = load_table(spark, sf_dir, "events")
+    cond = filters_to_column(
+        [
+            [("event_type", "==", "click"), ("user_id", "<", 50)],
+            [("event_type", "==", "purchase"), ("value", ">", 10)],
+        ]
+    )
+    return ev.filter(cond).select("event_id", "event_type", "user_id")

@@ -1,0 +1,83 @@
+"""Partition-layout scale behavior: time-bucket pruning and
+partition-scoped append (the 100 TB design points)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+
+def _big_frame(start="2023-01-01", n=50_000, freq="10min"):
+    return pd.DataFrame(
+        {"value": np.arange(n, dtype="float64")},
+        index=pd.date_range(start, periods=n, freq=freq),
+    )
+
+
+def _explain(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return jdf.queryExecution().explainString(mode.fromString("formatted"))
+
+
+def test_time_layout_written_as_hive_buckets(test_collection):
+    test_collection.write("big", _big_frame())
+    buckets = sorted(
+        p.name for p in Path(test_collection.item("big").path).glob("_pb=*")
+    )
+    assert buckets[0] == "_pb=2023-01"
+    assert len(buckets) == 12
+
+
+def test_index_filter_prunes_partitions(test_collection):
+    df = _big_frame()
+    test_collection.write("big", df)
+    it = test_collection.item(
+        "big",
+        filters=[
+            ("index", ">=", pd.Timestamp("2023-11-01")),
+            ("index", "<", pd.Timestamp("2023-12-01")),
+        ],
+    )
+    plan = _explain(it.data)
+    assert "PartitionFilters" in plan
+    assert "_pb" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = int(
+        ((df.index >= "2023-11-01") & (df.index < "2023-12-01")).sum()
+    )
+    assert it.data.count() == expected
+
+
+def test_partition_scoped_append_touches_only_buckets(test_collection):
+    test_collection.write("big", _big_frame())
+    path = Path(test_collection.item("big").path)
+    mtimes_before = {
+        p.name: max(f.stat().st_mtime_ns for f in p.glob("*.parquet"))
+        for p in path.glob("_pb=*")
+    }
+    # append into November only
+    extra = pd.DataFrame(
+        {"value": [1e6, 2e6]},
+        index=pd.DatetimeIndex(["2023-11-05 00:00", "2023-11-06 00:00"]),
+    )
+    test_collection.append("big", extra)
+    mtimes_after = {
+        p.name: max(f.stat().st_mtime_ns for f in p.glob("*.parquet"))
+        for p in path.glob("_pb=*")
+    }
+    changed = {
+        b for b in mtimes_before if mtimes_after.get(b) != mtimes_before[b]
+    }
+    assert changed == {"_pb=2023-11"}
+    out = test_collection.item(
+        "big", filters=[("index", "==", pd.Timestamp("2023-11-05 00:00"))]
+    ).to_pandas()
+    assert out["value"].iloc[0] == 1e6
+
+
+def test_small_item_stays_size_partitioned(test_collection):
+    test_collection.write("small", _big_frame(n=100, freq="D"))
+    path = Path(test_collection.item("small").path)
+    assert not list(path.glob("_pb=*"))  # below the 10k-row threshold
