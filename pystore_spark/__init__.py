@@ -44,6 +44,15 @@ from pystore_spark.store import (
     store,
 )
 from pystore_spark.sources import read_csv
+from pystore_spark.schema_evolution import EvolutionStrategy
+from pystore_spark.transactions import BatchTransaction, CollectionLock, transaction
+from pystore_spark.validation import (
+    DataValidator,
+    create_financial_validator,
+    create_timeseries_validator,
+    create_validator,
+    with_validation,
+)
 
 __version__ = "0.1.0"
 
@@ -69,4 +78,13 @@ __all__ = [
     "ConfigurationError",
     "ValidationError",
     "TransactionError",
+    "EvolutionStrategy",
+    "transaction",
+    "BatchTransaction",
+    "CollectionLock",
+    "DataValidator",
+    "create_validator",
+    "create_timeseries_validator",
+    "create_financial_validator",
+    "with_validation",
 ]

@@ -536,6 +536,94 @@ class Collection:
         return self.item(item).index(last=last)
 
     # ------------------------------------------------------------------
+    # chunked read (reference: pystore/memory.py:91-136)
+    # ------------------------------------------------------------------
+    def read_in_chunks(
+        self,
+        item: str,
+        chunk_size: int = 10_000,
+        columns: Sequence[str] | None = None,
+        filters: Sequence | None = None,
+    ):
+        """Yield pandas chunks of ~``chunk_size`` rows without
+        materializing the item on the driver (partition-wise Arrow
+        batches via ``toLocalIterator``)."""
+        it = self.item(item, filters=filters, columns=columns)
+        buf: list[Any] = []
+        for row in it.data.toLocalIterator(prefetchPartitions=True):
+            buf.append(row.asDict())
+            if len(buf) >= chunk_size:
+                yield pd.DataFrame(buf)
+                buf = []
+        if buf:
+            yield pd.DataFrame(buf)
+
+    def item_size_bytes(self, item: str) -> int:
+        """On-disk size of the item's parquet parts (reference
+        memory/size estimate: pystore/collection.py:438-445)."""
+        return sum(
+            f.stat().st_size
+            for f in self._item_path(item).rglob("*.parquet")
+        )
+
+    # ------------------------------------------------------------------
+    # dtype optimizer (reference: pystore/memory.py:156-232)
+    # ------------------------------------------------------------------
+    def optimize_item_dtypes(self, item: str) -> dict[str, str]:
+        """Downcast numeric columns based on observed min/max (one agg
+        job), then rewrite the item. Returns {column: new_type}.
+
+        Largely unnecessary under Parquet+Tungsten encodings (the
+        reference's 70-90%% memory win targets pandas) but kept for
+        parity; key columns are never downcast.
+        """
+        it = self.item(item)
+        df = it.data
+        idx_cols = set(index_columns(it._pandas_meta))
+        from pyspark.sql import types as T
+
+        candidates = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in idx_cols
+            and isinstance(f.dataType, (T.LongType, T.IntegerType))
+        ]
+        if not candidates:
+            return {}
+        aggs = []
+        for c in candidates:
+            aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+        row = df.agg(*aggs).first().asDict()
+        casts: dict[str, str] = {}
+        for c in candidates:
+            lo, hi = row[f"{c}__min"], row[f"{c}__max"]
+            if lo is None or hi is None:
+                continue
+            if -128 <= lo and hi <= 127:
+                casts[c] = "tinyint"
+            elif -32768 <= lo and hi <= 32767:
+                casts[c] = "smallint"
+            elif -2147483648 <= lo and hi <= 2147483647 and not isinstance(
+                df.schema[c].dataType, T.IntegerType
+            ):
+                casts[c] = "int"
+        if not casts:
+            return {}
+        out = df.select(
+            *[
+                F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                for c in df.columns
+            ]
+        )
+        plan = it._plan or PartitionPlan("size", npartitions=1)
+        sidecar = dict(it.metadata)
+        sidecar["_dtype_optimized"] = casts
+        shaped = apply_layout(out, plan, index_col=it.index_column)
+        self._atomic_write(item, shaped, plan, sidecar)
+        self.clear_metadata_cache(item)
+        return casts
+
+    # ------------------------------------------------------------------
     # snapshots (reference: pystore/collection.py:529-566;
     # tests/test_snapshots.py)
     # ------------------------------------------------------------------

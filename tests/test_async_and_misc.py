@@ -124,3 +124,26 @@ def test_rebalance_partitions(test_collection):
     assert len(out) == 50
     meta = test_collection.item("a").metadata
     assert "_partitions" in meta and "_partition_strategy" in meta
+
+
+def test_read_in_chunks(test_collection):
+    test_collection.write("chunky", _frame(95))
+    chunks = list(test_collection.read_in_chunks("chunky", chunk_size=30))
+    assert [len(c) for c in chunks] == [30, 30, 30, 5]
+    assert sum(len(c) for c in chunks) == 95
+
+
+def test_item_size_bytes(test_collection):
+    test_collection.write("sz", _frame(100))
+    assert test_collection.item_size_bytes("sz") > 0
+
+
+def test_optimize_item_dtypes(test_collection):
+    df = _frame(10)
+    df["count"] = pd.Series(range(10), index=df.index, dtype="int64")
+    test_collection.write("opt", df)
+    casts = test_collection.optimize_item_dtypes("opt")
+    assert casts.get("count") == "tinyint"
+    out = test_collection.item("opt").to_pandas()
+    assert out["count"].dtype.name == "int8"
+    assert len(out) == 10
