@@ -131,3 +131,115 @@ def cosine_dedup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# high-throughput scale paths
+# ---------------------------------------------------------------------------
+def brute_force_topk_vectorized(
+    candidates: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Same semantics as :func:`brute_force_topk`, but scored with a
+    numpy matmul per Arrow batch (``mapInPandas``): one BLAS GEMM per
+    (batch × query-set) instead of per-element expression evaluation —
+    the throughput path when the query set is larger.
+
+    Scores can differ from the fold-based variant in the last float
+    bit (SIMD/pairwise summation), hence the separate entry point.
+    Emits only per-batch local top-k, so the final global window ranks
+    |batches|·k rows, not the full corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qid = query_id_col or f"q_{id_col}"
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(qid, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ mat_q.T  # (batch, n_queries)
+            out_q, out_c, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                mask = c_ids != ids_q[j]
+                order = np.argsort(-col[mask])[:k]
+                sel = np.flatnonzero(mask)[order]
+                out_q.extend([ids_q[j]] * len(sel))
+                out_c.extend(c_ids[sel])
+                out_s.extend(col[sel])
+            yield pd.DataFrame(
+                {qid: out_q, id_col: out_c, "score": np.round(out_s, 6)}
+            )
+
+    local_topk = candidates.select(id_col, vec_col).mapInPandas(
+        score, schema=schema
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Train a KMeans coarse quantizer and assign every vector to a
+    cell — the index-build step for IVF search at scale (store the
+    result partitioned by ``cell`` so probes prune partitions).
+
+    Returns the input with an added ``cell`` int column.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("_features", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell"
+    ).fit(feat)
+    return model.transform(feat).drop("_features")
+
+
+def ivf_search_with_index(
+    indexed: DataFrame,
+    queries_indexed: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Probe step over a prebuilt IVF index: candidates pruned to the
+    query's cell (see :func:`ivf_topk`)."""
+    return ivf_topk(
+        indexed, queries_indexed, vec_col, id_col, cell_col="cell", k=k,
+        query_id_col=query_id_col,
+    )

@@ -544,3 +544,34 @@ def dnf_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return ev.filter(cond).select("event_id", "event_type", "user_id")
+
+
+@register(
+    "embedding_cosine_topk_vectorized",
+    sql=None,  # numpy pairwise summation differs in the last float bit
+    tags=("similarity", "vectorized"),
+)
+def embedding_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant of embedding_cosine_topk: one BLAS GEMM per
+    Arrow batch via mapInPandas (rows-only check; the fold-based
+    variant carries the exact oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return S.brute_force_topk_vectorized(
+        emb, queries, "embedding", "vec_id", k=10, query_id_col="q_vec_id"
+    )
+
+
+@register(
+    "ivf_kmeans_index",
+    sql=None,  # iterative algorithm — not SQL-expressible
+    tags=("similarity", "ann", "index"),
+)
+def ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: KMeans coarse quantizer over the embedding
+    corpus, cell histogram as the (deterministic-size) output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed = S.build_ivf_index(emb, "embedding", "vec_id", n_cells=8)
+    return indexed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

@@ -177,3 +177,36 @@ def test_multimodal_real_decoder_is_gated(spark):
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         M.extract_features(df, decoder="real").collect()
+
+
+def test_vectorized_topk_matches_fold(vectors):
+    fold = S.brute_force_topk(
+        vectors, vectors.filter("vec_id = 0"), "embedding", "vec_id", k=3
+    ).collect()
+    vec = S.brute_force_topk_vectorized(
+        vectors, vectors.filter("vec_id = 0"), "embedding", "vec_id", k=3
+    ).collect()
+    assert [r["vec_id"] for r in fold] == [r["vec_id"] for r in vec]
+    for a, b in zip(fold, vec):
+        assert abs(a["score"] - b["score"]) < 1e-6
+
+
+def test_ivf_kmeans_index_and_search(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    centers = np.eye(4)
+    rows = []
+    for i in range(80):
+        c = i % 4
+        v = centers[c] + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    indexed = S.build_ivf_index(df, "embedding", "vec_id", n_cells=4)
+    assert indexed.select("cell").distinct().count() == 4
+    q = indexed.filter("vec_id = 0")
+    out = S.ivf_search_with_index(indexed, q, "embedding", "vec_id", k=3)
+    got = out.collect()
+    assert len(got) == 3
+    # neighbors come from the same ground-truth cluster (ids ≡ 0 mod 4)
+    assert all(r["vec_id"] % 4 == 0 for r in got)
