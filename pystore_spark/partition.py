@@ -157,7 +157,10 @@ def plan_partitions(
             lo, hi = index_minmax
             if lo is not None and hi is not None:
                 span_days = (hi - lo).total_seconds() / 86400.0
-                return PartitionPlan("time", freq=choose_time_freq(span_days))
+                n = size_based_npartitions(estimate_size_bytes(df), nrows)
+                return PartitionPlan(
+                    "time", freq=choose_time_freq(span_days), npartitions=n
+                )
     size = estimate_size_bytes(df)
     return PartitionPlan("size", npartitions=size_based_npartitions(size, nrows))
 
@@ -168,11 +171,14 @@ def apply_layout(df: DataFrame, plan: PartitionPlan, index_col: str = "index") -
     on-disk layout is monotonic by index — SURVEY O1)."""
     if plan.kind == "time" and index_col in df.columns:
         df = df.withColumn(PARTITION_COL, bucket_expr(plan.freq, index_col))
-        # co-locate each bucket in one task; sort for tight row-group stats
-        df = df.repartition(PARTITION_COL).sortWithinPartitions(
-            PARTITION_COL, index_col
-        )
-        return df
+        # range-partition on (bucket, index): a bucket larger than one
+        # task's share splits across *contiguous* tasks (unlike
+        # hash-repartition by bucket, which pins each bucket to a
+        # single task — a TB-scale month would serialize). Sorting
+        # within partitions keeps row-group min/max stats tight.
+        n = max(plan.npartitions, 1)
+        df = df.repartitionByRange(n, PARTITION_COL, index_col)
+        return df.sortWithinPartitions(PARTITION_COL, index_col)
     if index_col in df.columns and plan.npartitions > 1:
         return df.repartitionByRange(plan.npartitions, index_col).sortWithinPartitions(
             index_col
