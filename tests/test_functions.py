@@ -210,3 +210,26 @@ def test_ivf_kmeans_index_and_search(spark):
     assert len(got) == 3
     # neighbors come from the same ground-truth cluster (ids ≡ 0 mod 4)
     assert all(r["vec_id"] % 4 == 0 for r in got)
+
+
+def test_salted_join_matches_plain(spark):
+    from pystore_spark.functions.joins import salted_join, salted_count_per_key
+
+    big = spark.range(0, 1000).selectExpr(
+        "CASE WHEN id < 900 THEN 1 ELSE id END AS k", "id AS payload"
+    )  # key 1 holds 90% of rows
+    dim = spark.createDataFrame(
+        [(1, "hot"), (950, "cold")], ["k", "name"]
+    )
+    plain = big.join(dim, "k").groupBy("name").count().collect()
+    salted = (
+        salted_join(big, dim, ["k"]).groupBy("name").count().collect()
+    )
+    assert {(r["name"], r["count"]) for r in plain} == {
+        (r["name"], r["count"]) for r in salted
+    }
+    counts = {
+        r["k"]: r["n"]
+        for r in salted_count_per_key(big, ["k"]).collect()
+    }
+    assert counts[1] == 900

