@@ -410,7 +410,7 @@ def union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_id,
            epoch_us(ts) AS epoch_us,
-           CAST(to_timestamp(epoch_us(ts) // 1000000) AS TIMESTAMP)
+           make_timestamp((epoch_us(ts) // 1000000) * 1000000)
              AS ts_seconds
     FROM events WHERE event_id % 10 = 0
     """,
