@@ -47,6 +47,53 @@ BENCH_QUERIES = [
 ]
 
 
+def _storage_bench(spark, sf_dir: str) -> float:
+    """Engine storage path at benchmark scale: write the lineitem fact
+    as a time-keyed item, upsert a 10% slice, filtered+projected read
+    back (the reference's headline claims are about this path —
+    append throughput, pushdown reads)."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pystore_spark import config
+    from pystore_spark.sources import load_table
+    from pystore_spark.store import Store
+
+    tmp = tempfile.mkdtemp(prefix="pystore_bench_")
+    old_path = config._path
+    try:
+        config._path = tmp
+        col = Store("bench", spark=spark).collection("c")
+        # unique time index: shipdate + a sub-second offset from the
+        # unique (orderkey, linenumber) pair, so keep_last is a true
+        # row-level upsert rather than a date-level collapse
+        li = load_table(spark, sf_dir, "lineitem").withColumn(
+            "index",
+            F.expr(
+                "timestamp_micros(unix_micros(cast(l_shipdate as timestamp))"
+                " + l_orderkey * 10 + l_linenumber)"
+            ),
+        ).drop("l_shipdate")
+        t0 = _t.perf_counter()
+        col.write("fact", li)
+        upd = li.filter(F.col("l_orderkey") % 10 == 0).withColumn(
+            "l_quantity", F.col("l_quantity") + 1
+        )
+        col.append("fact", upd, duplicate_handling="keep_last")
+        col.item(
+            "fact",
+            filters=[("l_returnflag", "==", "R")],
+            columns=["l_quantity", "l_extendedprice"],
+        ).data.write.mode("overwrite").format("noop").save()
+        return _t.perf_counter() - t0
+    finally:
+        config._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pystore_spark.queries import QUERIES
@@ -67,6 +114,10 @@ def main() -> None:
         df = spec.spark_fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    timings["storage_write_append_read"] = round(
+        _storage_bench(spark, sf_dir), 4
+    )
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -145,7 +145,7 @@ class Collection:
     # ingest plumbing
     # ------------------------------------------------------------------
     def _prepare_input(
-        self, data: Any, epochdate: bool = False
+        self, data: Any, epochdate: bool = False, index_col: str | None = None
     ) -> tuple[DataFrame, dict, int | None, tuple | None]:
         """Normalize input (pandas / Spark DataFrame / Item) into a flat
         Spark DataFrame + pandas round-trip metadata.
@@ -157,12 +157,19 @@ class Collection:
         if isinstance(data, Item):
             return data.data, dict(data._pandas_meta), None, None
         if isinstance(data, DataFrame):
+            if index_col is not None and index_col not in data.columns:
+                raise ValidationError(
+                    f"index_col {index_col!r} not in columns {data.columns}"
+                )
             meta: dict = {
                 "index": {
                     "columns": [
-                        DEFAULT_INDEX_NAME
-                        if DEFAULT_INDEX_NAME in data.columns
-                        else data.columns[0]
+                        index_col
+                        or (
+                            DEFAULT_INDEX_NAME
+                            if DEFAULT_INDEX_NAME in data.columns
+                            else data.columns[0]
+                        )
                     ],
                     "multi": False,
                     "named": True,
@@ -226,6 +233,7 @@ class Collection:
         epochdate: bool = False,
         reload_items: bool = False,
         validator: Any = None,
+        index_col: str | None = None,
         **kwargs: Any,
     ) -> None:
         item_path = self._item_path(item)
@@ -236,7 +244,9 @@ class Collection:
         if validator is not None and isinstance(data, pd.DataFrame):
             validator.validate(data, raise_on_error=True)
 
-        df, pmeta, nrows, minmax = self._prepare_input(data, epochdate=epochdate)
+        df, pmeta, nrows, minmax = self._prepare_input(
+            data, epochdate=epochdate, index_col=index_col
+        )
         idx_cols = index_columns(pmeta)
         plan = plan_partitions(
             df, index_col=idx_cols[0], npartitions=npartitions,

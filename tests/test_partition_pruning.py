@@ -81,3 +81,34 @@ def test_small_item_stays_size_partitioned(test_collection):
     test_collection.write("small", _big_frame(n=100, freq="D"))
     path = Path(test_collection.item("small").path)
     assert not list(path.glob("_pb=*"))  # below the 10k-row threshold
+
+
+def test_append_creates_new_bucket(test_collection):
+    test_collection.write("big", _big_frame())  # 2023 monthly buckets
+    extra = pd.DataFrame(
+        {"value": [7.0]}, index=pd.DatetimeIndex(["2024-02-15"])
+    )
+    test_collection.append("big", extra)
+    path = Path(test_collection.item("big").path)
+    assert (path / "_pb=2024-02").exists()
+    out = test_collection.item(
+        "big", filters=[("index", ">=", pd.Timestamp("2024-01-01"))]
+    ).to_pandas()
+    assert len(out) == 1 and out["value"].iloc[0] == 7.0
+
+
+def test_spark_input_custom_index_col(test_collection, spark):
+    sdf = spark.range(5).selectExpr(
+        "timestamp_seconds(1704067200 + id*86400) as ts", "id * 1.5 as v"
+    )
+    test_collection.write("spark_idx", sdf, index_col="ts")
+    it = test_collection.item("spark_idx")
+    assert it.index_column == "ts"
+    # upsert keyed on ts
+    sdf2 = spark.range(2).selectExpr(
+        "timestamp_seconds(1704067200 + id*86400) as ts", "id * 100.0 as v"
+    )
+    test_collection.append("spark_idx", sdf2)
+    out = test_collection.item("spark_idx").data.orderBy("ts").collect()
+    assert len(out) == 5
+    assert out[0]["v"] == 100.0  # keep_last: incoming wins on key 0
