@@ -106,9 +106,12 @@ def test_spark_input_custom_index_col(test_collection, spark):
     assert it.index_column == "ts"
     # upsert keyed on ts
     sdf2 = spark.range(2).selectExpr(
-        "timestamp_seconds(1704067200 + id*86400) as ts", "id * 100.0 as v"
+        "timestamp_seconds(1704067200 + id*86400) as ts",
+        "cast(999.0 + id as double) as v",
     )
-    test_collection.append("spark_idx", sdf2)
+    test_collection.append("spark_idx", sdf2, validate_schema=False)
     out = test_collection.item("spark_idx").data.orderBy("ts").collect()
     assert len(out) == 5
-    assert out[0]["v"] == 100.0  # keep_last: incoming wins on key 0
+    assert float(out[0]["v"]) == 999.0  # keep_last: incoming wins on key 0
+    assert float(out[1]["v"]) == 1000.0
+    assert float(out[2]["v"]) == 3.0  # untouched keys keep original
