@@ -575,3 +575,95 @@ def ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexed.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+@register(
+    "value_percentiles",
+    sql="""
+    SELECT event_type,
+      ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB swap for approx_percentile with
+    a documented error bound; the exact form keeps the oracle exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "pivot_event_counts",
+    sql="""
+    SELECT strftime(ts, '%Y-%m') AS month,
+      count(*) FILTER (event_type = 'click') AS click,
+      count(*) FILTER (event_type = 'view') AS view,
+      count(*) FILTER (event_type = 'purchase') AS purchase,
+      count(*) FILTER (event_type NOT IN ('click','view','purchase'))
+        AS other
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a fixed value list — compiles to conditional
+    aggregation (one pass, no extra shuffle vs dynamic pivot's
+    distinct-values job)."""
+    ev = load_table(spark, sf_dir, "events")
+    month = F.date_format("ts", "yyyy-MM").alias("month")
+    known = ["click", "view", "purchase"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == v, 1)).alias(v) for v in known
+    ]
+    aggs.append(
+        F.count(F.when(~F.col("event_type").isin(known), 1)).alias("other")
+    )
+    return ev.groupBy(month).agg(*aggs)
+
+
+@register(
+    "rollup_revenue",
+    sql="""
+    SELECT
+      CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+        AS returnflag,
+      CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+        AS linestatus,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (partial-agg expansion, single
+    shuffle); GROUPING() flags normalized to 'ALL' in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.grouping("l_returnflag").alias("_g1"),
+            F.grouping("l_linestatus").alias("_g2"),
+        )
+        .select(
+            F.when(F.col("_g1") == 1, "ALL")
+            .otherwise(F.col("l_returnflag"))
+            .alias("returnflag"),
+            F.when(F.col("_g2") == 1, "ALL")
+            .otherwise(F.col("l_linestatus"))
+            .alias("linestatus"),
+            "revenue",
+        )
+    )
