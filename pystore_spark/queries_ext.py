@@ -667,3 +667,32 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "event_seq_applyinpandas",
+    sql="""
+    SELECT user_id, event_id,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+    tags=("udf", "applyInPandas"),
+)
+def event_seq_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF surface (X3-style custom per-group
+    logic): per-user event sequence numbers computed in pandas per
+    group, Arrow-batched. Integer outputs keep the oracle exact; the
+    window formulation in SQL is the semantic spec."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def seq(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = pdf[["user_id", "event_id"]].copy()
+        out["seq"] = range(1, len(pdf) + 1)
+        return out
+
+    return ev.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandas(
+        seq, schema="user_id long, event_id long, seq long"
+    )

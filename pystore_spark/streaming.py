@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -79,4 +80,40 @@ def with_dedup_watermark(
     within the delay window are suppressed."""
     return stream_df.withWatermark(event_time_col, delay).dropDuplicates(
         key_cols
+    )
+
+
+def running_count_per_key(
+    stream_df: DataFrame,
+    key_col: str,
+    timeout_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming operator via
+    ``applyInPandasWithState``: a per-key running event count that
+    survives across micro-batches (the template for bespoke state
+    machines the built-in windowed aggs can't express).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "key long, n long"
+    state_schema = "n long"
+
+    def update(key, pdfs, state):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"key": [key[0]], "n": [count]})
+
+    return (
+        stream_df.withColumn("key", F.col(key_col))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

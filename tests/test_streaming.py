@@ -66,3 +66,37 @@ def test_watermark_dedup_plan(spark):
     )
     deduped = with_dedup_watermark(stream, ["index"], "index", "5 minutes")
     assert deduped.isStreaming
+
+
+def test_stateful_running_count(spark, tmp_path):
+    """applyInPandasWithState keeps per-key counts across micro-batches."""
+    from pystore_spark.streaming import running_count_per_key
+
+    src = str(tmp_path / "src")
+    _write_chunk(spark, src, 1, [1.0, 2.0, 3.0])
+    _write_chunk(spark, src, 1, [4.0, 5.0])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    keyed = stream.selectExpr("CAST(value AS LONG) % 2 AS k", "value")
+    counts = running_count_per_key(keyed, "k")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("state_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r["key"]: r["n"]
+        for r in spark.sql(
+            "SELECT key, max(n) AS n FROM state_counts GROUP BY key"
+        ).collect()
+    }
+    # values 1..5 -> k=1: {1,3,5} (3 rows), k=0: {2,4} (2 rows)
+    assert final == {1: 3, 0: 2}
