@@ -580,12 +580,13 @@ def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
         AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
-               * CAST(1 - l_discount AS DECIMAL(20,6))) AS DOUBLE)
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+               * CAST(1 - l_discount AS DECIMAL(20,6))) AS DOUBLE), 4)
         AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
                * CAST(1 - l_discount AS DECIMAL(20,6))
-               * CAST(1 + l_tax AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+               * CAST(1 + l_tax AS DECIMAL(20,6))) AS DOUBLE), 4)
+        AS sum_charge,
       count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -604,12 +605,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * disc).cast("double").alias(
-                "sum_disc_price"
-            ),
-            F.sum(_dec("l_extendedprice") * disc * tax).cast("double").alias(
-                "sum_charge"
-            ),
+            F.round(
+                F.sum(_dec("l_extendedprice") * disc).cast("double"), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * disc * tax).cast("double"), 4
+            ).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -619,8 +620,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     sql="""
     SELECT n.n_name,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6))
-               * CAST(1 - l.l_discount AS DECIMAL(20,6))) AS DOUBLE)
+      ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6))
+               * CAST(1 - l.l_discount AS DECIMAL(20,6))) AS DOUBLE), 4)
         AS revenue,
       count(*) AS n_lineitems
     FROM lineitem l
@@ -648,7 +649,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -658,8 +659,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_orders_by_revenue",
     sql="""
     SELECT o.o_orderkey, o.o_orderdate,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6))
-               * CAST(1 - l.l_discount AS DECIMAL(20,6))) AS DOUBLE)
+      ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6))
+               * CAST(1 - l.l_discount AS DECIMAL(20,6))) AS DOUBLE), 4)
         AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'O'
@@ -677,7 +678,7 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
     )

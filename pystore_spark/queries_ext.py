@@ -384,8 +384,9 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "forecast_revenue_delta",
     sql="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
-                    * CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+                    * CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE), 4)
+      AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -407,12 +408,13 @@ def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(20,6)")
-                * F.col("l_discount").cast("decimal(20,6)")
-            )
-            .cast("double")
-            .alias("revenue")
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(20,6)")
+                    * F.col("l_discount").cast("decimal(20,6)")
+                ).cast("double"),
+                4,
+            ).alias("revenue")
         )
     )
 
