@@ -234,3 +234,106 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def hamming16(a: Column, b: Column) -> Column:
     """Popcount of xor for 16-bit simhashes (bit_count is native)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dedup pipeline
+# ---------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list
+    ``(id_i, id_j)`` → ``(id, component)`` where component = min id
+    reachable. Iterates alternating join+min-agg rounds until the
+    label assignment stops changing (duplicate clusters have tiny
+    diameter, so this converges in 2-3 rounds in practice).
+
+    Driver only orchestrates the loop; each round is one shuffle.
+    """
+    sym = (
+        edges.selectExpr(f"id_i AS {id_col}", "id_j AS nbr")
+        .unionByName(edges.selectExpr(f"id_j AS {id_col}", "id_i AS nbr"))
+    )
+    labels = ids.select(F.col(id_col), F.col(id_col).alias("component"))
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, on=id_col)
+            .groupBy("nbr")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("nbr", id_col)
+        )
+        updated = (
+            labels.join(nbr_min, on=id_col, how="left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on=id_col)
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The canonical training-data near-dedup pipeline:
+
+    1. exact dedup on normalized-text fingerprint (hash groupBy);
+    2. MinHash-LSH candidate pairs among survivors;
+    3. shingle-Jaccard verification at ``threshold``;
+    4. connected components over verified pairs;
+    5. keep the minimum id per duplicate cluster.
+
+    Returns the deduplicated DataFrame (same schema as input). Every
+    stage is joins/aggregations — no driver materialization; the only
+    quadratic term lives inside LSH buckets.
+    """
+    fp = df.select(
+        F.col(id_col), fingerprint(text_col).alias("_fp")
+    )
+    exact_keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    survivors = df.join(
+        exact_keep.select(id_col), on=id_col, how="left_semi"
+    )
+
+    candidates = lsh_candidate_pairs(
+        survivors, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    sh = survivors.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    )
+    verified = (
+        candidates.join(
+            sh.selectExpr(f"{id_col} AS id_i", "_sh AS _sh_i"), on="id_i"
+        )
+        .join(sh.selectExpr(f"{id_col} AS id_j", "_sh AS _sh_j"), on="id_j")
+        .filter(jaccard(F.col("_sh_i"), F.col("_sh_j")) >= threshold)
+        .select("id_i", "id_j")
+    )
+    components = connected_components(
+        verified, survivors.select(id_col), id_col
+    )
+    keep = components.groupBy("component").agg(F.min(id_col).alias(id_col))
+    return survivors.join(keep.select(id_col), on=id_col, how="left_semi")

@@ -698,3 +698,17 @@ def event_seq_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandas(
         seq, schema="user_id long, event_id long, seq long"
     )
+
+
+@register(
+    "near_dedup_kept_docs",
+    sql=None,  # iterative connected-components — not SQL-expressible
+    tags=("dedup", "pipeline"),
+)
+def near_dedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup pipeline (exact → LSH → Jaccard verify →
+    connected components → keep min id per cluster); returns kept
+    (doc_id, n_chars) rows."""
+    doc = load_table(spark, sf_dir, "documents")
+    kept = D.near_dedup(doc, "text", "doc_id", threshold=0.8)
+    return kept.select("doc_id", "n_chars")

@@ -233,3 +233,26 @@ def test_salted_join_matches_plain(spark):
         for r in salted_count_per_key(big, ["k"]).collect()
     }
     assert counts[1] == 900
+
+
+def test_near_dedup_pipeline(docs):
+    kept = D.near_dedup(
+        docs.filter(F.col("text") != ""), "text", "doc_id", threshold=0.7
+    )
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # 1 is an exact dup of 0; 2 is a near dup (1-word diff) -> both dropped
+    assert ids == [0, 3, 4]
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_i", "id_j"]
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], ["id"])
+    comp = {
+        r["id"]: r["component"]
+        for r in D.connected_components(edges, ids, "id").collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[9] == 9
