@@ -332,8 +332,16 @@ def near_dedup(
         .filter(jaccard(F.col("_sh_i"), F.col("_sh_j")) >= threshold)
         .select("id_i", "id_j")
     )
-    components = connected_components(
-        verified, survivors.select(id_col), id_col
+    # propagate labels only over nodes that have at least one verified
+    # edge — the overwhelming majority of documents have none, so the
+    # iterative rounds touch a tiny fraction of the corpus
+    edge_nodes = (
+        verified.selectExpr(f"id_i AS {id_col}")
+        .unionByName(verified.selectExpr(f"id_j AS {id_col}"))
+        .distinct()
     )
-    keep = components.groupBy("component").agg(F.min(id_col).alias(id_col))
-    return survivors.join(keep.select(id_col), on=id_col, how="left_semi")
+    components = connected_components(verified, edge_nodes, id_col)
+    drop = components.filter(F.col("component") != F.col(id_col)).select(
+        id_col
+    )
+    return survivors.join(drop, on=id_col, how="left_anti")
