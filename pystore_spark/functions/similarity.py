@@ -220,7 +220,7 @@ def build_ivf_index(
     Returns the input with an added ``cell`` int column.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("_features", array_to_vector(F.col(vec_col)))
     model = KMeans(

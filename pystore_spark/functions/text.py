@@ -45,7 +45,6 @@ def avg_token_length(col: str | Column) -> Column:
 
 def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
     t = tokens(col)
-    sw = [F.lit(w) for w in STOPWORDS[lang]]
     return F.when(
         F.size(t) > 0,
         F.size(F.filter(t, lambda x: F.lower(x).isin(*[w for w in STOPWORDS[lang]])))

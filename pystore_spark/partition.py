@@ -140,7 +140,6 @@ def plan_partitions(
     if npartitions is not None:
         return PartitionPlan("size", npartitions=max(1, int(npartitions)))
 
-    dtype = dict(df.dtypes).get(index_col)
     is_time = isinstance(
         df.schema[index_col].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
     ) if index_col in df.columns else False
