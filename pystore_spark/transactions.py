@@ -188,10 +188,15 @@ class CollectionLock:
         while True:
             try:
                 os.mkdir(self.lock_dir)
-                with open(self.lock_dir / "owner.json", "w") as fh:
+                # atomic owner-file publication: a reader must never
+                # observe a partially written owner.json (it would look
+                # corrupt and justify breaking a live lock)
+                tmp = self.lock_dir / ".owner.tmp"
+                with open(tmp, "w") as fh:
                     json.dump(
                         {"owner": self.owner, "acquired": time.time()}, fh
                     )
+                os.replace(tmp, self.lock_dir / "owner.json")
                 self.held = True
                 return True
             except FileExistsError:
@@ -209,10 +214,17 @@ class CollectionLock:
                 info = json.load(fh)
             if time.time() - float(info.get("acquired", 0)) > self.stale_after:
                 utils.rm_tree(self.lock_dir)
+            return
+        except (OSError, ValueError, KeyError, TypeError):
+            pass
+        # owner.json missing/unreadable: the holder may be mid-acquire —
+        # break ONLY if the lock directory itself has been around longer
+        # than the stale window (a crashed holder never published it)
+        try:
+            if time.time() - os.stat(self.lock_dir).st_mtime > self.stale_after:
+                utils.rm_tree(self.lock_dir)
         except OSError:
             pass
-        except (ValueError, KeyError):
-            utils.rm_tree(self.lock_dir)
 
     def release(self) -> None:
         if self.held:

@@ -176,3 +176,14 @@ def test_write_batch_and_read_batch(test_collection):
     assert out["b1"]["value"].iloc[0] == 1.0
     missing = test_collection.read_batch(["b0", "nope"])
     assert missing["nope"] is None
+
+
+def test_append_epochdate_item(test_collection):
+    a = _ts_frame("2024-01-01", 5)
+    test_collection.write("ep", a, epochdate=True)
+    b = _ts_frame("2024-01-04", 5, 100.0)  # 2-day overlap
+    test_collection.append("ep", b, epochdate=True)
+    out = test_collection.item("ep").to_pandas()
+    assert len(out) == 8
+    assert isinstance(out.index, pd.DatetimeIndex)
+    assert out.loc[pd.Timestamp("2024-01-04"), "value"] == 100.0

@@ -60,3 +60,33 @@ def test_collection_lock(test_collection):
     # released: can acquire again
     with CollectionLock(test_collection, timeout=2.0):
         pass
+
+
+def test_concurrent_appends_serialized_by_lock(test_collection):
+    import threading
+
+    test_collection.write("shared", _frame("2024-01-01", 5))
+
+    errors = []
+
+    def appender(start, v):
+        try:
+            with CollectionLock(
+                test_collection, name="shared", timeout=180.0
+            ):
+                test_collection.append("shared", _frame(start, 5, v))
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=("2024-02-01", 100.0)),
+        threading.Thread(target=appender, args=("2024-03-01", 200.0)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    out = test_collection.item("shared").to_pandas()
+    assert len(out) == 15  # both appends landed, none lost
+    assert out.index.is_monotonic_increasing
