@@ -411,19 +411,41 @@ class Collection:
 
         token = uuid.uuid4().hex[:8]
         tmp = self.path / f".__tmp_{item}_{token}"
+        staged: list[tuple[Path, Path]] = []  # (target, backup) parked aside
+        installed: list[Path] = []  # merged bucket dirs moved in
         try:
             self._write_df(shaped, str(tmp), plan)
-            # swap only the touched bucket directories
-            for bdir in sorted(Path(tmp).glob(f"{PARTITION_COL}=*")):
+            new_buckets = sorted(Path(tmp).glob(f"{PARTITION_COL}=*"))
+            # two-phase swap (mirrors _atomic_write's backup/restore):
+            # phase 1 — park every touched live bucket in a backup dir;
+            # phase 2 — move all merged buckets in.  On ANY failure the
+            # except block removes partially-installed buckets and
+            # restores every backup, so the item never loses a bucket
+            # and is never left half-swapped.
+            for bdir in new_buckets:
                 target = item_path / bdir.name
-                bkp = item_path / f".__old_{bdir.name}_{token}"
                 if target.exists():
+                    bkp = item_path / f".__old_{bdir.name}_{token}"
                     target.rename(bkp)
+                    staged.append((target, bkp))
+            for bdir in new_buckets:
+                target = item_path / bdir.name
                 bdir.rename(target)
-                utils.rm_tree(bkp)
+                installed.append(target)
             utils.write_metadata(item_path, sidecar)
-        finally:
+        except Exception as exc:
+            for target in installed:
+                utils.rm_tree(target)
+            for target, bkp in staged:
+                if bkp.exists() and not target.exists():
+                    bkp.rename(target)
             utils.rm_tree(tmp)
+            raise StorageError(
+                f"partition-scoped append to {item!r} failed: {exc}"
+            ) from exc
+        for _, bkp in staged:
+            utils.rm_tree(bkp)
+        utils.rm_tree(tmp)
 
     # ------------------------------------------------------------------
     # chunked / streaming append (reference: pystore/collection.py:677-751)
@@ -555,18 +577,70 @@ class Collection:
         columns: Sequence[str] | None = None,
         filters: Sequence | None = None,
     ):
-        """Yield pandas chunks of ~``chunk_size`` rows without
-        materializing the item on the driver (partition-wise Arrow
-        batches via ``toLocalIterator``)."""
+        """Yield pandas chunks of ``chunk_size`` rows (last one partial)
+        without materializing the item on the driver and without a
+        Spark job: the item's parquet is streamed through
+        ``pyarrow.dataset`` with DNF filter pushdown, hive ``_pb``
+        partition pruning, and zero-copy Arrow slicing.  Replaces the
+        former per-row ``toLocalIterator``/``asDict`` loop (a Python
+        bottleneck for a bulk-read API)."""
+        import pyarrow as pa
+        import pyarrow.dataset as pa_ds
+        import pyarrow.parquet as pa_pq
+
+        from pystore_spark.item import _prune_tuples
+
         it = self.item(item, filters=filters, columns=columns)
+        want_cols = it.data.columns  # projection incl. index cols, sans _pb
+
+        flt = filters
+        if it._plan is not None and it._plan.kind == "time":
+            flt = _prune_tuples(filters, it._plan.freq, it._index_cols)
+
+        def _norm(t):
+            col, op, v = t
+            op = {"=": "==", "not-in": "not in"}.get(op, op)
+            return (col, op, v)
+
+        expr = None
+        if flt:
+            flist = list(flt)
+            if all(isinstance(f, tuple) and len(f) == 3 for f in flist):
+                dnf = [_norm(f) for f in flist]
+            else:
+                dnf = [[_norm(f) for f in g] for g in flist]
+            expr = pa_pq.filters_to_expression(dnf)
+
+        # _pb=... hive dirs start with '_', which the default
+        # ignore_prefixes would skip — list the ignores explicitly.
+        dataset = pa_ds.dataset(
+            it.path,
+            format="parquet",
+            partitioning=pa_ds.partitioning(
+                pa.schema([(PARTITION_COL, pa.string())]), flavor="hive"
+            ),
+            ignore_prefixes=[
+                ".", "_pystore_metadata", "_SUCCESS", "_committed", "_started",
+            ],
+        )
+        scanner = dataset.scanner(
+            columns=want_cols, filter=expr, batch_size=max(int(chunk_size), 1)
+        )
         buf: list[Any] = []
-        for row in it.data.toLocalIterator(prefetchPartitions=True):
-            buf.append(row.asDict())
-            if len(buf) >= chunk_size:
-                yield pd.DataFrame(buf)
-                buf = []
-        if buf:
-            yield pd.DataFrame(buf)
+        buffered = 0
+        for batch in scanner.to_batches():
+            if batch.num_rows == 0:
+                continue
+            buf.append(batch)
+            buffered += batch.num_rows
+            while buffered >= chunk_size:
+                tbl = pa.Table.from_batches(buf)
+                yield tbl.slice(0, chunk_size).to_pandas()
+                rest = tbl.slice(chunk_size)
+                buf = rest.to_batches()
+                buffered = rest.num_rows
+        if buffered:
+            yield pa.Table.from_batches(buf).to_pandas()
 
     def item_size_bytes(self, item: str) -> int:
         """On-disk size of the item's parquet parts (reference

@@ -271,9 +271,10 @@ def keep_first_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT
       count(*) AS n_rows,
-      SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-      SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS below_zero,
-      SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS above_50,
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_value,
+      CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS below_zero,
+      CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS above_50,
       count(user_id) - count(DISTINCT user_id) AS dup_user,
       count(DISTINCT event_type) AS n_event_types
     FROM events
@@ -298,19 +299,88 @@ def validation_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lagged AS (
       SELECT ts, lag(ts) OVER (ORDER BY event_id) AS prev_ts FROM events
     )
-    SELECT SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS inversions
+    SELECT CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+      AS inversions
     FROM lagged
     """,
     tags=("window", "A7"),
 )
 def monotonic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
+    """Count inversions of ``ts`` in ``event_id`` order without a
+    single-partition global window.
+
+    Scale plan: range-partition on the order key so each task owns a
+    contiguous, disjoint ``event_id`` range; sort locally; count
+    intra-partition inversions in ONE streaming pass per partition
+    (Arrow-batched, constant memory); then compare the per-partition
+    boundary rows — a frame with one row per partition — with a tiny
+    window.  Total cost: one range shuffle + a linear scan; no stage
+    ever funnels the table through one task.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import kept local
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    parts = ev.repartitionByRange(n_parts, "event_id").sortWithinPartitions(
+        "event_id"
+    )
+    ts_type = parts.schema["ts"].dataType.simpleString()
+
+    def _per_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        first_ts = None
+        prev_ts = None
+        intra = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ts = pdf["ts"]
+            if first_ts is None:
+                first_ts = ts.iloc[0]
+            # batch-boundary pair inside this partition
+            if prev_ts is not None and pd.notna(prev_ts) and pd.notna(
+                ts.iloc[0]
+            ):
+                intra += int(ts.iloc[0] < prev_ts)
+            # vectorized consecutive-pair comparison within the batch;
+            # NaT comparisons are False, matching SQL NULL semantics
+            v = ts.to_numpy()
+            if len(v) > 1:
+                intra += int((v[1:] < v[:-1]).sum())
+            prev_ts = ts.iloc[-1]
+        if first_ts is not None:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "first_ts": [first_ts],
+                    "last_ts": [prev_ts],
+                    "intra": [intra],
+                }
+            )
+
+    per = parts.mapInPandas(
+        _per_partition,
+        schema=f"pid int, first_ts {ts_type}, last_ts {ts_type}, intra long",
+    )
+    # `per` has <= one row per partition — ordering it globally is cheap
+    # at any scale (100k partitions -> 100k tiny rows).
+    wb = Window.orderBy("pid")
     return (
-        ev.select("ts", F.lag("ts").over(w).alias("prev_ts"))
+        per.select(
+            "intra",
+            "first_ts",
+            F.lag("last_ts").over(wb).alias("prev_last"),
+        )
         .agg(
-            F.sum(
-                F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+            (
+                F.sum("intra")
+                + F.sum(
+                    F.when(F.col("first_ts") < F.col("prev_last"), 1).otherwise(
+                        0
+                    )
+                )
             ).alias("inversions")
         )
     )
@@ -320,11 +390,12 @@ def monotonic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "invariant_violations",
     sql="""
     SELECT
-      SUM(CASE WHEN l_extendedprice < l_quantity THEN 1 ELSE 0 END)
-        AS price_below_qty,
-      SUM(CASE WHEN l_tax > l_discount THEN 1 ELSE 0 END) AS tax_gt_discount,
-      SUM(CASE WHEN l_quantity < 0 OR l_extendedprice < 0 THEN 1 ELSE 0 END)
-        AS negatives
+      CAST(SUM(CASE WHEN l_extendedprice < l_quantity THEN 1 ELSE 0 END)
+        AS BIGINT) AS price_below_qty,
+      CAST(SUM(CASE WHEN l_tax > l_discount THEN 1 ELSE 0 END) AS BIGINT)
+        AS tax_gt_discount,
+      CAST(SUM(CASE WHEN l_quantity < 0 OR l_extendedprice < 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS negatives
     FROM lineitem
     """,
     tags=("agg", "A9", "P6"),

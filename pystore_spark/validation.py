@@ -197,28 +197,78 @@ class ExpressionRule(ValidationRule):
         return f"{self.error_message} ({v} rows)" if v else None
 
 
+def count_order_inversions(df: DataFrame, column: str) -> int:
+    """Inversions of ``column`` w.r.t. the frame's physical row order,
+    computed scale-safe: one Arrow-batched pass per partition (constant
+    memory, no shuffle at all), then a boundary comparison over the
+    tiny one-row-per-partition result.  Replaces the former global
+    ``Window.orderBy`` formulation, which funnelled the whole table
+    through a single task.
+    """
+    col_type = df.schema[column].dataType.simpleString()
+
+    def _per_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        first = None
+        prev = None
+        intra = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s = pdf[column]
+            if first is None:
+                first = s.iloc[0]
+            if (
+                prev is not None
+                and pd.notna(prev)
+                and pd.notna(s.iloc[0])
+            ):
+                intra += int(s.iloc[0] < prev)
+            v = s.to_numpy()
+            if len(v) > 1:
+                intra += int((v[1:] < v[:-1]).sum())
+            prev = s.iloc[-1]
+        if first is not None:
+            yield pd.DataFrame(
+                {"pid": [pid], "first": [first], "last": [prev],
+                 "intra": [intra]}
+            )
+
+    per = df.select(column).mapInPandas(
+        _per_partition,
+        schema=f"pid int, first {col_type}, last {col_type}, intra long",
+    ).collect()
+    per.sort(key=lambda r: r["pid"])
+    total = sum(r["intra"] for r in per)
+    for a, b in zip(per, per[1:]):
+        if a["last"] is not None and b["first"] is not None:
+            total += int(b["first"] < a["last"])
+    return total
+
+
 class MonotonicIndexRule(ValidationRule):
-    """Sorted-index check via a lag window (reference:
-    pystore/validation.py:317-325)."""
+    """Sorted-index check in physical storage order (reference:
+    pystore/validation.py:317-325).  Runs as its own linear job via
+    :func:`count_order_inversions` — a sortedness check is inherently
+    order-sensitive, so it can't fold into the shared commutative
+    aggregate without a single-task global window."""
 
     def __init__(self, column: str = "index", name: str = "sorted_index"):
         super().__init__(name)
         self.column = column
 
-    def agg_exprs(self, df):
-        from pyspark.sql import Window
-
+    def run_spark(self, df: DataFrame) -> str | None:
         if self.column not in df.columns:
-            return {}
-        w = Window.orderBy(F.col(self.column))
-        lagged = F.lag(F.col(self.column)).over(w)
-        # nested agg over window isn't allowed directly; mark rows then sum
-        marked = F.when(F.col(self.column) < lagged, 1).otherwise(0)
-        return {f"{self.name}__oo": F.sum(marked)}
-
-    def verdict(self, row):
-        v = row.get(f"{self.name}__oo") or 0
-        return f"index column {self.column!r} is not sorted ({v} inversions)" if v else None
+            return None
+        v = count_order_inversions(df, self.column)
+        if v:
+            return (
+                f"index column {self.column!r} is not sorted "
+                f"({v} inversions)"
+            )
+        return None
 
 
 class CustomRule(ValidationRule):
@@ -300,6 +350,12 @@ class DataValidator:
                 )
                 for r in self.rules:
                     err = r.verdict(row)
+                    if err:
+                        errors.append(f"{r.name}: {err}")
+            for r in self.rules:
+                run_spark = getattr(r, "run_spark", None)
+                if run_spark is not None:
+                    err = run_spark(data)
                     if err:
                         errors.append(f"{r.name}: {err}")
             for r in self.rules:

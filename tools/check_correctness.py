@@ -33,6 +33,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype family. The driver's value hash is dtype-sensitive
+    (e.g. DuckDB HUGEINT -> float64 vs Spark BIGINT hashed differently
+    even when values match), so the local gate must fail on family
+    mismatches instead of normalizing them away."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -41,6 +57,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sc != dc:
         problems.append(f"columns spark={sc} duck={dc}")
         return problems
+    for c in sc:
+        scls, dcls = dtype_class(spark_pdf[c]), dtype_class(duck_pdf[c])
+        if scls != dcls:
+            problems.append(
+                f"dtype class col {c!r}: spark={spark_pdf[c].dtype}({scls}) "
+                f"duck={duck_pdf[c].dtype}({dcls}) — driver hash would differ"
+            )
     a, b = canon(spark_pdf), canon(duck_pdf)
     if len(a) == len(b):
         for c in a.columns:
