@@ -35,6 +35,7 @@ from pystore_spark.exceptions import (
     TransactionError,
     ValidationError,
 )
+from pystore_spark.logger import get_logger, setup_logging
 from pystore_spark.session import get_spark
 from pystore_spark.store import (
     Store,
@@ -65,6 +66,8 @@ __all__ = [
     "get_path",
     "set_path",
     "get_spark",
+    "get_logger",
+    "setup_logging",
     "read_csv",
     "PyStoreError",
     "DataIntegrityError",

@@ -161,6 +161,18 @@ class Collection:
                 raise ValidationError(
                     f"index_col {index_col!r} not in columns {data.columns}"
                 )
+            if index_col is None:
+                # honor a read_csv(index_col=...) designation carried in
+                # column metadata (sources.INDEX_META_KEY)
+                from pystore_spark.sources import INDEX_META_KEY
+
+                tagged = [
+                    f.name
+                    for f in data.schema.fields
+                    if f.metadata.get(INDEX_META_KEY)
+                ]
+                if tagged:
+                    index_col = tagged[0]
             meta: dict = {
                 "index": {
                     "columns": [
@@ -315,6 +327,26 @@ class Collection:
                 f"duplicate_handling must be one of {STRATEGIES}, "
                 f"got {duplicate_handling!r}"
             )
+        if threaded:
+            # fire-and-forget like write_threaded (reference
+            # pystore/collection.py:214-222); join via wait_for_tasks()
+            t = threading.Thread(
+                target=self.append,
+                args=(item, data),
+                kwargs={
+                    "npartitions": npartitions,
+                    "epochdate": epochdate,
+                    "duplicate_handling": duplicate_handling,
+                    "validate_schema": validate_schema,
+                    "threaded": False,
+                    "reload_items": reload_items,
+                    **kwargs,
+                },
+                daemon=True,
+            )
+            t.start()
+            self._threads.append(t)
+            return
         if not self.item_exists(item):
             # spec: ItemNotFoundError, not ValueError
             # (tests/test_append.py:34-37; divergence SURVEY §8.2)
@@ -361,16 +393,18 @@ class Collection:
                     f"missing columns {missing}, unexpected columns {extra}"
                 )
 
+        order_col = kwargs.get("order_col")
         if plan.kind == "time" and PARTITION_COL in existing.columns and not (
             evo and evo.get("enabled")
         ):
             self._append_partition_scoped(
                 item, existing, incoming, idx_cols, plan, duplicate_handling,
-                sidecar,
+                sidecar, order_col=order_col,
             )
         else:
             existing = existing.drop(PARTITION_COL) if PARTITION_COL in existing.columns else existing
-            merged = merge_append(existing, incoming, idx_cols, duplicate_handling)
+            merged = merge_append(existing, incoming, idx_cols,
+                                  duplicate_handling, order_col=order_col)
             new_plan = plan_partitions(
                 merged, index_col=idx_cols[0], npartitions=npartitions
             ) if plan.kind != "time" else plan
@@ -388,6 +422,7 @@ class Collection:
         plan: PartitionPlan,
         duplicate_handling: str,
         sidecar: dict,
+        order_col: str | None = None,
     ) -> None:
         """Merge only the time-buckets touched by incoming keys, then
         swap those partition directories — the scalable append path."""
@@ -405,7 +440,8 @@ class Collection:
             PARTITION_COL
         )
         merged = merge_append(
-            subset, inc.drop(PARTITION_COL), idx_cols, duplicate_handling
+            subset, inc.drop(PARTITION_COL), idx_cols, duplicate_handling,
+            order_col=order_col,
         )
         shaped = apply_layout(merged, plan, index_col=idx_cols[0])
 
@@ -653,33 +689,66 @@ class Collection:
     # ------------------------------------------------------------------
     # dtype optimizer (reference: pystore/memory.py:156-232)
     # ------------------------------------------------------------------
-    def optimize_item_dtypes(self, item: str) -> dict[str, str]:
-        """Downcast numeric columns based on observed min/max (one agg
-        job), then rewrite the item. Returns {column: new_type}.
+    def optimize_item_dtypes(
+        self,
+        item: str,
+        deep: bool = True,
+        max_categories: int = 1000,
+        category_ratio: float = 0.5,
+    ) -> dict[str, str]:
+        """Downcast columns based on observed stats (ONE agg job), then
+        rewrite the item. Returns {column: new_type}.
 
+        Mirrors the reference memory optimizer
+        (pystore/memory.py:156-232): integer narrowing, bounds-checked
+        float64→float32, and (``deep``) low-cardinality string→category
+        — the latter recorded as a ``categorical`` conversion in the
+        pandas sidecar so ``to_pandas`` restores ``pd.Categorical``.
         Largely unnecessary under Parquet+Tungsten encodings (the
         reference's 70-90%% memory win targets pandas) but kept for
         parity; key columns are never downcast.
         """
+        import math
+
         it = self.item(item)
         df = it.data
         idx_cols = set(index_columns(it._pandas_meta))
         from pyspark.sql import types as T
 
-        candidates = [
+        int_cols = [
             f.name
             for f in df.schema.fields
             if f.name not in idx_cols
             and isinstance(f.dataType, (T.LongType, T.IntegerType))
         ]
-        if not candidates:
+        flt_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in idx_cols and isinstance(f.dataType, T.DoubleType)
+        ]
+        already_converted = set(
+            (it._pandas_meta.get("conversions") or {}).keys()
+        )
+        str_cols = [
+            f.name
+            for f in df.schema.fields
+            if deep
+            and f.name not in idx_cols
+            and f.name not in already_converted
+            and isinstance(f.dataType, T.StringType)
+        ]
+        if not (int_cols or flt_cols or str_cols):
             return {}
-        aggs = []
-        for c in candidates:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in int_cols + flt_cols:
             aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+        for c in str_cols:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__nd"))
         row = df.agg(*aggs).first().asDict()
+        n_rows = row["__n"] or 0
+
         casts: dict[str, str] = {}
-        for c in candidates:
+        for c in int_cols:
             lo, hi = row[f"{c}__min"], row[f"{c}__max"]
             if lo is None or hi is None:
                 continue
@@ -691,8 +760,31 @@ class Collection:
                 df.schema[c].dataType, T.IntegerType
             ):
                 casts[c] = "int"
-        if not casts:
+        f32_max = 3.4028234663852886e38
+        for c in flt_cols:
+            lo, hi = row[f"{c}__min"], row[f"{c}__max"]
+            if lo is None or hi is None:
+                continue
+            # NaN/inf bounds fail these comparisons -> conservatively skip
+            if (
+                math.isfinite(lo)
+                and math.isfinite(hi)
+                and -f32_max < lo
+                and hi < f32_max
+            ):
+                casts[c] = "float"
+        # low-cardinality strings: storage stays string (parquet
+        # dictionary-encodes it); the win is the pandas read-back side
+        cat_cols = [
+            c
+            for c in str_cols
+            if n_rows > 0
+            and (row[f"{c}__nd"] or n_rows) <= max_categories
+            and (row[f"{c}__nd"] or n_rows) / n_rows < category_ratio
+        ]
+        if not casts and not cat_cols:
             return {}
+
         out = df.select(
             *[
                 F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
@@ -701,11 +793,29 @@ class Collection:
         )
         plan = it._plan or PartitionPlan("size", npartitions=1)
         sidecar = dict(it.metadata)
-        sidecar["_dtype_optimized"] = casts
+        reported = dict(casts)
+        if cat_cols:
+            pmeta = dict(sidecar.get(META_KEY) or {})
+            conv = dict(pmeta.get("conversions") or {})
+            for c in cat_cols:
+                cats = sorted(
+                    r[0]
+                    for r in out.select(c).distinct().collect()
+                    if r[0] is not None
+                )
+                conv[c] = {
+                    "kind": "categorical",
+                    "categories": cats,
+                    "ordered": False,
+                }
+                reported[c] = "category"
+            pmeta["conversions"] = conv
+            sidecar[META_KEY] = pmeta
+        sidecar["_dtype_optimized"] = reported
         shaped = apply_layout(out, plan, index_col=it.index_column)
         self._atomic_write(item, shaped, plan, sidecar)
         self.clear_metadata_cache(item)
-        return casts
+        return reported
 
     # ------------------------------------------------------------------
     # snapshots (reference: pystore/collection.py:529-566;

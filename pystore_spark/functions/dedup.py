@@ -58,6 +58,13 @@ def minhash_signature(
     string mins. Bit-identical in the SQL oracle via
     ``CAST('0x'||substr(md5(s),...) AS BIGINT)``.
     """
+    # h1 + i*h2 with h2 < 2^56 stays inside int64 only for i <= 127;
+    # beyond that the arithmetic silently wraps and corrupts signatures
+    if not 1 <= num_hashes <= 128:
+        raise ValueError(
+            f"num_hashes must be in [1, 128] (int64 headroom for "
+            f"h1 + i*h2 double hashing), got {num_hashes}"
+        )
     halves = F.transform(
         shingle_col,
         lambda s: F.struct(
@@ -129,6 +136,11 @@ def lsh_candidate_pairs(
     quadratic term is within-bucket, which banding keeps small;
     skewed buckets are handled by AQE skew-join splitting.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sigs.select(

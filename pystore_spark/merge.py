@@ -12,10 +12,16 @@ and pystore/collection.py:391-436,516-520,586-617):
 Spark formulation: anti/semi joins + a ``row_number`` window with a
 deterministic tiebreaker. Spark's ``dropDuplicates`` keeps an
 *arbitrary* row, so keep-first/keep-last need an explicit ordering
-column: ``_src`` (0=existing, 1=incoming) and ``_ord``
-(``monotonically_increasing_id`` over the incoming frame — order-
-preserving for driver-originated input since partition ids are
-sequential).
+column: ``_src`` (0=existing, 1=incoming) and ``_ord``.
+
+Which duplicate within the *incoming* frame wins is decided by
+``order_col`` when the caller supplies one (the deterministic choice
+for frames read from Parquet or produced by a shuffle, where physical
+row order is arbitrary).  Without it, ``_ord`` falls back to
+``monotonically_increasing_id``, which reflects input row order ONLY
+for driver-originated (pandas/createDataFrame) input whose partition
+ids are sequential — matching the reference's pandas keep=first/last
+semantics at the ingest boundary.
 
 Scale note: the window shuffles on the key. ``Collection.append``
 restricts the merge to the time-partitions that actually contain
@@ -40,16 +46,30 @@ def _union(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     return existing.unionByName(incoming, allowMissingColumns=True)
 
 
-def dedup_within(df: DataFrame, keys: list[str], keep: str = "last") -> DataFrame:
+def dedup_within(
+    df: DataFrame,
+    keys: list[str],
+    keep: str = "last",
+    order_col: str | None = None,
+) -> DataFrame:
     """Deduplicate a single frame on ``keys`` keeping first/last by
-    input order (reference: pystore/dataframe.py:189-198)."""
-    ordered = df.withColumn(ORD_COL, F.monotonically_increasing_id())
-    order = F.col(ORD_COL).desc() if keep == "last" else F.col(ORD_COL).asc()
+    ``order_col`` — or by input order when none is given (reference:
+    pystore/dataframe.py:189-198; see module docstring for the
+    driver-originated-input restriction)."""
+    if order_col is not None:
+        ordered = df
+        ord_expr = F.col(order_col)
+        drop_cols = ["_rn"]
+    else:
+        ordered = df.withColumn(ORD_COL, F.monotonically_increasing_id())
+        ord_expr = F.col(ORD_COL)
+        drop_cols = ["_rn", ORD_COL]
+    order = ord_expr.desc() if keep == "last" else ord_expr.asc()
     w = Window.partitionBy(*keys).orderBy(order)
     return (
         ordered.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", ORD_COL)
+        .drop(*drop_cols)
     )
 
 
@@ -58,6 +78,7 @@ def merge_append(
     incoming: DataFrame,
     keys: list[str],
     strategy: str = "keep_last",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Merge ``incoming`` into ``existing`` under a duplicate-handling
     strategy. Returns the merged DataFrame (not yet written)."""
@@ -84,20 +105,27 @@ def merge_append(
         # existing wins: drop incoming rows whose key already exists
         # (left-anti join — reference pystore/collection.py:391-407),
         # and keep only the first occurrence within the incoming frame.
-        fresh = dedup_within(incoming, keys, keep="first").join(
-            existing.select(keys), on=keys, how="left_anti"
-        )
+        fresh = dedup_within(
+            incoming, keys, keep="first", order_col=order_col
+        ).join(existing.select(keys), on=keys, how="left_anti")
         return _union(existing, fresh)
 
-    # keep_last: newest wins across existing ∪ incoming.
-    ex = existing.withColumn(SRC_COL, F.lit(0)).withColumn(ORD_COL, F.lit(0))
+    # keep_last: newest wins across existing ∪ incoming.  _src ranks
+    # incoming over existing; order_col (if any) then ranks within the
+    # incoming frame deterministically; _ord is the final input-order
+    # fallback.
+    ex = existing.withColumn(SRC_COL, F.lit(0)).withColumn(
+        ORD_COL, F.lit(0).cast("bigint")
+    )
     inc = incoming.withColumn(SRC_COL, F.lit(1)).withColumn(
         ORD_COL, F.monotonically_increasing_id()
     )
     unioned = ex.unionByName(inc, allowMissingColumns=True)
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(SRC_COL).desc(), F.col(ORD_COL).desc()
-    )
+    order_exprs = [F.col(SRC_COL).desc()]
+    if order_col is not None:
+        order_exprs.append(F.col(order_col).desc())
+    order_exprs.append(F.col(ORD_COL).desc())
+    w = Window.partitionBy(*keys).orderBy(*order_exprs)
     return (
         unioned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

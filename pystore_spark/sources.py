@@ -27,6 +27,13 @@ TABLES = (
 _NS_TS_COLS = {"events": ["ts"]}
 
 
+# Column-metadata key marking the designated index of a Spark frame;
+# Collection._prepare_input reads it so a read_csv(...)-sourced write
+# is index-keyed without the caller restating index_col (the reference
+# sets the dask index directly: pystore/utils.py:36-62).
+INDEX_META_KEY = "pystore_spark.index"
+
+
 def read_csv(
     spark: SparkSession,
     urlpath: str,
@@ -42,8 +49,10 @@ def read_csv(
         .options(**options)
         .csv(urlpath)
     )
-    if index_col is not None and index_name and index_col != index_name:
-        df = df.withColumnRenamed(index_col, index_name)
+    if index_col is not None:
+        if index_name and index_col != index_name:
+            df = df.withColumnRenamed(index_col, index_name)
+        df = df.withMetadata(index_name or index_col, {INDEX_META_KEY: True})
     return df
 
 

@@ -208,12 +208,46 @@ class CollectionLock:
                     )
                 time.sleep(self.retry_interval)
 
+    def _claim_break(self) -> None:
+        """Atomically claim the right to break the lock: rename the
+        lock dir to a unique tombstone first (only ONE of many waiters
+        can win the rename), re-validate staleness on the tombstone's
+        own owner.json, then delete it — or rename it back if the lock
+        turned out to be a fresh re-acquisition.  Deleting in-place
+        instead (read-then-rm_tree) is a TOCTOU: two waiters can both
+        judge the same owner.json stale, waiter A breaks and
+        re-acquires, then waiter B's delete destroys A's fresh lock."""
+        tombstone = self.lock_dir.with_name(
+            f"{self.lock_dir.name}.break_{uuid.uuid4().hex}"
+        )
+        try:
+            os.rename(self.lock_dir, tombstone)
+        except OSError:
+            return  # someone else broke or released it — just retry
+        fresh = False
+        try:
+            with open(tombstone / "owner.json") as fh:
+                info = json.load(fh)
+            fresh = (
+                time.time() - float(info.get("acquired", 0))
+                <= self.stale_after
+            )
+        except (OSError, ValueError, KeyError, TypeError):
+            pass
+        if fresh:
+            try:
+                os.rename(tombstone, self.lock_dir)
+                return
+            except OSError:
+                pass  # a new holder raced in; fall through and clean up
+        utils.rm_tree(tombstone)
+
     def _break_if_stale(self) -> None:
         try:
             with open(self.lock_dir / "owner.json") as fh:
                 info = json.load(fh)
             if time.time() - float(info.get("acquired", 0)) > self.stale_after:
-                utils.rm_tree(self.lock_dir)
+                self._claim_break()
             return
         except (OSError, ValueError, KeyError, TypeError):
             pass
@@ -222,14 +256,23 @@ class CollectionLock:
         # than the stale window (a crashed holder never published it)
         try:
             if time.time() - os.stat(self.lock_dir).st_mtime > self.stale_after:
-                utils.rm_tree(self.lock_dir)
+                self._claim_break()
         except OSError:
             pass
 
     def release(self) -> None:
-        if self.held:
-            utils.rm_tree(self.lock_dir)
-            self.held = False
+        if not self.held:
+            return
+        self.held = False
+        # only delete a lock we still own — if our lease was broken as
+        # stale and re-acquired by someone else, leave theirs alone
+        try:
+            with open(self.lock_dir / "owner.json") as fh:
+                if json.load(fh).get("owner") != self.owner:
+                    return
+        except (OSError, ValueError, KeyError, TypeError):
+            return
+        utils.rm_tree(self.lock_dir)
 
     def __enter__(self) -> "CollectionLock":
         self.acquire()

@@ -1,0 +1,311 @@
+"""Round-2 hardening tests: crash-safe partition append, lock-break
+claiming, dtype optimizer completeness, CSV index designation,
+merge order_col, and minhash parameter validation."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# fault injection: partition-scoped append must roll back on failure
+# ---------------------------------------------------------------------------
+def _time_item(col, monkeypatch, n=40):
+    import pystore_spark.partition as partition
+
+    monkeypatch.setattr(partition, "TIME_PARTITION_MIN_ROWS", 5)
+    idx = pd.date_range("2024-01-01", periods=n, freq="D")
+    df = pd.DataFrame({"value": np.arange(n, dtype=float)}, index=idx)
+    col.write("faulty", df)
+    return df
+
+
+def test_partition_append_rolls_back_on_swap_failure(
+    test_collection, monkeypatch
+):
+    import pystore_spark.utils as utils
+
+    before = _time_item(test_collection, monkeypatch)
+    it = test_collection.item("faulty")
+    assert it._plan is not None and it._plan.kind == "time"
+
+    # fail AFTER the swap began: write_metadata is called once every
+    # bucket rename has happened, so a raise there exercises rollback
+    # of both the parked backups and the installed buckets
+    def boom(path, metadata=None):
+        raise OSError("injected metadata failure")
+
+    monkeypatch.setattr(utils, "write_metadata", boom)
+    incoming = pd.DataFrame(
+        {"value": [999.0, 998.0]},
+        index=pd.date_range("2024-01-10", periods=2, freq="D"),
+    )
+    from pystore_spark.exceptions import StorageError
+
+    with pytest.raises(StorageError):
+        test_collection.append("faulty", incoming)
+    monkeypatch.undo()
+
+    # item is fully readable with pre-append content
+    test_collection.clear_metadata_cache("faulty")
+    after = test_collection.item("faulty").to_pandas()
+    assert len(after) == len(before)
+    assert float(after["value"].sum()) == pytest.approx(
+        float(before["value"].sum())
+    )
+    # no stray backup/tmp dirs left behind
+    item_dir = Path(test_collection.path) / "faulty"
+    leftovers = [p.name for p in item_dir.glob(".__old_*")]
+    assert leftovers == []
+
+
+def test_partition_append_rolls_back_on_rename_failure(
+    test_collection, monkeypatch
+):
+    before = _time_item(test_collection, monkeypatch)
+    calls = {"n": 0}
+    real_rename = Path.rename
+
+    def flaky_rename(self, target):
+        # the swap loop renames: park (maybe) then install, per bucket.
+        # Fail on the third rename — mid-swap, after some buckets moved.
+        if "_pb=" in str(target) or "__old__pb=" in str(target):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise OSError("injected rename failure")
+        return real_rename(self, target)
+
+    monkeypatch.setattr(Path, "rename", flaky_rename)
+    # touch TWO monthly buckets so the swap does 4 renames
+    # (park Jan, park Feb, install Jan, install Feb) and the injected
+    # failure on the 3rd lands mid-install
+    incoming = pd.DataFrame(
+        {"value": [999.0, 998.0]},
+        index=pd.to_datetime(["2024-01-05", "2024-02-05"]),
+    )
+    from pystore_spark.exceptions import StorageError
+
+    with pytest.raises(StorageError):
+        test_collection.append("faulty", incoming)
+    monkeypatch.undo()
+    assert calls["n"] >= 3  # the injected failure actually fired
+
+    test_collection.clear_metadata_cache("faulty")
+    after = test_collection.item("faulty").to_pandas()
+    assert len(after) == len(before)
+    assert float(after["value"].sum()) == pytest.approx(
+        float(before["value"].sum())
+    )
+
+
+# ---------------------------------------------------------------------------
+# CollectionLock: stale break is claimed atomically; release is owned
+# ---------------------------------------------------------------------------
+def test_lock_break_restores_fresh_lock(test_collection):
+    from pystore_spark.transactions import CollectionLock
+
+    holder = CollectionLock(test_collection, name="t", stale_after=300.0)
+    assert holder.acquire()
+    # a waiter that (wrongly) decides to break must notice the lock is
+    # fresh inside the tombstone and restore it
+    waiter = CollectionLock(test_collection, name="t", stale_after=300.0)
+    waiter._claim_break()
+    assert holder.lock_dir.exists()
+    with open(holder.lock_dir / "owner.json") as fh:
+        assert json.load(fh)["owner"] == holder.owner
+    holder.release()
+    assert not holder.lock_dir.exists()
+
+
+def test_lock_release_leaves_foreign_lock_alone(test_collection):
+    from pystore_spark.transactions import CollectionLock
+
+    a = CollectionLock(test_collection, name="u", timeout=2.0,
+                       stale_after=0.05)
+    assert a.acquire()
+    time.sleep(0.1)  # a's lease goes stale
+    b = CollectionLock(test_collection, name="u", timeout=5.0,
+                       stale_after=0.05)
+    assert b.acquire()  # breaks a's stale lease and takes over
+    a.release()  # must NOT delete b's lock
+    assert b.lock_dir.exists()
+    with open(b.lock_dir / "owner.json") as fh:
+        assert json.load(fh)["owner"] == b.owner
+    b.release()
+
+
+# ---------------------------------------------------------------------------
+# F13: float64 -> float32 and low-cardinality string -> category
+# ---------------------------------------------------------------------------
+def test_optimize_dtypes_float_and_category(test_collection):
+    n = 200
+    idx = pd.date_range("2024-01-01", periods=n, freq="h")
+    df = pd.DataFrame(
+        {
+            "small_int": np.arange(n) % 100,          # -> tinyint
+            "flt": np.linspace(0.0, 1.0, n),           # -> float32
+            "big_flt": np.full(n, 1e300),              # stays double
+            "label": ["red", "green", "blue", "red"] * (n // 4),  # category
+            "unique_str": [f"u{i}" for i in range(n)],  # stays string
+        },
+        index=idx,
+    )
+    test_collection.write("opt", df)
+    casts = test_collection.optimize_item_dtypes("opt")
+    assert casts.get("small_int") == "tinyint"
+    assert casts.get("flt") == "float"
+    assert "big_flt" not in casts
+    assert casts.get("label") == "category"
+    assert "unique_str" not in casts
+
+    back = test_collection.item("opt").to_pandas()
+    assert back["flt"].dtype == np.float32
+    assert back["small_int"].dtype == np.int8
+    assert back["big_flt"].dtype == np.float64
+    assert isinstance(back["label"].dtype, pd.CategoricalDtype)
+    assert set(back["label"].cat.categories) == {"red", "green", "blue"}
+    assert list(back["label"].astype(str)) == list(df["label"])
+    assert back["flt"].to_numpy() == pytest.approx(
+        df["flt"].to_numpy(), rel=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV index designation flows into write/append
+# ---------------------------------------------------------------------------
+def test_read_csv_index_designation(test_collection, tmp_path, spark):
+    csv = tmp_path / "in.csv"
+    pd.DataFrame(
+        {
+            "stamp": pd.date_range("2024-01-01", periods=10, freq="D"),
+            "value": np.arange(10, dtype=float),
+        }
+    ).to_csv(csv, index=False)
+
+    from pystore_spark.sources import read_csv
+
+    sdf = read_csv(spark, str(csv), index_col="stamp")
+    test_collection.write("from_csv", sdf)
+
+    it = test_collection.item("from_csv")
+    assert it.index_column == "stamp"
+
+    # append with overlapping designated-index keys dedups on it
+    overlap = pd.DataFrame(
+        {
+            "stamp": pd.date_range("2024-01-08", periods=5, freq="D"),
+            "value": [100.0] * 5,
+        }
+    )
+    test_collection.append(
+        "from_csv", spark.createDataFrame(overlap),
+        duplicate_handling="keep_last",
+    )
+    back = test_collection.item("from_csv").to_pandas()
+    assert len(back) == 12  # 10 original + 2 new days; 3 overlapped
+    assert (back.loc[back.index >= "2024-01-08", "value"] == 100.0).all()
+
+
+def test_read_csv_index_rename_designation(test_collection, tmp_path, spark):
+    csv = tmp_path / "in2.csv"
+    pd.DataFrame({"t": [3, 1, 2], "v": [30.0, 10.0, 20.0]}).to_csv(
+        csv, index=False
+    )
+    from pystore_spark.sources import read_csv
+
+    sdf = read_csv(spark, str(csv), index_col="t", index_name="key")
+    assert "key" in sdf.columns and "t" not in sdf.columns
+    test_collection.write("renamed_csv", sdf)
+    assert test_collection.item("renamed_csv").index_column == "key"
+
+
+# ---------------------------------------------------------------------------
+# merge order_col: deterministic winner for shuffled incoming frames
+# ---------------------------------------------------------------------------
+def test_merge_append_order_col(spark):
+    from pystore_spark.merge import merge_append
+
+    existing = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": [0.0, 0.0], "ver": [0, 0]})
+    )
+    incoming = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1, 3], "v": [5.0, 7.0, 9.0], "ver": [2, 1, 1]}
+        )
+    ).repartition(4)  # physical order now arbitrary
+    out = (
+        merge_append(existing, incoming, ["k"], "keep_last", order_col="ver")
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 2, 3]
+    assert out.loc[out["k"] == 1, "v"].iloc[0] == 5.0  # ver=2 wins
+    assert out.loc[out["k"] == 3, "v"].iloc[0] == 9.0
+
+
+# ---------------------------------------------------------------------------
+# minhash/LSH parameter validation
+# ---------------------------------------------------------------------------
+def test_minhash_num_hashes_validation(spark):
+    from pystore_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match=r"num_hashes"):
+        minhash_signature(F.array(F.lit("x")), num_hashes=129)
+    with pytest.raises(ValueError, match=r"num_hashes"):
+        minhash_signature(F.array(F.lit("x")), num_hashes=0)
+    df = spark.createDataFrame(pd.DataFrame({"id": [1], "text": ["abcd"]}))
+    with pytest.raises(ValueError, match=r"multiple"):
+        lsh_candidate_pairs(df, "text", "id", num_hashes=8, bands=3)
+
+
+# ---------------------------------------------------------------------------
+# read_in_chunks: exact chunking + filter/column pushdown
+# ---------------------------------------------------------------------------
+def test_read_in_chunks_exact_sizes_and_filters(test_collection):
+    n = 250
+    idx = pd.date_range("2024-01-01", periods=n, freq="h")
+    df = pd.DataFrame(
+        {"value": np.arange(n, dtype=float), "tag": ["a", "b"] * (n // 2)},
+        index=idx,
+    )
+    test_collection.write("chunky", df)
+
+    chunks = list(test_collection.read_in_chunks("chunky", chunk_size=100))
+    assert [len(c) for c in chunks] == [100, 100, 50]
+    assert sum(float(c["value"].sum()) for c in chunks) == pytest.approx(
+        float(df["value"].sum())
+    )
+
+    filtered = list(
+        test_collection.read_in_chunks(
+            "chunky", chunk_size=1000, filters=[("tag", "==", "a")]
+        )
+    )
+    total = sum(len(c) for c in filtered)
+    assert total == n // 2
+    assert all((c["tag"] == "a").all() for c in filtered)
+
+
+def test_append_threaded(test_collection):
+    idx = pd.date_range("2024-01-01", periods=20, freq="D")
+    df = pd.DataFrame({"value": np.arange(20, dtype=float)}, index=idx)
+    test_collection.write("thr", df)
+    more = pd.DataFrame(
+        {"value": [1.0] * 5},
+        index=pd.date_range("2024-02-01", periods=5, freq="D"),
+    )
+    test_collection.append("thr", more, threaded=True)
+    test_collection.wait_for_tasks()
+    test_collection.clear_metadata_cache("thr")
+    assert len(test_collection.item("thr").to_pandas()) == 25
