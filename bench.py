@@ -77,6 +77,13 @@ def _storage_bench(spark, sf_dir: str) -> float:
                 " + l_orderkey * 10 + l_linenumber)"
             ),
         ).drop("l_shipdate")
+        # warm the storage codepaths (window/range-exchange/parquet-sink
+        # codegen) on a 1%-slice so the timed cycle measures steady-state
+        # engine throughput, not first-use JIT compilation
+        warm = li.filter(F.col("l_orderkey") % 100 == 0)
+        col.write("warmup", warm)
+        col.append("warmup", warm.limit(1000), duplicate_handling="keep_last")
+        col.item("warmup").data.write.mode("overwrite").format("noop").save()
         t0 = _t.perf_counter()
         col.write("fact", li)
         upd = li.filter(F.col("l_orderkey") % 10 == 0).withColumn(
@@ -91,6 +98,57 @@ def _storage_bench(spark, sf_dir: str) -> float:
         return _t.perf_counter() - t0
     finally:
         config._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _pandas_storage_baseline(sf_dir: str) -> float:
+    """Single-node reference-style baseline for the SAME storage cycle
+    as ``_storage_bench``: parquet write, keep-last upsert, filtered+
+    projected read — in pandas + pyarrow.
+
+    The reference engine (pystore on Dask) is not installed in this
+    environment, and installs are forbidden; pandas IS its
+    per-partition kernel (every Dask op maps over pandas partitions),
+    so this is the closest honest apples-to-apples absolute number for
+    the 2× envelope. Recorded under ``baseline`` in the output JSON,
+    NOT added to the engine total.
+    """
+    import shutil
+    import tempfile
+    import time as _t
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="pystore_bench_ref_")
+    try:
+        li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        li["index"] = pd.to_datetime(li["l_shipdate"]) + pd.to_timedelta(
+            li["l_orderkey"] * 10 + li["l_linenumber"], unit="us"
+        )
+        li = li.drop(columns=["l_shipdate"])
+        path = os.path.join(tmp, "fact.parquet")
+        t0 = _t.perf_counter()
+        li.sort_values("index").to_parquet(
+            path, compression="snappy", index=False
+        )
+        existing = pd.read_parquet(path)
+        upd = existing[existing["l_orderkey"] % 10 == 0].copy()
+        upd["l_quantity"] = upd["l_quantity"] + 1
+        merged = pd.concat([existing, upd]).drop_duplicates(
+            subset=["index"], keep="last"
+        )
+        merged.sort_values("index").to_parquet(
+            path, compression="snappy", index=False
+        )
+        out = pq.read_table(
+            path,
+            columns=["l_quantity", "l_extendedprice"],
+            filters=[("l_returnflag", "==", "R")],
+        )
+        _ = out.num_rows
+        return _t.perf_counter() - t0
+    finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -119,6 +177,11 @@ def main() -> None:
         _storage_bench(spark, sf_dir), 4
     )
 
+    try:
+        baseline_sec = round(_pandas_storage_baseline(sf_dir), 4)
+    except Exception:
+        baseline_sec = None
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -129,6 +192,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "baseline": {
+                    "engine": "pandas_pyarrow_singlenode",
+                    "note": (
+                        "reference pystore's Dask stack not installed; "
+                        "pandas is its per-partition kernel — same "
+                        "write/upsert/filtered-read cycle as "
+                        "storage_write_append_read"
+                    ),
+                    "storage_write_append_read": baseline_sec,
+                },
             }
         )
     )

@@ -88,6 +88,31 @@ def size_based_npartitions(size_bytes: int | None, nrows: int | None = None) -> 
     return max(1, min(n, config.MAX_PARTITIONS))
 
 
+ROWS_PER_PARTITION_FLOOR = 20_000
+
+
+def _default_parallelism(df: DataFrame) -> int:
+    try:
+        return max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    except Exception:
+        return 1
+
+
+def _floor_to_parallelism(n: int, nrows: int | None, parallelism: int) -> int:
+    """Raise the partition count so non-tiny writes use the cluster.
+
+    A pure bytes/128MB target picks 1 partition for anything under
+    128 MB, which serializes the sort+encode+write of a multi-100k-row
+    item into ONE task while the other executors idle. Floor at one
+    partition per ~20k rows, capped by the cluster's parallelism (tiny
+    frames keep 1 partition — no small-file explosion).
+    """
+    if nrows is None:
+        return n
+    floor = min(parallelism, math.ceil(max(nrows, 1) / ROWS_PER_PARTITION_FLOOR))
+    return max(n, floor, 1)
+
+
 def estimate_size_bytes(df: DataFrame) -> int | None:
     """Best-effort logical-plan size estimate (Catalyst stats)."""
     try:
@@ -144,24 +169,38 @@ def plan_partitions(
         df.schema[index_col].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
     ) if index_col in df.columns else False
 
+    parallelism = _default_parallelism(df)
+
     if is_time:
-        if nrows is None:
-            nrows = df.count()
-        if nrows > TIME_PARTITION_MIN_ROWS:
+        if nrows is None or index_minmax is None:
+            # ONE fused stats job (count + min + max) instead of two
+            # separate scans — planning overhead is pure latency on the
+            # write path
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(index_col).alias("lo"),
+                F.max(index_col).alias("hi"),
+            ).first()
+            if nrows is None:
+                nrows = row["n"]
             if index_minmax is None:
-                row = df.agg(
-                    F.min(index_col).alias("lo"), F.max(index_col).alias("hi")
-                ).first()
                 index_minmax = (row["lo"], row["hi"])
+        if nrows > TIME_PARTITION_MIN_ROWS:
             lo, hi = index_minmax
             if lo is not None and hi is not None:
                 span_days = (hi - lo).total_seconds() / 86400.0
-                n = size_based_npartitions(estimate_size_bytes(df), nrows)
+                n = _floor_to_parallelism(
+                    size_based_npartitions(estimate_size_bytes(df), nrows),
+                    nrows, parallelism,
+                )
                 return PartitionPlan(
                     "time", freq=choose_time_freq(span_days), npartitions=n
                 )
     size = estimate_size_bytes(df)
-    return PartitionPlan("size", npartitions=size_based_npartitions(size, nrows))
+    n = _floor_to_parallelism(
+        size_based_npartitions(size, nrows), nrows, parallelism
+    )
+    return PartitionPlan("size", npartitions=n)
 
 
 def apply_layout(df: DataFrame, plan: PartitionPlan, index_col: str = "index") -> DataFrame:

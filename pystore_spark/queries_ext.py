@@ -523,6 +523,38 @@ def downcast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "category_codes",
+    sql="""
+    SELECT category,
+           CAST(dense_rank() OVER (ORDER BY category) - 1 AS INT) AS code,
+           n_rows
+    FROM (SELECT l_returnflag AS category, count(*) AS n_rows
+          FROM lineitem GROUP BY 1)
+    """,
+    tags=("F13", "category"),
+)
+def category_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-category → integer code mapping — the dictionary the
+    dtype optimizer records for low-cardinality string columns
+    (pandas ``Categorical`` codes over sorted categories; reference
+    pystore/memory.py:186-196). The window runs over the post-agg
+    distinct set (a handful of rows), not the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("category")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("category"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "category",
+            (F.dense_rank().over(w) - 1).cast("int").alias("code"),
+            "n_rows",
+        )
+    )
+
+
+@register(
     "dnf_filter_or",
     sql="""
     SELECT event_id, event_type, user_id
@@ -702,7 +734,55 @@ def event_seq_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dedup_kept_docs",
-    sql=None,  # iterative connected-components — not SQL-expressible
+    # full pipeline as one DuckDB statement: the iterative Spark
+    # connected-components is expressed as a recursive CTE (reachable
+    # min-label); every stage reuses the SQL fragments proven exact by
+    # doc_fingerprints / minhash_signatures / lsh_band_stats /
+    # ngram_jaccard_pairs
+    sql=f"""
+    WITH RECURSIVE
+    s0 AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {_SHINGLES} AS sh
+      FROM documents),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM s0 GROUP BY fp),
+    surv AS (SELECT s0.* FROM s0 JOIN exact_keep USING (doc_id)),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM surv),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+        md5(array_to_string(
+          list_transform(sig[b.band_idx*2+1 : b.band_idx*2+2],
+                         v -> v::VARCHAR), '|')) AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_i, c.id_j
+      FROM cand c
+      JOIN surv si ON si.doc_id = c.id_i
+      JOIN surv sj ON sj.doc_id = c.id_j
+      WHERE CASE WHEN len(list_distinct(si.sh || sj.sh)) > 0 THEN
+              len(list_intersect(si.sh, sj.sh))::DOUBLE
+              / len(list_distinct(si.sh || sj.sh))
+            ELSE 0.0 END >= 0.8),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM verified
+      UNION ALL
+      SELECT id_j AS src, id_i AS dst FROM verified),
+    reach(id, comp) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+    comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+    SELECT surv.doc_id, surv.n_chars
+    FROM surv
+    WHERE surv.doc_id NOT IN
+      (SELECT id FROM comps WHERE component <> id)
+    """,
     tags=("dedup", "pipeline"),
 )
 def near_dedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
