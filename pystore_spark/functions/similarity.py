@@ -149,8 +149,13 @@ def brute_force_topk_vectorized(
     (batch × query-set) instead of per-element expression evaluation —
     the throughput path when the query set is larger.
 
-    Scores can differ from the fold-based variant in the last float
-    bit (SIMD/pairwise summation), hence the separate entry point.
+    Raw GEMM sums can differ from the fold-based variant in the last
+    float bit (SIMD/pairwise summation), so scores are rounded to 6
+    decimals BEFORE local selection and ranked by the same total order
+    as :func:`brute_force_topk` — (rounded score desc, id asc) — which
+    makes per-batch top-k + global top-k reproduce the fold variant's
+    output exactly (a 1e-15 summation wobble only matters if a true
+    score sits within it of a 5e-7 rounding boundary).
     Emits only per-batch local top-k, so the final global window ranks
     |batches|·k rows, not the full corpus.
     """
@@ -181,18 +186,18 @@ def brute_force_topk_vectorized(
             c_ids = pdf[id_col].to_numpy()
             c_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = c_mat @ mat_q.T  # (batch, n_queries)
+            sims = np.round(c_mat @ mat_q.T, 6)  # (batch, n_queries)
             out_q, out_c, out_s = [], [], []
             for j in range(sims.shape[1]):
-                col = sims[:, j]
-                mask = c_ids != ids_q[j]
-                order = np.argsort(-col[mask])[:k]
-                sel = np.flatnonzero(mask)[order]
+                idxs = np.flatnonzero(c_ids != ids_q[j])
+                # lexsort: last key is primary -> (-score, id) total order
+                order = np.lexsort((c_ids[idxs], -sims[idxs, j]))[:k]
+                sel = idxs[order]
                 out_q.extend([ids_q[j]] * len(sel))
                 out_c.extend(c_ids[sel])
-                out_s.extend(col[sel])
+                out_s.extend(sims[sel, j])
             yield pd.DataFrame(
-                {qid: out_q, id_col: out_c, "score": np.round(out_s, 6)}
+                {qid: out_q, id_col: out_c, "score": out_s}
             )
 
     local_topk = candidates.select(id_col, vec_col).mapInPandas(
@@ -204,6 +209,95 @@ def brute_force_topk_vectorized(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def _assign_cells(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Assign each vector to the nearest centroid (squared L2), tie
+    broken by lowest cell id — via ``array_min`` over an array of
+    ``struct<dist, cell>`` (lexicographic struct comparison), fully
+    JVM-side."""
+    structs = []
+    for cell, cent in enumerate(centroids):
+        carr = F.array(*[F.lit(float(v)) for v in cent])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                carr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(dist.alias("dist"), F.lit(cell).alias("cell"))
+        )
+    return df.withColumn("cell", F.array_min(F.array(*structs))["cell"])
+
+
+def build_ivf_index_deterministic(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    quant: float = 1e7,
+) -> DataFrame:
+    """Distributed Lloyd's KMeans with bit-reproducible arithmetic —
+    the oracle-checkable IVF index build (``build_ivf_index`` keeps
+    MLlib's kmeans|| for production where reproducibility across
+    engines doesn't matter).
+
+    Determinism contract (every step is IEEE-deterministic and
+    expressible identically in ANSI SQL, so a DuckDB oracle replays
+    the whole iteration bit-for-bit):
+
+    - init: the ``n_cells`` vectors with the smallest ids;
+    - assignment: sequential left-fold squared-L2, argmin with
+      lowest-cell tie-break;
+    - update: per-component mean computed as
+      ``(sum(floor(x*quant) as bigint) / n) / quant`` — the sum is
+      exact int64 arithmetic (order-independent!), the two divisions
+      are correctly-rounded IEEE ops. Empty cells keep their previous
+      centroid.
+
+    Scale: the same shuffle structure as MLlib KMeans — per iteration
+    ONE groupBy("cell") with map-side partial aggregation; only
+    ``n_cells × dim`` longs ever reach the driver. The assignment is a
+    pure projection (no shuffle). int64 headroom: components |x| ≤ ~1e2
+    quantized at 1e7 → ≤1e9 per row; overflow needs >9e9 rows per
+    cell — repartition the sum or lower ``quant`` beyond that.
+    """
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+    dim = len(cents[0])
+    for _ in range(n_iters):
+        assigned = _assign_cells(df, vec_col, cents)
+        sums = [
+            F.sum(
+                F.floor(
+                    F.element_at(F.col(vec_col), i + 1).cast("double")
+                    * F.lit(quant)
+                ).cast("bigint")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        rows = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in rows:
+            n = r["n"]
+            new_cents[r["cell"]] = [
+                (r[f"s{i}"] / n) / quant for i in range(dim)
+            ]
+        cents = new_cents
+    return _assign_cells(df, vec_col, cents)
 
 
 def build_ivf_index(

@@ -298,9 +298,7 @@ _NORM = (
 )
 
 
-@register(
-    "embedding_cosine_topk",
-    sql=f"""
+_COSINE_TOPK_SQL = f"""
     WITH q AS (
       SELECT vec_id AS q_vec_id, embedding AS qvec
       FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -315,7 +313,12 @@ _NORM = (
         PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rnk
       FROM scored)
     SELECT q_vec_id, vec_id, score FROM ranked WHERE rnk <= 10
-    """,
+    """
+
+
+@register(
+    "embedding_cosine_topk",
+    sql=_COSINE_TOPK_SQL,
     tags=("similarity",),
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,13 +585,17 @@ def dnf_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_cosine_topk_vectorized",
-    sql=None,  # numpy pairwise summation differs in the last float bit
+    # same oracle as the fold variant: scores are rounded to 6 decimals
+    # BEFORE local top-k selection and ranked by the identical
+    # (score desc, id) total order, so the GEMM path reproduces the
+    # fold path's output exactly (see brute_force_topk_vectorized)
+    sql=_COSINE_TOPK_SQL,
     tags=("similarity", "vectorized"),
 )
 def embedding_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput variant of embedding_cosine_topk: one BLAS GEMM per
-    Arrow batch via mapInPandas (rows-only check; the fold-based
-    variant carries the exact oracle)."""
+    Arrow batch via mapInPandas, oracle-checked against the same SQL
+    as the fold-based variant."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return S.brute_force_topk_vectorized(
@@ -596,16 +603,75 @@ def embedding_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _ivf_kmeans_oracle_sql(
+    n_cells: int = 8, n_iters: int = 2, dim: int = 64,
+    quant: str = "10000000.0",
+) -> str:
+    """Unroll deterministic Lloyd's KMeans (see
+    ``build_ivf_index_deterministic``) into plain CTEs — every
+    iteration is the same (assign → quantized-int-sum update) pair,
+    arithmetic chosen so DuckDB replays Spark bit-for-bit: int64 sums
+    are order-independent, the divisions and the squared-L2 left fold
+    are correctly-rounded IEEE ops."""
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> ({v}[i]::DOUBLE - {c}[i]) * ({v}[i]::DOUBLE - {c}[i])), "
+        "(x,y) -> x+y)"
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding FROM embeddings),",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS INTEGER) AS cell, "
+        "list_transform(embedding, x -> x::DOUBLE) AS cent "
+        f"FROM embeddings ORDER BY vec_id LIMIT {n_cells}),",
+    ]
+    for it in range(1, n_iters + 2):
+        d = dist.format(v="v.embedding", c=f"c.cent")
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cell FROM ("
+            f"SELECT v.vec_id, c.cell, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {d}, c.cell) AS rn "
+            f"FROM v, c{it - 1} c) WHERE rn = 1),"
+        )
+        if it == n_iters + 1:
+            break  # final assignment needs no centroid update
+        parts.append(
+            f"u{it} AS (SELECT cell, list(comp ORDER BY i) AS cent "
+            f"FROM (SELECT a.cell, i.i, "
+            f"(CAST(SUM(CAST(FLOOR(v.embedding[i.i]::DOUBLE * {quant}) "
+            f"AS BIGINT)) AS DOUBLE) / COUNT(*)) / {quant} AS comp "
+            f"FROM v JOIN a{it} a USING (vec_id), "
+            f"(SELECT unnest(generate_series(1, {dim})) AS i) i "
+            f"GROUP BY a.cell, i.i) GROUP BY cell),"
+        )
+        parts.append(
+            f"c{it} AS (SELECT c{it - 1}.cell, "
+            f"COALESCE(u{it}.cent, c{it - 1}.cent) AS cent "
+            f"FROM c{it - 1} LEFT JOIN u{it} USING (cell)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors "
+        f"FROM a{n_iters + 1} GROUP BY cell"
+    )
+    return "\n".join(parts)
+
+
 @register(
     "ivf_kmeans_index",
-    sql=None,  # iterative algorithm — not SQL-expressible
+    sql=_ivf_kmeans_oracle_sql(),
     tags=("similarity", "ann", "index"),
 )
 def ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index build: KMeans coarse quantizer over the embedding
-    corpus, cell histogram as the (deterministic-size) output."""
+    """IVF index build: deterministic distributed Lloyd's KMeans as
+    coarse quantizer over the embedding corpus, cell histogram as the
+    output. The full iterative algorithm is oracle-checked — the
+    DuckDB side replays each assign/update round via unrolled CTEs
+    with bit-identical arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
-    indexed = S.build_ivf_index(emb, "embedding", "vec_id", n_cells=8)
+    indexed = S.build_ivf_index_deterministic(
+        emb, "embedding", "vec_id", n_cells=8, n_iters=2
+    )
     return indexed.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )

@@ -212,6 +212,30 @@ def test_ivf_kmeans_index_and_search(spark):
     assert all(r["vec_id"] % 4 == 0 for r in got)
 
 
+def test_deterministic_kmeans_clusters_and_reproduces(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    centers = np.eye(4) * 3
+    rows = []
+    for i in range(120):
+        c = i % 4
+        v = centers[c] + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = S.build_ivf_index_deterministic(
+        df, "embedding", "vec_id", n_cells=4, n_iters=2
+    )
+    got = {r["vec_id"]: r["cell"] for r in a.collect()}
+    # well-separated ground truth: co-clustered iff same id mod 4
+    for i in range(120):
+        assert (got[i] == got[i % 4]) and (got[i] != got[(i + 1) % 4])
+    b = S.build_ivf_index_deterministic(
+        df, "embedding", "vec_id", n_cells=4, n_iters=2
+    )
+    assert {(r["vec_id"], r["cell"]) for r in b.collect()} == set(got.items())
+
+
 def test_salted_join_matches_plain(spark):
     from pystore_spark.functions.joins import salted_join, salted_count_per_key
 
