@@ -6,6 +6,12 @@ transform, aggregate, md5, …) — JVM-side, codegen'd, no Python UDFs —
 so they scale to 100 TB the same way any native expression does.
 """
 
-from pystore_spark.functions import dedup, multimodal, similarity, text
+from pystore_spark.functions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "sampling"]

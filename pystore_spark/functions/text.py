@@ -99,6 +99,59 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def all_shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram array WITHOUT dedup — for repetition metrics where
+    the multiplicity is the signal (see :func:`repetition_ratio`)."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def repetition_ratio(col: str | Column, n: int = 3) -> Column:
+    """1 − distinct/total word n-grams — near 0 for natural prose,
+    rising toward 1 for boilerplate/spam with repeated phrases. A
+    standard training-data quality filter, pure Catalyst."""
+    a = all_shingles(col, n)
+    return F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(a)).cast("double")
+        / F.size(a).cast("double"),
+        6,
+    )
+
+
+def tfidf_scores(
+    df, text_col: str, id_col: str, n_docs: int | None = None
+):
+    """(id, term, tf, tfidf) for every lowercased whitespace token.
+
+    tfidf = tf · ln(N / df). Two shuffles (tf groupBy, df groupBy) +
+    one join on term; document frequencies are tiny (|vocab| rows) so
+    Spark broadcasts the join side automatically. ``n_docs`` can be
+    passed to skip the count job when the caller already knows it.
+    """
+    if n_docs is None:
+        n_docs = df.count()
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), built with higher-order
     functions — stays inside codegen."""

@@ -858,3 +858,171 @@ def near_dedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     kept = D.near_dedup(doc, "text", "doc_id", threshold=0.8)
     return kept.select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / data-mix / contamination  (training-data ops)
+# ---------------------------------------------------------------------------
+_LOWER_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+)
+_ALL_SHINGLES = f"""
+    CASE WHEN len({_TOKS}) >= 3 THEN
+      list_transform(
+        generate_series(1, len({_TOKS}) - 2),
+        i -> array_to_string(({_TOKS})[i:i+2], ' '))
+    ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+
+@register(
+    "stratified_sample",
+    sql="""
+    SELECT doc_id, source, bucket FROM (
+      SELECT doc_id, source,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+             AS BIGINT) % 100 AS bucket,
+        CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 20
+                    ELSE 10 END AS rate
+      FROM documents) WHERE bucket < rate
+    """,
+    tags=("sampling", "pipeline"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sample with per-source rates —
+    a pure projection + filter (NO shuffle, no RNG): the same rows
+    come back on any engine, partition layout, or cluster size."""
+    from pystore_spark.functions import sampling as SA
+
+    doc = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "src0", 50)
+        .when(F.col("source") == "src1", 20)
+        .otherwise(10)
+    )
+    return SA.stratified_sample_hash(doc, "doc_id", rate).select(
+        "doc_id", "source", "bucket"
+    )
+
+
+@register(
+    "fixed_sample_per_stratum",
+    sql="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) WHERE rn <= 10
+    """,
+    tags=("sampling", "pipeline"),
+)
+def fixed_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(10, |stratum|) docs per source, picked by md5-hash
+    order: deterministic reservoir-style sampling. One shuffle on the
+    stratum key; pre-thin giant strata with stratified_sample first
+    (hash order is stable, so thinning preserves the head)."""
+    from pystore_spark.functions import sampling as SA
+
+    doc = load_table(spark, sf_dir, "documents")
+    return SA.fixed_sample_per_stratum(doc, "doc_id", "source", 10).select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '\\s+'), t -> t != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+        ROUND(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term AND tf.doc_id < 50)
+    SELECT doc_id, term, tf, tfidf FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf", "pipeline"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (docs 0-49; document
+    frequencies over the FULL corpus). Two shuffles + a broadcast-able
+    |vocab|-row join; ln() rounded to 6 decimals for engine parity."""
+    from pyspark.sql import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    scores = X.tfidf_scores(doc, "text", "doc_id").filter(
+        F.col("doc_id") < 50
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+@register(
+    "repetition_scores",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {_ALL_SHINGLES} AS a FROM documents)
+    SELECT doc_id, CAST(len(a) AS INT) AS n_ngrams,
+      ROUND(1.0 - len(list_distinct(a))::DOUBLE / len(a), 6) AS repetition
+    FROM s
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated word-trigram ratio per document — boilerplate/spam
+    detector (1 − distinct/total n-grams). Pure per-row Catalyst
+    expressions: no shuffle, scales as a projection."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.size(X.all_shingles("text")).alias("n_ngrams"),
+        X.repetition_ratio("text").alias("repetition"),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    sql=f"""
+    WITH bg AS (SELECT DISTINCT unnest({_SHINGLES}) AS g
+                FROM documents WHERE doc_id < 20),
+    cg AS (SELECT doc_id, unnest({_SHINGLES}) AS g
+           FROM documents WHERE doc_id >= 20)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM cg JOIN bg USING (g)
+    GROUP BY doc_id HAVING count(*) >= 3
+    """,
+    tags=("text", "contamination", "pipeline"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs sharing ≥3 distinct
+    word-trigrams with an eval set (docs 0-19 as stand-in). The
+    benchmark n-gram set is explicitly broadcast — the corpus side
+    streams through map-side, no shuffle until the per-doc count."""
+    doc = load_table(spark, sf_dir, "documents")
+    bench = (
+        doc.filter(F.col("doc_id") < 20)
+        .select(F.explode(X.shingles("text")).alias("g"))
+        .distinct()
+    )
+    corpus = doc.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode(X.shingles("text")).alias("g")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )

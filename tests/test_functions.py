@@ -280,3 +280,59 @@ def test_connected_components_chain(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[5] == comp[6] == 5
     assert comp[9] == 9
+
+
+def test_hash_sampling_deterministic(spark, docs):
+    from pystore_spark.functions import sampling as SA
+
+    rate = F.lit(50)
+    a = SA.stratified_sample_hash(docs, "doc_id", rate).collect()
+    b = SA.stratified_sample_hash(docs, "doc_id", rate).collect()
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}
+    assert all(0 <= r["bucket"] < 100 for r in a)
+    fixed = SA.fixed_sample_per_stratum(docs, "doc_id", "src", 2)
+    per = (
+        fixed.groupBy("src").count().collect()
+    )
+    assert all(r["count"] <= 2 for r in per)
+    # determinism across runs
+    assert {r["doc_id"] for r in fixed.collect()} == {
+        r["doc_id"] for r in SA.fixed_sample_per_stratum(
+            docs, "doc_id", "src", 2
+        ).collect()
+    }
+
+
+def test_repetition_ratio(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam"),
+        (1, "each word here is completely distinct from others always"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", X.repetition_ratio("text").alias("rep")
+        ).collect()
+    }
+    assert got[0] > 0.8  # six identical trigrams of eight -> high
+    assert got[1] == 0.0
+
+
+def test_tfidf_scores(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "durian durian durian"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in X.tfidf_scores(df, "text", "doc_id").collect()
+    }
+    import math
+
+    assert out[(0, "apple")]["tf"] == 2
+    assert out[(0, "apple")]["tfidf"] == round(2 * math.log(3 / 1), 6)
+    # banana appears in 2 of 3 docs
+    assert out[(1, "banana")]["tfidf"] == round(1 * math.log(3 / 2), 6)
