@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pystore_spark.functions.text import fingerprint, shingles
+from pystore_spark.functions.text import (
+    fingerprint,
+    shingles,
+    widen_parallelism,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -34,7 +38,8 @@ def duplicate_groups(
 ) -> DataFrame:
     """Fingerprint → group stats (keep_id, n_copies)."""
     return (
-        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        widen_parallelism(df)
+        .select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -65,13 +70,16 @@ def minhash_signature(
             f"num_hashes must be in [1, 128] (int64 headroom for "
             f"h1 + i*h2 double hashing), got {num_hashes}"
         )
+    # nested transform so each shingle is digested ONCE: higher-order
+    # lambdas evaluate interpreted (no codegen CSE), so putting two
+    # F.md5(s) substrings in one lambda would hash every shingle twice
     halves = F.transform(
-        shingle_col,
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 14), 16, 10)
+        F.transform(shingle_col, lambda s: F.md5(s)),
+        lambda d: F.struct(
+            F.conv(F.substring(d, 1, 14), 16, 10)
             .cast("bigint")
             .alias("h1"),
-            F.conv(F.substring(F.md5(s), 17, 14), 16, 10)
+            F.conv(F.substring(d, 17, 14), 16, 10)
             .cast("bigint")
             .alias("h2"),
         ),
@@ -111,6 +119,7 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """id → signature array + concatenated signature string."""
+    df = widen_parallelism(df)
     sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
     return df.select(
         F.col(id_col),
@@ -188,6 +197,7 @@ def ngram_jaccard_pairs(
     block (e.g. source + length bucket), then exact verification.
     Blocking bounds the quadratic term; the join shuffles once on the
     block key."""
+    df = widen_parallelism(df)
     sh = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
@@ -221,6 +231,7 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     from pystore_spark.functions.text import tokens
 
+    df = widen_parallelism(df)
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pystore_spark.functions.text import widen_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -58,6 +60,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias(qid), F.col(vec_col).alias("_qvec")
     )
+    candidates = widen_parallelism(candidates)
     scored = candidates.join(F.broadcast(q), F.col(id_col) != F.col(qid)).select(
         F.col(qid),
         F.col(id_col),
@@ -89,6 +92,7 @@ def ivf_topk(
         F.col(vec_col).alias("_qvec"),
         F.col(cell_col).alias("_qcell"),
     )
+    candidates = widen_parallelism(candidates)
     scored = candidates.join(
         F.broadcast(q),
         (F.col(cell_col) == F.col("_qcell")) & (F.col(id_col) != F.col(qid)),
@@ -114,6 +118,7 @@ def cosine_dedup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold,
     blocked by ``block_col`` (quadratic only within blocks)."""
+    df = widen_parallelism(df)
     slim = df.select(F.col(id_col), F.col(block_col), F.col(vec_col))
     a, b = slim.alias("a"), slim.alias("b")
     return (
@@ -200,8 +205,10 @@ def brute_force_topk_vectorized(
                 {qid: out_q, id_col: out_c, "score": out_s}
             )
 
-    local_topk = candidates.select(id_col, vec_col).mapInPandas(
-        score, schema=schema
+    local_topk = (
+        widen_parallelism(candidates)
+        .select(id_col, vec_col)
+        .mapInPandas(score, schema=schema)
     )
     w = Window.partitionBy(qid).orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -269,6 +276,7 @@ def build_ivf_index_deterministic(
     quantized at 1e7 → ≤1e9 per row; overflow needs >9e9 rows per
     cell — repartition the sum or lower ``quant`` beyond that.
     """
+    df = widen_parallelism(df)
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )

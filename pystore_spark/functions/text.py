@@ -15,6 +15,26 @@ STOPWORDS = {
 }
 
 
+def widen_parallelism(df, min_partitions: int | None = None):
+    """Repartition a CPU-bound input up to the cluster's default
+    parallelism when the scan produced fewer partitions.
+
+    A small parquet file arrives as ONE input split, which serializes
+    per-row compute (md5, shingling, folds) onto a single core while
+    the rest of the cluster idles. The round-robin shuffle this adds
+    is tiny next to the saved compute; on big inputs (≥ parallelism
+    splits — any real 100 TB table) it is a no-op, so hot paths can
+    call it unconditionally.
+    """
+    try:
+        target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization (empty strings filtered)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -137,6 +157,7 @@ def tfidf_scores(
     """
     if n_docs is None:
         n_docs = df.count()
+    df = widen_parallelism(df)
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )

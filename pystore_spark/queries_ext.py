@@ -46,7 +46,7 @@ _SHINGLES = f"""
     tags=("text",),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = load_table(spark, sf_dir, "documents")
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
     return doc.select(
         "doc_id",
         X.token_count("text").alias("n_tokens"),
@@ -76,7 +76,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = load_table(spark, sf_dir, "documents")
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
     return doc.select(
         "doc_id", "lang", X.quality_score("text").alias("quality")
     )
@@ -111,7 +111,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = load_table(spark, sf_dir, "documents")
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
     return doc.select(
         "doc_id", "lang", X.detect_language("text").alias("pred_lang")
     )
@@ -127,7 +127,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup"),
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = load_table(spark, sf_dir, "documents")
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
     return doc.select("doc_id", X.fingerprint("text").alias("fp"))
 
 
@@ -985,7 +985,7 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated word-trigram ratio per document — boilerplate/spam
     detector (1 − distinct/total n-grams). Pure per-row Catalyst
     expressions: no shuffle, scales as a projection."""
-    doc = load_table(spark, sf_dir, "documents")
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
     return doc.select(
         "doc_id",
         F.size(X.all_shingles("text")).alias("n_ngrams"),
