@@ -789,6 +789,147 @@ def region_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_order_distribution",
+    sql="""
+    WITH per_cust AS (
+      SELECT c.c_custkey,
+             CAST(COALESCE(n.n, 0) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) n
+        ON c.c_custkey = n.o_custkey)
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    tags=("join", "outer", "agg"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count histogram over ALL customers (TPC-H Q13 shape).
+
+    Orders are pre-aggregated per custkey BEFORE the outer join, so
+    the join's right side is one row per customer key (bounded by
+    |customer|, broadcast-able at dimension scale) instead of the full
+    orders fact — the O(|orders|) shuffle happens once, map-side
+    combined, and never moves order payload columns."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    per_key = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    per_cust = cu.join(
+        per_key, cu.c_custkey == per_key.o_custkey, "left"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"))
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+                 * CAST(1 - l_discount AS DECIMAL(20,6))) AS DOUBLE), 4)
+          AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-per-group join-back (TPC-H Q15 shape): quarterly revenue
+    per supplier, return the top supplier(s) with ties. The scalar max
+    is a one-row broadcast joined back against the per-supplier aggs —
+    no window over the full aggregate, no driver round-trip; decimal
+    intermediates keep the tie comparison exact at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    rev_expr = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(20,6)") - _dec("l_discount")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev_expr).cast("double"), 4).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "waiting_customers_antijoin",
+    sql="""
+    WITH s AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS tot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c, s
+    WHERE CAST(c.c_acctbal AS DECIMAL(20,6)) * s.n > s.tot
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("antijoin", "subquery"),
+)
+def waiting_customers_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery + anti-join (TPC-H Q22 shape): customers with
+    above-average positive balance and no orders. The average test is
+    rewritten multiplication-only (bal·n > total) in exact decimal —
+    no engine-dependent division rounding on the threshold. The global
+    (sum, count) is a one-row broadcast; the no-orders test is a
+    left-anti shuffle join on custkey (near-unique key — no skew)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    s = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        cu.crossJoin(F.broadcast(s))
+        .filter(_dec("c_acctbal") * F.col("n") > F.col("tot"))
+        .join(od, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "moving_avg_events",
+    sql="""
+    SELECT event_id, user_id,
+      ROUND(AVG(value) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+    FROM events WHERE value IS NOT NULL
+    """,
+    tags=("window", "frame"),
+)
+def moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving average per user (3-row window). One
+    shuffle on user_id; the frame stays ≤3 elements so both engines
+    sum in the same effective order and round-6 hashes match."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg"),
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in QUERIES.items()}
 
