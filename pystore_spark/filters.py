@@ -67,3 +67,24 @@ def filters_to_column(filters: Sequence | None) -> Column | None:
     for d in disjuncts[1:]:
         out = out | d
     return out
+
+
+def filters_to_arrow_expression(filters: Sequence | None):
+    """Compile the same tuple-DNF to a ``pyarrow.dataset`` expression
+    (None when no filters) — for the driver-side Arrow read fast path
+    that serves reads without a Spark job."""
+    if not filters:
+        return None
+    import pyarrow.parquet as pa_pq
+
+    def _norm(t):
+        col, op, v = t
+        op = {"=": "==", "not-in": "not in"}.get(op, op)
+        return (col, op, v)
+
+    flist = list(filters)
+    if all(isinstance(f, tuple) and len(f) == 3 for f in flist):
+        dnf = [_norm(f) for f in flist]
+    else:
+        dnf = [[_norm(f) for f in g] for g in flist]
+    return pa_pq.filters_to_expression(dnf)

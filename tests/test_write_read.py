@@ -166,3 +166,31 @@ def test_list_items_metadata_filter(test_collection, sample_data):
     test_collection.write("b", sample_data, metadata={"kind": "y"})
     assert test_collection.list_items(kind="x") == ["a"]
     assert sorted(test_collection.list_items()) == ["a", "b"]
+
+
+def test_arrow_and_spark_read_paths_agree(test_collection):
+    import numpy as np
+    import pandas as pd
+
+    col = test_collection
+    idx = pd.date_range("2023-01-01", periods=4000, freq="h")
+    df = pd.DataFrame(
+        {
+            "v": np.arange(4000.0),
+            "k": np.arange(4000) % 5,
+            "s": [f"x{i%7}" for i in range(4000)],
+        },
+        index=idx,
+    )
+    col.write("parity", df)
+    it_a = col.item(
+        "parity", filters=[("k", "in", [1, 3])], columns=["v", "k"]
+    )
+    a = it_a.to_pandas(engine="arrow")
+    b = col.item(
+        "parity", filters=[("k", "in", [1, 3])], columns=["v", "k"]
+    ).to_pandas(engine="spark")
+    pd.testing.assert_frame_equal(a, b)
+    full_a = col.item("parity").to_pandas(engine="arrow")
+    full_b = col.item("parity").to_pandas(engine="spark")
+    pd.testing.assert_frame_equal(full_a, full_b)
