@@ -572,16 +572,27 @@ class Collection:
         items: Sequence[str],
         columns: dict | Sequence[str] | None = None,
         filters: dict | Sequence | None = None,
+        parallel: bool = True,
     ) -> dict[str, pd.DataFrame | None]:
-        out: dict[str, pd.DataFrame | None] = {}
-        for name in items:
+        """Read several items to pandas (None for failures).
+
+        Items read through the Arrow fast path (no Spark job), so
+        ``parallel=True`` threads give near-linear speedup — pyarrow
+        releases the GIL during decode (reference claims 5-10× for
+        parallel batch: pystore README.rst:50,58)."""
+        def _one(name: str) -> pd.DataFrame | None:
             try:
                 cols = columns.get(name) if isinstance(columns, dict) else columns
                 filt = filters.get(name) if isinstance(filters, dict) else filters
-                out[name] = self.item(name, filters=filt, columns=cols).to_pandas()
+                return self.item(name, filters=filt, columns=cols).to_pandas()
             except Exception:
-                out[name] = None
-        return out
+                return None
+
+        names = list(items)
+        if parallel and len(names) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(names))) as pool:
+                return dict(zip(names, pool.map(_one, names)))
+        return {name: _one(name) for name in names}
 
     def write_threaded(self, item: str, data: Any, **kwargs: Any) -> threading.Thread:
         """Fire-and-forget write (reference: pystore/collection.py:214-222)."""

@@ -250,4 +250,8 @@ class Item:
         col = self.index_column
         if last:
             return self.data.agg(F.max(col).alias("last")).first()["last"]
-        return self.data.select(col).toPandas()[col]
+        try:
+            # index-only Arrow scan: one column, no Spark job
+            return self._arrow_table([col]).to_pandas()[col]
+        except Exception:
+            return self.data.select(col).toPandas()[col]
