@@ -1,0 +1,80 @@
+"""Plan-regression tests: lock in the physical-plan properties the
+100 TB design depends on (pushdown, broadcast, map-side rank limits,
+no global single-partition windows). These catch silent plan
+regressions that correctness tests can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    from pystore_spark.queries import QUERIES
+
+    df = QUERIES[name].spark_fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    from pystore_spark.queries import QUERIES
+
+    df = QUERIES[name].spark_fn(spark, SF_DIR)
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_filter_pushdown_reaches_parquet(spark):
+    plan = _formatted(spark, "scan_filter_pushdown")
+    assert "PushedFilters" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # column pruning: full lineitem is 11 cols wide; the ReadSchema
+    # must not include unused ones
+    assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _formatted(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # nation + customer broadcast -> at least two broadcast exchanges
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_upsert_keep_last_has_map_side_rank_limit(spark):
+    plan = _formatted(spark, "upsert_keep_last")
+    assert "WindowGroupLimit" in plan
+
+
+def test_monotonic_check_has_no_global_window(spark):
+    # the scale-safe formulation must not funnel the table through a
+    # single-partition Window (Exchange SinglePartition feeding a
+    # Window over the full input). A single-partition exchange is only
+    # allowed above an Aggregate (the <=32-row per-partition summary).
+    plan = _formatted(spark, "monotonic_check")
+    for i, line in enumerate(plan.splitlines()):
+        if "Window" in line and "WindowGroupLimit" not in line:
+            # find what feeds this window in the formatted tree: the
+            # tiny summary path contains a prior HashAggregate
+            prefix = "\n".join(plan.splitlines()[: i + 1])
+            assert "Aggregate" in prefix or "mapInPandas" in prefix.lower()
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    plan = _formatted(spark, "stratified_sample")
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    plan = _formatted(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_outer_join_histogram_preaggregates(spark):
+    # the orders side must be aggregated BEFORE the outer join: a
+    # HashAggregate must appear below the join in the plan tree
+    plan = _formatted(spark, "customer_order_distribution")
+    assert "HashAggregate" in plan
+    join_pos = plan.find("Join")
+    assert join_pos != -1
