@@ -117,3 +117,56 @@ def running_count_per_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    event_time_col: str,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    delay: str = "10 minutes",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation — the canonical
+    late-data pattern: counts per (tumbling or sliding) window, state
+    dropped once the watermark passes the window end. Works identically
+    on batch DataFrames (no watermark state, same results) so the
+    logic is testable offline."""
+    keys = [
+        F.window(F.col(event_time_col), window_duration, slide or window_duration)
+    ] + [F.col(c) for c in (extra_keys or [])]
+    wm = stream_df
+    if stream_df.isStreaming:
+        wm = stream_df.withWatermark(event_time_col, delay)
+    return wm.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(c) for c in (extra_keys or [])],
+        "n_events",
+    )
+
+
+def session_windows(
+    stream_df: DataFrame,
+    event_time_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation (native ``session_window`` — gap
+    -based sessions, the streaming cousin of the batch sessionization
+    query): events per key grouped into sessions that close after
+    ``gap`` of inactivity."""
+    wm = stream_df
+    if stream_df.isStreaming:
+        wm = stream_df.withWatermark(event_time_col, delay)
+    return wm.groupBy(
+        F.session_window(F.col(event_time_col), gap), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        F.col(key_col),
+        "n_events",
+    )

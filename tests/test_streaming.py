@@ -100,3 +100,55 @@ def test_stateful_running_count(spark, tmp_path):
     }
     # values 1..5 -> k=1: {1,3,5} (3 rows), k=0: {2,4} (2 rows)
     assert final == {1: 3, 0: 2}
+
+
+def test_windowed_counts_stream_and_batch_agree(spark, tmp_path):
+    from pystore_spark.streaming import windowed_counts
+
+    src = str(tmp_path / "src")
+    _write_chunk(spark, src, 1, [1.0] * 6)   # 6 hourly events Jan 1
+    _write_chunk(spark, src, 2, [2.0] * 3)   # 3 hourly events Jan 2
+
+    batch = spark.read.schema(SCHEMA).parquet(src)
+    expect = {
+        (r["window_start"], r["n_events"])
+        for r in windowed_counts(batch, "index", "1 day").collect()
+    }
+    assert sum(n for _, n in expect) == 9
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = windowed_counts(stream, "index", "1 day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wc_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["window_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM wc_test").collect()
+    }
+    assert got == expect
+
+
+def test_session_windows_batch(spark):
+    from pystore_spark.streaming import session_windows
+
+    pdf = pd.DataFrame(
+        {
+            "index": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10",  # session 1
+                 "2024-01-01 02:00",                       # session 2
+                 "2024-01-01 00:05"]                       # user b
+            ),
+            "user": ["a", "a", "a", "b"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["user"], r["n_events"])
+        for r in session_windows(df, "index", "user", gap="30 minutes").collect()
+    }
+    assert got == {("a", 2), ("a", 1), ("b", 1)}
