@@ -1026,3 +1026,112 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@register(
+    "token_entropy",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(text, '\\s+'), t -> t != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+    n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n
+          FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+      ROUND(CAST(-SUM(CAST(ROUND(
+        (tf.tf::DOUBLE / n.n) * ln(tf.tf::DOUBLE / n.n), 12)
+        AS DECIMAL(20,12))) AS DOUBLE), 6) AS entropy
+    FROM tf JOIN n ON tf.doc_id = n.doc_id
+    GROUP BY tf.doc_id
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document token distribution — a
+    repetition/diversity quality signal (low entropy = templated or
+    spammy text). Per-term contributions are rounded to 12 decimals
+    and summed as DECIMAL so the aggregation is order-independent —
+    identical at any parallelism and in the oracle."""
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = doc.select(
+        "doc_id", F.explode(X.tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    p = F.col("tf").cast("double") / F.col("n")
+    contrib = F.round(p * F.log(p), 12).cast("decimal(20,12)")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round((-F.sum(contrib)).cast("double"), 6).alias("entropy"))
+    )
+
+
+@register(
+    "minhash_jaccard_estimate",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM s),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+        md5(array_to_string(
+          list_transform(sig[b.band_idx*2+1 : b.band_idx*2+2],
+                         v -> v::VARCHAR), '|')) AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+    SELECT c.id_i, c.id_j,
+      ROUND(len(list_filter(
+          list_transform(generate_series(1, 8),
+            k -> si.sig[k] = sj.sig[k]), x -> x))::DOUBLE / 8, 6)
+        AS est_jaccard,
+      ROUND(len(list_intersect(shi.sh, shj.sh))::DOUBLE
+            / len(list_distinct(shi.sh || shj.sh)), 6) AS exact_jaccard
+    FROM cand c
+    JOIN sig si ON si.doc_id = c.id_i
+    JOIN sig sj ON sj.doc_id = c.id_j
+    JOIN s shi ON shi.doc_id = c.id_i
+    JOIN s shj ON shj.doc_id = c.id_j
+    """,
+    tags=("dedup", "minhash", "audit", "pipeline"),
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator audit: for every LSH candidate pair, the MinHash
+    Jaccard estimate (matching signature positions / num_hashes) next
+    to the exact shingle Jaccard — the quality-control query a dedup
+    pipeline runs to tune bands/rows. Signatures are computed once and
+    joined (id-keyed shuffles); no all-pairs work outside LSH buckets."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(doc, "text", "doc_id", num_hashes=8)
+    pairs = D.lsh_candidate_pairs(
+        doc, "text", "doc_id", num_hashes=8, bands=4
+    ).select("id_i", "id_j")
+    sh = doc.select(
+        "doc_id", X.shingles("text").alias("sh")
+    )
+    si = sigs.select(F.col("doc_id").alias("id_i"), F.col("sig").alias("sig_i"))
+    sj = sigs.select(F.col("doc_id").alias("id_j"), F.col("sig").alias("sig_j"))
+    shi = sh.select(F.col("doc_id").alias("id_i"), F.col("sh").alias("sh_i"))
+    shj = sh.select(F.col("doc_id").alias("id_j"), F.col("sh").alias("sh_j"))
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_i"), F.col("sig_j"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return (
+        pairs.join(si, "id_i").join(sj, "id_j").join(shi, "id_i").join(shj, "id_j")
+        .select(
+            "id_i",
+            "id_j",
+            F.round(eq.cast("double") / 8, 6).alias("est_jaccard"),
+            F.round(D.jaccard(F.col("sh_i"), F.col("sh_j")), 6).alias(
+                "exact_jaccard"
+            ),
+        )
+    )
