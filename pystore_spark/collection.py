@@ -425,10 +425,18 @@ class Collection:
         order_col: str | None = None,
     ) -> None:
         """Merge only the time-buckets touched by incoming keys, then
-        swap those partition directories — the scalable append path."""
+        swap those partition directories — the scalable append path.
+
+        Readers take no lock, so during the (tight) two-phase swap a
+        concurrent reader can observe the touched buckets missing; the
+        manifest-pointer layout (sidecar lists live directories) is
+        the designed escape hatch where that matters. Crash recovery:
+        see :meth:`recover_item`, invoked at the start of every
+        append."""
         from pystore_spark.partition import bucket_expr
 
         item_path = self._item_path(item)
+        self.recover_item(item)
         inc = incoming.withColumn(
             PARTITION_COL, bucket_expr(plan.freq, idx_cols[0])
         )
@@ -482,6 +490,26 @@ class Collection:
         for _, bkp in staged:
             utils.rm_tree(bkp)
         utils.rm_tree(tmp)
+
+    def recover_item(self, item: str) -> int:
+        """Heal a crashed partition-scoped append: restore any
+        ``.__old_<bucket>_<token>`` backup whose live bucket is
+        missing (crash between park and install) and drop backups
+        whose live bucket exists (crash after install, before
+        cleanup). Called automatically at the start of every append;
+        NOT called from readers, which must not race a live append's
+        parked buckets. Returns the number of directories handled."""
+        item_path = self._item_path(item)
+        handled = 0
+        for bkp in item_path.glob(".__old_*_*"):
+            bucket_name = bkp.name[len(".__old_"):].rsplit("_", 1)[0]
+            target = item_path / bucket_name
+            if target.exists():
+                utils.rm_tree(bkp)
+            else:
+                bkp.rename(target)
+            handled += 1
+        return handled
 
     # ------------------------------------------------------------------
     # chunked / streaming append (reference: pystore/collection.py:677-751)
@@ -632,46 +660,16 @@ class Collection:
         former per-row ``toLocalIterator``/``asDict`` loop (a Python
         bottleneck for a bulk-read API)."""
         import pyarrow as pa
-        import pyarrow.dataset as pa_ds
-        import pyarrow.parquet as pa_pq
 
-        from pystore_spark.item import _prune_tuples
+        chunk_size = int(chunk_size)
+        if chunk_size < 1:
+            raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
 
         it = self.item(item, filters=filters, columns=columns)
         want_cols = it.data.columns  # projection incl. index cols, sans _pb
-
-        flt = filters
-        if it._plan is not None and it._plan.kind == "time":
-            flt = _prune_tuples(filters, it._plan.freq, it._index_cols)
-
-        def _norm(t):
-            col, op, v = t
-            op = {"=": "==", "not-in": "not in"}.get(op, op)
-            return (col, op, v)
-
-        expr = None
-        if flt:
-            flist = list(flt)
-            if all(isinstance(f, tuple) and len(f) == 3 for f in flist):
-                dnf = [_norm(f) for f in flist]
-            else:
-                dnf = [[_norm(f) for f in g] for g in flist]
-            expr = pa_pq.filters_to_expression(dnf)
-
-        # _pb=... hive dirs start with '_', which the default
-        # ignore_prefixes would skip — list the ignores explicitly.
-        dataset = pa_ds.dataset(
-            it.path,
-            format="parquet",
-            partitioning=pa_ds.partitioning(
-                pa.schema([(PARTITION_COL, pa.string())]), flavor="hive"
-            ),
-            ignore_prefixes=[
-                ".", "_pystore_metadata", "_SUCCESS", "_committed", "_started",
-            ],
-        )
+        dataset, expr = it._arrow_dataset_and_filter()
         scanner = dataset.scanner(
-            columns=want_cols, filter=expr, batch_size=max(int(chunk_size), 1)
+            columns=want_cols, filter=expr, batch_size=chunk_size
         )
         buf: list[Any] = []
         buffered = 0

@@ -158,6 +158,12 @@ def lsh_candidate_pairs(
             "band_idx", "band_key"
         ),
     )
+    # materialize the narrow (id, band) frame once: a self-join would
+    # otherwise recompute the md5-over-shingles signature pass — the
+    # expensive stage — on BOTH sides. The checkpoint is tiny
+    # (id + band key per band) next to what it saves; swap for a
+    # reliable checkpoint if executor loss matters more than speed.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -264,17 +264,23 @@ def build_ivf_index_deterministic(
     - assignment: sequential left-fold squared-L2, argmin with
       lowest-cell tie-break;
     - update: per-component mean computed as
-      ``(sum(floor(x*quant) as bigint) / n) / quant`` — the sum is
-      exact int64 arithmetic (order-independent!), the two divisions
-      are correctly-rounded IEEE ops. Empty cells keep their previous
-      centroid.
+      ``(double(sum(floor(x*quant) as bigint)) / n) / quant`` — the
+      sum is exact int64 arithmetic (order-independent!); it is cast
+      to double BEFORE dividing, exactly as the oracle's
+      ``CAST(sum AS DOUBLE) / COUNT(*)``, so both sides perform the
+      same two correctly-rounded IEEE ops. Empty cells keep their
+      previous centroid.
 
     Scale: the same shuffle structure as MLlib KMeans — per iteration
     ONE groupBy("cell") with map-side partial aggregation; only
     ``n_cells × dim`` longs ever reach the driver. The assignment is a
-    pure projection (no shuffle). int64 headroom: components |x| ≤ ~1e2
-    quantized at 1e7 → ≤1e9 per row; overflow needs >9e9 rows per
-    cell — repartition the sum or lower ``quant`` beyond that.
+    pure projection (no shuffle). Precision headroom: components
+    |x| ≤ ~1e2 quantized at 1e7 → ≤1e9 per row, so the per-cell sum
+    leaves the double-exact range (2^53) around ~9e6 rows per cell —
+    past that the mean is still deterministic and identical in the
+    oracle (both cast the same int64 to double), just 1-ulp rounded;
+    true int64 overflow needs >9e9 rows per cell. Lower ``quant`` if
+    either bound is approached.
     """
     df = widen_parallelism(df)
     init_rows = (
@@ -302,7 +308,7 @@ def build_ivf_index_deterministic(
         for r in rows:
             n = r["n"]
             new_cents[r["cell"]] = [
-                (r[f"s{i}"] / n) / quant for i in range(dim)
+                (float(r[f"s{i}"]) / n) / quant for i in range(dim)
             ]
         cents = new_cents
     return _assign_cells(df, vec_col, cents)

@@ -150,12 +150,11 @@ class Item:
             self._df = self._load()
         return self._df
 
-    def _arrow_table(self, columns: list[str]):
-        """Driver-side read of the item's parquet via
-        ``pyarrow.dataset`` — DNF filter pushdown, hive ``_pb``
-        partition pruning, NO Spark job. The client-read fast path:
-        a store client shouldn't pay scheduler+shuffle latency to
-        fetch an item it can stream straight off storage."""
+    def _arrow_dataset_and_filter(self):
+        """(pyarrow dataset, filter expression) for this item — the
+        shared plumbing of every driver-side Arrow read (to_pandas,
+        index, read_in_chunks): DNF filter pushdown, hive ``_pb``
+        partition pruning, NO Spark job."""
         import pyarrow as pa
         import pyarrow.dataset as pa_ds
 
@@ -165,6 +164,8 @@ class Item:
         if self._plan is not None and self._plan.kind == "time":
             flt = _prune_tuples(flt, self._plan.freq, self._index_cols)
         expr = filters_to_arrow_expression(flt)
+        # _pb=... hive dirs start with '_', which the default
+        # ignore_prefixes would skip — list the ignores explicitly.
         dataset = pa_ds.dataset(
             str(self._path),
             format="parquet",
@@ -176,6 +177,13 @@ class Item:
                 "_started",
             ],
         )
+        return dataset, expr
+
+    def _arrow_table(self, columns: list[str]):
+        """Driver-side read via ``pyarrow.dataset`` — the client-read
+        fast path: a store client shouldn't pay scheduler+shuffle
+        latency to fetch an item it can stream straight off storage."""
+        dataset, expr = self._arrow_dataset_and_filter()
         return dataset.to_table(columns=columns, filter=expr)
 
     def _restore_meta(self, pdf_columns) -> dict:
@@ -206,8 +214,10 @@ class Item:
                         c for c in self._index_cols if c in pdf.columns
                     ]
                     if present:
+                        # na_position='first' matches Spark orderBy's
+                        # nulls-first default so both engines agree
                         pdf = pdf.sort_values(
-                            present, kind="mergesort"
+                            present, kind="mergesort", na_position="first"
                         ).reset_index(drop=True)
                 return restore_pandas(pdf, self._restore_meta(pdf.columns))
             except Exception:

@@ -246,9 +246,21 @@ def restore_pandas(pdf: pd.DataFrame, meta: dict | None) -> pd.DataFrame:
             freq = {"ME": "M", "YE": "Y", "QE": "Q"}.get(freq, freq)
             pdf[col] = pd.PeriodIndex(pdf[col], freq=freq)
         elif kind == "categorical" and col in pdf.columns:
+            # extend the recorded dictionary with values appended
+            # AFTER the dtype optimizer recorded it — a frozen list
+            # would silently turn new values into NaN on read
+            cats = [str(c) for c in spec["categories"]]
+            known = set(cats)
+            extra = sorted(
+                {
+                    str(v)
+                    for v in pdf[col].dropna().unique()
+                    if str(v) not in known
+                }
+            )
             pdf[col] = pd.Categorical(
                 pdf[col],
-                categories=[str(c) for c in spec["categories"]],
+                categories=cats + extra,
                 ordered=spec["ordered"],
             )
         elif kind == "json" and col in pdf.columns:

@@ -931,10 +931,9 @@ def fixed_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_top_terms",
-    sql="""
+    sql=f"""
     WITH toks AS (
-      SELECT doc_id, unnest(list_filter(
-        string_split_regex(lower(text), '\\s+'), t -> t != '')) AS term
+      SELECT doc_id, unnest({_LOWER_TOKS}) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
            FROM toks GROUP BY doc_id, term),
@@ -1104,13 +1103,35 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator audit: for every LSH candidate pair, the MinHash
     Jaccard estimate (matching signature positions / num_hashes) next
     to the exact shingle Jaccard — the quality-control query a dedup
-    pipeline runs to tune bands/rows. Signatures are computed once and
-    joined (id-keyed shuffles); no all-pairs work outside LSH buckets."""
+    pipeline runs to tune bands/rows. Signatures are computed ONCE;
+    candidate pairs are derived from the same signature frame via band
+    keys (id-keyed shuffles); no all-pairs work outside LSH buckets."""
     doc = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(doc, "text", "doc_id", num_hashes=8)
-    pairs = D.lsh_candidate_pairs(
-        doc, "text", "doc_id", num_hashes=8, bands=4
-    ).select("id_i", "id_j")
+    # materialize signatures once — they are referenced four times
+    # below (band self-join sides + both estimate join sides), and
+    # without the checkpoint each reference would recompute the full
+    # md5-over-shingles pass
+    sigs = D.minhash_signatures(
+        doc, "text", "doc_id", num_hashes=8
+    ).localCheckpoint(eager=True)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(D.lsh_band_keys(F.col("sig"), bands=4, rows=2)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    pairs = (
+        banded.select(F.col("doc_id").alias("id_i"), "band_idx", "band_key")
+        .join(
+            banded.select(
+                F.col("doc_id").alias("id_j"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j")
+        .distinct()
+    )
     sh = doc.select(
         "doc_id", X.shingles("text").alias("sh")
     )

@@ -208,46 +208,70 @@ class CollectionLock:
                     )
                 time.sleep(self.retry_interval)
 
-    def _claim_break(self) -> None:
-        """Atomically claim the right to break the lock: rename the
-        lock dir to a unique tombstone first (only ONE of many waiters
-        can win the rename), re-validate staleness on the tombstone's
-        own owner.json, then delete it — or rename it back if the lock
-        turned out to be a fresh re-acquisition.  Deleting in-place
-        instead (read-then-rm_tree) is a TOCTOU: two waiters can both
-        judge the same owner.json stale, waiter A breaks and
-        re-acquires, then waiter B's delete destroys A's fresh lock."""
-        tombstone = self.lock_dir.with_name(
-            f"{self.lock_dir.name}.break_{uuid.uuid4().hex}"
-        )
+    def _claim_break(self, judged: dict | None) -> None:
+        """Break the lock in place, serialized by a breaker lock.
+
+        A rename-to-tombstone protocol (break by moving the dir away,
+        restore if it turns out fresh) cannot restore safely: while
+        the dir is renamed away a third process can acquire, and the
+        restore then clobbers or orphans that fresh lock. Instead,
+        breaking itself is a critical section: only the waiter holding
+        the ``.breaker`` mkdir-lock may delete, and it re-validates
+        (same owner as judged stale AND still past the TTL) before
+        removing the dir in place. A new holder can only appear while
+        the lock dir is absent — i.e. strictly after a completed
+        break — so a fresh lock is never destroyed. (A paused-process
+        holder whose lease was legitimately broken still needs fencing
+        tokens to be safe against; that is beyond any FS-only lock.)
+        """
+        breaker = self.lock_dir.with_name(self.lock_dir.name + ".breaker")
         try:
-            os.rename(self.lock_dir, tombstone)
-        except OSError:
-            return  # someone else broke or released it — just retry
-        fresh = False
-        try:
-            with open(tombstone / "owner.json") as fh:
-                info = json.load(fh)
-            fresh = (
-                time.time() - float(info.get("acquired", 0))
-                <= self.stale_after
-            )
-        except (OSError, ValueError, KeyError, TypeError):
-            pass
-        if fresh:
+            os.mkdir(breaker)
+        except (FileExistsError, OSError):
+            # another waiter is breaking; clear the breaker itself if
+            # its owner crashed mid-break, then let the retry loop spin
             try:
-                os.rename(tombstone, self.lock_dir)
-                return
+                if time.time() - os.stat(breaker).st_mtime > max(
+                    30.0, 10 * self.retry_interval
+                ):
+                    utils.rm_tree(breaker)
             except OSError:
-                pass  # a new holder raced in; fall through and clean up
-        utils.rm_tree(tombstone)
+                pass
+            return
+        try:
+            try:
+                with open(self.lock_dir / "owner.json") as fh:
+                    info = json.load(fh)
+                stale = (
+                    time.time() - float(info.get("acquired", 0))
+                    > self.stale_after
+                )
+                same = judged is None or info.get("owner") == judged.get(
+                    "owner"
+                )
+                if not (stale and same):
+                    return  # re-acquired since judgement — leave it
+            except (OSError, ValueError, KeyError, TypeError):
+                # unreadable owner.json: only break if the directory
+                # itself outlived the stale window (crashed mid-acquire)
+                try:
+                    if (
+                        time.time() - os.stat(self.lock_dir).st_mtime
+                        <= self.stale_after
+                    ):
+                        return
+                except OSError:
+                    return  # lock vanished — nothing to break
+            utils.rm_tree(self.lock_dir)
+        finally:
+            utils.rm_tree(breaker)
 
     def _break_if_stale(self) -> None:
         try:
             with open(self.lock_dir / "owner.json") as fh:
                 info = json.load(fh)
             if time.time() - float(info.get("acquired", 0)) > self.stale_after:
-                self._claim_break()
+                self._claim_break(info)
             return
         except (OSError, ValueError, KeyError, TypeError):
             pass
@@ -256,7 +280,7 @@ class CollectionLock:
         # than the stale window (a crashed holder never published it)
         try:
             if time.time() - os.stat(self.lock_dir).st_mtime > self.stale_after:
-                self._claim_break()
+                self._claim_break(None)
         except OSError:
             pass
 

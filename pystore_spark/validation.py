@@ -197,14 +197,28 @@ class ExpressionRule(ValidationRule):
         return f"{self.error_message} ({v} rows)" if v else None
 
 
-def count_order_inversions(df: DataFrame, column: str) -> int:
-    """Inversions of ``column`` w.r.t. the frame's physical row order,
-    computed scale-safe: one Arrow-batched pass per partition (constant
-    memory, no shuffle at all), then a boundary comparison over the
-    tiny one-row-per-partition result.  Replaces the former global
-    ``Window.orderBy`` formulation, which funnelled the whole table
-    through a single task.
+def count_order_inversions(
+    df: DataFrame, column: str, order_col: str | None = None
+) -> int:
+    """Inversions of ``column``, computed scale-safe: one
+    Arrow-batched pass per partition (constant memory), then a
+    boundary comparison over the tiny one-row-per-partition result.
+    Replaces the former global ``Window.orderBy`` formulation, which
+    funnelled the whole table through a single task.
+
+    With ``order_col`` the check is logical — ``column`` is tested
+    against the order defined by ``order_col`` (one range shuffle;
+    deterministic at any parallelism). Without it, the check runs in
+    the frame's PHYSICAL row order, which is only meaningful for
+    driver-originated frames or sorted storage reads (the reference's
+    pandas ``is_monotonic`` semantics); after a join/groupBy/
+    repartition the physical order is arbitrary — pass ``order_col``.
     """
+    if order_col is not None:
+        n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+        df = df.select(column, order_col).repartitionByRange(
+            n_parts, order_col
+        ).sortWithinPartitions(order_col)
     col_type = df.schema[column].dataType.simpleString()
 
     def _per_partition(batches):
@@ -249,20 +263,35 @@ def count_order_inversions(df: DataFrame, column: str) -> int:
 
 
 class MonotonicIndexRule(ValidationRule):
-    """Sorted-index check in physical storage order (reference:
-    pystore/validation.py:317-325).  Runs as its own linear job via
-    :func:`count_order_inversions` — a sortedness check is inherently
-    order-sensitive, so it can't fold into the shared commutative
-    aggregate without a single-task global window."""
+    """Sorted-index check (reference: pystore/validation.py:317-325).
+    Runs as its own linear job via :func:`count_order_inversions` — a
+    sortedness check is inherently order-sensitive, so it can't fold
+    into the shared commutative aggregate without a single-task global
+    window.
 
-    def __init__(self, column: str = "index", name: str = "sorted_index"):
+    By default the check runs in physical row order, matching the
+    reference's pandas ``is_monotonic`` on driver-originated frames
+    and sorted storage reads. For frames that have been shuffled
+    (join/groupBy/repartition) physical order is arbitrary — pass
+    ``order_col`` (e.g. a sequence id) to check the logical order
+    instead."""
+
+    def __init__(
+        self,
+        column: str = "index",
+        name: str = "sorted_index",
+        order_col: str | None = None,
+    ):
         super().__init__(name)
         self.column = column
+        self.order_col = order_col
 
     def run_spark(self, df: DataFrame) -> str | None:
         if self.column not in df.columns:
             return None
-        v = count_order_inversions(df, self.column)
+        if self.order_col is not None and self.order_col not in df.columns:
+            return None
+        v = count_order_inversions(df, self.column, self.order_col)
         if v:
             return (
                 f"index column {self.column!r} is not sorted "

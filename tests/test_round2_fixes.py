@@ -107,20 +107,48 @@ def test_partition_append_rolls_back_on_rename_failure(
 # ---------------------------------------------------------------------------
 # CollectionLock: stale break is claimed atomically; release is owned
 # ---------------------------------------------------------------------------
-def test_lock_break_restores_fresh_lock(test_collection):
+def test_lock_break_leaves_fresh_lock_in_place(test_collection):
     from pystore_spark.transactions import CollectionLock
 
     holder = CollectionLock(test_collection, name="t", stale_after=300.0)
     assert holder.acquire()
-    # a waiter that (wrongly) decides to break must notice the lock is
-    # fresh inside the tombstone and restore it
+    # a waiter that (wrongly) attempts a break must re-validate under
+    # the breaker lock, see the lock is fresh, and leave it untouched
     waiter = CollectionLock(test_collection, name="t", stale_after=300.0)
-    waiter._claim_break()
+    with open(holder.lock_dir / "owner.json") as fh:
+        judged = json.load(fh)
+    waiter._claim_break(judged)
     assert holder.lock_dir.exists()
     with open(holder.lock_dir / "owner.json") as fh:
         assert json.load(fh)["owner"] == holder.owner
+    # the breaker lock must not be left behind
+    assert not holder.lock_dir.with_name(
+        holder.lock_dir.name + ".breaker"
+    ).exists()
     holder.release()
     assert not holder.lock_dir.exists()
+
+
+def test_lock_break_skips_when_owner_changed_since_judgement(test_collection):
+    from pystore_spark.transactions import CollectionLock
+
+    stale = CollectionLock(test_collection, name="v", stale_after=0.05)
+    assert stale.acquire()
+    with open(stale.lock_dir / "owner.json") as fh:
+        judged = json.load(fh)
+    time.sleep(0.1)
+    # the stale holder's lock is replaced by a fresh one before the
+    # waiter's break runs: the owner-token mismatch must stop the break
+    import pystore_spark.utils as _u
+    _u.rm_tree(stale.lock_dir)
+    fresh = CollectionLock(test_collection, name="v", stale_after=0.05)
+    assert fresh.acquire()
+    waiter = CollectionLock(test_collection, name="v", stale_after=300.0)
+    waiter._claim_break(judged)
+    assert fresh.lock_dir.exists()
+    with open(fresh.lock_dir / "owner.json") as fh:
+        assert json.load(fh)["owner"] == fresh.owner
+    fresh.release()
 
 
 def test_lock_release_leaves_foreign_lock_alone(test_collection):
@@ -309,3 +337,65 @@ def test_append_threaded(test_collection):
     test_collection.wait_for_tasks()
     test_collection.clear_metadata_cache("thr")
     assert len(test_collection.item("thr").to_pandas()) == 25
+
+
+# ---------------------------------------------------------------------------
+# review fixes: categorical append, chunk_size validation, crash recovery
+# ---------------------------------------------------------------------------
+def test_categorical_survives_append_with_new_values(test_collection):
+    n = 120
+    idx = pd.date_range("2024-01-01", periods=n, freq="h")
+    df = pd.DataFrame(
+        {"label": ["red", "green", "blue"] * (n // 3),
+         "v": np.arange(n, dtype=float)},
+        index=idx,
+    )
+    test_collection.write("cat", df)
+    casts = test_collection.optimize_item_dtypes("cat")
+    assert casts.get("label") == "category"
+    # append rows with a category value unseen at optimize time
+    extra_idx = pd.date_range("2024-02-01", periods=4, freq="h")
+    extra = pd.DataFrame(
+        {"label": ["violet"] * 4, "v": [1.0] * 4}, index=extra_idx
+    )
+    test_collection.append("cat", extra)
+    back = test_collection.item("cat").to_pandas()
+    assert len(back) == n + 4
+    # the new value must NOT be silently dropped to NaN
+    assert back["label"].isna().sum() == 0
+    assert "violet" in set(back["label"].astype(str))
+
+
+def test_read_in_chunks_rejects_nonpositive_chunk_size(test_collection):
+    idx = pd.date_range("2024-01-01", periods=10, freq="D")
+    test_collection.write(
+        "tiny", pd.DataFrame({"v": np.arange(10.0)}, index=idx)
+    )
+    with pytest.raises(ValueError, match="chunk_size"):
+        next(test_collection.read_in_chunks("tiny", chunk_size=0))
+
+
+def test_recover_item_restores_parked_bucket(test_collection):
+    n = 40000  # enough rows for the time-bucketed layout
+    idx = pd.date_range("2023-01-01", periods=n, freq="min")
+    test_collection.write(
+        "rec", pd.DataFrame({"v": np.arange(float(n))}, index=idx)
+    )
+    item_path = test_collection._item_path("rec")
+    buckets = sorted(item_path.glob("_pb=*"))
+    assert buckets, "expected hive-bucketed layout"
+    # simulate a crash between park and install: bucket renamed away
+    victim = buckets[0]
+    parked = item_path / f".__old_{victim.name}_deadbeef"
+    victim.rename(parked)
+    assert not victim.exists()
+    restored = test_collection.recover_item("rec")
+    assert restored == 1
+    assert victim.exists() and not parked.exists()
+    # stale backup WITH live bucket present is dropped
+    stale = item_path / f".__old_{buckets[-1].name}_cafebabe"
+    stale.mkdir()
+    assert test_collection.recover_item("rec") == 1
+    assert not stale.exists()
+    back = test_collection.item("rec").to_pandas()
+    assert len(back) == n
