@@ -491,6 +491,34 @@ class Collection:
             utils.rm_tree(bkp)
         utils.rm_tree(tmp)
 
+    def sql(
+        self,
+        query: str,
+        items: Sequence[str] | None = None,
+        snapshot: str | None = None,
+    ) -> DataFrame:
+        """Run Spark SQL over this collection's items.
+
+        Each item (or the given subset) is registered as a temp view
+        named after the item — non-identifier characters become ``_``
+        — then ``query`` executes against them lazily: filters and
+        projections in the SQL push down to the parquet scans exactly
+        like the DataFrame API (the views are the same lazy plans
+        ``Item.data`` returns, including ``_pb`` partition pruning).
+
+        >>> col.sql("SELECT a.ts, a.px, b.qty FROM trades a "
+        ...         "JOIN quotes b ON a.ts = b.ts")
+        """
+        import re
+
+        names = list(items) if items is not None else self.items
+        for name in names:
+            view = re.sub(r"\W", "_", name)
+            self.item(name, snapshot=snapshot).data.createOrReplaceTempView(
+                view
+            )
+        return self.spark.sql(query)
+
     def recover_item(self, item: str) -> int:
         """Heal a crashed partition-scoped append: restore any
         ``.__old_<bucket>_<token>`` backup whose live bucket is

@@ -194,3 +194,23 @@ def test_arrow_and_spark_read_paths_agree(test_collection):
     full_a = col.item("parity").to_pandas(engine="arrow")
     full_b = col.item("parity").to_pandas(engine="spark")
     pd.testing.assert_frame_equal(full_a, full_b)
+
+
+def test_collection_sql_joins_items(test_collection):
+    import numpy as np
+    import pandas as pd
+
+    idx = pd.date_range("2024-01-01", periods=50, freq="D")
+    test_collection.write(
+        "trades", pd.DataFrame({"px": np.arange(50.0)}, index=idx)
+    )
+    test_collection.write(
+        "quotes", pd.DataFrame({"qty": np.arange(50) * 2}, index=idx)
+    )
+    out = test_collection.sql(
+        "SELECT t.index, t.px, q.qty FROM trades t "
+        "JOIN quotes q ON t.index = q.index WHERE t.px >= 40"
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["qty"] == int(r["px"]) * 2 for r in rows)
