@@ -51,7 +51,11 @@ def _storage_bench(spark, sf_dir: str) -> float:
     """Engine storage path at benchmark scale: write the lineitem fact
     as a time-keyed item, upsert a 10% slice, filtered+projected read
     back (the reference's headline claims are about this path —
-    append throughput, pushdown reads)."""
+    append throughput, pushdown reads).
+
+    The full cycle runs twice and the SECOND run is timed — steady-state
+    throughput, excluding first-use JIT/allocator/page-cache effects.
+    ``_pandas_storage_baseline`` is measured identically."""
     import shutil
     import tempfile
     import time as _t
@@ -77,24 +81,26 @@ def _storage_bench(spark, sf_dir: str) -> float:
                 " + l_orderkey * 10 + l_linenumber)"
             ),
         ).drop("l_shipdate")
-        # warm the storage codepaths (window/range-exchange/parquet-sink
-        # codegen) on a 1%-slice so the timed cycle measures steady-state
-        # engine throughput, not first-use JIT compilation
-        warm = li.filter(F.col("l_orderkey") % 100 == 0)
-        col.write("warmup", warm)
-        col.append("warmup", warm.limit(1000), duplicate_handling="keep_last")
-        col.item("warmup").data.write.mode("overwrite").format("noop").save()
-        t0 = _t.perf_counter()
-        col.write("fact", li)
         upd = li.filter(F.col("l_orderkey") % 10 == 0).withColumn(
             "l_quantity", F.col("l_quantity") + 1
         )
-        col.append("fact", upd, duplicate_handling="keep_last")
-        col.item(
-            "fact",
-            filters=[("l_returnflag", "==", "R")],
-            columns=["l_quantity", "l_extendedprice"],
-        ).data.write.mode("overwrite").format("noop").save()
+
+        def cycle() -> None:
+            col.write("fact", li, overwrite=True)
+            col.append("fact", upd, duplicate_handling="keep_last")
+            # client read — the engine's Arrow fast path materializes a
+            # pandas frame, the same semantic (and comparable I/O) as
+            # the baseline's pq.read_table
+            out = col.item(
+                "fact",
+                filters=[("l_returnflag", "==", "R")],
+                columns=["l_quantity", "l_extendedprice"],
+            ).to_pandas(sort=False)
+            _ = len(out)
+
+        cycle()  # warmup pass
+        t0 = _t.perf_counter()
+        cycle()
         return _t.perf_counter() - t0
     finally:
         config._path = old_path
@@ -112,6 +118,9 @@ def _pandas_storage_baseline(sf_dir: str) -> float:
     so this is the closest honest apples-to-apples absolute number for
     the 2× envelope. Recorded under ``baseline`` in the output JSON,
     NOT added to the engine total.
+
+    Measured like ``_storage_bench``: the cycle runs twice, the second
+    run is timed (steady state).
     """
     import shutil
     import tempfile
@@ -128,25 +137,30 @@ def _pandas_storage_baseline(sf_dir: str) -> float:
         )
         li = li.drop(columns=["l_shipdate"])
         path = os.path.join(tmp, "fact.parquet")
+
+        def cycle() -> None:
+            li.sort_values("index").to_parquet(
+                path, compression="snappy", index=False
+            )
+            existing = pd.read_parquet(path)
+            upd = existing[existing["l_orderkey"] % 10 == 0].copy()
+            upd["l_quantity"] = upd["l_quantity"] + 1
+            merged = pd.concat([existing, upd]).drop_duplicates(
+                subset=["index"], keep="last"
+            )
+            merged.sort_values("index").to_parquet(
+                path, compression="snappy", index=False
+            )
+            out = pq.read_table(
+                path,
+                columns=["l_quantity", "l_extendedprice"],
+                filters=[("l_returnflag", "==", "R")],
+            )
+            _ = out.num_rows
+
+        cycle()  # warmup pass
         t0 = _t.perf_counter()
-        li.sort_values("index").to_parquet(
-            path, compression="snappy", index=False
-        )
-        existing = pd.read_parquet(path)
-        upd = existing[existing["l_orderkey"] % 10 == 0].copy()
-        upd["l_quantity"] = upd["l_quantity"] + 1
-        merged = pd.concat([existing, upd]).drop_duplicates(
-            subset=["index"], keep="last"
-        )
-        merged.sort_values("index").to_parquet(
-            path, compression="snappy", index=False
-        )
-        out = pq.read_table(
-            path,
-            columns=["l_quantity", "l_extendedprice"],
-            filters=[("l_returnflag", "==", "R")],
-        )
-        _ = out.num_rows
+        cycle()
         return _t.perf_counter() - t0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

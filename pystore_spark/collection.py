@@ -157,40 +157,7 @@ class Collection:
         if isinstance(data, Item):
             return data.data, dict(data._pandas_meta), None, None
         if isinstance(data, DataFrame):
-            if index_col is not None and index_col not in data.columns:
-                raise ValidationError(
-                    f"index_col {index_col!r} not in columns {data.columns}"
-                )
-            if index_col is None:
-                # honor a read_csv(index_col=...) designation carried in
-                # column metadata (sources.INDEX_META_KEY)
-                from pystore_spark.sources import INDEX_META_KEY
-
-                tagged = [
-                    f.name
-                    for f in data.schema.fields
-                    if f.metadata.get(INDEX_META_KEY)
-                ]
-                if tagged:
-                    index_col = tagged[0]
-            meta: dict = {
-                "index": {
-                    "columns": [
-                        index_col
-                        or (
-                            DEFAULT_INDEX_NAME
-                            if DEFAULT_INDEX_NAME in data.columns
-                            else data.columns[0]
-                        )
-                    ],
-                    "multi": False,
-                    "named": True,
-                },
-                "timezones": {},
-                "conversions": {},
-                "ns_columns": [],
-            }
-            return data, meta, None, None
+            return data, self._spark_input_meta(data, index_col), None, None
         if isinstance(data, pd.Series):
             data = data.to_frame()
         if not isinstance(data, pd.DataFrame):
@@ -208,6 +175,43 @@ class Collection:
             minmax = (flat[icol].min(), flat[icol].max())
         sdf = self._create_df(flat)
         return sdf, meta, nrows, minmax
+
+    def _spark_input_meta(self, data: DataFrame, index_col: str | None) -> dict:
+        """pandas round-trip metadata for direct Spark-DataFrame input
+        (no flattening needed — only the index designation)."""
+        if index_col is not None and index_col not in data.columns:
+            raise ValidationError(
+                f"index_col {index_col!r} not in columns {data.columns}"
+            )
+        if index_col is None:
+            # honor a read_csv(index_col=...) designation carried in
+            # column metadata (sources.INDEX_META_KEY)
+            from pystore_spark.sources import INDEX_META_KEY
+
+            tagged = [
+                f.name
+                for f in data.schema.fields
+                if f.metadata.get(INDEX_META_KEY)
+            ]
+            if tagged:
+                index_col = tagged[0]
+        return {
+            "index": {
+                "columns": [
+                    index_col
+                    or (
+                        DEFAULT_INDEX_NAME
+                        if DEFAULT_INDEX_NAME in data.columns
+                        else data.columns[0]
+                    )
+                ],
+                "multi": False,
+                "named": True,
+            },
+            "timezones": {},
+            "conversions": {},
+            "ns_columns": [],
+        }
 
     def _create_df(self, flat: pd.DataFrame) -> DataFrame:
         if len(flat) == 0:
@@ -256,6 +260,16 @@ class Collection:
         if validator is not None and isinstance(data, pd.DataFrame):
             validator.validate(data, raise_on_error=True)
 
+        # sub-threshold frames: driver-side Arrow writer (no Spark job
+        # beyond an Arrow collect for Spark input) — see arrow_path.py
+        from pystore_spark import arrow_path
+
+        if arrow_path.try_write(
+            self, item, data, metadata, npartitions, epochdate, index_col
+        ):
+            self.clear_metadata_cache(item)
+            return
+
         df, pmeta, nrows, minmax = self._prepare_input(
             data, epochdate=epochdate, index_col=index_col
         )
@@ -264,7 +278,13 @@ class Collection:
             df, index_col=idx_cols[0], npartitions=npartitions,
             nrows=nrows, index_minmax=minmax,
         )
-        shaped = apply_layout(df, plan, index_col=idx_cols[0])
+        from pystore_spark.partition import estimate_size_bytes
+
+        est = estimate_size_bytes(df)
+        shaped = apply_layout(
+            df, plan, index_col=idx_cols[0],
+            small=est is not None and est <= config.PARTITION_TARGET_BYTES,
+        )
 
         sidecar = dict(metadata or {})
         sidecar[META_KEY] = pmeta
@@ -283,12 +303,20 @@ class Collection:
     ) -> None:
         """tmp dir → backup → rename protocol (reference
         _atomic_write: pystore/collection.py:619-675)."""
+        self._atomic_install(
+            item, lambda tmp: self._write_df(df, str(tmp), plan), sidecar
+        )
+
+    def _atomic_install(self, item: str, write_fn, sidecar: dict) -> None:
+        """Shared whole-item commit protocol: ``write_fn(tmp_dir)``
+        produces the data files (Spark or Arrow writer), then
+        tmp → backup → rename swaps the item atomically."""
         item_path = self._item_path(item)
         token = uuid.uuid4().hex[:8]
         tmp = self.path / f".__tmp_{item}_{token}"
         backup = self.path / f".__backup_{item}_{token}"
         try:
-            self._write_df(df, str(tmp), plan)
+            write_fn(tmp)
             utils.write_metadata(tmp, sidecar)
         except Exception:
             utils.rm_tree(tmp)
@@ -353,6 +381,21 @@ class Collection:
             raise ItemNotFoundError(
                 f"cannot append to missing item {item!r}; write() it first"
             )
+        # heal any crashed prior append BEFORE the file listing freezes:
+        # a bucket restored after spark.read.parquet would be invisible
+        # to the merge and silently dropped by the swap
+        self.recover_item(item)
+
+        # sub-threshold appends: driver-side Arrow merge over only the
+        # touched buckets (see arrow_path.py)
+        from pystore_spark import arrow_path
+
+        if arrow_path.try_append(
+            self, item, data, npartitions, epochdate, duplicate_handling,
+            validate_schema, order_col=kwargs.get("order_col"),
+        ):
+            self.clear_metadata_cache(item)
+            return
 
         incoming, inc_meta, nrows, _ = self._prepare_input(data, epochdate=epochdate)
         if nrows == 0 or (nrows is None and incoming.isEmpty()):
@@ -402,13 +445,22 @@ class Collection:
                 sidecar, order_col=order_col,
             )
         else:
+            from pystore_spark.arrow_path import dir_bytes
+            from pystore_spark.partition import estimate_size_bytes
+
             existing = existing.drop(PARTITION_COL) if PARTITION_COL in existing.columns else existing
             merged = merge_append(existing, incoming, idx_cols,
                                   duplicate_handling, order_col=order_col)
             new_plan = plan_partitions(
                 merged, index_col=idx_cols[0], npartitions=npartitions
             ) if plan.kind != "time" else plan
-            shaped = apply_layout(merged, new_plan, index_col=idx_cols[0])
+            inc_est = estimate_size_bytes(incoming)
+            shaped = apply_layout(
+                merged, new_plan, index_col=idx_cols[0],
+                small=inc_est is not None
+                and dir_bytes(self._item_path(item)) + inc_est
+                <= config.PARTITION_TARGET_BYTES,
+            )
             sidecar["_partition_plan"] = new_plan.to_dict()
             self._atomic_write(item, shaped, new_plan, sidecar)
         self.clear_metadata_cache(item)
@@ -433,10 +485,10 @@ class Collection:
         the designed escape hatch where that matters. Crash recovery:
         see :meth:`recover_item`, invoked at the start of every
         append."""
-        from pystore_spark.partition import bucket_expr
+        from pystore_spark.arrow_path import dir_bytes
+        from pystore_spark.partition import bucket_expr, estimate_size_bytes
 
         item_path = self._item_path(item)
-        self.recover_item(item)
         inc = incoming.withColumn(
             PARTITION_COL, bucket_expr(plan.freq, idx_cols[0])
         )
@@ -451,14 +503,35 @@ class Collection:
             subset, inc.drop(PARTITION_COL), idx_cols, duplicate_handling,
             order_col=order_col,
         )
-        shaped = apply_layout(merged, plan, index_col=idx_cols[0])
+        # merged size ≈ touched on-disk bytes + incoming estimate; under
+        # one target partition the range exchange is pure overhead
+        inc_est = estimate_size_bytes(incoming)
+        touched_bytes = sum(
+            dir_bytes(item_path / f"{PARTITION_COL}={b}")
+            for b in buckets
+            if (item_path / f"{PARTITION_COL}={b}").exists()
+        )
+        shaped = apply_layout(
+            merged, plan, index_col=idx_cols[0],
+            small=inc_est is not None
+            and touched_bytes + inc_est <= config.PARTITION_TARGET_BYTES,
+        )
+        self._install_buckets(
+            item, lambda tmp: self._write_df(shaped, str(tmp), plan), sidecar
+        )
 
+    def _install_buckets(self, item: str, write_fn, sidecar: dict) -> None:
+        """Shared bucket-swap commit: ``write_fn(tmp_dir)`` writes the
+        merged replacement buckets (hive ``_pb=...`` dirs) into a tmp
+        dir (Spark or Arrow writer), then a two-phase swap installs
+        them."""
+        item_path = self._item_path(item)
         token = uuid.uuid4().hex[:8]
         tmp = self.path / f".__tmp_{item}_{token}"
         staged: list[tuple[Path, Path]] = []  # (target, backup) parked aside
         installed: list[Path] = []  # merged bucket dirs moved in
         try:
-            self._write_df(shaped, str(tmp), plan)
+            write_fn(tmp)
             new_buckets = sorted(Path(tmp).glob(f"{PARTITION_COL}=*"))
             # two-phase swap (mirrors _atomic_write's backup/restore):
             # phase 1 — park every touched live bucket in a backup dir;
@@ -689,6 +762,8 @@ class Collection:
         bottleneck for a bulk-read API)."""
         import pyarrow as pa
 
+        from pystore_spark.arrow_path import normalize_read_types
+
         chunk_size = int(chunk_size)
         if chunk_size < 1:
             raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
@@ -708,12 +783,14 @@ class Collection:
             buffered += batch.num_rows
             while buffered >= chunk_size:
                 tbl = pa.Table.from_batches(buf)
-                yield tbl.slice(0, chunk_size).to_pandas()
+                yield normalize_read_types(
+                    tbl.slice(0, chunk_size)
+                ).to_pandas()
                 rest = tbl.slice(chunk_size)
                 buf = rest.to_batches()
                 buffered = rest.num_rows
         if buffered:
-            yield pa.Table.from_batches(buf).to_pandas()
+            yield normalize_read_types(pa.Table.from_batches(buf)).to_pandas()
 
     def item_size_bytes(self, item: str) -> int:
         """On-disk size of the item's parquet parts (reference

@@ -22,6 +22,13 @@ MAX_PARTITIONS = 100_000  # reference clamps to 100 (pystore/partition.py:81)
 # metadata cache TTL (reference: pystore/collection.py:116-136 — 5 min)
 METADATA_CACHE_TTL_SECONDS = 300.0
 
+# Driver-side Arrow fast-path ceiling (write/append; see arrow_path.py).
+# Frames estimated above this always take the distributed Spark path;
+# 0 disables the fast path entirely.
+DRIVER_PATH_MAX_BYTES = int(
+    os.environ.get("PYSTORE_SPARK_DRIVER_PATH_MAX_BYTES", 256 * 1024 * 1024)
+)
+
 _path: str | None = None
 
 

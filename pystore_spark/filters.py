@@ -69,18 +69,46 @@ def filters_to_column(filters: Sequence | None) -> Column | None:
     return out
 
 
-def filters_to_arrow_expression(filters: Sequence | None):
+def filters_to_arrow_expression(filters: Sequence | None, schema=None):
     """Compile the same tuple-DNF to a ``pyarrow.dataset`` expression
     (None when no filters) — for the driver-side Arrow read fast path
-    that serves reads without a Spark job."""
+    that serves reads without a Spark job.
+
+    ``schema`` (the dataset schema) localizes naive timestamp literals
+    against tz-aware storage columns (TIMESTAMP_MICROS adjusted-to-UTC
+    files read back as ``timestamp[us, tz=UTC]``; Arrow refuses naive
+    vs aware comparisons, unlike Spark's session-tz semantics)."""
     if not filters:
         return None
+    import pyarrow as pa
     import pyarrow.parquet as pa_pq
+
+    def _coerce(col, v):
+        if schema is None or col not in schema.names:
+            return v
+        t = schema.field(col).type
+        if pa.types.is_timestamp(t) and t.tz is not None:
+            import pandas as pd
+
+            def one(x):
+                ts = pd.Timestamp(x)
+                return (
+                    ts.tz_localize(t.tz) if ts.tzinfo is None
+                    else ts.tz_convert(t.tz)
+                )
+
+            try:
+                if isinstance(v, (list, tuple, set)):
+                    return [one(x) for x in v]
+                return one(v)
+            except Exception:
+                return v
+        return v
 
     def _norm(t):
         col, op, v = t
         op = {"=": "==", "not-in": "not in"}.get(op, op)
-        return (col, op, v)
+        return (col, op, _coerce(col, v))
 
     flist = list(filters)
     if all(isinstance(f, tuple) and len(f) == 3 for f in flist):

@@ -163,7 +163,6 @@ class Item:
         flt = self._filters
         if self._plan is not None and self._plan.kind == "time":
             flt = _prune_tuples(flt, self._plan.freq, self._index_cols)
-        expr = filters_to_arrow_expression(flt)
         # _pb=... hive dirs start with '_', which the default
         # ignore_prefixes would skip — list the ignores explicitly.
         dataset = pa_ds.dataset(
@@ -177,14 +176,21 @@ class Item:
                 "_started",
             ],
         )
+        expr = filters_to_arrow_expression(flt, schema=dataset.schema)
         return dataset, expr
 
     def _arrow_table(self, columns: list[str]):
         """Driver-side read via ``pyarrow.dataset`` — the client-read
         fast path: a store client shouldn't pay scheduler+shuffle
-        latency to fetch an item it can stream straight off storage."""
+        latency to fetch an item it can stream straight off storage.
+        Storage timestamps (µs adjusted-to-UTC) come back as the
+        pandas-facing naive-ns convention."""
+        from pystore_spark.arrow_path import normalize_read_types
+
         dataset, expr = self._arrow_dataset_and_filter()
-        return dataset.to_table(columns=columns, filter=expr)
+        return normalize_read_types(
+            dataset.to_table(columns=columns, filter=expr)
+        )
 
     def _restore_meta(self, pdf_columns) -> dict:
         meta = self._pandas_meta

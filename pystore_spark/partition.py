@@ -118,7 +118,8 @@ def estimate_size_bytes(df: DataFrame) -> int | None:
     try:
         jdf = df._jdf  # noqa: SLF001 — no public stats API in PySpark
         stats = jdf.queryExecution().optimizedPlan().stats()
-        size = int(stats.sizeInBytes().toString())
+        # py4j auto-converts scala BigInt to Python int; str() covers both
+        size = int(str(stats.sizeInBytes()))
         # Catalyst returns Long.MaxValue-ish when unknown
         if 0 < size < (1 << 60):
             return size
@@ -150,6 +151,40 @@ class PartitionPlan:
         return cls(d.get("strategy", "size"), d.get("freq"), d.get("npartitions", 1))
 
 
+def plan_from_stats(
+    nrows: int | None,
+    index_minmax: tuple | None,
+    size_bytes: int | None,
+    is_time: bool,
+    parallelism: int = 1,
+    npartitions: int | None = None,
+) -> PartitionPlan:
+    """Layout decision from already-known stats — the pure core shared
+    by the Spark planner below and the driver-side Arrow write path
+    (arrow_path.py), so both engines pick identical layouts."""
+    if npartitions is not None:
+        return PartitionPlan("size", npartitions=max(1, int(npartitions)))
+    if (
+        is_time
+        and nrows is not None
+        and nrows > TIME_PARTITION_MIN_ROWS
+        and index_minmax is not None
+    ):
+        lo, hi = index_minmax
+        if lo is not None and hi is not None:
+            span_days = (hi - lo).total_seconds() / 86400.0
+            n = _floor_to_parallelism(
+                size_based_npartitions(size_bytes, nrows), nrows, parallelism
+            )
+            return PartitionPlan(
+                "time", freq=choose_time_freq(span_days), npartitions=n
+            )
+    n = _floor_to_parallelism(
+        size_based_npartitions(size_bytes, nrows), nrows, parallelism
+    )
+    return PartitionPlan("size", npartitions=n)
+
+
 def plan_partitions(
     df: DataFrame,
     index_col: str = "index",
@@ -171,53 +206,61 @@ def plan_partitions(
 
     parallelism = _default_parallelism(df)
 
-    if is_time:
-        if nrows is None or index_minmax is None:
-            # ONE fused stats job (count + min + max) instead of two
-            # separate scans — planning overhead is pure latency on the
-            # write path
-            row = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(index_col).alias("lo"),
-                F.max(index_col).alias("hi"),
-            ).first()
-            if nrows is None:
-                nrows = row["n"]
-            if index_minmax is None:
-                index_minmax = (row["lo"], row["hi"])
-        if nrows > TIME_PARTITION_MIN_ROWS:
-            lo, hi = index_minmax
-            if lo is not None and hi is not None:
-                span_days = (hi - lo).total_seconds() / 86400.0
-                n = _floor_to_parallelism(
-                    size_based_npartitions(estimate_size_bytes(df), nrows),
-                    nrows, parallelism,
-                )
-                return PartitionPlan(
-                    "time", freq=choose_time_freq(span_days), npartitions=n
-                )
-    size = estimate_size_bytes(df)
-    n = _floor_to_parallelism(
-        size_based_npartitions(size, nrows), nrows, parallelism
+    if is_time and (nrows is None or index_minmax is None):
+        # ONE fused stats job (count + min + max) instead of two
+        # separate scans — planning overhead is pure latency on the
+        # write path
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(index_col).alias("lo"),
+            F.max(index_col).alias("hi"),
+        ).first()
+        if nrows is None:
+            nrows = row["n"]
+        if index_minmax is None:
+            index_minmax = (row["lo"], row["hi"])
+    return plan_from_stats(
+        nrows=nrows,
+        index_minmax=index_minmax,
+        size_bytes=estimate_size_bytes(df),
+        is_time=is_time,
+        parallelism=parallelism,
+        npartitions=npartitions,
     )
-    return PartitionPlan("size", npartitions=n)
 
 
-def apply_layout(df: DataFrame, plan: PartitionPlan, index_col: str = "index") -> DataFrame:
+def apply_layout(
+    df: DataFrame,
+    plan: PartitionPlan,
+    index_col: str = "index",
+    small: bool = False,
+) -> DataFrame:
     """Shape the DataFrame for writing under the plan (adds ``_pb`` for
     time layouts; range-repartitions and sorts within partitions so the
-    on-disk layout is monotonic by index — SURVEY O1)."""
+    on-disk layout is monotonic by index — SURVEY O1).
+
+    ``small=True`` (caller measured the frame under one target
+    partition, config.PARTITION_TARGET_BYTES) swaps the range exchange
+    for a hash exchange on the bucket: no sampling pass over the input
+    (repartitionByRange scans the input once just to pick range
+    bounds), one sorted file per bucket, and the per-bucket
+    serialization that would be a skew hazard at TB scale is bounded by
+    the 128 MB gate. ``sortWithinPartitions`` keeps row-group min/max
+    stats tight either way."""
     if plan.kind == "time" and index_col in df.columns:
         df = df.withColumn(PARTITION_COL, bucket_expr(plan.freq, index_col))
-        # range-partition on (bucket, index): a bucket larger than one
-        # task's share splits across *contiguous* tasks (unlike
-        # hash-repartition by bucket, which pins each bucket to a
-        # single task — a TB-scale month would serialize). Sorting
-        # within partitions keeps row-group min/max stats tight.
         n = max(plan.npartitions, 1)
-        df = df.repartitionByRange(n, PARTITION_COL, index_col)
+        if small:
+            df = df.repartition(n, PARTITION_COL)
+        else:
+            # range-partition on (bucket, index): a bucket larger than
+            # one task's share splits across *contiguous* tasks (unlike
+            # hash-repartition by bucket, which pins each bucket to a
+            # single task — a TB-scale month would serialize). Sorting
+            # within partitions keeps row-group min/max stats tight.
+            df = df.repartitionByRange(n, PARTITION_COL, index_col)
         return df.sortWithinPartitions(PARTITION_COL, index_col)
-    if index_col in df.columns and plan.npartitions > 1:
+    if index_col in df.columns and plan.npartitions > 1 and not small:
         return df.repartitionByRange(plan.npartitions, index_col).sortWithinPartitions(
             index_col
         )

@@ -45,8 +45,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 100k-row Arrow batches: ~10× fewer batch boundaries than the
+        # 10k default — faster toArrow/toPandas collects and fuller
+        # vectorization in mapInPandas kernels at ~tens of MB per batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
@@ -58,6 +63,14 @@ def configure(spark: SparkSession) -> SparkSession:
     session (the driver hands us its own SparkSession)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # int64 µs adjusted-to-UTC — the one parquet timestamp encoding the
+    # Spark writer, the Arrow writer (arrow_path.py), and both readers
+    # agree on; INT96 (the default) breaks Arrow-side schema unification
+    # when an item mixes Spark- and Arrow-written files
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
