@@ -484,6 +484,7 @@ def try_append(
     duplicate_handling: str,
     validate_schema: bool,
     order_col: str | None = None,
+    sidecar_extra: dict | None = None,
 ) -> bool:
     """Driver-side append; True when fully handled. The size gate is
     incoming + touched buckets (time layout) or incoming + whole item
@@ -496,6 +497,8 @@ def try_append(
 
     existing_item = col.item(item)
     sidecar = dict(existing_item.metadata)
+    if sidecar_extra:
+        sidecar.update(sidecar_extra)
     evo = sidecar.get("_schema_evolution")
     if evo and evo.get("enabled"):
         return False  # evolution semantics live in the Spark path

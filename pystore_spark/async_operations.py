@@ -14,9 +14,13 @@ from typing import Any
 
 
 class AsyncCollection:
-    def __init__(self, collection, max_workers: int = 4):
+    def __init__(self, collection, max_workers: int = 4, pool=None):
         self.collection = collection
-        self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        # a pool handed in (AsyncStore's shared executor — reference
+        # pystore/async_operations.py:155-160) is NOT owned here;
+        # close() only shuts down a self-created pool
+        self._owns_pool = pool is None
+        self._pool = pool or ThreadPoolExecutor(max_workers=max_workers)
 
     async def _run(self, fn, *args, **kwargs):
         loop = asyncio.get_running_loop()
@@ -54,22 +58,35 @@ class AsyncCollection:
         return await asyncio.gather(*tasks)
 
     def close(self) -> None:
-        self._pool.shutdown(wait=False)
+        if self._owns_pool:
+            self._pool.shutdown(wait=False)
 
 
 class AsyncStore:
+    """Async store wrapper with ONE shared executor across its
+    collections; ``close()`` shuts it down for all of them (reference
+    AsyncStore.close: pystore/async_operations.py:147-174)."""
+
     def __init__(self, store, max_workers: int = 4):
         self.store = store
         self.max_workers = max_workers
+        self._pool = ThreadPoolExecutor(max_workers=max_workers)
 
     def collection(self, name: str) -> AsyncCollection:
         return AsyncCollection(
-            self.store.collection(name), max_workers=self.max_workers
+            self.store.collection(name),
+            max_workers=self.max_workers,
+            pool=self._pool,
         )
 
     async def list_collections(self):
         loop = asyncio.get_running_loop()
-        return await loop.run_in_executor(None, self.store.list_collections)
+        return await loop.run_in_executor(self._pool, self.store.list_collections)
+
+    def close(self) -> None:
+        """Shut down the shared executor (all collection wrappers from
+        this store stop accepting work)."""
+        self._pool.shutdown(wait=True)
 
 
 @asynccontextmanager
@@ -88,5 +105,4 @@ async def async_pystore(obj):
     try:
         yield wrapped
     finally:
-        if isinstance(wrapped, AsyncCollection):
-            wrapped.close()
+        wrapped.close()

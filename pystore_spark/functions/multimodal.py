@@ -2,12 +2,15 @@
 columns with typed metadata, processed by Arrow-batched pandas
 transforms over ``mapInPandas``.
 
-The decode kernels (image decode, audio resample, video frame
-sampling) need codec libraries that are NOT available in this
-container — they are stubbed behind ``DECODERS``: the default
-deterministic fake parses our synthetic header so the Spark-side
-plumbing (schema, batching, partition flow) is real and tested;
-swapping in a real decoder is a one-line registration.
+``DECODERS`` holds two kernels: ``"fake"`` parses the deterministic
+synthetic header (the default for plumbing tests), and ``"real"``
+parses genuine PNG / GIF / WAV container headers in pure Python —
+dimensions, sample rate, frame counts — with no codec libraries.
+Full pixel/sample decode (image resize kernels, audio resample)
+still needs codec libs absent from this container; those remain the
+one explicitly out-of-scope step, while everything Spark-side
+(schema, Arrow batching, partition flow) is real and tested against
+real PNG/WAV bytes.
 """
 
 from __future__ import annotations
@@ -58,11 +61,75 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
-def _real_decode(payload: bytes) -> dict:  # pragma: no cover - stub
-    raise NotImplementedError(
-        "real image/audio decoding requires codec libraries (Pillow/"
-        "torchaudio/ffmpeg) not present in this environment; register a "
-        "decoder via DECODERS['real'] when available"
+def _real_decode(payload: bytes) -> dict:
+    """Container-header decoder for real media bytes — pure Python, no
+    codec libraries. Parses PNG (IHDR), GIF (logical screen), and WAV
+    (RIFF fmt/data) headers; pixel/sample decode still needs codec
+    libs and stays out of scope here.
+
+    Feature mapping into the generic FEATURE_SCHEMA:
+      image: width/height = pixels, n_frames = 1
+      wav:   width = sample_rate, height = bits_per_sample,
+             n_frames = sample frames (data bytes / frame size)
+    """
+    import binascii
+
+    n_bytes = len(payload)
+    checksum = binascii.crc32(payload) % 65536
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # first chunk must be IHDR: len(4) "IHDR" width(4) height(4)
+        if payload[12:16] != b"IHDR":
+            raise ValueError("malformed PNG: IHDR not first chunk")
+        width, height = struct.unpack(">II", payload[16:24])
+        return {"kind": "png", "width": int(width), "height": int(height),
+                "n_frames": 1, "n_bytes": n_bytes, "checksum": checksum}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        width, height = struct.unpack("<HH", payload[6:10])
+        return {"kind": "gif", "width": int(width), "height": int(height),
+                "n_frames": 1, "n_bytes": n_bytes, "checksum": checksum}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # walk RIFF chunks for fmt and data
+        pos, rate, bits, channels, data_len = 12, 0, 0, 1, 0
+        while pos + 8 <= n_bytes:
+            cid = payload[pos:pos + 4]
+            (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            if cid == b"fmt ":
+                channels, rate = struct.unpack("<HI", payload[pos + 10:pos + 16])
+                (bits,) = struct.unpack("<H", payload[pos + 22:pos + 24])
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        frame_size = max(1, channels * max(bits, 8) // 8)
+        return {"kind": "wav", "width": int(rate), "height": int(bits),
+                "n_frames": int(data_len // frame_size),
+                "n_bytes": n_bytes, "checksum": checksum}
+    raise ValueError(
+        "unsupported media container (expected PNG, GIF, or WAV); full "
+        "pixel/sample decode requires codec libraries not present here"
+    )
+
+
+def write_png(width: int, height: int, pixel_fn=None) -> bytes:
+    """Minimal real PNG encoder (stdlib zlib only) — grayscale 8-bit,
+    used to exercise DECODERS['real'] with genuine image bytes."""
+    import binascii
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = binascii.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    pixel_fn = pixel_fn or (lambda x, y: (x * 7 + y * 13) % 256)
+    raw = b"".join(
+        b"\x00" + bytes(pixel_fn(x, y) % 256 for x in range(width))
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
 
 

@@ -15,20 +15,33 @@ STOPWORDS = {
 }
 
 
+# widen only when the scan delivers less than this much (compressed)
+# input per core — above it, file splits already use the cluster
+_WIDEN_BYTES_PER_CORE = 4 * 1024 * 1024
+
+
 def widen_parallelism(df, min_partitions: int | None = None):
-    """Repartition a CPU-bound input up to the cluster's default
-    parallelism when the scan produced fewer partitions.
+    """Repartition a CPU-BOUND input up to the cluster's default
+    parallelism when the scan would otherwise produce too few splits.
 
     A small parquet file arrives as ONE input split, which serializes
-    per-row compute (md5, shingling, folds) onto a single core while
-    the rest of the cluster idles. The round-robin shuffle this adds
-    is tiny next to the saved compute; on big inputs (≥ parallelism
-    splits — any real 100 TB table) it is a no-op, so hot paths can
-    call it unconditionally.
+    per-row compute (shingling, minhash folds, hamming explodes) onto
+    a single core while the rest of the cluster idles. The decision
+    reads Catalyst's size estimate only — no ``df.rdd`` conversion
+    (which forces plan analysis per call) and no extra job. On big
+    inputs (any real 100 TB table) the estimate exceeds the per-core
+    budget and this is a no-op.
+
+    Do NOT call it in front of a bare groupBy/join: their own shuffle
+    already redistributes, so the extra exchange is pure overhead
+    (round-2 bench: +35% on exact_dedup_groups).
     """
+    from pystore_spark.partition import estimate_size_bytes
+
     try:
         target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        est = estimate_size_bytes(df)
+        if est is not None and est < target * _WIDEN_BYTES_PER_CORE:
             return df.repartition(target)
     except Exception:
         pass

@@ -18,27 +18,53 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+COMMITS_KEY = "_streaming_commits"
+
+
 def merge_sink(
     collection,
     item: str,
     duplicate_handling: str = "keep_last",
     validate_schema: bool = True,
+    sink_key: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function: upsert each micro-batch into the
-    item (creates it on the first batch)."""
+    item (creates it on the first batch).
+
+    Exactly-once under replay: Structured Streaming re-delivers the
+    last micro-batch when a crash lands between storage commit and
+    checkpoint commit. The last applied ``batch_id`` is recorded in
+    the item sidecar *in the same sidecar write that commits the data*
+    (``sidecar_extra``), and replayed ids are skipped — so even
+    ``keep_all``/``error`` strategies, where the merge itself is not
+    idempotent, survive replays. ``sink_key`` namespaces the counter
+    when several independent streams feed one item."""
+    key = sink_key or "default"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if not collection.item_exists(item):
-            collection.write(item, batch_df)
-        else:
-            collection.append(
-                item,
-                batch_df,
-                duplicate_handling=duplicate_handling,
-                validate_schema=validate_schema,
+            collection.write(
+                item, batch_df,
+                sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
             )
+            return
+        commits = dict(
+            collection.get_item_metadata(item, use_cache=False).get(
+                COMMITS_KEY
+            ) or {}
+        )
+        if int(commits.get(key, -1)) >= int(batch_id):
+            return  # replayed micro-batch — already committed
+        commits[key] = int(batch_id)
+        collection.append(
+            item,
+            batch_df,
+            duplicate_handling=duplicate_handling,
+            validate_schema=validate_schema,
+            sidecar_extra={COMMITS_KEY: commits},
+        )
 
     return sink
 
@@ -58,12 +84,13 @@ def ingest_stream(
     pass e.g. ``{"processingTime": "10 seconds"}`` for continuous
     micro-batching.
     """
+    name = query_name or f"ingest_{item}"
     writer = (
         stream_df.writeStream.foreachBatch(
-            merge_sink(collection, item, duplicate_handling)
+            merge_sink(collection, item, duplicate_handling, sink_key=name)
         )
         .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name or f"ingest_{item}")
+        .queryName(name)
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()

@@ -262,6 +262,20 @@ class CollectionLock:
                         return
                 except OSError:
                     return  # lock vanished — nothing to break
+            # final identity re-check right before deletion: release()
+            # serializes through this same breaker, so the dir cannot
+            # be swapped for a fresh holder's while we hold it — but a
+            # release that timed out waiting for a wedged breaker may
+            # have deleted-and-let-reacquire, so read once more
+            try:
+                with open(self.lock_dir / "owner.json") as fh:
+                    now_info = json.load(fh)
+                if judged is not None and now_info.get("owner") != judged.get(
+                    "owner"
+                ):
+                    return  # different (fresh) holder — leave it
+            except (OSError, ValueError, KeyError, TypeError):
+                pass
             utils.rm_tree(self.lock_dir)
         finally:
             utils.rm_tree(breaker)
@@ -285,18 +299,44 @@ class CollectionLock:
             pass
 
     def release(self) -> None:
+        """Release the lease. Serializes with `_claim_break` through
+        the same ``.breaker`` mkdir-lock, closing the TOCTOU where a
+        stale-but-alive holder releases between a breaker's validation
+        and its rm_tree, letting a third process acquire a lock the
+        breaker then destroys. If the breaker stays wedged past a
+        short deadline (its holder crashed mid-break), fall through
+        with the ownership re-check only — full safety against paused
+        processes needs fencing tokens, beyond any FS-only lock."""
         if not self.held:
             return
         self.held = False
-        # only delete a lock we still own — if our lease was broken as
-        # stale and re-acquired by someone else, leave theirs alone
+        breaker = self.lock_dir.with_name(self.lock_dir.name + ".breaker")
+        got_breaker = False
+        deadline = time.monotonic() + max(2.0, 10 * self.retry_interval)
+        while True:
+            try:
+                os.mkdir(breaker)
+                got_breaker = True
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    break
+                time.sleep(self.retry_interval)
+            except OSError:
+                break
         try:
-            with open(self.lock_dir / "owner.json") as fh:
-                if json.load(fh).get("owner") != self.owner:
-                    return
-        except (OSError, ValueError, KeyError, TypeError):
-            return
-        utils.rm_tree(self.lock_dir)
+            # only delete a lock we still own — if our lease was broken
+            # as stale and re-acquired by someone else, leave theirs
+            try:
+                with open(self.lock_dir / "owner.json") as fh:
+                    if json.load(fh).get("owner") != self.owner:
+                        return
+            except (OSError, ValueError, KeyError, TypeError):
+                return
+            utils.rm_tree(self.lock_dir)
+        finally:
+            if got_breaker:
+                utils.rm_tree(breaker)
 
     def __enter__(self) -> "CollectionLock":
         self.acquire()

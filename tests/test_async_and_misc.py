@@ -147,3 +147,67 @@ def test_optimize_item_dtypes(test_collection):
     out = test_collection.item("opt").to_pandas()
     assert out["count"].dtype.name == "int8"
     assert len(out) == 10
+
+
+def test_async_store_close_shuts_shared_pool(test_store, test_collection):
+    """AsyncStore.close shuts the ONE executor shared by all its
+    collection wrappers (reference pystore/async_operations.py:147-174)."""
+    import asyncio
+
+    import pandas as pd
+
+    from pystore_spark.async_operations import AsyncStore
+
+    astore = AsyncStore(test_store)
+    acol = astore.collection(test_collection.collection)
+    assert acol._pool is astore._pool  # shared, not per-collection
+
+    df = pd.DataFrame(
+        {"v": [1.0, 2.0]},
+        index=pd.date_range("2024-01-01", periods=2),
+    )
+    asyncio.run(acol.write("async_close_item", df))
+    astore.close()
+    with pytest.raises(RuntimeError):  # pool no longer accepts work
+        asyncio.run(acol.write("async_close_item2", df))
+    # per-collection wrappers with their own pool are unaffected
+    from pystore_spark.async_operations import AsyncCollection
+
+    own = AsyncCollection(test_collection)
+    asyncio.run(own.write("async_own_pool", df))
+    own.close()
+
+
+def test_memory_info_and_monitor():
+    from pystore_spark import memory as mem
+
+    info = mem.get_memory_info()
+    assert info["total_gb"] > 0
+    assert 0.0 <= info["used_percent"] <= 1.0
+    assert info["process_rss_gb"] > 0
+    assert mem.check_memory_usage() == pytest.approx(
+        mem.get_memory_info(), rel=0.5
+    )
+    with mem.MemoryMonitor("test") as mon:
+        _ = [0] * 1000
+    assert mon.delta_gb is not None
+
+
+def test_executor_memory_report(spark):
+    from pystore_spark.memory import executor_memory_report
+
+    report = executor_memory_report(spark)
+    assert len(report) >= 1  # local mode: the driver-executor
+    row = report[0]
+    assert row["max_memory_gb"] > 0
+    assert 0.0 <= row["used_percent"] <= 1.0
+
+
+def test_memory_efficient_read_restores_conf(spark):
+    from pystore_spark.memory import memory_efficient_read
+
+    key = "spark.sql.files.maxPartitionBytes"
+    before = spark.conf.get(key)
+    with memory_efficient_read(spark, max_partition_bytes=4 << 20):
+        assert spark.conf.get(key) in ("4194304", str(4 << 20))
+    assert spark.conf.get(key) == before

@@ -172,10 +172,40 @@ def test_multimodal_features(spark):
     assert [r["frame_idx"] for r in frames] == [0, 2, 4, 6, 8]
 
 
-def test_multimodal_real_decoder_is_gated(spark):
+def test_multimodal_real_decoder_png_and_wav(spark):
+    """DECODERS['real'] parses genuine container bytes — a PNG built
+    by the stdlib-only encoder and a WAV from the wave module — end to
+    end through the distributed extract_features path."""
+    import io
+    import wave
+
+    png = M.write_png(40, 30)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)  # 16-bit
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x01" * 2 * 1000)  # 1000 stereo frames
+    wav = buf.getvalue()
+
+    rows = [(0, "img", png, None), (1, "aud", wav, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in M.extract_features(df, decoder="real").collect()
+    }
+    assert feats[0]["kind"] == "png"
+    assert (feats[0]["width"], feats[0]["height"]) == (40, 30)
+    assert feats[1]["kind"] == "wav"
+    assert feats[1]["width"] == 44100  # sample rate
+    assert feats[1]["height"] == 16  # bits per sample
+    assert feats[1]["n_frames"] == 1000
+
+
+def test_multimodal_real_decoder_rejects_unknown_container(spark):
     rows = [(0, "img", M.encode_fake_media(0, "img", 8, 8), None)]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="unsupported media container"):
         M.extract_features(df, decoder="real").collect()
 
 

@@ -152,3 +152,56 @@ def test_session_windows_batch(spark):
         for r in session_windows(df, "index", "user", gap="30 minutes").collect()
     }
     assert got == {("a", 2), ("a", 1), ("b", 1)}
+
+
+def test_merge_sink_replay_is_exactly_once(spark, test_collection):
+    """A replayed micro-batch (same batch_id) must be skipped even
+    under keep_all, where the merge itself is not idempotent —
+    VERDICT r2 'Next round' #4."""
+    import pandas as pd
+
+    from pystore_spark.streaming import merge_sink
+
+    sink = merge_sink(test_collection, "replay_item", "keep_all")
+    batch = spark.createDataFrame(
+        pd.DataFrame({
+            "index": pd.date_range("2024-01-01", periods=5, freq="min"),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        })
+    )
+    sink(batch, 0)
+    assert len(test_collection.item("replay_item").to_pandas()) == 5
+    sink(batch, 0)  # replay of committed batch — must be a no-op
+    assert len(test_collection.item("replay_item").to_pandas()) == 5
+    batch2 = spark.createDataFrame(
+        pd.DataFrame({
+            "index": pd.date_range("2024-01-01 00:10", periods=3, freq="min"),
+            "v": [6.0, 7.0, 8.0],
+        })
+    )
+    sink(batch2, 1)  # fresh batch applies
+    assert len(test_collection.item("replay_item").to_pandas()) == 8
+    sink(batch2, 1)  # replay again
+    assert len(test_collection.item("replay_item").to_pandas()) == 8
+    # the committed id is durable in the sidecar
+    meta = test_collection.get_item_metadata("replay_item", use_cache=False)
+    assert meta["_streaming_commits"] == {"default": 1}
+
+
+def test_merge_sink_replay_guard_error_strategy(spark, test_collection):
+    """Replay under duplicate_handling='error' must not spuriously
+    raise (the guard skips before the overlap check runs)."""
+    import pandas as pd
+
+    from pystore_spark.streaming import merge_sink
+
+    sink = merge_sink(test_collection, "err_item", "error")
+    batch = spark.createDataFrame(
+        pd.DataFrame({
+            "index": pd.date_range("2024-01-01", periods=4, freq="min"),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        })
+    )
+    sink(batch, 0)
+    sink(batch, 0)  # would raise DataIntegrityError without the guard
+    assert len(test_collection.item("err_item").to_pandas()) == 4

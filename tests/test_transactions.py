@@ -90,3 +90,54 @@ def test_concurrent_appends_serialized_by_lock(test_collection):
     out = test_collection.item("shared").to_pandas()
     assert len(out) == 15  # both appends landed, none lost
     assert out.index.is_monotonic_increasing
+
+
+def test_release_serializes_with_breaker(test_collection):
+    """release() must not delete the lock while a breaker holds the
+    critical section — and must still release after it clears."""
+    import os
+    import threading
+    import time as _time
+
+    from pystore_spark.transactions import CollectionLock
+
+    lock = CollectionLock(test_collection, name="brk", stale_after=999)
+    assert lock.acquire()
+    breaker = lock.lock_dir.with_name(lock.lock_dir.name + ".breaker")
+    os.mkdir(breaker)  # simulate an in-flight break
+
+    released = threading.Event()
+
+    def do_release():
+        lock.release()
+        released.set()
+
+    t = threading.Thread(target=do_release, daemon=True)
+    t.start()
+    _time.sleep(0.3)
+    assert not released.is_set()  # blocked on the breaker
+    assert lock.lock_dir.exists()
+    os.rmdir(breaker)  # break completes
+    t.join(timeout=5)
+    assert released.is_set()
+    assert not lock.lock_dir.exists()
+
+
+def test_sql_view_collision_raises(test_collection):
+    import pandas as pd
+    import pytest as _pytest
+
+    df = pd.DataFrame({"v": [1.0]}, index=pd.DatetimeIndex(["2024-01-01"]))
+    test_collection.write("a-b", df)
+    test_collection.write("a_b", df)
+    with _pytest.raises(ValueError, match="sanitize to"):
+        test_collection.sql("SELECT * FROM a_b")
+    # explicit subset avoids the collision
+    out = test_collection.sql("SELECT * FROM a_b", items=["a_b"])
+    assert out.count() == 1
+    # digit-leading names get a stable prefix, reported by the mapping
+    test_collection.write("1min", df)
+    assert test_collection.sql_view_names(["1min"]) == {"1min": "i_1min"}
+    assert test_collection.sql(
+        "SELECT * FROM i_1min", items=["1min"]
+    ).count() == 1
