@@ -545,6 +545,8 @@ def try_append(
     # unexpected conversion failure (exotic nested types, overflow)
     # can still fall back to the Spark path; semantic errors propagate
     try:
+        from pystore_spark import manifest as mf
+
         if time_scoped:
             inc_idx = (
                 normalize_read_types(inc_tbl.select([icol]))
@@ -553,14 +555,18 @@ def try_append(
             )
             labels = bucket_labels(inc_idx, plan.freq)
             buckets = sorted(labels.unique())
-            touched = [
-                item_path / f"{PARTITION_COL}={b}"
-                for b in buckets
-                if (item_path / f"{PARTITION_COL}={b}").exists()
-            ]
-            if sum(dir_bytes(p) for p in touched) + inc_tbl.nbytes > threshold:
+            lb = mf.live_buckets(item_path)
+            if lb is not None:
+                has_touched = any(b in lb for b in buckets)
+            else:
+                has_touched = any(
+                    (item_path / f"{PARTITION_COL}={b}").exists()
+                    for b in buckets
+                )
+            touched_bytes = mf.item_bytes(item_path, buckets=set(buckets))
+            if touched_bytes + inc_tbl.nbytes > threshold:
                 return False
-            if touched:
+            if has_touched:
                 ex_tbl = dataset.to_table(
                     columns=data_cols,
                     filter=pc.field(PARTITION_COL).isin(buckets),
@@ -569,7 +575,7 @@ def try_append(
                 ex_tbl = dataset.schema.empty_table().select(data_cols)
         else:
             # size layout (or non-timestamp index): full driver rewrite
-            if dir_bytes(item_path) + inc_tbl.nbytes > threshold:
+            if mf.item_bytes(item_path) + inc_tbl.nbytes > threshold:
                 return False
             ex_tbl = dataset.to_table(columns=data_cols)
 

@@ -115,9 +115,46 @@ class Collection:
             raise ItemNotFoundError(
                 f"item {item!r} does not exist in collection {self.collection!r}"
             )
+        self._materialize_snapshots(item)
         utils.rm_tree(p)
         self.clear_metadata_cache(item)
         return True
+
+    def _materialize_snapshots(self, item: str) -> None:
+        """Before the live item dir disappears (delete/overwrite-all),
+        make every snapshot referencing it self-contained: hard-link
+        the referenced files into the snapshot dir and drop the
+        ``base`` pointer — O(metadata), the data blocks are shared."""
+        import os as _os
+        import shutil as _shutil
+
+        from pystore_spark import manifest as mf
+
+        snap_root = self._snapshot_root
+        if not snap_root.exists():
+            return
+        for snap in snap_root.iterdir():
+            sdir = snap / item
+            man = utils.read_manifest(sdir)
+            if man is None or not man.get("base"):
+                continue
+            base = mf.base_dir(sdir, man)
+            for rel in man.get("files") or []:
+                s, d = base / rel, sdir / rel
+                if d.exists() or not s.exists():
+                    continue
+                d.parent.mkdir(parents=True, exist_ok=True)
+                try:
+                    _os.link(s, d)
+                except OSError:
+                    _shutil.copy2(s, d)
+            utils.write_manifest(
+                sdir,
+                man.get("files") or [],
+                man.get("metadata"),
+                version=int(man.get("version", 0)) + 1,
+                stamp=False,
+            )
 
     # ------------------------------------------------------------------
     # metadata cache (reference: pystore/collection.py:116-147)
@@ -307,38 +344,132 @@ class Collection:
     def _atomic_write(
         self, item: str, df: DataFrame, plan: PartitionPlan, sidecar: dict
     ) -> None:
-        """tmp dir → backup → rename protocol (reference
-        _atomic_write: pystore/collection.py:619-675)."""
+        """Whole-item replace through the manifest commit (replaces the
+        reference's tmp → backup → rename protocol,
+        pystore/collection.py:619-675, whose backup window let a
+        concurrent reader observe a missing item)."""
         self._atomic_install(
             item, lambda tmp: self._write_df(df, str(tmp), plan), sidecar
         )
 
     def _atomic_install(self, item: str, write_fn, sidecar: dict) -> None:
-        """Shared whole-item commit protocol: ``write_fn(tmp_dir)``
-        produces the data files (Spark or Arrow writer), then
-        tmp → backup → rename swaps the item atomically."""
+        """Shared whole-item commit: ``write_fn(tmp_dir)`` produces the
+        data files (Spark or Arrow writer), which are staged into the
+        item dir under token-unique names and made live by one atomic
+        manifest replace (see manifest.py)."""
+        self._commit_staged(item, write_fn, sidecar, scope="item")
+
+    def _commit_staged(
+        self, item: str, write_fn, sidecar: dict, scope: str
+    ) -> None:
+        """The manifest commit protocol shared by every writer:
+
+        1. ``write_fn(tmp)`` materializes the new parquet files.
+        2. Each file is renamed into the item dir under a commit-token
+           name — invisible to readers, who resolve only through the
+           manifest.
+        3. One atomic manifest replace flips visibility: new files +
+           sidecar become live together; replaced files (all of them
+           for ``scope='item'``, the rewritten ``_pb`` bucket dirs for
+           ``scope='buckets'``) move to the ``stale`` map and stay on
+           disk for ``config.STALE_RETENTION_SECONDS`` so in-flight
+           readers of the previous manifest never hit a missing file.
+
+        A crash anywhere before step 3 leaves only invisible staged
+        files (GC'd by ``recover_item`` after a grace period); there is
+        no half-swapped state — the batch-atomicity gap of the old
+        two-phase dir swap is gone."""
+        import os as _os
+        from pathlib import PurePosixPath
+
+        from pystore_spark import manifest as mf
+
         item_path = self._item_path(item)
         token = uuid.uuid4().hex[:8]
         tmp = self.path / f".__tmp_{item}_{token}"
-        backup = self.path / f".__backup_{item}_{token}"
         try:
             write_fn(tmp)
-            utils.write_metadata(tmp, sidecar)
         except Exception:
             utils.rm_tree(tmp)
             raise
-        moved = False
-        try:
-            if item_path.exists():
-                item_path.rename(backup)
-                moved = True
-            tmp.rename(item_path)
-            utils.rm_tree(backup)
-        except Exception as exc:  # restore original on failure
-            if moved and backup.exists() and not item_path.exists():
-                backup.rename(item_path)
+        man = utils.read_manifest(item_path)
+        if man is not None and man.get("base"):
             utils.rm_tree(tmp)
-            raise StorageError(f"atomic write of item {item!r} failed: {exc}") from exc
+            raise StorageError(
+                f"item {item!r} is a snapshot pointer and is read-only"
+            )
+        if man is not None:
+            old_files = list(man.get("files") or [])
+            old_stale = dict(man.get("stale") or {})
+            version = int(man.get("version", 0)) + 1
+        else:  # first manifest commit (fresh item or legacy upgrade)
+            old_files = (
+                sorted(
+                    f.relative_to(item_path).as_posix()
+                    for f in item_path.rglob("*.parquet")
+                )
+                if item_path.exists()
+                else []
+            )
+            old_stale = {}
+            version = 1
+        staged: list[str] = []
+        try:
+            for src in sorted(Path(tmp).rglob("*.parquet")):
+                rel = src.relative_to(tmp)
+                dst_rel = rel.parent / f"{token}-{rel.name}"
+                dst = item_path / dst_rel
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                src.rename(dst)
+                staged.append(dst_rel.as_posix())
+            utils.rm_tree(tmp)
+            if scope == "buckets":
+                touched = {
+                    PurePosixPath(s).parent.as_posix() for s in staged
+                }
+                replaced = [
+                    f
+                    for f in old_files
+                    if PurePosixPath(f).parent.as_posix() in touched
+                ]
+                kept = [
+                    f
+                    for f in old_files
+                    if PurePosixPath(f).parent.as_posix() not in touched
+                ]
+            else:
+                replaced, kept = old_files, []
+            now = time.time()
+            live = kept + staged
+            live_set = set(live)
+            stale = {
+                f: t
+                for f, t in {**old_stale, **{f: now for f in replaced}}.items()
+                if f not in live_set
+            }
+            utils.write_manifest(
+                item_path, live, sidecar, stale=stale, version=version
+            )
+            # drop the legacy sidecar once the manifest owns metadata
+            try:
+                _os.unlink(item_path / utils.METADATA_FILE)
+            except OSError:
+                pass
+        except Exception as exc:
+            for s in staged:  # uncommitted — never visible, safe to drop
+                try:
+                    (item_path / s).unlink(missing_ok=True)
+                except OSError:
+                    pass
+            utils.rm_tree(tmp)
+            raise StorageError(
+                f"commit of item {item!r} failed: {exc}"
+            ) from exc
+        # opportunistic cleanup of expired stale files / aged orphans
+        try:
+            mf.gc_item(self.path, item)
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     # append / upsert (reference: pystore/collection.py:477-527; spec
@@ -420,7 +551,7 @@ class Collection:
         idx_cols = index_columns(pmeta)
         plan = existing_item._plan or PartitionPlan("size", npartitions=1)
 
-        existing = self.spark.read.parquet(existing_item.path)
+        existing = existing_item.raw_frame()
 
         # schema compatibility / evolution (C6/C7;
         # reference pystore/collection.py:568-584, :372-389)
@@ -456,7 +587,7 @@ class Collection:
                 sidecar, order_col=order_col,
             )
         else:
-            from pystore_spark.arrow_path import dir_bytes
+            from pystore_spark import manifest as mf
             from pystore_spark.partition import estimate_size_bytes
 
             existing = existing.drop(PARTITION_COL) if PARTITION_COL in existing.columns else existing
@@ -469,7 +600,7 @@ class Collection:
             shaped = apply_layout(
                 merged, new_plan, index_col=idx_cols[0],
                 small=inc_est is not None
-                and dir_bytes(self._item_path(item)) + inc_est
+                and mf.item_bytes(self._item_path(item)) + inc_est
                 <= config.PARTITION_TARGET_BYTES,
             )
             sidecar["_partition_plan"] = new_plan.to_dict()
@@ -488,15 +619,12 @@ class Collection:
         order_col: str | None = None,
     ) -> None:
         """Merge only the time-buckets touched by incoming keys, then
-        swap those partition directories — the scalable append path.
-
-        Readers take no lock, so during the (tight) two-phase swap a
-        concurrent reader can observe the touched buckets missing; the
-        manifest-pointer layout (sidecar lists live directories) is
-        the designed escape hatch where that matters. Crash recovery:
-        see :meth:`recover_item`, invoked at the start of every
-        append."""
-        from pystore_spark.arrow_path import dir_bytes
+        commit just those buckets' file pointers — the scalable append
+        path. Readers resolve through the manifest and take no lock:
+        they see the pre-append or post-append file set, never a
+        partial one (see manifest.py); crash recovery is pure GC
+        (:meth:`recover_item`)."""
+        from pystore_spark import manifest as mf
         from pystore_spark.partition import bucket_expr, estimate_size_bytes
 
         item_path = self._item_path(item)
@@ -517,11 +645,7 @@ class Collection:
         # merged size ≈ touched on-disk bytes + incoming estimate; under
         # one target partition the range exchange is pure overhead
         inc_est = estimate_size_bytes(incoming)
-        touched_bytes = sum(
-            dir_bytes(item_path / f"{PARTITION_COL}={b}")
-            for b in buckets
-            if (item_path / f"{PARTITION_COL}={b}").exists()
-        )
+        touched_bytes = mf.item_bytes(item_path, buckets=set(buckets))
         shaped = apply_layout(
             merged, plan, index_col=idx_cols[0],
             small=inc_est is not None
@@ -532,48 +656,13 @@ class Collection:
         )
 
     def _install_buckets(self, item: str, write_fn, sidecar: dict) -> None:
-        """Shared bucket-swap commit: ``write_fn(tmp_dir)`` writes the
-        merged replacement buckets (hive ``_pb=...`` dirs) into a tmp
-        dir (Spark or Arrow writer), then a two-phase swap installs
-        them."""
-        item_path = self._item_path(item)
-        token = uuid.uuid4().hex[:8]
-        tmp = self.path / f".__tmp_{item}_{token}"
-        staged: list[tuple[Path, Path]] = []  # (target, backup) parked aside
-        installed: list[Path] = []  # merged bucket dirs moved in
-        try:
-            write_fn(tmp)
-            new_buckets = sorted(Path(tmp).glob(f"{PARTITION_COL}=*"))
-            # two-phase swap (mirrors _atomic_write's backup/restore):
-            # phase 1 — park every touched live bucket in a backup dir;
-            # phase 2 — move all merged buckets in.  On ANY failure the
-            # except block removes partially-installed buckets and
-            # restores every backup, so the item never loses a bucket
-            # and is never left half-swapped.
-            for bdir in new_buckets:
-                target = item_path / bdir.name
-                if target.exists():
-                    bkp = item_path / f".__old_{bdir.name}_{token}"
-                    target.rename(bkp)
-                    staged.append((target, bkp))
-            for bdir in new_buckets:
-                target = item_path / bdir.name
-                bdir.rename(target)
-                installed.append(target)
-            utils.write_metadata(item_path, sidecar)
-        except Exception as exc:
-            for target in installed:
-                utils.rm_tree(target)
-            for target, bkp in staged:
-                if bkp.exists() and not target.exists():
-                    bkp.rename(target)
-            utils.rm_tree(tmp)
-            raise StorageError(
-                f"partition-scoped append to {item!r} failed: {exc}"
-            ) from exc
-        for _, bkp in staged:
-            utils.rm_tree(bkp)
-        utils.rm_tree(tmp)
+        """Bucket-scoped commit: ``write_fn(tmp_dir)`` writes the
+        merged replacement buckets (hive ``_pb=...`` dirs); the
+        manifest commit replaces exactly the file pointers of those
+        buckets, keeping every untouched bucket's pointers — work and
+        commit size proportional to the touched time range, not the
+        item."""
+        self._commit_staged(item, write_fn, sidecar, scope="buckets")
 
     def sql(
         self,
@@ -632,14 +721,20 @@ class Collection:
         return mapping
 
     def recover_item(self, item: str) -> int:
-        """Heal a crashed partition-scoped append: restore any
-        ``.__old_<bucket>_<token>`` backup whose live bucket is
-        missing (crash between park and install) and drop backups
-        whose live bucket exists (crash after install, before
-        cleanup). Called automatically at the start of every append;
-        NOT called from readers, which must not race a live append's
-        parked buckets. Returns the number of directories handled."""
+        """Heal crash debris. Manifest items need no *restore* — an
+        interrupted commit leaves the previous manifest fully live —
+        only garbage collection: expired stale files (replaced longer
+        than the retention window ago) and aged orphans (staged but
+        never committed). Legacy pre-manifest items get the old
+        park/swap healing: restore any ``.__old_<bucket>_<token>``
+        backup whose live bucket is missing, drop backups whose live
+        bucket exists. Called automatically at the start of every
+        append. Returns the number of files/directories handled."""
         item_path = self._item_path(item)
+        if utils.read_manifest(item_path) is not None:
+            from pystore_spark import manifest as mf
+
+            return mf.gc_item(self.path, item)
         handled = 0
         for bkp in item_path.glob(".__old_*_*"):
             bucket_name = bkp.name[len(".__old_"):].rsplit("_", 1)[0]
@@ -650,6 +745,19 @@ class Collection:
                 bkp.rename(target)
             handled += 1
         return handled
+
+    def vacuum(self, item: str | None = None, retention: float | None = None) -> int:
+        """Force garbage collection of dead files (expired stale +
+        orphans) for one item or the whole collection. ``retention=0``
+        removes everything unreferenced immediately — only safe when
+        no reader is mid-scan on a superseded manifest."""
+        from pystore_spark import manifest as mf
+
+        names = [item] if item is not None else self.items
+        return sum(
+            mf.gc_item(self.path, name, retention=retention)
+            for name in names
+        )
 
     # ------------------------------------------------------------------
     # chunked / streaming append (reference: pystore/collection.py:677-751)
@@ -832,12 +940,12 @@ class Collection:
             yield normalize_read_types(pa.Table.from_batches(buf)).to_pandas()
 
     def item_size_bytes(self, item: str) -> int:
-        """On-disk size of the item's parquet parts (reference
-        memory/size estimate: pystore/collection.py:438-445)."""
-        return sum(
-            f.stat().st_size
-            for f in self._item_path(item).rglob("*.parquet")
-        )
+        """On-disk size of the item's LIVE parquet parts (reference
+        memory/size estimate: pystore/collection.py:438-445);
+        stale-retained and staged files are excluded."""
+        from pystore_spark import manifest as mf
+
+        return mf.item_bytes(self._item_path(item))
 
     # ------------------------------------------------------------------
     # dtype optimizer (reference: pystore/memory.py:156-232)
@@ -979,6 +1087,14 @@ class Collection:
         return self.path / utils.SNAPSHOT_DIR
 
     def create_snapshot(self, snapshot: str | None = None) -> str:
+        """Point-in-time snapshot. Manifest items: O(manifest) — the
+        snapshot is a copy of each item's manifest with a ``base``
+        pointer back at the live item dir; data files are shared and
+        GC-protected while referenced (the reference's ``copytree``,
+        pystore/collection.py:529-543, is O(data)). Legacy items fall
+        back to a hard-linked tree."""
+        import os as _os
+
         if snapshot:
             snapshot = utils.sanitize_snapshot_name(snapshot)
         else:
@@ -990,7 +1106,20 @@ class Collection:
             utils.rm_tree(dst)
         dst.mkdir(parents=True)
         for item in self.items:
-            utils.link_tree(self._item_path(item), dst / item)
+            src = self._item_path(item)
+            man = utils.read_manifest(src)
+            if man is not None and not man.get("base"):
+                dst_item = dst / item
+                utils.write_manifest(
+                    dst_item,
+                    man.get("files") or [],
+                    man.get("metadata"),
+                    base=_os.path.relpath(src, dst_item),
+                    version=1,
+                    stamp=False,
+                )
+            else:
+                utils.link_tree(src, dst / item)
         return snapshot
 
     def list_snapshots(self) -> list[str]:
@@ -1025,10 +1154,7 @@ class Collection:
         else:
             size = None
             try:
-                size = sum(
-                    f.stat().st_size
-                    for f in Path(it.path).rglob("*.parquet")
-                )
+                size = self.item_size_bytes(item)
             except OSError:
                 pass
             import math

@@ -29,6 +29,20 @@ DRIVER_PATH_MAX_BYTES = int(
     os.environ.get("PYSTORE_SPARK_DRIVER_PATH_MAX_BYTES", 256 * 1024 * 1024)
 )
 
+# Manifest commit protocol (see manifest.py): replaced data files are
+# kept on disk for this long after they leave the live manifest, so
+# in-flight readers holding the previous manifest never hit a missing
+# file (the MVCC retention window — same idea as Delta/Iceberg VACUUM).
+STALE_RETENTION_SECONDS = float(
+    os.environ.get("PYSTORE_SPARK_STALE_RETENTION_SECONDS", 600)
+)
+# Staged files that never made it into a manifest (crash before the
+# commit rename) are orphans; they are invisible to readers and are
+# garbage-collected once older than this.
+ORPHAN_GRACE_SECONDS = float(
+    os.environ.get("PYSTORE_SPARK_ORPHAN_GRACE_SECONDS", 3600)
+)
+
 _path: str | None = None
 
 

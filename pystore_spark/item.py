@@ -104,7 +104,12 @@ class Item:
                     f"item {item!r} does not exist in collection {collection!r}"
                 )
 
-        self.metadata = utils.read_metadata(self._path)
+        self._manifest = utils.read_manifest(self._path)
+        self.metadata = (
+            (self._manifest.get("metadata") or {})
+            if self._manifest is not None
+            else utils.read_metadata(self._path)
+        )
         self._pandas_meta = self.metadata.get(META_KEY) or {}
         self._plan = PartitionPlan.from_dict(self.metadata.get("_partition_plan"))
         self._index_cols = index_columns(self._pandas_meta)
@@ -120,15 +125,50 @@ class Item:
     def index_column(self) -> str:
         return self._index_cols[0]
 
+    def _resolved_filters(self) -> Sequence | None:
+        """Input filters, augmented with derived ``_pb`` bucket terms
+        for time-layout items (partition pruning)."""
+        if self._plan is not None and self._plan.kind == "time":
+            return _prune_tuples(self._filters, self._plan.freq, self._index_cols)
+        return self._filters
+
+    def raw_frame(self) -> DataFrame:
+        """Unfiltered, unprojected DataFrame over the item's LIVE files
+        (manifest-resolved), with the ``_pb`` partition column intact —
+        the scan the engine's own merge paths build on. Readers staying
+        on the manifest never observe a mid-commit state; a raw
+        ``spark.read.parquet(dir)`` would also pick up staged and
+        stale-retained files."""
+        if self._manifest is not None:
+            from pystore_spark import manifest as mf
+
+            base = mf.base_dir(self._path, self._manifest)
+            files = [
+                str(base / f) for f in (self._manifest.get("files") or [])
+            ]
+            if files:
+                return self.spark.read.option(
+                    "basePath", str(base)
+                ).parquet(*files)
+        return self.spark.read.parquet(str(self._path))
+
     def _load(self) -> DataFrame:
-        df = self.spark.read.parquet(str(self._path))
-        filters = self._filters
-        if (
-            self._plan is not None
-            and self._plan.kind == "time"
-            and PARTITION_COL in df.columns
-        ):
-            filters = _prune_tuples(filters, self._plan.freq, self._index_cols)
+        filters = self._resolved_filters()
+        if self._manifest is not None:
+            from pystore_spark import manifest as mf
+
+            base = mf.base_dir(self._path, self._manifest)
+            rels = mf.prune_files(
+                self._manifest.get("files") or [], filters
+            )
+            if rels:
+                df = self.spark.read.option("basePath", str(base)).parquet(
+                    *[str(base / r) for r in rels]
+                )
+            else:
+                df = self.spark.read.parquet(str(self._path))
+        else:
+            df = self.spark.read.parquet(str(self._path))
         cond = filters_to_column(filters)
         if cond is not None:
             df = df.filter(cond)
@@ -160,20 +200,36 @@ class Item:
 
         from pystore_spark.filters import filters_to_arrow_expression
 
-        flt = self._filters
-        if self._plan is not None and self._plan.kind == "time":
-            flt = _prune_tuples(flt, self._plan.freq, self._index_cols)
-        # _pb=... hive dirs start with '_', which the default
-        # ignore_prefixes would skip — list the ignores explicitly.
+        flt = self._resolved_filters()
+        partitioning = pa_ds.partitioning(
+            pa.schema([(PARTITION_COL, pa.string())]), flavor="hive"
+        )
+        if self._manifest is not None:
+            from pystore_spark import manifest as mf
+
+            base = mf.base_dir(self._path, self._manifest)
+            rels = mf.prune_files(self._manifest.get("files") or [], flt)
+            if rels:
+                dataset = pa_ds.dataset(
+                    [str(base / r) for r in rels],
+                    format="parquet",
+                    partitioning=partitioning,
+                    partition_base_dir=str(base),
+                )
+                expr = filters_to_arrow_expression(
+                    flt, schema=dataset.schema
+                )
+                return dataset, expr
+        # legacy directory-listing layout. _pb=... hive dirs start with
+        # '_', which the default ignore_prefixes would skip — list the
+        # ignores explicitly.
         dataset = pa_ds.dataset(
             str(self._path),
             format="parquet",
-            partitioning=pa_ds.partitioning(
-                pa.schema([(PARTITION_COL, pa.string())]), flavor="hive"
-            ),
+            partitioning=partitioning,
             ignore_prefixes=[
-                ".", "_pystore_metadata", "_SUCCESS", "_committed",
-                "_started",
+                ".", "_pystore_metadata", "_manifest", "_SUCCESS",
+                "_committed", "_started",
             ],
         )
         expr = filters_to_arrow_expression(flt, schema=dataset.schema)

@@ -1,0 +1,262 @@
+"""Manifest-pointer commit protocol.
+
+Every item carries a ``_manifest.json`` naming its live Parquet files
+(relative paths). Writers stage new files into the item directory
+under commit-token-unique names — invisible to readers, who resolve
+strictly through the manifest — then atomically replace the manifest
+(one ``os.replace``). Replaced files are not deleted at commit: they
+move to the manifest's ``stale`` map with a timestamp and are
+garbage-collected only after ``config.STALE_RETENTION_SECONDS``, so a
+reader holding the previous manifest never observes a missing file
+mid-append (the race the old rename-swap protocol admitted,
+reference-analog ``pystore/collection.py:477-527``'s read-modify-write
+has the same window). Because the commit is one file replace — never a
+directory rename — the protocol also works on object stores where
+rename is copy+delete.
+
+Snapshots become O(manifest): a snapshot is a copy of the manifest
+whose ``base`` field points back at the live item directory; the data
+files are shared. GC retains any file referenced by a snapshot
+manifest, and ``Collection.delete_item`` materializes (hard-links)
+snapshot-referenced files before removing the live directory.
+
+Scale note: at 100 TB an item's manifest lists O(files) strings on the
+driver — the same order as the file listing Spark's InMemoryFileIndex
+would do anyway, but without a recursive directory walk (one JSON read
+vs an object-store LIST storm), and bucket pruning happens on the
+driver before any I/O is scheduled.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Any, Sequence
+
+from pystore_spark import config, utils
+from pystore_spark.partition import PARTITION_COL
+
+
+def base_dir(item_path: str | Path, man: dict[str, Any]) -> Path:
+    """Directory the manifest's relative file paths resolve against —
+    the item dir itself, or (snapshot manifests) the live item dir the
+    ``base`` field points at."""
+    p = Path(item_path)
+    base = man.get("base")
+    return (p / base).resolve() if base else p
+
+
+def live_files(item_path: str | Path, man: dict[str, Any]) -> list[Path]:
+    b = base_dir(item_path, man)
+    return [b / f for f in (man.get("files") or [])]
+
+
+def _bucket_of(relpath: str) -> str | None:
+    head = relpath.split("/", 1)[0]
+    if head.startswith(f"{PARTITION_COL}="):
+        return head[len(PARTITION_COL) + 1 :]
+    return None
+
+
+def _bucket_matches(bucket: str, op: str, value: Any) -> bool:
+    if op in ("==", "="):
+        return bucket == value
+    if op == ">=":
+        return bucket >= value
+    if op == "<=":
+        return bucket <= value
+    if op == ">":
+        return bucket > value
+    if op == "<":
+        return bucket < value
+    if op == "in":
+        return bucket in value
+    return True  # unknown op → cannot prune
+
+
+def prune_files(files: Sequence[str], filters: Sequence | None) -> list[str]:
+    """Driver-side partition pruning over the manifest's file list:
+    keep files whose ``_pb`` bucket satisfies at least one DNF group's
+    ``_pb`` constraints (non-``_pb`` terms are ignored — row-level
+    filters handle them downstream). This replaces the directory
+    listing + Catalyst partition pruning pass with a pure driver
+    computation over strings, before any I/O is scheduled.
+
+    Returns the full list when pruning would remove everything — the
+    row-level filter then yields the (empty) result with a valid
+    schema, which an empty scan set cannot provide.
+    """
+    files = list(files)
+    if not filters:
+        return files
+    flist = list(filters)
+    if all(isinstance(f, tuple) and len(f) == 3 for f in flist):
+        groups = [flist]
+    else:
+        groups = [list(g) for g in flist]
+
+    def keep(rel: str) -> bool:
+        bucket = _bucket_of(rel)
+        if bucket is None:
+            return True
+        for g in groups:
+            if all(
+                _bucket_matches(bucket, op, v)
+                for col, op, v in g
+                if col == PARTITION_COL
+            ):
+                return True
+        return False
+
+    pruned = [f for f in files if keep(f)]
+    return pruned if pruned else files
+
+
+def live_buckets(item_path: str | Path) -> set[str] | None:
+    """Distinct ``_pb`` bucket values with live files, or None for a
+    legacy (manifest-less) item."""
+    man = utils.read_manifest(item_path)
+    if man is None:
+        return None
+    out = set()
+    for rel in man.get("files") or []:
+        b = _bucket_of(rel)
+        if b is not None:
+            out.add(b)
+    return out
+
+
+def item_bytes(
+    item_path: str | Path, buckets: set[str] | None = None
+) -> int:
+    """On-disk bytes of the item's LIVE files (optionally restricted
+    to the given ``_pb`` buckets). Manifest-resolved, so staged and
+    stale-retained files never inflate size gates; falls back to a
+    directory walk for legacy items."""
+    item_path = Path(item_path)
+    man = utils.read_manifest(item_path)
+    if man is None:
+        if buckets is None:
+            files = item_path.rglob("*.parquet")
+        else:
+            files = (
+                f
+                for b in buckets
+                if (item_path / f"{PARTITION_COL}={b}").exists()
+                for f in (item_path / f"{PARTITION_COL}={b}").rglob(
+                    "*.parquet"
+                )
+            )
+        return sum(_safe_size(f) for f in files)
+    b = base_dir(item_path, man)
+    return sum(
+        _safe_size(b / rel)
+        for rel in (man.get("files") or [])
+        if buckets is None or _bucket_of(rel) in buckets
+    )
+
+
+def _safe_size(f: Path) -> int:
+    try:
+        return f.stat().st_size
+    except OSError:
+        return 0
+
+
+def snapshot_refs(collection_path: str | Path, item: str) -> set[str]:
+    """Relative file paths (into the live item dir) referenced by any
+    snapshot manifest of ``item`` — these must survive GC."""
+    refs: set[str] = set()
+    snap_root = Path(collection_path) / utils.SNAPSHOT_DIR
+    if not snap_root.exists():
+        return refs
+    for snap in snap_root.iterdir():
+        man = utils.read_manifest(snap / item)
+        if man is not None and man.get("base"):
+            refs.update(man.get("files") or [])
+    return refs
+
+
+def gc_item(
+    collection_path: str | Path,
+    item: str,
+    retention: float | None = None,
+    orphan_grace: float | None = None,
+) -> int:
+    """Garbage-collect an item's dead files. Two classes:
+
+    * **stale** — replaced by a commit, tracked in the manifest with
+      the time they went stale; deleted once older than ``retention``
+      (readers of the superseded manifest have long finished) unless a
+      snapshot manifest still references them.
+    * **orphans** — on-disk parquet the manifest has never named
+      (a crash before the commit rename); never visible to anyone, so
+      deleted once their mtime exceeds ``orphan_grace`` (the grace
+      covers a concurrent writer's staged-but-uncommitted files).
+
+    Returns the number of files removed. No Spark jobs, no locks —
+    safe to call from any single-writer context (it runs at the top of
+    every append via ``Collection.recover_item``).
+    """
+    retention = (
+        config.STALE_RETENTION_SECONDS if retention is None else retention
+    )
+    orphan_grace = (
+        config.ORPHAN_GRACE_SECONDS if orphan_grace is None else orphan_grace
+    )
+    item_path = Path(collection_path) / item
+    man = utils.read_manifest(item_path)
+    if man is None or man.get("base"):
+        return 0  # legacy item or snapshot pointer — nothing to GC
+    refs = snapshot_refs(collection_path, item)
+    now = time.time()
+    removed = 0
+
+    stale = dict(man.get("stale") or {})
+    expired = [
+        rel
+        for rel, t in stale.items()
+        if rel not in refs and now - float(t) >= retention
+    ]
+    for rel in expired:
+        try:
+            (item_path / rel).unlink(missing_ok=True)
+        except OSError:
+            continue
+        del stale[rel]
+        removed += 1
+    if expired:
+        utils.write_manifest(
+            item_path,
+            man.get("files") or [],
+            man.get("metadata"),
+            stale=stale,
+            version=int(man.get("version", 0)) + 1,
+            stamp=False,  # GC is not a data change; keep _updated
+        )
+
+    known = set(man.get("files") or []) | set(stale) | refs
+    for f in item_path.rglob("*.parquet"):
+        rel = f.relative_to(item_path).as_posix()
+        if rel in known:
+            continue
+        try:
+            if now - f.stat().st_mtime >= orphan_grace:
+                f.unlink()
+                removed += 1
+        except OSError:
+            continue
+    if removed:
+        _prune_empty_dirs(item_path)
+    return removed
+
+
+def _prune_empty_dirs(item_path: Path) -> None:
+    for d in sorted(
+        (p for p in item_path.rglob("*") if p.is_dir()), reverse=True
+    ):
+        try:
+            os.rmdir(d)  # fails (harmlessly) unless empty
+        except OSError:
+            pass

@@ -20,6 +20,7 @@ from pathlib import Path
 from typing import Any
 
 METADATA_FILE = "_pystore_metadata.json"
+MANIFEST_FILE = "_manifest.json"
 SNAPSHOT_DIR = "_snapshots"
 
 _VALID_NAME = re.compile(r"[^A-Za-z0-9._\- ]")
@@ -37,7 +38,55 @@ def sanitize_snapshot_name(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9._]", "", str(name))
 
 
+def read_manifest(path: str | Path) -> dict[str, Any] | None:
+    """The item's manifest — the single commit pointer naming its live
+    data files (see manifest.py for the protocol). None = no manifest
+    (a legacy directory-listing item, or not an item at all)."""
+    p = Path(path) / MANIFEST_FILE
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def write_manifest(
+    path: str | Path,
+    files: list[str],
+    metadata: dict[str, Any] | None,
+    stale: dict[str, float] | None = None,
+    base: str | None = None,
+    version: int | None = None,
+    stamp: bool = True,
+) -> dict[str, Any]:
+    """Atomically install a manifest — THE commit point of every data
+    mutation: a single ``os.replace`` of one JSON file (atomic on
+    POSIX; a single-object put on object stores), so readers see the
+    old complete file set or the new one, never a partial swap."""
+    metadata = dict(metadata or {})
+    if stamp:
+        metadata["_updated"] = utc_stamp()
+    man: dict[str, Any] = {
+        "version": int(version if version is not None else 1),
+        "files": sorted(files),
+        "stale": dict(stale or {}),
+        "metadata": metadata,
+    }
+    if base is not None:
+        man["base"] = base
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    tmp = p / (MANIFEST_FILE + f".tmp{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(tmp_json_safe(man), fh, default=str)
+    os.replace(tmp, p / MANIFEST_FILE)
+    return man
+
+
 def read_metadata(path: str | Path) -> dict[str, Any]:
+    man = read_manifest(path)
+    if man is not None:
+        return man.get("metadata") or {}
     p = Path(path) / METADATA_FILE
     if not p.exists():
         return {}
@@ -46,6 +95,18 @@ def read_metadata(path: str | Path) -> dict[str, Any]:
 
 
 def write_metadata(path: str | Path, metadata: dict[str, Any] | None = None) -> dict[str, Any]:
+    man = read_manifest(path)
+    if man is not None:
+        # metadata-only update of a manifest item: preserve the file
+        # pointers, bump the version, keep the commit atomic
+        return write_manifest(
+            path,
+            man.get("files") or [],
+            metadata,
+            stale=man.get("stale"),
+            base=man.get("base"),
+            version=int(man.get("version", 0)) + 1,
+        )["metadata"]
     metadata = dict(metadata or {})
     metadata["_updated"] = utc_stamp()
     p = Path(path)

@@ -32,19 +32,25 @@ def spark_only(monkeypatch):
     monkeypatch.setattr(config, "DRIVER_PATH_MAX_BYTES", 0)
 
 
+import re
+
+# staged file names are <committoken>-<writer name>; the Arrow writer
+# names files part-<i>.parquet, Spark appends task uuid + codec
+# segments — the name is how we know which engine ran
+_ARROW_NAME = re.compile(r"[0-9a-f]{8}-part-\d{5}\.parquet")
+
+
 def test_small_pandas_write_uses_arrow_engine(test_collection):
     test_collection.write("a", _frame())
     names = _parquet_names(test_collection.item("a").path)
-    # the Arrow writer names files part-<i>.parquet; Spark appends a
-    # task uuid — the name is how we know which engine ran
-    assert names == ["part-00000.parquet"]
+    assert len(names) == 1 and _ARROW_NAME.fullmatch(names[0])
 
 
 def test_big_estimate_falls_back_to_spark(test_collection, monkeypatch):
     monkeypatch.setattr(config, "DRIVER_PATH_MAX_BYTES", 1024)
     test_collection.write("a", _frame())
     names = _parquet_names(test_collection.item("a").path)
-    assert names != ["part-00000.parquet"]
+    assert not any(_ARROW_NAME.fullmatch(n) for n in names)
     out = test_collection.item("a").to_pandas()
     assert len(out) == 100
 
@@ -118,18 +124,23 @@ def test_arrow_append_error_strategy(test_collection):
     assert len(test_collection.item("e").to_pandas()) == 55
 
 
-def test_append_heals_crashed_swap_before_merge(test_collection):
-    """ADVICE (r2, medium): a bucket parked by a crashed append must be
-    restored BEFORE the merge reads the file listing, or rows in that
-    bucket are silently dropped when incoming touches it."""
-    df = _frame(50_000, freq="10min")  # monthly buckets
-    test_collection.write("big", df)
-    path = Path(test_collection.item("big").path)
+def _plant_orphan(path: Path) -> Path:
+    """Simulate a crashed append: a staged file that never made it
+    into the manifest — sitting INSIDE a live bucket dir, where the
+    old directory-listing reader would have picked it up."""
+    import shutil
+
     bucket = path / "_pb=2023-11"
     assert bucket.exists()
-    # simulate a crash between park and install: live bucket missing,
-    # backup present
-    bucket.rename(path / ".__old__pb=2023-11_deadbeef")
+    src = next(bucket.glob("*.parquet"))
+    orphan = bucket / "deadbeef-part-00000.parquet"
+    shutil.copy2(src, orphan)
+    return orphan
+
+
+def _check_orphan_isolated(test_collection, df, monkeypatch):
+    path = Path(test_collection.item("big").path)
+    orphan = _plant_orphan(path)
 
     extra = pd.DataFrame(
         {"value": [1e6], "tag": ["t0"]},
@@ -139,24 +150,33 @@ def test_append_heals_crashed_swap_before_merge(test_collection):
     out = test_collection.item("big").to_pandas()
     nov = out.loc["2023-11-01":"2023-11-30 23:59:59"]
     expected = df.loc["2023-11-01":"2023-11-30 23:59:59"]
-    # every pre-crash November row survived, plus the appended one
+    # the orphan's duplicate rows were NOT merged in (readers and the
+    # merge resolve strictly through the manifest), and nothing from
+    # the live bucket was lost
     assert len(nov) == len(expected) + 1
     assert nov["value"].max() == 1e6
+    # aged orphans are garbage-collected at the next append's recovery
+    monkeypatch.setattr(config, "ORPHAN_GRACE_SECONDS", 0.0)
+    assert test_collection.recover_item("big") >= 1
+    assert not orphan.exists()
+    assert len(test_collection.item("big").to_pandas()) == len(out)
 
 
-def test_append_heals_crashed_swap_spark_engine(test_collection, spark_only):
+def test_append_ignores_crashed_staged_files(test_collection, monkeypatch):
+    """A crash mid-append leaves staged-but-uncommitted files in live
+    bucket dirs; they must be invisible to reads AND to the next
+    append's merge (no duplicated rows), then GC'd once aged."""
+    df = _frame(50_000, freq="10min")  # monthly buckets
+    test_collection.write("big", df)
+    _check_orphan_isolated(test_collection, df, monkeypatch)
+
+
+def test_append_ignores_crashed_staged_files_spark_engine(
+    test_collection, spark_only, monkeypatch
+):
     df = _frame(50_000, freq="10min")
     test_collection.write("big", df)
-    path = Path(test_collection.item("big").path)
-    (path / "_pb=2023-11").rename(path / ".__old__pb=2023-11_deadbeef")
-    extra = pd.DataFrame(
-        {"value": [1e6], "tag": ["t0"]},
-        index=pd.DatetimeIndex(["2023-11-05 00:05:30"]),
-    )
-    test_collection.append("big", extra)
-    out = test_collection.item("big").to_pandas()
-    expected = df.loc["2023-11-01":"2023-11-30 23:59:59"]
-    assert len(out.loc["2023-11-01":"2023-11-30 23:59:59"]) == len(expected) + 1
+    _check_orphan_isolated(test_collection, df, monkeypatch)
 
 
 def test_arrow_write_time_layout_matches_spark_plan(test_collection):

@@ -35,13 +35,13 @@ def test_partition_append_rolls_back_on_swap_failure(
     it = test_collection.item("faulty")
     assert it._plan is not None and it._plan.kind == "time"
 
-    # fail AFTER the swap began: write_metadata is called once every
-    # bucket rename has happened, so a raise there exercises rollback
-    # of both the parked backups and the installed buckets
-    def boom(path, metadata=None):
-        raise OSError("injected metadata failure")
+    # fail AT the commit point: write_manifest runs once every staged
+    # file is in place, so a raise there exercises cleanup of the
+    # staged-but-uncommitted files (the previous manifest stays live)
+    def boom(path, *args, **kwargs):
+        raise OSError("injected manifest failure")
 
-    monkeypatch.setattr(utils, "write_metadata", boom)
+    monkeypatch.setattr(utils, "write_manifest", boom)
     incoming = pd.DataFrame(
         {"value": [999.0, 998.0]},
         index=pd.date_range("2024-01-10", periods=2, freq="D"),
@@ -59,10 +59,16 @@ def test_partition_append_rolls_back_on_swap_failure(
     assert float(after["value"].sum()) == pytest.approx(
         float(before["value"].sum())
     )
-    # no stray backup/tmp dirs left behind
+    # no staged leftovers: every on-disk parquet is accounted for by
+    # the (unchanged) manifest
     item_dir = Path(test_collection.path) / "faulty"
-    leftovers = [p.name for p in item_dir.glob(".__old_*")]
-    assert leftovers == []
+    man = utils.read_manifest(item_dir)
+    known = set(man["files"]) | set(man["stale"])
+    on_disk = {
+        f.relative_to(item_dir).as_posix()
+        for f in item_dir.rglob("*.parquet")
+    }
+    assert on_disk <= known
 
 
 def test_partition_append_rolls_back_on_rename_failure(
@@ -73,18 +79,17 @@ def test_partition_append_rolls_back_on_rename_failure(
     real_rename = Path.rename
 
     def flaky_rename(self, target):
-        # the swap loop renames: park (maybe) then install, per bucket.
-        # Fail on the third rename — mid-swap, after some buckets moved.
-        if "_pb=" in str(target) or "__old__pb=" in str(target):
+        # staging renames tmp files into the live _pb= bucket dirs.
+        # Fail on the second — mid-staging, after one file moved.
+        if "_pb=" in str(target):
             calls["n"] += 1
-            if calls["n"] == 3:
+            if calls["n"] == 2:
                 raise OSError("injected rename failure")
         return real_rename(self, target)
 
     monkeypatch.setattr(Path, "rename", flaky_rename)
-    # touch TWO monthly buckets so the swap does 4 renames
-    # (park Jan, park Feb, install Jan, install Feb) and the injected
-    # failure on the 3rd lands mid-install
+    # touch TWO monthly buckets so staging moves 2 files and the
+    # injected failure on the 2nd lands mid-staging
     incoming = pd.DataFrame(
         {"value": [999.0, 998.0]},
         index=pd.to_datetime(["2024-01-05", "2024-02-05"]),
@@ -94,7 +99,7 @@ def test_partition_append_rolls_back_on_rename_failure(
     with pytest.raises(StorageError):
         test_collection.append("faulty", incoming)
     monkeypatch.undo()
-    assert calls["n"] >= 3  # the injected failure actually fired
+    assert calls["n"] >= 2  # the injected failure actually fired
 
     test_collection.clear_metadata_cache("faulty")
     after = test_collection.item("faulty").to_pandas()
@@ -375,27 +380,42 @@ def test_read_in_chunks_rejects_nonpositive_chunk_size(test_collection):
         next(test_collection.read_in_chunks("tiny", chunk_size=0))
 
 
-def test_recover_item_restores_parked_bucket(test_collection):
+def test_recover_item_gc_stale_and_orphans(test_collection, monkeypatch):
+    """Manifest-era recovery: replaced files stay on disk through the
+    retention window (so in-flight readers never miss a file), then
+    recover_item garbage-collects them; staged-but-uncommitted orphans
+    go after the orphan grace."""
+    from pystore_spark import config, utils
+
     n = 40000  # enough rows for the time-bucketed layout
     idx = pd.date_range("2023-01-01", periods=n, freq="min")
     test_collection.write(
         "rec", pd.DataFrame({"v": np.arange(float(n))}, index=idx)
     )
     item_path = test_collection._item_path("rec")
-    buckets = sorted(item_path.glob("_pb=*"))
-    assert buckets, "expected hive-bucketed layout"
-    # simulate a crash between park and install: bucket renamed away
-    victim = buckets[0]
-    parked = item_path / f".__old_{victim.name}_deadbeef"
-    victim.rename(parked)
-    assert not victim.exists()
-    restored = test_collection.recover_item("rec")
-    assert restored == 1
-    assert victim.exists() and not parked.exists()
-    # stale backup WITH live bucket present is dropped
-    stale = item_path / f".__old_{buckets[-1].name}_cafebabe"
-    stale.mkdir()
+    # an append replaces the touched bucket's file → it goes stale
+    test_collection.append(
+        "rec",
+        pd.DataFrame({"v": [1e9]}, index=pd.DatetimeIndex(["2023-01-05"])),
+    )
+    man = utils.read_manifest(item_path)
+    assert len(man["stale"]) == 1
+    stale_rel = next(iter(man["stale"]))
+    assert (item_path / stale_rel).exists()  # retained, not deleted
+    # inside the retention window nothing is collected
+    assert test_collection.recover_item("rec") == 0
+    assert (item_path / stale_rel).exists()
+    # past the window the stale file goes
+    monkeypatch.setattr(config, "STALE_RETENTION_SECONDS", 0.0)
     assert test_collection.recover_item("rec") == 1
-    assert not stale.exists()
+    assert not (item_path / stale_rel).exists()
+    assert utils.read_manifest(item_path)["stale"] == {}
+    # orphans (crash before commit) go after the orphan grace
+    orphan = item_path / "_pb=2023-01" / "cafebabe-part-00000.parquet"
+    orphan.write_bytes(b"not really parquet")
+    assert test_collection.recover_item("rec") == 0  # inside grace
+    monkeypatch.setattr(config, "ORPHAN_GRACE_SECONDS", 0.0)
+    assert test_collection.recover_item("rec") == 1
+    assert not orphan.exists()
     back = test_collection.item("rec").to_pandas()
     assert len(back) == n
