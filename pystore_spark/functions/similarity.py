@@ -138,6 +138,127 @@ def cosine_dedup_pairs(
     )
 
 
+def lsh_signs(
+    n_planes: int, dim: int, seed: int = 7
+) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane components: md5 of
+    ``(seed, plane, dim)`` → parity. Engine-portable — the oracle bakes
+    the same literals into its SQL."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(
+                f"signlsh:{seed}:{p}:{d}".encode()
+            ).digest()[0] % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def signlsh_candidate_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    quant: float = 1e6,
+    seed: int = 7,
+    k: int = 20,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH for cosine near-duplicates — the
+    bucketed scale path next to :func:`cosine_dedup_pairs`'s blocked
+    all-pairs variant.
+
+    Each vector gets ``n_planes`` sign bits (``dot(v, h_p) >= 0`` with
+    ±1 hyperplanes from :func:`lsh_signs`); bits group into
+    ``n_planes // band_bits`` bands whose integer keys are LSH buckets.
+    Candidate pairs are generated only within a (band, key) bucket —
+    never all-pairs — then deduped across bands and rescored with the
+    exact fold cosine; the top-``k`` rescored pairs are returned with a
+    total (score desc, id_i, id_j) order.
+
+    Determinism contract: the bit is the sign of an EXACT int64 dot —
+    components quantized ``floor(x * quant)`` then multiplied by ±1 and
+    summed in integer arithmetic — so bucket membership is
+    bit-identical in any engine (no FP summation-order hazard at the
+    sign boundary); rescoring reuses the sequential-fold cosine that
+    the DuckDB oracle replays term-for-term.
+
+    Scale: the signature pass is a pure projection (no shuffle, one
+    fold per plane); candidates shuffle on (band, key) — quadratic
+    only within buckets, with AQE splitting hot buckets; the rescore
+    is two id-keyed joins. Raise ``band_bits`` to tighten buckets as
+    the corpus grows (recall/cost knob, same trade-off as MinHash-LSH
+    banding in dedup.py).
+    """
+    signs = lsh_signs(n_planes, dim, seed)
+    q = F.lit(float(quant))
+    bits = []
+    for row in signs:
+        sarr = F.array(*[F.lit(s) for s in row])
+        intdot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                sarr,
+                lambda x, s: F.floor(x.cast("double") * q) * s.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bits.append((intdot >= 0).cast("int"))
+    n_bands = n_planes // band_bits
+    band_structs = []
+    for b in range(n_bands):
+        key = F.lit(0)
+        for j in range(band_bits):
+            key = key + bits[b * band_bits + j] * F.lit(2**j)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("key"))
+        )
+    df = widen_parallelism(df)
+    buckets = df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_i"),
+            F.col(f"b.{id_col}").alias("id_j"),
+        )
+        .distinct()
+    )
+    slim = df.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cand.join(
+            slim.alias("va"), F.col("id_i") == F.col(f"va.{id_col}")
+        )
+        .join(slim.alias("vb"), F.col("id_j") == F.col(f"vb.{id_col}"))
+        .select(
+            "id_i",
+            "id_j",
+            F.round(
+                cosine(F.col(f"va.{vec_col}"), F.col(f"vb.{vec_col}")), 6
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), "id_i", "id_j"
+    ).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # high-throughput scale paths
 # ---------------------------------------------------------------------------

@@ -381,6 +381,74 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _signlsh_oracle_sql(
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    k: int = 20,
+) -> str:
+    """Replays signlsh_candidate_topk exactly: per-plane sign bits from
+    EXACT int64 dots (floor-quantized components × baked-in ±1
+    literals — no FP hazard at the sign boundary), banded bucket keys,
+    within-bucket candidate pairs, fold-cosine rescore, top-k."""
+    signs = S.lsh_signs(n_planes, dim, seed)
+    plane = []
+    for row in signs:
+        slist = "[" + ",".join(map(str, row)) + "]"
+        plane.append(
+            f"(list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT)"
+            f" * ({slist}[i])::BIGINT), (x,y) -> x+y) >= 0)::INT"
+        )
+    n_bands = n_planes // band_bits
+    key_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"({plane[b * band_bits + j]}) * {2 ** j}"
+            for j in range(band_bits)
+        )
+        + f") AS key{b}"
+        for b in range(n_bands)
+    )
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, key{b} AS key FROM bits"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH bits AS (SELECT vec_id, {key_cols} FROM embeddings),
+    buckets AS ({buckets}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT id_i, id_j,
+        ROUND({_DOT.format(a='ea.embedding', b='eb.embedding')}
+          / ({_NORM.format(a='ea.embedding')}
+             * {_NORM.format(a='eb.embedding')}), 6) AS score
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = id_i
+      JOIN embeddings eb ON eb.vec_id = id_j)
+    SELECT id_i, id_j, score FROM scored
+    ORDER BY score DESC, id_i, id_j LIMIT {k}
+    """
+
+
+@register(
+    "signlsh_candidate_topk",
+    sql=_signlsh_oracle_sql(),
+    tags=("similarity", "dedup", "lsh"),
+)
+def signlsh_candidate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup candidates, rescored — the
+    bucketed (non-all-pairs) scale path for embedding-cosine dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.signlsh_candidate_topk(
+        emb, "embedding", "vec_id", dim=64, n_planes=16, band_bits=4, k=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # additional analytics surface
 # ---------------------------------------------------------------------------
@@ -1204,6 +1272,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "customer_order_distribution", "top_supplier_revenue",
     "waiting_customers_antijoin", "embedding_cosine_topk",
     "embedding_dedup_pairs", "ivf_kmeans_index",
+    "signlsh_candidate_topk",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -146,6 +146,62 @@ def running_count_per_key(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_time: str,
+    right_time: str,
+    delay: str = "10 minutes",
+    lookback: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event joins
+    right events with the same key whose timestamp falls in
+    ``[left_time - lookback, left_time]``.
+
+    The time bound + both-side watermarks make the join state
+    droppable: Spark evicts right-side rows once the left watermark
+    passes ``right_time + lookback`` (unbounded stream-stream joins
+    would accumulate state forever — the classic 100 TB streaming
+    failure mode). Outer variants additionally need the watermark to
+    know when an unmatched row can be emitted.
+
+    Works identically on batch frames (watermarks become no-ops), so
+    the join logic is testable offline against the same assertion.
+    """
+    l_wm = left.withWatermark(left_time, delay) if left.isStreaming else left
+    r_wm = (
+        right.withWatermark(right_time, delay)
+        if right.isStreaming
+        else right
+    )
+    lhs, rhs = l_wm.alias("l"), r_wm.alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (
+            F.col(f"r.{right_time}")
+            >= F.col(f"l.{left_time}") - F.expr(f"INTERVAL {lookback}")
+        )
+        & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}"))
+    )
+    return lhs.join(rhs, cond, how).select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col(f"l.{left_time}").alias(left_time),
+        F.col(f"r.{right_time}").alias(right_time),
+        *[
+            F.col(f"l.{c}").alias(c)
+            for c in left.columns
+            if c not in (key_col, left_time)
+        ],
+        *[
+            F.col(f"r.{c}").alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key_col, right_time)
+        ],
+    )
+
+
 def windowed_counts(
     stream_df: DataFrame,
     event_time_col: str,

@@ -159,6 +159,30 @@ def test_cosine_dedup_pairs(vectors):
     assert got == {(0, 1), (2, 3)}
 
 
+def test_signlsh_candidate_topk(vectors):
+    out = S.signlsh_candidate_topk(
+        vectors, "embedding", "vec_id", dim=3, n_planes=8, band_bits=2, k=3
+    ).collect()
+    # near-identical vectors share every sign bit -> guaranteed
+    # candidates; top rescored pairs must be the two true near-dups,
+    # (2,3) first (cos 0.9986 > (0,1)'s 0.9939)
+    assert {(r["id_i"], r["id_j"]) for r in out[:2]} == {(0, 1), (2, 3)}
+    assert (out[0]["id_i"], out[0]["id_j"]) == (2, 3)
+    assert out[0]["score"] > 0.99
+    # deterministic total order (score desc, id_i, id_j)
+    again = S.signlsh_candidate_topk(
+        vectors, "embedding", "vec_id", dim=3, n_planes=8, band_bits=2, k=3
+    ).collect()
+    assert out == again
+
+
+def test_lsh_signs_deterministic():
+    a = S.lsh_signs(4, 8, seed=7)
+    assert a == S.lsh_signs(4, 8, seed=7)
+    assert a != S.lsh_signs(4, 8, seed=8)
+    assert all(s in (-1, 1) for row in a for s in row)
+
+
 def test_multimodal_features(spark):
     rows = [
         (i, "img", M.encode_fake_media(i, "img", 64, 48, n_frames=1), None)

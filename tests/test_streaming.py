@@ -133,6 +133,71 @@ def test_windowed_counts_stream_and_batch_agree(spark, tmp_path):
     assert got == expect
 
 
+def test_stream_stream_join_agrees_with_batch(spark, tmp_path):
+    from pystore_spark.streaming import stream_stream_join
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    clicks = pd.DataFrame(
+        {
+            "user": ["a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 01:00", "2024-01-01 05:00", "2024-01-01 01:30"]
+            ),
+            "kind": ["c1", "c2", "c3"],
+        }
+    )
+    views = pd.DataFrame(
+        {
+            "user": ["a", "a", "b", "b"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:30",  # within 1h of a/c1
+                    "2024-01-01 03:00",  # >1h before a/c2 -> excluded
+                    "2024-01-01 01:00",  # within 1h of b/c3
+                    "2024-01-01 02:00",  # after b/c3 -> excluded
+                ]
+            ),
+            "kind": ["v1", "v2", "v3", "v4"],
+        }
+    )
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(clicks, ev_schema).write.parquet(lsrc)
+    spark.createDataFrame(views, ev_schema).write.parquet(rsrc)
+
+    def key_set(rows):
+        return {(r["user"], r["kind"], r["r_kind"]) for r in rows}
+
+    batch = stream_stream_join(
+        spark.read.schema(ev_schema).parquet(lsrc),
+        spark.read.schema(ev_schema).parquet(rsrc),
+        "user", "ts", "ts", lookback="1 hour",
+    )
+    expect = key_set(batch.collect())
+    assert expect == {("a", "c1", "v1"), ("b", "c3", "v3")}
+
+    out = stream_stream_join(
+        spark.readStream.schema(ev_schema).parquet(lsrc),
+        spark.readStream.schema(ev_schema).parquet(rsrc),
+        "user", "ts", "ts", lookback="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = key_set(spark.sql("SELECT * FROM ssj_test").collect())
+    assert got == expect
+
+
 def test_session_windows_batch(spark):
     from pystore_spark.streaming import session_windows
 
