@@ -53,8 +53,9 @@ def _storage_bench(spark, sf_dir: str) -> float:
     back (the reference's headline claims are about this path —
     append throughput, pushdown reads).
 
-    The full cycle runs twice and the SECOND run is timed — steady-state
-    throughput, excluding first-use JIT/allocator/page-cache effects.
+    The cycle runs once for warmup, then twice timed and the MIN is
+    reported — steady-state throughput excluding first-use JIT/
+    allocator/page-cache effects and one-off machine-noise blips.
     ``_pandas_storage_baseline`` is measured identically."""
     import shutil
     import tempfile
@@ -99,9 +100,12 @@ def _storage_bench(spark, sf_dir: str) -> float:
             _ = len(out)
 
         cycle()  # warmup pass
-        t0 = _t.perf_counter()
-        cycle()
-        return _t.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):  # min of 2 steady-state runs — noise guard
+            t0 = _t.perf_counter()
+            cycle()
+            best = min(best, _t.perf_counter() - t0)
+        return best
     finally:
         config._path = old_path
         shutil.rmtree(tmp, ignore_errors=True)
@@ -119,8 +123,8 @@ def _pandas_storage_baseline(sf_dir: str) -> float:
     the 2× envelope. Recorded under ``baseline`` in the output JSON,
     NOT added to the engine total.
 
-    Measured like ``_storage_bench``: the cycle runs twice, the second
-    run is timed (steady state).
+    Measured like ``_storage_bench``: one warmup cycle, then the min
+    of two timed cycles (steady state, noise-guarded).
     """
     import shutil
     import tempfile
@@ -159,9 +163,12 @@ def _pandas_storage_baseline(sf_dir: str) -> float:
             _ = out.num_rows
 
         cycle()  # warmup pass
-        t0 = _t.perf_counter()
-        cycle()
-        return _t.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):  # min of 2 steady-state runs — noise guard
+            t0 = _t.perf_counter()
+            cycle()
+            best = min(best, _t.perf_counter() - t0)
+        return best
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
