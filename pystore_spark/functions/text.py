@@ -62,6 +62,25 @@ def unique_token_count(col: str | Column) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+# BPE-style pre-tokenizer regex (GPT-2-family shape: contraction
+# suffixes, letter runs, 1-3 digit groups, punctuation runs).
+# Deliberately lookahead-free so Java regex (Spark) and RE2 (DuckDB
+# oracle) match identically — both are leftmost-first on alternation.
+BPE_TOKEN_RE = r"'(s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: str | Column) -> Column:
+    """Subword-ish tokens under :data:`BPE_TOKEN_RE` — the
+    LLM-pipeline token-count proxy (true BPE needs a vocab; the
+    pre-tokenizer split is the engine-portable, UDF-free stand-in)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def avg_token_length(col: str | Column) -> Column:
     """Mean token length as double (null-safe for empty docs)."""
     t = tokens(col)

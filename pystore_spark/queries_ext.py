@@ -55,6 +55,41 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_RE_SQL = (
+    "'''(s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+'"
+)
+
+
+@register(
+    "bpe_token_stats",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, {_BPE_RE_SQL})) AS n_bpe_tokens,
+        length(text) AS n_ch
+      FROM documents)
+    SELECT doc_id, n_bpe_tokens,
+      ROUND(n_bpe_tokens / NULLIF(n_ch, 0)::DOUBLE, 6) AS tokens_per_char
+    FROM t
+    """,
+    tags=("text", "tokens"),
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish (pre-tokenizer regex) token counts + per-char density —
+    the token-budget signal an LLM-data pipeline tracks per document."""
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
+    n = X.bpe_token_count("text")
+    return doc.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        F.round(
+            n.cast("double")
+            / F.nullif(F.length("text"), F.lit(0)).cast("double"),
+            6,
+        ).alias("tokens_per_char"),
+    )
+
+
 @register(
     "text_quality_scores",
     sql=f"""
@@ -1272,7 +1307,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "customer_order_distribution", "top_supplier_revenue",
     "waiting_customers_antijoin", "embedding_cosine_topk",
     "embedding_dedup_pairs", "ivf_kmeans_index",
-    "signlsh_candidate_topk",
+    "signlsh_candidate_topk", "bpe_token_stats",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -51,6 +51,29 @@ def test_token_stats(spark, docs):
     assert math.isclose(out[3]["awl"], sum(map(len, "completely different text about spark engines".split())) / 6)
 
 
+def test_bpe_token_count(spark):
+    import re
+
+    samples = [
+        (0, "it's 2024, don't stop-gap 12345!"),
+        (1, "hello world"),
+        (2, ""),
+        (3, "we've they'll I'm o'clock 007"),
+    ]
+    df = spark.createDataFrame(samples, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", X.bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    # reference counts from the same leftmost-first regex in Python
+    pat = re.compile(X.BPE_TOKEN_RE)
+    for doc_id, text in samples:
+        assert got[doc_id] == len(pat.findall(text)), (doc_id, text)
+    assert got[0] == 13  # hand-counted: it 's 202 4 , don 't stop - gap 123 45 !
+
+
 def test_quality_and_langid(docs):
     rows = {
         r["doc_id"]: r
