@@ -1262,6 +1262,137 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# interval join / time-series grid / approx-aggregate audit
+# ---------------------------------------------------------------------------
+@register(
+    "interval_join_banded",
+    sql="""
+    WITH anchors AS (
+      SELECT event_id AS anchor_id, ts AS a_start,
+             ts + INTERVAL 10 MINUTE AS a_end
+      FROM events WHERE event_type = 'error' AND value > 100),
+    clicks AS (
+      SELECT ts AS c_ts, user_id AS c_user
+      FROM events WHERE event_type = 'click')
+    SELECT anchor_id,
+           count(c_ts) AS n_clicks,
+           count(DISTINCT c_user) AS n_users
+    FROM anchors LEFT JOIN clicks
+      ON c_ts >= a_start AND c_ts < a_end
+    GROUP BY anchor_id
+    """,
+    tags=("join", "interval", "banded"),
+)
+def interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with no equi-key (click activity in the 10 min
+    after each high-severity error): the banded formulation replicates
+    each anchor window into the time bands it overlaps and joins on
+    band equality, so Catalyst plans a shuffled equi-join instead of
+    the BroadcastNestedLoopJoin a bare range predicate forces — the
+    only shape that survives when neither side is broadcastable."""
+    from pystore_spark.functions.joins import banded_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    anchors = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 100))
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").alias("a_start"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("a_end"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), F.col("user_id").alias("c_user")
+    )
+    joined = banded_interval_join(
+        anchors, clicks, "a_start", "a_end", "c_ts",
+        band_seconds=600, how="left",
+    )
+    return joined.groupBy("anchor_id").agg(
+        F.count("c_ts").alias("n_clicks"),
+        F.count_distinct("c_user").alias("n_users"),
+    )
+
+
+@register(
+    "gapfill_locf_daily",
+    sql="""
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                    INTERVAL 1 DAY))::DATE AS d),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, ROUND(MAX(value), 6) AS v_day
+      FROM events GROUP BY 1, 2)
+    SELECT u.user_id, (dy.d)::TIMESTAMP AS day,
+      last_value(daily.v_day IGNORE NULLS) OVER (
+        PARTITION BY u.user_id ORDER BY dy.d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+      daily.v_day IS NULL AS is_gap
+    FROM users u CROSS JOIN days dy
+    LEFT JOIN daily ON daily.user_id = u.user_id AND daily.d = dy.d
+    """,
+    tags=("timeseries", "gapfill", "locf", "window"),
+)
+def gapfill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid per user with last-observation-carried-forward:
+    the distributed replacement for pandas resample+ffill. Grid is
+    sequence+explode (executor-side), the grid join and the LOCF
+    window share the user_id shuffle. Days before a user's first
+    observation stay null — the honest LOCF contract."""
+    from pystore_spark.functions.timeseries import locf, time_grid
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.round(F.max("value"), 6).alias("v_day"))
+    grid = time_grid(
+        ev.select("user_id").distinct(),
+        "2024-01-01", "2024-01-30", "interval 1 day", grid_col="day",
+    ).withColumn("d", F.to_date("day"))
+    joined = grid.join(daily, ["user_id", "d"], "left")
+    return locf(joined, ["user_id"], "d", ["v_day"]).select(
+        "user_id",
+        "day",
+        F.col("v_day_filled").alias("v_filled"),
+        F.col("v_day").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "approx_distinct_audit",
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "approx", "audit", "sketch"),
+)
+def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ estimator audit: exact distinct next to the
+    5%-band verdict on approx_count_distinct(rsd=0.02). At 100 TB the
+    exact count is the expensive path (a full shuffle of the keys) and
+    the sketch is mergeable map-side state — this query is the
+    calibration check a pipeline runs at small SF before trusting the
+    sketch at full scale. The oracle pins the exact counts and asserts
+    the estimate stays inside the band (HLL is deterministic for a
+    given dataset, so the verdict is reproducible)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05
+        ).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate oracle-checks the first 50 registered
@@ -1308,6 +1439,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "waiting_customers_antijoin", "embedding_cosine_topk",
     "embedding_dedup_pairs", "ivf_kmeans_index",
     "signlsh_candidate_topk", "bpe_token_stats",
+    "interval_join_banded", "gapfill_locf_daily", "approx_distinct_audit",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

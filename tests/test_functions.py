@@ -413,3 +413,93 @@ def test_tfidf_scores(spark):
     assert out[(0, "apple")]["tfidf"] == round(2 * math.log(3 / 1), 6)
     # banana appears in 2 of 3 docs
     assert out[(1, "banana")]["tfidf"] == round(1 * math.log(3 / 2), 6)
+
+
+# ---------------------------------------------------------------------------
+# banded interval join / time-series grid
+# ---------------------------------------------------------------------------
+def test_banded_interval_join_boundaries(spark):
+    from datetime import datetime
+
+    from pystore_spark.functions.joins import banded_interval_join
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return datetime(2024, 1, 1, 0, 0, 0).replace(
+            minute=sec // 60, second=sec % 60
+        )
+
+    # interval [100, 700): spans two 600s bands; [1200, 1800) aligned
+    # exactly on band edges
+    iv = spark.createDataFrame(
+        [(1, ts(100), ts(700)), (2, ts(1200), ts(1800))],
+        "iv_id int, s timestamp, e timestamp",
+    )
+    pr = spark.createDataFrame(
+        [
+            (10, ts(100)),   # == start: included
+            (11, ts(699)),   # inside, second band of iv 1
+            (12, ts(700)),   # == end: excluded (half-open)
+            (13, ts(1200)),  # == aligned start: included, iv 2
+            (14, ts(1799)),  # last second of iv 2
+            (15, ts(1800)),  # == aligned end: excluded
+        ],
+        "p_id int, t timestamp",
+    )
+    got = {
+        (r["iv_id"], r["p_id"])
+        for r in banded_interval_join(iv, pr, "s", "e", "t", 600).collect()
+    }
+    assert got == {(1, 10), (1, 11), (2, 13), (2, 14)}
+    # left join keeps empty intervals exactly once per band replica,
+    # and count(col) collapses them to zero
+    empty = spark.createDataFrame(
+        [(3, ts(2000), ts(2100))], "iv_id int, s timestamp, e timestamp"
+    )
+    left = banded_interval_join(empty, pr, "s", "e", "t", 600, how="left")
+    agg = left.groupBy("iv_id").agg(F.count("p_id").alias("n")).collect()
+    assert [(r["iv_id"], r["n"]) for r in agg] == [(3, 0)]
+
+
+def test_banded_interval_join_rejects_shared_columns(spark):
+    from pystore_spark.functions.joins import banded_interval_join
+
+    df = spark.range(3).selectExpr(
+        "id", "timestamp'2024-01-01' as s", "timestamp'2024-01-02' as e"
+    )
+    pr = df.selectExpr("id", "s as t")
+    with pytest.raises(ValueError, match="disjoint"):
+        banded_interval_join(df, pr, "s", "e", "t", 600)
+
+
+def test_locf_fills_gaps_but_not_leading_nulls(spark):
+    from pystore_spark.functions.timeseries import locf
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, None), ("a", 2, 5.0), ("a", 3, None), ("a", 4, 7.0),
+            ("b", 1, 2.0), ("b", 2, None), ("b", 3, None),
+        ],
+        "k string, t int, v double",
+    )
+    out = {
+        (r["k"], r["t"]): r["v_filled"]
+        for r in locf(df, ["k"], "t", ["v"]).collect()
+    }
+    assert out[("a", 1)] is None          # before first observation
+    assert out[("a", 3)] == 5.0           # carried forward
+    assert out[("a", 4)] == 7.0           # real value wins
+    assert out[("b", 2)] == 2.0 and out[("b", 3)] == 2.0
+
+
+def test_time_grid_is_dense_and_inclusive(spark):
+    from pystore_spark.functions.timeseries import time_grid
+
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    grid = time_grid(keys, "2024-01-01", "2024-01-05", "interval 1 day")
+    assert grid.count() == 2 * 5
+    days = sorted(
+        r["grid_ts"].day for r in grid.filter(F.col("k") == "a").collect()
+    )
+    assert days == [1, 2, 3, 4, 5]

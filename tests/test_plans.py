@@ -124,3 +124,24 @@ def test_lsh_hot_bucket_is_salt_split(spark):
     # structural: the salted join key actually partitions the work
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan and "pmod" in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    # without the band, a pure range-predicate join can only plan as
+    # BroadcastNestedLoopJoin / cartesian — neither survives two
+    # non-broadcastable sides. The banded formulation must give
+    # Catalyst an equi-key.
+    plan = _formatted(spark, "interval_join_banded")
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_gapfill_grid_is_generated_not_collected(spark):
+    # the daily grid must come from executor-side sequence+explode
+    # (Generate), never a driver-built local relation of user×day rows
+    # (the sequence() call constant-folds to a literal array in the
+    # Generate's explode — assert the Generate, not the fn name)
+    plan = _formatted(spark, "gapfill_locf_daily")
+    assert "Generate" in plan and "explode" in plan
+    assert "LocalTableScan" not in plan
