@@ -75,7 +75,11 @@ def banded_interval_join(
         raise ValueError(f"banded_interval_join supports inner/left, got {how!r}")
 
     def band_of(col: F.Column) -> F.Column:
-        return F.floor(col.cast("long") / band_seconds).cast("long")
+        # TIMESTAMP_NTZ has no direct → BIGINT cast; route through LTZ
+        # (session tz is pinned to UTC, so NTZ epoch == DuckDB's epoch()).
+        return F.floor(col.cast("timestamp").cast("long") / band_seconds).cast(
+            "long"
+        )
 
     iv = intervals.withColumn(
         "_band",

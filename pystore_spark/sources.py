@@ -67,6 +67,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
+    # parquet timestamps written without UTC adjustment surface as
+    # TIMESTAMP_NTZ, which Spark refuses to cast to BIGINT or feed to
+    # unix_micros; with the session tz pinned to UTC the LTZ cast is
+    # epoch-identical to DuckDB's naive-timestamp reading, so normalize
+    # every query to one timestamp type here
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
