@@ -1137,6 +1137,95 @@ class Collection:
         self._snapshot_root.mkdir()
         return True
 
+    def diff(
+        self,
+        item: str,
+        from_snapshot: str | None = None,
+        to_snapshot: str | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two versions of an item: the rows
+        to delete and the rows to insert to turn the *from* version
+        into the *to* version (``None`` = the live item). Output = the
+        item's data columns plus ``_change`` ∈ {``insert``,
+        ``delete``}, multiset semantics — a row occurring k times more
+        in *to* than in *from* yields k ``insert`` rows.
+
+        Scale design: versions share immutable data files (the
+        manifest protocol never rewrites a committed file), so the
+        diff prunes at the FILE level on the driver first — a file
+        named by both manifests contributes identical rows to both
+        sides and is skipped without any I/O — then runs the row-level
+        multiset difference (``exceptAll``, one hash shuffle per side)
+        over only each side's private files. Cost is O(changed data),
+        not O(item): diffing a 100 TB item after a one-bucket append
+        reads one bucket. Unchanged rows that a bucket merge copied
+        into a new file appear on both private sides and cancel in the
+        ``exceptAll``. Reference analog: none — the reference re-reads
+        both versions into pandas to compare.
+
+        Legacy (pre-manifest) items fall back to the full-frame
+        multiset difference.
+        """
+        it_from = self.item(item, snapshot=from_snapshot)
+        it_to = self.item(item, snapshot=to_snapshot)
+
+        def _sides() -> tuple[DataFrame | None, DataFrame | None]:
+            man_a, man_b = it_from._manifest, it_to._manifest
+            if man_a is None or man_b is None:
+                return it_from.data, it_to.data
+            from pystore_spark import manifest as mf
+
+            base_a = mf.base_dir(it_from._path, man_a)
+            base_b = mf.base_dir(it_to._path, man_b)
+            abs_a = {str(base_a / r) for r in (man_a.get("files") or [])}
+            abs_b = {str(base_b / r) for r in (man_b.get("files") or [])}
+
+            def read(only: set[str], base: Path) -> DataFrame | None:
+                if not only:
+                    return None
+                df = self.spark.read.option("basePath", str(base)).parquet(
+                    *sorted(only)
+                )
+                return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
+
+            return read(abs_a - abs_b, base_a), read(abs_b - abs_a, base_b)
+
+        df_a, df_b = _sides()
+        if df_a is None and df_b is None:  # identical manifests
+            empty = it_to.data.filter(F.lit(False))
+            return empty.withColumn("_change", F.lit("insert"))
+
+        # align schemas positionally (exceptAll is positional): union
+        # of columns in to-side order, missing columns null-filled at
+        # the other side's dtype (schema evolution between versions)
+        ref = df_b if df_b is not None else df_a
+        other = df_a if df_b is not None else df_b
+        cols = list(ref.columns) + [
+            c for c in (other.columns if other is not None else []) if c not in ref.columns
+        ]
+        types: dict[str, str] = {}
+        for frame in (df_a, df_b):
+            if frame is not None:
+                for c, dt in frame.dtypes:
+                    types.setdefault(c, dt)
+
+        def align(frame: DataFrame | None) -> DataFrame:
+            if frame is None:
+                return align(ref).filter(F.lit(False))
+            return frame.select(
+                *[
+                    F.col(c) if c in frame.columns
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in cols
+                ]
+            )
+
+        a, b = align(df_a), align(df_b)
+        return (
+            b.exceptAll(a).withColumn("_change", F.lit("insert"))
+            .unionByName(a.exceptAll(b).withColumn("_change", F.lit("delete")))
+        )
+
     # ------------------------------------------------------------------
     # maintenance (reference: pystore/partition.py:175-216)
     # ------------------------------------------------------------------
