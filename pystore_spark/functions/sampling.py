@@ -67,3 +67,39 @@ def fixed_sample_per_stratum(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weight_col: str | Column,
+    n: int,
+) -> DataFrame:
+    """Weighted sampling without replacement, ``min(n, |stratum|)``
+    rows per stratum (Efraimidis–Spirakis A-ES): each row draws a
+    deterministic uniform u ∈ (0, 1] from md5 of its key and ranks by
+    ``u^(1/w)`` descending, so inclusion probability is proportional
+    to weight. Ranking by ``ln(u)/w`` is the same order (ln is
+    monotonic) without the pow() call. Deterministic and
+    engine-portable — same md5-derived u everywhere — and one shuffle
+    on the stratum key, same scale shape as
+    ``fixed_sample_per_stratum``.
+    """
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # 14 hex chars → [0, 2^56); +1 → (0, 2^56], never ln(0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / float(1 << 56)
+    key = F.log(u) / wcol
+    w = Window.partitionBy(stratum_col).orderBy(
+        key.desc(), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

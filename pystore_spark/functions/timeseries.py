@@ -66,3 +66,48 @@ def locf(
             f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
         )
     return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    lookback: int = 19,
+    min_periods: int = 5,
+) -> DataFrame:
+    """Rolling z-score of ``value_col`` against the trailing window of
+    the ``lookback`` PRIOR rows per key (the current row is excluded,
+    so a spike doesn't inflate its own baseline) — the distributed
+    anomaly-detection primitive pandas users build with
+    ``rolling().mean()/.std()``.
+
+    Engine-exact math: the window sum and sum-of-squares accumulate in
+    ``decimal`` (exact, order-independent), convert to double once,
+    and the remaining mean/variance/sqrt arithmetic is IEEE-exact —
+    so any engine computing the same formula over the same rows gets
+    bit-identical z-scores (float ``sum()`` would depend on partial-
+    aggregation order). One shuffle on the key; the window is
+    ROWS-bounded so state per row is O(lookback).
+
+    Adds ``_z`` (null until ``min_periods`` prior rows exist) and
+    ``_n_prior``.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col)
+    dec = v.cast("decimal(19,6)")
+    n = F.count(v).over(w)
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec * dec).over(w).cast("double")
+    mean = s1 / n
+    # sample variance from exact sums; identical operands → identical
+    # IEEE doubles on every engine (+,-,/,sqrt are correctly rounded)
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    z = (v - mean) / F.sqrt(var)
+    return df.withColumn("_n_prior", n).withColumn(
+        "_z", F.when(n >= min_periods, z)
+    )

@@ -1392,6 +1392,120 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heavy_hitters",
+    sql="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+    thr AS (
+      SELECT 1.2 * CAST(count(*) AS DOUBLE) / count(DISTINCT user_id)
+             AS cutoff
+      FROM events)
+    SELECT user_id, n_events FROM counts, thr
+    WHERE n_events >= cutoff
+    """,
+    tags=("aggregate", "skew", "pipeline"),
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys dominating the event stream (count ≥ 1.2× the mean per-key
+    count — scale-free, so the query is meaningful at any sf). The
+    count uses the two-stage salted aggregation
+    (functions/joins.py:salted_count_per_key): a partial count per
+    (key, salt) first, so one hot key spreads over num_salts reducers
+    instead of funneling into one — the shape that survives power-law
+    key skew at 100 TB. The cutoff is a 1-row aggregate broadcast
+    against the counts, never a driver collect."""
+    from pystore_spark.functions.joins import salted_count_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = salted_count_per_key(ev, ["user_id"]).withColumnRenamed(
+        "n", "n_events"
+    )
+    thr = ev.agg(
+        (
+            F.lit(1.2)
+            * F.count(F.lit(1)).cast("double")
+            / F.count_distinct("user_id")
+        ).alias("cutoff")
+    )
+    return (
+        counts.join(F.broadcast(thr))
+        .filter(F.col("n_events") >= F.col("cutoff"))
+        .select("user_id", "n_events")
+    )
+
+
+@register(
+    "rolling_zscore_outliers",
+    sql="""
+    SELECT event_id, user_id, ROUND(z, 4) AS z
+    FROM (
+      SELECT event_id, user_id, n,
+        (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+      FROM (
+        SELECT event_id, user_id, value,
+          count(value) OVER w AS n,
+          CAST(sum(CAST(value AS DECIMAL(19,6))) OVER w AS DOUBLE) AS s1,
+          CAST(sum(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+               OVER w AS DOUBLE) AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)))
+    WHERE n >= 5 AND abs(z) > 3
+    """,
+    tags=("window", "anomaly", "pipeline"),
+)
+def rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits >3σ from the trailing-window baseline of
+    the same user — the distributed form of pandas
+    ``rolling().mean()/.std()`` anomaly flagging. The window sums
+    accumulate in decimal (exact, order-independent) and convert to
+    double once, so the z-scores are bit-identical on any engine —
+    a float sum's partial-aggregation order would break exact
+    comparison (functions/timeseries.py:rolling_zscore)."""
+    from pystore_spark.functions.timeseries import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    z = rolling_zscore(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        lookback=19, min_periods=5,
+    )
+    return z.filter(
+        (F.col("_n_prior") >= 5) & (F.abs(F.col("_z")) > 3)
+    ).select(
+        "event_id", "user_id", F.round("_z", 4).alias("z")
+    )
+
+
+@register(
+    "weighted_sample_topk",
+    sql="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 14)) AS BIGINT) + 1)
+                    / 72057594037927936.0) / n_chars DESC,
+                 doc_id) AS rn
+      FROM documents) WHERE rn <= 10
+    """,
+    tags=("sampling", "weighted", "pipeline"),
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis),
+    10 docs per source with inclusion probability ∝ document length:
+    each row draws a deterministic md5-derived uniform and ranks by
+    ln(u)/w — the same order as u^(1/w) without the pow(). No RNG, no
+    driver involvement, one shuffle on the stratum
+    (functions/sampling.py:weighted_sample_per_stratum)."""
+    from pystore_spark.functions import sampling as SA
+
+    doc = load_table(spark, sf_dir, "documents")
+    return SA.weighted_sample_per_stratum(
+        doc, "doc_id", "source", "n_chars", 10
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -1440,6 +1554,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "embedding_dedup_pairs", "ivf_kmeans_index",
     "signlsh_candidate_topk", "bpe_token_stats",
     "interval_join_banded", "gapfill_locf_daily", "approx_distinct_audit",
+    "heavy_hitters", "rolling_zscore_outliers", "weighted_sample_topk",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
