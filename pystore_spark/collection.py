@@ -1230,15 +1230,61 @@ class Collection:
     # maintenance (reference: pystore/partition.py:175-216)
     # ------------------------------------------------------------------
     def rebalance_partitions(
-        self, item: str, target_size_mb: int = 128, time_based: bool = True
+        self,
+        item: str,
+        target_size_mb: int = 128,
+        time_based: bool = True,
+        zorder: Sequence[str] | None = None,
+        npartitions: int | None = None,
     ) -> int:
         """Compaction/OPTIMIZE: rewrite the item at the target layout.
-        Returns the resulting partition count (files or buckets)."""
+        Returns the resulting partition count (files or buckets).
+
+        ``zorder=[cols...]`` clusters files by the Morton z-value of
+        the given columns instead of the linear index sort: every
+        z-ordered column gets locally tight parquet min/max footer
+        stats, so scans filtering on ANY of those dimensions skip
+        files/row-groups — a linear sort only prunes its leading
+        column (partition.zorder_value). The extra cost is one stats
+        job + the same single shuffle the rebalance pays anyway."""
         it = self.item(item)
         df = it.data
         sidecar = dict(it.metadata)
         idx = it.index_column
-        if time_based and it._plan is not None and it._plan.kind == "time":
+        if zorder:
+            from pystore_spark.partition import zorder_value
+
+            if npartitions is not None:
+                n = max(1, int(npartitions))
+            else:
+                size = None
+                try:
+                    size = self.item_size_bytes(item)
+                except OSError:
+                    pass
+                import math
+
+                n = max(
+                    1, math.ceil((size or 0) / (target_size_mb * 1024 * 1024))
+                )
+            plan = PartitionPlan("size", npartitions=n)
+            zv = zorder_value(df, list(zorder))
+            shaped = (
+                df.withColumn("_zv", zv)
+                .repartitionByRange(n, F.col("_zv"))
+                .sortWithinPartitions("_zv")
+                .drop("_zv")
+            )
+            sidecar["_partition_plan"] = plan.to_dict()
+            sidecar["_partitions"] = plan.npartitions
+            sidecar["_partition_strategy"] = "zorder"
+            sidecar["_zorder_columns"] = list(zorder)
+            self._atomic_write(item, shaped, plan, sidecar)
+            self.clear_metadata_cache(item)
+            return plan.npartitions
+        if npartitions is not None:
+            plan = PartitionPlan("size", npartitions=max(1, int(npartitions)))
+        elif time_based and it._plan is not None and it._plan.kind == "time":
             plan = it._plan
         else:
             size = None

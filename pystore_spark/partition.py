@@ -22,7 +22,7 @@ Spark-first translation:
 from __future__ import annotations
 
 import math
-from typing import Any
+from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -267,3 +267,87 @@ def apply_layout(
     if index_col in df.columns:
         return df.coalesce(max(1, plan.npartitions)).sortWithinPartitions(index_col)
     return df.coalesce(max(1, plan.npartitions))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout for multi-dimensional pruning
+# ---------------------------------------------------------------------------
+ZORDER_BITS = 16
+
+
+def zorder_value(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = ZORDER_BITS,
+) -> Column:
+    """Morton (bit-interleaved) z-value over ``cols`` — sorting files
+    by it gives every listed column *locally tight* min/max footer
+    stats, so parquet row-group/file skipping works for predicates on
+    ANY of the dimensions, not just the leading sort key (a linear
+    sort prunes only its first column; each file spans the full range
+    of the others).
+
+    Each column is min/max-normalized to a ``bits``-bit integer (one
+    fused stats job over the frame — acceptable on the offline
+    compaction path), then bits interleave column-major:
+    ``z = Σ_i Σ_c bit(v_c, i) << (i·ncols + c)``. Pure Catalyst
+    shift/mask expressions — whole-stage codegen, no UDF. Numeric and
+    timestamp/date columns only; ``bits × ncols`` must fit a long
+    (≤ 63).
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"{bits} bits x {len(cols)} columns overflows a 64-bit z-value"
+        )
+    dtypes = dict(df.dtypes)
+    numeric: list[Column] = []
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt is None:
+            raise ValueError(f"zorder column {c!r} not in DataFrame")
+        col = F.col(c)
+        if dt.startswith("timestamp"):
+            col = col.cast("timestamp").cast("double")
+        elif dt == "date":
+            col = col.cast("timestamp").cast("double")
+        elif dt in ("string", "binary"):
+            raise ValueError(
+                f"zorder column {c!r} has non-orderable-numeric type {dt}"
+            )
+        else:
+            col = col.cast("double")
+        numeric.append(col)
+
+    stats = df.agg(
+        *[F.min(c).alias(f"lo{i}") for i, c in enumerate(numeric)],
+        *[F.max(c).alias(f"hi{i}") for i, c in enumerate(numeric)],
+    ).first()
+
+    max_bucket = (1 << bits) - 1
+    z: Column = F.lit(0).cast("long")
+    n = len(cols)
+    for ci, col in enumerate(numeric):
+        lo, hi = stats[f"lo{ci}"], stats[f"hi{ci}"]
+        if lo is None or hi is None or hi == lo:
+            bucket = F.lit(0).cast("long")
+        else:
+            bucket = F.least(
+                F.lit(max_bucket).cast("long"),
+                F.floor(
+                    (col - F.lit(float(lo)))
+                    / F.lit(float(hi) - float(lo))
+                    * (max_bucket + 1)
+                ).cast("long"),
+            )
+        bucket = F.coalesce(bucket, F.lit(0).cast("long"))
+        for bit in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * n + ci,
+                ).cast("long")
+            )
+    return z

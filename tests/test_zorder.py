@@ -1,0 +1,128 @@
+"""Z-order (Morton) clustering: multi-dimensional file pruning.
+
+A linearly sorted layout gives tight parquet footer stats only for the
+leading sort column — every file spans the full range of the others,
+so a predicate on a secondary dimension can skip nothing. Z-ordering
+interleaves the dimensions' bits, giving every clustered column
+locally tight min/max in each file. These tests measure that directly
+from the parquet footers (deterministic — no Spark timing involved).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from pystore_spark import manifest as mf, utils
+
+
+def _file_ranges(collection, item, col):
+    """(min, max) of ``col`` per live parquet file, from the footers."""
+    it = collection.item(item)
+    man = utils.read_manifest(it._path)
+    base = mf.base_dir(it._path, man)
+    out = []
+    for rel in man["files"]:
+        meta = pq.read_metadata(str(base / rel))
+        schema_idx = meta.schema.names.index(col)
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(schema_idx).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((lo, hi))
+    return out
+
+
+def _files_overlapping(ranges, lo, hi):
+    return sum(1 for a, b in ranges if not (b < lo or a > hi))
+
+
+def _grid_data(n=20_000):
+    rng = np.random.default_rng(7)
+    idx = pd.date_range("2024-01-01", periods=n, freq="min")
+    return pd.DataFrame(
+        {
+            "x": rng.uniform(0, 1000, n),
+            "y": rng.uniform(0, 1000, n),
+        },
+        index=idx,
+    )
+
+
+N_FILES = 16
+
+
+def test_zorder_prunes_both_dimensions(test_collection):
+    test_collection.write("it", _grid_data())
+    n = test_collection.rebalance_partitions(
+        "it", zorder=["x", "y"], npartitions=N_FILES
+    )
+    assert n == N_FILES
+
+    rx = _file_ranges(test_collection, "it", "x")
+    ry = _file_ranges(test_collection, "it", "y")
+    assert len(rx) == N_FILES
+
+    # locality metric: per-file range width. The control layout spans
+    # ~the full 1000-unit range in every file on both dims; the Morton
+    # layout keeps each dimension locally tight (range-boundary files
+    # that straddle the curve's midline stay wide, hence mean not max)
+    for ranges in (rx, ry):
+        widths = [b - a for a, b in ranges]
+        assert sum(widths) / len(widths) < 600.0
+
+    # and the operational consequence: a 10%-wide slab on EITHER
+    # dimension skips files (the control prunes nothing — see below)
+    for ranges in (rx, ry):
+        for lo, hi in ((100.0, 200.0), (450.0, 550.0), (700.0, 800.0)):
+            assert _files_overlapping(ranges, lo, hi) <= 12
+
+
+def test_linear_sort_cannot_prune_secondary_dimension(test_collection):
+    """Control: the default index-sorted layout leaves y unprunable —
+    the property z-ordering exists to fix."""
+    test_collection.write("it", _grid_data())
+    test_collection.rebalance_partitions(
+        "it", time_based=False, npartitions=N_FILES
+    )
+    ry = _file_ranges(test_collection, "it", "y")
+    assert len(ry) == N_FILES
+    # every index-sorted file spans (almost) the full y range
+    assert _files_overlapping(ry, 450.0, 550.0) == N_FILES
+
+
+def test_zorder_roundtrip_preserves_rows(test_collection):
+    data = _grid_data(5_000)
+    test_collection.write("it", data)
+    test_collection.rebalance_partitions(
+        "it", zorder=["x", "y"], npartitions=4
+    )
+    out = test_collection.item("it").to_pandas()
+    assert len(out) == len(data)
+    assert np.isclose(out["x"].sum(), data["x"].sum())
+    assert sorted(out.index) == sorted(data.index)
+    meta = test_collection.get_item_metadata("it")
+    assert meta["_partition_strategy"] == "zorder"
+    assert meta["_zorder_columns"] == ["x", "y"]
+
+
+def test_zorder_rejects_strings_and_overflow(test_collection):
+    import pytest
+
+    test_collection.write(
+        "it",
+        pd.DataFrame(
+            {"x": [1.0, 2.0], "s": ["a", "b"]},
+            index=pd.DatetimeIndex(["2024-01-01", "2024-01-02"]),
+        ),
+    )
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        test_collection.rebalance_partitions("it", zorder=["x", "s"])
+
+    from pystore_spark.partition import zorder_value
+
+    df = test_collection.item("it").data
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_value(df, ["x"] * 5, bits=16)
