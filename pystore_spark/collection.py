@@ -1227,6 +1227,112 @@ class Collection:
         )
 
     # ------------------------------------------------------------------
+    # incremental materialized rollups (continuous aggregates) —
+    # see pystore_spark/rollup.py for the design
+    # ------------------------------------------------------------------
+    def create_rollup(
+        self,
+        item: str,
+        rollup_item: str,
+        unit: str = "day",
+        aggs: dict | None = None,
+        dims: Sequence[str] = (),
+        overwrite: bool = False,
+    ) -> None:
+        """Materialize ``groupBy(date_trunc(unit, index), *dims)
+        .agg(aggs)`` of ``item`` as ``rollup_item`` and record the
+        source manifest state, so later :meth:`refresh_rollup` calls
+        only recompute the time range appends actually touched."""
+        from pystore_spark import rollup as ru
+
+        if not aggs:
+            raise ValidationError(
+                "create_rollup needs aggs, e.g. {'value': ['sum', 'count']}"
+            )
+        src = self.item(item)
+        man = utils.read_manifest(src._path)
+        roll = ru.compute_rollup(src.data, src.index_column, unit, dims, aggs)
+        spec = {
+            "source": item,
+            "unit": unit,
+            "aggs": {k: list(v) for k, v in aggs.items()},
+            "dims": list(dims),
+            "source_files": sorted((man or {}).get("files") or []),
+        }
+        self.write(
+            rollup_item,
+            roll,
+            overwrite=overwrite,
+            index_col="bucket",
+            sidecar_extra={ru.ROLLUP_META_KEY: spec},
+        )
+
+    def refresh_rollup(self, rollup_item: str) -> dict:
+        """Bring a rollup up to date with its source. Returns
+        ``{"mode": "fresh" | "incremental" | "full",
+        "changed_buckets": n}``.
+
+        Incremental path: the changed ``_pb`` storage buckets come
+        from comparing manifest file lists (driver-side string work —
+        no data read, no dependence on GC'd old files); the source is
+        re-read only inside the unit-aligned index windows covering
+        them (manifest-level partition pruning applies), and rollup
+        rows outside those windows carry over untouched. O(changed
+        storage buckets) + O(rollup), never O(item)."""
+        from pystore_spark import rollup as ru
+
+        meta = self.get_item_metadata(rollup_item)
+        spec = (meta or {}).get(ru.ROLLUP_META_KEY)
+        if not spec:
+            raise ValidationError(
+                f"item {rollup_item!r} was not created by create_rollup"
+            )
+        src_it = self.item(spec["source"])
+        man = utils.read_manifest(src_it._path)
+        new_files = sorted((man or {}).get("files") or [])
+        old_files = list(spec["source_files"])
+        new_spec = {**spec, "source_files": new_files}
+        unit, dims, aggs = spec["unit"], spec["dims"], spec["aggs"]
+        idx = src_it.index_column
+
+        def _rewrite(df: DataFrame) -> None:
+            self.write(
+                rollup_item,
+                df,
+                overwrite=True,
+                index_col="bucket",
+                sidecar_extra={ru.ROLLUP_META_KEY: new_spec},
+            )
+
+        if new_files == old_files:
+            return {"mode": "fresh", "changed_buckets": 0}
+        changed = ru.changed_pb_buckets(old_files, new_files)
+        freq = (
+            src_it._plan.freq
+            if src_it._plan is not None and src_it._plan.kind == "time"
+            else None
+        )
+        if changed is None or freq is None:
+            _rewrite(
+                ru.compute_rollup(src_it.data, idx, unit, dims, aggs)
+            )
+            return {
+                "mode": "full",
+                "changed_buckets": len(set(old_files) ^ set(new_files)),
+            }
+        ranges = ru.recompute_ranges(changed, freq, unit)
+        dnf = [[(idx, ">=", lo), (idx, "<", hi)] for lo, hi in ranges]
+        live = self.item(spec["source"], filters=dnf).data
+        recomputed = ru.compute_rollup(live, idx, unit, dims, aggs)
+        cond = None
+        for lo, hi in ranges:
+            r = (F.col("bucket") >= F.lit(lo)) & (F.col("bucket") < F.lit(hi))
+            cond = r if cond is None else (cond | r)
+        carry = self.item(rollup_item).data.filter(~cond)
+        _rewrite(carry.unionByName(recomputed))
+        return {"mode": "incremental", "changed_buckets": len(changed)}
+
+    # ------------------------------------------------------------------
     # maintenance (reference: pystore/partition.py:175-216)
     # ------------------------------------------------------------------
     def rebalance_partitions(

@@ -1,0 +1,184 @@
+"""Incremental materialized rollups (continuous aggregates) —
+pystore_spark/rollup.py + Collection.create_rollup/refresh_rollup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pystore_spark.exceptions import ValidationError
+
+
+def _source_data(n=12_000, start="2020-01-01"):
+    rng = np.random.default_rng(11)
+    idx = pd.date_range(start, periods=n, freq="h")
+    return pd.DataFrame(
+        {
+            "value": rng.uniform(0, 100, n),
+            "kind": rng.choice(["a", "b"], n),
+        },
+        index=idx,
+    )
+
+
+AGGS = {"value": ["sum", "count", "min", "max"]}
+
+
+def _full_rollup(collection, item, unit="day", dims=()):
+    from pystore_spark.rollup import compute_rollup
+
+    src = collection.item(item)
+    return (
+        compute_rollup(src.data, src.index_column, unit, dims, AGGS)
+        .toPandas()
+        .sort_values(["bucket", *dims])
+        .reset_index(drop=True)
+    )
+
+
+def _read_rollup(collection, rollup_item, dims=()):
+    pdf = collection.item(rollup_item).to_pandas().reset_index()
+    cols = ["bucket", *dims, *(f"value_{f}" for f in AGGS["value"])]
+    return pdf[cols].sort_values(["bucket", *dims]).reset_index(drop=True)
+
+
+def _assert_rollups_equal(got, want):
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_create_rollup_matches_direct_aggregate(test_collection):
+    test_collection.write("src", _source_data())
+    test_collection.create_rollup("src", "src_daily", unit="day", aggs=AGGS)
+    _assert_rollups_equal(
+        _read_rollup(test_collection, "src_daily"),
+        _full_rollup(test_collection, "src"),
+    )
+
+
+def test_refresh_is_incremental_and_exact(test_collection):
+    data = _source_data()
+    test_collection.write("src", data)
+    test_collection.create_rollup("src", "src_daily", unit="day", aggs=AGGS)
+
+    # append 48h right after the end — touches one storage bucket
+    extra_idx = pd.date_range(
+        data.index[-1] + pd.Timedelta(hours=1), periods=48, freq="h"
+    )
+    test_collection.append(
+        "src",
+        pd.DataFrame(
+            {"value": np.linspace(0, 1, 48), "kind": ["a"] * 48},
+            index=extra_idx,
+        ),
+    )
+
+    out = test_collection.refresh_rollup("src_daily")
+    assert out["mode"] == "incremental"
+    # the append lands in one (maybe two) monthly storage buckets
+    assert out["changed_buckets"] <= 2
+    _assert_rollups_equal(
+        _read_rollup(test_collection, "src_daily"),
+        _full_rollup(test_collection, "src"),
+    )
+
+
+def test_refresh_after_upsert_and_noop(test_collection):
+    data = _source_data()
+    test_collection.write("src", data)
+    test_collection.create_rollup("src", "src_daily", unit="day", aggs=AGGS)
+
+    # upsert: bump 24 existing rows in the middle of the range
+    upd = data.iloc[5000:5024].copy()
+    upd["value"] = upd["value"] + 1000.0
+    test_collection.append("src", upd, duplicate_handling="keep_last")
+
+    out = test_collection.refresh_rollup("src_daily")
+    assert out["mode"] == "incremental"
+    _assert_rollups_equal(
+        _read_rollup(test_collection, "src_daily"),
+        _full_rollup(test_collection, "src"),
+    )
+
+    # already fresh → no work
+    assert test_collection.refresh_rollup("src_daily")["mode"] == "fresh"
+
+
+def test_rollup_with_dims_and_week_straddle(test_collection):
+    """Week buckets straddle month boundaries; the recompute window
+    expansion must re-aggregate the straddling week from BOTH months."""
+    data = _source_data()
+    test_collection.write("src", data)
+    test_collection.create_rollup(
+        "src", "src_weekly", unit="week", aggs=AGGS, dims=["kind"]
+    )
+
+    extra_idx = pd.date_range(
+        data.index[-1] + pd.Timedelta(hours=1), periods=24, freq="h"
+    )
+    test_collection.append(
+        "src",
+        pd.DataFrame(
+            {"value": np.linspace(5, 6, 24), "kind": ["b"] * 24},
+            index=extra_idx,
+        ),
+    )
+    out = test_collection.refresh_rollup("src_weekly")
+    assert out["mode"] == "incremental"
+    _assert_rollups_equal(
+        _read_rollup(test_collection, "src_weekly", dims=["kind"]),
+        _full_rollup(test_collection, "src", unit="week", dims=["kind"]),
+    )
+
+
+def test_small_item_falls_back_to_full_recompute(test_collection):
+    """Items without the time-bucketed layout (small, single file)
+    refresh by full recompute — correct, and cheap by construction."""
+    small = _source_data(n=500)
+    test_collection.write("src", small)
+    test_collection.create_rollup("src", "r", unit="day", aggs=AGGS)
+    test_collection.append(
+        "src",
+        pd.DataFrame(
+            {"value": [1.0], "kind": ["a"]},
+            index=pd.DatetimeIndex([small.index[-1] + pd.Timedelta(hours=1)]),
+        ),
+    )
+    out = test_collection.refresh_rollup("r")
+    assert out["mode"] == "full"
+    _assert_rollups_equal(
+        _read_rollup(test_collection, "r"),
+        _full_rollup(test_collection, "src"),
+    )
+
+
+def test_rollup_validation_errors(test_collection):
+    test_collection.write("src", _source_data(n=200))
+    with pytest.raises(ValidationError, match="needs aggs"):
+        test_collection.create_rollup("src", "r")
+    with pytest.raises(ValidationError, match="unsupported rollup unit"):
+        test_collection.create_rollup(
+            "src", "r", unit="minute", aggs=AGGS
+        )
+    with pytest.raises(ValidationError, match="not created by create_rollup"):
+        test_collection.refresh_rollup("src")
+
+
+def test_recompute_ranges_merging_and_straddle():
+    from pystore_spark.rollup import recompute_ranges
+
+    # two adjacent months merge into one window
+    r = recompute_ranges(["2024-01", "2024-02"], "M", "day")
+    assert [(pd.Timestamp(a), pd.Timestamp(b)) for a, b in r] == [
+        (pd.Timestamp("2024-01-01"), pd.Timestamp("2024-03-01")),
+    ]
+    # week unit expands beyond the month edge on both sides
+    (lo, hi), = recompute_ranges(["2024-02"], "M", "week")
+    lo, hi = pd.Timestamp(lo), pd.Timestamp(hi)
+    assert lo <= pd.Timestamp("2024-02-01")
+    assert lo.dayofweek == 0  # Monday
+    assert hi >= pd.Timestamp("2024-03-01")
+    assert hi.dayofweek == 0
