@@ -1332,6 +1332,24 @@ class Collection:
         _rewrite(carry.unionByName(recomputed))
         return {"mode": "incremental", "changed_buckets": len(changed)}
 
+    def rollups_of(self, item: str) -> list[str]:
+        """Rollup items materialized from ``item`` (sidecar scan)."""
+        from pystore_spark import rollup as ru
+
+        out = []
+        for name in self.items:
+            spec = (self.get_item_metadata(name) or {}).get(
+                ru.ROLLUP_META_KEY
+            )
+            if spec and spec.get("source") == item:
+                out.append(name)
+        return out
+
+    def refresh_rollups(self, item: str) -> dict[str, dict]:
+        """Refresh every rollup of ``item`` (e.g. after a streaming
+        micro-batch lands); returns {rollup_item: refresh result}."""
+        return {r: self.refresh_rollup(r) for r in self.rollups_of(item)}
+
     # ------------------------------------------------------------------
     # maintenance (reference: pystore/partition.py:175-216)
     # ------------------------------------------------------------------

@@ -1393,6 +1393,107 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_funnel",
+    sql=f"""
+    WITH t AS (
+      SELECT n_chars, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT n_chars,
+        len(toks)::DOUBLE AS n,
+        len(list_distinct(toks))::DOUBLE AS uniq,
+        COALESCE(list_reduce(list_transform(toks, x -> len(x)::DOUBLE),
+                             (a,b) -> a+b) / len(toks), 0.0) AS awl
+      FROM t),
+    q AS (
+      SELECT n_chars, n, uniq,
+        ROUND(0.4 * LEAST(n / 100.0, 1.0)
+            + 0.4 * (CASE WHEN n > 0 THEN uniq / n ELSE 0.0 END)
+            + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0
+                     THEN 1.0 ELSE 0.5 END), 6) AS quality
+      FROM s)
+    SELECT count(*) AS n_total,
+      count(*) FILTER (n_chars >= 100) AS n_len_ok,
+      count(*) FILTER (n_chars >= 100 AND n >= 20) AS n_tokens_ok,
+      count(*) FILTER (n_chars >= 100 AND n >= 20
+                       AND uniq / n >= 0.3) AS n_diverse,
+      count(*) FILTER (n_chars >= 100 AND n >= 20
+                       AND uniq / n >= 0.3
+                       AND quality >= 0.5) AS n_quality_ok
+    FROM q
+    """,
+    tags=("text", "pipeline", "funnel"),
+)
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel audit — how many documents survive each stage of
+    a training-data quality pipeline (length → token count → lexical
+    diversity → composite quality). ONE aggregation job over one scan:
+    the stages are conditional counts, not five passes (the
+    validation-rule compiler pattern applied to corpus curation)."""
+    doc = load_table(spark, sf_dir, "documents")
+    n = X.token_count("text").cast("double")
+    uniq = X.unique_token_count("text").cast("double")
+    quality = X.quality_score("text")
+    len_ok = F.col("n_chars") >= 100
+    tok_ok = len_ok & (n >= 20)
+    div_ok = tok_ok & (uniq / n >= 0.3)
+    q_ok = div_ok & (quality >= 0.5)
+
+    def cnt(cond: F.Column) -> F.Column:
+        return F.count_if(cond).cast("bigint")
+
+    return doc.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        cnt(len_ok).alias("n_len_ok"),
+        cnt(tok_ok).alias("n_tokens_ok"),
+        cnt(div_ok).alias("n_diverse"),
+        cnt(q_ok).alias("n_quality_ok"),
+    )
+
+
+@register(
+    "corpus_mix_report",
+    sql=f"""
+    WITH t AS (
+      SELECT lang, source, len({_TOKS}) AS n_toks FROM documents),
+    g AS (
+      SELECT lang, source, count(*) AS n_docs,
+             sum(n_toks)::BIGINT AS n_tokens
+      FROM t GROUP BY lang, source),
+    tot AS (SELECT sum(n_tokens) AS total_tokens FROM g)
+    SELECT lang, source, n_docs, n_tokens,
+      ROUND(n_tokens / total_tokens::DOUBLE, 6) AS token_share
+    FROM g, tot
+    """,
+    tags=("text", "pipeline", "mix"),
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix accounting: documents and whitespace tokens per
+    (lang, source) cell with each cell's share of corpus tokens — the
+    table a pretraining mix is tuned against. One groupBy shuffle;
+    the corpus total is a 1-row aggregate broadcast against the cells
+    (never a single-partition window over the full frame)."""
+    doc = load_table(spark, sf_dir, "documents")
+    cells = (
+        doc.select("lang", "source", X.token_count("text").alias("n_toks"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    total = cells.agg(F.sum("n_tokens").alias("total_tokens"))
+    return cells.join(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("total_tokens").cast("double"), 6
+        ).alias("token_share"),
+    )
+
+
+@register(
     "heavy_hitters",
     sql="""
     WITH counts AS (
@@ -1555,6 +1656,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "signlsh_candidate_topk", "bpe_token_stats",
     "interval_join_banded", "gapfill_locf_daily", "approx_distinct_audit",
     "heavy_hitters", "rolling_zscore_outliers", "weighted_sample_topk",
+    "quality_funnel", "corpus_mix_report",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

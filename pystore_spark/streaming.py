@@ -27,6 +27,7 @@ def merge_sink(
     duplicate_handling: str = "keep_last",
     validate_schema: bool = True,
     sink_key: str | None = None,
+    refresh_rollups: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function: upsert each micro-batch into the
     item (creates it on the first batch).
@@ -38,7 +39,14 @@ def merge_sink(
     (``sidecar_extra``), and replayed ids are skipped — so even
     ``keep_all``/``error`` strategies, where the merge itself is not
     idempotent, survive replays. ``sink_key`` namespaces the counter
-    when several independent streams feed one item."""
+    when several independent streams feed one item.
+
+    ``refresh_rollups=True`` brings every materialized rollup of the
+    item up to date after each committed batch — the continuous-
+    aggregate pattern: each refresh is O(buckets the batch touched)
+    via the manifest file-list diff (collection.refresh_rollups). A
+    replayed batch refreshes at most once because the data commit is
+    skipped first."""
     key = sink_key or "default"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -49,6 +57,8 @@ def merge_sink(
                 item, batch_df,
                 sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
             )
+            if refresh_rollups:
+                collection.refresh_rollups(item)
             return
         commits = dict(
             collection.get_item_metadata(item, use_cache=False).get(
@@ -65,6 +75,8 @@ def merge_sink(
             validate_schema=validate_schema,
             sidecar_extra={COMMITS_KEY: commits},
         )
+        if refresh_rollups:
+            collection.refresh_rollups(item)
 
     return sink
 

@@ -182,3 +182,66 @@ def test_recompute_ranges_merging_and_straddle():
     assert lo.dayofweek == 0  # Monday
     assert hi >= pd.Timestamp("2024-03-01")
     assert hi.dayofweek == 0
+
+
+def test_refresh_rollups_for_source(test_collection):
+    data = _source_data()
+    test_collection.write("src", data)
+    test_collection.create_rollup("src", "r_daily", unit="day", aggs=AGGS)
+    test_collection.create_rollup(
+        "src", "r_monthly", unit="month", aggs={"value": ["sum"]}
+    )
+    assert sorted(test_collection.rollups_of("src")) == [
+        "r_daily", "r_monthly"
+    ]
+
+    test_collection.append(
+        "src",
+        pd.DataFrame(
+            {"value": [3.0], "kind": ["a"]},
+            index=pd.DatetimeIndex([data.index[-1] + pd.Timedelta(hours=1)]),
+        ),
+    )
+    out = test_collection.refresh_rollups("src")
+    assert set(out) == {"r_daily", "r_monthly"}
+    assert all(r["mode"] in ("incremental", "full") for r in out.values())
+    _assert_rollups_equal(
+        _read_rollup(test_collection, "r_daily"),
+        _full_rollup(test_collection, "src"),
+    )
+    # second call: both fresh
+    out2 = test_collection.refresh_rollups("src")
+    assert all(r["mode"] == "fresh" for r in out2.values())
+
+
+def test_streaming_sink_refreshes_rollups(test_collection, spark, tmp_path):
+    """merge_sink(refresh_rollups=True): the continuous-aggregate path
+    — every committed micro-batch leaves the rollup consistent with
+    the item."""
+    from pystore_spark.streaming import merge_sink
+
+    data = _source_data(n=600)
+    test_collection.write("src", data)
+    test_collection.create_rollup("src", "r", unit="day", aggs=AGGS)
+
+    sink = merge_sink(test_collection, "src", refresh_rollups=True)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "index": [data.index[-1] + pd.Timedelta(hours=i) for i in (1, 2)],
+                "value": [1.5, 2.5],
+                "kind": ["a", "b"],
+            }
+        )
+    )
+    sink(batch, 0)
+    _assert_rollups_equal(
+        _read_rollup(test_collection, "r"),
+        _full_rollup(test_collection, "src"),
+    )
+    # replayed batch: data skip also skips the (already-fresh) refresh
+    sink(batch, 0)
+    _assert_rollups_equal(
+        _read_rollup(test_collection, "r"),
+        _full_rollup(test_collection, "src"),
+    )
