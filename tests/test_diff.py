@@ -146,3 +146,55 @@ def test_diff_missing_snapshot_raises(test_collection, sample_data):
     test_collection.write("it", sample_data)
     with pytest.raises(SnapshotNotFoundError):
         test_collection.diff("it", from_snapshot="nope")
+
+
+def test_diff_reconstructs_target_version(test_collection):
+    """CDC soundness: applying the diff to the *from* version must
+    reproduce the *to* version as a multiset, across a random-ish
+    sequence of appends and upserts."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    idx = pd.date_range("2021-01-01", periods=11_000, freq="h")
+    base = pd.DataFrame(
+        {"v": rng.uniform(0, 10, len(idx)).round(6)}, index=idx
+    )
+    test_collection.write("it", base)
+    test_collection.create_snapshot("v0")
+
+    # mixed mutations: upsert a middle slice, append a tail, append
+    # exact duplicates with keep_all
+    upd = base.iloc[4000:4100].copy()
+    upd["v"] = (upd["v"] + 5.0).round(6)
+    test_collection.append("it", upd, duplicate_handling="keep_last")
+    tail_idx = pd.date_range(
+        idx[-1] + pd.Timedelta(hours=1), periods=50, freq="h"
+    )
+    test_collection.append(
+        "it",
+        pd.DataFrame({"v": np.linspace(0, 1, 50).round(6)}, index=tail_idx),
+    )
+    dup = base.iloc[100:110]
+    test_collection.append("it", dup, duplicate_handling="keep_all")
+
+    def multiset(pdf):
+        from collections import Counter
+
+        return Counter(
+            (ts.isoformat(), float(v))
+            for ts, v in zip(pdf["index"], pdf["v"])
+        )
+
+    from_pdf = test_collection.item("it", snapshot="v0").to_pandas().reset_index()
+    to_pdf = test_collection.item("it").to_pandas().reset_index()
+    d = test_collection.diff("it", from_snapshot="v0").toPandas()
+    ins = multiset(d[d["_change"] == "insert"])
+    dels = multiset(d[d["_change"] == "delete"])
+
+    reconstructed = multiset(from_pdf)
+    reconstructed.update(ins)
+    reconstructed.subtract(dels)
+    reconstructed = +reconstructed  # drop zero counts
+    assert reconstructed == multiset(to_pdf)
+    # and the diff is minimal on the upsert: changed rows only
+    assert len(d) < 2 * (100 + 50 + 10) + 10
