@@ -1393,6 +1393,95 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnowing_fingerprints",
+    sql="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+      FROM documents),
+    grams AS (
+      SELECT doc_id, pos,
+        CAST(('0x' || substr(md5(substr(n, pos::INT, 8)), 1, 12))
+             AS BIGINT) * 2048 + pos AS key,
+        length(n) - 8 + 1 AS n_grams
+      FROM norm,
+           LATERAL unnest(generate_series(1, length(n) - 8 + 1)) AS t(pos)),
+    wins AS (
+      SELECT doc_id,
+        min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        pos, n_grams
+      FROM grams),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n_grams - 3)
+    SELECT doc_id, count(*) AS n_fingerprints,
+           (sum(fp) % 1152921504606846976)::BIGINT AS fp_checksum
+    FROM sel GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (k-gram hashes, k=8, window
+    w=4): every window of 4 consecutive k-gram hashes contributes its
+    minimum, guaranteeing any match of length ≥ k+w-1 shares a
+    fingerprint — the local-sampling property plain min-hashing lacks.
+    Fully relational: explode char positions (executor-side sequence,
+    no UDF), hash each gram once, one window-min over (doc, pos) —
+    ties between repeated grams break deterministically because the
+    position rides in the key's low 11 bits (hash truncated to 48 bits
+    so the packed key stays inside a long on every engine)."""
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    norm = doc.select(
+        "doc_id", X.normalize_text("text").alias("n")
+    ).withColumn("n_grams", F.length("n") - 8 + 1)
+    grams = norm.select(
+        "doc_id",
+        "n_grams",
+        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+        "n",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("n").substr(F.col("pos"), F.lit(8))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            * 2048
+            + F.col("pos")
+        ).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    sel = (
+        grams.withColumn("fp", F.min("key").over(w))
+        .filter(F.col("pos") <= F.col("n_grams") - 3)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    # checksum of the fingerprint set: exact decimal sum mod 2^60
+    # (a plain long sum overflows — fingerprints are ~2^59 each)
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        (
+            F.sum(F.col("fp").cast("decimal(38,0)"))
+            % F.lit(1152921504606846976)
+        )
+        .cast("bigint")
+        .alias("fp_checksum"),
+    )
+
+
+@register(
     "quality_funnel",
     sql=f"""
     WITH t AS (
@@ -1656,7 +1745,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "signlsh_candidate_topk", "bpe_token_stats",
     "interval_join_banded", "gapfill_locf_daily", "approx_distinct_audit",
     "heavy_hitters", "rolling_zscore_outliers", "weighted_sample_topk",
-    "quality_funnel", "corpus_mix_report",
+    "quality_funnel", "corpus_mix_report", "winnowing_fingerprints",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
