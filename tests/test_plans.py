@@ -145,3 +145,38 @@ def test_gapfill_grid_is_generated_not_collected(spark):
     plan = _formatted(spark, "gapfill_locf_daily")
     assert "Generate" in plan and "explode" in plan
     assert "LocalTableScan" not in plan
+
+
+def test_heavy_hitters_salted_and_broadcast_threshold(spark):
+    plan = _formatted(spark, "heavy_hitters")
+    # two-stage salted count: a (key, salt) aggregate below the final
+    # per-key aggregate
+    assert "_salt" in plan
+    # the scalar cutoff joins by broadcast, never a driver collect
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_corpus_mix_broadcasts_total(spark):
+    plan = _formatted(spark, "corpus_mix_report")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_winnowing_has_no_python_udf(spark):
+    # the whole winnowing pipeline (normalize, gram hash, window-min)
+    # must stay JVM-side
+    plan = _formatted(spark, "winnowing_fingerprints")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan
+
+
+def test_rolling_zscore_single_shuffle_on_key(spark):
+    # one exchange on user_id for the window; no second data shuffle
+    plan = _formatted(spark, "rolling_zscore_outliers")
+    import re
+
+    exchanges = [
+        ln for ln in plan.splitlines() if re.search(r"\(\d+\)\s+Exchange", ln)
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(user_id" in plan
