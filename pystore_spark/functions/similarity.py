@@ -472,3 +472,25 @@ def ivf_search_with_index(
         indexed, queries_indexed, vec_col, id_col, cell_col="cell", k=k,
         query_id_col=query_id_col,
     )
+
+
+def quantize_int8(vec: Column, scale_out: str = "scale") -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: ``q = round(v * 127 /
+    max|v|)``, returned with the per-vector scale needed to decode.
+    4× smaller embedding storage (the difference between 100 TB and
+    25 TB of vectors) at a bounded cosine error — see
+    ``embedding_quantization_audit`` for the measured bound. Pure
+    higher-order array functions, no UDF.
+    """
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        vec,
+        lambda x: F.round(x / scale).cast("tinyint"),
+    )
+    return q, scale.alias(scale_out)
+
+
+def dequantize_int8(q: Column, scale: Column) -> Column:
+    """Decode int8 codes back to float: ``v ≈ q * scale``."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

@@ -1393,6 +1393,67 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantization_audit",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM v),
+    q AS (
+      SELECT vec_id, v, amax,
+        CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+      FROM s),
+    r AS (
+      SELECT vec_id, amax, scale,
+        list_max(list_transform(
+          v, x -> abs(x - round(x / scale) * scale))) AS max_err
+      FROM q)
+    SELECT vec_id,
+      ROUND(max_err / NULLIF(amax, 0), 6) AS err_ratio,
+      max_err <= scale / 2.0 + 1e-12 AS within_bound
+    FROM r
+    """,
+    tags=("embedding", "quantization", "pipeline"),
+)
+def embedding_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: encode, decode,
+    and verify the reconstruction error stays inside the quantizer's
+    half-step bound (scale/2) for every vector — the check that makes
+    4x-smaller embedding storage safe to adopt. Entirely higher-order
+    array functions; the error ratio is rounded after identical
+    double arithmetic on both engines
+    (functions/similarity.py:quantize_int8)."""
+    from pystore_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = emb.select("vec_id", v.alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    emb = emb.withColumn("amax", amax)
+    q, scale = S.quantize_int8(F.col("v"))
+    emb = emb.withColumn("scale", scale).withColumn("q", q)
+    dec = S.dequantize_int8(F.col("q"), F.col("scale"))
+    err = F.array_max(
+        F.zip_with(F.col("v"), dec, lambda a, b: F.abs(a - b))
+    )
+    emb = emb.withColumn("max_err", err)
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.col("max_err")
+            / F.when(F.col("amax") != 0, F.col("amax")),
+            6,
+        ).alias("err_ratio"),
+        (F.col("max_err") <= F.col("scale") / 2.0 + 1e-12).alias(
+            "within_bound"
+        ),
+    )
+
+
+@register(
     "winnowing_fingerprints",
     sql="""
     WITH norm AS (
@@ -1746,6 +1807,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "interval_join_banded", "gapfill_locf_daily", "approx_distinct_audit",
     "heavy_hitters", "rolling_zscore_outliers", "weighted_sample_topk",
     "quality_funnel", "corpus_mix_report", "winnowing_fingerprints",
+    "embedding_quantization_audit",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

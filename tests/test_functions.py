@@ -503,3 +503,29 @@ def test_time_grid_is_dense_and_inclusive(spark):
         r["grid_ts"].day for r in grid.filter(F.col("k") == "a").collect()
     )
     assert days == [1, 2, 3, 4, 5]
+
+
+def test_int8_quantization_bound(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pystore_spark.functions import similarity as S
+
+    rng = np.random.default_rng(5)
+    vecs = [rng.normal(0, 1, 32).astype(float).tolist() for _ in range(50)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "v": vecs})
+    )
+    q, scale = S.quantize_int8(F.col("v"))
+    out = df.withColumn("q", q).withColumn("scale", scale)
+    dec = S.dequantize_int8(F.col("q"), F.col("scale"))
+    err = F.array_max(F.zip_with(F.col("v"), dec, lambda a, b: F.abs(a - b)))
+    bad = out.filter(err > F.col("scale") / 2.0 + 1e-12).count()
+    assert bad == 0
+    # codes must fit int8
+    row = out.select(
+        F.max(F.array_max("q")).alias("hi"),
+        F.min(F.array_min("q")).alias("lo"),
+    ).first()
+    assert -127 <= row["lo"] and row["hi"] <= 127
