@@ -1250,7 +1250,11 @@ class Collection:
                 "create_rollup needs aggs, e.g. {'value': ['sum', 'count']}"
             )
         src = self.item(item)
-        man = utils.read_manifest(src._path)
+        # record the SAME manifest the data handle pinned — a second
+        # read could see a concurrent append's newer file list, and a
+        # rollup recorded as newer than its data silently never
+        # refreshes those rows
+        man = src._manifest
         roll = ru.compute_rollup(src.data, src.index_column, unit, dims, aggs)
         spec = {
             "source": item,
@@ -1288,7 +1292,11 @@ class Collection:
                 f"item {rollup_item!r} was not created by create_rollup"
             )
         src_it = self.item(spec["source"])
-        man = utils.read_manifest(src_it._path)
+        # same pinning rule as create_rollup: the recorded file list
+        # must never be newer than the data actually aggregated (the
+        # incremental re-read below may see newer rows — safe: the
+        # next refresh just re-covers them)
+        man = src_it._manifest
         new_files = sorted((man or {}).get("files") or [])
         old_files = list(spec["source_files"])
         new_spec = {**spec, "source_files": new_files}
@@ -1375,22 +1383,23 @@ class Collection:
         df = it.data
         sidecar = dict(it.metadata)
         idx = it.index_column
+
+        def _size_based_n() -> int:
+            size = None
+            try:
+                size = self.item_size_bytes(item)
+            except OSError:
+                pass
+            import math
+
+            return max(
+                1, math.ceil((size or 0) / (target_size_mb * 1024 * 1024))
+            )
+
         if zorder:
             from pystore_spark.partition import zorder_value
 
-            if npartitions is not None:
-                n = max(1, int(npartitions))
-            else:
-                size = None
-                try:
-                    size = self.item_size_bytes(item)
-                except OSError:
-                    pass
-                import math
-
-                n = max(
-                    1, math.ceil((size or 0) / (target_size_mb * 1024 * 1024))
-                )
+            n = max(1, int(npartitions)) if npartitions is not None else _size_based_n()
             plan = PartitionPlan("size", npartitions=n)
             zv = zorder_value(df, list(zorder))
             shaped = (
@@ -1399,31 +1408,25 @@ class Collection:
                 .sortWithinPartitions("_zv")
                 .drop("_zv")
             )
-            sidecar["_partition_plan"] = plan.to_dict()
-            sidecar["_partitions"] = plan.npartitions
-            sidecar["_partition_strategy"] = "zorder"
+            strategy = "zorder"
             sidecar["_zorder_columns"] = list(zorder)
-            self._atomic_write(item, shaped, plan, sidecar)
-            self.clear_metadata_cache(item)
-            return plan.npartitions
-        if npartitions is not None:
-            plan = PartitionPlan("size", npartitions=max(1, int(npartitions)))
-        elif time_based and it._plan is not None and it._plan.kind == "time":
-            plan = it._plan
         else:
-            size = None
-            try:
-                size = self.item_size_bytes(item)
-            except OSError:
-                pass
-            import math
-
-            n = max(1, math.ceil((size or 0) / (target_size_mb * 1024 * 1024)))
-            plan = PartitionPlan("size", npartitions=n)
-        shaped = apply_layout(df, plan, index_col=idx)
+            if npartitions is not None:
+                plan = PartitionPlan(
+                    "size", npartitions=max(1, int(npartitions))
+                )
+            elif time_based and it._plan is not None and it._plan.kind == "time":
+                plan = it._plan
+            else:
+                plan = PartitionPlan("size", npartitions=_size_based_n())
+            shaped = apply_layout(df, plan, index_col=idx)
+            strategy = plan.kind
+            # a linear rewrite destroys any previous z-order clustering;
+            # leaving the key would claim pruning that no longer exists
+            sidecar.pop("_zorder_columns", None)
         sidecar["_partition_plan"] = plan.to_dict()
         sidecar["_partitions"] = plan.npartitions
-        sidecar["_partition_strategy"] = plan.kind
+        sidecar["_partition_strategy"] = strategy
         self._atomic_write(item, shaped, plan, sidecar)
         self.clear_metadata_cache(item)
         return plan.npartitions

@@ -87,19 +87,26 @@ def weighted_sample_per_stratum(
     ``fixed_sample_per_stratum``.
     """
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    # 14 hex chars → [0, 2^56); +1 → (0, 2^56], never ln(0)
+    # 14 hex chars → [0, 2^56); +1 INTEGER-side before the double
+    # divide — adding 1.0 after the double cast rounds differently
+    # above 2^53 for ~15% of keys and would diverge from a SQL oracle
+    # computing (bigint + 1) / 2^56; +1 also means never ln(0)
     u = (
         F.conv(
             F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10
-        ).cast("double")
-        + 1.0
-    ) / float(1 << 56)
+        ).cast("bigint")
+        + F.lit(1)
+    ).cast("double") / float(1 << 56)
     key = F.log(u) / wcol
     w = Window.partitionBy(stratum_col).orderBy(
         key.desc(), F.col(key_col)
     )
+    # p ∝ w means w <= 0 is "never sampled"; excluding those rows also
+    # avoids the division blowing up under ANSI mode (w = 0) and a
+    # negative weight inverting the ranking
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.filter(wcol > 0)
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )

@@ -99,7 +99,11 @@ def rolling_zscore(
         .rowsBetween(-lookback, -1)
     )
     v = F.col(value_col)
-    dec = v.cast("decimal(19,6)")
+    # decimal(18,6): the product is decimal(37,12) — EXACT. At (19,6)
+    # Spark resolves the product to decimal(38,11), silently rounding
+    # the 12th decimal digit, which diverges from engines (DuckDB)
+    # that keep the exact (38,12) product
+    dec = v.cast("decimal(18,6)")
     n = F.count(v).over(w)
     s1 = F.sum(dec).over(w).cast("double")
     s2 = F.sum(dec * dec).over(w).cast("double")

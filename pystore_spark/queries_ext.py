@@ -1462,8 +1462,8 @@ def embedding_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     grams AS (
       SELECT doc_id, pos,
-        CAST(('0x' || substr(md5(substr(n, pos::INT, 8)), 1, 12))
-             AS BIGINT) * 2048 + pos AS key,
+        CAST(('0x' || substr(md5(substr(n, pos::INT, 8)), 1, 11))
+             AS BIGINT) * 65536 + pos AS key,
         length(n) - 8 + 1 AS n_grams
       FROM norm,
            LATERAL unnest(generate_series(1, length(n) - 8 + 1)) AS t(pos)),
@@ -1489,8 +1489,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully relational: explode char positions (executor-side sequence,
     no UDF), hash each gram once, one window-min over (doc, pos) —
     ties between repeated grams break deterministically because the
-    position rides in the key's low 11 bits (hash truncated to 48 bits
-    so the packed key stays inside a long on every engine)."""
+    position rides in the key's low 16 bits (documents to 65k grams;
+    hash truncated to 44 bits so the packed key stays inside a long on
+    every engine — per-window collision odds are negligible)."""
     doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
     from pyspark.sql import Window
 
@@ -1509,12 +1510,12 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.conv(
                 F.substring(
-                    F.md5(F.col("n").substr(F.col("pos"), F.lit(8))), 1, 12
+                    F.md5(F.col("n").substr(F.col("pos"), F.lit(8))), 1, 11
                 ),
                 16,
                 10,
             ).cast("bigint")
-            * 2048
+            * 65536
             + F.col("pos")
         ).alias("key"),
     )

@@ -66,7 +66,13 @@ def merge_sink(
             ) or {}
         )
         if int(commits.get(key, -1)) >= int(batch_id):
-            return  # replayed micro-batch — already committed
+            # replayed micro-batch — data already committed. Still
+            # refresh: a crash BETWEEN the data commit and the refresh
+            # would otherwise leave rollups stale forever (refresh is
+            # idempotent and O(1) when already fresh)
+            if refresh_rollups:
+                collection.refresh_rollups(item)
+            return
         commits[key] = int(batch_id)
         collection.append(
             item,

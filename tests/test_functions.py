@@ -529,3 +529,24 @@ def test_int8_quantization_bound(spark):
         F.min(F.array_min("q")).alias("lo"),
     ).first()
     assert -127 <= row["lo"] and row["hi"] <= 127
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pystore_spark.functions import sampling as SA
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": list(range(8)),
+                "s": ["a"] * 8,
+                "w": [0.0, -1.0, 2.0, 3.0, 1.0, 4.0, 5.0, 6.0],
+            }
+        )
+    )
+    out = SA.weighted_sample_per_stratum(df, "k", "s", "w", 10).toPandas()
+    # zero/negative weights are never sampled (p proportional to w) and
+    # must not crash under ANSI division
+    assert set(out["k"]) == {2, 3, 4, 5, 6, 7}

@@ -245,3 +245,45 @@ def test_streaming_sink_refreshes_rollups(test_collection, spark, tmp_path):
         _read_rollup(test_collection, "r"),
         _full_rollup(test_collection, "src"),
     )
+
+
+def test_replayed_batch_still_refreshes_stale_rollup(test_collection, spark):
+    """Crash between data commit and rollup refresh: the replayed
+    batch must bring the rollup up to date even though its data is
+    skipped."""
+    from pystore_spark.streaming import merge_sink
+
+    data = _source_data(n=400)
+    test_collection.write("src", data)
+    test_collection.create_rollup("src", "r", unit="day", aggs=AGGS)
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "index": [data.index[-1] + pd.Timedelta(hours=1)],
+                "value": [7.5],
+                "kind": ["a"],
+            }
+        )
+    )
+    # crash simulation: the refresh dies after the data committed
+    calls = {"n": 0}
+    real = test_collection.refresh_rollups
+
+    def crashing(item):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after data commit")
+        return real(item)
+
+    test_collection.refresh_rollups = crashing
+    sink = merge_sink(test_collection, "src", refresh_rollups=True)
+    with pytest.raises(RuntimeError):
+        sink(batch, 5)
+    # replay of the same batch id: data skip, refresh must still run
+    sink(batch, 5)
+    test_collection.refresh_rollups = real
+    _assert_rollups_equal(
+        _read_rollup(test_collection, "r"),
+        _full_rollup(test_collection, "src"),
+    )

@@ -126,3 +126,15 @@ def test_zorder_rejects_strings_and_overflow(test_collection):
     df = test_collection.item("it").data
     with pytest.raises(ValueError, match="overflows"):
         zorder_value(df, ["x"] * 5, bits=16)
+
+
+def test_linear_rebalance_clears_zorder_metadata(test_collection):
+    test_collection.write("it", _grid_data(3_000))
+    test_collection.rebalance_partitions("it", zorder=["x", "y"], npartitions=4)
+    assert test_collection.get_item_metadata("it")["_zorder_columns"] == [
+        "x", "y"
+    ]
+    test_collection.rebalance_partitions("it", time_based=False, npartitions=2)
+    meta = test_collection.get_item_metadata("it")
+    assert "_zorder_columns" not in meta
+    assert meta["_partition_strategy"] != "zorder"
