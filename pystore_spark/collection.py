@@ -154,6 +154,7 @@ class Collection:
                 man.get("metadata"),
                 version=int(man.get("version", 0)) + 1,
                 stamp=False,
+                stats=man.get("stats"),
             )
 
     # ------------------------------------------------------------------
@@ -447,8 +448,18 @@ class Collection:
                 for f, t in {**old_stale, **{f: now for f in replaced}}.items()
                 if f not in live_set
             }
+            # zonemap: carry kept files' stats, footer-scan the staged
+            # ones for the configured columns (write_manifest prunes
+            # the dict to live files)
+            stats = dict((man or {}).get("stats") or {})
+            zcols = (sidecar or {}).get("_zonemap_columns") or []
+            if zcols and staged:
+                stats.update(
+                    mf.gather_file_stats(item_path, staged, zcols)
+                )
             utils.write_manifest(
-                item_path, live, sidecar, stale=stale, version=version
+                item_path, live, sidecar, stale=stale, version=version,
+                stats=stats,
             )
             # drop the legacy sidecar once the manifest owns metadata
             try:
@@ -1117,6 +1128,7 @@ class Collection:
                     base=_os.path.relpath(src, dst_item),
                     version=1,
                     stamp=False,
+                    stats=man.get("stats"),
                 )
             else:
                 utils.link_tree(src, dst / item)
@@ -1410,6 +1422,11 @@ class Collection:
             )
             strategy = "zorder"
             sidecar["_zorder_columns"] = list(zorder)
+            # record a per-file min/max zonemap for the clustered
+            # columns at commit: filters on them then prune FILES on
+            # the driver (manifest.prune_files), before row-group
+            # skipping even starts
+            sidecar["_zonemap_columns"] = list(zorder)
         else:
             if npartitions is not None:
                 plan = PartitionPlan(

@@ -159,7 +159,9 @@ class Item:
 
             base = mf.base_dir(self._path, self._manifest)
             rels = mf.prune_files(
-                self._manifest.get("files") or [], filters
+                self._manifest.get("files") or [],
+                filters,
+                stats=self._manifest.get("stats"),
             )
             if rels:
                 df = self.spark.read.option("basePath", str(base)).parquet(

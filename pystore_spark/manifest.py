@@ -75,17 +75,54 @@ def _bucket_matches(bucket: str, op: str, value: Any) -> bool:
     return True  # unknown op → cannot prune
 
 
-def prune_files(files: Sequence[str], filters: Sequence | None) -> list[str]:
-    """Driver-side partition pruning over the manifest's file list:
-    keep files whose ``_pb`` bucket satisfies at least one DNF group's
-    ``_pb`` constraints (non-``_pb`` terms are ignored — row-level
-    filters handle them downstream). This replaces the directory
-    listing + Catalyst partition pruning pass with a pure driver
-    computation over strings, before any I/O is scheduled.
+def _range_matches(rng: Sequence, op: str, value: Any) -> bool:
+    """Can a file whose column spans [lo, hi] contain a row matching
+    ``col <op> value``? Conservative: unknown ops/types → True."""
+    if not rng or len(rng) != 2 or rng[0] is None or rng[1] is None:
+        return True
+    lo, hi = rng
+    try:
+        if op in ("==", "="):
+            return lo <= value <= hi
+        if op == "!=":
+            return not (lo == hi == value)
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == "in":
+            return any(lo <= v <= hi for v in value)
+    except TypeError:
+        return True  # incomparable types (string filter on numeric stats)
+    return True
 
-    Returns the full list when pruning would remove everything — the
-    row-level filter then yields the (empty) result with a valid
-    schema, which an empty scan set cannot provide.
+
+def prune_files(
+    files: Sequence[str],
+    filters: Sequence | None,
+    stats: dict[str, dict[str, Sequence]] | None = None,
+) -> list[str]:
+    """Driver-side file pruning over the manifest's file list, before
+    any I/O is scheduled — the replacement for a directory listing +
+    Catalyst partition-pruning pass:
+
+    * ``_pb`` terms prune on the hive bucket encoded in the path;
+    * with ``stats`` (the manifest's per-file column min/max zonemap,
+      recorded for ``_zonemap_columns`` at commit), numeric terms on
+      those columns prune files whose range cannot match — the driver
+      half of z-order clustering (partition.zorder_value): tight
+      per-file ranges make this skip most files for selective
+      multi-dimensional predicates.
+
+    A file survives if at least one DNF group could match it on ALL
+    its prunable terms. Returns the full list when pruning would
+    remove everything — the row-level filter then yields the (empty)
+    result with a valid schema, which an empty scan set cannot
+    provide.
     """
     files = list(files)
     if not filters:
@@ -95,22 +132,75 @@ def prune_files(files: Sequence[str], filters: Sequence | None) -> list[str]:
         groups = [flist]
     else:
         groups = [list(g) for g in flist]
+    stats = stats or {}
 
     def keep(rel: str) -> bool:
         bucket = _bucket_of(rel)
-        if bucket is None:
-            return True
+        fstats = stats.get(rel) or {}
         for g in groups:
-            if all(
-                _bucket_matches(bucket, op, v)
-                for col, op, v in g
-                if col == PARTITION_COL
-            ):
+            ok = True
+            for col, op, v in g:
+                if col == PARTITION_COL:
+                    if bucket is not None and not _bucket_matches(
+                        bucket, op, v
+                    ):
+                        ok = False
+                        break
+                elif col in fstats:
+                    if not _range_matches(fstats[col], op, v):
+                        ok = False
+                        break
+            if ok:
                 return True
         return False
 
     pruned = [f for f in files if keep(f)]
     return pruned if pruned else files
+
+
+def gather_file_stats(
+    item_path: str | Path, rels: Sequence[str], columns: Sequence[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] of the given columns from the parquet
+    footers — the zonemap recorded in the manifest at commit. Driver-
+    side, O(files just written) footer reads (the same files the
+    commit just staged, so the metadata is page-cache-hot); numeric
+    columns only (strings/bytes are skipped — their footer stats are
+    truncated and not reliably comparable)."""
+    import pyarrow.parquet as pq
+
+    base = Path(item_path)
+    out: dict[str, dict[str, list]] = {}
+    for rel in rels:
+        try:
+            meta = pq.read_metadata(str(base / rel))
+        except Exception:
+            continue
+        names = meta.schema.names
+        st: dict[str, list] = {}
+        for c in columns:
+            if c not in names:
+                continue
+            i = names.index(c)
+            lo = hi = None
+            for g in range(meta.num_row_groups):
+                s = meta.row_group(g).column(i).statistics
+                if (
+                    s is None
+                    or s.min is None
+                    or s.max is None
+                    or not isinstance(s.min, (int, float))
+                    or isinstance(s.min, bool)
+                ):
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                st[c] = [lo, hi]
+        if st:
+            out[rel] = st
+    return out
 
 
 def live_buckets(item_path: str | Path) -> set[str] | None:
@@ -234,6 +324,7 @@ def gc_item(
             stale=stale,
             version=int(man.get("version", 0)) + 1,
             stamp=False,  # GC is not a data change; keep _updated
+            stats=man.get("stats"),
         )
 
     known = set(man.get("files") or []) | set(stale) | refs

@@ -58,11 +58,16 @@ def write_manifest(
     base: str | None = None,
     version: int | None = None,
     stamp: bool = True,
+    stats: dict[str, dict] | None = None,
 ) -> dict[str, Any]:
     """Atomically install a manifest — THE commit point of every data
     mutation: a single ``os.replace`` of one JSON file (atomic on
     POSIX; a single-object put on object stores), so readers see the
-    old complete file set or the new one, never a partial swap."""
+    old complete file set or the new one, never a partial swap.
+
+    ``stats`` is the per-file column min/max zonemap (see
+    manifest.gather_file_stats); it is pruned to the live file list
+    automatically so stale entries never accumulate."""
     metadata = dict(metadata or {})
     if stamp:
         metadata["_updated"] = utc_stamp()
@@ -72,6 +77,10 @@ def write_manifest(
         "stale": dict(stale or {}),
         "metadata": metadata,
     }
+    if stats:
+        live_stats = {f: stats[f] for f in man["files"] if f in stats}
+        if live_stats:
+            man["stats"] = live_stats
     if base is not None:
         man["base"] = base
     p = Path(path)
@@ -106,6 +115,7 @@ def write_metadata(path: str | Path, metadata: dict[str, Any] | None = None) -> 
             stale=man.get("stale"),
             base=man.get("base"),
             version=int(man.get("version", 0)) + 1,
+            stats=man.get("stats"),
         )["metadata"]
     metadata = dict(metadata or {})
     metadata["_updated"] = utc_stamp()

@@ -138,3 +138,78 @@ def test_linear_rebalance_clears_zorder_metadata(test_collection):
     meta = test_collection.get_item_metadata("it")
     assert "_zorder_columns" not in meta
     assert meta["_partition_strategy"] != "zorder"
+
+
+def test_zonemap_recorded_and_prunes_driver_side(test_collection):
+    """The zorder commit records per-file min/max in the manifest, and
+    a filtered read prunes FILES on the driver — the scan never
+    schedules I/O for files whose range can't match."""
+    test_collection.write("it", _grid_data())
+    test_collection.rebalance_partitions(
+        "it", zorder=["x", "y"], npartitions=N_FILES
+    )
+    man = utils.read_manifest(test_collection.item("it")._path)
+    assert man.get("stats"), "zonemap stats missing from manifest"
+    assert all(
+        set(st) == {"x", "y"} for st in man["stats"].values()
+    )
+
+    # point-ish predicate on y (the NON-leading dimension)
+    it = test_collection.item("it", filters=[("y", ">=", 480.0), ("y", "<=", 520.0)])
+    scanned = it.data.inputFiles()
+    assert 0 < len(scanned) < N_FILES, (
+        f"zonemap should prune files: scanned {len(scanned)}/{N_FILES}"
+    )
+
+    # correctness: pruned read == full read filtered in pandas
+    got = it.to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    full = test_collection.item("it").to_pandas()
+    want = (
+        full[(full["y"] >= 480.0) & (full["y"] <= 520.0)]
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_zonemap_survives_append_and_metadata_update(test_collection):
+    data = _grid_data(12_000)
+    test_collection.write("it", data)
+    test_collection.rebalance_partitions(
+        "it", zorder=["x", "y"], npartitions=8
+    )
+    # metadata-only update must not drop the zonemap
+    test_collection.update_metadata("it", {"note": "hello"}) if hasattr(
+        test_collection, "update_metadata"
+    ) else None
+    man = utils.read_manifest(test_collection.item("it")._path)
+    n_stats = len(man.get("stats") or {})
+    assert n_stats == 8
+
+
+def test_prune_files_range_logic():
+    from pystore_spark.manifest import prune_files
+
+    files = ["a.parquet", "b.parquet", "c.parquet"]
+    stats = {
+        "a.parquet": {"x": [0.0, 10.0]},
+        "b.parquet": {"x": [10.0, 20.0]},
+        # c has no stats → never pruned on x
+    }
+    assert prune_files(files, [("x", ">", 15.0)], stats) == [
+        "b.parquet", "c.parquet"
+    ]
+    assert prune_files(files, [("x", "==", 5.0)], stats) == [
+        "a.parquet", "c.parquet"
+    ]
+    assert prune_files(files, [("x", "in", [3.0, 4.0])], stats) == [
+        "a.parquet", "c.parquet"
+    ]
+    # OR of two groups keeps the union
+    assert prune_files(
+        files, [[("x", "<", 5.0)], [("x", ">", 18.0)]], stats
+    ) == ["a.parquet", "b.parquet", "c.parquet"]
+    # string filter on numeric stats is conservative (no prune)
+    assert prune_files(files, [("x", "==", "oops")], stats) == files
+    # prune-to-zero falls back to the full list (schema safety)
+    assert prune_files(files[:2], [("x", ">", 100.0)], stats) == files[:2]
