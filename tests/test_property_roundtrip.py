@@ -154,3 +154,68 @@ import pytest
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+# -- zonemap pruning soundness ----------------------------------------------
+_ops = ["==", "!=", ">", ">=", "<", "<=", "in"]
+
+
+@st.composite
+def _zonemap_case(draw):
+    n_files = draw(st.integers(1, 6))
+    stats = {}
+    values = {}
+    for i in range(n_files):
+        # each file holds a few concrete x values; stats = true min/max
+        vals = draw(
+            st.lists(
+                st.integers(-50, 50).map(float), min_size=1, max_size=5
+            )
+        )
+        stats[f"f{i}.parquet"] = {"x": [min(vals), max(vals)]}
+        values[f"f{i}.parquet"] = vals
+    n_terms = draw(st.integers(1, 3))
+    group = []
+    for _ in range(n_terms):
+        op = draw(st.sampled_from(_ops))
+        if op == "in":
+            v = draw(
+                st.lists(
+                    st.integers(-50, 50).map(float), min_size=1, max_size=4
+                )
+            )
+        else:
+            v = float(draw(st.integers(-50, 50)))
+        group.append(("x", op, v))
+    return stats, values, group
+
+
+def _row_matches(x, op, v):
+    if op == "in":
+        return x in v
+    return {
+        "==": x == v,
+        "!=": x != v,
+        ">": x > v,
+        ">=": x >= v,
+        "<": x < v,
+        "<=": x <= v,
+    }[op]
+
+
+@given(_zonemap_case())
+@settings(max_examples=300, deadline=None)
+def test_zonemap_prune_never_loses_matching_rows(case):
+    """Soundness: any file containing a row that satisfies the filter
+    group must survive pruning (pruning may keep extra files — that
+    only costs I/O — but must never drop a match)."""
+    from pystore_spark.manifest import prune_files
+
+    stats, values, group = case
+    files = sorted(stats)
+    kept = set(prune_files(files, [group], stats))
+    for f, vals in values.items():
+        if any(
+            all(_row_matches(x, op, v) for _, op, v in group) for x in vals
+        ):
+            assert f in kept, (f, vals, group, kept)
