@@ -289,6 +289,7 @@ class Collection:
         validator: Any = None,
         index_col: str | None = None,
         sidecar_extra: dict | None = None,
+        zonemap: Sequence[str] | None = None,
         **kwargs: Any,
     ) -> None:
         item_path = self._item_path(item)
@@ -303,6 +304,14 @@ class Collection:
         # data (e.g. streaming batch ids) ride alongside user metadata
         if sidecar_extra:
             metadata = {**(metadata or {}), **sidecar_extra}
+        if zonemap:
+            # per-file min/max of these numeric columns recorded in the
+            # manifest at every commit (this write AND later appends);
+            # reads prune files on the driver (manifest.prune_files)
+            metadata = {
+                **(metadata or {}),
+                "_zonemap_columns": list(zonemap),
+            }
 
         # sub-threshold frames: driver-side Arrow writer (no Spark job
         # beyond an Arrow collect for Spark input) — see arrow_path.py

@@ -213,3 +213,28 @@ def test_prune_files_range_logic():
     assert prune_files(files, [("x", "==", "oops")], stats) == files
     # prune-to-zero falls back to the full list (schema safety)
     assert prune_files(files[:2], [("x", ">", 100.0)], stats) == files[:2]
+
+
+def test_write_zonemap_param_and_append_maintains_it(test_collection):
+    """zonemap= on write records stats from the first commit and every
+    later append (the sidecar rides in item metadata)."""
+    idx = pd.date_range("2020-01-01", periods=12_000, freq="h")
+    data = pd.DataFrame(
+        {"x": np.linspace(0.0, 1000.0, 12_000)}, index=idx
+    )
+    test_collection.write("it", data, zonemap=["x"])
+    man = utils.read_manifest(test_collection.item("it")._path)
+    assert man.get("stats") and all("x" in s for s in man["stats"].values())
+
+    extra = pd.DataFrame(
+        {"x": [2000.0]},
+        index=pd.DatetimeIndex([idx[-1] + pd.Timedelta(hours=1)]),
+    )
+    test_collection.append("it", extra)
+    man2 = utils.read_manifest(test_collection.item("it")._path)
+    # the appended bucket's new file must carry stats too
+    assert len(man2["stats"]) == len(man2["files"])
+    # and the linearly increasing x means a selective filter prunes
+    it = test_collection.item("it", filters=[("x", ">=", 1500.0)])
+    assert len(it.data.inputFiles()) < len(man2["files"])
+    assert it.to_pandas()["x"].tolist() == [2000.0]
