@@ -159,6 +159,68 @@ def lsh_signs(
     ]
 
 
+def signlsh_candidate_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    quant: float = 1e6,
+    seed: int = 7,
+) -> DataFrame:
+    """Distinct LSH candidate pairs (id_i < id_j) from sign-LSH band
+    buckets — the candidate-generation stage of
+    :func:`signlsh_candidate_topk`, exposed for recall audits and
+    custom rescoring. Same determinism contract (exact int64 sign
+    dots) and scale shape (shuffle on (band, key), quadratic only
+    within buckets)."""
+    signs = lsh_signs(n_planes, dim, seed)
+    q = F.lit(float(quant))
+    bits = []
+    for row in signs:
+        sarr = F.array(*[F.lit(s) for s in row])
+        intdot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                sarr,
+                lambda x, s: F.floor(x.cast("double") * q) * s.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bits.append((intdot >= 0).cast("int"))
+    n_bands = n_planes // band_bits
+    band_structs = []
+    for b in range(n_bands):
+        key = F.lit(0)
+        for j in range(band_bits):
+            key = key + bits[b * band_bits + j] * F.lit(2**j)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("key"))
+        )
+    df = widen_parallelism(df)
+    buckets = df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_i"),
+            F.col(f"b.{id_col}").alias("id_j"),
+        )
+        .distinct()
+    )
+
+
 def signlsh_candidate_topk(
     df: DataFrame,
     vec_col: str,
@@ -196,50 +258,10 @@ def signlsh_candidate_topk(
     the corpus grows (recall/cost knob, same trade-off as MinHash-LSH
     banding in dedup.py).
     """
-    signs = lsh_signs(n_planes, dim, seed)
-    q = F.lit(float(quant))
-    bits = []
-    for row in signs:
-        sarr = F.array(*[F.lit(s) for s in row])
-        intdot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                sarr,
-                lambda x, s: F.floor(x.cast("double") * q) * s.cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        bits.append((intdot >= 0).cast("int"))
-    n_bands = n_planes // band_bits
-    band_structs = []
-    for b in range(n_bands):
-        key = F.lit(0)
-        for j in range(band_bits):
-            key = key + bits[b * band_bits + j] * F.lit(2**j)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.alias("key"))
-        )
+    cand = signlsh_candidate_pairs(
+        df, vec_col, id_col, dim, n_planes, band_bits, quant, seed
+    )
     df = widen_parallelism(df)
-    buckets = df.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    a, b2 = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_i"),
-            F.col(f"b.{id_col}").alias("id_j"),
-        )
-        .distinct()
-    )
     slim = df.select(F.col(id_col), F.col(vec_col))
     scored = (
         cand.join(

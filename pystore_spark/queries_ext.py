@@ -416,17 +416,14 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signlsh_oracle_sql(
+def _signlsh_cand_ctes(
     n_planes: int = 16,
     band_bits: int = 4,
     dim: int = 64,
     seed: int = 7,
-    k: int = 20,
 ) -> str:
-    """Replays signlsh_candidate_topk exactly: per-plane sign bits from
-    EXACT int64 dots (floor-quantized components × baked-in ±1
-    literals — no FP hazard at the sign boundary), banded bucket keys,
-    within-bucket candidate pairs, fold-cosine rescore, top-k."""
+    """The shared ``bits → buckets → cand`` CTE chain replaying
+    signlsh candidate generation (see _signlsh_oracle_sql)."""
     signs = S.lsh_signs(n_planes, dim, seed)
     plane = []
     for row in signs:
@@ -450,13 +447,27 @@ def _signlsh_oracle_sql(
         f"SELECT vec_id, {b} AS band, key{b} AS key FROM bits"
         for b in range(n_bands)
     )
-    return f"""
-    WITH bits AS (SELECT vec_id, {key_cols} FROM embeddings),
+    return f"""bits AS (SELECT vec_id, {key_cols} FROM embeddings),
     buckets AS ({buckets}),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
       FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)"""
+
+
+def _signlsh_oracle_sql(
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    k: int = 20,
+) -> str:
+    """Replays signlsh_candidate_topk exactly: per-plane sign bits from
+    EXACT int64 dots (floor-quantized components × baked-in ±1
+    literals — no FP hazard at the sign boundary), banded bucket keys,
+    within-bucket candidate pairs, fold-cosine rescore, top-k."""
+    return f"""
+    WITH {_signlsh_cand_ctes(n_planes, band_bits, dim, seed)},
     scored AS (
       SELECT id_i, id_j,
         ROUND({_DOT.format(a='ea.embedding', b='eb.embedding')}
@@ -467,6 +478,30 @@ def _signlsh_oracle_sql(
       JOIN embeddings eb ON eb.vec_id = id_j)
     SELECT id_i, id_j, score FROM scored
     ORDER BY score DESC, id_i, id_j LIMIT {k}
+    """
+
+
+def _lsh_recall_oracle_sql(k: int = 20) -> str:
+    """Recall@k audit: fraction of the blocked-exact top-k cosine
+    pairs (per-label all-pairs truth) that sign-LSH bucketing
+    surfaces as candidates."""
+    return f"""
+    WITH {_signlsh_cand_ctes()},
+    truth AS (
+      SELECT a.vec_id AS id_i, b.vec_id AS id_j
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      ORDER BY ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+          / ({_NORM.format(a='a.embedding')}
+             * {_NORM.format(a='b.embedding')}), 6) DESC,
+        a.vec_id, b.vec_id
+      LIMIT {k})
+    SELECT count(*)::BIGINT AS n_truth,
+      count(*) FILTER (cand.id_i IS NOT NULL)::BIGINT AS n_found,
+      ROUND(count(*) FILTER (cand.id_i IS NOT NULL)
+            / count(*)::DOUBLE, 6) AS recall
+    FROM truth LEFT JOIN cand
+      ON truth.id_i = cand.id_i AND truth.id_j = cand.id_j
     """
 
 
@@ -481,6 +516,41 @@ def signlsh_candidate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.signlsh_candidate_topk(
         emb, "embedding", "vec_id", dim=64, n_planes=16, band_bits=4, k=20
+    )
+
+
+@register(
+    "lsh_recall_audit",
+    sql=_lsh_recall_oracle_sql(),
+    tags=("similarity", "lsh", "audit"),
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 of the sign-LSH scale path against the blocked-exact
+    truth: the top-20 within-label cosine pairs must (mostly) appear
+    among the LSH candidate buckets, or the cheap path is silently
+    dropping the near-dups it exists to find. The quality counterpart
+    to approx_distinct_audit — an approximate operator is only "done"
+    when its error is measured. Truth is O(pairs within a label
+    block); the audit never goes all-pairs global."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = (
+        S.cosine_dedup_pairs(
+            emb, "embedding", "vec_id", block_col="label", threshold=-2.0
+        )
+        .orderBy(F.col("score").desc(), "id_i", "id_j")
+        .limit(20)
+        .select("id_i", "id_j")
+    )
+    cand = S.signlsh_candidate_pairs(
+        emb, "embedding", "vec_id", dim=64, n_planes=16, band_bits=4
+    ).withColumn("_hit", F.lit(1))
+    joined = truth.join(cand, ["id_i", "id_j"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("_hit").alias("n_found"),
+        F.round(
+            F.count("_hit") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("recall"),
     )
 
 
@@ -1808,7 +1878,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "interval_join_banded", "gapfill_locf_daily", "approx_distinct_audit",
     "heavy_hitters", "rolling_zscore_outliers", "weighted_sample_topk",
     "quality_funnel", "corpus_mix_report", "winnowing_fingerprints",
-    "embedding_quantization_audit",
+    "embedding_quantization_audit", "lsh_recall_audit",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
