@@ -184,15 +184,29 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     QUERIES["index_minmax"].spark_fn(spark, sf_dir).count()
 
+    # Each query: one warmup run (page-cache + codegen for THIS query's
+    # inputs — testdata is regenerated between rounds, so the first
+    # touch of each parquet file is cache-cold), then min of 2 timed
+    # runs. Same steady-state discipline as the storage cycle below;
+    # without it real regressions drown in cache noise (round-3 saw a
+    # broad +20-30% drift on unchanged queries from exactly this).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = QUERIES.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        df = spec.spark_fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+
+        def run() -> None:
+            df = spec.spark_fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+
+        run()  # warmup pass
+        best = float("inf")
+        for _ in range(2):  # min of 2 steady-state runs — noise guard
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     timings["storage_write_append_read"] = round(
         _storage_bench(spark, sf_dir), 4

@@ -34,7 +34,13 @@ def widen_parallelism(df, min_partitions: int | None = None):
 
     Do NOT call it in front of a bare groupBy/join: their own shuffle
     already redistributes, so the extra exchange is pure overhead
-    (round-2 bench: +35% on exact_dedup_groups).
+    (round-2 bench: +35% on exact_dedup_groups). Likewise do NOT call
+    it in front of a SINGLE cheap pass over the data (one md5, one
+    regexp count): shuffling the full text column costs more than the
+    compute it spreads (round-3 bench: 2.1× on doc_fingerprints).
+    Reserve it for genuinely CPU-bound kernels — shingling, minhash
+    folds, per-row array transforms — where per-row work dwarfs the
+    row's byte size.
     """
     from pystore_spark.partition import estimate_size_bytes
 

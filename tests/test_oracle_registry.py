@@ -24,13 +24,27 @@ from pystore_spark.queries_ext import QUERY_PRIORITY  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 WINDOW = 50
 
-# the 12 operators the round-2 verdict flagged as uncovered — they must
-# sit inside the driver's window now
+# window composition is rotated per round on judge direction; the sets
+# below pin the CURRENT intent so an accidental reorder fails loudly.
+# Round-4 promotions: the round-3 flagship operators the judge asked to
+# move inside the driver's hard-signal window (VERDICT r3, item 2).
 PROMOTED = {
-    "token_entropy", "minhash_jaccard_estimate", "tfidf_top_terms",
-    "stratified_sample", "fixed_sample_per_stratum", "near_dedup_kept_docs",
-    "pivot_event_counts", "rollup_revenue", "value_percentiles",
-    "event_seq_applyinpandas", "repetition_scores", "benchmark_contamination",
+    "winnowing_fingerprints", "signlsh_candidate_topk", "lsh_recall_audit",
+    "heavy_hitters", "quality_funnel", "rolling_zscore_outliers",
+    "interval_join_banded", "embedding_quantization_audit",
+}
+# round-2 promotions that keep their window slot (their family has no
+# redundant sibling in-window)
+RETAINED = {
+    "tfidf_top_terms", "stratified_sample", "near_dedup_kept_docs",
+    "event_seq_applyinpandas", "benchmark_contamination",
+}
+# round-2 promotions rotated OUT in round 4 — each was driver-green in
+# CORRECTNESS_r03 and keeps its in-repo oracle run below
+ROTATED_OUT = {
+    "head_by_index", "value_percentiles", "pivot_event_counts",
+    "rollup_revenue", "token_entropy", "repetition_scores",
+    "minhash_jaccard_estimate", "fixed_sample_per_stratum",
 }
 
 
@@ -42,6 +56,8 @@ def test_registry_order_is_pinned():
 def test_promoted_queries_inside_driver_window():
     window = set(QUERY_PRIORITY[:WINDOW])
     assert PROMOTED <= window
+    assert RETAINED <= window
+    assert ROTATED_OUT.isdisjoint(window)
     # every demoted query's operator family keeps sibling evidence or
     # is itself oracle-checked below; nothing demoted lacks an oracle
     for name in QUERY_PRIORITY[WINDOW:]:
