@@ -146,7 +146,10 @@ def estimate_pandas_bytes(pdf: pd.DataFrame) -> int:
 
 
 def dir_bytes(path: Path) -> int:
-    return sum(f.stat().st_size for f in Path(path).rglob("*.parquet"))
+    from pystore_spark.fs import fs_for
+
+    fs = fs_for(path)
+    return sum(fs.size(f) for f in fs.list_files(path, ".parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -183,8 +186,12 @@ def bucket_labels(idx: pd.Series, freq: str) -> pd.Series:
 # file writing
 # ---------------------------------------------------------------------------
 def _write_file(tbl: pa.Table, path: Path) -> None:
-    path.parent.mkdir(parents=True, exist_ok=True)
-    pq.write_table(tbl, path, compression="snappy")
+    from pystore_spark.fs import fs_for
+
+    fs = fs_for(path)
+    fs.mkdirs(path.parent)
+    with fs.open_write(path) as sink:
+        pq.write_table(tbl, sink, compression="snappy")
 
 
 def _write_files(jobs: list[tuple[pa.Table, Path]]) -> None:
@@ -559,8 +566,11 @@ def try_append(
             if lb is not None:
                 has_touched = any(b in lb for b in buckets)
             else:
+                from pystore_spark.fs import fs_for
+
+                _fs = fs_for(item_path)
                 has_touched = any(
-                    (item_path / f"{PARTITION_COL}={b}").exists()
+                    _fs.exists(item_path / f"{PARTITION_COL}={b}")
                     for b in buckets
                 )
             touched_bytes = mf.item_bytes(item_path, buckets=set(buckets))
@@ -580,6 +590,12 @@ def try_append(
             ex_tbl = dataset.to_table(columns=data_cols)
 
         ex_tbl = normalize_read_types(ex_tbl)
+        # client-typed (ns) on BOTH sides: pandas input arrives
+        # storage-typed (µs UTC) from table_from_flat, and a µs-UTC vs
+        # ns concat is an Arrow type error — which the broad fallback
+        # below used to swallow, silently demoting every pandas append
+        # to the Spark path (write_table_files re-casts to storage)
+        inc_tbl = normalize_read_types(inc_tbl)
         if len(idx_cols) == 1:
             # fast path: payload never leaves Arrow
             out = merge_arrow(

@@ -58,15 +58,31 @@ from pystore_spark import config
 
 class Collection:
     def __init__(self, spark: SparkSession, datastore: str, collection: str):
+        from pystore_spark.fs import fs_for
+
         self.spark = spark
         self.datastore = str(datastore)
         self.collection = collection
         self.path = Path(datastore) / collection
-        self.path.mkdir(parents=True, exist_ok=True)
-        (self.path / utils.SNAPSHOT_DIR).mkdir(exist_ok=True)
+        self.fs = fs_for(self.path)
+        self.fs.mkdirs(self.path)
+        self.fs.mkdirs(self.path / utils.SNAPSHOT_DIR)
         self._meta_cache: dict[str, tuple[float, dict]] = {}
         self._cache_lock = threading.Lock()
         self._threads: list[threading.Thread] = []
+
+    def _require_spark_fs(self, op: str) -> None:
+        """Distributed (Spark JVM) I/O needs a Spark-readable
+        filesystem; the fake object-store backend is driver-side only.
+        Sub-threshold writes/appends and every Arrow-path read work on
+        any backend — only data-scale Spark jobs hit this guard."""
+        if not self.fs.spark_readable:
+            raise StorageError(
+                f"{op} requires Spark-accessible storage; this "
+                "collection's backend is driver-side only (use the "
+                "Arrow path: sub-threshold writes/appends and "
+                "engine='arrow' reads)"
+            )
 
     # ------------------------------------------------------------------
     # catalog
@@ -107,11 +123,11 @@ class Collection:
         return self.path / item
 
     def item_exists(self, item: str) -> bool:
-        return self._item_path(item).exists()
+        return self.fs.exists(self._item_path(item))
 
     def delete_item(self, item: str, reload_items: bool = False) -> bool:
         p = self._item_path(item)
-        if not p.exists():
+        if not self.fs.exists(p):
             raise ItemNotFoundError(
                 f"item {item!r} does not exist in collection {self.collection!r}"
             )
@@ -124,30 +140,22 @@ class Collection:
         """Before the live item dir disappears (delete/overwrite-all),
         make every snapshot referencing it self-contained: hard-link
         the referenced files into the snapshot dir and drop the
-        ``base`` pointer — O(metadata), the data blocks are shared."""
-        import os as _os
-        import shutil as _shutil
-
+        ``base`` pointer — O(metadata), the data blocks are shared
+        (object stores: server-side copy)."""
         from pystore_spark import manifest as mf
 
         snap_root = self._snapshot_root
-        if not snap_root.exists():
-            return
-        for snap in snap_root.iterdir():
-            sdir = snap / item
+        for snap_name in self.fs.list_subdirs(snap_root):
+            sdir = snap_root / snap_name / item
             man = utils.read_manifest(sdir)
             if man is None or not man.get("base"):
                 continue
             base = mf.base_dir(sdir, man)
             for rel in man.get("files") or []:
                 s, d = base / rel, sdir / rel
-                if d.exists() or not s.exists():
+                if self.fs.exists(d) or not self.fs.exists(s):
                     continue
-                d.parent.mkdir(parents=True, exist_ok=True)
-                try:
-                    _os.link(s, d)
-                except OSError:
-                    _shutil.copy2(s, d)
+                self.fs.link_or_copy(s, d)
             utils.write_manifest(
                 sdir,
                 man.get("files") or [],
@@ -293,7 +301,7 @@ class Collection:
         **kwargs: Any,
     ) -> None:
         item_path = self._item_path(item)
-        if item_path.exists() and not overwrite:
+        if self.fs.exists(item_path) and not overwrite:
             raise ItemExistsError(
                 f"item {item!r} already exists; use overwrite=True to replace"
             )
@@ -323,6 +331,7 @@ class Collection:
             self.clear_metadata_cache(item)
             return
 
+        self._require_spark_fs(f"write of item {item!r} above the driver-path threshold")
         df, pmeta, nrows, minmax = self._prepare_input(
             data, epochdate=epochdate, index_col=index_col
         )
@@ -346,6 +355,7 @@ class Collection:
         self.clear_metadata_cache(item)
 
     def _write_df(self, df: DataFrame, path: str, plan: PartitionPlan) -> None:
+        self._require_spark_fs("distributed parquet write")
         writer = df.write.mode("overwrite").option("compression", "snappy")
         if plan.kind == "time":
             writer = writer.partitionBy(PARTITION_COL)
@@ -388,12 +398,16 @@ class Collection:
         A crash anywhere before step 3 leaves only invisible staged
         files (GC'd by ``recover_item`` after a grace period); there is
         no half-swapped state — the batch-atomicity gap of the old
-        two-phase dir swap is gone."""
-        import os as _os
+        two-phase dir swap is gone. The manifest install is a
+        **conditional put** against the etag read in step 0 (true CAS
+        on object stores, best-effort locally where CollectionLock is
+        the primary serialization) — a lost race raises instead of
+        silently clobbering a concurrent commit."""
         from pathlib import PurePosixPath
 
         from pystore_spark import manifest as mf
 
+        fs = self.fs
         item_path = self._item_path(item)
         token = uuid.uuid4().hex[:8]
         tmp = self.path / f".__tmp_{item}_{token}"
@@ -402,7 +416,7 @@ class Collection:
         except Exception:
             utils.rm_tree(tmp)
             raise
-        man = utils.read_manifest(item_path)
+        man, man_etag = utils.read_manifest_versioned(item_path)
         if man is not None and man.get("base"):
             utils.rm_tree(tmp)
             raise StorageError(
@@ -413,24 +427,18 @@ class Collection:
             old_stale = dict(man.get("stale") or {})
             version = int(man.get("version", 0)) + 1
         else:  # first manifest commit (fresh item or legacy upgrade)
-            old_files = (
-                sorted(
-                    f.relative_to(item_path).as_posix()
-                    for f in item_path.rglob("*.parquet")
-                )
-                if item_path.exists()
-                else []
+            old_files = sorted(
+                Path(f).relative_to(item_path).as_posix()
+                for f in fs.list_files(item_path, ".parquet")
             )
             old_stale = {}
             version = 1
         staged: list[str] = []
         try:
-            for src in sorted(Path(tmp).rglob("*.parquet")):
-                rel = src.relative_to(tmp)
+            for src in sorted(fs.list_files(tmp, ".parquet")):
+                rel = Path(src).relative_to(tmp)
                 dst_rel = rel.parent / f"{token}-{rel.name}"
-                dst = item_path / dst_rel
-                dst.parent.mkdir(parents=True, exist_ok=True)
-                src.rename(dst)
+                fs.move(src, item_path / dst_rel)
                 staged.append(dst_rel.as_posix())
             utils.rm_tree(tmp)
             if scope == "buckets":
@@ -468,20 +476,24 @@ class Collection:
                 )
             utils.write_manifest(
                 item_path, live, sidecar, stale=stale, version=version,
-                stats=stats,
+                stats=stats, if_match=man_etag,
             )
             # drop the legacy sidecar once the manifest owns metadata
             try:
-                _os.unlink(item_path / utils.METADATA_FILE)
+                fs.delete(item_path / utils.METADATA_FILE, missing_ok=True)
             except OSError:
                 pass
         except Exception as exc:
+            from pystore_spark.exceptions import ConcurrentCommitError
+
             for s in staged:  # uncommitted — never visible, safe to drop
                 try:
-                    (item_path / s).unlink(missing_ok=True)
+                    fs.delete(item_path / s, missing_ok=True)
                 except OSError:
                     pass
             utils.rm_tree(tmp)
+            if isinstance(exc, ConcurrentCommitError):
+                raise  # lost the manifest CAS — caller may retry cleanly
             raise StorageError(
                 f"commit of item {item!r} failed: {exc}"
             ) from exc
@@ -557,6 +569,7 @@ class Collection:
             self.clear_metadata_cache(item)
             return
 
+        self._require_spark_fs(f"append to item {item!r} above the driver-path threshold")
         incoming, inc_meta, nrows, _ = self._prepare_input(data, epochdate=epochdate)
         if nrows == 0 or (nrows is None and incoming.isEmpty()):
             warnings.warn(f"append of empty data to {item!r} is a no-op",
@@ -755,6 +768,8 @@ class Collection:
             from pystore_spark import manifest as mf
 
             return mf.gc_item(self.path, item)
+        if not self.fs.spark_readable:
+            return 0  # legacy park/swap layout never exists on object stores
         handled = 0
         for bkp in item_path.glob(".__old_*_*"):
             bucket_name = bkp.name[len(".__old_"):].rsplit("_", 1)[0]
@@ -936,8 +951,9 @@ class Collection:
             raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
 
         it = self.item(item, filters=filters, columns=columns)
-        want_cols = it.data.columns  # projection incl. index cols, sans _pb
         dataset, expr = it._arrow_dataset_and_filter()
+        # projection incl. index cols, sans _pb — no Spark involvement
+        want_cols = it._projected_columns(dataset.schema.names)
         scanner = dataset.scanner(
             columns=want_cols, filter=expr, batch_size=chunk_size
         )
@@ -1122,9 +1138,9 @@ class Collection:
         if not snapshot:
             raise ValueError("snapshot name sanitized to empty string")
         dst = self._snapshot_root / snapshot
-        if dst.exists():
+        if self.fs.exists(dst):
             utils.rm_tree(dst)
-        dst.mkdir(parents=True)
+        self.fs.mkdirs(dst)
         for item in self.items:
             src = self._item_path(item)
             man = utils.read_manifest(src)
@@ -1148,14 +1164,14 @@ class Collection:
 
     def delete_snapshot(self, snapshot: str) -> bool:
         p = self._snapshot_root / snapshot
-        if not p.exists():
+        if not self.fs.exists(p):
             raise SnapshotNotFoundError(f"snapshot {snapshot!r} does not exist")
         utils.rm_tree(p)
         return True
 
     def delete_snapshots(self) -> bool:
         utils.rm_tree(self._snapshot_root)
-        self._snapshot_root.mkdir()
+        self.fs.mkdirs(self._snapshot_root)
         return True
 
     def diff(

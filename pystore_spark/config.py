@@ -55,9 +55,13 @@ def get_path() -> str:
 
 
 def set_path(path: str) -> str:
-    """Set the warehouse root (reference: pystore/utils.py:116-149)."""
+    """Set the warehouse root (reference: pystore/utils.py:116-149).
+    Scheme-dispatched: local paths expand ~; ``fakes3://`` roots mount
+    the in-memory object store (see fs.resolve_warehouse)."""
     global _path
-    path = os.path.expanduser(str(path)).rstrip("/")
-    _path = path
-    Path(path).mkdir(parents=True, exist_ok=True)
+    from pystore_spark import fs as fslib
+
+    resolved = fslib.resolve_warehouse(str(path).rstrip("/"))
+    fslib.fs_for(resolved).mkdirs(resolved)
+    _path = resolved
     return _path

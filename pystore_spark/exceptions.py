@@ -48,3 +48,9 @@ class ValidationError(PyStoreError):
 
 class TransactionError(StorageError):
     """Transaction operation failed."""
+
+
+class ConcurrentCommitError(StorageError):
+    """Manifest-pointer conditional put lost a compare-and-swap race:
+    another writer committed between this writer's manifest read and
+    its install (object-store If-Match/ETag semantics; see fs.py)."""

@@ -84,22 +84,25 @@ class Item:
         self.item = item
         self.snapshot = snapshot
 
+        from pystore_spark.fs import fs_for
+
         base = Path(datastore) / collection
+        self._fs = fs_for(base)
         if snapshot:
             snap_root = base / utils.SNAPSHOT_DIR / snapshot
-            if not snap_root.exists():
+            if not self._fs.exists(snap_root):
                 raise SnapshotNotFoundError(
                     f"snapshot {snapshot!r} does not exist in collection "
                     f"{collection!r}"
                 )
             self._path = snap_root / item
-            if not self._path.exists():
+            if not self._fs.exists(self._path):
                 raise ItemNotFoundError(
                     f"item {item!r} does not exist in snapshot {snapshot!r}"
                 )
         else:
             self._path = base / item
-            if not self._path.exists():
+            if not self._fs.exists(self._path):
                 raise ItemNotFoundError(
                     f"item {item!r} does not exist in collection {collection!r}"
                 )
@@ -139,6 +142,7 @@ class Item:
         on the manifest never observe a mid-commit state; a raw
         ``spark.read.parquet(dir)`` would also pick up staged and
         stale-retained files."""
+        self._require_spark_fs()
         if self._manifest is not None:
             from pystore_spark import manifest as mf
 
@@ -152,7 +156,18 @@ class Item:
                 ).parquet(*files)
         return self.spark.read.parquet(str(self._path))
 
+    def _require_spark_fs(self) -> None:
+        from pystore_spark.exceptions import StorageError
+
+        if not self._fs.spark_readable:
+            raise StorageError(
+                f"Spark scan of item {self.item!r} requires Spark-"
+                "accessible storage; this backend is driver-side only "
+                "(use to_pandas(engine='arrow') / read_in_chunks)"
+            )
+
     def _load(self) -> DataFrame:
+        self._require_spark_fs()
         filters = self._resolved_filters()
         if self._manifest is not None:
             from pystore_spark import manifest as mf
@@ -203,6 +218,7 @@ class Item:
         from pystore_spark.filters import filters_to_arrow_expression
 
         flt = self._resolved_filters()
+        pa_fs = self._fs.as_pyarrow_filesystem()
         partitioning = pa_ds.partitioning(
             pa.schema([(PARTITION_COL, pa.string())]), flavor="hive"
         )
@@ -217,6 +233,7 @@ class Item:
                     format="parquet",
                     partitioning=partitioning,
                     partition_base_dir=str(base),
+                    filesystem=pa_fs,
                 )
                 expr = filters_to_arrow_expression(
                     flt, schema=dataset.schema
@@ -233,19 +250,39 @@ class Item:
                 ".", "_pystore_metadata", "_manifest", "_SUCCESS",
                 "_committed", "_started",
             ],
+            filesystem=pa_fs,
         )
         expr = filters_to_arrow_expression(flt, schema=dataset.schema)
         return dataset, expr
 
-    def _arrow_table(self, columns: list[str]):
+    def _projected_columns(self, schema_names: Sequence[str]) -> list[str]:
+        """The column list ``_load``'s projection produces, computed
+        from a schema name list — lets the Arrow path build the same
+        projection without touching Spark (required for non-Spark
+        backends, and skips plan analysis on the client read path)."""
+        names = [c for c in schema_names if c != PARTITION_COL]
+        if self._columns is None:
+            return names
+        keep = [c for c in self._index_cols if c not in self._columns]
+        ns_shadow = [
+            c + "__ns"
+            for c in (self._pandas_meta.get("ns_columns") or [])
+            if (c in self._columns or c in keep) and c + "__ns" in names
+        ]
+        return [*keep, *self._columns, *ns_shadow]
+
+    def _arrow_table(self, columns: list[str] | None = None):
         """Driver-side read via ``pyarrow.dataset`` — the client-read
         fast path: a store client shouldn't pay scheduler+shuffle
         latency to fetch an item it can stream straight off storage.
         Storage timestamps (µs adjusted-to-UTC) come back as the
-        pandas-facing naive-ns convention."""
+        pandas-facing naive-ns convention. ``columns=None`` applies
+        the item's own projection."""
         from pystore_spark.arrow_path import normalize_read_types
 
         dataset, expr = self._arrow_dataset_and_filter()
+        if columns is None:
+            columns = self._projected_columns(dataset.schema.names)
         return normalize_read_types(
             dataset.to_table(columns=columns, filter=expr)
         )
@@ -272,7 +309,7 @@ class Item:
         """
         if engine in ("auto", "arrow"):
             try:
-                pdf = self._arrow_table(self.data.columns).to_pandas()
+                pdf = self._arrow_table().to_pandas()
                 if sort:
                     present = [
                         c for c in self._index_cols if c in pdf.columns
@@ -323,6 +360,8 @@ class Item:
         reference's repr-parsing: pystore/collection.py:149-156)."""
         col = self.index_column
         if last:
+            if not self._fs.spark_readable:
+                return self._arrow_table([col]).to_pandas()[col].max()
             return self.data.agg(F.max(col).alias("last")).first()["last"]
         try:
             # index-only Arrow scan: one column, no Spark job

@@ -29,12 +29,13 @@ driver before any I/O is scheduled.
 
 from __future__ import annotations
 
-import os
 import time
 from pathlib import Path
 from typing import Any, Sequence
 
 from pystore_spark import config, utils
+from pystore_spark.exceptions import ConcurrentCommitError
+from pystore_spark.fs import fs_for
 from pystore_spark.partition import PARTITION_COL
 
 
@@ -170,10 +171,11 @@ def gather_file_stats(
     import pyarrow.parquet as pq
 
     base = Path(item_path)
+    fs = fs_for(base)
     out: dict[str, dict[str, list]] = {}
     for rel in rels:
         try:
-            meta = pq.read_metadata(str(base / rel))
+            meta = pq.read_metadata(fs.open_read(base / rel))
         except Exception:
             continue
         names = meta.schema.names
@@ -225,31 +227,31 @@ def item_bytes(
     stale-retained files never inflate size gates; falls back to a
     directory walk for legacy items."""
     item_path = Path(item_path)
+    fs = fs_for(item_path)
     man = utils.read_manifest(item_path)
     if man is None:
         if buckets is None:
-            files = item_path.rglob("*.parquet")
+            files = fs.list_files(item_path, ".parquet")
         else:
-            files = (
+            files = [
                 f
                 for b in buckets
-                if (item_path / f"{PARTITION_COL}={b}").exists()
-                for f in (item_path / f"{PARTITION_COL}={b}").rglob(
-                    "*.parquet"
+                for f in fs.list_files(
+                    item_path / f"{PARTITION_COL}={b}", ".parquet"
                 )
-            )
-        return sum(_safe_size(f) for f in files)
+            ]
+        return sum(_safe_size(fs, f) for f in files)
     b = base_dir(item_path, man)
     return sum(
-        _safe_size(b / rel)
+        _safe_size(fs, b / rel)
         for rel in (man.get("files") or [])
         if buckets is None or _bucket_of(rel) in buckets
     )
 
 
-def _safe_size(f: Path) -> int:
+def _safe_size(fs, f: str | Path) -> int:
     try:
-        return f.stat().st_size
+        return fs.size(f)
     except OSError:
         return 0
 
@@ -259,10 +261,8 @@ def snapshot_refs(collection_path: str | Path, item: str) -> set[str]:
     snapshot manifest of ``item`` — these must survive GC."""
     refs: set[str] = set()
     snap_root = Path(collection_path) / utils.SNAPSHOT_DIR
-    if not snap_root.exists():
-        return refs
-    for snap in snap_root.iterdir():
-        man = utils.read_manifest(snap / item)
+    for snap in fs_for(snap_root).list_subdirs(snap_root):
+        man = utils.read_manifest(snap_root / snap / item)
         if man is not None and man.get("base"):
             refs.update(man.get("files") or [])
     return refs
@@ -296,7 +296,8 @@ def gc_item(
         config.ORPHAN_GRACE_SECONDS if orphan_grace is None else orphan_grace
     )
     item_path = Path(collection_path) / item
-    man = utils.read_manifest(item_path)
+    fs = fs_for(item_path)
+    man, etag = utils.read_manifest_versioned(item_path)
     if man is None or man.get("base"):
         return 0  # legacy item or snapshot pointer — nothing to GC
     refs = snapshot_refs(collection_path, item)
@@ -311,43 +312,41 @@ def gc_item(
     ]
     for rel in expired:
         try:
-            (item_path / rel).unlink(missing_ok=True)
+            fs.delete(item_path / rel, missing_ok=True)
         except OSError:
             continue
         del stale[rel]
         removed += 1
     if expired:
-        utils.write_manifest(
-            item_path,
-            man.get("files") or [],
-            man.get("metadata"),
-            stale=stale,
-            version=int(man.get("version", 0)) + 1,
-            stamp=False,  # GC is not a data change; keep _updated
-            stats=man.get("stats"),
-        )
+        try:
+            utils.write_manifest(
+                item_path,
+                man.get("files") or [],
+                man.get("metadata"),
+                stale=stale,
+                version=int(man.get("version", 0)) + 1,
+                stamp=False,  # GC is not a data change; keep _updated
+                stats=man.get("stats"),
+                if_match=etag,
+            )
+        except ConcurrentCommitError:
+            # a writer committed since our read: their manifest still
+            # carries the (now partially deleted) stale map; the next
+            # GC pass re-deletes idempotently. Never clobber a newer
+            # manifest with our stale view.
+            return removed
 
     known = set(man.get("files") or []) | set(stale) | refs
-    for f in item_path.rglob("*.parquet"):
-        rel = f.relative_to(item_path).as_posix()
+    for f in fs.list_files(item_path, ".parquet"):
+        rel = Path(f).relative_to(item_path).as_posix()
         if rel in known:
             continue
         try:
-            if now - f.stat().st_mtime >= orphan_grace:
-                f.unlink()
+            if now - fs.mtime(f) >= orphan_grace:
+                fs.delete(f, missing_ok=True)
                 removed += 1
         except OSError:
             continue
     if removed:
-        _prune_empty_dirs(item_path)
+        fs.prune_empty_dirs(item_path)
     return removed
-
-
-def _prune_empty_dirs(item_path: Path) -> None:
-    for d in sorted(
-        (p for p in item_path.rglob("*") if p.is_dir()), reverse=True
-    ):
-        try:
-            os.rmdir(d)  # fails (harmlessly) unless empty
-        except OSError:
-            pass

@@ -21,10 +21,13 @@ from pystore_spark.session import get_spark
 
 class Store:
     def __init__(self, datastore: str, spark: SparkSession | None = None):
+        from pystore_spark.fs import fs_for
+
         self.spark = spark or get_spark()
         root = utils.validate_path_local(config.get_path())
         self.datastore = Path(root) / datastore
-        self.datastore.mkdir(parents=True, exist_ok=True)
+        self.fs = fs_for(self.datastore)
+        self.fs.mkdirs(self.datastore)
         meta = utils.read_metadata(self.datastore)
         if not meta:
             utils.write_metadata(
@@ -43,7 +46,7 @@ class Store:
         return self.collections
 
     def collection_exists(self, collection: str) -> bool:
-        return (self.datastore / collection).is_dir()
+        return self.fs.isdir(self.datastore / collection)
 
     def collection(self, collection: str, overwrite: bool = False) -> Collection:
         """Open-or-create a collection (reference pystore/store.py:88-98;
@@ -91,7 +94,9 @@ def delete_store(datastore: str) -> bool:
 
 
 def delete_stores() -> bool:
+    from pystore_spark.fs import fs_for
+
     root = utils.validate_path_local(config.get_path())
     utils.rm_tree(root)
-    Path(root).mkdir(parents=True, exist_ok=True)
+    fs_for(root).mkdirs(root)
     return True

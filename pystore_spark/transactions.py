@@ -14,7 +14,6 @@ protocols over the item directory layout:
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from pathlib import Path
@@ -52,8 +51,9 @@ class Transaction:
     def _backup(self, item: str) -> None:
         if item in self._backups:
             return
+        fs = self.collection.fs
         src = self.collection._item_path(item)
-        if not src.exists():
+        if not fs.exists(src):
             self._backups[item] = None
             return
         dst = self.collection.path / f".__txn_{self._token}_{item}"
@@ -61,11 +61,16 @@ class Transaction:
         self._backups[item] = dst
 
     def _restore_all(self) -> None:
+        fs = self.collection.fs
         for item, bkp in self._backups.items():
             target = self.collection._item_path(item)
             utils.rm_tree(target)
-            if bkp is not None and bkp.exists():
-                bkp.rename(target)
+            if bkp is not None and fs.exists(bkp):
+                # local: one rename; object stores: per-object
+                # copy+delete of the backup tree (rollback is a
+                # writer-side recovery path — readers resolve through
+                # manifests and never observe the intermediate state)
+                fs.move_prefix(bkp, target)
         self._backups.clear()
         self.collection.clear_metadata_cache()
 
@@ -166,7 +171,12 @@ class transaction:
 
 
 class CollectionLock:
-    """mkdir-based lease (reference: pystore/transactions.py:289-362)."""
+    """mkdir-based lease (reference: pystore/transactions.py:289-362).
+
+    The exclusive-create primitive routes through the filesystem
+    abstraction: ``os.mkdir`` locally, a conditional put
+    (If-None-Match) of a marker object on object-store backends —
+    see fs.FileSystem.mkdir_exclusive."""
 
     def __init__(
         self,
@@ -176,27 +186,33 @@ class CollectionLock:
         retry_interval: float = 0.1,
         stale_after: float = 300.0,
     ):
+        from pystore_spark.fs import fs_for
+
         self.lock_dir = Path(collection.path) / f".__lock_{name}"
+        self.fs = getattr(collection, "fs", None) or fs_for(self.lock_dir)
         self.owner = uuid.uuid4().hex
         self.timeout = timeout
         self.retry_interval = retry_interval
         self.stale_after = stale_after
         self.held = False
 
+    def _read_owner(self) -> dict:
+        return json.loads(self.fs.read_bytes(self.lock_dir / "owner.json"))
+
     def acquire(self) -> bool:
         deadline = time.monotonic() + self.timeout
         while True:
             try:
-                os.mkdir(self.lock_dir)
+                self.fs.mkdir_exclusive(self.lock_dir)
                 # atomic owner-file publication: a reader must never
                 # observe a partially written owner.json (it would look
                 # corrupt and justify breaking a live lock)
-                tmp = self.lock_dir / ".owner.tmp"
-                with open(tmp, "w") as fh:
-                    json.dump(
-                        {"owner": self.owner, "acquired": time.time()}, fh
-                    )
-                os.replace(tmp, self.lock_dir / "owner.json")
+                self.fs.put_atomic(
+                    self.lock_dir / "owner.json",
+                    json.dumps(
+                        {"owner": self.owner, "acquired": time.time()}
+                    ).encode(),
+                )
                 self.held = True
                 return True
             except FileExistsError:
@@ -226,12 +242,12 @@ class CollectionLock:
         """
         breaker = self.lock_dir.with_name(self.lock_dir.name + ".breaker")
         try:
-            os.mkdir(breaker)
+            self.fs.mkdir_exclusive(breaker)
         except (FileExistsError, OSError):
             # another waiter is breaking; clear the breaker itself if
             # its owner crashed mid-break, then let the retry loop spin
             try:
-                if time.time() - os.stat(breaker).st_mtime > max(
+                if time.time() - self.fs.mtime(breaker) > max(
                     30.0, 10 * self.retry_interval
                 ):
                     utils.rm_tree(breaker)
@@ -240,8 +256,7 @@ class CollectionLock:
             return
         try:
             try:
-                with open(self.lock_dir / "owner.json") as fh:
-                    info = json.load(fh)
+                info = self._read_owner()
                 stale = (
                     time.time() - float(info.get("acquired", 0))
                     > self.stale_after
@@ -256,7 +271,7 @@ class CollectionLock:
                 # itself outlived the stale window (crashed mid-acquire)
                 try:
                     if (
-                        time.time() - os.stat(self.lock_dir).st_mtime
+                        time.time() - self.fs.mtime(self.lock_dir)
                         <= self.stale_after
                     ):
                         return
@@ -268,8 +283,7 @@ class CollectionLock:
             # release that timed out waiting for a wedged breaker may
             # have deleted-and-let-reacquire, so read once more
             try:
-                with open(self.lock_dir / "owner.json") as fh:
-                    now_info = json.load(fh)
+                now_info = self._read_owner()
                 if judged is not None and now_info.get("owner") != judged.get(
                     "owner"
                 ):
@@ -282,8 +296,7 @@ class CollectionLock:
 
     def _break_if_stale(self) -> None:
         try:
-            with open(self.lock_dir / "owner.json") as fh:
-                info = json.load(fh)
+            info = self._read_owner()
             if time.time() - float(info.get("acquired", 0)) > self.stale_after:
                 self._claim_break(info)
             return
@@ -293,7 +306,7 @@ class CollectionLock:
         # break ONLY if the lock directory itself has been around longer
         # than the stale window (a crashed holder never published it)
         try:
-            if time.time() - os.stat(self.lock_dir).st_mtime > self.stale_after:
+            if time.time() - self.fs.mtime(self.lock_dir) > self.stale_after:
                 self._claim_break(None)
         except OSError:
             pass
@@ -315,7 +328,7 @@ class CollectionLock:
         deadline = time.monotonic() + max(2.0, 10 * self.retry_interval)
         while True:
             try:
-                os.mkdir(breaker)
+                self.fs.mkdir_exclusive(breaker)
                 got_breaker = True
                 break
             except FileExistsError:
@@ -328,9 +341,8 @@ class CollectionLock:
             # only delete a lock we still own — if our lease was broken
             # as stale and re-acquired by someone else, leave theirs
             try:
-                with open(self.lock_dir / "owner.json") as fh:
-                    if json.load(fh).get("owner") != self.owner:
-                        return
+                if self._read_owner().get("owner") != self.owner:
+                    return
             except (OSError, ValueError, KeyError, TypeError):
                 return
             utils.rm_tree(self.lock_dir)

@@ -14,10 +14,12 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 from datetime import datetime, timezone
 from pathlib import Path
 from typing import Any
+
+from pystore_spark import fs as fslib
+from pystore_spark.fs import UNCONDITIONAL, fs_for
 
 METADATA_FILE = "_pystore_metadata.json"
 MANIFEST_FILE = "_manifest.json"
@@ -42,12 +44,21 @@ def read_manifest(path: str | Path) -> dict[str, Any] | None:
     """The item's manifest — the single commit pointer naming its live
     data files (see manifest.py for the protocol). None = no manifest
     (a legacy directory-listing item, or not an item at all)."""
+    return read_manifest_versioned(path)[0]
+
+
+def read_manifest_versioned(
+    path: str | Path,
+) -> tuple[dict[str, Any] | None, str | None]:
+    """(manifest, etag) — the etag feeds the conditional put at commit
+    (object-store CAS; see fs.py). (None, None) when absent."""
     p = Path(path) / MANIFEST_FILE
+    fs = fs_for(p)
     try:
-        with open(p) as fh:
-            return json.load(fh)
+        data = fs.read_bytes(p)
+        return json.loads(data), fslib._md5(data)
     except (OSError, ValueError):
-        return None
+        return None, None
 
 
 def write_manifest(
@@ -59,11 +70,15 @@ def write_manifest(
     version: int | None = None,
     stamp: bool = True,
     stats: dict[str, dict] | None = None,
+    if_match: Any = UNCONDITIONAL,
 ) -> dict[str, Any]:
     """Atomically install a manifest — THE commit point of every data
     mutation: a single ``os.replace`` of one JSON file (atomic on
     POSIX; a single-object put on object stores), so readers see the
     old complete file set or the new one, never a partial swap.
+    ``if_match`` (an etag from :func:`read_manifest_versioned`, or
+    None for must-not-exist) turns the install into a conditional put
+    — lost races raise ``ConcurrentCommitError`` (object-store CAS).
 
     ``stats`` is the per-file column min/max zonemap (see
     manifest.gather_file_stats); it is pruned to the live file list
@@ -84,11 +99,10 @@ def write_manifest(
     if base is not None:
         man["base"] = base
     p = Path(path)
-    p.mkdir(parents=True, exist_ok=True)
-    tmp = p / (MANIFEST_FILE + f".tmp{os.getpid()}")
-    with open(tmp, "w") as fh:
-        json.dump(tmp_json_safe(man), fh, default=str)
-    os.replace(tmp, p / MANIFEST_FILE)
+    fs = fs_for(p)
+    fs.mkdirs(p)
+    payload = json.dumps(tmp_json_safe(man), default=str).encode()
+    fs.put_atomic(p / MANIFEST_FILE, payload, if_match=if_match)
     return man
 
 
@@ -97,10 +111,10 @@ def read_metadata(path: str | Path) -> dict[str, Any]:
     if man is not None:
         return man.get("metadata") or {}
     p = Path(path) / METADATA_FILE
-    if not p.exists():
+    try:
+        return json.loads(fs_for(p).read_bytes(p))
+    except (OSError, ValueError):
         return {}
-    with open(p) as fh:
-        return json.load(fh)
 
 
 def write_metadata(path: str | Path, metadata: dict[str, Any] | None = None) -> dict[str, Any]:
@@ -120,11 +134,12 @@ def write_metadata(path: str | Path, metadata: dict[str, Any] | None = None) -> 
     metadata = dict(metadata or {})
     metadata["_updated"] = utc_stamp()
     p = Path(path)
-    p.mkdir(parents=True, exist_ok=True)
-    tmp = p / (METADATA_FILE + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(tmp_json_safe(metadata), fh, default=str)
-    os.replace(tmp, p / METADATA_FILE)  # atomic on POSIX
+    fs = fs_for(p)
+    fs.mkdirs(p)
+    fs.put_atomic(
+        p / METADATA_FILE,
+        json.dumps(tmp_json_safe(metadata), default=str).encode(),
+    )
     return metadata
 
 
@@ -144,18 +159,15 @@ def tmp_json_safe(obj: Any) -> Any:
 
 def subdirs(path: str | Path) -> list[str]:
     """Immediate subdirectory names, skipping internal ``_``/``.`` dirs."""
-    p = Path(path)
-    if not p.exists():
-        return []
     return sorted(
-        d.name
-        for d in p.iterdir()
-        if d.is_dir() and not d.name.startswith((".", "_"))
+        d
+        for d in fs_for(path).list_subdirs(path)
+        if not d.startswith((".", "_"))
     )
 
 
 def rm_tree(path: str | Path) -> None:
-    shutil.rmtree(path, ignore_errors=True)
+    fs_for(path).remove_prefix(path)
 
 
 def link_tree(src: str | Path, dst: str | Path) -> None:
@@ -166,30 +178,19 @@ def link_tree(src: str | Path, dst: str | Path) -> None:
     hard-linked tree is a correct point-in-time copy at O(metadata)
     cost — unlike the reference's full ``copytree``
     (pystore/collection.py:529-543) which is O(data). Falls back to a
-    real copy when the filesystem lacks hard links.
+    real copy when the filesystem lacks hard links (object stores:
+    server-side copy).
     """
     src, dst = Path(src), Path(dst)
-    for root, _dirs, files in os.walk(src):
-        rel = os.path.relpath(root, src)
-        target_root = dst / rel if rel != "." else dst
-        target_root.mkdir(parents=True, exist_ok=True)
-        for f in files:
-            s = os.path.join(root, f)
-            d = str(target_root / f)
-            try:
-                os.link(s, d)
-            except OSError:
-                shutil.copy2(s, d)
+    fs = fs_for(src)
+    for f in fs.list_files(src):
+        rel = os.path.relpath(f, src)
+        fs.link_or_copy(f, dst / rel)
 
 
 def validate_path_local(path: str) -> str:
-    """Expand ~ and reject non-local URIs for the local warehouse
-    (reference behavior: tests/test_store.py:89-92, tilde handling
-    issue #68 tests/test_edge_cases.py:60-76)."""
-    path = str(path)
-    if re.match(r"^[a-z0-9]+://", path) and not path.startswith("file://"):
-        raise ValueError(
-            "pystore_spark warehouse paths must be local/file paths; "
-            f"got {path!r}"
-        )
-    return os.path.expanduser(path.removeprefix("file://"))
+    """Scheme dispatch for warehouse roots (historically a local-only
+    guard — reference behavior: tests/test_store.py:89-92, tilde
+    handling issue #68 tests/test_edge_cases.py:60-76; now resolves
+    registered object-store schemes too, see fs.resolve_warehouse)."""
+    return fslib.resolve_warehouse(path)

@@ -1,0 +1,324 @@
+"""Object-store execution of the manifest protocol (fs.py).
+
+The commit protocol was *designed* for S3 (staged invisible files +
+one atomic conditional-put pointer flip, no rename-of-committed-data);
+this module *exercises* it against :class:`FakeS3FileSystem` — an
+in-memory backend with honest S3 semantics: no rename (move is
+copy+delete), no directories, list-after-write consistency, and
+ETag conditional puts. The full write / append / read / GC / snapshot
+/ lock cycle runs driver-side (Arrow path); Spark-scale jobs raise a
+clear StorageError instead of silently touching local disk.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pystore_spark import fs as fslib
+from pystore_spark import utils
+from pystore_spark import manifest as mf
+from pystore_spark.exceptions import ConcurrentCommitError, StorageError
+from pystore_spark.fs import FakeS3FileSystem
+
+
+# ---------------------------------------------------------------------------
+# FakeS3FileSystem semantics
+# ---------------------------------------------------------------------------
+def test_fake_s3_object_semantics():
+    fs = FakeS3FileSystem()
+    fs.put_atomic("/b/k1", b"v1")
+    assert fs.read_bytes("/b/k1") == b"v1"
+    assert fs.exists("/b/k1") and fs.exists("/b") and not fs.exists("/b/k2")
+    # list-after-write, prefix listing, no directories
+    fs.put_atomic("/b/d/k2.parquet", b"x" * 10)
+    assert fs.list_files("/b", ".parquet") == ["/b/d/k2.parquet"]
+    assert fs.list_subdirs("/b") == ["d"]
+    assert fs.isdir("/b/d") and not fs.isdir("/b/k1")
+    assert fs.size("/b/d/k2.parquet") == 10
+    # move = copy+delete (staged objects only)
+    fs.move("/b/d/k2.parquet", "/b/d/k3.parquet")
+    assert not fs.exists("/b/d/k2.parquet")
+    assert fs.read_bytes("/b/d/k3.parquet") == b"x" * 10
+    fs.remove_prefix("/b/d")
+    assert not fs.isdir("/b/d")
+    with pytest.raises(FileNotFoundError):
+        fs.read_bytes("/b/gone")
+
+
+def test_fake_s3_conditional_put_cas():
+    fs = FakeS3FileSystem()
+    # If-None-Match:* — create only when absent
+    etag1 = fs.put_atomic("/b/man.json", b"v1", if_match=None)
+    with pytest.raises(ConcurrentCommitError):
+        fs.put_atomic("/b/man.json", b"v2", if_match=None)
+    # If-Match — replace only the version we read
+    etag2 = fs.put_atomic("/b/man.json", b"v2", if_match=etag1)
+    with pytest.raises(ConcurrentCommitError):
+        fs.put_atomic("/b/man.json", b"v3", if_match=etag1)  # stale etag
+    assert fs.etag("/b/man.json") == etag2
+    assert fs.read_bytes("/b/man.json") == b"v2"
+
+
+def test_fake_s3_mkdir_exclusive_is_lock_primitive():
+    fs = FakeS3FileSystem()
+    fs.mkdir_exclusive("/b/.lock")
+    with pytest.raises(FileExistsError):
+        fs.mkdir_exclusive("/b/.lock")
+    fs.remove_prefix("/b/.lock")
+    fs.mkdir_exclusive("/b/.lock")  # reusable after release
+
+
+def test_resolve_warehouse_scheme_dispatch(tmp_path):
+    # local + file:// unchanged
+    assert fslib.resolve_warehouse(str(tmp_path)) == str(tmp_path)
+    assert fslib.resolve_warehouse(f"file://{tmp_path}") == str(tmp_path)
+    # fakes3 mounts and normalizes
+    root = fslib.resolve_warehouse("fakes3://bkt-x/wh")
+    assert root == f"{fslib.FAKE_S3_ROOT}/bkt-x/wh"
+    assert isinstance(fslib.fs_for(root), FakeS3FileSystem)
+    # real cloud schemes: actionable rejection, not a silent local write
+    with pytest.raises(NotImplementedError, match="adapter"):
+        fslib.resolve_warehouse("s3://bucket/wh")
+    with pytest.raises(ValueError):
+        fslib.resolve_warehouse("weird://x")
+
+
+# ---------------------------------------------------------------------------
+# engine protocol on the fake backend
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def s3_collection(spark, monkeypatch):
+    """A Collection whose warehouse lives on a fresh FakeS3 bucket."""
+    import pystore_spark.config as config
+    from pystore_spark.store import Store
+
+    bucket = f"fakes3://t-{uuid.uuid4().hex[:8]}/wh"
+    monkeypatch.setattr(config, "_path", None)
+    monkeypatch.setenv("PYSTORE_SPARK_PATH", bucket)
+    root = config.get_path()  # raw; Store resolves the scheme
+    col = Store("s", spark=spark).collection("c")
+    assert isinstance(col.fs, FakeS3FileSystem)
+    yield col
+    fslib.unmount(fslib.resolve_warehouse(bucket).rsplit("/wh", 1)[0])
+
+
+def _frame(n, start="2023-01-01", freq="min", v0=0.0):
+    return pd.DataFrame(
+        {"v": np.arange(n, dtype="float64") + v0},
+        index=pd.date_range(start, periods=n, freq=freq),
+    )
+
+
+def test_s3_write_read_roundtrip(s3_collection):
+    df = _frame(40_000)
+    s3_collection.write("m", df)
+    man = utils.read_manifest(s3_collection._item_path("m"))
+    assert man is not None and man["version"] == 1 and man["files"]
+    out = s3_collection.item("m").to_pandas(engine="arrow")
+    pd.testing.assert_frame_equal(
+        out, df.rename_axis("index"), check_freq=False
+    )
+    # filtered + projected read prunes through the manifest
+    it = s3_collection.item(
+        "m", filters=[("index", ">=", pd.Timestamp("2023-01-15"))],
+        columns=["v"],
+    )
+    got = it.to_pandas(engine="arrow")
+    assert len(got) == len(df.loc["2023-01-15":])
+
+
+def test_s3_append_and_gc(s3_collection):
+    n = 40_000
+    s3_collection.write("a", _frame(n))
+    item_path = s3_collection._item_path("a")
+    man1 = utils.read_manifest(item_path)
+    # one upsert (key exists -> keep_last replaces) + one true append
+    s3_collection.append(
+        "a",
+        pd.DataFrame(
+            {"v": [1e9, 7.0]},
+            index=pd.DatetimeIndex(["2023-01-02", "2023-02-01"]),
+        ),
+    )
+    man2 = utils.read_manifest(item_path)
+    assert man2["version"] == 2
+    replaced = set(man1["files"]) - set(man2["files"])
+    assert replaced and replaced == set(man2["stale"])
+    # a reader of the OLD manifest still finds every file (MVCC window)
+    fs = s3_collection.fs
+    for rel in man1["files"]:
+        assert fs.exists(item_path / rel)
+    out = s3_collection.item("a").to_pandas(engine="arrow")
+    assert len(out) == n + 1
+    assert out.loc[pd.Timestamp("2023-01-02"), "v"] == 1e9
+    # GC with retention 0 deletes the replaced objects and clears stale
+    removed = s3_collection.vacuum("a", retention=0.0)
+    assert removed == len(replaced)
+    man3 = utils.read_manifest(item_path)
+    assert man3["stale"] == {}
+    for rel in replaced:
+        assert not fs.exists(item_path / rel)
+    assert len(s3_collection.item("a").to_pandas(engine="arrow")) == n + 1
+
+
+def test_s3_concurrent_reads_never_see_missing_files(s3_collection):
+    """The test_manifest.py concurrent-reader guarantee holds on the
+    object-store backend: readers resolve through the manifest and see
+    the pre- or post-append object set, never a partial one — with no
+    rename anywhere in the commit."""
+    n = 40_000
+    s3_collection.write("c", _frame(n))
+
+    errors: list[Exception] = []
+    counts: list[int] = []
+    done = threading.Event()
+
+    def reader():
+        while not done.is_set():
+            try:
+                out = s3_collection.item("c").to_pandas(engine="arrow")
+                counts.append(len(out))
+            except Exception as exc:  # pragma: no cover - the failure
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for i in range(6):
+            extra = pd.DataFrame(
+                {"v": [float(i)]},
+                index=pd.DatetimeIndex([f"2023-02-0{i + 1}"]),
+            )
+            s3_collection.append("c", extra)
+    finally:
+        done.set()
+        t.join(timeout=30)
+    assert errors == []
+    assert counts, "reader never completed a read"
+    assert all(n <= c <= n + 6 for c in counts)
+    assert counts == sorted(counts)
+    assert len(s3_collection.item("c").to_pandas(engine="arrow")) == n + 6
+
+
+def test_s3_commit_is_conditional_put(s3_collection):
+    """A manifest installed by another writer between this writer's
+    read and its commit loses the CAS and raises — no lost update."""
+    s3_collection.write("r", _frame(1_000))
+    item_path = s3_collection._item_path("r")
+
+    real_put = s3_collection.fs.put_atomic
+    raced = {"done": False}
+
+    def racing_put(path, data, if_match=fslib.UNCONDITIONAL):
+        # simulate a concurrent writer sneaking in a manifest bump
+        # right before OUR conditional manifest install
+        if str(path).endswith("_manifest.json") and not raced["done"]:
+            raced["done"] = True
+            man, _ = utils.read_manifest_versioned(item_path)
+            man["version"] = int(man["version"]) + 7
+            import json
+
+            real_put(path, json.dumps(man).encode())
+        return real_put(path, data, if_match=if_match)
+
+    s3_collection.fs.put_atomic = racing_put
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            s3_collection.append(
+                "r",
+                pd.DataFrame(
+                    {"v": [2.0]}, index=pd.DatetimeIndex(["2023-01-02"])
+                ),
+            )
+    finally:
+        s3_collection.fs.put_atomic = real_put
+    # the losing commit left no visible change; the raced manifest wins
+    man = utils.read_manifest(item_path)
+    assert man["version"] == 8
+    assert len(s3_collection.item("r").to_pandas(engine="arrow")) == 1_000
+
+
+def test_s3_snapshot_is_o_manifest(s3_collection):
+    n = 20_000
+    df = _frame(n)
+    s3_collection.write("s", df)
+    snap = s3_collection.create_snapshot("pit")
+    sdir = s3_collection._snapshot_root / snap / "s"
+    fs = s3_collection.fs
+    # O(manifest): no data objects copied into the snapshot prefix
+    assert fs.list_files(sdir, ".parquet") == []
+    assert utils.read_manifest(sdir)["base"]
+    s3_collection.append(
+        "s", pd.DataFrame({"v": [7.0]}, index=pd.DatetimeIndex(["2024-06-01"]))
+    )
+    assert len(
+        s3_collection.item("s", snapshot=snap).to_pandas(engine="arrow")
+    ) == n
+    assert len(s3_collection.item("s").to_pandas(engine="arrow")) == n + 1
+    # GC protects snapshot-referenced objects even at retention 0
+    s3_collection.vacuum("s", retention=0.0)
+    assert len(
+        s3_collection.item("s", snapshot=snap).to_pandas(engine="arrow")
+    ) == n
+    # delete_item materializes the snapshot via server-side copy
+    s3_collection.delete_item("s")
+    out = s3_collection.item("s", snapshot=snap).to_pandas(engine="arrow")
+    assert len(out) == n
+    assert utils.read_manifest(sdir).get("base") is None
+
+
+def test_s3_collection_lock(s3_collection):
+    from pystore_spark.transactions import CollectionLock
+
+    with CollectionLock(s3_collection, timeout=5.0) as lock:
+        assert lock.held
+        rival = CollectionLock(
+            s3_collection, timeout=0.3, retry_interval=0.05
+        )
+        from pystore_spark.exceptions import TransactionError
+
+        with pytest.raises(TransactionError):
+            rival.acquire()
+    # released → acquirable again
+    with CollectionLock(s3_collection, timeout=5.0):
+        pass
+
+
+def test_s3_spark_scale_ops_raise_clearly(s3_collection, monkeypatch):
+    from pystore_spark import config
+
+    s3_collection.write("g", _frame(100))
+    # Spark scan path refuses (driver-side backend)
+    with pytest.raises(StorageError, match="driver-side only"):
+        _ = s3_collection.item("g").data
+    # over-threshold write falls through the Arrow gate and refuses
+    # rather than letting the Spark JVM write to a phantom local path
+    monkeypatch.setattr(config, "DRIVER_PATH_MAX_BYTES", 0)
+    with pytest.raises(StorageError, match="Spark-accessible"):
+        s3_collection.write("big", _frame(10), overwrite=True)
+
+
+def test_s3_gc_orphan_cleanup(s3_collection, monkeypatch):
+    """Objects staged by a crashed writer (never named by any manifest)
+    are GC'd once aged past the orphan grace window."""
+    s3_collection.write("o", _frame(1_000))
+    item_path = s3_collection._item_path("o")
+    fs = s3_collection.fs
+    orphan = item_path / "_pb=2023-01" / "deadbeef-part-99.parquet"
+    fs.put_atomic(orphan, b"not really parquet")
+    # invisible to readers
+    assert len(s3_collection.item("o").to_pandas(engine="arrow")) == 1_000
+    assert s3_collection.vacuum("o") == 0  # inside grace window: kept
+    assert fs.exists(orphan)
+    from pystore_spark import config
+
+    monkeypatch.setattr(config, "ORPHAN_GRACE_SECONDS", 0.0)
+    assert s3_collection.vacuum("o") == 1
+    assert not fs.exists(orphan)
+    assert len(s3_collection.item("o").to_pandas(engine="arrow")) == 1_000

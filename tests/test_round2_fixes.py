@@ -76,18 +76,20 @@ def test_partition_append_rolls_back_on_rename_failure(
 ):
     before = _time_item(test_collection, monkeypatch)
     calls = {"n": 0}
-    real_rename = Path.rename
+    from pystore_spark.fs import LocalFileSystem
 
-    def flaky_rename(self, target):
-        # staging renames tmp files into the live _pb= bucket dirs.
+    real_move = LocalFileSystem.move
+
+    def flaky_move(self, src, dst):
+        # staging moves tmp files into the live _pb= bucket dirs.
         # Fail on the second — mid-staging, after one file moved.
-        if "_pb=" in str(target):
+        if "_pb=" in str(dst):
             calls["n"] += 1
             if calls["n"] == 2:
-                raise OSError("injected rename failure")
-        return real_rename(self, target)
+                raise OSError("injected move failure")
+        return real_move(self, src, dst)
 
-    monkeypatch.setattr(Path, "rename", flaky_rename)
+    monkeypatch.setattr(LocalFileSystem, "move", flaky_move)
     # touch TWO monthly buckets so staging moves 2 files and the
     # injected failure on the 2nd lands mid-staging
     incoming = pd.DataFrame(
