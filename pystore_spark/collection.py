@@ -1473,6 +1473,64 @@ class Collection:
         self.clear_metadata_cache(item)
         return plan.npartitions
 
+    def set_zonemap(
+        self, item: str, columns: Sequence[str] | None
+    ) -> dict[str, dict]:
+        """Enable (or, with ``None``/``[]``, disable) per-file min/max
+        zonemap stats on an EXISTING item without rewriting any data:
+        the live files' parquet footers are scanned driver-side
+        (O(files) metadata reads, no Spark job, no data I/O) and the
+        stats committed in a metadata-only manifest bump. Subsequent
+        appends and rebalances maintain them via the
+        ``_zonemap_columns`` sidecar entry, exactly as if
+        ``write(zonemap=...)`` had been used from the start. Returns
+        the recorded stats ({} when disabling).
+
+        The ALTER-style late-enable path: ``rebalance_partitions``
+        with z-order remains the way to also make the stats *tight* —
+        backfill records whatever ranges the current layout has."""
+        from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
+
+        item_path = self._item_path(item)
+        if not self.fs.exists(item_path):
+            raise ItemNotFoundError(f"item {item!r} does not exist")
+        for _attempt in range(3):  # CAS retry: commutes with writers
+            man, etag = utils.read_manifest_versioned(item_path)
+            if man is None:
+                raise StorageError(
+                    f"item {item!r} predates the manifest protocol; "
+                    "rewrite it (rebalance_partitions) to enable zonemaps"
+                )
+            if man.get("base"):
+                raise StorageError(
+                    f"item {item!r} is a snapshot pointer and is read-only"
+                )
+            meta = dict(man.get("metadata") or {})
+            files = list(man.get("files") or [])
+            if columns:
+                meta["_zonemap_columns"] = list(columns)
+                stats = mf.gather_file_stats(item_path, files, list(columns))
+            else:
+                meta.pop("_zonemap_columns", None)
+                stats = {}
+            try:
+                utils.write_manifest(
+                    item_path, files, meta,
+                    stale=man.get("stale"),
+                    version=int(man.get("version", 0)) + 1,
+                    stats=stats or None,
+                    if_match=etag,
+                )
+                self.clear_metadata_cache(item)
+                return stats
+            except ConcurrentCommitError:
+                continue  # writer snuck in — re-read and re-scan
+        raise StorageError(
+            f"set_zonemap on {item!r} kept losing the manifest CAS; "
+            "retry when the item is quiescent"
+        )
+
     # ------------------------------------------------------------------
     # schema evolution state (reference: pystore/collection.py:186-212)
     # ------------------------------------------------------------------

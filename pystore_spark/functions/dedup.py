@@ -392,6 +392,46 @@ def connected_components(
     return labels
 
 
+def exact_dedup_survivors(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Stage 1 of :func:`near_dedup`: keep the minimum id per
+    normalized-text fingerprint (hash groupBy + semi join)."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+    exact_keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return df.join(exact_keep.select(id_col), on=id_col, how="left_semi")
+
+
+def near_dedup_verified_pairs(
+    survivors: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Stages 2-3 of :func:`near_dedup`: MinHash-LSH candidate pairs
+    then exact shingle-Jaccard verification — the (id_i, id_j) edges
+    the pipeline will merge. Exposed separately so the pipeline's
+    recall can be audited against blocked-exact truth
+    (queries_ext.near_dedup_recall_audit)."""
+    candidates = lsh_candidate_pairs(
+        survivors, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    sh = survivors.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    )
+    return (
+        candidates.join(
+            sh.selectExpr(f"{id_col} AS id_i", "_sh AS _sh_i"), on="id_i"
+        )
+        .join(sh.selectExpr(f"{id_col} AS id_j", "_sh AS _sh_j"), on="id_j")
+        .filter(jaccard(F.col("_sh_i"), F.col("_sh_j")) >= threshold)
+        .select("id_i", "id_j")
+    )
+
+
 def near_dedup(
     df: DataFrame,
     text_col: str,
@@ -413,27 +453,9 @@ def near_dedup(
     stage is joins/aggregations — no driver materialization; the only
     quadratic term lives inside LSH buckets.
     """
-    fp = df.select(
-        F.col(id_col), fingerprint(text_col).alias("_fp")
-    )
-    exact_keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    survivors = df.join(
-        exact_keep.select(id_col), on=id_col, how="left_semi"
-    )
-
-    candidates = lsh_candidate_pairs(
-        survivors, text_col, id_col, num_hashes, bands, shingle_n
-    )
-    sh = survivors.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
-    )
-    verified = (
-        candidates.join(
-            sh.selectExpr(f"{id_col} AS id_i", "_sh AS _sh_i"), on="id_i"
-        )
-        .join(sh.selectExpr(f"{id_col} AS id_j", "_sh AS _sh_j"), on="id_j")
-        .filter(jaccard(F.col("_sh_i"), F.col("_sh_j")) >= threshold)
-        .select("id_i", "id_j")
+    survivors = exact_dedup_survivors(df, text_col, id_col)
+    verified = near_dedup_verified_pairs(
+        survivors, text_col, id_col, threshold, num_hashes, bands, shingle_n
     )
     # propagate labels only over nodes that have at least one verified
     # edge — the overwhelming majority of documents have none, so the

@@ -1037,6 +1037,90 @@ def near_dedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+@register(
+    "near_dedup_recall_audit",
+    # truth = blocked all-pairs shingle-Jaccard >= 0.8 among exact-dedup
+    # survivors (same (source, length-bucket) blocking the
+    # ngram_jaccard_pairs oracle proves exact); found = the MinHash-LSH
+    # pipeline's verified edges. CTEs mirror near_dedup_kept_docs'
+    # oracle stage-for-stage.
+    sql=f"""
+    WITH
+    s0 AS (
+      SELECT doc_id, source, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {_SHINGLES} AS sh
+      FROM documents),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM s0 GROUP BY fp),
+    surv AS (SELECT s0.* FROM s0 JOIN exact_keep USING (doc_id)),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM surv),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+        md5(array_to_string(
+          list_transform(sig[b.band_idx*2+1 : b.band_idx*2+2],
+                         v -> v::VARCHAR), '|')) AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_i, c.id_j
+      FROM cand c
+      JOIN surv si ON si.doc_id = c.id_i
+      JOIN surv sj ON sj.doc_id = c.id_j
+      WHERE CASE WHEN len(list_distinct(si.sh || sj.sh)) > 0 THEN
+              len(list_intersect(si.sh, sj.sh))::DOUBLE
+              / len(list_distinct(si.sh || sj.sh))
+            ELSE 0.0 END >= 0.8),
+    truth AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM surv a JOIN surv b
+        ON a.source = b.source AND a.n_chars // 100 = b.n_chars // 100
+       AND a.doc_id < b.doc_id
+      WHERE ROUND(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0 THEN
+              len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(a.sh || b.sh))
+            ELSE 0.0 END, 6) >= 0.8)
+    SELECT count(*)::BIGINT AS n_truth,
+      count(*) FILTER (v.id_i IS NOT NULL)::BIGINT AS n_found,
+      ROUND(count(*) FILTER (v.id_i IS NOT NULL)
+            / NULLIF(count(*), 0)::DOUBLE, 6) AS recall
+    FROM truth LEFT JOIN verified v USING (id_i, id_j)
+    """,
+    tags=("dedup", "pipeline", "audit"),
+)
+def near_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recall audit of the MinHash near-dedup pipeline: the
+    fraction of blocked-exact duplicate pairs (shingle-Jaccard >= 0.8
+    among exact-dedup survivors, same blocking as ngram_jaccard_pairs)
+    that the LSH → verify stages actually surface as merge edges. The
+    MinHash analog of lsh_recall_audit — the approximate pipeline's
+    miss rate is *measured*, not assumed; truth stays O(pairs within a
+    block), never all-pairs global."""
+    doc = load_table(spark, sf_dir, "documents")
+    surv = D.exact_dedup_survivors(doc, "text", "doc_id")
+    found = D.near_dedup_verified_pairs(
+        surv, "text", "doc_id", threshold=0.8
+    ).withColumn("_hit", F.lit(1))
+    truth = D.ngram_jaccard_pairs(
+        surv.withColumn("len_bucket", F.floor(F.col("n_chars") / 100)),
+        "text", "doc_id",
+        block_cols=["source", "len_bucket"], threshold=0.8,
+    ).select("id_i", "id_j")
+    joined = truth.join(found, ["id_i", "id_j"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("_hit").alias("n_found"),
+        F.round(
+            F.count("_hit")
+            / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling / data-mix / contamination  (training-data ops)
 # ---------------------------------------------------------------------------
@@ -1890,6 +1974,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "bpe_token_stats",
     "gapfill_locf_daily", "approx_distinct_audit",
     "weighted_sample_topk", "corpus_mix_report",
+    # round-4 additions
+    "near_dedup_recall_audit",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -223,3 +223,66 @@ def test_filters_on_arrow_written_timestamps(test_collection):
     expected = df.loc["2023-03-01":"2023-03-31 23:59:59"]
     assert len(via_arrow) == len(expected)
     pd.testing.assert_frame_equal(via_arrow, via_spark)
+
+
+def test_write_append_sequence_across_threshold_boundary(test_collection):
+    """Property: the SAME write/append sequence yields identical data
+    and equivalent manifests no matter which side of
+    DRIVER_PATH_MAX_BYTES each step lands on — just below, just above,
+    and mixed per step (arrow_path gating must be a pure engine
+    choice, never a semantic one)."""
+    from pystore_spark import arrow_path, utils
+
+    base = _frame(20_000, freq="10min")  # ~5 monthly buckets
+    est = arrow_path.estimate_pandas_bytes(base)
+    seq = [
+        # overlap upsert into the first bucket (keep_last)
+        ("append", _frame(100, start="2023-01-02", freq="min", v0=9000.0)),
+        # brand-new future bucket
+        ("append", _frame(50, start="2023-06-01", freq="min", v0=-5.0)),
+        # in-frame duplicate keys: input order is the tiebreaker
+        ("append", pd.concat([
+            _frame(3, start="2023-06-01", freq="min", v0=111.0),
+            _frame(1, start="2023-06-01", freq="min", v0=222.0),
+        ])),
+    ]
+    scenarios = {
+        # threshold per step: [write, append1, append2, append3]
+        "all_arrow": [256 << 20] * 4,
+        "all_spark": [0] * 4,
+        "just_below_then_above": [est - 1, 256 << 20, 256 << 20, 0],
+        "just_above_then_below": [est + est // 2, 0, 0, 256 << 20],
+    }
+    results, manifests = {}, {}
+    old = config.DRIVER_PATH_MAX_BYTES
+    try:
+        for name, thresholds in scenarios.items():
+            config.DRIVER_PATH_MAX_BYTES = thresholds[0]
+            test_collection.write(name, base)
+            for thr, (op, data) in zip(thresholds[1:], seq):
+                config.DRIVER_PATH_MAX_BYTES = thr
+                test_collection.append(name, data)
+            results[name] = test_collection.item(name).to_pandas()
+            manifests[name] = utils.read_manifest(
+                test_collection.item(name)._path
+            )
+    finally:
+        config.DRIVER_PATH_MAX_BYTES = old
+
+    def buckets(man):
+        return {f.rsplit("/", 1)[0] for f in man["files"] if "/" in f}
+
+    ref_name = "all_arrow"
+    ref = results[ref_name]
+    ref_man = manifests[ref_name]
+    ref_buckets = buckets(ref_man)
+    assert len(ref_buckets) >= 4  # the layout really is time-bucketed
+    for name, got in results.items():
+        # byte-identical client view
+        pd.testing.assert_frame_equal(got, ref, check_freq=False)
+        man = manifests[name]
+        # identical manifests modulo file names: same version history
+        # length, same live bucket set, no stray stale entries beyond
+        # the replaced buckets
+        assert man["version"] == ref_man["version"], name
+        assert buckets(man) == ref_buckets, name

@@ -238,3 +238,58 @@ def test_write_zonemap_param_and_append_maintains_it(test_collection):
     it = test_collection.item("it", filters=[("x", ">=", 1500.0)])
     assert len(it.data.inputFiles()) < len(man2["files"])
     assert it.to_pandas()["x"].tolist() == [2000.0]
+
+
+def test_set_zonemap_backfills_without_rewrite(test_collection):
+    """ALTER-style late enable: stats appear from footer scans only —
+    no data file is rewritten — and reads prune; disable drops them."""
+    idx = pd.date_range("2020-01-01", periods=12_000, freq="h")
+    data = pd.DataFrame(
+        {"x": np.linspace(0.0, 1000.0, 12_000)}, index=idx
+    )
+    test_collection.write("late", data)  # NO zonemap at write time
+    item_path = test_collection.item("late")._path
+    man0 = utils.read_manifest(item_path)
+    assert not man0.get("stats")
+    files_before = set(man0["files"])
+    import os
+
+    mtimes_before = {
+        f: os.stat(item_path / f).st_mtime_ns for f in files_before
+    }
+
+    stats = test_collection.set_zonemap("late", ["x"])
+    assert stats and all("x" in s for s in stats.values())
+    man1 = utils.read_manifest(item_path)
+    assert man1["version"] == man0["version"] + 1
+    assert set(man1["files"]) == files_before  # no rewrite...
+    assert {
+        f: os.stat(item_path / f).st_mtime_ns for f in files_before
+    } == mtimes_before  # ...and no data file even touched
+    assert man1["metadata"]["_zonemap_columns"] == ["x"]
+    assert len(man1["stats"]) == len(files_before)
+
+    # backfilled stats prune a selective read (linear x across buckets)
+    it = test_collection.item("late", filters=[("x", ">=", 990.0)])
+    assert len(it.data.inputFiles()) < len(files_before)
+    want = data[data["x"] >= 990.0]
+    assert len(it.to_pandas()) == len(want)
+
+    # appends after the late enable keep maintaining stats
+    extra = pd.DataFrame(
+        {"x": [2000.0]},
+        index=pd.DatetimeIndex([idx[-1] + pd.Timedelta(hours=1)]),
+    )
+    test_collection.append("late", extra)
+    man2 = utils.read_manifest(item_path)
+    assert len(man2["stats"]) == len(man2["files"])
+
+    # disable drops stats and the sidecar marker
+    assert test_collection.set_zonemap("late", None) == {}
+    man3 = utils.read_manifest(item_path)
+    assert "stats" not in man3
+    assert "_zonemap_columns" not in man3["metadata"]
+    # reads still correct, just unpruned
+    assert len(
+        test_collection.item("late", filters=[("x", ">=", 990.0)]).to_pandas()
+    ) == len(want) + 1
