@@ -163,6 +163,7 @@ class Collection:
                 version=int(man.get("version", 0)) + 1,
                 stamp=False,
                 stats=man.get("stats"),
+                sizes=man.get("sizes"),
             )
 
     # ------------------------------------------------------------------
@@ -474,9 +475,19 @@ class Collection:
                 stats.update(
                     mf.gather_file_stats(item_path, staged, zcols)
                 )
+            # per-file sizes: stat only the just-staged files (their
+            # metadata is cache-hot); size gates then read the manifest
+            # instead of re-statting the whole live set — O(commit),
+            # not O(item), which matters at 100k-file items
+            sizes = dict((man or {}).get("sizes") or {})
+            for s in staged:
+                try:
+                    sizes[s] = fs.size(item_path / s)
+                except OSError:
+                    pass
             utils.write_manifest(
                 item_path, live, sidecar, stale=stale, version=version,
-                stats=stats, if_match=man_etag,
+                stats=stats, sizes=sizes, if_match=man_etag,
             )
             # drop the legacy sidecar once the manifest owns metadata
             try:
@@ -1154,6 +1165,7 @@ class Collection:
                     version=1,
                     stamp=False,
                     stats=man.get("stats"),
+                    sizes=man.get("sizes"),
                 )
             else:
                 utils.link_tree(src, dst / item)
@@ -1520,6 +1532,7 @@ class Collection:
                     stale=man.get("stale"),
                     version=int(man.get("version", 0)) + 1,
                     stats=stats or None,
+                    sizes=man.get("sizes"),
                     if_match=etag,
                 )
                 self.clear_metadata_cache(item)

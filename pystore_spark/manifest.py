@@ -225,7 +225,12 @@ def item_bytes(
     """On-disk bytes of the item's LIVE files (optionally restricted
     to the given ``_pb`` buckets). Manifest-resolved, so staged and
     stale-retained files never inflate size gates; falls back to a
-    directory walk for legacy items."""
+    directory walk for legacy items.
+
+    Sizes recorded in the manifest at commit answer without any
+    filesystem I/O — the append-path size gate stays O(1) even on a
+    100k-file item; only files missing from the map (pre-round-4
+    manifests) are stat'ed."""
     item_path = Path(item_path)
     fs = fs_for(item_path)
     man = utils.read_manifest(item_path)
@@ -242,8 +247,9 @@ def item_bytes(
             ]
         return sum(_safe_size(fs, f) for f in files)
     b = base_dir(item_path, man)
+    sizes = man.get("sizes") or {}
     return sum(
-        _safe_size(fs, b / rel)
+        int(sizes[rel]) if rel in sizes else _safe_size(fs, b / rel)
         for rel in (man.get("files") or [])
         if buckets is None or _bucket_of(rel) in buckets
     )
@@ -327,6 +333,7 @@ def gc_item(
                 version=int(man.get("version", 0)) + 1,
                 stamp=False,  # GC is not a data change; keep _updated
                 stats=man.get("stats"),
+                sizes=man.get("sizes"),
                 if_match=etag,
             )
         except ConcurrentCommitError:

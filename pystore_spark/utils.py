@@ -70,6 +70,7 @@ def write_manifest(
     version: int | None = None,
     stamp: bool = True,
     stats: dict[str, dict] | None = None,
+    sizes: dict[str, int] | None = None,
     if_match: Any = UNCONDITIONAL,
 ) -> dict[str, Any]:
     """Atomically install a manifest — THE commit point of every data
@@ -81,8 +82,10 @@ def write_manifest(
     — lost races raise ``ConcurrentCommitError`` (object-store CAS).
 
     ``stats`` is the per-file column min/max zonemap (see
-    manifest.gather_file_stats); it is pruned to the live file list
-    automatically so stale entries never accumulate."""
+    manifest.gather_file_stats) and ``sizes`` the per-file byte sizes
+    (recorded at commit so size gates never re-stat the live set);
+    both are pruned to the live file list automatically so stale
+    entries never accumulate."""
     metadata = dict(metadata or {})
     if stamp:
         metadata["_updated"] = utc_stamp()
@@ -96,6 +99,10 @@ def write_manifest(
         live_stats = {f: stats[f] for f in man["files"] if f in stats}
         if live_stats:
             man["stats"] = live_stats
+    if sizes:
+        live_sizes = {f: int(sizes[f]) for f in man["files"] if f in sizes}
+        if live_sizes:
+            man["sizes"] = live_sizes
     if base is not None:
         man["base"] = base
     p = Path(path)
@@ -130,6 +137,7 @@ def write_metadata(path: str | Path, metadata: dict[str, Any] | None = None) -> 
             base=man.get("base"),
             version=int(man.get("version", 0)) + 1,
             stats=man.get("stats"),
+            sizes=man.get("sizes"),
         )["metadata"]
     metadata = dict(metadata or {})
     metadata["_updated"] = utc_stamp()

@@ -194,3 +194,32 @@ def test_spark_reader_prunes_via_manifest(test_collection, spark):
         man["files"], [("_pb", ">=", "2023-03"), ("index", ">=", 0)]
     )
     assert set(rels) < set(man["files"])
+
+
+def test_manifest_sizes_make_item_bytes_stat_free(test_collection):
+    """Per-file sizes recorded at commit answer size gates without
+    statting the live set; values match the filesystem truth and
+    survive appends, GC, and metadata-only updates."""
+    test_collection.write("z", _frame(40_000))
+    item_path = test_collection._item_path("z")
+    man = utils.read_manifest(item_path)
+    assert set(man["sizes"]) == set(man["files"])
+    truth = {
+        rel: (item_path / rel).stat().st_size for rel in man["files"]
+    }
+    assert man["sizes"] == truth
+    assert mf.item_bytes(item_path) == sum(truth.values())
+
+    test_collection.append(
+        "z", pd.DataFrame({"v": [1.0]}, index=pd.DatetimeIndex(["2023-03-01"]))
+    )
+    utils.write_metadata(item_path, {"note": "x"})
+    test_collection.vacuum("z", retention=0.0)
+    man2 = utils.read_manifest(item_path)
+    assert set(man2["sizes"]) == set(man2["files"])
+    truth2 = {
+        rel: (item_path / rel).stat().st_size for rel in man2["files"]
+    }
+    assert man2["sizes"] == truth2
+    # and the stat-free sum equals a stat-based one
+    assert mf.item_bytes(item_path) == sum(truth2.values())
