@@ -113,11 +113,56 @@ class Collection:
         snapshot: str | None = None,
         filters: Sequence | None = None,
         columns: Sequence[str] | None = None,
+        version: int | None = None,
+        as_of=None,
     ) -> Item:
+        """``version=`` / ``as_of=`` time-travel to any manifest
+        commit still inside the stale-retention window — committed
+        files are immutable and replaced files linger on disk for
+        ``config.STALE_RETENTION_SECONDS``, so a historical read is
+        just the old manifest's file list (no copy-on-write, no log
+        replay; Delta-style time travel priced at one JSON GET)."""
         return Item(
             self.spark, self.datastore, self.collection, item,
             snapshot=snapshot, filters=filters, columns=columns,
+            version=version, as_of=as_of,
         )
+
+    def item_versions(self, item: str) -> list[dict]:
+        """Readable commit history of an item, newest first:
+        ``[{version, updated, n_files, current}]``. Versions age out
+        of the list as GC reclaims the files they reference."""
+        p = self._item_path(item)
+        if not self.fs.exists(p):
+            raise ItemNotFoundError(
+                f"item {item!r} does not exist in collection "
+                f"{self.collection!r}"
+            )
+        cur_man = utils.read_manifest(p)
+        cur = int(cur_man.get("version", 0)) if cur_man else None
+        avail = (
+            set(cur_man.get("files") or [])
+            | set(cur_man.get("stale") or {})
+            if cur_man
+            else set()
+        )
+        out = []
+        for v in sorted(utils.list_versions(p), reverse=True):
+            man = utils.read_version_manifest(p, v)
+            if man is None:
+                continue
+            files = man.get("files") or []
+            if v != cur and any(f not in avail for f in files):
+                continue  # beyond retention — not readable
+            out.append(
+                {
+                    "version": v,
+                    "updated": (man.get("metadata") or {}).get("_updated"),
+                    "n_files": len(files),
+                    "current": v == cur,
+                }
+            )
+        return out
 
     def _item_path(self, item: str) -> Path:
         return self.path / item

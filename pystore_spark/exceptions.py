@@ -30,6 +30,10 @@ class SnapshotNotFoundError(PyStoreError):
     """Snapshot not found."""
 
 
+class VersionNotFoundError(PyStoreError):
+    """Requested item version is unknown or beyond retention."""
+
+
 class StorageError(PyStoreError):
     """Storage operation failed."""
 

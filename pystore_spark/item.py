@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pystore_spark import utils
-from pystore_spark.exceptions import ItemNotFoundError, SnapshotNotFoundError
+from pystore_spark.exceptions import (
+    ItemNotFoundError,
+    SnapshotNotFoundError,
+    VersionNotFoundError,
+)
 from pystore_spark.filters import filters_to_column
 from pystore_spark.pandas_compat import META_KEY, index_columns, restore_pandas
 from pystore_spark.partition import PARTITION_COL, PartitionPlan, bucket_value
@@ -65,6 +69,29 @@ def _prune_tuples(
     return out_groups[0] if single else out_groups
 
 
+def _version_as_of(path: Path, ts: Any) -> int:
+    """Largest committed version whose ``_updated`` stamp is ≤ ts.
+    Stamps are zero-padded ``%Y-%m-%d %H:%M:%S.%f`` UTC strings, so
+    chronological order IS lexicographic order; walk versions newest-
+    first and stop at the first hit (cold path: O(versions-after-ts)
+    single-object GETs, no data I/O)."""
+    if hasattr(ts, "strftime"):
+        ts = ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+    ts = str(ts)
+    for v in sorted(utils.list_versions(path), reverse=True):
+        man = utils.read_version_manifest(path, v)
+        if man is None:
+            continue
+        upd = str((man.get("metadata") or {}).get("_updated") or "")
+        if upd <= ts:
+            return v
+    raise VersionNotFoundError(
+        f"no committed version of {path} at or before {ts!r} "
+        "is still readable (older history is GC'd on the stale-"
+        "retention clock)"
+    )
+
+
 class Item:
     """Handle to one stored item; ``.data`` is the lazy DataFrame."""
 
@@ -77,12 +104,18 @@ class Item:
         snapshot: str | None = None,
         filters: Sequence | None = None,
         columns: Sequence[str] | None = None,
+        version: int | None = None,
+        as_of: Any = None,
     ):
         self.spark = spark
         self.datastore = str(datastore)
         self.collection = collection
         self.item = item
         self.snapshot = snapshot
+        if (version is not None or as_of is not None) and snapshot:
+            raise ValueError("version/as_of and snapshot are exclusive")
+        if version is not None and as_of is not None:
+            raise ValueError("pass either version or as_of, not both")
 
         from pystore_spark.fs import fs_for
 
@@ -108,6 +141,15 @@ class Item:
                 )
 
         self._manifest = utils.read_manifest(self._path)
+        if as_of is not None:
+            version = _version_as_of(self._path, as_of)
+        if version is not None:
+            self._manifest = self._resolve_version(int(version))
+        self.version = (
+            int(self._manifest.get("version", 0))
+            if self._manifest is not None
+            else None
+        )
         self.metadata = (
             (self._manifest.get("metadata") or {})
             if self._manifest is not None
@@ -127,6 +169,40 @@ class Item:
     @property
     def index_column(self) -> str:
         return self._index_cols[0]
+
+    def _resolve_version(self, version: int) -> dict:
+        """Time-travel: the manifest as of commit ``version``, with a
+        driver-side availability check against the CURRENT manifest —
+        a historical file is on disk iff it is still live or still in
+        the stale-retention map (O(1) set math, no per-file stats)."""
+        man = utils.read_version_manifest(self._path, version)
+        if man is None:
+            raise VersionNotFoundError(
+                f"version {version} of item {self.item!r} is unknown "
+                f"or GC'd; readable versions: "
+                f"{utils.list_versions(self._path)}"
+            )
+        cur = self._manifest
+        if cur is None:
+            raise VersionNotFoundError(
+                f"item {self.item!r} has no manifest (legacy layout); "
+                "time travel requires manifest commits"
+            )
+        if int(cur.get("version", 0)) != int(version):
+            avail = set(cur.get("files") or []) | set(
+                cur.get("stale") or {}
+            )
+            missing = [
+                f for f in (man.get("files") or []) if f not in avail
+            ]
+            if missing:
+                raise VersionNotFoundError(
+                    f"version {version} of item {self.item!r} "
+                    f"references {len(missing)} file(s) already "
+                    "garbage-collected (beyond the stale-retention "
+                    "window)"
+                )
+        return man
 
     def _resolved_filters(self) -> Sequence | None:
         """Input filters, augmented with derived ``_pb`` bucket terms

@@ -354,6 +354,20 @@ def gc_item(
                 removed += 1
         except OSError:
             continue
+    # time-travel history on the same retention clock as the data it
+    # references: a version object older than the stale window points
+    # at files GC may already have deleted, so it is no longer
+    # readable — drop it (never the live version's object)
+    cur = int(man.get("version", 0))
+    for f in fs.list_files(item_path / utils.VERSIONS_DIR, ".json"):
+        stem = Path(f).stem
+        if not stem.isdigit() or int(stem) == cur:
+            continue
+        try:
+            if now - fs.mtime(f) >= retention:
+                fs.delete(f, missing_ok=True)
+        except OSError:
+            continue
     if removed:
         fs.prune_empty_dirs(item_path)
     return removed

@@ -24,6 +24,7 @@ from pystore_spark.fs import UNCONDITIONAL, fs_for
 METADATA_FILE = "_pystore_metadata.json"
 MANIFEST_FILE = "_manifest.json"
 SNAPSHOT_DIR = "_snapshots"
+VERSIONS_DIR = "_versions"
 
 _VALID_NAME = re.compile(r"[^A-Za-z0-9._\- ]")
 
@@ -110,7 +111,56 @@ def write_manifest(
     fs.mkdirs(p)
     payload = json.dumps(tmp_json_safe(man), default=str).encode()
     fs.put_atomic(p / MANIFEST_FILE, payload, if_match=if_match)
+    if base is None:
+        # time-travel history: an immutable per-version copy of the
+        # manifest, written AFTER the pointer install so a lost CAS
+        # race never leaves a history object whose version number the
+        # winning commit will reuse. One extra O(1) put per commit;
+        # version reads are then a single GET. Best-effort: a crash
+        # between pointer and history leaves that version unreadable
+        # by number (read_version falls back to the live manifest when
+        # the numbers match), never an incorrect read.
+        try:
+            vdir = p / VERSIONS_DIR
+            fs.mkdirs(vdir)
+            fs.put_atomic(vdir / f"{man['version']:012d}.json", payload)
+        except OSError:
+            pass
     return man
+
+
+def list_versions(path: str | Path) -> list[int]:
+    """Committed manifest versions still readable for time travel
+    (ascending). The live version is always included even when its
+    history object is missing (pre-history items)."""
+    p = Path(path)
+    fs = fs_for(p)
+    out = set()
+    for f in fs.list_files(p / VERSIONS_DIR, ".json"):
+        stem = Path(f).stem
+        if stem.isdigit():
+            out.add(int(stem))
+    man = read_manifest(p)
+    if man is not None and not man.get("base"):
+        out.add(int(man.get("version", 0)))
+    return sorted(out)
+
+
+def read_version_manifest(
+    path: str | Path, version: int
+) -> dict[str, Any] | None:
+    """The manifest as of commit ``version`` — the live pointer when
+    the numbers match, else the immutable history object."""
+    p = Path(path)
+    man = read_manifest(p)
+    if man is not None and int(man.get("version", 0)) == int(version):
+        return man
+    vp = p / VERSIONS_DIR / f"{int(version):012d}.json"
+    fs = fs_for(vp)
+    try:
+        return json.loads(fs.read_bytes(vp))
+    except (OSError, ValueError):
+        return None
 
 
 def read_metadata(path: str | Path) -> dict[str, Any]:

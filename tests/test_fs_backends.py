@@ -322,3 +322,22 @@ def test_s3_gc_orphan_cleanup(s3_collection, monkeypatch):
     assert s3_collection.vacuum("o") == 1
     assert not fs.exists(orphan)
     assert len(s3_collection.item("o").to_pandas(engine="arrow")) == 1_000
+
+
+def test_s3_time_travel(s3_collection):
+    """History objects are plain puts; a historical read is one GET
+    plus the version's manifest-resolved Arrow scan — the protocol's
+    payoff carries over to object-store semantics unchanged."""
+    c = s3_collection
+    c.write("tt", _frame(3_000))
+    c.append("tt", _frame(500, start="2023-04-01", v0=10_000.0))
+    assert [v["version"] for v in c.item_versions("tt")] == [2, 1]
+    old = c.item("tt", version=1).to_pandas(engine="arrow")
+    assert len(old) == 3_000 and old["v"].max() == 2_999.0
+    live = c.item("tt").to_pandas(engine="arrow")
+    assert len(live) == 3_500
+    # GC on a zero-retention clock expires v1
+    mf.gc_item(c.path, "tt", retention=0.0, orphan_grace=0.0)
+    with pytest.raises(Exception) as ei:
+        c.item("tt", version=1)
+    assert "retention" in str(ei.value) or "GC" in str(ei.value)
