@@ -1530,6 +1530,123 @@ class Collection:
         self.clear_metadata_cache(item)
         return plan.npartitions
 
+    def compact(
+        self, item: str, target_size_mb: int | None = None
+    ) -> dict:
+        """Selective small-file compaction: rewrite ONLY the time
+        buckets holding more files than their bytes need at the
+        target file size, commit just those buckets' pointers
+        (scope='buckets' manifest swap), and leave every well-sized
+        bucket's files untouched — work is O(small files), not
+        O(item), unlike :meth:`rebalance_partitions`' whole rewrite.
+
+        The file census comes from the manifest's per-file size map
+        (zero filesystem I/O); a bucket qualifies when
+        ``len(files) > max(1, ceil(bucket_bytes / target))``. The
+        steady state under frequent small appends — each append lands
+        a new file per touched bucket — is exactly what this reclaims,
+        the same role OPTIMIZE/compact plays for Delta/Iceberg tables.
+        Zonemap stats, when enabled, are regenerated for the rewritten
+        files by the commit path. Returns
+        ``{buckets_compacted, files_before, files_after}``.
+
+        Non-time items have one flat bucket, so selective rewrite
+        degenerates to the whole-item rebalance and is delegated
+        there."""
+        import math
+
+        from pystore_spark import manifest as mf
+
+        target = (
+            target_size_mb * 1024 * 1024
+            if target_size_mb
+            else config.PARTITION_TARGET_BYTES
+        )
+        it = self.item(item)
+        man = it._manifest
+        plan = it._plan
+        files_before = len((man or {}).get("files") or [])
+        if man is None or plan is None or plan.kind != "time":
+            n = self.rebalance_partitions(
+                item,
+                target_size_mb=max(1, target // (1024 * 1024)),
+                time_based=False,
+            )
+            man2 = utils.read_manifest(self._item_path(item))
+            return {
+                "buckets_compacted": 1,
+                "files_before": files_before,
+                "files_after": len((man2 or {}).get("files") or [])
+                if man2
+                else n,
+            }
+
+        item_path = self._item_path(item)
+        sizes = man.get("sizes") or {}
+        per_bucket: dict[str, list[str]] = {}
+        for rel in man.get("files") or []:
+            b = mf._bucket_of(rel)
+            if b is not None:
+                per_bucket.setdefault(b, []).append(rel)
+
+        def _bytes(rels: list[str]) -> int:
+            return sum(
+                int(sizes[r])
+                if r in sizes
+                else mf._safe_size(self.fs, item_path / r)
+                for r in rels
+            )
+
+        selected: list[str] = []
+        needed_total = 0
+        sel_bytes = 0
+        for b, rels in per_bucket.items():
+            bb = _bytes(rels)
+            needed = max(1, math.ceil(bb / target))
+            if len(rels) > needed:
+                selected.append(b)
+                needed_total += needed
+                sel_bytes += bb
+        if not selected:
+            return {
+                "buckets_compacted": 0,
+                "files_before": files_before,
+                "files_after": files_before,
+            }
+
+        self._require_spark_fs("compaction rewrite")
+        base = mf.base_dir(item_path, man)
+        paths = [
+            str(base / r) for b in selected for r in per_bucket[b]
+        ]
+        df = (
+            self.spark.read.option("basePath", str(base))
+            .parquet(*paths)
+            .drop(PARTITION_COL)
+        )
+        cplan = PartitionPlan(
+            "time", freq=plan.freq, npartitions=needed_total
+        )
+        shaped = apply_layout(
+            df,
+            cplan,
+            index_col=it.index_column,
+            small=sel_bytes <= config.PARTITION_TARGET_BYTES,
+        )
+        sidecar = dict(it.metadata)
+        self._install_buckets(
+            item,
+            lambda tmp: self._write_df(shaped, str(tmp), cplan),
+            sidecar,
+        )
+        self.clear_metadata_cache(item)
+        man2 = utils.read_manifest(item_path) or {}
+        return {
+            "buckets_compacted": len(selected),
+            "files_before": files_before,
+            "files_after": len(man2.get("files") or []),
+        }
+
     def set_zonemap(
         self, item: str, columns: Sequence[str] | None
     ) -> dict[str, dict]:

@@ -1,0 +1,135 @@
+"""Selective small-file compaction (Collection.compact).
+
+OPTIMIZE-style maintenance: only buckets carrying more files than
+their bytes need are rewritten; well-sized buckets keep their exact
+file pointers (no data I/O, no churn of their stale window). The
+census runs entirely off the manifest's per-file size map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pystore_spark import utils
+from pystore_spark import manifest as mf
+
+
+def _frame(n, start="2023-01-01", freq="min"):
+    return pd.DataFrame(
+        {
+            "v": np.arange(n, dtype="float64"),
+            "w": np.arange(n, dtype="float64") * 2.0,
+        },
+        index=pd.date_range(start, periods=n, freq=freq),
+    )
+
+
+def _files_per_bucket(item_path):
+    man = utils.read_manifest(item_path)
+    out: dict[str, list[str]] = {}
+    for rel in man["files"]:
+        b = mf._bucket_of(rel)
+        out.setdefault(b, []).append(rel)
+    return out
+
+
+def _fragment_bucket(item_path, bucket, k):
+    """Split one bucket's single file into ``k`` committed slices —
+    the state a history of tiny independent commits leaves behind.
+    Any live-file layout is legal under the manifest protocol, so the
+    fabricated state is indistinguishable from an organic one."""
+    import pyarrow.parquet as pq
+
+    man = utils.read_manifest(item_path)
+    files = list(man["files"])
+    sizes = dict(man.get("sizes") or {})
+    (victim,) = [r for r in files if mf._bucket_of(r) == bucket]
+    tbl = pq.read_table(item_path / victim)
+    step = max(1, len(tbl) // k)
+    new_rels = []
+    for i in range(k):
+        part = tbl.slice(i * step, step if i < k - 1 else None)
+        rel = f"_pb={bucket}/frag{i:02d}-part.parquet"
+        pq.write_table(part, item_path / rel)
+        new_rels.append(rel)
+        sizes[rel] = (item_path / rel).stat().st_size
+    files = [r for r in files if r != victim] + new_rels
+    (item_path / victim).unlink()
+    sizes.pop(victim, None)
+    utils.write_manifest(
+        item_path,
+        files,
+        man.get("metadata"),
+        stale=man.get("stale"),
+        version=int(man.get("version", 0)) + 1,
+        stats=man.get("stats"),
+        sizes=sizes,
+    )
+
+
+def test_compact_merges_only_fragmented_buckets(test_collection):
+    c = test_collection
+    # ~90k rows over 3 months at minute freq → time layout, one file
+    # per bucket; fragment two buckets into 4 slices each
+    c.write("frag", _frame(90_000))
+    item_path = c._item_path("frag")
+    buckets = sorted(_files_per_bucket(item_path))
+    _fragment_bucket(item_path, buckets[0], 4)
+    _fragment_bucket(item_path, buckets[1], 4)
+    before = _files_per_bucket(item_path)
+    assert sum(len(v) for v in before.values()) > len(before), (
+        "test premise: at least one bucket must be fragmented"
+    )
+    expected = c.item("frag").to_pandas()
+
+    res = c.compact("frag")
+    assert res["buckets_compacted"] >= 1
+    assert res["files_after"] < res["files_before"]
+
+    after = _files_per_bucket(item_path)
+    # every bucket is now at its needed count (tiny buckets → 1 file)
+    assert all(len(v) == 1 for v in after.values())
+    # identical data, identical buckets
+    assert set(after) == set(before)
+    pd.testing.assert_frame_equal(c.item("frag").to_pandas(), expected)
+
+    # idempotent: a second pass finds nothing and touches no pointers
+    files1 = set(utils.read_manifest(item_path)["files"])
+    res2 = c.compact("frag")
+    assert res2["buckets_compacted"] == 0
+    assert set(utils.read_manifest(item_path)["files"]) == files1
+
+
+def test_compact_leaves_wellsized_buckets_untouched(test_collection):
+    """Pointer-level assertion: the untouched buckets keep the exact
+    same file names through the compaction commit."""
+    c = test_collection
+    c.write("mix", _frame(90_000))
+    item_path = c._item_path("mix")
+    buckets = sorted(_files_per_bucket(item_path))
+    _fragment_bucket(item_path, buckets[0], 3)
+    before = _files_per_bucket(item_path)
+    res = c.compact("mix")
+    assert res["buckets_compacted"] == 1
+    after = _files_per_bucket(item_path)
+    for b in buckets[1:]:
+        assert after[b] == before[b], f"healthy bucket {b} was rewritten"
+    assert len(after[buckets[0]]) == 1
+
+
+def test_compact_maintains_zonemap(test_collection):
+    c = test_collection
+    c.write("zm", _frame(90_000), zonemap=["v"])
+    item_path = c._item_path("zm")
+    buckets = sorted(_files_per_bucket(item_path))
+    _fragment_bucket(item_path, buckets[0], 3)
+    res = c.compact("zm")
+    assert res["buckets_compacted"] == 1
+    man = utils.read_manifest(item_path)
+    stats = man.get("stats") or {}
+    # every live file carries v-stats (rewritten ones regenerated;
+    # fabricated slices had none, so equality proves regeneration)
+    assert set(stats) == set(man["files"])
+    sel = c.item("zm", filters=[("v", ">=", 0.0), ("v", "<", 10.0)])
+    assert len(sel.to_pandas()) == 10
