@@ -224,3 +224,44 @@ def shingles(col: str | Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array(F.concat_ws(" ", t)))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing (pure Catalyst regexes — no Python in the
+# hot path; the patterns are the standard high-precision lexical ones
+# a pretraining pipeline runs before release)
+# ---------------------------------------------------------------------------
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # 7+ digit runs with optional separators, led by an optional +CC
+    "phone": r"\+?\d[\d\-\. ]{6,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card": r"\b(?:\d[ \-]?){13,16}\b",
+}
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-category PII hit counts for one text column — each is a
+    single JVM-side ``regexp_count``; select them together and all
+    categories evaluate in one codegen'd pass over the row."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(
+    col: str | Column, replacement: str = "[REDACTED]"
+) -> Column:
+    """Replace every PII match with ``replacement``. Order matters:
+    longer/more-specific patterns run first (credit card before
+    phone, SSN before phone) so a broader pattern never eats a
+    prefix of a more specific one. Chained ``regexp_replace`` stays
+    one projection — Catalyst fuses the passes into one generated
+    function."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name in ("email", "credit_card", "ssn", "ipv4", "phone"):
+        c = F.regexp_replace(c, PII_PATTERNS[name], replacement)
+    return c

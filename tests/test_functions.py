@@ -550,3 +550,51 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     # zero/negative weights are never sampled (p proportional to w) and
     # must not crash under ANSI division
     assert set(out["k"]) == {2, 3, 4, 5, 6, 7}
+
+
+def test_pii_counts_and_scrub(spark):
+    import pandas as pd
+
+    from pystore_spark.functions import text as X
+
+    rows = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "text": [
+                "contact alice.smith+x@example.co.uk or 10.0.0.1 today",
+                "card 4111 1111 1111 1111 expires soon, ssn 123-45-6789",
+                "call +1 415-555-0199 or 0800 123456 now",
+                "nothing sensitive here at all",
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = (
+        df.select("id", *X.pii_counts("text").values())
+        .orderBy("id")
+        .toPandas()
+    )
+    assert out["n_email"].tolist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].tolist() == [1, 0, 0, 0]
+    assert out["n_ssn"].tolist() == [0, 1, 0, 0]
+    assert out["n_credit_card"].tolist()[1] == 1
+    assert out["n_phone"].tolist()[2] >= 2 and out["n_phone"].tolist()[3] == 0
+
+    scrubbed = (
+        df.select("id", X.scrub_pii("text").alias("t"))
+        .orderBy("id")
+        .toPandas()["t"]
+        .tolist()
+    )
+    joined = " ".join(scrubbed)
+    assert "@" not in joined
+    assert "4111" not in joined and "123-45-6789" not in joined
+    assert "555-0199" not in joined and "10.0.0.1" not in joined
+    assert scrubbed[3] == "nothing sensitive here at all"
+    # scrub stays a single shuffle-free projection (no Python)
+    plan = df.select(
+        X.scrub_pii("text")
+    )._sc._jvm.PythonSQLUtils.explainString(
+        df.select(X.scrub_pii("text"))._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan and "Python" not in plan

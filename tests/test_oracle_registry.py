@@ -32,6 +32,8 @@ PROMOTED = {
     "winnowing_fingerprints", "signlsh_candidate_topk", "lsh_recall_audit",
     "heavy_hitters", "quality_funnel", "rolling_zscore_outliers",
     "interval_join_banded", "embedding_quantization_audit",
+    # round-4 flagships, promoted in-round
+    "lm_perplexity_scores", "chunk_dedup_stats",
 }
 # round-2 promotions that keep their window slot (their family has no
 # redundant sibling in-window)
@@ -45,6 +47,10 @@ ROTATED_OUT = {
     "head_by_index", "value_percentiles", "pivot_event_counts",
     "rollup_revenue", "token_entropy", "repetition_scores",
     "minhash_jaccard_estimate", "fixed_sample_per_stratum",
+    # demoted for the round-4 flagship promotions; each keeps an
+    # in-window family sibling (dedup_anti_join/upsert for joins,
+    # union_evolved_schema/except_keys for set ops)
+    "overlap_semi_join", "intersect_keys",
 }
 
 
