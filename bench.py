@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "simhash_fingerprints",
     "embedding_cosine_topk",
     "ann_ivf_label_topk",
+    # round-4 flagships
+    "lm_perplexity_scores",
+    "chunk_dedup_stats",
 ]
 
 

@@ -1,0 +1,310 @@
+"""Composable corpus-curation pipeline for LLM training data.
+
+``CurationPipeline`` chains the engine's curation operators — quality
+/ language / length filters, PII scrubbing, exact / near / chunk
+dedup, benchmark decontamination — into ONE lazy DataFrame plan with
+per-stage survival accounting, the funnel every pretraining data
+report is built around.
+
+Execution model (the 100 TB contract):
+
+* **Row-local stages** (filters, scrubbing) are pure Catalyst column
+  expressions folded into the running plan — no shuffle, no action,
+  and consecutive filters collapse into a single scan pass under
+  whole-stage codegen.
+* **Global stages** (dedup, decontamination) contribute their own
+  shuffles exactly as the underlying operators do
+  (functions/dedup.py); the pipeline adds nothing on top.
+* :meth:`funnel` counts survivors with one conditional-count
+  aggregation per *contiguous block* of row-local stages (the
+  quality_funnel pattern — k filters cost ONE pass, not k) plus one
+  count per global stage, never a count per row-local stage.
+
+The reference has no pipeline surface; this composes the operator
+inventory SURVEY §2 catalogs into the workflow those operators exist
+for.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pystore_spark.functions import dedup as D
+from pystore_spark.functions import text as X
+
+# stage kinds
+_LOCAL = "local"  # predicate Column over the current frame (filter)
+_TRANSFORM = "transform"  # row-local rewrite (no cardinality change)
+_GLOBAL = "global"  # DataFrame -> DataFrame (shuffling operator)
+
+
+class CurationPipeline:
+    """Lazily-composed curation pipeline over a documents DataFrame.
+
+    >>> p = (CurationPipeline(docs)
+    ...      .filter_min_chars(100)
+    ...      .filter_tokens(min_tokens=20)
+    ...      .filter_quality(0.5)
+    ...      .scrub_pii()
+    ...      .dedup_exact()
+    ...      .decontaminate(eval_docs))
+    >>> clean = p.dataframe()   # one lazy plan
+    >>> p.funnel().show()       # survival per stage
+    """
+
+    def __init__(
+        self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ):
+        self._input = df
+        self.id_col = id_col
+        self.text_col = text_col
+        # (name, kind, payload): payload is a Column factory for local
+        # stages (re-evaluated against the running frame so transforms
+        # upstream are respected), a df->df for transform/global
+        self._stages: list[tuple[str, str, Callable]] = []
+
+    # ------------------------------------------------------------------
+    # row-local filters (pure Catalyst, fused into one pass)
+    # ------------------------------------------------------------------
+    def filter(self, name: str, predicate: Callable[[], Column] | Column):
+        """Keep rows matching ``predicate`` (a Column, or a thunk
+        returning one — use a thunk when the predicate should see
+        upstream transforms such as scrubbing)."""
+        payload = predicate if callable(predicate) else (lambda: predicate)
+        self._stages.append((name, _LOCAL, payload))
+        return self
+
+    def filter_min_chars(self, n: int):
+        return self.filter(
+            f"min_chars>={n}", F.length(self.text_col) >= n
+        )
+
+    def filter_tokens(
+        self, min_tokens: int = 0, max_tokens: int | None = None
+    ):
+        c = X.token_count(self.text_col)
+        cond = c >= min_tokens
+        if max_tokens is not None:
+            cond = cond & (c <= max_tokens)
+        return self.filter(f"tokens[{min_tokens},{max_tokens}]", cond)
+
+    def filter_quality(self, min_score: float):
+        return self.filter(
+            f"quality>={min_score}",
+            X.quality_score(self.text_col) >= min_score,
+        )
+
+    def filter_language(self, langs: Sequence[str]):
+        return self.filter(
+            f"lang in {sorted(langs)}",
+            X.detect_language(self.text_col).isin(*langs),
+        )
+
+    def filter_max_pii(self, max_hits: int = 0):
+        """Drop documents with more than ``max_hits`` PII matches
+        across all categories."""
+        total = None
+        for c in X.pii_counts(self.text_col).values():
+            total = c if total is None else total + c
+        return self.filter(f"pii<={max_hits}", total <= max_hits)
+
+    # ------------------------------------------------------------------
+    # row-local transforms
+    # ------------------------------------------------------------------
+    def scrub_pii(self, replacement: str = "[REDACTED]"):
+        """Redact PII in-place in the text column (cardinality
+        unchanged — never counted as a funnel drop)."""
+        txt = self.text_col
+
+        def tf(df: DataFrame) -> DataFrame:
+            return df.withColumn(txt, X.scrub_pii(txt, replacement))
+
+        self._stages.append(("scrub_pii", _TRANSFORM, tf))
+        return self
+
+    def transform(self, name: str, fn: Callable[[DataFrame], DataFrame]):
+        self._stages.append((name, _TRANSFORM, fn))
+        return self
+
+    # ------------------------------------------------------------------
+    # global (shuffling) stages
+    # ------------------------------------------------------------------
+    def dedup_exact(self):
+        """Keep one document per normalized-text fingerprint (min id
+        wins — deterministic)."""
+        id_col, txt = self.id_col, self.text_col
+
+        def g(df: DataFrame) -> DataFrame:
+            return D.exact_dedup_survivors(df, txt, id_col)
+
+        self._stages.append(("dedup_exact", _GLOBAL, g))
+        return self
+
+    def dedup_near(
+        self,
+        threshold: float = 0.8,
+        num_hashes: int = 8,
+        bands: int = 4,
+        shingle_n: int = 3,
+    ):
+        """MinHash-LSH near-dedup (exact-dedup survivors → candidate
+        pairs → Jaccard verify → connected components → keep min id
+        per cluster). Subsumes :meth:`dedup_exact`."""
+        id_col, txt = self.id_col, self.text_col
+
+        def g(df: DataFrame) -> DataFrame:
+            return D.near_dedup(
+                df, txt, id_col, threshold, num_hashes, bands, shingle_n
+            )
+
+        self._stages.append(
+            (f"dedup_near@{threshold}", _GLOBAL, g)
+        )
+        return self
+
+    def dedup_chunks(self, max_dup_ratio: float = 0.5, chunk_tokens: int = 10):
+        """Drop documents more than ``max_dup_ratio`` of whose
+        ``chunk_tokens``-token chunks also occur in other documents
+        (sub-document boilerplate / mirrored-passage dedup)."""
+        id_col, txt = self.id_col, self.text_col
+
+        def g(df: DataFrame) -> DataFrame:
+            toks = X.tokens(txt)
+            t = df.withColumn("_toks", toks).filter(F.size("_toks") > 0)
+            ch = t.select(
+                F.col(id_col).alias("_cid"),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, cast(ceil(size(_toks) /"
+                        f" {chunk_tokens}.0) as int) - 1),"
+                        f" i -> md5(array_join(slice(_toks, i*{chunk_tokens}+1,"
+                        f" {chunk_tokens}), ' ')))"
+                    )
+                ).alias("_h"),
+            )
+            byc = ch.groupBy("_h").agg(
+                F.countDistinct("_cid").alias("_nd")
+            )
+            ratio = ch.join(byc, "_h").groupBy("_cid").agg(
+                (
+                    F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("_r")
+            )
+            keep = ratio.filter(F.col("_r") <= max_dup_ratio).select(
+                F.col("_cid").alias(id_col)
+            )
+            return df.join(keep, id_col, "left_semi")
+
+        self._stages.append(
+            (f"dedup_chunks<= {max_dup_ratio}", _GLOBAL, g)
+        )
+        return self
+
+    def decontaminate(
+        self,
+        eval_df: DataFrame,
+        eval_text_col: str = "text",
+        shingle_n: int = 3,
+        min_shared: int = 3,
+    ):
+        """Remove documents sharing ≥ ``min_shared`` word
+        ``shingle_n``-grams with the (broadcast) evaluation set —
+        benchmark-contamination removal."""
+        id_col, txt = self.id_col, self.text_col
+        bench = (
+            eval_df.select(
+                F.explode(
+                    X.shingles(eval_text_col, shingle_n)
+                ).alias("_g")
+            )
+            .distinct()
+        )
+
+        def g(df: DataFrame) -> DataFrame:
+            hits = (
+                df.select(
+                    F.col(id_col).alias("_did"),
+                    F.explode(X.shingles(txt, shingle_n)).alias("_g"),
+                )
+                .join(F.broadcast(bench), "_g")
+                .groupBy("_did")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") >= min_shared)
+                .select(F.col("_did").alias(id_col))
+            )
+            return df.join(hits, id_col, "left_anti")
+
+        self._stages.append(
+            (f"decontaminate>={min_shared}", _GLOBAL, g)
+        )
+        return self
+
+    # ------------------------------------------------------------------
+    # execution
+    # ------------------------------------------------------------------
+    def dataframe(self) -> DataFrame:
+        """The composed lazy plan: input → every stage, in order."""
+        df = self._input
+        for _name, kind, payload in self._stages:
+            if kind == _LOCAL:
+                df = df.filter(payload())
+            else:
+                df = payload(df)
+        return df
+
+    def funnel(self) -> DataFrame:
+        """Survivor counts after every cardinality-changing stage,
+        as a small DataFrame ``(stage, n_surviving)`` (first row:
+        ``input``). Cost: one conditional-count aggregation per
+        contiguous row-local block + one count per global stage —
+        NOT one pass per filter."""
+        spark = self._input.sparkSession
+        rows: list[tuple[str, int]] = []
+        df = self._input
+        i = 0
+        stages = self._stages
+        first = True
+        while i <= len(stages):
+            # collect the next contiguous block of local/transform
+            block: list[tuple[str, Column]] = []
+            while i < len(stages) and stages[i][1] != _GLOBAL:
+                name, kind, payload = stages[i]
+                if kind == _TRANSFORM:
+                    # transforms change values, not cardinality; they
+                    # must apply before later predicates evaluate, so
+                    # flush any pending block first
+                    if block:
+                        break
+                    df = payload(df)
+                else:
+                    block.append((name, payload()))
+                i += 1
+            if block or first:
+                aggs = [F.count(F.lit(1)).alias("_n0")]
+                cum = None
+                for j, (_name, pred) in enumerate(block):
+                    cum = pred if cum is None else cum & pred
+                    aggs.append(F.count_if(cum).alias(f"_n{j + 1}"))
+                res = df.agg(*aggs).collect()[0]
+                if first:
+                    rows.append(("input", int(res[0])))
+                    first = False
+                for j, (name, _pred) in enumerate(block):
+                    rows.append((name, int(res[j + 1])))
+                # materialize the block's filters into the plan
+                for _name, pred in block:
+                    df = df.filter(pred)
+            if i < len(stages) and stages[i][1] == _GLOBAL:
+                name, _kind, payload = stages[i]
+                df = payload(df)
+                rows.append((name, df.count()))
+                i += 1
+            elif i >= len(stages):
+                break
+        return spark.createDataFrame(rows, "stage string, n_surviving long")

@@ -1,0 +1,122 @@
+"""CurationPipeline: composed curation plan + funnel accounting."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from pystore_spark.pipeline import CurationPipeline
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = []
+    # 6 quality docs (unique), 2 exact duplicates of doc 0, one short,
+    # one PII-bearing, one that shares shingles with the eval set
+    base = (
+        "the quick brown fox jumps over the lazy dog while many other "
+        "animals watch the remarkable scene unfold in the quiet forest "
+        "clearing during a golden autumn afternoon with leaves falling"
+    )
+    for i in range(6):
+        rows.append((i, f"{base} variant number {i} " + "extra words " * 10))
+    rows.append((6, rows[0][1]))  # exact dup of 0
+    rows.append((7, rows[1][1]))  # exact dup of 1
+    rows.append((8, "too short"))
+    rows.append((9, f"{base} email me at spam@example.com " + "pad " * 30))
+    rows.append(
+        (10, "what is the capital of france paris is the capital city "
+             "answer the question correctly " + "filler tokens " * 20)
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+@pytest.fixture()
+def eval_set(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "what is the capital of france paris is the capital "
+                    "city answer the question correctly"
+                ]
+            }
+        )
+    )
+
+
+def test_pipeline_composes_and_funnels(docs, eval_set):
+    p = (
+        CurationPipeline(docs)
+        .filter_min_chars(50)
+        .filter_tokens(min_tokens=10)
+        .scrub_pii()
+        .filter_max_pii(0)
+        .dedup_exact()
+        .decontaminate(eval_set, min_shared=3)
+    )
+    out = p.dataframe().toPandas()
+    ids = set(out["doc_id"])
+    assert 8 not in ids  # too short
+    assert not ({6, 7} & ids)  # exact dups dropped (min id kept)
+    assert {0, 1} <= ids
+    assert 10 not in ids  # contaminated
+    assert 9 in ids  # PII scrubbed BEFORE the pii filter → survives
+    assert "@" not in " ".join(out["text"])  # scrub applied in output
+
+    fun = p.funnel().toPandas()
+    assert fun["stage"].tolist() == [
+        "input",
+        "min_chars>=50",
+        "tokens[10,None]",
+        "pii<=0",
+        "dedup_exact",
+        "decontaminate>=3",
+    ]
+    n = fun["n_surviving"].tolist()
+    assert n[0] == 11 and n[1] == 10  # short doc dropped
+    assert n == sorted(n, reverse=True)  # monotone funnel
+    assert n[-1] == len(out)  # funnel tail == composed plan output
+
+
+def test_funnel_without_filters_counts_globals(docs):
+    p = CurationPipeline(docs).dedup_exact()
+    fun = p.funnel().toPandas()
+    assert fun["stage"].tolist() == ["input", "dedup_exact"]
+    assert fun["n_surviving"].tolist() == [11, 9]
+
+
+def test_dedup_chunks_drops_mirrored_docs(spark):
+    # doc 2 is a pure mirror of doc 1's chunks; doc 3 is disjoint
+    words = lambda s, n: (" ".join(s for _ in range(n)))
+    t1 = " ".join(f"alpha{i}" for i in range(40))
+    t3 = " ".join(f"omega{i}" for i in range(40))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [t1, t1, t3]})
+    )
+    out = (
+        CurationPipeline(df)
+        .dedup_chunks(max_dup_ratio=0.0)
+        .dataframe()
+        .toPandas()
+    )
+    assert set(out["doc_id"]) == {3}
+
+
+def test_pipeline_plan_is_lazy_for_local_stages(docs):
+    # row-local stages must not trigger jobs at composition time
+    p = (
+        CurationPipeline(docs)
+        .filter_min_chars(50)
+        .filter_quality(0.1)
+        .scrub_pii()
+    )
+    df = p.dataframe()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan  # filters + scrub fuse shuffle-free

@@ -180,3 +180,25 @@ def test_rolling_zscore_single_shuffle_on_key(spark):
     ]
     assert len(exchanges) == 1, exchanges
     assert "hashpartitioning(user_id" in plan
+
+
+def test_lm_perplexity_broadcasts_model(spark):
+    """The bigram model (|charset|^2 rows) must broadcast to the
+    scoring join — a shuffle of the exploded bigram stream on the
+    model key would be the 100 TB scale-killer here."""
+    plan = _formatted(spark, "lm_perplexity_scores")
+    assert "BroadcastHashJoin" in plan
+    # the big side (bg explode of the corpus) must NOT hash-exchange
+    # on the join key before the broadcast join: the only exchanges
+    # allowed are the model-building aggregations and the final
+    # per-doc aggregation
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_dedup_shuffles_on_hash_keys(spark):
+    """Chunk text must be md5-hashed BEFORE the exchanges so shuffles
+    carry 32-byte keys, never raw chunk text."""
+    plan = _formatted(spark, "chunk_dedup_stats")
+    # both aggregations group on the hashed chunk column `h` /
+    # doc_id; the raw chunk string never appears as a shuffle key
+    assert "hashpartitioning(h" in plan
