@@ -283,6 +283,42 @@ class Item:
             self._df = self._load()
         return self._df
 
+    def scan_report(self) -> dict:
+        """What the driver-side pruning achieves for this handle's
+        filters BEFORE Spark schedules a single task: live file count,
+        files surviving bucket + zonemap pruning, and the byte totals
+        of each (from the manifest's size map — no filesystem I/O).
+        The observability hook for layout tuning: after a
+        ``rebalance_partitions(zorder=...)`` the selected share for a
+        multi-dimensional predicate should collapse."""
+        from pystore_spark import manifest as mf
+
+        if self._manifest is None:
+            return {
+                "n_files_live": None,
+                "n_files_selected": None,
+                "bytes_live": None,
+                "bytes_selected": None,
+                "note": "legacy item (no manifest) — Spark lists files",
+            }
+        files = list(self._manifest.get("files") or [])
+        flt = self._resolved_filters()
+        rels = mf.prune_files(
+            files, flt, stats=self._manifest.get("stats")
+        )
+        sizes = self._manifest.get("sizes") or {}
+
+        def tot(fl):
+            return sum(int(sizes.get(r, 0)) for r in fl)
+
+        return {
+            "n_files_live": len(files),
+            "n_files_selected": len(rels),
+            "bytes_live": tot(files),
+            "bytes_selected": tot(rels),
+            "filters": list(flt) if flt else [],
+        }
+
     def _arrow_dataset_and_filter(self):
         """(pyarrow dataset, filter expression) for this item — the
         shared plumbing of every driver-side Arrow read (to_pandas,

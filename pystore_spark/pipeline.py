@@ -250,11 +250,31 @@ class CurationPipeline:
     # ------------------------------------------------------------------
     def dataframe(self) -> DataFrame:
         """The composed lazy plan: input → every stage, in order."""
-        df = self._input
-        for _name, kind, payload in self._stages:
+        return self.apply(self._input)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Apply the pipeline's stages to an arbitrary DataFrame —
+        including a STREAMING one: row-local filters and transforms
+        are stateless projections, so the same pipeline object that
+        curates a batch corpus drops into
+        ``readStream → pipeline.apply → writeStream`` unchanged.
+        Global stages (dedup, decontamination) need corpus-wide state
+        and raise on a streaming input — run them in the periodic
+        batch compaction pass instead (the standard lambda-curation
+        split)."""
+        streaming = getattr(df, "isStreaming", False)
+        for name, kind, payload in self._stages:
             if kind == _LOCAL:
                 df = df.filter(payload())
+            elif kind == _TRANSFORM:
+                df = payload(df)
             else:
+                if streaming:
+                    raise ValueError(
+                        f"stage {name!r} is corpus-global and cannot "
+                        "run on a streaming DataFrame; apply it in a "
+                        "batch pass"
+                    )
                 df = payload(df)
         return df
 

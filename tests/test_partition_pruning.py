@@ -115,3 +115,24 @@ def test_spark_input_custom_index_col(test_collection, spark):
     assert float(out[0]["v"]) == 999.0  # keep_last: incoming wins on key 0
     assert float(out[1]["v"]) == 1000.0
     assert float(out[2]["v"]) == 3.0  # untouched keys keep original
+
+
+def test_scan_report_reflects_driver_pruning(test_collection):
+    test_collection.write("big", _big_frame())
+    rep_all = test_collection.item("big").scan_report()
+    assert rep_all["n_files_live"] == rep_all["n_files_selected"] >= 12
+    assert rep_all["bytes_live"] == rep_all["bytes_selected"] > 0
+
+    it = test_collection.item(
+        "big",
+        filters=[("index", ">=", pd.Timestamp("2023-11-01"))],
+    )
+    rep = it.scan_report()
+    # Nov + Dec of a 12-month layout → ~2/12 of files and bytes
+    assert rep["n_files_selected"] < rep["n_files_live"] / 3
+    assert rep["bytes_selected"] < rep["bytes_live"] / 3
+    # the derived _pb terms appear in the reported filters
+    assert any(c == "_pb" for c, _, _ in rep["filters"])
+    # report is driver-side only; the scan itself still returns the
+    # right rows
+    assert len(it.to_pandas()) == len(_big_frame().loc["2023-11-01":])

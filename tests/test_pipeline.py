@@ -120,3 +120,36 @@ def test_pipeline_plan_is_lazy_for_local_stages(docs):
         df._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan  # filters + scrub fuse shuffle-free
+
+
+def test_pipeline_applies_to_streams(spark, tmp_path, docs):
+    """The same pipeline object curates a stream: local stages run
+    per-microbatch; global stages raise a clear error."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    docs.write.mode("overwrite").parquet(src)
+    schema = docs.schema
+
+    p = (
+        CurationPipeline(docs)
+        .filter_min_chars(50)
+        .scrub_pii()
+    )
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = p.apply(sdf)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("select * from curated").toPandas()
+    assert len(got) == 10  # the short doc is dropped per-batch
+    assert "@" not in " ".join(got["text"])  # scrub ran in-stream
+
+    with pytest.raises(ValueError, match="corpus-global"):
+        CurationPipeline(docs).dedup_exact().apply(sdf)
