@@ -2062,6 +2062,79 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_funnel",
+    sql=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
+    d1 AS (SELECT * FROM corpus WHERE length(text) >= 100),
+    t2 AS (SELECT *, len({_TOKS}) AS _n FROM d1),
+    d2 AS (SELECT * FROM t2 WHERE _n >= 20),
+    s3 AS (
+      SELECT *, _n::DOUBLE AS _nd,
+        len(list_distinct({_TOKS}))::DOUBLE AS _uniq,
+        COALESCE(list_reduce(
+          list_transform({_TOKS}, x -> len(x)::DOUBLE),
+          (a,b) -> a+b) / _n, 0.0) AS _awl
+      FROM d2),
+    d3 AS (
+      SELECT * FROM s3
+      WHERE ROUND(0.4 * LEAST(_nd / 100.0, 1.0)
+          + 0.4 * (CASE WHEN _nd > 0 THEN _uniq / _nd ELSE 0.0 END)
+          + 0.2 * (CASE WHEN _awl >= 3.0 AND _awl <= 10.0
+                   THEN 1.0 ELSE 0.5 END), 6) >= 0.5),
+    fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(
+        lower(text), '\\s+', ' ', 'g'))) AS _fp
+      FROM d3),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY _fp),
+    d4 AS (SELECT d3.* FROM d3 JOIN keep USING (doc_id)),
+    bench AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS g
+      FROM documents WHERE doc_id < 20),
+    doc_sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS g FROM d4),
+    hits AS (
+      SELECT doc_id FROM doc_sh JOIN bench USING (g)
+      GROUP BY doc_id HAVING count(*) >= 3),
+    d5 AS (
+      SELECT * FROM d4
+      WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+    SELECT 'input' AS stage,
+           (SELECT count(*) FROM corpus) AS n_surviving
+    UNION ALL SELECT 'min_chars>=100', (SELECT count(*) FROM d1)
+    UNION ALL SELECT 'tokens[20,None]', (SELECT count(*) FROM d2)
+    UNION ALL SELECT 'quality>=0.5', (SELECT count(*) FROM d3)
+    UNION ALL SELECT 'dedup_exact', (SELECT count(*) FROM d4)
+    UNION ALL SELECT 'decontaminate>=3', (SELECT count(*) FROM d5)
+    """,
+    tags=("pipeline", "funnel", "dedup", "contamination"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle gate for :class:`pystore_spark.pipeline.
+    CurationPipeline`: length → token → quality filters, exact dedup
+    (min-id per normalized fingerprint), and benchmark
+    decontamination (docs sharing ≥3 shingles with the broadcast
+    eval set, here doc_id < 20), with the funnel's survivor counts
+    compared stage-for-stage against a DuckDB CTE chain. Exercises
+    the pipeline module itself, not just its ingredient operators —
+    the funnel's block-aggregation accounting must agree with
+    straight-line SQL."""
+    from pystore_spark.pipeline import CurationPipeline
+
+    doc = load_table(spark, sf_dir, "documents")
+    corpus = doc.filter(F.col("doc_id") >= 20)
+    evalset = doc.filter(F.col("doc_id") < 20)
+    p = (
+        CurationPipeline(corpus)
+        .filter_min_chars(100)
+        .filter_tokens(min_tokens=20)
+        .filter_quality(0.5)
+        .dedup_exact()
+        .decontaminate(evalset, min_shared=3)
+    )
+    return p.funnel()
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -2124,7 +2197,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "gapfill_locf_daily", "approx_distinct_audit",
     "weighted_sample_topk", "corpus_mix_report",
     # round-4 additions outside the window
-    "near_dedup_recall_audit",
+    "near_dedup_recall_audit", "curation_funnel",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
