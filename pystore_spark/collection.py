@@ -1647,6 +1647,89 @@ class Collection:
             "files_after": len(man2.get("files") or []),
         }
 
+    def analyze(
+        self, item: str, columns: Sequence[str] | None = None
+    ) -> dict:
+        """ANALYZE-style column statistics: one aggregation job over
+        the item computing per-column null count, approximate NDV
+        (HLL, the 100 TB-safe choice), and min/max, persisted in the
+        manifest's metadata under ``_column_stats`` by a metadata-only
+        CAS commit (no data rewrite). ``Item.stats()`` reads them
+        back; the recorded manifest version tells a consumer how
+        stale they are.
+
+        All per-column aggregates evaluate in ONE pass over one scan
+        (a single wide agg projection), not a pass per column."""
+        it = self.item(item)
+        df = it.raw_frame()
+        if PARTITION_COL in df.columns:
+            df = df.drop(PARTITION_COL)
+        cols = [c for c in df.columns if columns is None or c in columns]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        atomic = {
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if f.name in cols
+        }
+        for c in cols:
+            aggs.append(
+                F.count_if(F.col(c).isNull()).alias(f"__nulls__{c}")
+            )
+            # complex types (arrays/structs/maps) support null counts
+            # only; orderable atomics get NDV + min/max
+            t = atomic.get(c, "")
+            if not t.startswith(("array", "struct", "map", "binary")):
+                aggs.append(
+                    F.approx_count_distinct(c).alias(f"__ndv__{c}")
+                )
+                aggs.append(F.min(c).alias(f"__min__{c}"))
+                aggs.append(F.max(c).alias(f"__max__{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats: dict = {
+            "n_rows": int(row["__n"]),
+            "columns": {},
+        }
+        for c in cols:
+            cs: dict = {"n_nulls": int(row[f"__nulls__{c}"])}
+            if f"__ndv__{c}" in row:
+                cs["approx_ndv"] = int(row[f"__ndv__{c}"])
+                cs["min"] = row[f"__min__{c}"]
+                cs["max"] = row[f"__max__{c}"]
+            stats["columns"][c] = cs
+
+        item_path = self._item_path(item)
+        from pystore_spark.exceptions import ConcurrentCommitError
+
+        for _attempt in range(3):
+            man, etag = utils.read_manifest_versioned(item_path)
+            if man is None:
+                break  # legacy item: stats still returned, not stored
+            if man.get("base"):
+                raise StorageError(
+                    f"item {item!r} is a snapshot pointer and is read-only"
+                )
+            meta = dict(man.get("metadata") or {})
+            meta["_column_stats"] = dict(
+                stats, as_of_version=int(man.get("version", 0))
+            )
+            try:
+                utils.write_manifest(
+                    item_path,
+                    man.get("files") or [],
+                    meta,
+                    stale=man.get("stale"),
+                    version=int(man.get("version", 0)) + 1,
+                    stamp=False,  # stats are not a data change
+                    stats=man.get("stats"),
+                    sizes=man.get("sizes"),
+                    if_match=etag,
+                )
+                self.clear_metadata_cache(item)
+                break
+            except ConcurrentCommitError:
+                continue  # a writer snuck in — stats may be stale; retry
+        return stats
+
     def set_zonemap(
         self, item: str, columns: Sequence[str] | None
     ) -> dict[str, dict]:

@@ -283,6 +283,12 @@ class Item:
             self._df = self._load()
         return self._df
 
+    def stats(self) -> dict | None:
+        """Column statistics recorded by ``Collection.analyze`` (or
+        None if never analyzed). ``as_of_version`` vs
+        ``self.version`` tells you how stale they are."""
+        return self.metadata.get("_column_stats")
+
     def scan_report(self) -> dict:
         """What the driver-side pruning achieves for this handle's
         filters BEFORE Spark schedules a single task: live file count,

@@ -133,3 +133,34 @@ def test_compact_maintains_zonemap(test_collection):
     assert set(stats) == set(man["files"])
     sel = c.item("zm", filters=[("v", ">=", 0.0), ("v", "<", 10.0)])
     assert len(sel.to_pandas()) == 10
+
+
+def test_analyze_records_column_stats(test_collection):
+    c = test_collection
+    df = _frame(5_000)
+    df.loc[df.index[:100], "w"] = None
+    c.write("an", df)
+    stats = c.analyze("an")
+    assert stats["n_rows"] == 5_000
+    assert stats["columns"]["w"]["n_nulls"] == 100
+    assert stats["columns"]["v"]["n_nulls"] == 0
+    assert stats["columns"]["v"]["min"] == 0.0
+    assert stats["columns"]["v"]["max"] == 4_999.0
+    # HLL NDV within its standard error envelope
+    ndv = stats["columns"]["v"]["approx_ndv"]
+    assert 4_500 <= ndv <= 5_500
+
+    # persisted: a fresh handle reads them back, with staleness info
+    it = c.item("an")
+    got = it.stats()
+    assert got is not None and got["n_rows"] == 5_000
+    assert got["as_of_version"] + 1 == it.version  # stats commit bumped
+
+    # a data change does NOT silently update stats; as_of_version
+    # now lags the live version by > 1
+    import pandas as pd
+    c.append("an", pd.DataFrame(
+        {"v": [1.0], "w": [2.0]}, index=pd.DatetimeIndex(["2024-06-01"])
+    ))
+    it2 = c.item("an")
+    assert it2.stats()["as_of_version"] < it2.version
