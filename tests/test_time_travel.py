@@ -112,3 +112,58 @@ def test_version_snapshot_exclusive(test_collection):
         test_collection.item("tt", version=1, as_of="2024-01-01")
     with pytest.raises(VersionNotFoundError):
         test_collection.item("tt", version=99)
+
+
+# ---------------------------------------------------------------------------
+# property: every retained version reads back exactly the state the
+# live read showed at its commit, under arbitrary write/append mixes
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _op_sequences(draw):
+    """1 initial write + up to 4 follow-ups (append to new or
+    overlapping ranges, or whole-item overwrite)."""
+    ops = [("write", draw(st.integers(5, 60)), 0)]
+    for _ in range(draw(st.integers(1, 4))):
+        kind = draw(st.sampled_from(["append_new", "append_overlap", "write"]))
+        ops.append((kind, draw(st.integers(1, 40)), draw(st.integers(0, 3))))
+    return ops
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_op_sequences())
+def test_every_retained_version_reads_its_commit_state(
+    test_collection, ops
+):
+    import uuid
+
+    c = test_collection
+    name = f"pt_{uuid.uuid4().hex[:6]}"
+    month = 0
+    expected: dict[int, pd.DataFrame] = {}
+    for kind, n, off in ops:
+        if kind == "write":
+            c.write(name, _frame(n, v0=float(off)), overwrite=True)
+        elif kind == "append_new":
+            month += 1
+            c.append(
+                name,
+                _frame(n, start=f"2024-{month:02d}-01", v0=float(off)),
+            )
+        else:  # overlapping keys — keep_last upsert
+            c.append(name, _frame(n, v0=100.0 + off))
+        man = utils.read_manifest(c._item_path(name))
+        expected[int(man["version"])] = c.item(name).to_pandas()
+
+    listed = {v["version"] for v in c.item_versions(name)}
+    assert set(expected) <= listed
+    for v, want in expected.items():
+        got = c.item(name, version=v).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
