@@ -19,6 +19,15 @@ from pystore_spark.exceptions import (
 from pystore_spark.session import get_spark
 
 
+def _sanitize_ident(name: str) -> str:
+    """SQL-identifier sanitization, same rules as
+    Collection.sql_view_names."""
+    import re
+
+    out = re.sub(r"\W", "_", name)
+    return f"i_{out}" if out and out[0].isdigit() else out
+
+
 class Store:
     def __init__(self, datastore: str, spark: SparkSession | None = None):
         from pystore_spark.fs import fs_for
@@ -76,6 +85,38 @@ class Store:
             )
         utils.rm_tree(self.datastore / collection)
         return True
+
+    def sql(self, query: str, collections: list[str] | None = None):
+        """Spark SQL across collections: every item of every (or the
+        given) collection registers as a temp view named
+        ``<collection>__<item>`` (sanitized like
+        :meth:`Collection.sql_view_names`), then ``query`` runs
+        against them — the cross-collection join surface.
+
+        Views are the same lazy manifest-resolved plans
+        ``Item.data`` returns, so filter/projection pushdown and
+        ``_pb`` partition pruning apply unchanged. Distinct
+        (collection, item) pairs colliding onto one view name raise
+        instead of shadowing."""
+        names = (
+            list(collections)
+            if collections is not None
+            else self.collections
+        )
+        seen: dict[str, tuple[str, str]] = {}
+        for cname in names:
+            col = self.collection(cname)
+            mapping = col.sql_view_names()
+            for item, view in mapping.items():
+                full = f"{_sanitize_ident(cname)}__{view}"
+                if full in seen and seen[full] != (cname, item):
+                    raise ValueError(
+                        f"{seen[full]} and {(cname, item)} both "
+                        f"sanitize to SQL view {full!r}"
+                    )
+                seen[full] = (cname, item)
+                col.item(item).data.createOrReplaceTempView(full)
+        return self.spark.sql(query)
 
 
 def store(datastore: str, spark: SparkSession | None = None) -> Store:

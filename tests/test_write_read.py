@@ -214,3 +214,22 @@ def test_collection_sql_joins_items(test_collection):
     rows = out.collect()
     assert len(rows) == 10
     assert all(r["qty"] == int(r["px"]) * 2 for r in rows)
+
+
+def test_store_sql_joins_across_collections(test_store):
+    import numpy as np
+    import pandas as pd
+
+    idx = pd.date_range("2024-01-01", periods=50, freq="D")
+    a = test_store.collection("alpha")
+    b = test_store.collection("beta")
+    a.write("px", pd.DataFrame({"px": np.arange(50.0)}, index=idx))
+    b.write("qty", pd.DataFrame({"qty": np.arange(50.0) * 2}, index=idx))
+
+    out = test_store.sql(
+        "SELECT a.index, a.px, b.qty, a.px * b.qty AS notional "
+        "FROM alpha__px a JOIN beta__qty b ON a.index = b.index "
+        "ORDER BY a.index"
+    ).toPandas()
+    assert len(out) == 50
+    assert (out["notional"] == out["px"] * out["qty"]).all()

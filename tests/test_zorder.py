@@ -293,3 +293,30 @@ def test_set_zonemap_backfills_without_rewrite(test_collection):
     assert len(
         test_collection.item("late", filters=[("x", ">=", 990.0)]).to_pandas()
     ) == len(want) + 1
+
+
+def test_scan_report_quantifies_zorder_payoff(test_collection):
+    """End-to-end integration of the layout-optimization loop:
+    rebalance(zorder) records zonemap stats → a 2-D selective
+    predicate's scan_report shows most files skipped before Spark
+    schedules anything — the observability surface a layout decision
+    is judged by."""
+    test_collection.write("zs", _grid_data())
+    test_collection.rebalance_partitions(
+        "zs", zorder=["x", "y"], npartitions=N_FILES
+    )
+    it = test_collection.item(
+        "zs",
+        filters=[("x", ">=", 100.0), ("x", "<", 200.0),
+                 ("y", ">=", 400.0), ("y", "<", 500.0)],
+    )
+    rep = it.scan_report()
+    assert rep["n_files_live"] == N_FILES
+    # a 1% selectivity box on a 16-file z-ordered grid must skip
+    # most files (4x4 Morton tiling → ~2-4 files overlap)
+    assert rep["n_files_selected"] <= N_FILES / 2
+    assert 0 < rep["bytes_selected"] < rep["bytes_live"]
+    # and the scan itself returns exactly the box
+    out = it.to_pandas()
+    assert ((out["x"] >= 100) & (out["x"] < 200)).all()
+    assert ((out["y"] >= 400) & (out["y"] < 500)).all()
