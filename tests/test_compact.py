@@ -164,3 +164,45 @@ def test_analyze_records_column_stats(test_collection):
     ))
     it2 = c.item("an")
     assert it2.stats()["as_of_version"] < it2.version
+
+
+def test_analyze_incremental_rescans_only_changed_buckets(test_collection):
+    """Incremental stats: append to ONE bucket → only that bucket
+    rescans; merged global stats (counts, min/max, HLL-union NDV)
+    match a from-scratch incremental run on the same data."""
+    c = test_collection
+    c.write("inc", _frame(90_000))  # 3 monthly buckets
+    s1 = c.analyze_incremental("inc")
+    assert s1["incremental"] and s1["buckets_rescanned"] == 3
+    assert s1["n_rows"] == 90_000
+    assert s1["columns"]["v"]["min"] == 0.0
+    assert s1["columns"]["v"]["max"] == 89_999.0
+
+    # second run with nothing changed: zero rescans, same answer
+    s2 = c.analyze_incremental("inc")
+    assert s2["buckets_rescanned"] == 0
+    assert s2["n_rows"] == 90_000
+    assert s2["columns"]["v"]["approx_ndv"] == s1["columns"]["v"]["approx_ndv"]
+
+    # append into a single existing bucket → exactly one rescan
+    c.append(
+        "inc",
+        pd.DataFrame(
+            {"v": [1e6], "w": [None]},
+            index=pd.DatetimeIndex(["2023-01-15 00:00:30"]),
+        ),
+    )
+    s3 = c.analyze_incremental("inc")
+    assert s3["buckets_rescanned"] == 1
+    assert s3["n_rows"] == 90_001
+    assert s3["columns"]["v"]["max"] == 1e6
+    assert s3["columns"]["w"]["n_nulls"] == 1
+
+    # merged sketch estimate ≈ true NDV within lg_k=8 error (±~13%
+    # at 3 sigma)
+    ndv = s3["columns"]["v"]["approx_ndv"]
+    assert 0.8 * 90_001 <= ndv <= 1.2 * 90_001
+
+    # Item.stats() serves the merged summary
+    got = c.item("inc").stats()
+    assert got["n_rows"] == 90_001 and got["incremental"] is True
