@@ -1,0 +1,60 @@
+"""Registry-wide physical-plan sweep: forbidden-pattern guard.
+
+Every oracle-registry query's plan is checked for the patterns that
+are always scale-killers at 100 TB, regardless of which operator they
+appear in:
+
+* ``CartesianProduct`` — an unkeyed all-pairs join;
+* ``BroadcastNestedLoopJoin`` — a non-equi join that re-scans the
+  broadcast side per row (the failure mode interval_join_banded
+  exists to avoid).
+
+The targeted plan tests (test_plans.py) assert what SHOULD be in
+specific plans; this sweep asserts what must NEVER be in any of them,
+so a new or refactored query can't quietly reintroduce one.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# A BroadcastNestedLoopJoin is acceptable ONLY when the broadcast
+# side is provably bounded — then the "nested loop" is constant work
+# per stream row. Three sanctioned shapes in the registry, each
+# documented in its query's docstring:
+#   * 1-row scalar-aggregate broadcasts (corpus total, mean-count
+#     threshold, global sum/count): corpus_mix_report, heavy_hitters,
+#     waiting_customers_antijoin;
+#   * the brute-force cosine BASELINE joins the corpus against the
+#     fixed broadcast query set by design — its scale path is the
+#     separate vectorized/LSH variants: embedding_cosine_topk.
+# Anything else hitting a BNLJ is a regression.
+ALLOWED_SCALAR_JOIN = {
+    "corpus_mix_report",
+    "heavy_hitters",
+    "waiting_customers_antijoin",
+    "embedding_cosine_topk",
+}
+
+
+def _names():
+    from pystore_spark.queries import QUERIES  # noqa: WPS433
+    import pystore_spark.queries_ext  # noqa: F401  (registry load)
+
+    return list(QUERIES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_no_forbidden_plan_patterns(spark, name):
+    from pystore_spark.queries import QUERIES
+
+    df = QUERIES[name].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for pat in FORBIDDEN:
+        if pat == "BroadcastNestedLoopJoin" and name in ALLOWED_SCALAR_JOIN:
+            continue
+        assert pat not in plan, f"{name}: {pat} in physical plan"
