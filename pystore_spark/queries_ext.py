@@ -2159,7 +2159,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # relational / window / analytical
     "time_bucket_agg", "running_sum_per_user", "asof_join_orders_events",
     "pricing_summary", "revenue_by_nation", "top_orders_by_revenue",
-    "region_part_supplier", "forecast_revenue_delta",
+    "region_part_supplier",
     "top3_events_per_user", "sessionization", "event_seq_applyinpandas",
     "interval_join_banded",
     # text analysis (lm_perplexity_scores: round-4 LM quality filter)
@@ -2177,7 +2177,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # sampling / pipeline / corpus reporting
     "stratified_sample", "benchmark_contamination",
     "downcast_projection", "heavy_hitters", "rolling_zscore_outliers",
-    "quality_funnel",
+    "quality_funnel", "curation_funnel",
     # ---- window boundary (driver checks the 50 above) ----
     # round-2 promotions rotated out in round 4 (each family keeps
     # sibling in-window evidence; all stay oracle-checked in-repo):
@@ -2186,8 +2186,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "minhash_jaccard_estimate", "fixed_sample_per_stratum",
     # long-standing tail (+ round-4 demotions: overlap_semi_join and
     # intersect_keys each keep in-window family siblings —
-    # dedup_anti_join/upsert for joins, union/except for set ops)
-    "overlap_semi_join", "intersect_keys",
+    # dedup_anti_join/upsert for joins, union/except for set ops —
+    # and forecast_revenue_delta, whose lag-window family is
+    # evidenced in-window by running_sum_per_user/rolling_zscore)
+    "overlap_semi_join", "intersect_keys", "forecast_revenue_delta",
     "category_codes", "dnf_filter_or", "index_only_scan",
     "except_keys", "tail_by_index", "moving_avg_events",
     "customer_order_distribution", "top_supplier_revenue",
@@ -2197,7 +2199,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "gapfill_locf_daily", "approx_distinct_audit",
     "weighted_sample_topk", "corpus_mix_report",
     # round-4 additions outside the window
-    "near_dedup_recall_audit", "curation_funnel",
+    "near_dedup_recall_audit",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -33,7 +33,7 @@ PROMOTED = {
     "heavy_hitters", "quality_funnel", "rolling_zscore_outliers",
     "interval_join_banded", "embedding_quantization_audit",
     # round-4 flagships, promoted in-round
-    "lm_perplexity_scores", "chunk_dedup_stats",
+    "lm_perplexity_scores", "chunk_dedup_stats", "curation_funnel",
 }
 # round-2 promotions that keep their window slot (their family has no
 # redundant sibling in-window)
@@ -49,8 +49,9 @@ ROTATED_OUT = {
     "minhash_jaccard_estimate", "fixed_sample_per_stratum",
     # demoted for the round-4 flagship promotions; each keeps an
     # in-window family sibling (dedup_anti_join/upsert for joins,
-    # union_evolved_schema/except_keys for set ops)
-    "overlap_semi_join", "intersect_keys",
+    # union_evolved_schema/except_keys for set ops, running_sum/
+    # rolling_zscore for lag windows)
+    "overlap_semi_join", "intersect_keys", "forecast_revenue_delta",
 }
 
 
