@@ -219,3 +219,75 @@ def test_zonemap_prune_never_loses_matching_rows(case):
             all(_row_matches(x, op, v) for _, op, v in group) for x in vals
         ):
             assert f in kept, (f, vals, group, kept)
+
+
+# ---------------------------------------------------------------------------
+# dual-engine filter semantics: the SAME tuple-DNF must select the
+# same rows through Spark (filters_to_column) and through the Arrow
+# driver fast path (filters_to_arrow_expression) — both serve reads,
+# so a divergence is silent wrong answers on one path.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given as h_given, settings as h_settings
+
+
+_dnf_ops = st.sampled_from(["==", "!=", "<", "<=", ">", ">=", "in", "not in"])
+
+
+@st.composite
+def _dnf(draw):
+    def term():
+        col = draw(st.sampled_from(["a", "b"]))
+        op = draw(_dnf_ops)
+        if op in ("in", "not in"):
+            val = tuple(draw(st.lists(st.integers(-5, 15), min_size=1, max_size=4)))
+        else:
+            val = draw(st.integers(-5, 15))
+        return (col, op, val)
+
+    groups = draw(st.integers(1, 3))
+    return [
+        [term() for _ in range(draw(st.integers(1, 3)))]
+        for _ in range(groups)
+    ]
+
+
+@h_settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@h_given(_dnf())
+def test_spark_and_arrow_filters_agree(spark, filters):
+    import pyarrow as pa
+    import pyarrow.dataset as pa_ds
+
+    from pystore_spark.filters import (
+        filters_to_arrow_expression,
+        filters_to_column,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "a": list(range(0, 12)),
+            "b": [x * 2 - 5 for x in range(12)],
+        }
+    )
+    # Spark path
+    sdf = spark.createDataFrame(pdf)
+    got_spark = (
+        sdf.filter(filters_to_column(filters))
+        .toPandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # Arrow path
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    expr = filters_to_arrow_expression(filters, schema=tbl.schema)
+    ds = pa_ds.dataset(tbl)
+    got_arrow = (
+        ds.to_table(filter=expr)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_spark, got_arrow)
