@@ -1466,6 +1466,71 @@ class Collection:
     # ------------------------------------------------------------------
     # maintenance (reference: pystore/partition.py:175-216)
     # ------------------------------------------------------------------
+    def maintain(
+        self,
+        item: str | None = None,
+        compact: bool = True,
+        gc: bool = True,
+        refresh_stats: bool = True,
+        refresh_rollups: bool = True,
+        target_size_mb: int | None = None,
+    ) -> dict[str, dict]:
+        """The nightly maintenance job, one call per item (or the
+        whole collection): GC expired stale/orphan files
+        (:meth:`recover_item`), merge undersized bucket files
+        (:meth:`compact`), refresh incremental column statistics
+        (:meth:`analyze_incremental` — O(changed buckets)), and
+        refresh derived rollups. Each step is independently
+        restartable and commits through the same CAS manifest
+        protocol, so a crash mid-maintenance never corrupts anything
+        — rerunning is always safe. Returns per-item step results.
+
+        Rollup items themselves are skipped as primary targets (their
+        content is derived; they are refreshed via their base item)."""
+        names = [item] if item is not None else self.items
+        derived = set()
+        for n in names:
+            for r in self.rollups_of(n):
+                derived.add(r)
+        out: dict[str, dict] = {}
+        for n in names:
+            if n in derived:
+                continue
+            res: dict = {}
+            if gc:
+                try:
+                    res["gc_removed"] = self.recover_item(n)
+                except Exception as exc:
+                    res["gc_error"] = str(exc)
+            if compact:
+                try:
+                    res["compact"] = self.compact(
+                        n, target_size_mb=target_size_mb
+                    )
+                except Exception as exc:
+                    res["compact_error"] = str(exc)
+            if refresh_stats:
+                try:
+                    st = self.analyze_incremental(n)
+                    res["stats"] = {
+                        "n_rows": st.get("n_rows"),
+                        "buckets_rescanned": st.get(
+                            "buckets_rescanned"
+                        ),
+                    }
+                except Exception as exc:
+                    res["stats_error"] = str(exc)
+            if refresh_rollups:
+                try:
+                    res["rollups"] = {
+                        r: self.refresh_rollup(r)
+                        for r in self.rollups_of(n)
+                    }
+                except Exception as exc:
+                    res["rollups_error"] = str(exc)
+            out[n] = res
+        return out
+
     def rebalance_partitions(
         self,
         item: str,

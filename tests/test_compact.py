@@ -206,3 +206,26 @@ def test_analyze_incremental_rescans_only_changed_buckets(test_collection):
     # Item.stats() serves the merged summary
     got = c.item("inc").stats()
     assert got["n_rows"] == 90_001 and got["incremental"] is True
+
+
+def test_maintain_runs_all_steps(test_collection):
+    """One-call nightly maintenance: GC + compact + incremental stats
+    + rollup refresh, per item, each step CAS-committed and
+    restartable."""
+    c = test_collection
+    c.write("m1", _frame(90_000))
+    item_path = c._item_path("m1")
+    _fragment_bucket(item_path, sorted(_files_per_bucket(item_path))[0], 3)
+    c.create_rollup("m1", "m1_daily", unit="day", aggs={"v": ["sum"]})
+
+    res = c.maintain()
+    assert set(res) == {"m1"}  # the rollup item is derived, not a target
+    r = res["m1"]
+    assert r["compact"]["buckets_compacted"] == 1
+    assert r["stats"]["n_rows"] == 90_000
+    assert "gc_removed" in r and "m1_daily" in r["rollups"]
+
+    # second run: nothing to do, still clean
+    res2 = c.maintain("m1")
+    assert res2["m1"]["compact"]["buckets_compacted"] == 0
+    assert res2["m1"]["stats"]["buckets_rescanned"] in (0, 1)
