@@ -47,6 +47,8 @@ from pystore_spark.store import (
 from pystore_spark.sources import read_csv
 from pystore_spark.schema_evolution import EvolutionStrategy
 from pystore_spark.transactions import BatchTransaction, CollectionLock, transaction
+from pystore_spark.exceptions import VersionNotFoundError
+from pystore_spark.pipeline import CurationPipeline
 from pystore_spark.validation import (
     DataValidator,
     create_financial_validator,
@@ -59,6 +61,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "store",
+    "CurationPipeline",
+    "VersionNotFoundError",
     "Store",
     "list_stores",
     "delete_store",
