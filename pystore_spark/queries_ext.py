@@ -2063,6 +2063,77 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_topk",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    ranked AS (
+      SELECT term, n,
+             row_number() OVER (ORDER BY n DESC, term) AS rk
+      FROM tf)
+    SELECT rk, term, n FROM ranked WHERE rk <= 100
+    """,
+    tags=("text", "vocab", "pipeline"),
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: the corpus's top-100 terms by
+    frequency with a deterministic (count DESC, term ASC) total
+    order — the seed step of building a tokenizer vocab or stopword
+    list from the corpus itself. One groupBy shuffle (map-side
+    combined); the rank window runs over only the |vocab| aggregated
+    rows, and the global top-k sorts the survivors, never the token
+    stream."""
+    from pyspark.sql.window import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(F.explode(X.tokens("text")).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        tf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select("rk", "term", "n")
+    )
+
+
+@register(
+    "doc_length_histogram",
+    sql=f"""
+    WITH t AS (
+      SELECT CAST(floor(ln(GREATEST(len({_TOKS}), 1)) / ln(2))
+             AS BIGINT) AS bucket
+      FROM documents)
+    SELECT bucket,
+      CAST(pow(2, bucket) AS BIGINT) AS bucket_min_tokens,
+      count(*) AS n_docs
+    FROM t GROUP BY bucket
+    """,
+    tags=("text", "reporting", "pipeline"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length distribution — the corpus-shape
+    report that drives context-length and packing decisions in a
+    pretraining pipeline. Pure projection + one tiny groupBy (at most
+    ~40 buckets exist for any corpus)."""
+    doc = load_table(spark, sf_dir, "documents")
+    n = F.greatest(X.token_count("text"), F.lit(1)).cast("double")
+    bucket = F.floor(F.log(n) / F.log(F.lit(2.0))).cast("bigint")
+    return (
+        doc.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket"))
+            .cast("bigint")
+            .alias("bucket_min_tokens"),
+            "n_docs",
+        )
+    )
+
+
+@register(
     "curation_funnel",
     sql=f"""
     WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
@@ -2199,7 +2270,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "gapfill_locf_daily", "approx_distinct_audit",
     "weighted_sample_topk", "corpus_mix_report",
     # round-4 additions outside the window
-    "near_dedup_recall_audit",
+    "near_dedup_recall_audit", "vocab_topk", "doc_length_histogram",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
