@@ -386,6 +386,39 @@ def _assign_cells(
     return df.withColumn("cell", F.array_min(F.array(*structs))["cell"])
 
 
+def assign_probe_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    nprobe: int = 1,
+) -> DataFrame:
+    """Multi-probe assignment: each row explodes to its ``nprobe``
+    nearest cells (ascending distance, cell id tie-break) — the probe
+    side of IVF search. nprobe=1 degenerates to
+    :func:`_assign_cells`'s argmin. Pure projection + explode, no
+    shuffle; output rows = input × nprobe."""
+    structs = []
+    for cell, cent in enumerate(centroids):
+        carr = F.array(*[F.lit(float(v)) for v in cent])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                carr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(dist.alias("dist"), F.lit(cell).alias("cell"))
+        )
+    ranked = F.slice(F.array_sort(F.array(*structs)), 1, int(nprobe))
+    return df.withColumn(
+        "cell",
+        F.explode(F.transform(ranked, lambda s: s["cell"])),
+    )
+
+
 def build_ivf_index_deterministic(
     df: DataFrame,
     vec_col: str,
@@ -426,6 +459,25 @@ def build_ivf_index_deterministic(
     either bound is approached.
     """
     df = widen_parallelism(df)
+    cents = train_ivf_centroids(
+        df, vec_col, id_col, n_cells, n_iters, quant
+    )
+    return _assign_cells(df, vec_col, cents)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    quant: float = 1e7,
+) -> list[list[float]]:
+    """The training half of :func:`build_ivf_index_deterministic`,
+    exposed separately so the centroids can be PERSISTED (e.g. in an
+    index item's metadata — Collection.build_vector_index) and later
+    probes assign queries without retraining. Same determinism
+    contract and shuffle shape as documented above."""
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )
@@ -454,7 +506,7 @@ def build_ivf_index_deterministic(
                 (float(r[f"s{i}"]) / n) / quant for i in range(dim)
             ]
         cents = new_cents
-    return _assign_cells(df, vec_col, cents)
+    return cents
 
 
 def build_ivf_index(

@@ -1,0 +1,85 @@
+"""Persistent IVF vector index (Collection.build_vector_index /
+search_vector_index): centroids persisted in metadata, inverted lists
+as a cell-ordered item with a cell zonemap, probes pruned at the file
+level."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def emb(spark):
+    from pystore_spark.sources import load_table
+
+    return load_table(spark, SF, "embeddings")
+
+
+def test_build_and_search_matches_inmemory_ivf(test_collection, emb):
+    from pystore_spark.functions import similarity as S
+
+    res = test_collection.build_vector_index(
+        "emb_ivf", emb, n_cells=4, n_iters=2
+    )
+    assert res["n_cells"] == 4 and res["dim"] > 0
+
+    queries = emb.filter("vec_id < 5")
+    got = (
+        test_collection.search_vector_index("emb_ivf", queries, k=3)
+        .toPandas()
+        .sort_values(["q_vec_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+
+    # parity with the in-memory deterministic IVF path on the same
+    # data and parameters — the persisted index must change nothing
+    indexed = S.build_ivf_index_deterministic(
+        emb, "embedding", "vec_id", n_cells=4, n_iters=2
+    )
+    q_idx = S.build_ivf_index_deterministic(
+        emb, "embedding", "vec_id", n_cells=4, n_iters=2
+    ).filter("vec_id < 5")
+    want = (
+        S.ivf_search_with_index(indexed, q_idx, "embedding", "vec_id", k=3)
+        .toPandas()
+        .sort_values(["q_vec_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+    # every query got k results
+    assert (got.groupby("q_vec_id").size() == 3).all()
+
+
+def test_probe_prunes_index_files(test_collection, emb):
+    test_collection.build_vector_index(
+        "emb_ivf8", emb, n_cells=8, n_iters=1, overwrite=True
+    )
+    # force a multi-file layout so pruning is observable
+    test_collection.rebalance_partitions("emb_ivf8", npartitions=8)
+    test_collection.set_zonemap("emb_ivf8", ["cell"])
+    rep = test_collection.item(
+        "emb_ivf8", filters=[("cell", "in", [0])]
+    ).scan_report()
+    assert rep["n_files_live"] >= 4
+    assert rep["n_files_selected"] < rep["n_files_live"]
+
+
+def test_search_rejects_non_index_items(test_collection, emb):
+    import pandas as pd
+    import numpy as np
+
+    from pystore_spark.exceptions import StorageError
+
+    test_collection.write(
+        "plain",
+        pd.DataFrame(
+            {"v": np.arange(10.0)},
+            index=pd.date_range("2024-01-01", periods=10),
+        ),
+    )
+    with pytest.raises(StorageError, match="not a vector index"):
+        test_collection.search_vector_index("plain", emb)
