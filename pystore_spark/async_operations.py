@@ -57,6 +57,19 @@ class AsyncCollection:
         ]
         return await asyncio.gather(*tasks)
 
+    async def maintain(self, item: str | None = None, **kwargs):
+        """Async nightly maintenance (GC + compact + stats + rollups);
+        the natural overnight-job surface."""
+        return await self._run(self.collection.maintain, item, **kwargs)
+
+    async def compact(self, item: str, **kwargs):
+        return await self._run(self.collection.compact, item, **kwargs)
+
+    async def analyze(self, item: str, **kwargs):
+        return await self._run(
+            self.collection.analyze_incremental, item, **kwargs
+        )
+
     def close(self) -> None:
         if self._owns_pool:
             self._pool.shutdown(wait=False)

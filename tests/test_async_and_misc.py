@@ -211,3 +211,33 @@ def test_memory_efficient_read_restores_conf(spark):
     with memory_efficient_read(spark, max_partition_bytes=4 << 20):
         assert spark.conf.get(key) in ("4194304", str(4 << 20))
     assert spark.conf.get(key) == before
+
+
+def test_async_maintenance_surface(test_collection):
+    import asyncio
+
+    import numpy as np
+    import pandas as pd
+
+    from pystore_spark.async_operations import AsyncCollection
+
+    df = pd.DataFrame(
+        {"v": np.arange(2_000.0)},
+        index=pd.date_range("2024-01-01", periods=2_000, freq="min"),
+    )
+    test_collection.write("am", df)
+
+    async def go():
+        ac = AsyncCollection(test_collection)
+        try:
+            stats = await ac.analyze("am")
+            comp = await ac.compact("am")
+            maint = await ac.maintain("am")
+            return stats, comp, maint
+        finally:
+            ac.close()
+
+    stats, comp, maint = asyncio.run(go())
+    assert stats["n_rows"] == 2_000
+    assert comp["buckets_compacted"] >= 0
+    assert "am" in maint and "gc_removed" in maint["am"]
