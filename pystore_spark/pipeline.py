@@ -206,6 +206,65 @@ class CurationPipeline:
         )
         return self
 
+    def dedup_embedding(
+        self,
+        vec_col: str,
+        threshold: float = 0.95,
+        dim: int | None = None,
+        n_planes: int = 16,
+        band_bits: int = 4,
+    ):
+        """SemDeDup-style semantic dedup on an embedding column: sign-
+        LSH candidate pairs → exact cosine verify at ``threshold`` →
+        drop every document that has a verified smaller-id duplicate
+        (the standard greedy keep-min rule — deterministic; unlike the
+        connected-components variant it never chains A~B~C into one
+        cluster, which for semantic dedup is usually the wanted
+        behavior). Candidate generation is bucketed (quadratic only
+        within LSH bands); nothing scores all pairs."""
+        id_col = self.id_col
+
+        def g(df: DataFrame) -> DataFrame:
+            from pystore_spark.functions import similarity as S
+
+            d = dim
+            if d is None:
+                first = df.select(vec_col).first()
+                if first is None:
+                    return df
+                d = len(first[0])
+            cand = S.signlsh_candidate_pairs(
+                df, vec_col, id_col, dim=d,
+                n_planes=n_planes, band_bits=band_bits,
+            )
+            slim = df.select(F.col(id_col), F.col(vec_col))
+            verified = (
+                cand.join(
+                    slim.selectExpr(
+                        f"{id_col} AS id_i", f"{vec_col} AS _vi"
+                    ),
+                    "id_i",
+                )
+                .join(
+                    slim.selectExpr(
+                        f"{id_col} AS id_j", f"{vec_col} AS _vj"
+                    ),
+                    "id_j",
+                )
+                .filter(
+                    S.cosine(F.col("_vi"), F.col("_vj"))
+                    >= F.lit(float(threshold))
+                )
+                .select(F.col("id_j").alias(id_col))
+                .distinct()
+            )
+            return df.join(verified, id_col, "left_anti")
+
+        self._stages.append(
+            (f"dedup_embedding@{threshold}", _GLOBAL, g)
+        )
+        return self
+
     def decontaminate(
         self,
         eval_df: DataFrame,

@@ -153,3 +153,39 @@ def test_pipeline_applies_to_streams(spark, tmp_path, docs):
 
     with pytest.raises(ValueError, match="corpus-global"):
         CurationPipeline(docs).dedup_exact().apply(sdf)
+
+
+def test_dedup_embedding_drops_near_duplicates(spark):
+    """Semantic dedup: near-identical vectors collapse to the min id;
+    distant vectors survive."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8).astype("float32")
+    rows = []
+    for i in range(4):  # 4 near-copies of `base`
+        v = base + rng.normal(scale=1e-4, size=8).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+    for i in range(4, 10):  # 6 distinct directions
+        v = rng.normal(size=8).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "doc_id long, emb array<float>")
+
+    out = (
+        CurationPipeline(df)
+        .dedup_embedding("emb", threshold=0.99)
+        .dataframe()
+        .toPandas()
+    )
+    ids = set(out["doc_id"])
+    assert 0 in ids  # min id of the duplicate cluster kept
+    assert not ({1, 2, 3} & ids)  # its near-copies dropped
+    assert {4, 5, 6, 7, 8, 9} <= ids  # distinct vectors untouched
+
+    fun = (
+        CurationPipeline(df)
+        .dedup_embedding("emb", threshold=0.99)
+        .funnel()
+        .toPandas()
+    )
+    assert fun["n_surviving"].tolist() == [10, 7]
