@@ -807,9 +807,7 @@ class Collection:
         mapping: dict[str, str] = {}
         seen: dict[str, str] = {}
         for name in names:
-            view = re.sub(r"\W", "_", name)
-            if view and view[0].isdigit():
-                view = f"i_{view}"
+            view = utils.sanitize_sql_ident(name)
             if view in seen and seen[view] != name:
                 raise ValueError(
                     f"items {seen[view]!r} and {name!r} both sanitize to "
@@ -1751,6 +1749,25 @@ class Collection:
         plan = it._plan
         files_before = len((man or {}).get("files") or [])
         if man is None or plan is None or plan.kind != "time":
+            # non-time items are one flat bucket — apply the same
+            # census before rewriting, so a healthy item (and every
+            # nightly maintain() pass over it) is a no-op instead of
+            # an O(item) rebalance
+            if man is not None:
+                sizes0 = man.get("sizes") or {}
+                total = sum(
+                    int(sizes0[r])
+                    if r in sizes0
+                    else mf._safe_size(self.fs, self._item_path(item) / r)
+                    for r in man.get("files") or []
+                )
+                needed = max(1, math.ceil(total / target))
+                if files_before <= needed:
+                    return {
+                        "buckets_compacted": 0,
+                        "files_before": files_before,
+                        "files_after": files_before,
+                    }
             n = self.rebalance_partitions(
                 item,
                 target_size_mb=max(1, target // (1024 * 1024)),
@@ -2006,8 +2023,13 @@ class Collection:
                 "lg_k": lg_k,
                 "buckets": buckets,
             }
+            # as_of_version is the version the stats were COMPUTED
+            # against (captured before the scan) — on a lost-CAS
+            # retry the newer manifest's version must NOT be stamped
+            # onto stats that don't include its data, or staleness
+            # detection silently reports fresh
             meta["_column_stats"] = dict(
-                stats, as_of_version=int(man2.get("version", 0))
+                stats, as_of_version=int(man.get("version", 0))
             )
             try:
                 utils.write_manifest(
@@ -2080,6 +2102,11 @@ class Collection:
         item_path = self._item_path(item)
         from pystore_spark.exceptions import ConcurrentCommitError
 
+        # the version the scan actually covered (the Item handle's
+        # manifest) — NOT the manifest at commit time: on a lost-CAS
+        # retry a concurrent append's version must not be stamped
+        # onto stats that exclude its rows
+        computed_version = it.version or 0
         for _attempt in range(3):
             man, etag = utils.read_manifest_versioned(item_path)
             if man is None:
@@ -2090,7 +2117,7 @@ class Collection:
                 )
             meta = dict(man.get("metadata") or {})
             meta["_column_stats"] = dict(
-                stats, as_of_version=int(man.get("version", 0))
+                stats, as_of_version=int(computed_version)
             )
             try:
                 utils.write_manifest(

@@ -481,7 +481,16 @@ def train_ivf_centroids(
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )
-    cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in init_rows
+        if r[vec_col] is not None
+    ]
+    if not cents:
+        raise ValueError(
+            "cannot train IVF centroids: the source has no non-null "
+            f"vectors in column {vec_col!r}"
+        )
     dim = len(cents[0])
     for _ in range(n_iters):
         assigned = _assign_cells(df, vec_col, cents)

@@ -265,3 +265,19 @@ def scrub_pii(
     for name in ("email", "credit_card", "ssn", "ipv4", "phone"):
         c = F.regexp_replace(c, PII_PATTERNS[name], replacement)
     return c
+
+
+def chunk_hashes(toks_col: str, n: int = 10) -> Column:
+    """Array of md5 hashes of consecutive ``n``-token chunks of the
+    (already tokenized) array column ``toks_col`` — THE sub-document
+    dedup kernel, shared by the oracle-audited query
+    (queries_ext.chunk_dedup_stats) and the acting pipeline stage
+    (pipeline.CurationPipeline.dedup_chunks) so the two can never
+    drift. Hashing happens before any shuffle: exchanges carry
+    32-byte keys, never chunk text."""
+    return F.expr(
+        f"transform(sequence(0, cast(ceil(size({toks_col}) / {int(n)}.0)"
+        f" as int) - 1),"
+        f" i -> md5(array_join(slice({toks_col}, i*{int(n)}+1, {int(n)}),"
+        f" ' ')))"
+    )

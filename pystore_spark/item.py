@@ -74,7 +74,17 @@ def _version_as_of(path: Path, ts: Any) -> int:
     Stamps are zero-padded ``%Y-%m-%d %H:%M:%S.%f`` UTC strings, so
     chronological order IS lexicographic order; walk versions newest-
     first and stop at the first hit (cold path: O(versions-after-ts)
-    single-object GETs, no data I/O)."""
+    single-object GETs, no data I/O). tz-aware inputs convert to UTC
+    first (stamps are UTC; formatting the local wall time would
+    shift the comparison by the UTC offset); naive inputs are taken
+    as already-UTC."""
+    if getattr(ts, "tzinfo", None) is not None:
+        if hasattr(ts, "tz_convert"):  # pandas Timestamp
+            ts = ts.tz_convert("UTC")
+        else:  # stdlib datetime
+            from datetime import timezone as _tz
+
+            ts = ts.astimezone(_tz.utc)
     if hasattr(ts, "strftime"):
         ts = ts.strftime("%Y-%m-%d %H:%M:%S.%f")
     ts = str(ts)
@@ -366,7 +376,7 @@ class Item:
             partitioning=partitioning,
             ignore_prefixes=[
                 ".", "_pystore_metadata", "_manifest", "_SUCCESS",
-                "_committed", "_started",
+                "_committed", "_started", "_versions",
             ],
             filesystem=pa_fs,
         )

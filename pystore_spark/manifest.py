@@ -354,20 +354,30 @@ def gc_item(
                 removed += 1
         except OSError:
             continue
-    # time-travel history on the same retention clock as the data it
-    # references: a version object older than the stale window points
-    # at files GC may already have deleted, so it is no longer
-    # readable — drop it (never the live version's object)
+    # time-travel history lives exactly as long as the data it
+    # references: a version object is deleted once ANY of its files
+    # has left the (live ∪ stale-retained) set — the same
+    # availability rule Item._resolve_version reads by, so the
+    # readable-version list shrinks only when the data actually
+    # disappears, never on the object's own age (a v1 whose files all
+    # survive an append stays readable indefinitely, at one
+    # manifest-sized JSON per commit). Never the live version's
+    # object.
     cur = int(man.get("version", 0))
+    avail = set(man.get("files") or []) | set(stale) | refs
     for f in fs.list_files(item_path / utils.VERSIONS_DIR, ".json"):
         stem = Path(f).stem
         if not stem.isdigit() or int(stem) == cur:
             continue
-        try:
-            if now - fs.mtime(f) >= retention:
+        vman = utils.read_version_manifest(item_path, int(stem))
+        dead = vman is None or any(
+            rel not in avail for rel in (vman.get("files") or [])
+        )
+        if dead:
+            try:
                 fs.delete(f, missing_ok=True)
-        except OSError:
-            continue
+            except OSError:
+                continue
     if removed:
         fs.prune_empty_dirs(item_path)
     return removed

@@ -177,12 +177,7 @@ class CurationPipeline:
             ch = t.select(
                 F.col(id_col).alias("_cid"),
                 F.explode(
-                    F.expr(
-                        "transform(sequence(0, cast(ceil(size(_toks) /"
-                        f" {chunk_tokens}.0) as int) - 1),"
-                        f" i -> md5(array_join(slice(_toks, i*{chunk_tokens}+1,"
-                        f" {chunk_tokens}), ' ')))"
-                    )
+                    X.chunk_hashes("_toks", chunk_tokens)
                 ).alias("_h"),
             )
             byc = ch.groupBy("_h").agg(

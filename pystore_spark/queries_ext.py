@@ -2036,14 +2036,7 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks") > 0
     )
     ch = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform("
-                " sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),"
-                " i -> md5(array_join(slice(toks, i*10+1, 10), ' ')))"
-            )
-        ).alias("h"),
+        "doc_id", F.explode(X.chunk_hashes("toks", 10)).alias("h")
     )
     byc = ch.groupBy("h").agg(
         F.countDistinct("doc_id").alias("nd")

@@ -19,15 +19,6 @@ from pystore_spark.exceptions import (
 from pystore_spark.session import get_spark
 
 
-def _sanitize_ident(name: str) -> str:
-    """SQL-identifier sanitization, same rules as
-    Collection.sql_view_names."""
-    import re
-
-    out = re.sub(r"\W", "_", name)
-    return f"i_{out}" if out and out[0].isdigit() else out
-
-
 class Store:
     def __init__(self, datastore: str, spark: SparkSession | None = None):
         from pystore_spark.fs import fs_for
@@ -108,7 +99,7 @@ class Store:
             col = self.collection(cname)
             mapping = col.sql_view_names()
             for item, view in mapping.items():
-                full = f"{_sanitize_ident(cname)}__{view}"
+                full = f"{utils.sanitize_sql_ident(cname)}__{view}"
                 if full in seen and seen[full] != (cname, item):
                     raise ValueError(
                         f"{seen[full]} and {(cname, item)} both "

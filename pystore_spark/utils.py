@@ -35,6 +35,15 @@ def utc_stamp() -> str:
     return datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
 
 
+def sanitize_sql_ident(name: str) -> str:
+    """Item/collection name → SQL identifier: non-word chars become
+    ``_``, digit-leading names get an ``i_`` prefix. THE one
+    implementation behind Collection.sql_view_names and Store.sql —
+    the two must agree or cross-surface view names diverge."""
+    out = re.sub(r"\W", "_", name)
+    return f"i_{out}" if out and out[0].isdigit() else out
+
+
 def sanitize_snapshot_name(name: str) -> str:
     """Strip characters outside [A-Za-z0-9._] — reference:
     pystore/collection.py:531-532."""
@@ -52,14 +61,25 @@ def read_manifest_versioned(
     path: str | Path,
 ) -> tuple[dict[str, Any] | None, str | None]:
     """(manifest, etag) — the etag feeds the conditional put at commit
-    (object-store CAS; see fs.py). (None, None) when absent."""
+    (object-store CAS; see fs.py). (None, None) when absent.
+
+    A manifest file that EXISTS but fails to parse (torn write on a
+    non-atomic filesystem, disk corruption) returns ``(None, etag)``:
+    readers fall back to the legacy directory scan, and the next
+    commit's CAS targets the corrupt bytes' etag — so it replaces the
+    corrupt file (listing the on-disk parquet as the prior file set,
+    exactly the legacy-upgrade path) instead of failing the
+    must-not-exist precondition forever."""
     p = Path(path) / MANIFEST_FILE
     fs = fs_for(p)
     try:
         data = fs.read_bytes(p)
-        return json.loads(data), fslib._md5(data)
-    except (OSError, ValueError):
+    except OSError:
         return None, None
+    try:
+        return json.loads(data), fslib._md5(data)
+    except ValueError:
+        return None, fslib._md5(data)
 
 
 def write_manifest(

@@ -229,3 +229,20 @@ def test_maintain_runs_all_steps(test_collection):
     res2 = c.maintain("m1")
     assert res2["m1"]["compact"]["buckets_compacted"] == 0
     assert res2["m1"]["stats"]["buckets_rescanned"] in (0, 1)
+
+
+def test_compact_non_time_item_is_noop_when_healthy(test_collection):
+    """Review fix: a well-sized non-time item must not be rewritten by
+    compact (and therefore by every nightly maintain) — the census
+    applies to the flat layout too."""
+    c = test_collection
+    df = pd.DataFrame({"a": np.arange(500.0), "b": np.arange(500.0)})
+    df.index = pd.RangeIndex(500)
+    c.write("flat", df)
+    man1 = utils.read_manifest(c._item_path("flat"))
+    res = c.compact("flat")
+    assert res["buckets_compacted"] == 0
+    man2 = utils.read_manifest(c._item_path("flat"))
+    # no rewrite: same version, same file pointers
+    assert man2["version"] == man1["version"]
+    assert man2["files"] == man1["files"]

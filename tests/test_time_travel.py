@@ -167,3 +167,65 @@ def test_every_retained_version_reads_its_commit_state(
     for v, want in expected.items():
         got = c.item(name, version=v).to_pandas()
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_history_survives_commits_spaced_beyond_retention(test_collection):
+    """Review fix: version objects must die when their DATA dies, not
+    on their own age — a v1 whose files all survive an append stays
+    readable even when the commits are spaced beyond the stale
+    retention window."""
+    c = test_collection
+    c.write("tt", _frame(300))
+    # append (bucket-scoped — v1's untouched files stay live) with GC
+    # running on a zero-retention clock: v1 history must survive
+    c.append("tt", _frame(50, start="2023-04-01", v0=9.0))
+    mf.gc_item(c.path, "tt", retention=0.0, orphan_grace=0.0)
+    # NOTE: the append rewrote the touched bucket, so v1's files for
+    # that bucket went stale and were GC'd at retention=0 — v1 dies
+    # for a DATA reason. Use a metadata-only version instead: files
+    # identical to live → must stay readable forever.
+    v_before = utils.read_manifest(c._item_path("tt"))["version"]
+    utils.write_metadata(c._item_path("tt"), {"note": "m"})
+    mf.gc_item(c.path, "tt", retention=0.0, orphan_grace=0.0)
+    # the pre-metadata version references exactly the live files →
+    # still listed and readable despite zero retention
+    versions = [v["version"] for v in c.item_versions("tt")]
+    assert v_before in versions
+    assert c.item("tt", version=v_before).to_pandas() is not None
+
+
+def test_as_of_accepts_tz_aware_timestamps(test_collection):
+    """Review fix: a tz-aware as_of converts to UTC before comparing
+    against the UTC stamps (naive formatting would shift by the UTC
+    offset)."""
+    c = test_collection
+    c.write("tt", _frame(100))
+    time.sleep(0.01)
+    c.append("tt", _frame(10, start="2023-06-01", v0=5.0))
+    # "now" expressed in a non-UTC zone is after both commits → live
+    now_est = pd.Timestamp.now(tz="America/New_York")
+    assert c.item("tt", as_of=now_est).version == 2
+    # an aware timestamp before the first commit still raises
+    with pytest.raises(VersionNotFoundError):
+        c.item(
+            "tt",
+            as_of=pd.Timestamp("2000-01-01", tz="Asia/Tokyo"),
+        )
+
+
+def test_corrupt_manifest_self_heals_on_next_commit(test_collection):
+    """Review fix: a torn/corrupt _manifest.json must not wedge the
+    item forever — the next commit CAS-replaces the corrupt bytes,
+    listing the on-disk parquet as the prior file set (the legacy-
+    upgrade path), and loses no data."""
+    c = test_collection
+    c.write("tt", _frame(200))
+    item_path = c._item_path("tt")
+    (item_path / utils.MANIFEST_FILE).write_text("{ not json !!")
+    # reads fall back to the legacy directory scan meanwhile
+    assert len(c.item("tt").to_pandas()) == 200
+    # a new commit heals the manifest
+    c.append("tt", _frame(10, start="2023-05-01", v0=7.0))
+    man = utils.read_manifest(item_path)
+    assert man is not None and man["files"]
+    assert len(c.item("tt").to_pandas()) == 210

@@ -83,3 +83,10 @@ def test_search_rejects_non_index_items(test_collection, emb):
     )
     with pytest.raises(StorageError, match="not a vector index"):
         test_collection.search_vector_index("plain", emb)
+
+
+def test_build_index_empty_source_raises_clearly(test_collection, emb):
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        test_collection.build_vector_index(
+            "empty_ivf", emb.filter("vec_id < 0"), n_cells=4
+        )
