@@ -2074,18 +2074,20 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency with a deterministic (count DESC, term ASC) total
     order — the seed step of building a tokenizer vocab or stopword
     list from the corpus itself. One groupBy shuffle (map-side
-    combined); the rank window runs over only the |vocab| aggregated
-    rows, and the global top-k sorts the survivors, never the token
-    stream."""
+    combined); the global top-k is ``orderBy().limit()`` — Spark's
+    TakeOrderedAndProject, a distributed per-partition top-100 +
+    driver merge — so the FULL vocabulary (billions of terms at
+    corpus scale) never funnels through a single-partition sort; the
+    rank window then runs over only the 100 survivors."""
     from pyspark.sql.window import Window
 
     doc = load_table(spark, sf_dir, "documents")
     toks = doc.select(F.explode(X.tokens("text")).alias("term"))
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = tf.orderBy(F.col("n").desc(), F.col("term")).limit(100)
     w = Window.orderBy(F.col("n").desc(), F.col("term"))
     return (
-        tf.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 100)
+        top.withColumn("rk", F.row_number().over(w))
         .select("rk", "term", "n")
     )
 
