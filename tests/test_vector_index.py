@@ -90,3 +90,41 @@ def test_build_index_empty_source_raises_clearly(test_collection, emb):
         test_collection.build_vector_index(
             "empty_ivf", emb.filter("vec_id < 0"), n_cells=4
         )
+
+
+def test_index_search_recall_vs_brute_force(test_collection, emb):
+    """Measured-error discipline for the persisted index: recall@5 of
+    nprobe=1 / nprobe=2 probes against exact brute-force cosine truth
+    on the sf0.001 embeddings. IVF trades recall for the pruned scan;
+    the trade must be measured, not assumed — and more probes must
+    never lose recall."""
+    from pystore_spark.functions import similarity as S
+
+    test_collection.build_vector_index(
+        "rec_ivf", emb, n_cells=4, n_iters=2, overwrite=True
+    )
+    queries = emb.filter("vec_id < 20")
+    truth = (
+        S.brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
+        .toPandas()
+        .groupby("q_vec_id")["vec_id"]
+        .apply(set)
+    )
+
+    def recall(nprobe):
+        got = (
+            test_collection.search_vector_index(
+                "rec_ivf", queries, k=5, nprobe=nprobe
+            )
+            .toPandas()
+            .groupby("q_vec_id")["vec_id"]
+            .apply(set)
+        )
+        hits = sum(
+            len(got.get(q, set()) & t) for q, t in truth.items()
+        )
+        return hits / sum(len(t) for t in truth.items())
+
+    r1, r2 = recall(1), recall(2)
+    assert r1 >= 0.5  # a 4-cell coarse quantizer keeps most neighbors
+    assert r2 >= r1  # more probes never lose recall

@@ -2,7 +2,7 @@
 # Round-start ritual: the driver regenerates /root/testdata between
 # rounds, so (a) the previous round's CORRECTNESS file proves nothing
 # about the CURRENT parquet bytes and (b) the first bench run of the
-# round is page-cache-cold. Run the full 75-query oracle gate at
+# round is page-cache-cold. Run the full-registry oracle gate at
 # sf0.01 before touching anything else; it doubles as the cache warmer.
 #
 #   bash tools/round_start.sh [sf_dir]
