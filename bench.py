@@ -56,7 +56,7 @@ def _storage_bench(spark, sf_dir: str) -> float:
     back (the reference's headline claims are about this path —
     append throughput, pushdown reads).
 
-    The cycle runs once for warmup, then twice timed and the MIN is
+    The cycle runs once for warmup, then three timed runs and the MIN is
     reported — steady-state throughput excluding first-use JIT/
     allocator/page-cache effects and one-off machine-noise blips.
     ``_pandas_storage_baseline`` is measured identically."""
@@ -104,7 +104,7 @@ def _storage_bench(spark, sf_dir: str) -> float:
 
         cycle()  # warmup pass
         best = float("inf")
-        for _ in range(2):  # min of 2 steady-state runs — noise guard
+        for _ in range(3):  # min of 3 steady-state runs — noise guard
             t0 = _t.perf_counter()
             cycle()
             best = min(best, _t.perf_counter() - t0)
@@ -127,7 +127,7 @@ def _pandas_storage_baseline(sf_dir: str) -> float:
     NOT added to the engine total.
 
     Measured like ``_storage_bench``: one warmup cycle, then the min
-    of two timed cycles (steady state, noise-guarded).
+    of three timed cycles (steady state, noise-guarded).
     """
     import shutil
     import tempfile
@@ -167,7 +167,7 @@ def _pandas_storage_baseline(sf_dir: str) -> float:
 
         cycle()  # warmup pass
         best = float("inf")
-        for _ in range(2):  # min of 2 steady-state runs — noise guard
+        for _ in range(3):  # min of 3 steady-state runs — noise guard
             t0 = _t.perf_counter()
             cycle()
             best = min(best, _t.perf_counter() - t0)
