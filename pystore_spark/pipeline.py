@@ -332,6 +332,19 @@ class CurationPipeline:
                 df = payload(df)
         return df
 
+    def report(self) -> dict:
+        """:meth:`funnel` as a plain dict ``{stage: n_surviving}``
+        (insertion-ordered), plus ``survival_rate`` — the notebook/
+        logging-friendly form."""
+        rows = self.funnel().collect()
+        out = {r["stage"]: int(r["n_surviving"]) for r in rows}
+        first = next(iter(out.values()), 0)
+        last = list(out.values())[-1] if out else 0
+        return {
+            "stages": out,
+            "survival_rate": round(last / first, 6) if first else None,
+        }
+
     def funnel(self) -> DataFrame:
         """Survivor counts after every cardinality-changing stage,
         as a small DataFrame ``(stage, n_surviving)`` (first row:

@@ -189,3 +189,15 @@ def test_dedup_embedding_drops_near_duplicates(spark):
         .toPandas()
     )
     assert fun["n_surviving"].tolist() == [10, 7]
+
+
+def test_report_summarizes_funnel(docs):
+    rep = (
+        CurationPipeline(docs)
+        .filter_min_chars(50)
+        .dedup_exact()
+        .report()
+    )
+    assert list(rep["stages"]) == ["input", "min_chars>=50", "dedup_exact"]
+    assert rep["stages"]["input"] == 11
+    assert 0 < rep["survival_rate"] <= 1.0
