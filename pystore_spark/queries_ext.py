@@ -2056,6 +2056,50 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ohlc_resample",
+    sql="""
+    SELECT user_id,
+      date_trunc('day', ts) AS bucket,
+      arg_min(value, ts) AS open,
+      MAX(value) AS high,
+      MIN(value) AS low,
+      arg_max(value, ts) AS close,
+      ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6)))
+            AS DOUBLE), 6) AS volume
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+    tags=("timeseries", "financial", "resample"),
+)
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the reference's home-turf financial
+    workload (its validator ships an OHLC invariant) as one
+    aggregation: per (user, day), first/last value by timestamp
+    (``min_by``/``max_by`` — order-independent given unique
+    timestamps, and tie-broken identically by both engines' arg_min
+    semantics on the µs-identical ts), high/low as plain min/max, and
+    a decimal-exact volume sum. One keyed shuffle with map-side
+    partial aggregation; no windows, no sort."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(20,6)"))
+            .cast("double"),
+            6,
+        ).alias("volume"),
+    )
+
+
+@register(
     "vocab_topk",
     sql=f"""
     WITH toks AS (
@@ -2266,6 +2310,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "weighted_sample_topk", "corpus_mix_report",
     # round-4 additions outside the window
     "near_dedup_recall_audit", "vocab_topk", "doc_length_histogram",
+    "ohlc_resample",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
