@@ -293,6 +293,58 @@ class Item:
             self._df = self._load()
         return self._df
 
+    def resample(
+        self,
+        unit: str,
+        aggs: dict,
+        dims: Sequence[str] = (),
+    ) -> DataFrame:
+        """Ad-hoc downsampling over this handle's (filtered) data —
+        the pandas ``.resample()`` idiom as one keyed aggregation:
+        ``item.resample("day", {"px": ["open", "max", "min",
+        "close"], "qty": ["sum"]})``. Plain aggregates share the
+        rollup builder's decimal-exact sums; ``open``/``close``
+        compile to ``min_by``/``max_by`` on the index (no window, no
+        sort). For a MAINTAINED aggregate use
+        ``Collection.create_rollup`` — this is the one-shot query."""
+        from pystore_spark import rollup as R
+        from pystore_spark.exceptions import ValidationError
+
+        if unit not in R._UNITS:
+            raise ValidationError(
+                f"unsupported resample unit {unit!r}; "
+                f"supported: {R._UNITS}"
+            )
+        idx = self.index_column
+        base_aggs: dict[str, list[str]] = {}
+        extra = []
+        for col, fns in aggs.items():
+            plain = [f for f in fns if f in R._AGG_FNS]
+            if plain:
+                base_aggs[col] = plain
+            for f in fns:
+                if f == "open":
+                    extra.append(
+                        F.min_by(col, idx).alias(f"{col}_open")
+                    )
+                elif f == "close":
+                    extra.append(
+                        F.max_by(col, idx).alias(f"{col}_close")
+                    )
+                elif f not in R._AGG_FNS:
+                    raise ValidationError(
+                        f"unsupported resample aggregate {f!r}; "
+                        f"supported: {sorted(R._AGG_FNS)} + "
+                        "['open', 'close']"
+                    )
+        exprs = (R.agg_exprs(base_aggs) if base_aggs else []) + extra
+        if not exprs:
+            raise ValidationError("resample needs at least one aggregate")
+        bucket = F.date_trunc(unit, F.col(idx)).alias("bucket")
+        return self.data.groupBy(
+            bucket, *[F.col(d) for d in dims]
+        ).agg(*exprs)
+
     def stats(self) -> dict | None:
         """Column statistics recorded by ``Collection.analyze`` (or
         None if never analyzed). ``as_of_version`` vs

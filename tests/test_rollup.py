@@ -287,3 +287,42 @@ def test_replayed_batch_still_refreshes_stale_rollup(test_collection, spark):
         _read_rollup(test_collection, "r"),
         _full_rollup(test_collection, "src"),
     )
+
+
+def test_item_resample_adhoc_ohlc(test_collection):
+    """Item.resample: one-shot OHLC downsampling with decimal-exact
+    sums, validated against a pandas resample of the same data."""
+    import numpy as np
+    import pandas as pd
+
+    from pystore_spark.exceptions import ValidationError
+
+    n = 3_000
+    idx = pd.date_range("2024-01-01", periods=n, freq="min")
+    df = pd.DataFrame({"px": np.arange(n, dtype="float64") % 97}, index=idx)
+    test_collection.write("rs", df)
+
+    out = (
+        test_collection.item("rs")
+        .resample("day", {"px": ["open", "max", "min", "close", "sum"]})
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    want = df["px"].resample("D").agg(["first", "max", "min", "last", "sum"])
+    assert len(out) == len(want)
+    assert (out["px_open"].to_numpy() == want["first"].to_numpy()).all()
+    assert (out["px_close"].to_numpy() == want["last"].to_numpy()).all()
+    assert (out["px_max"].to_numpy() == want["max"].to_numpy()).all()
+    assert np.allclose(out["px_sum"].to_numpy(), want["sum"].to_numpy())
+
+    # filters prune before the aggregation (the handle's own scan)
+    it = test_collection.item(
+        "rs", filters=[("index", ">=", pd.Timestamp("2024-01-02"))]
+    )
+    assert it.resample("day", {"px": ["count"]}).count() == len(want) - 1
+
+    with pytest.raises(ValidationError):
+        test_collection.item("rs").resample("day", {"px": ["median"]})
+    with pytest.raises(ValidationError):
+        test_collection.item("rs").resample("fortnight", {"px": ["sum"]})
