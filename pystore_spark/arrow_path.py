@@ -613,12 +613,28 @@ def try_append(
     except Exception:
         return False
 
+    # observed-state guard: the merge above was computed from
+    # existing_item's manifest; a concurrent commit landing in a
+    # touched bucket (or anywhere, for the whole-item path) between
+    # that read and this commit raises ConcurrentCommitError — fall
+    # back to the Spark path, which re-resolves the item fresh
+    from pystore_spark.exceptions import ConcurrentCommitError
+
+    expect = (
+        mf.bucket_file_map(existing_item._manifest)
+        if existing_item._manifest is not None
+        else None
+    )
     if time_scoped:
-        col._install_buckets(
-            item,
-            lambda tmp: write_table_files(out, Path(tmp), plan, idx_cols),
-            sidecar,
-        )
+        try:
+            col._install_buckets(
+                item,
+                lambda tmp: write_table_files(out, Path(tmp), plan, idx_cols),
+                sidecar,
+                expect_files=expect,
+            )
+        except ConcurrentCommitError:
+            return False
         return True
     new_plan = (
         plan
@@ -626,11 +642,15 @@ def try_append(
         else _plan_for_table(col, out, icol, npartitions)
     )
     sidecar["_partition_plan"] = new_plan.to_dict()
-    col._atomic_install(
-        item,
-        lambda tmp: write_table_files(out, Path(tmp), new_plan, idx_cols),
-        sidecar,
-    )
+    try:
+        col._atomic_install(
+            item,
+            lambda tmp: write_table_files(out, Path(tmp), new_plan, idx_cols),
+            sidecar,
+            expect_files=expect,
+        )
+    except ConcurrentCommitError:
+        return False
     return True
 
 

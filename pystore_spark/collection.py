@@ -429,15 +429,25 @@ class Collection:
             item, lambda tmp: self._write_df(df, str(tmp), plan), sidecar
         )
 
-    def _atomic_install(self, item: str, write_fn, sidecar: dict) -> None:
+    def _atomic_install(
+        self, item: str, write_fn, sidecar: dict,
+        expect_files: dict[str, tuple[str, ...]] | None = None,
+    ) -> None:
         """Shared whole-item commit: ``write_fn(tmp_dir)`` produces the
         data files (Spark or Arrow writer), which are staged into the
         item dir under token-unique names and made live by one atomic
-        manifest replace (see manifest.py)."""
-        self._commit_staged(item, write_fn, sidecar, scope="item")
+        manifest replace (see manifest.py). ``expect_files`` is the
+        observed-state guard for rewrites computed from a prior read
+        (see ``_commit_staged``); intentional overwrites leave it
+        None."""
+        self._commit_staged(
+            item, write_fn, sidecar, scope="item",
+            expect_files=expect_files,
+        )
 
     def _commit_staged(
-        self, item: str, write_fn, sidecar: dict, scope: str
+        self, item: str, write_fn, sidecar: dict, scope: str,
+        expect_files: dict[str, tuple[str, ...]] | None = None,
     ) -> None:
         """The manifest commit protocol shared by every writer:
 
@@ -459,10 +469,22 @@ class Collection:
         **conditional put** against the etag read in step 0 (true CAS
         on object stores, best-effort locally where CollectionLock is
         the primary serialization) — a lost race raises instead of
-        silently clobbering a concurrent commit."""
+        silently clobbering a concurrent commit.
+
+        ``expect_files`` (``mf.bucket_file_map`` of the manifest the
+        rewrite was COMPUTED from) closes the read-compute-commit
+        lost-update window: the etag here is read fresh *after*
+        staging, so without it a compact/append whose inputs predate a
+        concurrent commit would CAS successfully and move that
+        commit's files to the stale map — rows silently vanishing from
+        the live view. With it, any touched bucket (scope='buckets')
+        or any live file at all (scope='item') that drifted from the
+        observed state raises ``ConcurrentCommitError`` so the caller
+        retries against fresh state."""
         from pathlib import PurePosixPath
 
         from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
 
         fs = self.fs
         item_path = self._item_path(item)
@@ -498,6 +520,31 @@ class Collection:
                 fs.move(src, item_path / dst_rel)
                 staged.append(dst_rel.as_posix())
             utils.rm_tree(tmp)
+            if expect_files is not None and man is not None:
+                fresh = mf.bucket_file_map(man)
+                if scope == "buckets":
+                    touched_now = {
+                        PurePosixPath(s).parent.as_posix() for s in staged
+                    }
+                    drift = [
+                        b
+                        for b in sorted(touched_now)
+                        if fresh.get(b, ()) != expect_files.get(b, ())
+                    ]
+                else:
+                    observed = {
+                        f for fs_ in expect_files.values() for f in fs_
+                    }
+                    drift = (
+                        [] if set(old_files) == observed else ["<item>"]
+                    )
+                if drift:
+                    raise ConcurrentCommitError(
+                        f"item {item!r}: live file set changed for "
+                        f"{drift} since this rewrite was computed — "
+                        "a concurrent commit landed; retry against "
+                        "the fresh manifest"
+                    )
             if scope == "buckets":
                 touched = {
                     PurePosixPath(s).parent.as_posix() for s in staged
@@ -684,7 +731,7 @@ class Collection:
         ):
             self._append_partition_scoped(
                 item, existing, incoming, idx_cols, plan, duplicate_handling,
-                sidecar, order_col=order_col,
+                sidecar, order_col=order_col, man=existing_item._manifest,
             )
         else:
             from pystore_spark import manifest as mf
@@ -717,14 +764,23 @@ class Collection:
         duplicate_handling: str,
         sidecar: dict,
         order_col: str | None = None,
+        man: dict | None = None,
     ) -> None:
         """Merge only the time-buckets touched by incoming keys, then
         commit just those buckets' file pointers — the scalable append
         path. Readers resolve through the manifest and take no lock:
         they see the pre-append or post-append file set, never a
         partial one (see manifest.py); crash recovery is pure GC
-        (:meth:`recover_item`)."""
+        (:meth:`recover_item`).
+
+        ``man`` is the manifest ``existing`` was resolved from; its
+        per-bucket file map is handed to the commit as the
+        observed-state guard, and on ``ConcurrentCommitError`` (another
+        writer landed in a touched bucket mid-merge) the merge is
+        redone against the fresh manifest — bounded retries, then the
+        error propagates."""
         from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.partition import bucket_expr, estimate_size_bytes
 
         item_path = self._item_path(item)
@@ -735,34 +791,55 @@ class Collection:
             r[PARTITION_COL]
             for r in inc.select(PARTITION_COL).distinct().collect()
         ]
-        subset = existing.filter(F.col(PARTITION_COL).isin(buckets)).drop(
-            PARTITION_COL
-        )
-        merged = merge_append(
-            subset, inc.drop(PARTITION_COL), idx_cols, duplicate_handling,
-            order_col=order_col,
-        )
-        # merged size ≈ touched on-disk bytes + incoming estimate; under
-        # one target partition the range exchange is pure overhead
-        inc_est = estimate_size_bytes(incoming)
-        touched_bytes = mf.item_bytes(item_path, buckets=set(buckets))
-        shaped = apply_layout(
-            merged, plan, index_col=idx_cols[0],
-            small=inc_est is not None
-            and touched_bytes + inc_est <= config.PARTITION_TARGET_BYTES,
-        )
-        self._install_buckets(
-            item, lambda tmp: self._write_df(shaped, str(tmp), plan), sidecar
-        )
+        for attempt in range(3):
+            subset = existing.filter(
+                F.col(PARTITION_COL).isin(buckets)
+            ).drop(PARTITION_COL)
+            merged = merge_append(
+                subset, inc.drop(PARTITION_COL), idx_cols,
+                duplicate_handling, order_col=order_col,
+            )
+            # merged size ≈ touched on-disk bytes + incoming estimate;
+            # under one target partition the range exchange is pure
+            # overhead
+            inc_est = estimate_size_bytes(incoming)
+            touched_bytes = mf.item_bytes(item_path, buckets=set(buckets))
+            shaped = apply_layout(
+                merged, plan, index_col=idx_cols[0],
+                small=inc_est is not None
+                and touched_bytes + inc_est <= config.PARTITION_TARGET_BYTES,
+            )
+            try:
+                self._install_buckets(
+                    item,
+                    lambda tmp: self._write_df(shaped, str(tmp), plan),
+                    sidecar,
+                    expect_files=mf.bucket_file_map(man)
+                    if man is not None
+                    else None,
+                )
+                return
+            except ConcurrentCommitError:
+                if attempt == 2:
+                    raise
+                fresh_it = self.item(item)
+                existing, man = fresh_it.raw_frame(), fresh_it._manifest
 
-    def _install_buckets(self, item: str, write_fn, sidecar: dict) -> None:
+    def _install_buckets(
+        self, item: str, write_fn, sidecar: dict,
+        expect_files: dict[str, tuple[str, ...]] | None = None,
+    ) -> None:
         """Bucket-scoped commit: ``write_fn(tmp_dir)`` writes the
         merged replacement buckets (hive ``_pb=...`` dirs); the
         manifest commit replaces exactly the file pointers of those
         buckets, keeping every untouched bucket's pointers — work and
         commit size proportional to the touched time range, not the
-        item."""
-        self._commit_staged(item, write_fn, sidecar, scope="buckets")
+        item. ``expect_files`` is the observed-state guard (see
+        ``_commit_staged``)."""
+        self._commit_staged(
+            item, write_fn, sidecar, scope="buckets",
+            expect_files=expect_files,
+        )
 
     def sql(
         self,
@@ -1713,7 +1790,8 @@ class Collection:
         return plan.npartitions
 
     def compact(
-        self, item: str, target_size_mb: int | None = None
+        self, item: str, target_size_mb: int | None = None,
+        _retries: int = 2,
     ) -> dict:
         """Selective small-file compaction: rewrite ONLY the time
         buckets holding more files than their bytes need at the
@@ -1832,14 +1910,34 @@ class Collection:
             df,
             cplan,
             index_col=it.index_column,
-            small=sel_bytes <= config.PARTITION_TARGET_BYTES,
+            # small vs the CALLER's target, not the global default — a
+            # custom smaller target must still engage the
+            # range-partition path so a bucket can split into the
+            # needed_total files it implies
+            small=sel_bytes <= target,
         )
         sidecar = dict(it.metadata)
-        self._install_buckets(
-            item,
-            lambda tmp: self._write_df(shaped, str(tmp), cplan),
-            sidecar,
-        )
+        from pystore_spark.exceptions import ConcurrentCommitError
+
+        try:
+            self._install_buckets(
+                item,
+                lambda tmp: self._write_df(shaped, str(tmp), cplan),
+                sidecar,
+                # observed-state guard: the rewrite above was computed
+                # from `man`; if an append lands in a selected bucket
+                # before this commit, the commit must NOT move its
+                # files to stale — detect the drift and redo the
+                # census against the fresh manifest
+                expect_files=mf.bucket_file_map(man),
+            )
+        except ConcurrentCommitError:
+            self.clear_metadata_cache(item)
+            if _retries > 0:
+                return self.compact(
+                    item, target_size_mb, _retries=_retries - 1
+                )
+            raise
         self.clear_metadata_cache(item)
         man2 = utils.read_manifest(item_path) or {}
         return {

@@ -4,8 +4,12 @@ fingerprinting — all as Catalyst Column expressions (no UDFs).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 # small deterministic stopword lists for the language-ID heuristic
 STOPWORDS = {
@@ -44,13 +48,18 @@ def widen_parallelism(df, min_partitions: int | None = None):
     """
     from pystore_spark.partition import estimate_size_bytes
 
-    try:
-        target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-        est = estimate_size_bytes(df)
-        if est is not None and est < target * _WIDEN_BYTES_PER_CORE:
-            return df.repartition(target)
-    except Exception:
-        pass
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    est = estimate_size_bytes(df)
+    if est is None:
+        # a broken estimate path must surface a signal, not silently
+        # degrade CPU-bound kernels to single-split execution
+        _log.debug(
+            "widen_parallelism: no Catalyst size estimate for this "
+            "plan; leaving input parallelism unchanged"
+        )
+        return df
+    if est < target * _WIDEN_BYTES_PER_CORE:
+        return df.repartition(target)
     return df
 
 

@@ -88,13 +88,28 @@ def _version_as_of(path: Path, ts: Any) -> int:
     if hasattr(ts, "strftime"):
         ts = ts.strftime("%Y-%m-%d %H:%M:%S.%f")
     ts = str(ts)
+    hit = None
+    hit_upd = None
     for v in sorted(utils.list_versions(path), reverse=True):
         man = utils.read_version_manifest(path, v)
         if man is None:
             continue
         upd = str((man.get("metadata") or {}).get("_updated") or "")
+        if hit is not None:
+            # tie-break: metadata-only commits (stamp=False — analyze,
+            # GC) inherit the prior _updated, so the NEWEST version at
+            # this stamp may have been committed after ts. Resolve to
+            # the SMALLEST version sharing the stamp — the one the
+            # stamp actually belongs to — so the reported version is
+            # never a commit that postdates ts.
+            if upd == hit_upd:
+                hit = v
+                continue
+            return hit
         if upd <= ts:
-            return v
+            hit, hit_upd = v, upd
+    if hit is not None:
+        return hit
     raise VersionNotFoundError(
         f"no committed version of {path} at or before {ts!r} "
         "is still readable (older history is GC'd on the stale-"

@@ -53,6 +53,24 @@ def live_files(item_path: str | Path, man: dict[str, Any]) -> list[Path]:
     return [b / f for f in (man.get("files") or [])]
 
 
+def bucket_file_map(man: dict[str, Any] | None) -> dict[str, tuple[str, ...]]:
+    """Live files grouped by their bucket directory (the relpath's
+    first component — ``_pb=...`` for time layouts, ``.`` for flat
+    items), the unit ``_commit_staged``'s scope='buckets' swap
+    replaces. Writers capture this at read time and pass it back as
+    ``expect_files`` so the commit can detect a concurrent commit that
+    changed a touched bucket after the rewrite was computed (the
+    compact-vs-append lost-update window)."""
+    from pathlib import PurePosixPath
+
+    grouped: dict[str, list[str]] = {}
+    for f in (man or {}).get("files") or []:
+        grouped.setdefault(
+            PurePosixPath(f).parent.as_posix(), []
+        ).append(f)
+    return {k: tuple(sorted(v)) for k, v in grouped.items()}
+
+
 def _bucket_of(relpath: str) -> str | None:
     head = relpath.split("/", 1)[0]
     if head.startswith(f"{PARTITION_COL}="):

@@ -31,6 +31,9 @@ so the shuffle is proportional to the touched partitions, not the item.
 
 from __future__ import annotations
 
+import re
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -40,6 +43,35 @@ SRC_COL = "_src"
 ORD_COL = "_ord"
 
 STRATEGIES = ("keep_last", "keep_first", "keep_all", "error")
+
+# logical operators whose output row order is a shuffle artifact —
+# when one appears in the incoming frame's lineage, "input order" is
+# not a meaningful tiebreaker and the caller must supply order_col
+_SHUFFLE_OPS = re.compile(
+    r"\b(Join|Aggregate|RepartitionByExpression|Repartition|"
+    r"Window|Distinct|Deduplicate|Sort)\b"
+)
+
+
+def _warn_if_order_unreliable(df: DataFrame, context: str) -> None:
+    """Warn when keep-first/keep-last must fall back to input order
+    (``monotonically_increasing_id``) but the frame's lineage contains
+    a shuffle-producing operator: which duplicate "came last" is then
+    a nondeterministic artifact of task scheduling, and the caller
+    should pass ``order_col`` to pin the winner."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    except Exception:
+        return
+    m = _SHUFFLE_OPS.search(plan)
+    if m:
+        warnings.warn(
+            f"{context}: the input frame's plan contains {m.group(1)}, "
+            "whose output row order is nondeterministic — keep-first/"
+            "keep-last within this batch will pick an arbitrary "
+            "winner. Pass order_col= to make the choice deterministic.",
+            stacklevel=3,
+        )
 
 
 def _union(existing: DataFrame, incoming: DataFrame) -> DataFrame:
@@ -61,6 +93,7 @@ def dedup_within(
         ord_expr = F.col(order_col)
         drop_cols = ["_rn"]
     else:
+        _warn_if_order_unreliable(df, "dedup_within")
         ordered = df.withColumn(ORD_COL, F.monotonically_increasing_id())
         ord_expr = F.col(ORD_COL)
         drop_cols = ["_rn", ORD_COL]
@@ -114,6 +147,8 @@ def merge_append(
     # incoming over existing; order_col (if any) then ranks within the
     # incoming frame deterministically; _ord is the final input-order
     # fallback.
+    if order_col is None:
+        _warn_if_order_unreliable(incoming, "merge_append(keep_last)")
     ex = existing.withColumn(SRC_COL, F.lit(0)).withColumn(
         ORD_COL, F.lit(0).cast("bigint")
     )

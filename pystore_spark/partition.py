@@ -123,8 +123,12 @@ def estimate_size_bytes(df: DataFrame) -> int | None:
         # Catalyst returns Long.MaxValue-ish when unknown
         if 0 < size < (1 << 60):
             return size
-    except Exception:
-        pass
+    except Exception as exc:  # py4j bridge / stats API drift
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "estimate_size_bytes: Catalyst stats unavailable (%s)", exc
+        )
     return None
 
 

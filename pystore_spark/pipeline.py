@@ -191,10 +191,16 @@ class CurationPipeline:
                     / F.count(F.lit(1))
                 ).alias("_r")
             )
-            keep = ratio.filter(F.col("_r") <= max_dup_ratio).select(
+            # anti-join on the DROP set, not semi-join on the keep set:
+            # documents with zero tokens (no chunks, hence absent from
+            # `ratio`) have no duplicate chunks by definition and must
+            # pass through unchanged — a semi-join would silently drop
+            # them, an unannounced cardinality change unrelated to the
+            # stage's purpose
+            drop = ratio.filter(F.col("_r") > max_dup_ratio).select(
                 F.col("_cid").alias(id_col)
             )
-            return df.join(keep, id_col, "left_semi")
+            return df.join(drop, id_col, "left_anti")
 
         self._stages.append(
             (f"dedup_chunks<= {max_dup_ratio}", _GLOBAL, g)

@@ -64,12 +64,16 @@ def read_manifest_versioned(
     (object-store CAS; see fs.py). (None, None) when absent.
 
     A manifest file that EXISTS but fails to parse (torn write on a
-    non-atomic filesystem, disk corruption) returns ``(None, etag)``:
-    readers fall back to the legacy directory scan, and the next
-    commit's CAS targets the corrupt bytes' etag — so it replaces the
-    corrupt file (listing the on-disk parquet as the prior file set,
-    exactly the legacy-upgrade path) instead of failing the
-    must-not-exist precondition forever."""
+    non-atomic filesystem, disk corruption) recovers from the newest
+    parseable ``_versions/`` history object — which names the TRUE
+    live file set at the last durable commit — returned with the
+    CORRUPT bytes' etag, so the next commit's CAS replaces the corrupt
+    pointer. Only when no history exists does it return ``(None,
+    etag)`` (legacy directory-scan fallback): rebuilding the live set
+    from a full listing would resurrect stale-retained (replaced /
+    deleted) and staged-uncommitted parquet as live data — silent
+    duplicate / deleted-row reappearance — so history recovery is
+    always preferred."""
     p = Path(path) / MANIFEST_FILE
     fs = fs_for(p)
     try:
@@ -79,7 +83,31 @@ def read_manifest_versioned(
     try:
         return json.loads(data), fslib._md5(data)
     except ValueError:
-        return None, fslib._md5(data)
+        return _recover_manifest_from_history(Path(path)), fslib._md5(data)
+
+
+def _recover_manifest_from_history(path: Path) -> dict[str, Any] | None:
+    """Newest parseable ``_versions/`` history object, or None. History
+    objects are written AFTER each pointer install (write_manifest), so
+    the newest one is either the corrupt pointer's own content (pointer
+    corrupted post-install) or exactly one commit behind (pointer torn
+    mid-install, history never written) — in both cases a true live
+    set whose replaced files are still on disk under stale
+    retention."""
+    fs = fs_for(path)
+    try:
+        cands = sorted(fs.list_files(path / VERSIONS_DIR, ".json"),
+                       reverse=True)
+    except OSError:
+        return None
+    for f in cands:
+        try:
+            man = json.loads(fs.read_bytes(Path(f)))
+        except (OSError, ValueError):
+            continue
+        if isinstance(man, dict) and "files" in man:
+            return man
+    return None
 
 
 def write_manifest(

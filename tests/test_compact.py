@@ -246,3 +246,78 @@ def test_compact_non_time_item_is_noop_when_healthy(test_collection):
     # no rewrite: same version, same file pointers
     assert man2["version"] == man1["version"]
     assert man2["files"] == man1["files"]
+
+
+def test_compact_detects_concurrent_append(test_collection, monkeypatch):
+    """Lost-update window: an append that commits to a selected bucket
+    between compact's manifest read and its commit must NOT have its
+    files silently moved to stale. The observed-state guard raises
+    ConcurrentCommitError inside the commit and compact retries
+    against the fresh manifest — no rows vanish."""
+    c = test_collection
+    c.write("race", _frame(90_000))
+    item_path = c._item_path("race")
+    buckets = sorted(_files_per_bucket(item_path))
+    _fragment_bucket(item_path, buckets[0], 4)
+
+    base = c.item("race").to_pandas()
+    # new rows landing inside the fragmented (selected) bucket
+    inc = pd.DataFrame(
+        {"v": [1e6, 2e6], "w": [3e6, 4e6]},
+        index=base.index[:2] + pd.Timedelta(seconds=30),
+    )
+
+    fired = {}
+    orig_write = c._write_df
+
+    def hooked(df, path, plan):
+        # compact has computed its rewrite; land a concurrent append
+        # into the selected bucket before compact's manifest commit
+        if "x" not in fired:
+            fired["x"] = True
+            c.append("race", inc)
+        return orig_write(df, path, plan)
+
+    monkeypatch.setattr(c, "_write_df", hooked)
+    c.compact("race")  # must not raise; retries internally
+
+    got = c.item("race").to_pandas()
+    expected = pd.concat([base, inc]).sort_index()
+    pd.testing.assert_frame_equal(
+        got.sort_index(), expected, check_freq=False
+    )
+
+
+def test_commit_guard_raises_on_drift(test_collection):
+    """Direct guard check: a bucket-scoped commit carrying an
+    expect_files map that no longer matches the live manifest raises
+    ConcurrentCommitError and leaves the live state untouched."""
+    import pytest
+
+    from pystore_spark.exceptions import ConcurrentCommitError
+
+    c = test_collection
+    c.write("g", _frame(2_000))
+    item_path = c._item_path("g")
+    man0 = utils.read_manifest(item_path)
+    stale_expect = {
+        b: tuple(list(fs_) + ["_gone.parquet"])
+        for b, fs_ in mf.bucket_file_map(man0).items()
+    }
+    before = c.item("g").to_pandas()
+
+    def write_fn(tmp):
+        # rewrite bucket 0's file into tmp under its hive dir
+        import shutil
+
+        rel = man0["files"][0]
+        dst = tmp / rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(item_path / rel, dst)
+
+    with pytest.raises(ConcurrentCommitError):
+        c._install_buckets("g", write_fn, dict(c.item("g").metadata),
+                           expect_files=stale_expect)
+    pd.testing.assert_frame_equal(
+        c.item("g").to_pandas(), before, check_freq=False
+    )

@@ -1,0 +1,187 @@
+"""Round-5 hardening: ADVICE/VERDICT items from round 4.
+
+* order_col determinism warning on shuffled append input (merge.py)
+* widen_parallelism surfaces a debug log instead of silence when the
+  Catalyst size estimate is unavailable (functions/text.py)
+* corrupt-manifest recovery prefers _versions/ history over the
+  resurrect-everything directory listing (utils.py)
+* _version_as_of tie-break: metadata-only (stamp=False) commits never
+  make an as_of read report a version committed after ts (item.py)
+* dedup_chunks passes zero-token documents through (pipeline.py)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pystore_spark import merge, utils
+
+
+def _frame(n, start="2023-01-01", freq="min"):
+    return pd.DataFrame(
+        {"v": np.arange(n, dtype="float64")},
+        index=pd.date_range(start, periods=n, freq=freq),
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_col determinism warning
+# ---------------------------------------------------------------------------
+def test_dedup_within_warns_on_shuffled_input(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], ["k", "v"]
+    )
+    shuffled = df.join(df.select("k").distinct(), "k")
+    with pytest.warns(UserWarning, match="order_col"):
+        merge.dedup_within(shuffled, ["k"], keep="last")
+
+
+def test_dedup_within_no_warning_for_local_input(spark, recwarn):
+    df = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"])
+    out = merge.dedup_within(df, ["k"], keep="last")
+    assert out.count() == 1
+    assert not [
+        w for w in recwarn if "order_col" in str(w.message)
+    ], "driver-originated input must not warn"
+
+
+def test_merge_append_keep_last_warns_on_shuffled_incoming(spark):
+    ex = spark.createDataFrame([(1, "old")], ["k", "v"])
+    inc = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"])
+    agg_inc = inc.groupBy("k", "v").count().drop("count")
+    with pytest.warns(UserWarning, match="order_col"):
+        merge.merge_append(ex, agg_inc, ["k"], "keep_last")
+
+
+def test_merge_append_order_col_suppresses_warning(spark, recwarn):
+    ex = spark.createDataFrame([(1, "old", 0)], ["k", "v", "seq"])
+    inc = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], ["k", "v", "seq"]
+    )
+    agg_inc = inc.groupBy("k", "v", "seq").count().drop("count")
+    out = merge.merge_append(
+        ex, agg_inc, ["k"], "keep_last", order_col="seq"
+    )
+    assert [r["v"] for r in out.collect()] == ["b"]
+    assert not [w for w in recwarn if "order_col" in str(w.message)]
+
+
+# ---------------------------------------------------------------------------
+# widen_parallelism: broken estimate path surfaces a log line
+# ---------------------------------------------------------------------------
+def test_widen_parallelism_logs_when_estimate_missing(
+    spark, monkeypatch, caplog
+):
+    from pystore_spark.functions import text as X
+    from pystore_spark import partition
+
+    df = spark.createDataFrame([(1,)], ["a"])
+    monkeypatch.setattr(
+        partition, "estimate_size_bytes", lambda _df: None
+    )
+    with caplog.at_level(
+        logging.DEBUG, logger="pystore_spark.functions.text"
+    ):
+        out = X.widen_parallelism(df)
+    assert out is df, "no estimate → input returned unchanged"
+    assert any(
+        "no Catalyst size estimate" in r.message for r in caplog.records
+    ), "silent degradation — the miss must be logged"
+
+
+# ---------------------------------------------------------------------------
+# corrupt manifest → history recovery, not directory-listing resurrection
+# ---------------------------------------------------------------------------
+def test_corrupt_manifest_recovers_from_history(test_collection):
+    c = test_collection
+    c.write("cm", _frame(500))
+    c.append("cm", _frame(100, start="2023-01-02"))
+    item_path = c._item_path("cm")
+    good = utils.read_manifest(item_path)
+    live = set(good["files"])
+    assert good.get("stale"), "premise: append must retire old files"
+
+    # plant an orphan that a directory-listing rebuild would resurrect
+    (item_path / "zz-staged-orphan.parquet").write_bytes(b"not parquet")
+    # tear the pointer
+    (item_path / utils.MANIFEST_FILE).write_bytes(b"{torn-json")
+
+    man, etag = utils.read_manifest_versioned(item_path)
+    assert etag is not None
+    assert man is not None, "history recovery must engage"
+    assert set(man["files"]) == live, (
+        "recovered live set must equal the last durable commit — not a "
+        "directory listing that resurrects stale/staged files"
+    )
+
+
+def test_corrupt_manifest_without_history_falls_back(tmp_path):
+    p = tmp_path / "item"
+    p.mkdir()
+    (p / utils.MANIFEST_FILE).write_bytes(b"{torn")
+    man, etag = utils.read_manifest_versioned(p)
+    assert man is None and etag is not None
+
+
+# ---------------------------------------------------------------------------
+# _version_as_of: stamp=False commits never shadow the stamped commit
+# ---------------------------------------------------------------------------
+def test_as_of_tiebreak_smallest_version_for_shared_stamp(test_collection):
+    c = test_collection
+    c.write("tv", _frame(200))
+    item_path = c._item_path("tv")
+    v1 = utils.read_manifest(item_path)["version"]
+
+    # metadata-only commit (stamp=False) — inherits v1's _updated
+    man = utils.read_manifest(item_path)
+    utils.write_manifest(
+        item_path,
+        man["files"],
+        {**man["metadata"], "_note": "gc"},
+        stale=man.get("stale"),
+        version=man["version"] + 1,
+        stamp=False,
+        sizes=man.get("sizes"),
+    )
+    stamp = man["metadata"]["_updated"]
+
+    from pystore_spark.item import _version_as_of
+
+    got = _version_as_of(item_path, stamp)
+    assert got == v1, (
+        f"as_of {stamp!r} resolved to v{got}, a commit that postdates "
+        f"the stamp owner v{v1}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_chunks: zero-token documents pass through
+# ---------------------------------------------------------------------------
+def test_dedup_chunks_keeps_tokenless_documents(spark):
+    from pystore_spark.pipeline import CurationPipeline
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, boiler),
+        (2, boiler),
+        (3, "entirely unique words " + " ".join(f"tok{i}" for i in range(60))),
+        (4, ""),            # zero tokens
+        (5, "   \t  \n "),  # whitespace only → zero tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = (
+        CurationPipeline(df, id_col="doc_id", text_col="text")
+        .dedup_chunks(max_dup_ratio=0.5, chunk_tokens=3)
+        .dataframe()
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert {4, 5} <= kept, "token-less docs must pass through unchanged"
+    assert 3 in kept
+    assert kept.isdisjoint(set()) or not ({1, 2} <= kept), (
+        "boilerplate duplicates should be dropped"
+    )
