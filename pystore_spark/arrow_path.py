@@ -279,7 +279,9 @@ def _incoming_to_table(
     if isinstance(data, pd.DataFrame):
         if estimate_pandas_bytes(data) > threshold:
             return None
-        flat, meta = flatten_pandas(data, epochdate=epochdate)
+        flat, meta = flatten_pandas(
+            data, epochdate=epochdate, index_col=index_col
+        )
         return table_from_flat(flat), meta
     from pyspark.sql import DataFrame as SparkDataFrame
 
@@ -513,7 +515,10 @@ def try_append(
     item_path = Path(existing_item.path)
 
     try:
-        got = _incoming_to_table(col, data, epochdate)
+        got = _incoming_to_table(
+            col, data, epochdate,
+            index_col=col._append_index_hint(item, data),
+        )
         if got is None:
             return False
         inc_tbl, inc_meta = got
@@ -616,25 +621,20 @@ def try_append(
     # observed-state guard: the merge above was computed from
     # existing_item's manifest; a concurrent commit landing in a
     # touched bucket (or anywhere, for the whole-item path) between
-    # that read and this commit raises ConcurrentCommitError — fall
-    # back to the Spark path, which re-resolves the item fresh
-    from pystore_spark.exceptions import ConcurrentCommitError
-
+    # that read and this commit raises ConcurrentCommitError — the
+    # documented caller-retries contract, same as a lost manifest CAS
     expect = (
         mf.bucket_file_map(existing_item._manifest)
         if existing_item._manifest is not None
         else None
     )
     if time_scoped:
-        try:
-            col._install_buckets(
-                item,
-                lambda tmp: write_table_files(out, Path(tmp), plan, idx_cols),
-                sidecar,
-                expect_files=expect,
-            )
-        except ConcurrentCommitError:
-            return False
+        col._install_buckets(
+            item,
+            lambda tmp: write_table_files(out, Path(tmp), plan, idx_cols),
+            sidecar,
+            expect_files=expect,
+        )
         return True
     new_plan = (
         plan
@@ -642,15 +642,12 @@ def try_append(
         else _plan_for_table(col, out, icol, npartitions)
     )
     sidecar["_partition_plan"] = new_plan.to_dict()
-    try:
-        col._atomic_install(
-            item,
-            lambda tmp: write_table_files(out, Path(tmp), new_plan, idx_cols),
-            sidecar,
-            expect_files=expect,
-        )
-    except ConcurrentCommitError:
-        return False
+    col._atomic_install(
+        item,
+        lambda tmp: write_table_files(out, Path(tmp), new_plan, idx_cols),
+        sidecar,
+        expect_files=expect,
+    )
     return True
 
 

@@ -267,7 +267,9 @@ class Collection:
             raise ValidationError(
                 f"unsupported data type for write: {type(data).__name__}"
             )
-        flat, meta = flatten_pandas(data, epochdate=epochdate)
+        flat, meta = flatten_pandas(
+            data, epochdate=epochdate, index_col=index_col
+        )
         nrows = len(flat)
         idx_cols = index_columns(meta)
         minmax = None
@@ -278,6 +280,33 @@ class Collection:
             minmax = (flat[icol].min(), flat[icol].max())
         sdf = self._create_df(flat)
         return sdf, meta, nrows, minmax
+
+    def _append_index_hint(self, item: str, data: Any) -> str | None:
+        """Index column to promote when appending a pandas frame that
+        carries the item's index as a REGULAR COLUMN (the natural
+        shape after ``write(pdf, index_col='doc_id')``): without the
+        hint, flatten keeps the incoming RangeIndex as the merge key
+        and the append either fails schema validation or — worse —
+        upserts on row position. Returns None whenever the incoming
+        index already matches or the stored index column is absent
+        (e.g. the common unnamed-DatetimeIndex append), preserving
+        pandas-index-driven semantics exactly."""
+        if not isinstance(data, pd.DataFrame):
+            return None
+        pmeta = (self.get_item_metadata(item) or {}).get(META_KEY)
+        if not pmeta:
+            return None
+        cols = index_columns(pmeta)
+        if len(cols) != 1:
+            return None
+        icol = cols[0]
+        if (
+            icol in data.columns
+            and data.index.name != icol
+            and icol not in (data.index.names or [])
+        ):
+            return icol
+        return None
 
     def _spark_input_meta(self, data: DataFrame, index_col: str | None) -> dict:
         """pandas round-trip metadata for direct Spark-DataFrame input
@@ -684,7 +713,10 @@ class Collection:
             return
 
         self._require_spark_fs(f"append to item {item!r} above the driver-path threshold")
-        incoming, inc_meta, nrows, _ = self._prepare_input(data, epochdate=epochdate)
+        incoming, inc_meta, nrows, _ = self._prepare_input(
+            data, epochdate=epochdate,
+            index_col=self._append_index_hint(item, data),
+        )
         if nrows == 0 or (nrows is None and incoming.isEmpty()):
             warnings.warn(f"append of empty data to {item!r} is a no-op",
                           stacklevel=2)
@@ -1550,6 +1582,7 @@ class Collection:
         n_cells: int = 8,
         n_iters: int = 2,
         overwrite: bool = False,
+        quantize: bool = False,
     ) -> dict:
         """Materialize an IVF (inverted-file) ANN index over an
         embedding DataFrame (or stored item name) as a regular engine
@@ -1567,7 +1600,15 @@ class Collection:
           construction).
 
         At 100 TB this is the difference between scoring the corpus
-        and scanning ~nprobe/n_cells of it. Returns
+        and scanning ~nprobe/n_cells of it.
+
+        ``quantize=True`` stores symmetric per-vector INT8 codes + a
+        double scale instead of the float vectors
+        (similarity.quantize_int8) — ~4× smaller inverted lists (the
+        difference between 100 TB and 25 TB of vectors); probes
+        dequantize candidates on the fly and the recall cost is
+        bounded (test_vector_index pins recall@5 within 1 point of
+        the float index at equal nprobe). Returns
         ``{n_cells, dim, n_vectors}``."""
         from pystore_spark.functions import similarity as S
 
@@ -1580,6 +1621,13 @@ class Collection:
             df, vec_col, id_col, n_cells=n_cells, n_iters=n_iters
         )
         assigned = S._assign_cells(df, vec_col, cents)
+        if quantize:
+            q, scale = S.quantize_int8(F.col(vec_col))
+            assigned = assigned.select(
+                *[c for c in assigned.columns if c != vec_col],
+                q.alias("_q8"),
+                scale.alias("_q8_scale"),
+            )
         self.write(
             index_item,
             assigned,
@@ -1592,6 +1640,7 @@ class Collection:
                     "id_col": id_col,
                     "n_cells": int(n_cells),
                     "centroids": cents,
+                    "quantized": bool(quantize),
                 }
             },
         )
@@ -1636,6 +1685,13 @@ class Collection:
         cand = self.item(
             index_item, filters=[("cell", "in", cells)]
         ).data
+        if meta.get("quantized"):
+            # decode the int8 codes for the (pruned) candidates only —
+            # the scan stays 4× lighter, scoring is unchanged
+            cand = cand.withColumn(
+                meta["vec_col"],
+                S.dequantize_int8(F.col("_q8"), F.col("_q8_scale")),
+            ).drop("_q8", "_q8_scale")
         return S.ivf_topk(
             cand,
             qa,
@@ -1647,6 +1703,74 @@ class Collection:
         )
 
     # ------------------------------------------------------------------
+    # persistent incremental near-dedup index (see dedup_index.py)
+    # ------------------------------------------------------------------
+    def build_dedup_index(
+        self,
+        index_item: str,
+        source,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.8,
+        num_hashes: int = 8,
+        bands: int = 4,
+        shingle_n: int = 3,
+        overwrite: bool = False,
+    ) -> dict:
+        """Materialize the MinHash band keys + shingle-hash sets of a
+        document corpus as persistent index items, so later
+        :meth:`append_dedup` calls dedup incoming batches against the
+        stored corpus in O(new) — never re-signing it. Mirrors
+        :meth:`build_vector_index`; see dedup_index.py for the
+        LSM-tiered layout and scale argument."""
+        from pystore_spark import dedup_index as DI
+
+        return DI.build_index(
+            self, index_item, source, text_col=text_col, id_col=id_col,
+            threshold=threshold, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, overwrite=overwrite,
+        )
+
+    def probe_dedup_index(
+        self, index_item: str, incoming: DataFrame,
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """Drop set: incoming docs that near-duplicate the indexed
+        corpus (band-key candidates → exact Jaccard verify over
+        persisted shingle-hash sets)."""
+        from pystore_spark import dedup_index as DI
+
+        return DI.probe(self, index_item, incoming, threshold=threshold)
+
+    def append_dedup(
+        self,
+        item: str,
+        data: Any,
+        index_item: str,
+        within_batch: bool = False,
+        **append_kwargs: Any,
+    ) -> dict:
+        """Append with incremental near-dedup: probe the persistent
+        index, drop near-duplicates of the stored corpus, append the
+        survivors, and index them (delta tier). The daily pipeline
+        operation the batch :func:`functions.dedup.near_dedup` cannot
+        do incrementally."""
+        from pystore_spark import dedup_index as DI
+
+        return DI.append_with_dedup(
+            self, item, data, index_item, within_batch=within_batch,
+            **append_kwargs,
+        )
+
+    def refresh_dedup_index(self, index_item: str) -> dict:
+        """Fold the index's unsorted delta tier into the sorted,
+        zonemapped base tier (LSM merge; also runs via
+        :meth:`maintain`)."""
+        from pystore_spark import dedup_index as DI
+
+        return DI.refresh_index(self, index_item)
+
+    # ------------------------------------------------------------------
     # maintenance (reference: pystore/partition.py:175-216)
     # ------------------------------------------------------------------
     def maintain(
@@ -1656,6 +1780,7 @@ class Collection:
         gc: bool = True,
         refresh_stats: bool = True,
         refresh_rollups: bool = True,
+        refresh_dedup_indexes: bool = True,
         target_size_mb: int | None = None,
     ) -> dict[str, dict]:
         """The nightly maintenance job, one call per item (or the
@@ -1677,9 +1802,20 @@ class Collection:
                 derived.add(r)
         out: dict[str, dict] = {}
         for n in names:
-            if n in derived:
+            if n in derived or not self.item_exists(n):
+                # derived rollups refresh via their base; an index
+                # delta may have been folded (deleted) earlier in this
+                # very loop
                 continue
             res: dict = {}
+            if refresh_dedup_indexes:
+                from pystore_spark import dedup_index as DI
+
+                try:
+                    if (self.get_item_metadata(n) or {}).get(DI.META_KEY):
+                        res["dedup_index"] = self.refresh_dedup_index(n)
+                except Exception as exc:
+                    res["dedup_index_error"] = str(exc)
             if gc:
                 try:
                     res["gc_removed"] = self.recover_item(n)

@@ -1,0 +1,440 @@
+"""Persistent incremental near-dedup index.
+
+The batch pipeline (functions/dedup.py:near_dedup, reference behavior
+RefinedWeb/SlimPajama-style) re-derives MinHash signatures for the
+WHOLE frame it is handed — appending one day of documents to a 100 TB
+curated item would re-sign the corpus. This module mirrors the
+persistent vector-index pattern (collection.py:build_vector_index):
+the corpus' MinHash band keys and shingle-hash sets persist as regular
+engine items, maintained incrementally on append, so deduplicating an
+incoming batch costs O(new docs + touched index files) — the stored
+corpus is never re-read, let alone re-signed.
+
+Index layout (all regular engine items — manifest MVCC, snapshots,
+time travel, maintain() all apply):
+
+* ``{index}`` — the BAND item: one row per (doc, band),
+  ``(bkey BIGINT, band INT, <id_col>)``, range-partitioned and sorted
+  by ``bkey`` with a manifest zonemap on it. ``bkey`` is the first 14
+  hex digits of the band-slice md5 as int64 — numeric so the zonemap
+  prunes (string footer stats are truncated/unreliable, see
+  manifest.gather_file_stats); truncating the digest only MERGES
+  buckets (extra candidates, removed by verification), never splits
+  one, so recall is unaffected. A probe's ``bkey in (...)`` filter
+  prunes index files on the driver — the inverted-list read.
+* ``{index}__docs`` — the VERIFICATION item: one row per doc,
+  ``(<id_col>, sh ARRAY<BIGINT>)`` — the distinct shingle-hash set,
+  sorted by id with a zonemap, so fetching candidate docs' sets
+  prunes to the touched id ranges. Exact Jaccard over the hash sets
+  equals shingle-set Jaccard up to 2^-56 collisions.
+* ``{index}__bands_delta`` / ``{index}__docs_delta`` — LSM delta
+  tier: the same rows plus an ``added_at`` time index. Appends land
+  here partition-scoped (O(new)); the delta is unsorted-by-key so
+  probes scan it whole — it stays small because
+  :func:`refresh_index` (wired into ``Collection.maintain``) folds it
+  into the sorted base tier, restoring tight pruning. Classic
+  LSM: cheap writes into a small unsorted tier, periodic merge into
+  the sorted one.
+
+Scale notes: signature/feature computation is a linear projection
+over the INCOMING batch only; candidate generation is a broadcast
+join of the (small) incoming band set against the pruned band item;
+verification joins only candidate ids. No stage touches the corpus
+item. The quadratic term is per-band-bucket, as in the batch
+pipeline.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pystore_spark.exceptions import StorageError
+from pystore_spark.functions.dedup import (
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+)
+from pystore_spark.functions.text import shingles
+
+_log = logging.getLogger(__name__)
+
+META_KEY = "_dedup_index"
+# above this many probe keys / candidate ids, skip the driver-side
+# in-filter (its plan-construction cost outgrows the pruning win) and
+# rely on the join alone
+MAX_PUSHDOWN_KEYS = 20_000
+
+
+def _hash56(col) -> Any:
+    """First 14 hex digits of md5 as int64 — the shared engine/oracle
+    hashing primitive (functions/dedup.py:minhash_signature h1)."""
+    return F.conv(F.substring(col, 1, 14), 16, 10).cast("bigint")
+
+
+def shingle_hashes(text_col: str, shingle_n: int):
+    """Distinct int64 shingle-hash set (distinct AFTER hashing, so the
+    DuckDB oracle's list_distinct(list_transform(...)) matches even
+    under collisions)."""
+    return F.array_distinct(
+        F.transform(
+            shingles(text_col, shingle_n), lambda s: _hash56(F.md5(s))
+        )
+    )
+
+
+def doc_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, sh: array<bigint>, bkeys: array<bigint>) — one linear
+    pass, no shuffle."""
+    rows = num_hashes // bands
+    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
+    bkeys = F.transform(
+        lsh_band_keys(sig, bands, rows), lambda k: _hash56(k)
+    )
+    return df.select(
+        F.col(id_col),
+        shingle_hashes(text_col, shingle_n).alias("sh"),
+        bkeys.alias("bkeys"),
+    )
+
+
+def explode_bands(feats: DataFrame, id_col: str) -> DataFrame:
+    """(bkey, band, id) rows for the band item."""
+    return feats.select(
+        F.col(id_col), F.posexplode("bkeys").alias("band", "bkey")
+    ).select("bkey", "band", id_col)
+
+
+def build_index(
+    col,
+    index_item: str,
+    source,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    overwrite: bool = False,
+) -> dict:
+    """Full build of the persistent index over a stored item (by name)
+    or DataFrame. One corpus pass; after this, appends never re-sign
+    the corpus."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into "
+            f"bands ({bands})"
+        )
+    df = col.item(source).data if isinstance(source, str) else source
+    feats = doc_features(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    meta = {
+        "text_col": text_col,
+        "id_col": id_col,
+        "threshold": float(threshold),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shingle_n": int(shingle_n),
+        "docs_item": f"{index_item}__docs",
+        "bands_delta": f"{index_item}__bands_delta",
+        "docs_delta": f"{index_item}__docs_delta",
+        "source_item": source if isinstance(source, str) else None,
+    }
+    col.write(
+        index_item,
+        explode_bands(feats, id_col),
+        index_col="bkey",
+        zonemap=["bkey"],
+        overwrite=overwrite,
+        sidecar_extra={META_KEY: meta},
+    )
+    col.write(
+        meta["docs_item"],
+        feats.select(id_col, "sh"),
+        index_col=id_col,
+        zonemap=[id_col],
+        overwrite=overwrite,
+        sidecar_extra={META_KEY + "_role": "docs"},
+    )
+    # stale deltas from a previous index generation must not leak in
+    for d in (meta["bands_delta"], meta["docs_delta"]):
+        if col.item_exists(d):
+            col.delete_item(d)
+    return {
+        "index_item": index_item,
+        "bands": bands,
+        "num_hashes": num_hashes,
+        "threshold": float(threshold),
+    }
+
+
+def _index_meta(col, index_item: str) -> dict:
+    meta = (col.get_item_metadata(index_item) or {}).get(META_KEY)
+    if not meta:
+        raise StorageError(
+            f"item {index_item!r} is not a dedup index "
+            "(build_dedup_index creates one)"
+        )
+    return meta
+
+
+def _union_tiers(
+    col, base_item: str, delta_item: str, columns: list[str],
+    filters=None,
+) -> DataFrame:
+    """Base tier (pruned by ``filters``) ∪ delta tier (scanned whole —
+    the LSM read path; the delta carries no key zonemap until
+    refresh_index folds it)."""
+    out = col.item(base_item, filters=filters).data.select(*columns)
+    if col.item_exists(delta_item):
+        out = out.unionByName(
+            col.item(delta_item).data.select(*columns)
+        )
+    return out
+
+
+def probe(
+    col,
+    index_item: str,
+    incoming: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Incoming docs that near-duplicate the INDEXED corpus: returns
+    the distinct ``(<id_col>,)`` drop set. O(new + touched index
+    files); the corpus item is never read."""
+    meta = _index_meta(col, index_item)
+    id_col = meta["id_col"]
+    thr = meta["threshold"] if threshold is None else float(threshold)
+    feats = doc_features(
+        incoming,
+        meta["text_col"],
+        id_col,
+        meta["num_hashes"],
+        meta["bands"],
+        meta["shingle_n"],
+    )
+    new_bands = explode_bands(feats, id_col).select(
+        "bkey", "band", F.col(id_col).alias("_new_id")
+    )
+
+    # file pruning: push the incoming band-key set as an in-filter
+    # when it is driver-bounded; the join below is the correctness
+    # path either way
+    keys = [
+        r["bkey"]
+        for r in new_bands.select("bkey").distinct().limit(
+            MAX_PUSHDOWN_KEYS + 1
+        ).collect()
+    ]
+    filters = (
+        [("bkey", "in", sorted(keys))]
+        if len(keys) <= MAX_PUSHDOWN_KEYS
+        else None
+    )
+    if filters is None:
+        _log.info(
+            "dedup probe: %s+ distinct band keys — skipping in-filter "
+            "pushdown, relying on the join", MAX_PUSHDOWN_KEYS,
+        )
+    stored_bands = _union_tiers(
+        col, index_item, meta["bands_delta"],
+        ["bkey", "band", id_col], filters=filters,
+    ).select("bkey", "band", F.col(id_col).alias("_old_id"))
+
+    # broadcast the INCOMING band set (batch-sized) against the pruned
+    # index scan — the index side is the big one at corpus scale
+    cand = (
+        stored_bands.join(F.broadcast(new_bands), on=["bkey", "band"])
+        .filter(F.col("_new_id") != F.col("_old_id"))
+        .select("_new_id", "_old_id")
+        .distinct()
+    )
+    # verification: exact Jaccard over persisted shingle-hash sets,
+    # fetched for candidate old ids only
+    old_ids = [
+        r["_old_id"]
+        for r in cand.select("_old_id").distinct().limit(
+            MAX_PUSHDOWN_KEYS + 1
+        ).collect()
+    ]
+    if not old_ids:
+        return incoming.select(id_col).limit(0)
+    doc_filters = (
+        [(id_col, "in", sorted(old_ids))]
+        if len(old_ids) <= MAX_PUSHDOWN_KEYS
+        else None
+    )
+    stored_sh = _union_tiers(
+        col, meta["docs_item"], meta["docs_delta"],
+        [id_col, "sh"], filters=doc_filters,
+    ).select(F.col(id_col).alias("_old_id"), F.col("sh").alias("_sh_old"))
+    new_sh = feats.select(
+        F.col(id_col).alias("_new_id"), F.col("sh").alias("_sh_new")
+    )
+    return (
+        cand.join(stored_sh, on="_old_id")
+        .join(new_sh, on="_new_id")
+        .filter(jaccard(F.col("_sh_new"), F.col("_sh_old")) >= thr)
+        .select(F.col("_new_id").alias(id_col))
+        .distinct()
+    )
+
+
+def append_with_dedup(
+    col,
+    item: str,
+    data: Any,
+    index_item: str,
+    within_batch: bool = False,
+    **append_kwargs: Any,
+) -> dict:
+    """Append ``data`` to ``item``, dropping documents that
+    near-duplicate the already-stored corpus via the persistent index
+    — then index the survivors (delta tier, O(new)). The daily
+    100 TB-pipeline operation: cost scales with the batch, not the
+    corpus.
+
+    ``within_batch=True`` additionally near-dedups the incoming batch
+    against itself (batch-sized cost) before probing. Returns
+    ``{n_incoming, n_dropped, n_appended, dropped_ids}`` (the drop set
+    as a list — it is probe-output-sized, already driver-bounded by
+    the batch)."""
+    import pandas as pd
+
+    from pystore_spark.functions.dedup import near_dedup
+
+    meta = _index_meta(col, index_item)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    # a throwaway Spark view of the batch for feature computation; the
+    # APPEND below filters the caller's ORIGINAL data so the target
+    # item's own index/merge semantics apply untouched
+    incoming, _, _, _ = col._prepare_input(data)
+    n_in = incoming.count()
+    dropped: set = set()
+    probe_frame = incoming
+    if within_batch:
+        kept_wb = near_dedup(
+            incoming, text_col, id_col,
+            threshold=meta["threshold"],
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+            shingle_n=meta["shingle_n"],
+        )
+        wb_drop = incoming.select(id_col).join(
+            kept_wb.select(id_col), on=id_col, how="left_anti"
+        )
+        dropped.update(r[id_col] for r in wb_drop.collect())
+        probe_frame = kept_wb
+    corpus_drop = sorted(
+        r[id_col]
+        for r in probe(col, index_item, probe_frame).collect()
+    )
+    dropped.update(corpus_drop)
+    dropped_ids = sorted(dropped)
+    n_kept = n_in - len(dropped_ids)
+    if n_kept:
+        if isinstance(data, pd.DataFrame):
+            kept_data: Any = (
+                data[~data[id_col].isin(dropped_ids)]
+                if id_col in data.columns
+                else data[~data.index.isin(dropped_ids)]
+            )
+        else:  # Spark DataFrame
+            kept_data = (
+                data.filter(~F.col(id_col).isin(dropped_ids))
+                if dropped_ids
+                else data
+            )
+        col.append(item, kept_data, **append_kwargs)
+        # index the survivors (filter the probe frame on the collected
+        # ids — an anti-join against the probe output would re-execute
+        # the whole probe plan)
+        kept_frame = (
+            probe_frame.filter(~F.col(id_col).isin(corpus_drop))
+            if corpus_drop
+            else probe_frame
+        )
+        _index_delta_append(col, meta, kept_frame)
+    return {
+        "n_incoming": n_in,
+        "n_dropped": len(dropped_ids),
+        "n_appended": n_kept,
+        "dropped_ids": dropped_ids,
+    }
+
+
+def _index_delta_append(col, meta: dict, kept: DataFrame) -> None:
+    """Stage the survivors' index rows into the delta tier —
+    time-indexed on ``added_at`` so the engine's partition-scoped
+    append touches only the current bucket."""
+    id_col = meta["id_col"]
+    feats = doc_features(
+        kept, meta["text_col"], id_col,
+        meta["num_hashes"], meta["bands"], meta["shingle_n"],
+    )
+    ts = F.current_timestamp().alias("added_at")
+    band_rows = explode_bands(feats, id_col).select(ts, "*")
+    doc_rows = feats.select(ts, id_col, "sh")
+    for name, rows in (
+        (meta["bands_delta"], band_rows),
+        (meta["docs_delta"], doc_rows),
+    ):
+        if col.item_exists(name):
+            col.append(name, rows, duplicate_handling="keep_all")
+        else:
+            col.write(name, rows, index_col="added_at")
+
+
+def refresh_index(col, index_item: str) -> dict:
+    """Fold the delta tier into the sorted, zonemapped base tier (the
+    LSM merge — wired into ``Collection.maintain``). O(index), run on
+    the maintenance cadence; appends stay O(new) in between. No-op
+    when the delta is empty."""
+    meta = _index_meta(col, index_item)
+    id_col = meta["id_col"]
+    folded = {"bands_folded": 0, "docs_folded": 0}
+    if not (
+        col.item_exists(meta["bands_delta"])
+        or col.item_exists(meta["docs_delta"])
+    ):
+        return folded
+    bands_all = _union_tiers(
+        col, index_item, meta["bands_delta"], ["bkey", "band", id_col]
+    )
+    docs_all = _union_tiers(
+        col, meta["docs_item"], meta["docs_delta"], [id_col, "sh"]
+    )
+    # materialize (distributed — executor-local storage, not the
+    # driver) before the overwrite: the union plan reads the very
+    # files the rewrite replaces, and a lazy plan would race the swap
+    # (stale retention makes it *likely* fine, but not guaranteed past
+    # the retention window)
+    bands_ck = bands_all.localCheckpoint(eager=True)
+    docs_ck = docs_all.localCheckpoint(eager=True)
+    folded["bands_folded"] = bands_ck.count()
+    folded["docs_folded"] = docs_ck.count()
+    col.write(
+        index_item, bands_ck,
+        index_col="bkey", zonemap=["bkey"], overwrite=True,
+        sidecar_extra={META_KEY: meta},
+    )
+    col.write(
+        meta["docs_item"], docs_ck,
+        index_col=id_col, zonemap=[id_col], overwrite=True,
+        sidecar_extra={META_KEY + "_role": "docs"},
+    )
+    for d in (meta["bands_delta"], meta["docs_delta"]):
+        if col.item_exists(d):
+            col.delete_item(d)
+    return folded

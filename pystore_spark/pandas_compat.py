@@ -87,12 +87,41 @@ def validate_for_storage(pdf: pd.DataFrame) -> None:
 
 
 def flatten_pandas(
-    pdf: pd.DataFrame, epochdate: bool = False
+    pdf: pd.DataFrame, epochdate: bool = False,
+    index_col: str | None = None,
 ) -> tuple[pd.DataFrame, dict]:
     """Flatten a pandas DataFrame into Parquet/Spark-safe columns and
-    return (flat_frame, transform_metadata). Works on a copy."""
+    return (flat_frame, transform_metadata). Works on a copy.
+
+    ``index_col`` promotes that COLUMN to the index before flattening
+    (``write(pdf, index_col=...)`` used to honor it only for Spark
+    input, silently keeping the pandas RangeIndex as the item's merge
+    key — appends then upserted on row position, overwriting unrelated
+    rows). A trivial unnamed RangeIndex is discarded; any other
+    existing index is preserved as a column."""
     validate_for_storage(pdf)
     pdf = pdf.copy()
+    if index_col is not None and (
+        index_col != pdf.index.name
+        and index_col not in (pdf.index.names or [])
+    ):
+        if index_col not in pdf.columns:
+            raise ValidationError(
+                f"index_col {index_col!r} not in columns "
+                f"{list(pdf.columns)}"
+            )
+        # an UNNAMED index is dropped: it cannot round-trip under a
+        # meaningful name anyway (it would store as 'index'), and the
+        # caller explicitly designated index_col as the key — this
+        # covers both a fresh RangeIndex and the positional leftovers
+        # of a filtered frame. A NAMED index is real data: keep it as
+        # a column.
+        if pdf.index.name is not None or (
+            isinstance(pdf.index, pd.MultiIndex)
+            and any(n is not None for n in pdf.index.names)
+        ):
+            pdf = pdf.reset_index()
+        pdf = pdf.set_index(index_col)
     meta: dict[str, Any] = {"index": {}, "timezones": {}, "conversions": {},
                             "ns_columns": []}
 

@@ -2245,6 +2245,130 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.funnel()
 
 
+# shared verification fragment for the incremental-dedup oracle:
+# distinct 56-bit shingle hashes (the engine's dedup_index.shingle_
+# hashes) and exact Jaccard over them
+_JAC_H = """
+    CASE WHEN len(list_distinct(hn.h || ho.h)) > 0 THEN
+      len(list_intersect(hn.h, ho.h))::DOUBLE
+      / len(list_distinct(hn.h || ho.h))
+    ELSE 0.0 END
+"""
+
+
+@register(
+    "incremental_dedup_probe",
+    # Mirrors the PERSISTENT-INDEX append path end to end: stored =
+    # even doc_ids (indexed), then two incoming batches (doc_id%4==1,
+    # then %4==3) probe the index sequentially — batch 2 must also
+    # dedup against batch 1's SURVIVORS, i.e. the index's delta tier.
+    # A batch doc is dropped iff it shares ≥1 LSH band bucket with an
+    # indexed doc AND exact Jaccard over the persisted 56-bit shingle
+    # hashes is ≥ 0.8 (dedup_index.probe). Band keys are the same
+    # 56-bit truncation of the band md5 the engine stores (numeric so
+    # the manifest zonemap prunes index files).
+    sql=f"""
+    WITH
+    feat AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    hfeat AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, x ->
+               CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT))) AS h,
+             {_SIG} AS sig
+      FROM feat),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+        CAST(('0x' || substr(md5(array_to_string(
+          list_transform(sig[b.band_idx*2+1 : b.band_idx*2+2],
+                         v -> v::VARCHAR), '|')), 1, 14)) AS BIGINT)
+          AS bkey
+      FROM hfeat, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+    drop1 AS (
+      SELECT DISTINCT n.doc_id
+      FROM banded n
+      JOIN banded o ON n.band_idx = o.band_idx AND n.bkey = o.bkey
+      JOIN hfeat hn ON hn.doc_id = n.doc_id
+      JOIN hfeat ho ON ho.doc_id = o.doc_id
+      WHERE n.doc_id % 4 = 1 AND o.doc_id % 2 = 0
+        AND {_JAC_H} >= 0.8),
+    base2 AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id FROM documents
+      WHERE doc_id % 4 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM drop1)),
+    drop2 AS (
+      SELECT DISTINCT n.doc_id
+      FROM banded n
+      JOIN banded o ON n.band_idx = o.band_idx AND n.bkey = o.bkey
+      JOIN hfeat hn ON hn.doc_id = n.doc_id
+      JOIN hfeat ho ON ho.doc_id = o.doc_id
+      WHERE n.doc_id % 4 = 3
+        AND o.doc_id IN (SELECT doc_id FROM base2)
+        AND {_JAC_H} >= 0.8),
+    dropped AS (
+      SELECT doc_id FROM drop1 UNION ALL SELECT doc_id FROM drop2)
+    SELECT doc_id,
+           doc_id NOT IN (SELECT doc_id FROM dropped) AS kept
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    tags=("dedup", "pipeline", "storage", "incremental"),
+)
+def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental near-dedup through REAL storage: write
+    the even-id half of `documents` as a corpus item, build the
+    persistent MinHash band index (Collection.build_dedup_index), then
+    append the odd-id half in two sequential batches via
+    Collection.append_dedup — each batch probes the index (base tier +
+    the delta rows batch 1's survivors just added) instead of
+    re-signing the corpus. Returns each incoming doc's verdict
+    ``(doc_id, kept)``. This is the O(new)-per-append operation the
+    batch near_dedup pipeline cannot do (round-4 verdict, top item)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = doc.filter(F.col("doc_id") % 2 == 0)
+    batches = [
+        doc.filter(F.col("doc_id") % 4 == 1),
+        doc.filter(F.col("doc_id") % 4 == 3),
+    ]
+    inc_ids = sorted(
+        r["doc_id"]
+        for r in doc.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="ps_dedup_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        store = ps.store("dedup_probe_store", spark=spark)
+        col = store.collection("c")
+        col.write("corpus", stored, index_col="doc_id")
+        col.build_dedup_index(
+            "cidx", "corpus", text_col="text", id_col="doc_id",
+            threshold=0.8, num_hashes=8, bands=4, shingle_n=3,
+        )
+        dropped: set = set()
+        for batch in batches:
+            rep = col.append_dedup("corpus", batch, "cidx")
+            dropped.update(rep["dropped_ids"])
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    # verdicts are driver-collected already (probe output is
+    # batch-bounded); emit them as a deterministic local frame so the
+    # result does not depend on the deleted temp warehouse
+    return spark.createDataFrame(
+        [(int(i), i not in dropped) for i in inc_ids],
+        "doc_id bigint, kept boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -2263,7 +2387,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "scan_filter_pushdown", "scan_projection", "index_minmax",
     "dedup_anti_join",
     "upsert_keep_last", "keep_first_window_dedup",
-    "validation_aggregates", "monotonic_check", "invariant_violations",
+    "validation_aggregates", "invariant_violations",
     "union_evolved_schema", "epoch_roundtrip",
     "json_extract_props", "schema_evolve_projection",
     # relational / window / analytical
@@ -2272,23 +2396,39 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "region_part_supplier",
     "top3_events_per_user", "sessionization", "event_seq_applyinpandas",
     "interval_join_banded",
-    # text analysis (lm_perplexity_scores: round-4 LM quality filter)
-    "text_token_stats", "text_quality_scores", "lang_id_heuristic",
+    # text analysis (lm_perplexity_scores: round-4 LM quality filter;
+    # vocab_topk / doc_length_histogram: round-5 promotions per
+    # VERDICT r4 item 2)
+    "text_token_stats", "text_quality_scores",
     "doc_fingerprints", "tfidf_top_terms", "lm_perplexity_scores",
-    # dedup stack (chunk_dedup_stats: round-4 sub-document dedup)
+    "vocab_topk", "doc_length_histogram",
+    # dedup stack (incremental_dedup_probe: the round-5 flagship —
+    # persistent-index O(new) append dedup through real storage;
+    # near_dedup_recall_audit: round-5 promotion)
     "exact_dedup_groups", "minhash_signatures", "lsh_band_stats",
-    "ngram_jaccard_pairs",
     "simhash_fingerprints", "near_dedup_kept_docs",
-    "winnowing_fingerprints", "chunk_dedup_stats",
+    "near_dedup_recall_audit", "incremental_dedup_probe",
+    "chunk_dedup_stats",
     # similarity / ANN (+ measured-error audits of the approx ops)
     "embedding_cosine_topk_vectorized", "ann_ivf_label_topk",
-    "signlsh_candidate_topk", "lsh_recall_audit",
+    "signlsh_candidate_topk",
     "embedding_quantization_audit",
-    # sampling / pipeline / corpus reporting
+    # timeseries / sampling / pipeline / corpus reporting
+    "ohlc_resample",
     "stratified_sample", "benchmark_contamination",
     "downcast_projection", "heavy_hitters", "rolling_zscore_outliers",
     "quality_funnel", "curation_funnel",
     # ---- window boundary (driver checks the 50 above) ----
+    # round-5 demotions for the five promotions above; every one
+    # keeps an in-window family sibling (validation_aggregates/
+    # invariant_violations for monotonic_check; token/quality/tfidf
+    # for lang_id; near_dedup_kept_docs + incremental_dedup_probe
+    # exercise Jaccard verify for ngram_jaccard_pairs;
+    # doc_fingerprints for winnowing; near_dedup_recall_audit +
+    # embedding_quantization_audit for lsh_recall_audit) and stays
+    # oracle-checked in-repo:
+    "monotonic_check", "lang_id_heuristic", "ngram_jaccard_pairs",
+    "winnowing_fingerprints", "lsh_recall_audit",
     # round-2 promotions rotated out in round 4 (each family keeps
     # sibling in-window evidence; all stay oracle-checked in-repo):
     "head_by_index", "value_percentiles", "pivot_event_counts",
@@ -2308,9 +2448,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "bpe_token_stats",
     "gapfill_locf_daily", "approx_distinct_audit",
     "weighted_sample_topk", "corpus_mix_report",
-    # round-4 additions outside the window
-    "near_dedup_recall_audit", "vocab_topk", "doc_length_histogram",
-    "ohlc_resample",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

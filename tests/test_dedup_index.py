@@ -1,0 +1,226 @@
+"""Persistent incremental near-dedup index (dedup_index.py).
+
+The round-4 verdict's top item: appending to a curated corpus must
+dedup the incoming batch against the STORED corpus in O(new) — probing
+a persisted MinHash band index — never re-signing the corpus. Covers:
+build, probe (base tier), append_dedup (drop + survive + delta
+indexing), the delta tier catching later appends, refresh (LSM fold)
+via maintain(), threshold override, and equivalence with the batch
+near_dedup pipeline on the same corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pystore_spark import dedup_index as DI
+from pystore_spark import utils
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "today while the sun shines bright over the quiet green valley "
+)
+
+
+def _docs(ids, tail=""):
+    return pd.DataFrame(
+        {
+            "doc_id": list(ids),
+            "text": [
+                BASE + f"unique tail {i} " + "filler words here " * 3 + tail
+                for i in ids
+            ],
+        }
+    )
+
+
+@pytest.fixture()
+def corpus(test_collection):
+    c = test_collection
+    c.write("corpus", _docs(range(10)), index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+    return c
+
+
+def test_build_creates_band_and_docs_items(corpus):
+    c = corpus
+    assert set(c.items) >= {"corpus", "cidx", "cidx__docs"}
+    meta = c.get_item_metadata("cidx")[DI.META_KEY]
+    assert meta["id_col"] == "doc_id" and meta["bands"] == 4
+    bands = c.item("cidx").data
+    assert set(bands.columns) >= {"bkey", "band", "doc_id"}
+    assert bands.count() == 10 * 4
+    docs = c.item("cidx__docs").data
+    assert docs.count() == 10
+    # the band item is zonemapped on bkey so probes prune files
+    man = utils.read_manifest(c._item_path("cidx"))
+    assert man["metadata"].get("_zonemap_columns") == ["bkey"]
+
+
+def test_probe_flags_near_dups_only(corpus, spark):
+    c = corpus
+    stored = _docs(range(10))
+    inc = pd.DataFrame(
+        {
+            "doc_id": [100, 101, 102],
+            "text": [
+                stored.loc[3, "text"],  # exact dup
+                stored.loc[5, "text"] + " tiny change",  # near dup
+                "a wholly different document about catalyst optimizer "
+                "rules and adaptive query execution in spark",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(inc)
+    drop = {r["doc_id"] for r in c.probe_dedup_index("cidx", sdf).collect()}
+    assert drop == {100, 101}
+
+
+def test_append_dedup_end_to_end(corpus):
+    c = corpus
+    stored = _docs(range(10))
+    inc = pd.DataFrame(
+        {
+            "doc_id": [100, 101, 102, 103],
+            "text": [
+                stored.loc[3, "text"],
+                stored.loc[5, "text"] + " tiny change",
+                "completely different content about spark engines and "
+                "catalyst optimizer rules running in production",
+                "another genuinely novel document with its own words "
+                "entirely and nothing shared with the corpus",
+            ],
+        }
+    )
+    rep = c.append_dedup("corpus", inc, "cidx")
+    assert rep["n_incoming"] == 4
+    assert rep["dropped_ids"] == [100, 101]
+    assert rep["n_appended"] == 2
+    ids = {r["doc_id"] for r in c.item("corpus").data.select("doc_id").collect()}
+    assert ids == set(range(10)) | {102, 103}
+
+    # survivors are indexed in the DELTA tier: re-appending them (new
+    # ids, same text) is filtered WITHOUT any index rebuild
+    rep2 = c.append_dedup(
+        "corpus", inc.assign(doc_id=[200, 201, 202, 203]), "cidx"
+    )
+    assert rep2["n_appended"] == 0
+    assert rep2["dropped_ids"] == [200, 201, 202, 203]
+    assert c.item_exists("cidx__bands_delta")
+    assert c.item_exists("cidx__docs_delta")
+
+
+def test_refresh_folds_delta_and_probing_survives(corpus):
+    c = corpus
+    inc = pd.DataFrame(
+        {
+            "doc_id": [500],
+            "text": [
+                "fresh content never seen before in this corpus about "
+                "lakehouse table formats and manifest protocols"
+            ],
+        }
+    )
+    c.append_dedup("corpus", inc, "cidx")
+    res = c.maintain("cidx")
+    folded = res["cidx"]["dedup_index"]
+    assert folded["docs_folded"] == 11  # 10 base + 1 delta
+    assert folded["bands_folded"] == 11 * 4
+    assert not c.item_exists("cidx__bands_delta")
+    assert not c.item_exists("cidx__docs_delta")
+    # post-fold: the folded doc still blocks its duplicate
+    rep = c.append_dedup(
+        "corpus", inc.assign(doc_id=[501]), "cidx"
+    )
+    assert rep["dropped_ids"] == [501]
+
+
+def test_refresh_noop_without_delta(corpus):
+    assert corpus.refresh_dedup_index("cidx") == {
+        "bands_folded": 0,
+        "docs_folded": 0,
+    }
+
+
+def test_probe_threshold_override(corpus, spark):
+    c = corpus
+    stored = _docs(range(10))
+    # high-but-not-exact overlap with doc 5: Jaccard < 1, LSH
+    # candidate certain
+    mixed = stored.loc[5, "text"] + " novel appended closing words here"
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [900], "text": [mixed]})
+    )
+    strict = {
+        r["doc_id"]
+        for r in c.probe_dedup_index(
+            "cidx", sdf, threshold=0.9999
+        ).collect()
+    }
+    loose = {
+        r["doc_id"]
+        for r in c.probe_dedup_index("cidx", sdf, threshold=0.3).collect()
+    }
+    assert 900 not in strict
+    assert 900 in loose
+
+
+def test_matches_batch_near_dedup_semantics(corpus, spark):
+    """Incremental probe ≡ batch pipeline restricted to (stored ∪
+    incoming) pairs: an incoming doc is dropped iff the batch
+    near_dedup over the union would link it to a stored doc."""
+    from pystore_spark.functions import dedup as D
+    from pyspark.sql import functions as F
+
+    c = corpus
+    stored = _docs(range(10))
+    inc = pd.DataFrame(
+        {
+            "doc_id": [100, 101, 102],
+            "text": [
+                stored.loc[7, "text"],
+                stored.loc[2, "text"] + " slight suffix",
+                "entirely distinct prose with no overlap at all about "
+                "bucketed joins salting and adaptive execution",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(inc)
+    got = {r["doc_id"] for r in c.probe_dedup_index("cidx", sdf).collect()}
+
+    union = spark.createDataFrame(pd.concat([stored, inc]))
+    edges = D.near_dedup_verified_pairs(union, "text", "doc_id")
+    cross = edges.filter(
+        ((F.col("id_i") >= 100) & (F.col("id_j") < 100))
+        | ((F.col("id_j") >= 100) & (F.col("id_i") < 100))
+    )
+    expect = set()
+    for r in cross.collect():
+        expect.add(r["id_i"] if r["id_i"] >= 100 else r["id_j"])
+    assert got == expect
+
+
+def test_not_an_index_raises(corpus):
+    from pystore_spark.exceptions import StorageError
+
+    with pytest.raises(StorageError, match="not a dedup index"):
+        corpus.refresh_dedup_index("corpus")
+
+
+def test_write_index_col_promotes_column(test_collection):
+    """The flatten_pandas index_col fix: write(pdf, index_col=...) on
+    a RangeIndex frame must store that COLUMN as the index (it used to
+    silently keep the RangeIndex as the merge key — appends then
+    upserted on row position)."""
+    c = test_collection
+    pdf = pd.DataFrame({"k": [10, 20, 30], "v": ["a", "b", "c"]})
+    c.write("t", pdf, index_col="k")
+    assert "index" not in c.item("t").data.columns
+    got = c.item("t").to_pandas()
+    assert got.index.name == "k"
+    # append with k as a column: merges on k, not row position
+    c.append("t", pd.DataFrame({"k": [40, 20], "v": ["d", "B"]}))
+    got = c.item("t").to_pandas().sort_index()
+    assert list(got.index) == [10, 20, 30, 40]
+    assert got.loc[20, "v"] == "B"  # keep_last upsert on k

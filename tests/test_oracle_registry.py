@@ -26,13 +26,15 @@ WINDOW = 50
 
 # window composition is rotated per round on judge direction; the sets
 # below pin the CURRENT intent so an accidental reorder fails loudly.
-# Round-4 promotions: the round-3 flagship operators the judge asked to
-# move inside the driver's hard-signal window (VERDICT r3, item 2).
+# Round-5 promotions (VERDICT r4 items 1-2): the incremental-dedup
+# flagship plus the round-4 tail flagships.
 PROMOTED = {
-    "winnowing_fingerprints", "signlsh_candidate_topk", "lsh_recall_audit",
+    "incremental_dedup_probe", "near_dedup_recall_audit",
+    "vocab_topk", "doc_length_histogram", "ohlc_resample",
+    # round-4 promotions keeping their slot
+    "signlsh_candidate_topk",
     "heavy_hitters", "quality_funnel", "rolling_zscore_outliers",
     "interval_join_banded", "embedding_quantization_audit",
-    # round-4 flagships, promoted in-round
     "lm_perplexity_scores", "chunk_dedup_stats", "curation_funnel",
 }
 # round-2 promotions that keep their window slot (their family has no
@@ -41,17 +43,23 @@ RETAINED = {
     "tfidf_top_terms", "stratified_sample", "near_dedup_kept_docs",
     "event_seq_applyinpandas", "benchmark_contamination",
 }
-# round-2 promotions rotated OUT in round 4 — each was driver-green in
-# CORRECTNESS_r03 and keeps its in-repo oracle run below
+# rotated OUT of the window — each was driver-green in a prior
+# CORRECTNESS round and keeps its in-repo oracle run below
 ROTATED_OUT = {
+    # round 4:
     "head_by_index", "value_percentiles", "pivot_event_counts",
     "rollup_revenue", "token_entropy", "repetition_scores",
     "minhash_jaccard_estimate", "fixed_sample_per_stratum",
-    # demoted for the round-4 flagship promotions; each keeps an
-    # in-window family sibling (dedup_anti_join/upsert for joins,
-    # union_evolved_schema/except_keys for set ops, running_sum/
-    # rolling_zscore for lag windows)
     "overlap_semi_join", "intersect_keys", "forecast_revenue_delta",
+    # round 5 (for the five promotions above; each keeps an in-window
+    # family sibling — validation_aggregates/invariant_violations for
+    # monotonic_check, token/quality/tfidf for lang_id,
+    # near_dedup_kept_docs + incremental_dedup_probe for
+    # ngram_jaccard_pairs' Jaccard verify, doc_fingerprints for
+    # winnowing, near_dedup_recall_audit + quantization_audit for
+    # lsh_recall_audit):
+    "monotonic_check", "lang_id_heuristic", "ngram_jaccard_pairs",
+    "winnowing_fingerprints", "lsh_recall_audit",
 }
 
 

@@ -128,3 +128,52 @@ def test_index_search_recall_vs_brute_force(test_collection, emb):
     r1, r2 = recall(1), recall(2)
     assert r1 >= 0.5  # a 4-cell coarse quantizer keeps most neighbors
     assert r2 >= r1  # more probes never lose recall
+
+
+def test_quantized_index_recall_within_one_point(test_collection, emb):
+    """VERDICT r4 item 4: an int8-quantized index (4× smaller inverted
+    lists) must hold recall@5 within 1 point of the float index at
+    equal nprobe. Both indexes share the same deterministic centroids,
+    so the only difference is the stored vector precision."""
+    from pystore_spark.functions import similarity as S
+
+    test_collection.build_vector_index(
+        "f_ivf", emb, n_cells=4, n_iters=2, overwrite=True
+    )
+    test_collection.build_vector_index(
+        "q_ivf", emb, n_cells=4, n_iters=2, overwrite=True,
+        quantize=True,
+    )
+    # the quantized item must actually store codes, not floats
+    cols = test_collection.item("q_ivf").data.columns
+    assert "_q8" in cols and "_q8_scale" in cols
+    assert "embedding" not in cols
+
+    queries = emb.filter("vec_id < 20")
+    truth = (
+        S.brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
+        .toPandas()
+        .groupby("q_vec_id")["vec_id"]
+        .apply(set)
+    )
+
+    total = sum(len(t) for _, t in truth.items())  # 20 queries × 5
+
+    def hits(index_item, nprobe):
+        got = (
+            test_collection.search_vector_index(
+                index_item, queries, k=5, nprobe=nprobe
+            )
+            .toPandas()
+            .groupby("q_vec_id")["vec_id"]
+            .apply(set)
+        )
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items())
+
+    for nprobe in (1, 2):
+        hf, hq = hits("f_ivf", nprobe), hits("q_ivf", nprobe)
+        # 1 recall point on `total` truth pairs = total/100 hits
+        assert hq >= hf - max(1, total // 100), (
+            f"nprobe={nprobe}: quantized hits {hq}/{total} fell more "
+            f"than 1 recall point below float hits {hf}/{total}"
+        )
