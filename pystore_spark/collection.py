@@ -894,11 +894,30 @@ class Collection:
         shadowing each other. The item→view mapping is available via
         :meth:`sql_view_names`.
 
+        Delta-style SQL time travel composes with the manifest
+        version history: ``<item> FOR VERSION AS OF <n>`` and
+        ``<item> FOR TIMESTAMP AS OF '<utc ts>'`` resolve to that
+        commit's file list (utils.rewrite_time_travel → ``item(
+        version=/as_of=)``); one query can join an item's current and
+        historical states.
+
         >>> col.sql("SELECT a.ts, a.px, b.qty FROM trades a "
         ...         "JOIN quotes b ON a.ts = b.ts")
+        >>> col.sql("SELECT count(*) FROM trades FOR VERSION AS OF 1")
         """
         names = list(items) if items is not None else self.items
         mapping = self.sql_view_names(names)
+        query, tt_specs = utils.rewrite_time_travel(
+            query, set(mapping.values())
+        )
+        inv = {view: name for name, view in mapping.items()}
+        for view, kind, val, alias in tt_specs:
+            it = (
+                self.item(inv[view], version=int(val))
+                if kind == "version"
+                else self.item(inv[view], as_of=val)
+            )
+            it.data.createOrReplaceTempView(alias)
         for name, view in mapping.items():
             self.item(name, snapshot=snapshot).data.createOrReplaceTempView(
                 view

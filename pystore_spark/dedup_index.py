@@ -136,9 +136,11 @@ def build_index(
             f"bands ({bands})"
         )
     df = col.item(source).data if isinstance(source, str) else source
+    # one corpus pass: the band write and the docs write both consume
+    # the materialized features instead of re-hashing the corpus
     feats = doc_features(
         df, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    ).localCheckpoint(eager=True)
     meta = {
         "text_col": text_col,
         "id_col": id_col,
@@ -204,26 +206,28 @@ def _union_tiers(
     return out
 
 
-def probe(
-    col,
-    index_item: str,
-    incoming: DataFrame,
-    threshold: float | None = None,
-) -> DataFrame:
-    """Incoming docs that near-duplicate the INDEXED corpus: returns
-    the distinct ``(<id_col>,)`` drop set. O(new + touched index
-    files); the corpus item is never read."""
-    meta = _index_meta(col, index_item)
-    id_col = meta["id_col"]
-    thr = meta["threshold"] if threshold is None else float(threshold)
-    feats = doc_features(
+def _compute_features(col, meta, incoming: DataFrame) -> DataFrame:
+    """Batch features, MATERIALIZED (eager localCheckpoint — executor
+    storage, one linear job): every later step (key collect, candidate
+    join, verification, delta indexing) reuses them instead of
+    re-hashing the batch per action."""
+    return doc_features(
         incoming,
         meta["text_col"],
-        id_col,
+        meta["id_col"],
         meta["num_hashes"],
         meta["bands"],
         meta["shingle_n"],
-    )
+    ).localCheckpoint(eager=True)
+
+
+def _probe_ids(
+    col, index_item: str, meta: dict, feats: DataFrame, thr: float
+) -> list:
+    """Drop set as a sorted driver list (probe output is batch-
+    bounded by construction). O(new + touched index files); the
+    corpus item is never read."""
+    id_col = meta["id_col"]
     new_bands = explode_bands(feats, id_col).select(
         "bkey", "band", F.col(id_col).alias("_new_id")
     )
@@ -253,12 +257,15 @@ def probe(
     ).select("bkey", "band", F.col(id_col).alias("_old_id"))
 
     # broadcast the INCOMING band set (batch-sized) against the pruned
-    # index scan — the index side is the big one at corpus scale
+    # index scan — the index side is the big one at corpus scale.
+    # Materialize the candidate pairs: both the old-id collect and the
+    # verification read them, and they are candidate-sized.
     cand = (
         stored_bands.join(F.broadcast(new_bands), on=["bkey", "band"])
         .filter(F.col("_new_id") != F.col("_old_id"))
         .select("_new_id", "_old_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # verification: exact Jaccard over persisted shingle-hash sets,
     # fetched for candidate old ids only
@@ -269,7 +276,7 @@ def probe(
         ).collect()
     ]
     if not old_ids:
-        return incoming.select(id_col).limit(0)
+        return []
     doc_filters = (
         [(id_col, "in", sorted(old_ids))]
         if len(old_ids) <= MAX_PUSHDOWN_KEYS
@@ -282,12 +289,33 @@ def probe(
     new_sh = feats.select(
         F.col(id_col).alias("_new_id"), F.col("sh").alias("_sh_new")
     )
-    return (
+    drop = (
         cand.join(stored_sh, on="_old_id")
-        .join(new_sh, on="_new_id")
+        .join(F.broadcast(new_sh), on="_new_id")
         .filter(jaccard(F.col("_sh_new"), F.col("_sh_old")) >= thr)
         .select(F.col("_new_id").alias(id_col))
         .distinct()
+    )
+    return sorted(r[id_col] for r in drop.collect())
+
+
+def probe(
+    col,
+    index_item: str,
+    incoming: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Incoming docs that near-duplicate the INDEXED corpus: returns
+    the distinct ``(<id_col>,)`` drop set (see :func:`_probe_ids` for
+    the plan shape)."""
+    meta = _index_meta(col, index_item)
+    id_col = meta["id_col"]
+    thr = meta["threshold"] if threshold is None else float(threshold)
+    feats = _compute_features(col, meta, incoming)
+    ids = _probe_ids(col, index_item, meta, feats, thr)
+    id_type = feats.schema[id_col].dataType.simpleString()
+    return incoming.sparkSession.createDataFrame(
+        [(i,) for i in ids], f"{id_col} {id_type}"
     )
 
 
@@ -320,7 +348,6 @@ def append_with_dedup(
     # APPEND below filters the caller's ORIGINAL data so the target
     # item's own index/merge semantics apply untouched
     incoming, _, _, _ = col._prepare_input(data)
-    n_in = incoming.count()
     dropped: set = set()
     probe_frame = incoming
     if within_batch:
@@ -336,9 +363,11 @@ def append_with_dedup(
         )
         dropped.update(r[id_col] for r in wb_drop.collect())
         probe_frame = kept_wb
-    corpus_drop = sorted(
-        r[id_col]
-        for r in probe(col, index_item, probe_frame).collect()
+    feats = _compute_features(col, meta, probe_frame)
+    n_probe = feats.count()  # cheap: feats are materialized
+    n_in = n_probe + len(dropped)
+    corpus_drop = _probe_ids(
+        col, index_item, meta, feats, meta["threshold"]
     )
     dropped.update(corpus_drop)
     dropped_ids = sorted(dropped)
@@ -357,15 +386,14 @@ def append_with_dedup(
                 else data
             )
         col.append(item, kept_data, **append_kwargs)
-        # index the survivors (filter the probe frame on the collected
-        # ids — an anti-join against the probe output would re-execute
-        # the whole probe plan)
-        kept_frame = (
-            probe_frame.filter(~F.col(id_col).isin(corpus_drop))
+        # index the survivors from the MATERIALIZED features (no
+        # re-hash, no probe re-execution)
+        kept_feats = (
+            feats.filter(~F.col(id_col).isin(corpus_drop))
             if corpus_drop
-            else probe_frame
+            else feats
         )
-        _index_delta_append(col, meta, kept_frame)
+        _index_delta_append(col, meta, kept_feats)
     return {
         "n_incoming": n_in,
         "n_dropped": len(dropped_ids),
@@ -374,15 +402,12 @@ def append_with_dedup(
     }
 
 
-def _index_delta_append(col, meta: dict, kept: DataFrame) -> None:
-    """Stage the survivors' index rows into the delta tier —
-    time-indexed on ``added_at`` so the engine's partition-scoped
-    append touches only the current bucket."""
+def _index_delta_append(col, meta: dict, feats: DataFrame) -> None:
+    """Stage the survivors' index rows (from the already-materialized
+    feature frame) into the delta tier — time-indexed on ``added_at``
+    so the engine's partition-scoped append touches only the current
+    bucket."""
     id_col = meta["id_col"]
-    feats = doc_features(
-        kept, meta["text_col"], id_col,
-        meta["num_hashes"], meta["bands"], meta["shingle_n"],
-    )
     ts = F.current_timestamp().alias("added_at")
     band_rows = explode_bands(feats, id_col).select(ts, "*")
     doc_rows = feats.select(ts, id_col, "sh")

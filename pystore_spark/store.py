@@ -88,7 +88,11 @@ class Store:
         ``Item.data`` returns, so filter/projection pushdown and
         ``_pb`` partition pruning apply unchanged. Distinct
         (collection, item) pairs colliding onto one view name raise
-        instead of shadowing."""
+        instead of shadowing.
+
+        ``FOR VERSION AS OF`` / ``FOR TIMESTAMP AS OF`` clauses on a
+        view resolve to that manifest commit's file list, exactly as
+        in :meth:`Collection.sql`."""
         names = (
             list(collections)
             if collections is not None
@@ -106,7 +110,19 @@ class Store:
                         f"sanitize to SQL view {full!r}"
                     )
                 seen[full] = (cname, item)
-                col.item(item).data.createOrReplaceTempView(full)
+        query, tt_specs = utils.rewrite_time_travel(query, set(seen))
+        for full, (cname, item) in seen.items():
+            self.collection(cname).item(item).data.createOrReplaceTempView(
+                full
+            )
+        for view, kind, val, alias in tt_specs:
+            cname, item = seen[view]
+            it = (
+                self.collection(cname).item(item, version=int(val))
+                if kind == "version"
+                else self.collection(cname).item(item, as_of=val)
+            )
+            it.data.createOrReplaceTempView(alias)
         return self.spark.sql(query)
 
 

@@ -44,6 +44,45 @@ def sanitize_sql_ident(name: str) -> str:
     return f"i_{out}" if out and out[0].isdigit() else out
 
 
+_TIME_TRAVEL_RE = re.compile(
+    r"(?P<view>[A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+"
+    r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<val>'[^']*'|[0-9][\w.:-]*)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_time_travel(
+    query: str, known_views: set[str]
+) -> tuple[str, list[tuple[str, str, str, str]]]:
+    """Delta-style SQL time travel for the engine's SQL surfaces:
+    rewrite ``<view> FOR VERSION AS OF <n>`` / ``<view> FOR TIMESTAMP
+    AS OF '<ts>'`` clauses to plain view references with unique
+    aliases, returning ``(rewritten_query, [(view, kind, value,
+    alias), ...])`` so the caller registers each alias from the
+    matching historical manifest read (``Collection.item(version=/
+    as_of=)``). Only identifiers in ``known_views`` rewrite — other
+    matches pass through untouched. Distinct versions of the SAME item
+    get distinct aliases, so one query can join an item's current and
+    historical states."""
+    specs: list[tuple[str, str, str, str]] = []
+
+    def _sub(m: re.Match) -> str:
+        view = m.group("view")
+        if view not in known_views:
+            return m.group(0)
+        kind = m.group("kind").lower()
+        val = m.group("val").strip("'")
+        alias = (
+            f"{view}__{'v' if kind == 'version' else 'asof'}_"
+            f"{re.sub(r'[^A-Za-z0-9_]', '_', val)}"
+        )
+        specs.append((view, kind, val, alias))
+        return alias
+
+    return _TIME_TRAVEL_RE.sub(_sub, query), specs
+
+
 def sanitize_snapshot_name(name: str) -> str:
     """Strip characters outside [A-Za-z0-9._] — reference:
     pystore/collection.py:531-532."""
