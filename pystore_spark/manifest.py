@@ -114,10 +114,40 @@ def _range_matches(rng: Sequence, op: str, value: Any) -> bool:
         if op == "<=":
             return lo <= value
         if op == "in":
+            if isinstance(value, _SortedVals):
+                # bisect: O(log n) per file instead of O(n) — the
+                # dedup-index probe pushes thousands of band keys
+                # against thousands of files
+                import bisect
+
+                i = bisect.bisect_left(value.vals, lo)
+                return i < len(value.vals) and value.vals[i] <= hi
             return any(lo <= v <= hi for v in value)
     except TypeError:
         return True  # incomparable types (string filter on numeric stats)
     return True
+
+
+class _SortedVals:
+    """Marker wrapper: a pre-sorted in-list, prepared once per filter
+    term by prune_files so _range_matches can bisect per file."""
+
+    __slots__ = ("vals",)
+
+    def __init__(self, vals):
+        self.vals = vals
+
+    def __iter__(self):  # row-level filter compilation still iterates
+        return iter(self.vals)
+
+    def __len__(self):
+        return len(self.vals)
+
+    def __contains__(self, x):  # _pb bucket membership, bisected
+        import bisect
+
+        i = bisect.bisect_left(self.vals, x)
+        return i < len(self.vals) and self.vals[i] == x
 
 
 def prune_files(
@@ -152,6 +182,21 @@ def prune_files(
     else:
         groups = [list(g) for g in flist]
     stats = stats or {}
+    # pre-sort long in-lists ONCE so the per-file range check bisects
+    def _prep(term):
+        col, op, v = term
+        if (
+            op == "in"
+            and isinstance(v, (list, tuple, set))
+            and len(v) > 32
+        ):
+            try:
+                return (col, op, _SortedVals(sorted(v)))
+            except TypeError:  # heterogeneous values — leave as-is
+                pass
+        return term
+
+    groups = [[_prep(t) for t in g] for g in groups]
 
     def keep(rel: str) -> bool:
         bucket = _bucket_of(rel)
