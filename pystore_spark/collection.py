@@ -1669,6 +1669,87 @@ class Collection:
             "n_vectors": None,  # not counted — write is lazy-planned
         }
 
+    def append_vector_index(
+        self, index_item: str, vectors: DataFrame
+    ) -> dict:
+        """Add vectors to a persistent IVF index WITHOUT retraining or
+        rebuilding: new rows are cell-assigned with the PERSISTED
+        centroids (pure projection over the batch) and land in a
+        time-indexed delta item — the same LSM pattern as the dedup
+        index (dedup_index.py), O(new) per append. Probes read base ∪
+        delta; :meth:`refresh_vector_index` (also via
+        :meth:`maintain`) folds the delta into the cell-sorted,
+        zonemapped base. Centroids stay fixed between refreshes — the
+        standard IVF trade (cell balance drifts with the data
+        distribution; rebuild with ``build_vector_index`` when recall
+        audits say so)."""
+        from pystore_spark.functions import similarity as S
+
+        it_meta = (self.get_item_metadata(index_item) or {}).get(
+            "_vector_index"
+        )
+        if not it_meta:
+            raise StorageError(
+                f"item {index_item!r} is not a vector index "
+                "(build_vector_index creates one)"
+            )
+        cents = [[float(x) for x in c] for c in it_meta["centroids"]]
+        assigned = S._assign_cells(vectors, it_meta["vec_col"], cents)
+        if it_meta.get("quantized"):
+            q, scale = S.quantize_int8(F.col(it_meta["vec_col"]))
+            assigned = assigned.select(
+                *[
+                    c
+                    for c in assigned.columns
+                    if c != it_meta["vec_col"]
+                ],
+                q.alias("_q8"),
+                scale.alias("_q8_scale"),
+            )
+        delta = f"{index_item}__delta"
+        rows = assigned.select(
+            F.current_timestamp().alias("added_at"), "*"
+        )
+        if self.item_exists(delta):
+            self.append(delta, rows, duplicate_handling="keep_all")
+        else:
+            self.write(delta, rows, index_col="added_at")
+        return {"delta_item": delta}
+
+    def refresh_vector_index(self, index_item: str) -> dict:
+        """Fold the vector index's delta tier into the cell-sorted
+        base (LSM merge — restores tight zonemap pruning). No-op when
+        no delta exists."""
+        it_meta = (self.get_item_metadata(index_item) or {}).get(
+            "_vector_index"
+        )
+        if not it_meta:
+            raise StorageError(
+                f"item {index_item!r} is not a vector index"
+            )
+        delta = f"{index_item}__delta"
+        if not self.item_exists(delta):
+            return {"folded": 0}
+        base_cols = [
+            c
+            for c in self.item(index_item).data.columns
+        ]
+        merged = (
+            self.item(index_item)
+            .data.unionByName(
+                self.item(delta).data.select(*base_cols)
+            )
+            .localCheckpoint(eager=True)  # materialize before the swap
+        )
+        n = merged.count()
+        self.write(
+            index_item, merged, index_col="cell", zonemap=["cell"],
+            overwrite=True,
+            sidecar_extra={"_vector_index": it_meta},
+        )
+        self.delete_item(delta)
+        return {"folded": n}
+
     def search_vector_index(
         self,
         index_item: str,
@@ -1704,6 +1785,16 @@ class Collection:
         cand = self.item(
             index_item, filters=[("cell", "in", cells)]
         ).data
+        # LSM read path: vectors appended since the last fold live in
+        # the delta tier (small, unsorted — scanned whole with a
+        # row-level cell filter)
+        delta = f"{index_item}__delta"
+        if self.item_exists(delta):
+            cand = cand.unionByName(
+                self.item(delta)
+                .data.filter(F.col("cell").isin(cells))
+                .select(*cand.columns)
+            )
         if meta.get("quantized"):
             # decode the int8 codes for the (pruned) candidates only —
             # the scan stays 4× lighter, scoring is unchanged
@@ -1835,6 +1926,15 @@ class Collection:
                         res["dedup_index"] = self.refresh_dedup_index(n)
                 except Exception as exc:
                     res["dedup_index_error"] = str(exc)
+                try:
+                    if (self.get_item_metadata(n) or {}).get(
+                        "_vector_index"
+                    ):
+                        res["vector_index"] = self.refresh_vector_index(
+                            n
+                        )
+                except Exception as exc:
+                    res["vector_index_error"] = str(exc)
             if gc:
                 try:
                     res["gc_removed"] = self.recover_item(n)

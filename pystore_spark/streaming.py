@@ -87,6 +87,51 @@ def merge_sink(
     return sink
 
 
+def dedup_merge_sink(
+    collection,
+    item: str,
+    index_item: str,
+    sink_key: str | None = None,
+    within_batch: bool = False,
+    **append_kwargs: Any,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function: near-dedup each micro-batch against
+    the STORED corpus via the persistent MinHash index
+    (Collection.append_dedup — O(batch), never re-signing the corpus)
+    before appending; survivors are indexed into the delta tier so
+    later batches dedup against them too. The streaming face of the
+    daily-pipeline operation.
+
+    Same exactly-once replay guard as :func:`merge_sink`: the last
+    applied batch id rides in the data commit's sidecar, so a
+    re-delivered micro-batch is skipped — which also prevents its
+    documents from being double-indexed."""
+    key = sink_key or "default"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        commits = dict(
+            collection.get_item_metadata(item, use_cache=False).get(
+                COMMITS_KEY
+            )
+            or {}
+        ) if collection.item_exists(item) else {}
+        if int(commits.get(key, -1)) >= int(batch_id):
+            return  # replayed micro-batch — already deduped + indexed
+        commits[key] = int(batch_id)
+        collection.append_dedup(
+            item,
+            batch_df,
+            index_item,
+            within_batch=within_batch,
+            sidecar_extra={COMMITS_KEY: commits},
+            **append_kwargs,
+        )
+
+    return sink
+
+
 def ingest_stream(
     collection,
     item: str,

@@ -270,3 +270,50 @@ def test_merge_sink_replay_guard_error_strategy(spark, test_collection):
     sink(batch, 0)
     sink(batch, 0)  # would raise DataIntegrityError without the guard
     assert len(test_collection.item("err_item").to_pandas()) == 4
+
+
+def test_dedup_merge_sink_probes_index_per_batch(spark, test_collection):
+    """Streaming face of the incremental near-dedup: each micro-batch
+    is probed against the persistent MinHash index before appending;
+    survivors join the delta tier so LATER batches dedup against them;
+    a replayed batch id is skipped (no double-indexing)."""
+    import pandas as pd
+
+    from pystore_spark.streaming import dedup_merge_sink
+
+    c = test_collection
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away today while the sun shines over the quiet valley "
+    )
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [base + f"tail {i} " + "filler words here " * 3
+                 for i in range(6)],
+    })
+    c.write("sdocs", docs, index_col="doc_id")
+    c.build_dedup_index("sidx", "sdocs")
+
+    sink = dedup_merge_sink(c, "sdocs", "sidx")
+    b0 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [docs.loc[2, "text"],            # dup of stored doc 2
+                 "entirely new prose about catalyst and adaptive "
+                 "query execution with its own words"],
+    }))
+    sink(b0, 0)
+    ids = {r["doc_id"] for r in c.item("sdocs").data.select("doc_id").collect()}
+    assert ids == set(range(6)) | {101}
+
+    # replay of batch 0: no change, no double-indexing
+    sink(b0, 0)
+    assert c.item("sdocs").data.count() == 7
+
+    # batch 1 repeats batch 0's survivor → dropped via the DELTA tier
+    b1 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [200],
+        "text": [b0.collect()[1]["text"]],
+    }))
+    sink(b1, 1)
+    ids = {r["doc_id"] for r in c.item("sdocs").data.select("doc_id").collect()}
+    assert 200 not in ids and len(ids) == 7

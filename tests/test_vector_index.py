@@ -177,3 +177,71 @@ def test_quantized_index_recall_within_one_point(test_collection, emb):
             f"nprobe={nprobe}: quantized hits {hq}/{total} fell more "
             f"than 1 recall point below float hits {hf}/{total}"
         )
+
+
+def test_append_vector_index_delta_and_fold(test_collection, emb):
+    """Incremental index maintenance: appended vectors are searchable
+    immediately (delta tier, no rebuild), and refresh_vector_index
+    folds them into the cell-sorted base without changing results."""
+    from pyspark.sql import functions as F
+
+    base = emb.filter("vec_id < 400")
+    extra = emb.filter("vec_id >= 400").withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    test_collection.build_vector_index(
+        "inc_ivf", base, n_cells=4, n_iters=2, overwrite=True
+    )
+    test_collection.append_vector_index("inc_ivf", extra)
+    assert test_collection.item_exists("inc_ivf__delta")
+
+    # query an exact COPY of an appended vector under a fresh id
+    # (ivf_topk excludes self-id matches): the appended twin must be
+    # top-1 at cosine 1.0 — proof the delta tier is searched
+    q = extra.filter("vec_id == 10400").withColumn(
+        "vec_id", F.lit(999_999)
+    )
+    got = test_collection.search_vector_index(
+        "inc_ivf", q, k=1, nprobe=4
+    ).collect()
+    assert got and got[0]["vec_id"] == 10400
+
+    before = sorted(
+        (r["q_vec_id"], r["vec_id"])
+        for r in test_collection.search_vector_index(
+            "inc_ivf", emb.filter("vec_id < 5"), k=5, nprobe=2
+        ).collect()
+    )
+    res = test_collection.maintain("inc_ivf")
+    fold = res["inc_ivf"]["vector_index"]
+    assert fold["folded"] == 500
+    assert not test_collection.item_exists("inc_ivf__delta")
+    after = sorted(
+        (r["q_vec_id"], r["vec_id"])
+        for r in test_collection.search_vector_index(
+            "inc_ivf", emb.filter("vec_id < 5"), k=5, nprobe=2
+        ).collect()
+    )
+    assert before == after, "the fold must not change search results"
+
+
+def test_append_vector_index_quantized(test_collection, emb):
+    from pyspark.sql import functions as F
+
+    test_collection.build_vector_index(
+        "inc_q", emb.filter("vec_id < 400"), n_cells=4, n_iters=1,
+        overwrite=True, quantize=True,
+    )
+    extra = emb.filter("vec_id >= 400").withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    test_collection.append_vector_index("inc_q", extra)
+    cols = test_collection.item("inc_q__delta").data.columns
+    assert "_q8" in cols and "embedding" not in cols
+    q = extra.filter("vec_id == 10450").withColumn(
+        "vec_id", F.lit(999_999)
+    )
+    got = test_collection.search_vector_index(
+        "inc_q", q, k=1, nprobe=4
+    ).collect()
+    assert got and got[0]["vec_id"] == 10450
