@@ -68,6 +68,19 @@ META_KEY = "_dedup_index"
 # rely on the join alone
 MAX_PUSHDOWN_KEYS = 20_000
 
+# test hook: when set to a list, _probe_ids appends (stage, physical
+# plan) pairs so plan-shape tests can assert the broadcast/no-cartesian
+# discipline of the probe's INTERNAL plans (the public API collects
+# eagerly, so the registry-wide plan sweep can't see them)
+DEBUG_CAPTURE_PLANS: list | None = None
+
+
+def _capture(stage: str, df: DataFrame) -> None:
+    if DEBUG_CAPTURE_PLANS is not None:
+        DEBUG_CAPTURE_PLANS.append(
+            (stage, df._jdf.queryExecution().executedPlan().toString())
+        )
+
 
 def _hash56(col) -> Any:
     """First 14 hex digits of md5 as int64 — the shared engine/oracle
@@ -260,13 +273,14 @@ def _probe_ids(
     # index scan — the index side is the big one at corpus scale.
     # Materialize the candidate pairs: both the old-id collect and the
     # verification read them, and they are candidate-sized.
-    cand = (
+    cand_plan = (
         stored_bands.join(F.broadcast(new_bands), on=["bkey", "band"])
         .filter(F.col("_new_id") != F.col("_old_id"))
         .select("_new_id", "_old_id")
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    _capture("candidates", cand_plan)
+    cand = cand_plan.localCheckpoint(eager=True)
     # verification: exact Jaccard over persisted shingle-hash sets,
     # fetched for candidate old ids only
     old_ids = [
@@ -296,6 +310,7 @@ def _probe_ids(
         .select(F.col("_new_id").alias(id_col))
         .distinct()
     )
+    _capture("verify", drop)
     return sorted(r[id_col] for r in drop.collect())
 
 
@@ -366,6 +381,13 @@ def append_with_dedup(
     feats = _compute_features(col, meta, probe_frame)
     n_probe = feats.count()  # cheap: feats are materialized
     n_in = n_probe + len(dropped)
+    if n_probe == 0:
+        return {
+            "n_incoming": n_in,
+            "n_dropped": len(dropped),
+            "n_appended": 0,
+            "dropped_ids": sorted(dropped),
+        }
     corpus_drop = _probe_ids(
         col, index_item, meta, feats, meta["threshold"]
     )

@@ -224,3 +224,61 @@ def test_write_index_col_promotes_column(test_collection):
     got = c.item("t").to_pandas().sort_index()
     assert list(got.index) == [10, 20, 30, 40]
     assert got.loc[20, "v"] == "B"  # keep_last upsert on k
+
+
+def test_append_dedup_empty_batch_is_noop(corpus, spark):
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+    rep = corpus.append_dedup("corpus", empty, "cidx")
+    assert rep == {
+        "n_incoming": 0, "n_dropped": 0, "n_appended": 0,
+        "dropped_ids": [],
+    }
+
+
+def test_collection_wide_maintain_handles_index_items(corpus):
+    """maintain() over the WHOLE collection: the index item folds its
+    delta, the companion/delta items don't break the loop (deltas are
+    deleted mid-loop by the fold), and the corpus item still gets its
+    normal maintenance."""
+    c = corpus
+    inc = pd.DataFrame({
+        "doc_id": [700],
+        "text": ["never seen before content about columnar shuffle "
+                 "hash exchanges and whole stage codegen"],
+    })
+    c.append_dedup("corpus", inc, "cidx")
+    assert c.item_exists("cidx__bands_delta")
+    res = c.maintain()  # all items
+    assert res["cidx"]["dedup_index"]["docs_folded"] == 11
+    assert not c.item_exists("cidx__bands_delta")
+    assert "corpus" in res and "gc_removed" in res["corpus"]
+
+
+def test_probe_plan_shape(corpus, spark):
+    """Plan discipline for the probe's INTERNAL stages (the public API
+    collects eagerly, so the registry-wide sweep can't see them): the
+    batch side is broadcast, and no stage degenerates to a cartesian
+    product or nested-loop join."""
+    inc = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [800, 801],
+                      "text": [_docs([0]).loc[0, "text"],
+                               "totally novel words about exchanges"]})
+    )
+    DI.DEBUG_CAPTURE_PLANS = []
+    try:
+        corpus.probe_dedup_index("cidx", inc).collect()
+        plans = dict(DI.DEBUG_CAPTURE_PLANS)
+    finally:
+        DI.DEBUG_CAPTURE_PLANS = None
+    assert "candidates" in plans
+    for stage, plan in plans.items():
+        assert "CartesianProduct" not in plan, stage
+        assert "BroadcastNestedLoopJoin" not in plan, stage
+    assert "BroadcastHashJoin" in plans["candidates"]
