@@ -65,6 +65,17 @@ class AsyncCollection:
     async def compact(self, item: str, **kwargs):
         return await self._run(self.collection.compact, item, **kwargs)
 
+    async def append_dedup(
+        self, item: str, data: Any, index_item: str, **kwargs
+    ):
+        """Async incremental near-dedup append (the daily-ingest
+        call): probe the persistent index, drop corpus near-dups,
+        append + delta-index survivors off the event loop."""
+        return await self._run(
+            self.collection.append_dedup, item, data, index_item,
+            **kwargs,
+        )
+
     async def analyze(self, item: str, **kwargs):
         return await self._run(
             self.collection.analyze_incremental, item, **kwargs
