@@ -1734,14 +1734,14 @@ class Collection:
             c
             for c in self.item(index_item).data.columns
         ]
-        merged = (
-            self.item(index_item)
-            .data.unionByName(
-                self.item(delta).data.select(*base_cols)
-            )
-            .localCheckpoint(eager=True)  # materialize before the swap
+        # lazy union is safe against the overwrite it feeds: the
+        # manifest commit stages (executing this plan) while the old
+        # file set is still live, and swaps after — no index-sized
+        # materialization (see dedup_index.refresh_index)
+        n = self.item(delta).data.count()
+        merged = self.item(index_item).data.unionByName(
+            self.item(delta).data.select(*base_cols)
         )
-        n = merged.count()
         self.write(
             index_item, merged, index_col="cell", zonemap=["cell"],
             overwrite=True,

@@ -447,7 +447,8 @@ def refresh_index(col, index_item: str) -> dict:
     """Fold the delta tier into the sorted, zonemapped base tier (the
     LSM merge — wired into ``Collection.maintain``). O(index), run on
     the maintenance cadence; appends stay O(new) in between. No-op
-    when the delta is empty."""
+    when the delta is empty. Returns the DELTA row counts absorbed
+    (``bands_folded`` / ``docs_folded``)."""
     meta = _index_meta(col, index_item)
     id_col = meta["id_col"]
     folded = {"bands_folded": 0, "docs_folded": 0}
@@ -462,22 +463,29 @@ def refresh_index(col, index_item: str) -> dict:
     docs_all = _union_tiers(
         col, meta["docs_item"], meta["docs_delta"], [id_col, "sh"]
     )
-    # materialize (distributed — executor-local storage, not the
-    # driver) before the overwrite: the union plan reads the very
-    # files the rewrite replaces, and a lazy plan would race the swap
-    # (stale retention makes it *likely* fine, but not guaranteed past
-    # the retention window)
-    bands_ck = bands_all.localCheckpoint(eager=True)
-    docs_ck = docs_all.localCheckpoint(eager=True)
-    folded["bands_folded"] = bands_ck.count()
-    folded["docs_folded"] = docs_ck.count()
+    # the lazy union is SAFE against the overwrite it feeds: the
+    # manifest commit stages the new files (executing this plan) while
+    # the old manifest — and therefore the old files — are still live;
+    # the swap happens strictly after. No index-sized materialization
+    # to executor storage, which is what makes this fold viable when
+    # the docs tier is corpus-scale.
+    folded["bands_folded"] = (
+        col.item(meta["bands_delta"]).data.count()
+        if col.item_exists(meta["bands_delta"])
+        else 0
+    )
+    folded["docs_folded"] = (
+        col.item(meta["docs_delta"]).data.count()
+        if col.item_exists(meta["docs_delta"])
+        else 0
+    )
     col.write(
-        index_item, bands_ck,
+        index_item, bands_all,
         index_col="bkey", zonemap=["bkey"], overwrite=True,
         sidecar_extra={META_KEY: meta},
     )
     col.write(
-        meta["docs_item"], docs_ck,
+        meta["docs_item"], docs_all,
         index_col=id_col, zonemap=[id_col], overwrite=True,
         sidecar_extra={META_KEY + "_role": "docs"},
     )

@@ -125,8 +125,8 @@ def test_refresh_folds_delta_and_probing_survives(corpus):
     c.append_dedup("corpus", inc, "cidx")
     res = c.maintain("cidx")
     folded = res["cidx"]["dedup_index"]
-    assert folded["docs_folded"] == 11  # 10 base + 1 delta
-    assert folded["bands_folded"] == 11 * 4
+    assert folded["docs_folded"] == 1  # delta rows absorbed
+    assert folded["bands_folded"] == 1 * 4
     assert not c.item_exists("cidx__bands_delta")
     assert not c.item_exists("cidx__docs_delta")
     # post-fold: the folded doc still blocks its duplicate
@@ -256,7 +256,7 @@ def test_collection_wide_maintain_handles_index_items(corpus):
     c.append_dedup("corpus", inc, "cidx")
     assert c.item_exists("cidx__bands_delta")
     res = c.maintain()  # all items
-    assert res["cidx"]["dedup_index"]["docs_folded"] == 11
+    assert res["cidx"]["dedup_index"]["docs_folded"] == 1
     assert not c.item_exists("cidx__bands_delta")
     assert "corpus" in res and "gc_removed" in res["corpus"]
 

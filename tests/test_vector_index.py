@@ -214,7 +214,7 @@ def test_append_vector_index_delta_and_fold(test_collection, emb):
     )
     res = test_collection.maintain("inc_ivf")
     fold = res["inc_ivf"]["vector_index"]
-    assert fold["folded"] == 500
+    assert fold["folded"] == 100  # delta rows absorbed
     assert not test_collection.item_exists("inc_ivf__delta")
     after = sorted(
         (r["q_vec_id"], r["vec_id"])
