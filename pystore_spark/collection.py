@@ -1737,17 +1737,25 @@ class Collection:
         # lazy union is safe against the overwrite it feeds: the
         # manifest commit stages (executing this plan) while the old
         # file set is still live, and swaps after — no index-sized
-        # materialization (see dedup_index.refresh_index)
-        n = self.item(delta).data.count()
+        # materialization. The delta Item pins the file list read, so
+        # the post-fold trim removes exactly those files: vectors
+        # appended DURING the fold stay live for the next one (see
+        # dedup_index.refresh_index / trim_delta).
+        from pystore_spark.dedup_index import trim_delta
+
+        it_delta = self.item(delta)
+        n = it_delta.data.count()
         merged = self.item(index_item).data.unionByName(
-            self.item(delta).data.select(*base_cols)
+            it_delta.data.select(*base_cols)
         )
         self.write(
-            index_item, merged, index_col="cell", zonemap=["cell"],
+            index_item,
+            merged.dropDuplicates([it_meta["id_col"]]),
+            index_col="cell", zonemap=["cell"],
             overwrite=True,
             sidecar_extra={"_vector_index": it_meta},
         )
-        self.delete_item(delta)
+        trim_delta(self, delta, it_delta, it_meta["id_col"])
         return {"folded": n}
 
     def search_vector_index(

@@ -148,6 +148,22 @@ def build_index(
             f"num_hashes ({num_hashes}) must divide evenly into "
             f"bands ({bands})"
         )
+    if not overwrite:
+        # fail BEFORE any write: the index is two coupled items, and
+        # hitting ItemExistsError between the band write and the docs
+        # write would leave them inconsistent
+        from pystore_spark.exceptions import ItemExistsError
+
+        taken = [
+            n
+            for n in (index_item, f"{index_item}__docs")
+            if col.item_exists(n)
+        ]
+        if taken:
+            raise ItemExistsError(
+                f"dedup index items {taken} already exist; use "
+                "overwrite=True to rebuild"
+            )
     df = col.item(source).data if isinstance(source, str) else source
     # one corpus pass: the band write and the docs write both consume
     # the materialized features instead of re-hashing the corpus
@@ -208,13 +224,15 @@ def _union_tiers(
     col, base_item: str, delta_item: str, columns: list[str],
     filters=None,
 ) -> DataFrame:
-    """Base tier (pruned by ``filters``) ∪ delta tier (scanned whole —
-    the LSM read path; the delta carries no key zonemap until
-    refresh_index folds it)."""
+    """Base tier ∪ delta tier — the LSM read path. ``filters`` prune
+    base FILES via the manifest zonemap; the delta has no key zonemap
+    until refresh_index folds it, but the same predicate still reaches
+    its parquet scan (row-group statistics + row-level filter), so a
+    small delta costs a footer read when nothing matches."""
     out = col.item(base_item, filters=filters).data.select(*columns)
     if col.item_exists(delta_item):
         out = out.unionByName(
-            col.item(delta_item).data.select(*columns)
+            col.item(delta_item, filters=filters).data.select(*columns)
         )
     return out
 
@@ -443,12 +461,60 @@ def _index_delta_append(col, meta: dict, feats: DataFrame) -> None:
             col.write(name, rows, index_col="added_at")
 
 
+def _pinned_union(col, base_item: str, delta_item: str, columns):
+    """(union frame, pinned delta Item-or-None) — the fold's read
+    side. The delta Item pins the manifest (and so the exact file
+    list) the union reads, so the post-fold trim can remove exactly
+    those files and no newer ones."""
+    frame = col.item(base_item).data.select(*columns)
+    it_delta = (
+        col.item(delta_item) if col.item_exists(delta_item) else None
+    )
+    if it_delta is not None:
+        frame = frame.unionByName(it_delta.data.select(*columns))
+    return frame, it_delta
+
+
+def trim_delta(col, delta_item: str, pinned_it, id_col: str) -> None:
+    """Drop the FOLDED rows from the delta after a fold, keeping rows
+    a concurrent ``append_dedup`` landed mid-fold (deleting the whole
+    item would silently lose them from the index — the
+    maintain-vs-appender lost-update class). Row-level, not
+    file-level: delta appends MERGE the current time bucket, so file
+    identity does not survive a concurrent append. Fast path: when
+    the delta manifest is unchanged since the fold read it, nothing
+    landed — delete the item. Otherwise rewrite it as
+    ``current ▷ pinned ids`` (the pinned files stay readable under
+    stale retention). The narrow window between this read and the
+    rewrite can at worst leave a row in BOTH tiers — harmless: probes
+    dedup candidates, and the fold's dropDuplicates self-heals the
+    base on the next merge."""
+    if pinned_it is None or not col.item_exists(delta_item):
+        return
+    it_cur = col.item(delta_item)
+    pinned_files = set((pinned_it._manifest or {}).get("files") or [])
+    cur_files = set((it_cur._manifest or {}).get("files") or [])
+    if cur_files == pinned_files:
+        col.delete_item(delta_item)
+        return
+    late = it_cur.data.join(
+        pinned_it.data.select(id_col).distinct(),
+        on=id_col,
+        how="left_anti",
+    )
+    col.write(delta_item, late, index_col="added_at", overwrite=True)
+
+
 def refresh_index(col, index_item: str) -> dict:
     """Fold the delta tier into the sorted, zonemapped base tier (the
     LSM merge — wired into ``Collection.maintain``). O(index), run on
     the maintenance cadence; appends stay O(new) in between. No-op
     when the delta is empty. Returns the DELTA row counts absorbed
-    (``bands_folded`` / ``docs_folded``)."""
+    (``bands_folded`` / ``docs_folded``).
+
+    Concurrency: the fold pins the delta file lists it reads, and the
+    post-fold trim removes exactly those files — delta rows appended
+    DURING the fold stay live and are absorbed by the next fold."""
     meta = _index_meta(col, index_item)
     id_col = meta["id_col"]
     folded = {"bands_folded": 0, "docs_folded": 0}
@@ -457,10 +523,10 @@ def refresh_index(col, index_item: str) -> dict:
         or col.item_exists(meta["docs_delta"])
     ):
         return folded
-    bands_all = _union_tiers(
+    bands_all, bands_delta_it = _pinned_union(
         col, index_item, meta["bands_delta"], ["bkey", "band", id_col]
     )
-    docs_all = _union_tiers(
+    docs_all, docs_delta_it = _pinned_union(
         col, meta["docs_item"], meta["docs_delta"], [id_col, "sh"]
     )
     # the lazy union is SAFE against the overwrite it feeds: the
@@ -470,26 +536,24 @@ def refresh_index(col, index_item: str) -> dict:
     # to executor storage, which is what makes this fold viable when
     # the docs tier is corpus-scale.
     folded["bands_folded"] = (
-        col.item(meta["bands_delta"]).data.count()
-        if col.item_exists(meta["bands_delta"])
-        else 0
+        bands_delta_it.data.count() if bands_delta_it is not None else 0
     )
     folded["docs_folded"] = (
-        col.item(meta["docs_delta"]).data.count()
-        if col.item_exists(meta["docs_delta"])
-        else 0
+        docs_delta_it.data.count() if docs_delta_it is not None else 0
     )
+    # dropDuplicates on the natural keys: a row that raced its way
+    # into both tiers (see trim_delta) folds back to one copy
     col.write(
-        index_item, bands_all,
+        index_item, bands_all.dropDuplicates(["bkey", "band", id_col]),
         index_col="bkey", zonemap=["bkey"], overwrite=True,
         sidecar_extra={META_KEY: meta},
     )
     col.write(
-        meta["docs_item"], docs_all,
+        meta["docs_item"], docs_all.dropDuplicates([id_col]),
         index_col=id_col, zonemap=[id_col], overwrite=True,
         sidecar_extra={META_KEY + "_role": "docs"},
     )
-    for d in (meta["bands_delta"], meta["docs_delta"]):
-        if col.item_exists(d):
-            col.delete_item(d)
+    for it in (bands_delta_it, docs_delta_it):
+        if it is not None:
+            trim_delta(col, it.item, it, id_col)
     return folded

@@ -282,3 +282,86 @@ def test_probe_plan_shape(corpus, spark):
         assert "CartesianProduct" not in plan, stage
         assert "BroadcastNestedLoopJoin" not in plan, stage
     assert "BroadcastHashJoin" in plans["candidates"]
+
+
+def test_append_dedup_time_indexed_corpus(test_collection):
+    """The dedup index composes with a TIME-partitioned corpus (the
+    realistic shape: documents keyed by ingestion time, doc_id as a
+    regular column): probe decisions are layout-independent and the
+    append itself stays partition-scoped."""
+    c = test_collection
+    docs = _docs(range(8))
+    docs.index = pd.date_range("2024-01-01", periods=8, freq="D")
+    c.write("tdocs", docs)
+    c.build_dedup_index("tidx", "tdocs")
+    inc = _docs([900], tail="wholly new closing words about shuffles")
+    inc.loc[0, "text"] = (
+        "totally fresh prose about adaptive execution and skew salting"
+    )
+    dup = _docs([901])
+    dup.loc[0, "text"] = _docs(range(8)).loc[4, "text"]
+    batch = pd.concat([inc, dup])
+    batch.index = pd.date_range("2024-02-01", periods=2, freq="D")
+    rep = c.append_dedup("tdocs", batch, "tidx")
+    assert rep["dropped_ids"] == [901]
+    ids = {
+        r["doc_id"]
+        for r in c.item("tdocs").data.select("doc_id").collect()
+    }
+    assert ids == set(range(8)) | {900}
+
+
+def test_fold_preserves_concurrent_delta_appends(corpus, monkeypatch):
+    """Delta rows appended WHILE the fold runs must not be dropped by
+    the post-fold trim: only the pinned (read) files are removed; the
+    late rows stay live and the next fold absorbs them."""
+    c = corpus
+    c.append_dedup("corpus", _docs([600]).assign(
+        text=["original delta content about broadcast hash joins"]
+    ), "cidx")
+    assert c.item_exists("cidx__docs_delta")
+
+    late = _docs([601]).assign(
+        text=["late-arriving prose about sort merge exchanges entirely"]
+    )
+    fired = {}
+    orig_write = c.write
+
+    def hooked(item, data, **kw):
+        # first write of the fold (the band-item rewrite): sneak a
+        # concurrent append into the delta tier
+        if "x" not in fired and item == "cidx":
+            fired["x"] = True
+            c.append_dedup("corpus", late, "cidx")
+        return orig_write(item, data, **kw)
+
+    monkeypatch.setattr(c, "write", hooked)
+    folded = c.refresh_dedup_index("cidx")
+    monkeypatch.undo()
+    assert fired, "test premise: the concurrent append must have run"
+    assert folded["docs_folded"] == 1  # only the pinned delta row
+
+    # the late row survived the trim — still in the delta tier
+    assert c.item_exists("cidx__docs_delta")
+    late_ids = {
+        r["doc_id"]
+        for r in c.item("cidx__docs_delta").data.select("doc_id").collect()
+    }
+    assert late_ids == {601}
+    # and it still blocks its duplicate
+    rep = c.append_dedup("corpus", late.assign(doc_id=[602]), "cidx")
+    assert rep["dropped_ids"] == [602]
+    # second fold absorbs it
+    folded2 = c.refresh_dedup_index("cidx")
+    assert folded2["docs_folded"] == 1
+    assert not c.item_exists("cidx__docs_delta")
+
+
+def test_build_index_refuses_partial_overwrite(corpus):
+    from pystore_spark.exceptions import ItemExistsError
+
+    with pytest.raises(ItemExistsError, match="already exist"):
+        corpus.build_dedup_index("cidx", "corpus")
+    # explicit overwrite rebuilds cleanly
+    res = corpus.build_dedup_index("cidx", "corpus", overwrite=True)
+    assert res["index_item"] == "cidx"
