@@ -80,7 +80,25 @@ def rewrite_time_travel(
         specs.append((view, kind, val, alias))
         return alias
 
-    return _TIME_TRAVEL_RE.sub(_sub, query), specs
+    # rewrite only matches that START outside single-quoted string
+    # literals — a literal containing "x FOR VERSION AS OF 1" passes
+    # through verbatim, while the TIMESTAMP form's own quoted value
+    # (which sits INSIDE the match) still rewrites fine
+    lit_spans = [m.span() for m in re.finditer(r"'[^']*'", query)]
+
+    def _in_literal(pos: int) -> bool:
+        return any(a < pos < b for a, b in lit_spans)
+
+    out: list[str] = []
+    last = 0
+    for m in _TIME_TRAVEL_RE.finditer(query):
+        if _in_literal(m.start()):
+            continue
+        out.append(query[last : m.start()])
+        out.append(_sub(m))
+        last = m.end()
+    out.append(query[last:])
+    return "".join(out), specs
 
 
 def sanitize_snapshot_name(name: str) -> str:

@@ -284,3 +284,18 @@ def test_sql_time_travel_ignores_unknown_identifiers(test_collection):
     c.write("ttx", _frame(10))
     with pytest.raises(Exception):
         c.sql("SELECT * FROM nosuch FOR VERSION AS OF 1").collect()
+
+
+def test_sql_time_travel_skips_string_literals(test_collection):
+    """A clause-shaped substring INSIDE a string literal must pass
+    through verbatim — only real identifier positions rewrite."""
+    c = test_collection
+    c.write("ttl", _frame(30))
+    c.append("ttl", _frame(10, start="2023-03-01", v0=99.0))
+    row = c.sql(
+        "SELECT 'ttl FOR VERSION AS OF 1' AS note, "
+        "(SELECT count(*) FROM ttl FOR VERSION AS OF 1) AS n_v1, "
+        "count(*) AS n_now FROM ttl"
+    ).collect()[0]
+    assert row["note"] == "ttl FOR VERSION AS OF 1"
+    assert (row["n_now"], row["n_v1"]) == (40, 30)
