@@ -365,3 +365,47 @@ def test_build_index_refuses_partial_overwrite(corpus):
     # explicit overwrite rebuilds cleanly
     res = corpus.build_dedup_index("cidx", "corpus", overwrite=True)
     assert res["index_item"] == "cidx"
+
+
+def test_multi_day_ingest_lifecycle(corpus):
+    """The real operating loop: several days of append_dedup with a
+    nightly maintain() fold in between. Invariants checked every day:
+    corpus ids unique, every corpus doc indexed exactly once (band
+    rows = docs x bands after each fold), and re-sending any earlier
+    day's batch is fully dropped regardless of which tier holds it."""
+    c = corpus
+    days = [
+        _docs([1000 + i], tail=f"day {i} distinct closing words "
+              + f"topic{i} " * 4)
+        for i in range(4)
+    ]
+    # make each day genuinely novel text
+    for i, d in enumerate(days):
+        d.loc[d.index[0], "text"] = (
+            f"day {i} wholly original narrative about "
+            + " ".join(f"term{i}_{j}" for j in range(30))
+        )
+    n_base = 10
+    for i, batch in enumerate(days):
+        rep = c.append_dedup("corpus", batch, "cidx")
+        assert rep["n_appended"] == 1, f"day {i} batch must be novel"
+        # re-sending an EARLIER day (new ids) must drop fully
+        if i >= 1:
+            old = days[i - 1].assign(doc_id=[5000 + i])
+            rep2 = c.append_dedup("corpus", old, "cidx")
+            assert rep2["n_appended"] == 0, f"day {i}: replay not caught"
+        if i % 2 == 1:  # nightly fold every other day
+            c.maintain("cidx")
+        ids = [
+            r["doc_id"]
+            for r in c.item("corpus").data.select("doc_id").collect()
+        ]
+        assert len(ids) == len(set(ids)), "duplicate ids in corpus"
+        assert len(ids) == n_base + i + 1
+
+    # final fold: index row counts must equal corpus docs exactly
+    c.maintain("cidx")
+    n_docs = c.item("corpus").data.count()
+    assert c.item("cidx__docs").data.count() == n_docs
+    assert c.item("cidx").data.count() == n_docs * 4
+    assert not c.item_exists("cidx__docs_delta")
