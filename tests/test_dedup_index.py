@@ -409,3 +409,23 @@ def test_multi_day_ingest_lifecycle(corpus):
     assert c.item("cidx__docs").data.count() == n_docs
     assert c.item("cidx").data.count() == n_docs * 4
     assert not c.item_exists("cidx__docs_delta")
+
+
+def test_dedup_index_string_ids(test_collection):
+    """No numeric-id assumptions anywhere in the index: string doc
+    ids flow through band rows, docs rows, probe in-filters and the
+    drop-set frame."""
+    c = test_collection
+    docs = _docs(range(6))
+    docs["doc_id"] = [f"doc-{i:03d}" for i in range(6)]
+    c.write("sdoc", docs, index_col="doc_id")
+    c.build_dedup_index("sdidx", "sdoc")
+    inc = pd.DataFrame({
+        "doc_id": ["new-a", "new-b"],
+        "text": [docs.loc[2, "text"],
+                 "fresh original content about tungsten code generation"],
+    })
+    rep = c.append_dedup("sdoc", inc, "sdidx")
+    assert rep["dropped_ids"] == ["new-a"]
+    ids = {r["doc_id"] for r in c.item("sdoc").data.select("doc_id").collect()}
+    assert "new-b" in ids and "new-a" not in ids
