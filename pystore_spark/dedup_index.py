@@ -164,7 +164,7 @@ def build_index(
                 f"dedup index items {taken} already exist; use "
                 "overwrite=True to rebuild"
             )
-    df = col.item(source).data if isinstance(source, str) else source
+    df = _read_frame(col, source) if isinstance(source, str) else source
     # one corpus pass: the band write and the docs write both consume
     # the materialized features instead of re-hashing the corpus
     feats = doc_features(
@@ -220,6 +220,24 @@ def _index_meta(col, index_item: str) -> dict:
     return meta
 
 
+def _item_frame(col, it) -> DataFrame:
+    """Item handle → Spark frame, backend-aware: a Spark-readable
+    warehouse scans lazily (manifest-resolved, zonemap-pruned);
+    driver-side-only backends (FakeS3) load through the Arrow read
+    path — which honors the same filters and the handle's PINNED
+    manifest — and re-enter Spark as a local relation. Driver-only
+    backends are inherently driver-scale, so the materialization is
+    bounded by construction."""
+    if col.fs.spark_readable:
+        return it.data
+    pdf = it.to_pandas(engine="arrow").reset_index()
+    return col.spark.createDataFrame(pdf)
+
+
+def _read_frame(col, name: str, filters=None) -> DataFrame:
+    return _item_frame(col, col.item(name, filters=filters))
+
+
 def _union_tiers(
     col, base_item: str, delta_item: str, columns: list[str],
     filters=None,
@@ -229,10 +247,12 @@ def _union_tiers(
     until refresh_index folds it, but the same predicate still reaches
     its parquet scan (row-group statistics + row-level filter), so a
     small delta costs a footer read when nothing matches."""
-    out = col.item(base_item, filters=filters).data.select(*columns)
+    out = _read_frame(col, base_item, filters=filters).select(*columns)
     if col.item_exists(delta_item):
         out = out.unionByName(
-            col.item(delta_item, filters=filters).data.select(*columns)
+            _read_frame(col, delta_item, filters=filters).select(
+                *columns
+            )
         )
     return out
 
@@ -466,12 +486,14 @@ def _pinned_union(col, base_item: str, delta_item: str, columns):
     side. The delta Item pins the manifest (and so the exact file
     list) the union reads, so the post-fold trim can remove exactly
     those files and no newer ones."""
-    frame = col.item(base_item).data.select(*columns)
+    frame = _read_frame(col, base_item).select(*columns)
     it_delta = (
         col.item(delta_item) if col.item_exists(delta_item) else None
     )
     if it_delta is not None:
-        frame = frame.unionByName(it_delta.data.select(*columns))
+        frame = frame.unionByName(
+            _item_frame(col, it_delta).select(*columns)
+        )
     return frame, it_delta
 
 
@@ -497,8 +519,8 @@ def trim_delta(col, delta_item: str, pinned_it, id_col: str) -> None:
     if cur_files == pinned_files:
         col.delete_item(delta_item)
         return
-    late = it_cur.data.join(
-        pinned_it.data.select(id_col).distinct(),
+    late = _item_frame(col, it_cur).join(
+        _item_frame(col, pinned_it).select(id_col).distinct(),
         on=id_col,
         how="left_anti",
     )
@@ -536,10 +558,14 @@ def refresh_index(col, index_item: str) -> dict:
     # to executor storage, which is what makes this fold viable when
     # the docs tier is corpus-scale.
     folded["bands_folded"] = (
-        bands_delta_it.data.count() if bands_delta_it is not None else 0
+        _item_frame(col, bands_delta_it).count()
+        if bands_delta_it is not None
+        else 0
     )
     folded["docs_folded"] = (
-        docs_delta_it.data.count() if docs_delta_it is not None else 0
+        _item_frame(col, docs_delta_it).count()
+        if docs_delta_it is not None
+        else 0
     )
     # dropDuplicates on the natural keys: a row that raced its way
     # into both tiers (see trim_delta) folds back to one copy

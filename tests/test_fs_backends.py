@@ -341,3 +341,39 @@ def test_s3_time_travel(s3_collection):
     with pytest.raises(Exception) as ei:
         c.item("tt", version=1)
     assert "retention" in str(ei.value) or "GC" in str(ei.value)
+
+
+def test_s3_dedup_index_cycle(s3_collection):
+    """The incremental near-dedup index runs entirely on the
+    object-store backend: build, probed append (drop + survive +
+    delta), fold — every commit the conditional-put manifest swap.
+    Index frames are driver-bounded at this scale, so the Arrow path
+    handles all writes; the engine never needs a Spark-readable FS."""
+    import pandas as pd
+
+    c = s3_collection
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away today while the sun shines over the quiet valley "
+    )
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [base + f"tail {i} " + "filler words here " * 3
+                 for i in range(6)],
+    })
+    c.write("docs", docs, index_col="doc_id")
+    c.build_dedup_index("didx", "docs")
+    inc = pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [docs.loc[3, "text"],
+                 "wholly novel content about conditional puts and "
+                 "manifest pointer swaps on object stores"],
+    })
+    rep = c.append_dedup("docs", inc, "didx")
+    assert rep["dropped_ids"] == [100]
+    ids = set(
+        c.item("docs").to_pandas(engine="arrow").reset_index()["doc_id"]
+    )
+    assert ids == set(range(6)) | {101}
+    folded = c.refresh_dedup_index("didx")
+    assert folded["docs_folded"] == 1
