@@ -764,26 +764,67 @@ class Collection:
             self._append_partition_scoped(
                 item, existing, incoming, idx_cols, plan, duplicate_handling,
                 sidecar, order_col=order_col, man=existing_item._manifest,
+                sidecar_extra=sidecar_extra,
             )
         else:
             from pystore_spark import manifest as mf
+            from pystore_spark.exceptions import ConcurrentCommitError
             from pystore_spark.partition import estimate_size_bytes
 
-            existing = existing.drop(PARTITION_COL) if PARTITION_COL in existing.columns else existing
-            merged = merge_append(existing, incoming, idx_cols,
-                                  duplicate_handling, order_col=order_col)
-            new_plan = plan_partitions(
-                merged, index_col=idx_cols[0], npartitions=npartitions
-            ) if plan.kind != "time" else plan
-            inc_est = estimate_size_bytes(incoming)
-            shaped = apply_layout(
-                merged, new_plan, index_col=idx_cols[0],
-                small=inc_est is not None
-                and mf.item_bytes(self._item_path(item)) + inc_est
-                <= config.PARTITION_TARGET_BYTES,
-            )
-            sidecar["_partition_plan"] = new_plan.to_dict()
-            self._atomic_write(item, shaped, new_plan, sidecar)
+            # whole-item rewrite with the same observed-state guard as
+            # the bucket-scoped path: without it a concurrent commit's
+            # files would be moved to stale by this commit's
+            # scope='item' swap (lost update). Retries refresh BOTH
+            # the merged frame and the sidecar — re-committing the
+            # pre-race metadata would erase whatever the concurrent
+            # commit wrote there (e.g. streaming replay counters).
+            evo_on = bool(evo and evo.get("enabled"))
+            cur_existing, cur_man = existing, existing_item._manifest
+            cur_sidecar = sidecar
+            for attempt in range(3):
+                ex = (
+                    cur_existing.drop(PARTITION_COL)
+                    if PARTITION_COL in cur_existing.columns
+                    else cur_existing
+                )
+                merged = merge_append(ex, incoming, idx_cols,
+                                      duplicate_handling,
+                                      order_col=order_col)
+                new_plan = plan_partitions(
+                    merged, index_col=idx_cols[0], npartitions=npartitions
+                ) if plan.kind != "time" else plan
+                inc_est = estimate_size_bytes(incoming)
+                shaped = apply_layout(
+                    merged, new_plan, index_col=idx_cols[0],
+                    small=inc_est is not None
+                    and mf.item_bytes(self._item_path(item)) + inc_est
+                    <= config.PARTITION_TARGET_BYTES,
+                )
+                cur_sidecar["_partition_plan"] = new_plan.to_dict()
+                try:
+                    self._atomic_install(
+                        item,
+                        lambda tmp: self._write_df(
+                            shaped, str(tmp), new_plan
+                        ),
+                        cur_sidecar,
+                        expect_files=mf.bucket_file_map(cur_man)
+                        if cur_man is not None
+                        else None,
+                    )
+                    break
+                except ConcurrentCommitError:
+                    # the evolved frame/sidecar were derived from the
+                    # stale state — a safe redo needs the whole
+                    # evolution pass, so propagate for the caller
+                    if evo_on or attempt == 2:
+                        raise
+                    fresh = self.item(item)
+                    cur_existing = fresh.raw_frame()
+                    cur_man = fresh._manifest
+                    cur_sidecar = dict(fresh.metadata)
+                    if sidecar_extra:
+                        cur_sidecar.update(sidecar_extra)
         self.clear_metadata_cache(item)
 
     def _append_partition_scoped(
@@ -797,6 +838,7 @@ class Collection:
         sidecar: dict,
         order_col: str | None = None,
         man: dict | None = None,
+        sidecar_extra: dict | None = None,
     ) -> None:
         """Merge only the time-buckets touched by incoming keys, then
         commit just those buckets' file pointers — the scalable append
@@ -856,6 +898,12 @@ class Collection:
                     raise
                 fresh_it = self.item(item)
                 existing, man = fresh_it.raw_frame(), fresh_it._manifest
+                # refresh the sidecar too: re-committing the pre-race
+                # metadata would erase what the concurrent commit
+                # wrote there (e.g. streaming replay counters)
+                sidecar = dict(fresh_it.metadata)
+                if sidecar_extra:
+                    sidecar.update(sidecar_extra)
 
     def _install_buckets(
         self, item: str, write_fn, sidecar: dict,
@@ -1631,8 +1679,10 @@ class Collection:
         ``{n_cells, dim, n_vectors}``."""
         from pystore_spark.functions import similarity as S
 
+        from pystore_spark.dedup_index import _read_frame
+
         df = (
-            self.item(source).data
+            _read_frame(self, source)
             if isinstance(source, str)
             else source
         )
@@ -1641,12 +1691,7 @@ class Collection:
         )
         assigned = S._assign_cells(df, vec_col, cents)
         if quantize:
-            q, scale = S.quantize_int8(F.col(vec_col))
-            assigned = assigned.select(
-                *[c for c in assigned.columns if c != vec_col],
-                q.alias("_q8"),
-                scale.alias("_q8_scale"),
-            )
+            assigned = S.quantized_select(assigned, vec_col)
         self.write(
             index_item,
             assigned,
@@ -1696,16 +1741,7 @@ class Collection:
         cents = [[float(x) for x in c] for c in it_meta["centroids"]]
         assigned = S._assign_cells(vectors, it_meta["vec_col"], cents)
         if it_meta.get("quantized"):
-            q, scale = S.quantize_int8(F.col(it_meta["vec_col"]))
-            assigned = assigned.select(
-                *[
-                    c
-                    for c in assigned.columns
-                    if c != it_meta["vec_col"]
-                ],
-                q.alias("_q8"),
-                scale.alias("_q8_scale"),
-            )
+            assigned = S.quantized_select(assigned, it_meta["vec_col"])
         delta = f"{index_item}__delta"
         rows = assigned.select(
             F.current_timestamp().alias("added_at"), "*"
@@ -1730,10 +1766,6 @@ class Collection:
         delta = f"{index_item}__delta"
         if not self.item_exists(delta):
             return {"folded": 0}
-        base_cols = [
-            c
-            for c in self.item(index_item).data.columns
-        ]
         # lazy union is safe against the overwrite it feeds: the
         # manifest commit stages (executing this plan) while the old
         # file set is still live, and swaps after — no index-sized
@@ -1741,12 +1773,13 @@ class Collection:
         # the post-fold trim removes exactly those files: vectors
         # appended DURING the fold stay live for the next one (see
         # dedup_index.refresh_index / trim_delta).
-        from pystore_spark.dedup_index import trim_delta
+        from pystore_spark.dedup_index import _item_frame, _read_frame, trim_delta
 
+        base = _read_frame(self, index_item)
         it_delta = self.item(delta)
-        n = it_delta.data.count()
-        merged = self.item(index_item).data.unionByName(
-            it_delta.data.select(*base_cols)
+        n = _item_frame(self, it_delta).count()
+        merged = base.unionByName(
+            _item_frame(self, it_delta).select(*base.columns)
         )
         self.write(
             index_item,
@@ -1790,17 +1823,19 @@ class Collection:
         cells = sorted(
             r["cell"] for r in qa.select("cell").distinct().collect()
         )
-        cand = self.item(
-            index_item, filters=[("cell", "in", cells)]
-        ).data
+        from pystore_spark.dedup_index import _read_frame
+
+        cand = _read_frame(
+            self, index_item, filters=[("cell", "in", cells)]
+        )
         # LSM read path: vectors appended since the last fold live in
         # the delta tier (small, unsorted — scanned whole with a
         # row-level cell filter)
         delta = f"{index_item}__delta"
         if self.item_exists(delta):
             cand = cand.unionByName(
-                self.item(delta)
-                .data.filter(F.col("cell").isin(cells))
+                _read_frame(self, delta)
+                .filter(F.col("cell").isin(cells))
                 .select(*cand.columns)
             )
         if meta.get("quantized"):
@@ -1899,6 +1934,7 @@ class Collection:
         refresh_stats: bool = True,
         refresh_rollups: bool = True,
         refresh_dedup_indexes: bool = True,
+        refresh_vector_indexes: bool = True,
         target_size_mb: int | None = None,
     ) -> dict[str, dict]:
         """The nightly maintenance job, one call per item (or the
@@ -1934,6 +1970,7 @@ class Collection:
                         res["dedup_index"] = self.refresh_dedup_index(n)
                 except Exception as exc:
                     res["dedup_index_error"] = str(exc)
+            if refresh_vector_indexes:
                 try:
                     if (self.get_item_metadata(n) or {}).get(
                         "_vector_index"

@@ -378,6 +378,7 @@ def append_with_dedup(
     data: Any,
     index_item: str,
     within_batch: bool = False,
+    create_missing: bool = False,
     **append_kwargs: Any,
 ) -> dict:
     """Append ``data`` to ``item``, dropping documents that
@@ -417,7 +418,10 @@ def append_with_dedup(
         dropped.update(r[id_col] for r in wb_drop.collect())
         probe_frame = kept_wb
     feats = _compute_features(col, meta, probe_frame)
-    n_probe = feats.count()  # cheap: feats are materialized
+    # DOC counts (distinct ids), not row counts: the report's
+    # arithmetic is in id space, same as dropped_ids — a batch with
+    # duplicate ids would otherwise report phantom appends
+    n_probe = feats.select(id_col).distinct().count()
     n_in = n_probe + len(dropped)
     if n_probe == 0:
         return {
@@ -445,7 +449,13 @@ def append_with_dedup(
                 if dropped_ids
                 else data
             )
-        col.append(item, kept_data, **append_kwargs)
+        if create_missing and not col.item_exists(item):
+            # streaming first batch: the target corpus doesn't exist
+            # yet — create it (mirrors streaming.merge_sink's
+            # first-batch write; the index itself must already exist)
+            col.write(item, kept_data, **append_kwargs)
+        else:
+            col.append(item, kept_data, **append_kwargs)
         # index the survivors from the MATERIALIZED features (no
         # re-hash, no probe re-execution)
         kept_feats = (
@@ -503,28 +513,79 @@ def trim_delta(col, delta_item: str, pinned_it, id_col: str) -> None:
     item would silently lose them from the index — the
     maintain-vs-appender lost-update class). Row-level, not
     file-level: delta appends MERGE the current time bucket, so file
-    identity does not survive a concurrent append. Fast path: when
-    the delta manifest is unchanged since the fold read it, nothing
-    landed — delete the item. Otherwise rewrite it as
-    ``current ▷ pinned ids`` (the pinned files stay readable under
-    stale retention). The narrow window between this read and the
-    rewrite can at worst leave a row in BOTH tiers — harmless: probes
-    dedup candidates, and the fold's dropDuplicates self-heals the
-    base on the next merge."""
+    identity does not survive a concurrent append. The rewrite is
+    ``current ▷ pinned ids``, committed through the observed-state
+    CAS guard (_atomic_install expect_files): a delta commit landing
+    mid-trim raises ConcurrentCommitError and the trim recomputes —
+    no check-then-act window. A fully-folded delta becomes a
+    schema-only empty husk rather than being deleted (deletion cannot
+    be CAS-guarded); refresh_index skips empty deltas. Driver-only
+    backends keep the simple rewrite/delete (single-writer by
+    construction, CollectionLock is the documented serialization
+    there)."""
+    from pystore_spark import manifest as mf
+    from pystore_spark.exceptions import ConcurrentCommitError
+    from pystore_spark.partition import PartitionPlan, apply_layout
+
     if pinned_it is None or not col.item_exists(delta_item):
         return
-    it_cur = col.item(delta_item)
-    pinned_files = set((pinned_it._manifest or {}).get("files") or [])
-    cur_files = set((it_cur._manifest or {}).get("files") or [])
-    if cur_files == pinned_files:
-        col.delete_item(delta_item)
+    pinned_ids = _item_frame(col, pinned_it).select(id_col).distinct()
+    if not col.fs.spark_readable:
+        # driver-side-only backends are single-writer by construction
+        # (CollectionLock is the documented serialization there): the
+        # simple rewrite/delete is race-free in practice
+        it_cur = col.item(delta_item)
+        if set((it_cur._manifest or {}).get("files") or []) == set(
+            (pinned_it._manifest or {}).get("files") or []
+        ):
+            col.delete_item(delta_item)
+            return
+        late = _item_frame(col, it_cur).join(
+            pinned_ids, on=id_col, how="left_anti"
+        )
+        col.write(delta_item, late, index_col="added_at", overwrite=True)
         return
-    late = _item_frame(col, it_cur).join(
-        _item_frame(col, pinned_it).select(id_col).distinct(),
-        on=id_col,
-        how="left_anti",
-    )
-    col.write(delta_item, late, index_col="added_at", overwrite=True)
+    from pystore_spark.partition import PARTITION_COL
+
+    for attempt in range(3):
+        it_cur = col.item(delta_item)
+        plan = it_cur._plan or PartitionPlan("time", freq="D")
+        raw = it_cur.raw_frame()
+        if PARTITION_COL in raw.columns:
+            raw = raw.drop(PARTITION_COL)
+        late = raw.join(pinned_ids, on=id_col, how="left_anti")
+        sidecar = dict(it_cur.metadata)
+        if late.isEmpty():
+            # a time-partitioned write of an empty frame produces NO
+            # data files — and an empty-file-set manifest would make
+            # readers fall back to the (stale-polluted) directory
+            # listing. A flat single-partition write keeps one
+            # schema-only parquet: the delta becomes a safe empty
+            # husk instead of being deleted (deletion cannot be
+            # CAS-guarded; refresh_index skips empty deltas).
+            plan_w = PartitionPlan("size", npartitions=1)
+            shaped = late.coalesce(1)
+            sidecar["_partition_plan"] = plan_w.to_dict()
+        else:
+            plan_w = plan
+            shaped = apply_layout(
+                late, plan, index_col="added_at", small=True
+            )
+        try:
+            # CAS against the file set `late` was computed from: a
+            # delta commit landing mid-trim raises instead of being
+            # clobbered, and the retry recomputes against it.
+            col._atomic_install(
+                delta_item,
+                lambda tmp: col._write_df(shaped, str(tmp), plan_w),
+                sidecar,
+                expect_files=mf.bucket_file_map(it_cur._manifest),
+            )
+            col.clear_metadata_cache(delta_item)
+            return
+        except ConcurrentCommitError:
+            if attempt == 2:
+                raise
 
 
 def refresh_index(col, index_item: str) -> dict:
@@ -567,6 +628,10 @@ def refresh_index(col, index_item: str) -> dict:
         if docs_delta_it is not None
         else 0
     )
+    if not (folded["bands_folded"] or folded["docs_folded"]):
+        # both deltas are empty husks (post-trim) — skip the O(index)
+        # base rewrite entirely
+        return folded
     # dropDuplicates on the natural keys: a row that raced its way
     # into both tiers (see trim_delta) folds back to one copy
     col.write(

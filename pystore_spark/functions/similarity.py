@@ -577,3 +577,16 @@ def quantize_int8(vec: Column, scale_out: str = "scale") -> tuple[Column, Column
 def dequantize_int8(q: Column, scale: Column) -> Column:
     """Decode int8 codes back to float: ``v ≈ q * scale``."""
     return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def quantized_select(df: DataFrame, vec_col: str) -> DataFrame:
+    """Replace ``vec_col`` with its int8 codes + per-vector scale
+    (``_q8`` / ``_q8_scale``) — the one projection both the base
+    build and the delta append of a quantized vector index use, so
+    the two tiers cannot drift in schema."""
+    q, scale = quantize_int8(F.col(vec_col))
+    return df.select(
+        *[c for c in df.columns if c != vec_col],
+        q.alias("_q8"),
+        scale.alias("_q8_scale"),
+    )

@@ -48,7 +48,17 @@ def widen_parallelism(df, min_partitions: int | None = None):
     """
     from pystore_spark.partition import estimate_size_bytes
 
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        target = (
+            min_partitions
+            or df.sparkSession.sparkContext.defaultParallelism
+        )
+    except Exception:  # Spark Connect has no SparkContext
+        _log.debug(
+            "widen_parallelism: no SparkContext on this session "
+            "(Connect?); leaving input parallelism unchanged"
+        )
+        return df
     est = estimate_size_bytes(df)
     if est is None:
         # a broken estimate path must surface a signal, not silently

@@ -110,16 +110,22 @@ def flatten_pandas(
                 f"index_col {index_col!r} not in columns "
                 f"{list(pdf.columns)}"
             )
-        # an UNNAMED index is dropped: it cannot round-trip under a
-        # meaningful name anyway (it would store as 'index'), and the
-        # caller explicitly designated index_col as the key — this
-        # covers both a fresh RangeIndex and the positional leftovers
-        # of a filtered frame. A NAMED index is real data: keep it as
-        # a column.
-        if pdf.index.name is not None or (
-            isinstance(pdf.index, pd.MultiIndex)
-            and any(n is not None for n in pdf.index.names)
-        ):
+        # Only a POSITIONAL unnamed index is dropped (a fresh
+        # RangeIndex, or the integer leftovers of a filtered frame) —
+        # it cannot round-trip under a meaningful name and the caller
+        # explicitly designated index_col as the key. Anything else —
+        # a named index, a MultiIndex, or an unnamed NON-integer index
+        # (e.g. a DatetimeIndex of event times) — is real data and is
+        # preserved as a column.
+        positional = (
+            not isinstance(pdf.index, pd.MultiIndex)
+            and pdf.index.name is None
+            and (
+                isinstance(pdf.index, pd.RangeIndex)
+                or pd.api.types.is_integer_dtype(pdf.index.dtype)
+            )
+        )
+        if not positional:
             pdf = pdf.reset_index()
         pdf = pdf.set_index(index_col)
     meta: dict[str, Any] = {"index": {}, "timezones": {}, "conversions": {},

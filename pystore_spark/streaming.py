@@ -125,6 +125,7 @@ def dedup_merge_sink(
             batch_df,
             index_item,
             within_batch=within_batch,
+            create_missing=True,  # first batch creates the item
             sidecar_extra={COMMITS_KEY: commits},
             **append_kwargs,
         )

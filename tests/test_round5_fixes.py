@@ -185,3 +185,70 @@ def test_dedup_chunks_keeps_tokenless_documents(spark):
     assert kept.isdisjoint(set()) or not ({1, 2} <= kept), (
         "boilerplate duplicates should be dropped"
     )
+
+
+def test_whole_item_append_detects_concurrent_commit(test_collection):
+    """The size-layout (whole-item rewrite) Spark append path carries
+    the observed-state guard too: a commit landing between this
+    append's read and its commit triggers a retry that re-merges
+    against fresh state — no rows vanish (code-review finding on the
+    third append path)."""
+    from pystore_spark import config
+
+    c = test_collection
+    docs = pd.DataFrame({"k": range(10), "v": [f"v{i}" for i in range(10)]})
+    c.write("flat", docs, index_col="k")
+
+    orig = c._write_df
+    fired = {}
+
+    def hooked(df, path, plan):
+        # first staging write of THIS append: land a concurrent append
+        if "x" not in fired:
+            fired["x"] = True
+            c.append("flat", pd.DataFrame({"k": [100], "v": ["other"]}))
+        return orig(df, path, plan)
+
+    old = config.DRIVER_PATH_MAX_BYTES
+    config.DRIVER_PATH_MAX_BYTES = 0  # force the Spark path
+    try:
+        c._write_df = hooked
+        c.append("flat", pd.DataFrame({"k": [200], "v": ["mine"]}))
+    finally:
+        c._write_df = orig
+        config.DRIVER_PATH_MAX_BYTES = old
+    got = c.item("flat").to_pandas()
+    assert set(got.index) == set(range(10)) | {100, 200}, (
+        "the concurrent append's row must survive this append's commit"
+    )
+
+
+def test_dedup_merge_sink_creates_missing_item(spark, test_collection):
+    """First micro-batch against a not-yet-written corpus creates it
+    (code-review finding: used to raise ItemNotFoundError inside
+    foreachBatch)."""
+    from pystore_spark.streaming import dedup_merge_sink
+
+    c = test_collection
+    seed = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["seed document about partition pruning and zonemaps "
+                 "with plenty of shared words " * 2,
+                 "another seed text on broadcast joins and exchanges "
+                 "with plenty of shared words " * 2],
+    })
+    # index built from a frame — the corpus item itself doesn't exist
+    c.build_dedup_index(
+        "fresh_idx", spark.createDataFrame(seed),
+    )
+    sink = dedup_merge_sink(c, "fresh_corpus", "fresh_idx")
+    b0 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": [seed.loc[0, "text"],  # dup of an indexed doc
+                 "wholly new content about adaptive query execution"],
+    }))
+    sink(b0, 0)
+    assert c.item_exists("fresh_corpus")
+    ids = {r["doc_id"]
+           for r in c.item("fresh_corpus").data.select("doc_id").collect()}
+    assert ids == {11}
