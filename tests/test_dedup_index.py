@@ -435,3 +435,29 @@ def test_dedup_index_string_ids(test_collection):
     assert rep["dropped_ids"] == ["new-a"]
     ids = {r["doc_id"] for r in c.item("sdoc").data.select("doc_id").collect()}
     assert "new-b" in ids and "new-a" not in ids
+
+
+def test_husk_delta_accepts_new_appends_and_trims_again(corpus):
+    """After a fold leaves a schema-only empty delta husk, later
+    appends land in it (whatever its layout), probe correctly, and the
+    next fold + trim cycle still works."""
+    c = corpus
+    d1 = _docs([800]).assign(
+        text=["first cycle content about whole stage codegen spans"]
+    )
+    c.append_dedup("corpus", d1, "cidx")
+    c.refresh_dedup_index("cidx")  # delta now absent or empty husk
+
+    d2 = _docs([801]).assign(
+        text=["second cycle content about exchange reuse and aqe"]
+    )
+    rep = c.append_dedup("corpus", d2, "cidx")
+    assert rep["n_appended"] == 1
+    # the new delta row blocks its duplicate
+    rep2 = c.append_dedup("corpus", d2.assign(doc_id=[802]), "cidx")
+    assert rep2["dropped_ids"] == [802]
+    folded = c.refresh_dedup_index("cidx")
+    assert folded["docs_folded"] == 1
+    n_docs = c.item("corpus").data.count()
+    assert c.item("cidx__docs").data.count() == n_docs
+    assert c.item("cidx").data.count() == n_docs * 4

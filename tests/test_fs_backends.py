@@ -377,3 +377,35 @@ def test_s3_dedup_index_cycle(s3_collection):
     assert ids == set(range(6)) | {101}
     folded = c.refresh_dedup_index("didx")
     assert folded["docs_folded"] == 1
+
+
+def test_s3_vector_index_cycle(s3_collection):
+    """The persistent IVF vector index also runs end to end on the
+    driver-side-only backend: build, delta append, search (base ∪
+    delta), fold."""
+    import numpy as np
+    import pandas as pd
+
+    c = s3_collection
+    rng = np.random.default_rng(7)
+    vecs = pd.DataFrame({
+        "vec_id": range(40),
+        "embedding": [rng.standard_normal(8).tolist() for _ in range(40)],
+    })
+    c.write("emb", vecs, index_col="vec_id")
+    c.build_vector_index("eidx", "emb", n_cells=2, n_iters=1)
+    extra = pd.DataFrame({
+        "vec_id": [100],
+        "embedding": [vecs.loc[5, "embedding"]],
+    })
+    c.append_vector_index(
+        "eidx", c.spark.createDataFrame(extra)
+    )
+    q = c.spark.createDataFrame(
+        pd.DataFrame({"vec_id": [999], "embedding": [vecs.loc[5, "embedding"]]})
+    )
+    got = c.search_vector_index("eidx", q, k=2, nprobe=2).collect()
+    ids = {r["vec_id"] for r in got}
+    assert {5, 100} == ids, "exact twins (base + delta) must be top-2"
+    folded = c.refresh_vector_index("eidx")
+    assert folded["folded"] == 1
