@@ -668,6 +668,18 @@ class Collection:
                 f"duplicate_handling must be one of {STRATEGIES}, "
                 f"got {duplicate_handling!r}"
             )
+        if "dedup_index" in kwargs:
+            # sugar: append(item, df, dedup_index="idx") == append_dedup
+            didx = kwargs.pop("dedup_index")
+            if didx:
+                return self.append_dedup(
+                    item, data, didx,
+                    npartitions=npartitions, epochdate=epochdate,
+                    duplicate_handling=duplicate_handling,
+                    validate_schema=validate_schema,
+                    reload_items=reload_items,
+                    sidecar_extra=sidecar_extra, **kwargs,
+                )
         if threaded:
             # fire-and-forget like write_threaded (reference
             # pystore/collection.py:214-222); join via wait_for_tasks()

@@ -461,3 +461,13 @@ def test_husk_delta_accepts_new_appends_and_trims_again(corpus):
     n_docs = c.item("corpus").data.count()
     assert c.item("cidx__docs").data.count() == n_docs
     assert c.item("cidx").data.count() == n_docs * 4
+
+
+def test_append_dedup_sugar_kwarg(corpus):
+    """append(item, df, dedup_index='cidx') is sugar for
+    append_dedup (the verdict's `append(dedup=...)` phrasing)."""
+    c = corpus
+    inc = _docs([950]).assign(text=[_docs([3]).loc[0, "text"]])
+    rep = c.append("corpus", inc, dedup_index="cidx")
+    assert rep["dropped_ids"] == [950]
+    assert c.item("corpus").data.count() == 10
