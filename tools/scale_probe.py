@@ -160,6 +160,17 @@ def main() -> None:
     small = time_queries(spark, SF_SMALL)
     big = time_queries(spark, big_dir)
 
+    # the storage write→upsert→filtered-read cycle — the reference's
+    # headline path — probed at both scales too
+    from bench import _storage_bench
+
+    small["storage_write_append_read"] = round(
+        _storage_bench(spark, SF_SMALL), 4
+    )
+    big["storage_write_append_read"] = round(
+        _storage_bench(spark, big_dir), 4
+    )
+
     report = {}
     flagged = []
     for name, ts in small.items():
