@@ -505,9 +505,9 @@ def try_append(
         return False
 
     existing_item = col.item(item)
-    sidecar = dict(existing_item.metadata)
-    if sidecar_extra:
-        sidecar.update(sidecar_extra)
+    from pystore_spark import utils as _utils
+
+    sidecar = _utils.merge_sidecar(existing_item.metadata, sidecar_extra)
     evo = sidecar.get("_schema_evolution")
     if evo and evo.get("enabled"):
         return False  # evolution semantics live in the Spark path

@@ -672,14 +672,24 @@ class Collection:
             # sugar: append(item, df, dedup_index="idx") == append_dedup
             didx = kwargs.pop("dedup_index")
             if didx:
-                return self.append_dedup(
-                    item, data, didx,
+                call = dict(
                     npartitions=npartitions, epochdate=epochdate,
                     duplicate_handling=duplicate_handling,
                     validate_schema=validate_schema,
                     reload_items=reload_items,
                     sidecar_extra=sidecar_extra, **kwargs,
                 )
+                if threaded:
+                    t = threading.Thread(
+                        target=self.append_dedup,
+                        args=(item, data, didx),
+                        kwargs=call,
+                        daemon=True,
+                    )
+                    t.start()
+                    self._threads.append(t)
+                    return None
+                return self.append_dedup(item, data, didx, **call)
         if threaded:
             # fire-and-forget like write_threaded (reference
             # pystore/collection.py:214-222); join via wait_for_tasks()
@@ -735,9 +745,7 @@ class Collection:
             return
 
         existing_item = self.item(item)
-        sidecar = dict(existing_item.metadata)
-        if sidecar_extra:
-            sidecar.update(sidecar_extra)
+        sidecar = utils.merge_sidecar(existing_item.metadata, sidecar_extra)
         pmeta = sidecar.get(META_KEY) or inc_meta
         idx_cols = index_columns(pmeta)
         plan = existing_item._plan or PartitionPlan("size", npartitions=1)
@@ -834,9 +842,9 @@ class Collection:
                     fresh = self.item(item)
                     cur_existing = fresh.raw_frame()
                     cur_man = fresh._manifest
-                    cur_sidecar = dict(fresh.metadata)
-                    if sidecar_extra:
-                        cur_sidecar.update(sidecar_extra)
+                    cur_sidecar = utils.merge_sidecar(
+                        fresh.metadata, sidecar_extra
+                    )
         self.clear_metadata_cache(item)
 
     def _append_partition_scoped(
@@ -913,9 +921,9 @@ class Collection:
                 # refresh the sidecar too: re-committing the pre-race
                 # metadata would erase what the concurrent commit
                 # wrote there (e.g. streaming replay counters)
-                sidecar = dict(fresh_it.metadata)
-                if sidecar_extra:
-                    sidecar.update(sidecar_extra)
+                sidecar = utils.merge_sidecar(
+                    fresh_it.metadata, sidecar_extra
+                )
 
     def _install_buckets(
         self, item: str, write_fn, sidecar: dict,
@@ -1781,26 +1789,44 @@ class Collection:
         # lazy union is safe against the overwrite it feeds: the
         # manifest commit stages (executing this plan) while the old
         # file set is still live, and swaps after — no index-sized
-        # materialization. The delta Item pins the file list read, so
-        # the post-fold trim removes exactly those files: vectors
-        # appended DURING the fold stay live for the next one (see
-        # dedup_index.refresh_index / trim_delta).
-        from pystore_spark.dedup_index import _item_frame, _read_frame, trim_delta
+        # materialization. The delta Item pins the generations read,
+        # so the post-fold trim removes exactly those: vectors
+        # appended DURING the fold stay live for the next one.
+        # UPSERT semantics: on id conflict the delta's latest
+        # generation replaces the base row (a re-appended vector
+        # refreshes its entry — dropDuplicates would pick an
+        # arbitrary winner). Empty-husk deltas (post-trim) skip the
+        # O(index) rewrite entirely.
+        from pystore_spark.dedup_index import (
+            _item_frame,
+            _latest_generation,
+            _read_frame,
+            trim_delta,
+        )
 
+        id_col = it_meta["id_col"]
         base = _read_frame(self, index_item)
         it_delta = self.item(delta)
-        n = _item_frame(self, it_delta).count()
-        merged = base.unionByName(
-            _item_frame(self, it_delta).select(*base.columns)
+        delta_f = _item_frame(self, it_delta)
+        n = delta_f.count()
+        if n == 0:
+            return {"folded": 0}
+        latest = (
+            _latest_generation(delta_f, id_col)
+            .dropDuplicates([id_col])
+            .select(*base.columns)
         )
+        merged = base.join(
+            latest.select(id_col), on=id_col, how="left_anti"
+        ).unionByName(latest)
         self.write(
             index_item,
-            merged.dropDuplicates([it_meta["id_col"]]),
+            merged,
             index_col="cell", zonemap=["cell"],
             overwrite=True,
             sidecar_extra={"_vector_index": it_meta},
         )
-        trim_delta(self, delta, it_delta, it_meta["id_col"])
+        trim_delta(self, delta, it_delta, id_col)
         return {"folded": n}
 
     def search_vector_index(

@@ -491,20 +491,17 @@ def _index_delta_append(col, meta: dict, feats: DataFrame) -> None:
             col.write(name, rows, index_col="added_at")
 
 
-def _pinned_union(col, base_item: str, delta_item: str, columns):
-    """(union frame, pinned delta Item-or-None) — the fold's read
-    side. The delta Item pins the manifest (and so the exact file
-    list) the union reads, so the post-fold trim can remove exactly
-    those files and no newer ones."""
-    frame = _read_frame(col, base_item).select(*columns)
-    it_delta = (
-        col.item(delta_item) if col.item_exists(delta_item) else None
+def _latest_generation(delta: DataFrame, id_col: str) -> DataFrame:
+    """Rows of each id's NEWEST append generation within a delta
+    frame (every row of one append shares its ``added_at``): the
+    upsert-fold keeps only these — older generations of a re-appended
+    id are superseded, not folded."""
+    mx = delta.groupBy(id_col).agg(F.max("added_at").alias("_mx"))
+    return (
+        delta.join(mx, on=id_col)
+        .filter(F.col("added_at") == F.col("_mx"))
+        .drop("_mx")
     )
-    if it_delta is not None:
-        frame = frame.unionByName(
-            _item_frame(col, it_delta).select(*columns)
-        )
-    return frame, it_delta
 
 
 def trim_delta(col, delta_item: str, pinned_it, id_col: str) -> None:
@@ -529,7 +526,14 @@ def trim_delta(col, delta_item: str, pinned_it, id_col: str) -> None:
 
     if pinned_it is None or not col.item_exists(delta_item):
         return
-    pinned_ids = _item_frame(col, pinned_it).select(id_col).distinct()
+    # trim by GENERATION (id, added_at), not bare id: a newer row for
+    # the same id landed mid-fold must survive — the fold only
+    # absorbed the pinned generations
+    pinned_gens = (
+        _item_frame(col, pinned_it)
+        .select(id_col, "added_at")
+        .distinct()
+    )
     if not col.fs.spark_readable:
         # driver-side-only backends are single-writer by construction
         # (CollectionLock is the documented serialization there): the
@@ -541,7 +545,7 @@ def trim_delta(col, delta_item: str, pinned_it, id_col: str) -> None:
             col.delete_item(delta_item)
             return
         late = _item_frame(col, it_cur).join(
-            pinned_ids, on=id_col, how="left_anti"
+            pinned_gens, on=[id_col, "added_at"], how="left_anti"
         )
         col.write(delta_item, late, index_col="added_at", overwrite=True)
         return
@@ -553,7 +557,9 @@ def trim_delta(col, delta_item: str, pinned_it, id_col: str) -> None:
         raw = it_cur.raw_frame()
         if PARTITION_COL in raw.columns:
             raw = raw.drop(PARTITION_COL)
-        late = raw.join(pinned_ids, on=id_col, how="left_anti")
+        late = raw.join(
+            pinned_gens, on=[id_col, "added_at"], how="left_anti"
+        )
         sidecar = dict(it_cur.metadata)
         if late.isEmpty():
             # a time-partitioned write of an empty frame produces NO
@@ -595,9 +601,16 @@ def refresh_index(col, index_item: str) -> dict:
     when the delta is empty. Returns the DELTA row counts absorbed
     (``bands_folded`` / ``docs_folded``).
 
-    Concurrency: the fold pins the delta file lists it reads, and the
-    post-fold trim removes exactly those files — delta rows appended
-    DURING the fold stay live and are absorbed by the next fold."""
+    Concurrency: the fold pins the delta generations it reads
+    (``(id, added_at)``), and the post-fold trim removes exactly
+    those — rows appended DURING the fold stay live and are absorbed
+    by the next fold.
+
+    UPSERT semantics: when an id exists in both tiers, the delta's
+    LATEST generation wins — the base's rows for that id (stale bands
+    included) are replaced, so re-appending a changed document
+    refreshes its index entries instead of racing an arbitrary
+    dropDuplicates winner."""
     meta = _index_meta(col, index_item)
     id_col = meta["id_col"]
     folded = {"bands_folded": 0, "docs_folded": 0}
@@ -606,18 +619,16 @@ def refresh_index(col, index_item: str) -> dict:
         or col.item_exists(meta["docs_delta"])
     ):
         return folded
-    bands_all, bands_delta_it = _pinned_union(
-        col, index_item, meta["bands_delta"], ["bkey", "band", id_col]
+    bands_delta_it = (
+        col.item(meta["bands_delta"])
+        if col.item_exists(meta["bands_delta"])
+        else None
     )
-    docs_all, docs_delta_it = _pinned_union(
-        col, meta["docs_item"], meta["docs_delta"], [id_col, "sh"]
+    docs_delta_it = (
+        col.item(meta["docs_delta"])
+        if col.item_exists(meta["docs_delta"])
+        else None
     )
-    # the lazy union is SAFE against the overwrite it feeds: the
-    # manifest commit stages the new files (executing this plan) while
-    # the old manifest — and therefore the old files — are still live;
-    # the swap happens strictly after. No index-sized materialization
-    # to executor storage, which is what makes this fold viable when
-    # the docs tier is corpus-scale.
     folded["bands_folded"] = (
         _item_frame(col, bands_delta_it).count()
         if bands_delta_it is not None
@@ -632,18 +643,42 @@ def refresh_index(col, index_item: str) -> dict:
         # both deltas are empty husks (post-trim) — skip the O(index)
         # base rewrite entirely
         return folded
-    # dropDuplicates on the natural keys: a row that raced its way
-    # into both tiers (see trim_delta) folds back to one copy
-    col.write(
-        index_item, bands_all.dropDuplicates(["bkey", "band", id_col]),
-        index_col="bkey", zonemap=["bkey"], overwrite=True,
-        sidecar_extra={META_KEY: meta},
-    )
-    col.write(
-        meta["docs_item"], docs_all.dropDuplicates([id_col]),
-        index_col=id_col, zonemap=[id_col], overwrite=True,
-        sidecar_extra={META_KEY + "_role": "docs"},
-    )
+    # the lazy union is SAFE against the overwrite it feeds: the
+    # manifest commit stages the new files (executing this plan) while
+    # the old manifest — and therefore the old files — are still live;
+    # the swap happens strictly after. No index-sized materialization
+    # to executor storage, which is what makes this fold viable when
+    # the docs tier is corpus-scale.
+    if bands_delta_it is not None:
+        latest_b = _latest_generation(
+            _item_frame(col, bands_delta_it), id_col
+        )
+        base_b = _read_frame(col, index_item).select(
+            "bkey", "band", id_col
+        )
+        bands_new = base_b.join(
+            latest_b.select(id_col).distinct(), on=id_col, how="left_anti"
+        ).unionByName(
+            latest_b.select("bkey", "band", id_col).distinct()
+        )
+        col.write(
+            index_item, bands_new,
+            index_col="bkey", zonemap=["bkey"], overwrite=True,
+            sidecar_extra={META_KEY: meta},
+        )
+    if docs_delta_it is not None:
+        latest_d = _latest_generation(
+            _item_frame(col, docs_delta_it), id_col
+        ).dropDuplicates([id_col])
+        base_d = _read_frame(col, meta["docs_item"]).select(id_col, "sh")
+        docs_new = base_d.join(
+            latest_d.select(id_col), on=id_col, how="left_anti"
+        ).unionByName(latest_d.select(id_col, "sh"))
+        col.write(
+            meta["docs_item"], docs_new,
+            index_col=id_col, zonemap=[id_col], overwrite=True,
+            sidecar_extra={META_KEY + "_role": "docs"},
+        )
     for it in (bands_delta_it, docs_delta_it):
         if it is not None:
             trim_delta(col, it.item, it, id_col)

@@ -126,7 +126,17 @@ def flatten_pandas(
             )
         )
         if not positional:
-            pdf = pdf.reset_index()
+            try:
+                pdf = pdf.reset_index()
+            except ValueError as exc:
+                # unnamed index colliding with an existing 'index'
+                # column — fail with intent instead of pandas' message
+                raise ValidationError(
+                    "cannot promote index_col "
+                    f"{index_col!r}: the frame's unnamed index would "
+                    "reset into a column name that already exists; "
+                    "name the index (df.index.name = ...) first"
+                ) from exc
         pdf = pdf.set_index(index_col)
     meta: dict[str, Any] = {"index": {}, "timezones": {}, "conversions": {},
                             "ns_columns": []}

@@ -73,13 +73,15 @@ def merge_sink(
             if refresh_rollups:
                 collection.refresh_rollups(item)
             return
-        commits[key] = int(batch_id)
+        # send ONLY this sink's counter: the append-side dict-aware
+        # sidecar merge (utils.merge_sidecar) folds it into the live
+        # map, so a commit retry cannot regress another sink's counter
         collection.append(
             item,
             batch_df,
             duplicate_handling=duplicate_handling,
             validate_schema=validate_schema,
-            sidecar_extra={COMMITS_KEY: commits},
+            sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
         )
         if refresh_rollups:
             collection.refresh_rollups(item)
@@ -119,14 +121,13 @@ def dedup_merge_sink(
         ) if collection.item_exists(item) else {}
         if int(commits.get(key, -1)) >= int(batch_id):
             return  # replayed micro-batch — already deduped + indexed
-        commits[key] = int(batch_id)
         collection.append_dedup(
             item,
             batch_df,
             index_item,
             within_batch=within_batch,
             create_missing=True,  # first batch creates the item
-            sidecar_extra={COMMITS_KEY: commits},
+            sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
             **append_kwargs,
         )
 

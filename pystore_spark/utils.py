@@ -83,8 +83,14 @@ def rewrite_time_travel(
     # rewrite only matches that START outside single-quoted string
     # literals — a literal containing "x FOR VERSION AS OF 1" passes
     # through verbatim, while the TIMESTAMP form's own quoted value
-    # (which sits INSIDE the match) still rewrites fine
-    lit_spans = [m.span() for m in re.finditer(r"'[^']*'", query)]
+    # (which sits INSIDE the match) still rewrites fine. The literal
+    # pattern honors both escape conventions Spark accepts (doubled
+    # '' and backslash-escaped \'), so an escaped quote cannot
+    # misalign the spans.
+    lit_spans = [
+        m.span()
+        for m in re.finditer(r"'(?:[^'\\]|\\.|'')*'", query)
+    ]
 
     def _in_literal(pos: int) -> bool:
         return any(a < pos < b for a, b in lit_spans)
@@ -99,6 +105,26 @@ def rewrite_time_travel(
         last = m.end()
     out.append(query[last:])
     return "".join(out), specs
+
+
+def merge_sidecar(
+    base: dict[str, Any], extra: dict[str, Any] | None
+) -> dict[str, Any]:
+    """One-level dict-aware sidecar merge: a dict-valued extra entry
+    merges KEY-WISE into the matching base dict instead of replacing
+    it. This is what makes ``sidecar_extra`` safe under concurrent
+    commits and retries — e.g. two streaming sinks' replay counters
+    live under one ``_streaming_commits`` map, and each sink passes
+    only ITS key; wholesale replacement would regress the other
+    sink's counter to whatever stale copy the caller last read
+    (breaking exactly-once on replay)."""
+    out = dict(base)
+    for k, v in (extra or {}).items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = {**out[k], **v}
+        else:
+            out[k] = v
+    return out
 
 
 def sanitize_snapshot_name(name: str) -> str:

@@ -471,3 +471,44 @@ def test_append_dedup_sugar_kwarg(corpus):
     rep = c.append("corpus", inc, dedup_index="cidx")
     assert rep["dropped_ids"] == [950]
     assert c.item("corpus").data.count() == 10
+
+
+def test_fold_upserts_reappended_id(corpus):
+    """A doc re-appended under the SAME id with changed text: the fold
+    must install the NEW generation's bands/sh and remove the old ones
+    (dropDuplicates picked an arbitrary winner before)."""
+    c = corpus
+    new_text = (
+        "a completely rewritten document about vectorized readers "
+        "and columnar batch execution " * 2
+    )
+    # doc_id 3 already exists in the corpus AND the index base; force a
+    # delta generation for it with different content
+    from pystore_spark import dedup_index as DI
+
+    meta = c.get_item_metadata("cidx")[DI.META_KEY]
+    feats = DI._compute_features(
+        c, meta, c.spark.createDataFrame(
+            pd.DataFrame({"doc_id": [3], "text": [new_text]})
+        )
+    )
+    DI._index_delta_append(c, meta, feats)
+    c.refresh_dedup_index("cidx")
+
+    # index has exactly one generation per doc; doc 3's sh is the NEW one
+    assert c.item("cidx__docs").data.count() == 10
+    assert c.item("cidx").data.count() == 40
+    got_sh = c.item("cidx__docs").data.filter("doc_id = 3").collect()[0]["sh"]
+    want_sh = feats.collect()[0]["sh"]
+    assert sorted(got_sh) == sorted(want_sh), "fold must keep the NEW sh"
+    # and probing with the new text now drops (matches the updated entry)
+    drop = {
+        r["doc_id"]
+        for r in c.probe_dedup_index(
+            "cidx",
+            c.spark.createDataFrame(
+                pd.DataFrame({"doc_id": [777], "text": [new_text]})
+            ),
+        ).collect()
+    }
+    assert drop == {777}

@@ -252,3 +252,87 @@ def test_dedup_merge_sink_creates_missing_item(spark, test_collection):
     ids = {r["doc_id"]
            for r in c.item("fresh_corpus").data.select("doc_id").collect()}
     assert ids == {11}
+
+
+# ---------------------------------------------------------------------------
+# second review pass: sidecar merge, upsert folds, literal escapes
+# ---------------------------------------------------------------------------
+def test_merge_sidecar_dict_aware():
+    base = {"_streaming_commits": {"a": 1, "b": 6}, "note": "x"}
+    extra = {"_streaming_commits": {"a": 2}, "other": 1}
+    got = utils.merge_sidecar(base, extra)
+    assert got["_streaming_commits"] == {"a": 2, "b": 6}, (
+        "a sink's counter update must not regress another sink's"
+    )
+    assert got["note"] == "x" and got["other"] == 1
+    assert utils.merge_sidecar(base, None) == base
+
+
+def test_two_streaming_sinks_counters_coexist(spark, test_collection):
+    from pystore_spark.streaming import COMMITS_KEY, merge_sink
+
+    c = test_collection
+    batch = spark.createDataFrame(
+        pd.DataFrame({
+            "index": pd.date_range("2024-01-01", periods=3, freq="min"),
+            "v": [1.0, 2.0, 3.0],
+        })
+    )
+    sink_a = merge_sink(c, "multi", "keep_all", sink_key="a")
+    sink_b = merge_sink(c, "multi", "keep_all", sink_key="b")
+    sink_a(batch, 0)
+    sink_b(batch, 5)
+    sink_a(batch, 1)
+    meta = c.get_item_metadata("multi", use_cache=False)
+    assert meta[COMMITS_KEY] == {"a": 1, "b": 5}, (
+        "each sink's counter must survive the other's commits"
+    )
+
+
+def test_rewrite_time_travel_handles_escaped_quotes():
+    q = (
+        r"SELECT * FROM t WHERE a = 'don\'t' AND k IN "
+        "(SELECT k FROM ttl FOR VERSION AS OF 1) AND c = 'x'"
+    )
+    out, specs = utils.rewrite_time_travel(q, {"ttl", "t"})
+    assert len(specs) == 1 and specs[0][0] == "ttl"
+    assert "FOR VERSION AS OF" not in out
+    assert r"'don\'t'" in out and "'x'" in out
+
+
+def test_index_col_collision_preserved_not_crashed():
+    """Unnamed non-positional index + an existing 'index' column:
+    pandas resets it under 'level_0' (older pandas raised — the
+    ValidationError guard covers that); either way the timestamps are
+    PRESERVED as a column, never silently dropped."""
+    from pystore_spark.pandas_compat import flatten_pandas
+
+    pdf = pd.DataFrame(
+        {"k": [1, 2], "index": ["a", "b"]},
+        index=pd.date_range("2024-01-01", periods=2),
+    )
+    flat, meta = flatten_pandas(pdf, index_col="k")
+    assert meta["index"]["columns"] == ["k"]
+    dt_cols = [c for c in flat.columns
+               if pd.api.types.is_datetime64_any_dtype(flat[c])]
+    assert dt_cols, "the unnamed DatetimeIndex must survive as a column"
+
+
+def test_append_dedup_sugar_threaded(test_collection):
+    c = test_collection
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": [
+            "alpha beta gamma delta epsilon zeta " + f"tail {i} " * 5
+            for i in range(4)
+        ],
+    })
+    c.write("tcorp", docs, index_col="doc_id")
+    c.build_dedup_index("tcidx", "tcorp")
+    inc = pd.DataFrame({
+        "doc_id": [50],
+        "text": ["wholly new narrative about shuffle partitions"],
+    })
+    assert c.append("tcorp", inc, dedup_index="tcidx", threaded=True) is None
+    c.wait_for_tasks()
+    assert c.item("tcorp").data.count() == 5

@@ -247,3 +247,37 @@ def test_append_vector_index_quantized(test_collection, emb):
         "inc_q", q, k=1, nprobe=4
     ).collect()
     assert got and got[0]["vec_id"] == 10450
+
+
+def test_vector_fold_upserts_reappended_id(test_collection, emb):
+    """Re-appending an existing vec_id with a different embedding:
+    the fold keeps the NEW vector (delta generation wins), not an
+    arbitrary dropDuplicates pick."""
+    from pyspark.sql import functions as F
+
+    test_collection.build_vector_index(
+        "up_ivf", emb.filter("vec_id < 100"), n_cells=2, n_iters=1,
+        overwrite=True,
+    )
+    # replacement: vec_id 7 now carries vec_id 50's embedding
+    repl = (
+        emb.filter("vec_id == 50")
+        .withColumn("vec_id", F.lit(7).cast("long"))
+        .withColumn("label", F.lit(-1))
+    )
+    test_collection.append_vector_index("up_ivf", repl)
+    fold = test_collection.refresh_vector_index("up_ivf")
+    assert fold["folded"] == 1
+    assert (
+        test_collection.item("up_ivf").data.filter("vec_id = 7").count()
+        == 1
+    )
+    # query with vec 50's embedding: id 7 must now be an exact match
+    q = emb.filter("vec_id == 50").withColumn(
+        "vec_id", F.lit(999_999).cast("long")
+    )
+    got = test_collection.search_vector_index(
+        "up_ivf", q, k=2, nprobe=2
+    ).collect()
+    ids = {r["vec_id"] for r in got}
+    assert 7 in ids and 50 in ids, "updated twin + original both top-2"
