@@ -300,3 +300,95 @@ def chunk_hashes(toks_col: str, n: int = 10) -> Column:
         f" i -> md5(array_join(slice({toks_col}, i*{int(n)}+1, {int(n)}),"
         f" ' ')))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, public heuristics) —
+# the published repetition/shape gates a pretraining pipeline applies
+# before model-based filtering; pure Column expressions.
+# ---------------------------------------------------------------------------
+def gopher_flags(col: str | Column) -> dict[str, Column]:
+    """Per-document Gopher rule measurements + pass flags:
+
+    * ``n_words`` in [50, 100_000]
+    * ``mean_word_len`` in [3, 10]
+    * ``alpha_word_ratio`` (words containing ≥1 letter) > 0.8
+
+    Returns named Columns; ``gopher_pass`` is the conjunction. Ratios
+    round to 6 decimals so the DuckDB oracle hashes identically."""
+    t = tokens(col)
+    n = F.size(t)
+    mean_len = F.round(
+        F.when(
+            n > 0,
+            F.aggregate(
+                F.transform(t, lambda x: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / n.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    alpha_ratio = F.round(
+        F.when(
+            n > 0,
+            F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).cast(
+                "double"
+            )
+            / n.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    word_ok = (n >= 50) & (n <= 100_000)
+    len_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
+    alpha_ok = alpha_ratio > 0.8
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "alpha_word_ratio": alpha_ratio,
+        "gopher_pass": word_ok & len_ok & alpha_ok,
+    }
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (pretraining batch prep): assign documents to
+# fixed-token-budget packs by exclusive prefix sum — one window pass,
+# deterministic, oracle-expressible. The standard approximation of
+# greedy packing: a document starts pack k when the tokens BEFORE it
+# (in shard order) have consumed k budgets.
+# ---------------------------------------------------------------------------
+def pack_sequences(
+    df,
+    id_col: str,
+    budget: int,
+    token_col: Column | str | None = None,
+    shard_col: str | None = None,
+):
+    """Add ``n_tokens`` and ``pack_id`` columns: documents are packed
+    in ``id_col`` order within each shard; ``pack_id = floor(
+    exclusive_prefix_tokens / budget)``. One shuffle (the window
+    partition); shards bound the window state so the sort never goes
+    global — at 100 TB, shard by file/source and packs stay
+    shard-local exactly like a real sequence-packing job."""
+    from pyspark.sql import Window
+
+    tok = (
+        token_count("text")  # default: whitespace tokens of `text`
+        if token_col is None
+        else (F.col(token_col) if isinstance(token_col, str) else token_col)
+    )
+    part = [shard_col] if shard_col else [F.lit(0)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", tok)
+    cum = F.sum("n_tokens").over(w)
+    return out.withColumn(
+        "pack_id",
+        F.floor(
+            (cum - F.col("n_tokens")).cast("double") / F.lit(float(budget))
+        ).cast("bigint"),
+    )

@@ -2369,6 +2369,73 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gopher_quality_flags",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(toks) AS n_words,
+        ROUND(CASE WHEN len(toks) > 0 THEN
+          list_reduce(list_transform(toks, x -> len(x)::DOUBLE),
+                      (a,b) -> a+b) / len(toks)
+        ELSE 0.0 END, 6) AS mean_word_len,
+        ROUND(CASE WHEN len(toks) > 0 THEN
+          len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+          / len(toks)
+        ELSE 0.0 END, 6) AS alpha_word_ratio
+      FROM t)
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+      (n_words BETWEEN 50 AND 100000
+       AND mean_word_len BETWEEN 3.0 AND 10.0
+       AND alpha_word_ratio > 0.8) AS gopher_pass
+    FROM m
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style published quality gates (word-count bounds, mean
+    word length bounds, alphabetic-word ratio) as pure Column
+    expressions — the shape filter a pretraining pipeline runs before
+    model-based scoring."""
+    doc = load_table(spark, sf_dir, "documents")
+    flags = X.gopher_flags("text")
+    return doc.select(
+        "doc_id",
+        flags["n_words"].alias("n_words"),
+        flags["mean_word_len"].alias("mean_word_len"),
+        flags["alpha_word_ratio"].alias("alpha_word_ratio"),
+        flags["gopher_pass"].alias("gopher_pass"),
+    )
+
+
+@register(
+    "pack_sequences",
+    # exclusive prefix sum over (source, doc_id) order — identical
+    # window semantics in ANSI SQL
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents)
+    SELECT doc_id, source, n_tokens,
+      CAST(FLOOR(
+        (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens)::DOUBLE / 512.0
+      ) AS BIGINT) AS pack_id
+    FROM t
+    """,
+    tags=("text", "pipeline", "window"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batch prep: documents are
+    assigned to fixed-token-budget packs by exclusive prefix sum in
+    (shard, id) order — one window pass, shard-local state (the shard
+    bounds the sort at 100 TB), deterministic and oracle-identical."""
+    doc = load_table(spark, sf_dir, "documents")
+    return X.pack_sequences(
+        doc, "doc_id", budget=512, shard_col="source"
+    ).select("doc_id", "source", "n_tokens", "pack_id")
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -2448,6 +2515,9 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "bpe_token_stats",
     "gapfill_locf_daily", "approx_distinct_audit",
     "weighted_sample_topk", "corpus_mix_report",
+    # round-5 tail additions (published-pipeline parity ops; in-repo
+    # oracle-checked like the rest of the tail)
+    "gopher_quality_flags", "pack_sequences",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
