@@ -392,3 +392,45 @@ def pack_sequences(
             (cum - F.col("n_tokens")).cast("double") / F.lit(float(budget))
         ).cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cleanup flags (Raffel et al. 2020, public heuristics):
+# lexical red flags + line-shape statistics, pure Column expressions.
+# ---------------------------------------------------------------------------
+def c4_flags(col: str | Column) -> dict[str, Column]:
+    """Per-document C4 cleanup signals:
+
+    * ``has_lorem_ipsum`` / ``has_curly_brace`` — lexical red flags
+      (template filler, leaked code);
+    * ``terminal_punct_line_ratio`` — fraction of lines ending in
+      terminal punctuation (C4 keeps only such lines; the ratio is
+      the doc-level signal);
+    * ``c4_pass`` — no red flags and ratio ≥ 0.5.
+
+    Ratios round to 6 decimals for oracle hash equality."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(
+        F.split(c, r"\n"), lambda x: F.trim(x) != ""
+    )
+    n_lines = F.size(lines)
+    term_ratio = F.round(
+        F.when(
+            n_lines > 0,
+            F.size(
+                F.filter(
+                    lines, lambda x: F.trim(x).rlike('[.!?"\']$')
+                )
+            ).cast("double")
+            / n_lines.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    lorem = F.lower(c).contains("lorem ipsum")
+    curly = c.contains("{")
+    return {
+        "has_lorem_ipsum": lorem,
+        "has_curly_brace": curly,
+        "terminal_punct_line_ratio": term_ratio,
+        "c4_pass": (~lorem) & (~curly) & (term_ratio >= 0.5),
+    }

@@ -2410,6 +2410,49 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c4_quality_flags",
+    sql=r"""
+    WITH l AS (
+      SELECT doc_id,
+        list_filter(string_split(text, chr(10)), x -> trim(x) != '')
+          AS lines,
+        contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+        contains(text, '{') AS has_curly_brace
+      FROM documents)
+    SELECT doc_id, has_lorem_ipsum, has_curly_brace,
+      ROUND(CASE WHEN len(lines) > 0 THEN
+        len(list_filter(lines,
+            x -> regexp_matches(trim(x), '[.!?"'']$')))::DOUBLE
+        / len(lines)
+      ELSE 0.0 END, 6) AS terminal_punct_line_ratio,
+      (NOT has_lorem_ipsum AND NOT has_curly_brace
+       AND CASE WHEN len(lines) > 0 THEN
+         len(list_filter(lines,
+             x -> regexp_matches(trim(x), '[.!?"'']$')))::DOUBLE
+         / len(lines)
+       ELSE 0.0 END >= 0.5) AS c4_pass
+    FROM l
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleanup signals (lexical red flags + terminal-
+    punctuation line ratio) — the other canonical published filter
+    set, pure Column expressions."""
+    doc = load_table(spark, sf_dir, "documents")
+    flags = X.c4_flags("text")
+    return doc.select(
+        "doc_id",
+        flags["has_lorem_ipsum"].alias("has_lorem_ipsum"),
+        flags["has_curly_brace"].alias("has_curly_brace"),
+        flags["terminal_punct_line_ratio"].alias(
+            "terminal_punct_line_ratio"
+        ),
+        flags["c4_pass"].alias("c4_pass"),
+    )
+
+
+@register(
     "pack_sequences",
     # exclusive prefix sum over (source, doc_id) order — identical
     # window semantics in ANSI SQL
@@ -2517,7 +2560,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "weighted_sample_topk", "corpus_mix_report",
     # round-5 tail additions (published-pipeline parity ops; in-repo
     # oracle-checked like the rest of the tail)
-    "gopher_quality_flags", "pack_sequences",
+    "gopher_quality_flags", "pack_sequences", "c4_quality_flags",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
