@@ -103,6 +103,21 @@ class CurationPipeline:
             X.detect_language(self.text_col).isin(*langs),
         )
 
+    def filter_gopher(self):
+        """Published Gopher shape gates (word-count / mean-word-length
+        bounds, alphabetic-word ratio; functions/text.gopher_flags)."""
+        return self.filter(
+            "gopher_rules",
+            lambda: X.gopher_flags(self.text_col)["gopher_pass"],
+        )
+
+    def filter_c4(self):
+        """C4-style cleanup (lorem-ipsum / curly-brace red flags,
+        terminal-punctuation line ratio; functions/text.c4_flags)."""
+        return self.filter(
+            "c4_rules", lambda: X.c4_flags(self.text_col)["c4_pass"]
+        )
+
     def filter_max_pii(self, max_hits: int = 0):
         """Drop documents with more than ``max_hits`` PII matches
         across all categories."""

@@ -201,3 +201,30 @@ def test_report_summarizes_funnel(docs):
     assert list(rep["stages"]) == ["input", "min_chars>=50", "dedup_exact"]
     assert rep["stages"]["input"] == 11
     assert 0 < rep["survival_rate"] <= 1.0
+
+
+def test_filter_gopher_and_c4_stages(spark):
+    from pystore_spark.pipeline import CurationPipeline
+
+    good = (
+        "The quick brown fox jumps over the lazy dog near the river. "
+        * 10
+    )
+    rows = [
+        (1, good),
+        (2, "short text."),                      # < 50 words → gopher drop
+        (3, good + " lorem ipsum dolor sit."),   # red flag → c4 drop
+        (4, "{ code: true }" + good),            # curly → c4 drop
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = (
+        CurationPipeline(df, id_col="doc_id", text_col="text")
+        .filter_gopher()
+        .filter_c4()
+    )
+    kept = {r["doc_id"] for r in p.dataframe().select("doc_id").collect()}
+    assert kept == {1}
+    rep = p.report()
+    stages = list(rep["stages"].values())
+    assert stages[0] == 4 and stages[-1] == 1
+    assert rep["survival_rate"] == 0.25
