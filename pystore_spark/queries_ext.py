@@ -2410,6 +2410,98 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_importance_weights",
+    # hashed-unigram importance sampling (DSIR, Xie et al. 2023):
+    # weight(doc) = Σ_tokens log( p_target(bucket) / p_raw(bucket) )
+    # with add-1 smoothing over B=256 md5-hash buckets. Same
+    # order-independence discipline as lm_perplexity_scores:
+    # per-occurrence contributions round to 12 decimals and sum as
+    # DECIMAL.
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+        CAST(('0x' || substr(md5(lower(t.tk)), 1, 14)) AS BIGINT) % 256
+          AS b
+      FROM documents, unnest({_TOKS}) AS t(tk)),
+    raw AS (SELECT b, count(*)::DOUBLE AS rc FROM tok GROUP BY b),
+    tgt AS (SELECT b, count(*)::DOUBLE AS tc FROM tok
+            WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM tok)::DOUBLE AS r_tot,
+                   (SELECT count(*) FROM tok WHERE lang = 'en')::DOUBLE
+                     AS t_tot),
+    m AS (
+      SELECT raw.b,
+        ROUND(ln(((COALESCE(tc, 0) + 1) / (t_tot + 256))
+                 / ((rc + 1) / (r_tot + 256))), 12)::DECIMAL(20,12)
+          AS contrib
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
+    SELECT tok.doc_id,
+      count(*) AS n_toks,
+      ROUND(SUM(contrib)::DOUBLE, 6) AS weight
+    FROM tok JOIN m ON tok.b = m.b
+    GROUP BY tok.doc_id
+    """,
+    tags=("text", "sampling", "pipeline"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: per-document sum of hashed-
+    unigram log probability ratios between a TARGET distribution (the
+    'en' slice here) and the raw corpus — the published recipe for
+    selecting pretraining data that matches a target domain, fully
+    relational: one token explode, two bounded (≤256-bucket) count
+    aggregations broadcast as the model, one (doc_id) shuffle.
+    Decimal-rounded contributions make the fold order-independent
+    (bit-equal at any parallelism and in the oracle)."""
+    from pystore_spark.functions.text import tokens as _tokens
+
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id", "lang",
+        F.explode(_tokens("text")).alias("tk"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.lower(F.col("tk"))), 1, 14), 16, 10)
+        .cast("bigint")
+        % 256,
+    )
+    raw = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("rc")
+    )
+    tgt = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("tc")
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("r_tot"),
+        F.sum(
+            F.when(F.col("lang") == "en", 1).otherwise(0)
+        ).cast("double").alias("t_tot"),
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tc"), F.lit(0.0)) + 1)
+                     / (F.col("t_tot") + 256))
+                    / ((F.col("rc") + 1) / (F.col("r_tot") + 256))
+                ),
+                12,
+            ).cast("decimal(20,12)").alias("contrib"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.sum("contrib").cast("double"), 6).alias("weight"),
+        )
+    )
+
+
+@register(
     "c4_quality_flags",
     sql=r"""
     WITH l AS (
@@ -2561,6 +2653,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # round-5 tail additions (published-pipeline parity ops; in-repo
     # oracle-checked like the rest of the tail)
     "gopher_quality_flags", "pack_sequences", "c4_quality_flags",
+    "dsir_importance_weights",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -38,6 +38,9 @@ ALLOWED_SCALAR_JOIN = {
     "heavy_hitters",
     "waiting_customers_antijoin",
     "embedding_cosine_topk",
+    # 1-row totals aggregate cross-joined into the ≤256-bucket model
+    # (bounded broadcast by construction)
+    "dsir_importance_weights",
 }
 
 
