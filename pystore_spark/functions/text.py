@@ -319,16 +319,7 @@ def gopher_flags(col: str | Column) -> dict[str, Column]:
     t = tokens(col)
     n = F.size(t)
     mean_len = F.round(
-        F.when(
-            n > 0,
-            F.aggregate(
-                F.transform(t, lambda x: F.length(x).cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / n.cast("double"),
-        ).otherwise(F.lit(0.0)),
-        6,
+        F.coalesce(avg_token_length(col), F.lit(0.0)), 6
     )
     alpha_ratio = F.round(
         F.when(
@@ -370,7 +361,11 @@ def pack_sequences(
     exclusive_prefix_tokens / budget)``. One shuffle (the window
     partition); shards bound the window state so the sort never goes
     global — at 100 TB, shard by file/source and packs stay
-    shard-local exactly like a real sequence-packing job."""
+    shard-local exactly like a real sequence-packing job.
+
+    ``id_col`` must be UNIQUE within each shard: a running sum over
+    tied order keys depends on physical row order, so duplicate ids
+    would make pack assignments nondeterministic."""
     from pyspark.sql import Window
 
     tok = (
@@ -410,16 +405,22 @@ def c4_flags(col: str | Column) -> dict[str, Column]:
 
     Ratios round to 6 decimals for oracle hash equality."""
     c = F.col(col) if isinstance(col, str) else col
+    # split on \r?\n and test the LAST CHARACTER, not a regex '$'
+    # anchor: Java regex '$' matches before a trailing line
+    # terminator while RE2 (the DuckDB oracle) does not — a CRLF
+    # corpus would silently diverge between engines
     lines = F.filter(
-        F.split(c, r"\n"), lambda x: F.trim(x) != ""
+        F.split(c, r"\r?\n"), lambda x: F.trim(x) != ""
     )
     n_lines = F.size(lines)
+    _TERM = [".", "!", "?", '"', "'"]
     term_ratio = F.round(
         F.when(
             n_lines > 0,
             F.size(
                 F.filter(
-                    lines, lambda x: F.trim(x).rlike('[.!?"\']$')
+                    lines,
+                    lambda x: F.substring(F.trim(x), -1, 1).isin(_TERM),
                 )
             ).cast("double")
             / n_lines.cast("double"),

@@ -2423,23 +2423,27 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(('0x' || substr(md5(lower(t.tk)), 1, 14)) AS BIGINT) % 256
           AS b
       FROM documents, unnest({_TOKS}) AS t(tk)),
-    raw AS (SELECT b, count(*)::DOUBLE AS rc FROM tok GROUP BY b),
-    tgt AS (SELECT b, count(*)::DOUBLE AS tc FROM tok
-            WHERE lang = 'en' GROUP BY b),
-    tot AS (SELECT (SELECT count(*) FROM tok)::DOUBLE AS r_tot,
-                   (SELECT count(*) FROM tok WHERE lang = 'en')::DOUBLE
-                     AS t_tot),
+    counts AS (
+      SELECT b, count(*)::DOUBLE AS rc,
+        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS tc
+      FROM tok GROUP BY b),
+    tot AS (SELECT SUM(rc) AS r_tot, SUM(tc) AS t_tot FROM counts),
     m AS (
-      SELECT raw.b,
-        ROUND(ln(((COALESCE(tc, 0) + 1) / (t_tot + 256))
+      SELECT b,
+        ROUND(ln(((tc + 1) / (t_tot + 256))
                  / ((rc + 1) / (r_tot + 256))), 12)::DECIMAL(20,12)
           AS contrib
-      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
-    SELECT tok.doc_id,
-      count(*) AS n_toks,
-      ROUND(SUM(contrib)::DOUBLE, 6) AS weight
-    FROM tok JOIN m ON tok.b = m.b
-    GROUP BY tok.doc_id
+      FROM counts, tot),
+    w AS (
+      SELECT tok.doc_id,
+        count(*) AS n_toks,
+        ROUND(SUM(contrib)::DOUBLE, 6) AS weight
+      FROM tok JOIN m ON tok.b = m.b
+      GROUP BY tok.doc_id)
+    SELECT d.doc_id,
+      COALESCE(w.n_toks, 0) AS n_toks,
+      w.weight
+    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
     """,
     tags=("text", "sampling", "pipeline"),
 )
@@ -2447,14 +2451,20 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights: per-document sum of hashed-
     unigram log probability ratios between a TARGET distribution (the
     'en' slice here) and the raw corpus — the published recipe for
-    selecting pretraining data that matches a target domain, fully
-    relational: one token explode, two bounded (≤256-bucket) count
-    aggregations broadcast as the model, one (doc_id) shuffle.
-    Decimal-rounded contributions make the fold order-independent
-    (bit-equal at any parallelism and in the oracle)."""
+    selecting pretraining data that matches a target domain.
+
+    Plan shape: ONE corpus tokenization pass builds the ≤256-bucket
+    model (raw + target counts in one conditional groupBy; totals
+    derived by summing the model, not by re-scanning), then the
+    scoring pass joins the broadcast model and aggregates per doc —
+    two corpus passes total, same discipline as
+    ``lm_perplexity_scores``. Decimal-rounded contributions make the
+    fold order-independent (bit-equal at any parallelism and in the
+    oracle). Zero-token documents appear with ``n_toks=0`` and a NULL
+    weight — not silently dropped."""
     from pystore_spark.functions.text import tokens as _tokens
 
-    doc = load_table(spark, sf_dir, "documents")
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
     tok = doc.select(
         "doc_id", "lang",
         F.explode(_tokens("text")).alias("tk"),
@@ -2464,34 +2474,26 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % 256,
     )
-    raw = tok.groupBy("b").agg(
-        F.count(F.lit(1)).cast("double").alias("rc")
+    counts = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("tc"),
     )
-    tgt = tok.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).cast("double").alias("tc")
+    totals = counts.agg(
+        F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
     )
-    totals = tok.agg(
-        F.count(F.lit(1)).cast("double").alias("r_tot"),
-        F.sum(
-            F.when(F.col("lang") == "en", 1).otherwise(0)
-        ).cast("double").alias("t_tot"),
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("tc") + 1) / (F.col("t_tot") + 256))
+                / ((F.col("rc") + 1) / (F.col("r_tot") + 256))
+            ),
+            12,
+        ).cast("decimal(20,12)").alias("contrib"),
     )
-    model = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    ((F.coalesce(F.col("tc"), F.lit(0.0)) + 1)
-                     / (F.col("t_tot") + 256))
-                    / ((F.col("rc") + 1) / (F.col("r_tot") + 256))
-                ),
-                12,
-            ).cast("decimal(20,12)").alias("contrib"),
-        )
-    )
-    return (
+    weights = (
         tok.join(F.broadcast(model), "b")
         .groupBy("doc_id")
         .agg(
@@ -2499,28 +2501,36 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("contrib").cast("double"), 6).alias("weight"),
         )
     )
+    return doc.select("doc_id").join(weights, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_toks"), F.lit(0)).alias("n_toks"),
+        "weight",
+    )
 
 
 @register(
     "c4_quality_flags",
+    # last-character membership test, NOT a regex '$' anchor: Java
+    # regex '$' matches before a trailing line terminator while RE2
+    # does not — CRLF corpora would diverge between engines
     sql=r"""
     WITH l AS (
       SELECT doc_id,
-        list_filter(string_split(text, chr(10)), x -> trim(x) != '')
-          AS lines,
+        list_filter(string_split_regex(text, '\r?\n'),
+                    x -> trim(x) != '') AS lines,
         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
         contains(text, '{') AS has_curly_brace
       FROM documents)
     SELECT doc_id, has_lorem_ipsum, has_curly_brace,
       ROUND(CASE WHEN len(lines) > 0 THEN
         len(list_filter(lines,
-            x -> regexp_matches(trim(x), '[.!?"'']$')))::DOUBLE
+            x -> right(trim(x), 1) IN ('.', '!', '?', '"', '''')))::DOUBLE
         / len(lines)
       ELSE 0.0 END, 6) AS terminal_punct_line_ratio,
       (NOT has_lorem_ipsum AND NOT has_curly_brace
        AND CASE WHEN len(lines) > 0 THEN
          len(list_filter(lines,
-             x -> regexp_matches(trim(x), '[.!?"'']$')))::DOUBLE
+             x -> right(trim(x), 1) IN ('.', '!', '?', '"', '''')))::DOUBLE
          / len(lines)
        ELSE 0.0 END >= 0.5) AS c4_pass
     FROM l

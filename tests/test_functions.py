@@ -598,3 +598,58 @@ def test_pii_counts_and_scrub(spark):
         df.select(X.scrub_pii("text"))._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_c4_flags_crlf_matches_duckdb(spark):
+    """CRLF corpora must score identically in Spark and the DuckDB
+    oracle: the terminal-punct test uses last-character membership,
+    never a regex '$' anchor (Java matches before a trailing line
+    terminator, RE2 does not)."""
+    import duckdb
+    import pandas as pd
+
+    from pystore_spark.functions.text import c4_flags
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "Good sentence.\r\nAnother one!\r\n",
+            "No punct here\r\nor here\r\n",
+            "Unix style.\nAlso fine?\n",
+        ],
+    })
+    flags = c4_flags("text")
+    got = {
+        r["doc_id"]: (r["ratio"], r["ok"])
+        for r in spark.createDataFrame(docs)
+        .select(
+            "doc_id",
+            flags["terminal_punct_line_ratio"].alias("ratio"),
+            flags["c4_pass"].alias("ok"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(r"""
+            WITH l AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '\r?\n'),
+                            x -> trim(x) != '') AS lines
+              FROM documents)
+            SELECT doc_id,
+              ROUND(CASE WHEN len(lines) > 0 THEN
+                len(list_filter(lines,
+                    x -> right(trim(x), 1) IN ('.', '!', '?', '"', '''')))::DOUBLE
+                / len(lines) ELSE 0.0 END, 6) AS ratio,
+              CASE WHEN len(lines) > 0 THEN
+                len(list_filter(lines,
+                    x -> right(trim(x), 1) IN ('.', '!', '?', '"', '''')))::DOUBLE
+                / len(lines) ELSE 0.0 END >= 0.5 AS ok
+            FROM l
+        """).fetchall()
+    }
+    assert got == want
+    assert got[1] == (1.0, True) and got[2][0] == 0.0
