@@ -1950,32 +1950,42 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is unlike the corpus (boilerplate, encoding garbage, wrong
     language) scores high. Entirely relational:
 
-    * model = one groupBy over exploded char bigrams (key space is
+    * the exploded bigram stream is aggregated ONCE into
+      (doc_id, bg, cnt) and materialized (eager localCheckpoint):
+      without it Catalyst re-runs the explode for every consumer —
+      the model, the prefix totals, and the scoring stream each
+      re-scan the text (3× at 100 TB). The compressed frame is
+      bounded by docs × per-doc-distinct-bigrams ≤ docs × |charset|²;
+    * model = one groupBy over those counts (key space is
       |charset|² — a few KB even for full Unicode corpora), prefix
       totals derived from it;
-    * scoring joins the bigram stream against the **broadcast** model
-      and aggregates per doc — one shuffle of (doc_id, contrib), no
-      Python, no driver state;
-    * per-bigram contributions round to 12 decimals and sum as
-      DECIMAL so the fold is order-independent (bit-equal at any
-      parallelism and in the oracle).
-
-    No smoothing is needed: every scored bigram is, by construction,
-    in the training counts."""
+    * scoring joins the per-doc counts against the **broadcast**
+      model and aggregates per doc — one shuffle of (doc_id,
+      contrib), no Python, no driver state;
+    * per-bigram contributions round to 12 decimals and fold as
+      cnt × DECIMAL (exact integer-weighted decimal sum — the same
+      value as summing per occurrence) so the result is
+      order-independent (bit-equal at any parallelism and in the
+      oracle)."""
     doc = X.widen_parallelism(
         load_table(spark, sf_dir, "documents")
     ).filter(F.length("text") >= 2)
-    bg = doc.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1),"
-                " i -> substring(text, i, 2))"
-            )
-        ).alias("bg"),
+    bg_counts = (
+        doc.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 1),"
+                    " i -> substring(text, i, 2))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    model = bg.groupBy("bg").agg(
-        F.count(F.lit(1)).cast("double").alias("c2")
+    model = bg_counts.groupBy("bg").agg(
+        F.sum("cnt").cast("double").alias("c2")
     )
     prefix = model.groupBy(
         F.substring("bg", 1, 1).alias("c1")
@@ -1987,11 +1997,14 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log(F.col("c2") / F.col("c1tot")), 12
     ).cast("decimal(20,12)")
     return (
-        bg.join(F.broadcast(m.select("bg", "c2", "c1tot")), "bg")
+        bg_counts.join(F.broadcast(m.select("bg", "c2", "c1tot")), "bg")
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(contrib).cast("double") / F.count(F.lit(1)), 6
+                F.sum(F.col("cnt").cast("decimal(20,0)") * contrib)
+                .cast("double")
+                / F.sum("cnt"),
+                6,
             ).alias("xent")
         )
     )
