@@ -110,3 +110,99 @@ def weighted_sample_per_stratum(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic shard assignment + within-shard shuffle order for
+    training-data export: every row gets ``shard`` ∈ [0, n_shards) and
+    a ``shard_pos`` sort key, both derived from md5 of the row key (+
+    optional salt for fresh epochs/re-shuffles).
+
+    This is the "global shuffle" step of batch prep done the
+    distributed way: instead of one impossible total sort of 100 TB by
+    a random number, the hash IS the permutation — shard by hash
+    prefix, order within shard by the full hash. Writing
+    ``partitionBy("shard")`` after ``repartition(n_shards, "shard")``
+    + ``sortWithinPartitions("shard_pos")`` yields byte-identical
+    shards on any cluster size, and readers stream shards
+    independently. Same md5 discipline as the samplers above, so a SQL
+    oracle reproduces the exact assignment."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key_col).cast("string"), F.lit(salt)
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    return df.withColumn("shard", h % n_shards).withColumn(
+        "shard_pos", h
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    stratum_col: str,
+    size_col: str | Column,
+    alpha: float = 0.5,
+    budget_epochs: float = 1.0,
+) -> DataFrame:
+    """Temperature-scaled source mixing plan (the multilingual /
+    multi-source sampling recipe: raw share ``p_s`` per stratum,
+    sampling weight ``p_s^α / Σ p^α``, and the epochs over each
+    stratum needed to fill ``budget_epochs`` × total-corpus tokens).
+
+    α < 1 upweights small sources (α = 0.5 is the common choice);
+    ``epochs_needed > 1`` for a stratum means the plan repeats it —
+    the standard over-sampling signal. One tiny groupBy (strata ≪
+    rows) + a broadcast of the per-stratum frame against its own
+    1-row total; nothing here grows with corpus size except the first
+    aggregation pass."""
+    scol = F.col(size_col) if isinstance(size_col, str) else size_col
+    # temperature mass per stratum rounds to 6 decimals and totals as
+    # DECIMAL: pow() emits irrational doubles whose float sum is
+    # partial-agg-order-dependent — the usual decimal discipline makes
+    # the plan bit-equal at any parallelism (and in a SQL oracle)
+    per = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(scol).cast("double").alias("n_tokens"),
+    ).withColumn(
+        "tmass", F.round(F.pow(F.col("n_tokens"), F.lit(alpha)), 6)
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("t_tot"),
+        F.sum(F.col("tmass").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("pow_tot"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("n_tokens") / F.col("t_tot"), 6).alias(
+            "raw_share"
+        ),
+        F.round(F.col("tmass") / F.col("pow_tot"), 6).alias(
+            "mix_weight"
+        ),
+        F.round(
+            (F.col("tmass") / F.col("pow_tot"))
+            * F.lit(float(budget_epochs))
+            * F.col("t_tot")
+            / F.col("n_tokens"),
+            6,
+        ).alias("epochs_needed"),
+    )

@@ -435,3 +435,84 @@ def c4_flags(col: str | Column) -> dict[str, Column]:
         "terminal_punct_line_ratio": term_ratio,
         "c4_pass": (~lorem) & (~curly) & (term_ratio >= 0.5),
     }
+
+
+def split_lines(col: str | Column) -> Column:
+    """Line split on ``\\r?\\n`` (engine-portable: DuckDB
+    ``string_split_regex`` keeps trailing empties exactly like Java
+    ``split(re, -1)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\r?\n")
+
+
+def line_census(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Global census of non-blank lines: one row per distinct trimmed
+    line (keyed by md5), with how many distinct documents contain it
+    and the lowest document id (the "owner" that keeps the line under
+    C4-style removal). One explode + one groupBy on the 32-char hash —
+    map-side combines absorb the boilerplate lines that appear
+    millions of times, so the shuffle carries distinct lines, not
+    occurrences."""
+    lines = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(split_lines(text_col)).alias("_line"),
+    ).filter(F.trim("_line") != "")
+    return lines.groupBy(F.md5(F.trim("_line")).alias("_lh")).agg(
+        F.count_distinct("_did").alias("_nd"),
+        F.min("_did").alias("_owner"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style repeated-span removal at line granularity: a non-blank
+    line occurring in ``min_docs``+ distinct documents survives ONLY
+    in the lowest-id ("owner") document; every other document loses
+    it. Blank lines and unique lines pass through untouched, and the
+    document text is rebuilt with its original line order.
+
+    Scale shape: census via :func:`line_census` (distinct lines, not
+    occurrences, cross the wire); the per-occurrence stream joins only
+    the ``_nd >= min_docs`` slice of the census on the md5 key (plain
+    shuffle join — the hot side is corpus-wide boilerplate and can
+    exceed broadcast size); the rebuild is one per-document
+    ``collect_list`` bounded by document length. Three shuffles total,
+    all on 32-byte keys or the document id."""
+    hot = line_census(df, id_col, text_col).filter(
+        F.col("_nd") >= min_docs
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(split_lines(text_col)).alias("_pos", "_line"),
+    )
+    tagged = lines.withColumn(
+        "_lh",
+        F.when(F.trim("_line") != "", F.md5(F.trim("_line"))),
+    ).join(hot, "_lh", "left")
+    kept = tagged.filter(
+        F.col("_nd").isNull() | (F.col(id_col) == F.col("_owner"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_clean_text")
+    )
+    return (
+        df.drop("_clean_text")
+        .join(rebuilt, id_col, "left")
+        .withColumn(
+            text_col,
+            F.coalesce(F.col("_clean_text"), F.lit("")),
+        )
+        .drop("_clean_text")
+    )

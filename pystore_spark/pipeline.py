@@ -144,6 +144,46 @@ class CurationPipeline:
         self._stages.append((name, _TRANSFORM, fn))
         return self
 
+    def filter_classifier(
+        self,
+        min_prob: float = 0.5,
+        weights: dict[str, float] | None = None,
+        intercept: float | None = None,
+    ):
+        """Model-based quality gate (functions/classifier.py): sigmoid
+        linear classifier over bounded lexical features, evaluated as
+        pure Column expressions with the weights as plan literals —
+        pass learned weights from ``train_quality_classifier`` or ship
+        the defaults. Fuses into the local-filter block like the other
+        published filters."""
+        from pystore_spark.functions.classifier import classifier_score
+
+        return self.filter(
+            f"classifier>={min_prob}",
+            lambda: classifier_score(
+                self.text_col, weights, intercept
+            )
+            >= min_prob,
+        )
+
+    def dedup_lines(self, min_docs: int = 2):
+        """C4-style repeated-line removal (functions/text.dedup_lines):
+        a non-blank line occurring in ``min_docs``+ distinct documents
+        survives only in the lowest-id owner document. Cardinality is
+        unchanged — documents keep their identity and line order,
+        duplicated lines vanish from non-owner copies — so this is a
+        TRANSFORM for funnel accounting, though it shuffles (line
+        census + md5-key join + per-doc rebuild)."""
+        id_col, txt = self.id_col, self.text_col
+
+        def tf(df: DataFrame) -> DataFrame:
+            return X.dedup_lines(df, id_col, txt, min_docs)
+
+        self._stages.append(
+            (f"dedup_lines>={min_docs}", _TRANSFORM, tf)
+        )
+        return self
+
     # ------------------------------------------------------------------
     # global (shuffling) stages
     # ------------------------------------------------------------------

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pystore_spark.functions import dedup as D
 from pystore_spark.functions import similarity as S
 from pystore_spark.functions import text as X
-from pystore_spark.queries import register
+from pystore_spark.queries import QUERIES, register
 from pystore_spark.sources import load_table
 
 # DuckDB token/shingle snippets shared by several oracles
@@ -2594,6 +2594,193 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tokens", "pack_id")
 
 
+@register(
+    "line_dedup_stats",
+    # C4-style repeated-span removal accounting at line granularity:
+    # a non-blank trimmed line occurring in >= 2 distinct documents
+    # survives only in its lowest-id "owner" document
+    sql=r"""
+    WITH l AS (
+      SELECT doc_id, trim(x) AS line
+      FROM documents, unnest(string_split_regex(text, '\r?\n')) AS t(x)
+      WHERE trim(x) != ''),
+    c AS (SELECT line, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+          FROM l GROUP BY line)
+    SELECT l.doc_id,
+      COUNT(*) AS n_lines,
+      CAST(SUM(CASE WHEN nd >= 2 AND l.doc_id != owner
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed,
+      CAST(SUM(CASE WHEN nd = 1 OR l.doc_id = owner
+               THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM l JOIN c USING (line)
+    GROUP BY l.doc_id
+    """,
+    tags=("dedup", "text", "pipeline"),
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup accounting (the C4 repeated-span rule
+    that chunk-hash dedup approximates): per document, how many of its
+    non-blank lines it would LOSE to other documents under
+    keep-one-owner removal, and the characters it keeps.
+
+    Plan shape mirrors functions/text.py:line_census — the census
+    groupBy carries distinct lines (map-side combine absorbs
+    boilerplate repeats), and the per-occurrence stream joins the
+    census on the 32-char md5 key: two shuffles on bounded keys, no
+    all-pairs term anywhere. The removal itself is
+    functions/text.py:dedup_lines (CurationPipeline stage
+    ``dedup_lines``); this query is its oracle-checkable ledger."""
+    doc = load_table(spark, sf_dir, "documents")
+    lines = (
+        doc.select(
+            "doc_id", F.explode(X.split_lines("text")).alias("_raw")
+        )
+        .withColumn("_t", F.trim("_raw"))
+        .filter(F.col("_t") != "")
+        .withColumn("_lh", F.md5("_t"))
+    )
+    census = lines.groupBy("_lh").agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("owner"),
+    )
+    removed = (F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner"))
+    return (
+        lines.join(census, "_lh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(removed, 1).otherwise(0)).alias(
+                "n_lines_removed"
+            ),
+            F.sum(
+                F.when(~removed, F.length("_t")).otherwise(F.lit(0))
+            ).alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "shard_manifest",
+    # deterministic hash sharding for training export — same md5
+    # bucket arithmetic as functions/sampling.py:hash_bucket
+    sql=f"""
+    WITH s AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+               AS BIGINT) % 16 AS shard,
+             len({_TOKS}) AS n_toks, length(text) AS nc
+      FROM documents)
+    SELECT shard, COUNT(*) AS n_docs,
+      CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      CAST(SUM(nc) AS BIGINT) AS n_chars
+    FROM s GROUP BY shard
+    """,
+    tags=("sampling", "pipeline", "storage"),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: the per-shard document/token/char
+    totals under deterministic md5 sharding
+    (functions/sampling.py:assign_shards) — the balance report a batch
+    -prep pipeline checks before exporting packed shards. The hash IS
+    the global shuffle: shard by hash prefix, order within shard by
+    the full hash, byte-identical on any cluster size. One projection
+    + one 16-key groupBy; nothing scales super-linearly."""
+    from pystore_spark.functions import sampling as SA
+
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        SA.assign_shards(doc, "doc_id", n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(X.token_count("text")).alias("n_tokens"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "mixture_plan",
+    # temperature-scaled source mixing (alpha = 0.5, 2-epoch token
+    # budget); tmass rounds to 6 and totals as DECIMAL so the float
+    # fold is order-independent — see functions/sampling.py
+    sql=f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS DOUBLE) AS nt
+      FROM documents GROUP BY source),
+    p2 AS (SELECT *, ROUND(POWER(nt, 0.5), 6) AS tmass FROM per),
+    tot AS (
+      SELECT SUM(nt) AS t_tot,
+        CAST(SUM(CAST(tmass AS DECIMAL(28,6))) AS DOUBLE) AS pow_tot
+      FROM p2)
+    SELECT source, n_docs, CAST(nt AS BIGINT) AS n_tokens,
+      ROUND(nt / t_tot, 6) AS raw_share,
+      ROUND(tmass / pow_tot, 6) AS mix_weight,
+      ROUND((tmass / pow_tot) * 2.0 * t_tot / nt, 6) AS epochs_needed
+    FROM p2, tot
+    """,
+    tags=("sampling", "pipeline"),
+)
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing plan (α = 0.5, 2-epoch token
+    budget): raw token share, the α-tempered sampling weight that
+    upweights small sources, and how many epochs over each source the
+    plan implies — the standard multi-source pretraining mix
+    computation (functions/sampling.py:mixture_plan). One tiny
+    groupBy over strata; corpus size only enters the first pass."""
+    from pystore_spark.functions import sampling as SA
+
+    doc = load_table(spark, sf_dir, "documents")
+    return SA.mixture_plan(
+        doc, "source", X.token_count("text"), alpha=0.5,
+        budget_epochs=2.0,
+    )
+
+
+@register(
+    "quality_classifier_scores",
+    # oracle generated from the SAME weights dict as the Spark path —
+    # functions/classifier.py:classifier_score_sql
+    sql=None,  # filled below: needs the module-level import
+    tags=("text", "quality", "model", "pipeline"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: sigmoid linear classifier over five
+    bounded lexical features (functions/classifier.py) — the
+    fastText/LR quality-filter stage of published pipelines. Scoring
+    is a pure Column projection (weights are plan literals): one scan,
+    no shuffle, no Python — the cheapest possible 100 TB pass. The
+    companion trainer (train_quality_classifier, pyspark.ml L-BFGS)
+    learns replacement weights that drop into this same scorer."""
+    from pystore_spark.functions import classifier as C
+
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
+    score = C.classifier_score("text")
+    return doc.select(
+        "doc_id",
+        score.alias("quality_prob"),
+        (score >= 0.5).alias("quality_pass"),
+    )
+
+
+# late-bind the generated oracle (classifier_score_sql needs the
+# classifier module; @register stored sql=None above)
+from pystore_spark.functions.classifier import (  # noqa: E402
+    classifier_score_sql as _ccs_sql,
+)
+
+QUERIES["quality_classifier_scores"] = QUERIES[
+    "quality_classifier_scores"
+]._replace(
+    oracle_sql=(
+        "WITH scored AS ({body}) SELECT doc_id, quality_prob, "
+        "quality_prob >= 0.5 AS quality_pass FROM scored".format(
+            body=_ccs_sql(toks_expr=_TOKS)
+        )
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -2677,6 +2864,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # oracle-checked like the rest of the tail)
     "gopher_quality_flags", "pack_sequences", "c4_quality_flags",
     "dsir_importance_weights",
+    # round-5 continuation additions (line-level dedup ledger, export
+    # sharding, source mixing, model-based quality gate)
+    "line_dedup_stats", "shard_manifest", "mixture_plan",
+    "quality_classifier_scores",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -41,6 +41,9 @@ ALLOWED_SCALAR_JOIN = {
     # 1-row totals aggregate cross-joined into the ≤256-bucket model
     # (bounded broadcast by construction)
     "dsir_importance_weights",
+    # 1-row (t_tot, pow_tot) totals broadcast against the per-stratum
+    # frame (strata ≪ rows; functions/sampling.py:mixture_plan)
+    "mixture_plan",
 }
 
 

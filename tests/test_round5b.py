@@ -1,0 +1,337 @@
+"""Round-5 continuation surface: line-level dedup, training shards,
+mixture planning, and the trainable quality classifier.
+
+Reference parity note: none of these exist in the reference engine
+(pystore is a storage layer); they extend the training-data-pipeline
+family of SURVEY §2.13, with registry oracles in queries_ext.py
+(line_dedup_stats / shard_manifest / mixture_plan /
+quality_classifier_scores) covering the exact math.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pystore_spark.functions import sampling as SA
+from pystore_spark.functions import text as X
+from pystore_spark.functions.classifier import (
+    DEFAULT_WEIGHTS,
+    QUALITY_FEATURES,
+    classifier_score,
+    quality_features,
+    train_quality_classifier,
+)
+from pystore_spark.pipeline import CurationPipeline
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines
+# ---------------------------------------------------------------------------
+def test_dedup_lines_owner_keeps_others_lose(spark):
+    shared = "this exact boilerplate footer appears everywhere"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"unique one\n{shared}\ntail one",
+                    f"{shared}\nunique two",
+                    "all original\nno shared lines",
+                ],
+            }
+        )
+    )
+    out = (
+        X.dedup_lines(df, "doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # owner (lowest doc_id = 1) keeps the shared line, doc 2 loses it
+    assert out.loc[0, "text"] == f"unique one\n{shared}\ntail one"
+    assert out.loc[1, "text"] == "unique two"
+    assert out.loc[2, "text"] == "all original\nno shared lines"
+
+
+def test_dedup_lines_preserves_blank_lines_and_order(spark):
+    shared = "duplicated middle"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 20],
+                "text": [
+                    f"a\n\n{shared}\n\nz",
+                    f"first\n{shared}\nlast",
+                ],
+            }
+        )
+    )
+    out = (
+        X.dedup_lines(df, "doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # blanks survive removal untouched; owner doc intact
+    assert out.loc[0, "text"] == f"a\n\n{shared}\n\nz"
+    assert out.loc[1, "text"] == "first\nlast"
+
+
+def test_dedup_lines_min_docs_threshold(spark):
+    shared = "needs three docs to be hot"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": [shared, shared]}
+        )
+    )
+    out = (
+        X.dedup_lines(df, "doc_id", "text", min_docs=3)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out["text"].tolist() == [shared, shared]
+
+
+def test_dedup_lines_pipeline_stage_keeps_cardinality(spark):
+    shared = "shared line body text"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [f"own\n{shared}", f"{shared}\nother"],
+            }
+        )
+    )
+    p = CurationPipeline(df).dedup_lines()
+    fun = p.funnel().toPandas()
+    # a transform stage: no funnel drop row, cardinality unchanged
+    assert fun["stage"].tolist() == ["input"]
+    assert fun["n_surviving"].tolist() == [2]
+    out = p.dataframe().orderBy("doc_id").toPandas()
+    assert len(out) == 2
+    assert out.loc[1, "text"] == "other"
+
+
+# ---------------------------------------------------------------------------
+# assign_shards
+# ---------------------------------------------------------------------------
+def test_assign_shards_deterministic_across_layouts(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = (
+        SA.assign_shards(df, "doc_id", n_shards=8)
+        .select("doc_id", "shard", "shard_pos")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        SA.assign_shards(df.repartition(13), "doc_id", n_shards=8)
+        .select("doc_id", "shard", "shard_pos")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert a["shard"].between(0, 7).all()
+    # roughly balanced: no empty shard at 500 keys over 8 shards
+    assert a["shard"].nunique() == 8
+
+
+def test_assign_shards_salt_reshuffles(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = SA.assign_shards(df, "doc_id", 8).toPandas()
+    b = SA.assign_shards(df, "doc_id", 8, salt="epoch2").toPandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["shard_a"] != merged["shard_b"]).any()
+
+
+def test_shard_export_is_order_stable(spark, tmp_path):
+    """partitionBy('shard') export: within-shard shard_pos order is the
+    same no matter the input partitioning — the byte-stable training
+    shard claim."""
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+
+    def export(src, out):
+        (
+            SA.assign_shards(src, "doc_id", n_shards=4)
+            .repartition(4, "shard")
+            .sortWithinPartitions("shard", "shard_pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(str(out))
+        )
+        return (
+            spark.read.parquet(str(out))
+            .orderBy("shard", "shard_pos")
+            .select("doc_id")
+            .toPandas()["doc_id"]
+            .tolist()
+        )
+
+    one = export(df, tmp_path / "a")
+    two = export(df.repartition(17), tmp_path / "b")
+    assert one == two
+
+
+# ---------------------------------------------------------------------------
+# mixture_plan
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def sized_corpus(spark):
+    rows = (
+        [("big", 1000)] * 8 + [("mid", 500)] * 4 + [("small", 100)] * 2
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": [s for s, _ in rows],
+                "n_tokens": [n for _, n in rows],
+            }
+        )
+    )
+
+
+def test_mixture_plan_weights_sum_to_one(sized_corpus):
+    out = SA.mixture_plan(
+        sized_corpus, "source", "n_tokens", alpha=0.5
+    ).toPandas()
+    assert abs(out["raw_share"].sum() - 1.0) < 1e-5
+    assert abs(out["mix_weight"].sum() - 1.0) < 1e-5
+
+
+def test_mixture_plan_temperature_upweights_small(sized_corpus):
+    out = (
+        SA.mixture_plan(sized_corpus, "source", "n_tokens", alpha=0.5)
+        .toPandas()
+        .set_index("source")
+    )
+    # alpha < 1 compresses the spread: small gains share, big loses
+    assert (
+        out.loc["small", "mix_weight"] > out.loc["small", "raw_share"]
+    )
+    assert out.loc["big", "mix_weight"] < out.loc["big", "raw_share"]
+    # epochs_needed: weight × budget ÷ own tokens; small source must
+    # repeat (> 1 epoch) to fill its boosted share
+    assert out.loc["small", "epochs_needed"] > 1.0
+
+
+def test_mixture_plan_alpha_one_is_raw_share(sized_corpus):
+    out = SA.mixture_plan(
+        sized_corpus, "source", "n_tokens", alpha=1.0
+    ).toPandas()
+    assert (
+        (out["mix_weight"] - out["raw_share"]).abs() < 1e-5
+    ).all()
+
+
+# ---------------------------------------------------------------------------
+# quality classifier
+# ---------------------------------------------------------------------------
+def _labeled_corpus(spark, n=120):
+    good = (
+        "the quick brown fox jumps over the lazy dog and it runs on "
+        "for a while with many varied common words in the sentence"
+    )
+    bad = "zzz 111 !!! @@@ ### $$$ %%% ^^^ &&& *** ((( )))"
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rows.append((i, f"{good} variant {i}", 1))
+        else:
+            rows.append((i, f"{bad} {i}", 0))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "label"])
+    )
+
+
+def test_default_classifier_separates(spark):
+    df = _labeled_corpus(spark)
+    scored = df.select(
+        "label", classifier_score("text").alias("p")
+    ).toPandas()
+    good_p = scored[scored["label"] == 1]["p"]
+    bad_p = scored[scored["label"] == 0]["p"]
+    assert good_p.min() > bad_p.max()
+
+
+def test_features_are_bounded(spark):
+    df = _labeled_corpus(spark)
+    feats = quality_features("text")
+    stats = df.select(
+        *[feats[k].alias(k) for k in QUALITY_FEATURES]
+    ).toPandas()
+    assert (stats.min() >= 0.0).all() and (stats.max() <= 1.0).all()
+
+
+def test_train_quality_classifier_learns_and_transfers(spark):
+    df = _labeled_corpus(spark)
+    weights, intercept = train_quality_classifier(df)
+    assert set(weights) == set(QUALITY_FEATURES)
+    # the learned weights drop into the Column-expression scorer and
+    # classify the training frame correctly (clean separation task)
+    scored = df.select(
+        "label",
+        (
+            classifier_score("text", weights, intercept) >= 0.5
+        ).alias("pred"),
+    ).toPandas()
+    acc = (scored["pred"].astype(int) == scored["label"]).mean()
+    assert acc >= 0.95
+
+
+def test_trained_scorer_matches_mllib_probability(spark):
+    """The Column-expression scorer must agree with MLlib's own
+    predictProbability for the learned model (same features, same
+    weights) — the deploy-without-MLlib claim."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    df = _labeled_corpus(spark)
+    weights, intercept = train_quality_classifier(df)
+    feats = quality_features("text")
+    assembled = VectorAssembler(
+        inputCols=list(QUALITY_FEATURES), outputCol="features"
+    ).transform(
+        df.select(
+            "doc_id",
+            F.col("label").cast("double").alias("label"),
+            *[feats[k].alias(k) for k in QUALITY_FEATURES],
+        )
+    )
+    model = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        regParam=0.01,
+        maxIter=100,
+        standardization=False,
+    ).fit(assembled)
+    mllib = (
+        model.transform(assembled)
+        .select(
+            "doc_id",
+            F.element_at(
+                vector_to_array(F.col("probability")), 2
+            ).alias("p_ml"),
+        )
+        .toPandas()
+    )
+    ours = df.select(
+        "doc_id", classifier_score("text", weights, intercept).alias("p")
+    ).toPandas()
+    merged = mllib.merge(ours, on="doc_id")
+    assert (merged["p_ml"] - merged["p"]).abs().max() < 1e-4
+
+
+def test_filter_classifier_pipeline_stage(spark):
+    df = _labeled_corpus(spark, n=40)
+    p = CurationPipeline(df).filter_classifier(min_prob=0.5)
+    fun = p.funnel().toPandas().set_index("stage")
+    assert fun.loc["input", "n_surviving"] == 40
+    assert fun.loc["classifier>=0.5", "n_surviving"] == 20
+    out = p.dataframe().toPandas()
+    assert set(out["label"]) == {1}
+
+
+def test_default_weights_cover_all_features():
+    assert set(DEFAULT_WEIGHTS) == set(QUALITY_FEATURES)
