@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     # round-4 flagships
     "lm_perplexity_scores",
     "chunk_dedup_stats",
+    # round-5 flagships
+    "line_dedup_stats",
+    "quality_classifier_scores",
 ]
 
 

@@ -65,6 +65,12 @@ class AsyncCollection:
     async def compact(self, item: str, **kwargs):
         return await self._run(self.collection.compact, item, **kwargs)
 
+    async def ingest(self, item: str, data: Any, **kwargs):
+        """Async one-call curated ingest (pipeline stages +
+        persistent-index dedup + append + funnel stamp) off the
+        event loop — see Collection.ingest."""
+        return await self._run(self.collection.ingest, item, data, **kwargs)
+
     async def append_dedup(
         self, item: str, data: Any, index_item: str, **kwargs
     ):

@@ -1961,6 +1961,116 @@ class Collection:
 
         return DI.refresh_index(self, index_item)
 
+    def ingest(
+        self,
+        item: str,
+        data: Any,
+        pipeline: Any = None,
+        dedup_index: str | None = None,
+        within_batch: bool = False,
+        create_missing: bool = True,
+        record_funnel: bool = True,
+        **append_kwargs: Any,
+    ) -> dict:
+        """One-call daily ingest for a curated corpus item: run the
+        incoming batch through a ``CurationPipeline`` (quality gates,
+        published filters, PII scrub, line dedup, ...), near-dedup the
+        survivors against the STORED corpus via the persistent MinHash
+        index, append what remains, and stamp the per-stage funnel
+        into the item's metadata sidecar — the complete recurring
+        operation of a training-data pipeline, with cost O(batch),
+        never O(corpus).
+
+        * ``pipeline`` — a :class:`~pystore_spark.pipeline.
+          CurationPipeline`; its stages (including global ones) run on
+          the incoming batch only. Transforms (scrub_pii,
+          dedup_lines) apply to what gets stored.
+        * ``dedup_index`` — name of an index built with
+          :meth:`build_dedup_index`; when set, survivors are probed
+          against the stored corpus (O(new) via the LSM band index)
+          and the kept documents are indexed into the delta tier.
+        * ``record_funnel=False`` skips the funnel accounting pass
+          (one conditional-count aggregation per contiguous filter
+          block) and the metadata stamp — use for latency-critical
+          ingest where the report isn't needed.
+
+        Returns ``{"funnel": {stage: n}, "n_incoming", "n_curated",
+        "n_dropped_dedup", "n_appended"}``. The metadata stamp is a
+        plain sidecar update AFTER the data commit (a crash between
+        the two loses the report, never data).
+        """
+        prepared, _, _, _ = self._prepare_input(data)
+        funnel: dict[str, int] = {}
+        if pipeline is not None:
+            curated = pipeline.apply(prepared)
+            if record_funnel:
+                funnel = {
+                    r["stage"]: int(r["n_surviving"])
+                    for r in pipeline.funnel(prepared).collect()
+                }
+                n_in = funnel.get("input", 0)
+                n_curated = (
+                    list(funnel.values())[-1] if funnel else 0
+                )
+            else:
+                n_in = -1
+                n_curated = -1
+        else:
+            curated = prepared
+            n_in = n_curated = (
+                prepared.count() if record_funnel else -1
+            )
+            if record_funnel:
+                funnel = {"input": n_in}
+
+        if dedup_index is not None:
+            from pystore_spark import dedup_index as DI
+
+            rep = DI.append_with_dedup(
+                self, item, curated, dedup_index,
+                within_batch=within_batch,
+                create_missing=create_missing,
+                **append_kwargs,
+            )
+            if record_funnel and n_curated < 0:
+                n_in = n_curated = rep["n_incoming"]
+            n_dropped_dedup = rep["n_dropped"]
+            n_appended = rep["n_appended"]
+            if record_funnel:
+                funnel[f"dedup_index:{dedup_index}"] = n_appended
+        else:
+            if create_missing and not self.item_exists(item):
+                self.write(item, curated, **append_kwargs)
+            else:
+                self.append(item, curated, **append_kwargs)
+            n_dropped_dedup = 0
+            n_appended = n_curated
+
+        report = {
+            "funnel": funnel,
+            "n_incoming": n_in,
+            "n_curated": n_curated,
+            "n_dropped_dedup": n_dropped_dedup,
+            "n_appended": n_appended,
+        }
+        if record_funnel:
+            path = self._item_path(item)
+            meta = utils.read_metadata(path)
+            hist = meta.get("_ingest_totals") or {
+                "n_batches": 0, "n_incoming": 0, "n_appended": 0,
+            }
+            meta["_ingest_totals"] = {
+                "n_batches": hist["n_batches"] + 1,
+                "n_incoming": hist["n_incoming"] + max(n_in, 0),
+                "n_appended": hist["n_appended"] + n_appended,
+            }
+            meta["_last_ingest"] = {
+                k: v for k, v in report.items() if k != "funnel"
+            } | {"funnel": funnel}
+            utils.write_metadata(path, meta)
+            self.clear_metadata_cache(item)
+        return report
+
     # ------------------------------------------------------------------
     # maintenance (reference: pystore/partition.py:175-216)
     # ------------------------------------------------------------------

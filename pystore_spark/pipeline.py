@@ -406,15 +406,20 @@ class CurationPipeline:
             "survival_rate": round(last / first, 6) if first else None,
         }
 
-    def funnel(self) -> DataFrame:
+    def funnel(self, df: DataFrame | None = None) -> DataFrame:
         """Survivor counts after every cardinality-changing stage,
         as a small DataFrame ``(stage, n_surviving)`` (first row:
         ``input``). Cost: one conditional-count aggregation per
         contiguous row-local block + one count per global stage —
-        NOT one pass per filter."""
-        spark = self._input.sparkSession
+        NOT one pass per filter.
+
+        Pass ``df`` to account an ARBITRARY batch through the same
+        stages (the ingest path counts each incoming batch this way)
+        instead of the pipeline's own input frame."""
+        if df is None:
+            df = self._input
+        spark = df.sparkSession
         rows: list[tuple[str, int]] = []
-        df = self._input
         i = 0
         stages = self._stages
         first = True

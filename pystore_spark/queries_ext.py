@@ -2798,7 +2798,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # storage / scan / predicate surface
     "scan_filter_pushdown", "scan_projection", "index_minmax",
     "dedup_anti_join",
-    "upsert_keep_last", "keep_first_window_dedup",
+    "upsert_keep_last",
     "validation_aggregates", "invariant_violations",
     "union_evolved_schema", "epoch_roundtrip",
     "json_extract_props", "schema_evolve_projection",
@@ -2814,13 +2814,19 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "text_token_stats", "text_quality_scores",
     "doc_fingerprints", "tfidf_top_terms", "lm_perplexity_scores",
     "vocab_topk", "doc_length_histogram",
+    # quality_classifier_scores: round-5 continuation flagship — the
+    # trainable model-based gate
+    "quality_classifier_scores",
     # dedup stack (incremental_dedup_probe: the round-5 flagship —
     # persistent-index O(new) append dedup through real storage;
     # near_dedup_recall_audit: round-5 promotion)
     "exact_dedup_groups", "minhash_signatures", "lsh_band_stats",
     "simhash_fingerprints", "near_dedup_kept_docs",
     "near_dedup_recall_audit", "incremental_dedup_probe",
-    "chunk_dedup_stats",
+    # line_dedup_stats: round-5 continuation flagship — C4-style
+    # keep-one-owner line removal ledger (supersedes chunk_dedup_stats
+    # as the in-window sub-document dedup representative)
+    "line_dedup_stats",
     # similarity / ANN (+ measured-error audits of the approx ops)
     "embedding_cosine_topk_vectorized", "ann_ivf_label_topk",
     "signlsh_candidate_topk",
@@ -2831,6 +2837,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "downcast_projection", "heavy_hitters", "rolling_zscore_outliers",
     "quality_funnel", "curation_funnel",
     # ---- window boundary (driver checks the 50 above) ----
+    # round-5 continuation demotions (for quality_classifier_scores /
+    # line_dedup_stats above): keep_first_window_dedup's rank-1
+    # window-dedup family is evidenced in-window by upsert_keep_last;
+    # chunk_dedup_stats' sub-document dedup family by line_dedup_stats.
+    # Both stay oracle-checked in-repo:
+    "keep_first_window_dedup", "chunk_dedup_stats",
     # round-5 demotions for the five promotions above; every one
     # keeps an in-window family sibling (validation_aggregates/
     # invariant_violations for monotonic_check; token/quality/tfidf
@@ -2864,10 +2876,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # oracle-checked like the rest of the tail)
     "gopher_quality_flags", "pack_sequences", "c4_quality_flags",
     "dsir_importance_weights",
-    # round-5 continuation additions (line-level dedup ledger, export
-    # sharding, source mixing, model-based quality gate)
-    "line_dedup_stats", "shard_manifest", "mixture_plan",
-    "quality_classifier_scores",
+    # round-5 continuation additions (export sharding, source mixing;
+    # their siblings line_dedup_stats / quality_classifier_scores sit
+    # in the driver window above)
+    "shard_manifest", "mixture_plan",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -1,0 +1,160 @@
+"""Collection.ingest — the one-call daily pipeline operation:
+CurationPipeline stages on the incoming batch, persistent-index
+near-dedup against the stored corpus, append, funnel stamped into the
+item metadata. Composes surfaces that are individually covered by
+test_pipeline.py and test_dedup_index.py; here the contract is the
+composition and its accounting."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+from pystore_spark.pipeline import CurationPipeline
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "today while the sun shines bright over the quiet green valley "
+)
+
+
+def _docs(ids, tail=""):
+    return pd.DataFrame(
+        {
+            "doc_id": list(ids),
+            "text": [
+                BASE
+                + f"unique tail {i} "
+                + "filler words here " * 3
+                + tail
+                for i in ids
+            ],
+        }
+    )
+
+
+def _spark_docs(spark, ids, tail=""):
+    return spark.createDataFrame(_docs(ids, tail))
+
+
+def test_ingest_pipeline_only_filters_and_stamps(test_collection, spark):
+    c = test_collection
+    batch = pd.concat(
+        [
+            _docs(range(6)),
+            pd.DataFrame({"doc_id": [90, 91], "text": ["x", "yy z"]}),
+        ]
+    )
+    sbatch = spark.createDataFrame(batch)
+    p = CurationPipeline(sbatch).filter_min_chars(50)
+    rep = c.ingest("docs", sbatch, pipeline=p)
+    assert rep["n_incoming"] == 8
+    assert rep["n_curated"] == 6
+    assert rep["n_appended"] == 6
+    assert rep["n_dropped_dedup"] == 0
+    assert rep["funnel"]["input"] == 8
+    assert rep["funnel"]["min_chars>=50"] == 6
+    stored = c.item("docs").data
+    assert stored.count() == 6
+    meta = c.get_item_metadata("docs")
+    assert meta["_last_ingest"]["n_appended"] == 6
+    assert meta["_ingest_totals"] == {
+        "n_batches": 1, "n_incoming": 8, "n_appended": 6,
+    }
+
+
+def test_ingest_applies_transforms_to_stored_text(test_collection, spark):
+    c = test_collection
+    shared = "this boilerplate footer line is shared by both docs"
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    f"{BASE}own line one\n{shared}",
+                    f"{shared}\n{BASE}own line two",
+                ],
+            }
+        )
+    )
+    p = CurationPipeline(batch.limit(0)).dedup_lines()
+    c.ingest("docs", batch, pipeline=p)
+    stored = (
+        c.item("docs").data.orderBy("doc_id").toPandas()
+    )
+    # the non-owner doc lost the shared line BEFORE storage
+    assert shared in stored.loc[0, "text"]
+    assert shared not in stored.loc[1, "text"]
+    assert len(stored) == 2
+
+
+def test_ingest_with_dedup_index_drops_corpus_dups(test_collection):
+    c = test_collection
+    c.write("corpus", _docs(range(10)), index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+    stored = _docs(range(10))
+    inc = pd.DataFrame(
+        {
+            "doc_id": [100, 101],
+            "text": [
+                stored.loc[3, "text"],  # near-dup of stored doc 3
+                BASE * 2 + "entirely fresh content words " * 5,
+            ],
+        }
+    )
+    spark = c.spark
+    sinc = spark.createDataFrame(inc)
+    p = CurationPipeline(sinc).filter_min_chars(10)
+    rep = c.ingest(
+        "corpus",
+        sinc,
+        pipeline=p,
+        dedup_index="cidx",
+        index_col="doc_id",
+    )
+    assert rep["n_curated"] == 2
+    assert rep["n_dropped_dedup"] == 1
+    assert rep["n_appended"] == 1
+    assert rep["funnel"]["dedup_index:cidx"] == 1
+    ids = {
+        r["doc_id"] for r in c.item("corpus").data.select("doc_id").collect()
+    }
+    assert 101 in ids and 100 not in ids
+
+
+def test_ingest_creates_missing_item(test_collection, spark):
+    c = test_collection
+    rep = c.ingest("fresh", _spark_docs(spark, range(4)))
+    assert rep["n_appended"] == 4
+    assert c.item("fresh").data.count() == 4
+    # second batch appends
+    rep2 = c.ingest("fresh", _spark_docs(spark, range(10, 14)))
+    assert rep2["n_appended"] == 4
+    assert c.item("fresh").data.count() == 8
+    meta = c.get_item_metadata("fresh")
+    assert meta["_ingest_totals"]["n_batches"] == 2
+    assert meta["_ingest_totals"]["n_appended"] == 8
+
+
+def test_ingest_record_funnel_false_skips_stamp(test_collection, spark):
+    c = test_collection
+    rep = c.ingest(
+        "docs", _spark_docs(spark, range(3)), record_funnel=False
+    )
+    assert rep["funnel"] == {}
+    meta = c.get_item_metadata("docs") or {}
+    assert "_last_ingest" not in meta
+    assert c.item("docs").data.count() == 3
+
+
+def test_async_ingest(test_collection, spark):
+    import asyncio
+
+    from pystore_spark.async_operations import AsyncCollection
+
+    async def run():
+        c = AsyncCollection(test_collection)
+        return await c.ingest("docs", _spark_docs(spark, range(5)))
+
+    rep = asyncio.run(run())
+    assert rep["n_appended"] == 5

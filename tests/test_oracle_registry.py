@@ -31,11 +31,14 @@ WINDOW = 50
 PROMOTED = {
     "incremental_dedup_probe", "near_dedup_recall_audit",
     "vocab_topk", "doc_length_histogram", "ohlc_resample",
+    # round-5 continuation: the C4 line-removal ledger and the
+    # trainable model-based quality gate
+    "line_dedup_stats", "quality_classifier_scores",
     # round-4 promotions keeping their slot
     "signlsh_candidate_topk",
     "heavy_hitters", "quality_funnel", "rolling_zscore_outliers",
     "interval_join_banded", "embedding_quantization_audit",
-    "lm_perplexity_scores", "chunk_dedup_stats", "curation_funnel",
+    "lm_perplexity_scores", "curation_funnel",
 }
 # round-2 promotions that keep their window slot (their family has no
 # redundant sibling in-window)
@@ -60,6 +63,11 @@ ROTATED_OUT = {
     # lsh_recall_audit):
     "monotonic_check", "lang_id_heuristic", "ngram_jaccard_pairs",
     "winnowing_fingerprints", "lsh_recall_audit",
+    # round-5 continuation (family siblings in-window:
+    # upsert_keep_last for keep_first_window_dedup's rank-1 window
+    # dedup; line_dedup_stats for chunk_dedup_stats' sub-document
+    # dedup ledger):
+    "keep_first_window_dedup", "chunk_dedup_stats",
 }
 
 
