@@ -1989,30 +1989,37 @@ class Collection:
           :meth:`build_dedup_index`; when set, survivors are probed
           against the stored corpus (O(new) via the LSM band index)
           and the kept documents are indexed into the delta tier.
-        * ``record_funnel=False`` skips the funnel accounting pass
-          (one conditional-count aggregation per contiguous filter
-          block) and the metadata stamp — use for latency-critical
-          ingest where the report isn't needed.
+        * ``record_funnel=True`` (default) executes the pipeline via
+          :meth:`CurationPipeline.run` — every shuffling stage runs
+          ONCE with its output checkpointed, and the counts come from
+          that same execution; the extra cost is one conditional-count
+          aggregation per contiguous filter block plus the
+          batch-sized checkpoints. ``False`` skips accounting and the
+          metadata stamp and keeps the plan fully lazy.
 
         Returns ``{"funnel": {stage: n}, "n_incoming", "n_curated",
         "n_dropped_dedup", "n_appended"}``. The metadata stamp is a
         plain sidecar update AFTER the data commit (a crash between
         the two loses the report, never data).
         """
-        prepared, _, _, _ = self._prepare_input(data)
-        funnel: dict[str, int] = {}
+        prepared, _, _, _ = self._prepare_input(
+            data,
+            epochdate=bool(append_kwargs.get("epochdate", False)),
+            index_col=append_kwargs.get("index_col"),
+        )
+        funnel_rows: list[tuple[str, int]] = []
         if pipeline is not None:
-            curated = pipeline.apply(prepared)
             if record_funnel:
-                funnel = {
-                    r["stage"]: int(r["n_surviving"])
-                    for r in pipeline.funnel(prepared).collect()
-                }
-                n_in = funnel.get("input", 0)
+                # ONE pass: every shuffling stage runs once, outputs
+                # checkpointed, and the counts come from that same
+                # execution (CurationPipeline.run)
+                funnel_rows, curated = pipeline.run(prepared)
+                n_in = funnel_rows[0][1] if funnel_rows else 0
                 n_curated = (
-                    list(funnel.values())[-1] if funnel else 0
+                    funnel_rows[-1][1] if funnel_rows else 0
                 )
             else:
+                curated = pipeline.apply(prepared)
                 n_in = -1
                 n_curated = -1
         else:
@@ -2021,7 +2028,7 @@ class Collection:
                 prepared.count() if record_funnel else -1
             )
             if record_funnel:
-                funnel = {"input": n_in}
+                funnel_rows = [("input", n_in)]
 
         if dedup_index is not None:
             from pystore_spark import dedup_index as DI
@@ -2037,7 +2044,9 @@ class Collection:
             n_dropped_dedup = rep["n_dropped"]
             n_appended = rep["n_appended"]
             if record_funnel:
-                funnel[f"dedup_index:{dedup_index}"] = n_appended
+                funnel_rows.append(
+                    (f"dedup_index:{dedup_index}", n_appended)
+                )
         else:
             if create_missing and not self.item_exists(item):
                 self.write(item, curated, **append_kwargs)
@@ -2046,6 +2055,15 @@ class Collection:
             n_dropped_dedup = 0
             n_appended = n_curated
 
+        # insertion-ordered stage list; a repeated stage name gets a
+        # positional suffix so no count is silently collapsed
+        funnel: dict[str, int] = {}
+        for name, n in funnel_rows:
+            key, k = name, 2
+            while key in funnel:
+                key = f"{name}#{k}"
+                k += 1
+            funnel[key] = n
         report = {
             "funnel": funnel,
             "n_incoming": n_in,

@@ -153,8 +153,10 @@ def classifier_score_sql(
       SELECT doc_id,
         len(toks)::DOUBLE AS n,
         len(list_distinct(toks))::DOUBLE AS uniq,
-        COALESCE(list_reduce(list_transform(toks, x -> len(x)::DOUBLE),
-                             (a,b) -> a+b) / len(toks), 0.0) AS awl,
+        CASE WHEN len(toks) > 0 THEN
+          list_reduce(list_transform(toks, x -> len(x)::DOUBLE),
+                      (a,b) -> a+b) / len(toks)
+        ELSE 0.0 END AS awl,
         len(list_filter(toks, x -> lower(x) IN ({stop})))::DOUBLE
           AS nstop,
         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE

@@ -23,18 +23,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _hash56(col: str | Column, salt: str = "") -> Column:
+    """The module's ONE engine-portable hash recipe: the first 14 hex
+    chars of md5(key [+ salt]) as a bigint in [0, 2^56) (DuckDB:
+    ``CAST(('0x' || substr(md5(k), 1, 14)) AS BIGINT)``). Every
+    sampler/sharder derives from this single definition so the SQL
+    oracles can never drift per call site. 14 hex chars < 2^56 so the
+    bigint never overflows."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("string")
+    if salt:
+        c = F.concat(c, F.lit(salt))
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("bigint")
+
+
 def hash_bucket(col: str | Column, buckets: int = 100) -> Column:
     """Deterministic bucket in [0, buckets) from md5 of the key —
-    portable across engines (DuckDB: ``CAST(('0x' || substr(md5(k),
-    1, 14)) AS BIGINT) % buckets``), unlike xxhash64/crc32 which
-    differ per engine. 14 hex chars < 2^56 so the bigint never
-    overflows."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 14), 16, 10)
-        .cast("bigint")
-        % buckets
-    )
+    portable across engines (see :func:`_hash56`), unlike
+    xxhash64/crc32 which differ per engine."""
+    return _hash56(col) % buckets
 
 
 def stratified_sample_hash(
@@ -91,12 +98,7 @@ def weighted_sample_per_stratum(
     # divide — adding 1.0 after the double cast rounds differently
     # above 2^53 for ~15% of keys and would diverge from a SQL oracle
     # computing (bigint + 1) / 2^56; +1 also means never ln(0)
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(key_col).cast("string")), 1, 14), 16, 10
-        ).cast("bigint")
-        + F.lit(1)
-    ).cast("double") / float(1 << 56)
+    u = (_hash56(key_col) + F.lit(1)).cast("double") / float(1 << 56)
     key = F.log(u) / wcol
     w = Window.partitionBy(stratum_col).orderBy(
         key.desc(), F.col(key_col)
@@ -126,28 +128,17 @@ def assign_shards(
     This is the "global shuffle" step of batch prep done the
     distributed way: instead of one impossible total sort of 100 TB by
     a random number, the hash IS the permutation — shard by hash
-    prefix, order within shard by the full hash. Writing
+    prefix, order within shard by the hash. Writing
     ``partitionBy("shard")`` after ``repartition(n_shards, "shard")``
-    + ``sortWithinPartitions("shard_pos")`` yields byte-identical
-    shards on any cluster size, and readers stream shards
-    independently. Same md5 discipline as the samplers above, so a SQL
-    oracle reproduces the exact assignment."""
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col(key_col).cast("string"), F.lit(salt)
-                    )
-                ),
-                1,
-                14,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-    )
+    + ``sortWithinPartitions("shard_pos", key_col)`` yields
+    byte-identical shards on any cluster size, and readers stream
+    shards independently. ``shard_pos`` is 56 bits, so at billions of
+    rows prefix collisions exist (birthday bound ~2^28 keys) — the
+    KEY COLUMN is the documented tiebreak; sorting by ``shard_pos``
+    alone is not deterministic at that scale. Same md5 discipline as
+    the samplers above (:func:`_hash56`), so a SQL oracle reproduces
+    the exact assignment."""
+    h = _hash56(key_col, salt)
     return df.withColumn("shard", h % n_shards).withColumn(
         "shard_pos", h
     )

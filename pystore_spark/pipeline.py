@@ -406,19 +406,20 @@ class CurationPipeline:
             "survival_rate": round(last / first, 6) if first else None,
         }
 
-    def funnel(self, df: DataFrame | None = None) -> DataFrame:
-        """Survivor counts after every cardinality-changing stage,
-        as a small DataFrame ``(stage, n_surviving)`` (first row:
-        ``input``). Cost: one conditional-count aggregation per
-        contiguous row-local block + one count per global stage —
-        NOT one pass per filter.
+    def _execute(
+        self, df: DataFrame, checkpoint: bool = False
+    ) -> tuple[list[tuple[str, int]], DataFrame]:
+        """Shared accounting walk: apply every stage in order,
+        counting survivors with one conditional-count aggregation per
+        contiguous row-local block + one count per shuffling stage.
 
-        Pass ``df`` to account an ARBITRARY batch through the same
-        stages (the ingest path counts each incoming batch this way)
-        instead of the pipeline's own input frame."""
-        if df is None:
-            df = self._input
-        spark = df.sparkSession
+        ``checkpoint=True`` additionally materializes each shuffling
+        stage's output (eager localCheckpoint) before counting it, so
+        the RETURNED frame reads materialized partitions instead of
+        re-running the stage — the ingest path appends that frame and
+        must not pay dedup/decontaminate twice. Batch-sized inputs
+        only under checkpointing: the snapshots live on executor
+        storage."""
         rows: list[tuple[str, int]] = []
         i = 0
         stages = self._stages
@@ -435,6 +436,8 @@ class CurationPipeline:
                     if block:
                         break
                     df = payload(df)
+                    if checkpoint:
+                        df = df.localCheckpoint(eager=True)
                 else:
                     block.append((name, payload()))
                 i += 1
@@ -456,8 +459,38 @@ class CurationPipeline:
             if i < len(stages) and stages[i][1] == _GLOBAL:
                 name, _kind, payload = stages[i]
                 df = payload(df)
+                if checkpoint:
+                    df = df.localCheckpoint(eager=True)
                 rows.append((name, df.count()))
                 i += 1
             elif i >= len(stages):
                 break
+        return rows, df
+
+    def funnel(self, df: DataFrame | None = None) -> DataFrame:
+        """Survivor counts after every cardinality-changing stage,
+        as a small DataFrame ``(stage, n_surviving)`` (first row:
+        ``input``). Cost: one conditional-count aggregation per
+        contiguous row-local block + one count per global stage —
+        NOT one pass per filter.
+
+        Pass ``df`` to account an ARBITRARY batch through the same
+        stages instead of the pipeline's own input frame."""
+        if df is None:
+            df = self._input
+        spark = df.sparkSession
+        rows, _ = self._execute(df)
         return spark.createDataFrame(rows, "stage string, n_surviving long")
+
+    def run(
+        self, df: DataFrame | None = None
+    ) -> tuple[list[tuple[str, int]], DataFrame]:
+        """Execute AND account in one pass: returns ``(funnel_rows,
+        curated_frame)`` where every shuffling stage ran exactly once
+        (outputs checkpointed — see :meth:`_execute`). This is what
+        :meth:`~pystore_spark.collection.Collection.ingest` calls;
+        prefer :meth:`dataframe` when no accounting is needed (fully
+        lazy, no checkpoints)."""
+        return self._execute(
+            self._input if df is None else df, checkpoint=True
+        )

@@ -1951,7 +1951,10 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     language) scores high. Entirely relational:
 
     * the exploded bigram stream is aggregated ONCE into
-      (doc_id, bg, cnt) and materialized (eager localCheckpoint):
+      (doc_id, bg, cnt) and materialized (LAZY localCheckpoint —
+      eager would run a Spark job at query-construction time, which
+      the registry forbids; the broadcast-model job is the first
+      action and materializes it for every later consumer):
       without it Catalyst re-runs the explode for every consumer —
       the model, the prefix totals, and the scoring stream each
       re-scan the text (3× at 100 TB). The compressed frame is
@@ -1966,7 +1969,11 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       cnt × DECIMAL (exact integer-weighted decimal sum — the same
       value as summing per occurrence) so the result is
       order-independent (bit-equal at any parallelism and in the
-      oracle)."""
+      oracle). cnt casts to DECIMAL(8,0) — wide enough for 10⁸
+      occurrences of one bigram in one document, narrow enough that
+      the product stays within Spark's 38-digit budget (8+20+1=29)
+      with the full scale-12 intact; a 20-digit cnt would silently
+      truncate the product to scale 9 and break oracle parity."""
     doc = X.widen_parallelism(
         load_table(spark, sf_dir, "documents")
     ).filter(F.length("text") >= 2)
@@ -2001,7 +2008,7 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(F.col("cnt").cast("decimal(20,0)") * contrib)
+                F.sum(F.col("cnt").cast("decimal(8,0)") * contrib)
                 .cast("double")
                 / F.sum("cnt"),
                 6,
@@ -2639,9 +2646,10 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_t") != "")
         .withColumn("_lh", F.md5("_t"))
     )
-    census = lines.groupBy("_lh").agg(
-        F.count_distinct("doc_id").alias("nd"),
-        F.min("doc_id").alias("owner"),
+    census = X.line_census(doc, "doc_id", "text").select(
+        "_lh",
+        F.col("_nd").alias("nd"),
+        F.col("_owner").alias("owner"),
     )
     removed = (F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner"))
     return (

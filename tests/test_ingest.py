@@ -158,3 +158,45 @@ def test_async_ingest(test_collection, spark):
 
     rep = asyncio.run(run())
     assert rep["n_appended"] == 5
+
+
+def test_ingest_funnel_disambiguates_repeated_stage_names(
+    test_collection, spark
+):
+    c = test_collection
+    batch = _spark_docs(spark, range(5))
+    p = (
+        CurationPipeline(batch)
+        .filter_min_chars(10)
+        .scrub_pii()
+        .filter_min_chars(10)
+    )
+    rep = c.ingest("docs", batch, pipeline=p)
+    # both min_chars stages appear; the final stage's count feeds
+    # n_curated (positional, not dict-collapsed)
+    assert "min_chars>=10" in rep["funnel"]
+    assert "min_chars>=10#2" in rep["funnel"]
+    assert rep["n_curated"] == 5 and rep["n_appended"] == 5
+
+
+def test_ingest_single_execution_of_global_stages(test_collection, spark):
+    """record_funnel=True must not re-run shuffling stages for the
+    append: CurationPipeline.run checkpoints each global stage's
+    output, so a nondeterministic-if-recomputed marker survives
+    identically into the stored item."""
+    c = test_collection
+    batch = _spark_docs(spark, range(6))
+    calls = {"n": 0}
+
+    def marked_dedup(df):
+        calls["n"] += 1
+        return df
+
+    p = CurationPipeline(batch).filter_min_chars(10)
+    p.transform("marker", marked_dedup)
+    p._stages.append(("noop_global", "global", marked_dedup))
+    rep = c.ingest("docs", batch, pipeline=p)
+    # each stage's df->df factory invoked exactly once for the whole
+    # ingest (plan built once; checkpoint prevents re-execution)
+    assert calls["n"] == 2
+    assert rep["n_appended"] == 6

@@ -155,7 +155,9 @@ def test_shard_export_is_order_stable(spark, tmp_path):
         (
             SA.assign_shards(src, "doc_id", n_shards=4)
             .repartition(4, "shard")
-            .sortWithinPartitions("shard", "shard_pos")
+            # key column tiebreaks 56-bit shard_pos collisions — the
+            # documented byte-stable export recipe
+            .sortWithinPartitions("shard", "shard_pos", "doc_id")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(str(out))
@@ -335,3 +337,47 @@ def test_filter_classifier_pipeline_stage(spark):
 
 def test_default_weights_cover_all_features():
     assert set(DEFAULT_WEIGHTS) == set(QUALITY_FEATURES)
+
+
+def test_weighted_decimal_product_keeps_scale_12(spark):
+    """Regression: lm_perplexity's cnt x contrib fold. A decimal(20,0)
+    cnt overflows Spark's 38-digit budget (20+20+1=41) and the product
+    silently truncates to scale 9 — the decimal(8,0) cast keeps the
+    full scale-12 contribution exact."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame([(3,)], "cnt int")
+    contrib = F.lit(0.123456789012).cast("decimal(20,12)")
+    good = df.select(
+        (F.col("cnt").cast("decimal(8,0)") * contrib).alias("p")
+    ).collect()[0]["p"]
+    assert good == Decimal("0.370370367036")
+    bad = df.select(
+        (F.col("cnt").cast("decimal(20,0)") * contrib).alias("p")
+    ).collect()[0]["p"]
+    assert bad != good  # the overflow this test guards against
+
+
+def test_classifier_sql_oracle_handles_empty_docs():
+    """Regression: the generated DuckDB oracle must not raise on
+    zero-token documents (list_reduce on an empty list errors) and
+    must agree with the Spark path's sigmoid(intercept)."""
+    import duckdb
+
+    from pystore_spark.functions.classifier import classifier_score_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, ''), (2, '   '), (3, 'the quick fox')) t(doc_id, text)"
+    )
+    out = con.execute(classifier_score_sql()).fetchdf()
+    assert len(out) == 3
+    # sigmoid(DEFAULT_INTERCEPT) for token-less docs
+    import math
+
+    from pystore_spark.functions.classifier import DEFAULT_INTERCEPT
+
+    expect = round(1.0 / (1.0 + math.exp(-DEFAULT_INTERCEPT)), 6)
+    got = out.set_index("doc_id")["quality_prob"]
+    assert got[1] == expect and got[2] == expect
