@@ -516,3 +516,41 @@ def dedup_lines(
         )
         .drop("_clean_text")
     )
+
+
+# utf8-read-as-latin1 mojibake shapes: a 2-byte UTF-8 sequence decoded
+# as latin-1 leaves U+00C3 or U+00C2 + one continuation-range char; a
+# 3-byte sequence (curly quotes, dashes) leaves U+00E2 + two. Patterns
+# are ASCII \x{hhhh} escape form — interpreted identically by Java
+# regex (Spark) and RE2 (DuckDB), and safe to embed in SQL literals
+# (raw control chars in SQL text are not). Lead chars are mutually
+# exclusive so both engines count the same non-overlapping matches.
+MOJIBAKE_RE = (
+    r"(\x{00c3}[\x{0080}-\x{00bf}]"
+    r"|\x{00e2}[\x{0080}-\x{00bf}][\x{0080}-\x{00bf}]"
+    r"|\x{00c2}[\x{0080}-\x{00bf}])"
+)
+#: U+FFFD replacement character — upstream decode failure marker
+REPLACEMENT_RE = r"\x{fffd}"
+#: C0 control chars that never belong in text (tab/newline/CR excluded)
+CONTROL_CHARS_RE = (
+    r"[\x{0000}-\x{0008}\x{000b}\x{000c}\x{000e}-\x{001f}]"
+)
+
+
+def encoding_flags(col: str | Column) -> dict[str, Column]:
+    """Encoding-health signals (the ftfy-style repair gate of published
+    pipelines, as pure counts): mojibake sequences, U+FFFD replacement
+    chars (upstream decode failures), stray C0 control chars, and the
+    combined ``encoding_clean`` verdict. All Column expressions —
+    scoring is a projection, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_moj = F.regexp_count(c, F.lit(MOJIBAKE_RE))
+    n_rep = F.regexp_count(c, F.lit(REPLACEMENT_RE))
+    n_ctl = F.regexp_count(c, F.lit(CONTROL_CHARS_RE))
+    return {
+        "n_mojibake": n_moj,
+        "n_replacement": n_rep,
+        "n_control": n_ctl,
+        "encoding_clean": (n_moj == 0) & (n_rep == 0) & (n_ctl == 0),
+    }

@@ -118,6 +118,16 @@ class CurationPipeline:
             "c4_rules", lambda: X.c4_flags(self.text_col)["c4_pass"]
         )
 
+    def filter_encoding(self):
+        """Drop documents with encoding damage — mojibake sequences,
+        U+FFFD replacement chars, stray C0 controls
+        (functions/text.encoding_flags). The detect-and-drop stand-in
+        for the ftfy repair step."""
+        return self.filter(
+            "encoding_clean",
+            lambda: X.encoding_flags(self.text_col)["encoding_clean"],
+        )
+
     def filter_max_pii(self, max_hits: int = 0):
         """Drop documents with more than ``max_hits`` PII matches
         across all categories."""

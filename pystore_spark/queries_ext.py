@@ -2746,6 +2746,49 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "encoding_quality_flags",
+    sql=None,  # late-bind below: generated from the SAME regex
+    # constants as the Spark path (functions/text.py MOJIBAKE_RE /
+    # CONTROL_CHARS_RE) so the oracle can never drift
+    tags=("text", "quality", "pipeline"),
+)
+def encoding_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health gate (the ftfy repair step of published
+    pipelines, as detectable counts): utf8-as-latin1 mojibake
+    sequences, U+FFFD replacement characters, stray C0 controls, and
+    the combined clean verdict — all regexp_count Column expressions,
+    one projection pass, no Python (functions/text.encoding_flags)."""
+    doc = load_table(spark, sf_dir, "documents")
+    flags = X.encoding_flags("text")
+    return doc.select(
+        "doc_id",
+        flags["n_mojibake"].cast("bigint").alias("n_mojibake"),
+        flags["n_replacement"].cast("bigint").alias("n_replacement"),
+        flags["n_control"].cast("bigint").alias("n_control"),
+        flags["encoding_clean"].alias("encoding_clean"),
+    )
+
+
+QUERIES["encoding_quality_flags"] = QUERIES[
+    "encoding_quality_flags"
+]._replace(
+    oracle_sql=f"""
+    SELECT doc_id,
+      len(regexp_extract_all(text, '{X.MOJIBAKE_RE}')) AS n_mojibake,
+      len(regexp_extract_all(text, '{X.REPLACEMENT_RE}'))
+        AS n_replacement,
+      len(regexp_extract_all(text, '{X.CONTROL_CHARS_RE}'))
+        AS n_control,
+      (len(regexp_extract_all(text, '{X.MOJIBAKE_RE}')) = 0
+       AND len(regexp_extract_all(text, '{X.REPLACEMENT_RE}')) = 0
+       AND len(regexp_extract_all(text, '{X.CONTROL_CHARS_RE}')) = 0)
+        AS encoding_clean
+    FROM documents
+    """
+)
+
+
+@register(
     "quality_classifier_scores",
     # oracle generated from the SAME weights dict as the Spark path —
     # functions/classifier.py:classifier_score_sql
@@ -2884,10 +2927,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # oracle-checked like the rest of the tail)
     "gopher_quality_flags", "pack_sequences", "c4_quality_flags",
     "dsir_importance_weights",
-    # round-5 continuation additions (export sharding, source mixing;
-    # their siblings line_dedup_stats / quality_classifier_scores sit
-    # in the driver window above)
-    "shard_manifest", "mixture_plan",
+    # round-5 continuation additions (export sharding, source mixing,
+    # encoding QA; their siblings line_dedup_stats /
+    # quality_classifier_scores sit in the driver window above)
+    "shard_manifest", "mixture_plan", "encoding_quality_flags",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

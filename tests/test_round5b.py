@@ -381,3 +381,60 @@ def test_classifier_sql_oracle_handles_empty_docs():
     expect = round(1.0 / (1.0 + math.exp(-DEFAULT_INTERCEPT)), 6)
     got = out.set_index("doc_id")["quality_prob"]
     assert got[1] == expect and got[2] == expect
+
+
+def test_encoding_flags_detects_and_matches_oracle(spark):
+    """Crafted mojibake/replacement/control rows: the Spark counts hit
+    the expected values AND the generated DuckDB oracle agrees row for
+    row (sf testdata is clean, so parity there never exercises a
+    match; this does)."""
+    import duckdb
+
+    rows = [
+        (1, "caf\u00c3\u00a9 normal"),            # 2-byte mojibake
+        (2, "it\u00e2\u0080\u0099s here"),       # 3-byte mojibake
+        (3, "nbsp\u00c2\u00a0gap"),               # nbsp mojibake
+        (4, "bad\ufffddecode"),                    # replacement char
+        (5, "ctl\u0007bell"),                      # C0 control
+        (6, "clean text with tabs\tand\nnewlines"),
+        (7, "r\u00e9sum\u00e9 na\u00efve"),      # real accents: clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    flags = X.encoding_flags("text")
+    got = (
+        df.select(
+            "doc_id",
+            flags["n_mojibake"].cast("bigint").alias("n_mojibake"),
+            flags["n_replacement"].cast("bigint").alias("n_replacement"),
+            flags["n_control"].cast("bigint").alias("n_control"),
+            flags["encoding_clean"].alias("encoding_clean"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_mojibake"].tolist() == [1, 1, 1, 0, 0, 0, 0]
+    assert got["n_replacement"].tolist() == [0, 0, 0, 1, 0, 0, 0]
+    assert got["n_control"].tolist() == [0, 0, 0, 0, 1, 0, 0]
+    assert got["encoding_clean"].tolist() == [
+        False, False, False, False, False, True, True,
+    ]
+
+    from pystore_spark.queries import QUERIES
+
+    con = duckdb.connect()
+    con.register("documents", got[["doc_id"]].assign(
+        text=[t for _, t in rows]
+    ))
+    oracle = (
+        con.execute(QUERIES["encoding_quality_flags"].oracle_sql)
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert oracle["n_mojibake"].tolist() == got["n_mojibake"].tolist()
+    assert oracle["n_replacement"].tolist() == got["n_replacement"].tolist()
+    assert oracle["n_control"].tolist() == got["n_control"].tolist()
+    assert (
+        oracle["encoding_clean"].tolist() == got["encoding_clean"].tolist()
+    )
