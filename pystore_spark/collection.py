@@ -2089,6 +2089,109 @@ class Collection:
             self.clear_metadata_cache(item)
         return report
 
+    def export_training_shards(
+        self,
+        export_item: str,
+        source: Any,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_shards: int = 64,
+        pack_budget: int | None = None,
+        token_col: Any = None,
+        salt: str = "",
+        metadata: dict | None = None,
+        overwrite: bool = False,
+    ) -> dict:
+        """Export a curated corpus as deterministic training shards —
+        the batch-prep terminal of the pipeline (curate → dedup → mix
+        → pack → shard → export):
+
+        * every document gets ``shard``/``shard_pos`` from md5 of its
+          id (functions/sampling.assign_shards): the hash IS the
+          global shuffle, byte-identical on any cluster layout, salted
+          per epoch via ``salt``;
+        * ``pack_budget`` adds ``n_tokens``/``pack_id`` (shard-local
+          exclusive-prefix-sum packing, functions/text.pack_sequences)
+          so a trainer reads ready-made fixed-token batches;
+        * the layout is one task per shard, rows sorted by
+          (shard_pos, id) — the 56-bit-collision tiebreak — written
+          ``partitionBy("shard")`` (hive dirs, so shard reads prune at
+          the file listing) through the SAME atomic manifest commit as
+          every other item: readers never see a half-written export.
+
+        ``source`` is a stored item name or a DataFrame. Returns a
+        summary report (totals + shard balance), also stamped into the
+        export item's sidecar. Per-shard detail stays a query
+        (``shard_manifest``-shaped), not driver state — ``n_shards``
+        can be 10⁵ at 100 TB."""
+        from pystore_spark.functions import sampling as SA
+        from pystore_spark.functions import text as X
+
+        item_path = self._item_path(export_item)
+        if self.fs.exists(item_path) and not overwrite:
+            raise ItemExistsError(
+                f"item {export_item!r} already exists; "
+                "use overwrite=True to replace"
+            )
+        self._require_spark_fs("training-shard export")
+        df = (
+            self.item(source).data if isinstance(source, str) else source
+        )
+        sharded = SA.assign_shards(df, id_col, n_shards, salt)
+        if pack_budget:
+            sharded = X.pack_sequences(
+                sharded,
+                id_col,
+                budget=pack_budget,
+                token_col=(
+                    token_col
+                    if token_col is not None
+                    else X.token_count(text_col)
+                ),
+                shard_col="shard",
+            )
+        shaped = sharded.repartition(
+            n_shards, "shard"
+        ).sortWithinPartitions("shard", "shard_pos", id_col)
+
+        balance = (
+            sharded.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("shards_nonempty"),
+                F.sum("n").alias("n_rows"),
+                F.min("n").alias("min_shard_rows"),
+                F.max("n").alias("max_shard_rows"),
+            )
+            .collect()[0]
+        )
+        export_meta = {
+            "n_shards": int(n_shards),
+            "salt": salt,
+            "id_col": id_col,
+            "pack_budget": pack_budget,
+            "n_rows": int(balance["n_rows"] or 0),
+            "shards_nonempty": int(balance["shards_nonempty"]),
+            "min_shard_rows": int(balance["min_shard_rows"] or 0),
+            "max_shard_rows": int(balance["max_shard_rows"] or 0),
+        }
+        sidecar = {
+            **(metadata or {}),
+            "_training_export": export_meta,
+        }
+
+        def write_fn(tmp) -> None:
+            (
+                shaped.write.mode("overwrite")
+                .option("compression", "snappy")
+                .partitionBy("shard")
+                .parquet(str(tmp))
+            )
+
+        self._atomic_install(export_item, write_fn, sidecar)
+        self.clear_metadata_cache(export_item)
+        return export_meta
+
     # ------------------------------------------------------------------
     # maintenance (reference: pystore/partition.py:175-216)
     # ------------------------------------------------------------------

@@ -8,6 +8,7 @@ composition and its accounting."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 
 from pystore_spark.pipeline import CurationPipeline
@@ -200,3 +201,82 @@ def test_ingest_single_execution_of_global_stages(test_collection, spark):
     # ingest (plan built once; checkpoint prevents re-execution)
     assert calls["n"] == 2
     assert rep["n_appended"] == 6
+
+
+# ---------------------------------------------------------------------------
+# export_training_shards
+# ---------------------------------------------------------------------------
+def test_export_training_shards_roundtrip(test_collection, spark):
+    c = test_collection
+    c.write("corpus", _docs(range(40)), index_col="doc_id")
+    rep = c.export_training_shards(
+        "corpus_shards", "corpus", n_shards=4, pack_budget=64
+    )
+    assert rep["n_rows"] == 40
+    assert rep["shards_nonempty"] == 4
+    out = c.item("corpus_shards").data
+    cols = set(out.columns)
+    assert {"doc_id", "text", "shard", "shard_pos", "n_tokens",
+            "pack_id"} <= cols
+    assert out.count() == 40
+    # hive partition column survives the manifest read; shard filter
+    # prunes to one shard's rows
+    one = out.filter(F.col("shard") == 0).toPandas()
+    assert 0 < len(one) < 40
+    meta = c.get_item_metadata("corpus_shards")
+    assert meta["_training_export"]["n_shards"] == 4
+    assert meta["_training_export"]["n_rows"] == 40
+
+
+def test_export_training_shards_deterministic_layout(
+    test_collection, spark
+):
+    """Same corpus, different input partitioning -> identical
+    (shard, shard_pos, doc_id) assignment and identical within-shard
+    order on read-back."""
+    c = test_collection
+    pdf = _docs(range(60))
+    c.write("corpus", pdf, index_col="doc_id")
+
+    def export(name, src_df):
+        c.export_training_shards(name, src_df, n_shards=4)
+        return (
+            c.item(name)
+            .data.orderBy("shard", "shard_pos", "doc_id")
+            .select("doc_id", "shard")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+
+    base = c.item("corpus").data
+    a = export("exp_a", base)
+    b = export("exp_b", base.repartition(7))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_export_training_shards_overwrite_guard(test_collection, spark):
+    import pytest
+
+    from pystore_spark.exceptions import ItemExistsError
+
+    c = test_collection
+    c.export_training_shards("exp", _spark_docs(spark, range(5)), n_shards=2)
+    with pytest.raises(ItemExistsError):
+        c.export_training_shards(
+            "exp", _spark_docs(spark, range(5)), n_shards=2
+        )
+    c.export_training_shards(
+        "exp", _spark_docs(spark, range(8)), n_shards=2, overwrite=True
+    )
+    assert c.item("exp").data.count() == 8
+
+
+def test_export_salt_changes_assignment(test_collection, spark):
+    c = test_collection
+    src = _spark_docs(spark, range(30))
+    c.export_training_shards("e1", src, n_shards=4)
+    c.export_training_shards("e2", src, n_shards=4, salt="epoch2")
+    a = c.item("e1").data.select("doc_id", "shard").toPandas()
+    b = c.item("e2").data.select("doc_id", "shard").toPandas()
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (m["shard_a"] != m["shard_b"]).any()
