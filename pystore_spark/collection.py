@@ -2002,7 +2002,7 @@ class Collection:
         plain sidecar update AFTER the data commit (a crash between
         the two loses the report, never data).
         """
-        prepared, _, _, _ = self._prepare_input(
+        prepared, _, nrows_hint, _ = self._prepare_input(
             data,
             epochdate=bool(append_kwargs.get("epochdate", False)),
             index_col=append_kwargs.get("index_col"),
@@ -2024,8 +2024,16 @@ class Collection:
                 n_curated = -1
         else:
             curated = prepared
+            # pandas input: the driver already knows the row count —
+            # no extra Spark pass for the accounting
             n_in = n_curated = (
-                prepared.count() if record_funnel else -1
+                (
+                    nrows_hint
+                    if nrows_hint is not None
+                    else prepared.count()
+                )
+                if record_funnel
+                else -1
             )
             if record_funnel:
                 funnel_rows = [("input", n_in)]
@@ -2072,20 +2080,26 @@ class Collection:
             "n_appended": n_appended,
         }
         if record_funnel:
-            path = self._item_path(item)
-            meta = utils.read_metadata(path)
-            hist = meta.get("_ingest_totals") or {
-                "n_batches": 0, "n_incoming": 0, "n_appended": 0,
-            }
-            meta["_ingest_totals"] = {
-                "n_batches": hist["n_batches"] + 1,
-                "n_incoming": hist["n_incoming"] + max(n_in, 0),
-                "n_appended": hist["n_appended"] + n_appended,
-            }
-            meta["_last_ingest"] = {
+            last = {
                 k: v for k, v in report.items() if k != "funnel"
             } | {"funnel": funnel}
-            utils.write_metadata(path, meta)
+
+            def stamp(meta: dict) -> dict:
+                # accumulation recomputes from the FRESH metadata on
+                # every CAS retry — concurrent ingests never lose a
+                # counter increment (utils.update_metadata_cas)
+                hist = meta.get("_ingest_totals") or {
+                    "n_batches": 0, "n_incoming": 0, "n_appended": 0,
+                }
+                meta["_ingest_totals"] = {
+                    "n_batches": hist["n_batches"] + 1,
+                    "n_incoming": hist["n_incoming"] + max(n_in, 0),
+                    "n_appended": hist["n_appended"] + n_appended,
+                }
+                meta["_last_ingest"] = last
+                return meta
+
+            utils.update_metadata_cas(self._item_path(item), stamp)
             self.clear_metadata_cache(item)
         return report
 
@@ -2139,6 +2153,10 @@ class Collection:
         )
         sharded = SA.assign_shards(df, id_col, n_shards, salt)
         if pack_budget:
+            # pack in the SAME (shard_pos, id) order the physical
+            # layout sorts by, so each pack's rows are contiguous in
+            # the written shard files — a trainer streams fixed-token
+            # batches without buffering the shard
             sharded = X.pack_sequences(
                 sharded,
                 id_col,
@@ -2149,31 +2167,17 @@ class Collection:
                     else X.token_count(text_col)
                 ),
                 shard_col="shard",
+                order_cols=["shard_pos", id_col],
             )
         shaped = sharded.repartition(
             n_shards, "shard"
         ).sortWithinPartitions("shard", "shard_pos", id_col)
 
-        balance = (
-            sharded.groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(
-                F.count(F.lit(1)).alias("shards_nonempty"),
-                F.sum("n").alias("n_rows"),
-                F.min("n").alias("min_shard_rows"),
-                F.max("n").alias("max_shard_rows"),
-            )
-            .collect()[0]
-        )
         export_meta = {
             "n_shards": int(n_shards),
             "salt": salt,
             "id_col": id_col,
             "pack_budget": pack_budget,
-            "n_rows": int(balance["n_rows"] or 0),
-            "shards_nonempty": int(balance["shards_nonempty"]),
-            "min_shard_rows": int(balance["min_shard_rows"] or 0),
-            "max_shard_rows": int(balance["max_shard_rows"] or 0),
         }
         sidecar = {
             **(metadata or {}),
@@ -2189,6 +2193,36 @@ class Collection:
             )
 
         self._atomic_install(export_item, write_fn, sidecar)
+        self.clear_metadata_cache(export_item)
+
+        # balance stats from the COMMITTED files (a cheap local scan
+        # of the shard partition column), not a second end-to-end run
+        # of the export plan; the stamp rides the manifest CAS so a
+        # concurrent commit is never clobbered
+        balance = (
+            self.item(export_item)
+            .data.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("shards_nonempty"),
+                F.sum("n").alias("n_rows"),
+                F.min("n").alias("min_shard_rows"),
+                F.max("n").alias("max_shard_rows"),
+            )
+            .collect()[0]
+        )
+        export_meta = export_meta | {
+            "n_rows": int(balance["n_rows"] or 0),
+            "shards_nonempty": int(balance["shards_nonempty"] or 0),
+            "min_shard_rows": int(balance["min_shard_rows"] or 0),
+            "max_shard_rows": int(balance["max_shard_rows"] or 0),
+        }
+
+        def stamp(meta: dict) -> dict:
+            meta["_training_export"] = export_meta
+            return meta
+
+        utils.update_metadata_cas(self._item_path(export_item), stamp)
         self.clear_metadata_cache(export_item)
         return export_meta
 

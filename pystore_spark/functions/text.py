@@ -355,17 +355,22 @@ def pack_sequences(
     budget: int,
     token_col: Column | str | None = None,
     shard_col: str | None = None,
+    order_cols: "Sequence[str] | None" = None,
 ):
     """Add ``n_tokens`` and ``pack_id`` columns: documents are packed
-    in ``id_col`` order within each shard; ``pack_id = floor(
-    exclusive_prefix_tokens / budget)``. One shuffle (the window
-    partition); shards bound the window state so the sort never goes
-    global — at 100 TB, shard by file/source and packs stay
+    in ``order_cols`` order (default: ``id_col``) within each shard;
+    ``pack_id = floor(exclusive_prefix_tokens / budget)``. One shuffle
+    (the window partition); shards bound the window state so the sort
+    never goes global — at 100 TB, shard by file/source and packs stay
     shard-local exactly like a real sequence-packing job.
 
-    ``id_col`` must be UNIQUE within each shard: a running sum over
-    tied order keys depends on physical row order, so duplicate ids
-    would make pack assignments nondeterministic."""
+    The combined ``order_cols`` must be UNIQUE within each shard: a
+    running sum over tied order keys depends on physical row order, so
+    ties would make pack assignments nondeterministic. Pass the SAME
+    key the physical layout sorts by (export_training_shards passes
+    ``(shard_pos, id)``) so pack members are contiguous in the written
+    files — packing by one order and storing by another scatters each
+    pack through the shard."""
     from pyspark.sql import Window
 
     tok = (
@@ -376,7 +381,7 @@ def pack_sequences(
     part = [shard_col] if shard_col else [F.lit(0)]
     w = (
         Window.partitionBy(*part)
-        .orderBy(id_col)
+        .orderBy(*(order_cols or [id_col]))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = df.withColumn("n_tokens", tok)

@@ -41,6 +41,20 @@ _TRANSFORM = "transform"  # row-local rewrite (no cardinality change)
 _GLOBAL = "global"  # DataFrame -> DataFrame (shuffling operator)
 
 
+def _plan_shuffles(df: DataFrame) -> bool:
+    """True when the frame's physical plan contains an Exchange —
+    the cheap planning-only probe _execute uses to decide whether a
+    TRANSFORM stage is worth an eager checkpoint (pure projections
+    fold into the next stage for free; shuffling transforms like
+    dedup_lines would otherwise re-run at append time)."""
+    try:
+        return "Exchange" in (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+    except Exception:  # Connect / plan-introspection unavailable
+        return True  # conservative: keep the re-execution guarantee
+
+
 class CurationPipeline:
     """Lazily-composed curation pipeline over a documents DataFrame.
 
@@ -427,9 +441,13 @@ class CurationPipeline:
         stage's output (eager localCheckpoint) before counting it, so
         the RETURNED frame reads materialized partitions instead of
         re-running the stage — the ingest path appends that frame and
-        must not pay dedup/decontaminate twice. Batch-sized inputs
-        only under checkpointing: the snapshots live on executor
-        storage."""
+        must not pay dedup/decontaminate twice. Every _GLOBAL stage
+        shuffles by definition; a _TRANSFORM is checkpointed only when
+        its output plan actually introduces an Exchange (dedup_lines
+        does, scrub_pii is a free projection that folds into the next
+        stage — snapshotting it would cost a full batch write for
+        nothing). Batch-sized inputs only under checkpointing: the
+        snapshots live on executor storage."""
         rows: list[tuple[str, int]] = []
         i = 0
         stages = self._stages
@@ -446,7 +464,7 @@ class CurationPipeline:
                     if block:
                         break
                     df = payload(df)
-                    if checkpoint:
+                    if checkpoint and _plan_shuffles(df):
                         df = df.localCheckpoint(eager=True)
                 else:
                     block.append((name, payload()))

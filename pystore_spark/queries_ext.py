@@ -1969,11 +1969,13 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       cnt × DECIMAL (exact integer-weighted decimal sum — the same
       value as summing per occurrence) so the result is
       order-independent (bit-equal at any parallelism and in the
-      oracle). cnt casts to DECIMAL(8,0) — wide enough for 10⁸
-      occurrences of one bigram in one document, narrow enough that
-      the product stays within Spark's 38-digit budget (8+20+1=29)
-      with the full scale-12 intact; a 20-digit cnt would silently
-      truncate the product to scale 9 and break oracle parity."""
+      oracle). cnt casts to DECIMAL(17,0) — 17+20+1 = 38 exactly, so
+      the product keeps the full scale 12 (verified: DecimalType(38,
+      12)) while the overflow-to-NULL cliff sits at 10¹⁷ occurrences
+      of one bigram in one document, i.e. unreachable; a 20-digit cnt
+      would silently truncate the product to scale 9 and break oracle
+      parity, and a narrow cast (8 digits) would NULL out a
+      pathological ~100 MB single-character document."""
     doc = X.widen_parallelism(
         load_table(spark, sf_dir, "documents")
     ).filter(F.length("text") >= 2)
@@ -2008,7 +2010,7 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(F.col("cnt").cast("decimal(8,0)") * contrib)
+                F.sum(F.col("cnt").cast("decimal(17,0)") * contrib)
                 .cast("double")
                 / F.sum("cnt"),
                 6,

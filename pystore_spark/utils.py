@@ -383,3 +383,53 @@ def validate_path_local(path: str) -> str:
     handling issue #68 tests/test_edge_cases.py:60-76; now resolves
     registered object-store schemes too, see fs.resolve_warehouse)."""
     return fslib.resolve_warehouse(path)
+
+
+def update_metadata_cas(
+    path: str | Path,
+    update_fn,
+    retries: int = 5,
+) -> dict[str, Any]:
+    """Metadata-only read-modify-write through the manifest CAS:
+    read ``(manifest, etag)``, apply ``update_fn(metadata) -> metadata``,
+    install with ``if_match=etag``, retry on a lost race with FRESH
+    state. This is the safe form of :func:`write_metadata` for hot
+    concurrent paths (ingest stamps, counters): a data commit landing
+    between the read and the install fails the conditional put — so
+    the retry re-reads the new file list instead of silently dropping
+    the concurrent commit's files from the live manifest — and counter
+    accumulations recompute from the fresh metadata instead of
+    double-reading a stale base (no lost updates).
+
+    Legacy (manifest-less) items fall back to a plain sidecar write;
+    there are no file pointers to clobber there."""
+    from pystore_spark.exceptions import (
+        ConcurrentCommitError,
+        StorageError,
+    )
+
+    last: Exception | None = None
+    for _ in range(max(1, retries)):
+        man, etag = read_manifest_versioned(path)
+        if man is None:
+            meta = update_fn(dict(read_metadata(path) or {}))
+            return write_metadata(path, meta)
+        try:
+            return write_manifest(
+                path,
+                man.get("files") or [],
+                update_fn(dict(man.get("metadata") or {})),
+                stale=man.get("stale"),
+                base=man.get("base"),
+                version=int(man.get("version", 0)) + 1,
+                stats=man.get("stats"),
+                sizes=man.get("sizes"),
+                if_match=etag,
+            )["metadata"]
+        except ConcurrentCommitError as exc:
+            last = exc
+            continue
+    raise StorageError(
+        f"metadata update on {path!r} kept losing the manifest CAS; "
+        f"retry when the item is quiescent"
+    ) from last

@@ -280,3 +280,46 @@ def test_export_salt_changes_assignment(test_collection, spark):
     b = c.item("e2").data.select("doc_id", "shard").toPandas()
     m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
     assert (m["shard_a"] != m["shard_b"]).any()
+
+
+def test_export_packs_contiguous_in_file_order(test_collection, spark):
+    """Packing must follow the PHYSICAL sort (shard_pos, id): in each
+    shard file's row order, pack_id is non-decreasing, so a trainer
+    streams fixed-token batches without buffering the shard."""
+    c = test_collection
+    c.export_training_shards(
+        "packed", _spark_docs(spark, range(40)), n_shards=3,
+        pack_budget=64,
+    )
+    pdf = (
+        c.item("packed")
+        .data.orderBy("shard", "shard_pos", "doc_id")
+        .select("shard", "pack_id")
+        .toPandas()
+    )
+    for _, grp in pdf.groupby("shard"):
+        seq = grp["pack_id"].tolist()
+        assert seq == sorted(seq), f"non-contiguous packs: {seq}"
+        assert seq[0] == 0
+
+
+def test_export_shard_reads_prune_partitions(test_collection, spark):
+    """A shard filter on the export item must land in PartitionFilters
+    (hive dir pruning before any I/O) — the 'readers stream shards
+    independently' claim."""
+    c = test_collection
+    c.export_training_shards(
+        "exp_prune", _spark_docs(spark, range(50)), n_shards=4
+    )
+    plan = (
+        c.item("exp_prune")
+        .data.filter(F.col("shard") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "shard" in pf and "= 2" in pf

@@ -342,20 +342,21 @@ def test_default_weights_cover_all_features():
 def test_weighted_decimal_product_keeps_scale_12(spark):
     """Regression: lm_perplexity's cnt x contrib fold. A decimal(20,0)
     cnt overflows Spark's 38-digit budget (20+20+1=41) and the product
-    silently truncates to scale 9 — the decimal(8,0) cast keeps the
-    full scale-12 contribution exact."""
+    silently truncates to scale 9; decimal(17,0) is the widest cast
+    that keeps the full scale-12 contribution exact (17+20+1=38), and
+    a huge cnt must NOT overflow to NULL there."""
     from decimal import Decimal
 
-    df = spark.createDataFrame([(3,)], "cnt int")
+    df = spark.createDataFrame([(3, 10**8)], "cnt long, big long")
     contrib = F.lit(0.123456789012).cast("decimal(20,12)")
-    good = df.select(
-        (F.col("cnt").cast("decimal(8,0)") * contrib).alias("p")
-    ).collect()[0]["p"]
-    assert good == Decimal("0.370370367036")
-    bad = df.select(
-        (F.col("cnt").cast("decimal(20,0)") * contrib).alias("p")
-    ).collect()[0]["p"]
-    assert bad != good  # the overflow this test guards against
+    row = df.select(
+        (F.col("cnt").cast("decimal(17,0)") * contrib).alias("p"),
+        (F.col("big").cast("decimal(17,0)") * contrib).alias("pb"),
+        (F.col("cnt").cast("decimal(20,0)") * contrib).alias("bad"),
+    ).collect()[0]
+    assert row["p"] == Decimal("0.370370367036")
+    assert row["pb"] == Decimal("12345678.901200000000")  # no NULL cliff
+    assert row["bad"] != row["p"]  # the overflow this test guards against
 
 
 def test_classifier_sql_oracle_handles_empty_docs():
