@@ -439,3 +439,73 @@ def test_encoding_flags_detects_and_matches_oracle(spark):
     assert (
         oracle["encoding_clean"].tolist() == got["encoding_clean"].tolist()
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines properties (hypothesis): idempotence, line conservation,
+# owner invariance — over random corpora drawn from a small line
+# alphabet so sharing is dense
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given as h_given, settings as h_settings
+from hypothesis import strategies as st
+
+_LINE_ALPHABET = [
+    "alpha line one", "beta line two", "gamma three", "delta four",
+    "epsilon five", "", "  ",
+]
+
+
+@st.composite
+def _corpus(draw):
+    n_docs = draw(st.integers(2, 5))
+    return [
+        "\n".join(
+            draw(
+                st.lists(
+                    st.sampled_from(_LINE_ALPHABET), min_size=0,
+                    max_size=6,
+                )
+            )
+        )
+        for _ in range(n_docs)
+    ]
+
+
+@h_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@h_given(_corpus())
+def test_dedup_lines_properties(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = {
+        r["doc_id"]: r["text"]
+        for r in X.dedup_lines(df, "doc_id", "text").collect()
+    }
+    # idempotence: a second pass changes nothing
+    again = {
+        r["doc_id"]: r["text"]
+        for r in X.dedup_lines(
+            spark.createDataFrame(
+                list(once.items()), "doc_id long, text string"
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert again == once
+    # conservation: every distinct non-blank line survives somewhere
+    def lines(texts_iter):
+        out = set()
+        for t in texts_iter:
+            out.update(
+                x.strip() for x in t.split("\n") if x.strip() != ""
+            )
+        return out
+
+    assert lines(once.values()) == lines(texts)
+    # owner invariance: doc 0 (global min id) owns every line it has
+    assert once[0] == texts[0]
