@@ -181,21 +181,43 @@ class LocalFileSystem(FileSystem):
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         return open(path, "wb")
 
+    # per-path mutexes making the conditional put atomic WITHIN this
+    # process (threaded writers: write_threaded, AsyncCollection,
+    # concurrent ingest stamps). POSIX has no native conditional
+    # rename, so CROSS-process local racers remain best-effort CAS +
+    # CollectionLock as the primary mutual exclusion; the fake/real S3
+    # backends get a true conditional put.
+    _cas_locks: dict[str, threading.Lock] = {}
+    _cas_locks_guard = threading.Lock()
+
+    @classmethod
+    def _cas_lock(cls, p: Path) -> threading.Lock:
+        key = str(p)
+        with cls._cas_locks_guard:
+            # one small Lock per distinct manifest path for the
+            # process lifetime — never cleared, because evicting a
+            # lock another thread still holds would reopen the race
+            return cls._cas_locks.setdefault(key, threading.Lock())
+
     def put_atomic(self, path, data, if_match=UNCONDITIONAL):
         p = Path(path)
         p.parent.mkdir(parents=True, exist_ok=True)
         if if_match is not UNCONDITIONAL:
-            # best-effort CAS: POSIX has no native conditional rename;
-            # local concurrent writers additionally serialize through
-            # CollectionLock, so this is defense-in-depth, not the
-            # primary mutual exclusion (the fake/real S3 backends DO
-            # get a true conditional put)
-            current = self.etag(p)
-            if current != if_match:
-                raise ConcurrentCommitError(
-                    f"conditional put of {p} failed: expected "
-                    f"{if_match!r}, found {current!r}"
+            with self._cas_lock(p):
+                current = self.etag(p)
+                if current != if_match:
+                    raise ConcurrentCommitError(
+                        f"conditional put of {p} failed: expected "
+                        f"{if_match!r}, found {current!r}"
+                    )
+                tmp = p.with_name(
+                    p.name
+                    + f".tmp{os.getpid()}.{threading.get_ident()}"
                 )
+                with open(tmp, "wb") as fh:
+                    fh.write(data)
+                os.replace(tmp, p)
+                return _md5(data)
         tmp = p.with_name(p.name + f".tmp{os.getpid()}.{threading.get_ident()}")
         with open(tmp, "wb") as fh:
             fh.write(data)

@@ -323,3 +323,75 @@ def test_export_shard_reads_prune_partitions(test_collection, spark):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "shard" in pf and "= 2" in pf
+
+
+def test_concurrent_ingest_totals_never_lose_increments(
+    test_collection, spark
+):
+    """Concurrent ingests on one item, serialized the documented way
+    (CollectionLock around the data path): the metadata stamp's CAS
+    accumulation still recomputes totals from fresh state, so
+    n_batches/n_appended sum to the true totals."""
+    import threading
+
+    from pystore_spark.transactions import CollectionLock
+
+    c = test_collection
+    c.ingest("docs", _spark_docs(spark, range(3)))
+    errs = []
+
+    def run(lo):
+        try:
+            with CollectionLock(c):
+                c.ingest("docs", _spark_docs(spark, range(lo, lo + 4)))
+        except Exception as exc:
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=run, args=(10,)),
+        threading.Thread(target=run, args=(20,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    meta = c.get_item_metadata("docs")
+    assert meta["_ingest_totals"]["n_batches"] == 3
+    assert meta["_ingest_totals"]["n_appended"] == 11
+    assert c.item("docs").data.count() == 11
+
+
+def test_update_metadata_cas_counter_under_contention(
+    test_collection, spark
+):
+    """update_metadata_cas alone, hammered by threads with NO other
+    serialization: every increment survives — the local conditional
+    put is process-atomic (per-path lock closing the etag-check /
+    replace TOCTOU) and losers retry against fresh state."""
+    import threading
+
+    from pystore_spark import utils
+
+    c = test_collection
+    c.write("ctr", _docs(range(2)), index_col="doc_id")
+    path = c._item_path("ctr")
+
+    def bump(meta):
+        meta["_n"] = int(meta.get("_n", 0)) + 1
+        return meta
+
+    threads = [
+        threading.Thread(
+            target=lambda: utils.update_metadata_cas(
+                path, bump, retries=50
+            )
+        )
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    man = utils.read_manifest(path)
+    assert man["metadata"]["_n"] == 8
