@@ -1961,12 +1961,53 @@ class Collection:
 
         return DI.refresh_index(self, index_item)
 
+    def build_line_index(
+        self,
+        index_item: str,
+        source,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        overwrite: bool = False,
+    ) -> dict:
+        """Materialize the corpus line census (one row per distinct
+        non-blank trimmed line, md5-keyed, prefix-zonemapped) so later
+        ingests remove corpus-owned boilerplate lines from incoming
+        documents in O(batch) — keep-one-owner line dedup ACROSS TIME
+        (line_index.py; the LSM sibling of :meth:`build_dedup_index`).
+        """
+        from pystore_spark import line_index as LI
+
+        return LI.build_line_index(
+            self, index_item, source, text_col=text_col,
+            id_col=id_col, overwrite=overwrite,
+        )
+
+    def dedup_lines_incremental(
+        self, index_item: str, df: DataFrame, update_index: bool = True
+    ) -> "tuple[DataFrame, dict]":
+        """Remove every line the stored census owns from the incoming
+        frame (batch-internal keep-one-owner first), registering the
+        batch's new lines in the delta tier — see line_index.py."""
+        from pystore_spark import line_index as LI
+
+        return LI.dedup_lines_incremental(
+            self, index_item, df, update_index=update_index
+        )
+
+    def refresh_line_index(self, index_item: str) -> dict:
+        """Fold the line index's delta tier into the sorted base (LSM
+        merge; also runs via :meth:`maintain`)."""
+        from pystore_spark import line_index as LI
+
+        return LI.refresh_line_index(self, index_item)
+
     def ingest(
         self,
         item: str,
         data: Any,
         pipeline: Any = None,
         dedup_index: str | None = None,
+        line_index: str | None = None,
         within_batch: bool = False,
         create_missing: bool = True,
         record_funnel: bool = True,
@@ -1989,6 +2030,12 @@ class Collection:
           :meth:`build_dedup_index`; when set, survivors are probed
           against the stored corpus (O(new) via the LSM band index)
           and the kept documents are indexed into the delta tier.
+        * ``line_index`` — name of a census built with
+          :meth:`build_line_index`; when set, lines the stored corpus
+          already owns are removed from the curated batch (cardinality
+          unchanged — text shrinks) and the batch's new lines register
+          in the census delta, so keep-one-owner line dedup holds
+          ACROSS ingests, still O(batch).
         * ``record_funnel=True`` (default) executes the pipeline via
           :meth:`CurationPipeline.run` — every shuffling stage runs
           ONCE with its output checkpointed, and the counts come from
@@ -2038,6 +2085,23 @@ class Collection:
             if record_funnel:
                 funnel_rows = [("input", n_in)]
 
+        line_report: dict | None = None
+        if line_index is not None:
+            from pystore_spark import line_index as LI
+
+            curated, line_report = LI.dedup_lines_incremental(
+                self, line_index, curated
+            )
+            if record_funnel:
+                # cardinality unchanged (a transform): record the new-
+                # line registration count, not a survivor count
+                funnel_rows.append(
+                    (
+                        f"line_index:{line_index}",
+                        n_curated if n_curated >= 0 else -1,
+                    )
+                )
+
         if dedup_index is not None:
             from pystore_spark import dedup_index as DI
 
@@ -2079,6 +2143,8 @@ class Collection:
             "n_dropped_dedup": n_dropped_dedup,
             "n_appended": n_appended,
         }
+        if line_report is not None:
+            report["line_index"] = line_report
         if record_funnel:
             last = {
                 k: v for k, v in report.items() if k != "funnel"
@@ -2267,12 +2333,18 @@ class Collection:
             res: dict = {}
             if refresh_dedup_indexes:
                 from pystore_spark import dedup_index as DI
+                from pystore_spark import line_index as LI
 
                 try:
                     if (self.get_item_metadata(n) or {}).get(DI.META_KEY):
                         res["dedup_index"] = self.refresh_dedup_index(n)
                 except Exception as exc:
                     res["dedup_index_error"] = str(exc)
+                try:
+                    if (self.get_item_metadata(n) or {}).get(LI.META_KEY):
+                        res["line_index"] = self.refresh_line_index(n)
+                except Exception as exc:
+                    res["line_index_error"] = str(exc)
             if refresh_vector_indexes:
                 try:
                     if (self.get_item_metadata(n) or {}).get(

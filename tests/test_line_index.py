@@ -1,0 +1,159 @@
+"""Persistent incremental line-census index (line_index.py): the LSM
+sibling of the MinHash dedup index, giving keep-one-owner line dedup
+ACROSS ingests in O(batch). Covers build, incremental removal against
+the stored census, delta registration (next batch loses lines this
+batch introduced), equivalence with the batch dedup_lines on the same
+union, the maintain() fold, and the ingest(line_index=) wiring."""
+
+from __future__ import annotations
+
+import pytest
+
+from pystore_spark import line_index as LI
+from pystore_spark.functions import text as X
+
+BOILER = "subscribe to our newsletter for more updates"
+BOILER2 = "all rights reserved worldwide"
+
+
+def _doc(i, *lines):
+    return (i, "\n".join(lines))
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def census_col(test_collection, spark):
+    c = test_collection
+    corpus = _frame(
+        spark,
+        [
+            _doc(1, "first doc body", BOILER),
+            _doc(2, "second doc body", BOILER, "extra line two"),
+            _doc(3, "third doc body"),
+        ],
+    )
+    c.write("corpus", corpus.toPandas(), index_col="doc_id")
+    c.build_line_index("lidx", "corpus")
+    return c
+
+
+def test_build_census_contents(census_col):
+    c = census_col
+    idx = c.item("lidx").data.toPandas()
+    # one row per distinct non-blank line; 5 distinct lines above
+    # (BOILER is shared by docs 1 and 2)
+    assert len(idx) == 5
+    assert set(idx.columns) >= {"lhp", "lh", "owner"}
+    meta = c.get_item_metadata("lidx")[LI.META_KEY]
+    assert meta["delta_item"] == "lidx__delta"
+
+
+def test_incremental_removes_stored_lines(census_col, spark):
+    c = census_col
+    batch = _frame(
+        spark,
+        [
+            _doc(10, "novel content here", BOILER),
+            _doc(11, BOILER2, "another novel line"),
+        ],
+    )
+    out, rep = c.dedup_lines_incremental("lidx", batch)
+    texts = {
+        r["doc_id"]: r["text"] for r in out.orderBy("doc_id").collect()
+    }
+    # BOILER is corpus-owned -> removed; BOILER2 is new -> kept
+    assert texts[10] == "novel content here"
+    assert texts[11] == f"{BOILER2}\nanother novel line"
+    assert rep["broadcast_probe"] is True
+    assert rep["n_new_lines"] == 3  # novel, BOILER2, another novel
+
+
+def test_next_batch_loses_lines_registered_by_previous(census_col, spark):
+    c = census_col
+    b1 = _frame(spark, [_doc(10, "fresh line alpha", BOILER2)])
+    out1, _ = c.dedup_lines_incremental("lidx", b1)
+    assert out1.collect()[0]["text"] == f"fresh line alpha\n{BOILER2}"
+    # batch 2 repeats batch 1's lines: the DELTA census owns them now
+    b2 = _frame(spark, [_doc(20, BOILER2, "own line beta")])
+    out2, _ = c.dedup_lines_incremental("lidx", b2)
+    assert out2.collect()[0]["text"] == "own line beta"
+
+
+def test_incremental_equals_batch_dedup_on_union(census_col, spark):
+    """Corpus + batch processed incrementally gives each batch doc the
+    same text as one batch dedup_lines over the UNION (owner ids in
+    the corpus are all lower than batch ids)."""
+    c = census_col
+    corpus = c.item("corpus").data.select("doc_id", "text")
+    batch = _frame(
+        spark,
+        [
+            _doc(10, BOILER, "u1 novel", BOILER2),
+            _doc(11, BOILER2, "u2 novel"),
+        ],
+    )
+    inc, _ = c.dedup_lines_incremental("lidx", batch, update_index=False)
+    full = X.dedup_lines(corpus.unionByName(batch), "doc_id", "text")
+    inc_map = {r["doc_id"]: r["text"] for r in inc.collect()}
+    full_map = {
+        r["doc_id"]: r["text"]
+        for r in full.filter(full.doc_id >= 10).collect()
+    }
+    assert inc_map == full_map
+
+
+def test_maintain_folds_delta(census_col, spark):
+    c = census_col
+    b = _frame(spark, [_doc(10, "fold me once", BOILER2)])
+    c.dedup_lines_incremental("lidx", b)
+    assert c.item("lidx__delta").data.count() == 2
+    res = c.maintain("lidx")
+    assert res["lidx"]["line_index"]["lines_folded"] == 2
+    # folded into base (5 corpus + 2 new), delta emptied/husked
+    assert c.item("lidx").data.count() == 7
+    assert (not c.item_exists("lidx__delta")) or (
+        c.item("lidx__delta").data.count() == 0
+    )
+    # removal still works from the folded base
+    out, _ = c.dedup_lines_incremental(
+        "lidx", _frame(spark, [_doc(30, BOILER2, "post fold")]),
+        update_index=False,
+    )
+    assert out.collect()[0]["text"] == "post fold"
+
+
+def test_ingest_with_line_index(census_col, spark):
+    c = census_col
+    batch = _frame(
+        spark,
+        [
+            _doc(10, "ingest novel one", BOILER),
+            _doc(11, "ingest novel two"),
+        ],
+    )
+    rep = c.ingest(
+        "corpus", batch, line_index="lidx", index_col="doc_id"
+    )
+    assert rep["n_appended"] == 2
+    assert rep["line_index"]["n_new_lines"] == 2
+    stored = {
+        r["doc_id"]: r["text"]
+        for r in c.item("corpus").data.filter("doc_id >= 10").collect()
+    }
+    # the corpus-owned boilerplate never reached storage
+    assert stored[10] == "ingest novel one"
+    assert stored[11] == "ingest novel two"
+    assert "line_index:lidx" in rep["funnel"]
+
+
+def test_build_overwrite_guard(census_col, spark):
+    from pystore_spark.exceptions import ItemExistsError
+
+    c = census_col
+    with pytest.raises(ItemExistsError):
+        c.build_line_index("lidx", "corpus")
+    c.build_line_index("lidx", "corpus", overwrite=True)
+    assert c.item("lidx").data.count() == 5

@@ -1,0 +1,141 @@
+"""Line-index scale evidence: incremental removal cost vs corpus size.
+
+The persistent line census (line_index.py) claims cross-ingest
+keep-one-owner line dedup in O(batch): the batch's distinct line
+hashes broadcast against one parallel census scan, never a census
+shuffle, never a corpus re-census. Measured directly: build the
+census over the sf0.1 corpus (5k docs) and a 10x key-shifted,
+line-decorated replication (50k docs, 10x distinct lines), then run
+dedup_lines_incremental on the SAME 100-document batch against each.
+The batch pipeline's way — dedup_lines over (corpus ∪ batch) — is
+also timed: it re-censuses the corpus, so it is asymptotically
+corpus-proportional, though at these (small-text) sizes both paths
+are Spark-job-latency-dominated — the decisive evidence is the probe
+ratio staying ~flat at 10× the census.
+
+Writes BENCH_LINE_INDEX.json at the repo root.
+Usage: python tools/line_index_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+    from pystore_spark.functions.text import dedup_lines
+    from pystore_spark.session import get_spark
+    from pystore_spark.sources import load_table
+
+    spark = get_spark(app_name="line_index_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="ps_lidx_scale_")
+    old_path = cfg._path
+    out: dict = {"metric": "line_index_probe_vs_corpus_size"}
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("scale", spark=spark).collection("c")
+        base = load_table(
+            spark, "/root/testdata/sf0.1", "documents"
+        ).select("doc_id", "text")
+
+        def replicate(k: int):
+            """k key-shifted copies with per-copy line prefixes, so
+            the census grows k× (distinct lines per copy) — the same
+            decorrelation idea as tools/scale_probe.py."""
+            if k == 1:
+                return base
+            copies = [
+                base.select(
+                    (F.col("doc_id") + 100_000 * i).alias("doc_id"),
+                    F.array_join(
+                        F.transform(
+                            F.split("text", r"\n"),
+                            lambda line: F.concat(
+                                F.lit(f"c{i} "), line
+                            ),
+                        ),
+                        "\n",
+                    ).alias("text"),
+                )
+                for i in range(k)
+            ]
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            return out
+
+        results = {}
+        for k, label in ((1, "corpus_5k"), (10, "corpus_50k")):
+            docs = replicate(k).localCheckpoint(eager=True)
+            batch = (
+                base.orderBy("doc_id")
+                .limit(100)
+                .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+            ).localCheckpoint(eager=True)
+            item, idx = f"corpus_{label}", f"lidx_{label}"
+            t0 = time.perf_counter()
+            col.write(item, docs, index_col="doc_id")
+            col.build_line_index(idx, item)
+            build_sec = time.perf_counter() - t0
+
+            # warm + min-of-3 (update_index=False: measure the probe
+            # and removal, not the delta append)
+            col.dedup_lines_incremental(idx, batch, update_index=False)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                col.dedup_lines_incremental(
+                    idx, batch, update_index=False
+                )
+                best = min(best, time.perf_counter() - t0)
+
+            t0 = time.perf_counter()
+            dedup_lines(
+                docs.unionByName(batch), "doc_id", "text"
+            ).count()
+            batch_pipeline_sec = time.perf_counter() - t0
+
+            results[label] = {
+                "build_sec": round(build_sec, 2),
+                "probe_sec": round(best, 2),
+                "batch_dedup_lines_sec": round(batch_pipeline_sec, 2),
+            }
+        r5, r50 = results["corpus_5k"], results["corpus_50k"]
+        out["results"] = results
+        out["probe_ratio_10x_corpus"] = round(
+            r50["probe_sec"] / r5["probe_sec"], 2
+        )
+        out["batch_pipeline_ratio_10x_corpus"] = round(
+            r50["batch_dedup_lines_sec"] / r5["batch_dedup_lines_sec"],
+            2,
+        )
+        out["verdict"] = (
+            "incremental removal is corpus-independent"
+            if out["probe_ratio_10x_corpus"] < 2.0
+            else "removal scales with corpus — REGRESSION"
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    Path(
+        Path(__file__).resolve().parent.parent / "BENCH_LINE_INDEX.json"
+    ).write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
