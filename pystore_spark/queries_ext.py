@@ -2392,6 +2392,116 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_line_probe",
+    # Mirrors the PERSISTENT LINE-CENSUS append path end to end. The
+    # oracle's census algebra: after a batch is ingested, the census
+    # equals prior-census ∪ ALL of the batch's distinct lines (a line
+    # already stored is removed from the batch but was already in the
+    # census; a new line survives in its batch owner and registers).
+    # A batch occurrence is kept iff its doc is the batch-internal
+    # owner (min doc containing the line) AND the line predates no
+    # earlier census tier.
+    sql=r"""
+    WITH l AS (
+      SELECT doc_id, trim(x) AS line
+      FROM documents, unnest(string_split_regex(text, '\r?\n')) t(x)
+      WHERE trim(x) != ''),
+    c0 AS (SELECT DISTINCT line FROM l WHERE doc_id % 2 = 0),
+    b1 AS (SELECT doc_id, line FROM l WHERE doc_id % 4 = 1),
+    b1keep AS (
+      SELECT doc_id, line FROM (
+        SELECT doc_id, line,
+               min(doc_id) OVER (PARTITION BY line) AS own
+        FROM b1)
+      WHERE doc_id = own AND line NOT IN (SELECT line FROM c0)),
+    c1 AS (
+      SELECT line FROM c0
+      UNION SELECT DISTINCT line FROM b1),
+    b2 AS (SELECT doc_id, line FROM l WHERE doc_id % 4 = 3),
+    b2keep AS (
+      SELECT doc_id, line FROM (
+        SELECT doc_id, line,
+               min(doc_id) OVER (PARTITION BY line) AS own
+        FROM b2)
+      WHERE doc_id = own AND line NOT IN (SELECT line FROM c1)),
+    kept AS (
+      SELECT * FROM b1keep UNION ALL SELECT * FROM b2keep)
+    SELECT d.doc_id,
+      CAST(COALESCE(k.n, 0) AS BIGINT) AS n_lines_kept,
+      CAST(COALESCE(k.ch, 0) AS BIGINT) AS kept_chars
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n,
+             CAST(SUM(length(line)) AS BIGINT) AS ch
+      FROM kept GROUP BY doc_id) k USING (doc_id)
+    """,
+    tags=("dedup", "text", "pipeline", "storage", "incremental"),
+)
+def incremental_line_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental LINE dedup through REAL storage: write
+    the even-id half of `documents` as a corpus item, build the
+    persistent line census (Collection.build_line_index), then run the
+    odd-id half through Collection.dedup_lines_incremental in two
+    sequential batches — each batch loses every line the census
+    already owns (including lines batch 1 just registered in the delta
+    tier) and keeps one owner for lines shared within the batch, all
+    in O(batch). Returns each incoming doc's surviving non-blank line
+    count and characters. The line-level sibling of
+    incremental_dedup_probe (line_index.py)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = doc.filter(F.col("doc_id") % 2 == 0)
+    batches = [
+        doc.filter(F.col("doc_id") % 4 == 1),
+        doc.filter(F.col("doc_id") % 4 == 3),
+    ]
+    tmp = tempfile.mkdtemp(prefix="ps_line_probe_")
+    old_path = cfg._path
+    rows: list[tuple[int, int, int]] = []
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("line_probe_store", spark=spark).collection("c")
+        col.write("corpus", stored, index_col="doc_id")
+        col.build_line_index("lidx", "corpus")
+        nb = F.filter(
+            F.transform(X.split_lines("text"), F.trim),
+            lambda t: t != "",
+        )
+        for batch in batches:
+            cleaned, _ = col.dedup_lines_incremental("lidx", batch)
+            rows.extend(
+                (int(r["doc_id"]), int(r["n"]), int(r["ch"]))
+                for r in cleaned.select(
+                    "doc_id",
+                    F.size(nb).alias("n"),
+                    F.coalesce(
+                        F.aggregate(
+                            F.transform(
+                                nb, lambda t: F.length(t).cast("long")
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda a, x: a + x,
+                        ),
+                        F.lit(0).cast("long"),
+                    ).alias("ch"),
+                ).collect()
+            )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    # batch-bounded verdicts re-emitted as a local frame so the result
+    # does not depend on the deleted temp warehouse
+    return spark.createDataFrame(
+        rows, "doc_id bigint, n_lines_kept bigint, kept_chars bigint"
+    )
+
+
+@register(
     "gopher_quality_flags",
     sql=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -2933,6 +3043,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # encoding QA; their siblings line_dedup_stats /
     # quality_classifier_scores sit in the driver window above)
     "shard_manifest", "mixture_plan", "encoding_quality_flags",
+    "incremental_line_probe",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
