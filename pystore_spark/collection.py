@@ -2035,7 +2035,15 @@ class Collection:
           already owns are removed from the curated batch (cardinality
           unchanged — text shrinks) and the batch's new lines register
           in the census delta, so keep-one-owner line dedup holds
-          ACROSS ingests, still O(batch).
+          ACROSS ingests, still O(batch). Registration is deferred
+          until the append succeeds and restricted to surviving
+          owners, so dropped/failed docs never orphan lines in the
+          census. ORDER MATTERS: line removal runs BEFORE the doc
+          probe, so a doc assembled mostly from corpus-owned lines is
+          stripped to its novel remainder and judged on THAT — the C4
+          posture (dedupe repeated spans, keep novel content); pair
+          with a min-length pipeline filter if husk documents should
+          die instead.
         * ``record_funnel=True`` (default) executes the pipeline via
           :meth:`CurationPipeline.run` — every shuffling stage runs
           ONCE with its output checkpointed, and the counts come from
@@ -2086,20 +2094,25 @@ class Collection:
                 funnel_rows = [("input", n_in)]
 
         line_report: dict | None = None
+        pending_lines = None
         if line_index is not None:
             from pystore_spark import line_index as LI
 
+            # registration DEFERRED until the append succeeds: lines
+            # owned only by docs the downstream near-dedup drops (or
+            # by a batch whose append fails) must never enter the
+            # census — they would be stripped from every future batch
+            # while surviving in no stored document
             curated, line_report = LI.dedup_lines_incremental(
-                self, line_index, curated
+                self, line_index, curated, update_index=False
             )
+            pending_lines = line_report.pop("_new_census", None)
             if record_funnel:
-                # cardinality unchanged (a transform): record the new-
-                # line registration count, not a survivor count
+                # cardinality-neutral transform; the row keeps the
+                # running survivor count for funnel continuity (the
+                # registration count is report["line_index"])
                 funnel_rows.append(
-                    (
-                        f"line_index:{line_index}",
-                        n_curated if n_curated >= 0 else -1,
-                    )
+                    (f"line_index:{line_index}", n_curated)
                 )
 
         if dedup_index is not None:
@@ -2126,6 +2139,18 @@ class Collection:
                 self.append(item, curated, **append_kwargs)
             n_dropped_dedup = 0
             n_appended = n_curated
+
+        if pending_lines is not None:
+            from pystore_spark import line_index as LI
+
+            if dedup_index is not None and rep.get("dropped_ids"):
+                # only SURVIVING documents' lines enter the census —
+                # a dropped owner's lines live in no stored doc
+                pending_lines = pending_lines.filter(
+                    ~F.col("owner").isin(rep["dropped_ids"])
+                )
+                line_report["n_new_lines"] = pending_lines.count()
+            LI.register_new_lines(self, line_index, pending_lines)
 
         # insertion-ordered stage list; a repeated stage name gets a
         # positional suffix so no count is silently collapsed

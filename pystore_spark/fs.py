@@ -202,27 +202,29 @@ class LocalFileSystem(FileSystem):
     def put_atomic(self, path, data, if_match=UNCONDITIONAL):
         p = Path(path)
         p.parent.mkdir(parents=True, exist_ok=True)
-        if if_match is not UNCONDITIONAL:
-            with self._cas_lock(p):
-                current = self.etag(p)
-                if current != if_match:
-                    raise ConcurrentCommitError(
-                        f"conditional put of {p} failed: expected "
-                        f"{if_match!r}, found {current!r}"
-                    )
-                tmp = p.with_name(
-                    p.name
-                    + f".tmp{os.getpid()}.{threading.get_ident()}"
+
+        def _install() -> str:
+            # ONE write path for both branches — divergent commit
+            # mechanics (tmp naming, fsync policy) would give
+            # conditional and unconditional puts different durability
+            tmp = p.with_name(
+                p.name + f".tmp{os.getpid()}.{threading.get_ident()}"
+            )
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, p)
+            return _md5(data)
+
+        if if_match is UNCONDITIONAL:
+            return _install()
+        with self._cas_lock(p):
+            current = self.etag(p)
+            if current != if_match:
+                raise ConcurrentCommitError(
+                    f"conditional put of {p} failed: expected "
+                    f"{if_match!r}, found {current!r}"
                 )
-                with open(tmp, "wb") as fh:
-                    fh.write(data)
-                os.replace(tmp, p)
-                return _md5(data)
-        tmp = p.with_name(p.name + f".tmp{os.getpid()}.{threading.get_ident()}")
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-        os.replace(tmp, p)
-        return _md5(data)
+            return _install()
 
     def etag(self, path):
         try:

@@ -503,6 +503,21 @@ def dedup_lines(
     kept = tagged.filter(
         F.col("_nd").isNull() | (F.col(id_col) == F.col("_owner"))
     )
+    return rebuild_from_lines(df, kept, id_col, text_col)
+
+
+def rebuild_from_lines(
+    df: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Reassemble each document's text from its surviving ``(_pos,
+    _line)`` rows (original line order; docs whose every line was
+    removed become empty strings, never dropped). The ONE rebuild
+    used by both the batch operator (:func:`dedup_lines`) and the
+    persistent-index path (line_index.py) — split/rebuild semantics
+    must never diverge between them."""
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

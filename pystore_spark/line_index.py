@@ -11,8 +11,11 @@ round-5 incremental pattern):
   stored corpus owns: ``(lhp BIGINT, lh CHAR(32), owner)``; ``lh`` is
   the full md5 (exact membership — a 56-bit key alone would false-
   positive at the ~2²⁸-line birthday bound and silently DELETE novel
-  lines), ``lhp`` its first-14-hex bigint prefix, the sort/zonemap key
-  so probes prune base files on the driver.
+  lines), ``lhp`` its first-14-hex bigint prefix, the sort/zonemap
+  key. Whole-batch probes span the uniform hash space, so they SCAN
+  the census (in parallel, never shuffling it); the ordering/zonemap
+  pays off in the fold's ordered rewrite and for range-restricted
+  reads, not for probe pruning.
 * **delta tier** — time-indexed on ``added_at``; each ingest appends
   its genuinely-new lines there in O(batch) via the engine's
   partition-scoped append. ``refresh_line_index`` (wired into
@@ -56,26 +59,16 @@ def _lhp(lh_col) -> Any:
     return F.conv(F.substring(lh_col, 1, 14), 16, 10).cast("bigint")
 
 
-def _line_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(lh, _did) — one row per non-blank line occurrence."""
-    t = F.trim("_raw")
-    return (
-        df.select(
-            F.col(id_col).alias("_did"),
-            F.explode(X.split_lines(text_col)).alias("_raw"),
-        )
-        .filter(t != "")
-        .select(F.md5(t).alias("lh"), "_did")
-    )
-
-
 def _census(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(lhp, lh, owner) — distinct lines with their first owner."""
-    return (
-        _line_rows(df, text_col, id_col)
-        .groupBy("lh")
-        .agg(F.min("_did").alias("owner"))
-        .select(_lhp(F.col("lh")).alias("lhp"), "lh", "owner")
+    """(lhp, lh, owner) — distinct lines with their first owner.
+    Derived from functions/text.line_census (the batch operator's
+    census) so split/trim/hash semantics can never diverge between
+    the persistent index and the batch path it claims equivalence
+    with."""
+    return X.line_census(df, id_col, text_col).select(
+        _lhp(F.col("_lh")).alias("lhp"),
+        F.col("_lh").alias("lh"),
+        F.col("_owner").alias("owner"),
     )
 
 
@@ -155,13 +148,24 @@ def dedup_lines_incremental(
     3. the batch's genuinely-new lines register in the delta tier
        (``update_index=True``) so the NEXT batch loses them.
 
-    Returns ``(cleaned_df, report)``; the cleaned frame is
-    materialized (eager localCheckpoint) because step 3 and the
-    caller's append both consume it."""
+    ``update_index=False`` DEFERS registration: the report carries the
+    materialized new-line census under ``"_new_census"`` for
+    :func:`register_new_lines` — the ingest path appends FIRST and
+    registers only the surviving documents' lines, so a doc dropped by
+    downstream near-dedup (or a failed append) can never orphan its
+    lines in the census (lines owned by nothing stored would be
+    silently stripped from every future batch).
+
+    Returns ``(cleaned_df, report)``; both the cleaned frame and the
+    batch-internal dedup result are materialized (eager
+    localCheckpoint) because several downstream actions consume them —
+    without it the 3-shuffle batch dedup re-runs per action."""
     meta = _index_meta(col, index_item)
     id_col, text_col = meta["id_col"], meta["text_col"]
 
-    cleaned = X.dedup_lines(df, id_col, text_col)
+    cleaned = X.dedup_lines(df, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     lines = cleaned.select(
         F.col(id_col),
         F.posexplode(X.split_lines(text_col)).alias("_pos", "_line"),
@@ -195,49 +199,47 @@ def dedup_lines_incremental(
             on="_lh",
             how="left_anti",
         )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
-                lambda s: s["_line"],
-            ),
-            "\n",
-        ).alias("_clean_text")
-    )
-    out = (
-        cleaned.drop("_clean_text")
-        .join(rebuilt, id_col, "left")
-        .withColumn(
-            text_col, F.coalesce(F.col("_clean_text"), F.lit(""))
-        )
-        .drop("_clean_text")
-        .localCheckpoint(eager=True)
-    )
+    out = X.rebuild_from_lines(
+        cleaned, kept, id_col, text_col
+    ).localCheckpoint(eager=True)
     report = {
         "n_batch_lines": n_batch_lines,
         "n_new_lines": 0,
         "broadcast_probe": n_batch_lines <= BROADCAST_LINES_MAX,
     }
-    if update_index:
-        new_census = (
-            kept.filter(F.col("_lh").isNotNull())
-            .groupBy(F.col("_lh").alias("lh"))
-            .agg(F.min(id_col).alias("owner"))
-            .select(
-                F.current_timestamp().alias("added_at"),
-                _lhp(F.col("lh")).alias("lhp"),
-                "lh",
-                "owner",
-            )
-            .localCheckpoint(eager=True)
+    new_census = (
+        kept.filter(F.col("_lh").isNotNull())
+        .groupBy(F.col("_lh").alias("lh"))
+        .agg(F.min(id_col).alias("owner"))
+        .select(
+            F.current_timestamp().alias("added_at"),
+            _lhp(F.col("lh")).alias("lhp"),
+            "lh",
+            "owner",
         )
-        report["n_new_lines"] = new_census.count()
-        delta = meta["delta_item"]
-        if col.item_exists(delta):
-            col.append(delta, new_census, duplicate_handling="keep_all")
-        else:
-            col.write(delta, new_census, index_col="added_at")
+        .localCheckpoint(eager=True)
+    )
+    report["n_new_lines"] = new_census.count()
+    if update_index:
+        register_new_lines(col, index_item, new_census)
+    else:
+        report["_new_census"] = new_census
     return out, report
+
+
+def register_new_lines(
+    col, index_item: str, new_census: DataFrame
+) -> None:
+    """Append a batch's new-line census rows to the delta tier —
+    called inside :func:`dedup_lines_incremental` for the standalone
+    path, or AFTER a successful append (restricted to surviving
+    owners) by ``Collection.ingest``."""
+    meta = _index_meta(col, index_item)
+    delta = meta["delta_item"]
+    if col.item_exists(delta):
+        col.append(delta, new_census, duplicate_handling="keep_all")
+    else:
+        col.write(delta, new_census, index_col="added_at")
 
 
 def refresh_line_index(col, index_item: str) -> dict:
@@ -262,7 +264,14 @@ def refresh_line_index(col, index_item: str) -> dict:
         .select("lhp", "lh", "owner")
         .dropDuplicates(["lh"])
     )
-    merged = base.unionByName(latest).dropDuplicates(["lh"])
+    # BASE WINS on conflict (explicit anti-join, not a dropDuplicates
+    # over the union whose arbitrary partition winner could flip a
+    # line's recorded owner across folds — the same discipline as
+    # dedup_index.refresh_index's upsert, with the opposite victor:
+    # the census semantic is FIRST owner)
+    merged = base.unionByName(
+        latest.join(base.select("lh"), on="lh", how="left_anti")
+    )
     col.write(
         index_item,
         merged,

@@ -157,3 +157,56 @@ def test_build_overwrite_guard(census_col, spark):
         c.build_line_index("lidx", "corpus")
     c.build_line_index("lidx", "corpus", overwrite=True)
     assert c.item("lidx").data.count() == 5
+
+
+def test_ingest_does_not_register_lines_of_dedup_dropped_docs(
+    test_collection, spark
+):
+    """A doc dropped by the downstream near-dedup must not leave its
+    novel lines in the census — they would be stripped from every
+    future batch while surviving in NO stored document (review
+    finding: registration is deferred until after the append and
+    restricted to surviving owners).
+
+    The batch doc near-duplicates stored doc 3 through DIFFERENT line
+    breaks (same token stream, no exact line overlap) — the line stage
+    keeps its lines, the doc probe drops the doc, and none of its
+    lines may register."""
+    import pandas as pd
+
+    c = test_collection
+    words = [f"w{j}" for j in range(90)]
+    corpus = pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": [
+                " ".join(words) + f" tail{i} only{i}" for i in range(5)
+            ],
+        }
+    )
+    c.write("corpus", corpus, index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+    c.build_line_index("lidx", "corpus")
+    orphan = "novel orphan line"
+    redup = (
+        " ".join(words[:45]) + " tail3 \n" + " ".join(words[45:])
+        + " only3\n" + orphan
+    )
+    batch = spark.createDataFrame(
+        [(100, redup)], "doc_id long, text string"
+    )
+    rep = c.ingest(
+        "corpus", batch, dedup_index="cidx", line_index="lidx",
+        index_col="doc_id",
+    )
+    assert rep["n_dropped_dedup"] == 1  # near-dup of stored doc 3
+    assert rep["line_index"]["n_new_lines"] == 0  # nothing registered
+    # a later doc carrying the line keeps it (nothing stole ownership)
+    out, _ = c.dedup_lines_incremental(
+        "lidx",
+        spark.createDataFrame(
+            [(200, orphan)], "doc_id long, text string"
+        ),
+        update_index=False,
+    )
+    assert out.collect()[0]["text"] == orphan

@@ -54,10 +54,14 @@ def main() -> None:
         def replicate(k: int):
             """k key-shifted copies with per-copy line prefixes, so
             the census grows k× (distinct lines per copy) — the same
-            decorrelation idea as tools/scale_probe.py."""
+            decorrelation idea as tools/scale_probe.py. Copy 0 stays
+            UNDECORATED: the probe batch is undecorated base text, so
+            both corpus sizes give the probe the identical hit set —
+            otherwise the big-corpus probe would do zero removals and
+            the ratio would compare different work."""
             if k == 1:
                 return base
-            copies = [
+            copies = [base] + [
                 base.select(
                     (F.col("doc_id") + 100_000 * i).alias("doc_id"),
                     F.array_join(
@@ -70,7 +74,7 @@ def main() -> None:
                         "\n",
                     ).alias("text"),
                 )
-                for i in range(k)
+                for i in range(1, k)
             ]
             out = copies[0]
             for c in copies[1:]:
