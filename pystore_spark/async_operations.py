@@ -65,6 +65,14 @@ class AsyncCollection:
     async def compact(self, item: str, **kwargs):
         return await self._run(self.collection.compact, item, **kwargs)
 
+    async def export_training_shards(self, export_item: str, source, **kwargs):
+        """Async deterministic training-shard export — see
+        Collection.export_training_shards."""
+        return await self._run(
+            self.collection.export_training_shards, export_item,
+            source, **kwargs,
+        )
+
     async def ingest(self, item: str, data: Any, **kwargs):
         """Async one-call curated ingest (pipeline stages +
         persistent-index dedup + append + funnel stamp) off the

@@ -318,3 +318,58 @@ def session_windows(
         F.col(key_col),
         "n_events",
     )
+
+
+def curated_ingest_sink(
+    collection,
+    item: str,
+    pipeline: Any = None,
+    dedup_index: str | None = None,
+    line_index: str | None = None,
+    sink_key: str | None = None,
+    within_batch: bool = False,
+    record_funnel: bool = False,
+    **ingest_kwargs: Any,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function running the FULL daily ingest per
+    micro-batch (Collection.ingest): pipeline stages (including
+    global ones — the micro-batch is a plain frame inside
+    foreachBatch), corpus-owned line removal via the persistent line
+    census, near-dedup probe via the persistent MinHash index, append
+    — all O(batch). The streaming face of the complete curation
+    operation; :func:`dedup_merge_sink` is the dedup-only subset.
+
+    Exactly-once: the last applied batch id rides in the DATA commit's
+    sidecar (same guard as :func:`merge_sink`), so a re-delivered
+    micro-batch is skipped — its docs are neither re-appended nor
+    re-indexed. ``record_funnel`` defaults False here: the per-batch
+    funnel accounting and metadata stamp are extra jobs a
+    low-latency stream usually skips (the replay marker is
+    independent of it)."""
+    key = sink_key or "default"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        commits = dict(
+            collection.get_item_metadata(item, use_cache=False).get(
+                COMMITS_KEY
+            )
+            or {}
+        ) if collection.item_exists(item) else {}
+        if int(commits.get(key, -1)) >= int(batch_id):
+            return  # replayed micro-batch — already ingested
+        collection.ingest(
+            item,
+            batch_df,
+            pipeline=pipeline,
+            dedup_index=dedup_index,
+            line_index=line_index,
+            within_batch=within_batch,
+            create_missing=True,
+            record_funnel=record_funnel,
+            sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
+            **ingest_kwargs,
+        )
+
+    return sink

@@ -317,3 +317,79 @@ def test_dedup_merge_sink_probes_index_per_batch(spark, test_collection):
     sink(b1, 1)
     ids = {r["doc_id"] for r in c.item("sdocs").data.select("doc_id").collect()}
     assert 200 not in ids and len(ids) == 7
+
+
+def test_curated_ingest_sink_full_pipeline_per_batch(
+    spark, test_collection
+):
+    """The streaming face of the COMPLETE daily ingest: per
+    micro-batch, pipeline filters run, corpus-owned lines vanish via
+    the persistent census (including lines registered by EARLIER
+    batches), near-dups of stored docs drop via the MinHash index,
+    and a replayed batch id is a no-op."""
+    import pandas as pd
+
+    from pystore_spark.pipeline import CurationPipeline
+    from pystore_spark.streaming import curated_ingest_sink
+
+    c = test_collection
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away today while the sun shines over the quiet valley "
+    )
+    boiler = "subscribe to this newsletter for daily updates"
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": [base + f"tail {i} " + "filler words here " * 3
+                 + "\n" + boiler for i in range(4)],
+    })
+    c.write("cdocs", docs, index_col="doc_id")
+    c.build_dedup_index("cdx", "cdocs")
+    c.build_line_index("clx", "cdocs")
+
+    proto = spark.createDataFrame(docs)
+    p = CurationPipeline(proto).filter_min_chars(10)
+    sink = curated_ingest_sink(
+        c, "cdocs", pipeline=p, dedup_index="cdx", line_index="clx",
+        index_col="doc_id",
+    )
+    novel = "fresh streaming line about adaptive execution"
+    # doc 100 near-duplicates stored doc 1 through DIFFERENT line
+    # breaks (same token stream, no exact line overlap) so it reaches
+    # the doc probe intact — exact-line copies are already stripped by
+    # the line stage first (the documented order)
+    d1_words = docs.loc[1, "text"].split()
+    redup = " ".join(d1_words[:15]) + "\n" + " ".join(d1_words[15:])
+    b0 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [
+            redup,                                  # near-dup -> drop
+            "own streaming prose with enough chars\n"
+            + boiler + "\n" + novel,                # boiler stripped
+        ],
+    }))
+    sink(b0, 0)
+    stored = {
+        r["doc_id"]: r["text"]
+        for r in c.item("cdocs").data.collect()
+    }
+    assert set(stored) == set(range(4)) | {101}
+    assert boiler not in stored[101]
+    assert novel in stored[101]
+
+    # replay: no change
+    sink(b0, 0)
+    assert c.item("cdocs").data.count() == 5
+
+    # batch 1 repeats the novel line batch 0 registered -> stripped
+    b1 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [200],
+        "text": ["later doc with plenty of characters\n" + novel],
+    }))
+    sink(b1, 1)
+    stored = {
+        r["doc_id"]: r["text"]
+        for r in c.item("cdocs").data.collect()
+    }
+    assert novel not in stored[200]
+    assert "later doc" in stored[200]
