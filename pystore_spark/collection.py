@@ -723,16 +723,31 @@ class Collection:
         self.recover_item(item)
 
         # sub-threshold appends: driver-side Arrow merge over only the
-        # touched buckets (see arrow_path.py)
+        # touched buckets (see arrow_path.py). Same 3-attempt retry
+        # discipline as the Spark paths: try_append re-reads the
+        # manifest fresh each call, so on a lost observed-state CAS
+        # (e.g. a concurrent index-delta trim) the redo merges against
+        # the new state instead of crashing the caller — small appends
+        # are exactly the ones landing while maintain() folds.
         from pystore_spark import arrow_path
+        from pystore_spark.exceptions import ConcurrentCommitError
 
-        if arrow_path.try_append(
-            self, item, data, npartitions, epochdate, duplicate_handling,
-            validate_schema, order_col=kwargs.get("order_col"),
-            sidecar_extra=sidecar_extra,
-        ):
-            self.clear_metadata_cache(item)
-            return
+        for _attempt in range(3):
+            try:
+                handled = arrow_path.try_append(
+                    self, item, data, npartitions, epochdate,
+                    duplicate_handling, validate_schema,
+                    order_col=kwargs.get("order_col"),
+                    sidecar_extra=sidecar_extra,
+                )
+            except ConcurrentCommitError:
+                if _attempt == 2:
+                    raise
+                continue
+            if handled:
+                self.clear_metadata_cache(item)
+                return
+            break
 
         self._require_spark_fs(f"append to item {item!r} above the driver-path threshold")
         incoming, inc_meta, nrows, _ = self._prepare_input(
@@ -2124,8 +2139,15 @@ class Collection:
                 create_missing=create_missing,
                 **append_kwargs,
             )
-            if record_funnel and n_curated < 0:
-                n_in = n_curated = rep["n_incoming"]
+            if n_curated < 0:
+                # record_funnel=False skipped the pipeline counts, but
+                # append_with_dedup counted the probe frame anyway —
+                # backfill the curated count with that free number
+                # (and the incoming count too when no pipeline ran,
+                # since the probe frame IS the input then)
+                n_curated = rep["n_incoming"]
+                if pipeline is None:
+                    n_in = n_curated
             n_dropped_dedup = rep["n_dropped"]
             n_appended = rep["n_appended"]
             if record_funnel:

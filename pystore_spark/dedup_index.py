@@ -477,8 +477,17 @@ def _index_delta_append(col, meta: dict, feats: DataFrame) -> None:
     feature frame) into the delta tier — time-indexed on ``added_at``
     so the engine's partition-scoped append touches only the current
     bucket."""
+    from datetime import datetime, timezone
+
     id_col = meta["id_col"]
-    ts = F.current_timestamp().alias("added_at")
+    # frozen DRIVER-side timestamp (session tz is UTC): the partition-
+    # scoped append runs multiple jobs (bucket discovery, then the
+    # write), and F.current_timestamp() re-evaluates per job — across
+    # a day boundary the write would land in a bucket the merge never
+    # selected, silently replacing that bucket's existing delta rows
+    ts = F.lit(
+        datetime.now(timezone.utc).replace(tzinfo=None)
+    ).alias("added_at")
     band_rows = explode_bands(feats, id_col).select(ts, "*")
     doc_rows = feats.select(ts, id_col, "sh")
     for name, rows in (

@@ -193,7 +193,13 @@ def dedup_lines_incremental(
             how="left_anti",
         )
     else:  # cheap-gate fallback: plain shuffle joins
-        hits = stored.join(batch_lh, on="lh", how="leftsemi")
+        # checkpoint here too: `kept` feeds BOTH the rebuilt output
+        # and the new-line census — left lazy, each consumer would
+        # re-scan the full stored census (the expensive side at
+        # exactly the batch sizes that take this branch)
+        hits = stored.join(
+            batch_lh, on="lh", how="leftsemi"
+        ).localCheckpoint(eager=True)
         kept = lines.join(
             hits.withColumnRenamed("lh", "_lh"),
             on="_lh",
@@ -236,6 +242,12 @@ def register_new_lines(
     owners) by ``Collection.ingest``."""
     meta = _index_meta(col, index_item)
     delta = meta["delta_item"]
+    # an all-known-lines batch yields an empty census; writing it
+    # through the Spark time-partitioned path would commit a delta
+    # item with ZERO parquet files, and every later read of that
+    # husk item fails — skip instead (nothing to register anyway)
+    if new_census.isEmpty():
+        return
     if col.item_exists(delta):
         col.append(delta, new_census, duplicate_handling="keep_all")
     else:

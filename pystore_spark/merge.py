@@ -64,14 +64,25 @@ def _warn_if_order_unreliable(df: DataFrame, context: str) -> None:
     except Exception:
         return
     m = _SHUFFLE_OPS.search(plan)
-    if m:
-        warnings.warn(
-            f"{context}: the input frame's plan contains {m.group(1)}, "
-            "whose output row order is nondeterministic — keep-first/"
-            "keep-last within this batch will pick an arbitrary "
-            "winner. Pass order_col= to make the choice deterministic.",
-            stacklevel=3,
-        )
+    if m is None:
+        return
+    if m.group(1) == "Sort":
+        # the analyzed plan prints top-down, so the FIRST match being
+        # a GLOBAL Sort (global flag `true` on the node line) means
+        # only order-preserving ops (Project/Filter) sit above a total
+        # sort — input order is deterministic, not a shuffle artifact.
+        # `sortWithinPartitions` prints global=false and still warns:
+        # partition order remains a scheduling artifact.
+        line = plan[m.start():].split("\n", 1)[0]
+        if re.search(r"\],\s*true\b", line):
+            return
+    warnings.warn(
+        f"{context}: the input frame's plan contains {m.group(1)}, "
+        "whose output row order is nondeterministic — keep-first/"
+        "keep-last within this batch will pick an arbitrary "
+        "winner. Pass order_col= to make the choice deterministic.",
+        stacklevel=3,
+    )
 
 
 def _union(existing: DataFrame, incoming: DataFrame) -> DataFrame:
