@@ -1954,17 +1954,22 @@ class Collection:
         data: Any,
         index_item: str,
         within_batch: bool = False,
+        replay_marker: tuple | None = None,
+        data_committed: bool = False,
         **append_kwargs: Any,
     ) -> dict:
         """Append with incremental near-dedup: probe the persistent
         index, drop near-duplicates of the stored corpus, append the
         survivors, and index them (delta tier). The daily pipeline
         operation the batch :func:`functions.dedup.near_dedup` cannot
-        do incrementally."""
+        do incrementally. ``replay_marker``/``data_committed`` are the
+        streaming sinks' exactly-once repair hooks (see
+        dedup_index.append_with_dedup)."""
         from pystore_spark import dedup_index as DI
 
         return DI.append_with_dedup(
             self, item, data, index_item, within_batch=within_batch,
+            replay_marker=replay_marker, data_committed=data_committed,
             **append_kwargs,
         )
 
@@ -2026,6 +2031,8 @@ class Collection:
         within_batch: bool = False,
         create_missing: bool = True,
         record_funnel: bool = True,
+        replay_marker: tuple | None = None,
+        data_committed: bool = False,
         **append_kwargs: Any,
     ) -> dict:
         """One-call daily ingest for a curated corpus item: run the
@@ -2053,12 +2060,15 @@ class Collection:
           ACROSS ingests, still O(batch). Registration is deferred
           until the append succeeds and restricted to surviving
           owners, so dropped/failed docs never orphan lines in the
-          census. ORDER MATTERS: line removal runs BEFORE the doc
-          probe, so a doc assembled mostly from corpus-owned lines is
-          stripped to its novel remainder and judged on THAT — the C4
-          posture (dedupe repeated spans, keep novel content); pair
-          with a min-length pipeline filter if husk documents should
-          die instead.
+          census. ORDER MATTERS: CORPUS-owned line removal runs
+          BEFORE the doc probe, so a doc assembled mostly from
+          corpus-owned lines is stripped to its novel remainder and
+          judged on THAT — the C4 posture (dedupe repeated spans,
+          keep novel content); pair with a min-length pipeline filter
+          if husk documents should die instead. BATCH-internal line
+          ownership resolves AFTER the probe, among survivors only —
+          resolving it first could hand a shared line to a doc the
+          probe then drops, losing the line from the corpus entirely.
         * ``record_funnel=True`` (default) executes the pipeline via
           :meth:`CurationPipeline.run` — every shuffling stage runs
           ONCE with its output checkpointed, and the counts come from
@@ -2066,6 +2076,15 @@ class Collection:
           aggregation per contiguous filter block plus the
           batch-sized checkpoints. ``False`` skips accounting and the
           metadata stamp and keeps the plan fully lazy.
+
+        ``replay_marker``/``data_committed`` are the streaming sinks'
+        exactly-once machinery (see dedup_index.append_with_dedup):
+        the marker stamps every index/census append's sidecar, and
+        ``data_committed=True`` re-runs a replayed batch's index steps
+        — skipping the data append and any index append whose marker
+        is already current — so a crash between the data commit and
+        the index appends never leaves documents permanently
+        un-indexed.
 
         Returns ``{"funnel": {stage: n}, "n_incoming", "n_curated",
         "n_dropped_dedup", "n_appended"}``. The metadata stamp is a
@@ -2110,18 +2129,35 @@ class Collection:
 
         line_report: dict | None = None
         pending_lines = None
+        kept_lines = None
         if line_index is not None:
             from pystore_spark import line_index as LI
 
-            # registration DEFERRED until the append succeeds: lines
-            # owned only by docs the downstream near-dedup drops (or
-            # by a batch whose append fails) must never enter the
-            # census — they would be stripped from every future batch
-            # while surviving in no stored document
-            curated, line_report = LI.dedup_lines_incremental(
-                self, line_index, curated, update_index=False
-            )
-            pending_lines = line_report.pop("_new_census", None)
+            if dedup_index is not None:
+                # DECOMPOSED phases around the doc probe: corpus-owned
+                # removal BEFORE it (docs are judged on their novel-to
+                # -corpus remainder — the C4 posture), batch-internal
+                # ownership AFTER it, among survivors only. Resolving
+                # ownership first could hand a batch-shared line to a
+                # doc the probe then drops — the line would be
+                # stripped from its batch siblings yet stored nowhere
+                # (silent content loss).
+                kept_lines, line_report = LI.strip_corpus_lines(
+                    self, line_index, curated
+                )
+                curated = LI.corpus_stripped_frame(
+                    self, line_index, curated, kept_lines
+                )
+            else:
+                # no doc probe downstream — single-call path;
+                # registration still DEFERRED until the append
+                # succeeds so a failed append never orphans lines in
+                # the census (they would be stripped from every
+                # future batch while surviving in no stored document)
+                curated, line_report = LI.dedup_lines_incremental(
+                    self, line_index, curated, update_index=False
+                )
+                pending_lines = line_report.pop("_new_census", None)
             if record_funnel:
                 # cardinality-neutral transform; the row keeps the
                 # running survivor count for funnel continuity (the
@@ -2133,18 +2169,73 @@ class Collection:
         if dedup_index is not None:
             from pystore_spark import dedup_index as DI
 
-            rep = DI.append_with_dedup(
-                self, item, curated, dedup_index,
-                within_batch=within_batch,
-                create_missing=create_missing,
-                **append_kwargs,
-            )
+            if kept_lines is not None:
+                from pystore_spark import line_index as LI
+
+                meta_di = DI._index_meta(self, dedup_index)
+                idc = meta_di["id_col"]
+                incoming, _, _, _ = self._prepare_input(curated)
+                n_probe_in, dropped_ids, _feats, _cd = DI._probe_report(
+                    self, dedup_index, meta_di, incoming,
+                    within_batch=within_batch,
+                )
+                survivors = (
+                    curated.filter(~F.col(idc).isin(dropped_ids))
+                    if dropped_ids
+                    else curated
+                )
+                surv_lines = (
+                    kept_lines.filter(~F.col(idc).isin(dropped_ids))
+                    if dropped_ids
+                    else kept_lines
+                )
+                final_df, pending_lines = LI.finalize_batch_lines(
+                    self, line_index, survivors, surv_lines
+                )
+                line_report["n_new_lines"] = pending_lines.count()
+                n_kept = n_probe_in - len(dropped_ids)
+                if n_kept:
+                    if not data_committed:
+                        if create_missing and not self.item_exists(
+                            item
+                        ):
+                            self.write(
+                                item, final_df, **append_kwargs
+                            )
+                        else:
+                            self.append(
+                                item, final_df, **append_kwargs
+                            )
+                    # survivors are indexed from their FINAL stored
+                    # text: batch ownership may have stripped shared
+                    # lines, and the index must mirror storage (the
+                    # rebuild paths re-derive from the item)
+                    DI._index_delta_append(
+                        self, meta_di,
+                        DI._compute_features(self, meta_di, final_df),
+                        marker=replay_marker,
+                    )
+                rep = {
+                    "n_incoming": n_probe_in,
+                    "n_dropped": len(dropped_ids),
+                    "n_appended": 0 if data_committed else n_kept,
+                    "dropped_ids": dropped_ids,
+                }
+            else:
+                rep = DI.append_with_dedup(
+                    self, item, curated, dedup_index,
+                    within_batch=within_batch,
+                    create_missing=create_missing,
+                    replay_marker=replay_marker,
+                    data_committed=data_committed,
+                    **append_kwargs,
+                )
             if n_curated < 0:
                 # record_funnel=False skipped the pipeline counts, but
-                # append_with_dedup counted the probe frame anyway —
-                # backfill the curated count with that free number
-                # (and the incoming count too when no pipeline ran,
-                # since the probe frame IS the input then)
+                # the probe counted its frame anyway — backfill the
+                # curated count with that free number (and the
+                # incoming count too when no pipeline ran, since the
+                # probe frame IS the input then)
                 n_curated = rep["n_incoming"]
                 if pipeline is None:
                     n_in = n_curated
@@ -2155,24 +2246,24 @@ class Collection:
                     (f"dedup_index:{dedup_index}", n_appended)
                 )
         else:
-            if create_missing and not self.item_exists(item):
-                self.write(item, curated, **append_kwargs)
-            else:
-                self.append(item, curated, **append_kwargs)
+            if not data_committed:
+                if create_missing and not self.item_exists(item):
+                    self.write(item, curated, **append_kwargs)
+                else:
+                    self.append(item, curated, **append_kwargs)
             n_dropped_dedup = 0
-            n_appended = n_curated
+            n_appended = 0 if data_committed else n_curated
 
         if pending_lines is not None:
             from pystore_spark import line_index as LI
 
-            if dedup_index is not None and rep.get("dropped_ids"):
-                # only SURVIVING documents' lines enter the census —
-                # a dropped owner's lines live in no stored doc
-                pending_lines = pending_lines.filter(
-                    ~F.col("owner").isin(rep["dropped_ids"])
-                )
-                line_report["n_new_lines"] = pending_lines.count()
-            LI.register_new_lines(self, line_index, pending_lines)
+            # census rows were built from surviving docs only (the
+            # decomposed path finalizes after the probe; the line-only
+            # path drops nothing), so registration is unconditional —
+            # and still strictly AFTER the successful append
+            LI.register_new_lines(
+                self, line_index, pending_lines, marker=replay_marker
+            )
 
         # insertion-ordered stage list; a repeated stage name gets a
         # positional suffix so no count is silently collapsed
@@ -2192,7 +2283,7 @@ class Collection:
         }
         if line_report is not None:
             report["line_index"] = line_report
-        if record_funnel:
+        if record_funnel and not data_committed:
             last = {
                 k: v for k, v in report.items() if k != "funnel"
             } | {"funnel": funnel}

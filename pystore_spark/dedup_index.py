@@ -372,36 +372,52 @@ def probe(
     )
 
 
-def append_with_dedup(
-    col,
-    item: str,
-    data: Any,
-    index_item: str,
+def _marker_current(col, name: str, marker: tuple | None) -> bool:
+    """True when delta item ``name``'s sidecar already records this
+    ``(sink_key, batch_id)`` replay marker — the per-index-item
+    exactly-once guard. The DATA commit's marker says the batch's rows
+    landed in the corpus; each index append carries its OWN marker so
+    a crash between the data commit and the index appends (or between
+    the two index appends) is repairable on replay instead of leaving
+    documents permanently un-indexed."""
+    if marker is None:
+        return False
+    from pystore_spark.streaming import COMMITS_KEY
+
+    key, bid = marker
+    if not col.item_exists(name):
+        return False
+    commits = dict(
+        (col.get_item_metadata(name, use_cache=False) or {}).get(
+            COMMITS_KEY
+        )
+        or {}
+    )
+    return int(commits.get(key, -1)) >= int(bid)
+
+
+def _marker_sidecar(marker: tuple | None) -> dict | None:
+    if marker is None:
+        return None
+    from pystore_spark.streaming import COMMITS_KEY
+
+    return {COMMITS_KEY: {marker[0]: int(marker[1])}}
+
+
+def _probe_report(
+    col, index_item: str, meta: dict, incoming: DataFrame,
     within_batch: bool = False,
-    create_missing: bool = False,
-    **append_kwargs: Any,
-) -> dict:
-    """Append ``data`` to ``item``, dropping documents that
-    near-duplicate the already-stored corpus via the persistent index
-    — then index the survivors (delta tier, O(new)). The daily
-    100 TB-pipeline operation: cost scales with the batch, not the
-    corpus.
-
-    ``within_batch=True`` additionally near-dedups the incoming batch
-    against itself (batch-sized cost) before probing. Returns
-    ``{n_incoming, n_dropped, n_appended, dropped_ids}`` (the drop set
-    as a list — it is probe-output-sized, already driver-bounded by
-    the batch)."""
-    import pandas as pd
-
+) -> tuple[int, list, DataFrame, list]:
+    """The probe phase of :func:`append_with_dedup`, append-free:
+    optional within-batch near-dedup, feature computation, corpus
+    probe. Returns ``(n_incoming, dropped_ids, feats, corpus_drop)``
+    — doc counts in id space (a batch with duplicate ids would
+    otherwise report phantom appends); ``feats`` are the materialized
+    features of the within-batch survivors. Also the probe half of
+    ``Collection.ingest``'s decomposed line-index + dedup-index path."""
     from pystore_spark.functions.dedup import near_dedup
 
-    meta = _index_meta(col, index_item)
     id_col, text_col = meta["id_col"], meta["text_col"]
-    # a throwaway Spark view of the batch for feature computation; the
-    # APPEND below filters the caller's ORIGINAL data so the target
-    # item's own index/merge semantics apply untouched
-    incoming, _, _, _ = col._prepare_input(data)
     dropped: set = set()
     probe_frame = incoming
     if within_batch:
@@ -418,44 +434,93 @@ def append_with_dedup(
         dropped.update(r[id_col] for r in wb_drop.collect())
         probe_frame = kept_wb
     feats = _compute_features(col, meta, probe_frame)
-    # DOC counts (distinct ids), not row counts: the report's
-    # arithmetic is in id space, same as dropped_ids — a batch with
-    # duplicate ids would otherwise report phantom appends
     n_probe = feats.select(id_col).distinct().count()
     n_in = n_probe + len(dropped)
     if n_probe == 0:
-        return {
-            "n_incoming": n_in,
-            "n_dropped": len(dropped),
-            "n_appended": 0,
-            "dropped_ids": sorted(dropped),
-        }
+        return n_in, sorted(dropped), feats, []
     corpus_drop = _probe_ids(
         col, index_item, meta, feats, meta["threshold"]
     )
     dropped.update(corpus_drop)
-    dropped_ids = sorted(dropped)
+    return n_in, sorted(dropped), feats, corpus_drop
+
+
+def append_with_dedup(
+    col,
+    item: str,
+    data: Any,
+    index_item: str,
+    within_batch: bool = False,
+    create_missing: bool = False,
+    replay_marker: tuple | None = None,
+    data_committed: bool = False,
+    **append_kwargs: Any,
+) -> dict:
+    """Append ``data`` to ``item``, dropping documents that
+    near-duplicate the already-stored corpus via the persistent index
+    — then index the survivors (delta tier, O(new)). The daily
+    100 TB-pipeline operation: cost scales with the batch, not the
+    corpus.
+
+    ``within_batch=True`` additionally near-dedups the incoming batch
+    against itself (batch-sized cost) before probing. Returns
+    ``{n_incoming, n_dropped, n_appended, dropped_ids}`` (the drop set
+    as a list — it is probe-output-sized, already driver-bounded by
+    the batch).
+
+    ``replay_marker=(sink_key, batch_id)`` stamps each index-delta
+    append with its own exactly-once marker (streaming sinks);
+    ``data_committed=True`` is the REPLAY-REPAIR mode: the data commit
+    already landed (its marker said so), so the append is skipped, but
+    the probe re-runs — deterministically, against index tiers the
+    crashed run never updated — and any index append whose marker is
+    behind is re-applied. Without it a crash between the data commit
+    and the index appends would leave the batch's documents
+    permanently invisible to future probes."""
+    import pandas as pd
+
+    meta = _index_meta(col, index_item)
+    id_col = meta["id_col"]
+    if data_committed and replay_marker is not None and all(
+        _marker_current(col, n, replay_marker)
+        for n in (meta["bands_delta"], meta["docs_delta"])
+    ):
+        # clean replay (only the stream checkpoint write crashed):
+        # data and index are both current — nothing to recompute
+        return {
+            "n_incoming": 0, "n_dropped": 0, "n_appended": 0,
+            "dropped_ids": [], "replayed": True,
+        }
+    # a throwaway Spark view of the batch for feature computation; the
+    # APPEND below filters the caller's ORIGINAL data so the target
+    # item's own index/merge semantics apply untouched
+    incoming, _, _, _ = col._prepare_input(data)
+    n_in, dropped_ids, feats, corpus_drop = _probe_report(
+        col, index_item, meta, incoming, within_batch
+    )
     n_kept = n_in - len(dropped_ids)
     if n_kept:
-        if isinstance(data, pd.DataFrame):
-            kept_data: Any = (
-                data[~data[id_col].isin(dropped_ids)]
-                if id_col in data.columns
-                else data[~data.index.isin(dropped_ids)]
-            )
-        else:  # Spark DataFrame
-            kept_data = (
-                data.filter(~F.col(id_col).isin(dropped_ids))
-                if dropped_ids
-                else data
-            )
-        if create_missing and not col.item_exists(item):
-            # streaming first batch: the target corpus doesn't exist
-            # yet — create it (mirrors streaming.merge_sink's
-            # first-batch write; the index itself must already exist)
-            col.write(item, kept_data, **append_kwargs)
-        else:
-            col.append(item, kept_data, **append_kwargs)
+        if not data_committed:
+            if isinstance(data, pd.DataFrame):
+                kept_data: Any = (
+                    data[~data[id_col].isin(dropped_ids)]
+                    if id_col in data.columns
+                    else data[~data.index.isin(dropped_ids)]
+                )
+            else:  # Spark DataFrame
+                kept_data = (
+                    data.filter(~F.col(id_col).isin(dropped_ids))
+                    if dropped_ids
+                    else data
+                )
+            if create_missing and not col.item_exists(item):
+                # streaming first batch: the target corpus doesn't
+                # exist yet — create it (mirrors streaming.merge_sink's
+                # first-batch write; the index itself must already
+                # exist)
+                col.write(item, kept_data, **append_kwargs)
+            else:
+                col.append(item, kept_data, **append_kwargs)
         # index the survivors from the MATERIALIZED features (no
         # re-hash, no probe re-execution)
         kept_feats = (
@@ -463,20 +528,26 @@ def append_with_dedup(
             if corpus_drop
             else feats
         )
-        _index_delta_append(col, meta, kept_feats)
+        _index_delta_append(col, meta, kept_feats, marker=replay_marker)
     return {
         "n_incoming": n_in,
         "n_dropped": len(dropped_ids),
-        "n_appended": n_kept,
+        "n_appended": 0 if data_committed else n_kept,
         "dropped_ids": dropped_ids,
+        **({"replayed": True} if data_committed else {}),
     }
 
 
-def _index_delta_append(col, meta: dict, feats: DataFrame) -> None:
+def _index_delta_append(
+    col, meta: dict, feats: DataFrame, marker: tuple | None = None
+) -> None:
     """Stage the survivors' index rows (from the already-materialized
     feature frame) into the delta tier — time-indexed on ``added_at``
     so the engine's partition-scoped append touches only the current
-    bucket."""
+    bucket. ``marker`` rides each append's sidecar and makes the
+    per-item step idempotent under streaming replay (a tier whose
+    marker is already current is skipped — it got the rows before the
+    crash)."""
     from datetime import datetime, timezone
 
     id_col = meta["id_col"]
@@ -490,14 +561,22 @@ def _index_delta_append(col, meta: dict, feats: DataFrame) -> None:
     ).alias("added_at")
     band_rows = explode_bands(feats, id_col).select(ts, "*")
     doc_rows = feats.select(ts, id_col, "sh")
+    sidecar = _marker_sidecar(marker)
     for name, rows in (
         (meta["bands_delta"], band_rows),
         (meta["docs_delta"], doc_rows),
     ):
+        if _marker_current(col, name, marker):
+            continue  # this tier already got the rows pre-crash
         if col.item_exists(name):
-            col.append(name, rows, duplicate_handling="keep_all")
+            col.append(
+                name, rows, duplicate_handling="keep_all",
+                sidecar_extra=sidecar,
+            )
         else:
-            col.write(name, rows, index_col="added_at")
+            col.write(
+                name, rows, index_col="added_at", sidecar_extra=sidecar
+            )
 
 
 def _latest_generation(delta: DataFrame, id_col: str) -> DataFrame:

@@ -133,40 +133,24 @@ def _stored_lines(col, index_item: str, meta: dict) -> DataFrame:
     )
 
 
-def dedup_lines_incremental(
-    col,
-    index_item: str,
-    df: DataFrame,
-    update_index: bool = True,
+def strip_corpus_lines(
+    col, index_item: str, df: DataFrame
 ) -> tuple[DataFrame, dict]:
-    """Keep-one-owner line dedup against the STORED corpus, O(batch):
+    """Phase 1 of incremental line dedup: remove every line the stored
+    census owns, leaving batch-internal duplicates INTACT. Returns
+    ``(kept_lines, report)`` — the checkpointed surviving
+    per-occurrence stream ``(<id_col>, _pos, _line, _lh)`` plus
+    ``{n_batch_lines, broadcast_probe}``.
 
-    1. batch-internal pass (functions/text.dedup_lines) — lines shared
-       within the batch keep one owner;
-    2. every surviving line the census already contains is removed
-       (the stored corpus owns it);
-    3. the batch's genuinely-new lines register in the delta tier
-       (``update_index=True``) so the NEXT batch loses them.
-
-    ``update_index=False`` DEFERS registration: the report carries the
-    materialized new-line census under ``"_new_census"`` for
-    :func:`register_new_lines` — the ingest path appends FIRST and
-    registers only the surviving documents' lines, so a doc dropped by
-    downstream near-dedup (or a failed append) can never orphan its
-    lines in the census (lines owned by nothing stored would be
-    silently stripped from every future batch).
-
-    Returns ``(cleaned_df, report)``; both the cleaned frame and the
-    batch-internal dedup result are materialized (eager
-    localCheckpoint) because several downstream actions consume them —
-    without it the 3-shuffle batch dedup re-runs per action."""
+    Split from :func:`finalize_batch_lines` so ``Collection.ingest``
+    can run the doc-level near-dedup probe BETWEEN the phases:
+    batch-internal ownership must be resolved among the docs that
+    actually survive the probe — resolving it first could hand a
+    shared line to a doc the probe then drops, leaving the line
+    stripped from its batch siblings yet stored nowhere."""
     meta = _index_meta(col, index_item)
     id_col, text_col = meta["id_col"], meta["text_col"]
-
-    cleaned = X.dedup_lines(df, id_col, text_col).localCheckpoint(
-        eager=True
-    )
-    lines = cleaned.select(
+    lines = df.select(
         F.col(id_col),
         F.posexplode(X.split_lines(text_col)).alias("_pos", "_line"),
     ).withColumn(
@@ -181,7 +165,8 @@ def dedup_lines_incremental(
     )
     n_batch_lines = batch_lh.count()
     stored = _stored_lines(col, index_item, meta)
-    if n_batch_lines <= BROADCAST_LINES_MAX:
+    broadcast_probe = n_batch_lines <= BROADCAST_LINES_MAX
+    if broadcast_probe:
         # census scans in parallel and never shuffles; the batch-
         # bounded hit set broadcasts back into the per-line anti join
         hits = stored.join(
@@ -192,11 +177,10 @@ def dedup_lines_incremental(
             on="_lh",
             how="left_anti",
         )
-    else:  # cheap-gate fallback: plain shuffle joins
-        # checkpoint here too: `kept` feeds BOTH the rebuilt output
-        # and the new-line census — left lazy, each consumer would
-        # re-scan the full stored census (the expensive side at
-        # exactly the batch sizes that take this branch)
+    else:  # cheap-gate fallback: plain shuffle joins. Checkpoint the
+        # hit set here too — `kept` feeds several consumers, and left
+        # lazy each would re-scan the full stored census (the
+        # expensive side at exactly the batch sizes taking this path)
         hits = stored.join(
             batch_lh, on="lh", how="leftsemi"
         ).localCheckpoint(eager=True)
@@ -205,17 +189,64 @@ def dedup_lines_incremental(
             on="_lh",
             how="left_anti",
         )
-    out = X.rebuild_from_lines(
-        cleaned, kept, id_col, text_col
-    ).localCheckpoint(eager=True)
+    # blank lines (_lh NULL) never match the anti-join key, so they
+    # pass through to the rebuild untouched
+    kept = kept.localCheckpoint(eager=True)
     report = {
         "n_batch_lines": n_batch_lines,
         "n_new_lines": 0,
-        "broadcast_probe": n_batch_lines <= BROADCAST_LINES_MAX,
+        "broadcast_probe": broadcast_probe,
     }
+    return kept, report
+
+
+def corpus_stripped_frame(
+    col, index_item: str, df: DataFrame, kept_lines: DataFrame
+) -> DataFrame:
+    """Rebuild ``df`` with its corpus-owned lines removed (batch
+    duplicates intact) — the frame the doc-level probe judges, per the
+    C4 posture: a doc assembled mostly from corpus-owned boilerplate
+    is evaluated on its novel remainder."""
+    meta = _index_meta(col, index_item)
+    return X.rebuild_from_lines(
+        df, kept_lines, meta["id_col"], meta["text_col"]
+    ).localCheckpoint(eager=True)
+
+
+def finalize_batch_lines(
+    col,
+    index_item: str,
+    df: DataFrame,
+    kept_lines: DataFrame,
+    min_docs: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Phase 2: keep-one-owner batch-internal line dedup over the
+    given docs' surviving lines, rebuild their text, and build the
+    registration census. ``df`` / ``kept_lines`` must already be
+    restricted to the docs that will actually be stored (probe
+    survivors in the ingest path). Returns ``(final_df, new_census)``,
+    both checkpointed; the census owner is the minimum surviving id —
+    exactly the doc that retains each shared line."""
+    meta = _index_meta(col, index_item)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    claims = kept_lines.filter(F.col("_lh").isNotNull())
+    hot = (
+        claims.groupBy("_lh")
+        .agg(
+            F.count_distinct(id_col).alias("_nd"),
+            F.min(id_col).alias("_owner"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+    )
+    tagged = kept_lines.join(hot, "_lh", "left")
+    final_kept = tagged.filter(
+        F.col("_nd").isNull() | (F.col(id_col) == F.col("_owner"))
+    )
+    final_df = X.rebuild_from_lines(
+        df, final_kept, id_col, text_col
+    ).localCheckpoint(eager=True)
     new_census = (
-        kept.filter(F.col("_lh").isNotNull())
-        .groupBy(F.col("_lh").alias("lh"))
+        claims.groupBy(F.col("_lh").alias("lh"))
         .agg(F.min(id_col).alias("owner"))
         .select(
             F.current_timestamp().alias("added_at"),
@@ -224,6 +255,40 @@ def dedup_lines_incremental(
             "owner",
         )
         .localCheckpoint(eager=True)
+    )
+    return final_df, new_census
+
+
+def dedup_lines_incremental(
+    col,
+    index_item: str,
+    df: DataFrame,
+    update_index: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Keep-one-owner line dedup against the STORED corpus, O(batch):
+
+    1. every line the census already contains is removed (the stored
+       corpus owns it) — :func:`strip_corpus_lines`;
+    2. batch-internal pass — lines shared within the batch keep one
+       owner — :func:`finalize_batch_lines` (phase order is
+       observationally identical to running the batch pass first:
+       corpus removal is per-line-hash, so it never changes which
+       docs claim a non-corpus line);
+    3. the batch's genuinely-new lines register in the delta tier
+       (``update_index=True``) so the NEXT batch loses them.
+
+    ``update_index=False`` DEFERS registration: the report carries the
+    materialized new-line census under ``"_new_census"`` for
+    :func:`register_new_lines` — so a failed append can never orphan
+    lines in the census (lines owned by nothing stored would be
+    silently stripped from every future batch).
+
+    Returns ``(cleaned_df, report)``; intermediate frames are
+    materialized (eager localCheckpoint) because several downstream
+    actions consume them."""
+    kept_lines, report = strip_corpus_lines(col, index_item, df)
+    out, new_census = finalize_batch_lines(
+        col, index_item, df, kept_lines
     )
     report["n_new_lines"] = new_census.count()
     if update_index:
@@ -234,14 +299,22 @@ def dedup_lines_incremental(
 
 
 def register_new_lines(
-    col, index_item: str, new_census: DataFrame
+    col, index_item: str, new_census: DataFrame,
+    marker: tuple | None = None,
 ) -> None:
     """Append a batch's new-line census rows to the delta tier —
     called inside :func:`dedup_lines_incremental` for the standalone
     path, or AFTER a successful append (restricted to surviving
-    owners) by ``Collection.ingest``."""
+    owners) by ``Collection.ingest``. ``marker`` is the streaming
+    exactly-once stamp (see dedup_index._marker_current): a replayed
+    batch whose census already registered is skipped, one that
+    crashed before registering is repaired."""
+    from pystore_spark import dedup_index as DI
+
     meta = _index_meta(col, index_item)
     delta = meta["delta_item"]
+    if DI._marker_current(col, delta, marker):
+        return
     # an all-known-lines batch yields an empty census; writing it
     # through the Spark time-partitioned path would commit a delta
     # item with ZERO parquet files, and every later read of that

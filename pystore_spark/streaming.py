@@ -21,6 +21,21 @@ from pyspark.sql.streaming import StreamingQuery
 COMMITS_KEY = "_streaming_commits"
 
 
+def _last_applied(collection, item: str, key: str) -> int:
+    """Last applied batch id for ``key`` recorded in ``item``'s
+    sidecar — the ONE replay-guard read every sink uses (-1 when the
+    item doesn't exist yet)."""
+    if not collection.item_exists(item):
+        return -1
+    commits = dict(
+        collection.get_item_metadata(item, use_cache=False).get(
+            COMMITS_KEY
+        )
+        or {}
+    )
+    return int(commits.get(key, -1))
+
+
 def merge_sink(
     collection,
     item: str,
@@ -60,12 +75,7 @@ def merge_sink(
             if refresh_rollups:
                 collection.refresh_rollups(item)
             return
-        commits = dict(
-            collection.get_item_metadata(item, use_cache=False).get(
-                COMMITS_KEY
-            ) or {}
-        )
-        if int(commits.get(key, -1)) >= int(batch_id):
+        if _last_applied(collection, item, key) >= int(batch_id):
             # replayed micro-batch — data already committed. Still
             # refresh: a crash BETWEEN the data commit and the refresh
             # would otherwise leave rollups stale forever (refresh is
@@ -104,23 +114,19 @@ def dedup_merge_sink(
     later batches dedup against them too. The streaming face of the
     daily-pipeline operation.
 
-    Same exactly-once replay guard as :func:`merge_sink`: the last
-    applied batch id rides in the data commit's sidecar, so a
-    re-delivered micro-batch is skipped — which also prevents its
-    documents from being double-indexed."""
+    Exactly-once in BOTH directions: the last applied batch id rides
+    in the data commit's sidecar (a re-delivered micro-batch is never
+    re-appended), and each index-delta append carries its own marker —
+    a replayed batch whose data committed but whose indexing crashed
+    re-runs the probe deterministically and repairs only the missing
+    index appends (without this, those documents would stay invisible
+    to every future probe)."""
     key = sink_key or "default"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        commits = dict(
-            collection.get_item_metadata(item, use_cache=False).get(
-                COMMITS_KEY
-            )
-            or {}
-        ) if collection.item_exists(item) else {}
-        if int(commits.get(key, -1)) >= int(batch_id):
-            return  # replayed micro-batch — already deduped + indexed
+        replayed = _last_applied(collection, item, key) >= int(batch_id)
         collection.append_dedup(
             item,
             batch_df,
@@ -128,6 +134,8 @@ def dedup_merge_sink(
             within_batch=within_batch,
             create_missing=True,  # first batch creates the item
             sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
+            replay_marker=(key, int(batch_id)),
+            data_committed=replayed,
             **append_kwargs,
         )
 
@@ -339,10 +347,12 @@ def curated_ingest_sink(
     — all O(batch). The streaming face of the complete curation
     operation; :func:`dedup_merge_sink` is the dedup-only subset.
 
-    Exactly-once: the last applied batch id rides in the DATA commit's
-    sidecar (same guard as :func:`merge_sink`), so a re-delivered
-    micro-batch is skipped — its docs are neither re-appended nor
-    re-indexed. ``record_funnel`` defaults False here: the per-batch
+    Exactly-once in both directions (same machinery as
+    :func:`dedup_merge_sink`): the DATA commit's sidecar marker stops
+    re-appends, and per-index-item markers let a replayed batch repair
+    index/census appends the crashed run never made — the pipeline
+    stages and probe re-run deterministically, the data append is
+    skipped. ``record_funnel`` defaults False here: the per-batch
     funnel accounting and metadata stamp are extra jobs a
     low-latency stream usually skips (the replay marker is
     independent of it)."""
@@ -351,14 +361,33 @@ def curated_ingest_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        commits = dict(
-            collection.get_item_metadata(item, use_cache=False).get(
-                COMMITS_KEY
-            )
-            or {}
-        ) if collection.item_exists(item) else {}
-        if int(commits.get(key, -1)) >= int(batch_id):
-            return  # replayed micro-batch — already ingested
+        replayed = _last_applied(collection, item, key) >= int(batch_id)
+        if replayed:
+            if dedup_index is None and line_index is None:
+                return  # no index steps to repair — data landed
+            # metadata-only fast path: when every index tier already
+            # recorded this batch's marker, only the stream checkpoint
+            # write crashed — skip the pipeline re-run entirely
+            from pystore_spark import dedup_index as DI
+
+            marker = (key, int(batch_id))
+            names = []
+            if dedup_index is not None:
+                m = DI._index_meta(collection, dedup_index)
+                names += [m["bands_delta"], m["docs_delta"]]
+            if line_index is not None:
+                from pystore_spark import line_index as LI
+
+                names.append(
+                    LI._index_meta(collection, line_index)[
+                        "delta_item"
+                    ]
+                )
+            if all(
+                DI._marker_current(collection, n, marker)
+                for n in names
+            ):
+                return
         collection.ingest(
             item,
             batch_df,
@@ -369,6 +398,8 @@ def curated_ingest_sink(
             create_missing=True,
             record_funnel=record_funnel,
             sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
+            replay_marker=(key, int(batch_id)),
+            data_committed=replayed,
             **ingest_kwargs,
         )
 

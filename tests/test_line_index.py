@@ -210,3 +210,64 @@ def test_ingest_does_not_register_lines_of_dedup_dropped_docs(
         update_index=False,
     )
     assert out.collect()[0]["text"] == orphan
+
+
+def test_batch_shared_line_survives_when_its_owner_is_probe_dropped(
+    test_collection, spark
+):
+    """Review finding (round 5): batch docs A (lower id) and B both
+    carry novel line L. Were batch ownership resolved BEFORE the doc
+    probe, A would own L (stripped from B); the probe then drops A as
+    a near-dup of the stored corpus — and L would be stored nowhere
+    despite arriving in B, which survives. The decomposed ingest path
+    resolves batch ownership AFTER the probe, among survivors: B must
+    keep L, and the census must record B as its owner."""
+    import pandas as pd
+
+    c = test_collection
+    words = [f"w{j}" for j in range(90)]
+    corpus = pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": [
+                " ".join(words) + f" tail{i} only{i}" for i in range(5)
+            ],
+        }
+    )
+    c.write("corpus", corpus, index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+    c.build_line_index("lidx", "corpus")
+    shared = "novel shared line"
+    # doc 50: near-dup of stored doc 3 via different line breaks,
+    # plus the shared novel line; LOWER id than doc 60 so pre-probe
+    # ownership would land on the doomed doc
+    redup = (
+        " ".join(words[:45]) + " tail3 \n" + " ".join(words[45:])
+        + " only3\n" + shared
+    )
+    novel = "completely unrelated novel content\n" + shared
+    batch = spark.createDataFrame(
+        [(50, redup), (60, novel)], "doc_id long, text string"
+    )
+    rep = c.ingest(
+        "corpus", batch, dedup_index="cidx", line_index="lidx",
+        index_col="doc_id",
+    )
+    assert rep["n_dropped_dedup"] == 1
+    assert rep["n_appended"] == 1
+    stored = {
+        r["doc_id"]: r["text"]
+        for r in c.item("corpus").data.filter("doc_id >= 50").collect()
+    }
+    assert list(stored) == [60]
+    assert shared in stored[60]  # the line was NOT lost
+    # census owner is the surviving doc: a later batch carrying the
+    # line loses it (the corpus owns it through doc 60)
+    out, _ = c.dedup_lines_incremental(
+        "lidx",
+        spark.createDataFrame(
+            [(200, shared)], "doc_id long, text string"
+        ),
+        update_index=False,
+    )
+    assert out.collect()[0]["text"] == ""

@@ -393,3 +393,139 @@ def test_curated_ingest_sink_full_pipeline_per_batch(
     }
     assert novel not in stored[200]
     assert "later doc" in stored[200]
+
+
+def test_dedup_sink_replay_repairs_crashed_index_append(
+    spark, test_collection, monkeypatch
+):
+    """Exactly-once in the OTHER direction (review finding): a crash
+    between the data commit and the index-delta appends used to leave
+    the batch's documents permanently invisible to future probes — the
+    replay marker said 'done', so the sink skipped them forever. Now
+    each index append carries its own marker: the replayed batch
+    re-runs the probe (deterministic — the index tiers it repairs are
+    exactly the ones the crashed run never touched), skips the data
+    append, and back-fills the missing index rows."""
+    import pandas as pd
+    import pytest
+
+    import pystore_spark.dedup_index as DI
+    from pystore_spark.streaming import dedup_merge_sink
+
+    c = test_collection
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away today while the sun shines over the quiet valley "
+    )
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": [base + f"tail {i} " + "filler words here " * 3
+                 for i in range(4)],
+    })
+    c.write("rdocs", docs, index_col="doc_id")
+    c.build_dedup_index("ridx", "rdocs")
+    sink = dedup_merge_sink(c, "rdocs", "ridx")
+
+    novel = (
+        "entirely new prose about catalyst and adaptive query "
+        "execution with its own words and enough length to shingle"
+    )
+    b0 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [novel]})
+    )
+
+    # crash AFTER the data commit, BEFORE any index append
+    orig = DI._index_delta_append
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before indexing")
+
+    monkeypatch.setattr(DI, "_index_delta_append", boom)
+    with pytest.raises(RuntimeError, match="crash before indexing"):
+        sink(b0, 0)
+    monkeypatch.setattr(DI, "_index_delta_append", orig)
+
+    # data landed, index did not: without repair, a duplicate of doc
+    # 100 would sail through the probe
+    assert c.item("rdocs").data.filter("doc_id = 100").count() == 1
+    meta = DI._index_meta(c, "ridx")
+    assert not DI._marker_current(c, meta["bands_delta"], ("default", 0))
+
+    # Structured Streaming re-delivers batch 0 → repair, not skip
+    sink(b0, 0)
+    assert c.item("rdocs").data.count() == 5  # data NOT re-appended
+    assert DI._marker_current(c, meta["bands_delta"], ("default", 0))
+    assert DI._marker_current(c, meta["docs_delta"], ("default", 0))
+
+    # the repaired index now catches a near-dup of doc 100
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [200], "text": [novel + " tiny tail"]})
+    )
+    sink(b1, 1)
+    ids = {
+        r["doc_id"]
+        for r in c.item("rdocs").data.select("doc_id").collect()
+    }
+    assert 200 not in ids
+
+    # a further replay of batch 0 with all markers current is a pure
+    # metadata no-op (the early-exit path)
+    sink(b0, 0)
+    assert c.item("rdocs").data.count() == 5
+
+
+def test_curated_sink_replay_repairs_crashed_line_registration(
+    spark, test_collection, monkeypatch
+):
+    """Same repair direction for the line census: a crash between the
+    data commit and register_new_lines used to leave the batch's novel
+    lines unregistered forever (future batches would keep them even
+    though the corpus owns them). The replayed batch re-runs the
+    line/census computation, skips the data append, and registers."""
+    import pandas as pd
+    import pytest
+
+    import pystore_spark.line_index as LI
+    from pystore_spark.streaming import curated_ingest_sink
+
+    c = test_collection
+    docs = pd.DataFrame({
+        "doc_id": range(3),
+        "text": [f"stored document number {i} with words" for i in range(3)],
+    })
+    c.write("ldocs", docs, index_col="doc_id")
+    c.build_line_index("llx", "ldocs")
+    sink = curated_ingest_sink(
+        c, "ldocs", line_index="llx", index_col="doc_id"
+    )
+
+    novel = "fresh line that the corpus must come to own"
+    b0 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100], "text": ["unique intro line\n" + novel],
+    }))
+
+    orig = LI.register_new_lines
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before registering")
+
+    monkeypatch.setattr(LI, "register_new_lines", boom)
+    with pytest.raises(RuntimeError, match="crash before registering"):
+        sink(b0, 0)
+    monkeypatch.setattr(LI, "register_new_lines", orig)
+    assert c.item("ldocs").data.filter("doc_id = 100").count() == 1
+
+    # replay repairs the registration without re-appending
+    sink(b0, 0)
+    assert c.item("ldocs").data.count() == 4
+
+    # the census now owns the line: a later batch loses it
+    b1 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [200], "text": ["later doc line\n" + novel],
+    }))
+    sink(b1, 1)
+    stored = {
+        r["doc_id"]: r["text"] for r in c.item("ldocs").data.collect()
+    }
+    assert novel not in stored[200]
+    assert "later doc line" in stored[200]
