@@ -1778,8 +1778,18 @@ class Collection:
         if it_meta.get("quantized"):
             assigned = S.quantized_select(assigned, it_meta["vec_col"])
         delta = f"{index_item}__delta"
+        # frozen driver-side stamp (session tz UTC) — same reason as
+        # dedup_index._index_delta_append: current_timestamp()
+        # re-evaluates per job, and the partition-scoped append's
+        # bucket-discovery and write jobs straddling a day boundary
+        # would stage rows into a bucket the merge never selected
+        from datetime import datetime, timezone
+
         rows = assigned.select(
-            F.current_timestamp().alias("added_at"), "*"
+            F.lit(
+                datetime.now(timezone.utc).replace(tzinfo=None)
+            ).alias("added_at"),
+            "*",
         )
         if self.item_exists(delta):
             self.append(delta, rows, duplicate_handling="keep_all")
@@ -2020,6 +2030,58 @@ class Collection:
         from pystore_spark import line_index as LI
 
         return LI.refresh_line_index(self, index_item)
+
+    def verify_index(
+        self, item: str, index_item: str, deep: bool = False
+    ) -> dict:
+        """Consistency audit (fsck) between a corpus item and one of
+        its derived indexes, dispatched on the index item's sidecar:
+
+        * dedup index — corpus docs missing from the index (invisible
+          to probes), stale indexed ids, band/docs tier skew;
+        * line index — census lines whose owner doc no longer exists
+          (``deep=True`` additionally re-derives the owner's lines and
+          flags census rows the stored text no longer contains);
+        * vector index — vectors missing from / stale in base ∪ delta.
+
+        Read-only, id-space joins over column-pruned scans (one pass
+        over the id columns; the line ``deep`` pass re-reads corpus
+        text). Run after incidents — a crash mid-ingest, a partial
+        restore, out-of-band writes — or on a schedule; every category
+        of drift it reports is silently wrong probe/dedup behavior
+        until repaired (re-run ``append_dedup``, or rebuild with
+        ``build_*_index(overwrite=True)``)."""
+        from pystore_spark import dedup_index as DI
+        from pystore_spark import line_index as LI
+
+        meta = self.get_item_metadata(index_item) or {}
+        if meta.get(DI.META_KEY):
+            return DI.verify_index(self, item, index_item)
+        if meta.get(LI.META_KEY):
+            return LI.verify_index(self, item, index_item, deep=deep)
+        vx = meta.get("_vector_index")
+        if vx:
+            idc = vx["id_col"]
+            corpus_ids = self.item(item).data.select(idc).distinct()
+            idx_ids = DI._union_tiers(
+                self, index_item, f"{index_item}__delta", [idc]
+            ).distinct()
+            n_missing = corpus_ids.join(
+                idx_ids, idc, "left_anti"
+            ).count()
+            n_stale = idx_ids.join(
+                corpus_ids, idc, "left_anti"
+            ).count()
+            return {
+                "n_corpus_vectors": corpus_ids.count(),
+                "n_indexed_vectors": idx_ids.count(),
+                "n_missing": n_missing,
+                "n_stale": n_stale,
+                "ok": not (n_missing or n_stale),
+            }
+        raise StorageError(
+            f"item {index_item!r} is not a dedup/line/vector index"
+        )
 
     def ingest(
         self,

@@ -771,3 +771,69 @@ def refresh_index(col, index_item: str) -> dict:
         if it is not None:
             trim_delta(col, it.item, it, id_col)
     return folded
+
+
+def verify_index(
+    col, item: str, index_item: str, sample: int = 20
+) -> dict:
+    """Consistency audit between a corpus item and its near-dedup
+    index — the fsck a 100 TB store runs after an incident (crash,
+    partial restore, out-of-band writes). Every check is an id-space
+    join over column-pruned scans (ids only, never text), so the cost
+    is one pass over the id columns of corpus + index:
+
+    * ``missing`` — corpus docs absent from the index (appended
+      outside ``append_dedup``, or a pre-repair crash between the
+      data commit and the index appends): INVISIBLE to future probes
+      — their near-duplicates sail through.
+    * ``stale`` — indexed ids no longer in the corpus (item
+      overwritten/rewritten out-of-band): they still drop future
+      near-dups of content the corpus no longer holds.
+    * ``tier_skew`` — ids present in exactly one of the band/docs
+      tiers (a crash between the two delta appends): band-only ids
+      generate candidates that can never verify; docs-only ids can
+      never be candidates.
+
+    Returns counts, up to ``sample`` example ids per category, and an
+    overall ``ok``. Read-only — pair with ``append_dedup`` re-runs or
+    ``build_dedup_index(overwrite=True)`` to repair."""
+    meta = _index_meta(col, index_item)
+    id_col = meta["id_col"]
+    corpus_ids = (
+        col.item(item).data.select(id_col).distinct()
+        .localCheckpoint(eager=True)
+    )
+    docs_ids = _union_tiers(
+        col, meta["docs_item"], meta["docs_delta"], [id_col]
+    ).distinct().localCheckpoint(eager=True)
+    bands_ids = _union_tiers(
+        col, index_item, meta["bands_delta"], [id_col]
+    ).distinct().localCheckpoint(eager=True)
+
+    def _audit(frame):
+        rows = [r[id_col] for r in frame.limit(sample + 1).collect()]
+        n = frame.count()
+        return n, sorted(rows[:sample])
+
+    n_missing, missing = _audit(
+        corpus_ids.join(docs_ids, id_col, "left_anti")
+    )
+    n_stale, stale = _audit(
+        docs_ids.join(corpus_ids, id_col, "left_anti")
+    )
+    n_skew, skew = _audit(
+        bands_ids.join(docs_ids, id_col, "left_anti").unionByName(
+            docs_ids.join(bands_ids, id_col, "left_anti")
+        )
+    )
+    return {
+        "n_corpus_docs": corpus_ids.count(),
+        "n_indexed_docs": docs_ids.count(),
+        "n_missing": n_missing,
+        "n_stale": n_stale,
+        "n_tier_skew": n_skew,
+        "missing_sample": missing,
+        "stale_sample": stale,
+        "tier_skew_sample": skew,
+        "ok": not (n_missing or n_stale or n_skew),
+    }

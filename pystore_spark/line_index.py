@@ -367,3 +367,67 @@ def refresh_line_index(col, index_item: str) -> dict:
     )
     DI.trim_delta(col, delta, delta_it, "lh")
     return {"lines_folded": n}
+
+
+def verify_index(
+    col, item: str, index_item: str, deep: bool = False,
+    sample: int = 20,
+) -> dict:
+    """Consistency audit between a corpus item and its line census —
+    the orphan check for the invariant every census fix in this module
+    defends: EVERY census line is owned by a document that (a) still
+    exists and (b) actually contains the line. An orphan is silent
+    data damage: the line is stripped from every future batch while
+    no stored document carries it.
+
+    * ``orphan_owner`` (cheap, id-space join): census rows whose owner
+      id is absent from the corpus.
+    * ``orphan_line`` (``deep=True`` — one explode over the corpus
+      text, O(corpus)): census rows whose owner exists but whose
+      stored text no longer contains the line (e.g. the item was
+      rewritten out-of-band).
+
+    Read-only; repair is ``build_line_index(overwrite=True)``."""
+    meta = _index_meta(col, index_item)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    census = _union_tiers_lines(col, index_item, meta)
+    corpus_ids = (
+        col.item(item).data.select(F.col(id_col).alias("owner"))
+        .distinct()
+    )
+    orphans = census.join(corpus_ids, "owner", "left_anti")
+    orows = orphans.limit(sample + 1).collect()
+    n_orphan = orphans.count()
+    report = {
+        "n_census_lines": census.count(),
+        "n_orphan_owner": n_orphan,
+        "orphan_owner_sample": sorted(
+            (r["owner"], r["lh"]) for r in orows[:sample]
+        ),
+    }
+    if deep:
+        owned = col.item(item).data.select(
+            F.col(id_col).alias("owner"),
+            F.explode(X.split_lines(text_col)).alias("_line"),
+        ).filter(F.trim("_line") != "").select(
+            "owner", F.md5(F.trim("_line")).alias("lh")
+        ).distinct()
+        ghost = census.join(owned, ["owner", "lh"], "left_anti")
+        grows = ghost.limit(sample + 1).collect()
+        report["n_orphan_line"] = ghost.count()
+        report["orphan_line_sample"] = sorted(
+            (r["owner"], r["lh"]) for r in grows[:sample]
+        )
+    report["ok"] = not (
+        report["n_orphan_owner"] or report.get("n_orphan_line", 0)
+    )
+    return report
+
+
+def _union_tiers_lines(col, index_item: str, meta: dict):
+    """Census rows ``(lh, owner)`` across base + delta tiers."""
+    from pystore_spark import dedup_index as DI
+
+    return DI._union_tiers(
+        col, index_item, meta["delta_item"], ["lh", "owner"]
+    )

@@ -208,18 +208,23 @@ def test_s3_concurrent_reads_never_see_missing_files(s3_collection):
 
 def test_s3_commit_is_conditional_put(s3_collection):
     """A manifest installed by another writer between this writer's
-    read and its commit loses the CAS and raises — no lost update."""
+    read and its commit loses the CAS — no lost update. A single race
+    is absorbed by the append's retry (re-merge against the FRESH
+    manifest, then commit); a persistent racer exhausts the 3 attempts
+    and raises."""
     s3_collection.write("r", _frame(1_000))
     item_path = s3_collection._item_path("r")
 
     real_put = s3_collection.fs.put_atomic
-    raced = {"done": False}
+    raced = {"n": 0, "always": False}
 
     def racing_put(path, data, if_match=fslib.UNCONDITIONAL):
         # simulate a concurrent writer sneaking in a manifest bump
         # right before OUR conditional manifest install
-        if str(path).endswith("_manifest.json") and not raced["done"]:
-            raced["done"] = True
+        if str(path).endswith("_manifest.json") and (
+            raced["always"] or raced["n"] == 0
+        ):
+            raced["n"] += 1
             man, _ = utils.read_manifest_versioned(item_path)
             man["version"] = int(man["version"]) + 7
             import json
@@ -229,19 +234,41 @@ def test_s3_commit_is_conditional_put(s3_collection):
 
     s3_collection.fs.put_atomic = racing_put
     try:
+        # one race: the retry re-reads the raced manifest and commits
+        # ON TOP of it — neither write is lost
+        s3_collection.append(
+            "r",
+            pd.DataFrame(
+                {"v": [2.0]}, index=pd.DatetimeIndex(["2023-01-02"])
+            ),
+        )
+        man = utils.read_manifest(item_path)
+        assert man["version"] > 8  # raced bump survived, ours on top
+        assert raced["n"] == 1
+        assert (
+            len(s3_collection.item("r").to_pandas(engine="arrow"))
+            == 1_001
+        )
+
+        # a racer that wins EVERY attempt: retries exhaust and raise,
+        # and the losing commit leaves no visible change
+        raced["always"] = True
+        before = utils.read_manifest(item_path)["version"]
         with pytest.raises(ConcurrentCommitError):
             s3_collection.append(
                 "r",
                 pd.DataFrame(
-                    {"v": [2.0]}, index=pd.DatetimeIndex(["2023-01-02"])
+                    {"v": [3.0]},
+                    index=pd.DatetimeIndex(["2023-01-03"]),
                 ),
             )
+        assert (
+            len(s3_collection.item("r").to_pandas(engine="arrow"))
+            == 1_001
+        )
+        assert utils.read_manifest(item_path)["version"] > before
     finally:
         s3_collection.fs.put_atomic = real_put
-    # the losing commit left no visible change; the raced manifest wins
-    man = utils.read_manifest(item_path)
-    assert man["version"] == 8
-    assert len(s3_collection.item("r").to_pandas(engine="arrow")) == 1_000
 
 
 def test_s3_snapshot_is_o_manifest(s3_collection):

@@ -1,0 +1,181 @@
+"""Collection.verify_index — the consistency fsck between a corpus
+item and its derived indexes (dedup / line / vector). Each drift
+category it reports is silently-wrong probe behavior until repaired,
+so the audit itself must be trustworthy: healthy stores report ok,
+and each seeded inconsistency is detected with example ids."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pystore_spark import dedup_index as DI
+from pystore_spark import line_index as LI
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "today while the sun shines over the quiet valley "
+)
+
+
+def _docs(ids):
+    return pd.DataFrame(
+        {
+            "doc_id": list(ids),
+            "text": [
+                BASE + f"tail {i} " + "filler words here " * 3
+                for i in ids
+            ],
+        }
+    )
+
+
+def test_dedup_audit_healthy_then_out_of_band_append(
+    test_collection, spark
+):
+    c = test_collection
+    c.write("corpus", _docs(range(6)), index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+    rep = c.verify_index("corpus", "cidx")
+    assert rep["ok"]
+    assert rep["n_corpus_docs"] == rep["n_indexed_docs"] == 6
+
+    # the supported path keeps the audit green
+    novel = pd.DataFrame(
+        {"doc_id": [100], "text": ["entirely new prose about "
+                                   "catalyst and adaptive execution"]}
+    )
+    c.append_dedup("corpus", novel, "cidx")
+    assert c.verify_index("corpus", "cidx")["ok"]
+
+    # an out-of-band plain append bypasses the index → missing
+    c.append("corpus", _docs([200, 201]))
+    rep = c.verify_index("corpus", "cidx")
+    assert not rep["ok"]
+    assert rep["n_missing"] == 2
+    assert rep["missing_sample"] == [200, 201]
+    assert rep["n_stale"] == 0
+
+
+def test_dedup_audit_detects_stale_and_tier_skew(
+    test_collection, spark
+):
+    c = test_collection
+    c.write("corpus", _docs(range(6)), index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+
+    # item rewritten out-of-band to a subset → the removed ids are
+    # stale in the index (they'd still drop future near-dups)
+    c.write("corpus", _docs(range(4)), index_col="doc_id",
+            overwrite=True)
+    rep = c.verify_index("corpus", "cidx")
+    assert not rep["ok"]
+    assert rep["n_stale"] == 2
+    assert rep["stale_sample"] == [4, 5]
+
+    # band rows with no docs-tier counterpart (the crash shape the
+    # replay markers repair) → tier skew
+    meta = DI._index_meta(c, "cidx")
+    skew_rows = spark.createDataFrame(
+        [(12345, 0, 999)], "bkey long, band int, doc_id long"
+    )
+    c.append(meta["bands_delta"], skew_rows,
+             duplicate_handling="keep_all") if c.item_exists(
+        meta["bands_delta"]
+    ) else c.write(meta["bands_delta"], skew_rows, index_col="bkey")
+    rep = c.verify_index("corpus", "cidx")
+    assert rep["n_tier_skew"] == 1
+    assert 999 in rep["tier_skew_sample"]
+
+
+def test_line_audit_orphan_owner_and_deep_ghost_line(
+    test_collection, spark
+):
+    c = test_collection
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": [
+                f"unique line number {i}\nshared trailer line"
+                for i in range(3)
+            ],
+        }
+    )
+    c.write("corpus", docs, index_col="doc_id")
+    c.build_line_index("lidx", "corpus")
+    rep = c.verify_index("corpus", "lidx", deep=True)
+    assert rep["ok"]
+    assert rep["n_orphan_line"] == 0
+
+    # census row owned by a doc that does not exist → orphan_owner
+    from pyspark.sql import functions as F
+
+    ghost = spark.createDataFrame(
+        [("deliberately orphaned line", 9999)], "t string, owner long"
+    ).select(
+        F.current_timestamp().alias("added_at"),
+        F.conv(F.substring(F.md5("t"), 1, 14), 16, 10)
+        .cast("bigint")
+        .alias("lhp"),
+        F.md5("t").alias("lh"),
+        "owner",
+    )
+    LI.register_new_lines(c, "lidx", ghost)
+    rep = c.verify_index("corpus", "lidx")
+    assert not rep["ok"]
+    assert rep["n_orphan_owner"] == 1
+    assert rep["orphan_owner_sample"][0][0] == 9999
+
+    # owner exists but its stored text no longer carries the line
+    # (out-of-band rewrite) → only the deep pass can see it
+    rewritten = docs.copy()
+    rewritten.loc[0, "text"] = "completely different text now"
+    c.write("corpus", rewritten, index_col="doc_id", overwrite=True)
+    shallow = c.verify_index("corpus", "lidx")
+    assert shallow["n_orphan_owner"] == 1  # still just the ghost
+    deep = c.verify_index("corpus", "lidx", deep=True)
+    assert deep["n_orphan_line"] >= 1
+    assert not deep["ok"]
+
+
+def test_vector_audit_missing_and_stale(test_collection, spark):
+    import numpy as np
+
+    c = test_collection
+    rng = np.random.RandomState(7)
+    vecs = pd.DataFrame(
+        {
+            "vec_id": range(20),
+            "embedding": [
+                rng.rand(8).astype("float32").tolist() for _ in range(20)
+            ],
+        }
+    )
+    c.write("vecs", vecs, index_col="vec_id")
+    c.build_vector_index("vidx", "vecs", vec_col="embedding",
+                         id_col="vec_id", n_cells=2)
+    assert c.verify_index("vecs", "vidx")["ok"]
+
+    extra = vecs.copy()
+    extra["vec_id"] = extra["vec_id"] + 100
+    c.append("vecs", extra)  # out-of-band: index never saw these
+    rep = c.verify_index("vecs", "vidx")
+    assert not rep["ok"]
+    assert rep["n_missing"] == 20
+    assert rep["n_stale"] == 0
+
+    # the supported append path heals the audit
+    c.append_vector_index(
+        "vidx", c.item("vecs").data.filter("vec_id >= 100")
+    )
+    assert c.verify_index("vecs", "vidx")["ok"]
+
+
+def test_verify_index_rejects_non_index_items(test_collection):
+    from pystore_spark.exceptions import StorageError
+
+    c = test_collection
+    c.write("plain", _docs(range(2)), index_col="doc_id")
+    with pytest.raises(StorageError, match="not a dedup/line/vector"):
+        c.verify_index("plain", "plain")
