@@ -2083,6 +2083,90 @@ class Collection:
             f"item {index_item!r} is not a dedup/line/vector index"
         )
 
+    def repair_index(self, item: str, index_item: str) -> dict:
+        """Incrementally repair the drift :meth:`verify_index`
+        reports, O(drift) — the alternative to a full index rebuild
+        (which re-signs/re-censuses the corpus):
+
+        * dedup index — re-index missing docs (id-pruned corpus read,
+          features for the drift set only), drop stale/tier-skew ids
+          by rewriting the affected tiers (ids + hashes, no text);
+        * line index — drop census rows whose owner doc no longer
+          exists (deep drift = rebuild; see line_index.repair_index);
+        * vector index — index missing vectors via
+          :meth:`append_vector_index`, rewrite tiers minus stale ids.
+
+        Serialize with concurrent appenders (CollectionLock / the
+        maintain() window): tier rewrites are whole-item replaces."""
+        from pystore_spark import dedup_index as DI
+        from pystore_spark import line_index as LI
+
+        meta = self.get_item_metadata(index_item) or {}
+        if meta.get(DI.META_KEY):
+            return DI.repair_index(self, item, index_item)
+        if meta.get(LI.META_KEY):
+            return LI.repair_index(self, item, index_item)
+        vx = meta.get("_vector_index")
+        if vx:
+            idc = vx["id_col"]
+            delta = f"{index_item}__delta"
+            corpus = self.item(item).data
+            idx_ids = DI._union_tiers(
+                self, index_item, delta, [idc]
+            ).distinct().localCheckpoint(eager=True)
+            missing = corpus.select(idc).distinct().join(
+                idx_ids, idc, "left_anti"
+            ).localCheckpoint(eager=True)
+            n_missing = missing.count()
+            if n_missing:
+                self.append_vector_index(
+                    index_item,
+                    corpus.join(missing, idc, "left_semi"),
+                )
+            stale = idx_ids.join(
+                corpus.select(idc).distinct(), idc, "left_anti"
+            ).localCheckpoint(eager=True)
+            n_stale = stale.count()
+            rewritten: list[str] = []
+            if n_stale:
+                for name, icol, zmap, sidecar in (
+                    (index_item, "cell", ["cell"],
+                     {"_vector_index": vx}),
+                    (delta, "added_at", None, None),
+                ):
+                    if not self.item_exists(name):
+                        continue
+                    frame = self.item(name).data
+                    kept = frame.join(
+                        stale, idc, "left_anti"
+                    ).localCheckpoint(eager=True)
+                    n_kept = kept.count()
+                    if n_kept == frame.count():
+                        continue
+                    if n_kept == 0:
+                        if name == index_item:
+                            raise StorageError(
+                                f"repair would empty {name!r}; "
+                                "rebuild with build_vector_index("
+                                "overwrite=True)"
+                            )
+                        self.delete_item(name)
+                    else:
+                        self.write(
+                            name, kept, index_col=icol,
+                            zonemap=zmap, overwrite=True,
+                            sidecar_extra=sidecar,
+                        )
+                    rewritten.append(name)
+            return {
+                "n_reindexed": int(n_missing),
+                "n_removed": int(n_stale),
+                "tiers_rewritten": rewritten,
+            }
+        raise StorageError(
+            f"item {index_item!r} is not a dedup/line/vector index"
+        )
+
     def ingest(
         self,
         item: str,

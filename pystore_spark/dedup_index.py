@@ -837,3 +837,116 @@ def verify_index(
         "tier_skew_sample": skew,
         "ok": not (n_missing or n_stale or n_skew),
     }
+
+
+def repair_index(col, item: str, index_item: str) -> dict:
+    """Incremental repair of the drift :func:`verify_index` reports —
+    the alternative to a full ``build_index(overwrite=True)`` re-sign
+    of the corpus:
+
+    * missing docs are re-indexed by reading ONLY those docs (id
+      in-filter prunes corpus files via the zonemap when the drift set
+      is driver-bounded), computing features for them alone, and
+      appending to the delta tiers — O(drift), the corpus is never
+      re-signed;
+    * stale and tier-skew ids are dropped by rewriting each affected
+      tier without them — O(index rows), which is orders of magnitude
+      smaller than the corpus (ids + band keys + shingle hashes, no
+      text).
+
+    Serialize with concurrent appenders (CollectionLock or the
+    maintain() window): the tier rewrites are whole-item replaces.
+    Returns ``{n_reindexed, n_removed, tiers_rewritten}``."""
+    meta = _index_meta(col, index_item)
+    id_col = meta["id_col"]
+    corpus_ids = (
+        col.item(item).data.select(id_col).distinct()
+        .localCheckpoint(eager=True)
+    )
+    docs_ids = _union_tiers(
+        col, meta["docs_item"], meta["docs_delta"], [id_col]
+    ).distinct().localCheckpoint(eager=True)
+    bands_ids = _union_tiers(
+        col, index_item, meta["bands_delta"], [id_col]
+    ).distinct().localCheckpoint(eager=True)
+
+    # --- re-index missing docs (in corpus, absent from docs tier) ---
+    missing = (
+        corpus_ids.join(docs_ids, id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n_missing = missing.count()
+    n_reindexed = 0
+    if n_missing:
+        if n_missing <= MAX_PUSHDOWN_KEYS:
+            # driver-bounded drift: in-filter prunes corpus FILES via
+            # the manifest zonemap before any text is read
+            mids = sorted(r[id_col] for r in missing.collect())
+            src = col.item(
+                item, filters=[(id_col, "in", mids)]
+            ).data
+        else:
+            # mass drift (e.g. a large out-of-band backfill): stay
+            # distributed — semi-join instead of a driver id list
+            src = col.item(item).data.join(
+                missing, id_col, "left_semi"
+            )
+        feats = _compute_features(col, meta, src)
+        n_reindexed = feats.count()
+        if n_reindexed:
+            _index_delta_append(col, meta, feats)
+
+    # --- drop stale (indexed, not in corpus) + tier-skew ids --------
+    stale = docs_ids.join(corpus_ids, id_col, "left_anti")
+    skew = bands_ids.join(docs_ids, id_col, "left_anti").unionByName(
+        docs_ids.join(bands_ids, id_col, "left_anti")
+    )
+    bad = stale.unionByName(skew).distinct().localCheckpoint(eager=True)
+    n_bad = bad.count()
+    rewritten: list[str] = []
+    if n_bad:
+        tiers = (
+            (index_item, "bkey", ["bkey"],
+             {META_KEY: meta}),
+            (meta["docs_item"], id_col, [id_col],
+             {META_KEY + "_role": "docs"}),
+            (meta["bands_delta"], "added_at", None, None),
+            (meta["docs_delta"], "added_at", None, None),
+        )
+        for name, icol, zmap, sidecar in tiers:
+            if not col.item_exists(name):
+                continue
+            frame = _read_frame(col, name)
+            kept = frame.join(
+                bad, id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+            n_kept = kept.count()
+            if n_kept == frame.count():
+                continue  # this tier held none of the bad ids
+            if n_kept == 0:
+                # never write an empty frame (a zero-file item poisons
+                # later reads). An emptied DELTA tier just disappears
+                # until the next append recreates it; an emptied BASE
+                # tier means the whole index content is bad — that is
+                # a rebuild, not a repair (deleting it would also
+                # destroy the META_KEY sidecar the index lives by).
+                if name in (index_item, meta["docs_item"]):
+                    raise StorageError(
+                        f"repair would empty base tier {name!r} — the "
+                        "index no longer matches the corpus at all; "
+                        "rebuild with build_dedup_index(overwrite"
+                        "=True)"
+                    )
+                col.delete_item(name)
+            else:
+                col.write(
+                    name, kept, index_col=icol,
+                    zonemap=zmap, overwrite=True,
+                    sidecar_extra=sidecar,
+                )
+            rewritten.append(name)
+    return {
+        "n_reindexed": int(n_reindexed),
+        "n_removed": int(n_bad),
+        "tiers_rewritten": rewritten,
+    }

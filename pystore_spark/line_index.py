@@ -431,3 +431,59 @@ def _union_tiers_lines(col, index_item: str, meta: dict):
     return DI._union_tiers(
         col, index_item, meta["delta_item"], ["lh", "owner"]
     )
+
+
+def repair_index(col, item: str, index_item: str) -> dict:
+    """Drop census rows owned by documents no longer in the corpus —
+    the id-space repair of :func:`verify_index`'s ``orphan_owner``
+    drift (each such row silently strips a line every future batch
+    carries, while no stored document owns it). O(census + corpus
+    ids); never reads text.
+
+    Deep drift — ghost lines after an out-of-band rewrite, or corpus
+    lines missing from the census — costs a full corpus text pass to
+    even enumerate, which is the same pass a rebuild does: repair
+    those with ``build_line_index(overwrite=True)``. Serialize with
+    concurrent ingests (the tier rewrites are whole-item replaces).
+    Returns ``{n_removed, tiers_rewritten}``."""
+    from pystore_spark import dedup_index as DI
+
+    meta = _index_meta(col, index_item)
+    id_col = meta["id_col"]
+    corpus_owners = (
+        col.item(item).data
+        .select(F.col(id_col).alias("owner"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    removed = 0
+    rewritten: list[str] = []
+    for name, icol, zmap, sidecar in (
+        (index_item, "lhp", ["lhp"], {META_KEY: meta}),
+        (meta["delta_item"], "added_at", None, None),
+    ):
+        if not col.item_exists(name):
+            continue
+        frame = DI._read_frame(col, name)
+        kept = frame.join(
+            corpus_owners, "owner", "left_semi"
+        ).localCheckpoint(eager=True)
+        n_kept, n_all = kept.count(), frame.count()
+        if n_kept == n_all:
+            continue
+        removed += n_all - n_kept
+        if n_kept == 0:
+            if name == index_item:
+                raise StorageError(
+                    f"repair would empty base census {name!r} — "
+                    "no census owner exists in the corpus anymore; "
+                    "rebuild with build_line_index(overwrite=True)"
+                )
+            col.delete_item(name)  # empty delta: no zero-file husk
+        else:
+            col.write(
+                name, kept, index_col=icol, zonemap=zmap,
+                overwrite=True, sidecar_extra=sidecar,
+            )
+        rewritten.append(name)
+    return {"n_removed": int(removed), "tiers_rewritten": rewritten}

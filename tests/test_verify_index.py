@@ -179,3 +179,130 @@ def test_verify_index_rejects_non_index_items(test_collection):
     c.write("plain", _docs(range(2)), index_col="doc_id")
     with pytest.raises(StorageError, match="not a dedup/line/vector"):
         c.verify_index("plain", "plain")
+
+
+def test_dedup_repair_heals_missing_and_stale(test_collection, spark):
+    """repair_index closes the loop: out-of-band appends get
+    re-indexed from an id-pruned corpus read (O(drift), no corpus
+    re-sign), stale/skew ids are dropped by tier rewrites — and the
+    repaired index actually CATCHES a near-dup of a formerly-missing
+    doc."""
+    c = test_collection
+    c.write("corpus", _docs(range(6)), index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+
+    novel = pd.DataFrame({
+        "doc_id": [100],
+        "text": ["entirely new prose about catalyst and adaptive "
+                 "query execution with its very own words"],
+    })
+    c.append("corpus", novel)  # out-of-band: invisible to probes
+    # the hole is real: a near-dup of doc 100 sails through pre-repair
+    dup = pd.DataFrame({
+        "doc_id": [300],
+        "text": [novel.loc[0, "text"] + " tiny tail"],
+    })
+    assert c.append_dedup("corpus", dup, "cidx")["n_dropped"] == 0
+    # (clean up the probe's side effects on the corpus for clarity:
+    # doc 300 is now stored + indexed, which is fine for the audit)
+
+    rep = c.verify_index("corpus", "cidx")
+    assert rep["n_missing"] == 1 and rep["missing_sample"] == [100]
+
+    fix = c.repair_index("corpus", "cidx")
+    assert fix["n_reindexed"] == 1
+    assert c.verify_index("corpus", "cidx")["ok"]
+
+    # the repaired index now drops another near-dup of doc 100
+    dup2 = pd.DataFrame({
+        "doc_id": [301],
+        "text": [novel.loc[0, "text"] + " other tail"],
+    })
+    assert c.append_dedup("corpus", dup2, "cidx")["n_dropped"] == 1
+
+    # stale: corpus rewritten to a subset → repair drops those ids
+    c.write("corpus", _docs(range(4)), index_col="doc_id",
+            overwrite=True)
+    fix = c.repair_index("corpus", "cidx")
+    assert fix["n_removed"] > 0
+    assert c.verify_index("corpus", "cidx")["ok"]
+
+
+def test_line_repair_drops_orphan_owner_rows(test_collection, spark):
+    c = test_collection
+    docs = pd.DataFrame({
+        "doc_id": range(3),
+        "text": [f"unique line number {i}\nshared trailer line"
+                 for i in range(3)],
+    })
+    c.write("corpus", docs, index_col="doc_id")
+    c.build_line_index("lidx", "corpus")
+
+    from pyspark.sql import functions as F
+
+    ghost = spark.createDataFrame(
+        [("deliberately orphaned line", 9999)], "t string, owner long"
+    ).select(
+        F.current_timestamp().alias("added_at"),
+        F.conv(F.substring(F.md5("t"), 1, 14), 16, 10)
+        .cast("bigint").alias("lhp"),
+        F.md5("t").alias("lh"),
+        "owner",
+    )
+    LI.register_new_lines(c, "lidx", ghost)
+    assert not c.verify_index("corpus", "lidx")["ok"]
+
+    # pre-repair, the orphan row strips the line from future batches
+    out, _ = c.dedup_lines_incremental(
+        "lidx",
+        spark.createDataFrame(
+            [(50, "deliberately orphaned line")],
+            "doc_id long, text string",
+        ),
+        update_index=False,
+    )
+    assert out.collect()[0]["text"] == ""
+
+    fix = c.repair_index("corpus", "lidx")
+    assert fix["n_removed"] == 1
+    assert c.verify_index("corpus", "lidx", deep=True)["ok"]
+
+    # post-repair the line flows again (no stored doc owns it)
+    out, _ = c.dedup_lines_incremental(
+        "lidx",
+        spark.createDataFrame(
+            [(51, "deliberately orphaned line")],
+            "doc_id long, text string",
+        ),
+        update_index=False,
+    )
+    assert out.collect()[0]["text"] == "deliberately orphaned line"
+
+
+def test_vector_repair_heals_drift(test_collection, spark):
+    import numpy as np
+
+    c = test_collection
+    rng = np.random.RandomState(11)
+    vecs = pd.DataFrame({
+        "vec_id": range(16),
+        "embedding": [rng.rand(8).astype("float32").tolist()
+                      for _ in range(16)],
+    })
+    c.write("vecs", vecs, index_col="vec_id")
+    c.build_vector_index("vidx", "vecs", vec_col="embedding",
+                         id_col="vec_id", n_cells=2)
+
+    extra = vecs.copy()
+    extra["vec_id"] = extra["vec_id"] + 100
+    c.append("vecs", extra)
+    assert not c.verify_index("vecs", "vidx")["ok"]
+    fix = c.repair_index("vecs", "vidx")
+    assert fix["n_reindexed"] == 16
+    assert c.verify_index("vecs", "vidx")["ok"]
+
+    # stale direction: shrink the corpus, repair drops the ids
+    c.write("vecs", vecs, index_col="vec_id", overwrite=True)
+    fix = c.repair_index("vecs", "vidx")
+    assert fix["n_removed"] == 16
+    assert c.verify_index("vecs", "vidx")["ok"]
