@@ -95,6 +95,16 @@ class AsyncCollection:
             self.collection.analyze_incremental, item, **kwargs
         )
 
+    async def verify_index(self, item: str, index_item: str, **kwargs):
+        return await self._run(
+            self.collection.verify_index, item, index_item, **kwargs
+        )
+
+    async def repair_index(self, item: str, index_item: str, **kwargs):
+        return await self._run(
+            self.collection.repair_index, item, index_item, **kwargs
+        )
+
     def close(self) -> None:
         if self._owns_pool:
             self._pool.shutdown(wait=False)

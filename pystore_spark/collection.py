@@ -2062,10 +2062,15 @@ class Collection:
         vx = meta.get("_vector_index")
         if vx:
             idc = vx["id_col"]
-            corpus_ids = self.item(item).data.select(idc).distinct()
+            # checkpoint both id frames: each feeds two joins plus a
+            # count — left lazy, every action replays the full scans
+            corpus_ids = (
+                self.item(item).data.select(idc).distinct()
+                .localCheckpoint(eager=True)
+            )
             idx_ids = DI._union_tiers(
                 self, index_item, f"{index_item}__delta", [idc]
-            ).distinct()
+            ).distinct().localCheckpoint(eager=True)
             n_missing = corpus_ids.join(
                 idx_ids, idc, "left_anti"
             ).count()
@@ -2129,6 +2134,8 @@ class Collection:
             n_stale = stale.count()
             rewritten: list[str] = []
             if n_stale:
+                from pystore_spark.streaming import COMMITS_KEY
+
                 for name, icol, zmap, sidecar in (
                     (index_item, "cell", ["cell"],
                      {"_vector_index": vx}),
@@ -2136,6 +2143,13 @@ class Collection:
                 ):
                     if not self.item_exists(name):
                         continue
+                    markers = (
+                        self.get_item_metadata(name) or {}
+                    ).get(COMMITS_KEY)
+                    if markers:
+                        sidecar = dict(sidecar or {}) | {
+                            COMMITS_KEY: markers
+                        }
                     frame = self.item(name).data
                     kept = frame.join(
                         stale, idc, "left_anti"
@@ -2320,10 +2334,20 @@ class Collection:
 
                 meta_di = DI._index_meta(self, dedup_index)
                 idc = meta_di["id_col"]
+                meta_li = LI._index_meta(self, line_index)
+                if meta_li["id_col"] != idc:
+                    raise ValueError(
+                        f"line index {line_index!r} (id_col="
+                        f"{meta_li['id_col']!r}) and dedup index "
+                        f"{dedup_index!r} (id_col={idc!r}) must key "
+                        "on the same id column to be combined in one "
+                        "ingest"
+                    )
                 incoming, _, _, _ = self._prepare_input(curated)
                 n_probe_in, dropped_ids, _feats, _cd = DI._probe_report(
                     self, dedup_index, meta_di, incoming,
                     within_batch=within_batch,
+                    exclude_batch_ids=data_committed,
                 )
                 survivors = (
                     curated.filter(~F.col(idc).isin(dropped_ids))
@@ -2335,8 +2359,10 @@ class Collection:
                     if dropped_ids
                     else kept_lines
                 )
-                final_df, pending_lines = LI.finalize_batch_lines(
-                    self, line_index, survivors, surv_lines
+                final_df, pending_lines, n_hot = (
+                    LI.finalize_batch_lines(
+                        self, line_index, survivors, surv_lines
+                    )
                 )
                 line_report["n_new_lines"] = pending_lines.count()
                 n_kept = n_probe_in - len(dropped_ids)
@@ -2354,13 +2380,36 @@ class Collection:
                             )
                     # survivors are indexed from their FINAL stored
                     # text: batch ownership may have stripped shared
-                    # lines, and the index must mirror storage (the
-                    # rebuild paths re-derive from the item)
-                    DI._index_delta_append(
-                        self, meta_di,
-                        DI._compute_features(self, meta_di, final_df),
-                        marker=replay_marker,
+                    # lines, and the index must mirror storage. When
+                    # nothing was stripped (n_hot == 0, the common
+                    # case) the probe-frame features ARE the final
+                    # features — reuse them instead of re-hashing;
+                    # and when both tier markers are already current
+                    # (clean replay) skip the feature job entirely.
+                    tiers_current = replay_marker is not None and all(
+                        DI._marker_current(self, n, replay_marker)
+                        for n in (
+                            meta_di["bands_delta"],
+                            meta_di["docs_delta"],
+                        )
                     )
+                    if not tiers_current:
+                        if n_hot == 0:
+                            feats_final = (
+                                _feats.filter(
+                                    ~F.col(idc).isin(dropped_ids)
+                                )
+                                if dropped_ids
+                                else _feats
+                            )
+                        else:
+                            feats_final = DI._compute_features(
+                                self, meta_di, final_df
+                            )
+                        DI._index_delta_append(
+                            self, meta_di, feats_final,
+                            marker=replay_marker,
+                        )
                 rep = {
                     "n_incoming": n_probe_in,
                     "n_dropped": len(dropped_ids),

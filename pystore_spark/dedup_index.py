@@ -273,11 +273,18 @@ def _compute_features(col, meta, incoming: DataFrame) -> DataFrame:
 
 
 def _probe_ids(
-    col, index_item: str, meta: dict, feats: DataFrame, thr: float
+    col, index_item: str, meta: dict, feats: DataFrame, thr: float,
+    exclude_old: DataFrame | None = None,
 ) -> list:
     """Drop set as a sorted driver list (probe output is batch-
     bounded by construction). O(new + touched index files); the
-    corpus item is never read."""
+    corpus item is never read. ``exclude_old`` (a one-column id
+    frame) removes candidates whose STORED side is one of those ids —
+    the replay-repair path passes the batch's own ids so a probe
+    re-run after the index appends landed reproduces the original
+    run's drop set (the original probe saw none of the batch in the
+    index; without the exclusion, intra-batch near-dup survivors
+    would drop each other on replay)."""
     id_col = meta["id_col"]
     new_bands = explode_bands(feats, id_col).select(
         "bkey", "band", F.col(id_col).alias("_new_id")
@@ -317,6 +324,13 @@ def _probe_ids(
         .select("_new_id", "_old_id")
         .distinct()
     )
+    if exclude_old is not None:
+        excl = exclude_old.select(
+            F.col(exclude_old.columns[0]).alias("_old_id")
+        )
+        cand_plan = cand_plan.join(
+            F.broadcast(excl), on="_old_id", how="left_anti"
+        )
     _capture("candidates", cand_plan)
     cand = cand_plan.localCheckpoint(eager=True)
     # verification: exact Jaccard over persisted shingle-hash sets,
@@ -382,18 +396,10 @@ def _marker_current(col, name: str, marker: tuple | None) -> bool:
     documents permanently un-indexed."""
     if marker is None:
         return False
-    from pystore_spark.streaming import COMMITS_KEY
+    from pystore_spark.streaming import _last_applied
 
     key, bid = marker
-    if not col.item_exists(name):
-        return False
-    commits = dict(
-        (col.get_item_metadata(name, use_cache=False) or {}).get(
-            COMMITS_KEY
-        )
-        or {}
-    )
-    return int(commits.get(key, -1)) >= int(bid)
+    return _last_applied(col, name, key) >= int(bid)
 
 
 def _marker_sidecar(marker: tuple | None) -> dict | None:
@@ -407,6 +413,7 @@ def _marker_sidecar(marker: tuple | None) -> dict | None:
 def _probe_report(
     col, index_item: str, meta: dict, incoming: DataFrame,
     within_batch: bool = False,
+    exclude_batch_ids: bool = False,
 ) -> tuple[int, list, DataFrame, list]:
     """The probe phase of :func:`append_with_dedup`, append-free:
     optional within-batch near-dedup, feature computation, corpus
@@ -414,7 +421,10 @@ def _probe_report(
     — doc counts in id space (a batch with duplicate ids would
     otherwise report phantom appends); ``feats`` are the materialized
     features of the within-batch survivors. Also the probe half of
-    ``Collection.ingest``'s decomposed line-index + dedup-index path."""
+    ``Collection.ingest``'s decomposed line-index + dedup-index path.
+
+    ``exclude_batch_ids=True`` (replay repair) removes candidates
+    whose stored side is the batch itself — see :func:`_probe_ids`."""
     from pystore_spark.functions.dedup import near_dedup
 
     id_col, text_col = meta["id_col"], meta["text_col"]
@@ -439,7 +449,10 @@ def _probe_report(
     if n_probe == 0:
         return n_in, sorted(dropped), feats, []
     corpus_drop = _probe_ids(
-        col, index_item, meta, feats, meta["threshold"]
+        col, index_item, meta, feats, meta["threshold"],
+        exclude_old=incoming.select(id_col).distinct()
+        if exclude_batch_ids
+        else None,
     )
     dropped.update(corpus_drop)
     return n_in, sorted(dropped), feats, corpus_drop
@@ -472,11 +485,13 @@ def append_with_dedup(
     append with its own exactly-once marker (streaming sinks);
     ``data_committed=True`` is the REPLAY-REPAIR mode: the data commit
     already landed (its marker said so), so the append is skipped, but
-    the probe re-runs — deterministically, against index tiers the
-    crashed run never updated — and any index append whose marker is
-    behind is re-applied. Without it a crash between the data commit
-    and the index appends would leave the batch's documents
-    permanently invisible to future probes."""
+    the probe re-runs — deterministically: candidates whose STORED
+    side is the batch itself are excluded, so index rows the crashed
+    run DID manage to append cannot change the drop set (the original
+    probe saw none of the batch in the index) — and any index append
+    whose marker is behind is re-applied. Without it a crash between
+    the data commit and the index appends would leave the batch's
+    documents permanently invisible to future probes."""
     import pandas as pd
 
     meta = _index_meta(col, index_item)
@@ -496,7 +511,8 @@ def append_with_dedup(
     # item's own index/merge semantics apply untouched
     incoming, _, _, _ = col._prepare_input(data)
     n_in, dropped_ids, feats, corpus_drop = _probe_report(
-        col, index_item, meta, incoming, within_batch
+        col, index_item, meta, incoming, within_batch,
+        exclude_batch_ids=data_committed,
     )
     n_kept = n_in - len(dropped_ids)
     if n_kept:
@@ -857,6 +873,8 @@ def repair_index(col, item: str, index_item: str) -> dict:
     Serialize with concurrent appenders (CollectionLock or the
     maintain() window): the tier rewrites are whole-item replaces.
     Returns ``{n_reindexed, n_removed, tiers_rewritten}``."""
+    from pystore_spark.streaming import COMMITS_KEY
+
     meta = _index_meta(col, index_item)
     id_col = meta["id_col"]
     corpus_ids = (
@@ -870,39 +888,30 @@ def repair_index(col, item: str, index_item: str) -> dict:
         col, index_item, meta["bands_delta"], [id_col]
     ).distinct().localCheckpoint(eager=True)
 
-    # --- re-index missing docs (in corpus, absent from docs tier) ---
-    missing = (
-        corpus_ids.join(docs_ids, id_col, "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    n_missing = missing.count()
-    n_reindexed = 0
-    if n_missing:
-        if n_missing <= MAX_PUSHDOWN_KEYS:
-            # driver-bounded drift: in-filter prunes corpus FILES via
-            # the manifest zonemap before any text is read
-            mids = sorted(r[id_col] for r in missing.collect())
-            src = col.item(
-                item, filters=[(id_col, "in", mids)]
-            ).data
-        else:
-            # mass drift (e.g. a large out-of-band backfill): stay
-            # distributed — semi-join instead of a driver id list
-            src = col.item(item).data.join(
-                missing, id_col, "left_semi"
-            )
-        feats = _compute_features(col, meta, src)
-        n_reindexed = feats.count()
-        if n_reindexed:
-            _index_delta_append(col, meta, feats)
-
-    # --- drop stale (indexed, not in corpus) + tier-skew ids --------
+    # id algebra, all from the SAME pre-repair snapshots:
+    #   stale         — indexed, not in corpus → drop everywhere
+    #   skew          — in exactly one tier; in-corpus skew is
+    #                   *partial* indexing → drop the partial rows AND
+    #                   re-index fresh; out-of-corpus skew is stale
+    #   missing       — in corpus, in no docs tier → re-index
+    # DROP runs before RE-INDEX: the rewrites read the live tiers, so
+    # appending first would delete the rows just added for ids that
+    # are simultaneously missing and band-skewed (the exact
+    # crash-between-tier-appends drift this function targets).
     stale = docs_ids.join(corpus_ids, id_col, "left_anti")
     skew = bands_ids.join(docs_ids, id_col, "left_anti").unionByName(
         docs_ids.join(bands_ids, id_col, "left_anti")
-    )
+    ).distinct().localCheckpoint(eager=True)
     bad = stale.unionByName(skew).distinct().localCheckpoint(eager=True)
     n_bad = bad.count()
+    reindex = (
+        corpus_ids.join(docs_ids, id_col, "left_anti")
+        .unionByName(skew.join(corpus_ids, id_col, "left_semi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_reindex = reindex.count()
+
     rewritten: list[str] = []
     if n_bad:
         tiers = (
@@ -923,6 +932,14 @@ def repair_index(col, item: str, index_item: str) -> dict:
             n_kept = kept.count()
             if n_kept == frame.count():
                 continue  # this tier held none of the bad ids
+            # a delta rewrite must carry the tier's streaming replay
+            # markers forward — losing them would make a replayed
+            # batch re-append rows the rewrite kept (dup index rows)
+            markers = (
+                (col.get_item_metadata(name) or {}).get(COMMITS_KEY)
+            )
+            if markers:
+                sidecar = dict(sidecar or {}) | {COMMITS_KEY: markers}
             if n_kept == 0:
                 # never write an empty frame (a zero-file item poisons
                 # later reads). An emptied DELTA tier just disappears
@@ -945,6 +962,27 @@ def repair_index(col, item: str, index_item: str) -> dict:
                     sidecar_extra=sidecar,
                 )
             rewritten.append(name)
+
+    # --- re-index AFTER the drops: missing + in-corpus-skew docs ----
+    n_reindexed = 0
+    if n_reindex:
+        if n_reindex <= MAX_PUSHDOWN_KEYS:
+            # driver-bounded drift: in-filter prunes corpus FILES via
+            # the manifest zonemap before any text is read
+            mids = sorted(r[id_col] for r in reindex.collect())
+            src = col.item(
+                item, filters=[(id_col, "in", mids)]
+            ).data
+        else:
+            # mass drift (e.g. a large out-of-band backfill): stay
+            # distributed — semi-join instead of a driver id list
+            src = col.item(item).data.join(
+                reindex, id_col, "left_semi"
+            )
+        feats = _compute_features(col, meta, src)
+        n_reindexed = feats.count()
+        if n_reindexed:
+            _index_delta_append(col, meta, feats)
     return {
         "n_reindexed": int(n_reindexed),
         "n_removed": int(n_bad),

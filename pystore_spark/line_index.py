@@ -224,9 +224,11 @@ def finalize_batch_lines(
     given docs' surviving lines, rebuild their text, and build the
     registration census. ``df`` / ``kept_lines`` must already be
     restricted to the docs that will actually be stored (probe
-    survivors in the ingest path). Returns ``(final_df, new_census)``,
-    both checkpointed; the census owner is the minimum surviving id —
-    exactly the doc that retains each shared line."""
+    survivors in the ingest path). Returns ``(final_df, new_census,
+    n_hot)`` — frames checkpointed, ``n_hot`` the count of batch-
+    shared lines this phase stripped (0 ⇒ the text is unchanged from
+    phase 1); the census owner is the minimum surviving id — exactly
+    the doc that retains each shared line."""
     meta = _index_meta(col, index_item)
     id_col, text_col = meta["id_col"], meta["text_col"]
     claims = kept_lines.filter(F.col("_lh").isNotNull())
@@ -237,7 +239,13 @@ def finalize_batch_lines(
             F.min(id_col).alias("_owner"),
         )
         .filter(F.col("_nd") >= min_docs)
+        .localCheckpoint(eager=True)
     )
+    # batch-bounded count, returned so callers can tell whether any
+    # text actually changed in this phase: when 0, the final text
+    # equals the phase-1 output for every doc, and e.g. ingest can
+    # reuse the probe-frame features instead of re-hashing survivors
+    n_hot = hot.count()
     tagged = kept_lines.join(hot, "_lh", "left")
     final_kept = tagged.filter(
         F.col("_nd").isNull() | (F.col(id_col) == F.col("_owner"))
@@ -256,7 +264,7 @@ def finalize_batch_lines(
         )
         .localCheckpoint(eager=True)
     )
-    return final_df, new_census
+    return final_df, new_census, n_hot
 
 
 def dedup_lines_incremental(
@@ -287,7 +295,7 @@ def dedup_lines_incremental(
     materialized (eager localCheckpoint) because several downstream
     actions consume them."""
     kept_lines, report = strip_corpus_lines(col, index_item, df)
-    out, new_census = finalize_batch_lines(
+    out, new_census, _ = finalize_batch_lines(
         col, index_item, df, kept_lines
     )
     report["n_new_lines"] = new_census.count()
@@ -311,20 +319,44 @@ def register_new_lines(
     crashed before registering is repaired."""
     from pystore_spark import dedup_index as DI
 
+    from pystore_spark import utils
+
     meta = _index_meta(col, index_item)
     delta = meta["delta_item"]
     if DI._marker_current(col, delta, marker):
         return
+    sidecar = DI._marker_sidecar(marker)
     # an all-known-lines batch yields an empty census; writing it
     # through the Spark time-partitioned path would commit a delta
     # item with ZERO parquet files, and every later read of that
-    # husk item fails — skip instead (nothing to register anyway)
+    # husk item fails — skip the write, but still advance the replay
+    # marker when the delta exists so a replayed empty registration
+    # stays on the sinks' metadata-only fast path
     if new_census.isEmpty():
+        if sidecar and col.item_exists(delta):
+            key, bid = marker
+
+            def stamp(m: dict) -> dict:
+                from pystore_spark.streaming import COMMITS_KEY
+
+                commits = dict(m.get(COMMITS_KEY) or {})
+                commits[key] = max(int(commits.get(key, -1)), int(bid))
+                m[COMMITS_KEY] = commits
+                return m
+
+            utils.update_metadata_cas(col._item_path(delta), stamp)
+            col.clear_metadata_cache(delta)
         return
     if col.item_exists(delta):
-        col.append(delta, new_census, duplicate_handling="keep_all")
+        col.append(
+            delta, new_census, duplicate_handling="keep_all",
+            sidecar_extra=sidecar,
+        )
     else:
-        col.write(delta, new_census, index_col="added_at")
+        col.write(
+            delta, new_census, index_col="added_at",
+            sidecar_extra=sidecar,
+        )
 
 
 def refresh_line_index(col, index_item: str) -> dict:
@@ -390,10 +422,16 @@ def verify_index(
     Read-only; repair is ``build_line_index(overwrite=True)``."""
     meta = _index_meta(col, index_item)
     id_col, text_col = meta["id_col"], meta["text_col"]
-    census = _union_tiers_lines(col, index_item, meta)
+    # checkpoint: census feeds the orphan join, its count, and (deep)
+    # the ghost join; corpus ids feed one or two joins — left lazy,
+    # every action replays the full scans
+    census = _union_tiers_lines(col, index_item, meta).localCheckpoint(
+        eager=True
+    )
     corpus_ids = (
         col.item(item).data.select(F.col(id_col).alias("owner"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     orphans = census.join(corpus_ids, "owner", "left_anti")
     orows = orphans.limit(sample + 1).collect()
@@ -456,6 +494,8 @@ def repair_index(col, item: str, index_item: str) -> dict:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pystore_spark.streaming import COMMITS_KEY
+
     removed = 0
     rewritten: list[str] = []
     for name, icol, zmap, sidecar in (
@@ -464,6 +504,12 @@ def repair_index(col, item: str, index_item: str) -> dict:
     ):
         if not col.item_exists(name):
             continue
+        # a delta rewrite must carry the streaming replay markers
+        # forward — losing them would make a replayed batch re-append
+        # census rows the rewrite kept
+        markers = (col.get_item_metadata(name) or {}).get(COMMITS_KEY)
+        if markers:
+            sidecar = dict(sidecar or {}) | {COMMITS_KEY: markers}
         frame = DI._read_frame(col, name)
         kept = frame.join(
             corpus_owners, "owner", "left_semi"

@@ -2502,6 +2502,88 @@ def incremental_line_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "index_audit_probe",
+    # oracle = the CONSTRUCTED truth of the audit/repair lifecycle:
+    # phase 1 writes ⅔ of docs and indexes them (pre_indexed), ⅓
+    # arrives out-of-band (un-indexed) until repair_index re-indexes
+    # exactly the drift (post_indexed: everyone); phase 2 rewrites the
+    # corpus without the %7 ids and repair drops exactly those from
+    # the tiers (final_indexed). The engine side reads each phase's
+    # answer from the ACTUAL index tiers — any drift in
+    # verify/repair's id algebra breaks hash equality.
+    sql="""
+    SELECT doc_id,
+      (doc_id % 3) != 2 AS pre_indexed,
+      TRUE AS post_indexed,
+      (doc_id % 7) != 0 AS final_indexed
+    FROM documents
+    """,
+    tags=("dedup", "storage", "incremental", "audit"),
+)
+def index_audit_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end index fsck + repair through REAL storage: build the
+    dedup index over ⅔ of `documents`, land the remaining ⅓ via an
+    OUT-OF-BAND plain append (the drift class verify_index reports as
+    `missing` — those docs are invisible to probes), repair
+    (re-indexing reads only the drift ids, zonemap-pruned), then
+    shrink the corpus and repair again (stale ids dropped by tier
+    rewrites). Each phase's per-doc indexed-ness is read back from the
+    actual docs tier (base ∪ delta)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+    from pystore_spark import dedup_index as DI
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    all_ids = sorted(
+        r["doc_id"] for r in doc.select("doc_id").collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="ps_audit_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("audit_probe_store", spark=spark).collection("c")
+        col.write(
+            "corpus", doc.filter(F.col("doc_id") % 3 != 2),
+            index_col="doc_id",
+        )
+        col.build_dedup_index("cidx", "corpus")
+        col.append("corpus", doc.filter(F.col("doc_id") % 3 == 2))
+        meta = DI._index_meta(col, "cidx")
+
+        def indexed_ids() -> set:
+            return {
+                r["doc_id"]
+                for r in DI._union_tiers(
+                    col, meta["docs_item"], meta["docs_delta"],
+                    ["doc_id"],
+                ).distinct().collect()
+            }
+
+        pre = indexed_ids()
+        assert not col.verify_index("corpus", "cidx")["ok"]
+        col.repair_index("corpus", "cidx")
+        post = indexed_ids()
+        col.write(
+            "corpus", doc.filter(F.col("doc_id") % 7 != 0),
+            index_col="doc_id", overwrite=True,
+        )
+        col.repair_index("corpus", "cidx")
+        final = indexed_ids()
+        assert col.verify_index("corpus", "cidx")["ok"]
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(i), i in pre, i in post, i in final) for i in all_ids],
+        "doc_id bigint, pre_indexed boolean, post_indexed boolean, "
+        "final_indexed boolean",
+    )
+
+
+@register(
     "gopher_quality_flags",
     sql=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -3044,6 +3126,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # quality_classifier_scores sit in the driver window above)
     "shard_manifest", "mixture_plan", "encoding_quality_flags",
     "incremental_line_probe",
+    # round-5 continuation: the verify_index/repair_index fsck
+    # lifecycle, oracle-checked through real storage like the two
+    # incremental probes above
+    "index_audit_probe",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -529,3 +529,77 @@ def test_curated_sink_replay_repairs_crashed_line_registration(
     }
     assert novel not in stored[200]
     assert "later doc line" in stored[200]
+
+
+def test_replay_probe_ignores_batch_own_index_rows(
+    spark, test_collection, monkeypatch
+):
+    """Review finding: a replay after the index appends landed (crash
+    before the line-census registration) used to re-run the probe
+    against tiers now CONTAINING the batch — intra-batch near-dup
+    survivors dropped each other, and the later doc's novel lines
+    never registered. The repair probe now excludes candidates whose
+    stored side is the batch itself, reproducing the original run's
+    drop set exactly."""
+    import pandas as pd
+    import pytest
+
+    import pystore_spark.line_index as LI
+    from pystore_spark.streaming import curated_ingest_sink
+
+    c = test_collection
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away today while the sun shines over the quiet valley "
+    )
+    docs = pd.DataFrame({
+        "doc_id": range(3),
+        "text": [base + f"tail {i} " + "filler words here " * 3
+                 for i in range(3)],
+    })
+    c.write("pdocs", docs, index_col="doc_id")
+    c.build_dedup_index("pdx", "pdocs")
+    c.build_line_index("plx", "pdocs")
+    sink = curated_ingest_sink(
+        c, "pdocs", dedup_index="pdx", line_index="plx",
+        index_col="doc_id",
+    )
+
+    # X (100) and Y (101) near-duplicate EACH OTHER but nothing
+    # stored; with within_batch=False both survive the corpus probe
+    novel = (
+        "fresh prose about adaptive query execution and catalyst "
+        "optimizer internals with plenty of distinctive words"
+    )
+    y_line = "line that only doc one hundred one carries"
+    b0 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [novel, novel + "\n" + y_line],
+    }))
+
+    orig = LI.register_new_lines
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before registering")
+
+    monkeypatch.setattr(LI, "register_new_lines", boom)
+    with pytest.raises(RuntimeError):
+        sink(b0, 0)
+    monkeypatch.setattr(LI, "register_new_lines", orig)
+    # both docs committed + indexed; census registration crashed
+    ids = {r["doc_id"]
+           for r in c.item("pdocs").data.select("doc_id").collect()}
+    assert {100, 101} <= ids
+
+    sink(b0, 0)  # replay repair: must NOT drop 101 against 100
+    assert c.item("pdocs").data.count() == 5  # nothing re-appended
+
+    # Y's unique line registered: a later batch loses it
+    out, _ = c.dedup_lines_incremental(
+        "plx",
+        spark.createDataFrame(
+            [(200, y_line)], "doc_id long, text string"
+        ),
+        update_index=False,
+    )
+    assert out.collect()[0]["text"] == ""

@@ -306,3 +306,34 @@ def test_vector_repair_heals_drift(test_collection, spark):
     fix = c.repair_index("vecs", "vidx")
     assert fix["n_removed"] == 16
     assert c.verify_index("vecs", "vidx")["ok"]
+
+
+def test_repair_converges_on_in_corpus_tier_skew(
+    test_collection, spark
+):
+    """Review finding: repair used to re-index a missing/band-skewed
+    doc and then DELETE the rows it just appended (the drop set was
+    computed from pre-reindex snapshots but applied to fresh tiers).
+    Drops now run before re-indexing, so ONE repair pass converges on
+    the exact crash-between-tier-appends drift the feature targets."""
+    c = test_collection
+    c.write("corpus", _docs(range(6)), index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+    meta = DI._index_meta(c, "cidx")
+
+    # simulate the crash shape: doc 5 present in the bands tier but
+    # absent from the docs tier (its verification rows never landed)
+    docs_base = DI._read_frame(c, meta["docs_item"])
+    c.write(
+        meta["docs_item"],
+        docs_base.filter("doc_id != 5"),
+        index_col="doc_id", zonemap=["doc_id"], overwrite=True,
+        sidecar_extra={DI.META_KEY + "_role": "docs"},
+    )
+    rep = c.verify_index("corpus", "cidx")
+    assert rep["n_missing"] == 1 and rep["n_tier_skew"] == 1
+
+    fix = c.repair_index("corpus", "cidx")
+    assert fix["n_reindexed"] == 1
+    # ONE pass heals it — the old order needed two
+    assert c.verify_index("corpus", "cidx")["ok"]
