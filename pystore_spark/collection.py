@@ -477,6 +477,7 @@ class Collection:
     def _commit_staged(
         self, item: str, write_fn, sidecar: dict, scope: str,
         expect_files: dict[str, tuple[str, ...]] | None = None,
+        drop_buckets: set[str] | None = None,
     ) -> None:
         """The manifest commit protocol shared by every writer:
 
@@ -554,7 +555,7 @@ class Collection:
                 if scope == "buckets":
                     touched_now = {
                         PurePosixPath(s).parent.as_posix() for s in staged
-                    }
+                    } | set(drop_buckets or ())
                     drift = [
                         b
                         for b in sorted(touched_now)
@@ -577,7 +578,7 @@ class Collection:
             if scope == "buckets":
                 touched = {
                     PurePosixPath(s).parent.as_posix() for s in staged
-                }
+                } | set(drop_buckets or ())
                 replaced = [
                     f
                     for f in old_files
@@ -943,6 +944,7 @@ class Collection:
     def _install_buckets(
         self, item: str, write_fn, sidecar: dict,
         expect_files: dict[str, tuple[str, ...]] | None = None,
+        drop_buckets: set[str] | None = None,
     ) -> None:
         """Bucket-scoped commit: ``write_fn(tmp_dir)`` writes the
         merged replacement buckets (hive ``_pb=...`` dirs); the
@@ -950,10 +952,14 @@ class Collection:
         buckets, keeping every untouched bucket's pointers — work and
         commit size proportional to the touched time range, not the
         item. ``expect_files`` is the observed-state guard (see
-        ``_commit_staged``)."""
+        ``_commit_staged``). ``drop_buckets`` names bucket dirs whose
+        pointers are removed WITHOUT replacement files — the delete
+        path's way to empty a bucket (touched buckets are otherwise
+        derived from the staged files, so a bucket that stages
+        nothing would keep its old pointers)."""
         self._commit_staged(
             item, write_fn, sidecar, scope="buckets",
-            expect_files=expect_files,
+            expect_files=expect_files, drop_buckets=drop_buckets,
         )
 
     def sql(
@@ -1069,6 +1075,269 @@ class Collection:
             mf.gc_item(self.path, name, retention=retention)
             for name in names
         )
+
+    # ------------------------------------------------------------------
+    # row-level delete / retention (beyond-reference; Delta-style
+    # DELETE re-expressed on the manifest protocol)
+    # ------------------------------------------------------------------
+    def delete_where(self, item: str, filters: Sequence) -> dict:
+        """Row-level DELETE: remove the rows matching the tuple-DNF
+        predicate (same language as read filters). Scale shape:
+
+        * candidate files prune on the DRIVER via the manifest (_pb
+          bucket terms derived from index predicates + the per-file
+          zonemap) before any I/O;
+        * only buckets actually CONTAINING matching rows are re-read
+          and rewritten — untouched buckets keep their file pointers;
+        * a bucket whose every row matches is dropped from the
+          manifest without writing anything;
+        * the commit is the same observed-state-guarded bucket swap as
+          append (3 retries on a concurrent commit), so readers see
+          pre- or post-delete, never partial.
+
+        Size-layout items take a whole-item rewrite. Deleting every
+        row of an item raises — use :meth:`delete_item`. Derived state
+        (rollups, dedup/line/vector indexes) goes stale by design:
+        refresh rollups and run :meth:`verify_index` /
+        :meth:`repair_index` afterwards. Returns ``{n_deleted,
+        buckets_rewritten, buckets_dropped}``."""
+        from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
+        from pystore_spark.filters import filters_to_column
+        from pystore_spark.item import _prune_tuples
+
+        if not filters:
+            raise ValueError(
+                "delete_where requires a non-empty predicate; use "
+                "delete_item to drop the whole item"
+            )
+        pred = F.coalesce(filters_to_column(filters), F.lit(False))
+        last_exc: Exception | None = None
+        for attempt in range(3):
+            try:
+                return self._delete_where_once(
+                    item, filters, pred, mf, _prune_tuples
+                )
+            except ConcurrentCommitError as exc:
+                last_exc = exc
+        raise last_exc  # pragma: no cover — loop always returns/raises
+
+    def _delete_where_once(
+        self, item: str, filters: Sequence, pred, mf, _prune_tuples
+    ) -> dict:
+        from pathlib import PurePosixPath
+
+        it = self.item(item)
+        man, plan = it._manifest, it._plan
+        sidecar = dict(it.metadata or {})
+        raw = it.raw_frame()
+        time_scoped = (
+            plan is not None
+            and plan.kind == "time"
+            and PARTITION_COL in raw.columns
+            and man is not None
+        )
+        idx0 = it._index_cols[0]
+        if not time_scoped:
+            # size layout / legacy: whole-item rewrite (these items
+            # are small by construction — the planner only picks the
+            # size layout under the partition target)
+            kept = raw.filter(~pred).localCheckpoint(eager=True)
+            n_del = raw.count() - kept.count()
+            if n_del == 0:
+                return {"n_deleted": 0, "buckets_rewritten": [],
+                        "buckets_dropped": []}
+            if kept.isEmpty():
+                raise StorageError(
+                    f"delete_where would remove every row of {item!r}"
+                    " — use delete_item"
+                )
+            shaped = apply_layout(kept, plan, index_col=idx0, small=True)
+            self._atomic_install(
+                item,
+                lambda tmp: self._write_df(shaped, str(tmp), plan),
+                sidecar,
+                expect_files=mf.bucket_file_map(man)
+                if man is not None
+                else None,
+            )
+            self.clear_metadata_cache(item)
+            return {"n_deleted": int(n_del), "buckets_rewritten": [],
+                    "buckets_dropped": []}
+
+        # ---- time layout: bucket-scoped ---------------------------
+        aug = _prune_tuples(filters, plan.freq, it._index_cols) or filters
+        cand_files = mf.prune_files(
+            man.get("files") or [], aug, stats=man.get("stats")
+        )
+        cand_buckets = sorted(
+            {PurePosixPath(f).parent.as_posix() for f in cand_files}
+        )
+        cand_bvals = [
+            b.split("=", 1)[1] for b in cand_buckets if "=" in b
+        ]
+        subset = raw.filter(F.col(PARTITION_COL).isin(cand_bvals))
+        # buckets that actually hold matching rows — the rewrite scope
+        del_bvals = sorted(
+            r[PARTITION_COL]
+            for r in subset.filter(pred)
+            .select(PARTITION_COL)
+            .distinct()
+            .collect()
+        )
+        if not del_bvals:
+            return {"n_deleted": 0, "buckets_rewritten": [],
+                    "buckets_dropped": []}
+        touched = subset.filter(
+            F.col(PARTITION_COL).isin(del_bvals)
+        ).localCheckpoint(eager=True)
+        kept = touched.filter(~pred).localCheckpoint(eager=True)
+        n_del = touched.count() - kept.count()
+        kept_bvals = {
+            r[PARTITION_COL]
+            for r in kept.select(PARTITION_COL).distinct().collect()
+        }
+        drop_dirs = {
+            f"{PARTITION_COL}={b}"
+            for b in del_bvals
+            if b not in kept_bvals
+        }
+        if not kept_bvals:
+            # every touched bucket empties — refuse to empty the ITEM
+            # (a zero-file manifest poisons later reads; that intent
+            # is delete_item)
+            all_dirs = {
+                PurePosixPath(f).parent.as_posix()
+                for f in (man.get("files") or [])
+            }
+            if not (all_dirs - drop_dirs):
+                raise StorageError(
+                    f"delete_where would remove every row of {item!r}"
+                    " — use delete_item"
+                )
+        shaped = apply_layout(
+            kept.drop(PARTITION_COL), plan, index_col=idx0,
+            small=mf.item_bytes(
+                self._item_path(item), buckets=set(del_bvals)
+            ) <= config.PARTITION_TARGET_BYTES,
+        )
+
+        def write_fn(tmp):
+            if kept_bvals:
+                self._write_df(shaped, str(tmp), plan)
+
+        self._install_buckets(
+            item, write_fn, sidecar,
+            expect_files=mf.bucket_file_map(man),
+            drop_buckets=drop_dirs or None,
+        )
+        self.clear_metadata_cache(item)
+        return {
+            "n_deleted": int(n_del),
+            "buckets_rewritten": sorted(kept_bvals),
+            "buckets_dropped": sorted(
+                d.split("=", 1)[1] for d in drop_dirs
+            ),
+        }
+
+    def delete_range(
+        self,
+        item: str,
+        before: Any = None,
+        after: Any = None,
+    ) -> dict:
+        """Retention DELETE on the index: remove rows strictly before
+        ``before`` and/or strictly after ``after``. For time-layout
+        items, buckets whose label lies entirely inside the deleted
+        range are dropped as a pure MANIFEST edit — no read, no write,
+        O(files) driver work (the 100 TB retention operation) — and
+        only the boundary bucket(s) take the row-level rewrite via
+        :meth:`delete_where`."""
+        from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
+        from pystore_spark.partition import bucket_value
+
+        if before is None and after is None:
+            raise ValueError("delete_range needs before= and/or after=")
+        it = self.item(item)
+        plan = it._plan
+        idx0 = it._index_cols[0]
+        flt: list = []
+        if before is not None:
+            flt.append((idx0, "<", before))
+        if after is not None:
+            flt.append((idx0, ">", after))
+        filters = flt if len(flt) == 1 else [[t] for t in flt]
+
+        dropped_total: list[str] = []
+        if (
+            plan is not None
+            and plan.kind == "time"
+            and it._manifest is not None
+        ):
+            from pathlib import PurePosixPath
+
+            for attempt in range(3):
+                it = self.item(item)
+                man = it._manifest
+                sidecar = dict(it.metadata or {})
+                # whole buckets strictly inside the deleted range:
+                # bucket labels are lexicographically time-ordered, so
+                # label < label(before) ⇒ every row < before (and
+                # symmetrically for after)
+                lo = (
+                    bucket_value(plan.freq, before)
+                    if before is not None
+                    else None
+                )
+                hi = (
+                    bucket_value(plan.freq, after)
+                    if after is not None
+                    else None
+                )
+                whole: set[str] = set()
+                for f in man.get("files") or []:
+                    d = PurePosixPath(f).parent.as_posix()
+                    if "=" not in d:
+                        continue
+                    label = d.split("=", 1)[1]
+                    if (lo is not None and label < lo) or (
+                        hi is not None and label > hi
+                    ):
+                        whole.add(d)
+                if not whole:
+                    break
+                all_dirs = {
+                    PurePosixPath(f).parent.as_posix()
+                    for f in man.get("files") or []
+                }
+                if not (all_dirs - whole):
+                    raise StorageError(
+                        f"delete_range would remove every row of "
+                        f"{item!r} — use delete_item"
+                    )
+                try:
+                    self._install_buckets(
+                        item,
+                        lambda tmp: None,  # metadata-only commit
+                        sidecar,
+                        expect_files=mf.bucket_file_map(man),
+                        drop_buckets=whole,
+                    )
+                    dropped_total = sorted(
+                        d.split("=", 1)[1] for d in whole
+                    )
+                    self.clear_metadata_cache(item)
+                    break
+                except ConcurrentCommitError:
+                    if attempt == 2:
+                        raise
+        # boundary buckets (and non-time layouts): row-level pass
+        rep = self.delete_where(item, filters)
+        rep["buckets_dropped"] = sorted(
+            set(rep["buckets_dropped"]) | set(dropped_total)
+        )
+        return rep
 
     # ------------------------------------------------------------------
     # chunked / streaming append (reference: pystore/collection.py:677-751)

@@ -1,0 +1,167 @@
+"""Row-level DELETE / retention (Collection.delete_where /
+delete_range) — Delta-style deletes re-expressed on the manifest
+protocol: candidate buckets prune on the driver, only buckets holding
+matching rows rewrite, whole in-range buckets drop as a pure manifest
+edit, and readers see pre- or post-delete, never partial."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pystore_spark import manifest as mf
+from pystore_spark import utils
+
+
+def _frame(n, start="2023-01-01", freq="min"):
+    return pd.DataFrame(
+        {
+            "v": np.arange(n, dtype="float64"),
+            "w": np.arange(n, dtype="float64") * 2.0,
+        },
+        index=pd.date_range(start, periods=n, freq=freq),
+    )
+
+
+def _buckets(item_path):
+    man = utils.read_manifest(item_path)
+    return sorted(
+        {
+            b
+            for b in (mf._bucket_of(rel) for rel in man["files"])
+            if b is not None
+        }
+    )
+
+
+def test_delete_where_rewrites_only_matching_buckets(test_collection):
+    c = test_collection
+    # ~90k minute rows over 3 months → time layout, monthly buckets
+    c.write("d", _frame(90_000))
+    item_path = c._item_path("d")
+    man_before = utils.read_manifest(item_path)
+    assert _buckets(item_path) == ["2023-01", "2023-02", "2023-03"]
+
+    # predicate touches ONLY February rows
+    rep = c.delete_where(
+        "d",
+        [
+            ("index", ">=", pd.Timestamp("2023-02-10")),
+            ("index", "<", pd.Timestamp("2023-02-12")),
+        ],
+    )
+    assert rep["n_deleted"] == 2 * 24 * 60
+    assert rep["buckets_rewritten"] == ["2023-02"]
+    assert rep["buckets_dropped"] == []
+
+    # untouched buckets keep their EXACT file pointers
+    man_after = utils.read_manifest(item_path)
+    before_map = mf.bucket_file_map(man_before)
+    after_map = mf.bucket_file_map(man_after)
+    for b in ("_pb=2023-01", "_pb=2023-03"):
+        assert before_map[b] == after_map[b]
+    assert before_map["_pb=2023-02"] != after_map["_pb=2023-02"]
+
+    out = c.item("d").to_pandas()
+    assert len(out) == 90_000 - rep["n_deleted"]
+    assert out.loc["2023-02-10":"2023-02-11 23:59"].empty
+    assert not out.loc["2023-02-09"].empty
+    # second run: nothing left to delete
+    rep2 = c.delete_where(
+        "d",
+        [
+            ("index", ">=", pd.Timestamp("2023-02-10")),
+            ("index", "<", pd.Timestamp("2023-02-12")),
+        ],
+    )
+    assert rep2["n_deleted"] == 0
+
+
+def test_delete_where_drops_fully_matching_bucket(test_collection):
+    c = test_collection
+    c.write("d", _frame(90_000))
+    rep = c.delete_where(
+        "d",
+        [
+            ("index", ">=", pd.Timestamp("2023-02-01")),
+            ("index", "<", pd.Timestamp("2023-03-01")),
+        ],
+    )
+    assert rep["buckets_dropped"] == ["2023-02"]
+    assert rep["buckets_rewritten"] == []
+    assert _buckets(c._item_path("d")) == ["2023-01", "2023-03"]
+    out = c.item("d").to_pandas()
+    assert out.loc["2023-02"].empty
+    assert len(out) == 90_000 - rep["n_deleted"]
+
+
+def test_delete_where_non_index_predicate(test_collection):
+    c = test_collection
+    c.write("d", _frame(90_000))
+    rep = c.delete_where("d", [("v", "<", 100.0)])
+    assert rep["n_deleted"] == 100
+    out = c.item("d").to_pandas()
+    assert float(out["v"].min()) == 100.0
+
+
+def test_delete_range_drops_whole_buckets_metadata_only(
+    test_collection,
+):
+    c = test_collection
+    c.write("d", _frame(90_000))
+    item_path = c._item_path("d")
+    man_before = utils.read_manifest(item_path)
+    feb_files = mf.bucket_file_map(man_before)["_pb=2023-02"]
+
+    cutoff = pd.Timestamp("2023-02-15")
+    rep = c.delete_range("d", before=cutoff)
+    # January dropped without a rewrite; February (boundary) rewritten
+    assert "2023-01" in rep["buckets_dropped"]
+    assert rep["buckets_rewritten"] == ["2023-02"]
+    out = c.item("d").to_pandas()
+    assert out.index.min() == cutoff
+    # the dropped bucket's files moved to the stale map, not deleted
+    man_after = utils.read_manifest(item_path)
+    live = set(man_after["files"])
+    assert not any(f.startswith("_pb=2023-01/") for f in live)
+    assert feb_files[0] not in live  # boundary bucket replaced
+
+    # filtered reads agree with the retention cut
+    again = c.item(
+        "d", filters=[("index", "<", pd.Timestamp("2023-02-20"))]
+    ).to_pandas()
+    assert again.index.min() == cutoff
+
+
+def test_delete_everything_refused(test_collection):
+    from pystore_spark.exceptions import StorageError
+
+    c = test_collection
+    c.write("d", _frame(90_000))
+    with pytest.raises(StorageError, match="use delete_item"):
+        c.delete_range("d", before=pd.Timestamp("2024-01-01"))
+    with pytest.raises(StorageError, match="use delete_item"):
+        c.delete_where("d", [("v", ">=", 0.0)])
+    # the refused operations left the item intact
+    assert c.item("d").data.count() == 90_000
+
+
+def test_delete_where_size_layout_item(test_collection):
+    c = test_collection
+    c.write("small", _frame(500))
+    rep = c.delete_where("small", [("v", "<", 50.0)])
+    assert rep["n_deleted"] == 50
+    assert len(c.item("small").to_pandas()) == 450
+
+
+def test_delete_then_time_travel_still_sees_old_rows(test_collection):
+    """Deleted rows stay readable through version time travel until
+    vacuum — the retention window contract."""
+    c = test_collection
+    c.write("d", _frame(90_000))
+    v_before = utils.read_manifest(c._item_path("d"))["version"]
+    c.delete_where("d", [("v", "<", 1000.0)])
+    old = c.item("d", version=v_before).to_pandas()
+    assert len(old) == 90_000
+    assert len(c.item("d").to_pandas()) == 89_000
