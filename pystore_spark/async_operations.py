@@ -95,6 +95,16 @@ class AsyncCollection:
             self.collection.analyze_incremental, item, **kwargs
         )
 
+    async def delete_where(self, item: str, filters, **kwargs):
+        return await self._run(
+            self.collection.delete_where, item, filters, **kwargs
+        )
+
+    async def delete_range(self, item: str, **kwargs):
+        return await self._run(
+            self.collection.delete_range, item, **kwargs
+        )
+
     async def verify_index(self, item: str, index_item: str, **kwargs):
         return await self._run(
             self.collection.verify_index, item, index_item, **kwargs

@@ -2907,6 +2907,7 @@ class Collection:
         refresh_dedup_indexes: bool = True,
         refresh_vector_indexes: bool = True,
         target_size_mb: int | None = None,
+        verify_indexes: bool = False,
     ) -> dict[str, dict]:
         """The nightly maintenance job, one call per item (or the
         whole collection): GC expired stale/orphan files
@@ -2917,6 +2918,13 @@ class Collection:
         restartable and commits through the same CAS manifest
         protocol, so a crash mid-maintenance never corrupts anything
         — rerunning is always safe. Returns per-item step results.
+
+        ``verify_indexes=True`` additionally runs the read-only
+        consistency audit (:meth:`verify_index`) for every index item
+        whose build recorded a ``source_item`` — the nightly fsck;
+        drift is REPORTED under ``verify``, never auto-repaired
+        (repair rewrites tiers and must be serialized with appenders
+        — run :meth:`repair_index` deliberately).
 
         Rollup items themselves are skipped as primary targets (their
         content is derived; they are refreshed via their base item)."""
@@ -2957,6 +2965,19 @@ class Collection:
                         )
                 except Exception as exc:
                     res["vector_index_error"] = str(exc)
+            if verify_indexes:
+                try:
+                    nm = self.get_item_metadata(n) or {}
+                    src = None
+                    for key in (
+                        "_dedup_index", "_line_index",
+                    ):
+                        if nm.get(key):
+                            src = nm[key].get("source_item")
+                    if src and self.item_exists(src):
+                        res["verify"] = self.verify_index(src, n)
+                except Exception as exc:
+                    res["verify_error"] = str(exc)
             if gc:
                 try:
                     res["gc_removed"] = self.recover_item(n)

@@ -337,3 +337,23 @@ def test_repair_converges_on_in_corpus_tier_skew(
     assert fix["n_reindexed"] == 1
     # ONE pass heals it — the old order needed two
     assert c.verify_index("corpus", "cidx")["ok"]
+
+
+def test_maintain_verify_indexes_reports_drift(test_collection):
+    """maintain(verify_indexes=True) runs the read-only fsck for every
+    index that recorded its source item — drift is REPORTED, never
+    auto-repaired (tier rewrites must be serialized deliberately)."""
+    c = test_collection
+    c.write("corpus", _docs(range(6)), index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+    res = c.maintain("cidx", verify_indexes=True, compact=False,
+                     refresh_stats=False, refresh_rollups=False)
+    assert res["cidx"]["verify"]["ok"]
+
+    c.append("corpus", _docs([50]))  # out-of-band drift
+    res = c.maintain("cidx", verify_indexes=True, compact=False,
+                     refresh_stats=False, refresh_rollups=False)
+    rep = res["cidx"]["verify"]
+    assert not rep["ok"] and rep["n_missing"] == 1
+    # reported, not repaired
+    assert not c.verify_index("corpus", "cidx")["ok"]
