@@ -165,3 +165,36 @@ def test_delete_then_time_travel_still_sees_old_rows(test_collection):
     old = c.item("d", version=v_before).to_pandas()
     assert len(old) == 90_000
     assert len(c.item("d").to_pandas()) == 89_000
+
+
+def test_delete_then_index_audit_and_repair(test_collection):
+    """Deletes make derived indexes stale BY DESIGN; the fsck reports
+    it and repair_index heals it — the documented lifecycle."""
+    import pandas as pd
+
+    c = test_collection
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away today while the sun shines over the quiet valley "
+    )
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [base + f"tail {i} " + "filler words here " * 3
+                 for i in range(8)],
+    })
+    c.write("corpus", docs, index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+
+    rep = c.delete_where("corpus", [("doc_id", ">=", 6)])
+    assert rep["n_deleted"] == 2
+    audit = c.verify_index("corpus", "cidx")
+    assert not audit["ok"] and audit["n_stale"] == 2
+
+    c.repair_index("corpus", "cidx")
+    assert c.verify_index("corpus", "cidx")["ok"]
+    # the deleted docs no longer shadow future near-dups of themselves
+    redup = pd.DataFrame({
+        "doc_id": [100],
+        "text": [docs.loc[7, "text"] + " extra"],
+    })
+    assert c.append_dedup("corpus", redup, "cidx")["n_dropped"] == 0
