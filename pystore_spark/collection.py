@@ -1101,39 +1101,43 @@ class Collection:
         refresh rollups and run :meth:`verify_index` /
         :meth:`repair_index` afterwards. Returns ``{n_deleted,
         buckets_rewritten, buckets_dropped}``."""
-        from pystore_spark import manifest as mf
         from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.filters import filters_to_column
-        from pystore_spark.item import _prune_tuples
 
-        if not filters:
+        raw_pred = filters_to_column(filters)
+        if not filters or raw_pred is None:
+            # `[[]]`-style truthy-but-empty DNF also lands here —
+            # filters_to_column yields no disjuncts for it
             raise ValueError(
                 "delete_where requires a non-empty predicate; use "
                 "delete_item to drop the whole item"
             )
-        pred = F.coalesce(filters_to_column(filters), F.lit(False))
+        pred = F.coalesce(raw_pred, F.lit(False))
         last_exc: Exception | None = None
         for attempt in range(3):
             try:
-                return self._delete_where_once(
-                    item, filters, pred, mf, _prune_tuples
-                )
+                return self._delete_where_once(item, filters, pred)
             except ConcurrentCommitError as exc:
                 last_exc = exc
         raise last_exc  # pragma: no cover — loop always returns/raises
 
     def _delete_where_once(
-        self, item: str, filters: Sequence, pred, mf, _prune_tuples
+        self, item: str, filters: Sequence, pred
     ) -> dict:
         from pathlib import PurePosixPath
 
+        from pystore_spark import manifest as mf
+        from pystore_spark.item import _prune_tuples
+
         it = self.item(item)
-        man, plan = it._manifest, it._plan
+        man = it._manifest
+        # legacy plan-less items fall back to the size layout exactly
+        # like the append path (collection.append's `or PartitionPlan`)
+        plan = it._plan or PartitionPlan("size", npartitions=1)
         sidecar = dict(it.metadata or {})
         raw = it.raw_frame()
         time_scoped = (
-            plan is not None
-            and plan.kind == "time"
+            plan.kind == "time"
             and PARTITION_COL in raw.columns
             and man is not None
         )
@@ -1176,26 +1180,36 @@ class Collection:
         cand_bvals = [
             b.split("=", 1)[1] for b in cand_buckets if "=" in b
         ]
-        subset = raw.filter(F.col(PARTITION_COL).isin(cand_bvals))
-        # buckets that actually hold matching rows — the rewrite scope
-        del_bvals = sorted(
-            r[PARTITION_COL]
-            for r in subset.filter(pred)
-            .select(PARTITION_COL)
-            .distinct()
+        # always compare the partition column AS STRING: hive column
+        # inference types yearly labels ('_pb=2023') as ints, which
+        # would break the string manifests/dir-name comparisons below
+        pb_str = F.col(PARTITION_COL).cast("string")
+        subset = raw.filter(pb_str.isin(cand_bvals))
+        # buckets that actually hold matching rows — the rewrite
+        # scope — and the deleted-row count, from ONE aggregation
+        # (no materialization of the pre-delete rows: the only frame
+        # checkpointed is `kept`, the rows actually rewritten)
+        del_rows = (
+            subset.filter(pred)
+            .groupBy(pb_str.alias("_pbs"))
+            .agg(F.count(F.lit(1)).alias("_n"))
             .collect()
         )
+        del_bvals = sorted(r["_pbs"] for r in del_rows)
+        n_del = sum(r["_n"] for r in del_rows)
         if not del_bvals:
             return {"n_deleted": 0, "buckets_rewritten": [],
                     "buckets_dropped": []}
-        touched = subset.filter(
-            F.col(PARTITION_COL).isin(del_bvals)
-        ).localCheckpoint(eager=True)
-        kept = touched.filter(~pred).localCheckpoint(eager=True)
-        n_del = touched.count() - kept.count()
+        kept = (
+            subset.filter(pb_str.isin(del_bvals))
+            .filter(~pred)
+            .localCheckpoint(eager=True)
+        )
         kept_bvals = {
-            r[PARTITION_COL]
-            for r in kept.select(PARTITION_COL).distinct().collect()
+            r["_pbs"]
+            for r in kept.select(pb_str.alias("_pbs"))
+            .distinct()
+            .collect()
         }
         drop_dirs = {
             f"{PARTITION_COL}={b}"
@@ -1269,7 +1283,24 @@ class Collection:
             flt.append((idx0, ">", after))
         filters = flt if len(flt) == 1 else [[t] for t in flt]
 
+        # UPFRONT refuse-to-empty, before ANY commit: delete_range is
+        # two commits (metadata drop, then the boundary rewrite), and
+        # discovering emptiness only at the second would leave the
+        # first permanently applied while the error claims refusal.
+        # One pruned limit(1) scan of the would-survive rows.
+        from pystore_spark.filters import filters_to_column
+
+        keep_cond = ~F.coalesce(
+            filters_to_column(filters), F.lit(False)
+        )
+        if it.data.filter(keep_cond).limit(1).isEmpty():
+            raise StorageError(
+                f"delete_range would remove every row of {item!r} — "
+                "use delete_item"
+            )
+
         dropped_total: list[str] = []
+        n_meta_rows: int | None = 0
         if (
             plan is not None
             and plan.kind == "time"
@@ -1307,15 +1338,17 @@ class Collection:
                         whole.add(d)
                 if not whole:
                     break
-                all_dirs = {
-                    PurePosixPath(f).parent.as_posix()
-                    for f in man.get("files") or []
-                }
-                if not (all_dirs - whole):
-                    raise StorageError(
-                        f"delete_range would remove every row of "
-                        f"{item!r} — use delete_item"
-                    )
+                # deleted-row accounting without reading data: sum the
+                # dropped files' parquet FOOTER row counts (O(files)
+                # driver work); None when a backend can't serve them
+                n_meta_rows = self._footer_row_count(
+                    item,
+                    [
+                        f
+                        for f in man.get("files") or []
+                        if PurePosixPath(f).parent.as_posix() in whole
+                    ],
+                )
                 try:
                     self._install_buckets(
                         item,
@@ -1337,7 +1370,30 @@ class Collection:
         rep["buckets_dropped"] = sorted(
             set(rep["buckets_dropped"]) | set(dropped_total)
         )
+        if n_meta_rows is None:
+            rep["n_deleted_metadata_unknown"] = True
+        else:
+            rep["n_deleted"] += n_meta_rows
         return rep
+
+    def _footer_row_count(
+        self, item: str, rel_files: list[str]
+    ) -> int | None:
+        """Sum the parquet footer ``num_rows`` of the given live files
+        — driver-side metadata reads, no data I/O. ``None`` when the
+        backend can't serve footers locally."""
+        import pyarrow.parquet as pq
+
+        item_path = self._item_path(item)
+        total = 0
+        for rel in rel_files:
+            try:
+                total += pq.ParquetFile(
+                    str(item_path / rel)
+                ).metadata.num_rows
+            except Exception:
+                return None
+        return total
 
     # ------------------------------------------------------------------
     # chunked / streaming append (reference: pystore/collection.py:677-751)
@@ -2009,6 +2065,11 @@ class Collection:
                     "n_cells": int(n_cells),
                     "centroids": cents,
                     "quantized": bool(quantize),
+                    # lets maintain(verify_indexes=True) pair the
+                    # index with its corpus for the nightly fsck
+                    "source_item": source
+                    if isinstance(source, str)
+                    else None,
                 }
             },
         )
@@ -2970,7 +3031,7 @@ class Collection:
                     nm = self.get_item_metadata(n) or {}
                     src = None
                     for key in (
-                        "_dedup_index", "_line_index",
+                        "_dedup_index", "_line_index", "_vector_index",
                     ):
                         if nm.get(key):
                             src = nm[key].get("source_item")

@@ -198,3 +198,40 @@ def test_delete_then_index_audit_and_repair(test_collection):
         "text": [docs.loc[7, "text"] + " extra"],
     })
     assert c.append_dedup("corpus", redup, "cidx")["n_dropped"] == 0
+
+
+def test_delete_range_refusal_is_atomic(test_collection):
+    """Review finding: a cutoff beyond the data's end whose bucket
+    label still matches the LAST bucket used to commit the metadata
+    drop first and only then discover the boundary rewrite would
+    empty the item — raising 'use delete_item' AFTER deleting 2/3 of
+    the data. The refuse-to-empty check now runs before ANY commit."""
+    from pystore_spark.exceptions import StorageError
+
+    c = test_collection
+    c.write("d", _frame(90_000))  # ends 2023-03-04 in bucket 2023-03
+    v0 = utils.read_manifest(c._item_path("d"))["version"]
+    with pytest.raises(StorageError, match="use delete_item"):
+        c.delete_range("d", before=pd.Timestamp("2023-03-05"))
+    # NOTHING committed: same manifest version, all buckets intact
+    assert utils.read_manifest(c._item_path("d"))["version"] == v0
+    assert c.item("d").data.count() == 90_000
+
+
+def test_delete_where_rejects_empty_dnf(test_collection):
+    c = test_collection
+    c.write("d", _frame(500))
+    with pytest.raises(ValueError, match="non-empty predicate"):
+        c.delete_where("d", [[]])
+    with pytest.raises(ValueError, match="non-empty predicate"):
+        c.delete_where("d", [])
+
+
+def test_delete_range_counts_metadata_dropped_rows(test_collection):
+    c = test_collection
+    c.write("d", _frame(90_000))
+    rep = c.delete_range("d", before=pd.Timestamp("2023-02-15"))
+    # n_deleted covers BOTH the metadata-only dropped buckets (footer
+    # row counts) and the boundary rewrite
+    assert rep["n_deleted"] == 90_000 - c.item("d").data.count()
+    assert "n_deleted_metadata_unknown" not in rep

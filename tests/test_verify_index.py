@@ -357,3 +357,26 @@ def test_maintain_verify_indexes_reports_drift(test_collection):
     assert not rep["ok"] and rep["n_missing"] == 1
     # reported, not repaired
     assert not c.verify_index("corpus", "cidx")["ok"]
+
+
+def test_maintain_verify_covers_vector_indexes(test_collection):
+    import numpy as np
+
+    c = test_collection
+    rng = np.random.RandomState(3)
+    vecs = pd.DataFrame({
+        "vec_id": range(12),
+        "embedding": [rng.rand(8).astype("float32").tolist()
+                      for _ in range(12)],
+    })
+    c.write("vecs", vecs, index_col="vec_id")
+    c.build_vector_index("vidx", "vecs", vec_col="embedding",
+                         id_col="vec_id", n_cells=2)
+    res = c.maintain("vidx", verify_indexes=True, compact=False,
+                     refresh_stats=False, refresh_rollups=False)
+    assert res["vidx"]["verify"]["ok"]
+    extra = vecs.copy(); extra["vec_id"] += 100
+    c.append("vecs", extra)
+    res = c.maintain("vidx", verify_indexes=True, compact=False,
+                     refresh_stats=False, refresh_rollups=False)
+    assert res["vidx"]["verify"]["n_missing"] == 12
