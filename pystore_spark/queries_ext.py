@@ -947,6 +947,49 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_lineitem_measures",
+    sql="""
+    SELECT measure,
+      COUNT(*) AS n,
+      CAST(ROUND(SUM(CAST(val AS DECIMAL(20,6))), 2) AS DOUBLE)
+        AS total
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'tax', l_tax FROM lineitem
+    ) GROUP BY measure
+    """,
+    tags=("reshape", "unpivot", "agg"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native ``unpivot`` (Spark's melt —
+    a generator projection, NO shuffle of its own; the only exchange
+    is the 4-key aggregation that follows). The metrics-pipeline
+    inverse of ``pivot_event_counts``; decimal-summed so the fold is
+    order-independent at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    long = li.unpivot(
+        [], ["quantity", "extendedprice", "discount", "tax"],
+        "measure", "val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("val").cast("decimal(20,6)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
     "event_seq_applyinpandas",
     sql="""
     SELECT user_id, event_id,
@@ -3128,8 +3171,9 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "incremental_line_probe",
     # round-5 continuation: the verify_index/repair_index fsck
     # lifecycle, oracle-checked through real storage like the two
-    # incremental probes above
+    # incremental probes above, plus the wide→long reshape operator
     "index_audit_probe",
+    "unpivot_lineitem_measures",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
