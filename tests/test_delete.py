@@ -235,3 +235,55 @@ def test_delete_range_counts_metadata_dropped_rows(test_collection):
     # row counts) and the boundary rewrite
     assert rep["n_deleted"] == 90_000 - c.item("d").data.count()
     assert "n_deleted_metadata_unknown" not in rep
+
+
+def test_delete_retries_when_append_lands_mid_delete(
+    test_collection, monkeypatch
+):
+    """The observed-state guard closes the delete's read-compute-commit
+    window: an append landing in a touched bucket between the delete's
+    manifest read and its commit fails the CAS; the retry recomputes
+    against the fresh manifest, so the appended rows survive and the
+    matching rows are gone — no lost update in either direction."""
+    import pystore_spark.collection as collection_mod
+
+    c = test_collection
+    c.write("d", _frame(90_000))
+
+    raced = {"done": False}
+    orig = collection_mod.Collection._install_buckets
+
+    def racing_install(self, item, write_fn, sidecar, **kw):
+        if not raced["done"] and item == "d" and kw.get("drop_buckets") is None:
+            raced["done"] = True
+            # sneak an append into February (a bucket the delete is
+            # rewriting) AFTER the delete computed its kept rows
+            extra = pd.DataFrame(
+                {"v": [111.0], "w": [222.0]},
+                index=pd.DatetimeIndex(["2023-02-20 00:00:30"]),
+            )
+            monkeypatch.undo()
+            c.append("d", extra)
+            monkeypatch.setattr(
+                collection_mod.Collection, "_install_buckets",
+                racing_install,
+            )
+        return orig(self, item, write_fn, sidecar, **kw)
+
+    monkeypatch.setattr(
+        collection_mod.Collection, "_install_buckets", racing_install
+    )
+    rep = c.delete_where(
+        "d",
+        [
+            ("index", ">=", pd.Timestamp("2023-02-10")),
+            ("index", "<", pd.Timestamp("2023-02-12")),
+        ],
+    )
+    monkeypatch.undo()
+    assert rep["n_deleted"] == 2 * 24 * 60
+    out = c.item("d").to_pandas()
+    # the raced append's row survived the delete's bucket rewrite
+    assert out.loc[pd.Timestamp("2023-02-20 00:00:30"), "v"] == 111.0
+    assert out.loc["2023-02-10":"2023-02-11 23:59"].empty
+    assert len(out) == 90_000 + 1 - rep["n_deleted"]
