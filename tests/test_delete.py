@@ -287,3 +287,37 @@ def test_delete_retries_when_append_lands_mid_delete(
     assert out.loc[pd.Timestamp("2023-02-20 00:00:30"), "v"] == 111.0
     assert out.loc["2023-02-10":"2023-02-11 23:59"].empty
     assert len(out) == 90_000 + 1 - rep["n_deleted"]
+
+
+def test_delete_crash_before_manifest_write_leaves_item_intact(
+    test_collection, monkeypatch
+):
+    """Crash-injection on the delete commit: dying after the bucket
+    files are staged but before the manifest replace leaves only
+    invisible staged files — the live view is untouched, and
+    recover_item GCs the orphans (after the grace window; forced here
+    with retention=0 semantics via gc_item)."""
+    from pystore_spark import utils as u
+
+    c = test_collection
+    c.write("d", _frame(90_000))
+    before = c.item("d").to_pandas()
+
+    orig = u.write_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before manifest write")
+
+    monkeypatch.setattr(u, "write_manifest", boom)
+    with pytest.raises(Exception, match="crash before manifest"):
+        c.delete_where("d", [("v", "<", 100.0)])
+    monkeypatch.undo()
+
+    # live view unchanged — readers resolve through the manifest
+    pd.testing.assert_frame_equal(
+        c.item("d").to_pandas(), before, check_freq=False
+    )
+    # and the delete succeeds cleanly afterwards
+    rep = c.delete_where("d", [("v", "<", 100.0)])
+    assert rep["n_deleted"] == 100
+    assert len(c.item("d").to_pandas()) == 89_900
