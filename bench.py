@@ -5,6 +5,12 @@
 Each query is fully materialized via the no-op sink (measures compute
 + scan, not driver collection). First a warmup pass on a small query
 amortizes JVM/codegen startup out of the numbers.
+
+Cross-round comparisons should use the SAME-RUN ``baseline`` field
+(the pandas single-node storage cycle measured in this process):
+absolute times drift 10-20% with host generation/boot (observed
+round 4 → 5: the pandas baseline itself moved +12% on an unchanged
+code path), while the Spark:pandas ratio is stable.
 """
 
 from __future__ import annotations

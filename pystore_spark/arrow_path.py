@@ -185,26 +185,30 @@ def bucket_labels(idx: pd.Series, freq: str) -> pd.Series:
 # ---------------------------------------------------------------------------
 # file writing
 # ---------------------------------------------------------------------------
-def _write_file(tbl: pa.Table, path: Path) -> None:
+def _write_file(
+    tbl: pa.Table, path: Path, compression: str = "snappy"
+) -> None:
     from pystore_spark.fs import fs_for
 
     fs = fs_for(path)
     fs.mkdirs(path.parent)
     with fs.open_write(path) as sink:
-        pq.write_table(tbl, sink, compression="snappy")
+        pq.write_table(tbl, sink, compression=compression)
 
 
-def _write_files(jobs: list[tuple[pa.Table, Path]]) -> None:
+def _write_files(
+    jobs: list[tuple[pa.Table, Path]], compression: str = "snappy"
+) -> None:
     """Write several parquet files concurrently — pyarrow releases the
     GIL during encode, so threads give near-linear speedup."""
     if len(jobs) <= 1:
         for t, p in jobs:
-            _write_file(t, p)
+            _write_file(t, p, compression)
         return
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as pool:
-        list(pool.map(lambda j: _write_file(j[0], j[1]), jobs))
+        list(pool.map(lambda j: _write_file(j[0], j[1], compression), jobs))
 
 
 def write_table_files(
@@ -237,21 +241,26 @@ def write_table_files(
                     tmp / f"{PARTITION_COL}={labels[s]}" / "part-00000.parquet",
                 )
                 for s, e in zip(starts, ends)
-            ]
+            ],
+            compression=plan.compression or "snappy",
         )
         return
     out = tbl.cast(storage_schema(tbl.schema))
     n = max(1, int(plan.npartitions))
     rows = out.num_rows
     if rows == 0 or n == 1:
-        _write_file(out, tmp / "part-00000.parquet")
+        _write_file(
+            out, tmp / "part-00000.parquet",
+            plan.compression or "snappy",
+        )
         return
     per = -(-rows // n)  # ceil
     _write_files(
         [
             (out.slice(start, per), tmp / f"part-{i:05d}.parquet")
             for i, start in enumerate(range(0, rows, per))
-        ]
+        ],
+        compression=plan.compression or "snappy",
     )
 
 
@@ -309,6 +318,7 @@ def try_write(
     npartitions: int | None,
     epochdate: bool,
     index_col: str | None,
+    compression: str | None = None,
 ) -> bool:
     """Driver-side write; True when fully handled. Any failure before
     filesystem mutation falls back (returns False)."""
@@ -320,6 +330,8 @@ def try_write(
         idx_cols = index_columns(pmeta)
         icol = idx_cols[0]
         plan = _plan_for_table(col, tbl, icol, npartitions)
+        if compression is not None:
+            plan.compression = compression
     except Exception:
         return False
 

@@ -384,6 +384,7 @@ class Collection:
         index_col: str | None = None,
         sidecar_extra: dict | None = None,
         zonemap: Sequence[str] | None = None,
+        compression: str | None = None,
         **kwargs: Any,
     ) -> None:
         item_path = self._item_path(item)
@@ -391,6 +392,16 @@ class Collection:
             raise ItemExistsError(
                 f"item {item!r} already exists; use overwrite=True to replace"
             )
+        if compression is not None:
+            # codecs both writers (Spark parquet + pyarrow) and every
+            # reader agree on; lz4 is excluded (parquet-mr LZ4 vs
+            # arrow LZ4_RAW framing incompatibility)
+            allowed = {"snappy", "zstd", "gzip", "none"}
+            if compression not in allowed:
+                raise ValueError(
+                    f"compression must be one of {sorted(allowed)}, "
+                    f"got {compression!r}"
+                )
         if validator is not None and isinstance(data, pd.DataFrame):
             validator.validate(data, raise_on_error=True)
 
@@ -412,7 +423,8 @@ class Collection:
         from pystore_spark import arrow_path
 
         if arrow_path.try_write(
-            self, item, data, metadata, npartitions, epochdate, index_col
+            self, item, data, metadata, npartitions, epochdate,
+            index_col, compression=compression,
         ):
             self.clear_metadata_cache(item)
             return
@@ -426,6 +438,10 @@ class Collection:
             df, index_col=idx_cols[0], npartitions=npartitions,
             nrows=nrows, index_minmax=minmax,
         )
+        if compression is not None:
+            # the codec rides the persisted plan, so appends, compact
+            # and delete rewrites keep it for the item's lifetime
+            plan.compression = compression
         from pystore_spark.partition import estimate_size_bytes
 
         est = estimate_size_bytes(df)
@@ -442,7 +458,9 @@ class Collection:
 
     def _write_df(self, df: DataFrame, path: str, plan: PartitionPlan) -> None:
         self._require_spark_fs("distributed parquet write")
-        writer = df.write.mode("overwrite").option("compression", "snappy")
+        writer = df.write.mode("overwrite").option(
+            "compression", plan.compression or "snappy"
+        )
         if plan.kind == "time":
             writer = writer.partitionBy(PARTITION_COL)
         writer.parquet(path)

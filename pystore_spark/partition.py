@@ -136,23 +136,43 @@ class PartitionPlan:
     """Resolved layout for one item write: either hive time buckets
     (freq in {Y,Q,M,D}) or N range partitions."""
 
-    def __init__(self, kind: str, freq: str | None = None, npartitions: int = 1):
+    def __init__(
+        self,
+        kind: str,
+        freq: str | None = None,
+        npartitions: int = 1,
+        compression: str | None = None,
+    ):
         self.kind = kind  # 'time' | 'size'
         self.freq = freq
         self.npartitions = npartitions
+        # parquet codec for this item's files; None → engine default
+        # (snappy). Riding on the plan — which persists in the sidecar
+        # and reaches every writer (Spark + Arrow paths, appends,
+        # compact, delete rewrites) — keeps the codec sticky for the
+        # item's lifetime without threading a parameter everywhere.
+        self.compression = compression
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "strategy": self.kind,
             "freq": self.freq,
             "npartitions": self.npartitions,
         }
+        if self.compression:
+            d["compression"] = self.compression
+        return d
 
     @classmethod
     def from_dict(cls, d: dict | None) -> "PartitionPlan | None":
         if not d:
             return None
-        return cls(d.get("strategy", "size"), d.get("freq"), d.get("npartitions", 1))
+        return cls(
+            d.get("strategy", "size"),
+            d.get("freq"),
+            d.get("npartitions", 1),
+            d.get("compression"),
+        )
 
 
 def plan_from_stats(

@@ -233,3 +233,53 @@ def test_store_sql_joins_across_collections(test_store):
     ).toPandas()
     assert len(out) == 50
     assert (out["notional"] == out["px"] * out["qty"]).all()
+
+
+def test_compression_codec_sticky_for_item_lifetime(test_collection):
+    """write(compression='zstd') rides the persisted partition plan,
+    so appends keep the codec without re-specifying it; both the
+    Arrow client read and the Spark read handle the files."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pystore_spark import utils
+
+    c = test_collection
+    pdf = pd.DataFrame(
+        {"v": np.arange(90_000, dtype="float64")},
+        index=pd.date_range("2023-01-01", periods=90_000, freq="min"),
+    )
+    c.write("z", pdf, compression="zstd")
+    item_path = c._item_path("z")
+    man = utils.read_manifest(item_path)
+    codecs = {
+        pq.ParquetFile(str(item_path / rel))
+        .metadata.row_group(0)
+        .column(0)
+        .compression.lower()
+        for rel in man["files"]
+    }
+    assert codecs == {"zstd"}
+
+    extra = pd.DataFrame(
+        {"v": [1.0]}, index=pd.DatetimeIndex(["2023-03-05"])
+    )
+    c.append("z", extra)
+    man = utils.read_manifest(item_path)
+    codecs = {
+        pq.ParquetFile(str(item_path / rel))
+        .metadata.row_group(0)
+        .column(0)
+        .compression.lower()
+        for rel in man["files"]
+    }
+    assert codecs == {"zstd"}
+    out = c.item("z").to_pandas()
+    assert len(out) == 90_001
+    assert len(c.item("z").to_pandas(engine="arrow")) == 90_001
+
+    import pytest
+
+    with pytest.raises(ValueError, match="compression must be"):
+        c.write("bad", pdf.head(5), compression="lz4")
