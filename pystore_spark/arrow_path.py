@@ -653,6 +653,8 @@ def try_append(
         if plan.kind == "time"
         else _plan_for_table(col, out, icol, npartitions)
     )
+    # re-derived plans inherit the item's codec (lifetime setting)
+    new_plan.compression = plan.compression
     sidecar["_partition_plan"] = new_plan.to_dict()
     col._atomic_install(
         item,

@@ -847,6 +847,9 @@ class Collection:
                 new_plan = plan_partitions(
                     merged, index_col=idx_cols[0], npartitions=npartitions
                 ) if plan.kind != "time" else plan
+                # re-derived plans must INHERIT the item's codec — it
+                # is a lifetime setting, not a per-write one
+                new_plan.compression = plan.compression
                 inc_est = estimate_size_bytes(incoming)
                 shaped = apply_layout(
                     merged, new_plan, index_col=idx_cols[0],
@@ -3159,6 +3162,9 @@ class Collection:
             # a linear rewrite destroys any previous z-order clustering;
             # leaving the key would claim pruning that no longer exists
             sidecar.pop("_zorder_columns", None)
+        # a layout rewrite must not reset the item's codec
+        if plan.compression is None and it._plan is not None:
+            plan.compression = it._plan.compression
         sidecar["_partition_plan"] = plan.to_dict()
         sidecar["_partitions"] = plan.npartitions
         sidecar["_partition_strategy"] = strategy
@@ -3281,7 +3287,8 @@ class Collection:
             .drop(PARTITION_COL)
         )
         cplan = PartitionPlan(
-            "time", freq=plan.freq, npartitions=needed_total
+            "time", freq=plan.freq, npartitions=needed_total,
+            compression=plan.compression,
         )
         shaped = apply_layout(
             df,

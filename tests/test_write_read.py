@@ -283,3 +283,53 @@ def test_compression_codec_sticky_for_item_lifetime(test_collection):
 
     with pytest.raises(ValueError, match="compression must be"):
         c.write("bad", pdf.head(5), compression="lz4")
+
+
+def test_compression_survives_replanning_paths(test_collection):
+    """Review finding: size-layout appends, compact and rebalance
+    re-derive a fresh plan — each must INHERIT the item's codec, not
+    silently reset it to snappy."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pystore_spark import utils
+
+    c = test_collection
+
+    def codecs(item):
+        ip = c._item_path(item)
+        man = utils.read_manifest(ip)
+        return {
+            pq.ParquetFile(str(ip / rel))
+            .metadata.row_group(0)
+            .column(0)
+            .compression.lower()
+            for rel in man["files"]
+        }
+
+    # size-layout item (non-time index) through the driver Arrow path
+    small = pd.DataFrame({"k": range(200), "v": range(200)})
+    c.write("s", small, index_col="k", compression="zstd")
+    assert codecs("s") == {"zstd"}
+    c.append("s", pd.DataFrame({"k": [500], "v": [1]}))
+    assert codecs("s") == {"zstd"}  # arrow size re-plan inherited
+
+    # whole-item Spark append path (size layout, forced via npartitions)
+    big = pd.DataFrame(
+        {"k": np.arange(60_000), "v": np.arange(60_000, dtype="f8")}
+    )
+    c.write("b", big, index_col="k", npartitions=4, compression="zstd")
+    c.append("b", pd.DataFrame({"k": [99_999], "v": [1.0]}))
+    assert codecs("b") == {"zstd"}
+
+    # compact + rebalance on a time-layout zstd item
+    ts = pd.DataFrame(
+        {"v": np.arange(90_000, dtype="f8")},
+        index=pd.date_range("2023-01-01", periods=90_000, freq="min"),
+    )
+    c.write("t", ts, compression="zstd")
+    c.compact("t")
+    assert codecs("t") == {"zstd"}
+    c.rebalance_partitions("t")
+    assert codecs("t") == {"zstd"}
