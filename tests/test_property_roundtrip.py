@@ -291,3 +291,72 @@ def test_spark_and_arrow_filters_agree(spark, filters):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got_spark, got_arrow)
+
+
+# -- delete_where vs pandas model -------------------------------------------
+@given(
+    st.integers(0, 2),          # predicate family
+    st.integers(5, 55),         # range start (days)
+    st.integers(5, 120),        # range width (days)
+    st.floats(0.1, 0.9),        # value threshold quantile
+)
+@settings(max_examples=6, deadline=None)
+def test_delete_where_matches_pandas_model(
+    spark_session_holder, fam, start_d, width_d, q
+):
+    """delete_where == pandas boolean-mask drop, for index ranges,
+    value thresholds, and OR-of-both — through real storage (time
+    layout, bucket-scoped rewrite path) including the refuse-to-empty
+    guard."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+    from pystore_spark.exceptions import StorageError
+
+    n = 12_000
+    pdf = pd.DataFrame(
+        {"v": np.arange(n, dtype="float64") % 997},
+        index=pd.date_range("2023-01-01", periods=n, freq="h"),
+    )
+    t0 = pd.Timestamp("2023-01-01") + pd.Timedelta(days=start_d)
+    t1 = t0 + pd.Timedelta(days=width_d)
+    thr = float(pdf["v"].quantile(q))
+    if fam == 0:
+        filters = [("index", ">=", t0), ("index", "<", t1)]
+        mask = (pdf.index >= t0) & (pdf.index < t1)
+    elif fam == 1:
+        filters = [("v", "<", thr)]
+        mask = pdf["v"] < thr
+    else:  # OR of the two groups
+        filters = [
+            [("index", ">=", t0), ("index", "<", t1)],
+            [("v", "<", thr)],
+        ]
+        mask = ((pdf.index >= t0) & (pdf.index < t1)) | (pdf["v"] < thr)
+    expected = pdf[~np.asarray(mask)]
+
+    tmp = tempfile.mkdtemp(prefix="ps_delete_prop_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        c = ps.store("p", spark=spark_session_holder).collection("c")
+        c.write("d", pdf)
+        if expected.empty:
+            with pytest.raises(StorageError, match="use delete_item"):
+                c.delete_where("d", filters)
+            return
+        rep = c.delete_where("d", filters)
+        assert rep["n_deleted"] == int(mask.sum())
+        got = c.item("d").to_pandas()
+        got.index.name = None  # unnamed input index round-trips as
+        # 'index' (the reference's storage convention)
+        pd.testing.assert_frame_equal(
+            got.sort_index(), expected.sort_index(), check_freq=False
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
