@@ -2238,6 +2238,78 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_drift_psi",
+    sql="""
+    WITH b AS (
+      SELECT LEAST(CAST(floor(n_chars / 200.0) AS BIGINT), 10)
+               AS bucket,
+             doc_id % 2 = 0 AS is_ref
+      FROM documents),
+    c AS (
+      SELECT bucket,
+        SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+        SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c_cur
+      FROM b GROUP BY bucket),
+    t AS (
+      SELECT bucket, c_ref, c_cur,
+        SUM(c_ref) OVER () AS n_ref,
+        SUM(c_cur) OVER () AS n_cur,
+        COUNT(*) OVER () AS nb
+      FROM c)
+    SELECT bucket,
+      CAST(c_ref AS BIGINT) AS n_ref_docs,
+      CAST(c_cur AS BIGINT) AS n_cur_docs,
+      ROUND(
+        ((c_ref + 1.0) / (n_ref + nb) - (c_cur + 1.0) / (n_cur + nb))
+        * ln(((c_ref + 1.0) / (n_ref + nb))
+             / ((c_cur + 1.0) / (n_cur + nb))),
+        6) AS psi_term
+    FROM t
+    """,
+    tags=("text", "reporting", "pipeline", "drift"),
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two corpus slices
+    (even vs odd ids standing in for yesterday-vs-today): doc lengths
+    bucketize (200-char bins, capped), each slice's add-one-smoothed
+    bucket proportions compare via the PSI term
+    ``(p-q)·ln(p/q)`` — the standard between-batch distribution-shift
+    monitor a daily ingest runs before committing (PSI > 0.2 ⇒
+    investigate). One tiny groupBy (≤11 buckets) + unbounded window
+    over that bucket frame — no data-scale shuffle; smoothing keeps
+    every term finite without epsilon constants that drift between
+    engines."""
+    from pyspark.sql import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    b = doc.select(
+        F.least(
+            F.floor(F.col("n_chars") / 200.0).cast("bigint"), F.lit(10)
+        ).alias("bucket"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
+    )
+    w = Window.partitionBy()
+    t = c.select(
+        "bucket", "c_ref", "c_cur",
+        F.sum("c_ref").over(w).alias("n_ref"),
+        F.sum("c_cur").over(w).alias("n_cur"),
+        F.count(F.lit(1)).over(w).alias("nb"),
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + F.col("nb"))
+    q = (F.col("c_cur") + 1.0) / (F.col("n_cur") + F.col("nb"))
+    return t.select(
+        "bucket",
+        F.col("c_ref").cast("bigint").alias("n_ref_docs"),
+        F.col("c_cur").cast("bigint").alias("n_cur_docs"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+@register(
     "curation_funnel",
     sql=f"""
     WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
@@ -3174,6 +3246,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # incremental probes above, plus the wide→long reshape operator
     "index_audit_probe",
     "unpivot_lineitem_measures",
+    # between-batch distribution-drift monitor (PSI)
+    "corpus_drift_psi",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
