@@ -77,6 +77,20 @@ class Store:
         utils.rm_tree(self.datastore / collection)
         return True
 
+    def maintain(
+        self, collections: list[str] | None = None, **kwargs
+    ) -> dict[str, dict]:
+        """Run :meth:`Collection.maintain` (GC, compaction, stats,
+        rollup/index refresh — and the index fsck with
+        ``verify_indexes=True``) over every collection of the store,
+        or the given subset. The whole-datastore nightly job in one
+        call; per-collection results keyed by collection name."""
+        names = collections or self.list_collections()
+        return {
+            name: self.collection(name).maintain(**kwargs)
+            for name in names
+        }
+
     def sql(self, query: str, collections: list[str] | None = None):
         """Spark SQL across collections: every item of every (or the
         given) collection registers as a temp view named

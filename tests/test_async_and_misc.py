@@ -241,3 +241,20 @@ def test_async_maintenance_surface(test_collection):
     assert stats["n_rows"] == 2_000
     assert comp["buckets_compacted"] >= 0
     assert "am" in maint and "gc_removed" in maint["am"]
+
+
+def test_store_maintain_runs_over_all_collections(test_store, spark):
+    import pandas as pd
+
+    a = test_store.collection("col_a")
+    b = test_store.collection("col_b")
+    a.write("x", pd.DataFrame({"v": [1.0, 2.0]},
+                              index=pd.DatetimeIndex(
+                                  ["2024-01-01", "2024-01-02"])))
+    b.write("y", pd.DataFrame({"v": [3.0]},
+                              index=pd.DatetimeIndex(["2024-01-01"])))
+    res = test_store.maintain(refresh_rollups=False)
+    assert set(res) >= {"col_a", "col_b"}
+    assert "x" in res["col_a"] and "y" in res["col_b"]
+    sub = test_store.maintain(collections=["col_a"])
+    assert set(sub) == {"col_a"}
