@@ -544,6 +544,19 @@ class Collection:
             utils.rm_tree(tmp)
             raise
         man, man_etag = utils.read_manifest_versioned(item_path)
+        if sidecar is None:
+            # metadata-PRESERVING commit (the delete paths): the
+            # caller changes only the file set, so the metadata is
+            # re-read at the commit point — concurrent sidecar updates
+            # that landed since the caller's snapshot (streaming
+            # replay markers, ingest totals) survive instead of being
+            # silently reverted by a stale copy. The etag CAS makes
+            # this read atomic with the install.
+            sidecar = (
+                dict(man.get("metadata") or {})
+                if man is not None
+                else dict(self.get_item_metadata(item, use_cache=False) or {})
+            )
         if man is not None and man.get("base"):
             utils.rm_tree(tmp)
             raise StorageError(
@@ -1155,7 +1168,11 @@ class Collection:
         # legacy plan-less items fall back to the size layout exactly
         # like the append path (collection.append's `or PartitionPlan`)
         plan = it._plan or PartitionPlan("size", npartitions=1)
-        sidecar = dict(it.metadata or {})
+        # sidecar=None → the commit re-reads metadata at the commit
+        # point (metadata-preserving): deletes change only files, and
+        # a stale snapshot here would revert concurrent streaming
+        # replay markers / ingest totals committed to OTHER buckets
+        sidecar = None
         raw = it.raw_frame()
         time_scoped = (
             plan.kind == "time"
@@ -1332,7 +1349,12 @@ class Collection:
             for attempt in range(3):
                 it = self.item(item)
                 man = it._manifest
-                sidecar = dict(it.metadata or {})
+                sidecar = None  # metadata-preserving commit
+                # per-attempt accounting: a CAS retry that finds the
+                # buckets already gone (a concurrent writer won) must
+                # not report the PREVIOUS attempt's footer-row sum as
+                # rows this call deleted
+                n_attempt_rows: int | None = 0
                 # whole buckets strictly inside the deleted range:
                 # bucket labels are lexicographically time-ordered, so
                 # label < label(before) ⇒ every row < before (and
@@ -1362,7 +1384,7 @@ class Collection:
                 # deleted-row accounting without reading data: sum the
                 # dropped files' parquet FOOTER row counts (O(files)
                 # driver work); None when a backend can't serve them
-                n_meta_rows = self._footer_row_count(
+                n_attempt_rows = self._footer_row_count(
                     item,
                     [
                         f
@@ -1381,6 +1403,7 @@ class Collection:
                     dropped_total = sorted(
                         d.split("=", 1)[1] for d in whole
                     )
+                    n_meta_rows = n_attempt_rows
                     self.clear_metadata_cache(item)
                     break
                 except ConcurrentCommitError:
@@ -2515,6 +2538,7 @@ class Collection:
                                 "rebuild with build_vector_index("
                                 "overwrite=True)"
                             )
+                        DI._preserve_delta_markers(self, name)
                         self.delete_item(name)
                     else:
                         self.write(

@@ -386,6 +386,54 @@ def probe(
     )
 
 
+#: base-item sidecar key holding replay markers of DELETED delta
+#: tiers: {delta_item_name: {sink_key: batch_id}}. A repair or fold
+#: that empties a delta must delete the item (a zero-file husk would
+#: poison reads) — folding its markers into the base first keeps the
+#: exactly-once guard answering, so a replayed batch does not
+#: re-append rows the repair/fold just removed.
+DELTA_COMMITS_KEY = "_delta_commits"
+
+
+def _delta_base(name: str) -> str:
+    """The surviving item that holds a deleted delta tier's fallback
+    markers: strip the delta suffix (``x__bands_delta``/
+    ``x__docs_delta`` → the index item ``x``; ``y__delta`` → ``y``)."""
+    for suf in ("__bands_delta", "__docs_delta", "__delta"):
+        if name.endswith(suf):
+            return name[: -len(suf)]
+    return name.rsplit("__", 1)[0]
+
+
+def _preserve_delta_markers(col, delta_name: str) -> None:
+    """Fold ``delta_name``'s replay markers into its base item's
+    sidecar (see DELTA_COMMITS_KEY) before the delta item is
+    deleted."""
+    from pystore_spark import utils
+    from pystore_spark.streaming import COMMITS_KEY
+
+    markers = (col.get_item_metadata(delta_name) or {}).get(
+        COMMITS_KEY
+    )
+    if not markers:
+        return
+    base = _delta_base(delta_name)
+    if not col.item_exists(base):
+        return
+
+    def fold(m: dict) -> dict:
+        dc = dict(m.get(DELTA_COMMITS_KEY) or {})
+        cur = dict(dc.get(delta_name) or {})
+        for k, v in markers.items():
+            cur[k] = max(int(cur.get(k, -1)), int(v))
+        dc[delta_name] = cur
+        m[DELTA_COMMITS_KEY] = dc
+        return m
+
+    utils.update_metadata_cas(col._item_path(base), fold)
+    col.clear_metadata_cache(base)
+
+
 def _marker_current(col, name: str, marker: tuple | None) -> bool:
     """True when delta item ``name``'s sidecar already records this
     ``(sink_key, batch_id)`` replay marker — the per-index-item
@@ -393,13 +441,25 @@ def _marker_current(col, name: str, marker: tuple | None) -> bool:
     landed in the corpus; each index append carries its OWN marker so
     a crash between the data commit and the index appends (or between
     the two index appends) is repairable on replay instead of leaving
-    documents permanently un-indexed."""
+    documents permanently un-indexed. Markers of a DELETED delta tier
+    answer from the base item's fallback map (DELTA_COMMITS_KEY)."""
     if marker is None:
         return False
     from pystore_spark.streaming import _last_applied
 
     key, bid = marker
-    return _last_applied(col, name, key) >= int(bid)
+    if col.item_exists(name) and _last_applied(
+        col, name, key
+    ) >= int(bid):
+        return True
+    base = _delta_base(name)
+    if not col.item_exists(base):
+        return False
+    dc = (
+        (col.get_item_metadata(base) or {}).get(DELTA_COMMITS_KEY)
+        or {}
+    ).get(name) or {}
+    return int(dc.get(key, -1)) >= int(bid)
 
 
 def _marker_sidecar(marker: tuple | None) -> dict | None:
@@ -643,15 +703,24 @@ def trim_delta(col, delta_item: str, pinned_it, id_col: str) -> None:
         # (CollectionLock is the documented serialization there): the
         # simple rewrite/delete is race-free in practice
         it_cur = col.item(delta_item)
+        from pystore_spark.streaming import COMMITS_KEY
+
+        keep_markers = (it_cur.metadata or {}).get(COMMITS_KEY)
         if set((it_cur._manifest or {}).get("files") or []) == set(
             (pinned_it._manifest or {}).get("files") or []
         ):
+            _preserve_delta_markers(col, delta_item)
             col.delete_item(delta_item)
             return
         late = _item_frame(col, it_cur).join(
             pinned_gens, on=[id_col, "added_at"], how="left_anti"
         )
-        col.write(delta_item, late, index_col="added_at", overwrite=True)
+        col.write(
+            delta_item, late, index_col="added_at", overwrite=True,
+            sidecar_extra={COMMITS_KEY: keep_markers}
+            if keep_markers
+            else None,
+        )
         return
     from pystore_spark.partition import PARTITION_COL
 
@@ -954,6 +1023,7 @@ def repair_index(col, item: str, index_item: str) -> dict:
                         "rebuild with build_dedup_index(overwrite"
                         "=True)"
                     )
+                _preserve_delta_markers(col, name)
                 col.delete_item(name)
             else:
                 col.write(

@@ -525,6 +525,7 @@ def repair_index(col, item: str, index_item: str) -> dict:
                     "no census owner exists in the corpus anymore; "
                     "rebuild with build_line_index(overwrite=True)"
                 )
+            DI._preserve_delta_markers(col, name)
             col.delete_item(name)  # empty delta: no zero-file husk
         else:
             col.write(

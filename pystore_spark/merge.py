@@ -70,26 +70,23 @@ def _warn_if_order_unreliable(df: DataFrame, context: str) -> None:
         # the analyzed plan prints top-down, so the FIRST match being
         # a GLOBAL Sort (global flag `true` on the node line) means
         # only order-preserving ops (Project/Filter) sit above a total
-        # sort. `sortWithinPartitions` prints global=false and falls
-        # through to the full warning: partition order remains a
-        # scheduling artifact.
+        # sort. A global sort pins the order of rows with DISTINCT
+        # sort keys — but the range-partitioning shuffle it implies
+        # still delivers rows TYING on the sort keys in scheduling
+        # order, and ties are exactly the duplicates keep-first/last
+        # must break when the sort key is the dedup key. So a sorted
+        # frame gets the narrower tie warning, never silence.
+        # `sortWithinPartitions` prints global=false and falls through
+        # to the full warning: partition order remains arbitrary.
         line = plan[m.start():].split("\n", 1)[0]
         if re.search(r"\],\s*true\b", line):
-            rest = _SHUFFLE_OPS.search(plan, m.end())
-            if rest is None:
-                # sorted driver-originated input: fully deterministic
-                return
-            # sorted on top of a shuffle (e.g. join→orderBy): rows
-            # TYING on the sort keys — exactly the duplicates a
-            # keep-first/last must break when the sort key is the
-            # dedup key — still arrive in scheduling order
             warnings.warn(
-                f"{context}: the input frame is globally sorted, but "
-                f"a {rest.group(1)} below the sort makes the order of "
-                "rows that TIE on the sort keys nondeterministic — "
-                "if duplicates can tie, pass order_col= with a "
-                "tiebreaking column to pin the keep-first/keep-last "
-                "winner.",
+                f"{context}: the input frame is globally sorted, "
+                "which pins input order only for rows with DISTINCT "
+                "sort keys — duplicates tying on them still arrive "
+                "in nondeterministic scheduling order. If ties are "
+                "possible, pass order_col= with a tiebreaking column "
+                "to pin the keep-first/keep-last winner.",
                 stacklevel=3,
             )
             return

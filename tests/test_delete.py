@@ -321,3 +321,47 @@ def test_delete_crash_before_manifest_write_leaves_item_intact(
     rep = c.delete_where("d", [("v", "<", 100.0)])
     assert rep["n_deleted"] == 100
     assert len(c.item("d").to_pandas()) == 89_900
+
+
+def test_delete_preserves_concurrent_metadata_updates(
+    test_collection, monkeypatch
+):
+    """Review finding: the delete used to commit a sidecar SNAPSHOT
+    taken before its Spark jobs ran, silently reverting metadata a
+    concurrent writer committed in the window (e.g. a streaming
+    sink's replay marker on an untouched bucket — breaking
+    exactly-once). Deletes are now metadata-preserving commits: the
+    sidecar is re-read at the commit point under the etag CAS."""
+    import pystore_spark.collection as collection_mod
+    from pystore_spark.streaming import COMMITS_KEY
+
+    c = test_collection
+    c.write("d", _frame(90_000))
+    raced = {"done": False}
+    orig = collection_mod.Collection._install_buckets
+
+    def hook(self, item, *a, **k):
+        if not raced["done"] and item == "d":
+            raced["done"] = True
+            # concurrent marker commit landing after the delete's
+            # metadata snapshot, before its manifest install
+
+            def stamp(m):
+                m[COMMITS_KEY] = {
+                    **(m.get(COMMITS_KEY) or {}), "s": 7,
+                }
+                return m
+
+            utils.update_metadata_cas(c._item_path("d"), stamp)
+        return orig(self, item, *a, **k)
+
+    monkeypatch.setattr(
+        collection_mod.Collection, "_install_buckets", hook
+    )
+    c.delete_where("d", [("v", "<", 100.0)])
+    monkeypatch.undo()
+    meta = c.get_item_metadata("d", use_cache=False)
+    assert (meta.get(COMMITS_KEY) or {}).get("s") == 7, (
+        "the concurrent replay marker was reverted by the delete"
+    )
+    assert c.item("d").data.count() == 89_900

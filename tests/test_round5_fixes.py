@@ -336,3 +336,26 @@ def test_append_dedup_sugar_threaded(test_collection):
     assert c.append("tcorp", inc, dedup_index="tcidx", threaded=True) is None
     c.wait_for_tasks()
     assert c.item("tcorp").data.count() == 5
+
+
+def test_sorted_input_gets_tie_warning_not_silence(spark):
+    """A globally orderBy'd frame pins order only for distinct sort
+    keys; duplicates tying on them still arrive in scheduling order —
+    the narrower tie warning fires instead of silence (and instead of
+    the alarmist 'arbitrary winner' one)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 1), (2, "c", 2)], ["k", "v", "ts"]
+    )
+    with pytest.warns(UserWarning, match="DISTINCT sort keys"):
+        merge.dedup_within(df.orderBy("ts"), ["k"], keep="last")
+
+
+def test_sort_within_partitions_gets_full_warning(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], ["k", "v", "ts"]
+    )
+    with pytest.warns(UserWarning, match="arbitrary"):
+        merge.dedup_within(
+            df.repartition(2).sortWithinPartitions("ts"),
+            ["k"], keep="last",
+        )

@@ -603,3 +603,54 @@ def test_replay_probe_ignores_batch_own_index_rows(
         update_index=False,
     )
     assert out.collect()[0]["text"] == ""
+
+
+def test_replay_markers_survive_delta_deletion_by_repair(
+    spark, test_collection
+):
+    """Review finding: repairing/folding away an EMPTIED delta tier
+    deletes the item — and used to delete its replay markers with it,
+    so a replayed batch re-appended index rows the repair had just
+    removed. Markers now fold into the base item's sidecar
+    (_delta_commits) before the delete, and _marker_current answers
+    from there."""
+    import pandas as pd
+
+    import pystore_spark.dedup_index as DI
+    from pystore_spark.streaming import dedup_merge_sink
+
+    c = test_collection
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away today while the sun shines over the quiet valley "
+    )
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": [base + f"tail {i} " + "filler words here " * 3
+                 for i in range(4)],
+    })
+    c.write("mdocs", docs, index_col="doc_id")
+    c.build_dedup_index("midx", "mdocs")
+    sink = dedup_merge_sink(c, "mdocs", "midx")
+    b0 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["entirely novel prose about catalyst and adaptive "
+                 "query execution with distinctive words"],
+    }))
+    sink(b0, 0)  # appended + indexed into the deltas, marker 0
+
+    # GDPR-style removal of doc 100 (metadata-preserving delete, so
+    # the stream's data marker survives) → its delta rows are stale
+    c.delete_where("mdocs", [("doc_id", "==", 100)])
+    fix = c.repair_index("mdocs", "midx")
+    meta = DI._index_meta(c, "midx")
+    # the emptied deltas were deleted, markers preserved via the base
+    assert not c.item_exists(meta["bands_delta"])
+    assert DI._marker_current(c, meta["bands_delta"], ("default", 0))
+    assert DI._marker_current(c, meta["docs_delta"], ("default", 0))
+
+    # replayed batch 0: clean-replay early exit — nothing re-appended,
+    # the stale rows repair removed do NOT come back
+    sink(b0, 0)
+    assert not c.item_exists(meta["bands_delta"])
+    assert c.verify_index("mdocs", "midx")["ok"]
