@@ -2508,45 +2508,19 @@ class Collection:
             n_stale = stale.count()
             rewritten: list[str] = []
             if n_stale:
-                from pystore_spark.streaming import COMMITS_KEY
-
-                for name, icol, zmap, sidecar in (
-                    (index_item, "cell", ["cell"],
-                     {"_vector_index": vx}),
-                    (delta, "added_at", None, None),
-                ):
-                    if not self.item_exists(name):
-                        continue
-                    markers = (
-                        self.get_item_metadata(name) or {}
-                    ).get(COMMITS_KEY)
-                    if markers:
-                        sidecar = dict(sidecar or {}) | {
-                            COMMITS_KEY: markers
-                        }
-                    frame = self.item(name).data
-                    kept = frame.join(
-                        stale, idc, "left_anti"
-                    ).localCheckpoint(eager=True)
-                    n_kept = kept.count()
-                    if n_kept == frame.count():
-                        continue
-                    if n_kept == 0:
-                        if name == index_item:
-                            raise StorageError(
-                                f"repair would empty {name!r}; "
-                                "rebuild with build_vector_index("
-                                "overwrite=True)"
-                            )
-                        DI._preserve_delta_markers(self, name)
-                        self.delete_item(name)
-                    else:
-                        self.write(
-                            name, kept, index_col=icol,
-                            zonemap=zmap, overwrite=True,
-                            sidecar_extra=sidecar,
-                        )
-                    rewritten.append(name)
+                rewritten = DI.rewrite_tiers_dropping(
+                    self,
+                    (
+                        (index_item, "cell", ["cell"],
+                         {"_vector_index": vx}),
+                        (delta, "added_at", None, None),
+                    ),
+                    stale, idc,
+                    base_items={index_item},
+                    rebuild_hint=(
+                        "build_vector_index(overwrite=True)"
+                    ),
+                )
             return {
                 "n_reindexed": int(n_missing),
                 "n_removed": int(n_stale),

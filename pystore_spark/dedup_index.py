@@ -434,6 +434,60 @@ def _preserve_delta_markers(col, delta_name: str) -> None:
     col.clear_metadata_cache(base)
 
 
+def rewrite_tiers_dropping(
+    col,
+    tiers,
+    bad: DataFrame,
+    join_col: str,
+    base_items: set[str],
+    rebuild_hint: str,
+) -> list[str]:
+    """The ONE stale-id tier-rewrite loop every index repair uses
+    (dedup, line, vector): for each ``(name, index_col, zonemap,
+    sidecar)`` tier, drop rows joining ``bad`` on ``join_col``,
+    carrying streaming replay markers forward. An emptied DELTA tier
+    is deleted (zero-file husks poison reads) with its markers folded
+    into the base item first; an emptied BASE tier raises with
+    ``rebuild_hint`` — that state is a rebuild, not a repair (and
+    deleting it would destroy the index's sidecar). Returns the list
+    of rewritten/deleted tier names."""
+    from pystore_spark.streaming import COMMITS_KEY
+
+    rewritten: list[str] = []
+    for name, icol, zmap, sidecar in tiers:
+        if not col.item_exists(name):
+            continue
+        frame = _read_frame(col, name)
+        kept = frame.join(
+            bad, join_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        n_kept = kept.count()
+        if n_kept == frame.count():
+            continue  # this tier held none of the bad ids
+        markers = (
+            (col.get_item_metadata(name) or {}).get(COMMITS_KEY)
+        )
+        if markers:
+            sidecar = dict(sidecar or {}) | {COMMITS_KEY: markers}
+        if n_kept == 0:
+            if name in base_items:
+                raise StorageError(
+                    f"repair would empty base tier {name!r} — the "
+                    f"index no longer matches the corpus at all; "
+                    f"rebuild with {rebuild_hint}"
+                )
+            _preserve_delta_markers(col, name)
+            col.delete_item(name)
+        else:
+            col.write(
+                name, kept, index_col=icol,
+                zonemap=zmap, overwrite=True,
+                sidecar_extra=sidecar,
+            )
+        rewritten.append(name)
+    return rewritten
+
+
 def _marker_current(col, name: str, marker: tuple | None) -> bool:
     """True when delta item ``name``'s sidecar already records this
     ``(sink_key, batch_id)`` replay marker — the per-index-item
@@ -942,8 +996,6 @@ def repair_index(col, item: str, index_item: str) -> dict:
     Serialize with concurrent appenders (CollectionLock or the
     maintain() window): the tier rewrites are whole-item replaces.
     Returns ``{n_reindexed, n_removed, tiers_rewritten}``."""
-    from pystore_spark.streaming import COMMITS_KEY
-
     meta = _index_meta(col, index_item)
     id_col = meta["id_col"]
     corpus_ids = (
@@ -983,55 +1035,19 @@ def repair_index(col, item: str, index_item: str) -> dict:
 
     rewritten: list[str] = []
     if n_bad:
-        tiers = (
-            (index_item, "bkey", ["bkey"],
-             {META_KEY: meta}),
-            (meta["docs_item"], id_col, [id_col],
-             {META_KEY + "_role": "docs"}),
-            (meta["bands_delta"], "added_at", None, None),
-            (meta["docs_delta"], "added_at", None, None),
+        rewritten = rewrite_tiers_dropping(
+            col,
+            (
+                (index_item, "bkey", ["bkey"], {META_KEY: meta}),
+                (meta["docs_item"], id_col, [id_col],
+                 {META_KEY + "_role": "docs"}),
+                (meta["bands_delta"], "added_at", None, None),
+                (meta["docs_delta"], "added_at", None, None),
+            ),
+            bad, id_col,
+            base_items={index_item, meta["docs_item"]},
+            rebuild_hint="build_dedup_index(overwrite=True)",
         )
-        for name, icol, zmap, sidecar in tiers:
-            if not col.item_exists(name):
-                continue
-            frame = _read_frame(col, name)
-            kept = frame.join(
-                bad, id_col, "left_anti"
-            ).localCheckpoint(eager=True)
-            n_kept = kept.count()
-            if n_kept == frame.count():
-                continue  # this tier held none of the bad ids
-            # a delta rewrite must carry the tier's streaming replay
-            # markers forward — losing them would make a replayed
-            # batch re-append rows the rewrite kept (dup index rows)
-            markers = (
-                (col.get_item_metadata(name) or {}).get(COMMITS_KEY)
-            )
-            if markers:
-                sidecar = dict(sidecar or {}) | {COMMITS_KEY: markers}
-            if n_kept == 0:
-                # never write an empty frame (a zero-file item poisons
-                # later reads). An emptied DELTA tier just disappears
-                # until the next append recreates it; an emptied BASE
-                # tier means the whole index content is bad — that is
-                # a rebuild, not a repair (deleting it would also
-                # destroy the META_KEY sidecar the index lives by).
-                if name in (index_item, meta["docs_item"]):
-                    raise StorageError(
-                        f"repair would empty base tier {name!r} — the "
-                        "index no longer matches the corpus at all; "
-                        "rebuild with build_dedup_index(overwrite"
-                        "=True)"
-                    )
-                _preserve_delta_markers(col, name)
-                col.delete_item(name)
-            else:
-                col.write(
-                    name, kept, index_col=icol,
-                    zonemap=zmap, overwrite=True,
-                    sidecar_extra=sidecar,
-                )
-            rewritten.append(name)
 
     # --- re-index AFTER the drops: missing + in-corpus-skew docs ----
     n_reindexed = 0

@@ -494,43 +494,43 @@ def repair_index(col, item: str, index_item: str) -> dict:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    from pystore_spark.streaming import COMMITS_KEY
+    # orphan census rows = rows whose owner is NOT a corpus id; the
+    # shared rewrite drops rows JOINING the bad frame, so hand it the
+    # orphan owners (per-tier) via an anti-derived frame
+    n_before = 0
+    for name in (index_item, meta["delta_item"]):
+        if col.item_exists(name):
+            n_before += DI._read_frame(col, name).count()
+    bad_owners = (
+        _union_census_owners(col, index_item, meta)
+        .join(corpus_owners, "owner", "left_anti")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rewritten = DI.rewrite_tiers_dropping(
+        col,
+        (
+            (index_item, "lhp", ["lhp"], {META_KEY: meta}),
+            (meta["delta_item"], "added_at", None, None),
+        ),
+        bad_owners, "owner",
+        base_items={index_item},
+        rebuild_hint="build_line_index(overwrite=True)",
+    )
+    n_after = 0
+    for name in (index_item, meta["delta_item"]):
+        if col.item_exists(name):
+            n_after += DI._read_frame(col, name).count()
+    return {
+        "n_removed": int(n_before - n_after),
+        "tiers_rewritten": rewritten,
+    }
 
-    removed = 0
-    rewritten: list[str] = []
-    for name, icol, zmap, sidecar in (
-        (index_item, "lhp", ["lhp"], {META_KEY: meta}),
-        (meta["delta_item"], "added_at", None, None),
-    ):
-        if not col.item_exists(name):
-            continue
-        # a delta rewrite must carry the streaming replay markers
-        # forward — losing them would make a replayed batch re-append
-        # census rows the rewrite kept
-        markers = (col.get_item_metadata(name) or {}).get(COMMITS_KEY)
-        if markers:
-            sidecar = dict(sidecar or {}) | {COMMITS_KEY: markers}
-        frame = DI._read_frame(col, name)
-        kept = frame.join(
-            corpus_owners, "owner", "left_semi"
-        ).localCheckpoint(eager=True)
-        n_kept, n_all = kept.count(), frame.count()
-        if n_kept == n_all:
-            continue
-        removed += n_all - n_kept
-        if n_kept == 0:
-            if name == index_item:
-                raise StorageError(
-                    f"repair would empty base census {name!r} — "
-                    "no census owner exists in the corpus anymore; "
-                    "rebuild with build_line_index(overwrite=True)"
-                )
-            DI._preserve_delta_markers(col, name)
-            col.delete_item(name)  # empty delta: no zero-file husk
-        else:
-            col.write(
-                name, kept, index_col=icol, zonemap=zmap,
-                overwrite=True, sidecar_extra=sidecar,
-            )
-        rewritten.append(name)
-    return {"n_removed": int(removed), "tiers_rewritten": rewritten}
+
+def _union_census_owners(col, index_item: str, meta: dict):
+    """Distinct owner ids across base + delta census tiers."""
+    from pystore_spark import dedup_index as DI
+
+    return DI._union_tiers(
+        col, index_item, meta["delta_item"], ["owner"]
+    ).distinct()
