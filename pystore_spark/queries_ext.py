@@ -3179,8 +3179,13 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "quality_classifier_scores",
     # dedup stack (incremental_dedup_probe: the round-5 flagship —
     # persistent-index O(new) append dedup through real storage;
-    # near_dedup_recall_audit: round-5 promotion)
-    "exact_dedup_groups", "minhash_signatures", "lsh_band_stats",
+    # near_dedup_recall_audit: round-5 promotion;
+    # index_audit_probe: round-5 continuation flagship — the
+    # verify/repair fsck lifecycle through real storage, promoted
+    # over minhash_signatures whose signature kernel is exercised
+    # in-window by lsh_band_stats, near_dedup_kept_docs and both
+    # incremental probes)
+    "exact_dedup_groups", "index_audit_probe", "lsh_band_stats",
     "simhash_fingerprints", "near_dedup_kept_docs",
     "near_dedup_recall_audit", "incremental_dedup_probe",
     # line_dedup_stats: round-5 continuation flagship — C4-style
@@ -3241,10 +3246,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # quality_classifier_scores sit in the driver window above)
     "shard_manifest", "mixture_plan", "encoding_quality_flags",
     "incremental_line_probe",
-    # round-5 continuation: the verify_index/repair_index fsck
-    # lifecycle, oracle-checked through real storage like the two
-    # incremental probes above, plus the wide→long reshape operator
-    "index_audit_probe",
+    # round-5 continuation tail additions (the fsck lifecycle probe
+    # index_audit_probe sits in the driver window above); the wide→
+    # long reshape operator, the PSI drift monitor, and the demoted
+    # minhash_signatures (signature kernel evidenced in-window by the
+    # whole dedup stack; stays oracle-checked in-repo)
+    "minhash_signatures",
     "unpivot_lineitem_measures",
     # between-batch distribution-drift monitor (PSI)
     "corpus_drift_psi",

@@ -31,9 +31,11 @@ WINDOW = 50
 PROMOTED = {
     "incremental_dedup_probe", "near_dedup_recall_audit",
     "vocab_topk", "doc_length_histogram", "ohlc_resample",
-    # round-5 continuation: the C4 line-removal ledger and the
-    # trainable model-based quality gate
+    # round-5 continuation: the C4 line-removal ledger, the
+    # trainable model-based quality gate, and the verify/repair fsck
+    # lifecycle probe
     "line_dedup_stats", "quality_classifier_scores",
+    "index_audit_probe",
     # round-4 promotions keeping their slot
     "signlsh_candidate_topk",
     "heavy_hitters", "quality_funnel", "rolling_zscore_outliers",
@@ -49,6 +51,10 @@ RETAINED = {
 # rotated OUT of the window — each was driver-green in a prior
 # CORRECTNESS round and keeps its in-repo oracle run below
 ROTATED_OUT = {
+    # round-5 continuation (for index_audit_probe): the MinHash
+    # signature kernel keeps four in-window exercisers — lsh_band_
+    # stats, near_dedup_kept_docs and both incremental probes
+    "minhash_signatures",
     # round 4:
     "head_by_index", "value_percentiles", "pivot_event_counts",
     "rollup_revenue", "token_entropy", "repetition_scores",
