@@ -574,3 +574,51 @@ def encoding_flags(col: str | Column) -> dict[str, Column]:
         "n_control": n_ctl,
         "encoding_clean": (n_moj == 0) & (n_rep == 0) & (n_ctl == 0),
     }
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bin_width: float = 200.0,
+    max_bucket: int = 10,
+) -> DataFrame:
+    """Population-stability-index drift between two corpus slices over
+    a bucketized numeric feature — the standard between-batch
+    distribution-shift monitor a daily ingest runs before committing
+    (sum ``psi_term``; > 0.2 ⇒ investigate). Returns ``(bucket,
+    n_ref_docs, n_cur_docs, psi_term)``.
+
+    Add-one smoothing keeps every term finite without engine-varying
+    epsilon constants; the only window runs over the ≤(max_bucket+1)-
+    row bucket frame, so there is no data-scale shuffle. Shared by the
+    ``corpus_drift_psi`` registry query (DuckDB-oracle pinned) — keep
+    the algebra here and there identical."""
+    from pyspark.sql import Window
+
+    bucket = F.least(
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint"),
+        F.lit(max_bucket),
+    ).alias("bucket")
+    b = ref.select(bucket, F.lit(True).alias("is_ref")).unionByName(
+        cur.select(bucket, F.lit(False).alias("is_ref"))
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
+    )
+    w = Window.partitionBy()
+    t = c.select(
+        "bucket", "c_ref", "c_cur",
+        F.sum("c_ref").over(w).alias("n_ref"),
+        F.sum("c_cur").over(w).alias("n_cur"),
+        F.count(F.lit(1)).over(w).alias("nb"),
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + F.col("nb"))
+    q = (F.col("c_cur") + 1.0) / (F.col("n_cur") + F.col("nb"))
+    return t.select(
+        "bucket",
+        F.col("c_ref").cast("bigint").alias("n_ref_docs"),
+        F.col("c_cur").cast("bigint").alias("n_cur_docs"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

@@ -2279,33 +2279,11 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that bucket frame — no data-scale shuffle; smoothing keeps
     every term finite without epsilon constants that drift between
     engines."""
-    from pyspark.sql import Window
-
     doc = load_table(spark, sf_dir, "documents")
-    b = doc.select(
-        F.least(
-            F.floor(F.col("n_chars") / 200.0).cast("bigint"), F.lit(10)
-        ).alias("bucket"),
-        (F.col("doc_id") % 2 == 0).alias("is_ref"),
-    )
-    c = b.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
-        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
-    )
-    w = Window.partitionBy()
-    t = c.select(
-        "bucket", "c_ref", "c_cur",
-        F.sum("c_ref").over(w).alias("n_ref"),
-        F.sum("c_cur").over(w).alias("n_cur"),
-        F.count(F.lit(1)).over(w).alias("nb"),
-    )
-    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + F.col("nb"))
-    q = (F.col("c_cur") + 1.0) / (F.col("n_cur") + F.col("nb"))
-    return t.select(
-        "bucket",
-        F.col("c_ref").cast("bigint").alias("n_ref_docs"),
-        F.col("c_cur").cast("bigint").alias("n_cur_docs"),
-        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    return X.psi_drift(
+        doc.filter(F.col("doc_id") % 2 == 0),
+        doc.filter(F.col("doc_id") % 2 != 0),
+        "n_chars", bin_width=200.0, max_bucket=10,
     )
 
 

@@ -653,3 +653,27 @@ def test_c4_flags_crlf_matches_duckdb(spark):
     }
     assert got == want
     assert got[1] == (1.0, True) and got[2][0] == 0.0
+
+
+def test_psi_drift_detects_shift_and_is_zeroish_on_identity(spark):
+    """psi_drift: identical slices score ~0; a shifted distribution
+    scores high — and the total is the sum of per-bucket terms."""
+    import pandas as pd
+
+    from pystore_spark.functions.text import psi_drift
+
+    ref = spark.createDataFrame(pd.DataFrame(
+        {"n": [100.0] * 50 + [500.0] * 50}
+    ))
+    same = psi_drift(ref, ref, "n").agg(
+        F.sum("psi_term").alias("t")
+    ).first()["t"]
+    assert abs(same) < 1e-9
+
+    shifted = spark.createDataFrame(pd.DataFrame(
+        {"n": [100.0] * 95 + [500.0] * 5}
+    ))
+    moved = psi_drift(ref, shifted, "n").agg(
+        F.sum("psi_term").alias("t")
+    ).first()["t"]
+    assert moved > 0.2  # the classic 'investigate' threshold
