@@ -44,7 +44,7 @@ from pystore_spark.store import (
     list_stores,
     store,
 )
-from pystore_spark.sources import read_csv
+from pystore_spark.sources import read_csv, read_jsonl
 from pystore_spark.schema_evolution import EvolutionStrategy
 from pystore_spark.transactions import BatchTransaction, CollectionLock, transaction
 from pystore_spark.exceptions import VersionNotFoundError
@@ -73,6 +73,7 @@ __all__ = [
     "get_logger",
     "setup_logging",
     "read_csv",
+    "read_jsonl",
     "PyStoreError",
     "DataIntegrityError",
     "ItemNotFoundError",

@@ -56,6 +56,38 @@ def read_csv(
     return df
 
 
+def read_jsonl(
+    spark: SparkSession,
+    urlpath: str,
+    index_col: str | None = None,
+    schema: str | None = None,
+    multiline: bool = False,
+    **options: str,
+) -> DataFrame:
+    """JSON-Lines reader — the interchange format pretraining corpora
+    actually arrive in (one JSON document per line; ``.jsonl`` /
+    ``.jsonl.gz``, compression auto-detected by extension). Pass an
+    explicit DDL ``schema`` ("doc_id LONG, text STRING, meta ...") to
+    skip the inference pass — at corpus scale inference is a full
+    extra read of the data. Lines that fail to parse surface in the
+    ``_corrupt_record`` column under Spark's default PERMISSIVE mode
+    (pass ``mode="FAILFAST"`` to raise instead) — feed them to the
+    encoding-health gate rather than silently dropping.
+
+    ``index_col`` tags the designated key column exactly like
+    :func:`read_csv`, so ``collection.write(item, read_jsonl(...))``
+    is index-keyed without restating it."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", "true")
+    df = reader.json(urlpath)
+    if index_col is not None:
+        df = df.withMetadata(index_col, {INDEX_META_KEY: True})
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

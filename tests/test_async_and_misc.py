@@ -258,3 +258,42 @@ def test_store_maintain_runs_over_all_collections(test_store, spark):
     assert "x" in res["col_a"] and "y" in res["col_b"]
     sub = test_store.maintain(collections=["col_a"])
     assert set(sub) == {"col_a"}
+
+
+def test_read_jsonl_roundtrip_and_index_tag(test_collection, spark):
+    """JSONL source: explicit-schema read (no inference pass), gzip
+    handled by extension, the index tag flows into write() like
+    read_csv's, and corrupt lines surface instead of vanishing."""
+    import gzip
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from pystore_spark.sources import read_jsonl
+
+    with tempfile.TemporaryDirectory() as tmp:
+        p = Path(tmp) / "corpus.jsonl.gz"
+        with gzip.open(p, "wt") as f:
+            for i in range(5):
+                f.write(json.dumps(
+                    {"doc_id": i, "text": f"document number {i}"}
+                ) + "\n")
+        df = read_jsonl(
+            spark, str(p), index_col="doc_id",
+            schema="doc_id LONG, text STRING",
+        )
+        assert df.count() == 5
+        c = test_collection
+        c.write("jl", df)  # index comes from the tag
+        out = c.item("jl").to_pandas()
+        assert out.index.name == "doc_id" and len(out) == 5
+
+        # corrupt line: PERMISSIVE surfaces it, FAILFAST raises
+        bad = Path(tmp) / "bad.jsonl"
+        bad.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n')
+        got = read_jsonl(
+            spark, str(bad),
+            schema="doc_id LONG, text STRING, _corrupt_record STRING",
+        )
+        rows = got.collect()
+        assert sum(r["_corrupt_record"] is not None for r in rows) == 1
