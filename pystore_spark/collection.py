@@ -2974,6 +2974,56 @@ class Collection:
         self.clear_metadata_cache(export_item)
         return export_meta
 
+    def export_jsonl(
+        self,
+        source: Any,
+        out_dir: str,
+        id_col: str = "doc_id",
+        n_shards: int = 64,
+        salt: str = "",
+        compression: str = "gzip",
+        overwrite: bool = False,
+    ) -> dict:
+        """Export a curated corpus as sharded JSON-Lines — the text
+        interchange most trainers consume directly (vs the parquet
+        shards of :meth:`export_training_shards`, which stay a store
+        item). Same deterministic md5 shard assignment (the hash IS
+        the global shuffle — byte-identical on any cluster layout,
+        salted per epoch), written ``shard=NN/`` hive dirs of
+        ``.jsonl[.gz]`` parts, one task per shard sorted by
+        (shard_pos, id).
+
+        This is a plain EXTERNAL write to ``out_dir`` (a trainer
+        hand-off), not a manifest-committed item: re-run with
+        ``overwrite=True`` to replace. Returns ``{n_rows, n_shards,
+        out_dir}``."""
+        from pystore_spark.functions import sampling as SA
+
+        self._require_spark_fs("jsonl export")
+        df = (
+            self.item(source).data
+            if isinstance(source, str)
+            else source
+        )
+        sharded = SA.assign_shards(df, id_col, n_shards, salt)
+        shaped = sharded.repartition(
+            n_shards, "shard"
+        ).sortWithinPartitions("shard", "shard_pos", id_col).drop(
+            "shard_pos"
+        )
+        writer = shaped.write.mode(
+            "overwrite" if overwrite else "errorifexists"
+        ).partitionBy("shard")
+        if compression and compression != "none":
+            writer = writer.option("compression", compression)
+        writer.json(out_dir)
+        n_rows = df.count()
+        return {
+            "n_rows": int(n_rows),
+            "n_shards": int(n_shards),
+            "out_dir": out_dir,
+        }
+
     # ------------------------------------------------------------------
     # maintenance (reference: pystore/partition.py:175-216)
     # ------------------------------------------------------------------
