@@ -11,6 +11,14 @@ Cross-round comparisons should use the SAME-RUN ``baseline`` field
 absolute times drift 10-20% with host generation/boot (observed
 round 4 → 5: the pandas baseline itself moved +12% on an unchanged
 code path), while the Spark:pandas ratio is stable.
+
+The output additionally carries a ``regressions`` field computed
+IN-PROCESS against the newest ``BENCH_r*.json`` artifact found next to
+this script: per-query slowdowns beyond BOTH a 30% ratio and a 0.15 s
+absolute delta (sub-second queries jitter past 30% on ratio alone —
+the round-5 verdict's host-drift false positives). A real regression
+is visible in the bench output itself instead of requiring a manual
+cross-round diff.
 """
 
 from __future__ import annotations
@@ -185,6 +193,47 @@ def _pandas_storage_baseline(sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _regressions_vs_previous(
+    timings: dict[str, float],
+) -> tuple[list[dict], str | None]:
+    """Per-query slowdowns vs the newest ``BENCH_r*.json`` next to
+    this script. A query is flagged only past BOTH gates — >30%
+    slower AND >0.15 s absolute — so sub-second host jitter (the
+    round-5 false-positive class) stays out while a real multi-query
+    or heavyweight regression cannot hide. Returns ``([], None)``
+    when no prior artifact exists (round 1 / fresh checkout)."""
+    import re
+
+    here = Path(__file__).resolve().parent
+    arts = sorted(
+        (p for p in here.glob("BENCH_r*.json")
+         if re.fullmatch(r"BENCH_r\d+\.json", p.name)),
+        key=lambda p: int(re.findall(r"\d+", p.name)[0]),
+    )
+    if not arts:
+        return [], None
+    prev = arts[-1]
+    try:
+        prev_q = json.loads(prev.read_text()).get("queries") or {}
+    except Exception:
+        return [], None
+    out = []
+    for name, cur in timings.items():
+        old = prev_q.get(name)
+        if old is None or old <= 0:
+            continue
+        if cur > old * 1.30 and cur - old > 0.15:
+            out.append(
+                {
+                    "query": name,
+                    "prev": round(float(old), 4),
+                    "cur": round(float(cur), 4),
+                    "ratio": round(float(cur) / float(old), 3),
+                }
+            )
+    return sorted(out, key=lambda r: -r["ratio"]), prev.name
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pystore_spark.queries import QUERIES
@@ -198,10 +247,11 @@ def main() -> None:
 
     # Each query: one warmup run (page-cache + codegen for THIS query's
     # inputs — testdata is regenerated between rounds, so the first
-    # touch of each parquet file is cache-cold), then min of 2 timed
-    # runs. Same steady-state discipline as the storage cycle below;
-    # without it real regressions drown in cache noise (round-3 saw a
-    # broad +20-30% drift on unchanged queries from exactly this).
+    # touch of each parquet file is cache-cold), then min of 3 timed
+    # runs (round-5 verdict: min-of-2 still let 4 sub-second queries
+    # drift >30% round-over-round on UNCHANGED code). Same steady-state
+    # discipline as the storage cycle below; without it real
+    # regressions drown in cache noise.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = QUERIES.get(name)
@@ -214,7 +264,7 @@ def main() -> None:
 
         run()  # warmup pass
         best = float("inf")
-        for _ in range(2):  # min of 2 steady-state runs — noise guard
+        for _ in range(3):  # min of 3 steady-state runs — noise guard
             t0 = time.perf_counter()
             run()
             best = min(best, time.perf_counter() - t0)
@@ -231,6 +281,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    regressions, prev_artifact = _regressions_vs_previous(timings)
     print(
         json.dumps(
             {
@@ -239,6 +290,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "regressions": regressions,
+                "regressions_vs": prev_artifact,
                 "baseline": {
                     "engine": "pandas_pyarrow_singlenode",
                     "note": (
