@@ -2696,7 +2696,8 @@ class Collection:
                 n_probe_in, dropped_ids, _feats, _cd = DI._probe_report(
                     self, dedup_index, meta_di, incoming,
                     within_batch=within_batch,
-                    exclude_batch_ids=data_committed,
+                    replay_marker=replay_marker,
+                    data_committed=data_committed,
                 )
                 survivors = (
                     curated.filter(~F.col(idc).isin(dropped_ids))
@@ -3017,7 +3018,19 @@ class Collection:
         if compression and compression != "none":
             writer = writer.option("compression", compression)
         writer.json(out_dir)
-        n_rows = df.count()
+        # count the MATERIALIZED hand-off, not the source frame: a
+        # second pass over `df` can disagree with what landed when the
+        # source is non-deterministic (sampled / shuffle-dependent),
+        # and the reported n_rows must match the files a trainer will
+        # actually read. One line per JSON record, so a raw text count
+        # over the written parts (gzip decoded by extension) is exact
+        # — a single pass over the OUTPUT, which is the cheaper side
+        # when the export projects/filters a wider source.
+        n_rows = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .text(out_dir)
+            .count()
+        )
         return {
             "n_rows": int(n_rows),
             "n_shards": int(n_shards),

@@ -516,18 +516,88 @@ def _marker_current(col, name: str, marker: tuple | None) -> bool:
     return int(dc.get(key, -1)) >= int(bid)
 
 
-def _marker_sidecar(marker: tuple | None) -> dict | None:
+#: delta-item sidecar key recording WHICH ``added_at`` generation a
+#: replay marker's append wrote: {sink_key: [batch_id, iso_ts]}. The
+#: replay-repair probe uses it to exclude exactly the rows the crashed
+#: run appended — and nothing older (a stored row for a re-sent id
+#: that PRE-dates the crashed batch was visible to the original probe
+#: and must stay visible on replay, or the replayed drop set diverges)
+MARKER_TS_KEY = "_marker_added_at"
+
+
+def _marker_sidecar(marker: tuple | None, ts=None) -> dict | None:
     if marker is None:
         return None
     from pystore_spark.streaming import COMMITS_KEY
 
-    return {COMMITS_KEY: {marker[0]: int(marker[1])}}
+    out: dict = {COMMITS_KEY: {marker[0]: int(marker[1])}}
+    if ts is not None:
+        out[MARKER_TS_KEY] = {
+            marker[0]: [int(marker[1]), ts.isoformat()]
+        }
+    return out
+
+
+def _marker_ts(col, name: str, marker: tuple | None):
+    """The ``added_at`` generation ``marker``'s append stamped into
+    delta item ``name`` (None when unrecorded — pre-stamp index
+    layouts, or the delta was folded/deleted since)."""
+    if marker is None or not col.item_exists(name):
+        return None
+    entry = (
+        (col.get_item_metadata(name) or {}).get(MARKER_TS_KEY) or {}
+    ).get(marker[0])
+    if not entry or int(entry[0]) != int(marker[1]):
+        return None
+    from datetime import datetime
+
+    return datetime.fromisoformat(entry[1])
+
+
+def _replay_exclusion(
+    col, meta: dict, incoming: DataFrame, marker: tuple | None
+) -> DataFrame | None:
+    """Stored-side ids a REPLAYED probe must ignore so it reproduces
+    the original run's drop set: ONLY the rows the crashed run itself
+    appended — identified by the ``added_at`` generation its marker
+    stamped into each delta tier's sidecar (MARKER_TS_KEY), restricted
+    to the batch's own ids. Rows for a re-sent id written by an
+    EARLIER batch are deliberately kept: the original probe saw them
+    (ADVICE r5: excluding all batch ids also hid those, letting
+    near-dups of pre-stored content survive replay). Falls back to
+    excluding the whole batch only when a tier's marker is current but
+    its generation stamp is unreadable (legacy layout, or the delta
+    was folded between crash and replay) — the documented
+    determinism-assumes-fresh-ids degradation. Returns None when the
+    crashed run demonstrably appended nothing (no exclusion needed)."""
+    id_col = meta["id_col"]
+    batch_ids = incoming.select(id_col).distinct()
+    frames: list[DataFrame] = []
+    for name in (meta["bands_delta"], meta["docs_delta"]):
+        ts = _marker_ts(col, name, marker)
+        if ts is not None:
+            frames.append(
+                _read_frame(col, name)
+                .filter(F.col("added_at") == F.lit(ts))
+                .select(id_col)
+            )
+        elif _marker_current(col, name, marker):
+            return batch_ids
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.join(
+        F.broadcast(batch_ids), on=id_col, how="left_semi"
+    ).distinct()
 
 
 def _probe_report(
     col, index_item: str, meta: dict, incoming: DataFrame,
     within_batch: bool = False,
-    exclude_batch_ids: bool = False,
+    replay_marker: tuple | None = None,
+    data_committed: bool = False,
 ) -> tuple[int, list, DataFrame, list]:
     """The probe phase of :func:`append_with_dedup`, append-free:
     optional within-batch near-dedup, feature computation, corpus
@@ -537,8 +607,10 @@ def _probe_report(
     features of the within-batch survivors. Also the probe half of
     ``Collection.ingest``'s decomposed line-index + dedup-index path.
 
-    ``exclude_batch_ids=True`` (replay repair) removes candidates
-    whose stored side is the batch itself — see :func:`_probe_ids`."""
+    ``data_committed=True`` (replay repair) removes candidates the
+    CRASHED run's own index appends stored — the marker-stamped
+    generations resolved by :func:`_replay_exclusion` — so the re-run
+    probe sees the index exactly as the original did."""
     from pystore_spark.functions.dedup import near_dedup
 
     id_col, text_col = meta["id_col"], meta["text_col"]
@@ -564,8 +636,8 @@ def _probe_report(
         return n_in, sorted(dropped), feats, []
     corpus_drop = _probe_ids(
         col, index_item, meta, feats, meta["threshold"],
-        exclude_old=incoming.select(id_col).distinct()
-        if exclude_batch_ids
+        exclude_old=_replay_exclusion(col, meta, incoming, replay_marker)
+        if data_committed
         else None,
     )
     dropped.update(corpus_drop)
@@ -599,13 +671,15 @@ def append_with_dedup(
     append with its own exactly-once marker (streaming sinks);
     ``data_committed=True`` is the REPLAY-REPAIR mode: the data commit
     already landed (its marker said so), so the append is skipped, but
-    the probe re-runs — deterministically: candidates whose STORED
-    side is the batch itself are excluded, so index rows the crashed
-    run DID manage to append cannot change the drop set (the original
-    probe saw none of the batch in the index) — and any index append
-    whose marker is behind is re-applied. Without it a crash between
-    the data commit and the index appends would leave the batch's
-    documents permanently invisible to future probes."""
+    the probe re-runs — deterministically: candidates from the index
+    generations the CRASHED run itself appended (marker-stamped
+    ``added_at``, see :func:`_replay_exclusion`) are excluded, so
+    those rows cannot change the drop set, while rows for a re-sent
+    id written by EARLIER batches stay visible exactly as the
+    original probe saw them — and any index append whose marker is
+    behind is re-applied. Without it a crash between the data commit
+    and the index appends would leave the batch's documents
+    permanently invisible to future probes."""
     import pandas as pd
 
     meta = _index_meta(col, index_item)
@@ -626,7 +700,7 @@ def append_with_dedup(
     incoming, _, _, _ = col._prepare_input(data)
     n_in, dropped_ids, feats, corpus_drop = _probe_report(
         col, index_item, meta, incoming, within_batch,
-        exclude_batch_ids=data_committed,
+        replay_marker=replay_marker, data_committed=data_committed,
     )
     n_kept = n_in - len(dropped_ids)
     if n_kept:
@@ -686,12 +760,13 @@ def _index_delta_append(
     # write), and F.current_timestamp() re-evaluates per job — across
     # a day boundary the write would land in a bucket the merge never
     # selected, silently replacing that bucket's existing delta rows
-    ts = F.lit(
-        datetime.now(timezone.utc).replace(tzinfo=None)
-    ).alias("added_at")
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    ts = F.lit(now).alias("added_at")
     band_rows = explode_bands(feats, id_col).select(ts, "*")
     doc_rows = feats.select(ts, id_col, "sh")
-    sidecar = _marker_sidecar(marker)
+    # the sidecar records marker → added_at generation, so a replay
+    # can exclude exactly this append's rows (see _replay_exclusion)
+    sidecar = _marker_sidecar(marker, ts=now)
     for name, rows in (
         (meta["bands_delta"], band_rows),
         (meta["docs_delta"], doc_rows),

@@ -62,6 +62,7 @@ def read_jsonl(
     index_col: str | None = None,
     schema: str | None = None,
     multiline: bool = False,
+    corrupt_col: str | None = "_corrupt_record",
     **options: str,
 ) -> DataFrame:
     """JSON-Lines reader — the interchange format pretraining corpora
@@ -69,16 +70,37 @@ def read_jsonl(
     ``.jsonl.gz``, compression auto-detected by extension). Pass an
     explicit DDL ``schema`` ("doc_id LONG, text STRING, meta ...") to
     skip the inference pass — at corpus scale inference is a full
-    extra read of the data. Lines that fail to parse surface in the
-    ``_corrupt_record`` column under Spark's default PERMISSIVE mode
-    (pass ``mode="FAILFAST"`` to raise instead) — feed them to the
-    encoding-health gate rather than silently dropping.
+    extra read of the data.
+
+    Corrupt-line surfacing: under Spark's default PERMISSIVE mode a
+    user-supplied schema makes unparseable lines SILENT all-null rows
+    unless the schema also carries the corrupt-record column — so when
+    a ``schema`` is given this reader auto-appends ``corrupt_col``
+    (default ``_corrupt_record``) and sets
+    ``columnNameOfCorruptRecord``, keeping bad lines visible (feed
+    them to the encoding-health gate rather than silently dropping;
+    the column is NULL for clean lines — drop it before writing if
+    unwanted). Pass ``corrupt_col=None`` to opt out, or
+    ``mode="FAILFAST"`` to raise on the first bad line instead (the
+    column is then omitted). Schema-inferred reads keep Spark's
+    native behavior (the column appears only when corrupt lines
+    exist).
 
     ``index_col`` tags the designated key column exactly like
     :func:`read_csv`, so ``collection.write(item, read_jsonl(...))``
     is index-keyed without restating it."""
     reader = spark.read.options(**options)
     if schema is not None:
+        mode = str(options.get("mode", "PERMISSIVE")).upper()
+        if (
+            corrupt_col
+            and mode == "PERMISSIVE"
+            and corrupt_col not in schema
+        ):
+            schema = f"{schema}, {corrupt_col} STRING"
+            reader = reader.option(
+                "columnNameOfCorruptRecord", corrupt_col
+            )
         reader = reader.schema(schema)
     if multiline:
         reader = reader.option("multiLine", "true")

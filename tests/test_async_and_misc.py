@@ -284,16 +284,24 @@ def test_read_jsonl_roundtrip_and_index_tag(test_collection, spark):
         )
         assert df.count() == 5
         c = test_collection
-        c.write("jl", df)  # index comes from the tag
+        c.write("jl", df.drop("_corrupt_record"))  # index from the tag
         out = c.item("jl").to_pandas()
         assert out.index.name == "doc_id" and len(out) == 5
 
-        # corrupt line: PERMISSIVE surfaces it, FAILFAST raises
+        # ADVICE r5: an explicit user schema must NOT turn corrupt
+        # lines into silent all-null rows — the reader auto-appends
+        # the corrupt-record column under PERMISSIVE
         bad = Path(tmp) / "bad.jsonl"
         bad.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n')
         got = read_jsonl(
-            spark, str(bad),
-            schema="doc_id LONG, text STRING, _corrupt_record STRING",
+            spark, str(bad), schema="doc_id LONG, text STRING"
         )
+        assert "_corrupt_record" in got.columns  # auto-appended
         rows = got.collect()
         assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+        # opt-out keeps the user schema byte-for-byte
+        plain = read_jsonl(
+            spark, str(bad), schema="doc_id LONG, text STRING",
+            corrupt_col=None,
+        )
+        assert plain.columns == ["doc_id", "text"]

@@ -605,6 +605,87 @@ def test_replay_probe_ignores_batch_own_index_rows(
     assert out.collect()[0]["text"] == ""
 
 
+def test_replay_exclusion_spares_presto_stored_rows(
+    spark, test_collection, monkeypatch
+):
+    """ADVICE r5 (dedup_index replay exclusion): a batch that RE-SENDS
+    an id already indexed by an EARLIER batch, crashing between the
+    data commit and the index appends, must replay to the ORIGINAL
+    drop set. The old exclusion (all batch ids) also hid the re-sent
+    id's pre-existing index rows, so a sibling doc that near-dups that
+    stored content sailed through on replay — and its features were
+    appended to the index for content the corpus never kept. The
+    exclusion is now generation-stamped: only rows the crashed run
+    itself wrote are hidden; here the crash landed NOTHING, so the
+    replay probe sees exactly what the original saw."""
+    import pandas as pd
+    import pytest
+
+    import pystore_spark.dedup_index as DI
+    from pystore_spark.streaming import dedup_merge_sink
+
+    c = test_collection
+    docs = pd.DataFrame({
+        "doc_id": [0],
+        "text": ["completely unrelated seed document with its own "
+                 "distinct vocabulary and nothing shared further on"],
+    })
+    c.write("xdocs", docs, index_col="doc_id")
+    c.build_dedup_index("xidx", "xdocs")
+    sink = dedup_merge_sink(
+        c, "xdocs", "xidx", duplicate_handling="keep_last"
+    )
+
+    novel = (
+        "fresh prose about adaptive query execution and catalyst "
+        "optimizer internals with plenty of distinctive words"
+    )
+    # batch 0 stores + indexes doc 100
+    sink(spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100], "text": [novel],
+    })), 0)
+
+    # batch 1 RE-SENDS id 100 (updated tail) alongside 101, a near-dup
+    # of 100's STORED content; the original run drops 101 against
+    # stored 100 (self-id pairs are filtered, so 100 upserts through)
+    b1 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [novel + " updated", novel + " sibling"],
+    }))
+    orig = DI._index_delta_append
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before indexing")
+
+    monkeypatch.setattr(DI, "_index_delta_append", boom)
+    with pytest.raises(RuntimeError, match="crash before indexing"):
+        sink(b1, 1)
+    monkeypatch.setattr(DI, "_index_delta_append", orig)
+
+    # data committed (101 dropped, 100 upserted), index untouched
+    ids = {r["doc_id"]
+           for r in c.item("xdocs").data.select("doc_id").collect()}
+    assert ids == {0, 100}
+    meta = DI._index_meta(c, "xidx")
+    assert not DI._marker_current(c, meta["bands_delta"], ("default", 1))
+
+    # replay: the crashed run wrote no index generations → no
+    # exclusion → 101 drops against stored 100 exactly as originally;
+    # its features must NOT enter the index
+    sink(b1, 1)
+    indexed = {
+        r["doc_id"]
+        for r in DI._union_tiers(
+            c, meta["docs_item"], meta["docs_delta"], ["doc_id"]
+        ).distinct().collect()
+    }
+    assert 101 not in indexed, (
+        "replay indexed a doc the original run dropped — the index "
+        "now covers content not in the corpus"
+    )
+    assert c.verify_index("xdocs", "xidx")["ok"]
+
+
 def test_replay_markers_survive_delta_deletion_by_repair(
     spark, test_collection
 ):
