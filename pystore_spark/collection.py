@@ -1114,7 +1114,12 @@ class Collection:
     # row-level delete / retention (beyond-reference; Delta-style
     # DELETE re-expressed on the manifest protocol)
     # ------------------------------------------------------------------
-    def delete_where(self, item: str, filters: Sequence) -> dict:
+    def delete_where(
+        self,
+        item: str,
+        filters: Sequence,
+        repair_indexes: bool = False,
+    ) -> dict:
         """Row-level DELETE: remove the rows matching the tuple-DNF
         predicate (same language as read filters). Scale shape:
 
@@ -1131,10 +1136,18 @@ class Collection:
 
         Size-layout items take a whole-item rewrite. Deleting every
         row of an item raises — use :meth:`delete_item`. Derived state
-        (rollups, dedup/line/vector indexes) goes stale by design:
-        refresh rollups and run :meth:`verify_index` /
-        :meth:`repair_index` afterwards. Returns ``{n_deleted,
-        buckets_rewritten, buckets_dropped}``."""
+        (rollups, dedup/line/vector indexes) goes stale by design —
+        pass ``repair_indexes=True`` to close the loop in ONE call:
+        after the delete commits, every index whose recorded scope
+        covers this item is repaired (O(drift) tier rewrites, see
+        :meth:`repair_index`), so a GDPR-style removal immediately
+        stops the index dropping new docs against the removed
+        content; results land under ``index_repairs``. The flag stays
+        opt-in because repair rewrites index tiers and must be
+        serialized with concurrent appenders (the same contract as
+        calling :meth:`repair_index` yourself). Rollups still refresh
+        separately. Returns ``{n_deleted, buckets_rewritten,
+        buckets_dropped[, index_repairs]}``."""
         from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.filters import filters_to_column
 
@@ -1148,12 +1161,45 @@ class Collection:
             )
         pred = F.coalesce(raw_pred, F.lit(False))
         last_exc: Exception | None = None
+        out: dict | None = None
         for attempt in range(3):
             try:
-                return self._delete_where_once(item, filters, pred)
+                out = self._delete_where_once(item, filters, pred)
+                break
             except ConcurrentCommitError as exc:
                 last_exc = exc
-        raise last_exc  # pragma: no cover — loop always returns/raises
+        if out is None:
+            raise last_exc
+        if repair_indexes and out.get("n_deleted"):
+            out["index_repairs"] = self._repair_indexes_of(item)
+        return out
+
+    def _repair_indexes_of(self, item: str) -> dict[str, dict]:
+        """Repair every dedup/line/vector index whose recorded corpus
+        scope includes ``item`` — the post-delete hook behind
+        ``delete_where(..., repair_indexes=True)`` /
+        ``delete_range(..., repair_indexes=True)``. Discovery is a
+        sidecar scan (O(items), driver-side); each repair is O(drift)."""
+        from pystore_spark import dedup_index as DI
+        from pystore_spark import line_index as LI
+
+        out: dict[str, dict] = {}
+        for n in self.items:
+            m = self.get_item_metadata(n) or {}
+            di = m.get(DI.META_KEY)
+            if di and item in DI._source_items(di):
+                scope = [
+                    s for s in DI._source_items(di)
+                    if self.item_exists(s)
+                ]
+                out[n] = self.repair_index(scope or item, n)
+                continue
+            for key in (LI.META_KEY, "_vector_index"):
+                sub = m.get(key)
+                if sub and sub.get("source_item") == item:
+                    out[n] = self.repair_index(item, n)
+                    break
+        return out
 
     def _delete_where_once(
         self, item: str, filters: Sequence, pred
@@ -1297,6 +1343,7 @@ class Collection:
         item: str,
         before: Any = None,
         after: Any = None,
+        repair_indexes: bool = False,
     ) -> dict:
         """Retention DELETE on the index: remove rows strictly before
         ``before`` and/or strictly after ``after``. For time-layout
@@ -1304,7 +1351,10 @@ class Collection:
         range are dropped as a pure MANIFEST edit — no read, no write,
         O(files) driver work (the 100 TB retention operation) — and
         only the boundary bucket(s) take the row-level rewrite via
-        :meth:`delete_where`."""
+        :meth:`delete_where`. ``repair_indexes=True`` repairs every
+        index covering this item after BOTH phases (including pure
+        metadata bucket drops, which stale indexes just the same) —
+        see :meth:`delete_where`."""
         from pystore_spark import manifest as mf
         from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.partition import bucket_value
@@ -1418,6 +1468,12 @@ class Collection:
             rep["n_deleted_metadata_unknown"] = True
         else:
             rep["n_deleted"] += n_meta_rows
+        if repair_indexes and (
+            rep["n_deleted"]
+            or rep["buckets_dropped"]
+            or rep.get("n_deleted_metadata_unknown")
+        ):
+            rep["index_repairs"] = self._repair_indexes_of(item)
         return rep
 
     def _footer_row_count(
@@ -2310,7 +2366,12 @@ class Collection:
         """Materialize the MinHash band keys + shingle-hash sets of a
         document corpus as persistent index items, so later
         :meth:`append_dedup` calls dedup incoming batches against the
-        stored corpus in O(new) — never re-signing it. Mirrors
+        stored corpus in O(new) — never re-signing it. ``source`` is
+        an item name, a LIST of item names (multi-source corpus
+        sharing one index; ids must be globally unique), or a
+        DataFrame; every item the index covers — build sources plus
+        later ``append_dedup`` targets — is recorded in its sidecar
+        so ``verify_index(None, ...)`` audits the whole scope. Mirrors
         :meth:`build_vector_index`; see dedup_index.py for the
         LSM-tiered layout and scale argument."""
         from pystore_spark import dedup_index as DI
@@ -2406,13 +2467,16 @@ class Collection:
         return LI.refresh_line_index(self, index_item)
 
     def verify_index(
-        self, item: str, index_item: str, deep: bool = False
+        self, item, index_item: str, deep: bool = False
     ) -> dict:
         """Consistency audit (fsck) between a corpus item and one of
         its derived indexes, dispatched on the index item's sidecar:
 
         * dedup index — corpus docs missing from the index (invisible
-          to probes), stale indexed ids, band/docs tier skew;
+          to probes), stale indexed ids, band/docs tier skew.
+          ``item`` may be a name, a LIST of names, or None (= every
+          item the index sidecar records — build sources plus
+          append_dedup targets), with per-item missing counts;
         * line index — census lines whose owner doc no longer exists
           (``deep=True`` additionally re-derives the owner's lines and
           flags census rows the stored text no longer contains);
@@ -2462,14 +2526,17 @@ class Collection:
             f"item {index_item!r} is not a dedup/line/vector index"
         )
 
-    def repair_index(self, item: str, index_item: str) -> dict:
+    def repair_index(self, item, index_item: str) -> dict:
         """Incrementally repair the drift :meth:`verify_index`
         reports, O(drift) — the alternative to a full index rebuild
         (which re-signs/re-censuses the corpus):
 
         * dedup index — re-index missing docs (id-pruned corpus read,
-          features for the drift set only), drop stale/tier-skew ids
-          by rewriting the affected tiers (ids + hashes, no text);
+          features for the drift set only — each doc fetched from
+          whichever corpus item holds it; ``item`` may be a name, a
+          list, or None = the sidecar's recorded scope), drop
+          stale/tier-skew ids by rewriting the affected tiers (ids +
+          hashes, no text);
         * line index — drop census rows whose owner doc no longer
           exists (deep drift = rebuild; see line_index.repair_index);
         * vector index — index missing vectors via
@@ -3132,14 +3199,28 @@ class Collection:
             if verify_indexes:
                 try:
                     nm = self.get_item_metadata(n) or {}
-                    src = None
-                    for key in (
-                        "_dedup_index", "_line_index", "_vector_index",
-                    ):
-                        if nm.get(key):
-                            src = nm[key].get("source_item")
-                    if src and self.item_exists(src):
-                        res["verify"] = self.verify_index(src, n)
+                    if nm.get("_dedup_index"):
+                        # multi-item scope: audit every recorded
+                        # corpus item (build sources + append_dedup
+                        # targets), skipping deleted ones
+                        from pystore_spark import dedup_index as DI
+
+                        srcs = [
+                            s
+                            for s in DI._source_items(
+                                nm["_dedup_index"]
+                            )
+                            if self.item_exists(s)
+                        ]
+                        if srcs:
+                            res["verify"] = self.verify_index(srcs, n)
+                    else:
+                        src = None
+                        for key in ("_line_index", "_vector_index"):
+                            if nm.get(key):
+                                src = nm[key].get("source_item")
+                        if src and self.item_exists(src):
+                            res["verify"] = self.verify_index(src, n)
                 except Exception as exc:
                     res["verify_error"] = str(exc)
             if gc:

@@ -140,9 +140,15 @@ def build_index(
     shingle_n: int = 3,
     overwrite: bool = False,
 ) -> dict:
-    """Full build of the persistent index over a stored item (by name)
-    or DataFrame. One corpus pass; after this, appends never re-sign
-    the corpus."""
+    """Full build of the persistent index over a stored item (by
+    name), a LIST of item names (a multi-source corpus sharing ONE
+    index — ids must be globally unique across the items), or a
+    DataFrame. One corpus pass; after this, appends never re-sign the
+    corpus. The covered items are recorded in the index sidecar
+    (``source_items``) and grow automatically as
+    :func:`append_with_dedup` targets new items, so
+    :func:`verify_index`/:func:`repair_index` audit the WHOLE corpus
+    the index answers for — per item."""
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into "
@@ -164,7 +170,19 @@ def build_index(
                 f"dedup index items {taken} already exist; use "
                 "overwrite=True to rebuild"
             )
-    df = _read_frame(col, source) if isinstance(source, str) else source
+    source_items: list[str] = []
+    if isinstance(source, str):
+        source_items = [source]
+        df = _read_frame(col, source)
+    elif isinstance(source, (list, tuple)):
+        source_items = list(dict.fromkeys(source))  # order-stable dedup
+        if not source_items:
+            raise ValueError("source item list is empty")
+        df = _read_frame(col, source_items[0])
+        for nm in source_items[1:]:
+            df = df.unionByName(_read_frame(col, nm))
+    else:
+        df = source
     # one corpus pass: the band write and the docs write both consume
     # the materialized features instead of re-hashing the corpus
     feats = doc_features(
@@ -180,7 +198,10 @@ def build_index(
         "docs_item": f"{index_item}__docs",
         "bands_delta": f"{index_item}__bands_delta",
         "docs_delta": f"{index_item}__docs_delta",
-        "source_item": source if isinstance(source, str) else None,
+        # source_item kept for single-item back-compat readers;
+        # source_items is the authoritative multi-item corpus scope
+        "source_item": source_items[0] if source_items else None,
+        "source_items": source_items,
     }
     col.write(
         index_item,
@@ -218,6 +239,59 @@ def _index_meta(col, index_item: str) -> dict:
             "(build_dedup_index creates one)"
         )
     return meta
+
+
+def _source_items(meta: dict) -> list[str]:
+    """The corpus items this index answers for — multi-item scope
+    with single-item back-compat."""
+    items = meta.get("source_items")
+    if items:
+        return list(items)
+    return [meta["source_item"]] if meta.get("source_item") else []
+
+
+def _register_source_item(col, index_item: str, item: str) -> None:
+    """Record ``item`` in the index sidecar's ``source_items`` (CAS —
+    concurrent appenders to different items both land). Makes
+    verify/repair/maintain audit every corpus item the index has ever
+    deduplicated into, without the caller re-listing them."""
+    from pystore_spark import utils
+
+    meta = _index_meta(col, index_item)
+    if item in _source_items(meta):
+        return
+
+    def add(m: dict) -> dict:
+        idx = dict(m.get(META_KEY) or {})
+        items = list(idx.get("source_items") or (
+            [idx["source_item"]] if idx.get("source_item") else []
+        ))
+        if item not in items:
+            items.append(item)
+        idx["source_items"] = items
+        if not idx.get("source_item") and items:
+            idx["source_item"] = items[0]
+        m[META_KEY] = idx
+        return m
+
+    utils.update_metadata_cas(col._item_path(index_item), add)
+    col.clear_metadata_cache(index_item)
+
+
+def _resolve_corpus_items(col, meta: dict, item) -> list[str]:
+    """Normalize a verify/repair ``item`` argument: a name, a list of
+    names, or None → the sidecar's recorded source_items."""
+    if item is None:
+        items = _source_items(meta)
+        if not items:
+            raise StorageError(
+                "index records no source items — pass the corpus "
+                "item name(s) explicitly"
+            )
+        return items
+    if isinstance(item, str):
+        return [item]
+    return list(dict.fromkeys(item))
 
 
 def _item_frame(col, it) -> DataFrame:
@@ -733,6 +807,10 @@ def append_with_dedup(
             else feats
         )
         _index_delta_append(col, meta, kept_feats, marker=replay_marker)
+    # a dedup-append into an item the index did not cover yet widens
+    # the index's recorded corpus scope (cross-item dedup: one shared
+    # index, several corpus items; verify/repair audit all of them)
+    _register_source_item(col, index_item, item)
     return {
         "n_incoming": n_in,
         "n_dropped": len(dropped_ids),
@@ -987,14 +1065,33 @@ def refresh_index(col, index_item: str) -> dict:
     return folded
 
 
+def _corpus_ids_frame(col, items: list[str], id_col: str):
+    """Distinct (id, source-item tag) over the multi-item corpus —
+    the tag lets verify account missing docs PER ITEM while stale
+    detection unions across all of them."""
+    frames = [
+        col.item(nm).data.select(id_col).distinct()
+        .withColumn("_src", F.lit(nm))
+        for nm in items
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.localCheckpoint(eager=True)
+
+
 def verify_index(
-    col, item: str, index_item: str, sample: int = 20
+    col, item, index_item: str, sample: int = 20
 ) -> dict:
-    """Consistency audit between a corpus item and its near-dedup
-    index — the fsck a 100 TB store runs after an incident (crash,
-    partial restore, out-of-band writes). Every check is an id-space
-    join over column-pruned scans (ids only, never text), so the cost
-    is one pass over the id columns of corpus + index:
+    """Consistency audit between the corpus and its near-dedup index
+    — the fsck a 100 TB store runs after an incident (crash, partial
+    restore, out-of-band writes). ``item`` is a corpus item name, a
+    LIST of names, or None — None audits every item the index sidecar
+    records (``source_items``: the build sources plus every
+    append_dedup target), with missing counts broken out per item
+    under ``per_item``. Every check is an id-space join over
+    column-pruned scans (ids only, never text), so the cost is one
+    pass over the id columns of corpus + index:
 
     * ``missing`` — corpus docs absent from the index (appended
       outside ``append_dedup``, or a pre-repair crash between the
@@ -1013,9 +1110,10 @@ def verify_index(
     ``build_dedup_index(overwrite=True)`` to repair."""
     meta = _index_meta(col, index_item)
     id_col = meta["id_col"]
-    corpus_ids = (
-        col.item(item).data.select(id_col).distinct()
-        .localCheckpoint(eager=True)
+    items = _resolve_corpus_items(col, meta, item)
+    tagged = _corpus_ids_frame(col, items, id_col)
+    corpus_ids = tagged.select(id_col).distinct().localCheckpoint(
+        eager=True
     )
     docs_ids = _union_tiers(
         col, meta["docs_item"], meta["docs_delta"], [id_col]
@@ -1040,7 +1138,23 @@ def verify_index(
             docs_ids.join(bands_ids, id_col, "left_anti")
         )
     )
+    # per-item accounting: docs of EACH corpus item absent from the
+    # index (one aggregation over the tagged id frame)
+    per_item_rows = (
+        tagged.join(docs_ids, id_col, "left_anti")
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    miss_by = {r["_src"]: int(r["_n"]) for r in per_item_rows}
+    tot_by = {
+        r["_src"]: int(r["_n"])
+        for r in tagged.groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
     return {
+        "items": items,
         "n_corpus_docs": corpus_ids.count(),
         "n_indexed_docs": docs_ids.count(),
         "n_missing": n_missing,
@@ -1049,14 +1163,24 @@ def verify_index(
         "missing_sample": missing,
         "stale_sample": stale,
         "tier_skew_sample": skew,
+        "per_item": {
+            nm: {
+                "n_docs": tot_by.get(nm, 0),
+                "n_missing": miss_by.get(nm, 0),
+            }
+            for nm in items
+        },
         "ok": not (n_missing or n_stale or n_skew),
     }
 
 
-def repair_index(col, item: str, index_item: str) -> dict:
+def repair_index(col, item, index_item: str) -> dict:
     """Incremental repair of the drift :func:`verify_index` reports —
     the alternative to a full ``build_index(overwrite=True)`` re-sign
-    of the corpus:
+    of the corpus. ``item`` accepts a name, a list, or None (= the
+    sidecar's recorded ``source_items``), exactly like
+    :func:`verify_index`; re-indexing reads each missing doc from
+    whichever corpus item holds it:
 
     * missing docs are re-indexed by reading ONLY those docs (id
       in-filter prunes corpus files via the zonemap when the drift set
@@ -1073,9 +1197,10 @@ def repair_index(col, item: str, index_item: str) -> dict:
     Returns ``{n_reindexed, n_removed, tiers_rewritten}``."""
     meta = _index_meta(col, index_item)
     id_col = meta["id_col"]
-    corpus_ids = (
-        col.item(item).data.select(id_col).distinct()
-        .localCheckpoint(eager=True)
+    items = _resolve_corpus_items(col, meta, item)
+    tagged = _corpus_ids_frame(col, items, id_col)
+    corpus_ids = tagged.select(id_col).distinct().localCheckpoint(
+        eager=True
     )
     docs_ids = _union_tiers(
         col, meta["docs_item"], meta["docs_delta"], [id_col]
@@ -1125,21 +1250,31 @@ def repair_index(col, item: str, index_item: str) -> dict:
         )
 
     # --- re-index AFTER the drops: missing + in-corpus-skew docs ----
+    # each doc is read from whichever corpus item holds it; an id
+    # stored in several items (against the uniqueness contract)
+    # contributes one feature row via the trailing dropDuplicates
     n_reindexed = 0
     if n_reindex:
         if n_reindex <= MAX_PUSHDOWN_KEYS:
             # driver-bounded drift: in-filter prunes corpus FILES via
             # the manifest zonemap before any text is read
             mids = sorted(r[id_col] for r in reindex.collect())
-            src = col.item(
-                item, filters=[(id_col, "in", mids)]
-            ).data
+            parts = [
+                col.item(nm, filters=[(id_col, "in", mids)]).data
+                for nm in items
+            ]
         else:
             # mass drift (e.g. a large out-of-band backfill): stay
             # distributed — semi-join instead of a driver id list
-            src = col.item(item).data.join(
-                reindex, id_col, "left_semi"
-            )
+            parts = [
+                col.item(nm).data.join(reindex, id_col, "left_semi")
+                for nm in items
+            ]
+        src = parts[0]
+        for p in parts[1:]:
+            src = src.unionByName(p)
+        if len(parts) > 1:
+            src = src.dropDuplicates([id_col])
         feats = _compute_features(col, meta, src)
         n_reindexed = feats.count()
         if n_reindexed:

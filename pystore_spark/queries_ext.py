@@ -2511,6 +2511,121 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cross_item_dedup_probe",
+    # Same drop semantics as incremental_dedup_probe — the oracle is
+    # storage-layout-blind on purpose: spreading the corpus over TWO
+    # items behind ONE shared index must not change a single verdict.
+    # Batch 1 (%4==1) probes the index built over item A (even ids)
+    # and lands its survivors in item B; batch 2 (%4==3) must dedup
+    # against A's base tier AND B's survivors in the delta tier.
+    sql=f"""
+    WITH
+    feat AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    hfeat AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, x ->
+               CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT))) AS h,
+             {_SIG} AS sig
+      FROM feat),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+        CAST(('0x' || substr(md5(array_to_string(
+          list_transform(sig[b.band_idx*2+1 : b.band_idx*2+2],
+                         v -> v::VARCHAR), '|')), 1, 14)) AS BIGINT)
+          AS bkey
+      FROM hfeat, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+    drop1 AS (
+      SELECT DISTINCT n.doc_id
+      FROM banded n
+      JOIN banded o ON n.band_idx = o.band_idx AND n.bkey = o.bkey
+      JOIN hfeat hn ON hn.doc_id = n.doc_id
+      JOIN hfeat ho ON ho.doc_id = o.doc_id
+      WHERE n.doc_id % 4 = 1 AND o.doc_id % 2 = 0
+        AND {_JAC_H} >= 0.8),
+    base2 AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id FROM documents
+      WHERE doc_id % 4 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM drop1)),
+    drop2 AS (
+      SELECT DISTINCT n.doc_id
+      FROM banded n
+      JOIN banded o ON n.band_idx = o.band_idx AND n.bkey = o.bkey
+      JOIN hfeat hn ON hn.doc_id = n.doc_id
+      JOIN hfeat ho ON ho.doc_id = o.doc_id
+      WHERE n.doc_id % 4 = 3
+        AND o.doc_id IN (SELECT doc_id FROM base2)
+        AND {_JAC_H} >= 0.8),
+    dropped AS (
+      SELECT doc_id FROM drop1 UNION ALL SELECT doc_id FROM drop2)
+    SELECT doc_id,
+           doc_id NOT IN (SELECT doc_id FROM dropped) AS kept
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    tags=("dedup", "pipeline", "storage", "incremental", "cross-item"),
+)
+def cross_item_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-ITEM incremental near-dedup through REAL storage (round-5
+    verdict gap #3): the corpus lives in TWO items — `corpus_a` (even
+    ids, the build source) and `corpus_b` (where both incoming batches
+    land via Collection.append_dedup against the ONE shared index).
+    Batch 2 drops against near-dups stored in item A (base tier) and
+    batch 1's survivors stored in item B (delta tier) alike. The index
+    sidecar's source_items scope grows automatically with the new
+    target item, so the closing verify_index(None, ...) — asserted
+    in-probe — audits A ∪ B with per-item accounting."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = doc.filter(F.col("doc_id") % 2 == 0)
+    batches = [
+        doc.filter(F.col("doc_id") % 4 == 1),
+        doc.filter(F.col("doc_id") % 4 == 3),
+    ]
+    inc_ids = sorted(
+        r["doc_id"]
+        for r in doc.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="ps_xitem_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        store = ps.store("xitem_probe_store", spark=spark)
+        col = store.collection("c")
+        col.write("corpus_a", stored, index_col="doc_id")
+        col.build_dedup_index(
+            "cidx", ["corpus_a"], text_col="text", id_col="doc_id",
+            threshold=0.8, num_hashes=8, bands=4, shingle_n=3,
+        )
+        dropped: set = set()
+        for batch in batches:
+            rep = col.append_dedup(
+                "corpus_b", batch, "cidx", create_missing=True
+            )
+            dropped.update(rep["dropped_ids"])
+        # the shared index must audit clean over BOTH items, and the
+        # scope must have widened to corpus_b without manual listing
+        audit = col.verify_index(None, "cidx")
+        assert audit["ok"], audit
+        assert set(audit["items"]) == {"corpus_a", "corpus_b"}, audit
+        assert set(audit["per_item"]) == {"corpus_a", "corpus_b"}
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(i), i not in dropped) for i in inc_ids],
+        "doc_id bigint, kept boolean",
+    )
+
+
+@register(
     "incremental_line_probe",
     # Mirrors the PERSISTENT LINE-CENSUS append path end to end. The
     # oracle's census algebra: after a batch is ingested, the census
@@ -3262,6 +3377,9 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # round-6: real BPE merge-loop tokenization (promoted in-window by
     # the round-6 rotation below; placed here pending it)
     "bpe_tokenize_counts",
+    # round-6: cross-item dedup — one shared index over several corpus
+    # items (promoted in-window by the round-6 rotation)
+    "cross_item_dedup_probe",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -512,3 +512,96 @@ def test_fold_upserts_reappended_id(corpus):
         ).collect()
     }
     assert drop == {777}
+
+
+# ---------------------------------------------------------------------------
+# cross-item scope (round-6: one shared index over several corpus items)
+# ---------------------------------------------------------------------------
+def test_build_over_item_list_and_cross_item_append(test_collection):
+    """A multi-source corpus shares ONE index: build over [A1, A2],
+    then append_dedup into item B — the batch drops near-dups of
+    content stored in EITHER build source, and B's survivors join the
+    index scope for the next batch."""
+    c = test_collection
+    c.write("src_a1", _docs(range(5)), index_col="doc_id")
+    c.write("src_a2", _docs(range(5, 10)), index_col="doc_id")
+    c.build_dedup_index("xidx", ["src_a1", "src_a2"])
+    meta = c.get_item_metadata("xidx")[DI.META_KEY]
+    assert meta["source_items"] == ["src_a1", "src_a2"]
+    assert meta["source_item"] == "src_a1"  # back-compat pointer
+    # docs tier covers BOTH sources
+    assert c.item("xidx__docs").data.count() == 10
+
+    # batch: near-dup of doc 2 (in A1), near-dup of doc 7 (in A2),
+    # one novel doc
+    batch = pd.concat([
+        _docs([100], tail="x"),  # novel long tail → unique
+        _docs([2]).assign(doc_id=101),   # same text as doc 2
+        _docs([7]).assign(doc_id=102),   # same text as doc 7
+    ])
+    batch.loc[batch.doc_id == 100, "text"] = (
+        "completely different prose about catalyst and tungsten "
+        "with plenty of its own distinctive vocabulary to shingle"
+    )
+    rep = c.append_dedup("corpus_b", batch, "xidx", create_missing=True)
+    assert rep["n_dropped"] == 2
+    assert set(rep["dropped_ids"]) == {101, 102}
+    assert rep["n_appended"] == 1
+
+    # scope widened automatically; verify audits A1 ∪ A2 ∪ B clean
+    meta2 = c.get_item_metadata("xidx", use_cache=False)[DI.META_KEY]
+    assert meta2["source_items"] == ["src_a1", "src_a2", "corpus_b"]
+    audit = c.verify_index(None, "xidx")
+    assert audit["ok"], audit
+    assert audit["n_corpus_docs"] == 11
+    assert audit["per_item"] == {
+        "src_a1": {"n_docs": 5, "n_missing": 0},
+        "src_a2": {"n_docs": 5, "n_missing": 0},
+        "corpus_b": {"n_docs": 1, "n_missing": 0},
+    }
+
+    # batch 2 into B must also drop against B's OWN survivor (doc 100
+    # landed in corpus_b, not in either build source)
+    b2 = _docs([200])
+    b2.loc[:, "text"] = batch.loc[batch.doc_id == 100, "text"].iloc[0]
+    rep2 = c.append_dedup("corpus_b", b2, "xidx")
+    assert rep2["dropped_ids"] == [200]
+
+
+def test_cross_item_verify_and_repair_accounting(test_collection):
+    """Out-of-band drift in ONE item of a shared-scope index: verify
+    pins the missing docs to that item, repair re-reads only them —
+    from the right item — and the audit closes."""
+    c = test_collection
+    c.write("va", _docs(range(4)), index_col="doc_id")
+    c.build_dedup_index("vidx", "va")
+    # item B created OUT-OF-BAND (plain write, never append_dedup):
+    c.write("vb", _docs(range(10, 14)), index_col="doc_id")
+    audit = c.verify_index(["va", "vb"], "vidx")
+    assert not audit["ok"]
+    assert audit["per_item"]["va"]["n_missing"] == 0
+    assert audit["per_item"]["vb"]["n_missing"] == 4
+    fix = c.repair_index(["va", "vb"], "vidx")
+    assert fix["n_reindexed"] == 4
+    audit2 = c.verify_index(["va", "vb"], "vidx")
+    assert audit2["ok"], audit2
+    # the repaired rows carry REAL features (drawn from item vb): a
+    # near-dup of a vb doc now drops
+    dup = _docs([12]).assign(doc_id=999)
+    rep = c.append_dedup("vb", dup, "vidx")
+    assert rep["dropped_ids"] == [999]
+
+
+def test_verify_none_requires_recorded_scope(test_collection, spark):
+    """verify_index(None, idx) on an index built from a bare
+    DataFrame (no recorded source items) must fail loudly, not audit
+    an empty corpus."""
+    from pystore_spark.exceptions import StorageError
+
+    c = test_collection
+    df = spark.createDataFrame(
+        _docs(range(3))
+    )
+    c.build_dedup_index("didx", df)
+    with pytest.raises(StorageError, match="no source items"):
+        c.verify_index(None, "didx")

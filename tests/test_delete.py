@@ -200,6 +200,83 @@ def test_delete_then_index_audit_and_repair(test_collection):
     assert c.append_dedup("corpus", redup, "cidx")["n_dropped"] == 0
 
 
+def test_delete_where_repair_indexes_one_call(test_collection):
+    """Round-6 brief item 3: delete → index consistency in ONE
+    motion. delete_where(..., repair_indexes=True) must leave every
+    covering index clean — a probe that previously matched a deleted
+    doc no longer drops incoming docs, with NO manual repair_index
+    call."""
+    import pandas as pd
+
+    c = test_collection
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away today while the sun shines over the quiet valley "
+    )
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [base + f"tail {i} " + "filler words here " * 3
+                 for i in range(8)],
+    })
+    c.write("corpus", docs, index_col="doc_id")
+    c.build_dedup_index("cidx", "corpus")
+
+    # sanity: before the delete, a near-dup of doc 7 WOULD drop
+    redup = pd.DataFrame({
+        "doc_id": [100], "text": [docs.loc[7, "text"] + " extra"],
+    })
+    assert len(c.probe_dedup_index(
+        "cidx", c.spark.createDataFrame(redup)
+    ).collect()) == 1
+
+    rep = c.delete_where(
+        "corpus", [("doc_id", ">=", 6)], repair_indexes=True
+    )
+    assert rep["n_deleted"] == 2
+    assert "cidx" in rep["index_repairs"]
+    assert rep["index_repairs"]["cidx"]["n_removed"] == 2
+    # no manual repair call: the audit is already clean and the
+    # deleted docs no longer shadow future near-dups of themselves
+    assert c.verify_index("corpus", "cidx")["ok"]
+    assert c.append_dedup("corpus", redup, "cidx")["n_dropped"] == 0
+
+    # opt-out keeps the documented stale-by-design behavior
+    c.write("corpus2", docs, index_col="doc_id")
+    c.build_dedup_index("cidx2", "corpus2")
+    rep2 = c.delete_where("corpus2", [("doc_id", ">=", 6)])
+    assert "index_repairs" not in rep2
+    assert not c.verify_index("corpus2", "cidx2")["ok"]
+
+
+def test_delete_range_repair_indexes_covers_metadata_drops(
+    test_collection,
+):
+    """delete_range's pure-manifest bucket drops stale indexes just
+    like row rewrites; repair_indexes=True must heal after BOTH
+    phases."""
+    import pandas as pd
+
+    c = test_collection
+    idx = pd.date_range("2024-01-01", periods=60, freq="D")
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "text": [
+            "totally distinct prose block number "
+            + " ".join(f"w{i}{j}" for j in range(25))
+            for i in range(60)
+        ],
+        "ts": idx,
+    })
+    c.write("tcorp", docs, index_col="ts")
+    c.build_dedup_index("tidx", "tcorp")
+    rep = c.delete_range(
+        "tcorp", before="2024-02-01", repair_indexes=True
+    )
+    assert rep["n_deleted"] == 31
+    assert rep["index_repairs"]["tidx"]["n_removed"] == 31
+    assert c.verify_index("tcorp", "tidx")["ok"]
+
+
 def test_delete_range_refusal_is_atomic(test_collection):
     """Review finding: a cutoff beyond the data's end whose bucket
     label still matches the LAST bucket used to commit the metadata
