@@ -181,12 +181,21 @@ class LocalFileSystem(FileSystem):
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         return open(path, "wb")
 
-    # per-path mutexes making the conditional put atomic WITHIN this
-    # process (threaded writers: write_threaded, AsyncCollection,
-    # concurrent ingest stamps). POSIX has no native conditional
-    # rename, so CROSS-process local racers remain best-effort CAS +
-    # CollectionLock as the primary mutual exclusion; the fake/real S3
-    # backends get a true conditional put.
+    # Conditional-put mutual exclusion, two layers:
+    #   * a per-path threading.Lock for writers INSIDE this process
+    #     (write_threaded, AsyncCollection, concurrent ingest stamps)
+    #     — cheap fairness, no fd churn on the hot in-process path;
+    #   * an OS-level flock on a sidecar ``<name>.lock`` file for
+    #     writers in OTHER processes (a second driver on the same
+    #     warehouse). POSIX has no conditional rename, so without the
+    #     flock two processes both pass the etag check and the loser
+    #     silently clobbers the winner — the round-6 cross-process
+    #     hammer (tests/test_manifest.py) measured 53/100 counter
+    #     increments surviving under exactly that race. The lock file
+    #     is tiny, permanent, and invisible to data listings (no
+    #     .parquet/.json suffix). Object-store backends instead use
+    #     their native conditional put (FakeS3 below; real S3 via
+    #     If-Match/If-None-Match in an adapter).
     _cas_locks: dict[str, threading.Lock] = {}
     _cas_locks_guard = threading.Lock()
 
@@ -215,9 +224,7 @@ class LocalFileSystem(FileSystem):
             os.replace(tmp, p)
             return _md5(data)
 
-        if if_match is UNCONDITIONAL:
-            return _install()
-        with self._cas_lock(p):
+        def _checked_install() -> str:
             current = self.etag(p)
             if current != if_match:
                 raise ConcurrentCommitError(
@@ -225,6 +232,20 @@ class LocalFileSystem(FileSystem):
                     f"{if_match!r}, found {current!r}"
                 )
             return _install()
+
+        if if_match is UNCONDITIONAL:
+            return _install()
+        with self._cas_lock(p):
+            try:
+                import fcntl
+            except ImportError:  # pragma: no cover — non-POSIX hosts
+                return _checked_install()
+            with open(p.with_name(p.name + ".lock"), "a+b") as lf:
+                fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+                try:
+                    return _checked_install()
+                finally:
+                    fcntl.flock(lf.fileno(), fcntl.LOCK_UN)
 
     def etag(self, path):
         try:

@@ -270,3 +270,153 @@ def test_concurrent_locked_appends_lose_nothing(test_collection):
     ]
     assert sizes[0] == 1_000 and sizes[-1] == len(out)
     assert sizes == sorted(sizes)  # appends only ever grow the item
+
+
+# ---------------------------------------------------------------------------
+# round-6 (VERDICT r5 item 7): the observed-state CAS must hold across
+# PROCESSES, not just threads — the local conditional put is the whole
+# multi-writer story on a shared filesystem.
+# ---------------------------------------------------------------------------
+def test_cas_counter_survives_multiprocess_hammer(test_collection):
+    """N plain-Python subprocesses (no Spark — metadata CAS is pure
+    filesystem) increment one sidecar counter M times each through
+    update_metadata_cas. Any lost update across process boundaries
+    shows as a short count; 4×25 with live contention is far past the
+    collision point."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _P
+
+    c = test_collection
+    c.write("hammer", _frame(100))
+    item_path = c._item_path("hammer")
+    repo = str(_P(__file__).resolve().parent.parent)
+    script = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from pystore_spark import utils
+
+def bump(meta):
+    meta["_hammer"] = int(meta.get("_hammer", 0)) + 1
+    return meta
+
+for _ in range(25):
+    utils.update_metadata_cas({str(item_path)!r}, bump, retries=100)
+"""
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", script],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for _ in range(4)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    meta = c.get_item_metadata("hammer", use_cache=False)
+    assert meta["_hammer"] == 100
+    # the manifest survived the storm: every live pointer resolves
+    man = utils.read_manifest(item_path)
+    for rel in man["files"]:
+        assert (item_path / rel).exists()
+
+
+def test_two_driver_compact_append_race(test_collection, tmp_path):
+    """A SECOND DRIVER (subprocess with its own SparkSession/JVM)
+    appends small batches into one bucket while this driver compacts
+    the same item in a loop. Both commit through the observed-state
+    CAS (expect_files); the loser of each race retries against fresh
+    state. Lost updates would show as missing rows; a clobbered
+    compact would show as dangling manifest pointers."""
+    import os
+    import subprocess
+    import sys as _sys
+    import time as _t
+    from pathlib import Path as _P
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    repo = str(_P(__file__).resolve().parent.parent)
+    warehouse = str(tmp_path / "race_wh")
+    ready = tmp_path / "ready"
+    done = tmp_path / "done"
+    old_path = cfg._path
+    try:
+        cfg.set_path(warehouse)
+        col = ps.store("racestore", spark=test_collection.spark).collection("c")
+        base = pd.DataFrame(
+            {"v": np.arange(200, dtype="float64")},
+            index=pd.date_range("2024-01-01", periods=200, freq="s"),
+        )
+        col.write("fact", base)
+
+        # 40 paced appends (~30 ms apart) give a multi-second window
+        # in which the parent's compact commits and the child's append
+        # commits genuinely interleave on the SAME bucket — pandas-
+        # path appends are ~15 ms, so without the pacing the child
+        # finishes before the parent's first compact (observed)
+        script = f"""
+import sys, os, time
+sys.path.insert(0, {repo!r})
+os.environ["PYSTORE_SPARK_PATH"] = {warehouse!r}
+import pandas as pd
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "1g")
+         .getOrCreate())
+import pystore_spark as ps
+col = ps.store("racestore", spark=spark).collection("c")
+open({str(ready)!r}, "w").write("1")
+for i in range(40):
+    df = pd.DataFrame(
+        {{"v": [float(i)] * 25}},
+        index=pd.date_range("2024-01-01", periods=25, freq="ms")
+              + pd.Timedelta(minutes=30 + i),
+    )
+    col.append("fact", df, duplicate_handling="keep_all")
+    time.sleep(0.03)
+open({str(done)!r}, "w").write("1")
+spark.stop()
+"""
+        env = dict(os.environ)
+        proc = subprocess.Popen(
+            [_sys.executable, "-c", script],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        try:
+            t0 = _t.time()
+            while not ready.exists():
+                assert proc.poll() is None, proc.communicate()[1].decode()[-2000:]
+                assert _t.time() - t0 < 180, "child session never came up"
+                _t.sleep(0.05)
+            # compact continuously while the child appends — every
+            # child append adds a small file to the same day bucket,
+            # so compact passes keep finding real merge work and the
+            # two writers' bucket swaps interleave
+            rounds = 0
+            while not done.exists() and _t.time() - t0 < 300:
+                col.compact("fact", target_size_mb=64)
+                rounds += 1
+            _, err = proc.communicate(timeout=120)
+            assert proc.returncode == 0, err.decode()[-4000:]
+            assert rounds >= 3, "the compact loop never overlapped"
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        # row conservation across both writers — a lost update on
+        # either side shows here
+        col.clear_metadata_cache("fact")
+        assert col.item("fact").data.count() == 200 + 40 * 25
+        # and the surviving manifest is fully resolvable
+        item_path = col._item_path("fact")
+        man = utils.read_manifest(item_path)
+        for rel in man["files"]:
+            assert (item_path / rel).exists()
+        # one final compact leaves a clean state with nothing lost
+        col.compact("fact", target_size_mb=64)
+        assert col.item("fact").data.count() == 200 + 40 * 25
+    finally:
+        cfg._path = old_path
