@@ -26,53 +26,60 @@ WINDOW = 50
 
 # window composition is rotated per round on judge direction; the sets
 # below pin the CURRENT intent so an accidental reorder fails loudly.
-# Round-5 promotions (VERDICT r4 items 1-2): the incremental-dedup
-# flagship plus the round-4 tail flagships.
+# Round-6 promotions (VERDICT r5 item 1): every query that had never
+# carried a driver-scale CORRECTNESS row, plus the two new round-6
+# flagships (real BPE, cross-item dedup).
 PROMOTED = {
+    "unpivot_lineitem_measures", "gapfill_locf_daily",
+    "gopher_quality_flags", "c4_quality_flags",
+    "encoding_quality_flags", "dsir_importance_weights",
+    "bpe_token_stats", "incremental_line_probe",
+    "weighted_sample_topk", "mixture_plan", "pack_sequences",
+    "shard_manifest", "corpus_drift_psi", "approx_distinct_audit",
+    "corpus_mix_report",
+    # round-6 flagships (new this round, driver-checked immediately)
+    "bpe_tokenize_counts", "cross_item_dedup_probe",
+}
+# earlier-round promotions/retentions that keep their window slot
+# (their family has no redundant sibling in-window)
+RETAINED = {
+    "tfidf_top_terms", "near_dedup_kept_docs",
+    "event_seq_applyinpandas", "benchmark_contamination",
     "incremental_dedup_probe", "near_dedup_recall_audit",
     "vocab_topk", "doc_length_histogram", "ohlc_resample",
-    # round-5 continuation: the C4 line-removal ledger, the
-    # trainable model-based quality gate, and the verify/repair fsck
-    # lifecycle probe
     "line_dedup_stats", "quality_classifier_scores",
-    "index_audit_probe",
-    # round-4 promotions keeping their slot
-    "signlsh_candidate_topk",
-    "heavy_hitters", "quality_funnel", "rolling_zscore_outliers",
+    "index_audit_probe", "signlsh_candidate_topk",
+    "quality_funnel", "rolling_zscore_outliers",
     "interval_join_banded", "embedding_quantization_audit",
     "lm_perplexity_scores", "curation_funnel",
+    "exact_dedup_groups",
 }
-# round-2 promotions that keep their window slot (their family has no
-# redundant sibling in-window)
-RETAINED = {
-    "tfidf_top_terms", "stratified_sample", "near_dedup_kept_docs",
-    "event_seq_applyinpandas", "benchmark_contamination",
-}
-# rotated OUT of the window — each was driver-green in a prior
-# CORRECTNESS round and keeps its in-repo oracle run below
+# rotated OUT of the window — each was driver-green in ≥1 prior
+# CORRECTNESS round (round-6 demotions: ≥3 rounds, heavy_hitters 2)
+# and keeps its in-repo oracle run below
 ROTATED_OUT = {
-    # round-5 continuation (for index_audit_probe): the MinHash
-    # signature kernel keeps four in-window exercisers — lsh_band_
-    # stats, near_dedup_kept_docs and both incremental probes
+    # round 6 (families kept in-window by: scan_filter_pushdown;
+    # validation_aggregates; schema_evolve_projection; pricing/
+    # revenue/region joins; running_sum/rolling_zscore windows;
+    # interval_join_banded range joins; bpe_tokenize_counts token
+    # counts; line_dedup/near_dedup fingerprints; the four dedup
+    # probes; embedding_quantization_audit IVF; the promoted
+    # samplers; vocab_topk/tfidf top-k):
+    "scan_projection", "index_minmax", "epoch_roundtrip",
+    "json_extract_props", "time_bucket_agg", "top_orders_by_revenue",
+    "top3_events_per_user", "sessionization",
+    "asof_join_orders_events", "text_token_stats", "doc_fingerprints",
+    "lsh_band_stats", "simhash_fingerprints", "ann_ivf_label_topk",
+    "stratified_sample", "downcast_projection", "heavy_hitters",
+    # round-5 continuation / round-5 / round-4 demotions (families
+    # documented in queries_ext.QUERY_PRIORITY):
     "minhash_signatures",
-    # round 4:
     "head_by_index", "value_percentiles", "pivot_event_counts",
     "rollup_revenue", "token_entropy", "repetition_scores",
     "minhash_jaccard_estimate", "fixed_sample_per_stratum",
     "overlap_semi_join", "intersect_keys", "forecast_revenue_delta",
-    # round 5 (for the five promotions above; each keeps an in-window
-    # family sibling — validation_aggregates/invariant_violations for
-    # monotonic_check, token/quality/tfidf for lang_id,
-    # near_dedup_kept_docs + incremental_dedup_probe for
-    # ngram_jaccard_pairs' Jaccard verify, doc_fingerprints for
-    # winnowing, near_dedup_recall_audit + quantization_audit for
-    # lsh_recall_audit):
     "monotonic_check", "lang_id_heuristic", "ngram_jaccard_pairs",
     "winnowing_fingerprints", "lsh_recall_audit",
-    # round-5 continuation (family siblings in-window:
-    # upsert_keep_last for keep_first_window_dedup's rank-1 window
-    # dedup; line_dedup_stats for chunk_dedup_stats' sub-document
-    # dedup ledger):
     "keep_first_window_dedup", "chunk_dedup_stats",
 }
 
