@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     # round-5 flagships
     "line_dedup_stats",
     "quality_classifier_scores",
+    # round-6 flagship: real BPE merge-loop tokenization (the Python
+    # merge loop runs only over the distinct pre-token vocabulary)
+    "bpe_tokenize_counts",
 ]
 
 

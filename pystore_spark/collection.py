@@ -1186,19 +1186,17 @@ class Collection:
         out: dict[str, dict] = {}
         for n in self.items:
             m = self.get_item_metadata(n) or {}
-            di = m.get(DI.META_KEY)
-            if di and item in DI._source_items(di):
+            scoped = m.get(DI.META_KEY) or m.get(LI.META_KEY)
+            if scoped and item in DI._source_items(scoped):
                 scope = [
-                    s for s in DI._source_items(di)
+                    s for s in DI._source_items(scoped)
                     if self.item_exists(s)
                 ]
                 out[n] = self.repair_index(scope or item, n)
                 continue
-            for key in (LI.META_KEY, "_vector_index"):
-                sub = m.get(key)
-                if sub and sub.get("source_item") == item:
-                    out[n] = self.repair_index(item, n)
-                    break
+            vx = m.get("_vector_index")
+            if vx and vx.get("source_item") == item:
+                out[n] = self.repair_index(item, n)
         return out
 
     def _delete_where_once(
@@ -2478,8 +2476,10 @@ class Collection:
           item the index sidecar records — build sources plus
           append_dedup targets), with per-item missing counts;
         * line index — census lines whose owner doc no longer exists
-          (``deep=True`` additionally re-derives the owner's lines and
-          flags census rows the stored text no longer contains);
+          in ANY scoped item (``item`` may likewise be a name, list,
+          or None = recorded scope; ``deep=True`` additionally
+          re-derives the owners' lines and flags census rows the
+          stored text no longer contains);
         * vector index — vectors missing from / stale in base ∪ delta.
 
         Read-only, id-space joins over column-pruned scans (one pass
@@ -2877,6 +2877,21 @@ class Collection:
                 self, line_index, pending_lines, marker=replay_marker
             )
 
+        # the ingest target joins each active index's recorded corpus
+        # scope (cross-item verify/repair; idempotent no-op when
+        # already recorded — append_with_dedup registers on the
+        # single-call path, this covers the decomposed + line paths)
+        if dedup_index is not None or line_index is not None:
+            from pystore_spark import dedup_index as DI
+            from pystore_spark import line_index as LI
+
+            if dedup_index is not None:
+                DI._register_source_item(self, dedup_index, item)
+            if line_index is not None:
+                DI._register_source_item(
+                    self, line_index, item, meta_key=LI.META_KEY
+                )
+
         # insertion-ordered stage list; a repeated stage name gets a
         # positional suffix so no count is silently collapsed
         funnel: dict[str, int] = {}
@@ -3199,26 +3214,24 @@ class Collection:
             if verify_indexes:
                 try:
                     nm = self.get_item_metadata(n) or {}
-                    if nm.get("_dedup_index"):
+                    scoped = nm.get("_dedup_index") or nm.get(
+                        "_line_index"
+                    )
+                    if scoped:
                         # multi-item scope: audit every recorded
-                        # corpus item (build sources + append_dedup
-                        # targets), skipping deleted ones
+                        # corpus item (build sources + append_dedup /
+                        # ingest targets), skipping deleted ones
                         from pystore_spark import dedup_index as DI
 
                         srcs = [
                             s
-                            for s in DI._source_items(
-                                nm["_dedup_index"]
-                            )
+                            for s in DI._source_items(scoped)
                             if self.item_exists(s)
                         ]
                         if srcs:
                             res["verify"] = self.verify_index(srcs, n)
-                    else:
-                        src = None
-                        for key in ("_line_index", "_vector_index"):
-                            if nm.get(key):
-                                src = nm[key].get("source_item")
+                    elif nm.get("_vector_index"):
+                        src = nm["_vector_index"].get("source_item")
                         if src and self.item_exists(src):
                             res["verify"] = self.verify_index(src, n)
                 except Exception as exc:

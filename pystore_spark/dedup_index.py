@@ -250,19 +250,26 @@ def _source_items(meta: dict) -> list[str]:
     return [meta["source_item"]] if meta.get("source_item") else []
 
 
-def _register_source_item(col, index_item: str, item: str) -> None:
+def _register_source_item(
+    col, index_item: str, item: str, meta_key: str = META_KEY
+) -> None:
     """Record ``item`` in the index sidecar's ``source_items`` (CAS —
     concurrent appenders to different items both land). Makes
     verify/repair/maintain audit every corpus item the index has ever
-    deduplicated into, without the caller re-listing them."""
+    deduplicated into, without the caller re-listing them. Shared by
+    the dedup and line indexes (``meta_key`` selects the sidecar)."""
     from pystore_spark import utils
 
-    meta = _index_meta(col, index_item)
+    meta = (col.get_item_metadata(index_item) or {}).get(meta_key)
+    if not meta:
+        raise StorageError(
+            f"item {index_item!r} carries no {meta_key!r} sidecar"
+        )
     if item in _source_items(meta):
         return
 
     def add(m: dict) -> dict:
-        idx = dict(m.get(META_KEY) or {})
+        idx = dict(m.get(meta_key) or {})
         items = list(idx.get("source_items") or (
             [idx["source_item"]] if idx.get("source_item") else []
         ))
@@ -271,7 +278,7 @@ def _register_source_item(col, index_item: str, item: str) -> None:
         idx["source_items"] = items
         if not idx.get("source_item") and items:
             idx["source_item"] = items[0]
-        m[META_KEY] = idx
+        m[meta_key] = idx
         return m
 
     utils.update_metadata_cas(col._item_path(index_item), add)

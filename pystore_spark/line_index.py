@@ -80,9 +80,14 @@ def build_line_index(
     id_col: str = "doc_id",
     overwrite: bool = False,
 ) -> dict:
-    """Full census build over a stored item (by name) or DataFrame.
-    One corpus pass; after this, ingests probe instead of re-censusing.
-    """
+    """Full census build over a stored item (by name), a LIST of item
+    names (multi-source corpus sharing one census — line ownership is
+    global, so the census doesn't care which item owns a line; ids
+    must be globally unique), or a DataFrame. One corpus pass; after
+    this, ingests probe instead of re-censusing. Covered items are
+    recorded in the sidecar (``source_items``) and grow with every
+    ``ingest(line_index=...)`` target, so verify/repair audit the
+    whole scope."""
     from pystore_spark import dedup_index as DI
 
     if not overwrite and col.item_exists(index_item):
@@ -92,15 +97,26 @@ def build_line_index(
             f"line index {index_item!r} already exists; use "
             "overwrite=True to rebuild"
         )
-    df = (
-        DI._read_frame(col, source) if isinstance(source, str) else source
-    )
+    source_items: list[str] = []
+    if isinstance(source, str):
+        source_items = [source]
+        df = DI._read_frame(col, source)
+    elif isinstance(source, (list, tuple)):
+        source_items = list(dict.fromkeys(source))
+        if not source_items:
+            raise ValueError("source item list is empty")
+        df = DI._read_frame(col, source_items[0])
+        for nm in source_items[1:]:
+            df = df.unionByName(DI._read_frame(col, nm))
+    else:
+        df = source
     census = _census(df, text_col, id_col).localCheckpoint(eager=True)
     meta = {
         "text_col": text_col,
         "id_col": id_col,
         "delta_item": f"{index_item}__delta",
-        "source_item": source if isinstance(source, str) else None,
+        "source_item": source_items[0] if source_items else None,
+        "source_items": source_items,
     }
     col.write(
         index_item,
@@ -401,8 +417,22 @@ def refresh_line_index(col, index_item: str) -> dict:
     return {"lines_folded": n}
 
 
+def _corpus_frame(col, meta: dict, item, cols: list[str]):
+    """(items, union of the needed COLUMNS across the corpus items) —
+    ``item`` is a name, a list, or None (= the sidecar's recorded
+    ``source_items``). Column-pruned per item before the union, so
+    heterogeneous extra columns across sources don't break it."""
+    from pystore_spark import dedup_index as DI
+
+    items = DI._resolve_corpus_items(col, meta, item)
+    df = col.item(items[0]).data.select(*cols)
+    for nm in items[1:]:
+        df = df.unionByName(col.item(nm).data.select(*cols))
+    return items, df
+
+
 def verify_index(
-    col, item: str, index_item: str, deep: bool = False,
+    col, item, index_item: str, deep: bool = False,
     sample: int = 20,
 ) -> dict:
     """Consistency audit between a corpus item and its line census —
@@ -419,6 +449,11 @@ def verify_index(
       stored text no longer contains the line (e.g. the item was
       rewritten out-of-band).
 
+    ``item`` is a corpus item name, a LIST of names, or None — None
+    audits every item the sidecar records (build sources plus every
+    ``ingest(line_index=...)`` target): a census owner is an orphan
+    only when NO scoped item holds it.
+
     Read-only; repair is ``build_line_index(overwrite=True)``."""
     meta = _index_meta(col, index_item)
     id_col, text_col = meta["id_col"], meta["text_col"]
@@ -428,8 +463,11 @@ def verify_index(
     census = _union_tiers_lines(col, index_item, meta).localCheckpoint(
         eager=True
     )
+    items, corpus = _corpus_frame(
+        col, meta, item, [id_col] if not deep else [id_col, text_col]
+    )
     corpus_ids = (
-        col.item(item).data.select(F.col(id_col).alias("owner"))
+        corpus.select(F.col(id_col).alias("owner"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -437,6 +475,7 @@ def verify_index(
     orows = orphans.limit(sample + 1).collect()
     n_orphan = orphans.count()
     report = {
+        "items": items,
         "n_census_lines": census.count(),
         "n_orphan_owner": n_orphan,
         "orphan_owner_sample": sorted(
@@ -444,7 +483,7 @@ def verify_index(
         ),
     }
     if deep:
-        owned = col.item(item).data.select(
+        owned = corpus.select(
             F.col(id_col).alias("owner"),
             F.explode(X.split_lines(text_col)).alias("_line"),
         ).filter(F.trim("_line") != "").select(
@@ -471,12 +510,13 @@ def _union_tiers_lines(col, index_item: str, meta: dict):
     )
 
 
-def repair_index(col, item: str, index_item: str) -> dict:
+def repair_index(col, item, index_item: str) -> dict:
     """Drop census rows owned by documents no longer in the corpus —
     the id-space repair of :func:`verify_index`'s ``orphan_owner``
     drift (each such row silently strips a line every future batch
     carries, while no stored document owns it). O(census + corpus
-    ids); never reads text.
+    ids); never reads text. ``item`` accepts a name, a list, or None
+    (= the sidecar's recorded scope) like :func:`verify_index`.
 
     Deep drift — ghost lines after an out-of-band rewrite, or corpus
     lines missing from the census — costs a full corpus text pass to
@@ -488,9 +528,9 @@ def repair_index(col, item: str, index_item: str) -> dict:
 
     meta = _index_meta(col, index_item)
     id_col = meta["id_col"]
+    _, corpus = _corpus_frame(col, meta, item, [id_col])
     corpus_owners = (
-        col.item(item).data
-        .select(F.col(id_col).alias("owner"))
+        corpus.select(F.col(id_col).alias("owner"))
         .distinct()
         .localCheckpoint(eager=True)
     )

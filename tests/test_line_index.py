@@ -271,3 +271,51 @@ def test_batch_shared_line_survives_when_its_owner_is_probe_dropped(
         update_index=False,
     )
     assert out.collect()[0]["text"] == ""
+
+
+# ---------------------------------------------------------------------------
+# cross-item census scope (round 6: shared census over several items)
+# ---------------------------------------------------------------------------
+def test_line_index_cross_item_scope(test_collection, spark):
+    """One census over two corpus items: build over [a, b], then
+    ingest into item c — lines owned by EITHER build source strip
+    from the batch, the ingest target joins the recorded scope, and
+    verify(None) treats an owner in ANY scoped item as live."""
+    c = test_collection
+    a = _frame(spark, [_doc(1, "alpha body", BOILER)])
+    b = _frame(spark, [
+        _doc(2, "beta body", BOILER2),
+        _doc(3, "keeper line"),
+    ])
+    c.write("lc_a", a.toPandas(), index_col="doc_id")
+    c.write("lc_b", b.toPandas(), index_col="doc_id")
+    c.build_line_index("lcx", ["lc_a", "lc_b"])
+    meta = c.get_item_metadata("lcx")[LI.META_KEY]
+    assert meta["source_items"] == ["lc_a", "lc_b"]
+    assert c.item("lcx").data.count() == 5  # 5 distinct lines
+
+    # ingest into a THIRD item: loses lines owned by both sources
+    rep = c.ingest(
+        "lc_c",
+        _frame(spark, [_doc(10, "gamma body", BOILER, BOILER2)]),
+        line_index="lcx",
+        create_missing=True,
+    )
+    assert rep["n_appended"] == 1
+    stored = c.item("lc_c").data.collect()[0]["text"]
+    assert BOILER not in stored and BOILER2 not in stored
+    assert "gamma body" in stored
+
+    meta2 = c.get_item_metadata("lcx", use_cache=False)[LI.META_KEY]
+    assert meta2["source_items"] == ["lc_a", "lc_b", "lc_c"]
+    audit = c.verify_index(None, "lcx", deep=True)
+    assert audit["ok"], audit
+    assert audit["items"] == ["lc_a", "lc_b", "lc_c"]
+
+    # delete item b's doc: its lines orphan; scoped repair drops them
+    c.delete_where("lc_b", [("doc_id", "==", 2)], repair_indexes=False)
+    bad = c.verify_index(None, "lcx")
+    assert not bad["ok"] and bad["n_orphan_owner"] == 2
+    fix = c.repair_index(None, "lcx")
+    assert fix["n_removed"] == 2
+    assert c.verify_index(None, "lcx", deep=True)["ok"]
