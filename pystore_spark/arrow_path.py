@@ -319,9 +319,12 @@ def try_write(
     epochdate: bool,
     index_col: str | None,
     compression: str | None = None,
+    must_not_exist: bool = False,
 ) -> bool:
     """Driver-side write; True when fully handled. Any failure before
-    filesystem mutation falls back (returns False)."""
+    filesystem mutation falls back (returns False). ``must_not_exist``
+    makes the commit a true CREATE (raises ConcurrentCommitError if a
+    manifest appeared since the caller's existence check)."""
     try:
         got = _incoming_to_table(col, data, epochdate, index_col)
         if got is None:
@@ -342,6 +345,7 @@ def try_write(
         item,
         lambda tmp: write_table_files(tbl, Path(tmp), plan, idx_cols),
         sidecar,
+        must_not_exist=must_not_exist,
     )
     return True
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from pystore_spark import utils
 from pystore_spark.exceptions import (
+    ConcurrentCommitError,
     ItemExistsError,
     ItemNotFoundError,
     SnapshotNotFoundError,
@@ -425,6 +426,7 @@ class Collection:
         if arrow_path.try_write(
             self, item, data, metadata, npartitions, epochdate,
             index_col, compression=compression,
+            must_not_exist=not overwrite,
         ):
             self.clear_metadata_cache(item)
             return
@@ -453,7 +455,9 @@ class Collection:
         sidecar = dict(metadata or {})
         sidecar[META_KEY] = pmeta
         sidecar["_partition_plan"] = plan.to_dict()
-        self._atomic_write(item, shaped, plan, sidecar)
+        self._atomic_write(
+            item, shaped, plan, sidecar, must_not_exist=not overwrite
+        )
         self.clear_metadata_cache(item)
 
     def _write_df(self, df: DataFrame, path: str, plan: PartitionPlan) -> None:
@@ -466,19 +470,22 @@ class Collection:
         writer.parquet(path)
 
     def _atomic_write(
-        self, item: str, df: DataFrame, plan: PartitionPlan, sidecar: dict
+        self, item: str, df: DataFrame, plan: PartitionPlan,
+        sidecar: dict, must_not_exist: bool = False,
     ) -> None:
         """Whole-item replace through the manifest commit (replaces the
         reference's tmp → backup → rename protocol,
         pystore/collection.py:619-675, whose backup window let a
         concurrent reader observe a missing item)."""
         self._atomic_install(
-            item, lambda tmp: self._write_df(df, str(tmp), plan), sidecar
+            item, lambda tmp: self._write_df(df, str(tmp), plan),
+            sidecar, must_not_exist=must_not_exist,
         )
 
     def _atomic_install(
         self, item: str, write_fn, sidecar: dict,
         expect_files: dict[str, tuple[str, ...]] | None = None,
+        must_not_exist: bool = False,
     ) -> None:
         """Shared whole-item commit: ``write_fn(tmp_dir)`` produces the
         data files (Spark or Arrow writer), which are staged into the
@@ -486,16 +493,18 @@ class Collection:
         manifest replace (see manifest.py). ``expect_files`` is the
         observed-state guard for rewrites computed from a prior read
         (see ``_commit_staged``); intentional overwrites leave it
-        None."""
+        None. ``must_not_exist=True`` makes a CREATE a true
+        must-not-exist commit (see ``_commit_staged``)."""
         self._commit_staged(
             item, write_fn, sidecar, scope="item",
-            expect_files=expect_files,
+            expect_files=expect_files, must_not_exist=must_not_exist,
         )
 
     def _commit_staged(
         self, item: str, write_fn, sidecar: dict, scope: str,
         expect_files: dict[str, tuple[str, ...]] | None = None,
         drop_buckets: set[str] | None = None,
+        must_not_exist: bool = False,
     ) -> None:
         """The manifest commit protocol shared by every writer:
 
@@ -544,6 +553,21 @@ class Collection:
             utils.rm_tree(tmp)
             raise
         man, man_etag = utils.read_manifest_versioned(item_path)
+        if must_not_exist and man is not None:
+            # a CREATE (write without overwrite) must be a true
+            # must-not-exist commit: the caller's upfront existence
+            # check is check-then-act, and two concurrent creators of
+            # the same item both pass it — the round-6 cross-item race
+            # showed the loser then committing a versioned REPLACE
+            # that silently staled the winner's just-committed rows.
+            # Raising here turns that into a visible lost race the
+            # caller can retry as an append.
+            utils.rm_tree(tmp)
+            raise ConcurrentCommitError(
+                f"item {item!r} was created concurrently — this "
+                "write's must-not-exist precondition no longer "
+                "holds; retry as append or pass overwrite=True"
+            )
         if sidecar is None:
             # metadata-PRESERVING commit (the delete paths): the
             # caller changes only the file set, so the metadata is
@@ -2222,7 +2246,16 @@ class Collection:
         if self.item_exists(delta):
             self.append(delta, rows, duplicate_handling="keep_all")
         else:
-            self.write(delta, rows, index_col="added_at")
+            try:
+                self.write(delta, rows, index_col="added_at")
+            except (ConcurrentCommitError, ItemExistsError):
+                # concurrent first-appends race to CREATE the delta
+                # tier — the loser appends instead of failing (same
+                # fix as dedup_index._index_delta_append)
+                self.clear_metadata_cache(delta)
+                self.append(
+                    delta, rows, duplicate_handling="keep_all"
+                )
         return {"delta_item": delta}
 
     def refresh_vector_index(self, index_item: str) -> dict:

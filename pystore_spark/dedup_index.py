@@ -852,6 +852,11 @@ def _index_delta_append(
     # the sidecar records marker → added_at generation, so a replay
     # can exclude exactly this append's rows (see _replay_exclusion)
     sidecar = _marker_sidecar(marker, ts=now)
+    from pystore_spark.exceptions import (
+        ConcurrentCommitError,
+        ItemExistsError,
+    )
+
     for name, rows in (
         (meta["bands_delta"], band_rows),
         (meta["docs_delta"], doc_rows),
@@ -864,9 +869,22 @@ def _index_delta_append(
                 sidecar_extra=sidecar,
             )
         else:
-            col.write(
-                name, rows, index_col="added_at", sidecar_extra=sidecar
-            )
+            try:
+                col.write(
+                    name, rows, index_col="added_at",
+                    sidecar_extra=sidecar,
+                )
+            except (ConcurrentCommitError, ItemExistsError):
+                # cross-item appenders sharing one index race to
+                # CREATE the delta tier (two first-appends, two
+                # must-not-exist puts) — the loser lands its rows as
+                # a plain append instead of failing a committed data
+                # append's indexing
+                col.clear_metadata_cache(name)
+                col.append(
+                    name, rows, duplicate_handling="keep_all",
+                    sidecar_extra=sidecar,
+                )
 
 
 def _latest_generation(delta: DataFrame, id_col: str) -> DataFrame:

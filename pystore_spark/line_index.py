@@ -369,10 +369,26 @@ def register_new_lines(
             sidecar_extra=sidecar,
         )
     else:
-        col.write(
-            delta, new_census, index_col="added_at",
-            sidecar_extra=sidecar,
+        from pystore_spark.exceptions import (
+            ConcurrentCommitError,
+            ItemExistsError,
         )
+
+        try:
+            col.write(
+                delta, new_census, index_col="added_at",
+                sidecar_extra=sidecar,
+            )
+        except (ConcurrentCommitError, ItemExistsError):
+            # cross-item ingests sharing one census race to CREATE
+            # the delta tier — the loser appends instead of failing
+            # a committed batch's registration (same fix as
+            # dedup_index._index_delta_append)
+            col.clear_metadata_cache(delta)
+            col.append(
+                delta, new_census, duplicate_handling="keep_all",
+                sidecar_extra=sidecar,
+            )
 
 
 def refresh_line_index(col, index_item: str) -> dict:

@@ -605,3 +605,27 @@ def test_verify_none_requires_recorded_scope(test_collection, spark):
     c.build_dedup_index("didx", df)
     with pytest.raises(StorageError, match="no source items"):
         c.verify_index(None, "didx")
+
+
+def test_concurrent_source_registration_cas(test_collection):
+    """Two appenders targeting DIFFERENT items under one shared index
+    register their targets concurrently — the sidecar CAS must land
+    both (a lost update would silently shrink verify's audit scope)."""
+    import threading
+
+    c = test_collection
+    c.write("reg_src", _docs(range(4)), index_col="doc_id")
+    c.build_dedup_index("regidx", "reg_src")
+
+    def run(tag, ids):
+        batch = _docs(ids, tail=f"novel {tag} " * 5)
+        c.append_dedup(
+            f"reg_{tag}", batch, "regidx", create_missing=True
+        )
+
+    t1 = threading.Thread(target=run, args=("x", [100, 101]))
+    t2 = threading.Thread(target=run, args=("y", [200, 201]))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    meta = c.get_item_metadata("regidx", use_cache=False)[DI.META_KEY]
+    assert set(meta["source_items"]) == {"reg_src", "reg_x", "reg_y"}
+    assert c.verify_index(None, "regidx")["ok"]

@@ -420,3 +420,39 @@ spark.stop()
         assert col.item("fact").data.count() == 200 + 40 * 25
     finally:
         cfg._path = old_path
+
+
+def test_concurrent_create_same_item_loses_visibly(test_collection):
+    """write(overwrite=False) is a MUST-NOT-EXIST commit: two threads
+    racing to create the same item must produce one winner and one
+    ConcurrentCommitError — never a silent versioned replace (the
+    round-6 cross-item race: the loser's replace staled the winner's
+    just-committed rows with no error)."""
+    import threading
+
+    from pystore_spark.exceptions import (
+        ConcurrentCommitError,
+        ItemExistsError,
+    )
+
+    c = test_collection
+    results: list = []
+
+    def create(v):
+        try:
+            c.write("same_item", _frame(50, v0=float(v)))
+            results.append(("ok", v))
+        except (ConcurrentCommitError, ItemExistsError) as exc:
+            results.append(("lost", type(exc).__name__))
+
+    ts = [threading.Thread(target=create, args=(v,)) for v in (0, 1000)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    outcomes = sorted(r[0] for r in results)
+    assert outcomes == ["lost", "ok"], results
+    # the winner's rows are intact and the manifest is v1
+    man = utils.read_manifest(c._item_path("same_item"))
+    assert man["version"] == 1
+    assert c.item("same_item").data.count() == 50
