@@ -2977,6 +2977,7 @@ class Collection:
         pack_budget: int | None = None,
         token_col: Any = None,
         token_counter: str = "whitespace",
+        encode_ids: bool = False,
         salt: str = "",
         metadata: dict | None = None,
         overwrite: bool = False,
@@ -3005,6 +3006,14 @@ class Collection:
         Arrow-batched, per-word-cached — the honest token budget a
         trainer actually consumes; round-5 verdict gap #4).
 
+        ``encode_ids=True`` additionally materializes an ``input_ids``
+        array<int> column (functions/bpe.bpe_encode_ids — the full
+        tokenize-to-ids hand-off under the shipped merges' vocab;
+        Python confined to the distinct pre-token vocabulary), so the
+        shards are directly consumable without a tokenizer at read
+        time. With ``token_counter="bpe"`` the pack budget then counts
+        exactly ``size(input_ids)``.
+
         ``source`` is a stored item name or a DataFrame. Returns a
         summary report (totals + shard balance), also stamped into the
         export item's sidecar. Per-shard detail stays a query
@@ -3020,7 +3029,9 @@ class Collection:
             )
         if token_col is not None:
             token_counter = "custom"  # caller-supplied column wins
-        elif token_counter == "bpe":
+        elif token_counter == "bpe" and not encode_ids:
+            # (with encode_ids the budget comes from size(input_ids)
+            # below — one tokenization, not two)
             from pystore_spark.functions.bpe import bpe_count_udf
 
             token_col = bpe_count_udf()(F.col(text_col))
@@ -3035,6 +3046,14 @@ class Collection:
         df = (
             self.item(source).data if isinstance(source, str) else source
         )
+        if encode_ids:
+            from pystore_spark.functions.bpe import bpe_encode_ids
+
+            ids = bpe_encode_ids(df, text_col, id_col)
+            df = df.join(ids, on=id_col)
+            if token_col is None and token_counter == "bpe":
+                # the budget counts exactly what the shards carry
+                token_col = F.size("input_ids").cast("bigint")
         sharded = SA.assign_shards(df, id_col, n_shards, salt)
         if pack_budget:
             # pack in the SAME (shard_pos, id) order the physical
@@ -3063,6 +3082,7 @@ class Collection:
             "id_col": id_col,
             "pack_budget": pack_budget,
             "token_counter": token_counter,
+            "encode_ids": bool(encode_ids),
         }
         sidecar = {
             **(metadata or {}),

@@ -48,7 +48,7 @@ import os
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 from pystore_spark.functions.text import BPE_TOKEN_RE, bpe_tokens
 
@@ -307,6 +307,122 @@ def bpe_count_udf(merges: list[tuple[str, str]] | None = None):
 
 
 # ---------------------------------------------------------------------------
+# encode to ids (the trainer hand-off: text → input_ids)
+# ---------------------------------------------------------------------------
+
+#: id for single characters outside the 0-255 byte range (and any
+#: token the vocab can't place). Real byte-level BPE has no UNK; this
+#: char-level variant reserves one id instead of a 1.1M-codepoint base
+UNK_ID = 256
+
+
+def bpe_vocab(merges: list[tuple[str, str]] | None = None) -> dict:
+    """token → id, fully determined by the merges file: ids 0-255 are
+    single characters by codepoint (the byte-ish base alphabet), 256
+    is UNK (chars ≥ U+0100), and merged symbols take ``257 + rank``.
+    Deterministic — two hosts with the same merges file agree on
+    every id, like a published tokenizer's vocab.json."""
+    if merges is None:
+        merges = load_merges()
+    vocab = {chr(i): i for i in range(256)}
+    for i, (a, b) in enumerate(merges):
+        vocab.setdefault(a + b, 257 + i)
+    return vocab
+
+
+def save_vocab(
+    merges: list[tuple[str, str]], path: str
+) -> None:
+    """Write the derived vocab in the public ``vocab.json`` shape
+    (token → id)."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(bpe_vocab(merges), f, ensure_ascii=False)
+
+
+def bpe_word_ids_udf(merges: list[tuple[str, str]] | None = None):
+    """Arrow-batched pandas UDF ``word → array<int>`` subtoken ids
+    (runs over DISTINCT words in :func:`bpe_encode_ids`)."""
+    if merges is None:
+        merges = load_merges()
+    merges = list(merges)
+    rank = {m: i for i, m in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    cache: dict[str, list[int]] = {}
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def ids(words: pd.Series) -> pd.Series:
+        def one(w: str) -> list[int]:
+            if not w:
+                return []
+            hit = cache.get(w)
+            if hit is None:
+                hit = [
+                    vocab.get(t, UNK_ID)
+                    for t in apply_bpe_word(w, rank, merges)
+                ]
+                cache[w] = hit
+            return hit
+
+        return words.map(one)
+
+    return ids
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "input_ids",
+) -> DataFrame:
+    """Per-document ``input_ids`` — the complete tokenize-to-ids hand-
+    off a trainer consumes: ``(<id_col>, <out_col> array<int>)``.
+
+    Same scale split as :func:`bpe_token_counts`: one JVM regex pass
+    explodes pre-tokens WITH POSITION, the Python merge loop runs only
+    over the distinct vocabulary, and each document's ids reassemble
+    by sorting the (position, word-ids) pairs — deterministic under
+    any shuffle. Empty/whitespace docs yield an empty array, never a
+    dropped row."""
+    if merges is None:
+        merges = load_merges()
+    pre = df.select(
+        F.col(id_col),
+        F.posexplode(bpe_tokens(text_col)).alias("_pos", "w"),
+    )
+    wids = pre.select("w").distinct().select(
+        "w", bpe_word_ids_udf(merges)(F.col("w")).alias("_wids")
+    )
+    per_doc = (
+        pre.join(wids, on="w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_wids"))
+                    ),
+                    lambda e: e["_wids"],
+                )
+            ).alias(out_col)
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col(out_col),
+                F.expr("CAST(array() AS array<int>)"),
+            ).alias(out_col),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle
 # ---------------------------------------------------------------------------
 
@@ -387,4 +503,83 @@ def bpe_oracle_sql(
       CAST(COALESCE(a.n_pretokens, 0) AS BIGINT) AS n_pretokens,
       CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
     FROM {table} d LEFT JOIN agg a USING ({id_col})
+    """
+
+
+def bpe_ids_oracle_sql(
+    merges: list[tuple[str, str]] | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """SQL computing per-doc ``input_ids`` with the same recursive
+    CTE as :func:`bpe_oracle_sql`, then mapping each final subtoken to
+    its :func:`bpe_vocab` id (merged symbols via a one-row map cross
+    join — DuckDB lambdas can't subquery; single chars by codepoint;
+    UNK=256) and reassembling per document in pre-token order with a
+    pure list transform — no per-row SQL loops."""
+    if merges is None:
+        merges = load_merges()
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    mvals = ", ".join(
+        f"({i}, '{q(a)}', '{q(b)}')" for i, (a, b) in enumerate(merges)
+    )
+    n = len(merges)
+    return f"""
+    WITH RECURSIVE
+    merges(rk, l, r) AS (SELECT * FROM (VALUES {mvals})),
+    tok AS (
+      SELECT {id_col},
+             unnest(regexp_extract_all({text_col}, {_BPE_RE_SQL})) AS w
+      FROM {table}),
+    vocab AS (SELECT DISTINCT w FROM tok),
+    bpe(w, s, rk) AS (
+      SELECT w,
+             chr(31) || array_to_string(string_split(w, ''), chr(31))
+                     || chr(31),
+             0
+      FROM vocab
+      UNION ALL
+      SELECT w,
+        CASE WHEN p > 0 THEN
+          substr(s, 1, p - 1) || chr(31) || l || r || chr(31)
+            || substr(s, p + len(l) + len(r) + 3)
+        ELSE s END,
+        CASE WHEN p > 0 THEN rk ELSE rk + 1 END
+      FROM (
+        SELECT b.w, b.s, b.rk, m.l, m.r,
+          strpos(b.s, chr(31)||m.l||chr(31)||m.r||chr(31)) AS p
+        FROM bpe b JOIN merges m ON m.rk = b.rk
+        WHERE b.rk < {n}) x
+    ),
+    mergeids AS (
+      -- duplicate merged-symbol strings keep the FIRST rank's id,
+      -- matching bpe_vocab's setdefault
+      SELECT map(list(sym), list(id)) AS mm FROM (
+        SELECT l || r AS sym, MIN(rk) + 257 AS id
+        FROM merges GROUP BY 1)),
+    wids AS (
+      SELECT b.w,
+        list_transform(
+          string_split(trim(b.s, chr(31)), chr(31)),
+          t -> CASE
+            WHEN len(map_extract(mi.mm, t)) > 0
+              THEN CAST(map_extract(mi.mm, t)[1] AS INTEGER)
+            WHEN length(t) = 1 AND unicode(t) BETWEEN 0 AND 255
+              THEN CAST(unicode(t) AS INTEGER)
+            ELSE CAST(256 AS INTEGER) END) AS ids
+      FROM bpe b, mergeids mi WHERE b.rk = {n}),
+    wmap AS (SELECT map(list(w), list(ids)) AS wm FROM wids),
+    perdoc AS (
+      SELECT d.{id_col},
+        flatten(list_transform(
+          regexp_extract_all(d.{text_col}, {_BPE_RE_SQL}),
+          w -> map_extract(wm.wm, w)[1])) AS input_ids
+      FROM {table} d, wmap wm)
+    SELECT {id_col},
+      CAST(COALESCE(input_ids, []) AS INTEGER[]) AS input_ids
+    FROM perdoc
     """

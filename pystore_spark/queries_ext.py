@@ -118,6 +118,33 @@ def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(doc, "text", "doc_id")
 
 
+from pystore_spark.functions.bpe import (  # noqa: E402
+    bpe_ids_oracle_sql as _bpe_ids_sql,
+)
+
+
+@register(
+    "bpe_encode_ids",
+    # same recursive-CTE tokenization as bpe_tokenize_counts, then
+    # subtokens map to bpe_vocab ids (merged symbols via a one-row
+    # map; single chars by codepoint; UNK=256) and reassemble per doc
+    # in pre-token order — value-hash equality covers every id in
+    # every position
+    sql=_bpe_ids_sql(),
+    tags=("text", "tokens", "bpe"),
+)
+def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenize-to-ids trainer hand-off: per-doc
+    ``input_ids`` under the shipped merges file's deterministic vocab
+    (functions/bpe.bpe_vocab). Python runs only over the distinct
+    pre-token vocabulary; documents reassemble by sorted position —
+    deterministic under any shuffle."""
+    from pystore_spark.functions.bpe import bpe_encode_ids as enc
+
+    doc = load_table(spark, sf_dir, "documents")
+    return enc(doc, "text", "doc_id")
+
+
 @register(
     "text_quality_scores",
     sql=f"""
@@ -3311,7 +3338,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "quality_classifier_scores",
     "gopher_quality_flags", "c4_quality_flags",
     "encoding_quality_flags", "dsir_importance_weights",
-    "bpe_tokenize_counts", "bpe_token_stats",
+    "bpe_tokenize_counts", "bpe_token_stats", "bpe_encode_ids",
     # dedup stack (lsh_band_stats/simhash rotated out with 5 green
     # rounds; the signature kernel keeps four in-window exercisers —
     # near_dedup_kept_docs, recall audit, both incremental probes —
@@ -3335,7 +3362,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # schema_evolve_projection)
     "ohlc_resample",
     "benchmark_contamination",
-    "rolling_zscore_outliers",
     "weighted_sample_topk", "mixture_plan",
     "pack_sequences", "shard_manifest",
     "corpus_drift_psi", "approx_distinct_audit", "corpus_mix_report",
@@ -3353,6 +3379,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # heavy_hitters (2 green rounds): top-k frequency family covered
     # in-window by vocab_topk / tfidf_top_terms
     "heavy_hitters",
+    # rolling_zscore_outliers (2 green rounds): trailing-window family
+    # covered in-window by running_sum_per_user + gapfill_locf_daily;
+    # demoted for the round-6 bpe_encode_ids flagship
+    "rolling_zscore_outliers",
     # round-5 continuation demotions: keep_first_window_dedup's
     # rank-1 window-dedup family is evidenced in-window by
     # upsert_keep_last; chunk_dedup_stats' sub-document dedup family

@@ -235,3 +235,89 @@ def test_export_training_shards_bpe_budget(test_collection, spark):
         c.export_training_shards(
             "bpe_export2", "bpe_corpus", token_counter="wordpiece",
         )
+
+
+# ---------------------------------------------------------------------------
+# encode to ids (round-6 continuation: the full trainer hand-off)
+# ---------------------------------------------------------------------------
+def test_vocab_deterministic_and_json_roundtrip(tmp_path):
+    import json
+
+    merges = B.load_merges()
+    v = B.bpe_vocab(merges)
+    # base alphabet: single chars by codepoint; merges at 257+rank
+    assert v["a"] == ord("a") and v["!"] == ord("!")
+    a, b = merges[0]
+    assert v[a + b] == 257
+    assert B.bpe_vocab(merges) == v  # deterministic
+    p = tmp_path / "vocab.json"
+    B.save_vocab(merges, str(p))
+    assert json.loads(p.read_text()) == {k: i for k, i in v.items()}
+
+
+def test_encode_ids_matches_pure_python(spark):
+    merges = B.load_merges()
+    rank = {m: i for i, m in enumerate(merges)}
+    vocab = B.bpe_vocab(merges)
+    rows = [
+        (0, "scan the window order by key"),
+        (1, ""),
+        (2, "can't stop éé 123 !!!"),  # é is <256 → codepoint id
+        (3, "scan scan scan"),
+        (4, None),
+        (5, "Āā beyond latin1"),  # ≥U+0100 → UNK
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["input_ids"]
+        for r in B.bpe_encode_ids(df, "text", "doc_id").collect()
+    }
+    for did, text in rows:
+        want = [
+            vocab.get(t, B.UNK_ID)
+            for w in pretoks(text or "")
+            for t in B.apply_bpe_word(w, rank, merges)
+        ]
+        assert got[did] == want, (did, text)
+    assert B.UNK_ID in got[5]
+    # ids concatenate in document order, and counts line up
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in B.bpe_token_counts(df, "text", "doc_id").collect()
+    }
+    for did in got:
+        assert len(got[did]) == counts[did]
+
+
+def test_export_training_shards_encode_ids(test_collection):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    c = test_collection
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [f"scan window order part {i}" for i in range(8)],
+    })
+    c.write("ids_corpus", docs, index_col="doc_id")
+    rep = c.export_training_shards(
+        "ids_export", "ids_corpus", n_shards=2, pack_budget=20,
+        token_counter="bpe", encode_ids=True,
+    )
+    assert rep["encode_ids"] is True and rep["token_counter"] == "bpe"
+    out = c.item("ids_export").data
+    assert "input_ids" in out.columns
+    # the pack budget counted exactly what the shards carry
+    bad = out.filter(
+        F.size("input_ids") != F.col("n_tokens")
+    ).count()
+    assert bad == 0
+    # ids match the standalone encoder
+    truth = {
+        r["doc_id"]: r["input_ids"]
+        for r in B.bpe_encode_ids(
+            c.item("ids_corpus").data, "text", "doc_id"
+        ).collect()
+    }
+    for r in out.select("doc_id", "input_ids").collect():
+        assert r["input_ids"] == truth[r["doc_id"]]

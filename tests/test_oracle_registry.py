@@ -38,7 +38,7 @@ PROMOTED = {
     "shard_manifest", "corpus_drift_psi", "approx_distinct_audit",
     "corpus_mix_report",
     # round-6 flagships (new this round, driver-checked immediately)
-    "bpe_tokenize_counts", "cross_item_dedup_probe",
+    "bpe_tokenize_counts", "cross_item_dedup_probe", "bpe_encode_ids",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
@@ -49,7 +49,7 @@ RETAINED = {
     "vocab_topk", "doc_length_histogram", "ohlc_resample",
     "line_dedup_stats", "quality_classifier_scores",
     "index_audit_probe", "signlsh_candidate_topk",
-    "quality_funnel", "rolling_zscore_outliers",
+    "quality_funnel",
     "interval_join_banded", "embedding_quantization_audit",
     "lm_perplexity_scores", "curation_funnel",
     "exact_dedup_groups",
@@ -71,6 +71,9 @@ ROTATED_OUT = {
     "asof_join_orders_events", "text_token_stats", "doc_fingerprints",
     "lsh_band_stats", "simhash_fingerprints", "ann_ivf_label_topk",
     "stratified_sample", "downcast_projection", "heavy_hitters",
+    # trailing-window family covered by running_sum/gapfill in-window;
+    # demoted for the bpe_encode_ids flagship:
+    "rolling_zscore_outliers",
     # round-5 continuation / round-5 / round-4 demotions (families
     # documented in queries_ext.QUERY_PRIORITY):
     "minhash_signatures",
