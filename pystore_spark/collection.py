@@ -1210,17 +1210,17 @@ class Collection:
         out: dict[str, dict] = {}
         for n in self.items:
             m = self.get_item_metadata(n) or {}
-            scoped = m.get(DI.META_KEY) or m.get(LI.META_KEY)
+            scoped = (
+                m.get(DI.META_KEY)
+                or m.get(LI.META_KEY)
+                or m.get("_vector_index")
+            )
             if scoped and item in DI._source_items(scoped):
                 scope = [
                     s for s in DI._source_items(scoped)
                     if self.item_exists(s)
                 ]
                 out[n] = self.repair_index(scope or item, n)
-                continue
-            vx = m.get("_vector_index")
-            if vx and vx.get("source_item") == item:
-                out[n] = self.repair_index(item, n)
         return out
 
     def _delete_where_once(
@@ -2134,8 +2134,10 @@ class Collection:
         quantize: bool = False,
     ) -> dict:
         """Materialize an IVF (inverted-file) ANN index over an
-        embedding DataFrame (or stored item name) as a regular engine
-        item:
+        embedding DataFrame, a stored item name, or a LIST of item
+        names (multi-source embedding corpus sharing one index;
+        recorded in ``source_items`` so ``verify_index(None, ...)``
+        audits the whole scope per item) as a regular engine item:
 
         * vectors are cell-assigned with the deterministic KMeans
           coarse quantizer and written ORDERED BY CELL
@@ -2163,11 +2165,21 @@ class Collection:
 
         from pystore_spark.dedup_index import _read_frame
 
-        df = (
-            _read_frame(self, source)
-            if isinstance(source, str)
-            else source
-        )
+        source_items: list[str] = []
+        if isinstance(source, str):
+            source_items = [source]
+            df = _read_frame(self, source)
+        elif isinstance(source, (list, tuple)):
+            # multi-item embedding corpus sharing ONE index (same
+            # contract as build_dedup_index: globally unique ids)
+            source_items = list(dict.fromkeys(source))
+            if not source_items:
+                raise ValueError("source item list is empty")
+            df = _read_frame(self, source_items[0])
+            for nm in source_items[1:]:
+                df = df.unionByName(_read_frame(self, nm))
+        else:
+            df = source
         cents = S.train_ivf_centroids(
             df, vec_col, id_col, n_cells=n_cells, n_iters=n_iters
         )
@@ -2189,9 +2201,10 @@ class Collection:
                     "quantized": bool(quantize),
                     # lets maintain(verify_indexes=True) pair the
                     # index with its corpus for the nightly fsck
-                    "source_item": source
-                    if isinstance(source, str)
+                    "source_item": source_items[0]
+                    if source_items
                     else None,
+                    "source_items": source_items,
                 }
             },
         )
@@ -2513,7 +2526,9 @@ class Collection:
           or None = recorded scope; ``deep=True`` additionally
           re-derives the owners' lines and flags census rows the
           stored text no longer contains);
-        * vector index — vectors missing from / stale in base ∪ delta.
+        * vector index — vectors missing from / stale in base ∪ delta
+          (``item`` likewise a name, list, or None = recorded scope,
+          with per-item missing counts).
 
         Read-only, id-space joins over column-pruned scans (one pass
         over the id columns; the line ``deep`` pass re-reads corpus
@@ -2533,11 +2548,12 @@ class Collection:
         vx = meta.get("_vector_index")
         if vx:
             idc = vx["id_col"]
+            items = DI._resolve_corpus_items(self, vx, item)
             # checkpoint both id frames: each feeds two joins plus a
             # count — left lazy, every action replays the full scans
-            corpus_ids = (
-                self.item(item).data.select(idc).distinct()
-                .localCheckpoint(eager=True)
+            tagged = DI._corpus_ids_frame(self, items, idc)
+            corpus_ids = tagged.select(idc).distinct().localCheckpoint(
+                eager=True
             )
             idx_ids = DI._union_tiers(
                 self, index_item, f"{index_item}__delta", [idc]
@@ -2548,11 +2564,30 @@ class Collection:
             n_stale = idx_ids.join(
                 corpus_ids, idc, "left_anti"
             ).count()
+            miss_by = {
+                r["_src"]: int(r["_n"])
+                for r in tagged.join(idx_ids, idc, "left_anti")
+                .groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            }
+            tot_by = {
+                r["_src"]: int(r["_n"])
+                for r in tagged.groupBy("_src")
+                .agg(F.count(F.lit(1)).alias("_n")).collect()
+            }
             return {
+                "items": items,
                 "n_corpus_vectors": corpus_ids.count(),
                 "n_indexed_vectors": idx_ids.count(),
                 "n_missing": n_missing,
                 "n_stale": n_stale,
+                "per_item": {
+                    nm: {
+                        "n_vectors": tot_by.get(nm, 0),
+                        "n_missing": miss_by.get(nm, 0),
+                    }
+                    for nm in items
+                },
                 "ok": not (n_missing or n_stale),
             }
         raise StorageError(
@@ -2589,7 +2624,12 @@ class Collection:
         if vx:
             idc = vx["id_col"]
             delta = f"{index_item}__delta"
-            corpus = self.item(item).data
+            items = DI._resolve_corpus_items(self, vx, item)
+            corpus = self.item(items[0]).data
+            for nm in items[1:]:
+                corpus = corpus.unionByName(self.item(nm).data)
+            if len(items) > 1:
+                corpus = corpus.dropDuplicates([idc])
             idx_ids = DI._union_tiers(
                 self, index_item, delta, [idc]
             ).distinct().localCheckpoint(eager=True)
@@ -3267,8 +3307,10 @@ class Collection:
             if verify_indexes:
                 try:
                     nm = self.get_item_metadata(n) or {}
-                    scoped = nm.get("_dedup_index") or nm.get(
-                        "_line_index"
+                    scoped = (
+                        nm.get("_dedup_index")
+                        or nm.get("_line_index")
+                        or nm.get("_vector_index")
                     )
                     if scoped:
                         # multi-item scope: audit every recorded
@@ -3283,10 +3325,6 @@ class Collection:
                         ]
                         if srcs:
                             res["verify"] = self.verify_index(srcs, n)
-                    elif nm.get("_vector_index"):
-                        src = nm["_vector_index"].get("source_item")
-                        if src and self.item_exists(src):
-                            res["verify"] = self.verify_index(src, n)
                 except Exception as exc:
                     res["verify_error"] = str(exc)
             if gc:

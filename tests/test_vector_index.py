@@ -296,3 +296,40 @@ def test_vector_fold_upserts_reappended_id(test_collection, emb):
     ).collect()
     ids = {r["vec_id"] for r in got}
     assert 7 in ids and 50 in ids, "updated twin + original both top-2"
+
+
+def test_vector_index_cross_item_scope(test_collection, emb):
+    """Round-6 symmetry: one IVF index over TWO embedding items, with
+    scoped verify/repair — the same source_items contract as the
+    dedup/line indexes."""
+    c = test_collection
+    a = emb.filter("vec_id < 250")
+    b = emb.filter("vec_id >= 250")
+    c.write("emb_a", a, index_col="vec_id")
+    c.write("emb_b", b, index_col="vec_id")
+    c.build_vector_index(
+        "xv_ivf", ["emb_a", "emb_b"], n_cells=4, n_iters=1,
+        overwrite=True,
+    )
+    vx = c.get_item_metadata("xv_ivf")["_vector_index"]
+    assert vx["source_items"] == ["emb_a", "emb_b"]
+    audit = c.verify_index(None, "xv_ivf")
+    assert audit["ok"], audit
+    assert audit["items"] == ["emb_a", "emb_b"]
+    assert audit["per_item"]["emb_a"]["n_missing"] == 0
+
+    # out-of-band rows in ONE item: per-item accounting pins them,
+    # scoped repair re-indexes from the right item
+    from pyspark.sql import functions as F
+
+    extra = emb.filter("vec_id < 20").withColumn(
+        "vec_id", F.col("vec_id") + 50_000
+    )
+    c.append("emb_b", extra)
+    bad = c.verify_index(None, "xv_ivf")
+    assert not bad["ok"]
+    assert bad["per_item"]["emb_b"]["n_missing"] == 20
+    assert bad["per_item"]["emb_a"]["n_missing"] == 0
+    fix = c.repair_index(None, "xv_ivf")
+    assert fix["n_reindexed"] == 20
+    assert c.verify_index(None, "xv_ivf")["ok"]
