@@ -321,3 +321,60 @@ def test_export_training_shards_encode_ids(test_collection):
     }
     for r in out.select("doc_id", "input_ids").collect():
         assert r["input_ids"] == truth[r["doc_id"]]
+
+
+# ---------------------------------------------------------------------------
+# equivalence hardening: static theorem condition + property fuzzing
+# ---------------------------------------------------------------------------
+def test_merges_satisfy_order_equivalence_condition():
+    """STATIC proof obligation that makes engine ≡ oracle a theorem
+    for ALL inputs, not just tested corpora: applying merges in rank
+    order can only diverge from lowest-rank-first iteration if some
+    LATER merge creates a symbol string an EARLIER pair references
+    (then the later merge could spawn an occurrence of the earlier
+    pair that rank-order application never revisits). The shipped
+    merges violate neither clause: merged symbol strings are all
+    distinct, and no later concat equals an earlier pair component.
+    If retraining ever breaks this, THIS test fails before any oracle
+    hash mismatch can."""
+    merges = B.load_merges()
+    syms = [a + b for a, b in merges]
+    assert len(set(syms)) == len(syms)
+    for e, (a, b) in enumerate(merges):
+        for l in range(e + 1, len(merges)):
+            assert syms[l] != a and syms[l] != b, (
+                f"merge {l} creates {syms[l]!r}, a component of the "
+                f"earlier pair {merges[e]!r} — rank-order application "
+                "no longer equals lowest-rank-first"
+            )
+
+
+def test_property_engine_equals_reference_on_random_words():
+    """Hypothesis fuzz: arbitrary short words over a small alphabet
+    (maximizing cascades and overlaps) tokenize identically under the
+    engine's lowest-rank-first loop and the oracle's leftmost-splice
+    sequential formulation, for the shipped merges AND a handcrafted
+    cascade-heavy table. Also: concatenating the subtokens always
+    reconstructs the word (losslessness)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    shipped = B.load_merges()
+    srank = {m: i for i, m in enumerate(shipped)}
+    cascade = [("a", "a"), ("aa", "aa"), ("b", "a"), ("ab", "ab")]
+    crank = {m: i for i, m in enumerate(cascade)}
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcers t!", min_size=0, max_size=24))
+    def check(word):
+        for merges, rank in ((shipped, srank), (cascade, crank)):
+            # per-word semantics: strip the pre-tokenizer concern by
+            # checking each pre-token of the fuzzed string
+            for w in pretoks(word):
+                got = B.apply_bpe_word(w, rank, merges)
+                assert got == seq_fixpoint_apply(w, merges), (
+                    w, merges[:4],
+                )
+                assert "".join(got) == w  # lossless segmentation
+
+    check()
