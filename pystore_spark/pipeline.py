@@ -105,6 +105,32 @@ class CurationPipeline:
             cond = cond & (c <= max_tokens)
         return self.filter(f"tokens[{min_tokens},{max_tokens}]", cond)
 
+    def filter_bpe_tokens(
+        self, min_tokens: int = 0, max_tokens: int | None = None,
+        merges=None,
+    ):
+        """Budget gate on REAL BPE token counts (functions/bpe.py —
+        the merge loop over the shipped public-format merges file),
+        not the whitespace proxy: documents outside
+        ``[min_tokens, max_tokens]`` true tokens drop. The count runs
+        as an Arrow-batched per-word-cached UDF (bpe_count_udf) so the
+        stage composes into one lazy pass with the Column-expression
+        gates around it; pipelines keyed by doc id that can afford a
+        vocabulary join should precompute ``bpe_token_counts`` and
+        filter on the column instead."""
+        from pystore_spark.functions.bpe import bpe_count_udf
+
+        def cond():
+            c = bpe_count_udf(merges)(F.col(self.text_col))
+            out = c >= min_tokens
+            if max_tokens is not None:
+                out = out & (c <= max_tokens)
+            return out
+
+        return self.filter(
+            f"bpe_tokens[{min_tokens},{max_tokens}]", cond
+        )
+
     def filter_quality(self, min_score: float):
         return self.filter(
             f"quality>={min_score}",

@@ -228,3 +228,34 @@ def test_filter_gopher_and_c4_stages(spark):
     stages = list(rep["stages"].values())
     assert stages[0] == 4 and stages[-1] == 1
     assert rep["survival_rate"] == 0.25
+
+
+def test_filter_bpe_tokens_stage(spark):
+    """The true-token budget gate: counts come from the real merge
+    loop (functions/bpe.py), so multi-subtoken words count more than
+    whitespace words — and the funnel records the stage."""
+    from pystore_spark.functions import bpe as B
+    from pystore_spark.pipeline import CurationPipeline
+
+    rows = [
+        (0, "scan window order sort part value key line " * 4),  # long
+        (1, "scan"),                                             # tiny
+        (2, ""),                                                 # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in B.bpe_token_counts(df, "text", "doc_id").collect()
+    }
+    cut = truth[1] + 1  # threshold strictly above the tiny doc
+    p = CurationPipeline(df).filter_bpe_tokens(min_tokens=cut)
+    kept = {r["doc_id"] for r in p.dataframe().select("doc_id").collect()}
+    assert kept == {d for d, n in truth.items() if n >= cut}
+    fun = p.funnel().collect()
+    stages = [r["stage"] for r in fun]
+    assert any(s.startswith("bpe_tokens[") for s in stages)
+    # upper bound drops the long doc too
+    p2 = CurationPipeline(df).filter_bpe_tokens(
+        min_tokens=cut, max_tokens=truth[0] - 1
+    )
+    assert p2.dataframe().count() == 0
