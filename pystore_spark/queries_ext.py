@@ -2653,6 +2653,100 @@ def cross_item_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_point_lookup_probe",
+    # Point lookups by a hash-distributed STRING id through REAL
+    # storage with per-file Bloom filters (bloom.py): zonemaps can't
+    # skip on md5-shaped ids (every file spans the id space), so the
+    # sidecar filter is what turns an id probe from a corpus scan
+    # into ~1 file read at 100 TB. The oracle is storage-blind — the
+    # pruning must be result-invisible — while `bloom_effective`
+    # pins the SKIPPING itself into the hash-compared result: it
+    # flips to false (and the row hash mismatches) if the present-id
+    # probe stops skipping files or the absent-id probe stops being
+    # proven empty.
+    sql="""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS id_str,
+           n_chars,
+           TRUE AS bloom_effective
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) IN (
+        SELECT md5(CAST(MIN(doc_id) AS VARCHAR)) FROM documents
+        UNION ALL
+        SELECT md5(CAST(MAX(doc_id) AS VARCHAR)) FROM documents
+        UNION ALL
+        SELECT 'zz-no-such-id')
+    """,
+    tags=("storage", "bloom", "pushdown"),
+)
+def bloom_point_lookup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write `documents` (with an md5-of-doc_id string id) as a
+    bloomed item, then probe it by id through Item filters: the two
+    present ids (of the min and max doc_id) must each come back from
+    a bloom-pruned file subset, and an absent id must be PROVEN empty
+    (zero files scanned — bloom.prune's no-false-negative guarantee).
+    Returns the matched rows plus the skipping verdict."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("id_str", F.md5(F.col("doc_id").cast("string")))
+    )
+    lo, hi = doc.agg(
+        F.min("doc_id"), F.max("doc_id")
+    ).collect()[0]
+    import hashlib
+
+    present = [
+        hashlib.md5(str(int(v)).encode()).hexdigest() for v in (lo, hi)
+    ]
+    probe_ids = present + ["zz-no-such-id"]
+    tmp = tempfile.mkdtemp(prefix="ps_bloom_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        store = ps.store("bloom_probe_store", spark=spark)
+        col = store.collection("c")
+        col.write(
+            "corpus", doc, index_col="doc_id", npartitions=8,
+            bloom=["id_str"],
+        )
+        hit = col.item("corpus", filters=[("id_str", "in", probe_ids)])
+        rep_hit = hit.scan_report()
+        rep_miss = col.item(
+            "corpus", filters=[("id_str", "==", "zz-no-such-id")]
+        ).scan_report()
+        rows = (
+            hit.data.select("doc_id", "id_str", "n_chars")
+            .collect()
+        )
+        effective = bool(
+            rep_hit["n_files_live"] > 1
+            and rep_hit["n_files_selected"]
+            <= rep_hit["n_files_live"] // 2
+            and rep_miss["bloom_proven_empty"]
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    # bounded (≤2 rows) — re-emit as a local frame so the result does
+    # not depend on the deleted temp warehouse
+    return spark.createDataFrame(
+        [
+            (int(r["doc_id"]), r["id_str"], int(r["n_chars"]), effective)
+            for r in rows
+        ],
+        "doc_id bigint, id_str string, n_chars bigint, "
+        "bloom_effective boolean",
+    )
+
+
+@register(
     "incremental_line_probe",
     # Mirrors the PERSISTENT LINE-CENSUS append path end to end. The
     # oracle's census algebra: after a batch is ingested, the census
@@ -3310,10 +3404,15 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # scan_projection/epoch_roundtrip/json_extract_props rotated out
     # with 5 green rounds each)
     "scan_filter_pushdown",
+    # round-6 continuation flagship: Bloom-filter file skipping for
+    # string-id point lookups (bloom.py — union_evolved_schema, 5
+    # green rounds, demoted; its schema-evolution family stays
+    # evidenced in-window by schema_evolve_projection)
+    "bloom_point_lookup_probe",
     "dedup_anti_join",
     "upsert_keep_last",
     "validation_aggregates", "invariant_violations",
-    "union_evolved_schema", "schema_evolve_projection",
+    "schema_evolve_projection",
     # wide→long reshape (round-6 promotion — never driver-checked)
     "unpivot_lineitem_measures",
     # relational / window / analytical (pricing/revenue/region carry
@@ -3371,6 +3470,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # (CORRECTNESS r01-r05) and keeps the in-window family siblings
     # named above; ALL stay oracle-checked in-repo on every pytest.
     "scan_projection", "index_minmax", "epoch_roundtrip",
+    "union_evolved_schema",
     "json_extract_props", "time_bucket_agg",
     "top_orders_by_revenue", "top3_events_per_user", "sessionization",
     "asof_join_orders_events", "text_token_stats", "doc_fingerprints",

@@ -436,3 +436,21 @@ def test_s3_vector_index_cycle(s3_collection):
     assert {5, 100} == ids, "exact twins (base + delta) must be top-2"
     folded = c.refresh_vector_index("eidx")
     assert folded["folded"] == 1
+
+
+def test_s3_bloom_sidecars(s3_collection):
+    """Bloom build + probe through the object-store backend: sidecar
+    writes go through fs.open_write, loads through fs.open_read, and
+    the driver-only backend keeps working (spark_readable=False forces
+    the driver builder)."""
+    df = _frame(5_000)
+    df["doc_id"] = [f"d-{i:05d}" for i in range(len(df))]
+    s3_collection.write("bl", df, bloom=["doc_id"], npartitions=4)
+    it = s3_collection.item("bl", filters=[("doc_id", "==", "d-00042")])
+    rep = it.scan_report()
+    assert rep["n_files_live"] == 4 and rep["n_files_selected"] <= 2
+    got = it.to_pandas(engine="arrow")
+    assert len(got) == 1 and got["doc_id"].iloc[0] == "d-00042"
+    missing = s3_collection.item("bl", filters=[("doc_id", "==", "zz")])
+    assert missing.scan_report()["bloom_proven_empty"]
+    assert len(missing.to_pandas(engine="arrow")) == 0

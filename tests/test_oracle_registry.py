@@ -39,6 +39,8 @@ PROMOTED = {
     "corpus_mix_report",
     # round-6 flagships (new this round, driver-checked immediately)
     "bpe_tokenize_counts", "cross_item_dedup_probe", "bpe_encode_ids",
+    # round-6 continuation flagship: Bloom file skipping (bloom.py)
+    "bloom_point_lookup_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
@@ -71,6 +73,10 @@ ROTATED_OUT = {
     "asof_join_orders_events", "text_token_stats", "doc_fingerprints",
     "lsh_band_stats", "simhash_fingerprints", "ann_ivf_label_topk",
     "stratified_sample", "downcast_projection", "heavy_hitters",
+    # schema-evolution family covered in-window by
+    # schema_evolve_projection; demoted (5 green rounds) for the
+    # bloom_point_lookup_probe flagship:
+    "union_evolved_schema",
     # trailing-window family covered by running_sum/gapfill in-window;
     # demoted for the bpe_encode_ids flagship:
     "rolling_zscore_outliers",
