@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import re
 from pathlib import Path
 from typing import Any, Iterable, Sequence
 
@@ -104,6 +105,56 @@ def _canon(v: Any) -> bytes | None:
     return None
 
 
+#: token-mode tokenizer: lowercased alphanumeric runs of ≥2 chars.
+#: Both the build side (file text values) and the probe side (the
+#: `contains` needle) MUST use this exact split — the no-false-
+#: negative proof only holds when a matching substring's tokens are a
+#: subset of the file's indexed tokens, which the shared regex and
+#: the boundary rule below guarantee.
+TOKEN_RE = re.compile(r"[0-9a-z]{2,}")
+
+
+def _tokens(text: str, interior_only: bool = False) -> list[bytes]:
+    """Distinct token bytes of a text value.
+
+    ``interior_only`` implements the soundness rule for SUBSTRING
+    (`contains`) probes: a needle token touching the needle's own
+    start or end may match mid-word in the haystack (needle
+    ``"ream filt"`` inside ``"stream filter"`` — ``ream`` is not an
+    indexed token of the file), so only tokens strictly inside the
+    needle — bounded by non-token chars within the needle itself and
+    therefore complete tokens of ANY matching text — may be tested.
+    `has_token` probes assert token boundaries in their row-level
+    semantics, so they index-test every token (interior_only=False)."""
+    low = text.lower()
+    out: dict[bytes, None] = {}
+    for m in TOKEN_RE.finditer(low):
+        if interior_only and (m.start() == 0 or m.end() == len(low)):
+            continue
+        out.setdefault(m.group().encode("ascii"), None)
+    return list(out)
+
+
+def normalize_bloom_cols(entries: Sequence) -> dict[str, str]:
+    """``_bloom_columns`` sidecar entries → {col: mode}. Plain strings
+    mean value mode; ``{"col": c, "mode": "tokens"}`` opts a text
+    column into token indexing for `contains` pruning."""
+    out: dict[str, str] = {}
+    for e in entries or ():
+        if isinstance(e, str):
+            out[e] = "values"
+        elif isinstance(e, dict) and e.get("col"):
+            mode = e.get("mode", "values")
+            if mode not in ("values", "tokens"):
+                raise ValueError(
+                    f"bloom mode must be 'values' or 'tokens', got {mode!r}"
+                )
+            out[str(e["col"])] = mode
+        else:
+            raise ValueError(f"bad bloom column entry: {e!r}")
+    return out
+
+
 def _hash_pair(data: bytes) -> tuple[int, int]:
     d = hashlib.md5(data).digest()
     return (
@@ -134,11 +185,23 @@ def _size_for(n_values: int) -> int:
     return m
 
 
-def build_filter(values: Iterable[Any]) -> tuple[int, int, int, bytes | None]:
+def build_filter(
+    values: Iterable[Any], mode: str = "values"
+) -> tuple[int, int, int, bytes | None]:
     """(m, k, n, bits) over the canonicalizable values; bits is None
     when the filter saturated (fill > SATURATION_FILL — prune nothing
-    rather than prune slowly with a useless FPR)."""
-    canon = [b for b in (_canon(v) for v in values) if b is not None]
+    rather than prune slowly with a useless FPR). ``mode='tokens'``
+    hashes the distinct TOKEN_RE tokens of string values instead of
+    the values themselves — the `contains`/`has_token` index."""
+    if mode == "tokens":
+        toks: dict[bytes, None] = {}
+        for v in values:
+            if isinstance(v, str):
+                for t in _tokens(v):
+                    toks.setdefault(t, None)
+        canon = list(toks)
+    else:
+        canon = [b for b in (_canon(v) for v in values) if b is not None]
     m = _size_for(len(canon))
     bits = bytearray(m >> 3)
     for b in canon:
@@ -181,6 +244,7 @@ def build_for_files_spark(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    modes = normalize_bloom_cols(cols)
     base = Path(item_path)
     paths = [str(base / r) for r in rels]
     # absolute-URI → manifest-relative mapping done executor-side by
@@ -189,7 +253,7 @@ def build_for_files_spark(
 
     df = spark.read.parquet(*paths).select(
         F.input_file_name().alias("_file"),
-        *[c for c in cols],
+        *list(modes),
     )
 
     out_schema = T.StructType(
@@ -203,7 +267,7 @@ def build_for_files_spark(
         ]
     )
     rel_items = sorted(rel_by_tail)
-    build_cols = list(cols)
+    build_modes = dict(modes)
 
     def _one_file(pdf: pd.DataFrame) -> pd.DataFrame:
         uri = pdf["_file"].iloc[0]
@@ -212,13 +276,13 @@ def build_for_files_spark(
         )
         rows = []
         if rel is not None:
-            for c in build_cols:
+            for c, mode in build_modes.items():
                 if c not in pdf.columns:
                     continue
                 vals = pdf[c].dropna().tolist()
-                if vals and _canon(vals[0]) is None:
+                if mode == "values" and vals and _canon(vals[0]) is None:
                     continue
-                m, k, n, bits = build_filter(vals)
+                m, k, n, bits = build_filter(vals, mode=mode)
                 rows.append((rel, c, m, k, n, bits))
         return pd.DataFrame(
             rows, columns=["file", "col", "m", "k", "n", "bits"]
@@ -250,15 +314,17 @@ def build_for_files(
     set: O(commit), never O(item), and page-cache hot at the commit
     call site). Float/temporal columns are skipped (no canonical
     bytes — the numeric zonemap covers them); unreadable files are
-    skipped (they simply never prune)."""
+    skipped (they simply never prune). ``cols`` accepts the raw
+    ``_bloom_columns`` entries (strings or {"col","mode"} dicts)."""
     import pyarrow.parquet as pq
 
+    modes = normalize_bloom_cols(cols)
     base = Path(item_path)
     rows: list[dict] = []
     for rel in sorted(rels):
         try:
             have = set(pq.read_schema(fs.open_read(base / rel)).names)
-            want = [c for c in cols if c in have]
+            want = [c for c in modes if c in have]
             if not want:
                 continue  # evolved-away columns → no rows, conservative
             tbl = pq.read_table(
@@ -268,14 +334,14 @@ def build_for_files(
             )
         except Exception:
             continue  # unreadable → no bloom row, never prunes
-        for c in cols:
+        for c, mode in modes.items():
             if c not in tbl.column_names:
                 continue
             col = tbl.column(c)
             vals = [v for v in col.to_pylist() if v is not None]
-            if vals and _canon(vals[0]) is None:
+            if mode == "values" and vals and _canon(vals[0]) is None:
                 continue  # uncanonicalizable dtype — zonemap territory
-            m, k, n, bits = build_filter(vals)
+            m, k, n, bits = build_filter(vals, mode=mode)
             rows.append(
                 {"file": rel, "col": c, "m": m, "k": k, "n": n,
                  "bits": bits}
@@ -374,9 +440,19 @@ def prune(
 
     Returns ``(kept, proven_empty)``. Same DNF semantics as
     manifest.prune_files: a file survives if at least one OR-group
-    could match it on all its bloom-testable terms (``==`` / ``in`` on
-    a bloom column). No bloom row / saturated row / untestable op →
-    the term passes (conservative). Matches prune_files' convention of
+    could match it on all its bloom-testable terms. Testable terms by
+    column mode:
+
+    * **values** — ``==`` / ``in``: the probe value's hash must hit.
+    * **tokens** — ``contains`` (substring): every INTERIOR token of
+      the needle must hit (edge tokens may match mid-word — see
+      ``_tokens``); ``has_token`` (token-boundary match, see
+      filters.py): EVERY token of the needle must hit; ``==``/``in``:
+      equality implies containment, so the value's full token set
+      must hit.
+
+    No bloom row / saturated row / untestable op or value → the term
+    passes (conservative). Matches prune_files' convention of
     returning the input list when pruning would drop everything — but
     additionally reports ``proven_empty=True`` for that case, which is
     a *proof* (no false negatives) that the result set is empty: the
@@ -389,10 +465,10 @@ def prune(
         groups = [flist]
     else:
         groups = [list(g) for g in flist]
-    bset = set(bloom_cols)
+    modes = normalize_bloom_cols(bloom_cols)
 
-    # pre-hash each probe value once; positions per file are cheap
-    def _probe_hashes(v: Any) -> list[tuple[int, int]] | None:
+    def _value_hashes(v: Any) -> list[list[tuple[int, int]]] | None:
+        """Value-mode probe: one single-hash alternative per value."""
         vals = (
             list(v) if isinstance(v, (list, tuple, set, frozenset))
             else [v]
@@ -402,19 +478,52 @@ def prune(
             b = _canon(x)
             if b is None:
                 return None  # one untestable value → term untestable
-            out.append(_hash_pair(b))
+            out.append([_hash_pair(b)])
         return out
 
-    prepped: list[list[tuple[str, list[tuple[int, int]]]]] = []
+    def _token_hashes(
+        v: Any, interior_only: bool
+    ) -> list[list[tuple[int, int]]] | None:
+        """Token-mode probe: each alternative is a CONJUNCTION of
+        token hashes that must all hit for the file to admit it."""
+        vals = (
+            list(v) if isinstance(v, (list, tuple, set, frozenset))
+            else [v]
+        )
+        out = []
+        for x in vals:
+            if not isinstance(x, str):
+                return None
+            toks = _tokens(x, interior_only=interior_only)
+            if not toks:
+                return None  # nothing provable for this value
+            out.append([_hash_pair(t) for t in toks])
+        return out
+
+    # prepped term: (col, alternatives) where alternatives is a list
+    # of hash-conjunctions — the file admits the term if ANY
+    # alternative has ALL its hashes present
+    prepped: list[list[tuple[str, list[list[tuple[int, int]]]]]] = []
     any_testable = False
     for g in groups:
         terms = []
         for col, op, v in g:
-            if col in bset and op in ("==", "=", "in"):
-                hs = _probe_hashes(v)
-                if hs is not None:
-                    terms.append((col, hs))
-                    any_testable = True
+            mode = modes.get(col)
+            if mode is None:
+                continue
+            alts = None
+            if mode == "values" and op in ("==", "=", "in"):
+                alts = _value_hashes(v)
+            elif mode == "tokens":
+                if op == "contains":
+                    alts = _token_hashes(v, interior_only=True)
+                elif op == "has_token":
+                    alts = _token_hashes(v, interior_only=False)
+                elif op in ("==", "=", "in"):
+                    alts = _token_hashes(v, interior_only=False)
+            if alts is not None:
+                terms.append((col, alts))
+                any_testable = True
         prepped.append(terms)
     if not any_testable:
         return files, False
@@ -422,7 +531,7 @@ def prune(
     def keep(rel: str) -> bool:
         for terms in prepped:
             ok = True
-            for col, hashes in terms:
+            for col, alts in terms:
                 row = blooms.get((rel, col))
                 if row is None:
                     continue  # no filter for this file → can't prune
@@ -430,7 +539,11 @@ def prune(
                 if bits is None:
                     continue  # saturated → never prunes
                 if not any(
-                    _test_bits(bits, h1, h2, m, k) for h1, h2 in hashes
+                    all(
+                        _test_bits(bits, h1, h2, m, k)
+                        for h1, h2 in conj
+                    )
+                    for conj in alts
                 ):
                     ok = False
                     break

@@ -423,10 +423,16 @@ class Collection:
                 "_zonemap_columns": list(zonemap),
             }
         if bloom:
-            # per-file Bloom filters for these id-shaped columns,
-            # built at every commit (bloom.py sidecars): equality/in
+            # per-file Bloom filters, built at every commit (bloom.py
+            # sidecars). Plain column names index VALUES (equality/in
             # probes skip files the filter proves can't match — the
-            # string-id complement of the numeric zonemap
+            # string-id complement of the numeric zonemap); a
+            # {"col": c, "mode": "tokens"} entry indexes the distinct
+            # TOKENS of a text column so `contains`/`has_token`
+            # probes skip files missing the needle's tokens
+            from pystore_spark import bloom as _bl
+
+            _bl.normalize_bloom_cols(bloom)  # validate entries early
             metadata = {
                 **(metadata or {}),
                 "_bloom_columns": list(bloom),
@@ -4057,10 +4063,11 @@ class Collection:
             files = list(man.get("files") or [])
             if columns:
                 meta["_bloom_columns"] = list(columns)
-                have = bl.load(item_path, self.fs, cols=columns)
+                want = bl.normalize_bloom_cols(columns)
+                have = bl.load(item_path, self.fs, cols=list(want))
                 missing = sorted(
                     f for f in files
-                    if any((f, c) not in have for c in columns)
+                    if any((f, c) not in have for c in want)
                 )
                 if missing:
                     rows = bl.build_for_files(

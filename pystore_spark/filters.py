@@ -19,7 +19,32 @@ from pyspark.sql import functions as F
 
 FilterTuple = tuple  # (column, op, value)
 
-_OPS = {"==", "=", "!=", "<", "<=", ">", ">=", "in", "not in", "not-in"}
+_OPS = {
+    "==", "=", "!=", "<", "<=", ">", ">=", "in", "not in", "not-in",
+    # beyond-reference: substring match (LIKE '%v%'). Row-level it is
+    # Column.contains; file-level a token-mode bloom (bloom.py) skips
+    # files missing any INTERIOR token of the needle — the
+    # contamination-audit shape ("which files mention this benchmark
+    # string") at 100 TB.
+    "contains",
+    # token-boundary match: the needle occurs with non-token chars (or
+    # string edges) on both sides, lowercased — bloom.TOKEN_RE word
+    # semantics. Stronger file skipping than `contains` (EVERY needle
+    # token is index-testable, including single-token needles).
+    "has_token",
+}
+
+
+def _token_boundary_regex(needle: str) -> str:
+    """Lowercased token-boundary pattern for ``has_token`` — shared
+    semantics with bloom.TOKEN_RE tokens (alnum runs): the needle must
+    not extend into an adjacent alnum char on either side. Plain
+    groups, no lookaround, so the same pattern runs on Java regex
+    (Spark rlike), RE2 (DuckDB regexp_matches) and Python — the
+    oracle can replay it verbatim."""
+    import re as _re
+
+    return "(^|[^0-9a-z])" + _re.escape(needle.lower()) + "([^0-9a-z]|$)"
 
 
 def _term(col: str, op: str, value: Any) -> Column:
@@ -40,6 +65,10 @@ def _term(col: str, op: str, value: Any) -> Column:
         return c.isin(list(value))
     if op in ("not in", "not-in"):
         return ~c.isin(list(value))
+    if op == "contains":
+        return c.contains(value)
+    if op == "has_token":
+        return F.lower(c).rlike(_token_boundary_regex(value))
     raise ValueError(f"unsupported filter op {op!r}; supported: {sorted(_OPS)}")
 
 
@@ -112,7 +141,54 @@ def filters_to_arrow_expression(filters: Sequence | None, schema=None):
 
     flist = list(filters)
     if all(isinstance(f, tuple) and len(f) == 3 for f in flist):
-        dnf = [_norm(f) for f in flist]
+        dnf = [[_norm(f) for f in flist]]
     else:
         dnf = [[_norm(f) for f in g] for g in flist]
-    return pa_pq.filters_to_expression(dnf)
+    if not any(
+        op in ("contains", "has_token") for g in dnf for _, op, _v in g
+    ):
+        # pyarrow's own converter handles the reference op set
+        return pa_pq.filters_to_expression(
+            dnf if len(dnf) > 1 else dnf[0]
+        )
+    # manual expression build — filters_to_expression has no substring
+    # op, so a DNF containing `contains` terms compiles here with
+    # pc.match_substring for those terms and the standard comparisons
+    # for the rest
+    import operator
+    from functools import reduce
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+
+    def _one(t):
+        col, op, v = t
+        f = pa_ds.field(col)
+        if op == "==":
+            return f == v
+        if op == "!=":
+            return f != v
+        if op == "<":
+            return f < v
+        if op == "<=":
+            return f <= v
+        if op == ">":
+            return f > v
+        if op == ">=":
+            return f >= v
+        if op == "in":
+            return f.isin(list(v))
+        if op == "not in":
+            return ~f.isin(list(v))
+        if op == "contains":
+            return pc.match_substring(f, v)
+        if op == "has_token":
+            return pc.match_substring_regex(
+                pc.utf8_lower(f), _token_boundary_regex(v)
+            )
+        raise ValueError(f"unsupported filter op {op!r}")
+
+    return reduce(
+        operator.or_,
+        (reduce(operator.and_, (_one(t) for t in g)) for g in dnf),
+    )

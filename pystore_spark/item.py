@@ -288,7 +288,7 @@ class Item:
         try:
             blooms = bl.load(
                 mf.base_dir(self._path, man), self._fs,
-                cols=bcols, files=rels,
+                cols=list(bl.normalize_bloom_cols(bcols)), files=rels,
             )
         except Exception:
             return rels, False

@@ -2747,6 +2747,110 @@ def bloom_point_lookup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_bloom_contains_probe",
+    # Full-text file skipping through REAL storage: a token-mode
+    # Bloom sidecar (bloom.py) indexes the distinct tokens of each
+    # file's text column, so `has_token`/`contains` probes — the
+    # contamination-audit shape, "which files mention this benchmark
+    # string" — read only admitting files instead of the corpus. The
+    # oracle is storage-blind (row-level LIKE / token-boundary regex
+    # must return identical rows with or without skipping);
+    # `bloom_effective` folds the skipping itself (marker probe
+    # confined to a file subset, absent probe proven empty) into the
+    # hash-compared result. Row semantics shared verbatim across
+    # engines: `contains` = substring; `has_token` = lowercased
+    # needle bounded by non-alnum/edges (filters._token_boundary_regex
+    # — plain groups, runs on Java regex, RE2 and Python alike).
+    sql="""
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT -1 AS doc_id, 'benchmark zzmarkerzz probe' AS text,
+             26 AS n_chars
+    )
+    SELECT doc_id, n_chars, 'marker' AS probe,
+           TRUE AS bloom_effective
+    FROM corpus
+    WHERE regexp_matches(lower(text),
+          '(^|[^0-9a-z])zzmarkerzz([^0-9a-z]|$)')
+    UNION ALL
+    SELECT doc_id, n_chars, 'phrase' AS probe,
+           TRUE AS bloom_effective
+    FROM corpus WHERE contains(text, 'stream filter')
+    """,
+    tags=("storage", "bloom", "text", "contamination"),
+)
+def token_bloom_contains_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write `documents` plus one marker doc as a token-bloomed item,
+    then probe it through Item filters: `has_token 'zzmarkerzz'` must
+    come back from a bloom-pruned file subset, an absent token must
+    be PROVEN empty (zero files scanned), and the substring probe
+    `contains 'stream filter'` must return exactly the LIKE rows
+    (edge tokens of a substring needle are never index-tested — the
+    mid-word soundness rule in bloom._tokens)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    marker = spark.createDataFrame(
+        [(-1, "benchmark zzmarkerzz probe", 26)],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    corpus = doc.unionByName(marker)
+    tmp = tempfile.mkdtemp(prefix="ps_tokbloom_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        store = ps.store("tokbloom_probe_store", spark=spark)
+        col = store.collection("c")
+        col.write(
+            "corpus", corpus, index_col="doc_id", npartitions=8,
+            bloom=[{"col": "text", "mode": "tokens"}],
+        )
+        hit = col.item(
+            "corpus", filters=[("text", "has_token", "zzmarkerzz")]
+        )
+        rep_hit = hit.scan_report()
+        rep_miss = col.item(
+            "corpus", filters=[("text", "has_token", "qqabsentqq")]
+        ).scan_report()
+        phrase = col.item(
+            "corpus", filters=[("text", "contains", "stream filter")]
+        )
+        rows = [
+            (int(r["doc_id"]), int(r["n_chars"]), "marker")
+            for r in hit.data.select("doc_id", "n_chars").collect()
+        ] + [
+            (int(r["doc_id"]), int(r["n_chars"]), "phrase")
+            for r in phrase.data.select("doc_id", "n_chars").collect()
+        ]
+        effective = bool(
+            rep_hit["n_files_live"] > 1
+            and rep_hit["n_files_selected"]
+            <= rep_hit["n_files_live"] // 2
+            and rep_miss["bloom_proven_empty"]
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    # bounded (marker row + the fixed phrase hits) — re-emit as a
+    # local frame so the result does not depend on the deleted
+    # temp warehouse
+    return spark.createDataFrame(
+        [(d, n, p, effective) for d, n, p in rows],
+        "doc_id bigint, n_chars bigint, probe string, "
+        "bloom_effective boolean",
+    )
+
+
+@register(
     "incremental_line_probe",
     # Mirrors the PERSISTENT LINE-CENSUS append path end to end. The
     # oracle's census algebra: after a batch is ingested, the census
@@ -3409,9 +3513,14 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # green rounds, demoted; its schema-evolution family stays
     # evidenced in-window by schema_evolve_projection)
     "bloom_point_lookup_probe",
+    # round-6 continuation flagship: token-mode blooms — `contains`/
+    # `has_token` full-text file skipping (invariant_violations, 4
+    # green rounds, demoted; its rule-aggregation family stays
+    # evidenced in-window by validation_aggregates)
+    "token_bloom_contains_probe",
     "dedup_anti_join",
     "upsert_keep_last",
-    "validation_aggregates", "invariant_violations",
+    "validation_aggregates",
     "schema_evolve_projection",
     # wide→long reshape (round-6 promotion — never driver-checked)
     "unpivot_lineitem_measures",
@@ -3470,7 +3579,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # (CORRECTNESS r01-r05) and keeps the in-window family siblings
     # named above; ALL stay oracle-checked in-repo on every pytest.
     "scan_projection", "index_minmax", "epoch_roundtrip",
-    "union_evolved_schema",
+    "union_evolved_schema", "invariant_violations",
     "json_extract_props", "time_bucket_agg",
     "top_orders_by_revenue", "top3_events_per_user", "sessionization",
     "asof_join_orders_events", "text_token_stats", "doc_fingerprints",

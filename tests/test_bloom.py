@@ -379,3 +379,147 @@ def test_large_commit_uses_spark_build_and_probes_correctly(coll):
         coll.item("docs_big", filters=[("doc_id", "==", "absent")])
         .scan_report()["bloom_proven_empty"]
     )
+
+
+# ---------------------------------------------------------------------------
+# token mode (`contains` / `has_token` file skipping)
+# ---------------------------------------------------------------------------
+
+
+def test_tokens_interior_only_soundness():
+    # tokens of a needle: interior tokens are complete in any match;
+    # edge tokens may continue mid-word and must be dropped
+    assert bl._tokens("stream filter") == [b"stream", b"filter"]
+    assert bl._tokens("ream filt", interior_only=True) == []
+    assert bl._tokens("a stream filt", interior_only=True) == [b"stream"]
+    assert bl._tokens(" spaced out ", interior_only=True) == [
+        b"spaced", b"out",
+    ]
+    # dedup + lowercase + min length 2
+    assert bl._tokens("The THE the x ab") == [b"the", b"ab"]
+
+
+def test_token_prune_contains_edge_token_not_false_negative():
+    """A needle matching mid-word must never prune the file that
+    contains it: 'ream filt' occurs inside 'stream filter'."""
+    blooms = {
+        ("f.parquet", "text"): bl.build_filter(
+            ["the stream filter runs"], mode="tokens"
+        )
+    }
+    cols = [{"col": "text", "mode": "tokens"}]
+    kept, empty = bl.prune(
+        ["f.parquet"], [("text", "contains", "ream filt")], blooms, cols
+    )
+    assert kept == ["f.parquet"] and not empty
+    # full-phrase contains: interior token 'filter'? needle edges are
+    # 'stream'(start) and 'runs'(end) — both dropped; 'filter' tested
+    kept, empty = bl.prune(
+        ["f.parquet"],
+        [("text", "contains", "stream filter runs")],
+        blooms, cols,
+    )
+    assert kept == ["f.parquet"]
+    # absent interior token → proven empty
+    kept, empty = bl.prune(
+        ["f.parquet"],
+        [("text", "contains", "a qqabsentqq z")],
+        blooms, cols,
+    )
+    assert empty
+    # has_token tests every token, single-token needles included
+    kept, empty = bl.prune(
+        ["f.parquet"], [("text", "has_token", "qqabsentqq")], blooms,
+        cols,
+    )
+    assert empty
+    kept, empty = bl.prune(
+        ["f.parquet"], [("text", "has_token", "stream")], blooms, cols
+    )
+    assert kept == ["f.parquet"] and not empty
+
+
+def _texts_frame(n=3000, marker_at=1234):
+    rng = np.random.default_rng(3)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(n)]
+    texts[marker_at] = texts[marker_at] + " zzmarkerzz special"
+    return pd.DataFrame(
+        {
+            "ts": pd.date_range("2023-01-01", periods=n, freq="min"),
+            "doc_id": range(n),
+            "text": texts,
+        }
+    ).set_index("ts"), texts
+
+
+def test_token_bloom_through_engine(coll):
+    pdf, texts = _texts_frame()
+    coll.write(
+        "toks", pdf, bloom=[{"col": "text", "mode": "tokens"}],
+        npartitions=8,
+    )
+    it = coll.item("toks", filters=[("text", "has_token", "zzmarkerzz")])
+    rep = it.scan_report()
+    assert rep["n_files_live"] == 8 and rep["n_files_selected"] == 1
+    got = it.to_pandas(engine="spark")
+    assert got["doc_id"].tolist() == [1234]
+    # arrow engine agrees (manual pyarrow expression path)
+    assert len(it.to_pandas(engine="arrow")) == 1
+    # absent token proven empty
+    miss = coll.item(
+        "toks", filters=[("text", "has_token", "qqabsentqq")]
+    )
+    assert miss.scan_report()["bloom_proven_empty"]
+    assert len(miss.to_pandas(engine="spark")) == 0
+    # substring correctness against the python model, incl. mid-word
+    for needle in ("lph", "alpha", "o delta"):
+        rows = coll.item(
+            "toks", filters=[("text", "contains", needle)]
+        ).to_pandas(engine="spark")
+        assert len(rows) == sum(needle in t for t in texts)
+
+
+def test_contains_without_bloom_still_works(coll):
+    pdf, texts = _texts_frame(800, marker_at=123)
+    coll.write("toks_plain", pdf, npartitions=3)
+    rows = coll.item(
+        "toks_plain", filters=[("text", "contains", "zzmarkerzz")]
+    ).to_pandas(engine="spark")
+    assert len(rows) == 1
+    rows_a = coll.item(
+        "toks_plain", filters=[("text", "has_token", "alpha")]
+    ).to_pandas(engine="arrow")
+    assert len(rows_a) == sum("alpha" in t.split() for t in texts[:800])
+
+
+def test_contains_probe_never_false_negative_fuzz():
+    """Soundness theorem, fuzzed: for ANY stored text and ANY
+    substring needle of it, the token bloom must keep the file; for
+    any complete token of the text, has_token must keep it."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = "ab c1.-xyz "
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet=alphabet, min_size=1, max_size=60),
+        st.integers(0, 59),
+        st.integers(1, 60),
+    )
+    def run(text, start, length):
+        blooms = {("f", "t"): bl.build_filter([text], mode="tokens")}
+        cols = [{"col": "t", "mode": "tokens"}]
+        needle = text[start : start + length]
+        if needle:
+            kept, _ = bl.prune(
+                ["f"], [("t", "contains", needle)], blooms, cols
+            )
+            assert kept == ["f"], (text, needle)
+        for tok in bl.TOKEN_RE.findall(text.lower()):
+            kept, _ = bl.prune(
+                ["f"], [("t", "has_token", tok)], blooms, cols
+            )
+            assert kept == ["f"], (text, tok)
+
+    run()

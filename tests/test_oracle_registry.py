@@ -39,8 +39,8 @@ PROMOTED = {
     "corpus_mix_report",
     # round-6 flagships (new this round, driver-checked immediately)
     "bpe_tokenize_counts", "cross_item_dedup_probe", "bpe_encode_ids",
-    # round-6 continuation flagship: Bloom file skipping (bloom.py)
-    "bloom_point_lookup_probe",
+    # round-6 continuation flagships: Bloom file skipping (bloom.py)
+    "bloom_point_lookup_probe", "token_bloom_contains_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
@@ -77,6 +77,10 @@ ROTATED_OUT = {
     # schema_evolve_projection; demoted (5 green rounds) for the
     # bloom_point_lookup_probe flagship:
     "union_evolved_schema",
+    # rule-aggregation family covered in-window by
+    # validation_aggregates; demoted (4 green rounds) for the
+    # token_bloom_contains_probe flagship:
+    "invariant_violations",
     # trailing-window family covered by running_sum/gapfill in-window;
     # demoted for the bpe_encode_ids flagship:
     "rolling_zscore_outliers",
