@@ -4031,6 +4031,118 @@ class Collection:
             "retry when the item is quiescent"
         )
 
+    def audit_contamination(
+        self,
+        item: str,
+        terms: Sequence[str],
+        text_col: str = "text",
+        op: str = "has_token",
+    ) -> dict:
+        """Count stored docs matching each benchmark/eval term — the
+        nightly contamination audit, bloom-accelerated.
+
+        With a token-mode bloom on ``text_col`` (``write(bloom=
+        [{"col": ..., "mode": "tokens"}])``), each term's candidate
+        files prune on the driver first; terms the index PROVES
+        absent are reported with ``proven_absent=True`` and ZERO data
+        reads; the remaining terms share ONE scan of the union of
+        their admitting files (one Spark job for the whole term list,
+        not one per term), counting matches per term with conditional
+        sums. Without blooms the same call degrades to one full scan
+        — identical counts, no skipping.
+
+        ``op`` is the match semantics: ``has_token`` (lowercased
+        token-boundary occurrence — benchmark names) or ``contains``
+        (raw substring — verbatim leakage strings). Returns
+        {term: {"n_docs", "proven_absent", "files_scanned"}} plus an
+        ``_audit`` summary. Term lists are benchmark suites (bounded,
+        ~10²-10³); counts collect as one row per term."""
+        from pystore_spark import bloom as bl
+        from pystore_spark import manifest as mf
+        from pystore_spark.filters import _term
+
+        terms = list(dict.fromkeys(terms))
+        if not terms:
+            return {"_audit": {"n_terms": 0, "files_scanned": 0}}
+        it = self.item(item)
+        man = it._manifest or {}
+        rels = list(man.get("files") or [])
+        bcols = (man.get("metadata") or {}).get("_bloom_columns") or []
+        modes = bl.normalize_bloom_cols(bcols)
+        blooms: dict = {}
+        if modes.get(text_col) == "tokens" and rels:
+            try:
+                blooms = bl.load(
+                    mf.base_dir(it._path, man), self.fs,
+                    cols=[text_col], files=rels,
+                )
+            except Exception:
+                blooms = {}
+        # per-term admitted files: a list is a bloom verdict (possibly
+        # empty = PROVEN absent); None means no index — must scan
+        per_term_files: dict[str, list[str] | None] = {}
+        for t in terms:
+            if not blooms or not rels:
+                per_term_files[t] = None
+                continue
+            kept, empty = bl.prune(
+                rels, [(text_col, op, t)], blooms, bcols
+            )
+            per_term_files[t] = [] if empty else kept
+        out: dict = {
+            t: {"n_docs": 0, "proven_absent": True, "files_scanned": 0}
+            for t in terms
+        }
+        scan_terms = [
+            t for t in terms
+            if per_term_files[t] is None or per_term_files[t]
+        ]
+        live = sorted(
+            {
+                f
+                for t in scan_terms
+                for f in (per_term_files[t] or ())
+            }
+        )
+        need_full = any(per_term_files[t] is None for t in scan_terms)
+        if scan_terms:
+            self._require_spark_fs(f"contamination audit of {item!r}")
+            base = mf.base_dir(it._path, man)
+            df = (
+                self.spark.read.option("basePath", str(base)).parquet(
+                    *[str(base / r) for r in live]
+                )
+                if live and not need_full
+                else it.data
+            )
+            aggs = [
+                F.sum(
+                    _term(text_col, op, t).cast("long")
+                ).alias(f"_t{i}")
+                for i, t in enumerate(scan_terms)
+            ]
+            row = df.agg(*aggs).collect()[0]
+            for i, t in enumerate(scan_terms):
+                n = int(row[f"_t{i}"] or 0)
+                fl = per_term_files[t]
+                out[t] = {
+                    "n_docs": n,
+                    "proven_absent": False,
+                    "files_scanned": (
+                        len(fl) if fl is not None else len(rels)
+                    ),
+                }
+        out["_audit"] = {
+            "n_terms": len(terms),
+            "n_files_live": len(rels),
+            "files_scanned": (
+                len(rels) if (scan_terms and need_full) else len(live)
+            ),
+            "bloom_indexed": bool(blooms),
+            "op": op,
+        }
+        return out
+
     def set_bloom(
         self, item: str, columns: Sequence[str] | None
     ) -> dict:

@@ -285,13 +285,19 @@ class Item:
         from pystore_spark import bloom as bl
         from pystore_spark import manifest as mf
 
-        try:
-            blooms = bl.load(
-                mf.base_dir(self._path, man), self._fs,
-                cols=list(bl.normalize_bloom_cols(bcols)), files=rels,
-            )
-        except Exception:
-            return rels, False
+        blooms = getattr(self, "_bloom_rows", None)
+        if blooms is None:
+            # memoized per handle — scan_report + .data on the same
+            # Item share one sidecar read; a fresh collection.item()
+            # call re-reads (the handle pins one manifest anyway)
+            try:
+                blooms = bl.load(
+                    mf.base_dir(self._path, man), self._fs,
+                    cols=list(bl.normalize_bloom_cols(bcols)),
+                )
+            except Exception:
+                blooms = {}
+            self._bloom_rows = blooms
         if not blooms:
             return rels, False
         return bl.prune(rels, filters, blooms, bcols)

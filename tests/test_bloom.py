@@ -523,3 +523,41 @@ def test_contains_probe_never_false_negative_fuzz():
             assert kept == ["f"], (text, tok)
 
     run()
+
+
+def test_audit_contamination(coll):
+    pdf, texts = _texts_frame(2000, marker_at=777)
+    coll.write(
+        "contam", pdf, bloom=[{"col": "text", "mode": "tokens"}],
+        npartitions=6,
+    )
+    terms = ["zzmarkerzz", "qqabsentqq", "alpha", "echo foxtrot"]
+    rep = coll.audit_contamination("contam", terms)
+    assert rep["_audit"]["bloom_indexed"] is True
+    assert rep["qqabsentqq"] == {
+        "n_docs": 0, "proven_absent": True, "files_scanned": 0
+    }
+    assert rep["zzmarkerzz"]["n_docs"] == 1
+    assert rep["zzmarkerzz"]["files_scanned"] <= 2
+    # token-boundary counts match the python model
+    assert rep["alpha"]["n_docs"] == sum(
+        "alpha" in t.split() for t in texts
+    )
+    import re as _re
+
+    pat = _re.compile(r"(^|[^0-9a-z])echo foxtrot([^0-9a-z]|$)")
+    assert rep["echo foxtrot"]["n_docs"] == sum(
+        bool(pat.search(t.lower())) for t in texts
+    )
+    # substring op variant
+    rep2 = coll.audit_contamination(
+        "contam", ["lph"], op="contains"
+    )
+    assert rep2["lph"]["n_docs"] == sum("lph" in t for t in texts)
+    # unbloomed item: same counts, full scan, no proofs
+    coll.write("contam_plain", pdf, npartitions=6)
+    rep3 = coll.audit_contamination("contam_plain", terms)
+    assert rep3["_audit"]["bloom_indexed"] is False
+    assert rep3["zzmarkerzz"]["n_docs"] == 1
+    assert rep3["qqabsentqq"]["n_docs"] == 0
+    assert not rep3["qqabsentqq"]["proven_absent"]
