@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pystore_spark import utils
 from pystore_spark.exceptions import (
     ConcurrentCommitError,
+    DataIntegrityError,
     ItemExistsError,
     ItemNotFoundError,
     SnapshotNotFoundError,
@@ -1585,6 +1586,313 @@ class Collection:
             except Exception:
                 return None
         return total
+
+    # ------------------------------------------------------------------
+    # MERGE INTO (beyond-reference: Delta/Iceberg-style conditional
+    # merge generalizing append's duplicate_handling strategies)
+    # ------------------------------------------------------------------
+    def merge_into(
+        self,
+        item: str,
+        source: Any,
+        on: str | Sequence[str],
+        when_matched: str | dict[str, str] | None = "update_all",
+        matched_condition: str | None = None,
+        when_matched_delete: str | None = None,
+        when_not_matched: str | None = "insert_all",
+        epochdate: bool = False,
+    ) -> dict:
+        """Delta-style ``MERGE INTO``: join the stored item with
+        ``source`` on key columns and, per matched target row, delete
+        / update conditionally; insert unmatched source rows.
+
+        * ``when_matched`` — ``"update_all"`` (source row replaces the
+          target row), a dict ``{col: sql_expr}`` where expressions
+          reference ``t.<col>`` (target) and ``s.<col>`` (source), or
+          ``None`` (matched rows keep their target values).
+        * ``matched_condition`` — extra SQL predicate (over ``t``/
+          ``s``) gating the update; non-qualifying matches stay
+          unchanged.
+        * ``when_matched_delete`` — SQL predicate (over ``t``/``s``);
+          qualifying matched rows are REMOVED (evaluated before the
+          update clause, like Delta's first-clause-wins ordering when
+          DELETE is listed first).
+        * ``when_not_matched`` — ``"insert_all"`` or ``None`` (drop
+          unmatched source rows).
+
+        Semantics guards: ``source`` must be key-unique (a source key
+        matching twice is ambiguous — Delta raises the same error) and
+        update expressions may not assign the index column (rows would
+        silently migrate buckets; rewrite via delete+append instead).
+
+        **Scale shape.** When ``on`` includes the item's index column
+        and the item has the time layout, only the buckets containing
+        source keys are joined and rewritten (the append fast path's
+        scope — work proportional to the touched time range; inserts
+        may open new buckets). Otherwise the merge is a whole-item
+        rewrite (matches can live anywhere). Both commit through the
+        manifest CAS with the observed-state guard and bounded
+        retries. The one unavoidable shuffle is the t⋈s key join;
+        counts come from one aggregation over the same joined frame.
+
+        Returns ``{"n_updated", "n_deleted", "n_inserted",
+        "n_unchanged_matched"}``.
+        """
+        from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
+        from pystore_spark.partition import bucket_expr
+
+        keys = [on] if isinstance(on, str) else list(on)
+        if not keys:
+            raise ValueError("merge_into requires at least one key column")
+        if not self.item_exists(item):
+            raise ItemNotFoundError(
+                f"cannot merge into missing item {item!r}; write() it first"
+            )
+        self.recover_item(item)
+        self._require_spark_fs(f"merge into item {item!r}")
+        src, _src_meta, nrows, _ = self._prepare_input(
+            source, epochdate=epochdate
+        )
+        if nrows == 0 or (nrows is None and src.isEmpty()):
+            return {"n_updated": 0, "n_deleted": 0, "n_inserted": 0,
+                    "n_unchanged_matched": 0}
+
+        it0 = self.item(item)
+        idx_cols = it0._index_cols
+        tcols = [
+            c for c in it0.raw_frame().columns if c != PARTITION_COL
+        ]
+        missing_keys = [k for k in keys if k not in tcols]
+        if missing_keys:
+            raise ValueError(
+                f"merge keys {missing_keys} not in item columns {tcols}"
+            )
+        if isinstance(when_matched, dict):
+            bad = sorted(set(when_matched) & set(idx_cols))
+            if bad:
+                raise ValueError(
+                    f"when_matched may not assign index column(s) {bad} "
+                    "— updated rows would migrate partitions; use "
+                    "delete_where + append instead"
+                )
+            unknown = sorted(set(when_matched) - set(tcols))
+            if unknown:
+                raise ValueError(
+                    f"when_matched assigns unknown columns {unknown}"
+                )
+        needs_full_src = (
+            when_matched == "update_all" or when_not_matched == "insert_all"
+        )
+        if needs_full_src:
+            src_missing = [c for c in tcols if c not in src.columns]
+            if src_missing:
+                raise ValidationError(
+                    "update_all/insert_all need the full item schema in "
+                    f"source; missing columns {src_missing}"
+                )
+        # cardinality guard: a key matching several SOURCE rows makes
+        # the update ambiguous (one aggregation, bounded limit(1))
+        dup = (
+            src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise DataIntegrityError(
+                f"merge_into source has duplicate key {dict((k, dup[0][k]) for k in keys)!r}"
+                " — MERGE requires a key-unique source (dedup it first,"
+                " e.g. merge.dedup_within)"
+            )
+
+        plan = it0._plan or PartitionPlan("size", npartitions=1)
+        time_scoped = (
+            plan.kind == "time"
+            and idx_cols
+            and idx_cols[0] in keys
+            and PARTITION_COL in it0.raw_frame().columns
+        )
+
+        def _merged_and_counts(existing: DataFrame):
+            """(final frame, counts dict) from one t⋈s full-outer
+            join; the counts aggregate reuses the joined plan."""
+            from functools import reduce
+            from operator import and_
+
+            t = existing.withColumn("_t_m", F.lit(True)).alias("t")
+            s = src.withColumn("_s_m", F.lit(True)).alias("s")
+            # explicit equi-condition (NOT the string-list form, whose
+            # outer join coalesces the key columns away — both sides'
+            # keys must stay addressable for the clause expressions);
+            # plain == gives standard MERGE null semantics: null keys
+            # never match
+            cond = reduce(
+                and_,
+                [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+            )
+            j = t.join(s, on=cond, how="full_outer")
+            matched = F.col("t._t_m").isNotNull() & F.col(
+                "s._s_m"
+            ).isNotNull()
+            only_t = F.col("s._s_m").isNull()
+            only_s = F.col("t._t_m").isNull()
+            del_cond = (
+                matched & F.expr(when_matched_delete)
+                if when_matched_delete
+                else F.lit(False)
+            )
+            upd_gate = matched & ~del_cond
+            if matched_condition:
+                upd_gate = upd_gate & F.expr(matched_condition)
+            if when_matched is None:
+                upd_gate = F.lit(False)
+
+            def upd_expr(c: str):
+                if when_matched == "update_all":
+                    return F.col(f"s.{c}")
+                if isinstance(when_matched, dict) and c in when_matched:
+                    return F.expr(when_matched[c])
+                return F.col(f"t.{c}")
+
+            keep = ~del_cond & (
+                ~only_s if when_not_matched is None else F.lit(True)
+            )
+            out_cols = []
+            for c in tcols:
+                tc, sc = F.col(f"t.{c}"), (
+                    F.col(f"s.{c}") if c in src.columns else F.lit(None)
+                )
+                if c in keys:
+                    out_cols.append(F.coalesce(tc, sc).alias(c))
+                else:
+                    out_cols.append(
+                        F.when(only_t, tc)
+                        .when(only_s, sc)
+                        .when(upd_gate, upd_expr(c))
+                        .otherwise(tc)
+                        .alias(c)
+                    )
+            final = j.filter(keep).select(*out_cols)
+            crow = j.agg(
+                F.sum(upd_gate.cast("long")).alias("u"),
+                F.sum(del_cond.cast("long")).alias("d"),
+                F.sum(only_s.cast("long")).alias("i"),
+                F.sum(
+                    (matched & ~del_cond & ~upd_gate).cast("long")
+                ).alias("m0"),
+                F.sum(
+                    F.col("t._t_m").isNotNull().cast("long")
+                ).alias("t_total"),
+            ).collect()[0]
+            counts = {
+                "n_updated": int(crow["u"] or 0),
+                "n_deleted": int(crow["d"] or 0),
+                "n_inserted": int(
+                    crow["i"] or 0
+                ) if when_not_matched else 0,
+                "n_unchanged_matched": int(crow["m0"] or 0),
+            }
+            n_scope_after = (
+                int(crow["t_total"] or 0)
+                - counts["n_deleted"]
+                + counts["n_inserted"]
+            )
+            return final, counts, n_scope_after
+
+        for attempt in range(3):
+            it = self.item(item) if attempt else it0
+            man = it._manifest
+            sidecar = utils.merge_sidecar(it.metadata, None)
+            raw = it.raw_frame()
+            if time_scoped:
+                inc_pb = src.withColumn(
+                    PARTITION_COL, bucket_expr(plan.freq, idx_cols[0])
+                )
+                buckets = [
+                    r[PARTITION_COL]
+                    for r in inc_pb.select(PARTITION_COL)
+                    .distinct()
+                    .collect()
+                ]
+                subset = raw.filter(
+                    F.col(PARTITION_COL).cast("string").isin(
+                        [str(b) for b in buckets]
+                    )
+                ).drop(PARTITION_COL)
+                final, counts, n_after = _merged_and_counts(subset)
+                live_buckets = set(
+                    mf.bucket_file_map(man) if man is not None else ()
+                )
+                if n_after == 0 and live_buckets <= {
+                    f"{PARTITION_COL}={b}" for b in buckets
+                }:
+                    # zero live files would remain: the empty-manifest
+                    # read falls back to a directory listing that can
+                    # resurface stale files — same guard as
+                    # delete_where
+                    raise StorageError(
+                        f"merge_into would remove every row of {item!r}"
+                        " — use delete_item"
+                    )
+                shaped = apply_layout(
+                    final, plan, index_col=idx_cols[0], small=True
+                )
+                try:
+                    # every candidate bucket is declared touched: one
+                    # whose rows were all deleted stages nothing and
+                    # would otherwise keep its old pointers (staged
+                    # buckets simply override their drop entry)
+                    self._install_buckets(
+                        item,
+                        lambda tmp: self._write_df(shaped, str(tmp), plan),
+                        sidecar,
+                        expect_files=mf.bucket_file_map(man)
+                        if man is not None
+                        else None,
+                        drop_buckets={
+                            f"{PARTITION_COL}={b}" for b in buckets
+                        },
+                    )
+                    self.clear_metadata_cache(item)
+                    return counts
+                except ConcurrentCommitError:
+                    if attempt == 2:
+                        raise
+                    continue
+            else:
+                existing = (
+                    raw.drop(PARTITION_COL)
+                    if PARTITION_COL in raw.columns
+                    else raw
+                )
+                final, counts, n_after = _merged_and_counts(existing)
+                if n_after == 0:
+                    raise StorageError(
+                        f"merge_into would remove every row of {item!r}"
+                        " — use delete_item"
+                    )
+                shaped = apply_layout(
+                    final, plan, index_col=idx_cols[0] if idx_cols else keys[0],
+                    small=True,
+                )
+                try:
+                    self._atomic_install(
+                        item,
+                        lambda tmp: self._write_df(shaped, str(tmp), plan),
+                        sidecar,
+                        expect_files=mf.bucket_file_map(man)
+                        if man is not None
+                        else None,
+                    )
+                    self.clear_metadata_cache(item)
+                    return counts
+                except ConcurrentCommitError:
+                    if attempt == 2:
+                        raise
+                    continue
+        raise StorageError(f"merge_into {item!r} exhausted retries")
 
     # ------------------------------------------------------------------
     # chunked / streaming append (reference: pystore/collection.py:677-751)

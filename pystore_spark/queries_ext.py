@@ -2747,6 +2747,148 @@ def bloom_point_lookup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_into_probe",
+    # Delta-style MERGE INTO through REAL storage (collection.py
+    # merge_into — beyond-reference: the reference's append
+    # duplicate_handling is MERGE's update_all corner). One statement
+    # exercises all four clause outcomes against `orders`: matched
+    # rows update conditionally (non-'F' rows double their price),
+    # matched 'F' rows on the %14 slice are DELETED, unmatched source
+    # rows insert as status 'N', everything else passes through. The
+    # oracle replays MERGE algebra as a LEFT JOIN + anti-join UNION —
+    # storage-blind, so the engine's bucket/manifest mechanics must be
+    # result-invisible. Money aggregate goes through DECIMAL(20,6)
+    # (bench decimal discipline — FP sum order would break exact hash
+    # equality).
+    sql="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders),
+    mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+    src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 2 AS o_totalprice
+      FROM tgt WHERE o_orderkey % 7 = 3
+      UNION ALL
+      SELECT o_orderkey + (SELECT m FROM mx) AS o_orderkey, o_custkey,
+             'N' AS o_orderstatus, o_totalprice
+      FROM tgt WHERE o_orderkey % 11 = 5),
+    final AS (
+      SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                       AND t.o_orderstatus <> 'F'
+                  THEN t.o_totalprice + s.o_totalprice
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (s.o_orderkey IS NOT NULL
+                 AND t.o_orderstatus = 'F'
+                 AND t.o_orderkey % 14 = 3)
+      UNION ALL
+      SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+      FROM src s LEFT JOIN tgt t ON s.o_orderkey = t.o_orderkey
+      WHERE t.o_orderkey IS NULL)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+             AS total_price
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+    tags=("storage", "merge", "dml"),
+)
+def merge_into_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO lifecycle: write `orders` as an item, merge a
+    source of price-doubling updates + brand-new 'N' rows with a
+    conditional delete clause, read the item back and aggregate per
+    status. See Collection.merge_into for clause semantics; the
+    update/delete/insert counts are additionally cross-checked
+    against the source construction (a mismatch raises, so a clause
+    regression can't hide behind a lucky aggregate)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = int(
+        orders.agg(F.max("o_orderkey")).collect()[0][0]
+    ) + 1
+    upd_src = orders.filter(F.col("o_orderkey") % 7 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins_src = orders.filter(F.col("o_orderkey") % 11 == 5).select(
+        (F.col("o_orderkey") + F.lit(mx)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    src = upd_src.unionByName(ins_src)
+    tmp = tempfile.mkdtemp(prefix="ps_merge_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        store = ps.store("merge_probe_store", spark=spark)
+        col = store.collection("c")
+        col.write("orders_it", orders, index_col="o_orderkey")
+        rep = col.merge_into(
+            "orders_it", src, on="o_orderkey",
+            when_matched={
+                "o_totalprice": "t.o_totalprice + s.o_totalprice"
+            },
+            matched_condition="t.o_orderstatus <> 'F'",
+            when_matched_delete=(
+                "t.o_orderstatus = 'F' AND t.o_orderkey % 14 = 3"
+            ),
+            when_not_matched="insert_all",
+        )
+        # clause-count cross-check against the source construction
+        n_upd_expect = orders.filter(
+            (F.col("o_orderkey") % 7 == 3)
+            & (F.col("o_orderstatus") != "F")
+        ).count()
+        n_del_expect = orders.filter(
+            (F.col("o_orderkey") % 14 == 3)
+            & (F.col("o_orderstatus") == "F")
+        ).count()
+        n_ins_expect = orders.filter(
+            F.col("o_orderkey") % 11 == 5
+        ).count()
+        if (
+            rep["n_updated"] != n_upd_expect
+            or rep["n_deleted"] != n_del_expect
+            or rep["n_inserted"] != n_ins_expect
+        ):
+            raise AssertionError(
+                f"merge clause counts drifted: {rep} vs expected "
+                f"u={n_upd_expect} d={n_del_expect} i={n_ins_expect}"
+            )
+        out = (
+            col.item("orders_it")
+            .data.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(20,6)")
+                ).cast("double").alias("total_price"),
+            )
+            .collect()
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["o_orderstatus"], int(r["n_rows"]), float(r["total_price"]))
+            for r in out
+        ],
+        "o_orderstatus string, n_rows bigint, total_price double",
+    )
+
+
+@register(
     "token_bloom_contains_probe",
     # Full-text file skipping through REAL storage: a token-mode
     # Bloom sidecar (bloom.py) indexes the distinct tokens of each
@@ -3518,6 +3660,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # green rounds, demoted; its rule-aggregation family stays
     # evidenced in-window by validation_aggregates)
     "token_bloom_contains_probe",
+    # round-6 continuation flagship: Delta-style MERGE INTO
+    # (running_sum_per_user, 5 green rounds, demoted; window-function
+    # family stays evidenced in-window by gapfill_locf_daily's LOCF
+    # window + ohlc_resample + event_seq_applyinpandas)
+    "merge_into_probe",
     "dedup_anti_join",
     "upsert_keep_last",
     "validation_aggregates",
@@ -3525,11 +3672,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # wide→long reshape (round-6 promotion — never driver-checked)
     "unpivot_lineitem_measures",
     # relational / window / analytical (pricing/revenue/region carry
-    # the join+agg family; running_sum/rolling_zscore the window
-    # family; interval_join_banded the range-join family — asof/
-    # top3/sessionization/top_orders/time_bucket rotated out with 5
-    # green rounds each)
-    "running_sum_per_user",
+    # the join+agg family; gapfill/ohlc/event_seq the window family;
+    # interval_join_banded the range-join family — asof/top3/
+    # sessionization/top_orders/time_bucket rotated out with 5 green
+    # rounds each)
     "pricing_summary", "revenue_by_nation",
     "region_part_supplier",
     "event_seq_applyinpandas",
@@ -3580,6 +3726,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # named above; ALL stay oracle-checked in-repo on every pytest.
     "scan_projection", "index_minmax", "epoch_roundtrip",
     "union_evolved_schema", "invariant_violations",
+    "running_sum_per_user",
     "json_extract_props", "time_bucket_agg",
     "top_orders_by_revenue", "top3_events_per_user", "sessionization",
     "asof_join_orders_events", "text_token_stats", "doc_fingerprints",

@@ -40,7 +40,9 @@ PROMOTED = {
     # round-6 flagships (new this round, driver-checked immediately)
     "bpe_tokenize_counts", "cross_item_dedup_probe", "bpe_encode_ids",
     # round-6 continuation flagships: Bloom file skipping (bloom.py)
+    # and Delta-style MERGE INTO
     "bloom_point_lookup_probe", "token_bloom_contains_probe",
+    "merge_into_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
@@ -81,6 +83,10 @@ ROTATED_OUT = {
     # validation_aggregates; demoted (4 green rounds) for the
     # token_bloom_contains_probe flagship:
     "invariant_violations",
+    # window-function family covered in-window by gapfill_locf_daily
+    # + ohlc_resample + event_seq_applyinpandas; demoted (5 green
+    # rounds) for the merge_into_probe flagship:
+    "running_sum_per_user",
     # trailing-window family covered by running_sum/gapfill in-window;
     # demoted for the bpe_encode_ids flagship:
     "rolling_zscore_outliers",
