@@ -1600,7 +1600,9 @@ class Collection:
         matched_condition: str | None = None,
         when_matched_delete: str | None = None,
         when_not_matched: str | None = "insert_all",
+        not_matched_condition: str | None = None,
         epochdate: bool = False,
+        sidecar_extra: dict | None = None,
     ) -> dict:
         """Delta-style ``MERGE INTO``: join the stored item with
         ``source`` on key columns and, per matched target row, delete
@@ -1618,7 +1620,12 @@ class Collection:
           update clause, like Delta's first-clause-wins ordering when
           DELETE is listed first).
         * ``when_not_matched`` — ``"insert_all"`` or ``None`` (drop
-          unmatched source rows).
+          unmatched source rows); ``not_matched_condition`` gates the
+          insert (SQL over ``s``) — the CDC shape where tombstones
+          for never-seen keys must not insert.
+
+        ``sidecar_extra`` rides the merge's own manifest commit (the
+        streaming replay-guard contract — see streaming.cdc_merge_sink).
 
         Semantics guards: ``source`` must be key-unique (a source key
         matching twice is ambiguous — Delta raises the same error) and
@@ -1748,6 +1755,12 @@ class Collection:
                 upd_gate = upd_gate & F.expr(matched_condition)
             if when_matched is None:
                 upd_gate = F.lit(False)
+            if when_not_matched is None:
+                ins_gate = F.lit(False)
+            elif not_matched_condition:
+                ins_gate = only_s & F.expr(not_matched_condition)
+            else:
+                ins_gate = only_s
 
             def upd_expr(c: str):
                 if when_matched == "update_all":
@@ -1756,9 +1769,7 @@ class Collection:
                     return F.expr(when_matched[c])
                 return F.col(f"t.{c}")
 
-            keep = ~del_cond & (
-                ~only_s if when_not_matched is None else F.lit(True)
-            )
+            keep = ~del_cond & (~only_s | ins_gate)
             out_cols = []
             for c in tcols:
                 tc, sc = F.col(f"t.{c}"), (
@@ -1778,7 +1789,7 @@ class Collection:
             crow = j.agg(
                 F.sum(upd_gate.cast("long")).alias("u"),
                 F.sum(del_cond.cast("long")).alias("d"),
-                F.sum(only_s.cast("long")).alias("i"),
+                F.sum(ins_gate.cast("long")).alias("i"),
                 F.sum(
                     (matched & ~del_cond & ~upd_gate).cast("long")
                 ).alias("m0"),
@@ -1789,9 +1800,7 @@ class Collection:
             counts = {
                 "n_updated": int(crow["u"] or 0),
                 "n_deleted": int(crow["d"] or 0),
-                "n_inserted": int(
-                    crow["i"] or 0
-                ) if when_not_matched else 0,
+                "n_inserted": int(crow["i"] or 0),
                 "n_unchanged_matched": int(crow["m0"] or 0),
             }
             n_scope_after = (
@@ -1804,7 +1813,7 @@ class Collection:
         for attempt in range(3):
             it = self.item(item) if attempt else it0
             man = it._manifest
-            sidecar = utils.merge_sidecar(it.metadata, None)
+            sidecar = utils.merge_sidecar(it.metadata, sidecar_extra)
             raw = it.raw_frame()
             if time_scoped:
                 inc_pb = src.withColumn(

@@ -99,6 +99,74 @@ def merge_sink(
     return sink
 
 
+def cdc_merge_sink(
+    collection,
+    item: str,
+    on: str | list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    sink_key: str | None = None,
+    order_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` CDC apply: each micro-batch carries an
+    ``op_col`` of upserts and tombstones (e.g. Debezium-style
+    ``I``/``U``/``D``) and lands as ONE :meth:`Collection.merge_into`:
+    matched tombstones DELETE, other matches update_all, unmatched
+    non-tombstones insert, unmatched tombstones are dropped (the
+    ``not_matched_condition`` gate — a delete for a never-seen key
+    must not resurrect it). The op column never reaches storage (the
+    merge projects the target schema).
+
+    A batch may carry several changes per key; they collapse to the
+    LAST change first (merge.dedup_within — pass ``order_col``, e.g.
+    the CDC log sequence number, to pin which change is last; see the
+    order_col determinism note there), because MERGE requires a
+    key-unique source.
+
+    Exactly-once under replay exactly as :func:`merge_sink`: the
+    applied ``batch_id`` rides the merge's OWN manifest commit
+    (``sidecar_extra``) and replayed ids are skipped — required here
+    because a CDC merge is not idempotent (a replayed delete after an
+    insert of the same key would flip the outcome)."""
+    from pystore_spark.merge import dedup_within
+
+    keys = [on] if isinstance(on, str) else list(on)
+    key = sink_key or "default"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if _last_applied(collection, item, key) >= int(batch_id):
+            return  # replayed micro-batch — already applied
+        batch = dedup_within(
+            batch_df, keys, keep="last", order_col=order_col
+        )
+        if not collection.item_exists(item):
+            first = batch.filter(
+                F.col(op_col) != F.lit(delete_op)
+            ).drop(op_col)
+            if first.isEmpty():
+                # all tombstones against an empty target: a no-op —
+                # don't create the item (a replay re-delivers, and
+                # there is nowhere to record the batch id yet)
+                return
+            collection.write(
+                item, first,
+                sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
+            )
+            return
+        collection.merge_into(
+            item, batch, on=keys,
+            when_matched="update_all",
+            when_matched_delete=f"s.{op_col} = '{delete_op}'",
+            when_not_matched="insert_all",
+            not_matched_condition=f"s.{op_col} <> '{delete_op}'",
+            sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
+        )
+
+    return sink
+
+
 def dedup_merge_sink(
     collection,
     item: str,

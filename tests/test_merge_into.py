@@ -299,3 +299,100 @@ def test_merge_matches_pandas_model_random(coll):
         model.astype({"k": out["k"].dtype}),
         check_exact=False, rtol=1e-9,
     )
+
+
+def test_merge_not_matched_condition(coll):
+    coll.write("t5", _target())
+    src = pd.DataFrame(
+        {
+            "k": [1, 50, 51],
+            "v": [100.0, 500.0, 510.0],
+            "status": ["Z", "OK", "SKIP"],
+        }
+    ).set_index("k")
+    rep = coll.merge_into(
+        "t5", src, on="k",
+        when_matched="update_all",
+        when_not_matched="insert_all",
+        not_matched_condition="s.status <> 'SKIP'",
+    )
+    assert rep["n_updated"] == 1 and rep["n_inserted"] == 1
+    out = coll.item("t5").to_pandas().sort_index()
+    assert 50 in out.index and 51 not in out.index
+
+
+def test_merge_survives_concurrent_appends(coll):
+    """A thread lands paced small appends into the same bucket while
+    the main thread loops merge_into over it: every commit rides the
+    observed-state CAS, the loser retries against fresh state, and
+    row conservation holds across both writers (a lost update on
+    either side shows as missing rows)."""
+    import threading
+    import time as _t
+
+    n = 40_000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+            "v": np.arange(n, dtype=float),
+        }
+    ).set_index("ts")
+    coll.write("race_m", pdf)
+    assert coll.item("race_m")._plan.kind == "time"
+
+    APPENDS, PER = 30, 25
+    errs: list = []
+
+    def appender():
+        try:
+            for i in range(APPENDS):
+                extra = pd.DataFrame(
+                    {"v": [1000.0 + i] * PER},
+                    index=pd.date_range(
+                        "2024-01-10", periods=PER, freq="s"
+                    )
+                    + pd.Timedelta(minutes=i),
+                ).rename_axis("ts")
+                coll.append("race_m", extra, duplicate_handling="keep_all")
+                # pacing: stretch the append window past several merge
+                # round-trips so the two writers' commits interleave
+                _t.sleep(0.25)
+        except Exception as exc:  # surfaced below
+            errs.append(exc)
+
+    th = threading.Thread(target=appender, daemon=True)
+    th.start()
+    upd = pdf.iloc[:100].copy()
+    upd["v"] = -1.0
+    from pystore_spark.exceptions import ConcurrentCommitError
+
+    merges = 0
+    # ≥2 merges, the first of which provably overlaps the append
+    # window (the thread is alive when it starts); a single merge can
+    # span the whole window when CAS retries stretch it. Per the
+    # documented contract, a merge that exhausts its bounded retries
+    # under sustained contention raises ConcurrentCommitError and the
+    # CALLER retries cleanly — this loop is that caller.
+    while th.is_alive() or merges < 2:
+        try:
+            coll.merge_into(
+                "race_m", upd, on="ts",
+                when_matched={"v": "s.v"}, when_not_matched=None,
+            )
+        except ConcurrentCommitError:
+            continue
+        merges += 1
+    th.join()
+    assert not errs, errs
+    coll.clear_metadata_cache("race_m")
+    out = coll.item("race_m").to_pandas()
+    assert len(out) == n + APPENDS * PER  # conservation, both writers
+    assert (out["v"] == -1.0).sum() == 100
+    from pystore_spark import utils as _u
+
+    item_path = coll._item_path("race_m")
+    man = _u.read_manifest(item_path)
+    import pathlib as _pl
+
+    for rel in man["files"]:
+        assert (_pl.Path(item_path) / rel).exists()

@@ -326,3 +326,33 @@ def test_item_resample_adhoc_ohlc(test_collection):
         test_collection.item("rs").resample("day", {"px": ["median"]})
     with pytest.raises(ValidationError):
         test_collection.item("rs").resample("fortnight", {"px": ["sum"]})
+
+
+def test_rollup_refreshes_after_merge_into(test_collection):
+    """merge_into commits through the same manifest protocol, so the
+    rollup's file-list diff must pick up merged buckets: updates,
+    deletes and inserts all reflect after one refresh."""
+    test_collection.write("srcm", _source_data())
+    test_collection.create_rollup(
+        "srcm", "srcm_daily", unit="day", aggs=AGGS
+    )
+    src = _source_data()
+    upd = src.iloc[100:200].copy()
+    upd["value"] = 0.0
+    dele = src.iloc[300:320].copy()
+    dele["kind"] = "KILL"
+    new = pd.DataFrame(
+        {"value": [5.0] * 24, "kind": ["a"] * 24},
+        index=pd.date_range("2030-01-01", periods=24, freq="h"),
+    )
+    test_collection.merge_into(
+        "srcm", pd.concat([upd, dele, new]), on="index",
+        when_matched={"value": "s.value", "kind": "s.kind"},
+        when_matched_delete="s.kind = 'KILL'",
+        when_not_matched="insert_all",
+    )
+    test_collection.refresh_rollups("srcm")
+    _assert_rollups_equal(
+        _read_rollup(test_collection, "srcm_daily"),
+        _full_rollup(test_collection, "srcm"),
+    )

