@@ -2506,6 +2506,118 @@ class Collection:
         return {r: self.refresh_rollup(r) for r in self.rollups_of(item)}
 
     # ------------------------------------------------------------------
+    # materialized query views (see matview.py for the protocol)
+    # ------------------------------------------------------------------
+    def create_matview(
+        self,
+        name: str,
+        query: str,
+        depends_on: Sequence[str] | None = None,
+        overwrite: bool = False,
+        index_col: str | None = None,
+        **write_kwargs: Any,
+    ) -> None:
+        """Materialize a :meth:`sql` query as item ``name``, pinning
+        each dependency's manifest file list in the sidecar so
+        :meth:`matview_status` / :meth:`refresh_matview` know exactly
+        when any input item changed (append, compact, delete, ... —
+        anything that commits a new file list). ``depends_on``
+        defaults to the items whose view name appears in the query
+        text (matview.infer_dependencies — a heuristic; pass the list
+        explicitly for anything subtle, e.g. names built dynamically).
+        The SQL itself is persisted, so refresh needs no arguments.
+
+        Use :meth:`create_rollup` instead when the query is a
+        time-bucket aggregate — its refresh is O(changed buckets); a
+        matview refresh re-runs the whole query (the honest cost of
+        arbitrary SQL)."""
+        from pystore_spark import matview as mv
+
+        mv.build_and_write(
+            self, name, query, depends_on, overwrite, index_col,
+            **write_kwargs,
+        )
+
+    def matview_status(self, name: str) -> dict:
+        """Freshness report: ``{"fresh": bool, "stale": [items whose
+        manifest moved], "missing": [deleted deps], "unpinned":
+        [deps with no manifest]}`` — driver-side manifest string
+        compares, no data read."""
+        from pystore_spark import matview as mv
+        from pystore_spark.exceptions import ValidationError
+
+        spec = (self.get_item_metadata(name) or {}).get(
+            mv.MATVIEW_META_KEY
+        )
+        if not spec:
+            raise ValidationError(
+                f"item {name!r} was not created by create_matview"
+            )
+        rep = mv.stale_dependencies(self, spec)
+        rep["fresh"] = not (rep["stale"] or rep["missing"])
+        return rep
+
+    def refresh_matview(self, name: str, force: bool = False) -> dict:
+        """Re-run the persisted SQL and rewrite the matview iff any
+        dependency manifest moved (or ``force=True``). A dependency
+        that was DELETED raises — silently materializing a query over
+        a vanished input would hide data loss. Returns ``{"mode":
+        "fresh" | "rebuilt", "stale": [...]}``."""
+        from pystore_spark import matview as mv
+        from pystore_spark.exceptions import StorageError, ValidationError
+
+        spec = (self.get_item_metadata(name) or {}).get(
+            mv.MATVIEW_META_KEY
+        )
+        if not spec:
+            raise ValidationError(
+                f"item {name!r} was not created by create_matview"
+            )
+        rep = mv.stale_dependencies(self, spec)
+        if rep["missing"]:
+            raise StorageError(
+                f"matview {name!r} depends on deleted item(s) "
+                f"{rep['missing']}; drop the matview or recreate the "
+                "dependency"
+            )
+        if not rep["stale"] and not force:
+            return {"mode": "fresh", "stale": []}
+        mv.build_and_write(
+            self, name, spec["query"], spec["depends_on"],
+            True, spec.get("index_col"),
+        )
+        return {"mode": "rebuilt", "stale": rep["stale"]}
+
+    def matview(self, name: str, refresh: str = "auto") -> DataFrame:
+        """Read a matview. ``refresh="auto"`` (default) rebuilds
+        first iff stale — the read-through cache; ``"never"`` returns
+        whatever is materialized (bounded-staleness readers — pair
+        with :meth:`matview_status` to surface the bound);
+        ``"always"`` forces a rebuild."""
+        if refresh not in ("auto", "never", "always"):
+            raise ValueError(
+                "refresh must be auto|never|always, got " + repr(refresh)
+            )
+        if refresh == "always":
+            self.refresh_matview(name, force=True)
+        elif refresh == "auto":
+            self.refresh_matview(name)
+        return self.item(name).data
+
+    def matviews_of(self, item: str) -> list[str]:
+        """Matview items that depend on ``item`` (sidecar scan)."""
+        from pystore_spark import matview as mv
+
+        out = []
+        for name in self.items:
+            spec = (self.get_item_metadata(name) or {}).get(
+                mv.MATVIEW_META_KEY
+            )
+            if spec and item in (spec.get("depends_on") or []):
+                out.append(name)
+        return out
+
+    # ------------------------------------------------------------------
     # persistent IVF vector index (ANN over stored embeddings)
     # ------------------------------------------------------------------
     def build_vector_index(
@@ -3629,6 +3741,7 @@ class Collection:
         gc: bool = True,
         refresh_stats: bool = True,
         refresh_rollups: bool = True,
+        refresh_matviews: bool = True,
         refresh_dedup_indexes: bool = True,
         refresh_vector_indexes: bool = True,
         target_size_mb: int | None = None,
@@ -3639,7 +3752,7 @@ class Collection:
         (:meth:`recover_item`), merge undersized bucket files
         (:meth:`compact`), refresh incremental column statistics
         (:meth:`analyze_incremental` — O(changed buckets)), and
-        refresh derived rollups. Each step is independently
+        refresh derived rollups and materialized views. Each step is independently
         restartable and commits through the same CAS manifest
         protocol, so a crash mid-maintenance never corrupts anything
         — rerunning is always safe. Returns per-item step results.
@@ -3658,6 +3771,8 @@ class Collection:
         for n in names:
             for r in self.rollups_of(n):
                 derived.add(r)
+            for m in self.matviews_of(n):
+                derived.add(m)
         out: dict[str, dict] = {}
         for n in names:
             if n in derived or not self.item_exists(n):
@@ -3761,6 +3876,17 @@ class Collection:
                     }
                 except Exception as exc:
                     res["rollups_error"] = str(exc)
+            if refresh_matviews:
+                # after compact/gc/delete above — all of those commit
+                # new file lists, so this is the step that re-trues
+                # matviews against everything maintain just did
+                try:
+                    res["matviews"] = {
+                        m: self.refresh_matview(m)
+                        for m in self.matviews_of(n)
+                    }
+                except Exception as exc:
+                    res["matviews_error"] = str(exc)
             out[n] = res
         return out
 

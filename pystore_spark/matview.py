@@ -1,0 +1,140 @@
+"""Materialized query views: arbitrary collection SQL materialized as
+a store item, with manifest-pinned freshness.
+
+This generalizes the pinning protocol :mod:`pystore_spark.rollup`
+uses for time-bucket aggregates (record the source manifest's file
+list; "fresh" == the lists still match) from ONE source item and ONE
+query shape to ANY ``Collection.sql`` query over ANY set of items.
+A matview's sidecar records
+
+* the SQL text itself (so ``refresh_matview`` is self-contained —
+  nothing to re-pass, exactly like ``refresh_rollup``), and
+* per-dependency ``{item: sorted(manifest file list)}`` captured
+  BEFORE the query ran.
+
+Freshness is a pure driver-side string comparison against the current
+manifests — no data read, no timestamps (mtimes lie across object
+stores), and it composes with every mutation path in the engine:
+append, upsert, compact, delete_where, z-order rebalance all commit a
+new file list, so all of them flip dependent matviews to stale.
+
+Capturing the pin BEFORE executing the query makes the race with a
+concurrent append safe in the conservative direction: if an append
+commits between the capture and the scan, the matview may contain the
+newer rows but is RECORDED as older — the next status check says
+stale and a refresh converges. The reverse (recorded newer than the
+data actually aggregated) can never happen.
+
+Scale note (100 TB): the freshness check is O(manifest bytes) on the
+driver; a refresh re-runs the recorded SQL, which plans exactly like
+any other collection query (partition pruning, pushdown, broadcast).
+Use :meth:`Collection.create_rollup` when the query IS a time-bucket
+aggregate — its refresh is O(changed buckets); a matview refresh is a
+full recompute of an arbitrary query, which is the honest cost of
+generality.
+
+Reference parity: the reference engine has no materialized views;
+this is a beyond-reference capability. Its closest primitive is the
+snapshot (reference: pystore/collection.py:238-294), which pins input
+BYTES; a matview pins query RESULTS against those same manifests.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Sequence
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pystore_spark.collection import Collection
+
+MATVIEW_META_KEY = "_matview"
+
+_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def infer_dependencies(collection: "Collection", query: str) -> list[str]:
+    """Default dependency inference: collection items whose SQL view
+    name appears as an identifier token in the query. A heuristic on
+    purpose (a quoted string literal containing an item name counts
+    as a hit — the only cost is a spurious stale), overridable with
+    an explicit ``depends_on``."""
+    mapping = collection.sql_view_names()
+    tokens = set(_TOKEN_RE.findall(query))
+    return sorted(n for n, view in mapping.items() if view in tokens)
+
+
+def dep_state(collection: "Collection", items: Sequence[str]) -> dict:
+    """``{item: sorted manifest file list}`` for the given items —
+    the freshness pin. Items without a manifest (legacy layout) pin
+    as an empty list; ``matview_status`` flags them under
+    ``"unpinned"`` so the blind spot is visible."""
+    from pystore_spark import utils
+
+    out: dict[str, list[str]] = {}
+    for n in items:
+        man = utils.read_manifest(collection._item_path(n)) or {}
+        out[n] = sorted(man.get("files") or [])
+    return out
+
+
+def stale_dependencies(collection: "Collection", spec: dict) -> dict:
+    """Compare the recorded pin against current manifests. Returns
+    ``{"stale": [...], "missing": [...], "unpinned": [...]}``."""
+    pinned: dict = spec.get("dep_files") or {}
+    stale, missing, unpinned = [], [], []
+    for n, files in pinned.items():
+        if not collection.item_exists(n):
+            missing.append(n)
+            continue
+        if not files:
+            unpinned.append(n)
+        current = dep_state(collection, [n])[n]
+        if current != files:
+            stale.append(n)
+    return {"stale": stale, "missing": missing, "unpinned": unpinned}
+
+
+def build_and_write(
+    collection: "Collection",
+    name: str,
+    query: str,
+    depends_on: Sequence[str] | None,
+    overwrite: bool,
+    index_col: str | None,
+    **write_kwargs,
+) -> dict:
+    """Capture the pin, run the SQL, write the item with the spec
+    sidecar. Returns the spec written."""
+    from pystore_spark.exceptions import ValidationError
+
+    deps = (
+        sorted(set(depends_on))
+        if depends_on is not None
+        else infer_dependencies(collection, query)
+    )
+    if not deps:
+        raise ValidationError(
+            "matview has no dependencies — pass depends_on explicitly "
+            "(no collection item name appears in the query text)"
+        )
+    if name in deps:
+        raise ValidationError(
+            f"matview {name!r} cannot depend on itself"
+        )
+    pin = dep_state(collection, deps)  # BEFORE the scan — see module doc
+    df = collection.sql(query, items=deps)
+    spec = {
+        "query": query,
+        "depends_on": deps,
+        "dep_files": pin,
+        "index_col": index_col,
+    }
+    collection.write(
+        name,
+        df,
+        overwrite=overwrite,
+        index_col=index_col,
+        sidecar_extra={MATVIEW_META_KEY: spec},
+        **write_kwargs,
+    )
+    return spec

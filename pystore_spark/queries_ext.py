@@ -3627,6 +3627,102 @@ QUERIES["quality_classifier_scores"] = QUERIES[
 )
 
 
+@register(
+    "matview_refresh_probe",
+    # Materialized-view lifecycle through REAL storage (matview.py):
+    # the pinned manifest state must flip to stale on append and a
+    # refresh must re-true the view against the FULL corpus — so the
+    # oracle is simply the view's aggregate over all of `events`,
+    # storage- and lifecycle-blind. In-probe cross-checks (fresh
+    # before, stale-on-append, cached bytes unchanged until refresh)
+    # raise on drift, so a freshness regression can't hide behind a
+    # lucky final aggregate. Decimal-exact sums both sides (the
+    # merge_into_probe pattern) keep the value hash float-order-free.
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+             AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("storage", "matview", "lifecycle"),
+)
+def matview_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view lifecycle: write two thirds of `events` as an
+    item, materialize a per-type aggregate via Collection.create_matview
+    (the SQL text and per-dependency manifest file lists persist in the
+    sidecar), append the remaining third, verify matview_status flips
+    to stale while refresh="never" still serves the OLD bytes, then
+    read through matview() (auto-refresh) and return the re-trued
+    aggregate. Freshness is a driver-side manifest compare — no data
+    read until the rebuild itself."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    batch1 = ev.filter(F.col("event_id") % 3 != 0)
+    batch2 = ev.filter(F.col("event_id") % 3 == 0)
+    n1, n_all = batch1.count(), ev.count()
+    view_sql = (
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) "
+        "AS total_value, "
+        "COUNT(DISTINCT user_id) AS n_users "
+        "FROM ev GROUP BY event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="ps_matview_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        store = ps.store("matview_probe_store", spark=spark)
+        col = store.collection("c")
+        col.write("ev", batch1, index_col="event_id")
+        col.create_matview("mv", view_sql)
+        st = col.matview_status("mv")
+        if not st["fresh"]:
+            raise AssertionError(f"freshly built matview stale: {st}")
+        col.append("ev", batch2)
+        st = col.matview_status("mv")
+        if st["fresh"] or st["stale"] != ["ev"]:
+            raise AssertionError(f"append did not flip staleness: {st}")
+        cached = sum(
+            r["n_events"]
+            for r in col.matview("mv", refresh="never").collect()
+        )
+        if cached != n1:
+            raise AssertionError(
+                f"cached read drifted: {cached} rows vs batch1 {n1}"
+            )
+        out = col.matview("mv").collect()  # auto-refresh read-through
+        if sum(r["n_events"] for r in out) != n_all:
+            raise AssertionError("refresh missed appended rows")
+        if not col.matview_status("mv")["fresh"]:
+            raise AssertionError("matview stale after refresh")
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r["event_type"],
+                int(r["n_events"]),
+                float(r["total_value"]),
+                int(r["n_users"]),
+            )
+            for r in out
+        ],
+        "event_type string, n_events bigint, total_value double, "
+        "n_users bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -3665,8 +3761,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # family stays evidenced in-window by gapfill_locf_daily's LOCF
     # window + ohlc_resample + event_seq_applyinpandas)
     "merge_into_probe",
+    # round-6 continuation flagship: materialized query views with
+    # manifest-pinned freshness (upsert_keep_last, 5 green rounds,
+    # demoted; its keep-last merge family stays evidenced in-window
+    # by merge_into_probe's update clause + dedup_anti_join)
+    "matview_refresh_probe",
     "dedup_anti_join",
-    "upsert_keep_last",
     "validation_aggregates",
     "schema_evolve_projection",
     # wide→long reshape (round-6 promotion — never driver-checked)
@@ -3726,6 +3826,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # named above; ALL stay oracle-checked in-repo on every pytest.
     "scan_projection", "index_minmax", "epoch_roundtrip",
     "union_evolved_schema", "invariant_violations",
+    "upsert_keep_last",
     "running_sum_per_user",
     "json_extract_props", "time_bucket_agg",
     "top_orders_by_revenue", "top3_events_per_user", "sessionization",

@@ -1,0 +1,166 @@
+"""Materialized query views: manifest-pinned freshness over arbitrary
+collection SQL (pystore_spark/matview.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pystore_spark.exceptions import StorageError, ValidationError
+
+
+def _events(n, start=0):
+    # `start` offsets the timestamps too — append batches must be
+    # index-disjoint or the keep-first append dedup eats them
+    return pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="h")
+            + pd.Timedelta(hours=start),
+            "kind": [("a", "b", "c")[(start + i) % 3] for i in range(n)],
+            "value": [float(start + i) for i in range(n)],
+        }
+    )
+
+
+@pytest.fixture()
+def col(test_collection):
+    test_collection.write("ev", _events(30), index_col="ts")
+    return test_collection
+
+
+SQL = (
+    "SELECT kind, count(*) AS n, sum(value) AS total "
+    "FROM ev GROUP BY kind"
+)
+
+
+def test_create_and_read(col):
+    col.create_matview("ev_by_kind", SQL)
+    got = (
+        col.matview("ev_by_kind")
+        .toPandas()
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+    exp = (
+        col.sql(SQL)
+        .toPandas()
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    st = col.matview_status("ev_by_kind")
+    assert st["fresh"] and not st["stale"]
+
+
+def test_dependency_inference_and_override(col):
+    col.write("other", _events(5), index_col="ts")
+    col.create_matview("mv1", SQL)
+    spec = col.get_item_metadata("mv1")["_matview"]
+    assert spec["depends_on"] == ["ev"]  # 'other' not referenced
+    col.create_matview("mv2", SQL, depends_on=["ev", "other"])
+    col.append("other", _events(5, start=100))
+    assert col.matview_status("mv1")["fresh"]
+    st2 = col.matview_status("mv2")
+    assert not st2["fresh"] and st2["stale"] == ["other"]
+
+
+def test_no_dependency_raises(col):
+    with pytest.raises(ValidationError):
+        col.create_matview("mv", "SELECT 1 AS one")
+
+
+def test_append_flips_stale_and_refresh_rebuilds(col):
+    col.create_matview("mv", SQL)
+    before = col.matview("mv", refresh="never").toPandas()
+    col.append("ev", _events(12, start=1000))
+    st = col.matview_status("mv")
+    assert not st["fresh"] and st["stale"] == ["ev"]
+    # refresh="never" really is the cached bytes — total unchanged
+    again = col.matview("mv", refresh="never").toPandas()
+    assert again["total"].sum() == before["total"].sum()
+    rep = col.refresh_matview("mv")
+    assert rep["mode"] == "rebuilt" and rep["stale"] == ["ev"]
+    st = col.matview_status("mv")
+    assert st["fresh"]
+    fresh = col.matview("mv").toPandas()
+    assert fresh["n"].sum() == 42
+    # idempotent: nothing moved, second refresh is a no-op
+    assert col.refresh_matview("mv")["mode"] == "fresh"
+
+
+def test_read_through_auto_refresh(col):
+    col.create_matview("mv", SQL)
+    col.append("ev", _events(6, start=50))
+    got = col.matview("mv")  # auto: rebuilds first
+    assert got.toPandas()["n"].sum() == 36
+    assert col.matview_status("mv")["fresh"]
+
+
+def test_rewrite_flips_stale(col):
+    col.create_matview("mv", SQL)
+    col.append("ev", _events(6, start=50))
+    col.refresh_matview("mv")
+    # a layout rewrite commits a new file list; values unchanged but
+    # the pin is conservative by design
+    col.rebalance_partitions("ev")
+    st = col.matview_status("mv")
+    assert st["stale"] == ["ev"]
+    assert col.refresh_matview("mv")["mode"] == "rebuilt"
+
+
+def test_missing_dependency_raises(col):
+    col.create_matview("mv", SQL)
+    col.delete_item("ev")
+    st = col.matview_status("mv")
+    assert not st["fresh"] and st["missing"] == ["ev"]
+    with pytest.raises(StorageError):
+        col.refresh_matview("mv")
+    # cached reads still work (refresh="never" path)
+    assert col.matview("mv", refresh="never").count() == 3
+
+
+def test_self_dependency_rejected(col):
+    with pytest.raises(ValidationError):
+        col.create_matview(
+            "ev2", "SELECT * FROM ev2", depends_on=["ev2"]
+        )
+
+
+def test_non_matview_refresh_raises(col):
+    with pytest.raises(ValidationError):
+        col.refresh_matview("ev")
+    with pytest.raises(ValidationError):
+        col.matview_status("ev")
+
+
+def test_matview_of_matview_chain(col):
+    col.create_matview("lvl1", SQL)
+    col.create_matview(
+        "lvl2", "SELECT count(*) AS n_kinds FROM lvl1"
+    )
+    assert col.matview("lvl2").toPandas()["n_kinds"][0] == 3
+    col.append("ev", _events(6, start=50))
+    assert col.matview_status("lvl1")["stale"] == ["ev"]
+    # lvl2 only sees lvl1; refreshing lvl1 commits a new list → lvl2
+    col.refresh_matview("lvl1")
+    assert col.matview_status("lvl2")["stale"] == ["lvl1"]
+    col.refresh_matview("lvl2")
+    assert col.matview_status("lvl2")["fresh"]
+
+
+def test_maintain_refreshes_matviews(col):
+    col.create_matview("mv", SQL)
+    col.append("ev", _events(6, start=50))
+    out = col.maintain("ev", verify_indexes=False)
+    assert out["ev"]["matviews"]["mv"]["mode"] == "rebuilt"
+    assert col.matview_status("mv")["fresh"]
+    # matviews are derived: never a primary maintain target
+    out_all = col.maintain()
+    assert "mv" not in out_all
+
+
+def test_matviews_of(col):
+    col.create_matview("mv", SQL)
+    assert col.matviews_of("ev") == ["mv"]
+    assert col.matviews_of("mv") == []

@@ -39,10 +39,10 @@ PROMOTED = {
     "corpus_mix_report",
     # round-6 flagships (new this round, driver-checked immediately)
     "bpe_tokenize_counts", "cross_item_dedup_probe", "bpe_encode_ids",
-    # round-6 continuation flagships: Bloom file skipping (bloom.py)
-    # and Delta-style MERGE INTO
+    # round-6 continuation flagships: Bloom file skipping (bloom.py),
+    # Delta-style MERGE INTO, and manifest-pinned materialized views
     "bloom_point_lookup_probe", "token_bloom_contains_probe",
-    "merge_into_probe",
+    "merge_into_probe", "matview_refresh_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
@@ -87,6 +87,10 @@ ROTATED_OUT = {
     # + ohlc_resample + event_seq_applyinpandas; demoted (5 green
     # rounds) for the merge_into_probe flagship:
     "running_sum_per_user",
+    # keep-last merge family covered in-window by merge_into_probe's
+    # update clause + dedup_anti_join; demoted (5 green rounds) for
+    # the matview_refresh_probe flagship:
+    "upsert_keep_last",
     # trailing-window family covered by running_sum/gapfill in-window;
     # demoted for the bpe_encode_ids flagship:
     "rolling_zscore_outliers",
