@@ -320,6 +320,7 @@ def try_write(
     index_col: str | None,
     compression: str | None = None,
     must_not_exist: bool = False,
+    freq: str | None = None,
 ) -> bool:
     """Driver-side write; True when fully handled. Any failure before
     filesystem mutation falls back (returns False). ``must_not_exist``
@@ -332,7 +333,7 @@ def try_write(
         tbl, pmeta = got
         idx_cols = index_columns(pmeta)
         icol = idx_cols[0]
-        plan = _plan_for_table(col, tbl, icol, npartitions)
+        plan = _plan_for_table(col, tbl, icol, npartitions, freq)
         if compression is not None:
             plan.compression = compression
     except Exception:
@@ -351,7 +352,8 @@ def try_write(
 
 
 def _plan_for_table(
-    col: Any, tbl: pa.Table, icol: str, npartitions: int | None
+    col: Any, tbl: pa.Table, icol: str, npartitions: int | None,
+    freq: str | None = None,
 ) -> PartitionPlan:
     nrows = tbl.num_rows
     minmax = None
@@ -375,6 +377,7 @@ def _plan_for_table(
         is_time=is_time,
         parallelism=parallelism,
         npartitions=npartitions,
+        freq=freq,
     )
 
 

@@ -391,6 +391,7 @@ class Collection:
         zonemap: Sequence[str] | None = None,
         bloom: Sequence[str] | None = None,
         compression: str | None = None,
+        freq: str | None = None,
         **kwargs: Any,
     ) -> None:
         item_path = self._item_path(item)
@@ -446,7 +447,7 @@ class Collection:
         if arrow_path.try_write(
             self, item, data, metadata, npartitions, epochdate,
             index_col, compression=compression,
-            must_not_exist=not overwrite,
+            must_not_exist=not overwrite, freq=freq,
         ):
             self.clear_metadata_cache(item)
             return
@@ -458,7 +459,7 @@ class Collection:
         idx_cols = index_columns(pmeta)
         plan = plan_partitions(
             df, index_col=idx_cols[0], npartitions=npartitions,
-            nrows=nrows, index_minmax=minmax,
+            nrows=nrows, index_minmax=minmax, freq=freq,
         )
         if compression is not None:
             # the codec rides the persisted plan, so appends, compact
@@ -4131,6 +4132,8 @@ class Collection:
         item: str,
         columns: Sequence[str] | None = None,
         lg_k: int = 8,
+        histograms: Sequence[str] | None = None,
+        n_bins: int = 64,
     ) -> dict:
         """Incremental ANALYZE: per-``_pb``-bucket statistics with
         **mergeable HLL sketches** (Spark's DataSketches
@@ -4150,9 +4153,27 @@ class Collection:
         Values are sketched via their canonical string form so every
         atomic type is supported uniformly.
 
+        ``histograms=[col, ...]`` additionally maintains a mergeable
+        **equi-width histogram** (``n_bins`` bins) per named numeric
+        column: bin edges are pinned from the column's min/max at the
+        first build (pinning forces one full rescan; an extra min/max
+        pass over the scanned buckets), after which refreshes
+        re-histogram ONLY changed buckets onto the SAME edges and
+        per-bin counts simply add — the property that makes
+        :meth:`estimate_percentiles` an O(metadata) driver-side read
+        at any corpus size. Values outside the pinned range clamp
+        into the end bins (estimates degrade, merges never break); if
+        the data drifts far, re-pin with a full :meth:`analyze` +
+        rebuild. A column histogrammed once stays maintained on every
+        later call even when not re-requested — dropping it would
+        orphan the kept buckets' counts.
+
         Returns the same global summary as :meth:`analyze` plus
-        ``buckets_rescanned``. Non-time items (single flat bucket)
-        delegate to the full :meth:`analyze`."""
+        ``buckets_rescanned`` and (when maintained) ``histograms``
+        ``{col: {mn, w, nb, counts, n_values}}``. Non-time items
+        (single flat bucket) delegate to the full :meth:`analyze`,
+        which has no histogram support — histograms need the
+        per-bucket merge structure."""
         import base64
 
         from pystore_spark import manifest as mf
@@ -4166,6 +4187,12 @@ class Collection:
             or it._plan is None
             or it._plan.kind != "time"
         ):
+            if histograms:
+                raise ValidationError(
+                    "histograms need a time-partitioned item (the "
+                    "per-bucket merge structure); "
+                    f"{item!r} stores a flat layout"
+                )
             return self.analyze(item, columns)
 
         per_bucket_files: dict[str, list[str]] = {}
@@ -4180,6 +4207,16 @@ class Collection:
         prev_buckets: dict = dict(prev.get("buckets") or {})
         if int(prev.get("lg_k", lg_k)) != lg_k:
             prev_buckets = {}  # sketch config changed: full rebuild
+
+        # histogram edge pinning: previously pinned columns stay
+        # maintained (dropping one would orphan kept buckets' counts);
+        # a NEWLY requested column has no edges yet → full rescan so
+        # every bucket gets counts on the same edges
+        prev_hists: dict = dict(prev.get("histograms") or {})
+        missing_hist = [c for c in (histograms or []) if c not in prev_hists]
+        hist_cols = sorted(set(histograms or []) | set(prev_hists))
+        if missing_hist:
+            prev_buckets = {}
 
         changed = [
             b
@@ -4210,7 +4247,52 @@ class Collection:
             df = self.spark.read.option("basePath", str(base)).parquet(
                 *paths
             )
+            if missing_hist:
+                # pin edges from this (full) scan's min/max — one
+                # extra fused stats pass, paid only at first build
+                mm = [
+                    f
+                    for c in missing_hist
+                    for f in (
+                        F.min(F.col(c).cast("double")).alias(f"__lo__{c}"),
+                        F.max(F.col(c).cast("double")).alias(f"__hi__{c}"),
+                    )
+                ]
+                row0 = df.agg(*mm).first()
+                for c in missing_hist:
+                    lo, hi = row0[f"__lo__{c}"], row0[f"__hi__{c}"]
+                    if lo is None:
+                        continue  # all-null column: nothing to pin
+                    w = (float(hi) - float(lo)) / n_bins
+                    prev_hists[c] = {
+                        "mn": float(lo),
+                        # constant column → degenerate width 1.0: all
+                        # values land in bin 0, estimates return mn
+                        "w": w if w > 0.0 else 1.0,
+                        "nb": int(n_bins),
+                    }
+                hist_cols = sorted(set(hist_cols) & set(prev_hists))
             aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in hist_cols:
+                e = prev_hists[c]
+                binx = F.least(
+                    F.greatest(
+                        F.floor(
+                            (F.col(c).cast("double") - F.lit(e["mn"]))
+                            / F.lit(e["w"])
+                        ).cast("long"),
+                        F.lit(0),
+                    ),
+                    F.lit(int(e["nb"]) - 1),
+                )
+                aggs.append(
+                    F.array(
+                        *[
+                            F.count_if(binx == F.lit(i))
+                            for i in range(int(e["nb"]))
+                        ]
+                    ).alias(f"__hist__{c}")
+                )
             for c in cols:
                 aggs.append(
                     F.count_if(F.col(c).isNull()).alias(f"__nulls__{c}")
@@ -4224,7 +4306,9 @@ class Collection:
                 )
             for row in df.groupBy(PARTITION_COL).agg(*aggs).collect():
                 d = row.asDict()
-                b = d[PARTITION_COL]
+                # partition-column inference types yearly buckets as
+                # ints ("_pb=1996"); manifest bucket keys are strings
+                b = str(d[PARTITION_COL])
                 cstats = {}
                 for c in cols:
                     sk = d[f"__hll__{c}"]
@@ -4240,6 +4324,10 @@ class Collection:
                         if sk is not None
                         else None,
                     }
+                for c in hist_cols:
+                    cstats.setdefault(c, {})["hist"] = [
+                        int(x) for x in d[f"__hist__{c}"]
+                    ]
                 new_buckets[b] = {
                     "files": per_bucket_files[b],
                     "n_rows": int(d["__n"]),
@@ -4292,6 +4380,23 @@ class Collection:
             for r in est:
                 stats["columns"][r["c"]]["approx_ndv"] = int(r["ndv"])
 
+        if prev_hists:
+            # global histogram = elementwise sum of per-bucket counts
+            # (the merge that justifies pinned edges)
+            merged_h: dict = {}
+            for c, e in prev_hists.items():
+                counts = [0] * int(e["nb"])
+                for v in buckets.values():
+                    hl = ((v.get("columns") or {}).get(c) or {}).get(
+                        "hist"
+                    )
+                    if hl:
+                        for i, x in enumerate(hl):
+                            counts[i] += int(x)
+                merged_h[c] = {**e, "counts": counts,
+                               "n_values": sum(counts)}
+            stats["histograms"] = merged_h
+
         for _attempt in range(3):
             man2, etag = utils.read_manifest_versioned(item_path)
             if man2 is None or man2.get("base"):
@@ -4300,6 +4405,7 @@ class Collection:
             meta["_bucket_stats"] = {
                 "lg_k": lg_k,
                 "buckets": buckets,
+                "histograms": prev_hists,
             }
             # as_of_version is the version the stats were COMPUTED
             # against (captured before the scan) — on a lost-CAS
@@ -4326,6 +4432,66 @@ class Collection:
             except ConcurrentCommitError:
                 continue
         return stats
+
+    def estimate_percentiles(
+        self,
+        item: str,
+        column: str,
+        qs: Sequence[float] = (0.5, 0.9, 0.99),
+    ) -> dict:
+        """Percentile estimates from the mergeable equi-width
+        histogram :meth:`analyze_incremental` maintains for
+        ``column`` — an O(metadata) DRIVER-side read (nb counts from
+        the manifest sidecar), no scan, at any corpus size. That is
+        the whole point at 100 TB: an exact percentile is a full
+        shuffle-heavy pass; this answers from stats refreshed
+        O(changed buckets) at the last maintain().
+
+        Deterministic linear interpolation inside the containing bin;
+        worst-case absolute error is one bin width of the PINNED
+        range (plus clamping error if the data has drifted outside
+        it — check min/max in ``_column_stats`` against the pinned
+        ``mn``/``mn + nb*w`` when that matters). Returns ``{column,
+        n_values, as_of_version, estimates: {q: est}}``."""
+        man = utils.read_manifest(self._item_path(item)) or {}
+        meta = man.get("metadata") or {}
+        hist = ((meta.get("_column_stats") or {}).get("histograms")
+                or {}).get(column)
+        if not hist:
+            raise ValidationError(
+                f"no histogram stats for {item!r}.{column!r}; run "
+                f"analyze_incremental({item!r}, "
+                f"histograms=[{column!r}]) first"
+            )
+        mn, w = float(hist["mn"]), float(hist["w"])
+        counts = [int(x) for x in hist["counts"]]
+        n = sum(counts)
+        est: dict = {}
+        for q in qs:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantile {q} outside [0, 1]")
+            if n == 0:
+                est[q] = None
+                continue
+            target = q * n
+            cum = 0
+            val = mn + len(counts) * w  # q == 1.0 upper edge
+            for k, c in enumerate(counts):
+                if c and cum + c >= target:
+                    # mirror of the SQL oracle expression — keep the
+                    # operation order identical for exact replays
+                    val = mn + (k + (target - cum) / c) * w
+                    break
+                cum += c
+            est[q] = val
+        return {
+            "column": column,
+            "n_values": n,
+            "as_of_version": (meta.get("_column_stats") or {}).get(
+                "as_of_version"
+            ),
+            "estimates": est,
+        }
 
     def analyze(
         self, item: str, columns: Sequence[str] | None = None

@@ -182,10 +182,32 @@ def plan_from_stats(
     is_time: bool,
     parallelism: int = 1,
     npartitions: int | None = None,
+    freq: str | None = None,
 ) -> PartitionPlan:
     """Layout decision from already-known stats — the pure core shared
     by the Spark planner below and the driver-side Arrow write path
-    (arrow_path.py), so both engines pick identical layouts."""
+    (arrow_path.py), so both engines pick identical layouts.
+
+    ``freq`` (Y/Q/M/D) forces a time layout at that granularity
+    regardless of the row-count trigger — the explicit-layout knob for
+    callers that know their access pattern (per-bucket incremental
+    stats/rollups, pruning-heavy scans on small-but-growing items)."""
+    if freq is not None:
+        if freq not in ("Y", "Q", "M", "D"):
+            raise ValueError(f"freq must be one of Y/Q/M/D, got {freq!r}")
+        if not is_time:
+            raise ValueError(
+                "freq= forces a time layout, but the index column is "
+                "not a timestamp/date"
+            )
+        n = _floor_to_parallelism(
+            size_based_npartitions(size_bytes, nrows), nrows or 1,
+            parallelism,
+        )
+        return PartitionPlan(
+            "time", freq=freq,
+            npartitions=max(1, int(npartitions or n)),
+        )
     if npartitions is not None:
         return PartitionPlan("size", npartitions=max(1, int(npartitions)))
     if (
@@ -215,13 +237,15 @@ def plan_partitions(
     npartitions: int | None = None,
     nrows: int | None = None,
     index_minmax: tuple | None = None,
+    freq: str | None = None,
 ) -> PartitionPlan:
     """Pick the layout for a write.
 
     ``nrows``/``index_minmax`` may be passed by callers that already
-    know them (pandas input) to avoid extra Spark jobs.
+    know them (pandas input) to avoid extra Spark jobs. ``freq``
+    forces a time layout at that granularity (see plan_from_stats).
     """
-    if npartitions is not None:
+    if npartitions is not None and freq is None:
         return PartitionPlan("size", npartitions=max(1, int(npartitions)))
 
     is_time = isinstance(
@@ -250,6 +274,7 @@ def plan_partitions(
         is_time=is_time,
         parallelism=parallelism,
         npartitions=npartitions,
+        freq=freq,
     )
 
 

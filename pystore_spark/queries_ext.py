@@ -3723,6 +3723,111 @@ def matview_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "histogram_percentile_probe",
+    # Mergeable equi-width histogram stats (analyze_incremental) →
+    # O(metadata) percentile estimates (estimate_percentiles). The
+    # oracle mirrors the ESTIMATOR, not an exact percentile: edges
+    # pinned from the first batch's min/max (rows before 2000-01-01),
+    # every row binned onto those edges with end-bin clamping, then
+    # the identical linear interpolation inside the containing bin —
+    # expression-for-expression the same IEEE double arithmetic, so
+    # the hashes must match exactly. What the driver proves: the
+    # engine's per-bucket counts, merged across an append that only
+    # rescanned the touched year-buckets, equal a single-pass
+    # histogram over the whole corpus.
+    sql="""
+    WITH src AS (
+      SELECT l_shipdate, l_extendedprice AS v FROM lineitem),
+    params AS (
+      SELECT MIN(v) AS mn, (MAX(v) - MIN(v)) / 64 AS w
+      FROM src WHERE l_shipdate < TIMESTAMP '2000-01-01'),
+    binned AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((s.v - p.mn) / p.w) AS BIGINT),
+                            0), 63) AS bin
+      FROM src s, params p WHERE s.v IS NOT NULL),
+    hist AS (SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum FROM hist),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM hist),
+    qs(stat, q) AS (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)),
+    est AS (
+      SELECT qs.stat,
+             (SELECT p.mn
+                     + (c2.bin + (qs.q * tot.n - (c2.cum - c2.c))
+                                 / c2.c) * p.w
+              FROM cum c2, params p, tot
+              WHERE c2.cum >= qs.q * tot.n
+              ORDER BY c2.bin LIMIT 1) AS value
+      FROM qs)
+    SELECT stat, value FROM est
+    UNION ALL
+    SELECT 'n_values' AS stat, n AS value FROM tot
+    """,
+    tags=("storage", "stats", "percentile", "incremental"),
+)
+def histogram_percentile_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental histogram statistics through REAL storage: write
+    pre-2000 `lineitem` rows as a yearly-bucketed item (the freq="Y"
+    explicit-layout knob), pin l_extendedprice histogram edges on that
+    first ANALYZE, append the 2000+ rows, re-ANALYZE — the probe
+    asserts the second pass rescanned STRICTLY fewer buckets than the
+    first (that is the O(changed buckets) claim) — then answer
+    p50/p90/p99 from the merged counts without any further scan
+    (Collection.estimate_percentiles, driver-side metadata math)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    cut = F.lit("2000-01-01").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="ps_histo_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        store = ps.store("histo_probe_store", spark=spark)
+        col = store.collection("c")
+        col.write(
+            "li", li.filter(F.col("l_shipdate") < cut),
+            index_col="l_shipdate", freq="Y",
+        )
+        s1 = col.analyze_incremental(
+            "li", histograms=["l_extendedprice"]
+        )
+        col.append(
+            "li", li.filter(F.col("l_shipdate") >= cut),
+            duplicate_handling="keep_all",
+        )
+        s2 = col.analyze_incremental(
+            "li", histograms=["l_extendedprice"]
+        )
+        if not (0 < s2["buckets_rescanned"] < s1["buckets_rescanned"]):
+            raise AssertionError(
+                "append did not refresh incrementally: first pass "
+                f"rescanned {s1['buckets_rescanned']} buckets, second "
+                f"{s2['buckets_rescanned']}"
+            )
+        est = col.estimate_percentiles(
+            "li", "l_extendedprice", qs=(0.5, 0.9, 0.99)
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = [
+        ("p50", float(est["estimates"][0.5])),
+        ("p90", float(est["estimates"][0.9])),
+        ("p99", float(est["estimates"][0.99])),
+        ("n_values", float(est["n_values"])),
+    ]
+    return spark.createDataFrame(rows, "stat string, value double")
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -3766,6 +3871,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # demoted; its keep-last merge family stays evidenced in-window
     # by merge_into_probe's update clause + dedup_anti_join)
     "matview_refresh_probe",
+    # round-6 continuation flagship: mergeable equi-width histogram
+    # stats + O(metadata) percentile estimates (pricing_summary, 5
+    # green rounds, demoted; its scan+agg family stays evidenced
+    # in-window by revenue_by_nation + region_part_supplier)
+    "histogram_percentile_probe",
     "dedup_anti_join",
     "validation_aggregates",
     "schema_evolve_projection",
@@ -3776,7 +3886,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # interval_join_banded the range-join family — asof/top3/
     # sessionization/top_orders/time_bucket rotated out with 5 green
     # rounds each)
-    "pricing_summary", "revenue_by_nation",
+    "revenue_by_nation",
     "region_part_supplier",
     "event_seq_applyinpandas",
     "interval_join_banded",
@@ -3826,7 +3936,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # named above; ALL stay oracle-checked in-repo on every pytest.
     "scan_projection", "index_minmax", "epoch_roundtrip",
     "union_evolved_schema", "invariant_violations",
-    "upsert_keep_last",
+    "upsert_keep_last", "pricing_summary",
     "running_sum_per_user",
     "json_extract_props", "time_bucket_agg",
     "top_orders_by_revenue", "top3_events_per_user", "sessionization",

@@ -43,6 +43,7 @@ PROMOTED = {
     # Delta-style MERGE INTO, and manifest-pinned materialized views
     "bloom_point_lookup_probe", "token_bloom_contains_probe",
     "merge_into_probe", "matview_refresh_probe",
+    "histogram_percentile_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
@@ -91,6 +92,10 @@ ROTATED_OUT = {
     # update clause + dedup_anti_join; demoted (5 green rounds) for
     # the matview_refresh_probe flagship:
     "upsert_keep_last",
+    # scan+agg family covered in-window by revenue_by_nation +
+    # region_part_supplier; demoted (5 green rounds) for the
+    # histogram_percentile_probe flagship:
+    "pricing_summary",
     # trailing-window family covered by running_sum/gapfill in-window;
     # demoted for the bpe_encode_ids flagship:
     "rolling_zscore_outliers",
