@@ -3732,6 +3732,42 @@ class Collection:
             "out_dir": out_dir,
         }
 
+    def export_webdataset(
+        self,
+        source: Any,
+        out_dir: str,
+        key_col: str = "doc_id",
+        text_col: str | None = "text",
+        binary_col: str | None = None,
+        n_shards: int = 16,
+        salt: str = "",
+        overwrite: bool = False,
+    ) -> dict:
+        """Export a corpus as WebDataset-style ``.tar`` shards — the
+        hand-off multimodal training loaders stream directly. Each
+        sample becomes ``{key}.txt`` (``text_col``), ``{key}.bin``
+        (``binary_col`` — opaque bytes, e.g. image/audio payloads from
+        functions/multimodal.py), and ``{key}.json`` (every remaining
+        column, canonical JSON). Same deterministic md5 shard
+        assignment as export_jsonl / export_training_shards (the hash
+        IS the global shuffle; ``salt`` re-deals epochs), zeroed tar
+        metadata and sorted member order, so shards are BYTE-identical
+        on any cluster layout — the returned per-shard md5 is a
+        content address a trainer can pin. External write (not a store
+        item); see webdataset.py for the retry-safe commit protocol.
+
+        Returns ``{out_dir, n_shards, n_samples, shards: [{shard,
+        path, n_samples, n_bytes, md5}]}`` (one row per non-empty
+        shard)."""
+        from pystore_spark import webdataset as wd
+
+        self._require_spark_fs("webdataset export")
+        return wd.export(
+            self, source, out_dir, key_col=key_col, text_col=text_col,
+            binary_col=binary_col, n_shards=n_shards, salt=salt,
+            overwrite=overwrite,
+        )
+
     # ------------------------------------------------------------------
     # maintenance (reference: pystore/partition.py:175-216)
     # ------------------------------------------------------------------

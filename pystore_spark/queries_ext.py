@@ -3828,6 +3828,84 @@ def histogram_percentile_probe(
     return spark.createDataFrame(rows, "stat string, value double")
 
 
+@register(
+    "webdataset_export_probe",
+    # WebDataset tar export (webdataset.py): the oracle is the md5
+    # shard assignment over `documents` — the same _hash56 recipe
+    # every sampler/sharder shares — because the probe re-derives its
+    # result from the PHYSICAL tar members (names in the written
+    # archives), not from the plan that produced them: a sample
+    # landing in the wrong shard, dropped, or duplicated changes
+    # n_samples/key_sum and the hash mismatches. Byte-determinism
+    # (same corpus twice → identical shard md5s) is asserted in-probe.
+    sql="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+               AS BIGINT) % 8 AS shard
+      FROM documents)
+    SELECT shard, COUNT(*) AS n_samples,
+           CAST(SUM(doc_id) AS BIGINT) AS key_sum
+    FROM s GROUP BY shard
+    """,
+    tags=("storage", "export", "multimodal", "sampling"),
+)
+def webdataset_export_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export `documents` as WebDataset tar shards twice (text +
+    canonical-JSON metadata members, 8 shards), assert the two runs
+    are byte-identical per shard (zeroed tar metadata + md5-hash
+    global shuffle), then read the ARCHIVE MEMBER INDEX back and
+    return each shard's sample count and doc_id checksum — physical
+    proof the tars hold exactly the assigned samples. The member-name
+    walk is driver-side but touches names only (O(docs) strings,
+    probe-bounded; the sample payloads themselves stream
+    executor-side)."""
+    import shutil
+    import tarfile
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ps_wds_probe_")
+    doc = load_table(spark, sf_dir, "documents")
+    try:
+        from pystore_spark import webdataset as wd
+
+        rep1 = wd.export(
+            None, doc, f"{tmp}/a", key_col="doc_id",
+            text_col="text", n_shards=8,
+        )
+        rep2 = wd.export(
+            None, doc.repartition(13), f"{tmp}/b",
+            key_col="doc_id", text_col="text", n_shards=8,
+        )
+        sig = lambda r: [  # noqa: E731
+            (s["shard"], s["md5"]) for s in r["shards"]
+        ]
+        if sig(rep1) != sig(rep2):
+            raise AssertionError(
+                "webdataset export is layout-dependent: shard md5s "
+                "differ between two exports of the same corpus"
+            )
+        rows = []
+        for s in rep1["shards"]:
+            with tarfile.open(s["path"]) as t:
+                keys = {
+                    int(n.rsplit(".", 1)[0])
+                    for n in t.getnames()
+                    if n.endswith(".json")
+                }
+            if len(keys) != s["n_samples"]:
+                raise AssertionError(
+                    f"shard {s['shard']}: {len(keys)} member keys vs "
+                    f"reported n_samples {s['n_samples']}"
+                )
+            rows.append((int(s["shard"]), len(keys), sum(keys)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "shard bigint, n_samples bigint, key_sum bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -3887,7 +3965,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # sessionization/top_orders/time_bucket rotated out with 5 green
     # rounds each)
     "revenue_by_nation",
-    "region_part_supplier",
+    # round-6 continuation flagship: WebDataset tar shard export
+    # (region_part_supplier, 5 green rounds, demoted; the broadcast
+    # star-join family stays evidenced in-window by revenue_by_nation)
+    "webdataset_export_probe",
     "event_seq_applyinpandas",
     "interval_join_banded",
     # round-6 promotions: gap-filled LOCF calendar join
@@ -3936,7 +4017,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # named above; ALL stay oracle-checked in-repo on every pytest.
     "scan_projection", "index_minmax", "epoch_roundtrip",
     "union_evolved_schema", "invariant_violations",
-    "upsert_keep_last", "pricing_summary",
+    "upsert_keep_last", "pricing_summary", "region_part_supplier",
     "running_sum_per_user",
     "json_extract_props", "time_bucket_agg",
     "top_orders_by_revenue", "top3_events_per_user", "sessionization",

@@ -43,7 +43,7 @@ PROMOTED = {
     # Delta-style MERGE INTO, and manifest-pinned materialized views
     "bloom_point_lookup_probe", "token_bloom_contains_probe",
     "merge_into_probe", "matview_refresh_probe",
-    "histogram_percentile_probe",
+    "histogram_percentile_probe", "webdataset_export_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
@@ -96,6 +96,10 @@ ROTATED_OUT = {
     # region_part_supplier; demoted (5 green rounds) for the
     # histogram_percentile_probe flagship:
     "pricing_summary",
+    # broadcast star-join family covered in-window by
+    # revenue_by_nation; demoted (5 green rounds) for the
+    # webdataset_export_probe flagship:
+    "region_part_supplier",
     # trailing-window family covered by running_sum/gapfill in-window;
     # demoted for the bpe_encode_ids flagship:
     "rolling_zscore_outliers",
