@@ -1,0 +1,219 @@
+"""Bucketed item storage — exchange-free co-located joins.
+
+The one shuffle Spark can never optimize away on its own is the
+exchange of BOTH sides of a fact-fact join: broadcast handles small
+dims, AQE resizes partitions, but two 50 TB tables joining on a key
+still each shuffle once — usually the dominant cost of the whole job.
+Spark's native answer is **bucketed tables**: files are written
+pre-hashed into N buckets on the join key (Murmur3 — the same hash
+``repartition`` uses), the scan reports ``HashPartitioning(key, N)``,
+and a join of two tables co-bucketed on the same key and N runs with
+ZERO Exchange on either side. This module grafts that onto the
+engine's manifest MVCC:
+
+* **write**: ``Collection.write(..., bucket_by=key, n_buckets=N)``
+  stages files via Spark's bucketed writer (a transient external
+  table that is dropped immediately — only its files matter; the
+  ``repartition(N, key)`` before it yields exactly one file per
+  bucket) and commits them through the SAME staged-rename + manifest
+  CAS protocol as every other writer. The commit's ``{token}-{name}``
+  rename keeps the original file name — and with it the trailing
+  ``_NNNNN`` bucket tag Spark's scan parses bucket ids from.
+* **read**: bucket-aware scans only exist through the catalog, and a
+  catalog table scans a DIRECTORY — which under MVCC also holds
+  staged and stale-retained files. So each manifest version gets a
+  ``_bucketview/v<N>/`` of hard links to exactly its live files
+  (fs.link_or_copy — O(files) metadata ops locally), built once per
+  version by whichever reader arrives first (tmp dir + atomic rename;
+  losers reuse the winner's), and an external table is registered
+  over it. Readers of version N keep a stable view; time travel
+  (``version=`` / ``as_of=``) resolves to that version's view dir.
+* **mutation**: v1 is write/overwrite-only — append/compact/delete
+  rewrite files through the generic parquet writer and would silently
+  break the bucket invariant, so they raise with the workaround
+  (rewrite with ``overwrite=True``; keep append-heavy data on
+  time/size layouts). The evolution path is an append that stages
+  through the bucketed writer (multiple files per bucket are valid —
+  Spark just loses the sorted-scan bonus) — the commit protocol
+  already supports it.
+
+Scale: at 100 TB this is not a micro-optimization — removing both
+exchanges from a repeated fact-fact join removes the largest network
+transfer in the pipeline, and the price (one up-front bucketed write)
+is paid once for every downstream join on that key.
+tests/test_bucketed.py asserts the join plans really are
+Exchange-free; tools/colocated_scale.py measures it (BENCH_COLOCATED).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+from pathlib import Path
+from typing import TYPE_CHECKING, Any, Sequence
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+    from pystore_spark.item import Item
+
+BUCKET_SPEC_KEY = "_bucket_spec"
+VIEW_DIR = "_bucketview"
+
+
+def guard_mutation(collection, item: str, op: str) -> None:
+    """Raise when ``op`` would rewrite a bucketed item through the
+    generic (non-bucketed) writer and silently void the co-location
+    guarantee."""
+    from pystore_spark.exceptions import StorageError
+
+    meta = collection.get_item_metadata(item) or {}
+    if meta.get(BUCKET_SPEC_KEY):
+        raise StorageError(
+            f"item {item!r} is bucketed (bucket_by="
+            f"{meta[BUCKET_SPEC_KEY]['col']!r}); {op} would rewrite it "
+            "through the generic writer and break the co-location "
+            "invariant. Rewrite with write(..., bucket_by=..., "
+            "overwrite=True), or store append-heavy data on a "
+            "time/size layout."
+        )
+
+
+def write_bucketed(
+    collection,
+    item: str,
+    data: Any,
+    bucket_by: str,
+    n_buckets: int,
+    metadata: dict | None,
+    overwrite: bool,
+    index_col: str | None,
+    epochdate: bool,
+    sidecar_extra: dict | None,
+    compression: str | None,
+) -> None:
+    """Stage files via Spark's bucketed writer, commit via the shared
+    staged-rename + manifest CAS protocol (Collection._atomic_install).
+    """
+    from pystore_spark.exceptions import ItemExistsError, ValidationError
+
+    collection._require_spark_fs(f"bucketed write of item {item!r}")
+    item_path = collection._item_path(item)
+    if collection.fs.exists(item_path) and not overwrite:
+        raise ItemExistsError(
+            f"item {item!r} already exists; use overwrite=True to replace"
+        )
+    if n_buckets < 1:
+        raise ValidationError(f"n_buckets must be >= 1, got {n_buckets}")
+    df, pmeta, _nrows, _mm = collection._prepare_input(
+        data, epochdate=epochdate, index_col=index_col
+    )
+    if bucket_by not in df.columns:
+        raise ValidationError(
+            f"bucket_by column {bucket_by!r} not in frame"
+        )
+    spark = collection.spark
+    codec = compression or "snappy"
+
+    def write_fn(tmp: Path) -> None:
+        stage_tbl = f"ps_bkt_stage_{uuid.uuid4().hex[:12]}"
+        (
+            df.repartition(n_buckets, bucket_by)
+            .write.format("parquet")
+            .option("path", str(tmp))
+            .option("compression", codec)
+            .bucketBy(n_buckets, bucket_by)
+            .sortBy(bucket_by)
+            .mode("overwrite")
+            .saveAsTable(stage_tbl)
+        )
+        # external table (explicit path): DROP discards only the
+        # catalog entry, the staged files remain for the commit
+        spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
+
+    from pystore_spark.pandas_compat import META_KEY
+
+    sidecar = {**(metadata or {}), **(sidecar_extra or {})}
+    sidecar[META_KEY] = pmeta
+    sidecar[BUCKET_SPEC_KEY] = {
+        "col": bucket_by,
+        "n": int(n_buckets),
+        "sorted": [bucket_by],
+    }
+    # a conventional plan dict keeps every generic reader code path
+    # (pruning, size estimates) on known ground
+    sidecar["_partition_plan"] = {
+        "strategy": "size",
+        "freq": None,
+        "npartitions": int(n_buckets),
+    }
+    if compression:
+        sidecar["_partition_plan"]["compression"] = compression
+    collection._atomic_install(
+        item, write_fn, sidecar, must_not_exist=not overwrite
+    )
+    collection.clear_metadata_cache(item)
+
+
+def _ensure_view_dir(it: "Item") -> Path:
+    """Materialize (once per manifest version) the hard-linked view of
+    exactly this version's live files — the directory a catalog table
+    can safely scan under MVCC."""
+    from pystore_spark import manifest as mf
+
+    man = it._manifest or {}
+    version = int(man.get("version", 0))
+    base = mf.base_dir(it._path, man)
+    view = Path(it._path) / VIEW_DIR / f"v{version}"
+    if it._fs.exists(view):
+        return view
+    tmp = Path(it._path) / VIEW_DIR / f".tmp-{uuid.uuid4().hex[:8]}"
+    for rel in man.get("files") or []:
+        # flat layout: keep only the file NAME (the bucket tag lives
+        # there); bucketed items never have _pb dirs
+        it._fs.link_or_copy(base / rel, tmp / Path(rel).name)
+    try:
+        import os
+
+        os.rename(tmp, view)  # atomic publish; loser cleans up below
+    except OSError:
+        from pystore_spark import utils
+
+        utils.rm_tree(tmp)  # a concurrent reader won the race
+    return view
+
+
+def bucketed_frame(it: "Item") -> "DataFrame":
+    """The bucket-aware scan: register (idempotently) an external
+    table over this version's view dir and return it. The table name
+    keys on (item path, version), so overwrites/new versions get a
+    fresh relation and time-travel handles resolve their own."""
+    spec = it.metadata[BUCKET_SPEC_KEY]
+    view = _ensure_view_dir(it)
+    digest = hashlib.md5(
+        str(Path(it._path).resolve()).encode()
+    ).hexdigest()[:12]
+    tbl = f"ps_bkt_{digest}_v{int((it._manifest or {}).get('version', 0))}"
+    spark = it.spark
+    if not spark.catalog.tableExists(tbl):
+        schema = spark.read.parquet(str(view)).schema
+        cols_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in schema.fields
+        )
+        sort_ddl = ", ".join(f"`{c}`" for c in spec.get("sorted") or [])
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{tbl}` ({cols_ddl}) "
+            f"USING parquet "
+            f"CLUSTERED BY (`{spec['col']}`) "
+            + (f"SORTED BY ({sort_ddl}) " if sort_ddl else "")
+            + f"INTO {int(spec['n'])} BUCKETS "
+            f"LOCATION '{view}'"
+        )
+    return spark.table(f"`{tbl}`")
+
+
+# superseded view dirs are garbage-collected by manifest.gc_item on
+# the same retention clock as stale data files (see that sweep); the
+# hard links mean a lingering view never pins real data bytes beyond
+# the manifest's own stale retention.

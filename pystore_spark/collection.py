@@ -392,6 +392,8 @@ class Collection:
         bloom: Sequence[str] | None = None,
         compression: str | None = None,
         freq: str | None = None,
+        bucket_by: str | None = None,
+        n_buckets: int = 32,
         **kwargs: Any,
     ) -> None:
         item_path = self._item_path(item)
@@ -409,6 +411,28 @@ class Collection:
                     f"compression must be one of {sorted(allowed)}, "
                     f"got {compression!r}"
                 )
+        if bucket_by is not None:
+            # bucketed layout: files pre-hashed on the join key so
+            # co-bucketed items join with zero Exchange (bucketed.py)
+            from pystore_spark import bucketed as bk
+
+            if zonemap or bloom or freq:
+                raise ValidationError(
+                    "bucket_by is mutually exclusive with "
+                    "zonemap/bloom/freq — a bucketed item's layout is "
+                    "the bucket hash"
+                )
+            if validator is not None and isinstance(data, pd.DataFrame):
+                validator.validate(data, raise_on_error=True)
+            bk.write_bucketed(
+                self, item, data, bucket_by, n_buckets, metadata,
+                overwrite, index_col, epochdate, sidecar_extra,
+                compression,
+            )
+            if reload_items:
+                self._items_cache = None
+            return
+
         if validator is not None and isinstance(data, pd.DataFrame):
             validator.validate(data, raise_on_error=True)
 
@@ -787,6 +811,9 @@ class Collection:
                 f"duplicate_handling must be one of {STRATEGIES}, "
                 f"got {duplicate_handling!r}"
             )
+        from pystore_spark import bucketed as bk
+
+        bk.guard_mutation(self, item, "append")
         if "dedup_index" in kwargs:
             # sugar: append(item, df, dedup_index="idx") == append_dedup
             didx = kwargs.pop("dedup_index")
@@ -1235,6 +1262,9 @@ class Collection:
         calling :meth:`repair_index` yourself). Rollups still refresh
         separately. Returns ``{n_deleted, buckets_rewritten,
         buckets_dropped[, index_repairs]}``."""
+        from pystore_spark import bucketed as _bk
+
+        _bk.guard_mutation(self, item, "delete_where")
         from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.filters import filters_to_column
 
@@ -1448,6 +1478,9 @@ class Collection:
         index covering this item after BOTH phases (including pure
         metadata bucket drops, which stale indexes just the same) —
         see :meth:`delete_where`."""
+        from pystore_spark import bucketed as _bk
+
+        _bk.guard_mutation(self, item, "delete_range")
         from pystore_spark import manifest as mf
         from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.partition import bucket_value
@@ -1646,6 +1679,9 @@ class Collection:
         Returns ``{"n_updated", "n_deleted", "n_inserted",
         "n_unchanged_matched"}``.
         """
+        from pystore_spark import bucketed as _bk
+
+        _bk.guard_mutation(self, item, "merge_into")
         from pystore_spark import manifest as mf
         from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.partition import bucket_expr
@@ -3871,12 +3907,18 @@ class Collection:
                 except Exception as exc:
                     res["gc_error"] = str(exc)
             if compact:
-                try:
-                    res["compact"] = self.compact(
-                        n, target_size_mb=target_size_mb
-                    )
-                except Exception as exc:
-                    res["compact_error"] = str(exc)
+                if (self.get_item_metadata(n) or {}).get("_bucket_spec"):
+                    # bucketed items are already one file per bucket
+                    # by construction; the generic compactor would
+                    # break the bucket invariant (bucketed.py)
+                    res["compact"] = {"skipped": "bucketed layout"}
+                else:
+                    try:
+                        res["compact"] = self.compact(
+                            n, target_size_mb=target_size_mb
+                        )
+                    except Exception as exc:
+                        res["compact_error"] = str(exc)
             if gc or compact:
                 # fold bloom sidecars AFTER gc+compact: merge the
                 # per-commit parquets and drop rows for files that
@@ -3945,6 +3987,9 @@ class Collection:
         files/row-groups — a linear sort only prunes its leading
         column (partition.zorder_value). The extra cost is one stats
         job + the same single shuffle the rebalance pays anyway."""
+        from pystore_spark import bucketed as _bk
+
+        _bk.guard_mutation(self, item, "rebalance_partitions")
         it = self.item(item)
         df = it.data
         sidecar = dict(it.metadata)
@@ -4029,6 +4074,9 @@ class Collection:
         Non-time items have one flat bucket, so selective rewrite
         degenerates to the whole-item rebalance and is delegated
         there."""
+        from pystore_spark import bucketed as _bk
+
+        _bk.guard_mutation(self, item, "compact")
         import math
 
         from pystore_spark import manifest as mf

@@ -305,6 +305,23 @@ class Item:
     def _load(self) -> DataFrame:
         self._require_spark_fs()
         filters = self._resolved_filters()
+        if self.metadata.get("_bucket_spec"):
+            # bucketed item: the scan must come from the catalog table
+            # (bucketed.py) or Spark drops the HashPartitioning that
+            # makes co-located joins exchange-free; filters/projection
+            # still push down through the relation like any scan
+            from pystore_spark import bucketed as bk
+
+            df = bk.bucketed_frame(self)
+            cond = filters_to_column(filters)
+            if cond is not None:
+                df = df.filter(cond)
+            if self._columns is not None:
+                keep = [
+                    c for c in self._index_cols if c not in self._columns
+                ]
+                df = df.select(*keep, *self._columns)
+            return df
         if self._manifest is not None:
             from pystore_spark import manifest as mf
 

@@ -415,6 +415,11 @@ def gc_item(
             # bloom sidecars (bloom.py) are not data files and are
             # never named by a manifest; maintain() folds dead rows
             continue
+        if rel.startswith("_bucketview/"):
+            # hard-linked per-version catalog views of a BUCKETED item
+            # (bucketed.py) — live readers scan these; superseded
+            # version dirs are dropped below, not by the orphan sweep
+            continue
         try:
             if now - fs.mtime(f) >= orphan_grace:
                 fs.delete(f, missing_ok=True)
@@ -445,6 +450,25 @@ def gc_item(
                 fs.delete(f, missing_ok=True)
             except OSError:
                 continue
+    # bucketed catalog views: a version dir older than the live
+    # version is only read by manifests that old — drop it on the same
+    # clock as stale data files (readers of the current version keep
+    # theirs; a historical read re-materializes its view on demand as
+    # long as the version's files survive above)
+    bview = item_path / "_bucketview"
+    if fs.exists(bview):
+        for child in sorted(Path(bview).iterdir()):
+            name = child.name
+            if name == f"v{cur}":
+                continue
+            is_tmp = name.startswith(".tmp-")
+            try:
+                age = now - fs.mtime(child)
+            except OSError:
+                continue
+            if age >= (orphan_grace if is_tmp else retention):
+                utils.rm_tree(child)
+                removed += 1
     if removed:
         fs.prune_empty_dirs(item_path)
     return removed

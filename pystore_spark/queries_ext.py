@@ -3906,6 +3906,102 @@ def webdataset_export_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "colocated_join_probe",
+    # Bucketed co-located join (bucketed.py): both fact tables stored
+    # pre-hashed on the join key, so the join plan carries ZERO
+    # Exchange — asserted in-probe on the executed plan (broadcast
+    # disabled for the check; a broadcast would also hide a shuffle).
+    # The oracle is the storage-blind join+aggregate: co-location must
+    # change the PLAN, never a value. Decimal-exact revenue both
+    # sides (the merge_into_probe discipline).
+    sql="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("storage", "join", "bucketed", "plan"),
+)
+def colocated_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact-fact join through REAL storage: write
+    `orders` and `lineitem` as items co-bucketed on the order key
+    (write(bucket_by=...) → Spark bucketed files committed under the
+    manifest CAS; reads come back catalog-registered so the scan
+    reports HashPartitioning), join them, and FAIL if the executed
+    join plan contains any Exchange — the shuffle-elimination claim is
+    asserted, not narrated. Returns revenue per order status from the
+    co-located join. At 100 TB this is the difference between
+    shuffling both fact tables on every join and never shuffling
+    either."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice", "l_discount",
+    )
+    tmp = tempfile.mkdtemp(prefix="ps_bkt_probe_")
+    old_path = cfg._path
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        cfg.set_path(tmp)
+        store = ps.store("bkt_probe_store", spark=spark)
+        col = store.collection("c")
+        col.write(
+            "orders_b", orders, bucket_by="o_orderkey", n_buckets=8,
+            index_col="o_orderkey",
+        )
+        col.write(
+            "li_b", li, bucket_by="o_orderkey", n_buckets=8,
+            index_col="o_orderkey",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = col.item("orders_b").data.join(
+            col.item("li_b").data, "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "co-bucketed join plan contains an Exchange — the "
+                "bucketed scan lost its HashPartitioning:\n" + plan
+            )
+        out = (
+            joined.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount"))
+                    ).cast("decimal(20,6)")
+                ).cast("double").alias("revenue"),
+            )
+            .collect()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", old_bcast
+        )
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["o_orderstatus"], int(r["n_lines"]), float(r["revenue"]))
+            for r in out
+        ],
+        "o_orderstatus string, n_lines bigint, revenue double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -3969,6 +4065,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # (region_part_supplier, 5 green rounds, demoted; the broadcast
     # star-join family stays evidenced in-window by revenue_by_nation)
     "webdataset_export_probe",
+    # round-6 continuation flagship: bucketed co-located fact-fact
+    # join, Exchange-freeness asserted on the executed plan
+    # (benchmark_contamination, 3 green rounds, demoted; the
+    # contamination family stays evidenced in-window by
+    # token_bloom_contains_probe's marker/phrase probes)
+    "colocated_join_probe",
     "event_seq_applyinpandas",
     "interval_join_banded",
     # round-6 promotions: gap-filled LOCF calendar join
@@ -4006,7 +4108,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # out, their families covered by the promoted samplers and
     # schema_evolve_projection)
     "ohlc_resample",
-    "benchmark_contamination",
     "weighted_sample_topk", "mixture_plan",
     "pack_sequences", "shard_manifest",
     "corpus_drift_psi", "approx_distinct_audit", "corpus_mix_report",
@@ -4018,6 +4119,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "scan_projection", "index_minmax", "epoch_roundtrip",
     "union_evolved_schema", "invariant_violations",
     "upsert_keep_last", "pricing_summary", "region_part_supplier",
+    "benchmark_contamination",
     "running_sum_per_user",
     "json_extract_props", "time_bucket_agg",
     "top_orders_by_revenue", "top3_events_per_user", "sessionization",

@@ -1,0 +1,159 @@
+"""Bucketed item storage and exchange-free co-located joins
+(pystore_spark/bucketed.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pystore_spark.exceptions import StorageError, ValidationError
+
+
+def _orders(n=300, start=0):
+    return pd.DataFrame(
+        {
+            "k": range(start, start + n),
+            "cust": [i % 17 for i in range(start, start + n)],
+            "price": [float(i) * 1.5 for i in range(start, start + n)],
+        }
+    )
+
+
+def _lines(n=900, start=0):
+    return pd.DataFrame(
+        {
+            "k": [(start + i) // 3 for i in range(n)],
+            "qty": [float(i % 50) for i in range(n)],
+        }
+    )
+
+
+def _n_exchanges(df):
+    return df._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange"
+    )
+
+
+@pytest.fixture()
+def col(test_collection):
+    test_collection.write(
+        "orders_b", _orders(), bucket_by="k", n_buckets=4, index_col="k"
+    )
+    test_collection.write(
+        "lines_b", _lines(), bucket_by="k", n_buckets=4, index_col="k"
+    )
+    return test_collection
+
+
+def test_roundtrip_values(col):
+    got = (
+        col.item("orders_b").data.toPandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    exp = _orders().astype({"k": "int64"})
+    pd.testing.assert_frame_equal(got[["k", "cust", "price"]], exp)
+
+
+def test_colocated_join_is_exchange_free(col, spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = col.item("orders_b").data
+        b = col.item("lines_b").data
+        j = a.join(b, "k")
+        assert _n_exchanges(j) == 0
+        assert j.count() == 900
+        # the same join over plain (non-bucketed) items shuffles both
+        col.write("orders_p", _orders(), index_col="k")
+        col.write("lines_p", _lines(), index_col="k")
+        pj = col.item("orders_p").data.join(
+            col.item("lines_p").data, "k"
+        )
+        assert _n_exchanges(pj) >= 2
+        assert pj.count() == 900
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_filters_and_projection_push_into_bucketed_scan(col):
+    h = col.item("orders_b", filters=[[("cust", "==", 3)]],
+                 columns=["cust", "price"])
+    out = h.data.toPandas()
+    assert set(out["cust"]) == {3}
+    assert set(out.columns) == {"k", "cust", "price"}
+
+
+def test_mutations_rejected(col):
+    with pytest.raises(StorageError, match="bucketed"):
+        col.append("orders_b", _orders(10, start=1000))
+    with pytest.raises(StorageError, match="bucketed"):
+        col.delete_where("orders_b", [[("cust", "==", 1)]])
+    with pytest.raises(StorageError, match="bucketed"):
+        col.delete_range("orders_b", before=10)
+    with pytest.raises(StorageError, match="bucketed"):
+        col.merge_into(
+            "orders_b", col.item("orders_b").data, on="k"
+        )
+    with pytest.raises(StorageError, match="bucketed"):
+        col.compact("orders_b")
+    with pytest.raises(StorageError, match="bucketed"):
+        col.rebalance_partitions("orders_b")
+
+
+def test_incompatible_write_options_rejected(test_collection):
+    with pytest.raises(ValidationError, match="mutually exclusive"):
+        test_collection.write(
+            "x", _orders(), bucket_by="k", zonemap=["price"],
+            index_col="k",
+        )
+
+
+def test_overwrite_and_time_travel(col):
+    col.write(
+        "orders_b", _orders(100, start=5000), bucket_by="k",
+        n_buckets=4, index_col="k", overwrite=True,
+    )
+    assert col.item("orders_b").data.count() == 100
+    old = col.item("orders_b", version=1)
+    assert old.data.count() == 300
+    assert old.data.toPandas()["k"].min() == 0
+
+
+def test_gc_drops_superseded_views(col):
+    import os
+
+    col.write(
+        "orders_b", _orders(50), bucket_by="k", n_buckets=4,
+        index_col="k", overwrite=True,
+    )
+    view_root = os.path.join(col.item("orders_b").path, "_bucketview")
+    col.item("orders_b").data.count()  # materialize current view
+    assert os.path.isdir(view_root)
+    col.vacuum("orders_b", retention=0)  # may itself bump the version
+    assert col.item("orders_b").data.count() == 50  # re-materializes
+    col.vacuum("orders_b", retention=0)
+    kept = os.listdir(view_root)
+    assert kept == [f"v{col.item('orders_b').version}"]
+    assert col.item("orders_b").data.count() == 50
+
+
+def test_maintain_skips_compact(col):
+    out = col.maintain("orders_b")
+    assert out["orders_b"]["compact"] == {"skipped": "bucketed layout"}
+
+
+def test_sql_over_bucketed_items(col, spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = col.sql(
+            "SELECT o.cust, count(*) AS n, sum(l.qty) AS q "
+            "FROM orders_b o JOIN lines_b l ON o.k = l.k "
+            "GROUP BY o.cust"
+        )
+        assert df.count() == 17
+        # the join stage itself is exchange-free; only the final
+        # groupBy aggregation shuffles
+        assert _n_exchanges(df) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -44,12 +44,13 @@ PROMOTED = {
     "bloom_point_lookup_probe", "token_bloom_contains_probe",
     "merge_into_probe", "matview_refresh_probe",
     "histogram_percentile_probe", "webdataset_export_probe",
+    "colocated_join_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
 RETAINED = {
     "tfidf_top_terms", "near_dedup_kept_docs",
-    "event_seq_applyinpandas", "benchmark_contamination",
+    "event_seq_applyinpandas",
     "incremental_dedup_probe", "near_dedup_recall_audit",
     "vocab_topk", "doc_length_histogram", "ohlc_resample",
     "line_dedup_stats", "quality_classifier_scores",
@@ -100,6 +101,10 @@ ROTATED_OUT = {
     # revenue_by_nation; demoted (5 green rounds) for the
     # webdataset_export_probe flagship:
     "region_part_supplier",
+    # contamination family covered in-window by
+    # token_bloom_contains_probe's marker/phrase probes; demoted
+    # (3 green rounds) for the colocated_join_probe flagship:
+    "benchmark_contamination",
     # trailing-window family covered by running_sum/gapfill in-window;
     # demoted for the bpe_encode_ids flagship:
     "rolling_zscore_outliers",
