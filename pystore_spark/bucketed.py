@@ -28,14 +28,15 @@ engine's manifest MVCC:
   losers reuse the winner's), and an external table is registered
   over it. Readers of version N keep a stable view; time travel
   (``version=`` / ``as_of=``) resolves to that version's view dir.
-* **mutation**: v1 is write/overwrite-only — append/compact/delete
-  rewrite files through the generic parquet writer and would silently
-  break the bucket invariant, so they raise with the workaround
-  (rewrite with ``overwrite=True``; keep append-heavy data on
-  time/size layouts). The evolution path is an append that stages
-  through the bucketed writer (multiple files per bucket are valid —
-  Spark just loses the sorted-scan bonus) — the commit protocol
-  already supports it.
+* **mutation**: ``append(duplicate_handling="keep_all")`` stages
+  through the bucketed writer and commits as a pure file ADDITION
+  (``scope="add"`` — several files per bucket are a valid layout;
+  Spark just stops assuming per-bucket sortedness). Everything that
+  would rewrite existing rows through the generic parquet writer —
+  key-merging appends, compact, delete, merge_into, rebalance —
+  raises with the workaround (rewrite with ``bucket_by=...,
+  overwrite=True``), because a generic rewrite would silently void
+  the co-location invariant.
 
 Scale: at 100 TB this is not a micro-optimization — removing both
 exchanges from a repeated fact-fact join removes the largest network
@@ -211,6 +212,87 @@ def bucketed_frame(it: "Item") -> "DataFrame":
             f"LOCATION '{view}'"
         )
     return spark.table(f"`{tbl}`")
+
+
+def append_bucketed(
+    collection,
+    item: str,
+    data: Any,
+    duplicate_handling: str,
+    epochdate: bool,
+    sidecar_extra: dict | None,
+) -> None:
+    """Append to a bucketed item: stage the incoming rows through the
+    SAME bucketed writer (same key, same N — each new file carries its
+    bucket tag; several files per bucket are a valid bucketed layout,
+    Spark merely stops assuming per-bucket sortedness) and commit as a
+    pure file ADDITION (``scope="add"`` — nothing replaced, nothing
+    staled). Only ``duplicate_handling="keep_all"`` is supported:
+    key-merging strategies rewrite existing rows, which for a bucketed
+    item means a bucketed rewrite — do it explicitly with
+    ``write(..., bucket_by=..., overwrite=True)``. The incoming schema
+    must match the stored one exactly (name+type): the catalog view's
+    DDL is fixed per version, so silent widening would surface as
+    read-time corruption instead of a write-time error."""
+    from pystore_spark.exceptions import StorageError, ValidationError
+
+    collection._require_spark_fs(f"bucketed append to item {item!r}")
+    meta = collection.get_item_metadata(item) or {}
+    spec = meta[BUCKET_SPEC_KEY]
+    if duplicate_handling != "keep_all":
+        raise StorageError(
+            f"bucketed item {item!r} supports append only with "
+            "duplicate_handling='keep_all' (pure file addition); "
+            f"{duplicate_handling!r} would rewrite existing rows — "
+            "rewrite with write(..., bucket_by=..., overwrite=True)"
+        )
+    it = collection.item(item)
+    df, _pmeta, _n, _mm = collection._prepare_input(
+        data, epochdate=epochdate,
+        # pandas input: re-point the index at the STORED index column
+        # so a RangeIndex doesn't materialize as a spurious column
+        index_col=it.index_column,
+    )
+    stored = it.data
+    want = [(f.name, f.dataType.simpleString()) for f in stored.schema]
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema]
+    if sorted(want) != sorted(got):
+        raise ValidationError(
+            f"bucketed append schema mismatch for {item!r}: stored "
+            f"{want} vs incoming {got} — bucketed items take no "
+            "schema evolution (the catalog view DDL is fixed)"
+        )
+    col_, n = spec["col"], int(spec["n"])
+    spark = collection.spark
+
+    def write_fn(tmp: Path) -> None:
+        stage_tbl = f"ps_bkt_stage_{uuid.uuid4().hex[:12]}"
+        (
+            df.select(*[f.name for f in stored.schema])
+            .repartition(n, col_)
+            .write.format("parquet")
+            .option("path", str(tmp))
+            .option(
+                "compression",
+                (meta.get("_partition_plan") or {}).get("compression")
+                or "snappy",
+            )
+            .bucketBy(n, col_)
+            .sortBy(col_)
+            .mode("overwrite")
+            .saveAsTable(stage_tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
+
+    # sidecar=None → metadata-preserving commit (re-read at the commit
+    # point), so _bucket_spec and concurrent sidecar updates survive
+    sidecar = None
+    if sidecar_extra:
+        sidecar = {**meta, **sidecar_extra}
+    collection._commit_staged(
+        item, write_fn, sidecar, scope="add"
+    )
+    collection.clear_metadata_cache(item)
 
 
 # superseded view dirs are garbage-collected by manifest.gc_item on

@@ -693,6 +693,12 @@ class Collection:
                     for f in old_files
                     if PurePosixPath(f).parent.as_posix() not in touched
                 ]
+            elif scope == "add":
+                # pure file ADDITION: nothing replaced, nothing goes
+                # stale — the bucketed append (each staged file carries
+                # its own bucket tag; multiple files per bucket are a
+                # valid bucketed layout)
+                replaced, kept = [], old_files
             else:
                 replaced, kept = old_files, []
             now = time.time()
@@ -811,9 +817,20 @@ class Collection:
                 f"duplicate_handling must be one of {STRATEGIES}, "
                 f"got {duplicate_handling!r}"
             )
-        from pystore_spark import bucketed as bk
+        if (self.get_item_metadata(item) or {}).get("_bucket_spec"):
+            # bucketed items append through the bucketed writer (pure
+            # file addition under the same bucket hash — scope="add"
+            # commit); key-merging strategies would need a rewrite and
+            # raise there
+            from pystore_spark import bucketed as bk
 
-        bk.guard_mutation(self, item, "append")
+            bk.append_bucketed(
+                self, item, data, duplicate_handling, epochdate,
+                sidecar_extra,
+            )
+            if reload_items:
+                self._items_cache = None
+            return
         if "dedup_index" in kwargs:
             # sugar: append(item, df, dedup_index="idx") == append_dedup
             didx = kwargs.pop("dedup_index")

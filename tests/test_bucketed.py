@@ -83,9 +83,46 @@ def test_filters_and_projection_push_into_bucketed_scan(col):
     assert set(out.columns) == {"k", "cust", "price"}
 
 
+def test_append_keep_all_adds_files(col, spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        col.append(
+            "orders_b", _orders(60, start=1000),
+            duplicate_handling="keep_all",
+        )
+        got = col.item("orders_b").data
+        assert got.count() == 360
+        assert got.toPandas()["k"].max() == 1059
+        # still exchange-free after the append (several files per
+        # bucket stay a valid bucketed layout)
+        j = got.join(col.item("lines_b").data, "k")
+        assert _n_exchanges(j) == 0
+        # nothing replaced: a pure addition leaves v1 fully readable
+        assert col.item("orders_b", version=1).data.count() == 300
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_append_merging_strategies_rejected(col):
+    with pytest.raises(StorageError, match="keep_all"):
+        col.append("orders_b", _orders(10, start=1000))  # keep_last
+    with pytest.raises(StorageError, match="keep_all"):
+        col.append(
+            "orders_b", _orders(10, start=1000),
+            duplicate_handling="keep_first",
+        )
+
+
+def test_append_schema_drift_rejected(col):
+    drifted = _orders(10, start=1000).rename(columns={"price": "px"})
+    with pytest.raises(ValidationError, match="schema mismatch"):
+        col.append(
+            "orders_b", drifted, duplicate_handling="keep_all"
+        )
+
+
 def test_mutations_rejected(col):
-    with pytest.raises(StorageError, match="bucketed"):
-        col.append("orders_b", _orders(10, start=1000))
     with pytest.raises(StorageError, match="bucketed"):
         col.delete_where("orders_b", [[("cust", "==", 1)]])
     with pytest.raises(StorageError, match="bucketed"):
