@@ -2569,6 +2569,7 @@ class Collection:
         depends_on: Sequence[str] | None = None,
         overwrite: bool = False,
         index_col: str | None = None,
+        incremental: dict | None = None,
         **write_kwargs: Any,
     ) -> None:
         """Materialize a :meth:`sql` query as item ``name``, pinning
@@ -2581,15 +2582,25 @@ class Collection:
         explicitly for anything subtle, e.g. names built dynamically).
         The SQL itself is persisted, so refresh needs no arguments.
 
+        ``incremental={"keys": [...], "merge": {col: "sum"|"min"|
+        "max"}}`` declares the view an algebraic aggregate (keys +
+        merge must cover the output columns exactly; COUNT merges as
+        "sum"): when the single dependency only GREW since the pin,
+        :meth:`refresh_matview` aggregates the DELTA FILES ONLY and
+        folds them into the stored view — O(new data), the incremental
+        view maintenance an append-only fact table wants at 100 TB.
+        Non-append changes (compaction, deletes) or non-algebraic
+        aggregates fall back to the full rebuild automatically.
+
         Use :meth:`create_rollup` instead when the query is a
         time-bucket aggregate — its refresh is O(changed buckets); a
-        matview refresh re-runs the whole query (the honest cost of
-        arbitrary SQL)."""
+        generic matview refresh re-runs the whole query (the honest
+        cost of arbitrary SQL)."""
         from pystore_spark import matview as mv
 
         mv.build_and_write(
             self, name, query, depends_on, overwrite, index_col,
-            **write_kwargs,
+            incremental=incremental, **write_kwargs,
         )
 
     def matview_status(self, name: str) -> dict:
@@ -2636,9 +2647,16 @@ class Collection:
             )
         if not rep["stale"] and not force:
             return {"mode": "fresh", "stale": []}
+        if not force:
+            got = mv.try_incremental_refresh(
+                self, name, spec, rep["stale"]
+            )
+            if got is not None:
+                return got
         mv.build_and_write(
             self, name, spec["query"], spec["depends_on"],
             True, spec.get("index_col"),
+            incremental=spec.get("incremental"),
         )
         return {"mode": "rebuilt", "stale": rep["stale"]}
 

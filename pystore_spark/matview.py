@@ -94,6 +94,9 @@ def stale_dependencies(collection: "Collection", spec: dict) -> dict:
     return {"stale": stale, "missing": missing, "unpinned": unpinned}
 
 
+_MERGE_FNS = ("sum", "min", "max")
+
+
 def build_and_write(
     collection: "Collection",
     name: str,
@@ -101,6 +104,7 @@ def build_and_write(
     depends_on: Sequence[str] | None,
     overwrite: bool,
     index_col: str | None,
+    incremental: dict | None = None,
     **write_kwargs,
 ) -> dict:
     """Capture the pin, run the SQL, write the item with the spec
@@ -123,11 +127,32 @@ def build_and_write(
         )
     pin = dep_state(collection, deps)  # BEFORE the scan — see module doc
     df = collection.sql(query, items=deps)
+    if incremental is not None:
+        keys = list(incremental.get("keys") or [])
+        merge = dict(incremental.get("merge") or {})
+        bad = [f for f in merge.values() if f not in _MERGE_FNS]
+        if bad:
+            raise ValidationError(
+                f"incremental merge functions must be one of "
+                f"{_MERGE_FNS}, got {bad} (COUNT merges as 'sum'; "
+                "non-algebraic aggregates — count distinct, medians — "
+                "cannot be merged and must stay full-rebuild)"
+            )
+        declared = set(keys) | set(merge)
+        missing = declared - set(df.columns)
+        if missing or set(df.columns) - declared:
+            raise ValidationError(
+                "incremental spec must cover the query output exactly: "
+                f"keys+merge={sorted(declared)} vs output columns "
+                f"{sorted(df.columns)}"
+            )
+        incremental = {"keys": keys, "merge": merge}
     spec = {
         "query": query,
         "depends_on": deps,
         "dep_files": pin,
         "index_col": index_col,
+        "incremental": incremental,
     }
     collection.write(
         name,
@@ -138,3 +163,78 @@ def build_and_write(
         **write_kwargs,
     )
     return spec
+
+
+def try_incremental_refresh(
+    collection: "Collection", name: str, spec: dict, stale: list
+) -> dict | None:
+    """Incremental view maintenance for algebraic aggregates: when the
+    matview declared ``incremental={"keys": [...], "merge": {col:
+    sum|min|max}}``, has exactly ONE dependency, and that dependency
+    only GREW (pinned files ⊆ current files — pure appends, the
+    append-only fact-table case), refresh by running the persisted SQL
+    over the DELTA FILES ONLY and folding the partial aggregate into
+    the stored view with the declared merge functions — O(new data) +
+    O(view), never O(dependency). Anything else (compaction, deletes,
+    multi-dep, time travel in the SQL) returns None and the caller
+    does the honest full rebuild.
+
+    The fold casts every merged column back to the stored view's
+    exact type, so decimal sums don't creep up the precision ladder
+    (sum(decimal(30,6)) → decimal(38,6)) and the schema stays stable
+    across any number of refreshes."""
+    from pyspark.sql import functions as F
+
+    inc = spec.get("incremental")
+    deps = spec.get("depends_on") or []
+    if not inc or len(deps) != 1 or len(stale) != 1:
+        return None
+    if " AS OF " in spec["query"].upper():
+        return None  # time-travel reads pin their own file lists
+    dep = deps[0]
+    it = collection.item(dep)
+    cur_files = sorted((it._manifest or {}).get("files") or [])
+    pinned = list(spec["dep_files"].get(dep) or [])
+    if not pinned or not set(pinned) <= set(cur_files):
+        return None  # shrank or rewrote: delta is not expressible
+    delta = [f for f in cur_files if f not in set(pinned)]
+    if not delta:
+        return None
+    from pystore_spark import manifest as mf
+    from pystore_spark.partition import PARTITION_COL
+
+    base = mf.base_dir(it._path, it._manifest)
+    ddf = collection.spark.read.option("basePath", str(base)).parquet(
+        *[str(base / f) for f in delta]
+    )
+    if PARTITION_COL in ddf.columns:
+        ddf = ddf.drop(PARTITION_COL)
+    view = collection.sql_view_names([dep])[dep]
+    ddf.createOrReplaceTempView(view)
+    part = collection.spark.sql(spec["query"])
+    old = collection.item(name).data
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    keys = inc["keys"]
+    aggs = [
+        getattr(F, fn)(c).cast(old_types[c]).alias(c)
+        for c, fn in inc["merge"].items()
+    ]
+    merged = (
+        old.unionByName(part.select(*old.columns))
+        .groupBy(*keys)
+        .agg(*aggs)
+        .select(*old.columns)
+    )
+    new_spec = {**spec, "dep_files": {dep: cur_files}}
+    collection.write(
+        name,
+        merged,
+        overwrite=True,
+        index_col=spec.get("index_col"),
+        sidecar_extra={MATVIEW_META_KEY: new_spec},
+    )
+    return {
+        "mode": "incremental",
+        "stale": stale,
+        "delta_files": len(delta),
+    }

@@ -3630,34 +3630,36 @@ QUERIES["quality_classifier_scores"] = QUERIES[
 @register(
     "matview_refresh_probe",
     # Materialized-view lifecycle through REAL storage (matview.py):
-    # the pinned manifest state must flip to stale on append and a
-    # refresh must re-true the view against the FULL corpus — so the
-    # oracle is simply the view's aggregate over all of `events`,
-    # storage- and lifecycle-blind. In-probe cross-checks (fresh
-    # before, stale-on-append, cached bytes unchanged until refresh)
-    # raise on drift, so a freshness regression can't hide behind a
-    # lucky final aggregate. Decimal-exact sums both sides (the
-    # merge_into_probe pattern) keep the value hash float-order-free.
+    # the pinned manifest state must flip to stale on append, and the
+    # refresh must run INCREMENTALLY — the probe writes the first 20
+    # days daily-bucketed, appends the rest (pure file addition), and
+    # FAILS unless refresh_matview reports mode="incremental", i.e. it
+    # aggregated only the delta files and folded them into the stored
+    # view with the declared sum merges. The oracle is the view's
+    # aggregate over ALL of `events` — storage- and lifecycle-blind:
+    # incremental maintenance must change the COST, never a value.
+    # Sums stay decimal-exact through the fold (schema pinned at
+    # DECIMAL(30,6)); the cast to double happens once, on return.
     sql="""
     SELECT event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
-             AS total_value,
-           COUNT(DISTINCT user_id) AS n_users
+             AS total_value
     FROM events
     GROUP BY event_type
     """,
-    tags=("storage", "matview", "lifecycle"),
+    tags=("storage", "matview", "lifecycle", "incremental"),
 )
 def matview_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized-view lifecycle: write two thirds of `events` as an
-    item, materialize a per-type aggregate via Collection.create_matview
-    (the SQL text and per-dependency manifest file lists persist in the
-    sidecar), append the remaining third, verify matview_status flips
-    to stale while refresh="never" still serves the OLD bytes, then
-    read through matview() (auto-refresh) and return the re-trued
-    aggregate. Freshness is a driver-side manifest compare — no data
-    read until the rebuild itself."""
+    """Incremental view maintenance through REAL storage: write the
+    first 20 days of `events` as a daily-bucketed item, materialize a
+    per-type algebraic aggregate (create_matview(incremental=...)),
+    append the remaining days — a pure file addition under the daily
+    layout — and refresh. The probe asserts the full lifecycle: fresh
+    after build, stale on append, refresh="never" still serves the old
+    bytes, and the refresh itself runs in mode="incremental" (delta
+    files only + merge fold), not a rebuild. Returns the re-trued
+    aggregate."""
     import shutil
     import tempfile
 
@@ -3665,16 +3667,16 @@ def matview_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pystore_spark import config as cfg
 
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
+        "ts", "event_type", "value"
     )
-    batch1 = ev.filter(F.col("event_id") % 3 != 0)
-    batch2 = ev.filter(F.col("event_id") % 3 == 0)
+    cut = F.lit("2024-01-21").cast("timestamp")
+    batch1 = ev.filter(F.col("ts") < cut)
+    batch2 = ev.filter(F.col("ts") >= cut)
     n1, n_all = batch1.count(), ev.count()
     view_sql = (
         "SELECT event_type, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) "
-        "AS total_value, "
-        "COUNT(DISTINCT user_id) AS n_users "
+        "CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(30,6)) "
+        "AS total_value "
         "FROM ev GROUP BY event_type"
     )
     tmp = tempfile.mkdtemp(prefix="ps_matview_probe_")
@@ -3683,12 +3685,18 @@ def matview_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg.set_path(tmp)
         store = ps.store("matview_probe_store", spark=spark)
         col = store.collection("c")
-        col.write("ev", batch1, index_col="event_id")
-        col.create_matview("mv", view_sql)
+        col.write("ev", batch1, index_col="ts", freq="D")
+        col.create_matview(
+            "mv", view_sql,
+            incremental={
+                "keys": ["event_type"],
+                "merge": {"n_events": "sum", "total_value": "sum"},
+            },
+        )
         st = col.matview_status("mv")
         if not st["fresh"]:
             raise AssertionError(f"freshly built matview stale: {st}")
-        col.append("ev", batch2)
+        col.append("ev", batch2, duplicate_handling="keep_all")
         st = col.matview_status("mv")
         if st["fresh"] or st["stale"] != ["ev"]:
             raise AssertionError(f"append did not flip staleness: {st}")
@@ -3700,9 +3708,15 @@ def matview_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"cached read drifted: {cached} rows vs batch1 {n1}"
             )
-        out = col.matview("mv").collect()  # auto-refresh read-through
+        rep = col.refresh_matview("mv")
+        if rep["mode"] != "incremental":
+            raise AssertionError(
+                "append-only refresh did not run incrementally: "
+                f"{rep}"
+            )
+        out = col.matview("mv", refresh="never").collect()
         if sum(r["n_events"] for r in out) != n_all:
-            raise AssertionError("refresh missed appended rows")
+            raise AssertionError("incremental fold missed rows")
         if not col.matview_status("mv")["fresh"]:
             raise AssertionError("matview stale after refresh")
     finally:
@@ -3714,12 +3728,10 @@ def matview_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r["event_type"],
                 int(r["n_events"]),
                 float(r["total_value"]),
-                int(r["n_users"]),
             )
             for r in out
         ],
-        "event_type string, n_events bigint, total_value double, "
-        "n_users bigint",
+        "event_type string, n_events bigint, total_value double",
     )
 
 

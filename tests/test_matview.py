@@ -24,7 +24,9 @@ def _events(n, start=0):
 
 @pytest.fixture()
 def col(test_collection):
-    test_collection.write("ev", _events(30), index_col="ts")
+    # monthly buckets: appends with later timestamps are pure file
+    # ADDITIONS, the shape incremental view maintenance keys on
+    test_collection.write("ev", _events(30), index_col="ts", freq="M")
     return test_collection
 
 
@@ -164,3 +166,84 @@ def test_matviews_of(col):
     col.create_matview("mv", SQL)
     assert col.matviews_of("ev") == ["mv"]
     assert col.matviews_of("mv") == []
+
+
+INC_SQL = (
+    "SELECT kind, count(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS total, "
+    "min(value) AS lo, max(value) AS hi "
+    "FROM ev GROUP BY kind"
+)
+INC = {"keys": ["kind"], "merge": {"n": "sum", "total": "sum",
+                                   "lo": "min", "hi": "max"}}
+
+
+class TestIncrementalMaintenance:
+    def test_append_refreshes_incrementally(self, col):
+        col.create_matview("mv", INC_SQL, incremental=INC)
+        col.append("ev", _events(12, start=1000))
+        rep = col.refresh_matview("mv")
+        assert rep["mode"] == "incremental" and rep["delta_files"] >= 1
+        got = (
+            col.matview("mv", refresh="never").toPandas()
+            .sort_values("kind").reset_index(drop=True)
+        )
+        # incremental fold == full recompute, column for column
+        exp = (
+            col.sql(INC_SQL).toPandas()
+            .sort_values("kind").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+        # schema stays pinned across refreshes (no decimal creep)
+        assert dict(got.dtypes.astype(str)) == dict(
+            exp.dtypes.astype(str)
+        )
+        # and a second append merges on top of the merged state
+        col.append("ev", _events(9, start=2000))
+        assert col.refresh_matview("mv")["mode"] == "incremental"
+        again = col.matview("mv", refresh="never").toPandas()
+        assert again["n"].sum() == 51
+
+    def test_rewrite_falls_back_to_full(self, col):
+        col.create_matview("mv", INC_SQL, incremental=INC)
+        col.append("ev", _events(12, start=1000))
+        col.refresh_matview("mv")
+        col.rebalance_partitions("ev")  # file REPLACEMENT, not growth
+        rep = col.refresh_matview("mv")
+        assert rep["mode"] == "rebuilt"
+        assert col.matview("mv").toPandas()["n"].sum() == 42
+
+    def test_force_always_full(self, col):
+        col.create_matview("mv", INC_SQL, incremental=INC)
+        col.append("ev", _events(6, start=1000))
+        assert col.refresh_matview("mv", force=True)["mode"] == "rebuilt"
+
+    def test_multi_dep_falls_back(self, col):
+        col.write("ev2", _events(9, start=5000), index_col="ts")
+        q = (
+            "SELECT kind, count(*) AS n FROM "
+            "(SELECT kind FROM ev UNION ALL SELECT kind FROM ev2) "
+            "GROUP BY kind"
+        )
+        col.create_matview(
+            "mv", q, depends_on=["ev", "ev2"],
+            incremental={"keys": ["kind"], "merge": {"n": "sum"}},
+        )
+        col.append("ev", _events(6, start=1000))
+        assert col.refresh_matview("mv")["mode"] == "rebuilt"
+        assert col.matview("mv").toPandas()["n"].sum() == 45
+
+    def test_bad_merge_fn_rejected(self, col):
+        with pytest.raises(ValidationError, match="merge functions"):
+            col.create_matview(
+                "mv", SQL,
+                incremental={"keys": ["kind"],
+                             "merge": {"n": "avg", "total": "sum"}},
+            )
+
+    def test_spec_must_cover_output(self, col):
+        with pytest.raises(ValidationError, match="cover the query"):
+            col.create_matview(
+                "mv", SQL,
+                incremental={"keys": ["kind"], "merge": {"n": "sum"}},
+            )
