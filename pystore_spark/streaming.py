@@ -43,6 +43,7 @@ def merge_sink(
     validate_schema: bool = True,
     sink_key: str | None = None,
     refresh_rollups: bool = False,
+    refresh_matviews: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function: upsert each micro-batch into the
     item (creates it on the first batch).
@@ -61,8 +62,21 @@ def merge_sink(
     aggregate pattern: each refresh is O(buckets the batch touched)
     via the manifest file-list diff (collection.refresh_rollups). A
     replayed batch refreshes at most once because the data commit is
-    skipped first."""
+    skipped first. ``refresh_matviews=True`` does the same for
+    materialized query views (matview.py) — streaming materialized
+    views: an algebraic matview with an ``incremental`` spec folds
+    each micro-batch's delta files in O(batch); others rebuild.
+    Both refresh paths are idempotent and O(1) when already fresh,
+    so the crash-between-commit-and-refresh window self-heals on
+    replay."""
     key = sink_key or "default"
+
+    def _refresh() -> None:
+        if refresh_rollups:
+            collection.refresh_rollups(item)
+        if refresh_matviews:
+            for m in collection.matviews_of(item):
+                collection.refresh_matview(m)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -72,16 +86,14 @@ def merge_sink(
                 item, batch_df,
                 sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
             )
-            if refresh_rollups:
-                collection.refresh_rollups(item)
+            _refresh()
             return
         if _last_applied(collection, item, key) >= int(batch_id):
             # replayed micro-batch — data already committed. Still
             # refresh: a crash BETWEEN the data commit and the refresh
-            # would otherwise leave rollups stale forever (refresh is
-            # idempotent and O(1) when already fresh)
-            if refresh_rollups:
-                collection.refresh_rollups(item)
+            # would otherwise leave rollups/matviews stale forever
+            # (refresh is idempotent and O(1) when already fresh)
+            _refresh()
             return
         # send ONLY this sink's counter: the append-side dict-aware
         # sidecar merge (utils.merge_sidecar) folds it into the live
@@ -93,8 +105,7 @@ def merge_sink(
             validate_schema=validate_schema,
             sidecar_extra={COMMITS_KEY: {key: int(batch_id)}},
         )
-        if refresh_rollups:
-            collection.refresh_rollups(item)
+        _refresh()
 
     return sink
 
