@@ -114,3 +114,123 @@ def salted_count_per_key(
     return partial.groupBy(*key_cols).agg(
         F.sum("_partial").alias("n")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str | None = None,
+    by: list[str] | None = None,
+    right_by: list[str] | None = None,
+    values: list[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    right_time_as: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Distributed as-of join — pandas ``merge_asof`` semantics as ONE
+    window pass (the plan behind the asof_join_orders_events oracle
+    query, generalized to any frames/columns):
+
+    tag both sides, union them, and for every probe row take the
+    last (``direction="backward"``: right time <= left time) or first
+    (``"forward"``: right time >= left time) right row per ``by``
+    group via ``last/first(..., ignorenulls=True)`` over a running
+    window. Cost: ONE shuffle on the ``by`` keys + one sort — never a
+    per-row subquery, never a range join; the 100 TB formulation.
+
+    * ``values`` — right columns to carry (default: everything except
+      its time/key columns); name collisions with left get ``suffix``.
+    * ``tolerance`` — max distance: an INTERVAL string ("3 days",
+      "15 minutes") for timestamp keys or a number for numeric keys;
+      matches farther away null out (the carried time too).
+    * ``allow_exact_matches=False`` — strict inequality at equal time.
+    * ``right_time_as`` — also emit the matched right timestamp under
+      this name.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    from pyspark.sql import Window
+
+    r_on = right_on or on
+    by = list(by or [])
+    r_by = list(right_by if right_by is not None else by)
+    if len(by) != len(r_by):
+        raise ValueError("by and right_by must have equal length")
+    if values is None:
+        values = [
+            c for c in right.columns if c not in (*r_by, r_on)
+        ]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in values
+    }
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+
+    probe = left.withColumn("_asof_probe", F.lit(1)).withColumn(
+        "_asof_t", F.col(on)
+    )
+    for c in values:
+        probe = probe.withColumn(
+            out_names[c], F.lit(None).cast(rtypes[c])
+        )
+    build = right.select(
+        *[F.col(rc).alias(lc) for lc, rc in zip(by, r_by)],
+        F.col(r_on).alias("_asof_t"),
+        *[F.col(c).alias(out_names[c]) for c in values],
+    ).withColumn("_asof_probe", F.lit(0))
+    for c in left.columns:
+        if c not in build.columns:
+            build = build.withColumn(c, F.lit(None).cast(ltypes[c]))
+    unioned = probe.unionByName(build.select(*probe.columns))
+
+    back = direction == "backward"
+    # tie order at equal _t decides exact-match semantics: the build
+    # row must fall inside the probe's frame iff exact matches count
+    build_first = back == allow_exact_matches
+    tie = F.col("_asof_probe").asc() if build_first else F.col(
+        "_asof_probe"
+    ).desc()
+    w = Window.partitionBy(*by).orderBy(F.col("_asof_t").asc(), tie)
+    if back:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+
+    build_only = lambda c: F.when(  # noqa: E731
+        F.col("_asof_probe") == 0, F.col(c)
+    )
+    matched = unioned.withColumn(
+        "_asof_rt", pick(build_only("_asof_t")).over(w)
+    )
+    for c in values:
+        matched = matched.withColumn(
+            out_names[c], pick(build_only(out_names[c])).over(w)
+        )
+    out = matched.filter(F.col("_asof_probe") == 1)
+    if tolerance is not None:
+        if isinstance(tolerance, str):
+            lo = (
+                F.col("_asof_t") - F.expr(f"INTERVAL {tolerance}")
+                if back
+                else F.col("_asof_t") + F.expr(f"INTERVAL {tolerance}")
+            )
+        else:
+            lo = (
+                F.col("_asof_t") - F.lit(tolerance)
+                if back
+                else F.col("_asof_t") + F.lit(tolerance)
+            )
+        ok = F.col("_asof_rt") >= lo if back else F.col("_asof_rt") <= lo
+        for c in [out_names[c] for c in values] + ["_asof_rt"]:
+            out = out.withColumn(c, F.when(ok, F.col(c)))
+    if right_time_as:
+        out = out.withColumn(right_time_as, F.col("_asof_rt"))
+    keep = list(left.columns) + [out_names[c] for c in values] + (
+        [right_time_as] if right_time_as else []
+    )
+    return out.select(*keep)

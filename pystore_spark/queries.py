@@ -606,39 +606,26 @@ def running_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed as-of join: union both sides tagged, single window
-    pass per key — no per-row subquery, one shuffle on the key."""
+    pass per key — no per-row subquery, one shuffle on the key.
+    Delegates to the public operator (functions/joins.asof_join),
+    which generalizes this plan to any frames, multiple carried
+    columns, forward direction, tolerance, and exact-match control."""
+    from pystore_spark.functions.joins import asof_join
+
     ev = load_table(spark, sf_dir, "events")
-    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
-    left = od.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.col("o_orderkey"),
-        F.lit(1).alias("_is_probe"),
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 0
     )
-    right = ev.select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(0).alias("_is_probe"),
-    )
-    unioned = left.unionByName(right)
-    # events sort before probes at equal t (probe accepts ts <= date)
-    w = (
-        Window.partitionBy("k")
-        .orderBy(F.col("t").asc(), F.col("_is_probe").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn(
-        "last_event_ts",
-        F.last(
-            F.when(F.col("_is_probe") == 0, F.col("t")), ignorenulls=True
-        ).over(w),
-    )
-    return matched.filter(F.col("_is_probe") == 1).select(
-        F.col("o_orderkey"),
-        F.col("k").alias("o_custkey"),
-        "last_event_ts",
-    )
+    return asof_join(
+        od.select("o_orderkey", "o_custkey", "o_orderdate"),
+        ev.select("user_id", "ts"),
+        on="o_orderdate",
+        by=["o_custkey"],
+        right_by=["user_id"],
+        right_on="ts",
+        values=[],
+        right_time_as="last_event_ts",
+    ).select("o_orderkey", "o_custkey", "last_event_ts")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,147 @@
+"""asof_join (functions/joins.py) vs pandas merge_asof — the
+semantics reference model — across directions, exactness, tolerance,
+and grouped keys."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pystore_spark.functions.joins import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(11)
+    n_l, n_r = 120, 200
+    left = pd.DataFrame(
+        {
+            "grp": rng.integers(0, 4, n_l),
+            "t": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="min"),
+            "lval": rng.standard_normal(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, n_r),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="min"),
+            "px": rng.standard_normal(n_r).round(4),
+            "qty": rng.integers(1, 100, n_r),
+        }
+    )
+    return left, right
+
+
+def _pandas_model(left, right, direction, exact, tol=None):
+    exp = pd.merge_asof(
+        left.sort_values("t").reset_index(drop=True),
+        right.sort_values("ts").reset_index(drop=True),
+        left_on="t",
+        right_on="ts",
+        left_by="grp",
+        right_by="g",
+        direction=direction,
+        allow_exact_matches=exact,
+        tolerance=tol,
+    )
+    return (
+        exp[["grp", "t", "lval", "px", "qty"]]
+        .sort_values(["grp", "t", "lval"])
+        .reset_index(drop=True)
+    )
+
+
+def _spark_result(spark, left, right, **kw):
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="t",
+        right_on="ts",
+        by=["grp"],
+        right_by=["g"],
+        values=["px", "qty"],
+        **kw,
+    ).toPandas()
+    return (
+        out[["grp", "t", "lval", "px", "qty"]]
+        .sort_values(["grp", "t", "lval"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_matches_pandas_merge_asof(spark, frames, direction, exact):
+    left, right = frames
+    got = _spark_result(
+        spark, left, right, direction=direction,
+        allow_exact_matches=exact,
+    )
+    exp = _pandas_model(left, right, direction, exact)
+    # qty comes back nullable (missing matches): align dtypes
+    exp["qty"] = exp["qty"].astype("float64")
+    got["qty"] = got["qty"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_tolerance_interval(spark, frames, direction):
+    left, right = frames
+    got = _spark_result(
+        spark, left, right, direction=direction,
+        tolerance="30 minutes",
+    )
+    exp = _pandas_model(
+        left, right, direction, True, tol=pd.Timedelta("30 minutes")
+    )
+    exp["qty"] = exp["qty"].astype("float64")
+    got["qty"] = got["qty"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_numeric_time_and_collision_suffix(spark):
+    left = pd.DataFrame(
+        {"k": [1, 1, 2], "pos": [10.0, 20.0, 15.0], "px": [0, 0, 0]}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 2, 2], "pos": [9.0, 18.0, 1.0, 15.0],
+         "px": [1.0, 2.0, 3.0, 4.0]}
+    )
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="pos",
+        by=["k"],
+        values=["px"],
+        tolerance=5.0,
+    ).toPandas().sort_values(["k", "pos"]).reset_index(drop=True)
+    # collision: right px lands as px_right; tolerance 5 kills 20<-18? no
+    # |20-18|=2 ok; 10<-9 ok; 15<-15 exact ok
+    assert list(out["px_right"]) == [1.0, 2.0, 4.0]
+    assert "px" in out.columns  # left's own px survives
+
+
+def test_right_time_as_and_single_shuffle(spark, frames):
+    left, right = frames
+    df = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="t", right_on="ts", by=["grp"], right_by=["g"],
+        values=[], right_time_as="matched_ts",
+    )
+    assert "matched_ts" in df.columns
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ONE shuffle: the window's partitioning on the by-key
+    assert plan.count("Exchange") == 1
+
+
+def test_bad_args(spark, frames):
+    left, right = frames
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, on="t", direction="nearest")
+    with pytest.raises(ValueError, match="equal length"):
+        asof_join(l, r, on="t", by=["grp"], right_by=[])
