@@ -194,3 +194,15 @@ def test_sql_over_bucketed_items(col, spark):
         assert _n_exchanges(df) == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_snapshot_of_bucketed_item(col):
+    col.create_snapshot("snap1")
+    col.write(
+        "orders_b", _orders(10), bucket_by="k", n_buckets=4,
+        index_col="k", overwrite=True,
+    )
+    assert col.item("orders_b").data.count() == 10
+    # the snapshot's manifest base-pointer resolves its own view dir
+    snap = col.item("orders_b", snapshot="snap1")
+    assert snap.data.count() == 300
