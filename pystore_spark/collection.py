@@ -2905,6 +2905,7 @@ class Collection:
         k: int = 5,
         nprobe: int = 1,
         query_id_col: str | None = None,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """ANN top-k against a :meth:`build_vector_index` item:
         queries are assigned their ``nprobe`` nearest cells from the
@@ -2913,7 +2914,15 @@ class Collection:
         zonemap file pruning + sorted row-group skipping do the
         inverted-list read. Scoring/ranking is
         :func:`similarity.ivf_topk` (broadcast queries, per-cell
-        candidates, rank window over survivors)."""
+        candidates, rank window over survivors).
+
+        ``allowed`` — FILTERED ANN: a frame whose id column names the
+        searchable subset (compute it with any metadata predicate over
+        the corpus — language, license, date range). Candidates
+        semi-join against it BEFORE ranking, so every query still gets
+        k survivors from within the filter, not k-minus-filtered —
+        the standard pre-filter formulation; at high selectivity raise
+        ``nprobe`` to keep recall."""
         from pystore_spark.functions import similarity as S
 
         it = self.item(index_item)
@@ -2944,6 +2953,18 @@ class Collection:
                 _read_frame(self, delta)
                 .filter(F.col("cell").isin(cells))
                 .select(*cand.columns)
+            )
+        if allowed is not None:
+            idc = meta["id_col"]
+            if idc not in allowed.columns:
+                raise ValidationError(
+                    f"allowed frame must carry the index id column "
+                    f"{idc!r}"
+                )
+            # pre-filter BEFORE dequantize/ranking: the semi join
+            # shrinks the candidate set, never widens a shuffle
+            cand = cand.join(
+                allowed.select(idc).distinct(), idc, "left_semi"
             )
         if meta.get("quantized"):
             # decode the int8 codes for the (pruned) candidates only —

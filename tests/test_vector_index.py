@@ -333,3 +333,53 @@ def test_vector_index_cross_item_scope(test_collection, emb):
     fix = c.repair_index(None, "xv_ivf")
     assert fix["n_reindexed"] == 20
     assert c.verify_index(None, "xv_ivf")["ok"]
+
+
+def test_filtered_ann_allowed_subset(test_collection, emb):
+    """allowed= pre-filters candidates BEFORE ranking: every hit id is
+    inside the subset, every query still gets k survivors, and the
+    result equals brute-force cosine over the (probed-cells ∩ allowed)
+    candidate set."""
+    import pyspark.sql.functions as F
+
+    test_collection.build_vector_index(
+        "emb_f", emb, n_cells=4, n_iters=2
+    )
+    queries = emb.filter("vec_id < 3")
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = test_collection.search_vector_index(
+        "emb_f", queries, k=3, nprobe=4, allowed=allowed
+    ).toPandas()
+    assert (got["vec_id"] % 2 == 0).all()
+    assert (got.groupby("q_vec_id").size() == 3).all()
+    # nprobe=4 covers all cells → equals brute force over allowed
+    from pystore_spark.functions import similarity as S
+
+    want = (
+        S.brute_force_topk(
+            emb.join(allowed, "vec_id", "left_semi"),
+            queries, "embedding", "vec_id", k=3,
+        )
+        .toPandas()
+        .sort_values(["q_vec_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    got_s = got.sort_values(["q_vec_id", "vec_id"]).reset_index(
+        drop=True
+    )
+    assert list(got_s["vec_id"]) == list(want["vec_id"])
+
+
+def test_filtered_ann_bad_allowed_frame(test_collection, emb):
+    import pyspark.sql.functions as F
+
+    from pystore_spark.exceptions import ValidationError
+
+    test_collection.build_vector_index(
+        "emb_f2", emb, n_cells=2, n_iters=1
+    )
+    with pytest.raises(ValidationError, match="id column"):
+        test_collection.search_vector_index(
+            "emb_f2", emb.limit(1), k=2,
+            allowed=emb.select(F.col("vec_id").alias("other")),
+        )
