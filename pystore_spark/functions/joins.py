@@ -149,9 +149,15 @@ def asof_join(
     * ``allow_exact_matches=False`` — strict inequality at equal time.
     * ``right_time_as`` — also emit the matched right timestamp under
       this name.
+    * ``direction="nearest"`` — whichever side is closer (tie →
+      backward, matching pandas); computed as the backward and forward
+      passes over the SAME key partitioning (one shuffle, two sorts)
+      and a distance compare. Tolerance nulls each side independently
+      before choosing, so an out-of-tolerance nearest row falls back
+      to an in-tolerance farther one — merge_asof-verified.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be backward|forward")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward|forward|nearest")
     from pyspark.sql import Window
 
     r_on = right_on or on
@@ -186,48 +192,84 @@ def asof_join(
             build = build.withColumn(c, F.lit(None).cast(ltypes[c]))
     unioned = probe.unionByName(build.select(*probe.columns))
 
-    back = direction == "backward"
-    # tie order at equal _t decides exact-match semantics: the build
-    # row must fall inside the probe's frame iff exact matches count
-    build_first = back == allow_exact_matches
-    tie = F.col("_asof_probe").asc() if build_first else F.col(
-        "_asof_probe"
-    ).desc()
-    w = Window.partitionBy(*by).orderBy(F.col("_asof_t").asc(), tie)
-    if back:
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
-    else:
-        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-
     build_only = lambda c: F.when(  # noqa: E731
         F.col("_asof_probe") == 0, F.col(c)
     )
-    matched = unioned.withColumn(
-        "_asof_rt", pick(build_only("_asof_t")).over(w)
-    )
-    for c in values:
-        matched = matched.withColumn(
-            out_names[c], pick(build_only(out_names[c])).over(w)
+
+    def one_side(df, back: bool, tag: str):
+        """Apply one directional pass, adding `_asof_rt{tag}` and
+        `{out}{tag}` matched columns. The tie order at equal _t
+        decides exact-match semantics: the build row must fall inside
+        the probe's frame iff exact matches count."""
+        build_first = back == allow_exact_matches
+        tie = (
+            F.col("_asof_probe").asc()
+            if build_first
+            else F.col("_asof_probe").desc()
         )
-    out = matched.filter(F.col("_asof_probe") == 1)
-    if tolerance is not None:
-        if isinstance(tolerance, str):
-            lo = (
-                F.col("_asof_t") - F.expr(f"INTERVAL {tolerance}")
-                if back
-                else F.col("_asof_t") + F.expr(f"INTERVAL {tolerance}")
+        w = Window.partitionBy(*by).orderBy(F.col("_asof_t").asc(), tie)
+        if back:
+            w = w.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
             )
+            pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
         else:
-            lo = (
-                F.col("_asof_t") - F.lit(tolerance)
-                if back
-                else F.col("_asof_t") + F.lit(tolerance)
+            w = w.rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
             )
-        ok = F.col("_asof_rt") >= lo if back else F.col("_asof_rt") <= lo
+            pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+        df = df.withColumn(
+            f"_asof_rt{tag}", pick(build_only("_asof_t")).over(w)
+        )
+        for c in values:
+            df = df.withColumn(
+                f"{out_names[c]}{tag}",
+                pick(build_only(out_names[c])).over(w),
+            )
+        return df
+
+    def tol_ok(back: bool, rt):
+        if isinstance(tolerance, str):
+            bound = F.expr(f"INTERVAL {tolerance}")
+        else:
+            bound = F.lit(tolerance)
+        lo = (
+            F.col("_asof_t") - bound if back else F.col("_asof_t") + bound
+        )
+        return rt >= lo if back else rt <= lo
+
+    if direction in ("backward", "forward"):
+        back = direction == "backward"
+        matched = one_side(unioned, back, "")
+        out = matched.filter(F.col("_asof_probe") == 1)
+        if tolerance is not None:
+            ok = tol_ok(back, F.col("_asof_rt"))
+            for c in [out_names[c] for c in values] + ["_asof_rt"]:
+                out = out.withColumn(c, F.when(ok, F.col(c)))
+    else:  # nearest: both passes share the key partitioning
+        matched = one_side(one_side(unioned, True, "_b"), False, "_f")
+        out = matched.filter(F.col("_asof_probe") == 1)
+        bt, ft = F.col("_asof_rt_b"), F.col("_asof_rt_f")
+        if tolerance is not None:
+            b_ok = bt.isNotNull() & tol_ok(True, bt)
+            f_ok = ft.isNotNull() & tol_ok(False, ft)
+        else:
+            b_ok, f_ok = bt.isNotNull(), ft.isNotNull()
+        td = F.col("_asof_t").cast("double")
+        pick_b = b_ok & (
+            ~f_ok
+            | ((td - bt.cast("double")) <= (ft.cast("double") - td))
+        )
         for c in [out_names[c] for c in values] + ["_asof_rt"]:
-            out = out.withColumn(c, F.when(ok, F.col(c)))
+            b, f_ = (
+                (f"{c}_b", f"{c}_f")
+                if c != "_asof_rt"
+                else ("_asof_rt_b", "_asof_rt_f")
+            )
+            out = out.withColumn(
+                c,
+                F.when(pick_b, F.col(b)).when(f_ok, F.col(f_)),
+            )
     if right_time_as:
         out = out.withColumn(right_time_as, F.col("_asof_rt"))
     keep = list(left.columns) + [out_names[c] for c in values] + (

@@ -72,7 +72,7 @@ def _spark_result(spark, left, right, **kw):
     )
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("exact", [True, False])
 def test_matches_pandas_merge_asof(spark, frames, direction, exact):
     left, right = frames
@@ -87,7 +87,7 @@ def test_matches_pandas_merge_asof(spark, frames, direction, exact):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_tolerance_interval(spark, frames, direction):
     left, right = frames
     got = _spark_result(
@@ -142,6 +142,6 @@ def test_bad_args(spark, frames):
     left, right = frames
     l, r = spark.createDataFrame(left), spark.createDataFrame(right)
     with pytest.raises(ValueError, match="direction"):
-        asof_join(l, r, on="t", direction="nearest")
+        asof_join(l, r, on="t", direction="sideways")
     with pytest.raises(ValueError, match="equal length"):
         asof_join(l, r, on="t", by=["grp"], right_by=[])
