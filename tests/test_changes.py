@@ -1,0 +1,93 @@
+"""Change data feed (Collection.changes) — version-to-version row
+diffs riding the manifest history."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pystore_spark.exceptions import StorageError
+
+
+def _batch(n, start_day=1, v0=0.0):
+    return pd.DataFrame(
+        {
+            "ts": pd.date_range(
+                f"2024-01-{start_day:02d}", periods=n, freq="h"
+            ),
+            "k": range(n),
+            "v": [v0 + float(i) for i in range(n)],
+        }
+    )
+
+
+@pytest.fixture()
+def col(test_collection):
+    test_collection.write("it", _batch(24), index_col="ts", freq="D")
+    return test_collection
+
+
+def test_append_only_fast_path(col):
+    col.append("it", _batch(12, start_day=10), duplicate_handling="keep_all")
+    ch = col.changes("it", since=1).toPandas()
+    assert len(ch) == 12
+    assert set(ch["_change_type"]) == {"insert"}
+    assert ch["ts"].min() == pd.Timestamp("2024-01-10")
+    # exact mode must agree on the same window
+    ex = col.changes("it", since=1, mode="exact").toPandas()
+    assert len(ex) == 12 and set(ex["_change_type"]) == {"insert"}
+
+
+def test_empty_window(col):
+    v = col.item("it").version
+    ch = col.changes("it", since=v)
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns
+
+
+def test_delete_produces_deletes(col):
+    col.append("it", _batch(12, start_day=10), duplicate_handling="keep_all")
+    v = col.item("it").version
+    col.delete_where("it", [[("k", "<", 3)]])
+    ch = col.changes("it", since=v).toPandas()
+    assert set(ch["_change_type"]) == {"delete"}
+    # k<3 existed in both batches: 3 rows each
+    assert len(ch) == 6
+
+
+def test_upsert_is_delete_plus_insert(col):
+    upd = _batch(5)  # same ts keys, new values
+    upd["v"] = upd["v"] + 100.0
+    v = col.item("it").version
+    col.append("it", upd, duplicate_handling="keep_last")
+    ch = col.changes("it", since=v).toPandas()
+    ins = ch[ch["_change_type"] == "insert"]
+    dele = ch[ch["_change_type"] == "delete"]
+    assert len(ins) == 5 and len(dele) == 5
+    assert (ins["v"].values >= 100.0).all()
+    assert (dele["v"].values < 100.0).all()
+
+
+def test_additive_mode_raises_on_rewrite(col):
+    v = col.item("it").version
+    col.delete_where("it", [[("k", "==", 0)]])
+    with pytest.raises(StorageError, match="rewrite"):
+        col.changes("it", since=v, mode="additive")
+    # but works on an append-only window
+    col.append("it", _batch(6, start_day=20), duplicate_handling="keep_all")
+    ch = col.changes("it", since=v + 1, mode="additive")
+    assert ch.count() == 6
+
+
+def test_until_bounds_the_window(col):
+    col.append("it", _batch(6, start_day=10), duplicate_handling="keep_all")
+    v2 = col.item("it").version
+    col.append("it", _batch(6, start_day=20), duplicate_handling="keep_all")
+    ch = col.changes("it", since=1, until=v2).toPandas()
+    assert len(ch) == 6
+    assert ch["ts"].max() < pd.Timestamp("2024-01-20")
+
+
+def test_bad_mode(col):
+    with pytest.raises(ValueError, match="mode"):
+        col.changes("it", since=1, mode="stream")

@@ -44,7 +44,7 @@ PROMOTED = {
     "bloom_point_lookup_probe", "token_bloom_contains_probe",
     "merge_into_probe", "matview_refresh_probe",
     "histogram_percentile_probe", "webdataset_export_probe",
-    "colocated_join_probe",
+    "colocated_join_probe", "change_feed_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
@@ -55,7 +55,6 @@ RETAINED = {
     "vocab_topk", "doc_length_histogram", "ohlc_resample",
     "line_dedup_stats", "quality_classifier_scores",
     "index_audit_probe", "signlsh_candidate_topk",
-    "quality_funnel",
     "interval_join_banded", "embedding_quantization_audit",
     "lm_perplexity_scores", "curation_funnel",
     "exact_dedup_groups",
@@ -105,6 +104,10 @@ ROTATED_OUT = {
     # token_bloom_contains_probe's marker/phrase probes; demoted
     # (3 green rounds) for the colocated_join_probe flagship:
     "benchmark_contamination",
+    # funnel family covered in-window by curation_funnel's
+    # stage-for-stage oracle; demoted (4 green rounds) for the
+    # change_feed_probe flagship:
+    "quality_funnel",
     # trailing-window family covered by running_sum/gapfill in-window;
     # demoted for the bpe_encode_ids flagship:
     "rolling_zscore_outliers",
