@@ -295,6 +295,73 @@ def append_bucketed(
     collection.clear_metadata_cache(item)
 
 
+def compact_bucketed(collection, item: str) -> dict:
+    """Bucket-preserving compaction: every appended batch leaves one
+    file per touched hash bucket, so a long-lived bucketed fact table
+    accumulates files per bucket. Rewrite the item THROUGH the
+    bucketed writer (same key, same N — the invariant the generic
+    compactor would destroy) back to one sorted file per bucket,
+    committed as a whole-item replace under the observed-state guard
+    (a concurrent append retries rather than vanishing). No-op when
+    every bucket already has one file."""
+    from pystore_spark import manifest as mf
+    from pystore_spark.exceptions import ConcurrentCommitError
+
+    meta = collection.get_item_metadata(item) or {}
+    spec = meta[BUCKET_SPEC_KEY]
+    for _attempt in range(3):
+        it = collection.item(item)
+        files = (it._manifest or {}).get("files") or []
+        n_before = len(files)
+        if n_before <= int(spec["n"]):
+            return {
+                "buckets_compacted": 0,
+                "files_before": n_before,
+                "files_after": n_before,
+            }
+        df = it.data.localCheckpoint(eager=True)  # pin rows pre-swap
+        col_, n = spec["col"], int(spec["n"])
+        spark = collection.spark
+        codec = (meta.get("_partition_plan") or {}).get(
+            "compression"
+        ) or "snappy"
+
+        def write_fn(tmp: Path) -> None:
+            stage_tbl = f"ps_bkt_stage_{uuid.uuid4().hex[:12]}"
+            (
+                df.repartition(n, col_)
+                .write.format("parquet")
+                .option("path", str(tmp))
+                .option("compression", codec)
+                .bucketBy(n, col_)
+                .sortBy(col_)
+                .mode("overwrite")
+                .saveAsTable(stage_tbl)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
+
+        try:
+            collection._commit_staged(
+                item, write_fn, dict(meta), scope="item",
+                expect_files=mf.bucket_file_map(it._manifest or {}),
+            )
+        except ConcurrentCommitError:
+            continue  # an append landed mid-rewrite: recompute
+        collection.clear_metadata_cache(item)
+        n_after = len(
+            (collection.item(item)._manifest or {}).get("files") or []
+        )
+        return {
+            "buckets_compacted": int(n),
+            "files_before": n_before,
+            "files_after": n_after,
+        }
+    raise ConcurrentCommitError(
+        f"bucketed compact of {item!r} lost the commit race 3 times; "
+        "serialize with appenders (CollectionLock / maintain window)"
+    )
+
+
 # superseded view dirs are garbage-collected by manifest.gc_item on
 # the same retention clock as stale data files (see that sweep); the
 # hard links mean a lingering view never pins real data bytes beyond

@@ -4031,18 +4031,14 @@ class Collection:
                 except Exception as exc:
                     res["gc_error"] = str(exc)
             if compact:
-                if (self.get_item_metadata(n) or {}).get("_bucket_spec"):
-                    # bucketed items are already one file per bucket
-                    # by construction; the generic compactor would
-                    # break the bucket invariant (bucketed.py)
-                    res["compact"] = {"skipped": "bucketed layout"}
-                else:
-                    try:
-                        res["compact"] = self.compact(
-                            n, target_size_mb=target_size_mb
-                        )
-                    except Exception as exc:
-                        res["compact_error"] = str(exc)
+                # bucketed items take the bucket-preserving rewrite
+                # inside compact() itself (bucketed.compact_bucketed)
+                try:
+                    res["compact"] = self.compact(
+                        n, target_size_mb=target_size_mb
+                    )
+                except Exception as exc:
+                    res["compact_error"] = str(exc)
             if gc or compact:
                 # fold bloom sidecars AFTER gc+compact: merge the
                 # per-commit parquets and drop rows for files that
@@ -4197,10 +4193,18 @@ class Collection:
 
         Non-time items have one flat bucket, so selective rewrite
         degenerates to the whole-item rebalance and is delegated
-        there."""
+        there. BUCKETED items (bucket_by=) delegate to the
+        bucket-preserving rewrite: appends accumulate one file per
+        hash bucket per batch; compaction merges them back to one
+        sorted file per bucket THROUGH the bucketed writer, so the
+        co-location invariant (and the exchange-free join plan)
+        survives."""
         from pystore_spark import bucketed as _bk
 
-        _bk.guard_mutation(self, item, "compact")
+        if (self.get_item_metadata(item) or {}).get(
+            _bk.BUCKET_SPEC_KEY
+        ):
+            return _bk.compact_bucketed(self, item)
         import math
 
         from pystore_spark import manifest as mf

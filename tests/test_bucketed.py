@@ -132,8 +132,6 @@ def test_mutations_rejected(col):
             "orders_b", col.item("orders_b").data, on="k"
         )
     with pytest.raises(StorageError, match="bucketed"):
-        col.compact("orders_b")
-    with pytest.raises(StorageError, match="bucketed"):
         col.rebalance_partitions("orders_b")
 
 
@@ -174,9 +172,39 @@ def test_gc_drops_superseded_views(col):
     assert col.item("orders_b").data.count() == 50
 
 
-def test_maintain_skips_compact(col):
+def test_compact_merges_bucket_files(col, spark):
+    import os
+
+    col.append("orders_b", _orders(40, start=1000),
+               duplicate_handling="keep_all")
+    col.append("orders_b", _orders(40, start=2000),
+               duplicate_handling="keep_all")
+    files = lambda: (  # noqa: E731
+        col.item("orders_b")._manifest["files"]
+    )
+    assert len(files()) > 4
+    rep = col.compact("orders_b")
+    assert rep["files_before"] > rep["files_after"] == 4
+    got = col.item("orders_b").data
+    assert got.count() == 380
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert _n_exchanges(got.join(col.item("lines_b").data, "k")) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # idempotent: already one file per bucket
+    rep2 = col.compact("orders_b")
+    assert rep2["buckets_compacted"] == 0
+    # pre-compact versions stay time-travel readable
+    assert col.item("orders_b", version=1).data.count() == 300
+
+
+def test_maintain_compacts_bucketed(col):
+    col.append("orders_b", _orders(20, start=1000),
+               duplicate_handling="keep_all")
     out = col.maintain("orders_b")
-    assert out["orders_b"]["compact"] == {"skipped": "bucketed layout"}
+    assert out["orders_b"]["compact"]["files_after"] == 4
 
 
 def test_sql_over_bucketed_items(col, spark):
