@@ -3824,6 +3824,49 @@ class Collection:
             "out_dir": out_dir,
         }
 
+    def history(self, item: str) -> list[dict]:
+        """DESCRIBE HISTORY: one record per still-readable committed
+        version, oldest first — ``{version, updated, n_files,
+        n_added, n_removed, current, readable}``. Pure driver-side
+        manifest walking (no data I/O): file-list diffs between
+        consecutive versions tell the story (an append adds files, a
+        compaction swaps many for few, a metadata-only commit — stats
+        refresh, GC — changes nothing). ``readable`` mirrors the
+        availability rule time travel uses: a version stays readable
+        while all its files survive in the live ∪ stale-retained set.
+        Pair with :meth:`changes` to pull the rows behind any window
+        and ``item(version=)`` / ``FOR VERSION AS OF`` to read one."""
+        item_path = self._item_path(item)
+        cur = utils.read_manifest(item_path) or {}
+        cur_v = int(cur.get("version", 0))
+        avail = set(cur.get("files") or []) | set(cur.get("stale") or {})
+        out: list[dict] = []
+        prev_files: set = set()
+        for v in sorted(utils.list_versions(item_path)):
+            man = (
+                cur
+                if v == cur_v
+                else utils.read_version_manifest(item_path, v)
+            )
+            if man is None:
+                continue
+            files = set(man.get("files") or [])
+            out.append(
+                {
+                    "version": int(v),
+                    "updated": (man.get("metadata") or {}).get(
+                        "_updated"
+                    ),
+                    "n_files": len(files),
+                    "n_added": len(files - prev_files),
+                    "n_removed": len(prev_files - files),
+                    "current": v == cur_v,
+                    "readable": files <= avail,
+                }
+            )
+            prev_files = files
+        return out
+
     def changes(
         self,
         item: str,

@@ -299,3 +299,31 @@ def test_sql_time_travel_skips_string_literals(test_collection):
     ).collect()[0]
     assert row["note"] == "ttl FOR VERSION AS OF 1"
     assert (row["n_now"], row["n_v1"]) == (40, 30)
+
+
+def test_history_describes_commits(test_collection):
+    import pandas as pd
+
+    col = test_collection
+    def b(n, day):
+        return pd.DataFrame({
+            "ts": pd.date_range(f"2024-01-{day:02d}", periods=n, freq="h"),
+            "v": [float(i) for i in range(n)],
+        })
+    col.write("h", b(12, 1), index_col="ts", freq="D")
+    col.append("h", b(12, 5), duplicate_handling="keep_all")
+    col.append("h", b(12, 9), duplicate_handling="keep_all")
+    hist = col.history("h")
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[0]["n_added"] == hist[0]["n_files"] > 0
+    # appends to fresh day-buckets add files, remove none
+    assert hist[1]["n_added"] >= 1 and hist[1]["n_removed"] == 0
+    assert hist[-1]["current"] and all(h["readable"] for h in hist)
+    assert all(h["updated"] for h in hist)
+    # version numbers line up with the time-travel read surface
+    assert col.item("h", version=1).data.count() == 12
+    # vacuum with zero retention makes superseded rewrites unreadable
+    col.delete_where("h", [[("v", "<", 1.0)]])  # bucket rewrites
+    col.vacuum("h", retention=0)
+    hist2 = col.history("h")
+    assert hist2[-1]["readable"]
