@@ -115,6 +115,44 @@ class AsyncCollection:
             self.collection.repair_index, item, index_item, **kwargs
         )
 
+    # round-6 continuation surface: derived state + feeds — same
+    # one-liner delegation, the pool is the async boundary
+    async def create_matview(self, name: str, query: str, **kwargs):
+        return await self._run(
+            self.collection.create_matview, name, query, **kwargs
+        )
+
+    async def refresh_matview(self, name: str, **kwargs):
+        return await self._run(
+            self.collection.refresh_matview, name, **kwargs
+        )
+
+    async def matview_status(self, name: str):
+        return await self._run(self.collection.matview_status, name)
+
+    async def changes(self, item: str, since: int, **kwargs):
+        return await self._run(
+            self.collection.changes, item, since, **kwargs
+        )
+
+    async def history(self, item: str):
+        return await self._run(self.collection.history, item)
+
+    async def estimate_percentiles(self, item: str, column: str, **kwargs):
+        return await self._run(
+            self.collection.estimate_percentiles, item, column, **kwargs
+        )
+
+    async def export_webdataset(self, source, out_dir: str, **kwargs):
+        return await self._run(
+            self.collection.export_webdataset, source, out_dir, **kwargs
+        )
+
+    async def merge_into(self, item: str, source, on, **kwargs):
+        return await self._run(
+            self.collection.merge_into, item, source, on, **kwargs
+        )
+
     def close(self) -> None:
         if self._owns_pool:
             self._pool.shutdown(wait=False)

@@ -305,3 +305,35 @@ def test_read_jsonl_roundtrip_and_index_tag(test_collection, spark):
             corrupt_col=None,
         )
         assert plain.columns == ["doc_id", "text"]
+
+
+def test_async_round6_surface(spark, test_collection):
+    """The round-6 derived-state APIs ride the same pool delegation."""
+    import asyncio
+
+    import pandas as pd
+
+    from pystore_spark.async_operations import AsyncCollection
+
+    ac = AsyncCollection(test_collection)
+
+    async def flow():
+        df = pd.DataFrame({
+            "ts": pd.date_range("2024-01-01", periods=12, freq="h"),
+            "kind": ["a", "b"] * 6,
+            "v": [float(i) for i in range(12)],
+        })
+        await ac.write("ev6", df, index_col="ts", freq="D")
+        await ac.create_matview(
+            "mv6", "SELECT kind, count(*) AS n FROM ev6 GROUP BY kind"
+        )
+        st = await ac.matview_status("mv6")
+        assert st["fresh"]
+        hist = await ac.history("ev6")
+        assert hist[-1]["current"]
+        ch = await ac.changes("ev6", since=hist[-1]["version"])
+        assert ch.count() == 0
+        return st
+
+    asyncio.run(flow())
+    ac.close()
