@@ -285,10 +285,19 @@ def append_bucketed(
         spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
 
     # sidecar=None → metadata-preserving commit (re-read at the commit
-    # point), so _bucket_spec and concurrent sidecar updates survive
+    # point), so _bucket_spec and concurrent sidecar updates survive.
+    # With an extra, merge it DICT-AWARE against a fresh read — the
+    # same utils.merge_sidecar discipline the generic append uses, so
+    # a streaming sink's _streaming_commits entry never wholesale-
+    # replaces another sink's replay counter
+    from pystore_spark import utils
+
     sidecar = None
     if sidecar_extra:
-        sidecar = {**meta, **sidecar_extra}
+        sidecar = utils.merge_sidecar(
+            collection.get_item_metadata(item, use_cache=False) or {},
+            sidecar_extra,
+        )
     collection._commit_staged(
         item, write_fn, sidecar, scope="add"
     )
@@ -341,8 +350,12 @@ def compact_bucketed(collection, item: str) -> dict:
             spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
 
         try:
+            # sidecar=None → metadata-preserving commit: the sidecar
+            # is re-read at the commit point, so metadata committed
+            # between our snapshot and a CAS retry (streaming replay
+            # counters, fresh stats) survives the compaction
             collection._commit_staged(
-                item, write_fn, dict(meta), scope="item",
+                item, write_fn, None, scope="item",
                 expect_files=mf.bucket_file_map(it._manifest or {}),
             )
         except ConcurrentCommitError:

@@ -817,20 +817,6 @@ class Collection:
                 f"duplicate_handling must be one of {STRATEGIES}, "
                 f"got {duplicate_handling!r}"
             )
-        if (self.get_item_metadata(item) or {}).get("_bucket_spec"):
-            # bucketed items append through the bucketed writer (pure
-            # file addition under the same bucket hash — scope="add"
-            # commit); key-merging strategies would need a rewrite and
-            # raise there
-            from pystore_spark import bucketed as bk
-
-            bk.append_bucketed(
-                self, item, data, duplicate_handling, epochdate,
-                sidecar_extra,
-            )
-            if reload_items:
-                self._items_cache = None
-            return
         if "dedup_index" in kwargs:
             # sugar: append(item, df, dedup_index="idx") == append_dedup
             didx = kwargs.pop("dedup_index")
@@ -853,6 +839,22 @@ class Collection:
                     self._threads.append(t)
                     return None
                 return self.append_dedup(item, data, didx, **call)
+        if (self.get_item_metadata(item) or {}).get("_bucket_spec"):
+            # bucketed items append through the bucketed writer (pure
+            # file addition under the same bucket hash — scope="add"
+            # commit); key-merging strategies would need a rewrite and
+            # raise there. AFTER the dedup_index sugar above, so
+            # append(..., dedup_index=) still registers the index
+            # before the storage append delegates here.
+            from pystore_spark import bucketed as bk
+
+            bk.append_bucketed(
+                self, item, data, duplicate_handling, epochdate,
+                sidecar_extra,
+            )
+            if reload_items:
+                self._items_cache = None
+            return
         if threaded:
             # fire-and-forget like write_threaded (reference
             # pystore/collection.py:214-222); join via wait_for_tasks()
@@ -2657,6 +2659,7 @@ class Collection:
             self, name, spec["query"], spec["depends_on"],
             True, spec.get("index_col"),
             incremental=spec.get("incremental"),
+            **(spec.get("write_kwargs") or {}),
         )
         return {"mode": "rebuilt", "stale": rep["stale"]}
 
@@ -4118,18 +4121,52 @@ class Collection:
                     }
                 except Exception as exc:
                     res["rollups_error"] = str(exc)
-            if refresh_matviews:
-                # after compact/gc/delete above — all of those commit
-                # new file lists, so this is the step that re-trues
-                # matviews against everything maintain just did
-                try:
-                    res["matviews"] = {
-                        m: self.refresh_matview(m)
-                        for m in self.matviews_of(n)
-                    }
-                except Exception as exc:
-                    res["matviews_error"] = str(exc)
             out[n] = res
+        if refresh_matviews:
+            # after every per-item step above (all of which commit new
+            # file lists): re-true the TRANSITIVE matview closure of
+            # the maintained items to a fixpoint — a matview over a
+            # matview (or over a rollup) goes stale only when its
+            # parent refreshes, so one per-item pass would leave
+            # chains permanently stale. Bounded: each round must
+            # rebuild at least one view, and a rebuilt view is fresh
+            # for the rest of the pass.
+            from pystore_spark import matview as _mv
+
+            specs = {
+                m: (self.get_item_metadata(m) or {}).get(
+                    _mv.MATVIEW_META_KEY
+                )
+                for m in self.items
+            }
+            scope = set(names) | set(out)
+            grew = True
+            while grew:  # transitive dependents of maintained items
+                grew = False
+                for m, spec in specs.items():
+                    if spec and m not in scope and (
+                        scope & set(spec.get("depends_on") or [])
+                    ):
+                        scope.add(m)
+                        grew = True
+            chain: dict[str, dict] = {}
+            for _round in range(max(1, len(specs))):
+                progressed = False
+                for m, spec in specs.items():
+                    if not spec or m not in scope:
+                        continue
+                    try:
+                        rep = self.refresh_matview(m)
+                    except Exception as exc:
+                        chain[m] = {"error": str(exc)}
+                        continue
+                    if rep["mode"] != "fresh":
+                        chain[m] = rep
+                        progressed = True
+                if not progressed:
+                    break
+            if chain:
+                out["_matviews"] = chain
         return out
 
     def rebalance_partitions(

@@ -317,10 +317,10 @@ class Item:
             if cond is not None:
                 df = df.filter(cond)
             if self._columns is not None:
-                keep = [
-                    c for c in self._index_cols if c not in self._columns
-                ]
-                df = df.select(*keep, *self._columns)
+                # same projection the generic path produces — keeps
+                # the __ns nanosecond shadow columns a pandas restore
+                # needs (see _projected_columns)
+                df = df.select(*self._projected_columns(df.columns))
             return df
         if self._manifest is not None:
             from pystore_spark import manifest as mf

@@ -96,6 +96,23 @@ def stale_dependencies(collection: "Collection", spec: dict) -> dict:
 
 _MERGE_FNS = ("sum", "min", "max")
 
+# constructs that make "aggregate the delta, fold with sum/min/max"
+# unsound even when keys+merge cover the output: post-aggregation
+# filters/limits (HAVING/LIMIT/QUALIFY/OFFSET) can hide a group whose
+# delta-local aggregate fails the filter while the total passes;
+# DISTINCT and window functions (OVER) are not distributive; time
+# travel pins its own file lists. The screen is TEXTUAL and
+# conservative on purpose — a match merely falls back to the full
+# rebuild, it never changes a result.
+_NON_DISTRIBUTIVE = re.compile(
+    r"\b(HAVING|LIMIT|QUALIFY|OFFSET|DISTINCT|OVER)\b|\bAS\s+OF\b",
+    re.IGNORECASE,
+)
+
+
+def _distributive_query(query: str) -> bool:
+    return _NON_DISTRIBUTIVE.search(query) is None
+
 
 def build_and_write(
     collection: "Collection",
@@ -153,6 +170,10 @@ def build_and_write(
         "dep_files": pin,
         "index_col": index_col,
         "incremental": incremental,
+        # persisted so refreshes reproduce the create-time PHYSICAL
+        # layout (freq/compression/npartitions) — a refresh must never
+        # silently change how the view is stored
+        "write_kwargs": dict(write_kwargs),
     }
     collection.write(
         name,
@@ -189,8 +210,8 @@ def try_incremental_refresh(
     deps = spec.get("depends_on") or []
     if not inc or len(deps) != 1 or len(stale) != 1:
         return None
-    if " AS OF " in spec["query"].upper():
-        return None  # time-travel reads pin their own file lists
+    if not _distributive_query(spec["query"]):
+        return None
     dep = deps[0]
     it = collection.item(dep)
     cur_files = sorted((it._manifest or {}).get("files") or [])
@@ -211,28 +232,35 @@ def try_incremental_refresh(
         ddf = ddf.drop(PARTITION_COL)
     view = collection.sql_view_names([dep])[dep]
     ddf.createOrReplaceTempView(view)
-    part = collection.spark.sql(spec["query"])
-    old = collection.item(name).data
-    old_types = {f.name: f.dataType for f in old.schema.fields}
-    keys = inc["keys"]
-    aggs = [
-        getattr(F, fn)(c).cast(old_types[c]).alias(c)
-        for c, fn in inc["merge"].items()
-    ]
-    merged = (
-        old.unionByName(part.select(*old.columns))
-        .groupBy(*keys)
-        .agg(*aggs)
-        .select(*old.columns)
-    )
-    new_spec = {**spec, "dep_files": {dep: cur_files}}
-    collection.write(
-        name,
-        merged,
-        overwrite=True,
-        index_col=spec.get("index_col"),
-        sidecar_extra={MATVIEW_META_KEY: new_spec},
-    )
+    try:
+        # spark.sql resolves the relation eagerly, so the analyzed
+        # plan survives the drop below; the drop keeps the delta
+        # frame from shadowing the item for later SQL in the session
+        part = collection.spark.sql(spec["query"])
+        old = collection.item(name).data
+        old_types = {f.name: f.dataType for f in old.schema.fields}
+        keys = inc["keys"]
+        aggs = [
+            getattr(F, fn)(c).cast(old_types[c]).alias(c)
+            for c, fn in inc["merge"].items()
+        ]
+        merged = (
+            old.unionByName(part.select(*old.columns))
+            .groupBy(*keys)
+            .agg(*aggs)
+            .select(*old.columns)
+        )
+        new_spec = {**spec, "dep_files": {dep: cur_files}}
+        collection.write(
+            name,
+            merged,
+            overwrite=True,
+            index_col=spec.get("index_col"),
+            sidecar_extra={MATVIEW_META_KEY: new_spec},
+            **(spec.get("write_kwargs") or {}),
+        )
+    finally:
+        collection.spark.catalog.dropTempView(view)
     return {
         "mode": "incremental",
         "stale": stale,

@@ -234,3 +234,34 @@ def test_snapshot_of_bucketed_item(col):
     # the snapshot's manifest base-pointer resolves its own view dir
     snap = col.item("orders_b", snapshot="snap1")
     assert snap.data.count() == 300
+
+
+def test_append_sidecar_extra_merges_dict_aware(col):
+    """A streaming sink's counter entry must merge key-wise into
+    _streaming_commits, never wholesale-replace another sink's."""
+    col.append(
+        "orders_b", _orders(10, start=1000),
+        duplicate_handling="keep_all",
+        sidecar_extra={"_streaming_commits": {"a": 1}},
+    )
+    col.append(
+        "orders_b", _orders(10, start=2000),
+        duplicate_handling="keep_all",
+        sidecar_extra={"_streaming_commits": {"b": 2}},
+    )
+    meta = col.get_item_metadata("orders_b", use_cache=False)
+    assert meta["_streaming_commits"] == {"a": 1, "b": 2}
+
+
+def test_compact_preserves_concurrent_metadata(col):
+    """compact commits metadata-preserving (sidecar=None): metadata
+    committed after compact's snapshot read must survive."""
+    col.append(
+        "orders_b", _orders(10, start=1000),
+        duplicate_handling="keep_all",
+        sidecar_extra={"_streaming_commits": {"s": 9}},
+    )
+    col.compact("orders_b")
+    meta = col.get_item_metadata("orders_b", use_cache=False)
+    assert meta["_streaming_commits"] == {"s": 9}
+    assert meta["_bucket_spec"]["col"] == "k"

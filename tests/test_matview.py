@@ -155,11 +155,24 @@ def test_maintain_refreshes_matviews(col):
     col.create_matview("mv", SQL)
     col.append("ev", _events(6, start=50))
     out = col.maintain("ev", verify_indexes=False)
-    assert out["ev"]["matviews"]["mv"]["mode"] == "rebuilt"
+    assert out["_matviews"]["mv"]["mode"] == "rebuilt"
     assert col.matview_status("mv")["fresh"]
     # matviews are derived: never a primary maintain target
     out_all = col.maintain()
     assert "mv" not in out_all
+
+
+def test_maintain_refreshes_matview_chains(col):
+    """A matview over a matview goes stale only when its parent
+    refreshes — maintain must chase the chain to a fixpoint."""
+    col.create_matview("lvl1", SQL)
+    col.create_matview("lvl2", "SELECT count(*) AS n_kinds FROM lvl1")
+    col.append("ev", _events(6, start=50))
+    out = col.maintain("ev", verify_indexes=False)
+    assert out["_matviews"]["lvl1"]["mode"] == "rebuilt"
+    assert out["_matviews"]["lvl2"]["mode"] == "rebuilt"
+    assert col.matview_status("lvl1")["fresh"]
+    assert col.matview_status("lvl2")["fresh"]
 
 
 def test_matviews_of(col):
@@ -247,3 +260,40 @@ class TestIncrementalMaintenance:
                 "mv", SQL,
                 incremental={"keys": ["kind"], "merge": {"n": "sum"}},
             )
+
+    def test_having_forces_full_rebuild(self, col):
+        """Post-aggregation filters make the delta fold unsound: a
+        group's delta-local count can fail HAVING while the total
+        passes — the textual screen must route to the rebuild."""
+        q = (
+            "SELECT kind, count(*) AS n FROM ev GROUP BY kind "
+            "HAVING count(*) >= 5"
+        )
+        col.create_matview(
+            "mv", q,
+            incremental={"keys": ["kind"], "merge": {"n": "sum"}},
+        )
+        col.append("ev", _events(30, start=1000))
+        rep = col.refresh_matview("mv")
+        assert rep["mode"] == "rebuilt"
+        got = col.matview("mv", refresh="never").toPandas()
+        assert got["n"].sum() == 60  # every kind has 20 >= 5
+
+    def test_incremental_refresh_drops_delta_temp_view(self, col, spark):
+        col.create_matview("mv", INC_SQL, incremental=INC)
+        col.append("ev", _events(12, start=1000))
+        assert col.refresh_matview("mv")["mode"] == "incremental"
+        # the delta frame must not keep shadowing the item's view name
+        assert not spark.catalog.tableExists("ev")
+
+    def test_refresh_preserves_write_kwargs_layout(self, col):
+        col.create_matview(
+            "mvd",
+            "SELECT ts, value AS v FROM ev WHERE kind = 'a'",
+            index_col="ts", freq="M",
+        )
+        assert col.item("mvd")._plan.kind == "time"
+        col.append("ev", _events(12, start=1000))
+        assert col.refresh_matview("mvd")["mode"] == "rebuilt"
+        plan = col.item("mvd")._plan
+        assert plan.kind == "time" and plan.freq == "M"
