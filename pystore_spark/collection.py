@@ -839,6 +839,11 @@ class Collection:
                     self._threads.append(t)
                     return None
                 return self.append_dedup(item, data, didx, **call)
+        if not threaded:
+            # CHECK constraints veto the batch BEFORE any path
+            # (bucketed/arrow/spark) stages a byte; the threaded
+            # branch re-enters with threaded=False and enforces there
+            self._enforce_constraints(item, data)
         if (self.get_item_metadata(item) or {}).get("_bucket_spec"):
             # bucketed items append through the bucketed writer (pure
             # file addition under the same bucket hash — scope="add"
@@ -1701,6 +1706,11 @@ class Collection:
         from pystore_spark import bucketed as _bk
 
         _bk.guard_mutation(self, item, "merge_into")
+        # CHECK constraints vet the source rows (the only NEW data a
+        # merge can introduce; update expressions are the caller's
+        # explicit transformation and are not re-scanned — documented
+        # in add_constraint)
+        self._enforce_constraints(item, source)
         from pystore_spark import manifest as mf
         from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.partition import bucket_expr
@@ -3869,6 +3879,166 @@ class Collection:
             )
             prev_files = files
         return out
+
+    # ------------------------------------------------------------------
+    # persistent CHECK constraints (Delta-parity data contracts)
+    # ------------------------------------------------------------------
+    def add_constraint(
+        self,
+        item: str,
+        name: str,
+        expr: str,
+        verify_existing: bool = True,
+    ) -> dict:
+        """Persist a CHECK constraint on the item: from now on every
+        write path that adds rows (append in all strategies — Spark,
+        Arrow, bucketed, streaming sinks, ingest — and merge_into
+        sources) rejects a batch containing a row where ``expr``
+        evaluates FALSE (NULL passes, standard SQL CHECK semantics),
+        raising ``DataIntegrityError`` with per-constraint violation
+        counts before anything commits. Enforcement is one extra
+        aggregate over the INCOMING batch — O(batch), never O(item);
+        existing rows are vetted once here (``verify_existing``,
+        O(item), like Delta's ALTER TABLE ADD CONSTRAINT scan).
+
+        Constraints live in the manifest metadata (``_constraints``)
+        under the same CAS commit as every metadata write, so they
+        survive appends/compactions and travel with snapshots. An
+        intentional ``write(overwrite=True)`` replaces the item AND
+        its contracts — re-add after a rebuild."""
+        from pystore_spark.exceptions import (
+            ConcurrentCommitError,
+            DataIntegrityError,
+        )
+
+        self._require_spark_fs("constraint management")
+        it = self.item(item)
+        # parse/resolve eagerly: a typo'd column must fail HERE, not
+        # on the next append
+        probe = it.data.filter(F.expr(expr) == F.lit(False))
+        if verify_existing:
+            n_bad = probe.count()
+            if n_bad:
+                raise DataIntegrityError(
+                    f"cannot add constraint {name!r} to {item!r}: "
+                    f"{n_bad} existing rows violate ({expr})"
+                )
+        else:
+            probe.schema  # analysis only — no scan
+        item_path = self._item_path(item)
+        for _attempt in range(3):
+            man, etag = utils.read_manifest_versioned(item_path)
+            if man is None:
+                raise StorageError(
+                    f"item {item!r} has no manifest (legacy layout); "
+                    "rewrite it before adding constraints"
+                )
+            meta = dict(man.get("metadata") or {})
+            cons = dict(meta.get("_constraints") or {})
+            cons[name] = expr
+            meta["_constraints"] = cons
+            try:
+                utils.write_manifest(
+                    item_path,
+                    man.get("files") or [],
+                    meta,
+                    stale=man.get("stale"),
+                    version=int(man.get("version", 0)) + 1,
+                    stamp=False,  # a contract is not a data change
+                    stats=man.get("stats"),
+                    sizes=man.get("sizes"),
+                    if_match=etag,
+                )
+                self.clear_metadata_cache(item)
+                return dict(cons)
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"add_constraint({item!r}, {name!r}) lost the metadata "
+            "CAS 3 times; retry"
+        )
+
+    def drop_constraint(self, item: str, name: str) -> dict:
+        """Remove a CHECK constraint (no-op if absent). Same CAS
+        metadata commit as :meth:`add_constraint`."""
+        from pystore_spark.exceptions import ConcurrentCommitError
+
+        item_path = self._item_path(item)
+        for _attempt in range(3):
+            man, etag = utils.read_manifest_versioned(item_path)
+            if man is None:
+                return {}
+            meta = dict(man.get("metadata") or {})
+            cons = dict(meta.get("_constraints") or {})
+            cons.pop(name, None)
+            meta["_constraints"] = cons
+            try:
+                utils.write_manifest(
+                    item_path,
+                    man.get("files") or [],
+                    meta,
+                    stale=man.get("stale"),
+                    version=int(man.get("version", 0)) + 1,
+                    stamp=False,
+                    stats=man.get("stats"),
+                    sizes=man.get("sizes"),
+                    if_match=etag,
+                )
+                self.clear_metadata_cache(item)
+                return dict(cons)
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"drop_constraint({item!r}, {name!r}) lost the metadata "
+            "CAS 3 times; retry"
+        )
+
+    def constraints(self, item: str) -> dict:
+        """The item's persisted CHECK constraints, ``{name: expr}``."""
+        return dict(
+            (self.get_item_metadata(item) or {}).get("_constraints")
+            or {}
+        )
+
+    def _enforce_constraints(self, item: str, data: Any) -> None:
+        """Reject an incoming batch violating any persisted CHECK
+        constraint — ONE aggregate over the batch covering all
+        constraints (count of rows where expr IS FALSE; NULL passes).
+        Runs on the Spark path regardless of the batch's origin: a
+        constrained item trades the pure-Arrow fast path's last few
+        milliseconds for the contract."""
+        cons = self.constraints(item)
+        if not cons:
+            return
+        from pystore_spark.exceptions import DataIntegrityError
+
+        if isinstance(data, DataFrame):
+            df = data
+        elif isinstance(data, pd.DataFrame):
+            # surface a named index as a column so constraints can
+            # reference the index column like any other
+            pdf = (
+                data.reset_index()
+                if data.index.name is not None
+                else data
+            )
+            df = self.spark.createDataFrame(pdf)
+        else:
+            df = self.spark.createDataFrame(data)
+        row = df.agg(
+            *[
+                F.count_if(F.expr(e) == F.lit(False)).alias(n)
+                for n, e in cons.items()
+            ]
+        ).first()
+        bad = {n: int(row[n]) for n in cons if row[n]}
+        if bad:
+            raise DataIntegrityError(
+                f"append to {item!r} rejected by CHECK constraint(s) "
+                + ", ".join(
+                    f"{n} ({cons[n]}): {c} rows" for n, c in bad.items()
+                )
+            )
 
     def changes(
         self,
