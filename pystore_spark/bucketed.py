@@ -289,18 +289,40 @@ def append_bucketed(
     # With an extra, merge it DICT-AWARE against a fresh read — the
     # same utils.merge_sidecar discipline the generic append uses, so
     # a streaming sink's _streaming_commits entry never wholesale-
-    # replaces another sink's replay counter
+    # replaces another sink's replay counter.
+    # Retry a lost manifest CAS: two concurrent add-scope commits
+    # never conflict LOGICALLY (pure file additions), so the loser
+    # just re-merges its sidecar against the winner's metadata and
+    # re-commits (the first attempt's staged files are invisible
+    # orphans the GC sweeps).
     from pystore_spark import utils
+    from pystore_spark.exceptions import ConcurrentCommitError
 
-    sidecar = None
-    if sidecar_extra:
-        sidecar = utils.merge_sidecar(
-            collection.get_item_metadata(item, use_cache=False) or {},
-            sidecar_extra,
-        )
-    collection._commit_staged(
-        item, write_fn, sidecar, scope="add"
-    )
+    from pystore_spark import manifest as mf
+
+    for attempt in range(3):
+        sidecar = None
+        expect = None
+        if sidecar_extra:
+            # the merge is computed HERE, pre-stage — so pin the file
+            # state observed alongside it (expect_files): a concurrent
+            # commit would otherwise pass the etag CAS and let this
+            # STALE merged sidecar wholesale-revert the winner's
+            # metadata (the lost-update the concurrency test caught)
+            snap = collection.item(item)
+            sidecar = utils.merge_sidecar(
+                dict(snap.metadata or {}), sidecar_extra
+            )
+            expect = mf.bucket_file_map(snap._manifest or {})
+        try:
+            collection._commit_staged(
+                item, write_fn, sidecar, scope="add",
+                expect_files=expect,
+            )
+            break
+        except ConcurrentCommitError:
+            if attempt == 2:
+                raise
     collection.clear_metadata_cache(item)
 
 

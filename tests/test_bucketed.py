@@ -265,3 +265,33 @@ def test_compact_preserves_concurrent_metadata(col):
     meta = col.get_item_metadata("orders_b", use_cache=False)
     assert meta["_streaming_commits"] == {"s": 9}
     assert meta["_bucket_spec"]["col"] == "k"
+
+
+def test_concurrent_bucketed_appends_both_land(col):
+    """Two threads append disjoint batches concurrently: add-scope
+    commits never conflict logically, so a lost manifest CAS retries
+    and BOTH batches land exactly once."""
+    import threading
+
+    errs = []
+
+    def add(start):
+        try:
+            col.append(
+                "orders_b", _orders(30, start=start),
+                duplicate_handling="keep_all",
+                sidecar_extra={"_streaming_commits": {f"s{start}": 1}},
+            )
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    ts = [threading.Thread(target=add, args=(s,)) for s in (5000, 9000)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = col.item("orders_b").data
+    assert got.count() == 360
+    meta = col.get_item_metadata("orders_b", use_cache=False)
+    assert set(meta["_streaming_commits"]) == {"s5000", "s9000"}
