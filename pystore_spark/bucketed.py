@@ -49,6 +49,7 @@ Exchange-free; tools/colocated_scale.py measures it (BENCH_COLOCATED).
 from __future__ import annotations
 
 import hashlib
+import re
 import uuid
 from pathlib import Path
 from typing import TYPE_CHECKING, Any
@@ -340,17 +341,36 @@ def compact_bucketed(collection, item: str) -> dict:
 
     meta = collection.get_item_metadata(item) or {}
     spec = meta[BUCKET_SPEC_KEY]
+    bucket_of = re.compile(r".*_(\d+)(?:\..*)?$")  # Spark's file tag
     for _attempt in range(3):
         it = collection.item(item)
         files = (it._manifest or {}).get("files") or []
         n_before = len(files)
-        if n_before <= int(spec["n"]):
+        per_bucket: dict[str, int] = {}
+        for f in files:
+            m = bucket_of.match(Path(f).name)
+            if m:
+                per_bucket[m.group(1)] = per_bucket.get(m.group(1), 0) + 1
+        if not per_bucket or max(per_bucket.values()) <= 1:
+            # genuinely one file per bucket — the total-count check
+            # would wrongly no-op a skewed item whose keys hash into
+            # few buckets (e.g. 12 files in 4 of 16 buckets)
             return {
                 "buckets_compacted": 0,
                 "files_before": n_before,
                 "files_after": n_before,
             }
-        df = it.data.localCheckpoint(eager=True)  # pin rows pre-swap
+        # read the RAW manifest-resolved files, not the catalog table:
+        # the bucketed relation reports HashPartitioning(col, n), which
+        # lets Catalyst elide the rewrite's repartition as redundant —
+        # and the bucketed WRITER then emits one file per (task,
+        # bucket) pair instead of coalescing, the opposite of
+        # compaction (observed: 12 files in, 12 "compacted" out). The
+        # raw scan carries no partitioning claim, so the exchange
+        # really happens and each task holds exactly one bucket.
+        # Source files stay live throughout write_fn (manifest
+        # retention); a CAS retry rebuilds the handle fresh.
+        df = it.raw_frame()
         col_, n = spec["col"], int(spec["n"])
         spark = collection.spark
         codec = (meta.get("_partition_plan") or {}).get(

@@ -839,10 +839,13 @@ class Collection:
                     self._threads.append(t)
                     return None
                 return self.append_dedup(item, data, didx, **call)
-        if not threaded:
+        if not kwargs.pop("_constraints_checked", False):
             # CHECK constraints veto the batch BEFORE any path
-            # (bucketed/arrow/spark) stages a byte; the threaded
-            # branch re-enters with threaded=False and enforces there
+            # (bucketed/arrow/spark, threaded or not) stages a byte —
+            # and synchronously, so even a fire-and-forget threaded
+            # append surfaces the violation to its caller. The
+            # threaded re-entry below passes the marker so the batch
+            # is not re-scanned in the worker thread.
             self._enforce_constraints(item, data)
         if (self.get_item_metadata(item) or {}).get("_bucket_spec"):
             # bucketed items append through the bucketed writer (pure
@@ -874,6 +877,7 @@ class Collection:
                     "threaded": False,
                     "reload_items": reload_items,
                     "sidecar_extra": sidecar_extra,
+                    "_constraints_checked": True,  # vetted above
                     **kwargs,
                 },
                 daemon=True,
@@ -2355,11 +2359,14 @@ class Collection:
         item: str,
         from_snapshot: str | None = None,
         to_snapshot: str | None = None,
+        from_version: int | None = None,
+        to_version: int | None = None,
     ) -> DataFrame:
         """Change-data-feed between two versions of an item: the rows
         to delete and the rows to insert to turn the *from* version
-        into the *to* version (``None`` = the live item). Output = the
-        item's data columns plus ``_change`` ∈ {``insert``,
+        into the *to* version (``None`` = the live item; address a
+        side by snapshot name OR manifest version number). Output =
+        the item's data columns plus ``_change`` ∈ {``insert``,
         ``delete``}, multiset semantics — a row occurring k times more
         in *to* than in *from* yields k ``insert`` rows.
 
@@ -2379,8 +2386,10 @@ class Collection:
         Legacy (pre-manifest) items fall back to the full-frame
         multiset difference.
         """
-        it_from = self.item(item, snapshot=from_snapshot)
-        it_to = self.item(item, snapshot=to_snapshot)
+        it_from = self.item(
+            item, snapshot=from_snapshot, version=from_version
+        )
+        it_to = self.item(item, snapshot=to_snapshot, version=to_version)
 
         def _sides() -> tuple[DataFrame | None, DataFrame | None]:
             man_a, man_b = it_from._manifest, it_to._manifest
@@ -2975,10 +2984,10 @@ class Collection:
                     f"{idc!r}"
                 )
             # pre-filter BEFORE dequantize/ranking: the semi join
-            # shrinks the candidate set, never widens a shuffle
-            cand = cand.join(
-                allowed.select(idc).distinct(), idc, "left_semi"
-            )
+            # shrinks the candidate set, never widens a shuffle (no
+            # distinct — semi-join semantics already ignore duplicate
+            # right-side keys; deduping first would add an exchange)
+            cand = cand.join(allowed.select(idc), idc, "left_semi")
         if meta.get("quantized"):
             # decode the int8 codes for the (pruned) candidates only —
             # the scan stays 4× lighter, scoring is unchanged
@@ -3850,11 +3859,17 @@ class Collection:
         Pair with :meth:`changes` to pull the rows behind any window
         and ``item(version=)`` / ``FOR VERSION AS OF`` to read one."""
         item_path = self._item_path(item)
+        if not self.fs.exists(item_path):
+            raise ItemNotFoundError(
+                f"item {item!r} does not exist in collection "
+                f"{self.collection!r}"
+            )
         cur = utils.read_manifest(item_path) or {}
         cur_v = int(cur.get("version", 0))
         avail = set(cur.get("files") or []) | set(cur.get("stale") or {})
         out: list[dict] = []
         prev_files: set = set()
+        prev_v: int | None = None
         for v in sorted(utils.list_versions(item_path)):
             man = (
                 cur
@@ -3864,6 +3879,11 @@ class Collection:
             if man is None:
                 continue
             files = set(man.get("files") or [])
+            # a GC'd predecessor makes the delta unattributable —
+            # report None rather than silently diffing against the
+            # last READABLE version and misassigning its changes
+            gapped = prev_v is not None and v != prev_v + 1
+            first = prev_v is None and v != 1
             out.append(
                 {
                     "version": int(v),
@@ -3871,13 +3891,18 @@ class Collection:
                         "_updated"
                     ),
                     "n_files": len(files),
-                    "n_added": len(files - prev_files),
-                    "n_removed": len(prev_files - files),
+                    "n_added": None
+                    if (gapped or first)
+                    else len(files - prev_files),
+                    "n_removed": None
+                    if (gapped or first)
+                    else len(prev_files - files),
                     "current": v == cur_v,
                     "readable": files <= avail,
                 }
             )
             prev_files = files
+            prev_v = v
         return out
 
     # ------------------------------------------------------------------
@@ -4014,6 +4039,12 @@ class Collection:
 
         if isinstance(data, DataFrame):
             df = data
+        elif isinstance(data, Item):
+            df = data.data
+        elif isinstance(data, pd.Series):
+            df = self.spark.createDataFrame(
+                data.to_frame(name=data.name or "value").reset_index()
+            )
         elif isinstance(data, pd.DataFrame):
             # surface a named index as a column so constraints can
             # reference the index column like any other
@@ -4061,12 +4092,15 @@ class Collection:
           ADDED FILES ONLY, O(new data), no diffing, no shuffle
           beyond the scan. Deletes: none by construction.
         * **rewrites in the window** (compaction, delete_where,
-          upsert): falls back to the exact row diff —
-          ``exceptAll`` both ways between the two versions, O(both
-          versions) with a shuffle each. ``mode="additive"`` raises
-          instead, for callers that must never pay that
-          (``mode="exact"`` forces the row diff even when the fast
-          path applies — e.g. to observe compaction no-ops as empty).
+          upsert): falls back to :meth:`diff` — files shared by both
+          manifests are pruned on the DRIVER (immutable once
+          committed), then ``exceptAll`` both ways over each side's
+          private files with positional schema alignment, so the cost
+          is O(changed data) even here, and a window spanning a
+          schema evolution still diffs. ``mode="additive"`` raises
+          instead, for callers that must never pay a row diff
+          (``mode="exact"`` forces it even when the fast path applies
+          — e.g. to observe compaction no-ops as empty).
 
         Downstream incremental consumers poll ``item.version`` and
         pull ``changes(item, since=last_seen)`` — the engine-native
@@ -4103,10 +4137,13 @@ class Collection:
                 "upsert); the additive fast path cannot express it — "
                 "use mode='auto' to pay the exact row diff"
             )
-        old, new = it_from.data, it_to.data
-        return new.exceptAll(old).select("*", ct("insert")).unionByName(
-            old.exceptAll(new).select("*", ct("delete"))
-        )
+        # exact path: delegate to diff() — file-level pruning (files
+        # shared by both manifests are skipped without I/O, so the
+        # cost is O(changed data), not O(both versions)) plus the
+        # positional schema alignment evolved windows need
+        return self.diff(
+            item, from_version=since, to_version=until
+        ).withColumnRenamed("_change", "_change_type")
 
     def export_webdataset(
         self,

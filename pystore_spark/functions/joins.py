@@ -255,11 +255,12 @@ def asof_join(
             f_ok = ft.isNotNull() & tol_ok(False, ft)
         else:
             b_ok, f_ok = bt.isNotNull(), ft.isNotNull()
-        td = F.col("_asof_t").cast("double")
-        pick_b = b_ok & (
-            ~f_ok
-            | ((td - bt.cast("double")) <= (ft.cast("double") - td))
-        )
+        # distances compare in the NATIVE domain: timestamp/date
+        # subtraction yields comparable intervals and long/decimal
+        # keys subtract exactly — a double cast would reject DateType
+        # outright and lose precision past 2^53 (int64 ns epochs)
+        td = F.col("_asof_t")
+        pick_b = b_ok & (~f_ok | ((td - bt) <= (ft - td)))
         for c in [out_names[c] for c in values] + ["_asof_rt"]:
             b, f_ = (
                 (f"{c}_b", f"{c}_f")

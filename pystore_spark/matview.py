@@ -100,12 +100,18 @@ _MERGE_FNS = ("sum", "min", "max")
 # unsound even when keys+merge cover the output: post-aggregation
 # filters/limits (HAVING/LIMIT/QUALIFY/OFFSET) can hide a group whose
 # delta-local aggregate fails the filter while the total passes;
-# DISTINCT and window functions (OVER) are not distributive; time
+# DISTINCT, window functions (OVER) and set operations are not
+# distributive; JOIN/LATERAL pair rows ACROSS the frame (a delta-only
+# substitution loses every old×new pair — self-joins included); time
 # travel pins its own file lists. The screen is TEXTUAL and
 # conservative on purpose — a match merely falls back to the full
-# rebuild, it never changes a result.
+# rebuild, it never changes a result. A second structural check in
+# try_incremental_refresh requires the dependency's view name to
+# appear EXACTLY ONCE, which also catches scalar subqueries over the
+# same table (``WHERE v > (SELECT avg(v) FROM ev)``).
 _NON_DISTRIBUTIVE = re.compile(
-    r"\b(HAVING|LIMIT|QUALIFY|OFFSET|DISTINCT|OVER)\b|\bAS\s+OF\b",
+    r"\b(HAVING|LIMIT|QUALIFY|OFFSET|DISTINCT|OVER|JOIN|LATERAL"
+    r"|UNION|INTERSECT|EXCEPT)\b|\bAS\s+OF\b",
     re.IGNORECASE,
 )
 
@@ -211,6 +217,15 @@ def try_incremental_refresh(
     if not inc or len(deps) != 1 or len(stale) != 1:
         return None
     if not _distributive_query(spec["query"]):
+        return None
+    dep0 = deps[0]
+    view0 = collection.sql_view_names([dep0])[dep0]
+    if len(
+        [t for t in _TOKEN_RE.findall(spec["query"]) if t == view0]
+    ) != 1:
+        # the delta substitution rebinds EVERY reference of the view;
+        # more than one (self-join arms, scalar subqueries over the
+        # same table) would lose old×delta interactions — rebuild
         return None
     dep = deps[0]
     it = collection.item(dep)

@@ -100,8 +100,65 @@ def test_bucketed_append_enforced(test_collection):
 
 def test_threaded_append_enforced(col):
     col.add_constraint("t", "px_pos", "px > 0")
-    col.append("t", _b(3, start=800, v0=-2.0),
+    # enforcement is SYNCHRONOUS even for fire-and-forget appends:
+    # the caller sees the violation immediately, before any thread
+    with pytest.raises(DataIntegrityError, match="px_pos"):
+        col.append("t", _b(3, start=800, v0=-2.0),
+                   duplicate_handling="keep_all", threaded=True)
+    col.wait_for_tasks()
+    assert col.item("t").data.count() == 10
+    # a clean threaded batch still lands, vetted once (not re-scanned
+    # in the worker thread)
+    col.append("t", _b(3, start=800),
                duplicate_handling="keep_all", threaded=True)
     col.wait_for_tasks()
-    # the violating batch must not have landed (enforced in-thread)
-    assert col.item("t").data.count() == 10
+    assert col.item("t").data.count() == 13
+
+
+def test_threaded_bucketed_append_enforced(test_collection):
+    """The combination the two separate paths missed: a threaded
+    append to a BUCKETED item must still be vetted (and
+    synchronously — the caller sees the error, not the thread)."""
+    df = pd.DataFrame({"k": range(30), "v": [1.0] * 30})
+    test_collection.write("bk2", df, bucket_by="k", n_buckets=2,
+                          index_col="k")
+    test_collection.add_constraint("bk2", "v_pos", "v > 0")
+    bad = pd.DataFrame({"k": range(100, 103), "v": [-1.0] * 3})
+    with pytest.raises(DataIntegrityError, match="v_pos"):
+        test_collection.append(
+            "bk2", bad, duplicate_handling="keep_all", threaded=True
+        )
+    test_collection.wait_for_tasks()
+    assert test_collection.item("bk2").data.count() == 30
+
+
+def test_enforce_handles_series_and_item(col):
+    # Series-shaped item: constraints must evaluate on Series input
+    s0 = pd.Series(
+        [1.0, 2.0],
+        index=pd.date_range("2024-06-01", periods=2, freq="h"),
+        name="px",
+    )
+    s0.index.name = "ts"
+    col.write("sp", s0, index_col="ts")
+    col.add_constraint("sp", "px_pos", "px > 0")
+    good = pd.Series(
+        [5.0], index=pd.date_range("2024-06-02", periods=1), name="px"
+    )
+    good.index.name = "ts"
+    col.append("sp", good, duplicate_handling="keep_all")
+    bad = pd.Series(
+        [-5.0], index=pd.date_range("2024-06-03", periods=1), name="px"
+    )
+    bad.index.name = "ts"
+    with pytest.raises(DataIntegrityError, match="px_pos"):
+        col.append("sp", bad, duplicate_handling="keep_all")
+    assert col.item("sp").data.count() == 3
+    # Item input: append another item's rows into t
+    col.add_constraint("t", "px_pos", "px > 0")
+    col.write("t2", _b(3, start=900), index_col="ts")
+    col.append("t", col.item("t2"), duplicate_handling="keep_all")
+    assert col.item("t").data.count() == 13
+    col.write("t3", _b(2, start=950, v0=-9.0), index_col="ts")
+    with pytest.raises(DataIntegrityError, match="px_pos"):
+        col.append("t", col.item("t3"), duplicate_handling="keep_all")

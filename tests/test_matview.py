@@ -297,3 +297,25 @@ class TestIncrementalMaintenance:
         assert col.refresh_matview("mvd")["mode"] == "rebuilt"
         plan = col.item("mvd")._plan
         assert plan.kind == "time" and plan.freq == "M"
+
+
+def test_self_join_forces_full_rebuild(col):
+    """A self-join pairs rows ACROSS the frame: delta substitution
+    would lose every old-x-new pair — must route to the rebuild."""
+    q = (
+        "SELECT a.kind, count(*) AS n FROM ev a "
+        "JOIN ev b ON a.kind = b.kind GROUP BY a.kind"
+    )
+    col.create_matview(
+        "mv", q, depends_on=["ev"],
+        incremental={"keys": ["kind"], "merge": {"n": "sum"}},
+    )
+    col.append("ev", _events(6, start=1000))
+    rep = col.refresh_matview("mv")
+    assert rep["mode"] == "rebuilt"
+    exp = col.sql(q).toPandas().sort_values("kind")["n"].tolist()
+    got = (
+        col.matview("mv", refresh="never").toPandas()
+        .sort_values("kind")["n"].tolist()
+    )
+    assert got == exp
