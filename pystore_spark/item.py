@@ -600,6 +600,36 @@ class Item:
         pdf = df.toPandas()
         return restore_pandas(pdf, self._restore_meta(pdf.columns))
 
+    def n_rows(self) -> int:
+        """EXACT row count from parquet footers — O(live files) footer
+        reads on the driver, no Spark job, no data I/O. At 100 TB a
+        ``data.count()`` schedules a cluster scan to learn a number
+        the footers already store; this answers the monitoring /
+        sanity-check shape ("did the append land?") in milliseconds.
+        Counts the FULL item: a handle carrying row filters falls
+        back to the filtered Spark count (footers can't apply
+        predicates exactly)."""
+        if self._filters:
+            return int(self.data.count())
+        import pyarrow.parquet as pq
+
+        pa_fs = self._fs.as_pyarrow_filesystem()
+        if self._manifest is not None:
+            from pystore_spark import manifest as mf
+
+            base = mf.base_dir(self._path, self._manifest)
+            paths = [
+                str(base / r) for r in (self._manifest.get("files") or [])
+            ]
+        else:
+            paths = self._fs.list_files(self._path, ".parquet")
+        total = 0
+        for p in paths:
+            total += pq.ParquetFile(
+                p, filesystem=pa_fs
+            ).metadata.num_rows
+        return total
+
     def head(self, n: int = 5) -> pd.DataFrame:
         df = self.data
         present = [c for c in self._index_cols if c in df.columns]

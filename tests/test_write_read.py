@@ -333,3 +333,32 @@ def test_compression_survives_replanning_paths(test_collection):
     assert codecs("t") == {"zstd"}
     c.rebalance_partitions("t")
     assert codecs("t") == {"zstd"}
+
+
+def test_n_rows_footer_count(test_collection, spark):
+    """Item.n_rows: exact count from parquet footers, no Spark job;
+    filtered handles fall back to the Spark count."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=120, freq="h"),
+        "v": [float(i) for i in range(120)],
+    })
+    test_collection.write("nr", df, index_col="ts", freq="D")
+    assert test_collection.item("nr").n_rows() == 120
+    test_collection.append(
+        "nr", df.assign(ts=df["ts"] + pd.Timedelta(days=30)),
+        duplicate_handling="keep_all",
+    )
+    assert test_collection.item("nr").n_rows() == 240
+    # time travel counts that version's files
+    assert test_collection.item("nr", version=1).n_rows() == 120
+    # filtered handle: exact filtered count via Spark
+    h = test_collection.item("nr", filters=[[("v", "<", 10.0)]])
+    assert h.n_rows() == 20
+    # bucketed items count the same way
+    test_collection.write(
+        "nrb", pd.DataFrame({"k": range(50), "v": [1.0] * 50}),
+        bucket_by="k", n_buckets=4, index_col="k",
+    )
+    assert test_collection.item("nrb").n_rows() == 50
