@@ -2154,6 +2154,48 @@ class Collection:
         if buffered:
             yield normalize_read_types(pa.Table.from_batches(buf)).to_pandas()
 
+    def describe(self, item: str) -> dict:
+        """DESCRIBE DETAIL: one driver-side call tying together
+        everything the engine knows about an item — layout, size,
+        exact row count (parquet footers, no scan), commit position,
+        contracts, and every derived-state role it plays (index kinds,
+        matview/rollup specs, bucket spec). Pure metadata + footer
+        reads; nothing scans data."""
+        it = self.item(item)
+        meta = it.metadata or {}
+        plan = it._plan
+        roles = {}
+        for key, role in (
+            ("_dedup_index", "dedup_index"),
+            ("_line_index", "line_index"),
+            ("_vector_index", "vector_index"),
+            ("_matview", "matview"),
+            ("_rollup", "rollup"),
+            ("_bucket_spec", "bucketed"),
+        ):
+            if meta.get(key):
+                roles[role] = True
+        man = it._manifest or {}
+        return {
+            "item": item,
+            "version": it.version,
+            "updated": meta.get("_updated"),
+            "layout": plan.to_dict() if plan else None,
+            "index_columns": list(it._index_cols),
+            "n_rows": it.n_rows(),
+            "n_files": len(man.get("files") or []),
+            "size_bytes": self.item_size_bytes(item),
+            "n_stale_retained": len(man.get("stale") or {}),
+            "constraints": dict(meta.get("_constraints") or {}),
+            "bucket_spec": meta.get("_bucket_spec"),
+            "roles": roles,
+            "matviews_of": self.matviews_of(item),
+            "rollups_of": self.rollups_of(item),
+            "n_versions_readable": len(
+                [h for h in self.history(item) if h["readable"]]
+            ),
+        }
+
     def item_size_bytes(self, item: str) -> int:
         """On-disk size of the item's LIVE parquet parts (reference
         memory/size estimate: pystore/collection.py:438-445);

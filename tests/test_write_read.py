@@ -362,3 +362,35 @@ def test_n_rows_footer_count(test_collection, spark):
         bucket_by="k", n_buckets=4, index_col="k",
     )
     assert test_collection.item("nrb").n_rows() == 50
+
+
+def test_describe_detail(test_collection):
+    import pandas as pd
+
+    col = test_collection
+    df = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=60, freq="h"),
+        "kind": ["a", "b"] * 30,
+        "v": [float(i) for i in range(60)],
+    })
+    col.write("dd", df, index_col="ts", freq="D")
+    col.add_constraint("dd", "v_ok", "v >= 0")
+    col.create_matview(
+        "dd_mv", "SELECT kind, count(*) AS n FROM dd GROUP BY kind"
+    )
+    d = col.describe("dd")
+    assert d["n_rows"] == 60 and d["n_files"] >= 1
+    assert d["layout"]["strategy"] == "time"
+    assert d["index_columns"] == ["ts"]
+    assert d["constraints"] == {"v_ok": "v >= 0"}
+    assert d["matviews_of"] == ["dd_mv"]
+    assert d["n_versions_readable"] >= 1
+    dm = col.describe("dd_mv")
+    assert dm["roles"] == {"matview": True}
+    col.write(
+        "dd_b", pd.DataFrame({"k": range(20), "v": [1.0] * 20}),
+        bucket_by="k", n_buckets=2, index_col="k",
+    )
+    db = col.describe("dd_b")
+    assert db["roles"] == {"bucketed": True}
+    assert db["bucket_spec"]["n"] == 2
