@@ -319,3 +319,55 @@ def test_self_join_forces_full_rebuild(col):
         .sort_values("kind")["n"].tolist()
     )
     assert got == exp
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_incremental_fold_equals_rebuild_randomized(
+    test_collection, seed
+):
+    """Property: after ANY sequence of disjoint appends, the
+    incremental fold equals a from-scratch rebuild — same rows, same
+    dtypes. Randomized kinds/values/batch sizes per seed."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    col = test_collection
+
+    def batch(day0, n):
+        return pd.DataFrame({
+            "ts": pd.date_range(
+                f"2024-01-{day0:02d}", periods=n, freq="min"
+            ),
+            "kind": rng.choice(list("abcdef"), n),
+            "value": rng.normal(100, 50, n).round(6),
+        })
+
+    col.write("rev", batch(1, int(rng.integers(20, 60))),
+              index_col="ts", freq="D")
+    q = (
+        "SELECT kind, count(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(30,6)) "
+        "AS total, min(value) AS lo, max(value) AS hi "
+        "FROM rev GROUP BY kind"
+    )
+    col.create_matview(
+        "rmv", q,
+        incremental={"keys": ["kind"],
+                     "merge": {"n": "sum", "total": "sum",
+                               "lo": "min", "hi": "max"}},
+    )
+    for day0 in (5, 9, 13):
+        col.append("rev", batch(day0, int(rng.integers(10, 50))),
+                   duplicate_handling="keep_all")
+        rep = col.refresh_matview("rmv")
+        assert rep["mode"] == "incremental", rep
+    got = (
+        col.matview("rmv", refresh="never").toPandas()
+        .sort_values("kind").reset_index(drop=True)
+    )
+    col.refresh_matview("rmv", force=True)
+    exp = (
+        col.matview("rmv", refresh="never").toPandas()
+        .sort_values("kind").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
