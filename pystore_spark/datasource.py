@@ -1,0 +1,220 @@
+"""Native Spark data source for the store — ``format("pystore")``.
+
+Spark 4's Python Data Source API lets the engine expose itself as a
+first-class source, closing the loop the sinks opened: downstream
+pipelines no longer poll ``Collection.changes`` by hand — they
+``readStream`` the store and Structured Streaming drives watermarks,
+checkpoints, and exactly-once for them.
+
+* **Batch**: ``spark.read.format("pystore").options(path=, store=,
+  collection=, item=).load()`` — one input partition per LIVE file of
+  the item's current manifest (MVCC-consistent: the file list is
+  pinned at load, staged/stale files invisible), streamed back as
+  Arrow record batches.
+* **Streaming**: ``spark.readStream.format("pystore")...`` — the
+  manifest VERSION is the offset. Each micro-batch reads exactly the
+  files ADDED between two committed versions (the change-feed fast
+  path, O(new data)); version manifests give replayable offsets, so a
+  restarted query resumes from its checkpoint. Appends are the
+  streamable mutation; a REWRITE inside an uncommitted window
+  (compaction, delete, upsert) raises a clear error — the same
+  append-only contract every file-based Spark stream has, but
+  enforced from the manifest instead of silently missed.
+
+Workers need only this package + pyarrow (readers re-resolve
+manifests from the shared filesystem; no driver state beyond the
+pickled options travels).
+
+Register once per session::
+
+    from pystore_spark.datasource import register
+    register(spark)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.types import StructType
+
+FORMAT_NAME = "pystore"
+
+
+@dataclass
+class FilePartition(InputPartition):
+    path: str
+
+
+def _item_dir(options: dict) -> str:
+    import os
+
+    for k in ("path", "store", "collection", "item"):
+        if not options.get(k):
+            raise ValueError(
+                "pystore source needs options path= (store root), "
+                f"store=, collection=, item= — missing {k!r}"
+            )
+    return os.path.join(
+        options["path"], options["store"], options["collection"],
+        options["item"],
+    )
+
+
+def _manifest(item_dir: str, version: int | None = None) -> dict:
+    from pystore_spark import utils
+
+    if version is None:
+        man = utils.read_manifest(item_dir)
+    elif version == 0:
+        return {"files": [], "version": 0}
+    else:
+        man = utils.read_version_manifest(item_dir, version)
+    if man is None:
+        raise ValueError(
+            f"no readable manifest for {item_dir!r}"
+            + (f" at version {version}" if version is not None else "")
+            + " — the item does not exist, predates the manifest "
+            "protocol, or the version was garbage-collected"
+        )
+    return man
+
+
+def _abs_files(item_dir: str, man: dict) -> list[str]:
+    from pystore_spark import manifest as mf
+
+    base = mf.base_dir(item_dir, man)
+    return [str(base / r) for r in sorted(man.get("files") or [])]
+
+
+def _read_file_batches(path: str, schema: "StructType"):
+    """Arrow record batches for one parquet file, projected onto the
+    declared schema's column order."""
+    import pyarrow.parquet as pq
+
+    names = [f.name for f in schema.fields]
+    pf = pq.ParquetFile(path)
+    for batch in pf.iter_batches(columns=names):
+        yield batch.select(names)
+
+
+class PyStoreBatchReader(DataSourceReader):
+    def __init__(self, options: dict, schema: "StructType") -> None:
+        self._schema = schema
+        self._item_dir = _item_dir(options)
+        # pin the manifest NOW: every partition of this scan reads one
+        # consistent version, however long the job runs
+        self._files = _abs_files(
+            self._item_dir, _manifest(self._item_dir)
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [FilePartition(p) for p in self._files]
+
+    def read(self, partition: FilePartition) -> Iterator:
+        yield from _read_file_batches(partition.path, self._schema)
+
+
+class PyStoreStreamReader(DataSourceStreamReader):
+    """Manifest versions as offsets; micro-batches read exactly the
+    files added between two committed versions."""
+
+    def __init__(self, options: dict, schema: "StructType") -> None:
+        self._schema = schema
+        self._item_dir = _item_dir(options)
+        self._from_beginning = (
+            str(options.get("startingversion", "0")).lower()
+            in ("0", "earliest")
+        )
+
+    def initialOffset(self) -> dict:
+        if self._from_beginning:
+            return {"version": 0}
+        return {
+            "version": int(_manifest(self._item_dir).get("version", 0))
+        }
+
+    def latestOffset(self) -> dict:
+        return {
+            "version": int(_manifest(self._item_dir).get("version", 0))
+        }
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0:
+            return []
+        old = set(
+            _abs_files(
+                self._item_dir, _manifest(self._item_dir, version=v0)
+            )
+        )
+        new = _abs_files(
+            self._item_dir, _manifest(self._item_dir, version=v1)
+        )
+        if not old <= set(new):
+            raise ValueError(
+                f"versions {v0}..{v1} of {self._item_dir!r} include a "
+                "rewrite (compaction/delete/upsert) — a stream reads "
+                "append-only windows; reconcile rewrites in batch via "
+                "Collection.changes(mode='auto')"
+            )
+        return [FilePartition(p) for p in new if p not in old]
+
+    def read(self, partition: FilePartition) -> Iterator:
+        yield from _read_file_batches(partition.path, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are replayable version manifests; nothing to ack
+
+
+class PyStoreDataSource(DataSource):
+    """``format("pystore")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> "StructType":
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        item_dir = _item_dir(self.options)
+        files = _abs_files(item_dir, _manifest(item_dir))
+        if not files:
+            raise ValueError(f"item at {item_dir!r} has no data files")
+        return from_arrow_schema(pq.read_schema(files[0]))
+
+    def reader(self, schema: "StructType") -> PyStoreBatchReader:
+        return PyStoreBatchReader(dict(self.options), schema)
+
+    def streamReader(self, schema: "StructType") -> PyStoreStreamReader:
+        return PyStoreStreamReader(dict(self.options), schema)
+
+
+def register(spark) -> None:
+    """Register ``format("pystore")`` with the session (idempotent)."""
+    spark.dataSource.register(PyStoreDataSource)
+
+
+def source_options(collection, item: str) -> dict:
+    """The option dict addressing ``item`` of this collection —
+    convenience for ``.options(**source_options(col, "it"))``."""
+    from pathlib import Path
+
+    store_dir = Path(collection.datastore)
+    return {
+        "path": str(store_dir.parent),
+        "store": store_dir.name,
+        "collection": collection.collection,
+        "item": item,
+    }
