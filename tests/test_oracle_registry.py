@@ -45,6 +45,7 @@ PROMOTED = {
     "merge_into_probe", "matview_refresh_probe",
     "histogram_percentile_probe", "webdataset_export_probe",
     "colocated_join_probe", "change_feed_probe",
+    "datasource_read_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
@@ -52,7 +53,7 @@ RETAINED = {
     "tfidf_top_terms", "near_dedup_kept_docs",
     "event_seq_applyinpandas",
     "incremental_dedup_probe", "near_dedup_recall_audit",
-    "vocab_topk", "doc_length_histogram", "ohlc_resample",
+    "doc_length_histogram", "ohlc_resample",
     "line_dedup_stats", "quality_classifier_scores",
     "index_audit_probe", "signlsh_candidate_topk",
     "interval_join_banded", "embedding_quantization_audit",
@@ -108,6 +109,9 @@ ROTATED_OUT = {
     # stage-for-stage oracle; demoted (4 green rounds) for the
     # change_feed_probe flagship:
     "quality_funnel",
+    # top-k frequency family covered in-window by tfidf_top_terms;
+    # demoted (4 green rounds) for the datasource_read_probe flagship:
+    "vocab_topk",
     # trailing-window family covered by running_sum/gapfill in-window;
     # demoted for the bpe_encode_ids flagship:
     "rolling_zscore_outliers",
