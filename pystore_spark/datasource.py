@@ -29,6 +29,14 @@ Register once per session::
 
     from pystore_spark.datasource import register
     register(spark)
+
+Writes deliberately stay on the ``foreachBatch`` sinks
+(streaming.py): a sink runs REAL engine appends — duplicate-handling
+strategies, CHECK-constraint vetting, persistent-index updates,
+rollup/matview refresh — against whole micro-batch DataFrames. A
+row-level ``DataSourceStreamWriter`` sees only partition iterators
+and could express none of that; offering both would fork the write
+path's semantics.
 """
 
 from __future__ import annotations
