@@ -2154,6 +2154,91 @@ class Collection:
         if buffered:
             yield normalize_read_types(pa.Table.from_batches(buf)).to_pandas()
 
+    def restore(self, item: str, version: int) -> dict:
+        """RESTORE: roll the item back to a committed version — as a
+        NEW commit, not a rewrite. The target version's file list and
+        metadata become live again (its files must still survive in
+        the live ∪ stale-retained set — the same availability rule
+        time travel reads by; vacuum'd versions are gone for restore
+        too), the rolled-back files move to the stale map for
+        in-flight readers, and history keeps BOTH directions: the
+        mistake, the restore, and everything between stay auditable
+        and re-restorable. Zero data I/O — a restore is a manifest
+        pointer swap whatever the item's size.
+
+        Derived state (matviews, rollups, indexes) sees the restore
+        like any other commit: file lists moved, so staleness flips
+        and the next maintain()/refresh re-trues them."""
+        item_path = self._item_path(item)
+        target = utils.read_version_manifest(item_path, int(version))
+        if target is None:
+            from pystore_spark.exceptions import VersionNotFoundError
+
+            raise VersionNotFoundError(
+                f"version {version} of item {item!r} is unknown or "
+                f"GC'd; readable versions: "
+                f"{[h['version'] for h in self.history(item) if h['readable']]}"
+            )
+        for _attempt in range(3):
+            man, etag = utils.read_manifest_versioned(item_path)
+            if man is None:
+                raise StorageError(
+                    f"item {item!r} has no manifest (legacy layout)"
+                )
+            if man.get("base"):
+                raise StorageError(
+                    f"item {item!r} is a snapshot pointer and is "
+                    "read-only"
+                )
+            cur_v = int(man.get("version", 0))
+            if int(version) == cur_v:
+                return {"restored_to": cur_v, "new_version": cur_v,
+                        "noop": True}
+            live = set(man.get("files") or [])
+            stale = dict(man.get("stale") or {})
+            want = list(target.get("files") or [])
+            missing = [
+                f for f in want if f not in live and f not in stale
+            ]
+            if missing:
+                raise StorageError(
+                    f"cannot restore {item!r} to version {version}: "
+                    f"{len(missing)} of its files were vacuumed "
+                    f"(e.g. {missing[:3]})"
+                )
+            now = time.time()
+            new_stale = {
+                f: t for f, t in stale.items() if f not in set(want)
+            }
+            for f in live - set(want):
+                new_stale[f] = now
+            try:
+                utils.write_manifest(
+                    item_path,
+                    want,
+                    dict(target.get("metadata") or {}),
+                    stale=new_stale,
+                    version=cur_v + 1,
+                    stats=target.get("stats"),
+                    sizes=target.get("sizes"),
+                    if_match=etag,
+                )
+                self.clear_metadata_cache(item)
+                return {
+                    "restored_to": int(version),
+                    "new_version": cur_v + 1,
+                    "files_relinked": len(
+                        [f for f in want if f not in live]
+                    ),
+                    "files_retired": len(live - set(want)),
+                }
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"restore({item!r}, {version}) lost the manifest CAS 3 "
+            "times; serialize with writers and retry"
+        )
+
     def describe(self, item: str) -> dict:
         """DESCRIBE DETAIL: one driver-side call tying together
         everything the engine knows about an item — layout, size,

@@ -327,3 +327,69 @@ def test_history_describes_commits(test_collection):
     col.vacuum("h", retention=0)
     hist2 = col.history("h")
     assert hist2[-1]["readable"]
+
+
+def test_restore_rolls_back_as_new_commit(test_collection):
+    import pandas as pd
+    import pytest as _pytest
+
+    from pystore_spark.exceptions import VersionNotFoundError
+
+    col = test_collection
+
+    def b(n, day):
+        return pd.DataFrame({
+            "ts": pd.date_range(f"2024-01-{day:02d}", periods=n, freq="h"),
+            "v": [float(day * 100 + i) for i in range(n)],
+        })
+
+    col.write("r", b(10, 1), index_col="ts", freq="D")
+    col.append("r", b(10, 5), duplicate_handling="keep_all")
+    col.append("r", b(10, 9), duplicate_handling="keep_all")
+    assert col.item("r").data.count() == 30
+    rep = col.restore("r", 1)
+    assert rep["restored_to"] == 1 and rep["new_version"] == 4
+    assert rep["files_retired"] >= 2
+    got = col.item("r").data.toPandas()
+    assert len(got) == 10 and got["v"].max() < 200
+    # both directions stay readable: the "mistake" and the restore
+    assert col.item("r", version=3).data.count() == 30
+    assert col.item("r", version=1).data.count() == 10
+    # restore of the restore (roll forward again)
+    rep2 = col.restore("r", 3)
+    assert col.item("r").data.count() == 30
+    assert rep2["files_relinked"] >= 2
+    # matview staleness flips on restore like any commit
+    col.create_matview(
+        "r_mv", "SELECT count(*) AS n FROM r", depends_on=["r"]
+    )
+    col.restore("r", 1)
+    assert col.matview_status("r_mv")["stale"] == ["r"]
+    assert col.matview("r_mv").toPandas()["n"][0] == 10
+    # noop restore + unknown version
+    cur = col.item("r").version
+    assert col.restore("r", cur)["noop"]
+    with _pytest.raises(VersionNotFoundError):
+        col.restore("r", 999)
+
+
+def test_restore_blocked_after_vacuum(test_collection):
+    import pandas as pd
+    import pytest as _pytest
+
+    from pystore_spark.exceptions import StorageError
+
+    col = test_collection
+    df = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=12, freq="h"),
+        "v": [float(i) for i in range(12)],
+    })
+    col.write("rv", df, index_col="ts")
+    col.append(
+        "rv", df.assign(ts=df["ts"] + pd.Timedelta(days=40), v=df["v"] + 100),
+        duplicate_handling="keep_all",
+    )
+    # flat item: the append rewrote the file; vacuum kills v1's file
+    col.vacuum("rv", retention=0)
+    with _pytest.raises((StorageError, Exception)):
+        col.restore("rv", 1)
