@@ -81,11 +81,17 @@ def guard_mutation(collection, item: str, op: str) -> None:
         )
 
 
+def _cols_of(spec: dict) -> list[str]:
+    """Bucket column list; reads both the multi-column form and the
+    original single-column spec."""
+    return list(spec.get("cols") or [spec["col"]])
+
+
 def write_bucketed(
     collection,
     item: str,
     data: Any,
-    bucket_by: str,
+    bucket_by,
     n_buckets: int,
     metadata: dict | None,
     overwrite: bool,
@@ -110,9 +116,13 @@ def write_bucketed(
     df, pmeta, _nrows, _mm = collection._prepare_input(
         data, epochdate=epochdate, index_col=index_col
     )
-    if bucket_by not in df.columns:
+    bcols = (
+        [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    )
+    missing_b = [c for c in bcols if c not in df.columns]
+    if missing_b:
         raise ValidationError(
-            f"bucket_by column {bucket_by!r} not in frame"
+            f"bucket_by column(s) {missing_b} not in frame"
         )
     spark = collection.spark
     codec = compression or "snappy"
@@ -120,12 +130,12 @@ def write_bucketed(
     def write_fn(tmp: Path) -> None:
         stage_tbl = f"ps_bkt_stage_{uuid.uuid4().hex[:12]}"
         (
-            df.repartition(n_buckets, bucket_by)
+            df.repartition(n_buckets, *bcols)
             .write.format("parquet")
             .option("path", str(tmp))
             .option("compression", codec)
-            .bucketBy(n_buckets, bucket_by)
-            .sortBy(bucket_by)
+            .bucketBy(n_buckets, *bcols)
+            .sortBy(*bcols)
             .mode("overwrite")
             .saveAsTable(stage_tbl)
         )
@@ -138,9 +148,10 @@ def write_bucketed(
     sidecar = {**(metadata or {}), **(sidecar_extra or {})}
     sidecar[META_KEY] = pmeta
     sidecar[BUCKET_SPEC_KEY] = {
-        "col": bucket_by,
+        "col": bcols[0],  # legacy single-column readers
+        "cols": bcols,
         "n": int(n_buckets),
-        "sorted": [bucket_by],
+        "sorted": list(bcols),
     }
     # a conventional plan dict keeps every generic reader code path
     # (pruning, size estimates) on known ground
@@ -204,10 +215,11 @@ def bucketed_frame(it: "Item") -> "DataFrame":
             for f in schema.fields
         )
         sort_ddl = ", ".join(f"`{c}`" for c in spec.get("sorted") or [])
+        cluster_ddl = ", ".join(f"`{c}`" for c in _cols_of(spec))
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS `{tbl}` ({cols_ddl}) "
             f"USING parquet "
-            f"CLUSTERED BY (`{spec['col']}`) "
+            f"CLUSTERED BY ({cluster_ddl}) "
             + (f"SORTED BY ({sort_ddl}) " if sort_ddl else "")
             + f"INTO {int(spec['n'])} BUCKETS "
             f"LOCATION '{view}'"
@@ -263,14 +275,14 @@ def append_bucketed(
             f"{want} vs incoming {got} — bucketed items take no "
             "schema evolution (the catalog view DDL is fixed)"
         )
-    col_, n = spec["col"], int(spec["n"])
+    bcols, n = _cols_of(spec), int(spec["n"])
     spark = collection.spark
 
     def write_fn(tmp: Path) -> None:
         stage_tbl = f"ps_bkt_stage_{uuid.uuid4().hex[:12]}"
         (
             df.select(*[f.name for f in stored.schema])
-            .repartition(n, col_)
+            .repartition(n, *bcols)
             .write.format("parquet")
             .option("path", str(tmp))
             .option(
@@ -278,8 +290,8 @@ def append_bucketed(
                 (meta.get("_partition_plan") or {}).get("compression")
                 or "snappy",
             )
-            .bucketBy(n, col_)
-            .sortBy(col_)
+            .bucketBy(n, *bcols)
+            .sortBy(*bcols)
             .mode("overwrite")
             .saveAsTable(stage_tbl)
         )
@@ -371,7 +383,7 @@ def compact_bucketed(collection, item: str) -> dict:
         # Source files stay live throughout write_fn (manifest
         # retention); a CAS retry rebuilds the handle fresh.
         df = it.raw_frame()
-        col_, n = spec["col"], int(spec["n"])
+        bcols, n = _cols_of(spec), int(spec["n"])
         spark = collection.spark
         codec = (meta.get("_partition_plan") or {}).get(
             "compression"
@@ -380,12 +392,12 @@ def compact_bucketed(collection, item: str) -> dict:
         def write_fn(tmp: Path) -> None:
             stage_tbl = f"ps_bkt_stage_{uuid.uuid4().hex[:12]}"
             (
-                df.repartition(n, col_)
+                df.repartition(n, *bcols)
                 .write.format("parquet")
                 .option("path", str(tmp))
                 .option("compression", codec)
-                .bucketBy(n, col_)
-                .sortBy(col_)
+                .bucketBy(n, *bcols)
+                .sortBy(*bcols)
                 .mode("overwrite")
                 .saveAsTable(stage_tbl)
             )

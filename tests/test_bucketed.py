@@ -295,3 +295,55 @@ def test_concurrent_bucketed_appends_both_land(col):
     assert got.count() == 360
     meta = col.get_item_metadata("orders_b", use_cache=False)
     assert set(meta["_streaming_commits"]) == {"s5000", "s9000"}
+
+
+def test_multi_column_bucketing(test_collection, spark):
+    """Composite-key co-location: both sides bucketed on (k1, k2);
+    a join on BOTH keys is exchange-free (Spark requires the join
+    keys to cover all bucket columns)."""
+    a = pd.DataFrame({
+        "k1": [i % 10 for i in range(400)],
+        "k2": [i % 7 for i in range(400)],
+        "va": [float(i) for i in range(400)],
+    })
+    b = pd.DataFrame({
+        "k1": [i % 10 for i in range(600)],
+        "k2": [i % 7 for i in range(600)],
+        "vb": [float(i) for i in range(600)],
+    })
+    test_collection.write(
+        "ma", a, bucket_by=["k1", "k2"], n_buckets=4, index_col="k1"
+    )
+    test_collection.write(
+        "mb", b, bucket_by=["k1", "k2"], n_buckets=4, index_col="k1"
+    )
+    spec = test_collection.get_item_metadata("ma")["_bucket_spec"]
+    assert spec["cols"] == ["k1", "k2"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = test_collection.item("ma").data.join(
+            test_collection.item("mb").data, ["k1", "k2"]
+        )
+        assert _n_exchanges(j) == 0
+        exp = pd.merge(a, b, on=["k1", "k2"]).shape[0]
+        assert j.count() == exp
+        # joining on a PREFIX of the bucket columns cannot use the
+        # co-location — Spark must shuffle (correctness unaffected)
+        j1 = test_collection.item("ma").data.join(
+            test_collection.item("mb").data.withColumnRenamed(
+                "k2", "k2b"
+            ),
+            ["k1"],
+        )
+        assert _n_exchanges(j1) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # append + compact keep the composite invariant
+    test_collection.append(
+        "ma",
+        pd.DataFrame({"k1": [99], "k2": [99], "va": [1.0]}),
+        duplicate_handling="keep_all",
+    )
+    rep = test_collection.compact("ma")
+    assert rep["files_after"] == 4
