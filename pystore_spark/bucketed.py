@@ -119,6 +119,10 @@ def write_bucketed(
     bcols = (
         [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
     )
+    if not bcols:
+        raise ValidationError(
+            "bucket_by needs at least one column (got an empty list)"
+        )
     missing_b = [c for c in bcols if c not in df.columns]
     if missing_b:
         raise ValidationError(

@@ -392,7 +392,7 @@ class Collection:
         bloom: Sequence[str] | None = None,
         compression: str | None = None,
         freq: str | None = None,
-        bucket_by: str | None = None,
+        bucket_by: str | Sequence[str] | None = None,
         n_buckets: int = 32,
         **kwargs: Any,
     ) -> None:

@@ -99,17 +99,26 @@ def _manifest(item_dir: str, version: int | None = None) -> dict:
 def _abs_files(item_dir: str, man: dict) -> list[str]:
     from pystore_spark import manifest as mf
 
-    base = mf.base_dir(item_dir, man)
-    return [str(base / r) for r in sorted(man.get("files") or [])]
+    return sorted(str(p) for p in mf.live_files(item_dir, man))
 
 
-def _read_file_batches(path: str, schema: "StructType"):
+def _pa_fs(item_dir: str):
+    """The engine's filesystem handle for pyarrow reads — the same
+    abstraction every other arrow read goes through, so non-local
+    backends fail with the engine's standard error, not a raw
+    FileNotFoundError."""
+    from pystore_spark.fs import fs_for
+
+    return fs_for(item_dir).as_pyarrow_filesystem()
+
+
+def _read_file_batches(path: str, item_dir: str, schema: "StructType"):
     """Arrow record batches for one parquet file, projected onto the
     declared schema's column order."""
     import pyarrow.parquet as pq
 
     names = [f.name for f in schema.fields]
-    pf = pq.ParquetFile(path)
+    pf = pq.ParquetFile(path, filesystem=_pa_fs(item_dir))
     for batch in pf.iter_batches(columns=names):
         yield batch.select(names)
 
@@ -128,7 +137,9 @@ class PyStoreBatchReader(DataSourceReader):
         return [FilePartition(p) for p in self._files]
 
     def read(self, partition: FilePartition) -> Iterator:
-        yield from _read_file_batches(partition.path, self._schema)
+        yield from _read_file_batches(
+            partition.path, self._item_dir, self._schema
+        )
 
 
 class PyStoreStreamReader(DataSourceStreamReader):
@@ -138,17 +149,28 @@ class PyStoreStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: "StructType") -> None:
         self._schema = schema
         self._item_dir = _item_dir(options)
-        self._from_beginning = (
-            str(options.get("startingversion", "0")).lower()
-            in ("0", "earliest")
-        )
+        raw = str(options.get("startingversion", "0")).lower()
+        if raw == "earliest":
+            self._start_version = 0
+        elif raw == "latest":
+            self._start_version = None  # resolved at initialOffset
+        else:
+            try:
+                self._start_version = int(raw)
+            except ValueError:
+                raise ValueError(
+                    "startingVersion must be a version number, "
+                    f"'earliest' (=0) or 'latest'; got {raw!r}"
+                ) from None
 
     def initialOffset(self) -> dict:
-        if self._from_beginning:
-            return {"version": 0}
-        return {
-            "version": int(_manifest(self._item_dir).get("version", 0))
-        }
+        if self._start_version is None:  # latest
+            return {
+                "version": int(
+                    _manifest(self._item_dir).get("version", 0)
+                )
+            }
+        return {"version": int(self._start_version)}
 
     def latestOffset(self) -> dict:
         return {
@@ -159,7 +181,14 @@ class PyStoreStreamReader(DataSourceStreamReader):
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         v0, v1 = int(start["version"]), int(end["version"])
-        if v1 <= v0:
+        if v1 < v0:
+            raise ValueError(
+                f"offset went backwards (v{v0} -> v{v1}) for "
+                f"{self._item_dir!r}: the item's version chain was "
+                "reset (deleted and recreated?). Delete the "
+                "checkpoint to restart the stream from the new chain."
+            )
+        if v1 == v0:
             return []
         old = set(
             _abs_files(
@@ -179,7 +208,9 @@ class PyStoreStreamReader(DataSourceStreamReader):
         return [FilePartition(p) for p in new if p not in old]
 
     def read(self, partition: FilePartition) -> Iterator:
-        yield from _read_file_batches(partition.path, self._schema)
+        yield from _read_file_batches(
+            partition.path, self._item_dir, self._schema
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are replayable version manifests; nothing to ack
@@ -200,7 +231,9 @@ class PyStoreDataSource(DataSource):
         files = _abs_files(item_dir, _manifest(item_dir))
         if not files:
             raise ValueError(f"item at {item_dir!r} has no data files")
-        return from_arrow_schema(pq.read_schema(files[0]))
+        return from_arrow_schema(
+            pq.read_schema(files[0], filesystem=_pa_fs(item_dir))
+        )
 
     def reader(self, schema: "StructType") -> PyStoreBatchReader:
         return PyStoreBatchReader(dict(self.options), schema)

@@ -4,8 +4,6 @@ streaming with manifest versions as replayable offsets."""
 
 from __future__ import annotations
 
-import tempfile
-
 import pandas as pd
 import pytest
 
@@ -122,3 +120,35 @@ def test_missing_options_rejected(spark):
     register(spark)
     with pytest.raises(Exception, match="missing"):
         spark.read.format("pystore").options(path="/x").load().count()
+
+
+def test_stream_reader_offset_semantics(col, spark):
+    from pystore_spark.datasource import PyStoreStreamReader
+
+    opts = source_options(col, "it")
+    schema = (
+        spark.read.format("pystore").options(**opts).load().schema
+    )
+    # numeric startingVersion is honored, not treated as 'latest'
+    r = PyStoreStreamReader({**opts, "startingversion": "1"}, schema)
+    assert r.initialOffset() == {"version": 1}
+    r_latest = PyStoreStreamReader(
+        {**opts, "startingversion": "latest"}, schema
+    )
+    assert r_latest.initialOffset() == r_latest.latestOffset()
+    with pytest.raises(ValueError, match="startingVersion"):
+        PyStoreStreamReader(
+            {**opts, "startingversion": "sideways"}, schema
+        )
+    # a backwards window signals a version-chain reset, never silence
+    with pytest.raises(ValueError, match="reset"):
+        r.partitions({"version": 5}, {"version": 2})
+
+
+def test_empty_bucket_by_rejected(test_collection):
+    from pystore_spark.exceptions import ValidationError
+
+    with pytest.raises(ValidationError, match="at least one column"):
+        test_collection.write(
+            "eb", _b(5, 1), bucket_by=[], n_buckets=2, index_col="ts"
+        )

@@ -391,5 +391,12 @@ def test_restore_blocked_after_vacuum(test_collection):
     )
     # flat item: the append rewrote the file; vacuum kills v1's file
     col.vacuum("rv", retention=0)
-    with _pytest.raises((StorageError, Exception)):
+    # vacuum either reclaimed v1's files (StorageError "vacuumed") or
+    # GC'd the dead version object itself (VersionNotFoundError) —
+    # both are the intended refusal, nothing else is
+    from pystore_spark.exceptions import VersionNotFoundError
+
+    with _pytest.raises(
+        (StorageError, VersionNotFoundError), match="vacuumed|GC'd"
+    ):
         col.restore("rv", 1)
