@@ -75,4 +75,12 @@ def configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass  # static conf on some builds; best-effort
+    try:
+        # make format("pystore") available everywhere the engine runs
+        # (datasource.py); re-registration is a harmless replace
+        from pystore_spark import datasource
+
+        datasource.register(spark)
+    except Exception:
+        pass  # Python Data Source API needs Spark 4; best-effort
     return spark
