@@ -128,9 +128,20 @@ from pystore_spark.functions.bpe import (  # noqa: E402
     # same recursive-CTE tokenization as bpe_tokenize_counts, then
     # subtokens map to bpe_vocab ids (merged symbols via a one-row
     # map; single chars by codepoint; UNK=256) and reassemble per doc
-    # in pre-token order — value-hash equality covers every id in
-    # every position
-    sql=_bpe_ids_sql(),
+    # in pre-token order. The registry output is DRIVER-SORTABLE
+    # SCALARS — (doc_id, n_ids, ids_md5) — because the driver's
+    # canonicalizer sorts raw frames and cannot sort array cells
+    # (round-6 verdict #1); md5 over the comma-joined id string still
+    # covers every id in every position. The public API
+    # (functions/bpe.bpe_encode_ids) keeps the array<int> column.
+    sql=f"""
+    SELECT doc_id,
+      CAST(len(input_ids) AS BIGINT) AS n_ids,
+      md5(array_to_string(
+        list_transform(input_ids, x -> CAST(x AS VARCHAR)), ',')
+      ) AS ids_md5
+    FROM ({_bpe_ids_sql()})
+    """,
     tags=("text", "tokens", "bpe"),
 )
 def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,11 +149,22 @@ def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``input_ids`` under the shipped merges file's deterministic vocab
     (functions/bpe.bpe_vocab). Python runs only over the distinct
     pre-token vocabulary; documents reassemble by sorted position —
-    deterministic under any shuffle."""
+    deterministic under any shuffle. Projected to scalar
+    ``(n_ids, ids_md5)`` per doc for the driver comparator."""
     from pystore_spark.functions.bpe import bpe_encode_ids as enc
 
     doc = load_table(spark, sf_dir, "documents")
-    return enc(doc, "text", "doc_id")
+    ids = enc(doc, "text", "doc_id")
+    return ids.select(
+        "doc_id",
+        F.size("input_ids").cast("long").alias("n_ids"),
+        F.md5(
+            F.array_join(
+                F.transform("input_ids", lambda x: x.cast("string")),
+                ",",
+            )
+        ).alias("ids_md5"),
+    )
 
 
 @register(

@@ -133,6 +133,30 @@ def test_registry_order_is_pinned():
     assert len(QUERIES) == len(QUERY_PRIORITY)
 
 
+@pytest.mark.parametrize(
+    "name", [n for n in QUERY_PRIORITY if QUERIES[n].oracle_sql]
+)
+def test_registry_output_schema_is_driver_sortable(name, duck):
+    """Round-6 verdict #2: the driver's canonicalizer sorts result
+    frames over RAW values and dies on container cells (`unhashable
+    type: 'list'` — how bpe_encode_ids shipped red). Guard the WHOLE
+    registry: DuckDB ``DESCRIBE`` binds each oracle without executing
+    it, and compare() enforces spark↔oracle schema parity, so a flat
+    oracle schema implies a flat driver-visible schema. Any
+    LIST/STRUCT/MAP output column must be reshaped to scalars
+    (posexplode or md5(array_join)) before entering the registry."""
+    rows = duck.execute(f"DESCRIBE {QUERIES[name].oracle_sql}").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in rows
+        if "[]" in typ or typ.startswith(("STRUCT", "MAP", "LIST"))
+    ]
+    assert not bad, (
+        f"{name}: driver-unsortable output columns {bad} — the driver "
+        "canonicalizer cannot sort container cells; emit scalars"
+    )
+
+
 def test_promoted_queries_inside_driver_window():
     window = set(QUERY_PRIORITY[:WINDOW])
     assert PROMOTED <= window

@@ -21,7 +21,13 @@ import pandas as pd
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Byte-matches the DRIVER's canonicalizer: columns sorted by
+    name, rows sorted over the RAW values (no object coercion before
+    the sort — a list/dict/array cell must crash here exactly like it
+    crashes the driver; round-6 verdict #2), then value normalization
+    for the comparison."""
     df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
@@ -30,7 +36,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.round(6)
         elif s.dtype == object:
             df[c] = s.astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def complex_cols(df: pd.DataFrame) -> list[str]:
+    """Columns whose first non-null cell is a container (list / dict /
+    ndarray) — unsortable by the driver's canonicalizer, so any
+    registry query emitting one is an automatic driver `err`."""
+    bad = []
+    for c in df.columns:
+        s = df[c].dropna()
+        if len(s) == 0:
+            continue
+        v = s.iloc[0]
+        if isinstance(v, (list, dict, set, tuple)) or type(v).__name__ == "ndarray":
+            bad.append(c)
+    return bad
 
 
 def dtype_class(s: pd.Series) -> str:
@@ -51,6 +72,15 @@ def dtype_class(s: pd.Series) -> str:
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
+    bad = complex_cols(spark_pdf) + complex_cols(duck_pdf)
+    if bad:
+        # report BEFORE canon() would crash on the unsortable cells —
+        # the driver dies with `unhashable type` here (round-6 #1)
+        return [
+            f"complex (array/map/struct) output columns {sorted(set(bad))}: "
+            "the driver's canonicalizer cannot sort container cells — "
+            "reshape to scalars (posexplode or md5(array_join))"
+        ]
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
     sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
