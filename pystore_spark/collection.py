@@ -2731,14 +2731,25 @@ class Collection:
         The SQL itself is persisted, so refresh needs no arguments.
 
         ``incremental={"keys": [...], "merge": {col: "sum"|"min"|
-        "max"}}`` declares the view an algebraic aggregate (keys +
-        merge must cover the output columns exactly; COUNT merges as
-        "sum"): when the single dependency only GREW since the pin,
-        :meth:`refresh_matview` aggregates the DELTA FILES ONLY and
-        folds them into the stored view — O(new data), the incremental
-        view maintenance an append-only fact table wants at 100 TB.
-        Non-append changes (compaction, deletes) or non-algebraic
-        aggregates fall back to the full rebuild automatically.
+        "max"|"avg"|"approx_count_distinct"}}`` declares the view an
+        algebraic aggregate (keys + merge must cover the output
+        columns exactly; COUNT merges as "sum"): when the single
+        dependency only GREW since the pin, :meth:`refresh_matview`
+        aggregates the DELTA FILES ONLY and folds them into the
+        stored view — O(new data), the incremental view maintenance
+        an append-only fact table wants at 100 TB. ``avg`` and
+        ``approx_count_distinct`` are AUTO-DECOMPOSED into mergeable
+        companion state stored in the view item under hidden
+        ``__ivm_*`` columns (sum+count for avg, mirroring Spark's own
+        Average partial-agg buffers; a DataSketches HLL sketch for
+        approx distinct, whose register-wise-max union makes the
+        incremental estimate equal a full rebuild exactly — the
+        query's ``APPROX_COUNT_DISTINCT(x) AS c`` output is rewritten
+        to the sketch estimator at create time so both paths share
+        one estimator). Non-append changes (compaction, deletes),
+        multi-dependency views, or non-algebraic aggregates (exact
+        count distinct, medians) fall back to the full rebuild
+        automatically.
 
         Use :meth:`create_rollup` instead when the query is a
         time-bucket aggregate — its refresh is O(changed buckets); a
@@ -2823,7 +2834,14 @@ class Collection:
             self.refresh_matview(name, force=True)
         elif refresh == "auto":
             self.refresh_matview(name)
-        return self.item(name).data
+        from pystore_spark.matview import IVM_COL_PREFIX
+
+        df = self.item(name).data
+        # engine-maintained companion state (avg sum+count buffers,
+        # HLL sketches) stays in the ITEM but is not part of the
+        # query's declared output — readers see the query shape
+        hidden = [c for c in df.columns if c.startswith(IVM_COL_PREFIX)]
+        return df.drop(*hidden) if hidden else df
 
     def matviews_of(self, item: str) -> list[str]:
         """Matview items that depend on ``item`` (sidecar scan)."""

@@ -96,6 +96,108 @@ def stale_dependencies(collection: "Collection", spec: dict) -> dict:
 
 _MERGE_FNS = ("sum", "min", "max")
 
+# aggregates the engine AUTO-DECOMPOSES into mergeable state, exactly
+# like Spark's own partial aggregation does (Average -> sum+count
+# buffers; approx distinct -> a mergeable sketch):
+#   avg                   -> SUM + COUNT companion columns; the output
+#                            column recomputes as sum/count after the
+#                            fold (Spark's Average.evaluateExpression)
+#   approx_count_distinct -> a DataSketches HLL companion
+#                            (hll_sketch_agg); sketch union is LOSSLESS
+#                            (register-wise max), so the incremental
+#                            estimate equals the full-rebuild estimate
+#                            bit-for-bit. The output expression is
+#                            rewritten to hll_sketch_estimate at CREATE
+#                            time too — HyperLogLog++ inside Spark's
+#                            approx_count_distinct exposes no sketch,
+#                            so both paths must share the DataSketches
+#                            estimator to agree.
+_DECOMPOSABLE_FNS = ("avg", "approx_count_distinct")
+
+#: prefix for engine-maintained companion columns stored IN the view
+#: item alongside the user-visible output (the materialized analogue
+#: of Spark's partial-agg buffer attributes)
+IVM_COL_PREFIX = "__ivm_"
+
+
+def _find_agg_item(query: str, fn: str, alias: str):
+    """Locate ``FN ( <balanced> ) AS alias`` in the query text.
+    Returns ``(start, end, inner_expr)`` spans over the full item or
+    ``None``. Textual on purpose — consistent with the module's
+    conservative textual screen; a miss is a loud create-time error,
+    never a wrong result."""
+    for m in re.finditer(rf"\b{fn}\s*\(", query, re.IGNORECASE):
+        depth, i = 1, m.end()
+        while i < len(query) and depth:
+            if query[i] == "(":
+                depth += 1
+            elif query[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            continue
+        inner = query[m.end(): i - 1].strip()
+        tail = re.match(
+            rf"\s+AS\s+{re.escape(alias)}\b", query[i:], re.IGNORECASE
+        )
+        if tail:
+            return (m.start(), i + tail.end(), inner)
+    return None
+
+
+def decompose_query(query: str, merge: dict) -> tuple[str, dict, dict]:
+    """Rewrite ``query`` so every ``avg`` / ``approx_count_distinct``
+    merge column carries mergeable companion state. Returns
+    ``(exec_query, companions, derived)`` where ``companions`` maps
+    companion column -> fold function (``sum`` | ``hll_union``) and
+    ``derived`` maps output column -> recompute spec applied after
+    each incremental fold. Derived deterministically from
+    (query, merge) at BOTH create and refresh — nothing new persists
+    in the sidecar spec."""
+    from pystore_spark.exceptions import ValidationError
+
+    companions: dict[str, str] = {}
+    derived: dict[str, tuple] = {}
+    edits: list[tuple[int, int, str]] = []
+    for col, fn in merge.items():
+        if fn not in _DECOMPOSABLE_FNS:
+            continue
+        hit = _find_agg_item(query, fn, col)
+        if hit is None:
+            raise ValidationError(
+                f"incremental merge declares {col!r} as {fn!r} but "
+                f"`{fn.upper()}(...) AS {col}` was not found in the "
+                "query text — alias the aggregate exactly, or "
+                "decompose it manually into sum+count columns"
+            )
+        start, end, inner = hit
+        if fn == "avg":
+            s, c = f"{IVM_COL_PREFIX}sum__{col}", f"{IVM_COL_PREFIX}cnt__{col}"
+            edits.append(
+                (end, end, f", SUM({inner}) AS {s}, COUNT({inner}) AS {c}")
+            )
+            companions[s] = "sum"
+            companions[c] = "sum"
+            derived[col] = ("avg", s, c)
+        else:
+            h = f"{IVM_COL_PREFIX}hll__{col}"
+            # hll_sketch_agg accepts only int/bigint/string/binary —
+            # route through CAST(x AS STRING), which is injective for
+            # the numeric/temporal types approx distinct is used on
+            # and ignores nulls exactly like approx_count_distinct
+            sk = f"hll_sketch_agg(CAST(({inner}) AS STRING))"
+            edits.append((
+                start, end,
+                f"CAST(hll_sketch_estimate({sk}) AS BIGINT) AS {col}, "
+                f"{sk} AS {h}",
+            ))
+            companions[h] = "hll_union"
+            derived[col] = ("hll", h)
+    exec_query = query
+    for start, end, text in sorted(edits, reverse=True):
+        exec_query = exec_query[:start] + text + exec_query[end:]
+    return exec_query, companions, derived
+
 # constructs that make "aggregate the delta, fold with sum/min/max"
 # unsound even when keys+merge cover the output: post-aggregation
 # filters/limits (HAVING/LIMIT/QUALIFY/OFFSET) can hide a group whose
@@ -149,27 +251,36 @@ def build_and_write(
             f"matview {name!r} cannot depend on itself"
         )
     pin = dep_state(collection, deps)  # BEFORE the scan — see module doc
-    df = collection.sql(query, items=deps)
+    exec_query, companions = query, {}
     if incremental is not None:
         keys = list(incremental.get("keys") or [])
         merge = dict(incremental.get("merge") or {})
-        bad = [f for f in merge.values() if f not in _MERGE_FNS]
+        bad = [
+            f for f in merge.values()
+            if f not in _MERGE_FNS + _DECOMPOSABLE_FNS
+        ]
         if bad:
             raise ValidationError(
                 f"incremental merge functions must be one of "
-                f"{_MERGE_FNS}, got {bad} (COUNT merges as 'sum'; "
-                "non-algebraic aggregates — count distinct, medians — "
-                "cannot be merged and must stay full-rebuild)"
+                f"{_MERGE_FNS + _DECOMPOSABLE_FNS}, got {bad} (COUNT "
+                "merges as 'sum'; avg and approx_count_distinct are "
+                "auto-decomposed into mergeable companion state; "
+                "exact count distinct and medians cannot be merged "
+                "and must stay full-rebuild)"
             )
+        exec_query, companions, _ = decompose_query(query, merge)
+        incremental = {"keys": keys, "merge": merge}
+    df = collection.sql(exec_query, items=deps)
+    if incremental is not None:
         declared = set(keys) | set(merge)
-        missing = declared - set(df.columns)
-        if missing or set(df.columns) - declared:
+        visible = set(df.columns) - set(companions)
+        missing = declared - visible
+        if missing or visible - declared:
             raise ValidationError(
                 "incremental spec must cover the query output exactly: "
                 f"keys+merge={sorted(declared)} vs output columns "
-                f"{sorted(df.columns)}"
+                f"{sorted(visible)}"
             )
-        incremental = {"keys": keys, "merge": merge}
     spec = {
         "query": query,
         "depends_on": deps,
@@ -247,24 +358,56 @@ def try_incremental_refresh(
         ddf = ddf.drop(PARTITION_COL)
     view = collection.sql_view_names([dep])[dep]
     ddf.createOrReplaceTempView(view)
+    exec_query, companions, derived = decompose_query(
+        spec["query"], inc["merge"]
+    )
     try:
         # spark.sql resolves the relation eagerly, so the analyzed
         # plan survives the drop below; the drop keeps the delta
         # frame from shadowing the item for later SQL in the session
-        part = collection.spark.sql(spec["query"])
+        part = collection.spark.sql(exec_query)
         old = collection.item(name).data
         old_types = {f.name: f.dataType for f in old.schema.fields}
         keys = inc["keys"]
-        aggs = [
-            getattr(F, fn)(c).cast(old_types[c]).alias(c)
-            for c, fn in inc["merge"].items()
-        ]
+        # fold list: plain sum/min/max outputs + companion state; the
+        # decomposed outputs (avg / approx distinct) are NOT folded —
+        # they recompute from their companions below, exactly like
+        # Spark's Average.evaluateExpression over partial-agg buffers
+        fold_fns = {
+            c: fn for c, fn in inc["merge"].items() if c not in derived
+        }
+        fold_fns.update(companions)
+        aggs = []
+        for c, fn in fold_fns.items():
+            if fn == "hll_union":
+                # DataSketches HLL union is register-wise max — the
+                # merged sketch equals the sketch of the union, so the
+                # estimate matches a full rebuild exactly
+                aggs.append(F.hll_union_agg(c).alias(c))
+            else:
+                aggs.append(
+                    getattr(F, fn)(c).cast(old_types[c]).alias(c)
+                )
         merged = (
             old.unionByName(part.select(*old.columns))
             .groupBy(*keys)
             .agg(*aggs)
-            .select(*old.columns)
         )
+        for c, d in derived.items():
+            if d[0] == "avg":
+                _, s, cnt = d
+                merged = merged.withColumn(
+                    c,
+                    F.when(
+                        F.col(cnt) > 0, F.col(s) / F.col(cnt)
+                    ).cast(old_types[c]),
+                )
+            else:
+                _, h = d
+                merged = merged.withColumn(
+                    c, F.hll_sketch_estimate(F.col(h)).cast(old_types[c])
+                )
+        merged = merged.select(*old.columns)
         new_spec = {**spec, "dep_files": {dep: cur_files}}
         collection.write(
             name,

@@ -251,6 +251,16 @@ class TestIncrementalMaintenance:
             col.create_matview(
                 "mv", SQL,
                 incremental={"keys": ["kind"],
+                             "merge": {"n": "median", "total": "sum"}},
+            )
+
+    def test_avg_merge_without_avg_in_query_rejected(self, col):
+        # `n` is count(*), not AVG(...) AS n — the auto-decomposer
+        # must refuse loudly instead of folding avg-of-avgs
+        with pytest.raises(ValidationError, match="not found"):
+            col.create_matview(
+                "mv", SQL,
+                incremental={"keys": ["kind"],
                              "merge": {"n": "avg", "total": "sum"}},
             )
 
@@ -278,6 +288,77 @@ class TestIncrementalMaintenance:
         assert rep["mode"] == "rebuilt"
         got = col.matview("mv", refresh="never").toPandas()
         assert got["n"].sum() == 60  # every kind has 20 >= 5
+
+    AVG_SQL = (
+        "SELECT kind, count(*) AS n, AVG(value) AS mean_v "
+        "FROM ev GROUP BY kind"
+    )
+    AVG_INC = {"keys": ["kind"],
+               "merge": {"n": "sum", "mean_v": "avg"}}
+
+    def test_avg_auto_decomposes_and_refreshes_incrementally(self, col):
+        """avg(x) views maintain sum+count companion columns (hidden
+        __ivm_* state, like Spark's Average partial-agg buffers) and
+        recompute mean = sum/count after each fold — mode stays
+        `incremental` and the result equals a full recompute."""
+        col.create_matview("mv", self.AVG_SQL, incremental=self.AVG_INC)
+        col.append("ev", _events(12, start=1000))
+        rep = col.refresh_matview("mv")
+        assert rep["mode"] == "incremental" and rep["delta_files"] >= 1
+        got = (
+            col.matview("mv", refresh="never").toPandas()
+            .sort_values("kind").reset_index(drop=True)
+        )
+        exp = (
+            col.sql(self.AVG_SQL).toPandas()
+            .sort_values("kind").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+        # companion state is stored in the item alongside the output
+        stored = col.item("mv").data.columns
+        assert "__ivm_sum__mean_v" in stored
+        assert "__ivm_cnt__mean_v" in stored
+        # a second append folds on top of the folded companions
+        col.append("ev", _events(9, start=2000))
+        assert col.refresh_matview("mv")["mode"] == "incremental"
+        again = (
+            col.matview("mv", refresh="never").toPandas()
+            .sort_values("kind").reset_index(drop=True)
+        )
+        exp2 = (
+            col.sql(self.AVG_SQL).toPandas()
+            .sort_values("kind").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(again[exp2.columns], exp2)
+
+    def test_approx_distinct_incremental_equals_full_rebuild(self, col):
+        """approx_count_distinct views maintain a DataSketches HLL
+        companion; sketch union is register-wise max, so the
+        incremental estimate must equal the full rebuild EXACTLY."""
+        q = (
+            "SELECT kind, count(*) AS n, "
+            "APPROX_COUNT_DISTINCT(value) AS nd "
+            "FROM ev GROUP BY kind"
+        )
+        inc = {"keys": ["kind"],
+               "merge": {"n": "sum", "nd": "approx_count_distinct"}}
+        col.create_matview("mv", q, incremental=inc)
+        col.append("ev", _events(12, start=1000))
+        rep = col.refresh_matview("mv")
+        assert rep["mode"] == "incremental"
+        got = (
+            col.matview("mv", refresh="never").toPandas()
+            .sort_values("kind").reset_index(drop=True)
+        )
+        # the estimates are plausible counts (values are all distinct
+        # per kind here: 30+12 rows over 3 kinds → ~14 per kind)
+        assert (got["nd"] >= 10).all() and (got["nd"] <= 20).all()
+        col.refresh_matview("mv", force=True)  # full rebuild
+        full = (
+            col.matview("mv", refresh="never").toPandas()
+            .sort_values("kind").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, full)
 
     def test_incremental_refresh_drops_delta_temp_view(self, col, spark):
         col.create_matview("mv", INC_SQL, incremental=INC)
