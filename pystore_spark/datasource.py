@@ -112,18 +112,104 @@ def _pa_fs(item_dir: str):
     return fs_for(item_dir).as_pyarrow_filesystem()
 
 
-def _read_file_batches(path: str, item_dir: str, schema: "StructType"):
+def _read_file_batches(
+    path: str, item_dir: str, schema: "StructType", filter_expr=None
+):
     """Arrow record batches for one parquet file, projected onto the
-    declared schema's column order."""
-    import pyarrow.parquet as pq
+    declared schema's column order. ``filter_expr`` (a pyarrow dataset
+    expression) prunes row groups on parquet statistics AND drops
+    non-matching rows before the batches cross into the JVM — the
+    pushed-filter fast path."""
+    import pyarrow.dataset as pds
 
     names = [f.name for f in schema.fields]
-    pf = pq.ParquetFile(path, filesystem=_pa_fs(item_dir))
-    for batch in pf.iter_batches(columns=names):
+    dset = pds.dataset(
+        path, filesystem=_pa_fs(item_dir), format="parquet"
+    )
+    for batch in dset.to_batches(columns=names, filter=filter_expr):
         yield batch.select(names)
 
 
+def _arrow_filter_expr(filters: Sequence):
+    """Translate pushed Spark filters (ANDed) into one pyarrow dataset
+    expression, or None. Only filters accepted by
+    :func:`_filter_translatable` reach here."""
+    import pyarrow.dataset as pds
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+        IsNull, LessThan, LessThanOrEqual, StringStartsWith,
+    )
+
+    expr = None
+    for f in filters:
+        col = pds.field(*f.attribute)
+        if isinstance(f, EqualTo):
+            e = col == f.value
+        elif isinstance(f, GreaterThan):
+            e = col > f.value
+        elif isinstance(f, GreaterThanOrEqual):
+            e = col >= f.value
+        elif isinstance(f, LessThan):
+            e = col < f.value
+        elif isinstance(f, LessThanOrEqual):
+            e = col <= f.value
+        elif isinstance(f, In):
+            e = col.isin(list(f.value))
+        elif isinstance(f, IsNull):
+            e = col.is_null()
+        elif isinstance(f, IsNotNull):
+            e = ~col.is_null()
+        elif isinstance(f, StringStartsWith):
+            import pyarrow.compute as pc
+
+            e = pc.starts_with(col, f.value)
+        else:  # pragma: no cover — _filter_translatable gates this
+            continue
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
+def _filter_translatable(f) -> bool:
+    """True when the filter maps 1:1 onto a pyarrow dataset expression
+    with identical row-drop semantics. Conservative: anything outside
+    the known set (including None-valued comparisons, whose SQL
+    three-valued logic arrow matches but is not worth relying on)
+    stays Spark-side only."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+        IsNull, LessThan, LessThanOrEqual, StringStartsWith,
+    )
+
+    if isinstance(f, (IsNull, IsNotNull)):
+        return len(f.attribute) == 1
+    if isinstance(f, In):
+        return len(f.attribute) == 1 and all(
+            v is not None for v in f.value
+        )
+    if isinstance(
+        f,
+        (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+         LessThanOrEqual, StringStartsWith),
+    ):
+        return len(f.attribute) == 1 and f.value is not None
+    return False
+
+
 class PyStoreBatchReader(DataSourceReader):
+    """Batch reader with filter pushdown (Spark 4.1 Python Data Source
+    API; requires ``spark.sql.python.filterPushdown.enabled``, which
+    :func:`register` turns on). Pushed filters prune parquet row
+    groups on footer statistics and drop rows arrow-side before any
+    bytes cross into the JVM. Spark still re-evaluates every filter
+    post-scan (``pushFilters`` returns them all) — the pushdown is a
+    data-reduction fast path, never a semantics owner, so subtle
+    engine differences (collations, NaN ordering) cannot change
+    results. COLUMN pruning has no Python-API hook in this Spark
+    version — the reader is handed the full declared schema even when
+    the query selects fewer columns; use ``Item.data`` (the parquet
+    scan with native pruning) for the batch hot path and this source
+    for streaming (README notes the trade)."""
+
     def __init__(self, options: dict, schema: "StructType") -> None:
         self._schema = schema
         self._item_dir = _item_dir(options)
@@ -132,13 +218,24 @@ class PyStoreBatchReader(DataSourceReader):
         self._files = _abs_files(
             self._item_dir, _manifest(self._item_dir)
         )
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        # keep the picklable Filter dataclasses on self (the arrow
+        # expression builds per-partition in read()); yield every
+        # filter back so Spark re-applies them post-scan
+        for f in filters:
+            if _filter_translatable(f):
+                self._pushed.append(f)
+            yield f
 
     def partitions(self) -> Sequence[InputPartition]:
         return [FilePartition(p) for p in self._files]
 
     def read(self, partition: FilePartition) -> Iterator:
+        expr = _arrow_filter_expr(self._pushed) if self._pushed else None
         yield from _read_file_batches(
-            partition.path, self._item_dir, self._schema
+            partition.path, self._item_dir, self._schema, expr
         )
 
 
@@ -243,7 +340,21 @@ class PyStoreDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Register ``format("pystore")`` with the session (idempotent)."""
+    """Register ``format("pystore")`` with the session (idempotent).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` — Spark
+    4.1 refuses to plan a Python data source whose reader implements
+    ``pushFilters`` while the conf is off, and the conf is
+    runtime-settable, so turning it on here keeps one registration
+    call sufficient."""
+    try:
+        spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", "true"
+        )
+    except Exception:
+        # builds without the conf: reads will surface Spark's explicit
+        # DATA_SOURCE_PUSHDOWN_DISABLED error, which names the fix
+        pass
     spark.dataSource.register(PyStoreDataSource)
 
 

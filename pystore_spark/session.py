@@ -53,6 +53,10 @@ def get_spark(
         # vectorization in mapInPandas kernels at ~tens of MB per batch
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # required for format("pystore")'s pushFilters reader
+        # (datasource.py); Spark refuses to plan a pushdown-capable
+        # Python data source while this is off
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .getOrCreate()
     )
     return spark

@@ -39,6 +39,74 @@ def test_batch_read_matches_item(col, spark):
     assert d.agg({"v": "sum"}).first()[0] == 190.0
 
 
+def test_batch_filter_pushdown_results_match(col, spark):
+    """End-to-end: a filtered read through the pushdown reader returns
+    exactly the rows an unpushed scan of the item returns."""
+    d = (
+        spark.read.format("pystore")
+        .options(**source_options(col, "it"))
+        .load()
+        .filter("v >= 5.0 AND v < 12.0")
+    )
+    got = sorted(r.v for r in d.collect())
+    exp = sorted(
+        r.v for r in col.item("it").data.filter(
+            "v >= 5.0 AND v < 12.0"
+        ).collect()
+    )
+    assert got == exp == [float(i) for i in range(5, 12)]
+
+
+def test_batch_reader_translates_and_applies_filters(col, spark):
+    """Unit: the reader keeps translatable filters and its read()
+    drops non-matching rows ARROW-SIDE (fewer rows yielded than the
+    file holds) — the data-reduction fast path, independent of
+    Spark's own post-scan re-evaluation."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, In, Not, StringStartsWith,
+    )
+    from pystore_spark.datasource import PyStoreBatchReader
+
+    d = (
+        spark.read.format("pystore")
+        .options(**source_options(col, "it"))
+        .load()
+    )
+    reader = PyStoreBatchReader(source_options(col, "it"), d.schema)
+    leftover = list(
+        reader.pushFilters(
+            [
+                GreaterThan(("v",), 10.0),
+                Not(EqualTo(("v",), 11.0)),  # untranslatable: skipped
+            ]
+        )
+    )
+    # everything is yielded back for Spark-side re-evaluation...
+    assert len(leftover) == 2
+    # ...but only the translatable filter is kept for arrow
+    assert len(reader._pushed) == 1
+    rows = sum(
+        b.num_rows
+        for p in reader.partitions()
+        for b in reader.read(p)
+    )
+    assert rows == 9  # v in 11..19 of 0..19 — rows dropped pre-JVM
+
+    # In / StringStartsWith translate too
+    r2 = PyStoreBatchReader(source_options(col, "it"), d.schema)
+    list(r2.pushFilters([In(("v",), (1.0, 3.0, 99.0))]))
+    assert sum(
+        b.num_rows for p in r2.partitions() for b in r2.read(p)
+    ) == 2
+    assert _filter_ok(StringStartsWith(("v",), "x"))
+
+
+def _filter_ok(f):
+    from pystore_spark.datasource import _filter_translatable
+
+    return _filter_translatable(f)
+
+
 def test_stream_delivers_appends(col, spark, tmp_path):
     q = (
         spark.readStream.format("pystore")
