@@ -156,6 +156,12 @@ def write_bucketed(
         "cols": bcols,
         "n": int(n_buckets),
         "sorted": list(bcols),
+        # unique per CREATE: keys the session catalog table name so a
+        # delete+recreate in one Spark session can never resolve to
+        # the previous incarnation's relation (stale DDL / bucket
+        # count would feed Catalyst a false HashPartitioning claim —
+        # silently wrong exchange-free joins, not just read errors)
+        "uid": uuid.uuid4().hex[:12],
     }
     # a conventional plan dict keeps every generic reader code path
     # (pruning, size estimates) on known ground
@@ -203,15 +209,34 @@ def _ensure_view_dir(it: "Item") -> Path:
 def bucketed_frame(it: "Item") -> "DataFrame":
     """The bucket-aware scan: register (idempotently) an external
     table over this version's view dir and return it. The table name
-    keys on (item path, version), so overwrites/new versions get a
-    fresh relation and time-travel handles resolve their own."""
+    keys on (item path, CREATE-time uid, version): the uid (minted by
+    write_bucketed per incarnation) guarantees a delete+recreate in
+    the same Spark session gets a fresh relation — a version chain
+    restarting at 1 must never resolve to the old incarnation's DDL,
+    whose stale bucket count would feed Catalyst a false
+    HashPartitioning claim (silently wrong exchange-free joins).
+    Pre-uid sidecars fall back to verifying the registered table's
+    schema against the current view and DROP+CREATE on mismatch."""
     spec = it.metadata[BUCKET_SPEC_KEY]
     view = _ensure_view_dir(it)
     digest = hashlib.md5(
         str(Path(it._path).resolve()).encode()
     ).hexdigest()[:12]
-    tbl = f"ps_bkt_{digest}_v{int((it._manifest or {}).get('version', 0))}"
+    uid = spec.get("uid") or "legacy"
+    version = int((it._manifest or {}).get("version", 0))
+    tbl = f"ps_bkt_{digest}_{uid}_v{version}"
     spark = it.spark
+    if spark.catalog.tableExists(tbl) and uid == "legacy":
+        # no uid to disambiguate incarnations: trust the relation only
+        # if its column DDL still matches the current view's files
+        schema = spark.read.parquet(str(view)).schema
+        if [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ] != [
+            (f.name, f.dataType.simpleString())
+            for f in spark.table(f"`{tbl}`").schema.fields
+        ]:
+            spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
     if not spark.catalog.tableExists(tbl):
         schema = spark.read.parquet(str(view)).schema
         cols_ddl = ", ".join(
@@ -228,6 +253,11 @@ def bucketed_frame(it: "Item") -> "DataFrame":
             + f"INTO {int(spec['n'])} BUCKETS "
             f"LOCATION '{view}'"
         )
+    else:
+        # bust the shared relation cache's file listing — cheap, and
+        # covers any path where the same (digest, uid, version) could
+        # see different bytes (legacy same-version recreates)
+        spark.catalog.refreshTable(f"`{tbl}`")
     return spark.table(f"`{tbl}`")
 
 

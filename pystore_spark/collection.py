@@ -847,25 +847,13 @@ class Collection:
             # threaded re-entry below passes the marker so the batch
             # is not re-scanned in the worker thread.
             self._enforce_constraints(item, data)
-        if (self.get_item_metadata(item) or {}).get("_bucket_spec"):
-            # bucketed items append through the bucketed writer (pure
-            # file addition under the same bucket hash — scope="add"
-            # commit); key-merging strategies would need a rewrite and
-            # raise there. AFTER the dedup_index sugar above, so
-            # append(..., dedup_index=) still registers the index
-            # before the storage append delegates here.
-            from pystore_spark import bucketed as bk
-
-            bk.append_bucketed(
-                self, item, data, duplicate_handling, epochdate,
-                sidecar_extra,
-            )
-            if reload_items:
-                self._items_cache = None
-            return
         if threaded:
             # fire-and-forget like write_threaded (reference
-            # pystore/collection.py:214-222); join via wait_for_tasks()
+            # pystore/collection.py:214-222); join via wait_for_tasks().
+            # BEFORE the bucketed delegation below, so threaded=True
+            # on a bucketed item is honored too — the re-entry (with
+            # threaded=False and constraints pre-vetted) reaches
+            # append_bucketed inside the worker thread.
             t = threading.Thread(
                 target=self.append,
                 args=(item, data),
@@ -884,6 +872,22 @@ class Collection:
             )
             t.start()
             self._threads.append(t)
+            return
+        if (self.get_item_metadata(item) or {}).get("_bucket_spec"):
+            # bucketed items append through the bucketed writer (pure
+            # file addition under the same bucket hash — scope="add"
+            # commit); key-merging strategies would need a rewrite and
+            # raise there. AFTER the dedup_index sugar above, so
+            # append(..., dedup_index=) still registers the index
+            # before the storage append delegates here.
+            from pystore_spark import bucketed as bk
+
+            bk.append_bucketed(
+                self, item, data, duplicate_handling, epochdate,
+                sidecar_extra,
+            )
+            if reload_items:
+                self._items_cache = None
             return
         if not self.item_exists(item):
             # spec: ItemNotFoundError, not ValueError
@@ -4191,13 +4195,32 @@ class Collection:
                 data.to_frame(name=data.name or "value").reset_index()
             )
         elif isinstance(data, pd.DataFrame):
-            # surface a named index as a column so constraints can
-            # reference the index column like any other
-            pdf = (
-                data.reset_index()
-                if data.index.name is not None
-                else data
-            )
+            # surface the index as a column UNDER THE NAME THE STORAGE
+            # PATH WILL GIVE IT (flatten_pandas: unnamed →
+            # DEFAULT_INDEX_NAME, MultiIndex levels → level_i), so a
+            # constraint referencing the stored index column evaluates
+            # instead of erroring on every unnamed-index append
+            from pystore_spark.pandas_compat import DEFAULT_INDEX_NAME
+
+            pdf = data.copy(deep=False)
+            if isinstance(pdf.index, pd.MultiIndex):
+                pdf.index = pdf.index.set_names(
+                    [
+                        n if n is not None else f"level_{i}"
+                        for i, n in enumerate(pdf.index.names)
+                    ]
+                )
+            else:
+                pdf.index = pdf.index.rename(
+                    pdf.index.name or DEFAULT_INDEX_NAME
+                )
+            try:
+                pdf = pdf.reset_index()
+            except ValueError:
+                # index name collides with an existing column; the
+                # write path will reject the frame with intent — let
+                # the constraint check see the columns as-is
+                pdf = data
             df = self.spark.createDataFrame(pdf)
         else:
             df = self.spark.createDataFrame(data)

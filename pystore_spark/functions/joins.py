@@ -12,6 +12,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class SinglePartitionAsofWarning(UserWarning):
+    """asof_join planned a keyless (single-partition) sort — correct
+    but serial; see the asof_join docstring for the banded scale
+    formulation."""
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -155,6 +161,16 @@ def asof_join(
       and a distance compare. Tolerance nulls each side independently
       before choosing, so an out-of-tolerance nearest row falls back
       to an in-tolerance farther one — merge_asof-verified.
+
+    .. warning:: With no ``by`` keys the window is
+       ``Window.partitionBy()`` — ONE partition sorting both frames
+       end-to-end, matching keyless ``merge_asof`` semantics but
+       serial at scale. For large keyless as-of joins, band the time
+       axis into a synthetic key (e.g. ``date_trunc`` both sides and
+       pass it as ``by``, handling band edges with a tolerance-sized
+       overlap) or use :func:`interval_join`. A
+       ``SinglePartitionAsofWarning`` is emitted so the serial plan
+       can't ship silently.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be backward|forward|nearest")
@@ -165,6 +181,29 @@ def asof_join(
     r_by = list(right_by if right_by is not None else by)
     if len(by) != len(r_by):
         raise ValueError("by and right_by must have equal length")
+    if not by:
+        import warnings
+
+        warnings.warn(
+            "asof_join with no `by` keys plans a SINGLE-PARTITION "
+            "sort over both frames (correct, serial). At scale, band "
+            "the time axis into a synthetic `by` key instead.",
+            SinglePartitionAsofWarning,
+            stacklevel=2,
+        )
+    # the pass builds _asof_* working columns; input columns under
+    # those names would be silently overwritten into wrong matches
+    reserved = [
+        c
+        for c in set(left.columns) | set(right.columns)
+        if c.startswith("_asof_")
+    ]
+    if reserved:
+        raise ValueError(
+            f"column name(s) {sorted(reserved)} collide with "
+            "asof_join's reserved `_asof_*` working columns — rename "
+            "them before joining"
+        )
     if values is None:
         values = [
             c for c in right.columns if c not in (*r_by, r_on)

@@ -145,3 +145,35 @@ def test_bad_args(spark, frames):
         asof_join(l, r, on="t", direction="sideways")
     with pytest.raises(ValueError, match="equal length"):
         asof_join(l, r, on="t", by=["grp"], right_by=[])
+
+
+def test_keyless_join_warns_single_partition(spark):
+    """No `by` keys → Window.partitionBy() → one serial partition.
+    Correct (matches keyless merge_asof) but must WARN so the plan
+    can't ship silently at scale."""
+    from pystore_spark.functions.joins import SinglePartitionAsofWarning
+
+    left = pd.DataFrame({"t": [1.0, 5.0], "lv": [10, 20]})
+    right = pd.DataFrame({"t": [0.0, 4.0], "px": [1.0, 2.0]})
+    with pytest.warns(SinglePartitionAsofWarning, match="SINGLE-PARTITION"):
+        out = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t", values=["px"],
+        ).toPandas().sort_values("t").reset_index(drop=True)
+    assert list(out["px"]) == [1.0, 2.0]
+
+
+def test_reserved_working_columns_rejected(spark):
+    """Input columns named _asof_* would be silently overwritten by
+    the pass's working columns — refuse instead of corrupting."""
+    l = spark.createDataFrame(
+        pd.DataFrame({"t": [1.0], "grp": [1], "_asof_t": [9.0]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame({"t": [0.0], "grp": [1], "px": [1.0]})
+    )
+    with pytest.raises(ValueError, match="_asof_"):
+        asof_join(l, r, on="t", by=["grp"])
+    with pytest.raises(ValueError, match="_asof_"):
+        asof_join(r, l, on="t", by=["grp"])

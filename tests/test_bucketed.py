@@ -104,6 +104,18 @@ def test_append_keep_all_adds_files(col, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_threaded_append_on_bucketed_item(col):
+    """append(..., threaded=True) on a bucketed item honors the
+    fire-and-forget contract (it used to run synchronously because
+    the bucketed delegation preceded the threaded branch)."""
+    col.append(
+        "orders_b", _orders(30, start=9000),
+        duplicate_handling="keep_all", threaded=True,
+    )
+    col.wait_for_tasks()
+    assert col.item("orders_b").data.count() == 330
+
+
 def test_append_merging_strategies_rejected(col):
     with pytest.raises(StorageError, match="keep_all"):
         col.append("orders_b", _orders(10, start=1000))  # keep_last
@@ -170,6 +182,39 @@ def test_gc_drops_superseded_views(col):
     kept = os.listdir(view_root)
     assert kept == [f"v{col.item('orders_b').version}"]
     assert col.item("orders_b").data.count() == 50
+
+
+def test_delete_and_recreate_never_reuses_stale_relation(col, spark):
+    """A deleted-then-recreated bucketed item restarts its version
+    chain at 1; the session catalog table from the OLD incarnation
+    (old schema, old bucket count) must not be reused — stale bucket
+    DDL would feed Catalyst a false HashPartitioning claim and
+    silently wrong exchange-free joins. The CREATE-time uid in
+    _bucket_spec keys the relation per incarnation."""
+    col.item("orders_b").data.count()  # registers incarnation-1 table
+    col.delete_item("orders_b")
+    col.write(
+        "orders_b",
+        pd.DataFrame(
+            {"k": range(40), "note": [f"n{i}" for i in range(40)]}
+        ),
+        bucket_by="k", n_buckets=2, index_col="k",
+    )
+    d = col.item("orders_b").data
+    # new schema + new bucket count visible, not the old relation
+    assert set(d.columns) >= {"k", "note"}
+    assert d.count() == 40
+    spec = col.item("orders_b").metadata["_bucket_spec"]
+    assert spec["n"] == 2 and spec.get("uid")
+    # co-located self-join still exchange-free on the NEW bucket spec
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = d.join(col.item("orders_b").data.select("k"), "k")
+        assert _n_exchanges(j) == 0
+        assert j.count() == 40
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_compact_merges_bucket_files(col, spark):

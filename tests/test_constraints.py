@@ -53,6 +53,25 @@ def test_null_passes_check_semantics(col, spark):
     assert col.item("t").data.count() == 13
 
 
+def test_constraint_on_stored_index_column_unnamed_index(test_collection):
+    """A pandas frame with an UNNAMED index stores that index under
+    DEFAULT_INDEX_NAME ('index'); a CHECK constraint referencing it
+    must evaluate on such appends (it used to raise an unresolved-
+    column AnalysisException because the enforcement path dropped the
+    unnamed index entirely)."""
+    pdf = pd.DataFrame({"px": [1.0, 2.0, 3.0]})  # unnamed RangeIndex
+    test_collection.write("u", pdf)
+    test_collection.add_constraint("u", "idx_nonneg", "index >= 0")
+    ok = pd.DataFrame({"px": [4.0, 5.0]})
+    ok.index = [10, 11]
+    test_collection.append("u", ok, duplicate_handling="keep_all")
+    assert test_collection.item("u").data.count() == 5
+    bad = pd.DataFrame({"px": [6.0]})
+    bad.index = [-7]
+    with pytest.raises(DataIntegrityError, match="idx_nonneg"):
+        test_collection.append("u", bad, duplicate_handling="keep_all")
+
+
 def test_add_constraint_vets_existing_rows(col):
     col.append("t", _b(3, start=300, v0=-5.0),
                duplicate_handling="keep_all")
