@@ -87,6 +87,41 @@ def _real_decode(payload: bytes) -> dict:
         width, height = struct.unpack("<HH", payload[6:10])
         return {"kind": "gif", "width": int(width), "height": int(height),
                 "n_frames": 1, "n_bytes": n_bytes, "checksum": checksum}
+    if payload[:2] == b"\xff\xd8":
+        # JPEG: walk the marker stream to the first SOF frame header
+        # (FFC0..FFCF excluding DHT/JPG/DAC), which carries
+        # precision(1) height(2) width(2) — the standard baseline AND
+        # progressive dimension source. Entropy decode still needs a
+        # codec lib; dims/structure do not.
+        pos = 2
+        while pos + 4 <= n_bytes:
+            if payload[pos] != 0xFF:
+                raise ValueError("malformed JPEG: lost marker sync")
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            (seg_len,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (
+                0xC4, 0xC8, 0xCC
+            ):
+                height, width = struct.unpack(
+                    ">HH", payload[pos + 5:pos + 9]
+                )
+                return {
+                    "kind": "jpeg", "width": int(width),
+                    "height": int(height), "n_frames": 1,
+                    "n_bytes": n_bytes, "checksum": checksum,
+                }
+            if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+                break
+            pos += 2 + seg_len
+        raise ValueError("malformed JPEG: no SOF frame header found")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # walk RIFF chunks for fmt and data
         pos, rate, bits, channels, data_len = 12, 0, 0, 1, 0
@@ -104,8 +139,9 @@ def _real_decode(payload: bytes) -> dict:
                 "n_frames": int(data_len // frame_size),
                 "n_bytes": n_bytes, "checksum": checksum}
     raise ValueError(
-        "unsupported media container (expected PNG, GIF, or WAV); full "
-        "pixel/sample decode requires codec libraries not present here"
+        "unsupported media container (expected PNG, JPEG, GIF, or "
+        "WAV); full pixel/sample decode requires codec libraries not "
+        "present here"
     )
 
 
@@ -130,6 +166,27 @@ def write_png(width: int, height: int, pixel_fn=None) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
+    )
+
+
+def write_jpeg_headers(width: int, height: int) -> bytes:
+    """Structurally valid JPEG marker stream (SOI + JFIF APP0 + DQT
+    stub + SOF0 + SOS + EOI) — real header layout for exercising the
+    SOF dimension parser; carries no entropy-coded scan data."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof0)
+        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + b"\xff\xd9"
     )
 
 

@@ -217,6 +217,32 @@ def test_delete_and_recreate_never_reuses_stale_relation(col, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_maintain_gc_reclaims_superseded_view_dirs(col, monkeypatch):
+    """The nightly maintain(gc=True) path (recover_item → gc_item)
+    must reclaim _bucketview dirs of superseded versions on the
+    stale-retention clock — links can't accumulate over thousands of
+    versions. (vacuum coverage: test_gc_drops_superseded_views.)"""
+    import os
+
+    from pystore_spark import config
+
+    col.item("orders_b").data.count()  # materialize view v1
+    col.append("orders_b", _orders(10, start=7000),
+               duplicate_handling="keep_all")
+    col.item("orders_b").data.count()  # materialize view v2
+    view_root = os.path.join(col.item("orders_b").path, "_bucketview")
+    assert len(os.listdir(view_root)) >= 2
+    monkeypatch.setattr(config, "STALE_RETENTION_SECONDS", 0)
+    out = col.maintain("orders_b", compact=False, refresh_stats=False)
+    assert out["orders_b"]["gc_removed"] >= 1
+    live = f"v{col.item('orders_b').version}"
+    kept = [d for d in os.listdir(view_root)
+            if not d.startswith(".tmp-")]
+    assert kept == [live]
+    # the live view still reads
+    assert col.item("orders_b").data.count() == 310
+
+
 def test_compact_merges_bucket_files(col, spark):
     import os
 

@@ -249,6 +249,27 @@ def test_multimodal_real_decoder_png_and_wav(spark):
     assert feats[1]["n_frames"] == 1000
 
 
+def test_multimodal_real_decoder_jpeg_sof(spark):
+    """The JPEG path walks the marker stream (APP0/DQT segments
+    skipped by their lengths) to SOF0 and reads height/width — on a
+    crafted marker-accurate JPEG, through extract_features."""
+    jpg = M.write_jpeg_headers(640, 480)
+    rows = [(0, "img", jpg, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    (r,) = M.extract_features(df, decoder="real").collect()
+    assert r["kind"] == "jpeg"
+    assert (r["width"], r["height"]) == (640, 480)
+    assert r["n_frames"] == 1
+
+    # direct decoder edges: progressive SOF2 parses; SOS-before-SOF
+    # and truncated streams fail loudly
+    prog = jpg.replace(b"\xff\xc0", b"\xff\xc2")
+    out = M.DECODERS["real"](prog)
+    assert (out["width"], out["height"]) == (640, 480)
+    with pytest.raises(ValueError, match="no SOF"):
+        M.DECODERS["real"](b"\xff\xd8\xff\xd9")
+
+
 def test_multimodal_real_decoder_rejects_unknown_container(spark):
     rows = [(0, "img", M.encode_fake_media(0, "img", 8, 8), None)]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
