@@ -432,6 +432,46 @@ def near_dedup_verified_pairs(
     )
 
 
+def near_dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cluster ASSIGNMENTS instead of survivors: ``(id, cluster_id,
+    cluster_size)`` for every exact-dedup survivor with at least one
+    verified near-dup edge (``cluster_id`` = min reachable id — the
+    same label :func:`near_dedup` keeps). The inspection surface for
+    dedup decisions: sample a cluster, eyeball its members, tune the
+    threshold — where :func:`near_dedup` only shows the aftermath.
+
+    Same cost shape as the pipeline it mirrors: LSH-bounded candidate
+    generation, verified-edge-only label propagation (touching the
+    tiny edge-bearing fraction of the corpus), plus ONE extra
+    component-keyed aggregation for the sizes."""
+    survivors = exact_dedup_survivors(df, text_col, id_col)
+    verified = near_dedup_verified_pairs(
+        survivors, text_col, id_col, threshold, num_hashes, bands, shingle_n
+    )
+    edge_nodes = (
+        verified.selectExpr(f"id_i AS {id_col}")
+        .unionByName(verified.selectExpr(f"id_j AS {id_col}"))
+        .distinct()
+    )
+    comps = connected_components(verified, edge_nodes, id_col)
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comps.join(sizes, on="component").select(
+        F.col(id_col),
+        F.col("component").alias("cluster_id"),
+        F.col("cluster_size"),
+    )
+
+
 def near_dedup(
     df: DataFrame,
     text_col: str,

@@ -168,6 +168,84 @@ def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kneser_ney_counts",
+    # unigram frequency + bigram TYPE diversities: n_left_types is
+    # the Kneser-Ney continuation count N1+(• w), n_right_types the
+    # right diversity N1+(w •) — the sufficient statistics for KN
+    # smoothing and for diversity-based vocabulary filters
+    sql=f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT p['w1'] AS w1, p['w2'] AS w2 FROM (
+        SELECT unnest(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS p
+        FROM t)),
+    freq AS (
+      SELECT w AS word, count(*) AS freq
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    lft AS (
+      SELECT w2 AS word, count(DISTINCT w1) AS n_left_types
+      FROM big GROUP BY w2),
+    rgt AS (
+      SELECT w1 AS word, count(DISTINCT w2) AS n_right_types
+      FROM big GROUP BY w1)
+    SELECT f.word, f.freq,
+      COALESCE(l.n_left_types, 0) AS n_left_types,
+      COALESCE(r.n_right_types, 0) AS n_right_types
+    FROM freq f
+    LEFT JOIN lft l ON l.word = f.word
+    LEFT JOIN rgt r ON r.word = f.word
+    """,
+    tags=("text", "tokens", "lm"),
+)
+def kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney sufficient statistics per vocabulary word: unigram
+    ``freq``, continuation count ``n_left_types`` (distinct left
+    contexts — the KN numerator), right diversity ``n_right_types``.
+    One explode + three word-keyed aggregations; output is VOCABULARY-
+    sized, never corpus-sized, so the result (and every shuffle after
+    the bigram explode) stays small at 100 TB."""
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = doc.select(
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+        ).alias("t")
+    )
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(t, (x, i) -> IF(i < size(t) - 1, "
+                "struct(x AS w1, t[i+1] AS w2), NULL)), "
+                "p -> p IS NOT NULL)"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    freq = (
+        toks.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    lft = big.groupBy(F.col("w2").alias("word")).agg(
+        F.count_distinct("w1").alias("n_left_types")
+    )
+    rgt = big.groupBy(F.col("w1").alias("word")).agg(
+        F.count_distinct("w2").alias("n_right_types")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        freq.join(lft, on="word", how="left")
+        .join(rgt, on="word", how="left")
+        .select(
+            "word",
+            "freq",
+            F.coalesce("n_left_types", zero).alias("n_left_types"),
+            F.coalesce("n_right_types", zero).alias("n_right_types"),
+        )
+    )
+
+
+@register(
     "text_quality_scores",
     sql=f"""
     WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
@@ -1153,6 +1231,68 @@ def near_dedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     kept = D.near_dedup(doc, "text", "doc_id", threshold=0.8)
     return kept.select("doc_id", "n_chars")
+
+
+@register(
+    "neardup_cluster_ids",
+    # the same pipeline CTE chain as near_dedup_kept_docs' oracle, but
+    # surfacing the CLUSTER ASSIGNMENT (reachable min-label per
+    # edge-bearing doc + component size) instead of the survivor set —
+    # pins the iterative Spark connected-components labels themselves
+    sql=f"""
+    WITH RECURSIVE
+    s0 AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {_SHINGLES} AS sh
+      FROM documents),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM s0 GROUP BY fp),
+    surv AS (SELECT s0.* FROM s0 JOIN exact_keep USING (doc_id)),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM surv),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+        md5(array_to_string(
+          list_transform(sig[b.band_idx*2+1 : b.band_idx*2+2],
+                         v -> v::VARCHAR), '|')) AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_i, c.id_j
+      FROM cand c
+      JOIN surv si ON si.doc_id = c.id_i
+      JOIN surv sj ON sj.doc_id = c.id_j
+      WHERE CASE WHEN len(list_distinct(si.sh || sj.sh)) > 0 THEN
+              len(list_intersect(si.sh, sj.sh))::DOUBLE
+              / len(list_distinct(si.sh || sj.sh))
+            ELSE 0.0 END >= 0.8),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM verified
+      UNION ALL
+      SELECT id_j AS src, id_i AS dst FROM verified),
+    reach(id, comp) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+    comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id)
+    SELECT comps.id AS doc_id, comps.cluster_id,
+      (SELECT count(*) FROM comps c2
+        WHERE c2.cluster_id = comps.cluster_id) AS cluster_size
+    FROM comps
+    """,
+    tags=("dedup", "pipeline", "clusters"),
+)
+def neardup_cluster_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENTS — (doc_id, cluster_id =
+    min reachable id, cluster_size) for every edge-bearing survivor.
+    The inspection/tuning surface of the dedup pipeline: the iterative
+    min-label propagation's exact labels are value-hash-pinned against
+    the oracle's recursive-CTE transitive closure."""
+    doc = load_table(spark, sf_dir, "documents")
+    return D.near_dedup_clusters(doc, "text", "doc_id", threshold=0.8)
 
 
 @register(
@@ -4393,6 +4533,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "waiting_customers_antijoin", "embedding_cosine_topk",
     "embedding_dedup_pairs", "ivf_kmeans_index",
     "minhash_signatures",
+    # round-7 additions, TAIL-registered on purpose: the round-6
+    # promotions keep their window slots one more round (round-6
+    # verdict item 5 — no rotation), so the new operators take the
+    # in-repo oracle gate now and queue for window slots next rotation
+    "neardup_cluster_ids", "kneser_ney_counts",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
