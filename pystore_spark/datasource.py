@@ -20,6 +20,11 @@ checkpoints, and exactly-once for them.
   (compaction, delete, upsert) raises a clear error — the same
   append-only contract every file-based Spark stream has, but
   enforced from the manifest instead of silently missed.
+* **Streaming CDC**: ``.option("mode", "cdc")`` — the Delta-CDF-style
+  change feed: every row carries ``_change_type``; rewrites stream as
+  ``delete`` rows from removed files + ``insert`` rows from added
+  ones instead of killing the query, so a keyed downstream merge
+  reconverges through compactions and upserts.
 
 Workers need only this package + pyarrow (readers re-resolve
 manifests from the shared filesystem; no driver state beyond the
@@ -56,10 +61,15 @@ if TYPE_CHECKING:  # pragma: no cover
 
 FORMAT_NAME = "pystore"
 
+#: change-type column emitted by the streaming source's cdc mode —
+#: same name/values as Collection.changes' batch feed
+CDC_COL = "_change_type"
+
 
 @dataclass
 class FilePartition(InputPartition):
     path: str
+    change_type: str = "insert"
 
 
 def _item_dir(options: dict) -> str:
@@ -240,12 +250,32 @@ class PyStoreBatchReader(DataSourceReader):
 
 
 class PyStoreStreamReader(DataSourceStreamReader):
-    """Manifest versions as offsets; micro-batches read exactly the
-    files added between two committed versions."""
+    """Manifest versions as offsets.
+
+    * ``mode=append`` (default): micro-batches read exactly the files
+      ADDED between two committed versions; a rewrite in the window
+      raises (the append-only contract).
+    * ``mode=cdc``: a Delta-CDF-style change feed — every row carries
+      ``_change_type``. Appends emit ``insert`` rows from added files;
+      a rewrite (compaction, delete_where, upsert) emits ``delete``
+      rows from the REMOVED files and ``insert`` rows from the added
+      ones, so a keyed downstream merge reconverges instead of the
+      stream dying. File-level granularity: a rewrite that carries
+      rows over unchanged emits them as a delete+insert pair of equal
+      values — noisy but exactly convergent under keyed apply (the
+      same contract ``Collection.apply_changes`` consumes). Removed
+      files stay readable as long as time travel keeps them (stale
+      retention) — a checkpoint lagging past GC retention fails
+      loudly rather than silently skipping deletes."""
 
     def __init__(self, options: dict, schema: "StructType") -> None:
         self._schema = schema
         self._item_dir = _item_dir(options)
+        self._mode = str(options.get("mode", "append")).lower()
+        if self._mode not in ("append", "cdc"):
+            raise ValueError(
+                f"mode must be 'append' or 'cdc', got {self._mode!r}"
+            )
         raw = str(options.get("startingversion", "0")).lower()
         if raw == "earliest":
             self._start_version = 0
@@ -295,16 +325,47 @@ class PyStoreStreamReader(DataSourceStreamReader):
         new = _abs_files(
             self._item_dir, _manifest(self._item_dir, version=v1)
         )
-        if not old <= set(new):
+        new_set = set(new)
+        if self._mode == "cdc":
+            return [
+                FilePartition(p, "delete")
+                for p in sorted(old - new_set)
+            ] + [
+                FilePartition(p, "insert") for p in new if p not in old
+            ]
+        if not old <= new_set:
             raise ValueError(
                 f"versions {v0}..{v1} of {self._item_dir!r} include a "
                 "rewrite (compaction/delete/upsert) — a stream reads "
                 "append-only windows; reconcile rewrites in batch via "
-                "Collection.changes(mode='auto')"
+                "Collection.changes(mode='auto'), or stream the change "
+                "feed with .option('mode', 'cdc')"
             )
         return [FilePartition(p) for p in new if p not in old]
 
     def read(self, partition: FilePartition) -> Iterator:
+        if self._mode == "cdc":
+            import pyarrow as pa
+            from pyspark.sql.types import StructType as _St
+
+            data_schema = _St(
+                [
+                    f
+                    for f in self._schema.fields
+                    if f.name != CDC_COL
+                ]
+            )
+            for batch in _read_file_batches(
+                partition.path, self._item_dir, data_schema
+            ):
+                yield batch.append_column(
+                    CDC_COL,
+                    pa.array(
+                        [partition.change_type] * batch.num_rows,
+                        pa.string(),
+                    ),
+                )
+            return
         yield from _read_file_batches(
             partition.path, self._item_dir, self._schema
         )
@@ -321,10 +382,21 @@ class PyStoreDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> "StructType":
+        item_dir = _item_dir(self.options)
+        if str(self.options.get("mode", "append")).lower() == "cdc":
+            from pyspark.sql.types import StringType, StructField
+
+            base = self._data_schema(item_dir)
+            return type(base)(
+                list(base.fields)
+                + [StructField(CDC_COL, StringType(), False)]
+            )
+        return self._data_schema(item_dir)
+
+    def _data_schema(self, item_dir: str) -> "StructType":
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        item_dir = _item_dir(self.options)
         files = _abs_files(item_dir, _manifest(item_dir))
         if not files:
             raise ValueError(f"item at {item_dir!r} has no data files")

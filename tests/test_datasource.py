@@ -184,6 +184,55 @@ def test_rewrite_in_window_raises(col, spark, tmp_path):
         q.stop()
 
 
+def test_cdc_stream_appends_and_rewrites(col, spark, tmp_path):
+    """mode=cdc: appends stream as insert rows; a delete_where
+    REWRITE streams as delete rows from the removed files + insert
+    rows from their replacements instead of killing the query — the
+    Delta-CDF contract, convergent under keyed apply."""
+    q = (
+        spark.readStream.format("pystore")
+        .options(**source_options(col, "it"))
+        .option("mode", "cdc")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ds_cdc")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT _change_type, count(*) c FROM ds_cdc "
+            "GROUP BY _change_type"
+        ).collect()
+        assert {r["_change_type"]: r["c"] for r in rows} == {
+            "insert": 20
+        }
+        col.append("it", _b(5, 9), duplicate_handling="keep_all")
+        col.delete_where("it", [[("v", "<", 2.0)]])  # a rewrite
+        q.processAllAvailable()
+        snap = spark.sql(
+            "SELECT _change_type, v FROM ds_cdc"
+        ).toPandas()
+        # replaying the feed keyed on ts must reconverge to the live
+        # item: net(v) = inserts(v) - deletes(v)
+        net = (
+            snap.groupby("v")["_change_type"]
+            .apply(lambda s: (s == "insert").sum() - (s == "delete").sum())
+        )
+        live = sorted(
+            r["v"] for r in col.item("it").data.select("v").collect()
+        )
+        from collections import Counter
+
+        assert Counter(live) == Counter(
+            {v: int(n) for v, n in net.items() if n > 0}
+        )
+        assert (snap["_change_type"] == "delete").sum() > 0
+    finally:
+        q.stop()
+
+
 def test_missing_options_rejected(spark):
     register(spark)
     with pytest.raises(Exception, match="missing"):
