@@ -524,8 +524,14 @@ def try_append(
         return False
 
     existing_item = col.item(item)
+    from pystore_spark import dv as _dv
     from pystore_spark import utils as _utils
 
+    if _dv.dv_map(existing_item._manifest):
+        # deletion-vector masks apply positionally on the Spark scan;
+        # the arrow fast path cannot honor them — a bucket merge here
+        # would resurrect masked rows
+        return False
     sidecar = _utils.merge_sidecar(existing_item.metadata, sidecar_extra)
     evo = sidecar.get("_schema_evolution")
     if evo and evo.get("enabled"):

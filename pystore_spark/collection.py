@@ -225,6 +225,7 @@ class Collection:
                 stamp=False,
                 stats=man.get("stats"),
                 sizes=man.get("sizes"),
+                dv=man.get("dv"),
             )
 
     # ------------------------------------------------------------------
@@ -764,9 +765,16 @@ class Collection:
                         "bloom sidecar build for %r failed "
                         "(commit unaffected): %s", item, exc
                     )
+            # deletion-vector map: entries for files that survive this
+            # commit carry forward; entries for REPLACED files die with
+            # them (write_manifest prunes to the live list — sound
+            # because every rewrite path reads through the dv-masked
+            # scan, materializing the mask into the replacement files)
+            dv = dict((man or {}).get("dv") or {})
             utils.write_manifest(
                 item_path, live, sidecar, stale=stale, version=version,
-                stats=stats, sizes=sizes, if_match=man_etag,
+                stats=stats, sizes=sizes, dv=dv or None,
+                if_match=man_etag,
             )
             # drop the legacy sidecar once the manifest owns metadata
             try:
@@ -1265,6 +1273,7 @@ class Collection:
         item: str,
         filters: Sequence,
         repair_indexes: bool = False,
+        mode: str = "rewrite",
     ) -> dict:
         """Row-level DELETE: remove the rows matching the tuple-DNF
         predicate (same language as read filters). Scale shape:
@@ -1293,13 +1302,27 @@ class Collection:
         serialized with concurrent appenders (the same contract as
         calling :meth:`repair_index` yourself). Rollups still refresh
         separately. Returns ``{n_deleted, buckets_rewritten,
-        buckets_dropped[, index_repairs]}``."""
+        buckets_dropped[, index_repairs]}``.
+
+        ``mode="dv"`` — MERGE-ON-READ delete (deletion vectors,
+        dv.py): instead of rewriting files, the matching rows'
+        positions are written to a small ``_dv/`` parquet and the
+        manifest masks them; readers anti-join the mask. Cost is
+        O(matching rows) + one manifest CAS — at a 100k-file item a
+        scattered GDPR delete stops rewriting terabytes. Reads pay a
+        (broadcast) anti-join until :meth:`compact` / any rewrite of
+        the masked files materializes the mask. Returns
+        ``{n_deleted, files_masked, dv_ref[, index_repairs]}``."""
         from pystore_spark import bucketed as _bk
 
         _bk.guard_mutation(self, item, "delete_where")
         from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.filters import filters_to_column
 
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"mode must be 'rewrite' or 'dv', got {mode!r}"
+            )
         raw_pred = filters_to_column(filters)
         if not filters or raw_pred is None:
             # `[[]]`-style truthy-but-empty DNF also lands here —
@@ -1313,7 +1336,10 @@ class Collection:
         out: dict | None = None
         for attempt in range(3):
             try:
-                out = self._delete_where_once(item, filters, pred)
+                if mode == "dv":
+                    out = self._delete_where_dv_once(item, filters, pred)
+                else:
+                    out = self._delete_where_once(item, filters, pred)
                 break
             except ConcurrentCommitError as exc:
                 last_exc = exc
@@ -1322,6 +1348,119 @@ class Collection:
         if repair_indexes and out.get("n_deleted"):
             out["index_repairs"] = self._repair_indexes_of(item)
         return out
+
+    def _delete_where_dv_once(
+        self, item: str, filters: Sequence, pred
+    ) -> dict:
+        """One attempt of the deletion-vector delete: compute NEW
+        matches over the already-masked scan, write the union mask for
+        touched files, CAS the manifest's dv map. Files never move;
+        the commit is O(matching rows) + one conditional put."""
+        from pystore_spark import dv as dvm
+        from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
+        from pystore_spark.item import _prune_tuples
+
+        item_path = self._item_path(item)
+        it = self.item(item)
+        man = it._manifest
+        if man is None:
+            raise StorageError(
+                f"delete_where(mode='dv') requires the manifest "
+                f"protocol; item {item!r} is a legacy layout — "
+                "rewrite it first or use mode='rewrite'"
+            )
+        files = list(man.get("files") or [])
+        if not files:
+            return {"n_deleted": 0, "files_masked": 0, "dv_ref": None}
+        # driver-side candidate pruning, same as reads: only files the
+        # predicate could touch are scanned at all
+        plan = it._plan
+        flt = (
+            _prune_tuples(filters, plan.freq, it._index_cols)
+            if plan is not None and plan.kind == "time"
+            else filters
+        )
+        cand = mf.prune_files(files, flt, stats=man.get("stats"))
+        scan = dvm.masked_scan(self.spark, item_path, man, cand)
+        matches = (
+            scan.filter(pred)
+            .select(
+                F.col("__dv_f").alias("file"),
+                F.col("__dv_p").alias("pos"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        per_file = {
+            r["file"]: int(r["n"])
+            for r in matches.groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_new = sum(per_file.values())
+        if n_new == 0:
+            return {"n_deleted": 0, "files_masked": 0, "dv_ref": None}
+        unknown = [f for f in per_file if f not in set(files)]
+        if unknown:  # pragma: no cover — scan is manifest-resolved
+            raise StorageError(
+                f"dv delete matched rows in non-live files {unknown}"
+            )
+        if it.n_rows() - n_new <= 0:
+            raise StorageError(
+                f"delete_where would remove every row of {item!r}"
+                " — use delete_item"
+            )
+        old_map = dvm.dv_map(man)
+        touched_rels = set(per_file)
+        # union the touched files' EXISTING masks into the new dv dir
+        # so each file's entry points at ONE dir holding its full mask
+        frame = matches
+        old_refs = {
+            e["ref"]
+            for rel, e in old_map.items()
+            if rel in touched_rels and e.get("ref")
+        }
+        if old_refs:
+            base = mf.base_dir(item_path, man)
+            prior = self.spark.read.parquet(
+                *[str(base / r) for r in sorted(old_refs)]
+            ).filter(F.col("file").isin(sorted(touched_rels)))
+            frame = frame.unionByName(prior)
+        dv_rel = dvm.write_mask_dir(self.spark, item_path, frame)
+        # CAS: the dv map is only sound against the exact live set the
+        # matches were computed from — any concurrent commit retries
+        man2, etag = utils.read_manifest_versioned(item_path)
+        if man2 is None or set(man2.get("files") or []) != set(files):
+            utils.rm_tree(item_path / dv_rel)
+            raise ConcurrentCommitError(
+                f"item {item!r}: live file set changed while the dv "
+                "delete was computed; retrying against fresh state"
+            )
+        new_map = dvm.dv_map(man2)
+        for rel, n in per_file.items():
+            old_n = int((new_map.get(rel) or {}).get("n", 0))
+            new_map[rel] = {"ref": dv_rel, "n": old_n + n}
+        try:
+            utils.write_manifest(
+                item_path,
+                files,
+                dict(man2.get("metadata") or {}),
+                stale=man2.get("stale"),
+                version=int(man2.get("version", 0)) + 1,
+                stats=man2.get("stats"),
+                sizes=man2.get("sizes"),
+                dv=new_map,
+                if_match=etag,
+            )
+        except ConcurrentCommitError:
+            utils.rm_tree(item_path / dv_rel)
+            raise
+        self.clear_metadata_cache(item)
+        return {
+            "n_deleted": n_new,
+            "files_masked": len(per_file),
+            "dv_ref": dv_rel,
+        }
 
     def _repair_indexes_of(self, item: str) -> dict[str, dict]:
         """Repair every dedup/line/vector index whose recorded corpus
@@ -2225,6 +2364,7 @@ class Collection:
                     version=cur_v + 1,
                     stats=target.get("stats"),
                     sizes=target.get("sizes"),
+                    dv=target.get("dv"),
                     if_match=etag,
                 )
                 self.clear_metadata_cache(item)
@@ -2465,6 +2605,7 @@ class Collection:
                     stamp=False,
                     stats=man.get("stats"),
                     sizes=man.get("sizes"),
+                    dv=man.get("dv"),
                 )
             else:
                 utils.link_tree(src, dst / item)
@@ -4121,6 +4262,7 @@ class Collection:
                     stamp=False,  # a contract is not a data change
                     stats=man.get("stats"),
                     sizes=man.get("sizes"),
+                    dv=man.get("dv"),
                     if_match=etag,
                 )
                 self.clear_metadata_cache(item)
@@ -4156,6 +4298,7 @@ class Collection:
                     stamp=False,
                     stats=man.get("stats"),
                     sizes=man.get("sizes"),
+                    dv=man.get("dv"),
                     if_match=etag,
                 )
                 self.clear_metadata_cache(item)
@@ -5092,6 +5235,7 @@ class Collection:
                     stamp=False,
                     stats=man2.get("stats"),
                     sizes=man2.get("sizes"),
+                    dv=man2.get("dv"),
                     if_match=etag,
                 )
                 self.clear_metadata_cache(item)
@@ -5240,6 +5384,7 @@ class Collection:
                     stamp=False,  # stats are not a data change
                     stats=man.get("stats"),
                     sizes=man.get("sizes"),
+                    dv=man.get("dv"),
                     if_match=etag,
                 )
                 self.clear_metadata_cache(item)
@@ -5296,6 +5441,7 @@ class Collection:
                     version=int(man.get("version", 0)) + 1,
                     stats=stats or None,
                     sizes=man.get("sizes"),
+                    dv=man.get("dv"),
                     if_match=etag,
                 )
                 self.clear_metadata_cache(item)
@@ -5492,6 +5638,7 @@ class Collection:
                     version=int(man.get("version", 0)) + 1,
                     stats=man.get("stats"),
                     sizes=man.get("sizes"),
+                    dv=man.get("dv"),
                     if_match=etag,
                 )
                 self.clear_metadata_cache(item)

@@ -1,0 +1,175 @@
+"""Deletion vectors — merge-on-read row-level DELETE.
+
+``delete_where(item, filters, mode="dv")`` removes rows WITHOUT
+rewriting any data file: the matching rows' positions are written to a
+small deletion-vector parquet under ``_dv/`` and the manifest's
+``dv`` map points each masked data file at it. Readers anti-join the
+mask on ``(file basename, row position)`` — the positions come from
+Spark's ``_metadata.row_index`` parquet metadata column, so the join
+keys cost no extra storage and survive any scan order.
+
+Why this matters at 100 TB: the rewrite mode re-reads and re-writes
+every FILE containing a matching row — a GDPR-style delete of a few
+thousand rows scattered across a 100k-file item rewrites terabytes.
+The dv mode's cost is O(matching rows) + one manifest CAS, full stop.
+
+Consistency model (the part that must be airtight):
+
+* **Mask lifetime = file lifetime.** The ``dv`` map is keyed by data
+  file rel path; ``write_manifest`` prunes it to the live file list at
+  every commit. That is SOUND because every rewrite path in the engine
+  (compaction, bucket-merge append, rewrite delete, rebalance) reads
+  through ``Item.raw_frame``/``Item.data``, which apply the mask — a
+  replacement file is born with the mask materialized, so dropping the
+  departed file's entry can never resurrect rows.
+* **Masks only grow.** A second dv delete on an already-masked file
+  writes the UNION of old+new positions into the new commit's dv
+  parquet and re-points the file's entry. Old dv dirs may still be
+  referenced by OTHER files' entries or by older version manifests;
+  stale subset rows in them are harmless (anti-join is idempotent) and
+  GC reclaims unreferenced dirs on the stale-retention clock.
+* **Time travel / snapshots** carry the map inside their manifests and
+  therefore see exactly their version's mask. Pre-delete versions show
+  the rows; post-delete versions don't.
+* **Derived freshness** (matviews, rollups, incremental indexes) pins
+  include the dv map, so a dv-only commit flips dependents stale just
+  like a file-set change.
+
+File naming is the load-bearing assumption of the basename join key:
+the staging protocol gives every live file a commit-token-unique
+basename (collection._commit_staged). ``build_matches`` asserts
+injectivity across the live set and refuses otherwise.
+
+Reference parity: the reference engine has no row-level delete at all
+(pystore/collection.py has only item/snapshot deletion); both
+delete_where modes are beyond-reference, this one Delta-DV-shaped.
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+DV_DIR = "_dv"
+
+#: above this many masked rows the broadcast hint is dropped and the
+#: anti-join shuffles — a mass-deleted item's mask can outgrow the
+#: driver (AQE still picks broadcast when the stats allow)
+BROADCAST_MASK_MAX_ROWS = 4_000_000
+
+
+def dv_map(man: dict | None) -> dict[str, dict]:
+    """``{data_file_rel: {"ref": dv_dir_rel, "n": masked_rows}}``."""
+    return dict((man or {}).get("dv") or {})
+
+
+def dv_total(man: dict | None) -> int:
+    return sum(int(e.get("n", 0)) for e in dv_map(man).values())
+
+
+def dv_refs(man: dict | None) -> set[str]:
+    return {e["ref"] for e in dv_map(man).values() if e.get("ref")}
+
+
+def mask_frame(spark, item_path, man: dict | None) -> "DataFrame | None":
+    """The union of every referenced dv parquet: ``(file basename,
+    pos)``. Duplicate rows (an old ref's subset of a re-masked file)
+    are harmless under anti-join. None when the manifest has no
+    masks."""
+    refs = dv_refs(man)
+    if not refs:
+        return None
+    from pystore_spark import manifest as mf
+
+    base = mf.base_dir(item_path, man or {})
+    return spark.read.parquet(*[str(base / r) for r in sorted(refs)])
+
+
+def scan_keys(base) -> tuple:
+    """The (rel path, position) join-key columns over a parquet
+    scan's ``_metadata`` — shared by mask application and mask
+    building. The rel path is recovered by stripping the item base
+    dir from ``file_path`` after normalizing the URI scheme (Spark
+    local scans report ``file:/...``; the engine's Spark-readable
+    backends are local filesystems — object stores are driver-side
+    only, so the leading-slash normalization is total here)."""
+    normalized = F.regexp_replace(
+        F.col("_metadata.file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"
+    )
+    prefix = str(base).rstrip("/") + "/"
+    return (
+        F.substring(normalized, len(prefix) + 1, 1 << 30).alias(
+            "__dv_f"
+        ),
+        F.col("_metadata.row_index").alias("__dv_p"),
+    )
+
+
+def apply_mask(
+    df: "DataFrame", mask: "DataFrame", total_masked: int, base
+) -> "DataFrame":
+    """Anti-join the scan against the mask on (rel path, position).
+    ``df`` must be a direct parquet scan (``_metadata`` resolvable).
+    The mask broadcasts while small; beyond
+    BROADCAST_MASK_MAX_ROWS it shuffles (AQE may still broadcast)."""
+    fkey, pkey = scan_keys(base)
+    m = mask.select(
+        F.col("file").alias("__dv_f"), F.col("pos").alias("__dv_p")
+    )
+    if total_masked <= BROADCAST_MASK_MAX_ROWS:
+        m = F.broadcast(m)
+    return (
+        df.withColumn("__dv_f", fkey)
+        .withColumn("__dv_p", pkey)
+        .join(m, on=["__dv_f", "__dv_p"], how="left_anti")
+        .drop("__dv_f", "__dv_p")
+    )
+
+
+def masked_scan(spark, item_path, man: dict, files: list[str]):
+    """Manifest-file scan with the existing mask applied and the join
+    keys STILL PRESENT (columns ``__dv_f``/``__dv_p``) — the input for
+    computing NEW matches without re-counting already-deleted rows."""
+    from pystore_spark import manifest as mf
+
+    base = mf.base_dir(item_path, man)
+    df = spark.read.option("basePath", str(base)).parquet(
+        *[str(base / f) for f in files]
+    )
+    fkey, pkey = scan_keys(base)
+    df = df.withColumn("__dv_f", fkey).withColumn("__dv_p", pkey)
+    mask = mask_frame(spark, item_path, man)
+    if mask is not None:
+        m = mask.select(
+            F.col("file").alias("__dv_f"), F.col("pos").alias("__dv_p")
+        )
+        if dv_total(man) <= BROADCAST_MASK_MAX_ROWS:
+            m = F.broadcast(m)
+        df = df.join(m, on=["__dv_f", "__dv_p"], how="left_anti")
+    return df
+
+
+def write_mask_dir(
+    spark, item_path: Path, frame: "DataFrame", npartitions: int = 1
+) -> str:
+    """Write a dv parquet dir under ``_dv/dv-<token>/`` and return its
+    rel path. The dir is invisible until a manifest references it — a
+    crash here leaves an unreferenced dir for GC, never a torn read.
+    ``frame`` must have columns (file STRING, pos LONG)."""
+    token = uuid.uuid4().hex[:12]
+    rel = f"{DV_DIR}/dv-{token}"
+    (
+        frame.select(
+            F.col("file").cast("string"), F.col("pos").cast("long")
+        )
+        .repartition(max(1, npartitions))
+        .write.mode("error")
+        .parquet(str(Path(item_path) / rel))
+    )
+    return rel

@@ -252,10 +252,32 @@ class Item:
                 str(base / f) for f in (self._manifest.get("files") or [])
             ]
             if files:
-                return self.spark.read.option(
+                df = self.spark.read.option(
                     "basePath", str(base)
                 ).parquet(*files)
+                return self._apply_dv(df)
         return self.spark.read.parquet(str(self._path))
+
+    def _apply_dv(self, df: DataFrame) -> DataFrame:
+        """Apply the manifest's deletion-vector mask (dv.py) to a
+        direct parquet scan. Identity when the item has no masks.
+        EVERY Spark read of manifest files routes through here —
+        including raw_frame, which the rewrite paths (compact,
+        bucket-merge append, rebalance) build on, so any rewrite
+        materializes the mask and the departing files' dv entries can
+        be dropped at commit."""
+        from pystore_spark import dv as dvm
+        from pystore_spark import manifest as mf
+
+        man = self._manifest
+        if not dvm.dv_map(man):
+            return df
+        mask = dvm.mask_frame(self.spark, self._path, man)
+        if mask is None:
+            return df
+        return dvm.apply_mask(
+            df, mask, dvm.dv_total(man), mf.base_dir(self._path, man)
+        )
 
     def _require_spark_fs(self) -> None:
         from pystore_spark.exceptions import StorageError
@@ -343,6 +365,8 @@ class Item:
                 df = self.spark.read.option("basePath", str(base)).parquet(
                     *[str(base / r) for r in rels]
                 )
+                if not bloom_empty:
+                    df = self._apply_dv(df)
             else:
                 df = self.spark.read.parquet(str(self._path))
         else:
@@ -481,6 +505,20 @@ class Item:
 
         from pystore_spark.filters import filters_to_arrow_expression
 
+        from pystore_spark import dv as dvm
+
+        if dvm.dv_map(self._manifest):
+            from pystore_spark.exceptions import StorageError
+
+            # positional masks need row indexes, which the arrow
+            # dataset scan does not surface; the Spark path applies
+            # them (engine='auto' callers fall back transparently)
+            raise StorageError(
+                f"item {self.item!r} carries deletion-vector masks — "
+                "the driver-side Arrow fast path cannot apply "
+                "positional masks; use the Spark read (engine='spark' "
+                "/ Item.data) or compact() to materialize the deletes"
+            )
         flt = self._resolved_filters()
         pa_fs = self._fs.as_pyarrow_filesystem()
         partitioning = pa_ds.partitioning(
@@ -628,6 +666,12 @@ class Item:
             total += pq.ParquetFile(
                 p, filesystem=pa_fs
             ).metadata.num_rows
+        if self._manifest is not None:
+            # merge-on-read deletes: footer counts include masked rows;
+            # the manifest records each file's masked count (dv.py)
+            from pystore_spark import dv as dvm
+
+            total -= dvm.dv_total(self._manifest)
         return total
 
     def head(self, n: int = 5) -> pd.DataFrame:

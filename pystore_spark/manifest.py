@@ -397,6 +397,7 @@ def gc_item(
                 stamp=False,  # GC is not a data change; keep _updated
                 stats=man.get("stats"),
                 sizes=man.get("sizes"),
+                dv=man.get("dv"),
                 if_match=etag,
             )
         except ConcurrentCommitError:

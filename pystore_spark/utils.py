@@ -203,6 +203,7 @@ def write_manifest(
     stamp: bool = True,
     stats: dict[str, dict] | None = None,
     sizes: dict[str, int] | None = None,
+    dv: dict[str, dict] | None = None,
     if_match: Any = UNCONDITIONAL,
 ) -> dict[str, Any]:
     """Atomically install a manifest — THE commit point of every data
@@ -217,7 +218,16 @@ def write_manifest(
     manifest.gather_file_stats) and ``sizes`` the per-file byte sizes
     (recorded at commit so size gates never re-stat the live set);
     both are pruned to the live file list automatically so stale
-    entries never accumulate."""
+    entries never accumulate.
+
+    ``dv`` is the deletion-vector map (dv.py): ``{data_file_rel:
+    {"ref": dv_dir_rel, "n": masked_row_count}}`` — merge-on-read
+    row masks for delete_where(mode="dv"). Pruned to the live file
+    list like stats/sizes: any commit that REPLACES a data file
+    (compaction, bucket-rewrite append, rewrite delete) materializes
+    its mask by construction (every rewrite reads through the masked
+    scan), so the departing entry is dropped here and can never leak
+    onto the replacement file."""
     metadata = dict(metadata or {})
     if stamp:
         metadata["_updated"] = utc_stamp()
@@ -235,6 +245,10 @@ def write_manifest(
         live_sizes = {f: int(sizes[f]) for f in man["files"] if f in sizes}
         if live_sizes:
             man["sizes"] = live_sizes
+    if dv:
+        live_dv = {f: dv[f] for f in man["files"] if f in dv}
+        if live_dv:
+            man["dv"] = live_dv
     if base is not None:
         man["base"] = base
     p = Path(path)
@@ -319,6 +333,7 @@ def write_metadata(path: str | Path, metadata: dict[str, Any] | None = None) -> 
             version=int(man.get("version", 0)) + 1,
             stats=man.get("stats"),
             sizes=man.get("sizes"),
+            dv=man.get("dv"),
         )["metadata"]
     metadata = dict(metadata or {})
     metadata["_updated"] = utc_stamp()
@@ -424,6 +439,7 @@ def update_metadata_cas(
                 version=int(man.get("version", 0)) + 1,
                 stats=man.get("stats"),
                 sizes=man.get("sizes"),
+                dv=man.get("dv"),
                 if_match=etag,
             )["metadata"]
         except ConcurrentCommitError as exc:
