@@ -2667,22 +2667,49 @@ class Collection:
             man_a, man_b = it_from._manifest, it_to._manifest
             if man_a is None or man_b is None:
                 return it_from.data, it_to.data
+            from pystore_spark import dv as dvm
             from pystore_spark import manifest as mf
 
             base_a = mf.base_dir(it_from._path, man_a)
             base_b = mf.base_dir(it_to._path, man_b)
-            abs_a = {str(base_a / r) for r in (man_a.get("files") or [])}
-            abs_b = {str(base_b / r) for r in (man_b.get("files") or [])}
+            dv_a, dv_b = dvm.dv_map(man_a), dvm.dv_map(man_b)
+            ent_a = {
+                str(base_a / r): dv_a.get(r)
+                for r in (man_a.get("files") or [])
+            }
+            ent_b = {
+                str(base_b / r): dv_b.get(r)
+                for r in (man_b.get("files") or [])
+            }
+            abs_a, abs_b = set(ent_a), set(ent_b)
+            # a shared file is skippable only when its deletion-vector
+            # entry is IDENTICAL on both sides — a dv-only change to a
+            # shared file changes its visible rows even though the
+            # bytes never moved
+            shared_clean = {
+                p for p in abs_a & abs_b if ent_a[p] == ent_b[p]
+            }
 
-            def read(only: set[str], base: Path) -> DataFrame | None:
+            def read(
+                only: set[str], base: Path, it, man
+            ) -> DataFrame | None:
                 if not only:
                     return None
                 df = self.spark.read.option("basePath", str(base)).parquet(
                     *sorted(only)
                 )
+                if dvm.dv_map(man):
+                    mask = dvm.mask_frame(self.spark, it._path, man)
+                    if mask is not None:
+                        df = dvm.apply_mask(
+                            df, mask, dvm.dv_total(man), base
+                        )
                 return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
 
-            return read(abs_a - abs_b, base_a), read(abs_b - abs_a, base_b)
+            return (
+                read(abs_a - shared_clean, base_a, it_from, man_a),
+                read(abs_b - shared_clean, base_b, it_to, man_b),
+            )
 
         df_a, df_b = _sides()
         if df_a is None and df_b is None:  # identical manifests
@@ -4422,9 +4449,19 @@ class Collection:
         it_to = self.item(item, version=until) if until is not None \
             else self.item(item)
         it_from = self.item(item, version=since)
+        from pystore_spark import dv as dvm
+
         files_from = set((it_from._manifest or {}).get("files") or [])
         files_to = (it_to._manifest or {}).get("files") or []
-        additive = files_from <= set(files_to)
+        dv_from = dvm.dv_map(it_from._manifest)
+        dv_to = dvm.dv_map(it_to._manifest)
+        # additive = pure file growth AND no deletion-vector drift on
+        # the carried-over files: a dv-only commit changes visible
+        # rows without moving a file, which the added-files fast path
+        # cannot express
+        additive = files_from <= set(files_to) and all(
+            dv_from.get(r) == dv_to.get(r) for r in files_from
+        )
         ct = lambda t: F.lit(t).alias("_change_type")  # noqa: E731
         if additive and mode != "exact":
             added = [f for f in files_to if f not in files_from]
@@ -4438,6 +4475,16 @@ class Collection:
             df = self.spark.read.option("basePath", str(base)).parquet(
                 *[str(base / f) for f in added]
             )
+            if dv_to:
+                # a file appended then dv-deleted inside the window:
+                # only its VISIBLE rows are inserts
+                mask = dvm.mask_frame(
+                    self.spark, it_to._path, it_to._manifest
+                )
+                if mask is not None:
+                    df = dvm.apply_mask(
+                        df, mask, dvm.dv_total(it_to._manifest), base
+                    )
             if PARTITION_COL in df.columns:
                 df = df.drop(PARTITION_COL)
             return df.select("*", ct("insert"))

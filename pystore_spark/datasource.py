@@ -70,6 +70,37 @@ CDC_COL = "_change_type"
 class FilePartition(InputPartition):
     path: str
     change_type: str = "insert"
+    #: manifest rel path of the data file (deletion-vector lookups)
+    rel: str = ""
+    #: dv dir rel whose positions for ``rel`` are EXCLUDED from the
+    #: emitted rows (the version's mask), or None
+    mask_ref: str | None = None
+    #: cdc dv-delta partitions: emit ONLY rows at positions in
+    #: (mask_ref − base_mask_ref) — the newly-masked rows — as deletes
+    base_mask_ref: str | None = None
+    kind: str = "file"  # "file" | "dv_delta"
+    #: manifest base dir the dv refs resolve against ("" = item dir)
+    dv_base: str = ""
+
+
+def _dv_positions(
+    item_dir: str, ref: str | None, rel: str, base: str | None = None
+) -> "set[int]":
+    """Masked positions of ``rel`` recorded in dv dir ``ref``.
+    ``base`` is the manifest's base dir when it differs from the item
+    dir (snapshot manifests)."""
+    if not ref:
+        return set()
+    import pyarrow.dataset as pds
+
+    dset = pds.dataset(
+        f"{base or item_dir}/{ref}", filesystem=_pa_fs(item_dir),
+        format="parquet",
+    )
+    tbl = dset.to_table(
+        columns=["pos"], filter=pds.field("file") == rel
+    )
+    return set(tbl.column("pos").to_pylist())
 
 
 def _item_dir(options: dict) -> str:
@@ -138,6 +169,45 @@ def _read_file_batches(
     )
     for batch in dset.to_batches(columns=names, filter=filter_expr):
         yield batch.select(names)
+
+
+def _read_file_batches_positional(
+    path: str,
+    item_dir: str,
+    schema: "StructType",
+    exclude: "set[int] | None" = None,
+    include: "set[int] | None" = None,
+):
+    """Batches of one parquet file with POSITION-aware row selection —
+    the deletion-vector path (mask exclusion / cdc delta emission).
+    Reads sequentially with a running row offset; no filter pushdown
+    (positions must stay aligned), which is the honest cost of
+    reading a masked file through the source."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = [f.name for f in schema.fields]
+    pf = pq.ParquetFile(path, filesystem=_pa_fs(item_dir))
+    offset = 0
+    for batch in pf.iter_batches(columns=names):
+        n = batch.num_rows
+        idx = np.arange(offset, offset + n)
+        keep = np.ones(n, dtype=bool)
+        if exclude:
+            keep &= ~np.isin(idx, np.fromiter(exclude, dtype=np.int64))
+        if include is not None:
+            keep &= np.isin(
+                idx,
+                np.fromiter(include, dtype=np.int64)
+                if include
+                else np.empty(0, dtype=np.int64),
+            )
+        offset += n
+        if keep.all():
+            yield batch.select(names)
+        elif keep.any():
+            yield batch.select(names).filter(pa.array(keep))
 
 
 def _arrow_filter_expr(filters: Sequence):
@@ -221,13 +291,25 @@ class PyStoreBatchReader(DataSourceReader):
     for streaming (README notes the trade)."""
 
     def __init__(self, options: dict, schema: "StructType") -> None:
+        from pystore_spark import dv as dvm
+        from pystore_spark import manifest as mf
+
         self._schema = schema
         self._item_dir = _item_dir(options)
         # pin the manifest NOW: every partition of this scan reads one
         # consistent version, however long the job runs
-        self._files = _abs_files(
-            self._item_dir, _manifest(self._item_dir)
-        )
+        man = _manifest(self._item_dir)
+        base = mf.base_dir(self._item_dir, man)
+        dv = dvm.dv_map(man)
+        self._dv_base = str(base)
+        self._parts = [
+            (
+                str(base / rel),
+                rel,
+                (dv.get(rel) or {}).get("ref"),
+            )
+            for rel in sorted(man.get("files") or [])
+        ]
         self._pushed: list = []
 
     def pushFilters(self, filters):
@@ -240,9 +322,26 @@ class PyStoreBatchReader(DataSourceReader):
             yield f
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [FilePartition(p) for p in self._files]
+        return [
+            FilePartition(p, rel=rel, mask_ref=ref)
+            for p, rel, ref in self._parts
+        ]
 
     def read(self, partition: FilePartition) -> Iterator:
+        if partition.mask_ref:
+            # deletion-vector-masked file: positional read (mask
+            # exclusion needs row alignment, so no arrow-side filter;
+            # Spark re-applies every filter post-scan regardless)
+            yield from _read_file_batches_positional(
+                partition.path,
+                self._item_dir,
+                self._schema,
+                exclude=_dv_positions(
+                    self._item_dir, partition.mask_ref, partition.rel,
+                    base=self._dv_base,
+                ),
+            )
+            return
         expr = _arrow_filter_expr(self._pushed) if self._pushed else None
         yield from _read_file_batches(
             partition.path, self._item_dir, self._schema, expr
@@ -307,6 +406,9 @@ class PyStoreStreamReader(DataSourceStreamReader):
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
+        from pystore_spark import dv as dvm
+        from pystore_spark import manifest as mf
+
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 < v0:
             raise ValueError(
@@ -317,31 +419,100 @@ class PyStoreStreamReader(DataSourceStreamReader):
             )
         if v1 == v0:
             return []
-        old = set(
-            _abs_files(
-                self._item_dir, _manifest(self._item_dir, version=v0)
-            )
-        )
-        new = _abs_files(
-            self._item_dir, _manifest(self._item_dir, version=v1)
-        )
-        new_set = set(new)
+        man0 = _manifest(self._item_dir, version=v0)
+        man1 = _manifest(self._item_dir, version=v1)
+        base0 = mf.base_dir(self._item_dir, man0)
+        base1 = mf.base_dir(self._item_dir, man1)
+        dv0, dv1 = dvm.dv_map(man0), dvm.dv_map(man1)
+        rels0 = list(man0.get("files") or [])
+        rels1 = list(man1.get("files") or [])
+        set0, set1 = set(rels0), set(rels1)
+
+        def ref(dv: dict, rel: str) -> str | None:
+            return (dv.get(rel) or {}).get("ref")
+
         if self._mode == "cdc":
-            return [
-                FilePartition(p, "delete")
-                for p in sorted(old - new_set)
-            ] + [
-                FilePartition(p, "insert") for p in new if p not in old
+            # removed files stream their VISIBLE-at-v0 rows as deletes
+            # (positions already masked at v0 were deleted in an
+            # earlier window); added files stream their visible-at-v1
+            # rows as inserts (appended-then-dv-deleted rows never
+            # existed downstream); a carried file whose dv entry
+            # changed emits ONLY the newly-masked positions as deletes
+            # — masks only grow (dv.py), so mask_v1 ⊇ mask_v0
+            parts: list[FilePartition] = [
+                FilePartition(
+                    str(base0 / r), "delete", rel=r,
+                    mask_ref=ref(dv0, r), dv_base=str(base0),
+                )
+                for r in sorted(set0 - set1)
             ]
-        if not old <= new_set:
+            parts += [
+                FilePartition(
+                    str(base1 / r), "delete", rel=r,
+                    mask_ref=ref(dv1, r),
+                    base_mask_ref=ref(dv0, r),
+                    kind="dv_delta", dv_base=str(base1),
+                )
+                for r in sorted(set0 & set1)
+                if dv0.get(r) != dv1.get(r)
+            ]
+            parts += [
+                FilePartition(
+                    str(base1 / r), "insert", rel=r,
+                    mask_ref=ref(dv1, r), dv_base=str(base1),
+                )
+                for r in rels1
+                if r not in set0
+            ]
+            return parts
+        dv_drift = any(dv0.get(r) != dv1.get(r) for r in set0 & set1)
+        if not set0 <= set1 or dv_drift:
             raise ValueError(
                 f"versions {v0}..{v1} of {self._item_dir!r} include a "
-                "rewrite (compaction/delete/upsert) — a stream reads "
-                "append-only windows; reconcile rewrites in batch via "
-                "Collection.changes(mode='auto'), or stream the change "
-                "feed with .option('mode', 'cdc')"
+                "rewrite (compaction/delete/upsert"
+                + (", or a deletion-vector delete" if dv_drift else "")
+                + ") — a stream reads append-only windows; reconcile "
+                "rewrites in batch via Collection.changes(mode='auto'),"
+                " or stream the change feed with .option('mode', 'cdc')"
             )
-        return [FilePartition(p) for p in new if p not in old]
+        return [
+            FilePartition(
+                str(base1 / r), rel=r, mask_ref=ref(dv1, r),
+                dv_base=str(base1),
+            )
+            for r in rels1
+            if r not in set0
+        ]
+
+    def _batches(self, partition: FilePartition, schema):
+        """Partition rows honoring its deletion-vector fields."""
+        b = partition.dv_base or None
+        if partition.kind == "dv_delta":
+            newly = _dv_positions(
+                self._item_dir, partition.mask_ref, partition.rel,
+                base=b,
+            ) - _dv_positions(
+                self._item_dir, partition.base_mask_ref, partition.rel,
+                base=b,
+            )
+            yield from _read_file_batches_positional(
+                partition.path, self._item_dir, schema, include=newly
+            )
+            return
+        if partition.mask_ref:
+            yield from _read_file_batches_positional(
+                partition.path,
+                self._item_dir,
+                schema,
+                exclude=_dv_positions(
+                    self._item_dir, partition.mask_ref, partition.rel,
+                    base=b,
+                ),
+            )
+            return
+        yield from _read_file_batches(
+            partition.path, self._item_dir, schema
+        )
 
     def read(self, partition: FilePartition) -> Iterator:
         if self._mode == "cdc":
@@ -355,9 +526,7 @@ class PyStoreStreamReader(DataSourceStreamReader):
                     if f.name != CDC_COL
                 ]
             )
-            for batch in _read_file_batches(
-                partition.path, self._item_dir, data_schema
-            ):
+            for batch in self._batches(partition, data_schema):
                 yield batch.append_column(
                     CDC_COL,
                     pa.array(
@@ -366,9 +535,7 @@ class PyStoreStreamReader(DataSourceStreamReader):
                     ),
                 )
             return
-        yield from _read_file_batches(
-            partition.path, self._item_dir, self._schema
-        )
+        yield from self._batches(partition, self._schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are replayable version manifests; nothing to ack

@@ -1,0 +1,322 @@
+"""Deletion vectors — merge-on-read row deletes (pystore_spark/dv.py,
+``Collection.delete_where(mode="dv")``) and every consumer that must
+honor the mask: Item reads, n_rows, time travel, compaction
+materialization, diff(), changes(), and the native
+``format("pystore")`` source (batch, append stream, cdc stream).
+
+Beyond-reference (Delta-DV-shaped): the reference engine has no
+row-level delete at all (pystore/collection.py holds only item- and
+snapshot-level deletion)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pystore_spark import dv as dvm
+from pystore_spark import utils
+
+
+def _frame(n, start="2023-01-01", freq="min"):
+    return pd.DataFrame(
+        {
+            "v": np.arange(n, dtype="float64"),
+            "w": np.arange(n, dtype="float64") * 2.0,
+        },
+        index=pd.date_range(start, periods=n, freq=freq),
+    )
+
+
+def test_dv_delete_masks_rows_without_moving_files(test_collection):
+    c = test_collection
+    c.write("d", _frame(90_000))  # time layout, monthly buckets
+    item_path = c._item_path("d")
+    man0 = utils.read_manifest(item_path)
+
+    rep = c.delete_where(
+        "d",
+        [[("v", ">=", 100.0), ("v", "<", 300.0)]],
+        mode="dv",
+    )
+    assert rep["n_deleted"] == 200
+    assert rep["files_masked"] >= 1
+    assert rep["dv_ref"].startswith("_dv/")
+
+    man1 = utils.read_manifest(item_path)
+    # merge-on-read: the data files never moved
+    assert man1["files"] == man0["files"]
+    assert dvm.dv_total(man1) == 200
+
+    it = c.item("d")
+    assert it.n_rows() == 90_000 - 200  # footer counts minus dv map
+    got = it.data.filter("v >= 50 and v < 350").count()
+    assert got == (350 - 50) - 200
+    assert it.data.count() == 90_000 - 200
+
+
+def test_dv_masks_only_grow_union_semantics(test_collection):
+    c = test_collection
+    c.write("d", _frame(20_000))
+    c.delete_where("d", [[("v", "<", 100.0)]], mode="dv")
+    rep2 = c.delete_where(
+        "d", [[("v", "<", 150.0)]], mode="dv"
+    )
+    # second delete counts only NEW matches (masked rows invisible)
+    assert rep2["n_deleted"] == 50
+    man = utils.read_manifest(c._item_path("d"))
+    assert dvm.dv_total(man) == 150
+    assert c.item("d").data.filter("v < 150").count() == 0
+    assert c.item("d").n_rows() == 20_000 - 150
+
+
+def test_dv_time_travel_sees_predelete_rows(test_collection):
+    c = test_collection
+    c.write("d", _frame(5_000))
+    v0 = utils.read_manifest(c._item_path("d"))["version"]
+    c.delete_where("d", [[("v", "<", 10.0)]], mode="dv")
+    old = c.item("d", version=v0)
+    assert old.data.count() == 5_000
+    assert c.item("d").data.count() == 4_990
+
+
+def test_dv_rewrite_materializes_mask(test_collection):
+    """Any rewrite of a masked file (here: a bucket-merge append into
+    the masked bucket) reads through the dv-masked scan, so the
+    replacement file is born clean and write_manifest prunes the
+    departed file's dv entry — the mask's lifetime is bounded by the
+    next rewrite, exactly Delta's DV contract."""
+    c = test_collection
+    c.write("d", _frame(90_000))
+    c.delete_where("d", [[("v", "<", 500.0)]], mode="dv")
+    c.append(
+        "d",
+        _frame(5, start="2023-01-25").assign(v=-1.0),
+        duplicate_handling="keep_all",
+    )
+    man = utils.read_manifest(c._item_path("d"))
+    assert not dvm.dv_map(man)  # mask gone from metadata...
+    it = c.item("d")
+    n = 90_000 - 500 + 5
+    assert it.data.count() == n  # ...because it's in the bytes
+    assert it.data.filter("v >= 0 and v < 500").count() == 0
+    assert it.n_rows() == n
+
+
+def test_dv_delete_everything_refused(test_collection):
+    c = test_collection
+    c.write("d", _frame(100))
+    with pytest.raises(Exception, match="every row"):
+        c.delete_where("d", [[("v", ">=", 0.0)]], mode="dv")
+
+
+def test_dv_diff_shows_masked_rows_as_removed(test_collection):
+    c = test_collection
+    c.write("d", _frame(5_000))
+    v0 = utils.read_manifest(c._item_path("d"))["version"]
+    c.delete_where(
+        "d", [[("v", ">=", 7.0), ("v", "<", 12.0)]], mode="dv"
+    )
+    d = c.diff("d", from_version=v0)
+    pdf = d.toPandas()
+    # dv-only commit: the five masked rows are the entire diff
+    assert sorted(pdf["v"]) == [7.0, 8.0, 9.0, 10.0, 11.0]
+    assert set(pdf["_change"]) == {"delete"}
+
+
+def test_dv_changes_emits_deletes_for_masked_rows(test_collection):
+    c = test_collection
+    c.write("d", _frame(5_000))
+    v0 = utils.read_manifest(c._item_path("d"))["version"]
+    c.delete_where("d", [[("v", "<", 3.0)]], mode="dv")
+    ch = c.changes("d", since=v0).toPandas()
+    by_type = ch.groupby("_change_type")["v"].apply(sorted).to_dict()
+    assert by_type.get("delete") == [0.0, 1.0, 2.0]
+    assert "insert" not in by_type
+
+
+def test_dv_changes_append_plus_mask_in_one_window(test_collection):
+    """A file appended then partially dv-deleted inside the window:
+    only its VISIBLE rows are inserts on the additive fast path."""
+    c = test_collection
+    c.write("d", _frame(5_000), freq="D")
+    v0 = utils.read_manifest(c._item_path("d"))["version"]
+    c.append(
+        "d",
+        _frame(10, start="2023-06-01"),
+        duplicate_handling="keep_all",
+    )
+    # mask rows of the appended file ONLY — carried files' dv entries
+    # stay identical, so the window is still additive
+    c.delete_where(
+        "d",
+        [
+            [
+                ("index", ">=", pd.Timestamp("2023-06-01")),
+                ("v", "<", 4.0),
+            ]
+        ],
+        mode="dv",
+    )
+    ch = c.changes("d", since=v0).toPandas()
+    ins = ch[ch["_change_type"] == "insert"]
+    assert len(ch) == len(ins) == 6  # 10 appended - 4 masked
+    assert sorted(ins["v"]) == [4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+
+
+def test_dv_datasource_batch_excludes_masked_rows(
+    test_collection, spark
+):
+    from pystore_spark.datasource import register, source_options
+
+    register(spark)
+    c = test_collection
+    c.write("d", _frame(5_000))
+    c.delete_where("d", [[("v", "<", 25.0)]], mode="dv")
+    d = (
+        spark.read.format("pystore")
+        .options(**source_options(c, "d"))
+        .load()
+    )
+    assert d.count() == 4_975
+    assert d.filter("v < 25").count() == 0
+    # filters still serve results correctly through the masked path
+    assert d.filter("v >= 25 and v < 30").count() == 5
+
+
+def test_dv_datasource_append_stream_raises_on_dv_drift(
+    test_collection, spark, tmp_path
+):
+    from pystore_spark.datasource import register, source_options
+
+    register(spark)
+    c = test_collection
+    c.write("d", _frame(100))
+    q = (
+        spark.readStream.format("pystore")
+        .options(**source_options(c, "d"))
+        .load()
+        .writeStream.format("memory")
+        .queryName("dv_snk")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        c.delete_where("d", [[("v", "<", 2.0)]], mode="dv")
+        with pytest.raises(Exception, match="deletion-vector|cdc"):
+            q.processAllAvailable()
+            q.awaitTermination(5)
+    finally:
+        q.stop()
+
+
+def test_dv_datasource_cdc_streams_dv_deletes(
+    test_collection, spark, tmp_path
+):
+    """cdc mode: a dv-only commit streams ONLY the newly-masked rows
+    as deletes (no delete+insert churn of untouched carried rows) and
+    the keyed replay reconverges to the live item."""
+    from pystore_spark.datasource import register, source_options
+
+    register(spark)
+    c = test_collection
+    c.write("d", _frame(200), freq="D")
+    q = (
+        spark.readStream.format("pystore")
+        .options(**source_options(c, "d"))
+        .option("mode", "cdc")
+        .load()
+        .writeStream.format("memory")
+        .queryName("dv_cdc")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        c.delete_where("d", [[("v", "<", 5.0)]], mode="dv")
+        q.processAllAvailable()
+        c.delete_where("d", [[("v", "<", 8.0)]], mode="dv")
+        c.append(
+            "d",
+            _frame(10, start="2023-06-01"),
+            duplicate_handling="keep_all",
+        )
+        q.processAllAvailable()
+        snap = spark.sql(
+            "SELECT _change_type, v FROM dv_cdc"
+        ).toPandas()
+        dels = sorted(
+            snap[snap["_change_type"] == "delete"]["v"]
+        )
+        # exactly the masked positions, each deleted once — the
+        # second delete emitted only the DELTA (5,6,7)
+        assert dels == [float(i) for i in range(8)]
+        net = Counter()
+        for _, r in snap.iterrows():
+            net[r["v"]] += 1 if r["_change_type"] == "insert" else -1
+        live = Counter(
+            r["v"]
+            for r in c.item("d").data.select("v").collect()
+        )
+        assert live == Counter(
+            {v: n for v, n in net.items() if n > 0}
+        )
+    finally:
+        q.stop()
+
+
+def test_dv_datasource_cdc_removed_file_deletes_skip_masked(
+    test_collection, spark, tmp_path
+):
+    """A compaction after a dv delete: the removed files' delete rows
+    exclude positions already masked (deleted in an earlier window),
+    so replay never double-deletes; the replacement files' inserts
+    are the materialized (mask-free) rows."""
+    from pystore_spark.datasource import register, source_options
+
+    register(spark)
+    c = test_collection
+    c.write("d", _frame(200))
+    q = (
+        spark.readStream.format("pystore")
+        .options(**source_options(c, "d"))
+        .option("mode", "cdc")
+        .load()
+        .writeStream.format("memory")
+        .queryName("dv_cdc2")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        c.delete_where("d", [[("v", "<", 5.0)]], mode="dv")
+        q.processAllAvailable()
+        c.compact("d")  # rewrite: materializes the mask
+        q.processAllAvailable()
+        snap = spark.sql(
+            "SELECT _change_type, v FROM dv_cdc2"
+        ).toPandas()
+        # masked rows deleted exactly once (by the dv window, not
+        # again by the compaction's removed-file deletes)
+        masked = snap[snap["v"] < 5.0]
+        assert (
+            masked.groupby("v")["_change_type"]
+            .apply(lambda s: (s == "delete").sum())
+            .eq(1)
+            .all()
+        )
+        net = Counter()
+        for _, r in snap.iterrows():
+            net[r["v"]] += 1 if r["_change_type"] == "insert" else -1
+        live = Counter(
+            r["v"]
+            for r in c.item("d").data.select("v").collect()
+        )
+        assert live == Counter(
+            {v: n for v, n in net.items() if n > 0}
+        )
+    finally:
+        q.stop()
