@@ -4261,6 +4261,98 @@ def change_feed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dv_delete_probe",
+    # Deletion vectors (dv.py, Collection.delete_where(mode="dv")):
+    # merge-on-read row-level DELETE. The oracle is the SURVIVING
+    # rows' aggregate, storage-blind — however the engine removes the
+    # rows, what a reader sees afterwards must equal a plain filter.
+    # The probe itself enforces the merge-on-read cost claim: the
+    # post-delete manifest must list the IDENTICAL data files (no
+    # bytes moved), with the removal carried entirely by the dv mask
+    # (manifest dv total == reported n_deleted). A delete that
+    # silently fell back to a rewrite would still hash-match, so the
+    # O(matching rows) claim is asserted in-probe, the values by the
+    # oracle.
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-08')
+    GROUP BY event_type
+    """,
+    tags=("storage", "dml", "dv"),
+)
+def dv_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete through REAL storage: write `events`
+    daily-bucketed, ``delete_where(mode="dv")`` a scattered predicate
+    (one event type over the first week), then aggregate what a
+    reader sees. The delete must move ZERO data files — positions of
+    the matching rows land in a ``_dv/`` parquet and readers
+    anti-join the mask (Delta-DV-shaped; the reference engine has no
+    row-level delete, pystore/collection.py holds only item/snapshot
+    deletion)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+    from pystore_spark import dv as dvm
+    from pystore_spark import utils
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="ps_dv_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        store = ps.store("dv_probe_store", spark=spark)
+        col = store.collection("c")
+        col.write("ev", ev, index_col="ts", freq="D")
+        man0 = utils.read_manifest(col._item_path("ev"))
+        rep = col.delete_where(
+            "ev",
+            [[("event_type", "==", "click"), ("ts", "<", "2024-01-08")]],
+            mode="dv",
+        )
+        man1 = utils.read_manifest(col._item_path("ev"))
+        if man1["files"] != man0["files"]:
+            raise AssertionError(
+                "dv delete moved data files — merge-on-read broken"
+            )
+        if not rep["n_deleted"] or not rep["files_masked"]:
+            raise AssertionError(f"dv delete matched nothing: {rep}")
+        if dvm.dv_total(man1) != rep["n_deleted"]:
+            raise AssertionError(
+                f"manifest dv total {dvm.dv_total(man1)} != reported "
+                f"n_deleted {rep['n_deleted']}"
+            )
+        out = (
+            col.item("ev").data
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.col("value").cast("decimal(20,6)")
+                ).cast("double").alias("total_value"),
+            )
+            .collect()
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["event_type"], int(r["n_rows"]), float(r["total_value"]))
+            for r in out
+        ],
+        "event_type string, n_rows bigint, total_value double",
+    )
+
+
+@register(
     "datasource_read_probe",
     # format("pystore") — the native Spark source (datasource.py).
     # The oracle is the plain aggregate over `events`: however the
@@ -4538,6 +4630,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # verdict item 5 — no rotation), so the new operators take the
     # in-repo oracle gate now and queue for window slots next rotation
     "neardup_cluster_ids", "kneser_ney_counts",
+    # deletion vectors (dv.py — merge-on-read row deletes, this
+    # round's storage flagship); tail-registered under the same
+    # no-rotation protocol, queued for a window slot next rotation
+    "dv_delete_probe",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
