@@ -325,16 +325,31 @@ def _safe_size(fs, f: str | Path) -> int:
         return 0
 
 
-def snapshot_refs(collection_path: str | Path, item: str) -> set[str]:
-    """Relative file paths (into the live item dir) referenced by any
-    snapshot manifest of ``item`` — these must survive GC."""
+def snapshot_refs(
+    collection_path: str | Path, item: str
+) -> tuple[set[str], set[str]]:
+    """``(file rels, dv-dir rels)`` (into the live item dir)
+    referenced by any snapshot manifest of ``item`` — both must
+    survive GC: a snapshot's read is its pinned manifest's files
+    MINUS its pinned deletion-vector masks (dv.py), so losing either
+    corrupts it."""
     refs: set[str] = set()
+    dv: set[str] = set()
     snap_root = Path(collection_path) / utils.SNAPSHOT_DIR
     for snap in fs_for(snap_root).list_subdirs(snap_root):
         man = utils.read_manifest(snap_root / snap / item)
         if man is not None and man.get("base"):
             refs.update(man.get("files") or [])
-    return refs
+            dv.update(_dv_refs(man))
+    return refs, dv
+
+
+def _dv_refs(man: dict | None) -> set[str]:
+    return {
+        e["ref"]
+        for e in ((man or {}).get("dv") or {}).values()
+        if e.get("ref")
+    }
 
 
 def gc_item(
@@ -369,7 +384,7 @@ def gc_item(
     man, etag = utils.read_manifest_versioned(item_path)
     if man is None or man.get("base"):
         return 0  # legacy item or snapshot pointer — nothing to GC
-    refs = snapshot_refs(collection_path, item)
+    refs, snap_dv = snapshot_refs(collection_path, item)
     now = time.time()
     removed = 0
 
@@ -421,12 +436,42 @@ def gc_item(
             # (bucketed.py) — live readers scan these; superseded
             # version dirs are dropped below, not by the orphan sweep
             continue
+        if rel.startswith("_dv/"):
+            # deletion-vector masks (dv.py) are named by the
+            # manifest's dv MAP, not its file list — the sweep below
+            # owns their lifetime; treating them as orphans would
+            # delete a LIVE mask and resurrect its deleted rows
+            continue
         try:
             if now - fs.mtime(f) >= orphan_grace:
                 fs.delete(f, missing_ok=True)
                 removed += 1
         except OSError:
             continue
+    # deletion-vector dirs: a mask referenced by the live manifest or
+    # a snapshot is immortal; a superseded mask (a re-masked file
+    # points at a NEW union dir, dv.py "masks only grow") is reclaimed
+    # once past the same retention clock as stale data files — dv
+    # dirs are immutable after their commit, so dir mtime is creation
+    # time. Version objects that referenced a reclaimed mask die in
+    # the version sweep below, exactly like versions whose data files
+    # expired.
+    dv_live = _dv_refs(man) | snap_dv
+    dv_gone: set[str] = set()
+    dv_root = item_path / "_dv"
+    if fs.exists(dv_root):
+        for child in sorted(Path(dv_root).iterdir()):
+            rel = f"_dv/{child.name}"
+            if rel in dv_live:
+                continue
+            try:
+                age = now - fs.mtime(child)
+            except OSError:
+                continue
+            if age >= retention:
+                utils.rm_tree(child)
+                dv_gone.add(rel)
+                removed += 1
     # time-travel history lives exactly as long as the data it
     # references: a version object is deleted once ANY of its files
     # has left the (live ∪ stale-retained) set — the same
@@ -445,6 +490,11 @@ def gc_item(
         vman = utils.read_version_manifest(item_path, int(stem))
         dead = vman is None or any(
             rel not in avail for rel in (vman.get("files") or [])
+        ) or any(
+            # a version is unreadable once any of its dv masks is
+            # reclaimed — same availability rule as its data files
+            r in dv_gone or not fs.exists(item_path / r)
+            for r in _dv_refs(vman)
         )
         if dead:
             try:

@@ -320,3 +320,76 @@ def test_dv_datasource_cdc_removed_file_deletes_skip_masked(
         )
     finally:
         q.stop()
+
+
+def test_gc_never_reclaims_a_live_mask(test_collection):
+    """REGRESSION: gc_item's orphan sweep knows data files from the
+    manifest's file list, but a dv mask parquet is named only by the
+    manifest's dv MAP — before the fix, any mask older than
+    orphan_grace was deleted as an orphan by the next append's
+    recover_item sweep, silently breaking every masked read."""
+    from pystore_spark import manifest as mf
+
+    c = test_collection
+    c.write("d", _frame(90_000))
+    c.delete_where("d", [[("v", "<", 100.0)]], mode="dv")
+    removed = mf.gc_item(c.path, "d", retention=0.0, orphan_grace=0.0)
+    man = utils.read_manifest(c._item_path("d"))
+    assert dvm.dv_total(man) == 100  # the mask survived the sweep
+    assert c.item("d").data.count() == 90_000 - 100
+    assert removed == 0 or c.item("d").data.count() == 90_000 - 100
+
+
+def test_gc_reclaims_superseded_masks_on_the_retention_clock(
+    test_collection,
+):
+    """A re-masked file points at a NEW union dv dir; the superseded
+    dir is reclaimed once past retention, and the intermediate
+    version object that referenced it dies with it (the same
+    lifetime rule as stale data files)."""
+    from pathlib import Path
+
+    from pystore_spark import manifest as mf
+
+    c = test_collection
+    c.write("d", _frame(90_000))
+    c.delete_where("d", [[("v", "<", 100.0)]], mode="dv")
+    item_path = Path(c._item_path("d"))
+    ref1 = dvm.dv_refs(utils.read_manifest(item_path)).pop()
+    v_mid = c.item("d").version
+    c.delete_where("d", [[("v", "<", 200.0)]], mode="dv")
+    ref2s = dvm.dv_refs(utils.read_manifest(item_path))
+    assert ref1 not in ref2s  # union mask lives in a new dir
+
+    # inside retention: superseded mask survives, old version readable
+    mf.gc_item(c.path, "d", retention=3600.0, orphan_grace=0.0)
+    assert (item_path / ref1).exists()
+    assert c.item("d", version=v_mid).data.count() == 90_000 - 100
+
+    # past retention: reclaimed, and the referencing version with it
+    mf.gc_item(c.path, "d", retention=0.0, orphan_grace=0.0)
+    assert not (item_path / ref1).exists()
+    assert all((item_path / r).exists() for r in ref2s)
+    assert c.item("d").data.count() == 90_000 - 200
+    assert v_mid not in utils.list_versions(item_path)
+
+
+def test_gc_keeps_masks_pinned_by_snapshots(test_collection):
+    """A snapshot manifest carries its version's dv map; its masks
+    must survive retention-0 GC exactly like snapshot data files."""
+    from pathlib import Path
+
+    from pystore_spark import manifest as mf
+
+    c = test_collection
+    c.write("d", _frame(90_000))
+    c.delete_where("d", [[("v", "<", 100.0)]], mode="dv")
+    item_path = Path(c._item_path("d"))
+    ref1 = dvm.dv_refs(utils.read_manifest(item_path)).pop()
+    c.create_snapshot("pin")
+    c.delete_where("d", [[("v", "<", 200.0)]], mode="dv")
+
+    mf.gc_item(c.path, "d", retention=0.0, orphan_grace=0.0)
+    assert (item_path / ref1).exists()  # pinned by the snapshot
+    snap = c.item("d", snapshot="pin")
+    assert snap.data.count() == 90_000 - 100
