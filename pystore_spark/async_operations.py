@@ -100,6 +100,11 @@ class AsyncCollection:
             self.collection.delete_where, item, filters, **kwargs
         )
 
+    async def update_where(self, item: str, filters, **kwargs):
+        return await self._run(
+            self.collection.update_where, item, filters, **kwargs
+        )
+
     async def delete_range(self, item: str, **kwargs):
         return await self._run(
             self.collection.delete_range, item, **kwargs

@@ -25,10 +25,10 @@ import uuid
 import warnings
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Any, Callable, Iterable, Sequence
+from typing import Any, Callable, Iterable, Mapping, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pystore_spark import utils
@@ -551,6 +551,8 @@ class Collection:
         expect_files: dict[str, tuple[str, ...]] | None = None,
         drop_buckets: set[str] | None = None,
         must_not_exist: bool = False,
+        dv_entries: dict[str, tuple[str, int]] | None = None,
+        expect_dv: dict[str, dict | None] | None = None,
     ) -> None:
         """The manifest commit protocol shared by every writer:
 
@@ -771,6 +773,26 @@ class Collection:
             # because every rewrite path reads through the dv-masked
             # scan, materializing the mask into the replacement files)
             dv = dict((man or {}).get("dv") or {})
+            if expect_dv is not None and any(
+                dv.get(rel) != exp for rel, exp in expect_dv.items()
+            ):
+                # a concurrent dv-only commit (file set unchanged, so
+                # expect_files passed) re-masked a file this commit's
+                # dv_entries would repoint — committing would resurrect
+                # its positions
+                raise ConcurrentCommitError(
+                    f"item {item!r}: deletion-vector state changed "
+                    "since this update was computed — a concurrent "
+                    "commit landed; retry against the fresh manifest"
+                )
+            if dv_entries:
+                # merge-on-read UPDATE (update_where mode="dv"): the
+                # originals' new mask positions commit in the SAME CAS
+                # as the staged replacement rows — counts accumulate
+                # like the dv delete path (masks only grow)
+                for rel, (ref, n_new) in dv_entries.items():
+                    old_n = int((dv.get(rel) or {}).get("n", 0))
+                    dv[rel] = {"ref": ref, "n": old_n + n_new}
             utils.write_manifest(
                 item_path, live, sidecar, stale=stale, version=version,
                 stats=stats, sizes=sizes, dv=dv or None,
@@ -1349,6 +1371,326 @@ class Collection:
             out["index_repairs"] = self._repair_indexes_of(item)
         return out
 
+    def update_where(
+        self,
+        item: str,
+        filters: Sequence,
+        set: Mapping[str, Any],
+        repair_indexes: bool = False,
+        mode: str = "rewrite",
+    ) -> dict:
+        """Row-level UPDATE: assign ``set``'s ``{column: expression}``
+        to the rows matching the tuple-DNF predicate (same language as
+        read filters). Expressions are SQL strings or Columns,
+        evaluated against the PRE-update row (all assignments see the
+        old values, SQL UPDATE semantics) and cast back to the
+        column's stored type so the schema never drifts. Index
+        columns and the bucket column are not assignable — moving a
+        row's index would relocate it across buckets, which is a
+        delete+append, not an update.
+
+        ``mode="rewrite"`` re-reads and re-writes every bucket holding
+        a matching row (candidate files prune on the driver first,
+        same as :meth:`delete_where`); untouched buckets keep their
+        file pointers. Returns ``{n_updated, buckets_rewritten}``.
+
+        ``mode="dv"`` — MERGE-ON-READ update (Delta-DV-shaped,
+        dv.py): the matching rows' positions are masked and their
+        updated copies appended, in ONE manifest CAS — readers see
+        pre- or post-update, never both copies and never neither.
+        Cost is O(matching rows) + one conditional put: at a
+        100k-file item a scattered metadata-fix stops rewriting
+        terabytes. Reads pay the mask anti-join until
+        :meth:`compact` / any rewrite materializes it. Returns
+        ``{n_updated, files_masked, dv_ref, files_added}``.
+
+        Derived state (matviews, rollups, dedup/line/vector indexes)
+        goes stale either way — ``repair_indexes=True`` repairs
+        covering indexes after the commit, as in
+        :meth:`delete_where`. No reference counterpart: the
+        reference engine's only row mutation is whole-item overwrite
+        (pystore/collection.py write with overwrite=True)."""
+        from pystore_spark import bucketed as _bk
+
+        _bk.guard_mutation(self, item, "update_where")
+        from pystore_spark.exceptions import ConcurrentCommitError
+        from pystore_spark.filters import filters_to_column
+
+        assignments = dict(set)  # `set=` mirrors Delta's UPDATE API
+        del set  # unshadow the builtin
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"mode must be 'rewrite' or 'dv', got {mode!r}"
+            )
+        if not assignments:
+            raise ValueError("update_where requires assignments")
+        raw_pred = filters_to_column(filters)
+        if not filters or raw_pred is None:
+            raise ValueError(
+                "update_where requires a non-empty predicate; use "
+                "write(..., overwrite=True) to replace the whole item"
+            )
+        pred = F.coalesce(raw_pred, F.lit(False))
+        it = self.item(item)
+        schema = {f.name: f.dataType for f in it.data.schema.fields}
+        barred = sorted(
+            frozenset(it._index_cols) & frozenset(assignments)
+        ) + ([PARTITION_COL] if PARTITION_COL in assignments else [])
+        if barred:
+            raise ValueError(
+                f"update_where cannot assign index/bucket columns "
+                f"{barred} — that moves rows across buckets; "
+                "delete_where + append instead"
+            )
+        missing = sorted(c for c in assignments if c not in schema)
+        if missing:
+            raise ValueError(
+                f"update_where assignments reference unknown columns "
+                f"{missing}"
+            )
+        assigns = {
+            c: (e if isinstance(e, Column) else F.expr(str(e))).cast(
+                schema[c]
+            )
+            for c, e in assignments.items()
+        }
+        last_exc: Exception | None = None
+        out: dict | None = None
+        for attempt in range(3):
+            try:
+                if mode == "dv":
+                    out = self._update_where_dv_once(
+                        item, filters, pred, assigns
+                    )
+                else:
+                    out = self._update_where_rewrite_once(
+                        item, filters, pred, assigns
+                    )
+                break
+            except ConcurrentCommitError as exc:
+                last_exc = exc
+        if out is None:
+            raise last_exc
+        if repair_indexes and out.get("n_updated"):
+            out["index_repairs"] = self._repair_indexes_of(item)
+        return out
+
+    def _update_where_dv_once(
+        self, item: str, filters: Sequence, pred, assigns: dict
+    ) -> dict:
+        """One attempt of the merge-on-read update: mask the matched
+        originals and stage their updated copies, committed together
+        by ONE manifest CAS (``_commit_staged`` scope='add' +
+        dv_entries). Files never rewrite; the commit is O(matching
+        rows) + one conditional put."""
+        from pystore_spark import dv as dvm
+        from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
+        from pystore_spark.item import _prune_tuples
+
+        item_path = self._item_path(item)
+        it = self.item(item)
+        man = it._manifest
+        if man is None:
+            raise StorageError(
+                f"update_where(mode='dv') requires the manifest "
+                f"protocol; item {item!r} is a legacy layout — "
+                "rewrite it first or use mode='rewrite'"
+            )
+        files = list(man.get("files") or [])
+        if not files:
+            return {"n_updated": 0, "files_masked": 0, "dv_ref": None,
+                    "files_added": 0}
+        plan = it._plan or PartitionPlan("size", npartitions=1)
+        flt = (
+            _prune_tuples(filters, plan.freq, it._index_cols)
+            if plan.kind == "time"
+            else filters
+        )
+        cand = mf.prune_files(files, flt, stats=man.get("stats"))
+        scan = dvm.masked_scan(self.spark, item_path, man, cand)
+        matched = scan.filter(pred).localCheckpoint(eager=True)
+        per_file = {
+            r["file"]: int(r["n"])
+            for r in matched.groupBy(
+                F.col("__dv_f").alias("file")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_upd = sum(per_file.values())
+        if n_upd == 0:
+            return {"n_updated": 0, "files_masked": 0, "dv_ref": None,
+                    "files_added": 0}
+        # updated copies: every assignment evaluates against the OLD
+        # row (one simultaneous select, not sequential withColumn);
+        # the regenerated layout re-derives _pb from the (immutable)
+        # index, so copies land in their original buckets
+        data_cols = [
+            c for c in matched.columns
+            if c not in ("__dv_f", "__dv_p", PARTITION_COL)
+        ]
+        upd = matched.select(
+            *[
+                assigns[c].alias(c) if c in assigns else F.col(c)
+                for c in data_cols
+            ]
+        )
+        shaped = apply_layout(
+            upd, plan, index_col=it._index_cols[0], small=True
+        )
+        old_map = dvm.dv_map(man)
+        touched_rels = set(per_file)
+        mask = matched.select(
+            F.col("__dv_f").alias("file"),
+            F.col("__dv_p").alias("pos"),
+        )
+        old_refs = {
+            e["ref"]
+            for rel, e in old_map.items()
+            if rel in touched_rels and e.get("ref")
+        }
+        if old_refs:
+            base = mf.base_dir(item_path, man)
+            prior = self.spark.read.parquet(
+                *[str(base / r) for r in sorted(old_refs)]
+            ).filter(F.col("file").isin(sorted(touched_rels)))
+            mask = mask.unionByName(prior)
+        dv_rel = dvm.write_mask_dir(self.spark, item_path, mask)
+        before = set(files)
+        try:
+            self._commit_staged(
+                item,
+                lambda tmp: self._write_df(shaped, str(tmp), plan),
+                None,  # metadata-preserving, like the delete paths
+                scope="add",
+                expect_files=mf.bucket_file_map(man),
+                dv_entries={
+                    rel: (dv_rel, n) for rel, n in per_file.items()
+                },
+                expect_dv={
+                    rel: old_map.get(rel) for rel in touched_rels
+                },
+            )
+        except Exception:
+            utils.rm_tree(item_path / dv_rel)
+            raise
+        self.clear_metadata_cache(item)
+        man2 = utils.read_manifest(item_path)
+        return {
+            "n_updated": n_upd,
+            "files_masked": len(per_file),
+            "dv_ref": dv_rel,
+            "files_added": len(
+                set((man2 or {}).get("files") or []) - before
+            ),
+        }
+
+    def _update_where_rewrite_once(
+        self, item: str, filters: Sequence, pred, assigns: dict
+    ) -> dict:
+        """One attempt of the copy-on-write update: re-write every
+        bucket holding a matching row (driver-pruned candidates
+        first), carrying unmatched neighbors through unchanged. The
+        bucket swap is the same observed-state-guarded commit as
+        append/delete."""
+        from pathlib import PurePosixPath
+
+        from pystore_spark import manifest as mf
+        from pystore_spark.item import _prune_tuples
+
+        it = self.item(item)
+        man = it._manifest
+        plan = it._plan or PartitionPlan("size", npartitions=1)
+        sidecar = None  # metadata-preserving (see delete_where)
+        raw = it.raw_frame()
+        idx0 = it._index_cols[0]
+
+        def transform(df):
+            return df.select(
+                *[
+                    F.when(pred, assigns[c])
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        time_scoped = (
+            plan.kind == "time"
+            and PARTITION_COL in raw.columns
+            and man is not None
+        )
+        if not time_scoped:
+            n_upd = raw.filter(pred).count()
+            if n_upd == 0:
+                return {"n_updated": 0, "buckets_rewritten": []}
+            shaped = apply_layout(
+                transform(raw.drop(PARTITION_COL))
+                if PARTITION_COL in raw.columns
+                else transform(raw),
+                plan, index_col=idx0, small=True,
+            )
+            self._atomic_install(
+                item,
+                lambda tmp: self._write_df(shaped, str(tmp), plan),
+                sidecar,
+                expect_files=mf.bucket_file_map(man)
+                if man is not None
+                else None,
+            )
+            self.clear_metadata_cache(item)
+            return {"n_updated": int(n_upd), "buckets_rewritten": []}
+
+        aug = _prune_tuples(filters, plan.freq, it._index_cols) or filters
+        cand_files = mf.prune_files(
+            man.get("files") or [], aug, stats=man.get("stats")
+        )
+        cand_files, bloom_empty = it._bloom_prune(cand_files, filters)
+        if bloom_empty:
+            return {"n_updated": 0, "buckets_rewritten": []}
+        cand_buckets = sorted(
+            {PurePosixPath(f).parent.as_posix() for f in cand_files}
+        )
+        cand_bvals = [
+            b.split("=", 1)[1] for b in cand_buckets if "=" in b
+        ]
+        pb_str = F.col(PARTITION_COL).cast("string")
+        subset = raw.filter(pb_str.isin(cand_bvals))
+        upd_rows = (
+            subset.filter(pred)
+            .groupBy(pb_str.alias("_pbs"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        upd_bvals = sorted(r["_pbs"] for r in upd_rows)
+        n_upd = sum(r["_n"] for r in upd_rows)
+        if not upd_bvals:
+            return {"n_updated": 0, "buckets_rewritten": []}
+        rewritten = (
+            transform(subset.filter(pb_str.isin(upd_bvals)))
+            .localCheckpoint(eager=True)
+        )
+        shaped = apply_layout(
+            rewritten.drop(PARTITION_COL), plan, index_col=idx0,
+            small=mf.item_bytes(
+                self._item_path(item), buckets=set(upd_bvals)
+            ) <= config.PARTITION_TARGET_BYTES,
+        )
+        self._install_buckets(
+            item,
+            lambda tmp: self._write_df(shaped, str(tmp), plan),
+            sidecar,
+            expect_files=mf.bucket_file_map(man),
+        )
+        self.clear_metadata_cache(item)
+        return {
+            "n_updated": int(n_upd),
+            "buckets_rewritten": upd_bvals,
+        }
+
     def _delete_where_dv_once(
         self, item: str, filters: Sequence, pred
     ) -> dict:
@@ -1428,13 +1770,25 @@ class Collection:
             frame = frame.unionByName(prior)
         dv_rel = dvm.write_mask_dir(self.spark, item_path, frame)
         # CAS: the dv map is only sound against the exact live set the
-        # matches were computed from — any concurrent commit retries
+        # matches were computed from — any concurrent commit retries.
+        # The TOUCHED files' dv entries must also be unchanged: a
+        # concurrent dv-only commit (no file movement) put positions
+        # in ITS mask dir, and repointing the entry at ours would
+        # silently resurrect them
         man2, etag = utils.read_manifest_versioned(item_path)
-        if man2 is None or set(man2.get("files") or []) != set(files):
+        if (
+            man2 is None
+            or set(man2.get("files") or []) != set(files)
+            or any(
+                dvm.dv_map(man2).get(rel) != old_map.get(rel)
+                for rel in touched_rels
+            )
+        ):
             utils.rm_tree(item_path / dv_rel)
             raise ConcurrentCommitError(
-                f"item {item!r}: live file set changed while the dv "
-                "delete was computed; retrying against fresh state"
+                f"item {item!r}: live file set or mask state changed "
+                "while the dv delete was computed; retrying against "
+                "fresh state"
             )
         new_map = dvm.dv_map(man2)
         for rel, n in per_file.items():
@@ -4935,11 +5289,16 @@ class Collection:
         paths = [
             str(base / r) for b in selected for r in per_bucket[b]
         ]
-        df = (
-            self.spark.read.option("basePath", str(base))
-            .parquet(*paths)
-            .drop(PARTITION_COL)
-        )
+        df = it._apply_dv(
+            # deletion-vector mask (dv.py) applies BEFORE the rewrite:
+            # compaction materializes the mask into the replacement
+            # files, and the replaced files' dv entries die at commit
+            # — reading the bucket mask-blind would resurrect every
+            # masked row and silently drop the mask
+            self.spark.read.option("basePath", str(base)).parquet(
+                *paths
+            )
+        ).drop(PARTITION_COL)
         cplan = PartitionPlan(
             "time", freq=plan.freq, npartitions=needed_total,
             compression=plan.compression,
@@ -5101,8 +5460,12 @@ class Collection:
                 for b in changed
                 for r in per_bucket_files[b]
             ]
-            df = self.spark.read.option("basePath", str(base)).parquet(
-                *paths
+            # dv mask applies: deleted rows must leave the histogram
+            # (counts feed percentile estimates)
+            df = it._apply_dv(
+                self.spark.read.option("basePath", str(base)).parquet(
+                    *paths
+                )
             )
             if missing_hist:
                 # pin edges from this (full) scan's min/max — one
@@ -5578,8 +5941,11 @@ class Collection:
             self._require_spark_fs(f"contamination audit of {item!r}")
             base = mf.base_dir(it._path, man)
             df = (
-                self.spark.read.option("basePath", str(base)).parquet(
-                    *[str(base / r) for r in live]
+                # dv mask applies: deleted docs no longer contaminate
+                it._apply_dv(
+                    self.spark.read.option(
+                        "basePath", str(base)
+                    ).parquet(*[str(base / r) for r in live])
                 )
                 if live and not need_full
                 else it.data

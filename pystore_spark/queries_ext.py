@@ -4353,6 +4353,102 @@ def dv_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dv_update_probe",
+    # Merge-on-read UPDATE (Collection.update_where(mode="dv")): the
+    # matched rows' positions are masked and their updated copies
+    # appended in ONE manifest CAS. The oracle is the CASE-WHEN
+    # rewrite of the same assignment, storage-blind; the probe
+    # asserts the merge-on-read shape in-probe — every pre-update
+    # file still live (nothing rewritten), the mask exactly the
+    # matched count, the commit a single version step.
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(
+             CASE WHEN event_type = 'click'
+                       AND ts < TIMESTAMP '2024-01-08'
+                  THEN value * 2 + 1 ELSE value END
+             AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("storage", "dml", "dv"),
+)
+def dv_update_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE through REAL storage, merge-on-read: write
+    `events` daily-bucketed, ``update_where(mode="dv")`` an
+    assignment over one event type's first week, then aggregate what
+    a reader sees. The update must rewrite ZERO existing files — the
+    originals are masked and the updated copies appended, atomically
+    (Delta-DV-shaped; the reference engine's only row mutation is
+    whole-item overwrite, pystore/collection.py write
+    overwrite=True)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+    from pystore_spark import dv as dvm
+    from pystore_spark import utils
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="ps_dvu_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        store = ps.store("dvu_probe_store", spark=spark)
+        col = store.collection("c")
+        col.write("ev", ev, index_col="ts", freq="D")
+        man0 = utils.read_manifest(col._item_path("ev"))
+        rep = col.update_where(
+            "ev",
+            [[("event_type", "==", "click"), ("ts", "<", "2024-01-08")]],
+            set={"value": "value * 2 + 1"},
+            mode="dv",
+        )
+        man1 = utils.read_manifest(col._item_path("ev"))
+        if not set(man0["files"]) <= set(man1["files"]):
+            raise AssertionError(
+                "dv update rewrote pre-update files — merge-on-read "
+                "broken"
+            )
+        if not rep["n_updated"] or not rep["files_added"]:
+            raise AssertionError(f"dv update matched nothing: {rep}")
+        if dvm.dv_total(man1) != rep["n_updated"]:
+            raise AssertionError(
+                f"manifest dv total {dvm.dv_total(man1)} != reported "
+                f"n_updated {rep['n_updated']}"
+            )
+        if int(man1["version"]) != int(man0["version"]) + 1:
+            raise AssertionError(
+                "mask and appended copies did not land in one commit"
+            )
+        out = (
+            col.item("ev").data
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.col("value").cast("decimal(20,6)")
+                ).cast("double").alias("total_value"),
+            )
+            .collect()
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["event_type"], int(r["n_rows"]), float(r["total_value"]))
+            for r in out
+        ],
+        "event_type string, n_rows bigint, total_value double",
+    )
+
+
+@register(
     "datasource_read_probe",
     # format("pystore") — the native Spark source (datasource.py).
     # The oracle is the plain aggregate over `events`: however the
@@ -4633,7 +4729,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # deletion vectors (dv.py — merge-on-read row deletes, this
     # round's storage flagship); tail-registered under the same
     # no-rotation protocol, queued for a window slot next rotation
-    "dv_delete_probe",
+    "dv_delete_probe", "dv_update_probe",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -393,3 +393,174 @@ def test_gc_keeps_masks_pinned_by_snapshots(test_collection):
     assert (item_path / ref1).exists()  # pinned by the snapshot
     snap = c.item("d", snapshot="pin")
     assert snap.data.count() == 90_000 - 100
+
+
+# ---------------------------------------------------------------------
+# update_where — row-level UPDATE (merge-on-read and copy-on-write)
+# ---------------------------------------------------------------------
+
+
+def test_update_where_dv_masks_and_appends_in_one_commit(
+    test_collection,
+):
+    c = test_collection
+    c.write("d", _frame(90_000))
+    item_path = c._item_path("d")
+    man0 = utils.read_manifest(item_path)
+    v0 = int(man0["version"])
+
+    rep = c.update_where(
+        "d",
+        [[("v", ">=", 100.0), ("v", "<", 300.0)]],
+        set={"w": "w + 1000"},
+        mode="dv",
+    )
+    assert rep["n_updated"] == 200
+    assert rep["files_masked"] >= 1
+    assert rep["files_added"] >= 1
+    assert rep["dv_ref"].startswith("_dv/")
+
+    man1 = utils.read_manifest(item_path)
+    # ONE commit: mask + appended copies land in the same version
+    assert int(man1["version"]) == v0 + 1
+    assert set(man0["files"]) <= set(man1["files"])  # originals kept
+    assert dvm.dv_total(man1) == 200
+
+    df = c.item("d").data.toPandas().sort_values("v")
+    assert len(df) == 90_000  # update never changes the row count
+    upd = df[(df["v"] >= 100) & (df["v"] < 300)]
+    assert (upd["w"] == upd["v"] * 2.0 + 1000).all()
+    rest = df[~((df["v"] >= 100) & (df["v"] < 300))]
+    assert (rest["w"] == rest["v"] * 2.0).all()
+
+
+def test_update_where_rewrite_matches_dv(test_collection):
+    c = test_collection
+    c.write("a", _frame(30_000))
+    c.write("b", _frame(30_000))
+    pred = [[("v", ">=", 50.0), ("v", "<", 250.0)]]
+    rep_dv = c.update_where("a", pred, set={"w": "v - 1"}, mode="dv")
+    rep_rw = c.update_where(
+        "b", pred, set={"w": "v - 1"}, mode="rewrite"
+    )
+    assert rep_dv["n_updated"] == rep_rw["n_updated"] == 200
+    assert rep_rw["buckets_rewritten"]
+    pa = c.item("a").data.toPandas().sort_values("v").reset_index(
+        drop=True
+    )
+    pb = c.item("b").data.toPandas().sort_values("v").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        pa[["v", "w"]], pb[["v", "w"]]
+    )
+    # rewrite mode leaves no mask behind
+    assert dvm.dv_total(utils.read_manifest(c._item_path("b"))) == 0
+
+
+def test_update_where_assignments_see_the_old_row(test_collection):
+    """SQL UPDATE semantics: every RHS evaluates against the
+    pre-update row, so swapping two columns must actually swap."""
+    c = test_collection
+    c.write("d", _frame(1_000))
+    # columns are v/w here: swap via expressions referencing each other
+    c.update_where(
+        "d", [[("v", "<", 10.0)]], set={"w": "v", "v": "w"},
+        mode="dv",
+    )
+    df = c.item("d").data.toPandas()
+    swapped = df[df["w"] < 10.0]  # old v<10 rows now carry w=old v
+    assert len(swapped) == 10
+    assert (swapped["v"] == swapped["w"] * 2.0).all()  # v = old w
+
+
+def test_update_where_casts_to_stored_type(test_collection):
+    """An int-typed expression assigned to a double column must not
+    drift the stored schema."""
+    c = test_collection
+    c.write("d", _frame(1_000))
+    c.update_where("d", [[("v", "<", 5.0)]], set={"w": "-7"},
+                   mode="dv")
+    it = c.item("d")
+    assert dict(it.data.dtypes)["w"] == "double"
+    assert it.data.filter("w = -7.0").count() == 5
+
+
+def test_update_where_guards(test_collection):
+    c = test_collection
+    c.write("d", _frame(1_000))
+    with pytest.raises(ValueError, match="index/bucket"):
+        c.update_where("d", [[("v", "<", 5.0)]], set={"index": "v"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        c.update_where("d", [[("v", "<", 5.0)]], set={"nope": "1"})
+    with pytest.raises(ValueError, match="non-empty predicate"):
+        c.update_where("d", [], set={"w": "1"})
+    with pytest.raises(ValueError, match="assignments"):
+        c.update_where("d", [[("v", "<", 5.0)]], set={})
+    # zero matches: clean no-op, no mask, no files
+    man0 = utils.read_manifest(c._item_path("d"))
+    rep = c.update_where(
+        "d", [[("v", "<", -1.0)]], set={"w": "1"}, mode="dv"
+    )
+    assert rep == {"n_updated": 0, "files_masked": 0, "dv_ref": None,
+                   "files_added": 0}
+    assert utils.read_manifest(c._item_path("d")) == man0
+
+
+def test_update_where_dv_then_compact_materializes(test_collection):
+    c = test_collection
+    c.write("d", _frame(30_000))
+    c.update_where(
+        "d", [[("v", "<", 100.0)]], set={"w": "w * 10"}, mode="dv"
+    )
+    c.compact("d")
+    man = utils.read_manifest(c._item_path("d"))
+    assert dvm.dv_total(man) == 0  # mask folded into rewritten files
+    df = c.item("d").data.toPandas()
+    assert len(df) == 30_000
+    sub = df[df["v"] < 100]
+    assert (sub["w"] == sub["v"] * 20.0).all()
+
+
+def test_update_where_dv_time_travel_sees_both_versions(
+    test_collection,
+):
+    c = test_collection
+    c.write("d", _frame(30_000))
+    v0 = c.item("d").version
+    c.update_where(
+        "d", [[("v", "<", 50.0)]], set={"w": "-1"}, mode="dv"
+    )
+    old = c.item("d", version=v0).data.filter("v < 50").toPandas()
+    assert (old["w"] == old["v"] * 2.0).all()  # pre-update view
+    new = c.item("d").data.filter("v < 50").toPandas()
+    assert (new["w"] == -1.0).all()
+
+
+def test_dv_delete_then_real_compaction_materializes(test_collection):
+    """REGRESSION: compact() read selected buckets' files DIRECTLY
+    (mask-blind) — a bucket holding both a masked file and a later
+    append compacted to a clean file with every masked row
+    resurrected, while the commit dropped the dv entry. The rewrite
+    must read through the mask."""
+    c = test_collection
+    c.write("d", _frame(30_000))
+    c.delete_where("d", [[("v", "<", 200.0)]], mode="dv")
+    # the dv update appends its copies as a SECOND file in the masked
+    # bucket (scope='add'), so compaction performs a real merge over
+    # a bucket carrying masks from two commits
+    c.update_where(
+        "d", [[("v", ">=", 300.0), ("v", "<", 400.0)]],
+        set={"w": "-5"}, mode="dv",
+    )
+    rep = c.compact("d", target_size_mb=256)
+    assert rep["buckets_compacted"] >= 1
+    man = utils.read_manifest(c._item_path("d"))
+    assert dvm.dv_total(man) == 0
+    it = c.item("d")
+    assert it.data.count() == 30_000 - 200
+    assert it.data.filter("v >= 0 and v < 200").count() == 0
+    assert it.data.filter("w = -5.0").count() == 100
+    assert it.data.filter(
+        "v >= 300 and v < 400 and w <> -5.0"
+    ).count() == 0
