@@ -564,3 +564,43 @@ def test_dv_delete_then_real_compaction_materializes(test_collection):
     assert it.data.filter(
         "v >= 300 and v < 400 and w <> -5.0"
     ).count() == 0
+
+
+def test_dv_delete_retries_when_concurrent_mask_commit_lands(
+    test_collection, monkeypatch,
+):
+    """The dv delete's CAS guard must also watch the dv MAP: a
+    concurrent dv-only commit (file set unchanged) puts positions in
+    ITS mask dir, and blindly repointing the entry would resurrect
+    them. Injected interleaving: while delete A is between computing
+    its matches and committing, delete B lands on the same file. A
+    must retry and the final state must carry BOTH masks."""
+    c = test_collection
+    c.write("d", _frame(20_000))
+
+    real_write_mask = dvm.write_mask_dir
+    fired = {"done": False}
+
+    def inject(spark, item_path, frame, npartitions=1):
+        rel = real_write_mask(spark, item_path, frame, npartitions)
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent dv delete commits between A's compute and
+            # A's CAS (this nested call uses the REAL write_mask_dir
+            # via the flag above)
+            c.delete_where(
+                "d", [[("v", ">=", 500.0), ("v", "<", 600.0)]],
+                mode="dv",
+            )
+        return rel
+
+    monkeypatch.setattr(dvm, "write_mask_dir", inject)
+    rep = c.delete_where("d", [[("v", "<", 100.0)]], mode="dv")
+    assert rep["n_deleted"] == 100
+
+    man = utils.read_manifest(c._item_path("d"))
+    assert dvm.dv_total(man) == 200  # both deletes survived
+    it = c.item("d")
+    assert it.data.filter("v < 100").count() == 0
+    assert it.data.filter("v >= 500 and v < 600").count() == 0
+    assert it.data.count() == 20_000 - 200
