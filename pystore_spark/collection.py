@@ -2162,6 +2162,7 @@ class Collection:
         not_matched_condition: str | None = None,
         epochdate: bool = False,
         sidecar_extra: dict | None = None,
+        mode: str = "rewrite",
     ) -> dict:
         """Delta-style ``MERGE INTO``: join the stored item with
         ``source`` on key columns and, per matched target row, delete
@@ -2203,7 +2204,15 @@ class Collection:
 
         Returns ``{"n_updated", "n_deleted", "n_inserted",
         "n_unchanged_matched"}``.
-        """
+
+        ``mode="dv"`` — MERGE-ON-READ merge (deletion vectors,
+        dv.py): instead of rewriting the joined scope, the matched
+        rows chosen for update/delete are MASKED and the updated
+        copies + inserts appended, in ONE manifest CAS. The write
+        cost drops from O(joined scope) — the WHOLE item when the
+        merge key is not the index — to O(changed rows); the t⋈s key
+        join is paid either way. Reads carry the mask anti-join until
+        the next rewrite materializes it."""
         from pystore_spark import bucketed as _bk
 
         _bk.guard_mutation(self, item, "merge_into")
@@ -2216,6 +2225,10 @@ class Collection:
         from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.partition import bucket_expr
 
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"mode must be 'rewrite' or 'dv', got {mode!r}"
+            )
         keys = [on] if isinstance(on, str) else list(on)
         if not keys:
             raise ValueError("merge_into requires at least one key column")
@@ -2289,9 +2302,14 @@ class Collection:
             and PARTITION_COL in it0.raw_frame().columns
         )
 
-        def _merged_and_counts(existing: DataFrame):
+        def _merged_and_counts(existing: DataFrame, dv: bool = False):
             """(final frame, counts dict) from one t⋈s full-outer
-            join; the counts aggregate reuses the joined plan."""
+            join; the counts aggregate reuses the joined plan. With
+            ``dv=True``, ``existing`` must carry the masked-scan
+            position keys (``__dv_f``/``__dv_p``) and the first
+            element is ``(mask, appends)`` instead of the rewritten
+            frame: positions of rows chosen for update/delete, and
+            the updated copies + qualifying inserts."""
             from functools import reduce
             from operator import and_
 
@@ -2352,7 +2370,20 @@ class Collection:
                         .otherwise(tc)
                         .alias(c)
                     )
-            final = j.filter(keep).select(*out_cols)
+            if dv:
+                mask = j.filter(del_cond | upd_gate).select(
+                    F.col("t.__dv_f").alias("file"),
+                    F.col("t.__dv_p").alias("pos"),
+                )
+                # out_cols restricted to these rows yields exactly the
+                # updated copies (upd_expr branch) and the qualifying
+                # inserts (only_s branch)
+                appends = j.filter(upd_gate | ins_gate).select(
+                    *out_cols
+                )
+                final = (mask, appends)
+            else:
+                final = j.filter(keep).select(*out_cols)
             crow = j.agg(
                 F.sum(upd_gate.cast("long")).alias("u"),
                 F.sum(del_cond.cast("long")).alias("d"),
@@ -2381,6 +2412,140 @@ class Collection:
             it = self.item(item) if attempt else it0
             man = it._manifest
             sidecar = utils.merge_sidecar(it.metadata, sidecar_extra)
+            if mode == "dv":
+                from pathlib import PurePosixPath as _PP
+
+                from pystore_spark import dv as dvm
+
+                if man is None:
+                    raise StorageError(
+                        f"merge_into(mode='dv') requires the manifest "
+                        f"protocol; item {item!r} is a legacy layout — "
+                        "rewrite it first or use mode='rewrite'"
+                    )
+                item_path = self._item_path(item)
+                files = list(man.get("files") or [])
+                if time_scoped:
+                    inc_pb = src.withColumn(
+                        PARTITION_COL,
+                        bucket_expr(plan.freq, idx_cols[0]),
+                    )
+                    bdirs = {
+                        f"{PARTITION_COL}={r[PARTITION_COL]}"
+                        for r in inc_pb.select(PARTITION_COL)
+                        .distinct()
+                        .collect()
+                    }
+                    cand = [
+                        f for f in files
+                        if _PP(f).parent.as_posix() in bdirs
+                    ]
+                else:
+                    cand = files
+                if cand:
+                    scan = dvm.masked_scan(
+                        self.spark, item_path, man, cand
+                    )
+                else:
+                    # source keys hit only not-yet-existing buckets:
+                    # zero matched rows, inserts only
+                    scan = (
+                        it.raw_frame()
+                        .withColumn(
+                            "__dv_f", F.lit(None).cast("string")
+                        )
+                        .withColumn("__dv_p", F.lit(None).cast("long"))
+                        .limit(0)
+                    )
+                if PARTITION_COL in scan.columns:
+                    scan = scan.drop(PARTITION_COL)
+                (mask, appends), counts, _ = _merged_and_counts(
+                    scan, dv=True
+                )
+                if (
+                    it.n_rows()
+                    - counts["n_deleted"]
+                    + counts["n_inserted"]
+                ) <= 0:
+                    raise StorageError(
+                        f"merge_into would remove every row of "
+                        f"{item!r} — use delete_item"
+                    )
+                n_app = counts["n_updated"] + counts["n_inserted"]
+                mask = mask.localCheckpoint(eager=True)
+                per_file = {
+                    r["file"]: int(r["n"])
+                    for r in mask.groupBy("file")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                if not per_file and n_app == 0:
+                    return counts
+                unknown = [f for f in per_file if f not in set(files)]
+                if unknown:  # pragma: no cover — manifest-resolved
+                    raise StorageError(
+                        f"dv merge matched rows in non-live files "
+                        f"{unknown}"
+                    )
+                old_map = dvm.dv_map(man)
+                touched = set(per_file)
+                mfull = mask
+                old_refs = {
+                    e["ref"]
+                    for rel, e in old_map.items()
+                    if rel in touched and e.get("ref")
+                }
+                if old_refs:
+                    base = mf.base_dir(item_path, man)
+                    prior = self.spark.read.parquet(
+                        *[str(base / r) for r in sorted(old_refs)]
+                    ).filter(F.col("file").isin(sorted(touched)))
+                    mfull = mfull.unionByName(prior)
+                dv_rel = (
+                    dvm.write_mask_dir(self.spark, item_path, mfull)
+                    if per_file
+                    else None
+                )
+                if n_app:
+                    appends = appends.localCheckpoint(eager=True)
+                    shaped = apply_layout(
+                        appends, plan,
+                        index_col=idx_cols[0] if idx_cols else keys[0],
+                        small=True,
+                    )
+
+                def write_fn(tmp):
+                    if n_app:
+                        self._write_df(shaped, str(tmp), plan)
+                    else:
+                        Path(tmp).mkdir(parents=True, exist_ok=True)
+
+                try:
+                    self._commit_staged(
+                        item, write_fn, sidecar, scope="add",
+                        expect_files=mf.bucket_file_map(man),
+                        dv_entries={
+                            rel: (dv_rel, n)
+                            for rel, n in per_file.items()
+                        }
+                        if dv_rel
+                        else None,
+                        expect_dv={
+                            rel: old_map.get(rel) for rel in touched
+                        },
+                    )
+                except ConcurrentCommitError:
+                    if dv_rel:
+                        utils.rm_tree(item_path / dv_rel)
+                    if attempt == 2:
+                        raise
+                    continue
+                except Exception:
+                    if dv_rel:
+                        utils.rm_tree(item_path / dv_rel)
+                    raise
+                self.clear_metadata_cache(item)
+                return counts
             raw = it.raw_frame()
             if time_scoped:
                 inc_pb = src.withColumn(

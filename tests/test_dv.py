@@ -604,3 +604,117 @@ def test_dv_delete_retries_when_concurrent_mask_commit_lands(
     assert it.data.filter("v < 100").count() == 0
     assert it.data.filter("v >= 500 and v < 600").count() == 0
     assert it.data.count() == 20_000 - 200
+
+
+# ---------------------------------------------------------------------
+# merge_into mode="dv" — merge-on-read MERGE
+# ---------------------------------------------------------------------
+
+
+def _merge_frames(c):
+    c.write("d", _frame(20_000))
+    src = pd.DataFrame(
+        {
+            # keys 10..19 match (update), 30..34 match (delete),
+            # -5..-1 are new (insert)
+            "v": (
+                [float(x) for x in range(10, 20)]
+                + [float(x) for x in range(30, 35)]
+                + [float(x) for x in range(-5, 0)]
+            ),
+            "w": [0.5] * 20,
+            "tomb": [False] * 10 + [True] * 5 + [False] * 5,
+        },
+        index=pd.date_range("2024-06-01", periods=20, freq="min"),
+    )
+    return src
+
+
+def test_merge_into_dv_matches_rewrite(test_collection):
+    """The merge-on-read merge must be row-for-row identical to the
+    copy-on-write merge, while moving ZERO pre-merge files."""
+    c = test_collection
+    src = _merge_frames(c)
+    c.write("d2", _frame(20_000))
+    kw = dict(
+        on="v",
+        when_matched={"w": "t.w + s.w"},
+        when_matched_delete="s.tomb",
+        when_not_matched="insert_all",
+    )
+    man0 = utils.read_manifest(c._item_path("d"))
+    rep = c.merge_into("d", src, mode="dv", **kw)
+    rep2 = c.merge_into("d2", src, mode="rewrite", **kw)
+    assert rep == rep2
+    assert rep["n_updated"] == 10
+    assert rep["n_deleted"] == 5
+    assert rep["n_inserted"] == 5
+
+    man1 = utils.read_manifest(c._item_path("d"))
+    # merge-on-read: every pre-merge file still live, mask = upd+del
+    assert set(man0["files"]) <= set(man1["files"])
+    assert dvm.dv_total(man1) == 15
+
+    pa = (
+        c.item("d").data.toPandas()
+        .sort_values("v").reset_index(drop=True)
+    )
+    pb = (
+        c.item("d2").data.toPandas()
+        .sort_values("v").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(pa[["v", "w"]], pb[["v", "w"]])
+    assert len(pa) == 20_000 - 5 + 5
+
+
+def test_merge_into_dv_non_index_key_avoids_item_rewrite(
+    test_collection,
+):
+    """The headline scale win: a merge on a NON-index key is a
+    whole-item rewrite in mode='rewrite' but O(changed) in dv mode —
+    asserted structurally via the file sets."""
+    c = test_collection
+    c.write("d", _frame(20_000))
+    man0 = utils.read_manifest(c._item_path("d"))
+    src = pd.DataFrame(
+        {"v": [7.0, 11.0], "w": [1.0, 2.0]},
+        index=pd.date_range("2024-01-01", periods=2, freq="min"),
+    )
+    rep = c.merge_into(
+        "d", src, on="w",  # w is not the index
+        when_matched={"v": "t.v + 100000"},
+        when_not_matched=None,
+        mode="dv",
+    )
+    assert rep["n_updated"] == 1  # only w=2.0 exists (w = v*2, v=1)
+    man1 = utils.read_manifest(c._item_path("d"))
+    assert set(man0["files"]) <= set(man1["files"])  # nothing rewrote
+    it = c.item("d")
+    assert it.data.filter("v = 100001.0").count() == 1
+    assert it.data.count() == 20_000
+
+
+def test_merge_into_dv_insert_only_and_delete_only(test_collection):
+    c = test_collection
+    c.write("d", _frame(1_000))
+    # insert-only: no mask written at all
+    ins = pd.DataFrame(
+        {"v": [-1.0, -2.0], "w": [0.0, 0.0]},
+        index=pd.date_range("2024-01-01", periods=2, freq="min"),
+    )
+    c.merge_into("d", ins, on="v", when_matched=None, mode="dv")
+    man = utils.read_manifest(c._item_path("d"))
+    assert dvm.dv_total(man) == 0
+    assert c.item("d").data.count() == 1_002
+    # delete-only: mask without appends
+    tomb = pd.DataFrame(
+        {"v": [-1.0, -2.0], "w": [0.0, 0.0]},
+        index=pd.date_range("2024-01-01", periods=2, freq="min"),
+    )
+    rep = c.merge_into(
+        "d", tomb, on="v", when_matched=None,
+        when_matched_delete="true", when_not_matched=None, mode="dv",
+    )
+    assert rep["n_deleted"] == 2
+    assert c.item("d").data.count() == 1_000
+    assert c.item("d").data.filter("v < 0").count() == 0
