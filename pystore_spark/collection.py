@@ -2301,6 +2301,14 @@ class Collection:
             and idx_cols[0] in keys
             and PARTITION_COL in it0.raw_frame().columns
         )
+        if mode == "dv":
+            # the dv commit derives the MASK and the APPENDED copies
+            # from two evaluations of the t⋈s join; pin the source so
+            # a nondeterministic input (sampled/shuffle-dependent)
+            # cannot mask one row set and append another — for the
+            # rewrite mode only the info counts re-evaluate, so this
+            # O(source) materialization is dv-specific
+            src = src.localCheckpoint(eager=True)
 
         def _merged_and_counts(existing: DataFrame, dv: bool = False):
             """(final frame, counts dict) from one t⋈s full-outer
