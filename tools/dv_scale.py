@@ -109,6 +109,18 @@ def main() -> None:
             assert seen == n - rep_dv["n_deleted"], (seen, rep_dv)
             assert rep_dv["n_deleted"] == rep_rw["n_deleted"]
 
+            # merge-on-read UPDATE of a second fixed scattered set
+            # (fresh twin item): mask originals + append copies, one
+            # CAS — write cost O(matches) like the dv delete
+            col.write(f"up_{label}", pdf)
+            t0 = time.perf_counter()
+            rep_up = col.update_where(
+                f"up_{label}", [[("tomb", "==", 1.0)]],
+                set={"v": "v + 0.5"}, mode="dv",
+            )
+            up_sec = time.perf_counter() - t0
+            assert rep_up["n_updated"] == rep_dv["n_deleted"]
+
             out["cases"][label] = {
                 "rows": n,
                 "n_deleted": rep_dv["n_deleted"],
@@ -118,6 +130,7 @@ def main() -> None:
                 ),
                 "dv_delete_sec": round(dv_sec, 3),
                 "rewrite_delete_sec": round(rw_sec, 3),
+                "dv_update_sec": round(up_sec, 3),
                 "dv_bytes_written": dv_bytes,
                 "rewrite_bytes_written": rw_bytes,
                 "masked_read_sec": round(read_sec, 3),
