@@ -1536,6 +1536,10 @@ class Collection:
                 for c in data_cols
             ]
         )
+        # CHECK constraints vet the copies — the only rows this
+        # commit adds; an assignment violating a contract fails here,
+        # BEFORE the mask or any file stages (O(matched) aggregate)
+        self._enforce_constraints(item, upd)
         shaped = apply_layout(
             upd, plan, index_col=it._index_cols[0], small=True
         )
@@ -1623,6 +1627,10 @@ class Collection:
             and PARTITION_COL in raw.columns
             and man is not None
         )
+        # CHECK constraints vet the post-update values of the matched
+        # rows (pred holds on every input row here, so the
+        # when(pred,...) branches all take the assignment)
+        self._enforce_constraints(item, transform(raw.filter(pred)))
         if not time_scoped:
             n_upd = raw.filter(pred).count()
             if n_upd == 0:

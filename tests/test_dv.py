@@ -718,3 +718,26 @@ def test_merge_into_dv_insert_only_and_delete_only(test_collection):
     assert rep["n_deleted"] == 2
     assert c.item("d").data.count() == 1_000
     assert c.item("d").data.filter("v < 0").count() == 0
+
+
+def test_update_where_respects_check_constraints(test_collection):
+    """update_where ADDS rows (the copies in dv mode, rewritten
+    buckets in rewrite mode) — a contract-violating assignment must
+    fail BEFORE anything commits, in both modes."""
+    from pystore_spark.exceptions import DataIntegrityError
+
+    c = test_collection
+    c.write("d", _frame(1_000))
+    c.add_constraint("d", "w_nonneg", "w >= 0")
+    for mode in ("dv", "rewrite"):
+        man0 = utils.read_manifest(c._item_path("d"))
+        with pytest.raises(DataIntegrityError):
+            c.update_where(
+                "d", [[("v", "<", 5.0)]], set={"w": "-1"}, mode=mode
+            )
+        assert utils.read_manifest(c._item_path("d")) == man0
+    # a passing assignment still goes through
+    rep = c.update_where(
+        "d", [[("v", "<", 5.0)]], set={"w": "w + 1"}, mode="dv"
+    )
+    assert rep["n_updated"] == 5
