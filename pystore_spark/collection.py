@@ -1337,14 +1337,19 @@ class Collection:
         ``{n_deleted, files_masked, dv_ref[, index_repairs]}``."""
         from pystore_spark import bucketed as _bk
 
-        _bk.guard_mutation(self, item, "delete_where")
-        from pystore_spark.exceptions import ConcurrentCommitError
-        from pystore_spark.filters import filters_to_column
-
         if mode not in ("rewrite", "dv"):
             raise ValueError(
                 f"mode must be 'rewrite' or 'dv', got {mode!r}"
             )
+        if mode != "dv":
+            # dv deletes move NO files, so the co-location invariant
+            # survives — the one row-delete a bucketed item supports.
+            # (The mask applies inside the catalog scan via a
+            # broadcast anti-join; bucketed compaction materializes
+            # it through the bucketed writer.)
+            _bk.guard_mutation(self, item, "delete_where")
+        from pystore_spark.exceptions import ConcurrentCommitError
+        from pystore_spark.filters import filters_to_column
         raw_pred = filters_to_column(filters)
         if not filters or raw_pred is None:
             # `[[]]`-style truthy-but-empty DNF also lands here —

@@ -132,6 +132,33 @@ def apply_mask(
     )
 
 
+def apply_mask_basename(
+    df: "DataFrame", mask: "DataFrame", total_masked: int
+) -> "DataFrame":
+    """Mask application keyed on file BASENAME instead of item-rel
+    path — for scans whose physical paths differ from the manifest's
+    (a bucketed item's hard-linked ``_bucketview`` catalog scan: view
+    files keep the original name, bytes and therefore row positions
+    are identical). Sound because staged basenames are commit-token
+    unique across the live set (the injectivity invariant
+    ``build_matches`` asserts)."""
+    bname = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
+    m = mask.select(
+        bname(F.col("file")).alias("__dv_f"),
+        F.col("pos").alias("__dv_p"),
+    )
+    if total_masked <= BROADCAST_MASK_MAX_ROWS:
+        m = F.broadcast(m)
+    return (
+        df.withColumn(
+            "__dv_f", bname(F.col("_metadata.file_path"))
+        )
+        .withColumn("__dv_p", F.col("_metadata.row_index"))
+        .join(m, on=["__dv_f", "__dv_p"], how="left_anti")
+        .drop("__dv_f", "__dv_p")
+    )
+
+
 def masked_scan(spark, item_path, man: dict, files: list[str]):
     """Manifest-file scan with the existing mask applied and the join
     keys STILL PRESENT (columns ``__dv_f``/``__dv_p``) — the input for

@@ -333,8 +333,23 @@ class Item:
             # makes co-located joins exchange-free; filters/projection
             # still push down through the relation like any scan
             from pystore_spark import bucketed as bk
+            from pystore_spark import dv as dvm
 
             df = bk.bucketed_frame(self)
+            if dvm.dv_map(self._manifest):
+                # deletion-vector mask over the catalog scan: the view
+                # files are hard links (same bytes, same row
+                # positions, same BASENAME), so the mask joins on
+                # basename; the mask side broadcasts, which preserves
+                # the relation's HashPartitioning — co-located joins
+                # stay shuffle-free
+                mask = dvm.mask_frame(
+                    self.spark, self._path, self._manifest
+                )
+                if mask is not None:
+                    df = dvm.apply_mask_basename(
+                        df, mask, dvm.dv_total(self._manifest)
+                    )
             cond = filters_to_column(filters)
             if cond is not None:
                 df = df.filter(cond)

@@ -741,3 +741,92 @@ def test_update_where_respects_check_constraints(test_collection):
         "d", [[("v", "<", 5.0)]], set={"w": "w + 1"}, mode="dv"
     )
     assert rep["n_updated"] == 5
+
+
+# ---------------------------------------------------------------------
+# deletion vectors on BUCKETED items — the one row-delete that keeps
+# the co-location invariant (no file moves)
+# ---------------------------------------------------------------------
+
+
+def _bucketed_pair(c):
+    odf = pd.DataFrame(
+        {"k": list(range(300)), "amt": [float(i) for i in range(300)]}
+    )
+    ldf = pd.DataFrame(
+        {
+            "k": [i // 3 for i in range(900)],
+            "qty": [float(i % 50) for i in range(900)],
+        }
+    )
+    c.write("ob", odf, bucket_by="k", n_buckets=4, index_col="k")
+    c.write("lb", ldf, bucket_by="k", n_buckets=4, index_col="k")
+
+
+def test_bucketed_dv_delete_masks_without_moving_files(
+    test_collection,
+):
+    c = test_collection
+    _bucketed_pair(c)
+    man0 = utils.read_manifest(c._item_path("ob"))
+    rep = c.delete_where("ob", [[("k", "<", 10)]], mode="dv")
+    assert rep["n_deleted"] == 10
+    man1 = utils.read_manifest(c._item_path("ob"))
+    assert man1["files"] == man0["files"]  # co-location untouched
+    it = c.item("ob")
+    assert it.data.count() == 290
+    assert it.data.filter("k < 10").count() == 0
+    assert it.n_rows() == 290
+    # rewrite mode stays guarded — it would break the invariant
+    with pytest.raises(Exception, match="bucketed"):
+        c.delete_where("ob", [[("k", "<", 20)]], mode="rewrite")
+
+
+def test_bucketed_dv_join_stays_shuffle_free(test_collection):
+    c = test_collection
+    _bucketed_pair(c)
+    c.delete_where("ob", [[("k", "<", 10)]], mode="dv")
+    j = c.item("ob").data.join(c.item("lb").data, "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # the mask joins via BroadcastExchange; the co-located join itself
+    # must not regain a shuffle on either side
+    assert "Exchange hashpartitioning" not in plan
+    got = j.groupBy().sum("qty").collect()[0][0]
+    # lines of deleted orders (k<10) survive on the line side — the
+    # join drops them because the order row is masked
+    exp = sum(float(i % 50) for i in range(900) if i // 3 >= 10)
+    assert got == exp
+
+
+def test_bucketed_dv_compaction_materializes_mask(test_collection):
+    c = test_collection
+    _bucketed_pair(c)
+    c.delete_where("ob", [[("k", "<", 10)]], mode="dv")
+    # append (pure file addition) then compact back to one file per
+    # bucket — the bucketed rewrite must fold the mask into the bytes
+    c.append(
+        "ob",
+        pd.DataFrame({"k": [500, 501], "amt": [1.0, 2.0]}),
+        duplicate_handling="keep_all",
+    )
+    c.compact("ob")
+    man = utils.read_manifest(c._item_path("ob"))
+    assert dvm.dv_total(man) == 0
+    it = c.item("ob")
+    assert it.data.count() == 292
+    assert it.data.filter("k < 10").count() == 0
+    # still bucketed and exchange-free after the round trip
+    j = it.data.join(c.item("lb").data, "k")
+    assert (
+        "Exchange hashpartitioning"
+        not in j._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_bucketed_dv_time_travel(test_collection):
+    c = test_collection
+    _bucketed_pair(c)
+    v0 = c.item("ob").version
+    c.delete_where("ob", [[("k", "<", 10)]], mode="dv")
+    assert c.item("ob", version=v0).data.count() == 300
+    assert c.item("ob").data.count() == 290
