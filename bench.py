@@ -261,6 +261,68 @@ def _regressions_vs_previous(
     return sorted(out, key=lambda r: -r["ratio"]), prev.name
 
 
+def _storage_dv_bench(spark, sf_dir: str) -> float:
+    """Round-7 flagship: the merge-on-read DML cycle. One setup write
+    of `events` (untimed), then the timed region is a scattered dv
+    DELETE, a dv UPDATE (mask + appended copies in one CAS), and a
+    masked aggregate read — the O(matching rows) write path whose
+    cost must stay flat as the corpus grows (BENCH_DV.json carries
+    the 10x-corpus evidence; this entry guards round-over-round
+    regressions at the benchmark scale)."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pystore_spark import config
+    from pystore_spark.sources import load_table
+    from pystore_spark.store import Store
+
+    tmp = tempfile.mkdtemp(prefix="pystore_bench_dv_")
+    old_path = config._path
+    try:
+        config._path = tmp
+        col = Store("bench_dv", spark=spark).collection("c")
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value"
+        )
+
+        def cycle(i: int) -> None:
+            name = f"ev{i}"
+            col.write(name, ev, index_col="ts", freq="D")
+            t0 = _t.perf_counter()
+            col.delete_where(
+                name,
+                [[("event_type", "==", "error"),
+                  ("ts", "<", "2024-01-08")]],
+                mode="dv",
+            )
+            col.update_where(
+                name,
+                [[("event_type", "==", "click"),
+                  ("ts", "<", "2024-01-08")]],
+                set={"value": "value * 2 + 1"},
+                mode="dv",
+            )
+            _ = (
+                col.item(name).data
+                .agg(F.count(F.lit(1)), F.sum("value"))
+                .collect()
+            )
+            cycle.timed = _t.perf_counter() - t0
+
+        cycle(0)  # warmup (includes first-touch caches)
+        best = float("inf")
+        for i in range(1, 4):  # min of 3 steady-state runs
+            cycle(i)
+            best = min(best, cycle.timed)
+        return best
+    finally:
+        config._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pystore_spark.queries import QUERIES
@@ -299,6 +361,9 @@ def main() -> None:
 
     timings["storage_write_append_read"] = round(
         _storage_bench(spark, sf_dir), 4
+    )
+    timings["storage_dv_delete_update"] = round(
+        _storage_dv_bench(spark, sf_dir), 4
     )
 
     try:
