@@ -2813,6 +2813,18 @@ class Collection:
             raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
 
         it = self.item(item, filters=filters, columns=columns)
+        from pystore_spark import dv as dvm
+
+        if dvm.dv_map(it._manifest):
+            # deletion-vector-masked item: chunk the positionally
+            # masked driver-side table (still no Spark job; the trade
+            # is one materialization instead of a streaming scan,
+            # bounded by the projected read — rewrites/compaction
+            # restore the streaming path)
+            tbl = it._arrow_table()
+            for start in range(0, tbl.num_rows, chunk_size):
+                yield tbl.slice(start, chunk_size).to_pandas()
+            return
         dataset, expr = it._arrow_dataset_and_filter()
         # projection incl. index cols, sans _pb — no Spark involvement
         want_cols = it._projected_columns(dataset.schema.names)

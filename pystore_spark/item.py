@@ -599,14 +599,153 @@ class Item:
         Storage timestamps (µs adjusted-to-UTC) come back as the
         pandas-facing naive-ns convention. ``columns=None`` applies
         the item's own projection."""
+        from pystore_spark import dv as dvm
         from pystore_spark.arrow_path import normalize_read_types
 
+        if dvm.dv_map(self._manifest):
+            return self._arrow_table_masked(columns)
         dataset, expr = self._arrow_dataset_and_filter()
         if columns is None:
             columns = self._projected_columns(dataset.schema.names)
         return normalize_read_types(
             dataset.to_table(columns=columns, filter=expr)
         )
+
+    def _arrow_table_masked(self, columns: list[str] | None = None):
+        """Driver-side read of a deletion-vector-masked item — the
+        client fast path stays Spark-free under masks: unmasked files
+        stream through one pruned dataset with full pushdown; each
+        MASKED file is read positionally (mask exclusion needs row
+        alignment, so its DNF filter applies after the mask, in
+        memory). Output is identical to the Spark read."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pa_ds
+        import pyarrow.parquet as pq
+
+        from pystore_spark import dv as dvm
+        from pystore_spark import manifest as mf
+        from pystore_spark.arrow_path import normalize_read_types
+        from pystore_spark.filters import filters_to_arrow_expression
+
+        man = self._manifest
+        dvmap = dvm.dv_map(man)
+        base = mf.base_dir(self._path, man)
+        flt = self._resolved_filters()
+        rels = mf.prune_files(
+            man.get("files") or [], flt, stats=man.get("stats")
+        )
+        rels, bloom_empty = self._bloom_prune(rels, flt)
+        pa_fs = self._fs.as_pyarrow_filesystem()
+        file_schema = pq.read_schema(
+            str(base / (rels or man["files"])[0]), filesystem=pa_fs
+        )
+        proj = (
+            columns
+            if columns is not None
+            else self._projected_columns(file_schema.names)
+        )
+        proj = [c for c in proj if c != PARTITION_COL]
+        empty = pa.table(
+            {
+                c: pa.array([], type=file_schema.field(c).type)
+                for c in proj
+            }
+        )
+        if bloom_empty or not rels:
+            return normalize_read_types(empty)
+        masked = [r for r in rels if r in dvmap]
+        clean = [r for r in rels if r not in dvmap]
+        # filter columns must be read alongside the projection so the
+        # post-mask filter can evaluate, then dropped again
+        fcols = sorted(
+            {
+                t[0]
+                for grp in (flt or [])
+                for t in ([grp] if isinstance(grp, tuple) else grp)
+                if t and t[0] in file_schema.names
+            }
+        )
+        read_cols = list(dict.fromkeys([*proj, *fcols]))
+        parts: list[pa.Table] = []
+        if clean:
+            partitioning = pa_ds.partitioning(
+                pa.schema([(PARTITION_COL, pa.string())]), flavor="hive"
+            )
+            dataset = pa_ds.dataset(
+                [str(base / r) for r in clean],
+                format="parquet",
+                partitioning=partitioning,
+                partition_base_dir=str(base),
+                filesystem=pa_fs,
+            )
+            expr = filters_to_arrow_expression(
+                flt, schema=dataset.schema
+            )
+            parts.append(dataset.to_table(columns=proj, filter=expr))
+        # masked positions, one read per referenced dv dir
+        by_ref: dict[str, list[str]] = {}
+        for r in masked:
+            by_ref.setdefault(dvmap[r]["ref"], []).append(r)
+        drop: dict[str, set[int]] = {}
+        for ref, rs in by_ref.items():
+            t = pa_ds.dataset(
+                str(base / ref), format="parquet", filesystem=pa_fs
+            ).to_table(
+                columns=["file", "pos"],
+                filter=pa_ds.field("file").isin(rs),
+            )
+            for f_, p_ in zip(
+                t.column("file").to_pylist(), t.column("pos").to_pylist()
+            ):
+                drop.setdefault(f_, set()).add(int(p_))
+        for r in masked:
+            pf = pq.ParquetFile(str(base / r), filesystem=pa_fs)
+            gone = np.fromiter(
+                drop.get(r, ()), dtype=np.int64
+            )
+            batches = []
+            offset = 0
+            for batch in pf.iter_batches(columns=read_cols):
+                n = batch.num_rows
+                keep = ~np.isin(
+                    np.arange(offset, offset + n), gone
+                )
+                offset += n
+                if keep.all():
+                    batches.append(batch)
+                elif keep.any():
+                    batches.append(batch.filter(pa.array(keep)))
+            if batches:
+                tbl = pa.Table.from_batches(batches)
+            else:
+                tbl = pa.table(
+                    {
+                        c: pa.array(
+                            [], type=file_schema.field(c).type
+                        )
+                        for c in read_cols
+                    }
+                )
+            if flt:
+                expr = filters_to_arrow_expression(
+                    flt, schema=tbl.schema
+                )
+                if expr is not None:
+                    tbl = tbl.filter(expr)
+            parts.append(tbl.select(proj))
+        # unify nullability before concat: Spark marks the appended
+        # copies' columns non-nullable while the originals read back
+        # nullable — same types, different flags
+        target = pa.schema(
+            [(c, file_schema.field(c).type) for c in proj]
+        )
+        out = (
+            pa.concat_tables([p.cast(target) for p in parts])
+            if parts
+            else empty
+        )
+        return normalize_read_types(out)
 
     def _restore_meta(self, pdf_columns) -> dict:
         meta = self._pandas_meta

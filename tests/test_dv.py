@@ -830,3 +830,52 @@ def test_bucketed_dv_time_travel(test_collection):
     c.delete_where("ob", [[("k", "<", 10)]], mode="dv")
     assert c.item("ob", version=v0).data.count() == 300
     assert c.item("ob").data.count() == 290
+
+
+# ---------------------------------------------------------------------
+# driver-side Arrow fast path under masks
+# ---------------------------------------------------------------------
+
+
+def test_arrow_fast_path_honors_masks(test_collection):
+    """to_pandas(engine='arrow') must equal the Spark read on a masked
+    item — unmasked files stream through the dataset, masked files
+    read positionally, filters apply after the mask."""
+    c = test_collection
+    c.write("d", _frame(90_000))
+    c.delete_where(
+        "d", [[("v", ">=", 100.0), ("v", "<", 300.0)]], mode="dv"
+    )
+    it = c.item("d")
+    pa_df = it.to_pandas(engine="arrow")
+    sp_df = it.to_pandas(engine="spark")
+    assert len(pa_df) == len(sp_df) == 90_000 - 200
+    pd.testing.assert_frame_equal(pa_df, sp_df)
+
+    # filtered + projected read through the fast path
+    itf = c.item("d", filters=[("v", "<", 500.0)], columns=["v"])
+    got = itf.to_pandas(engine="arrow")
+    assert sorted(got["v"]) == [
+        float(x) for x in range(500) if not (100 <= x < 300)
+    ]
+
+
+def test_read_in_chunks_honors_masks(test_collection):
+    c = test_collection
+    c.write("d", _frame(5_000))
+    c.delete_where("d", [[("v", "<", 100.0)]], mode="dv")
+    chunks = list(c.read_in_chunks("d", chunk_size=1_000))
+    assert sum(len(ch) for ch in chunks) == 4_900
+    allv = pd.concat(chunks)["v"]
+    assert allv.min() == 100.0
+
+
+def test_arrow_fast_path_masked_update_roundtrip(test_collection):
+    c = test_collection
+    c.write("d", _frame(5_000))
+    c.update_where(
+        "d", [[("v", "<", 10.0)]], set={"w": "-3"}, mode="dv"
+    )
+    pa_df = c.item("d").to_pandas(engine="arrow")
+    assert len(pa_df) == 5_000
+    assert (pa_df.loc[pa_df["v"] < 10, "w"] == -3.0).all()
