@@ -653,12 +653,19 @@ def try_append(
         if existing_item._manifest is not None
         else None
     )
+    # observed-no-masks expectation: the entry bail-out above proved
+    # the dv map empty, so ANY fresh mask on a replaced file means a
+    # concurrent dv commit landed mid-append — conflict and retry
+    expect_dv = (
+        {} if existing_item._manifest is not None else None
+    )
     if time_scoped:
         col._install_buckets(
             item,
             lambda tmp: write_table_files(out, Path(tmp), plan, idx_cols),
             sidecar,
             expect_files=expect,
+            expect_dv=expect_dv,
         )
         return True
     new_plan = (
@@ -674,6 +681,7 @@ def try_append(
         lambda tmp: write_table_files(out, Path(tmp), new_plan, idx_cols),
         sidecar,
         expect_files=expect,
+        expect_dv=expect_dv,
     )
     return True
 

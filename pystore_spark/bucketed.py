@@ -445,6 +445,9 @@ def compact_bucketed(collection, item: str) -> dict:
             collection._commit_staged(
                 item, write_fn, None, scope="item",
                 expect_files=mf.bucket_file_map(it._manifest or {}),
+                expect_dv=dict(
+                    (it._manifest or {}).get("dv") or {}
+                ),
             )
         except ConcurrentCommitError:
             continue  # an append landed mid-rewrite: recompute

@@ -532,6 +532,7 @@ class Collection:
         self, item: str, write_fn, sidecar: dict,
         expect_files: dict[str, tuple[str, ...]] | None = None,
         must_not_exist: bool = False,
+        expect_dv: dict[str, dict | None] | None = None,
     ) -> None:
         """Shared whole-item commit: ``write_fn(tmp_dir)`` produces the
         data files (Spark or Arrow writer), which are staged into the
@@ -544,6 +545,7 @@ class Collection:
         self._commit_staged(
             item, write_fn, sidecar, scope="item",
             expect_files=expect_files, must_not_exist=must_not_exist,
+            expect_dv=expect_dv,
         )
 
     def _commit_staged(
@@ -773,18 +775,38 @@ class Collection:
             # because every rewrite path reads through the dv-masked
             # scan, materializing the mask into the replacement files)
             dv = dict((man or {}).get("dv") or {})
-            if expect_dv is not None and any(
-                dv.get(rel) != exp for rel, exp in expect_dv.items()
-            ):
-                # a concurrent dv-only commit (file set unchanged, so
-                # expect_files passed) re-masked a file this commit's
-                # dv_entries would repoint — committing would resurrect
-                # its positions
-                raise ConcurrentCommitError(
-                    f"item {item!r}: deletion-vector state changed "
-                    "since this update was computed — a concurrent "
-                    "commit landed; retry against the fresh manifest"
-                )
+            if expect_dv is not None:
+                # the dv observed-state guard. A dv-only commit moves
+                # no files, so expect_files cannot see it; committing
+                # over one resurrects its masked rows. Two shapes:
+                # scope='add' (the dv DML paths) checks exactly the
+                # files whose entries this commit repoints; rewrite
+                # scopes check the REPLACED files — their entries are
+                # pruned below, which is only sound when the rewrite's
+                # scan saw the same mask the fresh manifest carries
+                # (entries on surviving files carry forward untouched,
+                # so concurrent changes there are never clobbered).
+                if scope == "add":
+                    drift = any(
+                        dv.get(r) != expect_dv[r] for r in expect_dv
+                    )
+                else:
+                    # iterate the REPLACED files, not the listed
+                    # entries: a concurrent mask on a previously
+                    # UNMASKED file (absent from expect_dv) must
+                    # conflict too — that is exactly the scan-blind
+                    # window this guard closes
+                    drift = any(
+                        dv.get(r) != expect_dv.get(r)
+                        for r in replaced
+                    )
+                if drift:
+                    raise ConcurrentCommitError(
+                        f"item {item!r}: deletion-vector state "
+                        "changed since this commit was computed — a "
+                        "concurrent dv commit landed; retry against "
+                        "the fresh manifest"
+                    )
             if dv_entries:
                 # merge-on-read UPDATE (update_where mode="dv"): the
                 # originals' new mask positions commit in the SAME CAS
@@ -1057,6 +1079,9 @@ class Collection:
                         expect_files=mf.bucket_file_map(cur_man)
                         if cur_man is not None
                         else None,
+                        expect_dv=dict(
+                            (cur_man or {}).get("dv") or {}
+                        ),
                     )
                     break
                 except ConcurrentCommitError:
@@ -1137,6 +1162,7 @@ class Collection:
                     expect_files=mf.bucket_file_map(man)
                     if man is not None
                     else None,
+                    expect_dv=dict((man or {}).get("dv") or {}),
                 )
                 return
             except ConcurrentCommitError:
@@ -1155,6 +1181,7 @@ class Collection:
         self, item: str, write_fn, sidecar: dict,
         expect_files: dict[str, tuple[str, ...]] | None = None,
         drop_buckets: set[str] | None = None,
+        expect_dv: dict[str, dict | None] | None = None,
     ) -> None:
         """Bucket-scoped commit: ``write_fn(tmp_dir)`` writes the
         merged replacement buckets (hive ``_pb=...`` dirs); the
@@ -1170,6 +1197,7 @@ class Collection:
         self._commit_staged(
             item, write_fn, sidecar, scope="buckets",
             expect_files=expect_files, drop_buckets=drop_buckets,
+            expect_dv=expect_dv,
         )
 
     def sql(
@@ -1653,6 +1681,7 @@ class Collection:
                 expect_files=mf.bucket_file_map(man)
                 if man is not None
                 else None,
+                expect_dv=dict((man or {}).get("dv") or {}),
             )
             self.clear_metadata_cache(item)
             return {"n_updated": int(n_upd), "buckets_rewritten": []}
@@ -1697,6 +1726,7 @@ class Collection:
             lambda tmp: self._write_df(shaped, str(tmp), plan),
             sidecar,
             expect_files=mf.bucket_file_map(man),
+            expect_dv=dict((man or {}).get("dv") or {}),
         )
         self.clear_metadata_cache(item)
         return {
@@ -1901,6 +1931,7 @@ class Collection:
                 expect_files=mf.bucket_file_map(man)
                 if man is not None
                 else None,
+                expect_dv=dict((man or {}).get("dv") or {}),
             )
             self.clear_metadata_cache(item)
             return {"n_deleted": int(n_del), "buckets_rewritten": [],
@@ -1989,6 +2020,7 @@ class Collection:
             item, write_fn, sidecar,
             expect_files=mf.bucket_file_map(man),
             drop_buckets=drop_dirs or None,
+            expect_dv=dict((man or {}).get("dv") or {}),
         )
         self.clear_metadata_cache(item)
         return {
@@ -2616,6 +2648,7 @@ class Collection:
                         drop_buckets={
                             f"{PARTITION_COL}={b}" for b in buckets
                         },
+                        expect_dv=dict((man or {}).get("dv") or {}),
                     )
                     self.clear_metadata_cache(item)
                     return counts
@@ -2647,6 +2680,7 @@ class Collection:
                         expect_files=mf.bucket_file_map(man)
                         if man is not None
                         else None,
+                        expect_dv=dict((man or {}).get("dv") or {}),
                     )
                     self.clear_metadata_cache(item)
                     return counts
@@ -5525,6 +5559,7 @@ class Collection:
                 # files to stale — detect the drift and redo the
                 # census against the fresh manifest
                 expect_files=mf.bucket_file_map(man),
+                expect_dv=dict((man or {}).get("dv") or {}),
             )
         except ConcurrentCommitError:
             self.clear_metadata_cache(item)

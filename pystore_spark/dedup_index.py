@@ -991,6 +991,9 @@ def trim_delta(col, delta_item: str, pinned_it, id_col: str) -> None:
                 lambda tmp: col._write_df(shaped, str(tmp), plan_w),
                 sidecar,
                 expect_files=mf.bucket_file_map(it_cur._manifest),
+                expect_dv=dict(
+                    (it_cur._manifest or {}).get("dv") or {}
+                ),
             )
             col.clear_metadata_cache(delta_item)
             return

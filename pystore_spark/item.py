@@ -656,12 +656,31 @@ class Item:
             return normalize_read_types(empty)
         masked = [r for r in rels if r in dvmap]
         clean = [r for r in rels if r not in dvmap]
+        # the post-mask filter evaluates on the FILE columns: derived
+        # ``_pb`` pruning hints (redundant companions of index terms,
+        # _prune_tuples) must be stripped — a positional file read has
+        # no hive partition column and arrow raises on the missing
+        # field. Stripping only widens a conjunct whose index term
+        # still filters exactly.
+        def _strip_pb(f):
+            if not f:
+                return f
+            if all(isinstance(t, tuple) for t in f):
+                out = [t for t in f if t[0] != PARTITION_COL]
+                return out or None
+            return [
+                g2
+                for g in f
+                if (g2 := [t for t in g if t[0] != PARTITION_COL])
+            ] or None
+
+        flt_file = _strip_pb(flt)
         # filter columns must be read alongside the projection so the
         # post-mask filter can evaluate, then dropped again
         fcols = sorted(
             {
                 t[0]
-                for grp in (flt or [])
+                for grp in (flt_file or [])
                 for t in ([grp] if isinstance(grp, tuple) else grp)
                 if t and t[0] in file_schema.names
             }
@@ -727,9 +746,9 @@ class Item:
                         for c in read_cols
                     }
                 )
-            if flt:
+            if flt_file:
                 expr = filters_to_arrow_expression(
-                    flt, schema=tbl.schema
+                    flt_file, schema=tbl.schema
                 )
                 if expr is not None:
                     tbl = tbl.filter(expr)

@@ -879,3 +879,68 @@ def test_arrow_fast_path_masked_update_roundtrip(test_collection):
     pa_df = c.item("d").to_pandas(engine="arrow")
     assert len(pa_df) == 5_000
     assert (pa_df.loc[pa_df["v"] < 10, "w"] == -3.0).all()
+
+
+def test_arrow_fast_path_index_filter_on_masked_item(test_collection):
+    """REGRESSION: an index-column filter on a time-layout masked item
+    resolves to extra ``_pb`` pruning tuples; the positional file
+    read has no hive partition column, so the post-mask filter must
+    strip them instead of raising ArrowInvalid."""
+    c = test_collection
+    c.write("d", _frame(90_000))
+    c.delete_where("d", [[("v", "<", 100.0)]], mode="dv")
+    cut = pd.Timestamp("2023-01-02")
+    it = c.item("d", filters=[("index", "<", cut)])
+    got = it.to_pandas(engine="arrow")
+    sp = it.to_pandas(engine="spark")
+    pd.testing.assert_frame_equal(got, sp)
+    assert len(got) == 24 * 60 - 100  # first day minus masked rows
+    chunks = list(
+        c.read_in_chunks(
+            "d", chunk_size=500, filters=[("index", "<", cut)]
+        )
+    )
+    assert sum(len(ch) for ch in chunks) == 24 * 60 - 100
+
+
+def test_rewrite_conflicts_with_concurrent_dv_commit(
+    test_collection, monkeypatch,
+):
+    """REGRESSION: a rewrite (compaction here) whose scan pre-dates a
+    concurrent dv-only commit used to pass both the file-set guard
+    (no files moved) and the etag CAS, then prune the dv entries with
+    the replaced files — silently resurrecting the concurrent
+    delete's rows. The commit must now conflict on the dv
+    observed-state guard and the retry must preserve BOTH outcomes."""
+    c = test_collection
+    c.write("d", _frame(30_000))
+    # second file in the bucket so compaction performs a real merge
+    c.update_where(
+        "d", [[("v", ">=", 100.0), ("v", "<", 200.0)]],
+        set={"w": "-9"}, mode="dv",
+    )
+
+    real = c._write_df.__func__
+    fired = {}
+
+    def inject(self, df, path, plan):
+        if not fired:
+            fired["x"] = 1
+            # a dv delete lands between compaction's scan and commit
+            c.delete_where(
+                "d", [[("v", ">=", 500.0), ("v", "<", 600.0)]],
+                mode="dv",
+            )
+        real(self, df, path, plan)
+
+    monkeypatch.setattr(
+        type(c), "_write_df", inject, raising=True
+    )
+    rep = c.compact("d", target_size_mb=256)  # retries internally
+    assert rep["buckets_compacted"] >= 1
+    it = c.item("d")
+    assert it.data.count() == 30_000 - 100  # the delete SURVIVED
+    assert it.data.filter("v >= 500 and v < 600").count() == 0
+    assert it.data.filter("w = -9.0").count() == 100  # update too
+    # masks fully materialized by the (retried) compaction
+    assert dvm.dv_total(utils.read_manifest(c._item_path("d"))) == 0
