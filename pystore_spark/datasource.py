@@ -189,20 +189,27 @@ def _read_file_batches_positional(
 
     names = [f.name for f in schema.fields]
     pf = pq.ParquetFile(path, filesystem=_pa_fs(item_dir))
+    # hoist the set→array conversions out of the batch loop (they are
+    # O(mask) each; a big masked file iterates many batches)
+    excl_arr = (
+        np.fromiter(exclude, dtype=np.int64)
+        if exclude
+        else None
+    )
+    incl_arr = (
+        np.fromiter(include, dtype=np.int64)
+        if include
+        else np.empty(0, dtype=np.int64)
+    )
     offset = 0
     for batch in pf.iter_batches(columns=names):
         n = batch.num_rows
         idx = np.arange(offset, offset + n)
         keep = np.ones(n, dtype=bool)
-        if exclude:
-            keep &= ~np.isin(idx, np.fromiter(exclude, dtype=np.int64))
+        if excl_arr is not None:
+            keep &= ~np.isin(idx, excl_arr)
         if include is not None:
-            keep &= np.isin(
-                idx,
-                np.fromiter(include, dtype=np.int64)
-                if include
-                else np.empty(0, dtype=np.int64),
-            )
+            keep &= np.isin(idx, incl_arr)
         offset += n
         if keep.all():
             yield batch.select(names)
@@ -438,7 +445,28 @@ class PyStoreStreamReader(DataSourceStreamReader):
             # rows as inserts (appended-then-dv-deleted rows never
             # existed downstream); a carried file whose dv entry
             # changed emits ONLY the newly-masked positions as deletes
-            # — masks only grow (dv.py), so mask_v1 ⊇ mask_v0
+            # — masks only grow (dv.py), so mask_v1 ⊇ mask_v0.
+            # The one operation that SHRINKS a carried file's mask is
+            # restore() to a pre-delete version: the rows it
+            # resurrects cannot be expressed as row-level deltas
+            # (there is no insert source for positions downstream
+            # already dropped), so detect it and fail loudly instead
+            # of silently emitting nothing.
+            shrunk = [
+                r
+                for r in sorted(set0 & set1)
+                if int((dv0.get(r) or {}).get("n", 0))
+                > int((dv1.get(r) or {}).get("n", 0))
+            ]
+            if shrunk:
+                raise ValueError(
+                    f"versions {v0}..{v1} of {self._item_dir!r} "
+                    f"SHRINK the deletion-vector mask of {shrunk} — "
+                    "a restore() resurrected masked rows, which a "
+                    "cdc stream cannot replay as deltas; restart the "
+                    "stream from a fresh checkpoint or reconcile in "
+                    "batch via Collection.changes(mode='exact')"
+                )
             parts: list[FilePartition] = [
                 FilePartition(
                     str(base0 / r), "delete", rel=r,
@@ -488,15 +516,25 @@ class PyStoreStreamReader(DataSourceStreamReader):
         """Partition rows honoring its deletion-vector fields."""
         b = partition.dv_base or None
         if partition.kind == "dv_delta":
-            newly = _dv_positions(
+            cur = _dv_positions(
                 self._item_dir, partition.mask_ref, partition.rel,
                 base=b,
-            ) - _dv_positions(
+            )
+            prev = _dv_positions(
                 self._item_dir, partition.base_mask_ref, partition.rel,
                 base=b,
             )
+            lost = prev - cur
+            if lost:  # executor backstop of the planner's shrink check
+                raise ValueError(
+                    f"{partition.rel}: deletion-vector mask shrank "
+                    f"inside a cdc window ({len(lost)} positions "
+                    "resurrected by a restore) — restart the stream "
+                    "from a fresh checkpoint"
+                )
             yield from _read_file_batches_positional(
-                partition.path, self._item_dir, schema, include=newly
+                partition.path, self._item_dir, schema,
+                include=cur - prev,
             )
             return
         if partition.mask_ref:

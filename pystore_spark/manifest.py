@@ -450,28 +450,40 @@ def gc_item(
             continue
     # deletion-vector dirs: a mask referenced by the live manifest or
     # a snapshot is immortal; a superseded mask (a re-masked file
-    # points at a NEW union dir, dv.py "masks only grow") is reclaimed
-    # once past the same retention clock as stale data files — dv
-    # dirs are immutable after their commit, so dir mtime is creation
-    # time. Version objects that referenced a reclaimed mask die in
-    # the version sweep below, exactly like versions whose data files
-    # expired.
+    # points at a NEW union dir, dv.py "masks only grow") gets the
+    # same grace stale data files get — ``retention`` seconds FROM
+    # SUPERSESSION, not from creation. The manifest records no
+    # supersession time, so GC tombstones it: the first pass that
+    # finds a dir unreferenced drops a ``.superseded`` marker (dot
+    # prefix — Spark and pyarrow scanners ignore it) and only a pass
+    # ``retention`` after the marker deletes — an old mask re-masked
+    # today still serves every reader pinned on the just-superseded
+    # manifest for the full window. Version objects that referenced a
+    # reclaimed mask die in the version sweep below, exactly like
+    # versions whose data files expired.
     dv_live = _dv_refs(man) | snap_dv
     dv_gone: set[str] = set()
     dv_root = item_path / "_dv"
     if fs.exists(dv_root):
         for child in sorted(Path(dv_root).iterdir()):
             rel = f"_dv/{child.name}"
+            marker = child / ".superseded"
             if rel in dv_live:
+                if marker.exists():  # re-referenced (restore): clear
+                    try:
+                        marker.unlink()
+                    except OSError:
+                        pass
                 continue
             try:
-                age = now - fs.mtime(child)
+                if not marker.exists():
+                    marker.touch()  # supersession first observed NOW
+                if now - fs.mtime(marker) >= retention:
+                    utils.rm_tree(child)
+                    dv_gone.add(rel)
+                    removed += 1
             except OSError:
                 continue
-            if age >= retention:
-                utils.rm_tree(child)
-                dv_gone.add(rel)
-                removed += 1
     # time-travel history lives exactly as long as the data it
     # references: a version object is deleted once ANY of its files
     # has left the (live ∪ stale-retained) set — the same

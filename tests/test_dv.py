@@ -944,3 +944,78 @@ def test_rewrite_conflicts_with_concurrent_dv_commit(
     assert it.data.filter("w = -9.0").count() == 100  # update too
     # masks fully materialized by the (retried) compaction
     assert dvm.dv_total(utils.read_manifest(c._item_path("d"))) == 0
+
+
+def test_superseded_mask_gets_retention_from_supersession(
+    test_collection,
+):
+    """REGRESSION: dv dirs were aged by CREATION mtime, so a mask
+    older than retention was reclaimed the instant it was superseded
+    — zero grace for readers pinned on the just-superseded manifest.
+    The clock must start when GC first observes the supersession."""
+    import os
+    import time as _time
+
+    from pathlib import Path
+
+    from pystore_spark import manifest as mf
+
+    c = test_collection
+    c.write("d", _frame(20_000))
+    c.delete_where("d", [[("v", "<", 100.0)]], mode="dv")
+    item_path = Path(c._item_path("d"))
+    ref1 = dvm.dv_refs(utils.read_manifest(item_path)).pop()
+    # make the mask dir look ancient (created long before retention)
+    old = _time.time() - 10_000
+    os.utime(item_path / ref1, (old, old))
+    # supersede it
+    c.delete_where("d", [[("v", "<", 200.0)]], mode="dv")
+
+    # first GC pass with a nonzero retention: the dir must SURVIVE
+    # (before the fix, age-from-creation 10000s >= 60s deleted it)
+    mf.gc_item(c.path, "d", retention=60.0, orphan_grace=0.0)
+    assert (item_path / ref1).exists()
+    assert (item_path / ref1 / ".superseded").exists()
+
+    # past retention from the OBSERVED supersession: reclaimed
+    mark = item_path / ref1 / ".superseded"
+    os.utime(mark, (old, old))
+    mf.gc_item(c.path, "d", retention=60.0, orphan_grace=0.0)
+    assert not (item_path / ref1).exists()
+    # the live mask still serves reads
+    assert c.item("d").data.count() == 20_000 - 200
+
+
+def test_cdc_stream_rejects_mask_shrink_from_restore(
+    test_collection, spark, tmp_path,
+):
+    """REGRESSION: restore() to a pre-delete version SHRINKS a carried
+    file's mask; the cdc dv-delta (new - old positions) is then empty
+    and the stream silently emitted nothing while the item
+    resurrected rows. The planner must reject the window instead."""
+    from pystore_spark.datasource import register, source_options
+
+    register(spark)
+    c = test_collection
+    c.write("d", _frame(100))
+    v0 = c.item("d").version
+    q = (
+        spark.readStream.format("pystore")
+        .options(**source_options(c, "d"))
+        .option("mode", "cdc")
+        .load()
+        .writeStream.format("memory")
+        .queryName("dv_shrink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        c.delete_where("d", [[("v", "<", 5.0)]], mode="dv")
+        q.processAllAvailable()
+        c.restore("d", v0)  # resurrects the 5 masked rows
+        with pytest.raises(Exception, match="SHRINK|shrank"):
+            q.processAllAvailable()
+            q.awaitTermination(5)
+    finally:
+        q.stop()
