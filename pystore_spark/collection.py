@@ -1576,24 +1576,13 @@ class Collection:
         shaped = apply_layout(
             upd, plan, index_col=it._index_cols[0], small=True
         )
-        old_map = dvm.dv_map(man)
-        touched_rels = set(per_file)
         mask = matched.select(
             F.col("__dv_f").alias("file"),
             F.col("__dv_p").alias("pos"),
         )
-        old_refs = {
-            e["ref"]
-            for rel, e in old_map.items()
-            if rel in touched_rels and e.get("ref")
-        }
-        if old_refs:
-            base = mf.base_dir(item_path, man)
-            prior = self.spark.read.parquet(
-                *[str(base / r) for r in sorted(old_refs)]
-            ).filter(F.col("file").isin(sorted(touched_rels)))
-            mask = mask.unionByName(prior)
-        dv_rel = dvm.write_mask_dir(self.spark, item_path, mask)
+        dv_rel, dv_entries, expect_dv = dvm.stage_union_mask(
+            self.spark, item_path, man, mask, per_file
+        )
         before = set(files)
         try:
             self._commit_staged(
@@ -1602,12 +1591,8 @@ class Collection:
                 None,  # metadata-preserving, like the delete paths
                 scope="add",
                 expect_files=mf.bucket_file_map(man),
-                dv_entries={
-                    rel: (dv_rel, n) for rel, n in per_file.items()
-                },
-                expect_dv={
-                    rel: old_map.get(rel) for rel in touched_rels
-                },
+                dv_entries=dv_entries,
+                expect_dv=expect_dv,
             )
         except Exception:
             utils.rm_tree(item_path / dv_rel)
@@ -1795,23 +1780,9 @@ class Collection:
                 f"delete_where would remove every row of {item!r}"
                 " — use delete_item"
             )
-        old_map = dvm.dv_map(man)
-        touched_rels = set(per_file)
-        # union the touched files' EXISTING masks into the new dv dir
-        # so each file's entry points at ONE dir holding its full mask
-        frame = matches
-        old_refs = {
-            e["ref"]
-            for rel, e in old_map.items()
-            if rel in touched_rels and e.get("ref")
-        }
-        if old_refs:
-            base = mf.base_dir(item_path, man)
-            prior = self.spark.read.parquet(
-                *[str(base / r) for r in sorted(old_refs)]
-            ).filter(F.col("file").isin(sorted(touched_rels)))
-            frame = frame.unionByName(prior)
-        dv_rel = dvm.write_mask_dir(self.spark, item_path, frame)
+        dv_rel, dv_entries, expect_dv = dvm.stage_union_mask(
+            self.spark, item_path, man, matches, per_file
+        )
         # CAS: the dv map is only sound against the exact live set the
         # matches were computed from — any concurrent commit retries.
         # The TOUCHED files' dv entries must also be unchanged: a
@@ -1823,8 +1794,8 @@ class Collection:
             man2 is None
             or set(man2.get("files") or []) != set(files)
             or any(
-                dvm.dv_map(man2).get(rel) != old_map.get(rel)
-                for rel in touched_rels
+                dvm.dv_map(man2).get(rel) != exp
+                for rel, exp in expect_dv.items()
             )
         ):
             utils.rm_tree(item_path / dv_rel)
@@ -1834,9 +1805,9 @@ class Collection:
                 "fresh state"
             )
         new_map = dvm.dv_map(man2)
-        for rel, n in per_file.items():
+        for rel, (ref, n) in dv_entries.items():
             old_n = int((new_map.get(rel) or {}).get("n", 0))
-            new_map[rel] = {"ref": dv_rel, "n": old_n + n}
+            new_map[rel] = {"ref": ref, "n": old_n + n}
         try:
             utils.write_manifest(
                 item_path,
@@ -2540,25 +2511,14 @@ class Collection:
                         f"dv merge matched rows in non-live files "
                         f"{unknown}"
                     )
-                old_map = dvm.dv_map(man)
-                touched = set(per_file)
-                mfull = mask
-                old_refs = {
-                    e["ref"]
-                    for rel, e in old_map.items()
-                    if rel in touched and e.get("ref")
-                }
-                if old_refs:
-                    base = mf.base_dir(item_path, man)
-                    prior = self.spark.read.parquet(
-                        *[str(base / r) for r in sorted(old_refs)]
-                    ).filter(F.col("file").isin(sorted(touched)))
-                    mfull = mfull.unionByName(prior)
-                dv_rel = (
-                    dvm.write_mask_dir(self.spark, item_path, mfull)
-                    if per_file
-                    else None
-                )
+                if per_file:
+                    dv_rel, dv_entries, expect_dv = (
+                        dvm.stage_union_mask(
+                            self.spark, item_path, man, mask, per_file
+                        )
+                    )
+                else:
+                    dv_rel, dv_entries, expect_dv = None, None, {}
                 if n_app:
                     appends = appends.localCheckpoint(eager=True)
                     shaped = apply_layout(
@@ -2577,15 +2537,8 @@ class Collection:
                     self._commit_staged(
                         item, write_fn, sidecar, scope="add",
                         expect_files=mf.bucket_file_map(man),
-                        dv_entries={
-                            rel: (dv_rel, n)
-                            for rel, n in per_file.items()
-                        }
-                        if dv_rel
-                        else None,
-                        expect_dv={
-                            rel: old_map.get(rel) for rel in touched
-                        },
+                        dv_entries=dv_entries,
+                        expect_dv=expect_dv,
                     )
                 except ConcurrentCommitError:
                     if dv_rel:

@@ -81,6 +81,18 @@ class FilePartition(InputPartition):
     kind: str = "file"  # "file" | "dv_delta"
     #: manifest base dir the dv refs resolve against ("" = item dir)
     dv_base: str = ""
+    #: positions resolved ON THE DRIVER at planning time and shipped
+    #: in the partition (exclusions for masked files, inclusions for
+    #: dv_delta) — saves every executor task a full scan of the
+    #: shared dv dir; None = resolve executor-side (mask bigger than
+    #: the shipping threshold)
+    positions: "tuple[int, ...] | None" = None
+
+
+#: per-file mask size above which positions are NOT pickled into the
+#: partition and the executor resolves them itself (~8 bytes each:
+#: 200k ≈ 1.6 MB of task payload)
+DV_SHIP_MAX_POSITIONS = 200_000
 
 
 def _dv_positions(
@@ -101,6 +113,52 @@ def _dv_positions(
         columns=["pos"], filter=pds.field("file") == rel
     )
     return set(tbl.column("pos").to_pylist())
+
+
+def _dv_positions_by_file(
+    item_dir: str, ref: str, rels: "list[str]", base: str | None = None
+) -> "dict[str, set[int]]":
+    """One scan of dv dir ``ref`` serving MANY files' positions — the
+    driver-side batch lookup behind position shipping (each executor
+    task would otherwise rescan the shared dir)."""
+    import pyarrow.dataset as pds
+
+    dset = pds.dataset(
+        f"{base or item_dir}/{ref}", filesystem=_pa_fs(item_dir),
+        format="parquet",
+    )
+    tbl = dset.to_table(
+        columns=["file", "pos"],
+        filter=pds.field("file").isin(rels),
+    )
+    out: dict[str, set[int]] = {r: set() for r in rels}
+    for f_, p_ in zip(
+        tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
+    ):
+        out[f_].add(int(p_))
+    return out
+
+
+def _ship_positions(
+    item_dir: str,
+    entries: "list[tuple[str, str | None, int]]",
+    base: str | None = None,
+) -> "dict[str, tuple[int, ...]]":
+    """``{rel: positions}`` for every (rel, ref, n) whose mask is
+    small enough to pickle into its partition; big masks are left for
+    executor-side resolution. Groups by ref so each dv dir is read
+    ONCE regardless of how many files it masks."""
+    by_ref: dict[str, list[str]] = {}
+    for rel, ref, n in entries:
+        if ref and 0 < n <= DV_SHIP_MAX_POSITIONS:
+            by_ref.setdefault(ref, []).append(rel)
+    out: dict[str, tuple[int, ...]] = {}
+    for ref, rels in by_ref.items():
+        for rel, pos in _dv_positions_by_file(
+            item_dir, ref, rels, base=base
+        ).items():
+            out[rel] = tuple(sorted(pos))
+    return out
 
 
 def _item_dir(options: dict) -> str:
@@ -317,6 +375,17 @@ class PyStoreBatchReader(DataSourceReader):
             )
             for rel in sorted(man.get("files") or [])
         ]
+        # one driver-side read per dv dir: small masks ship with
+        # their partitions instead of each executor task rescanning
+        # the shared dir
+        self._shipped = _ship_positions(
+            self._item_dir,
+            [
+                (rel, e.get("ref"), int(e.get("n", 0)))
+                for rel, e in dv.items()
+            ],
+            base=self._dv_base,
+        )
         self._pushed: list = []
 
     def pushFilters(self, filters):
@@ -330,7 +399,10 @@ class PyStoreBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         return [
-            FilePartition(p, rel=rel, mask_ref=ref)
+            FilePartition(
+                p, rel=rel, mask_ref=ref,
+                positions=self._shipped.get(rel),
+            )
             for p, rel, ref in self._parts
         ]
 
@@ -343,7 +415,9 @@ class PyStoreBatchReader(DataSourceReader):
                 partition.path,
                 self._item_dir,
                 self._schema,
-                exclude=_dv_positions(
+                exclude=set(partition.positions)
+                if partition.positions is not None
+                else _dv_positions(
                     self._item_dir, partition.mask_ref, partition.rel,
                     base=self._dv_base,
                 ),
@@ -467,12 +541,46 @@ class PyStoreStreamReader(DataSourceStreamReader):
                     "stream from a fresh checkpoint or reconcile in "
                     "batch via Collection.changes(mode='exact')"
                 )
+            removed = sorted(set0 - set1)
+            delta = [
+                r for r in sorted(set0 & set1)
+                if dv0.get(r) != dv1.get(r)
+            ]
+            added = [r for r in rels1 if r not in set0]
+            # driver-side position shipping: each referenced dv dir
+            # reads once here instead of once per executor task
+            ship0 = _ship_positions(
+                self._item_dir,
+                [
+                    (r, ref(dv0, r), int((dv0.get(r) or {}).get("n", 0)))
+                    for r in removed
+                ],
+                base=str(base0),
+            )
+            ship1 = _ship_positions(
+                self._item_dir,
+                [
+                    (r, ref(dv1, r), int((dv1.get(r) or {}).get("n", 0)))
+                    for r in delta + added
+                ],
+                base=str(base1),
+            )
+            ship_prev = _ship_positions(
+                self._item_dir,
+                [
+                    (r, ref(dv0, r), int((dv0.get(r) or {}).get("n", 0)))
+                    for r in delta
+                    if r in ship1  # only useful when cur also shipped
+                ],
+                base=str(base1),
+            )
             parts: list[FilePartition] = [
                 FilePartition(
                     str(base0 / r), "delete", rel=r,
                     mask_ref=ref(dv0, r), dv_base=str(base0),
+                    positions=ship0.get(r),
                 )
-                for r in sorted(set0 - set1)
+                for r in removed
             ]
             parts += [
                 FilePartition(
@@ -480,17 +588,23 @@ class PyStoreStreamReader(DataSourceStreamReader):
                     mask_ref=ref(dv1, r),
                     base_mask_ref=ref(dv0, r),
                     kind="dv_delta", dv_base=str(base1),
+                    # the delta itself ships when both sides resolved
+                    positions=tuple(sorted(
+                        set(ship1[r]) - set(ship_prev.get(r, ()))
+                    ))
+                    if r in ship1
+                    and (not ref(dv0, r) or r in ship_prev)
+                    else None,
                 )
-                for r in sorted(set0 & set1)
-                if dv0.get(r) != dv1.get(r)
+                for r in delta
             ]
             parts += [
                 FilePartition(
                     str(base1 / r), "insert", rel=r,
                     mask_ref=ref(dv1, r), dv_base=str(base1),
+                    positions=ship1.get(r),
                 )
-                for r in rels1
-                if r not in set0
+                for r in added
             ]
             return parts
         dv_drift = any(dv0.get(r) != dv1.get(r) for r in set0 & set1)
@@ -503,38 +617,50 @@ class PyStoreStreamReader(DataSourceStreamReader):
                 "rewrites in batch via Collection.changes(mode='auto'),"
                 " or stream the change feed with .option('mode', 'cdc')"
             )
+        added = [r for r in rels1 if r not in set0]
+        ship = _ship_positions(
+            self._item_dir,
+            [
+                (r, ref(dv1, r), int((dv1.get(r) or {}).get("n", 0)))
+                for r in added
+            ],
+            base=str(base1),
+        )
         return [
             FilePartition(
                 str(base1 / r), rel=r, mask_ref=ref(dv1, r),
-                dv_base=str(base1),
+                dv_base=str(base1), positions=ship.get(r),
             )
-            for r in rels1
-            if r not in set0
+            for r in added
         ]
 
     def _batches(self, partition: FilePartition, schema):
         """Partition rows honoring its deletion-vector fields."""
         b = partition.dv_base or None
         if partition.kind == "dv_delta":
-            cur = _dv_positions(
-                self._item_dir, partition.mask_ref, partition.rel,
-                base=b,
-            )
-            prev = _dv_positions(
-                self._item_dir, partition.base_mask_ref, partition.rel,
-                base=b,
-            )
-            lost = prev - cur
-            if lost:  # executor backstop of the planner's shrink check
-                raise ValueError(
-                    f"{partition.rel}: deletion-vector mask shrank "
-                    f"inside a cdc window ({len(lost)} positions "
-                    "resurrected by a restore) — restart the stream "
-                    "from a fresh checkpoint"
+            if partition.positions is not None:
+                include = set(partition.positions)  # driver-resolved
+            else:
+                cur = _dv_positions(
+                    self._item_dir, partition.mask_ref, partition.rel,
+                    base=b,
                 )
+                prev = _dv_positions(
+                    self._item_dir, partition.base_mask_ref,
+                    partition.rel, base=b,
+                )
+                lost = prev - cur
+                if lost:  # backstop of the planner's shrink check
+                    raise ValueError(
+                        f"{partition.rel}: deletion-vector mask "
+                        f"shrank inside a cdc window ({len(lost)} "
+                        "positions resurrected by a restore) — "
+                        "restart the stream from a fresh checkpoint"
+                    )
+                include = cur - prev
             yield from _read_file_batches_positional(
                 partition.path, self._item_dir, schema,
-                include=cur - prev,
+                include=include,
             )
             return
         if partition.mask_ref:
@@ -542,7 +668,9 @@ class PyStoreStreamReader(DataSourceStreamReader):
                 partition.path,
                 self._item_dir,
                 schema,
-                exclude=_dv_positions(
+                exclude=set(partition.positions)
+                if partition.positions is not None
+                else _dv_positions(
                     self._item_dir, partition.mask_ref, partition.rel,
                     base=b,
                 ),

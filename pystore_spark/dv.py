@@ -132,6 +132,43 @@ def apply_mask(
     )
 
 
+def stage_union_mask(
+    spark, item_path, man: dict, mask: "DataFrame",
+    per_file: dict[str, int],
+) -> tuple[str, dict[str, tuple[str, int]], dict[str, dict | None]]:
+    """Shared commit plumbing of every dv-writing path (delete,
+    update, merge): union ``mask`` with the touched files' EXISTING
+    masks (each file's entry must point at ONE dir holding its full
+    mask), write the dv dir, and derive the commit inputs. Returns
+    ``(dv_rel, dv_entries, expect_dv)`` — ``dv_entries`` merges into
+    the manifest's dv map, ``expect_dv`` is the observed-state guard
+    (the touched files' entries as THIS computation saw them; a
+    concurrent dv commit repointing one must conflict, see
+    Collection._commit_staged). On commit failure the caller removes
+    ``dv_rel``."""
+    from pystore_spark import manifest as mf
+
+    old_map = dv_map(man)
+    touched = set(per_file)
+    old_refs = {
+        e["ref"]
+        for rel, e in old_map.items()
+        if rel in touched and e.get("ref")
+    }
+    if old_refs:
+        base = mf.base_dir(item_path, man)
+        prior = spark.read.parquet(
+            *[str(Path(base) / r) for r in sorted(old_refs)]
+        ).filter(F.col("file").isin(sorted(touched)))
+        mask = mask.unionByName(prior)
+    rel = write_mask_dir(spark, item_path, mask)
+    return (
+        rel,
+        {r: (rel, n) for r, n in per_file.items()},
+        {r: old_map.get(r) for r in touched},
+    )
+
+
 def apply_mask_basename(
     df: "DataFrame", mask: "DataFrame", total_masked: int
 ) -> "DataFrame":
