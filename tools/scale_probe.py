@@ -162,13 +162,22 @@ def main() -> None:
 
     # the storage write→upsert→filtered-read cycle — the reference's
     # headline path — probed at both scales too
-    from bench import _storage_bench
+    from bench import _storage_bench, _storage_dv_bench
 
     small["storage_write_append_read"] = round(
         _storage_bench(spark, SF_SMALL), 4
     )
     big["storage_write_append_read"] = round(
         _storage_bench(spark, big_dir), 4
+    )
+    # round-7 flagship: the merge-on-read DML cycle (dv delete +
+    # update + masked read) — its write side is O(matches), so the
+    # exponent should track the match-scan, not the corpus rewrite
+    small["storage_dv_delete_update"] = round(
+        _storage_dv_bench(spark, SF_SMALL), 4
+    )
+    big["storage_dv_delete_update"] = round(
+        _storage_dv_bench(spark, big_dir), 4
     )
 
     report = {}
