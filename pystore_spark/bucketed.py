@@ -178,6 +178,37 @@ def write_bucketed(
     collection.clear_metadata_cache(item)
 
 
+def stage_copies_write_fn(collection, df: "DataFrame", spec: dict,
+                          codec: str | None = None):
+    """``write_fn`` staging ``df`` through Spark's BUCKETED writer
+    under the item's (cols, n) spec — the only way new files carry
+    the ``_NNNNN`` bucket tags the catalog scan parses, so a pure
+    file addition (append, or a merge-on-read update/merge's copies)
+    keeps the co-location invariant. Placement re-hashes the actual
+    values, so even an assignment changing a bucket column lands its
+    copy in the right bucket."""
+    bcols, n = _cols_of(spec), int(spec["n"])
+    spark = collection.spark
+    cols = list(df.columns)
+
+    def write_fn(tmp: Path) -> None:
+        stage_tbl = f"ps_bkt_stage_{uuid.uuid4().hex[:12]}"
+        (
+            df.select(*cols)
+            .repartition(n, *bcols)
+            .write.format("parquet")
+            .option("path", str(tmp))
+            .option("compression", codec or "snappy")
+            .bucketBy(n, *bcols)
+            .sortBy(*bcols)
+            .mode("overwrite")
+            .saveAsTable(stage_tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
+
+    return write_fn
+
+
 def _ensure_view_dir(it: "Item") -> Path:
     """Materialize (once per manifest version) the hard-linked view of
     exactly this version's live files — the directory a catalog table

@@ -1445,16 +1445,20 @@ class Collection:
         (pystore/collection.py write with overwrite=True)."""
         from pystore_spark import bucketed as _bk
 
-        _bk.guard_mutation(self, item, "update_where")
-        from pystore_spark.exceptions import ConcurrentCommitError
-        from pystore_spark.filters import filters_to_column
-
         assignments = dict(set)  # `set=` mirrors Delta's UPDATE API
         del set  # unshadow the builtin
         if mode not in ("rewrite", "dv"):
             raise ValueError(
                 f"mode must be 'rewrite' or 'dv', got {mode!r}"
             )
+        if mode != "dv":
+            # dv updates move no existing files and stage their
+            # copies through the BUCKETED writer (stage_copies_
+            # write_fn), so the co-location invariant survives —
+            # rewrite mode would void it
+            _bk.guard_mutation(self, item, "update_where")
+        from pystore_spark.exceptions import ConcurrentCommitError
+        from pystore_spark.filters import filters_to_column
         if not assignments:
             raise ValueError("update_where requires assignments")
         raw_pred = filters_to_column(filters)
@@ -1573,9 +1577,25 @@ class Collection:
         # commit adds; an assignment violating a contract fails here,
         # BEFORE the mask or any file stages (O(matched) aggregate)
         self._enforce_constraints(item, upd)
-        shaped = apply_layout(
-            upd, plan, index_col=it._index_cols[0], small=True
+        from pystore_spark import bucketed as _bk
+
+        bspec = (self.get_item_metadata(item) or {}).get(
+            _bk.BUCKET_SPEC_KEY
         )
+        if bspec:
+            # bucketed item: copies stage through the BUCKETED writer
+            # so they carry bucket tags and co-location survives
+            write_fn = _bk.stage_copies_write_fn(
+                self, upd, bspec, plan.compression
+            )
+        else:
+            shaped = apply_layout(
+                upd, plan, index_col=it._index_cols[0], small=True
+            )
+
+            def write_fn(tmp):
+                self._write_df(shaped, str(tmp), plan)
+
         mask = matched.select(
             F.col("__dv_f").alias("file"),
             F.col("__dv_p").alias("pos"),
@@ -1587,7 +1607,7 @@ class Collection:
         try:
             self._commit_staged(
                 item,
-                lambda tmp: self._write_df(shaped, str(tmp), plan),
+                write_fn,
                 None,  # metadata-preserving, like the delete paths
                 scope="add",
                 expect_files=mf.bucket_file_map(man),
@@ -2231,7 +2251,11 @@ class Collection:
         the next rewrite materializes it."""
         from pystore_spark import bucketed as _bk
 
-        _bk.guard_mutation(self, item, "merge_into")
+        if mode != "dv":
+            # the dv merge moves no existing files and stages its
+            # copies+inserts through the BUCKETED writer, preserving
+            # co-location — the rewrite merge would void it
+            _bk.guard_mutation(self, item, "merge_into")
         # CHECK constraints vet the source rows (the only NEW data a
         # merge can introduce; update expressions are the caller's
         # explicit transformation and are not re-scanned — documented
@@ -2519,17 +2543,33 @@ class Collection:
                     )
                 else:
                     dv_rel, dv_entries, expect_dv = None, None, {}
+                bspec = (self.get_item_metadata(item) or {}).get(
+                    _bk.BUCKET_SPEC_KEY
+                )
                 if n_app:
                     appends = appends.localCheckpoint(eager=True)
-                    shaped = apply_layout(
-                        appends, plan,
-                        index_col=idx_cols[0] if idx_cols else keys[0],
-                        small=True,
-                    )
+                    if bspec:
+                        # bucketed item: copies+inserts stage through
+                        # the BUCKETED writer — bucket tags intact,
+                        # co-location survives the merge
+                        staged_fn = _bk.stage_copies_write_fn(
+                            self, appends, bspec, plan.compression
+                        )
+                    else:
+                        shaped = apply_layout(
+                            appends, plan,
+                            index_col=idx_cols[0]
+                            if idx_cols
+                            else keys[0],
+                            small=True,
+                        )
+
+                        def staged_fn(tmp):
+                            self._write_df(shaped, str(tmp), plan)
 
                 def write_fn(tmp):
                     if n_app:
-                        self._write_df(shaped, str(tmp), plan)
+                        staged_fn(tmp)
                     else:
                         Path(tmp).mkdir(parents=True, exist_ok=True)
 

@@ -1019,3 +1019,68 @@ def test_cdc_stream_rejects_mask_shrink_from_restore(
             q.awaitTermination(5)
     finally:
         q.stop()
+
+
+def test_bucketed_dv_update_masks_and_stays_colocated(
+    test_collection,
+):
+    c = test_collection
+    _bucketed_pair(c)
+    man0 = utils.read_manifest(c._item_path("ob"))
+    rep = c.update_where(
+        "ob", [[("k", "<", 10)]], set={"amt": "amt + 1000"},
+        mode="dv",
+    )
+    assert rep["n_updated"] == 10
+    man1 = utils.read_manifest(c._item_path("ob"))
+    assert set(man0["files"]) <= set(man1["files"])  # nothing moved
+    it = c.item("ob")
+    assert it.data.count() == 300
+    got = {
+        r["k"]: r["amt"]
+        for r in it.data.filter("k < 10").collect()
+    }
+    assert got == {k: float(k) + 1000 for k in range(10)}
+    # the copies carry bucket tags: co-located join stays shuffle-free
+    j = it.data.join(c.item("lb").data, "k")
+    assert (
+        "Exchange hashpartitioning"
+        not in j._jdf.queryExecution().executedPlan().toString()
+    )
+    # rewrite mode stays guarded
+    with pytest.raises(Exception, match="bucketed"):
+        c.update_where(
+            "ob", [[("k", "<", 10)]], set={"amt": "0"},
+            mode="rewrite",
+        )
+
+
+def test_bucketed_dv_merge_updates_deletes_inserts(test_collection):
+    c = test_collection
+    _bucketed_pair(c)
+    src = pd.DataFrame(
+        {
+            "k": [5, 7, 1000],
+            "amt": [-1.0, 0.0, -2.0],
+            "tomb": [False, True, False],
+        }
+    )
+    rep = c.merge_into(
+        "ob", src, on="k",
+        when_matched={"amt": "s.amt"},
+        when_matched_delete="s.tomb",
+        when_not_matched=None,  # never-seen k=1000 must not insert
+        mode="dv",
+    )
+    assert rep["n_updated"] == 1 and rep["n_deleted"] == 1
+    it = c.item("ob")
+    assert it.data.count() == 299  # one deleted, none inserted
+    assert it.data.filter("k = 5").collect()[0]["amt"] == -1.0
+    assert it.data.filter("k = 7").count() == 0
+    j = it.data.join(c.item("lb").data, "k")
+    assert (
+        "Exchange hashpartitioning"
+        not in j._jdf.queryExecution().executedPlan().toString()
+    )
+    with pytest.raises(Exception, match="bucketed"):
+        c.merge_into("ob", src, on="k", mode="rewrite")
