@@ -1434,8 +1434,12 @@ class Collection:
         Cost is O(matching rows) + one conditional put: at a
         100k-file item a scattered metadata-fix stops rewriting
         terabytes. Reads pay the mask anti-join until
-        :meth:`compact` / any rewrite materializes it. Returns
-        ``{n_updated, files_masked, dv_ref, files_added}``.
+        :meth:`compact` / any rewrite materializes it. BUCKETED
+        items support this mode (only this mode): the copies stage
+        through the bucketed writer, so bucket tags — and the
+        exchange-free join plans — survive, and even an assignment
+        to a bucket column re-hashes its copy into the right bucket.
+        Returns ``{n_updated, files_masked, dv_ref, files_added}``.
 
         Derived state (matviews, rollups, dedup/line/vector indexes)
         goes stale either way — ``repair_indexes=True`` repairs
@@ -2248,7 +2252,9 @@ class Collection:
         cost drops from O(joined scope) — the WHOLE item when the
         merge key is not the index — to O(changed rows); the t⋈s key
         join is paid either way. Reads carry the mask anti-join until
-        the next rewrite materializes it."""
+        the next rewrite materializes it. BUCKETED items support
+        this mode (only this mode): copies+inserts stage through the
+        bucketed writer, keeping co-located joins exchange-free."""
         from pystore_spark import bucketed as _bk
 
         if mode != "dv":
