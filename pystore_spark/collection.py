@@ -3368,6 +3368,10 @@ class Collection:
             "aggs": {k: list(v) for k, v in aggs.items()},
             "dims": list(dims),
             "source_files": sorted((man or {}).get("files") or []),
+            # dv companion pin: a dv-only delete changes visible rows
+            # without moving files — rollup.py changed_pb_buckets
+            # would otherwise see nothing to refresh
+            "source_dv": dict((man or {}).get("dv") or {}),
         }
         self.write(
             rollup_item,
@@ -3405,7 +3409,13 @@ class Collection:
         man = src_it._manifest
         new_files = sorted((man or {}).get("files") or [])
         old_files = list(spec["source_files"])
-        new_spec = {**spec, "source_files": new_files}
+        new_dv = dict((man or {}).get("dv") or {})
+        # pre-dv specs recorded no dv pin — treat as {} so a mask
+        # that has since appeared refreshes instead of staying fresh
+        old_dv = dict(spec.get("source_dv") or {})
+        new_spec = {
+            **spec, "source_files": new_files, "source_dv": new_dv,
+        }
         unit, dims, aggs = spec["unit"], spec["dims"], spec["aggs"]
         idx = src_it.index_column
 
@@ -3418,9 +3428,25 @@ class Collection:
                 sidecar_extra={ru.ROLLUP_META_KEY: new_spec},
             )
 
-        if new_files == old_files:
+        if new_files == old_files and new_dv == old_dv:
             return {"mode": "fresh", "changed_buckets": 0}
         changed = ru.changed_pb_buckets(old_files, new_files)
+        if changed is not None:
+            # buckets whose files were dv-masked must recompute too:
+            # their windows re-read through Item.data, which applies
+            # the mask
+            from pystore_spark.manifest import _bucket_of
+
+            for rel in {
+                r
+                for r in set(old_dv) | set(new_dv)
+                if old_dv.get(r) != new_dv.get(r)
+            }:
+                b = _bucket_of(rel)
+                if b is None:
+                    changed = None  # no _pb prefix: full recompute
+                    break
+                changed.add(b)
         freq = (
             src_it._plan.freq
             if src_it._plan is not None and src_it._plan.kind == "time"

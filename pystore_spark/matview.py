@@ -77,10 +77,26 @@ def dep_state(collection: "Collection", items: Sequence[str]) -> dict:
     return out
 
 
+def dep_dv_state(collection: "Collection", items: Sequence[str]) -> dict:
+    """``{item: deletion-vector map}`` companion pin: a dv-only
+    commit (delete_where/update_where/merge_into mode='dv') changes a
+    dependency's visible rows WITHOUT changing its file list, so the
+    file pin alone would leave dependents fresh while they serve
+    deleted rows."""
+    from pystore_spark import utils
+
+    out: dict[str, dict] = {}
+    for n in items:
+        man = utils.read_manifest(collection._item_path(n)) or {}
+        out[n] = dict(man.get("dv") or {})
+    return out
+
+
 def stale_dependencies(collection: "Collection", spec: dict) -> dict:
     """Compare the recorded pin against current manifests. Returns
     ``{"stale": [...], "missing": [...], "unpinned": [...]}``."""
     pinned: dict = spec.get("dep_files") or {}
+    pinned_dv: dict = spec.get("dep_dv") or {}
     stale, missing, unpinned = [], [], []
     for n, files in pinned.items():
         if not collection.item_exists(n):
@@ -89,7 +105,10 @@ def stale_dependencies(collection: "Collection", spec: dict) -> dict:
         if not files:
             unpinned.append(n)
         current = dep_state(collection, [n])[n]
-        if current != files:
+        cur_dv = dep_dv_state(collection, [n])[n]
+        # pre-dv specs pinned no dv map: treat as {} so a mask that
+        # has since appeared flips stale (never silently fresh)
+        if current != files or cur_dv != dict(pinned_dv.get(n) or {}):
             stale.append(n)
     return {"stale": stale, "missing": missing, "unpinned": unpinned}
 
@@ -251,6 +270,7 @@ def build_and_write(
             f"matview {name!r} cannot depend on itself"
         )
     pin = dep_state(collection, deps)  # BEFORE the scan — see module doc
+    dv_pin = dep_dv_state(collection, deps)
     exec_query, companions = query, {}
     if incremental is not None:
         keys = list(incremental.get("keys") or [])
@@ -285,6 +305,7 @@ def build_and_write(
         "query": query,
         "depends_on": deps,
         "dep_files": pin,
+        "dep_dv": dv_pin,
         "index_col": index_col,
         "incremental": incremental,
         # persisted so refreshes reproduce the create-time PHYSICAL
@@ -344,6 +365,13 @@ def try_incremental_refresh(
     pinned = list(spec["dep_files"].get(dep) or [])
     if not pinned or not set(pinned) <= set(cur_files):
         return None  # shrank or rewrote: delta is not expressible
+    cur_dv = dict((it._manifest or {}).get("dv") or {})
+    if cur_dv != dict((spec.get("dep_dv") or {}).get(dep) or {}):
+        # a dv commit changed visible rows of CARRIED files — a
+        # delete, which "aggregate the delta and fold" cannot
+        # express; rebuild. (Equality also proves no delta file is
+        # masked: masking one would have changed the map.)
+        return None
     delta = [f for f in cur_files if f not in set(pinned)]
     if not delta:
         return None
@@ -408,7 +436,11 @@ def try_incremental_refresh(
                     c, F.hll_sketch_estimate(F.col(h)).cast(old_types[c])
                 )
         merged = merged.select(*old.columns)
-        new_spec = {**spec, "dep_files": {dep: cur_files}}
+        new_spec = {
+            **spec,
+            "dep_files": {dep: cur_files},
+            "dep_dv": {dep: cur_dv},
+        }
         collection.write(
             name,
             merged,

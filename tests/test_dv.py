@@ -1084,3 +1084,69 @@ def test_bucketed_dv_merge_updates_deletes_inserts(test_collection):
     )
     with pytest.raises(Exception, match="bucketed"):
         c.merge_into("ob", src, on="k", mode="rewrite")
+
+
+# ---------------------------------------------------------------------
+# derived state (matviews / rollups) must flip stale on dv commits
+# ---------------------------------------------------------------------
+
+
+def test_matview_goes_stale_on_dv_delete(test_collection):
+    """REGRESSION: freshness pins recorded only the file list, so a
+    dv-only delete left dependents 'fresh' serving deleted rows."""
+    c = test_collection
+    c.write("ev", _frame(5_000), freq="M")
+    c.create_matview(
+        "mv", "SELECT count(*) AS n, sum(v) AS total FROM ev"
+    )
+    assert c.matview_status("mv")["fresh"]
+    c.delete_where("ev", [[("v", "<", 100.0)]], mode="dv")
+    st = c.matview_status("mv")
+    assert not st["fresh"] and "ev" in st["stale"]
+    got = c.matview("mv").collect()[0]  # read-through refresh
+    assert got["n"] == 4_900
+    assert got["total"] == sum(float(x) for x in range(100, 5_000))
+    assert c.matview_status("mv")["fresh"]
+
+
+def test_ivm_falls_back_to_rebuild_after_dv_delete(test_collection):
+    """'Aggregate the delta and fold' cannot express a delete: a dv
+    commit on carried files must force the full rebuild, and the
+    rebuilt values must exclude the masked rows."""
+    c = test_collection
+    c.write("ev", _frame(5_000), freq="M")
+    c.create_matview(
+        "mv",
+        "SELECT w, count(*) AS n, sum(v) AS total FROM ev GROUP BY w",
+        incremental={
+            "keys": ["w"], "merge": {"n": "sum", "total": "sum"}
+        },
+    )
+    # sanity: a pure append still folds incrementally (appended v
+    # values offset clear of the delete predicate below)
+    extra = _frame(10, start="2024-06-01")
+    extra["v"] = extra["v"] + 1_000_000.0
+    c.append("ev", extra, duplicate_handling="keep_all")
+    assert c.refresh_matview("mv")["mode"] == "incremental"
+    c.delete_where("ev", [[("v", "<", 10.0)]], mode="dv")
+    rep = c.refresh_matview("mv")
+    assert rep["mode"] == "rebuilt"
+    pdf = c.matview("mv").toPandas()
+    assert pdf["n"].sum() == 4_990 + 10
+    assert pdf["total"].sum() == sum(
+        float(x) for x in range(10, 5_000)
+    ) + sum(1_000_000.0 + x for x in range(10))
+
+
+def test_rollup_refreshes_after_dv_delete(test_collection):
+    c = test_collection
+    c.write("src", _frame(5_000))
+    c.create_rollup(
+        "src", "src_daily", unit="day", aggs={"v": ["sum", "count"]}
+    )
+    c.delete_where("src", [[("v", "<", 60.0)]], mode="dv")
+    rep = c.refresh_rollup("src_daily")
+    assert rep["mode"] != "fresh"
+    pdf = c.item("src_daily").to_pandas().reset_index()
+    assert pdf["v_count"].sum() == 5_000 - 60
+    assert pdf["v_sum"].sum() == sum(float(x) for x in range(60, 5_000))
