@@ -258,16 +258,14 @@ def bucketed_frame(it: "Item") -> "DataFrame":
     tbl = f"ps_bkt_{digest}_{uid}_v{version}"
     spark = it.spark
     if spark.catalog.tableExists(tbl) and uid == "legacy":
-        # no uid to disambiguate incarnations: trust the relation only
-        # if its column DDL still matches the current view's files
-        schema = spark.read.parquet(str(view)).schema
-        if [
-            (f.name, f.dataType.simpleString()) for f in schema.fields
-        ] != [
-            (f.name, f.dataType.simpleString())
-            for f in spark.table(f"`{tbl}`").schema.fields
-        ]:
-            spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+        # no uid to disambiguate incarnations — and column DDL alone
+        # cannot: a same-schema recreate with a DIFFERENT bucket
+        # count would be trusted and feed Catalyst a false
+        # HashPartitioning claim (silently wrong exchange-free
+        # joins). Never trust a legacy relation: drop and re-register
+        # from the current spec (one catalog round-trip per read —
+        # only pre-uid stores pay it).
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
     if not spark.catalog.tableExists(tbl):
         schema = spark.read.parquet(str(view)).schema
         cols_ddl = ", ".join(

@@ -314,29 +314,60 @@ def _arrow_filter_expr(filters: Sequence):
     return expr
 
 
-def _filter_translatable(f) -> bool:
+def _filter_translatable(f, schema=None) -> bool:
     """True when the filter maps 1:1 onto a pyarrow dataset expression
     with identical row-drop semantics. Conservative: anything outside
     the known set (including None-valued comparisons, whose SQL
     three-valued logic arrow matches but is not worth relying on)
-    stays Spark-side only."""
+    stays Spark-side only.
+
+    NaN divergence: Spark orders NaN GREATER than every value
+    (``NaN > x`` is true, ``NaN = NaN`` is true) while arrow's
+    comparisons are IEEE (NaN compares false) — an arrow-side drop of
+    a NaN row is unrecoverable because Spark only re-FILTERS what the
+    scan returned. So ``>``/``>=`` on float/double columns, and any
+    comparison against a NaN literal, stay Spark-side; ``<``/``<=``
+    and equality with non-NaN literals agree in both engines."""
     from pyspark.sql.datasource import (
         EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
         IsNull, LessThan, LessThanOrEqual, StringStartsWith,
     )
 
+    def _is_nan(v) -> bool:
+        return isinstance(v, float) and v != v
+
+    def _float_col() -> bool:
+        if schema is None:
+            return True  # unknown type: assume the unsafe case
+        try:
+            t = schema[f.attribute[0]].dataType.simpleString()
+        except Exception:
+            return True
+        return t in ("float", "double")
+
     if isinstance(f, (IsNull, IsNotNull)):
         return len(f.attribute) == 1
     if isinstance(f, In):
         return len(f.attribute) == 1 and all(
-            v is not None for v in f.value
+            v is not None and not _is_nan(v) for v in f.value
+        )
+    if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+        # Spark keeps NaN rows for these; arrow would drop them
+        return (
+            len(f.attribute) == 1
+            and f.value is not None
+            and not _is_nan(f.value)
+            and not _float_col()
         )
     if isinstance(
         f,
-        (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
-         LessThanOrEqual, StringStartsWith),
+        (EqualTo, LessThan, LessThanOrEqual, StringStartsWith),
     ):
-        return len(f.attribute) == 1 and f.value is not None
+        return (
+            len(f.attribute) == 1
+            and f.value is not None
+            and not _is_nan(f.value)
+        )
     return False
 
 
@@ -359,6 +390,16 @@ class PyStoreBatchReader(DataSourceReader):
         from pystore_spark import dv as dvm
         from pystore_spark import manifest as mf
 
+        if (options.get("mode") or "").lower() == "cdc":
+            # the cdc change feed is a STREAMING contract (version
+            # windows); a batch scan of one pinned version has no
+            # change rows to type — fail at plan time instead of an
+            # executor-side missing-column error
+            raise ValueError(
+                "option mode=cdc is streaming-only — use "
+                "spark.readStream.format('pystore'), or batch-read "
+                "the change feed via Collection.changes()"
+            )
         self._schema = schema
         self._item_dir = _item_dir(options)
         # pin the manifest NOW: every partition of this scan reads one
@@ -393,7 +434,7 @@ class PyStoreBatchReader(DataSourceReader):
         # expression builds per-partition in read()); yield every
         # filter back so Spark re-applies them post-scan
         for f in filters:
-            if _filter_translatable(f):
+            if _filter_translatable(f, self._schema):
                 self._pushed.append(f)
             yield f
 

@@ -112,24 +112,27 @@ def scan_keys(base) -> tuple:
 
 
 def apply_mask(
-    df: "DataFrame", mask: "DataFrame", total_masked: int, base
+    df: "DataFrame", mask: "DataFrame", total_masked: int, base,
+    keep_keys: bool = False,
 ) -> "DataFrame":
     """Anti-join the scan against the mask on (rel path, position).
     ``df`` must be a direct parquet scan (``_metadata`` resolvable).
     The mask broadcasts while small; beyond
-    BROADCAST_MASK_MAX_ROWS it shuffles (AQE may still broadcast)."""
+    BROADCAST_MASK_MAX_ROWS it shuffles (AQE may still broadcast).
+    ``keep_keys=True`` leaves the ``__dv_f``/``__dv_p`` join keys on
+    the result — the shape the dv-writing paths consume."""
     fkey, pkey = scan_keys(base)
     m = mask.select(
         F.col("file").alias("__dv_f"), F.col("pos").alias("__dv_p")
     )
     if total_masked <= BROADCAST_MASK_MAX_ROWS:
         m = F.broadcast(m)
-    return (
+    out = (
         df.withColumn("__dv_f", fkey)
         .withColumn("__dv_p", pkey)
         .join(m, on=["__dv_f", "__dv_p"], how="left_anti")
-        .drop("__dv_f", "__dv_p")
     )
+    return out if keep_keys else out.drop("__dv_f", "__dv_p")
 
 
 def stage_union_mask(
@@ -199,24 +202,20 @@ def apply_mask_basename(
 def masked_scan(spark, item_path, man: dict, files: list[str]):
     """Manifest-file scan with the existing mask applied and the join
     keys STILL PRESENT (columns ``__dv_f``/``__dv_p``) — the input for
-    computing NEW matches without re-counting already-deleted rows."""
+    computing NEW matches without re-counting already-deleted rows.
+    Delegates to :func:`apply_mask` so the broadcast policy and key
+    contract live in one place."""
     from pystore_spark import manifest as mf
 
     base = mf.base_dir(item_path, man)
     df = spark.read.option("basePath", str(base)).parquet(
         *[str(base / f) for f in files]
     )
-    fkey, pkey = scan_keys(base)
-    df = df.withColumn("__dv_f", fkey).withColumn("__dv_p", pkey)
     mask = mask_frame(spark, item_path, man)
-    if mask is not None:
-        m = mask.select(
-            F.col("file").alias("__dv_f"), F.col("pos").alias("__dv_p")
-        )
-        if dv_total(man) <= BROADCAST_MASK_MAX_ROWS:
-            m = F.broadcast(m)
-        df = df.join(m, on=["__dv_f", "__dv_p"], how="left_anti")
-    return df
+    if mask is None:
+        fkey, pkey = scan_keys(base)
+        return df.withColumn("__dv_f", fkey).withColumn("__dv_p", pkey)
+    return apply_mask(df, mask, dv_total(man), base, keep_keys=True)
 
 
 def write_mask_dir(

@@ -63,7 +63,7 @@ def test_batch_reader_translates_and_applies_filters(col, spark):
     file holds) — the data-reduction fast path, independent of
     Spark's own post-scan re-evaluation."""
     from pyspark.sql.datasource import (
-        EqualTo, GreaterThan, In, Not, StringStartsWith,
+        EqualTo, GreaterThan, In, LessThan, Not, StringStartsWith,
     )
     from pystore_spark.datasource import PyStoreBatchReader
 
@@ -76,21 +76,25 @@ def test_batch_reader_translates_and_applies_filters(col, spark):
     leftover = list(
         reader.pushFilters(
             [
+                # > on a DOUBLE column must NOT translate: Spark's
+                # NaN-is-greatest semantics diverge from arrow's IEEE
+                # comparison, and an arrow-side drop is unrecoverable
                 GreaterThan(("v",), 10.0),
+                LessThan(("v",), 10.0),  # translatable (IEEE agrees)
                 Not(EqualTo(("v",), 11.0)),  # untranslatable: skipped
             ]
         )
     )
     # everything is yielded back for Spark-side re-evaluation...
-    assert len(leftover) == 2
-    # ...but only the translatable filter is kept for arrow
+    assert len(leftover) == 3
+    # ...but only the NaN-safe translatable filter is kept for arrow
     assert len(reader._pushed) == 1
     rows = sum(
         b.num_rows
         for p in reader.partitions()
         for b in reader.read(p)
     )
-    assert rows == 9  # v in 11..19 of 0..19 — rows dropped pre-JVM
+    assert rows == 10  # v in 0..9 of 0..19 — rows dropped pre-JVM
 
     # In / StringStartsWith translate too
     r2 = PyStoreBatchReader(source_options(col, "it"), d.schema)
@@ -269,3 +273,41 @@ def test_empty_bucket_by_rejected(test_collection):
         test_collection.write(
             "eb", _b(5, 1), bucket_by=[], n_buckets=2, index_col="ts"
         )
+
+
+def test_pushdown_keeps_nan_rows(test_collection, spark):
+    """REGRESSION: Spark orders NaN greater than every double while
+    arrow comparisons are IEEE — a pushed `v > x` dropped NaN rows
+    arrow-side and Spark's re-filter could not restore them. Float
+    `>`/`>=` must stay Spark-side."""
+    from pystore_spark.datasource import register, source_options
+
+    register(spark)
+    from pyspark.sql import functions as F
+
+    c = test_collection
+    # write through Spark so the NaN is a REAL IEEE NaN (a pandas NaN
+    # would convert to NULL)
+    sdf = spark.range(100).select(
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(mins=F.col("id"))
+        ).alias("ts"),
+        F.when(F.col("id") == 5, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    c.write("d", sdf, index_col="ts")
+    d = (
+        spark.read.format("pystore")
+        .options(**source_options(c, "d"))
+        .load()
+    )
+    # Spark keeps the NaN row for v > 90 (NaN sorts greatest); the
+    # arrow-pushed version would have dropped it pre-JVM
+    assert d.filter("v > 90").count() == 9 + 1
+    assert d.filter("v > 90").count() == c.item(
+        "d"
+    ).data.filter("v > 90").count()
+    # the NaN-safe ops still push down and agree
+    assert d.filter("v < 10").count() == 9  # 0..9 minus the NaN

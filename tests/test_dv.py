@@ -1150,3 +1150,19 @@ def test_rollup_refreshes_after_dv_delete(test_collection):
     pdf = c.item("src_daily").to_pandas().reset_index()
     assert pdf["v_count"].sum() == 5_000 - 60
     assert pdf["v_sum"].sum() == sum(float(x) for x in range(60, 5_000))
+
+
+def test_batch_read_rejects_cdc_mode(test_collection, spark):
+    from pystore_spark.datasource import register, source_options
+
+    register(spark)
+    c = test_collection
+    c.write("d", _frame(100))
+    with pytest.raises(Exception, match="streaming-only"):
+        (
+            spark.read.format("pystore")
+            .options(**source_options(c, "d"))
+            .option("mode", "cdc")
+            .load()
+            .collect()
+        )
