@@ -1166,3 +1166,58 @@ def test_batch_read_rejects_cdc_mode(test_collection, spark):
             .load()
             .collect()
         )
+
+
+def test_datasource_mask_executor_fallback(
+    test_collection, spark, monkeypatch,
+):
+    """Masks above the shipping threshold resolve executor-side; the
+    fallback must return the same rows as the shipped path."""
+    from pystore_spark import datasource as ds
+
+    ds.register(spark)
+    c = test_collection
+    c.write("d", _frame(5_000))
+    c.delete_where("d", [[("v", "<", 25.0)]], mode="dv")
+
+    def counts():
+        d = (
+            spark.read.format("pystore")
+            .options(**ds.source_options(c, "d"))
+            .load()
+        )
+        return d.count(), d.filter("v < 25").count()
+
+    assert counts() == (4_975, 0)  # shipped path
+    monkeypatch.setattr(ds, "DV_SHIP_MAX_POSITIONS", 0)
+    assert counts() == (4_975, 0)  # executor fallback, same rows
+
+
+def test_update_where_dv_rewrite_parity_randomized(test_collection):
+    """Property-style parity: random predicates and assignments give
+    row-identical results between merge-on-read and copy-on-write."""
+    import random
+
+    rng = random.Random(7)
+    c = test_collection
+    for trial in range(3):
+        lo = rng.randrange(0, 4_000)
+        hi = lo + rng.randrange(1, 1_500)
+        mul = float(rng.randrange(2, 9))
+        pred = [[("v", ">=", float(lo)), ("v", "<", float(hi))]]
+        assign = {"w": f"w * {mul} + v"}
+        a, b = f"a{trial}", f"b{trial}"
+        c.write(a, _frame(5_000))
+        c.write(b, _frame(5_000))
+        ra = c.update_where(a, pred, set=assign, mode="dv")
+        rb = c.update_where(b, pred, set=assign, mode="rewrite")
+        assert ra["n_updated"] == rb["n_updated"] == hi - lo
+        pa = (
+            c.item(a).data.toPandas()
+            .sort_values("v").reset_index(drop=True)
+        )
+        pb = (
+            c.item(b).data.toPandas()
+            .sort_values("v").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(pa[["v", "w"]], pb[["v", "w"]])
