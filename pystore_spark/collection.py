@@ -1301,16 +1301,26 @@ class Collection:
             handled += 1
         return handled
 
-    def vacuum(self, item: str | None = None, retention: float | None = None) -> int:
+    def vacuum(
+        self,
+        item: str | None = None,
+        retention: float | None = None,
+        dry_run: bool = False,
+    ) -> int:
         """Force garbage collection of dead files (expired stale +
-        orphans) for one item or the whole collection. ``retention=0``
-        removes everything unreferenced immediately — only safe when
-        no reader is mid-scan on a superseded manifest."""
+        orphans + superseded deletion-vector masks) for one item or
+        the whole collection. ``retention=0`` removes everything
+        unreferenced immediately — only safe when no reader is
+        mid-scan on a superseded manifest. ``dry_run=True`` counts
+        what WOULD be reclaimed without deleting anything (and
+        without starting supersession clocks)."""
         from pystore_spark import manifest as mf
 
         names = [item] if item is not None else self.items
         return sum(
-            mf.gc_item(self.path, name, retention=retention)
+            mf.gc_item(
+                self.path, name, retention=retention, dry_run=dry_run
+            )
             for name in names
         )
 
@@ -3000,6 +3010,13 @@ class Collection:
             "n_files": len(man.get("files") or []),
             "size_bytes": self.item_size_bytes(item),
             "n_stale_retained": len(man.get("stale") or {}),
+            # merge-on-read state (dv.py): rows masked but not yet
+            # materialized by a rewrite, and the files carrying masks
+            "n_rows_masked": sum(
+                int(e.get("n", 0))
+                for e in (man.get("dv") or {}).values()
+            ),
+            "n_files_masked": len(man.get("dv") or {}),
             "constraints": dict(meta.get("_constraints") or {}),
             "bucket_spec": meta.get("_bucket_spec"),
             "roles": roles,

@@ -357,6 +357,7 @@ def gc_item(
     item: str,
     retention: float | None = None,
     orphan_grace: float | None = None,
+    dry_run: bool = False,
 ) -> int:
     """Garbage-collect an item's dead files. Two classes:
 
@@ -372,6 +373,11 @@ def gc_item(
     Returns the number of files removed. No Spark jobs, no locks —
     safe to call from any single-writer context (it runs at the top of
     every append via ``Collection.recover_item``).
+
+    ``dry_run=True`` counts what WOULD be reclaimed without touching
+    anything — no deletes, no manifest rewrite, no supersession
+    tombstones (a dv dir not yet marked counts as 0 this pass, since
+    its clock has not started).
     """
     retention = (
         config.STALE_RETENTION_SECONDS if retention is None else retention
@@ -394,6 +400,9 @@ def gc_item(
         for rel, t in stale.items()
         if rel not in refs and now - float(t) >= retention
     ]
+    if dry_run:
+        expired_n = len(expired)
+        expired, removed = [], removed + expired_n
     for rel in expired:
         try:
             fs.delete(item_path / rel, missing_ok=True)
@@ -444,7 +453,8 @@ def gc_item(
             continue
         try:
             if now - fs.mtime(f) >= orphan_grace:
-                fs.delete(f, missing_ok=True)
+                if not dry_run:
+                    fs.delete(f, missing_ok=True)
                 removed += 1
         except OSError:
             continue
@@ -477,8 +487,13 @@ def gc_item(
                 continue
             try:
                 if not marker.exists():
+                    if dry_run:
+                        continue  # don't start the clock on a dry run
                     marker.touch()  # supersession first observed NOW
                 if now - fs.mtime(marker) >= retention:
+                    if dry_run:
+                        removed += 1
+                        continue
                     utils.rm_tree(child)
                     dv_gone.add(rel)
                     removed += 1
@@ -510,7 +525,8 @@ def gc_item(
         )
         if dead:
             try:
-                fs.delete(f, missing_ok=True)
+                if not dry_run:
+                    fs.delete(f, missing_ok=True)
             except OSError:
                 continue
     # bucketed catalog views: a version dir older than the live
@@ -530,8 +546,9 @@ def gc_item(
             except OSError:
                 continue
             if age >= (orphan_grace if is_tmp else retention):
-                utils.rm_tree(child)
+                if not dry_run:
+                    utils.rm_tree(child)
                 removed += 1
-    if removed:
+    if removed and not dry_run:
         fs.prune_empty_dirs(item_path)
     return removed

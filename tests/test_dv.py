@@ -1221,3 +1221,30 @@ def test_update_where_dv_rewrite_parity_randomized(test_collection):
             .sort_values("v").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(pa[["v", "w"]], pb[["v", "w"]])
+
+
+def test_vacuum_dry_run_counts_without_deleting(test_collection):
+    from pystore_spark import manifest as mf
+
+    c = test_collection
+    c.write("d", _frame(20_000))
+    c.delete_where("d", [[("v", "<", 100.0)]], mode="dv")
+    c.delete_where("d", [[("v", "<", 200.0)]], mode="dv")  # supersedes
+    # start the superseded dir's clock with a real pass (keeps it)
+    mf.gc_item(c.path, "d", retention=3600.0, orphan_grace=3600.0)
+    import os
+    from pathlib import Path
+
+    item_path = Path(c._item_path("d"))
+    marks = list(item_path.glob("_dv/*/.superseded"))
+    assert len(marks) == 1
+    old = __import__("time").time() - 10_000
+    os.utime(marks[0], (old, old))
+
+    n = c.vacuum("d", retention=0.0, dry_run=True)
+    assert n >= 1  # the superseded mask would go...
+    assert marks[0].parent.exists()  # ...but nothing was deleted
+    n2 = c.vacuum("d", retention=0.0)
+    assert n2 >= 1
+    assert not marks[0].parent.exists()
+    assert c.item("d").data.count() == 20_000 - 200
