@@ -518,14 +518,21 @@ class Collection:
     def _atomic_write(
         self, item: str, df: DataFrame, plan: PartitionPlan,
         sidecar: dict, must_not_exist: bool = False,
+        expect_files: dict[str, tuple[str, ...]] | None = None,
+        expect_dv: dict[str, dict | None] | None = None,
     ) -> None:
         """Whole-item replace through the manifest commit (replaces the
         reference's tmp → backup → rename protocol,
         pystore/collection.py:619-675, whose backup window let a
-        concurrent reader observe a missing item)."""
+        concurrent reader observe a missing item). Rewrites computed
+        FROM a prior read must pass ``expect_files``/``expect_dv`` so a
+        concurrent commit (including a dv-only delete, which moves no
+        files) raises instead of being silently pruned away by
+        ``write_manifest``."""
         self._atomic_install(
             item, lambda tmp: self._write_df(df, str(tmp), plan),
             sidecar, must_not_exist=must_not_exist,
+            expect_files=expect_files, expect_dv=expect_dv,
         )
 
     def _atomic_install(
@@ -2056,6 +2063,7 @@ class Collection:
         from pystore_spark import bucketed as _bk
 
         _bk.guard_mutation(self, item, "delete_range")
+        from pystore_spark import dv as dvm
         from pystore_spark import manifest as mf
         from pystore_spark.exceptions import ConcurrentCommitError
         from pystore_spark.partition import bucket_value
@@ -2135,14 +2143,23 @@ class Collection:
                 # deleted-row accounting without reading data: sum the
                 # dropped files' parquet FOOTER row counts (O(files)
                 # driver work); None when a backend can't serve them
+                dropped_files = [
+                    f
+                    for f in man.get("files") or []
+                    if PurePosixPath(f).parent.as_posix() in whole
+                ]
                 n_attempt_rows = self._footer_row_count(
-                    item,
-                    [
-                        f
-                        for f in man.get("files") or []
-                        if PurePosixPath(f).parent.as_posix() in whole
-                    ],
+                    item, dropped_files
                 )
+                if n_attempt_rows is not None:
+                    # dv-masked rows in the dropped files were already
+                    # deleted merge-on-read — footer counts alone would
+                    # re-report them (n_rows() subtracts the same way)
+                    dvmap = dvm.dv_map(man)
+                    n_attempt_rows -= sum(
+                        int((dvmap.get(f) or {}).get("n", 0))
+                        for f in dropped_files
+                    )
                 try:
                     self._install_buckets(
                         item,
@@ -3044,6 +3061,7 @@ class Collection:
         deep: bool = True,
         max_categories: int = 1000,
         category_ratio: float = 0.5,
+        _retries: int = 2,
     ) -> dict[str, str]:
         """Downcast columns based on observed stats (ONE agg job), then
         rewrite the item. Returns {column: new_type}.
@@ -3162,7 +3180,29 @@ class Collection:
             sidecar[META_KEY] = pmeta
         sidecar["_dtype_optimized"] = reported
         shaped = apply_layout(out, plan, index_col=it.index_column)
-        self._atomic_write(item, shaped, plan, sidecar)
+        from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
+
+        man = it._manifest
+        try:
+            # whole-item rewrite computed from `it`'s (masked) scan:
+            # pin the observed files AND dv map so a concurrent
+            # dv-only delete/update/merge can't be silently pruned
+            # away by write_manifest (it moves no files, so
+            # expect_files alone can't see it)
+            self._atomic_write(
+                item, shaped, plan, sidecar,
+                expect_files=mf.bucket_file_map(man)
+                if man is not None else None,
+                expect_dv=dict((man or {}).get("dv") or {}),
+            )
+        except ConcurrentCommitError:
+            if _retries <= 0:
+                raise
+            return self.optimize_item_dtypes(
+                item, deep=deep, max_categories=max_categories,
+                category_ratio=category_ratio, _retries=_retries - 1,
+            )
         self.clear_metadata_cache(item)
         return reported
 
@@ -5369,6 +5409,7 @@ class Collection:
         time_based: bool = True,
         zorder: Sequence[str] | None = None,
         npartitions: int | None = None,
+        _retries: int = 2,
     ) -> int:
         """Compaction/OPTIMIZE: rewrite the item at the target layout.
         Returns the resulting partition count (files or buckets).
@@ -5439,7 +5480,29 @@ class Collection:
         sidecar["_partition_plan"] = plan.to_dict()
         sidecar["_partitions"] = plan.npartitions
         sidecar["_partition_strategy"] = strategy
-        self._atomic_write(item, shaped, plan, sidecar)
+        from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
+
+        man = it._manifest
+        try:
+            # rewrite computed from `it`'s masked scan — pin files AND
+            # the dv map so a concurrent merge-on-read DML landing
+            # between the scan and this CAS raises (retried below)
+            # instead of its deletes being resurrected by the rewrite
+            self._atomic_write(
+                item, shaped, plan, sidecar,
+                expect_files=mf.bucket_file_map(man)
+                if man is not None else None,
+                expect_dv=dict((man or {}).get("dv") or {}),
+            )
+        except ConcurrentCommitError:
+            if _retries <= 0:
+                raise
+            return self.rebalance_partitions(
+                item, target_size_mb=target_size_mb,
+                time_based=time_based, zorder=zorder,
+                npartitions=npartitions, _retries=_retries - 1,
+            )
         self.clear_metadata_cache(item)
         return plan.npartitions
 
@@ -6361,6 +6424,7 @@ class Collection:
         item: str,
         version: int,
         migrations: dict[tuple[int, int], Callable] | None = None,
+        _retries: int = 2,
     ) -> None:
         """Apply registered migration functions up to ``version`` and
         rewrite the item (reference: pystore/schema_evolution.py:300-360)."""
@@ -6374,5 +6438,24 @@ class Collection:
         meta["_schema_evolution"] = state
         plan = it._plan or PartitionPlan("size", npartitions=1)
         shaped = apply_layout(df, plan, index_col=it.index_column)
-        self._atomic_write(item, shaped, plan, meta)
+        from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ConcurrentCommitError
+
+        man = it._manifest
+        try:
+            # pin the files + dv map the migration scan observed — a
+            # concurrent dv-only commit would otherwise be pruned away
+            self._atomic_write(
+                item, shaped, plan, meta,
+                expect_files=mf.bucket_file_map(man)
+                if man is not None else None,
+                expect_dv=dict((man or {}).get("dv") or {}),
+            )
+        except ConcurrentCommitError:
+            if _retries <= 0:
+                raise
+            return self.migrate_item_to_version(
+                item, version, migrations=migrations,
+                _retries=_retries - 1,
+            )
         self.clear_metadata_cache(item)

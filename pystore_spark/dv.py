@@ -37,8 +37,11 @@ Consistency model (the part that must be airtight):
 
 File naming is the load-bearing assumption of the basename join key:
 the staging protocol gives every live file a commit-token-unique
-basename (collection._commit_staged). ``build_matches`` asserts
-injectivity across the live set and refuses otherwise.
+basename (collection._commit_staged). :func:`assert_basename_injective`
+checks the invariant over the live set before every basename-keyed
+mask join and refuses otherwise — hand-copied/imported files or a
+legacy layout must fail loudly, not silently drop the wrong file's
+rows.
 
 Reference parity: the reference engine has no row-level delete at all
 (pystore/collection.py has only item/snapshot deletion); both
@@ -172,6 +175,29 @@ def stage_union_mask(
     )
 
 
+def assert_basename_injective(files) -> None:
+    """Refuse the basename-keyed mask join when two live files share a
+    basename. The staging rename makes basenames commit-token unique,
+    so this never fires on engine-written items — it exists for
+    hand-copied/imported files or legacy layouts, where a silent
+    collision would drop rows of the WRONG file."""
+    names = [f.rsplit("/", 1)[-1] for f in files]
+    if len(set(names)) != len(names):
+        from collections import Counter
+
+        dupes = sorted(
+            n for n, k in Counter(names).items() if k > 1
+        )[:5]
+        from pystore_spark.exceptions import StorageError
+
+        raise StorageError(
+            "deletion-vector basename join requires unique live-file "
+            f"basenames; duplicates: {dupes} — the item contains "
+            "files that bypassed the staging rename (hand-copied or "
+            "legacy layout); compact/rewrite the item first"
+        )
+
+
 def apply_mask_basename(
     df: "DataFrame", mask: "DataFrame", total_masked: int
 ) -> "DataFrame":
@@ -179,9 +205,10 @@ def apply_mask_basename(
     path — for scans whose physical paths differ from the manifest's
     (a bucketed item's hard-linked ``_bucketview`` catalog scan: view
     files keep the original name, bytes and therefore row positions
-    are identical). Sound because staged basenames are commit-token
-    unique across the live set (the injectivity invariant
-    ``build_matches`` asserts)."""
+    are identical). Callers must first run
+    :func:`assert_basename_injective` over the live file list —
+    commit-token-unique staged basenames are what make this key
+    sound."""
     bname = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
     m = mask.select(
         bname(F.col("file")).alias("__dv_f"),

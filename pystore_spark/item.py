@@ -347,6 +347,9 @@ class Item:
                     self.spark, self._path, self._manifest
                 )
                 if mask is not None:
+                    dvm.assert_basename_injective(
+                        self._manifest.get("files") or []
+                    )
                     df = dvm.apply_mask_basename(
                         df, mask, dvm.dv_total(self._manifest)
                     )
@@ -656,33 +659,87 @@ class Item:
             return normalize_read_types(empty)
         masked = [r for r in rels if r in dvmap]
         clean = [r for r in rels if r not in dvmap]
-        # the post-mask filter evaluates on the FILE columns: derived
-        # ``_pb`` pruning hints (redundant companions of index terms,
-        # _prune_tuples) must be stripped — a positional file read has
-        # no hive partition column and arrow raises on the missing
-        # field. Stripping only widens a conjunct whose index term
-        # still filters exactly.
-        def _strip_pb(f):
-            if not f:
-                return f
-            if all(isinstance(t, tuple) for t in f):
-                out = [t for t in f if t[0] != PARTITION_COL]
-                return out or None
-            return [
-                g2
-                for g in f
-                if (g2 := [t for t in g if t[0] != PARTITION_COL])
-            ] or None
+        # the post-mask filter evaluates on the FILE columns: a
+        # positional file read has no hive partition column, so ``_pb``
+        # terms are resolved PER FILE against the file's bucket value
+        # (recovered from its rel path) to True/False constants and the
+        # DNF simplified — exact, unlike blanket stripping, which used
+        # to silently NARROW a disjunct consisting only of _pb terms.
+        def _pb_of(rel):
+            for seg in rel.split("/"):
+                if seg.startswith(PARTITION_COL + "="):
+                    return seg.split("=", 1)[1]
+            return None
 
-        flt_file = _strip_pb(flt)
+        def _eval_pb(op, val, b):
+            try:
+                if op in ("==", "="):
+                    return b == val
+                if op == "!=":
+                    return b != val
+                if op == ">=":
+                    return b >= val
+                if op == ">":
+                    return b > val
+                if op == "<=":
+                    return b <= val
+                if op == "<":
+                    return b < val
+                if op == "in":
+                    return b in val
+                if op == "not in":
+                    return b not in val
+            except TypeError:
+                return None
+            return None  # unknown op / incomparable → can't resolve
+
+        def _strip_pb_for(f, bucket):
+            """Resolve _pb terms against this file's bucket value.
+            Returns ``(filter_or_None, keep_file)``: a True term drops
+            out of its conjunct (redundant), a False term kills its
+            disjunct, an unresolvable term drops out (widens the
+            conjunct — the derived companion's index term still
+            filters exactly). A disjunct emptied by True/unresolved
+            terms makes the whole filter TRUE (read all rows); all
+            disjuncts False skips the file entirely."""
+            if not f:
+                return f, True
+            single = all(isinstance(t, tuple) for t in f)
+            groups = [list(f)] if single else [list(g) for g in f]
+            out = []
+            for g in groups:
+                g2 = []
+                dead = False
+                for t in g:
+                    if t[0] != PARTITION_COL:
+                        g2.append(t)
+                        continue
+                    v = (
+                        _eval_pb(t[1], t[2], bucket)
+                        if bucket is not None
+                        else None
+                    )
+                    if v is False:
+                        dead = True
+                        break
+                if dead:
+                    continue
+                if not g2:
+                    return None, True  # TRUE disjunct → no filter
+                out.append(g2)
+            if not out:
+                return None, False  # every disjunct false
+            return (out[0] if single else out), True
+
         # filter columns must be read alongside the projection so the
         # post-mask filter can evaluate, then dropped again
         fcols = sorted(
             {
                 t[0]
-                for grp in (flt_file or [])
+                for grp in (flt or [])
                 for t in ([grp] if isinstance(grp, tuple) else grp)
-                if t and t[0] in file_schema.names
+                if t and t[0] != PARTITION_COL
+                and t[0] in file_schema.names
             }
         )
         read_cols = list(dict.fromkeys([*proj, *fcols]))
@@ -719,6 +776,9 @@ class Item:
             ):
                 drop.setdefault(f_, set()).add(int(p_))
         for r in masked:
+            flt_file, keep_file = _strip_pb_for(flt, _pb_of(r))
+            if not keep_file:
+                continue  # every disjunct false for this bucket
             pf = pq.ParquetFile(str(base / r), filesystem=pa_fs)
             gone = np.fromiter(
                 drop.get(r, ()), dtype=np.int64

@@ -474,31 +474,35 @@ def gc_item(
     dv_live = _dv_refs(man) | snap_dv
     dv_gone: set[str] = set()
     dv_root = item_path / "_dv"
-    if fs.exists(dv_root):
-        for child in sorted(Path(dv_root).iterdir()):
-            rel = f"_dv/{child.name}"
-            marker = child / ".superseded"
-            if rel in dv_live:
-                if marker.exists():  # re-referenced (restore): clear
-                    try:
-                        marker.unlink()
-                    except OSError:
-                        pass
-                continue
-            try:
-                if not marker.exists():
-                    if dry_run:
-                        continue  # don't start the clock on a dry run
-                    marker.touch()  # supersession first observed NOW
-                if now - fs.mtime(marker) >= retention:
-                    if dry_run:
-                        removed += 1
-                        continue
-                    utils.rm_tree(child)
-                    dv_gone.add(rel)
+    # the whole sweep goes through the fs abstraction (like
+    # snapshot_refs) — Path ops here would silently skip the dv sweep
+    # on any future non-local Spark-readable backend
+    for name in fs.list_subdirs(dv_root):
+        child = dv_root / name
+        rel = f"_dv/{name}"
+        marker = child / ".superseded"
+        if rel in dv_live:
+            if fs.exists(marker):  # re-referenced (restore): clear
+                try:
+                    fs.delete(marker, missing_ok=True)
+                except OSError:
+                    pass
+            continue
+        try:
+            if not fs.exists(marker):
+                if dry_run:
+                    continue  # don't start the clock on a dry run
+                # supersession first observed NOW
+                fs.put_atomic(marker, b"")
+            if now - fs.mtime(marker) >= retention:
+                if dry_run:
                     removed += 1
-            except OSError:
-                continue
+                    continue
+                fs.remove_prefix(child)
+                dv_gone.add(rel)
+                removed += 1
+        except OSError:
+            continue
     # time-travel history lives exactly as long as the data it
     # references: a version object is deleted once ANY of its files
     # has left the (live ∪ stale-retained) set — the same

@@ -134,6 +134,28 @@ def test_delete_range_drops_whole_buckets_metadata_only(
     assert again.index.min() == cutoff
 
 
+def test_delete_range_counts_exclude_dv_masked_rows(test_collection):
+    """REGRESSION (round-8 ADVICE): the whole-bucket metadata drop
+    summed raw parquet footer num_rows, re-reporting rows a prior dv
+    delete already removed merge-on-read. n_deleted must account
+    only LIVE rows, mirroring n_rows()'s dv subtraction."""
+    c = test_collection
+    c.write("d", _frame(90_000))
+    # dv-delete 150 rows that live entirely in January
+    rep0 = c.delete_where(
+        "d", [[("v", ">=", 100.0), ("v", "<", 250.0)]], mode="dv"
+    )
+    assert rep0["n_deleted"] == 150
+    live_before = c.item("d").n_rows()
+
+    cutoff = pd.Timestamp("2023-02-01")
+    rep = c.delete_range("d", before=cutoff)
+    assert "2023-01" in rep["buckets_dropped"]
+    jan_live = 31 * 24 * 60 - 150  # footer rows minus masked rows
+    assert rep["n_deleted"] == jan_live
+    assert c.item("d").n_rows() == live_before - jan_live
+
+
 def test_delete_everything_refused(test_collection):
     from pystore_spark.exceptions import StorageError
 

@@ -860,6 +860,38 @@ def test_arrow_fast_path_honors_masks(test_collection):
     ]
 
 
+def test_arrow_fast_path_pb_only_disjunct_on_masked_item(
+    test_collection,
+):
+    """REGRESSION (round-8 ADVICE): a DNF disjunct consisting only of
+    ``_pb`` terms used to be dropped entirely by the masked-file
+    filter strip — NARROWING the OR and wrongly excluding rows the
+    disjunct admits. _pb terms now resolve per-file against the
+    file's bucket value, so the arrow read stays exactly equal to the
+    Spark read."""
+    c = test_collection
+    c.write("d", _frame(90_000))  # monthly buckets 2023-01..2023-03
+    c.delete_where(
+        "d", [[("v", ">=", 100.0), ("v", "<", 300.0)]], mode="dv"
+    )
+    # bucket-only disjunct OR a value disjunct: admits all of January
+    # (the MASKED file) plus v<10 everywhere
+    flt = [[("_pb", "==", "2023-01")], [("v", ">=", 89_990.0)]]
+    it = c.item("d", filters=flt)
+    got = it.to_pandas(engine="arrow")
+    sp = it.to_pandas(engine="spark")
+    pd.testing.assert_frame_equal(got, sp)
+    jan = 31 * 24 * 60
+    assert len(got) == (jan - 200) + 10
+    # all-false disjuncts for a masked file must SKIP it, not widen
+    it2 = c.item(
+        "d", filters=[[("_pb", "==", "2023-02"), ("v", "<", 50_000.0)]]
+    )
+    got2 = it2.to_pandas(engine="arrow")
+    sp2 = it2.to_pandas(engine="spark")
+    pd.testing.assert_frame_equal(got2, sp2)
+
+
 def test_read_in_chunks_honors_masks(test_collection):
     c = test_collection
     c.write("d", _frame(5_000))
@@ -943,6 +975,58 @@ def test_rewrite_conflicts_with_concurrent_dv_commit(
     assert it.data.filter("v >= 500 and v < 600").count() == 0
     assert it.data.filter("w = -9.0").count() == 100  # update too
     # masks fully materialized by the (retried) compaction
+    assert dvm.dv_total(utils.read_manifest(c._item_path("d"))) == 0
+
+
+@pytest.mark.parametrize(
+    "rewrite",
+    ["rebalance", "optimize_dtypes", "migrate"],
+)
+def test_whole_item_rewrites_conflict_with_concurrent_dv(
+    test_collection, monkeypatch, rewrite,
+):
+    """REGRESSION (round-8 ADVICE medium): rebalance_partitions,
+    optimize_item_dtypes, and migrate_item_to_version committed via
+    _atomic_write with no expect_dv — a dv delete landing between
+    their scan and the manifest CAS was silently discarded (the
+    rewrite's manifest prunes the dv map to its new files,
+    resurrecting the concurrently-deleted rows). All three must now
+    conflict on the dv observed-state guard and retry against fresh
+    state, preserving the delete."""
+    c = test_collection
+    c.write("d", _frame(20_000))
+
+    real = c._write_df.__func__
+    fired = {}
+
+    def inject(self, df, path, plan):
+        if not fired:
+            fired["x"] = 1
+            c.delete_where(
+                "d", [[("v", ">=", 500.0), ("v", "<", 600.0)]],
+                mode="dv",
+            )
+        real(self, df, path, plan)
+
+    monkeypatch.setattr(type(c), "_write_df", inject, raising=True)
+    if rewrite == "rebalance":
+        c.rebalance_partitions("d", npartitions=2)
+    elif rewrite == "optimize_dtypes":
+        rep = c.optimize_item_dtypes("d")
+        assert rep  # v/w downcast to float32 → the rewrite happened
+    else:
+        c.migrate_item_to_version(
+            "d", 2,
+            migrations={(1, 2): lambda df: df.withColumn(
+                "m", df["v"] * 0
+            )},
+        )
+    assert fired  # the interleaved dv delete actually ran
+    it = c.item("d")
+    # the delete SURVIVED the rewrite (retry re-read the masked scan)
+    assert it.data.count() == 20_000 - 100
+    assert it.data.filter("v >= 500 and v < 600").count() == 0
+    # and the retried rewrite materialized the mask into its files
     assert dvm.dv_total(utils.read_manifest(c._item_path("d"))) == 0
 
 
