@@ -246,6 +246,139 @@ def kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kneser_ney_logprob",
+    # interpolated bigram Kneser-Ney with absolute discount D=0.75,
+    # trained on the corpus itself (so every scored bigram has
+    # c(w1,w2) >= 1 — no OOV branch):
+    #   P(w2|w1) = max(c12 - D, 0)/c1 + (D * N1+(w1,.)/c1) * Pcont(w2)
+    #   Pcont(w2) = N1+(.,w2) / |bigram types|
+    # per-doc score = mean of -ln P over the doc's bigrams, folded as
+    # cnt x DECIMAL(20,12) per distinct bigram — the same exact
+    # integer-weighted decimal-sum discipline as lm_perplexity_scores
+    # (order-independent at any parallelism, bit-equal to the oracle)
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) >= 2),
+    bgc AS (
+      SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2,
+             count(*) AS cnt
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS p
+        FROM t)
+      GROUP BY doc_id, p['w1'], p['w2']),
+    model AS (
+      SELECT w1, w2, SUM(cnt)::DOUBLE AS c12 FROM bgc GROUP BY w1, w2),
+    left_ctx AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*)::DOUBLE AS n_right
+      FROM model GROUP BY w1),
+    cont AS (
+      SELECT w2, COUNT(*)::DOUBLE AS n_left FROM model GROUP BY w2),
+    tt AS (SELECT COUNT(*)::DOUBLE AS T FROM model),
+    m AS (
+      SELECT model.w1, model.w2,
+        GREATEST(c12 - 0.75, 0.0) / c1
+          + (0.75 * n_right / c1) * (n_left / T) AS p
+      FROM model
+      JOIN left_ctx ON left_ctx.w1 = model.w1
+      JOIN cont ON cont.w2 = model.w2
+      CROSS JOIN tt)
+    SELECT bgc.doc_id,
+      ROUND(CAST(SUM(CAST(cnt AS DECIMAL(17,0))
+                 * CAST(ROUND(-ln(p), 12) AS DECIMAL(20,12)))
+            AS DOUBLE) / SUM(cnt), 6) AS kn_xent
+    FROM bgc JOIN m ON m.w1 = bgc.w1 AND m.w2 = bgc.w2
+    GROUP BY bgc.doc_id
+    """,
+    tags=("text", "quality", "lm", "pipeline"),
+)
+def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated bigram
+    Kneser-Ney model (D=0.75) trained on the corpus itself — the LM
+    quality filter ``kneser_ney_counts``' sufficient statistics exist
+    for. Scale shape at 100 TB:
+
+    * the token stream collapses ONCE to per-doc distinct-bigram
+      counts ``(doc_id, w1, w2, cnt)`` (lazy localCheckpoint — every
+      downstream consumer reuses it instead of re-scanning text);
+    * the model and its KN statistics (c1 and right diversity per
+      w1, continuation count per w2, the scalar type total) are all
+      VOCABULARY-scaled aggregates of that frame; per-w1/per-w2 stats
+      join model-side (model-sized shuffles, never corpus-sized);
+    * scoring is ONE (w1,w2)-keyed join of the per-doc counts against
+      the model — word-bigram models are unbounded so there is no
+      broadcast hint (AQE still broadcasts while small), both sides
+      shuffle on the same key — then one doc_id aggregation;
+    * per-bigram contributions round to 12 decimals and fold as
+      cnt × DECIMAL(20,12), exactly like ``lm_perplexity_scores``, so
+      the fold is order-independent and oracle-bit-equal."""
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = doc.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+        ).alias("t"),
+    ).filter(F.size("t") >= 2)
+    bgc = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(t, (x, i) -> IF(i < size(t) - 1,"
+                    " struct(x AS w1, t[i+1] AS w2), NULL)),"
+                    " p -> p IS NOT NULL)"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    model = bgc.groupBy("w1", "w2").agg(
+        F.sum("cnt").cast("double").alias("c12")
+    )
+    left_ctx = model.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n_right"),
+    )
+    cont = model.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n_left")
+    )
+    tt = model.agg(F.count(F.lit(1)).cast("double").alias("T"))
+    m = (
+        model.join(left_ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.greatest(F.col("c12") - F.lit(0.75), F.lit(0.0))
+                / F.col("c1")
+                + (F.lit(0.75) * F.col("n_right") / F.col("c1"))
+                * (F.col("n_left") / F.col("T"))
+            ).alias("p"),
+        )
+    )
+    contrib = F.round(-F.log(F.col("p")), 12).cast("decimal(20,12)")
+    return (
+        bgc.join(m, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt").cast("decimal(17,0)") * contrib)
+                .cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("kn_xent")
+        )
+    )
+
+
+@register(
     "text_quality_scores",
     sql=f"""
     WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
@@ -4628,29 +4761,48 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "interval_join_banded",
     # round-6 promotions: gap-filled LOCF calendar join
     "gapfill_locf_daily",
+    # ROUND-8 PROMOTIONS (VERDICT r7 item 1: the round-7 flagships had
+    # zero driver-scale CORRECTNESS rows): deletion vectors — merge-on-
+    # read row-level DELETE and UPDATE through every consumer
+    # (doc_length_histogram demoted, 3 green rounds — histogram family
+    # stays evidenced in-window by histogram_percentile_probe +
+    # corpus_mix_report; ohlc_resample demoted, 3 green rounds —
+    # resample/window family stays evidenced by gapfill_locf_daily +
+    # event_seq_applyinpandas)
+    "dv_delete_probe", "dv_update_probe",
+    # round-8 promotion: single-linkage near-dup cluster assignments
+    # over LSH candidate pairs (near_dedup_recall_audit demoted, 3
+    # green rounds — the near-dedup family keeps near_dedup_kept_docs
+    # AND this cluster query in-window)
+    "neardup_cluster_ids",
+    # round-8 promotions: Kneser-Ney sufficient statistics + the
+    # interpolated-KN per-doc scorer built on them, NEW this round
+    # (quality_classifier_scores demoted, 3 green rounds — quality
+    # family keeps gopher/c4/encoding/text_quality flags in-window;
+    # lm_perplexity_scores demoted, 4 green rounds — the LM-scoring
+    # family is now evidenced by BOTH kn queries in-window)
+    "kneser_ney_counts", "kneser_ney_logprob",
     # text analysis + published quality gates (round-6 promotions:
     # the Gopher/C4/encoding rule sets, DSIR importance weights, and
     # REAL BPE tokenization — bpe_tokenize_counts supersedes
     # text_token_stats/bpe_token_stats as the token-count family
     # representative in-window)
-    "text_quality_scores", "tfidf_top_terms", "lm_perplexity_scores",
-    "doc_length_histogram",
+    "text_quality_scores", "tfidf_top_terms",
     # round-6 continuation flagship: the native format("pystore")
     # source with version-offset streaming (vocab_topk, 4 green
     # rounds, demoted; the top-k frequency family stays evidenced
     # in-window by tfidf_top_terms)
     "datasource_read_probe",
-    "quality_classifier_scores",
     "gopher_quality_flags", "c4_quality_flags",
     "encoding_quality_flags", "dsir_importance_weights",
     "bpe_tokenize_counts", "bpe_token_stats", "bpe_encode_ids",
     # dedup stack (lsh_band_stats/simhash rotated out with 5 green
     # rounds; the signature kernel keeps four in-window exercisers —
-    # near_dedup_kept_docs, recall audit, both incremental probes —
-    # plus the round-6 cross-item flagship)
+    # near_dedup_kept_docs, neardup_cluster_ids, both incremental
+    # probes — plus the round-6 cross-item flagship)
     "exact_dedup_groups",
     "index_audit_probe", "near_dedup_kept_docs",
-    "near_dedup_recall_audit", "incremental_dedup_probe",
+    "incremental_dedup_probe",
     "cross_item_dedup_probe",
     "line_dedup_stats", "incremental_line_probe",
     # similarity / ANN (ann_ivf_label_topk rotated out with 5 green
@@ -4665,7 +4817,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # audit, corpus mix report — stratified_sample/downcast rotated
     # out, their families covered by the promoted samplers and
     # schema_evolve_projection)
-    "ohlc_resample",
     "weighted_sample_topk", "mixture_plan",
     "pack_sequences", "shard_manifest",
     "corpus_drift_psi", "approx_distinct_audit", "corpus_mix_report",
@@ -4721,15 +4872,17 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "waiting_customers_antijoin", "embedding_cosine_topk",
     "embedding_dedup_pairs", "ivf_kmeans_index",
     "minhash_signatures",
-    # round-7 additions, TAIL-registered on purpose: the round-6
-    # promotions keep their window slots one more round (round-6
-    # verdict item 5 — no rotation), so the new operators take the
-    # in-repo oracle gate now and queue for window slots next rotation
-    "neardup_cluster_ids", "kneser_ney_counts",
-    # deletion vectors (dv.py — merge-on-read row deletes, this
-    # round's storage flagship); tail-registered under the same
-    # no-rotation protocol, queued for a window slot next rotation
-    "dv_delete_probe", "dv_update_probe",
+    # round-8 demotions (VERDICT r7 item 1 rotation — each ≥3 green
+    # driver rounds, families kept in-window as documented at the
+    # promotion sites above): histogram family by
+    # histogram_percentile_probe + corpus_mix_report; resample/window
+    # family by gapfill_locf_daily + event_seq_applyinpandas; quality
+    # family by gopher/c4/encoding/text_quality flags; near-dedup
+    # family by near_dedup_kept_docs + neardup_cluster_ids; LM-scoring
+    # family by kneser_ney_counts + kneser_ney_logprob
+    "doc_length_histogram", "ohlc_resample",
+    "quality_classifier_scores", "near_dedup_recall_audit",
+    "lm_perplexity_scores",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -26,10 +26,19 @@ WINDOW = 50
 
 # window composition is rotated per round on judge direction; the sets
 # below pin the CURRENT intent so an accidental reorder fails loudly.
-# Round-6 promotions (VERDICT r5 item 1): every query that had never
-# carried a driver-scale CORRECTNESS row, plus the two new round-6
-# flagships (real BPE, cross-item dedup).
+# Round-8 promotions (VERDICT r7 item 1): the round-7 flagships that
+# were tail-registered under round-6's no-rotation directive — the
+# deletion-vector DML probes, near-dup cluster assignments, KN
+# sufficient statistics — plus the NEW interpolated-KN scorer.
 PROMOTED = {
+    "dv_delete_probe", "dv_update_probe",
+    "neardup_cluster_ids", "kneser_ney_counts",
+    "kneser_ney_logprob",
+}
+# earlier-round promotions/retentions that keep their window slot
+# (their family has no redundant sibling in-window)
+RETAINED = {
+    # round-6 promotions, kept (2 green rounds each)
     "unpivot_lineitem_measures", "gapfill_locf_daily",
     "gopher_quality_flags", "c4_quality_flags",
     "encoding_quality_flags", "dsir_importance_weights",
@@ -37,27 +46,20 @@ PROMOTED = {
     "weighted_sample_topk", "mixture_plan", "pack_sequences",
     "shard_manifest", "corpus_drift_psi", "approx_distinct_audit",
     "corpus_mix_report",
-    # round-6 flagships (new this round, driver-checked immediately)
     "bpe_tokenize_counts", "cross_item_dedup_probe", "bpe_encode_ids",
-    # round-6 continuation flagships: Bloom file skipping (bloom.py),
-    # Delta-style MERGE INTO, and manifest-pinned materialized views
     "bloom_point_lookup_probe", "token_bloom_contains_probe",
     "merge_into_probe", "matview_refresh_probe",
     "histogram_percentile_probe", "webdataset_export_probe",
     "colocated_join_probe", "change_feed_probe",
     "datasource_read_probe",
-}
-# earlier-round promotions/retentions that keep their window slot
-# (their family has no redundant sibling in-window)
-RETAINED = {
+    # earlier retentions
     "tfidf_top_terms", "near_dedup_kept_docs",
     "event_seq_applyinpandas",
-    "incremental_dedup_probe", "near_dedup_recall_audit",
-    "doc_length_histogram", "ohlc_resample",
-    "line_dedup_stats", "quality_classifier_scores",
+    "incremental_dedup_probe",
+    "line_dedup_stats",
     "index_audit_probe", "signlsh_candidate_topk",
     "interval_join_banded", "embedding_quantization_audit",
-    "lm_perplexity_scores", "curation_funnel",
+    "curation_funnel",
     "exact_dedup_groups",
 }
 # rotated OUT of the window — each was driver-green in ≥1 prior
@@ -115,6 +117,16 @@ ROTATED_OUT = {
     # trailing-window family covered by running_sum/gapfill in-window;
     # demoted for the bpe_encode_ids flagship:
     "rolling_zscore_outliers",
+    # round-8 demotions (each ≥3 green driver rounds, families kept
+    # in-window): histogram family by histogram_percentile_probe +
+    # corpus_mix_report; resample/window family by gapfill_locf_daily
+    # + event_seq_applyinpandas; quality family by gopher/c4/encoding/
+    # text_quality flags; near-dedup family by near_dedup_kept_docs +
+    # neardup_cluster_ids; LM-scoring family by kneser_ney_counts +
+    # kneser_ney_logprob:
+    "doc_length_histogram", "ohlc_resample",
+    "quality_classifier_scores", "near_dedup_recall_audit",
+    "lm_perplexity_scores",
     # round-5 continuation / round-5 / round-4 demotions (families
     # documented in queries_ext.QUERY_PRIORITY):
     "minhash_signatures",
