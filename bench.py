@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     # round-6 flagship: real BPE merge-loop tokenization (the Python
     # merge loop runs only over the distinct pre-token vocabulary)
     "bpe_tokenize_counts",
+    # round-8 flagship: interpolated Kneser-Ney per-doc scorer (one
+    # bigram collapse, vocabulary-scaled model, one scoring join)
+    "kneser_ney_logprob",
 ]
 
 

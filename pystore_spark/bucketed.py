@@ -427,14 +427,22 @@ def compact_bucketed(collection, item: str) -> dict:
             if m:
                 per_bucket[m.group(1)] = per_bucket.get(m.group(1), 0) + 1
         if not per_bucket or max(per_bucket.values()) <= 1:
+            from pystore_spark import dv as dvm
+
             # genuinely one file per bucket — the total-count check
             # would wrongly no-op a skewed item whose keys hash into
-            # few buckets (e.g. 12 files in 4 of 16 buckets)
-            return {
-                "buckets_compacted": 0,
-                "files_before": n_before,
-                "files_after": n_before,
-            }
+            # few buckets (e.g. 12 files in 4 of 16 buckets). Mask
+            # debt still forces the rewrite: a one-file-per-bucket
+            # item that is mostly dv-masked pays the anti-join on
+            # every read until folded (dv.mask_debt)
+            if not dvm.mask_debt(
+                collection._item_path(item), it._manifest, files
+            ):
+                return {
+                    "buckets_compacted": 0,
+                    "files_before": n_before,
+                    "files_after": n_before,
+                }
         # read the RAW manifest-resolved files, not the catalog table:
         # the bucketed relation reports HashPartitioning(col, n), which
         # lets Catalyst elide the rewrite's repartition as redundant —

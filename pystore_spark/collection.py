@@ -1386,6 +1386,13 @@ class Collection:
             raise ValueError(
                 f"mode must be 'rewrite' or 'dv', got {mode!r}"
             )
+        # the documented object-store boundary (tests/test_fs_backends):
+        # both modes run Spark jobs over the item's files — the rewrite
+        # scan, or the dv match scan + mask parquet write — which a
+        # driver-side-only backend cannot serve; fail crisply up front
+        # rather than mid-plan (and, for delete_range, before any
+        # partial metadata commit)
+        self._require_spark_fs(f"delete_where(mode={mode!r})")
         if mode != "dv":
             # dv deletes move NO files, so the co-location invariant
             # survives — the one row-delete a bucketed item supports.
@@ -1472,6 +1479,8 @@ class Collection:
             raise ValueError(
                 f"mode must be 'rewrite' or 'dv', got {mode!r}"
             )
+        # documented object-store boundary — see delete_where
+        self._require_spark_fs(f"update_where(mode={mode!r})")
         if mode != "dv":
             # dv updates move no existing files and stage their
             # copies through the BUCKETED writer (stage_copies_
@@ -2063,6 +2072,11 @@ class Collection:
         from pystore_spark import bucketed as _bk
 
         _bk.guard_mutation(self, item, "delete_range")
+        # guard BEFORE the metadata-only bucket-drop phase: the
+        # boundary row-level pass needs Spark, and failing there would
+        # leave the metadata drop permanently applied while the error
+        # suggests nothing happened (documented object-store boundary)
+        self._require_spark_fs("delete_range")
         from pystore_spark import dv as dvm
         from pystore_spark import manifest as mf
         from pystore_spark.exceptions import ConcurrentCommitError
@@ -5550,10 +5564,15 @@ class Collection:
             if target_size_mb
             else config.PARTITION_TARGET_BYTES
         )
+        from pystore_spark import dv as dvm
+
         it = self.item(item)
         man = it._manifest
         plan = it._plan
         files_before = len((man or {}).get("files") or [])
+        def _mask_debt(rels: list[str]) -> bool:
+            return dvm.mask_debt(self._item_path(item), man, rels)
+
         if man is None or plan is None or plan.kind != "time":
             # non-time items are one flat bucket — apply the same
             # census before rewriting, so a healthy item (and every
@@ -5568,7 +5587,9 @@ class Collection:
                     for r in man.get("files") or []
                 )
                 needed = max(1, math.ceil(total / target))
-                if files_before <= needed:
+                if files_before <= needed and not _mask_debt(
+                    man.get("files") or []
+                ):
                     return {
                         "buckets_compacted": 0,
                         "files_before": files_before,
@@ -5610,7 +5631,11 @@ class Collection:
         for b, rels in per_bucket.items():
             bb = _bytes(rels)
             needed = max(1, math.ceil(bb / target))
-            if len(rels) > needed:
+            # a bucket qualifies on the small-file census OR on mask
+            # debt: a well-sized file that is mostly dv-masked never
+            # qualifies under the size rule alone, so its anti-join
+            # cost would otherwise persist forever
+            if len(rels) > needed or _mask_debt(rels):
                 selected.append(b)
                 needed_total += needed
                 sel_bytes += bb

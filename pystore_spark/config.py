@@ -42,6 +42,13 @@ STALE_RETENTION_SECONDS = float(
 ORPHAN_GRACE_SECONDS = float(
     os.environ.get("PYSTORE_SPARK_ORPHAN_GRACE_SECONDS", 3600)
 )
+# compact/maintain fold a file's deletion-vector mask into a rewrite
+# once masked rows exceed this fraction of its footer rows — the
+# Delta-purge analog: a long-lived heavy mask makes every read pay an
+# anti-join over mostly-dead rows forever (dv.py)
+DV_FOLD_MASKED_FRACTION = float(
+    os.environ.get("PYSTORE_SPARK_DV_FOLD_MASKED_FRACTION", 0.30)
+)
 
 _path: str | None = None
 

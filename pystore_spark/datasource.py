@@ -275,31 +275,56 @@ def _read_file_batches_positional(
             yield batch.select(names).filter(pa.array(keep))
 
 
-def _arrow_filter_expr(filters: Sequence):
+def _arrow_filter_expr(filters: Sequence, schema=None):
     """Translate pushed Spark filters (ANDed) into one pyarrow dataset
     expression, or None. Only filters accepted by
-    :func:`_filter_translatable` reach here."""
+    :func:`_filter_translatable` reach here.
+
+    Datetime literals normalize against the DECLARED column type
+    (arrow refuses naive↔aware timestamp comparisons): the session tz
+    is pinned UTC engine-wide, so a naive literal against an LTZ
+    column gains tzinfo=UTC and an aware literal against an NTZ
+    column converts to its UTC wall time — both value-preserving
+    under that pin."""
     import pyarrow.dataset as pds
     from pyspark.sql.datasource import (
         EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
         IsNull, LessThan, LessThanOrEqual, StringStartsWith,
     )
 
+    def _norm(value, colname):
+        import datetime as _dt
+
+        if not isinstance(value, _dt.datetime) or schema is None:
+            return value
+        try:
+            t = schema[colname].dataType.simpleString()
+        except Exception:
+            return value
+        if t == "timestamp" and value.tzinfo is None:
+            return value.replace(tzinfo=_dt.timezone.utc)
+        if t == "timestamp_ntz" and value.tzinfo is not None:
+            return value.astimezone(_dt.timezone.utc).replace(
+                tzinfo=None
+            )
+        return value
+
     expr = None
     for f in filters:
         col = pds.field(*f.attribute)
+        name = f.attribute[0]
         if isinstance(f, EqualTo):
-            e = col == f.value
+            e = col == _norm(f.value, name)
         elif isinstance(f, GreaterThan):
-            e = col > f.value
+            e = col > _norm(f.value, name)
         elif isinstance(f, GreaterThanOrEqual):
-            e = col >= f.value
+            e = col >= _norm(f.value, name)
         elif isinstance(f, LessThan):
-            e = col < f.value
+            e = col < _norm(f.value, name)
         elif isinstance(f, LessThanOrEqual):
-            e = col <= f.value
+            e = col <= _norm(f.value, name)
         elif isinstance(f, In):
-            e = col.isin(list(f.value))
+            e = col.isin([_norm(v, name) for v in f.value])
         elif isinstance(f, IsNull):
             e = col.is_null()
         elif isinstance(f, IsNotNull):
@@ -416,6 +441,23 @@ class PyStoreBatchReader(DataSourceReader):
             )
             for rel in sorted(man.get("files") or [])
         ]
+        # driver-side pruning inputs for partitions(): the per-file
+        # zonemap and, for time layouts, the bucket freq + index
+        # columns that let index predicates prune whole hive buckets
+        self._man_stats = man.get("stats") or {}
+        meta = man.get("metadata") or {}
+        pplan = meta.get("_partition_plan") or {}
+        self._plan_freq = (
+            pplan.get("freq")
+            if pplan.get("strategy") == "time"
+            else None
+        )
+        from pystore_spark.pandas_compat import (
+            META_KEY as _PMETA_KEY,
+            index_columns,
+        )
+
+        self._index_cols = index_columns(meta.get(_PMETA_KEY))
         # one driver-side read per dv dir: small masks ship with
         # their partitions instead of each executor task rescanning
         # the shared dir
@@ -438,13 +480,58 @@ class PyStoreBatchReader(DataSourceReader):
                 self._pushed.append(f)
             yield f
 
+    def _pruned_rels(self) -> "set[str] | None":
+        """Driver-side FILE pruning from the pushed filters — the same
+        manifest zonemap + hive-bucket rules Item reads use
+        (manifest.prune_files): index predicates derive ``_pb`` bucket
+        terms for time layouts, zonemapped columns prune on per-file
+        min/max. Returns the surviving rel set, or None (keep all)
+        when nothing prunes. Sound because pushed filters are an AND
+        conjunction and prune_files only drops files NO term can
+        match; Spark re-applies every filter post-scan regardless."""
+        if not self._pushed:
+            return None
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "==", GreaterThan: ">",
+            GreaterThanOrEqual: ">=", LessThan: "<",
+            LessThanOrEqual: "<=", In: "in",
+        }
+        conj = []
+        for f in self._pushed:
+            op = ops.get(type(f))
+            if op is None:
+                continue
+            v = list(f.value) if isinstance(f, In) else f.value
+            conj.append((f.attribute[0], op, v))
+        if not conj:
+            return None
+        if self._plan_freq and self._index_cols:
+            from pystore_spark.item import _prune_tuples
+
+            conj = (
+                _prune_tuples(conj, self._plan_freq, self._index_cols)
+                or conj
+            )
+        from pystore_spark import manifest as mf
+
+        rels = [rel for _, rel, _ in self._parts]
+        kept = mf.prune_files(rels, conj, stats=self._man_stats)
+        return set(kept) if len(kept) < len(rels) else None
+
     def partitions(self) -> Sequence[InputPartition]:
+        keep = self._pruned_rels()
         return [
             FilePartition(
                 p, rel=rel, mask_ref=ref,
                 positions=self._shipped.get(rel),
             )
             for p, rel, ref in self._parts
+            if keep is None or rel in keep
         ]
 
     def read(self, partition: FilePartition) -> Iterator:
@@ -464,7 +551,11 @@ class PyStoreBatchReader(DataSourceReader):
                 ),
             )
             return
-        expr = _arrow_filter_expr(self._pushed) if self._pushed else None
+        expr = (
+            _arrow_filter_expr(self._pushed, self._schema)
+            if self._pushed
+            else None
+        )
         yield from _read_file_batches(
             partition.path, self._item_dir, self._schema, expr
         )

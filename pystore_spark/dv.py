@@ -175,6 +175,39 @@ def stage_union_mask(
     )
 
 
+def mask_debt(item_path, man: dict | None, rels) -> bool:
+    """True when any of ``rels``' dv positions exceed
+    ``config.DV_FOLD_MASKED_FRACTION`` of its footer rows — the
+    compact/maintain fold trigger (Delta-purge analog): a well-sized
+    file that is mostly masked never qualifies for rewrite under the
+    small-file census alone, so every read would pay its anti-join
+    over mostly-dead rows forever. Footer reads only for MASKED
+    files: O(masked files) driver metadata I/O, zero when unmasked."""
+    dvmap = dv_map(man)
+    if not dvmap:
+        return False
+    import pyarrow.parquet as pq
+
+    from pystore_spark import config
+
+    for r in rels:
+        e = dvmap.get(r)
+        if not e:
+            continue
+        try:
+            nrows = pq.ParquetFile(
+                str(Path(item_path) / r)
+            ).metadata.num_rows
+        except Exception:
+            continue  # unreadable footer: small-file rule decides
+        if nrows and (
+            int(e.get("n", 0)) / nrows
+            > config.DV_FOLD_MASKED_FRACTION
+        ):
+            return True
+    return False
+
+
 def assert_basename_injective(files) -> None:
     """Refuse the basename-keyed mask join when two live files share a
     basename. The staging rename makes basenames commit-token unique,

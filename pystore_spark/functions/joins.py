@@ -122,6 +122,143 @@ def salted_count_per_key(
     )
 
 
+def asof_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    band_seconds: int,
+    right_on: str | None = None,
+    values: list[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    right_time_as: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """KEYLESS as-of join at scale — the banded fallback the plain
+    :func:`asof_join` warning points at. The time axis becomes a
+    synthetic equi-key (``floor(t / band_seconds)``, the
+    banded_interval_join trick) so the window pass partitions by band
+    instead of sorting both frames in ONE partition. Exactness across
+    band edges comes from **carry-in replicas**: for every band the
+    probe side occupies, the single latest build row from any EARLIER
+    band (backward; mirrored for forward; both for nearest) is
+    replicated into the band, so the in-band window sees exactly the
+    rows the global sort would pick.
+
+    Cost: one shuffle of each side on the band key + one band-count-
+    sized single-partition window to derive the carries (metadata-
+    scale: one row per band, never corpus-scale). Choose
+    ``band_seconds`` so a band holds thousands-to-millions of rows —
+    parallelism is the number of bands.
+
+    Carry soundness: a carry row's time lies strictly BEFORE its
+    target band's start (its band is strictly smaller), so it sorts
+    before every in-band probe row and can never win over an in-band
+    match; symmetrically forward carries sort strictly after. The
+    per-band latest-then-running-last construction guarantees there
+    is no build row between a carry and its target band's start.
+    merge_asof parity is pinned in tests/test_asof_join.py."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward|forward|nearest")
+    if band_seconds <= 0:
+        raise ValueError("band_seconds must be positive")
+    from pyspark.sql import Window
+
+    r_on = right_on or on
+    bk = "_bandk_asof"
+    clash = {bk, "_bandsrc_asof"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"column name(s) {sorted(clash)} collide with "
+            "asof_join_banded's working columns — rename them"
+        )
+
+    def _band(df, col):
+        c = F.col(col)
+        if dict(df.dtypes).get(col) in ("timestamp", "timestamp_ntz"):
+            c = c.cast("timestamp").cast("long")
+        return F.floor(c / F.lit(band_seconds)).cast("long")
+
+    left_b = left.withColumn(bk, _band(left, on))
+    right_b = right.withColumn(bk, _band(right, r_on))
+    probe_bands = left_b.select(bk).distinct()
+
+    def _carries(back: bool) -> DataFrame:
+        """One replica per probe band: the latest (earliest, when
+        ``back=False``) build row of any strictly earlier (later)
+        band — derived from one per-band reduction of the build side
+        plus a band-count-sized running pass."""
+        w_in = Window.partitionBy(bk).orderBy(
+            F.col(r_on).desc() if back else F.col(r_on).asc()
+        )
+        per_band = (
+            right_b.withColumn("_rn", F.row_number().over(w_in))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        src = F.lit(0)  # build rows
+        tagged = per_band.withColumn("_bandsrc_asof", src).unionByName(
+            probe_bands.withColumn("_bandsrc_asof", F.lit(1)),
+            allowMissingColumns=True,
+        )
+        # probe markers order BEFORE (after, forward) same-band build
+        # rows, so the running pick only sees STRICTLY earlier (later)
+        # bands — a same-band carry would duplicate an in-band row and
+        # could flip equal-time tie resolution. Band-count-sized
+        # single partition by design.
+        if back:
+            w = Window.orderBy(
+                F.col(bk).asc(), F.col("_bandsrc_asof").desc()
+            ).rowsBetween(Window.unboundedPreceding, -1)
+        else:
+            w = Window.orderBy(
+                F.col(bk).asc(), F.col("_bandsrc_asof").asc()
+            ).rowsBetween(1, Window.unboundedFollowing)
+        pick = F.last if back else F.first
+        build_only = lambda c: F.when(  # noqa: E731
+            F.col("_bandsrc_asof") == 0, F.col(c)
+        )
+        carried = tagged
+        for c in right.columns:
+            carried = carried.withColumn(
+                f"_c_{c}", pick(build_only(c), ignorenulls=True).over(w)
+            )
+        return (
+            carried.filter(F.col("_bandsrc_asof") == 1)
+            .select(
+                F.col(bk),
+                *[F.col(f"_c_{c}").alias(c) for c in right.columns],
+            )
+            .filter(F.col(r_on).isNotNull())
+        )
+
+    aug = right_b
+    if direction in ("backward", "nearest"):
+        aug = aug.unionByName(_carries(back=True))
+    if direction in ("forward", "nearest"):
+        aug = aug.unionByName(_carries(back=False))
+
+    out = asof_join(
+        left_b,
+        aug,
+        on,
+        right_on=right_on,
+        by=[bk],
+        values=values
+        if values is not None
+        else [c for c in right.columns if c != r_on],
+        direction=direction,
+        tolerance=tolerance,
+        allow_exact_matches=allow_exact_matches,
+        right_time_as=right_time_as,
+        suffix=suffix,
+    )
+    return out.drop(bk)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -165,11 +302,10 @@ def asof_join(
     .. warning:: With no ``by`` keys the window is
        ``Window.partitionBy()`` — ONE partition sorting both frames
        end-to-end, matching keyless ``merge_asof`` semantics but
-       serial at scale. For large keyless as-of joins, band the time
-       axis into a synthetic key (e.g. ``date_trunc`` both sides and
-       pass it as ``by``, handling band edges with a tolerance-sized
-       overlap) or use :func:`interval_join`. A
-       ``SinglePartitionAsofWarning`` is emitted so the serial plan
+       serial at scale. For large keyless as-of joins use
+       :func:`asof_join_banded`, which turns the time axis into a
+       synthetic equi-key with exact carry-in handling at band edges.
+       A ``SinglePartitionAsofWarning`` is emitted so the serial plan
        can't ship silently.
     """
     if direction not in ("backward", "forward", "nearest"):
@@ -186,8 +322,9 @@ def asof_join(
 
         warnings.warn(
             "asof_join with no `by` keys plans a SINGLE-PARTITION "
-            "sort over both frames (correct, serial). At scale, band "
-            "the time axis into a synthetic `by` key instead.",
+            "sort over both frames (correct, serial). At scale, use "
+            "asof_join_banded, which bands the time axis into a "
+            "synthetic `by` key with exact edge handling.",
             SinglePartitionAsofWarning,
             stacklevel=2,
         )

@@ -177,3 +177,129 @@ def test_reserved_working_columns_rejected(spark):
         asof_join(l, r, on="t", by=["grp"])
     with pytest.raises(ValueError, match="_asof_"):
         asof_join(r, l, on="t", by=["grp"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_banded_keyless_matches_merge_asof(spark, frames, direction, exact):
+    """asof_join_banded = keyless merge_asof, exactly, across band
+    edges (carry-in replicas) — the scalable fallback the keyless
+    warning points at (VERDICT r7 item 8)."""
+    from pystore_spark.functions.joins import asof_join_banded
+
+    left, right = frames
+    left = left.drop(columns=["grp"])
+    right = right.drop(columns=["g"])
+    exp = pd.merge_asof(
+        left.sort_values("t").reset_index(drop=True),
+        right.sort_values("ts").reset_index(drop=True),
+        left_on="t",
+        right_on="ts",
+        direction=direction,
+        allow_exact_matches=exact,
+    )[["t", "lval", "px", "qty"]].sort_values(
+        ["t", "lval"]
+    ).reset_index(drop=True)
+    got = asof_join_banded(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="t",
+        right_on="ts",
+        band_seconds=86_400,  # daily bands over a ~7-day axis
+        values=["px", "qty"],
+        direction=direction,
+        allow_exact_matches=exact,
+    ).toPandas()[["t", "lval", "px", "qty"]].sort_values(
+        ["t", "lval"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_banded_keyless_tolerance_and_parallelism(spark, frames):
+    """Tolerance parity, AND the plan is genuinely parallel: probe
+    rows land in >1 task partition (the plain keyless asof_join sorts
+    everything in ONE), with no single-partition window over the
+    data-scale frames."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from pystore_spark.functions.joins import (
+        SinglePartitionAsofWarning, asof_join_banded,
+    )
+
+    left, right = frames
+    left = left.drop(columns=["grp"])
+    right = right.drop(columns=["g"])
+    tol = pd.Timedelta("90 minutes")
+    exp = pd.merge_asof(
+        left.sort_values("t").reset_index(drop=True),
+        right.sort_values("ts").reset_index(drop=True),
+        left_on="t", right_on="ts",
+        direction="backward", tolerance=tol,
+    )[["t", "lval", "px"]].sort_values(["t", "lval"]).reset_index(
+        drop=True
+    )
+    with warnings.catch_warnings():
+        # the banded path must NOT emit the keyless serial warning —
+        # it passes the band as a real `by` key
+        warnings.simplefilter("error", SinglePartitionAsofWarning)
+        out = asof_join_banded(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t", right_on="ts",
+            band_seconds=86_400,
+            values=["px"],
+            direction="backward",
+            tolerance="90 minutes",
+        )
+    got = out.toPandas()[["t", "lval", "px"]].sort_values(
+        ["t", "lval"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # structural: the DATA-SCALE window pass hash-partitions on the
+    # band key — never SinglePartition (at toy scale AQE may still
+    # coalesce the tiny shuffle, so assert the plan, then observe >1
+    # task with coalescing off)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_bandk_asof" in plan, plan
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        # collect() the pid projection directly: aggregating ON the
+        # nondeterministic spark_partition_id column re-plans its
+        # evaluation point and reports a single id
+        pids = {
+            r["_pid"]
+            for r in out.withColumn(
+                "_pid", F.spark_partition_id()
+            ).collect()
+        }
+    finally:
+        spark.conf.set(coalesce_key, old)
+    assert len(pids) > 1, "banded keyless as-of must not be serial"
+
+
+def test_banded_numeric_axis_and_collisions(spark):
+    from pystore_spark.functions.joins import asof_join_banded
+
+    left = pd.DataFrame({"t": [1.0, 55.0, 120.0, 300.0], "v": [1, 2, 3, 4]})
+    right = pd.DataFrame({"t": [0.0, 50.0, 250.0], "v": [10, 20, 30]})
+    out = asof_join_banded(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="t",
+        band_seconds=100,  # numeric axis: floor(t/100)
+        direction="backward",
+    ).toPandas().sort_values("t")
+    # right "t"/"v" collide with left -> suffixed
+    assert list(out["v_right"]) == [10, 20, 20, 30]
+    with pytest.raises(ValueError, match="working columns"):
+        asof_join_banded(
+            spark.createDataFrame(left).withColumnRenamed(
+                "v", "_bandk_asof"
+            ),
+            spark.createDataFrame(right),
+            on="t", band_seconds=100,
+        )

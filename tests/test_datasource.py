@@ -311,3 +311,56 @@ def test_pushdown_keeps_nan_rows(test_collection, spark):
     ).data.filter("v > 90").count()
     # the NaN-safe ops still push down and agree
     assert d.filter("v < 10").count() == 9  # 0..9 minus the NaN
+
+
+def test_batch_partitions_prune_files_from_pushed_filters(
+    test_collection, spark,
+):
+    """Round-8: pushed filters prune whole FILES driver-side in
+    partitions() (manifest zonemap + derived _pb bucket terms — the
+    same rules Item reads use), not just rows arrow-side in read().
+    An index-range predicate over a 3-bucket item must schedule only
+    the matching bucket's partition, and results stay exact."""
+    import datetime
+
+    from pyspark.sql.datasource import LessThan
+    from pystore_spark.datasource import PyStoreBatchReader
+
+    register(spark)
+    c = test_collection
+    c.write("m", _b(20, 1), index_col="ts", freq="D")
+    for day in (2, 3):
+        c.append("m", _b(20, day), index_col="ts")
+    d = (
+        spark.read.format("pystore")
+        .options(**source_options(c, "m"))
+        .load()
+    )
+    assert d.count() == 60
+
+    base = PyStoreBatchReader(source_options(c, "m"), d.schema)
+    n_all = len(base.partitions())
+    assert n_all >= 3  # one file per daily bucket
+
+    pruned = PyStoreBatchReader(source_options(c, "m"), d.schema)
+    list(
+        pruned.pushFilters(
+            [LessThan(("ts",), datetime.datetime(2024, 1, 2))]
+        )
+    )
+    parts = pruned.partitions()
+    assert len(parts) < n_all  # days 2 and 3 pruned driver-side
+    rows = sum(
+        b.num_rows for p in parts for b in pruned.read(p)
+    )
+    assert rows == 20  # exactly day 1
+
+    # end-to-end parity through the planner
+    got = (
+        spark.read.format("pystore")
+        .options(**source_options(c, "m"))
+        .load()
+        .filter("ts < timestamp'2024-01-02'")
+        .count()
+    )
+    assert got == 20

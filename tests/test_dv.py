@@ -15,6 +15,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pystore_spark import dv as dvm
 from pystore_spark import utils
@@ -976,6 +977,169 @@ def test_rewrite_conflicts_with_concurrent_dv_commit(
     assert it.data.filter("w = -9.0").count() == 100  # update too
     # masks fully materialized by the (retried) compaction
     assert dvm.dv_total(utils.read_manifest(c._item_path("d"))) == 0
+
+
+def test_dv_vacuum_long_chain_randomized(test_collection):
+    """VERDICT r7 item 6: a long seeded chain of alternating dv
+    deletes and whole-item rewrites, then vacuum at retention=0 —
+    masks referenced by NO readable version must all be reclaimed,
+    every still-readable version must read exactly its rows, and the
+    live view must match the tracked survivor set throughout."""
+    import random
+
+    rng = random.Random(0xD5)
+    c = test_collection
+    n0 = 8_000
+    c.write("d", _frame(n0))
+    item_path = c._item_path("d")
+
+    live = set(range(n0))  # surviving v values
+    expected: dict[int, tuple[int, int]] = {}  # version -> (count, sum)
+
+    def _record():
+        man = utils.read_manifest(item_path)
+        expected[int(man["version"])] = (len(live), sum(live))
+
+    _record()
+    for step in range(50):
+        if rng.random() < 0.65 or step % 7 == 0:
+            # dv delete of a random v-range, keeping the item nonempty
+            a = rng.randrange(0, n0 - 200)
+            b = a + rng.randrange(1, 400)
+            sel = {v for v in live if a <= v < b}
+            if sel == live:
+                continue
+            rep = c.delete_where(
+                "d",
+                [[("v", ">=", float(a)), ("v", "<", float(b))]],
+                mode="dv",
+            )
+            assert rep["n_deleted"] == len(sel), (step, a, b)
+            live -= sel
+            if rep["n_deleted"]:
+                _record()
+        else:
+            # whole-item rewrite: folds every mask into new files
+            c.rebalance_partitions(
+                "d", npartitions=rng.randrange(1, 4)
+            )
+            assert dvm.dv_total(utils.read_manifest(item_path)) == 0
+            _record()
+
+    assert len(expected) >= 40  # the chain really alternated
+    c.vacuum("d", retention=0.0)
+
+    # every still-readable version reads exactly its recorded rows
+    readable = [
+        h["version"] for h in c.history("d") if h["readable"]
+    ]
+    assert readable, "vacuum must never reclaim the live version"
+    checked = 0
+    for v in readable:
+        if v not in expected:
+            continue  # metadata-only commits share a recorded state
+        it = c.item("d", version=v)
+        got = it.data.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()[0]
+        assert (got["n"], int(got["s"] or 0)) == expected[v], v
+        checked += 1
+    assert checked >= 1
+    # current version reads the tracked survivor set
+    cur = c.item("d")
+    assert cur.data.count() == len(live)
+
+    # masks referenced by NO readable version are gone; every mask
+    # still on disk is referenced by a readable version manifest
+    refs: set[str] = set()
+    for v in readable:
+        man_v = utils.read_version_manifest(item_path, v)
+        if man_v is not None:
+            refs |= dvm.dv_refs(man_v)
+    from pathlib import Path
+
+    on_disk = {
+        f"_dv/{p.name}"
+        for p in (Path(item_path) / "_dv").iterdir()
+        if p.is_dir()
+    } if (Path(item_path) / "_dv").exists() else set()
+    assert on_disk <= refs, (
+        f"unreferenced masks survived vacuum: {sorted(on_disk - refs)}"
+    )
+    # and the referenced ones still exist (readable versions stay whole)
+    assert refs <= on_disk, (
+        f"vacuum reclaimed masks a readable version needs: "
+        f"{sorted(refs - on_disk)}"
+    )
+
+
+def test_compact_folds_heavy_masks(test_collection):
+    """Mask-debt-aware compaction (VERDICT r7 item 2): a well-sized
+    file whose dv positions exceed DV_FOLD_MASKED_FRACTION of its
+    rows must be selected for rewrite by compact/maintain even though
+    the small-file census wouldn't pick it — otherwise every read
+    pays its anti-join over mostly-dead rows forever."""
+    c = test_collection
+    c.write("d", _frame(30_000))  # one monthly bucket, healthy layout
+    # healthy unmasked item: compact is a no-op
+    assert c.compact("d")["buckets_compacted"] == 0
+
+    # below-threshold mask (10% < 30%): still a no-op, mask persists
+    c.delete_where("d", [[("v", "<", 3_000.0)]], mode="dv")
+    rep = c.compact("d")
+    assert rep["buckets_compacted"] == 0
+    assert dvm.dv_total(utils.read_manifest(c._item_path("d"))) == 3_000
+
+    # repeated dv deletes push past the 30% fold threshold
+    c.delete_where("d", [[("v", "<", 12_000.0)]], mode="dv")
+    rep = c.compact("d")
+    assert rep["buckets_compacted"] >= 1
+    man = utils.read_manifest(c._item_path("d"))
+    assert dvm.dv_total(man) == 0  # mask folded into the rewrite
+    assert not dvm.dv_map(man)
+    it = c.item("d")
+    assert it.data.count() == 18_000
+    assert it.data.filter("v < 12000").count() == 0
+
+
+def test_maintain_folds_heavy_masks(test_collection):
+    """The nightly maintain() pass triggers the same fold through its
+    compact step, and the dv dir is tombstoned for GC afterwards."""
+    c = test_collection
+    c.write("d", _frame(20_000))
+    for lo, hi in ((0.0, 4_000.0), (4_000.0, 8_000.0)):
+        c.delete_where(
+            "d", [[("v", ">=", lo), ("v", "<", hi)]], mode="dv"
+        )
+    rep = c.maintain("d")["d"]
+    assert rep["compact"]["buckets_compacted"] >= 1
+    man = utils.read_manifest(c._item_path("d"))
+    assert dvm.dv_total(man) == 0
+    assert c.item("d").data.count() == 12_000
+
+
+def test_bucketed_compact_folds_heavy_masks(test_collection):
+    """Bucket-preserving compaction must also fold mask debt: a
+    one-file-per-bucket bucketed item (the size census' no-op state)
+    with a heavy mask gets rewritten through the bucketed writer."""
+    import pandas as pd
+
+    c = test_collection
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(2_000, dtype="int64"),
+            "v": np.arange(2_000, dtype="float64"),
+        },
+        index=pd.date_range("2023-01-01", periods=2_000, freq="min"),
+    )
+    c.write("b", pdf, bucket_by="k", n_buckets=4)
+    assert c.compact("b")["buckets_compacted"] == 0  # healthy
+    c.delete_where("b", [[("v", "<", 1_200.0)]], mode="dv")  # 60%
+    rep = c.compact("b")
+    assert rep["buckets_compacted"] >= 1
+    man = utils.read_manifest(c._item_path("b"))
+    assert dvm.dv_total(man) == 0
+    assert c.item("b").data.count() == 800
 
 
 @pytest.mark.parametrize(

@@ -454,3 +454,81 @@ def test_s3_bloom_sidecars(s3_collection):
     missing = s3_collection.item("bl", filters=[("doc_id", "==", "zz")])
     assert missing.scan_report()["bloom_proven_empty"]
     assert len(missing.to_pandas(engine="arrow")) == 0
+
+
+class TestS3DMLBoundary:
+    """The documented object-store boundary for the row-level DML
+    surface (VERDICT r7 item 3): FakeS3 is driver-side only, so every
+    op that must run a Spark job over the item's files — the rewrite
+    scan, the dv match scan + mask write, merge's source join — fails
+    CRISPLY up front (StorageError naming the boundary), never
+    mid-plan and never after a partial metadata commit. Metadata-only
+    lifecycle (snapshot, time travel, restore, vacuum) keeps working.
+    """
+
+    def _seed(self, c):
+        c.write("d", _frame(2_000))
+        return c
+
+    @pytest.mark.parametrize("mode", ["rewrite", "dv"])
+    def test_delete_where_refused(self, s3_collection, mode):
+        c = self._seed(s3_collection)
+        with pytest.raises(StorageError, match="Spark-accessible"):
+            c.delete_where("d", [("v", "<", 10.0)], mode=mode)
+        # nothing committed: full row count, no dv map
+        man = utils.read_manifest(c._item_path("d"))
+        assert not (man or {}).get("dv")
+        assert len(c.item("d").to_pandas(engine="arrow")) == 2_000
+
+    @pytest.mark.parametrize("mode", ["rewrite", "dv"])
+    def test_update_where_refused(self, s3_collection, mode):
+        c = self._seed(s3_collection)
+        with pytest.raises(StorageError, match="Spark-accessible"):
+            c.update_where(
+                "d", [("v", "<", 10.0)], set={"v": "0.0"}, mode=mode
+            )
+
+    def test_delete_range_refused_before_any_commit(
+        self, s3_collection
+    ):
+        """The guard must fire BEFORE the metadata-only bucket-drop
+        phase — failing at the later row-level pass would leave the
+        drop permanently applied under an error that suggests
+        nothing happened."""
+        c = self._seed(s3_collection)
+        man0 = utils.read_manifest(c._item_path("d"))
+        with pytest.raises(StorageError, match="Spark-accessible"):
+            c.delete_range("d", before=pd.Timestamp("2023-01-02"))
+        man1 = utils.read_manifest(c._item_path("d"))
+        assert man1["files"] == man0["files"]
+        assert man1["version"] == man0["version"]
+
+    def test_merge_into_refused(self, s3_collection):
+        c = self._seed(s3_collection)
+        src = pd.DataFrame(
+            {"v": [1.0]},
+            index=pd.DatetimeIndex([pd.Timestamp("2023-01-01")]),
+        )
+        with pytest.raises(StorageError, match="Spark-accessible"):
+            c.merge_into("d", src, on="index")
+
+    def test_metadata_lifecycle_still_works(self, s3_collection):
+        """Snapshots, time travel, restore, and vacuum are manifest
+        pointer operations — all serve on the driver-side backend."""
+        c = self._seed(s3_collection)
+        snap = c.create_snapshot("keep")
+        c.append(
+            "d",
+            pd.DataFrame(
+                {"v": [9.9]},
+                index=pd.DatetimeIndex([pd.Timestamp("2023-02-01")]),
+            ),
+        )
+        assert len(c.item("d").to_pandas(engine="arrow")) == 2_001
+        old = c.item("d", snapshot=snap).to_pandas(engine="arrow")
+        assert len(old) == 2_000
+        v1 = c.item("d", version=1).to_pandas(engine="arrow")
+        assert len(v1) == 2_000
+        c.restore("d", 1)
+        assert len(c.item("d").to_pandas(engine="arrow")) == 2_000
+        assert c.vacuum("d", retention=0.0) >= 0

@@ -44,6 +44,9 @@ ALLOWED_SCALAR_JOIN = {
     # 1-row (t_tot, pow_tot) totals broadcast against the per-stratum
     # frame (strata ≪ rows; functions/sampling.py:mixture_plan)
     "mixture_plan",
+    # 1-row bigram-type-total T broadcast into the vocabulary-scaled
+    # KN model frame (queries_ext.kneser_ney_logprob)
+    "kneser_ney_logprob",
 }
 
 

@@ -135,6 +135,54 @@ def main() -> None:
                 "rewrite_bytes_written": rw_bytes,
                 "masked_read_sec": round(read_sec, 3),
             }
+        # mask-debt fold (round 8): a 40%-masked item pays the
+        # anti-join on every read until compact's masked-fraction
+        # trigger (config.DV_FOLD_MASKED_FRACTION) folds the mask into
+        # a rewrite — measure the masked read before vs after the fold
+        n = 400_000
+        pdf = pd.DataFrame(
+            {"v": np.arange(n, dtype="float64"),
+             # 40% of EVERY file masked (uniform per bucket), so each
+             # masked file exceeds the fold fraction — no boundary
+             # file straddles the threshold
+             "m": np.arange(n, dtype="float64") % 10.0},
+            index=pd.date_range("2023-01-01", periods=n, freq="min"),
+        )
+        col.write("fold", pdf)
+        col.delete_where("fold", [[("m", "<", 4.0)]], mode="dv")
+        t0 = time.perf_counter()
+        before_rows = col.item("fold").data.count()
+        masked_read_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rep_fold = col.compact("fold")
+        fold_sec = time.perf_counter() - t0
+        assert rep_fold["buckets_compacted"] >= 1, rep_fold
+        from pystore_spark import dv as dvm
+        from pystore_spark import utils as _u
+
+        assert dvm.dv_total(
+            _u.read_manifest(col._item_path("fold"))
+        ) == 0
+        t0 = time.perf_counter()
+        after_rows = col.item("fold").data.count()
+        folded_read_sec = time.perf_counter() - t0
+        assert before_rows == after_rows == n - int(n * 0.4)
+        out["mask_debt_fold"] = {
+            "rows": n,
+            "masked_fraction": 0.4,
+            "masked_read_sec": round(masked_read_sec, 3),
+            "fold_compact_sec": round(fold_sec, 3),
+            "folded_read_sec": round(folded_read_sec, 3),
+            "read_speedup_after_fold": round(
+                masked_read_sec / max(folded_read_sec, 1e-9), 2
+            ),
+            "note": (
+                "compact's census selects buckets on masked-fraction "
+                "> DV_FOLD_MASKED_FRACTION as well as small files, so "
+                "long-lived heavy masks fold under nightly maintain() "
+                "and reads stop paying the anti-join"
+            ),
+        }
         a = out["cases"]["62d_90k"]
         b = out["cases"]["625d_900k"]
         out["dv_time_ratio_at_10x"] = round(
