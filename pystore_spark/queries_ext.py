@@ -4688,6 +4688,69 @@ def datasource_read_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_keyless_banded",
+    # keyless (global) backward as-of: every click matched to the
+    # last per-minute view aggregate at or before it. The oracle is
+    # DuckDB's native ASOF LEFT JOIN; the Spark side is
+    # functions.joins.asof_join_banded — the banded formulation that
+    # hash-partitions on a synthetic time band (with exact carry-in
+    # replicas at band edges) instead of the single-partition sort a
+    # keyless window would plan.
+    sql="""
+    WITH probe AS (
+      SELECT event_id, ts FROM events WHERE event_type = 'click'),
+    build AS (
+      SELECT date_trunc('minute', ts) AS mts,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM events WHERE event_type = 'view' GROUP BY 1)
+    SELECT p.event_id,
+           b.mts AS matched_ts,
+           b.v AS matched_v
+    FROM probe p ASOF LEFT JOIN build b ON p.ts >= b.mts
+    """,
+    tags=("joins", "asof", "window"),
+)
+def asof_keyless_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless as-of at scale (VERDICT r7 item 8's operator as a
+    driver-checkable query): probe = click events, build = per-minute
+    view-value sums, matched globally backward. The banded plan
+    shuffles both sides once on ``floor(ts / band)`` — parallelism is
+    the band count — where the naive keyless window is ONE partition
+    sorting everything."""
+    from pystore_spark.functions.joins import asof_join_banded
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts"
+    )
+    build = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("mts"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    out = asof_join_banded(
+        probe,
+        build,
+        on="ts",
+        right_on="mts",
+        band_seconds=86_400,  # daily bands over the events span
+        values=["v"],
+        direction="backward",
+        allow_exact_matches=True,
+        right_time_as="matched_ts",
+    )
+    return out.select(
+        "event_id",
+        F.col("matched_ts"),
+        F.col("v").alias("matched_v"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -4883,6 +4946,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "doc_length_histogram", "ohlc_resample",
     "quality_classifier_scores", "near_dedup_recall_audit",
     "lm_perplexity_scores",
+    # round-8 addition, TAIL-registered: the keyless banded as-of
+    # operator's oracle query (DuckDB native ASOF LEFT JOIN) — takes
+    # the in-repo oracle gate now, queues for a window slot next
+    # rotation (family sibling in-window: interval_join_banded)
+    "asof_keyless_banded",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
