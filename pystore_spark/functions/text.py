@@ -622,3 +622,127 @@ def psi_drift(
         F.col("c_cur").cast("bigint").alias("n_cur_docs"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Span-level benchmark decontamination (the GPT-3/PaLM n-gram
+    scrub): REMOVE every token span of a corpus document that matches
+    an ``n``-gram of the benchmark, instead of dropping or merely
+    flagging the document — contaminated rows keep their clean
+    remainder.
+
+    Returns one row per input doc: the original columns plus
+    ``cleaned_text`` (kept tokens re-joined with single spaces),
+    ``n_spans_removed`` and ``n_tokens_removed``.
+
+    Scale shape (100 TB corpus, benchmark ≪ corpus):
+
+    * the benchmark's distinct ``n``-gram set **broadcasts** (it is
+      benchmark-sized, bounded by construction);
+    * the corpus side explodes positional ``n``-grams once and
+      hash-joins map-side against the broadcast set → hit starts;
+    * overlapping/adjacent hits merge per doc with one gaps-and-
+      islands window (ONE doc-keyed shuffle of the HIT rows only —
+      clean docs never shuffle);
+    * merged spans ``collect_list`` per doc (spans-per-doc-sized) and
+      join back to the docs; token dropping happens INSIDE the row
+      via ``filter/transform/exists`` Column expressions — no
+      corpus-sized token explode, no Python.
+
+    Islands merge on token positions, so two hits sharing even one
+    token collapse into one removed span.
+    """
+    bt = bench_text_col or text_col
+    t = tokens(text_col)
+
+    def _grams(tok_col: "Column") -> "Column":
+        # positional n-grams: struct(start, gram); empty for short docs
+        return F.when(
+            F.size(tok_col) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok_col) - n),
+                lambda i: F.struct(
+                    i.alias("s"),
+                    F.concat_ws(
+                        " ", F.slice(tok_col, i + 1, n)
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array())
+
+    from pyspark.sql import Window
+
+    bench_grams = (
+        bench.select(F.explode(shingles(bt, n)).alias("g")).distinct()
+    )
+    hits = (
+        docs.select(id_col, F.explode(_grams(t)).alias("p"))
+        .select(id_col, F.col("p.s").alias("s"), F.col("p.g").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select(id_col, "s")
+    )
+    # gaps-and-islands: merge overlapping/adjacent [s, s+n) hit spans
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        hits.withColumn("_maxe", F.max(F.col("s") + n).over(w_prev))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_maxe").isNull()
+                | (F.col("s") > F.col("_maxe")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_brk").over(w_run))
+    )
+    spans = isl.groupBy(id_col, "_isl").agg(
+        F.min("s").alias("s"), (F.max("s") + n).alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_spans"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_spans"),
+    )
+    joined = (
+        docs.withColumn("_t", t)
+        .join(per_doc, id_col, "left")
+        .withColumn("_sp", F.coalesce("_spans", F.array()))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_t"),
+            lambda x, i: F.struct(x.alias("x"), i.alias("i")),
+        ),
+        lambda p: ~F.exists(
+            F.col("_sp"),
+            lambda sp: (p["i"] >= sp["s"]) & (p["i"] < sp["e"]),
+        ),
+    )
+    out = joined.withColumn("_kept", kept).select(
+        *docs.columns,
+        F.concat_ws(
+            " ", F.transform(F.col("_kept"), lambda p: p["x"])
+        ).alias("cleaned_text"),
+        F.coalesce(F.col("_n_spans"), F.lit(0).cast("bigint")).alias(
+            "n_spans_removed"
+        ),
+        (F.size("_t") - F.size("_kept"))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+    )
+    return out

@@ -4751,6 +4751,81 @@ def asof_keyless_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontam_spans_stats",
+    # GPT-3/PaLM-style SPAN-level benchmark decontamination: remove
+    # (not flag) every corpus token span matching a benchmark n-gram,
+    # keep the clean remainder. Oracle replays the same pipeline in
+    # SQL: positional trigrams -> hash join vs the benchmark set ->
+    # gaps-and-islands span merge -> token-index anti-join -> ordered
+    # re-join of the kept tokens; md5 over the cleaned text pins
+    # every kept token in every position.
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE doc_id >= 20),
+    bg AS (SELECT DISTINCT unnest({_SHINGLES}) AS g FROM documents
+           WHERE doc_id < 20),
+    grams AS (
+      SELECT doc_id, i - 1 AS s, array_to_string(toks[i:i+2], ' ') AS g
+      FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+    hits AS (SELECT grams.doc_id, s FROM grams JOIN bg USING (g)),
+    brk AS (
+      SELECT doc_id, s,
+        CASE WHEN s > COALESCE(MAX(s + 3) OVER (
+            PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS b
+      FROM hits),
+    isl AS (SELECT doc_id, s, SUM(b) OVER (
+        PARTITION BY doc_id ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM brk),
+    spans AS (SELECT doc_id, MIN(s) AS s, MAX(s) + 3 AS e
+              FROM isl GROUP BY doc_id, island),
+    tok_idx AS (SELECT doc_id, i - 1 AS i, toks[i] AS x
+                FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+    removed AS (SELECT DISTINCT ti.doc_id, ti.i FROM tok_idx ti
+                JOIN spans sp ON sp.doc_id = ti.doc_id
+                             AND ti.i >= sp.s AND ti.i < sp.e),
+    kept AS (SELECT ti.doc_id, ti.i, ti.x FROM tok_idx ti
+             LEFT JOIN removed r ON r.doc_id = ti.doc_id
+                                AND r.i = ti.i
+             WHERE r.i IS NULL),
+    agg AS (SELECT doc_id, string_agg(x, ' ' ORDER BY i) AS txt,
+                   COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+    nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans
+            GROUP BY doc_id)
+    SELECT t.doc_id,
+      CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+      CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
+        AS n_tokens_removed,
+      md5(COALESCE(agg.txt, '')) AS cleaned_md5
+    FROM t LEFT JOIN nsp USING (doc_id) LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("text", "contamination", "pipeline"),
+)
+def decontam_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination over the documents table (docs 0-19
+    as the benchmark stand-in, trigram grams — the same split
+    benchmark_contamination uses). The operator is
+    functions.text.decontaminate_spans: benchmark gram set broadcast,
+    one corpus gram explode + map-side join, ONE doc-keyed shuffle of
+    the hit rows only, token dropping inside the row via
+    filter/transform/exists — no corpus token explode, no Python.
+    Emits driver-sortable scalars: span/token counts + md5 of the
+    cleaned text (pins every kept token in every position)."""
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
+    bench = doc.filter(F.col("doc_id") < 20)
+    corpus = doc.filter(F.col("doc_id") >= 20).select("doc_id", "text")
+    out = X.decontaminate_spans(corpus, bench, n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_spans_removed").alias("n_spans"),
+        "n_tokens_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -4946,11 +5021,14 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "doc_length_histogram", "ohlc_resample",
     "quality_classifier_scores", "near_dedup_recall_audit",
     "lm_perplexity_scores",
-    # round-8 addition, TAIL-registered: the keyless banded as-of
-    # operator's oracle query (DuckDB native ASOF LEFT JOIN) — takes
-    # the in-repo oracle gate now, queues for a window slot next
-    # rotation (family sibling in-window: interval_join_banded)
-    "asof_keyless_banded",
+    # round-8 additions, TAIL-registered: the keyless banded as-of
+    # operator's oracle query (DuckDB native ASOF LEFT JOIN; family
+    # sibling in-window: interval_join_banded) and span-level
+    # benchmark decontamination (functions.text.decontaminate_spans;
+    # family sibling in-window: token_bloom_contains_probe's
+    # contamination probes). Both take the in-repo oracle gate now
+    # and queue for window slots next rotation.
+    "asof_keyless_banded", "decontam_spans_stats",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -759,3 +759,46 @@ def test_kneser_ney_logprob_matches_hand_computation(spark, tmp_path):
     assert set(got) == set(expected)  # doc 4 excluded both sides
     for did in expected:
         assert got[did] == pytest.approx(expected[did], abs=1e-9), did
+
+
+def test_decontaminate_spans_hand_cases(spark):
+    """Span-level decontamination semantics on hand-checkable cases:
+    matching trigram spans are REMOVED (not flagged), overlapping
+    hits merge into one span, clean docs pass through byte-identical,
+    and sub-trigram docs are never touched."""
+    from pystore_spark.functions.text import decontaminate_spans
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"text": ["the quick brown fox jumps"]})
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                # hits 'the quick brown' at 2 and 'quick brown fox'
+                # at 3 — overlapping, one merged span [2, 6)
+                "say hello the quick brown fox ok then",
+                "completely clean document here",
+                "the quick",  # < 3 tokens of a gram: untouched
+                # two disjoint hits -> two spans
+                "the quick brown x y z quick brown fox end",
+            ],
+        }
+    )
+    out = (
+        decontaminate_spans(spark.createDataFrame(docs), bench, n=3)
+        .orderBy("doc_id")
+        .collect()
+    )
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["cleaned_text"] == "say hello ok then"
+    assert by_id[1]["n_spans_removed"] == 1
+    assert by_id[1]["n_tokens_removed"] == 4
+    assert by_id[2]["cleaned_text"] == "completely clean document here"
+    assert by_id[2]["n_spans_removed"] == 0
+    assert by_id[2]["n_tokens_removed"] == 0
+    assert by_id[3]["cleaned_text"] == "the quick"
+    assert by_id[3]["n_spans_removed"] == 0
+    assert by_id[4]["cleaned_text"] == "x y z end"
+    assert by_id[4]["n_spans_removed"] == 2
+    assert by_id[4]["n_tokens_removed"] == 6
