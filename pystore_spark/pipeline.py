@@ -410,6 +410,43 @@ class CurationPipeline:
         )
         return self
 
+    def decontaminate_spans(
+        self,
+        eval_df: DataFrame,
+        eval_text_col: str = "text",
+        shingle_n: int = 3,
+    ):
+        """SPAN-level decontamination (functions.text
+        .decontaminate_spans): instead of dropping a contaminated
+        document, REMOVE exactly the token spans matching a benchmark
+        ``shingle_n``-gram and keep the clean remainder — cardinality
+        unchanged, the text column rewritten in place. The gentler
+        sibling of :meth:`decontaminate` for corpora too valuable to
+        drop whole documents from."""
+        id_col, txt = self.id_col, self.text_col
+
+        def g(df: DataFrame) -> DataFrame:
+            out = X.decontaminate_spans(
+                df,
+                eval_df,
+                text_col=txt,
+                id_col=id_col,
+                bench_text_col=eval_text_col,
+                n=shingle_n,
+            )
+            return out.withColumn(
+                txt, F.col("cleaned_text")
+            ).drop(
+                "cleaned_text", "n_spans_removed", "n_tokens_removed"
+            )
+
+        # GLOBAL, not TRANSFORM: the hit-merge window shuffles, and
+        # funnel() must not re-run it per count
+        self._stages.append(
+            (f"decontaminate_spans(n={shingle_n})", _GLOBAL, g)
+        )
+        return self
+
     # ------------------------------------------------------------------
     # execution
     # ------------------------------------------------------------------

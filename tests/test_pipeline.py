@@ -259,3 +259,26 @@ def test_filter_bpe_tokens_stage(spark):
         min_tokens=cut, max_tokens=truth[0] - 1
     )
     assert p2.dataframe().count() == 0
+
+
+def test_decontaminate_spans_stage_rewrites_not_drops(docs, eval_set):
+    """The span-level stage keeps contaminated docs (cardinality
+    unchanged) but strips the benchmark-matching token spans; clean
+    docs pass through byte-identical."""
+    from pystore_spark.pipeline import CurationPipeline
+
+    before = {r["doc_id"]: r["text"] for r in docs.collect()}
+    p = CurationPipeline(docs).decontaminate_spans(eval_set)
+    out = {r["doc_id"]: r["text"] for r in p.dataframe().collect()}
+    assert set(out) == set(before)  # nothing dropped
+    # doc 10 contains the benchmark text verbatim: spans removed
+    assert "capital of france" not in out[10]
+    assert len(out[10]) < len(before[10])
+    assert "filler tokens" in out[10]  # clean remainder kept
+    # doc 8 ("too short") untouched
+    assert out[8] == before[8]
+    # funnel counts the stage without dropping rows
+    fun = p.funnel().toPandas()
+    row = fun[fun["stage"].str.contains("decontaminate_spans")]
+    assert len(row) == 1
+    assert int(row["n_surviving"].iloc[0]) == len(before)
