@@ -167,7 +167,7 @@ def asof_join_banded(
 
     r_on = right_on or on
     bk = "_bandk_asof"
-    clash = {bk, "_bandsrc_asof"} & (
+    clash = {bk, "_bandsrc_asof", "_rl_asof", "_rf_asof"} & (
         set(left.columns) | set(right.columns)
     )
     if clash:
@@ -186,19 +186,30 @@ def asof_join_banded(
     right_b = right.withColumn(bk, _band(right, r_on))
     probe_bands = left_b.select(bk).distinct()
 
+    # per-band latest AND earliest build rows from ONE shuffle of the
+    # build side (two row_numbers share the band partitioning — one
+    # Exchange, two sorts); `nearest` would otherwise shuffle the
+    # build side twice for its two carry directions
+    _ranked = right_b.withColumn(
+        "_rl_asof",
+        F.row_number().over(
+            Window.partitionBy(bk).orderBy(F.col(r_on).desc())
+        ),
+    ).withColumn(
+        "_rf_asof",
+        F.row_number().over(
+            Window.partitionBy(bk).orderBy(F.col(r_on).asc())
+        ),
+    )
+
     def _carries(back: bool) -> DataFrame:
         """One replica per probe band: the latest (earliest, when
         ``back=False``) build row of any strictly earlier (later)
         band — derived from one per-band reduction of the build side
         plus a band-count-sized running pass."""
-        w_in = Window.partitionBy(bk).orderBy(
-            F.col(r_on).desc() if back else F.col(r_on).asc()
-        )
-        per_band = (
-            right_b.withColumn("_rn", F.row_number().over(w_in))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        per_band = _ranked.filter(
+            (F.col("_rl_asof") if back else F.col("_rf_asof")) == 1
+        ).drop("_rl_asof", "_rf_asof")
         src = F.lit(0)  # build rows
         tagged = per_band.withColumn("_bandsrc_asof", src).unionByName(
             probe_bands.withColumn("_bandsrc_asof", F.lit(1)),
