@@ -176,6 +176,22 @@ def _item_dir(options: dict) -> str:
     )
 
 
+def _version_opt(options: dict) -> int | None:
+    """Parse ``option("version", N)`` — batch time travel."""
+    v = options.get("version")
+    if v is None or str(v).strip() == "":
+        return None
+    try:
+        n = int(str(v))
+    except ValueError:
+        raise ValueError(
+            f"option version= must be an integer, got {v!r}"
+        ) from None
+    if n < 1:
+        raise ValueError(f"option version= must be >= 1, got {n}")
+    return n
+
+
 def _manifest(item_dir: str, version: int | None = None) -> dict:
     from pystore_spark import utils
 
@@ -428,8 +444,13 @@ class PyStoreBatchReader(DataSourceReader):
         self._schema = schema
         self._item_dir = _item_dir(options)
         # pin the manifest NOW: every partition of this scan reads one
-        # consistent version, however long the job runs
-        man = _manifest(self._item_dir)
+        # consistent version, however long the job runs.
+        # option("version", N) pins a HISTORICAL version instead —
+        # time travel through the source, same availability rule as
+        # Item(version=): the version's files must survive in the
+        # live ∪ stale-retained set, and its dv map (the mask AS OF
+        # that version) applies, so pre-delete versions show the rows
+        man = _manifest(self._item_dir, _version_opt(options))
         base = mf.base_dir(self._item_dir, man)
         dv = dvm.dv_map(man)
         self._dv_base = str(base)
@@ -587,6 +608,13 @@ class PyStoreStreamReader(DataSourceStreamReader):
         if self._mode not in ("append", "cdc"):
             raise ValueError(
                 f"mode must be 'append' or 'cdc', got {self._mode!r}"
+            )
+        if options.get("version") not in (None, ""):
+            # a pinned historical version is a BATCH contract —
+            # streams advance through versions via startingversion
+            raise ValueError(
+                "option version= is batch-only (time travel); "
+                "streams use startingversion="
             )
         raw = str(options.get("startingversion", "0")).lower()
         if raw == "earliest":
@@ -862,7 +890,9 @@ class PyStoreDataSource(DataSource):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        files = _abs_files(item_dir, _manifest(item_dir))
+        files = _abs_files(
+            item_dir, _manifest(item_dir, _version_opt(self.options))
+        )
         if not files:
             raise ValueError(f"item at {item_dir!r} has no data files")
         return from_arrow_schema(
