@@ -3009,6 +3009,105 @@ class Collection:
             "times; serialize with writers and retry"
         )
 
+    def clone_item(
+        self,
+        src: str,
+        dst: str,
+        version: int | None = None,
+        snapshot: str | None = None,
+    ) -> dict:
+        """SHALLOW CLONE (Delta-parity): a NEW independent item whose
+        version-1 manifest lists the source's live files — hard-linked
+        (copied on backends without links), so the clone costs
+        O(files) metadata work and zero data bytes on local stores.
+        ``version=`` / ``snapshot=`` clone a historical state (data
+        branching: experiment on yesterday's corpus without touching
+        prod). The deletion-vector map and its mask dirs carry over —
+        the clone reads exactly what the source state read — as do
+        per-file zonemap stats, sizes, and bloom sidecars (pruning
+        stays warm; rel paths are identical so the keys stay valid).
+
+        Independence is total after the clone: writes, deletes,
+        compaction, and GC on either item never affect the other
+        (hard links share bytes until one side rewrites; deleting one
+        name never frees the other's link). Returns ``{files_linked,
+        dv_dirs_linked, bytes_shared}``."""
+        from pathlib import PurePosixPath
+
+        from pystore_spark import dv as dvm
+        from pystore_spark import manifest as mf
+        from pystore_spark.exceptions import ItemExistsError
+
+        if not self.item_exists(src):
+            raise ItemNotFoundError(
+                f"item {src!r} does not exist in collection "
+                f"{self.collection!r}"
+            )
+        if self.item_exists(dst):
+            raise ItemExistsError(
+                f"item {dst!r} already exists — clone targets must "
+                "be new (delete_item it first)"
+            )
+        it = self.item(src, version=version, snapshot=snapshot)
+        man = it._manifest
+        if man is None:
+            raise StorageError(
+                f"clone_item requires the manifest protocol; item "
+                f"{src!r} is a legacy layout — rewrite it first"
+            )
+        fs = self.fs
+        src_base = mf.base_dir(self._item_path(src), man)
+        dst_dir = self._item_path(dst)
+        rels = sorted(man.get("files") or [])
+        sizes = man.get("sizes") or {}
+        shared = 0
+        for rel in rels:
+            fs.link_or_copy(src_base / rel, dst_dir / rel)
+            shared += int(sizes.get(rel, 0))
+        # deletion-vector masks: the clone's manifest carries the SAME
+        # dv map, so the referenced dirs must exist under the clone
+        # (its GC owns their lifetime independently from the source's)
+        refs = sorted(dvm.dv_refs(man))
+        for ref in refs:
+            for f in fs.list_files(src_base / ref, ".parquet"):
+                fs.link_or_copy(
+                    f, dst_dir / ref / PurePosixPath(f).name
+                )
+        # bloom sidecars are keyed by file rel path — identical in the
+        # clone, so linking keeps point-lookup pruning warm for free
+        from pystore_spark import bloom as bl
+
+        for f in fs.list_files(
+            Path(src_base) / bl.BLOOM_DIR, ".parquet"
+        ):
+            fs.link_or_copy(
+                f, dst_dir / bl.BLOOM_DIR / PurePosixPath(f).name
+            )
+        meta = dict(man.get("metadata") or {})
+        meta["_cloned_from"] = {
+            "item": src,
+            "version": int(man.get("version", 0)),
+            "snapshot": snapshot,
+        }
+        # version-1 must-not-exist conditional put: two concurrent
+        # cloners of the same dst race at the commit point, not after
+        utils.write_manifest(
+            dst_dir,
+            rels,
+            meta,
+            version=1,
+            stats=man.get("stats"),
+            sizes=man.get("sizes"),
+            dv=man.get("dv"),
+            if_match=None,
+        )
+        self.clear_metadata_cache(dst)
+        return {
+            "files_linked": len(rels),
+            "dv_dirs_linked": len(refs),
+            "bytes_shared": shared,
+        }
+
     def describe(self, item: str) -> dict:
         """DESCRIBE DETAIL: one driver-side call tying together
         everything the engine knows about an item — layout, size,

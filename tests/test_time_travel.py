@@ -400,3 +400,86 @@ def test_restore_blocked_after_vacuum(test_collection):
         (StorageError, VersionNotFoundError), match="vacuumed|GC'd"
     ):
         col.restore("rv", 1)
+
+
+class TestCloneItem:
+    """Shallow clone: zero-copy data branching (Delta CLONE parity)."""
+
+    def test_clone_reads_identically_and_is_independent(
+        self, test_collection
+    ):
+        import numpy as np
+        import pandas as pd
+
+        c = test_collection
+        df = pd.DataFrame(
+            {"v": np.arange(5_000, dtype="float64")},
+            index=pd.date_range("2023-01-01", periods=5_000, freq="min"),
+        )
+        c.write("src", df)
+        rep = c.clone_item("src", "dst")
+        assert rep["files_linked"] >= 1
+        pd.testing.assert_frame_equal(
+            c.item("dst").to_pandas(), c.item("src").to_pandas()
+        )
+        # independence both directions
+        c.delete_where("dst", [("v", "<", 100.0)])
+        assert c.item("src").data.count() == 5_000
+        assert c.item("dst").data.count() == 4_900
+        c.append(
+            "src",
+            pd.DataFrame(
+                {"v": [9.9]},
+                index=pd.DatetimeIndex([pd.Timestamp("2024-01-01")]),
+            ),
+        )
+        assert c.item("dst").data.count() == 4_900
+        # GC on the source never breaks the clone (hard links)
+        c.vacuum("src", retention=0.0)
+        assert c.item("dst").data.count() == 4_900
+
+    def test_clone_carries_dv_mask_and_historical_version(
+        self, test_collection
+    ):
+        import numpy as np
+        import pandas as pd
+
+        from pystore_spark import dv as dvm
+        from pystore_spark import utils
+
+        c = test_collection
+        df = pd.DataFrame(
+            {"v": np.arange(3_000, dtype="float64")},
+            index=pd.date_range("2023-01-01", periods=3_000, freq="min"),
+        )
+        c.write("src", df)  # v1
+        c.delete_where("src", [[("v", "<", 200.0)]], mode="dv")  # v2
+        rep = c.clone_item("src", "masked")
+        assert rep["dv_dirs_linked"] == 1
+        assert c.item("masked").data.count() == 2_800
+        man = utils.read_manifest(c._item_path("masked"))
+        assert dvm.dv_total(man) == 200
+        # clone the PRE-delete version: rows visible again
+        c.clone_item("src", "pre", version=1)
+        assert c.item("pre").data.count() == 3_000
+        # source vacuum can't reclaim the clone's masks
+        c.delete_where("src", [[("v", "<", 400.0)]], mode="dv")
+        c.vacuum("src", retention=0.0)
+        assert c.item("masked").data.count() == 2_800
+
+    def test_clone_refuses_existing_target(self, test_collection):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+
+        from pystore_spark.exceptions import ItemExistsError
+
+        c = test_collection
+        df = pd.DataFrame(
+            {"v": np.arange(100, dtype="float64")},
+            index=pd.date_range("2023-01-01", periods=100, freq="min"),
+        )
+        c.write("a", df)
+        c.write("b", df)
+        with _pytest.raises(ItemExistsError):
+            c.clone_item("a", "b")
