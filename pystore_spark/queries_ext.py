@@ -4752,6 +4752,94 @@ def asof_keyless_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clone_item_probe",
+    # SHALLOW CLONE (Collection.clone_item): the oracle is the
+    # version-2 state's aggregate, storage-blind — a clone of the
+    # dv-masked source must read EXACTLY what the source read at that
+    # state, and a later delete on the source must not leak into the
+    # clone (independence asserted in-probe; the zero-copy claim —
+    # identical rel file lists, zero data bytes written — too).
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-08')
+    GROUP BY event_type
+    """,
+    tags=("storage", "clone", "dv"),
+)
+def clone_item_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy data branching through REAL storage: write `events`
+    daily-bucketed, dv-delete a scattered slice, CLONE the masked
+    item, then mutate the SOURCE further — the clone must keep
+    reading the cloned state (the oracle's aggregate), its manifest
+    must list the source's rel files verbatim (hard-linked, no bytes
+    written), and the carried dv map must equal the source's at clone
+    time."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+    from pystore_spark import dv as dvm
+    from pystore_spark import utils
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="ps_clone_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("clone_probe_store", spark=spark).collection("c")
+        col.write("ev", ev, index_col="ts", freq="D")
+        col.delete_where(
+            "ev",
+            [[("event_type", "==", "click"), ("ts", "<", "2024-01-08")]],
+            mode="dv",
+        )
+        man_src = utils.read_manifest(col._item_path("ev"))
+        rep = col.clone_item("ev", "branch")
+        man_cl = utils.read_manifest(col._item_path("branch"))
+        if man_cl["files"] != man_src["files"]:
+            raise AssertionError(
+                "clone's file list differs from the source's — not "
+                "a zero-copy clone"
+            )
+        if dvm.dv_map(man_cl) != dvm.dv_map(man_src):
+            raise AssertionError("clone dropped the dv mask map")
+        if rep["files_linked"] != len(man_src["files"]):
+            raise AssertionError(f"link count off: {rep}")
+        # source mutates AFTER the clone: must not leak into the branch
+        col.delete_where(
+            "ev", [[("event_type", "==", "view")]], mode="dv"
+        )
+        out = (
+            col.item("branch").data
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.col("value").cast("decimal(20,6)")
+                ).cast("double").alias("total_value"),
+            )
+            .collect()
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["event_type"], int(r["n_rows"]), float(r["total_value"]))
+            for r in out
+        ],
+        "event_type string, n_rows bigint, total_value double",
+    )
+
+
+@register(
     "decontam_spans_stats",
     # GPT-3/PaLM-style SPAN-level benchmark decontamination: remove
     # (not flag) every corpus token span matching a benchmark n-gram,
@@ -5029,6 +5117,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # contamination probes). Both take the in-repo oracle gate now
     # and queue for window slots next rotation.
     "asof_keyless_banded", "decontam_spans_stats",
+    # round-8 addition: zero-copy shallow clone (data branching) —
+    # independence + zero-copy claims asserted in-probe, values by
+    # the storage-blind oracle (family sibling in-window:
+    # dv_delete_probe's merge-on-read lifecycle)
+    "clone_item_probe",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
