@@ -3149,6 +3149,7 @@ class Collection:
             "n_files_masked": len(man.get("dv") or {}),
             "constraints": dict(meta.get("_constraints") or {}),
             "bucket_spec": meta.get("_bucket_spec"),
+            "cloned_from": meta.get("_cloned_from"),
             "roles": roles,
             "matviews_of": self.matviews_of(item),
             "rollups_of": self.rollups_of(item),
