@@ -467,6 +467,33 @@ class TestCloneItem:
         c.vacuum("src", retention=0.0)
         assert c.item("masked").data.count() == 2_800
 
+    def test_clone_bucketed_item_keeps_mask_and_independence(
+        self, test_collection
+    ):
+        """Bucketed clones get their OWN catalog relation (the table
+        name keys on the item-path digest), read through the carried
+        dv mask, and never see post-clone source mutations."""
+        import numpy as np
+        import pandas as pd
+
+        c = test_collection
+        pdf = pd.DataFrame(
+            {
+                "k": np.arange(500, dtype="int64"),
+                "v": np.arange(500, dtype="float64"),
+            },
+            index=pd.date_range("2023-01-01", periods=500, freq="min"),
+        )
+        c.write("b", pdf, bucket_by="k", n_buckets=4)
+        c.delete_where("b", [[("v", "<", 100.0)]], mode="dv")
+        c.clone_item("b", "b2")
+        assert c.item("b2").data.count() == 400
+        # post-clone source mutation stays on the source
+        c.delete_where("b", [[("v", ">=", 400.0)]], mode="dv")
+        assert c.item("b").data.count() == 300
+        assert c.item("b2").data.count() == 400
+        assert c.describe("b2")["cloned_from"]["item"] == "b"
+
     def test_clone_refuses_existing_target(self, test_collection):
         import numpy as np
         import pandas as pd
