@@ -661,34 +661,49 @@ def decontaminate_spans(
     """
     bt = bench_text_col or text_col
     t = tokens(text_col)
-
-    def _grams(tok_col: "Column") -> "Column":
-        # positional n-grams: struct(start, gram); empty for short docs
-        return F.when(
-            F.size(tok_col) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tok_col) - n),
-                lambda i: F.struct(
-                    i.alias("s"),
-                    F.concat_ws(
-                        " ", F.slice(tok_col, i + 1, n)
-                    ).alias("g"),
-                ),
-            ),
-        ).otherwise(F.array())
-
-    from pyspark.sql import Window
-
     bench_grams = (
         bench.select(F.explode(shingles(bt, n)).alias("g")).distinct()
     )
     hits = (
-        docs.select(id_col, F.explode(_grams(t)).alias("p"))
+        docs.select(id_col, F.explode(_pos_grams(t, n)).alias("p"))
         .select(id_col, F.col("p.s").alias("s"), F.col("p.g").alias("g"))
         .join(F.broadcast(bench_grams), "g")
         .select(id_col, "s")
     )
-    # gaps-and-islands: merge overlapping/adjacent [s, s+n) hit spans
+    return _cut_spans(docs, hits, id_col, t, n)
+
+
+def _pos_grams(tok_col: "Column", n: int) -> "Column":
+    """Positional n-grams over a token array: ``struct(s, g)`` with
+    0-based start; empty for sub-``n`` docs. Pure Column expression —
+    stays inside codegen."""
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok_col) - n),
+            lambda i: F.struct(
+                i.alias("s"),
+                F.concat_ws(" ", F.slice(tok_col, i + 1, n)).alias(
+                    "g"
+                ),
+            ),
+        ),
+    ).otherwise(F.array())
+
+
+def _cut_spans(
+    docs: DataFrame, hits: DataFrame, id_col: str, t: "Column", n: int
+) -> DataFrame:
+    """Shared span-removal machinery (decontaminate_spans,
+    dedup_substrings): merge the hit starts ``(id, s)`` — each a
+    ``[s, s+n)`` token window — into maximal spans per doc with one
+    gaps-and-islands window pass (ONE doc-keyed shuffle of the HIT
+    rows only; clean docs never shuffle), then cut them from the
+    token array INSIDE the row via filter/transform/exists. Returns
+    the docs' columns + ``cleaned_text``/``n_spans_removed``/
+    ``n_tokens_removed``."""
+    from pyspark.sql import Window
+
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("s")
@@ -733,7 +748,7 @@ def decontaminate_spans(
             lambda sp: (p["i"] >= sp["s"]) & (p["i"] < sp["e"]),
         ),
     )
-    out = joined.withColumn("_kept", kept).select(
+    return joined.withColumn("_kept", kept).select(
         *docs.columns,
         F.concat_ws(
             " ", F.transform(F.col("_kept"), lambda p: p["x"])
@@ -745,4 +760,49 @@ def decontaminate_spans(
         .cast("bigint")
         .alias("n_tokens_removed"),
     )
-    return out
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """WITHIN-corpus exact substring dedup (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    operator, suffix-array semantics re-expressed relationally):
+    every ``k``-token window of a document that also occurs in a
+    LOWER-id document is removed from the higher-id one — the first
+    owner keeps its copy, every later occurrence of a duplicated
+    passage of length ≥ k is cut, and overlapping duplicated windows
+    merge into one maximal removed span. Within-doc repeats are kept
+    (they belong to the owner).
+
+    Returns one row per doc: the original columns + ``cleaned_text``,
+    ``n_spans_removed``, ``n_tokens_removed``.
+
+    Scale shape at 100 TB:
+
+    * positional ``k``-gram fingerprints explode once (n tokens →
+      n-k+1 grams per doc) and shuffle ONCE on the gram — the same
+      cost class as the MinHash shingle pass;
+    * the per-gram first owner is a map-side-combinable ``min(id)``;
+      a window is a hit iff its gram's owner id < its own doc id, so
+      the ownership join is gram-keyed (no skew beyond gram
+      frequency; a pathological hot gram is a boilerplate string that
+      SHOULD be cut everywhere but its owner);
+    * span merge + cutting reuse the decontamination machinery: one
+      doc-keyed shuffle of the HIT rows, in-row token dropping, no
+      Python anywhere.
+    """
+    t = tokens(text_col)
+    grams = docs.select(
+        F.col(id_col), F.explode(_pos_grams(t, k)).alias("p")
+    ).select(id_col, F.col("p.s").alias("s"), F.col("p.g").alias("g"))
+    owners = grams.groupBy("g").agg(F.min(id_col).alias("_owner"))
+    hits = (
+        grams.join(owners, "g")
+        .filter(F.col(id_col) > F.col("_owner"))
+        .select(id_col, "s")
+    )
+    return _cut_spans(docs, hits, id_col, t, k)

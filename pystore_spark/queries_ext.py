@@ -4840,6 +4840,78 @@ def clone_item_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_dedup_stats",
+    # WITHIN-corpus exact substring dedup (Lee et al. suffix-array
+    # semantics, relationally): every 8-token window also occurring
+    # in a LOWER-id doc is cut from the higher-id one; the first
+    # owner keeps its copy; overlapping duplicated windows merge into
+    # one maximal removed span. Oracle replays the pipeline: positional
+    # k-grams -> per-gram min-owner -> hits where owner < id -> the
+    # same islands/cut/md5 tail as decontam_spans_stats.
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS s, array_to_string(toks[i:i+7], ' ') AS g
+      FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+    owners AS (SELECT g, MIN(doc_id) AS owner FROM grams GROUP BY g),
+    hits AS (SELECT grams.doc_id, s FROM grams JOIN owners USING (g)
+             WHERE grams.doc_id > owner),
+    brk AS (
+      SELECT doc_id, s,
+        CASE WHEN s > COALESCE(MAX(s + 8) OVER (
+            PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS b
+      FROM hits),
+    isl AS (SELECT doc_id, s, SUM(b) OVER (
+        PARTITION BY doc_id ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM brk),
+    spans AS (SELECT doc_id, MIN(s) AS s, MAX(s) + 8 AS e
+              FROM isl GROUP BY doc_id, island),
+    tok_idx AS (SELECT doc_id, i - 1 AS i, toks[i] AS x
+                FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+    removed AS (SELECT DISTINCT ti.doc_id, ti.i FROM tok_idx ti
+                JOIN spans sp ON sp.doc_id = ti.doc_id
+                             AND ti.i >= sp.s AND ti.i < sp.e),
+    kept AS (SELECT ti.doc_id, ti.i, ti.x FROM tok_idx ti
+             LEFT JOIN removed r ON r.doc_id = ti.doc_id
+                                AND r.i = ti.i
+             WHERE r.i IS NULL),
+    agg AS (SELECT doc_id, string_agg(x, ' ' ORDER BY i) AS txt,
+                   COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+    nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans
+            GROUP BY doc_id)
+    SELECT t.doc_id,
+      CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+      CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
+        AS n_tokens_removed,
+      md5(COALESCE(agg.txt, '')) AS cleaned_md5
+    FROM t LEFT JOIN nsp USING (doc_id) LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup over the documents table (k=8 token
+    windows — the testdata's near-dup docs share real passages at
+    this length). The operator is functions.text.dedup_substrings:
+    one positional-gram explode + ONE gram-keyed shuffle (min-owner
+    aggregate is map-side combinable), then the shared span-merge/cut
+    machinery — no Python, no corpus token explode. Emits the same
+    driver-sortable scalars as decontam_spans_stats."""
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
+    out = X.dedup_substrings(
+        doc.select("doc_id", "text"), k=8
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_spans_removed").alias("n_spans"),
+        "n_tokens_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    )
+
+
+@register(
     "decontam_spans_stats",
     # GPT-3/PaLM-style SPAN-level benchmark decontamination: remove
     # (not flag) every corpus token span matching a benchmark n-gram,
@@ -5122,6 +5194,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # the storage-blind oracle (family sibling in-window:
     # dv_delete_probe's merge-on-read lifecycle)
     "clone_item_probe",
+    # round-8 addition: within-corpus exact substring dedup (Lee et
+    # al. semantics — keep-first-owner span removal; family siblings
+    # in-window: line_dedup_stats + near_dedup_kept_docs)
+    "substring_dedup_stats",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

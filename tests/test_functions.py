@@ -802,3 +802,35 @@ def test_decontaminate_spans_hand_cases(spark):
     assert by_id[4]["cleaned_text"] == "x y z end"
     assert by_id[4]["n_spans_removed"] == 2
     assert by_id[4]["n_tokens_removed"] == 6
+
+
+def test_dedup_substrings_hand_cases(spark):
+    """Exact substring dedup semantics: a >=k-token passage shared
+    with a lower-id doc is cut from the higher-id one (overlapping
+    windows merge to one maximal span); the owner keeps its copy;
+    within-doc repeats are never cut."""
+    from pystore_spark.functions.text import dedup_substrings
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e f g h",
+                "x y a b c d e z",  # shares 'a b c d e' with doc 1
+                "p q r s p q r s",  # internal repeat only: untouched
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_substrings(
+            spark.createDataFrame(docs), k=4
+        ).collect()
+    }
+    assert out[1]["cleaned_text"] == "a b c d e f g h"  # owner keeps
+    assert out[1]["n_spans_removed"] == 0
+    assert out[2]["cleaned_text"] == "x y z"
+    assert out[2]["n_spans_removed"] == 1
+    assert out[2]["n_tokens_removed"] == 5
+    assert out[3]["cleaned_text"] == "p q r s p q r s"
+    assert out[3]["n_spans_removed"] == 0
