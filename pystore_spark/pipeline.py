@@ -447,6 +447,29 @@ class CurationPipeline:
         )
         return self
 
+    def dedup_substrings(self, k: int = 20):
+        """WITHIN-corpus exact substring dedup (functions.text
+        .dedup_substrings, Lee et al. semantics): every ``k``-token
+        window also present in a lower-id doc is cut from the
+        higher-id one — first owner keeps its copy, cardinality
+        unchanged, the text column rewritten in place."""
+        id_col, txt = self.id_col, self.text_col
+
+        def g(df: DataFrame) -> DataFrame:
+            out = X.dedup_substrings(
+                df, text_col=txt, id_col=id_col, k=k
+            )
+            return out.withColumn(
+                txt, F.col("cleaned_text")
+            ).drop(
+                "cleaned_text", "n_spans_removed", "n_tokens_removed"
+            )
+
+        self._stages.append(
+            (f"dedup_substrings(k={k})", _GLOBAL, g)
+        )
+        return self
+
     # ------------------------------------------------------------------
     # execution
     # ------------------------------------------------------------------

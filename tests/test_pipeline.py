@@ -282,3 +282,28 @@ def test_decontaminate_spans_stage_rewrites_not_drops(docs, eval_set):
     row = fun[fun["stage"].str.contains("decontaminate_spans")]
     assert len(row) == 1
     assert int(row["n_surviving"].iloc[0]) == len(before)
+
+
+def test_dedup_substrings_stage(spark):
+    from pystore_spark.pipeline import CurationPipeline
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "a b c d e f g h",
+                    "x y a b c d e z",
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in CurationPipeline(docs)
+        .dedup_substrings(k=4)
+        .dataframe()
+        .collect()
+    }
+    assert out[1] == "a b c d e f g h"
+    assert out[2] == "x y z"
