@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     # round-8 flagship: interpolated Kneser-Ney per-doc scorer (one
     # bigram collapse, vocabulary-scaled model, one scoring join)
     "kneser_ney_logprob",
+    # round-8 flagships: span-level decontamination + exact substring
+    # dedup (positional-gram explode, one gram shuffle, in-row cuts)
+    "decontam_spans_stats",
+    "substring_dedup_stats",
 ]
 
 
