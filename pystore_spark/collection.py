@@ -3061,46 +3061,54 @@ class Collection:
         rels = sorted(man.get("files") or [])
         sizes = man.get("sizes") or {}
         shared = 0
-        for rel in rels:
-            fs.link_or_copy(src_base / rel, dst_dir / rel)
-            shared += int(sizes.get(rel, 0))
-        # deletion-vector masks: the clone's manifest carries the SAME
-        # dv map, so the referenced dirs must exist under the clone
-        # (its GC owns their lifetime independently from the source's)
         refs = sorted(dvm.dv_refs(man))
-        for ref in refs:
-            for f in fs.list_files(src_base / ref, ".parquet"):
-                fs.link_or_copy(
-                    f, dst_dir / ref / PurePosixPath(f).name
-                )
-        # bloom sidecars are keyed by file rel path — identical in the
-        # clone, so linking keeps point-lookup pruning warm for free
-        from pystore_spark import bloom as bl
+        try:
+            for rel in rels:
+                fs.link_or_copy(src_base / rel, dst_dir / rel)
+                shared += int(sizes.get(rel, 0))
+            # deletion-vector masks: the clone's manifest carries the
+            # SAME dv map, so the referenced dirs must exist under the
+            # clone (its GC owns their lifetime independently)
+            for ref in refs:
+                for f in fs.list_files(src_base / ref, ".parquet"):
+                    fs.link_or_copy(
+                        f, dst_dir / ref / PurePosixPath(f).name
+                    )
+            # bloom sidecars are keyed by file rel path — identical in
+            # the clone, so linking keeps point-lookup pruning warm
+            from pystore_spark import bloom as bl
 
-        for f in fs.list_files(
-            Path(src_base) / bl.BLOOM_DIR, ".parquet"
-        ):
-            fs.link_or_copy(
-                f, dst_dir / bl.BLOOM_DIR / PurePosixPath(f).name
+            for f in fs.list_files(
+                Path(src_base) / bl.BLOOM_DIR, ".parquet"
+            ):
+                fs.link_or_copy(
+                    f, dst_dir / bl.BLOOM_DIR / PurePosixPath(f).name
+                )
+            meta = dict(man.get("metadata") or {})
+            meta["_cloned_from"] = {
+                "item": src,
+                "version": int(man.get("version", 0)),
+                "snapshot": snapshot,
+            }
+            # version-1 must-not-exist conditional put: two concurrent
+            # cloners of the same dst race at the commit, not after
+            utils.write_manifest(
+                dst_dir,
+                rels,
+                meta,
+                version=1,
+                stats=man.get("stats"),
+                sizes=man.get("sizes"),
+                dv=man.get("dv"),
+                if_match=None,
             )
-        meta = dict(man.get("metadata") or {})
-        meta["_cloned_from"] = {
-            "item": src,
-            "version": int(man.get("version", 0)),
-            "snapshot": snapshot,
-        }
-        # version-1 must-not-exist conditional put: two concurrent
-        # cloners of the same dst race at the commit point, not after
-        utils.write_manifest(
-            dst_dir,
-            rels,
-            meta,
-            version=1,
-            stats=man.get("stats"),
-            sizes=man.get("sizes"),
-            dv=man.get("dv"),
-            if_match=None,
-        )
+        except Exception:
+            # a failed clone (vacuumed source file mid-link, lost
+            # must-not-exist race) must not leave a manifest-less
+            # ghost dir that item_exists() would report as an item
+            if utils.read_manifest(dst_dir) is None:
+                utils.rm_tree(dst_dir)
+            raise
         self.clear_metadata_cache(dst)
         return {
             "files_linked": len(rels),

@@ -510,3 +510,39 @@ class TestCloneItem:
         c.write("b", df)
         with _pytest.raises(ItemExistsError):
             c.clone_item("a", "b")
+
+    def test_failed_clone_leaves_no_ghost_item(
+        self, test_collection, monkeypatch
+    ):
+        """A clone that dies mid-link (vacuumed source file, backend
+        error) must clean its partial dir — a manifest-less ghost dir
+        would make item_exists(dst) True and poison later writes."""
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+
+        c = test_collection
+        df = pd.DataFrame(
+            {"v": np.arange(200, dtype="float64")},
+            index=pd.date_range("2023-01-01", periods=200, freq="min"),
+        )
+        c.write("srcf", df)
+
+        real = type(c.fs).link_or_copy
+        calls = {"n": 0}
+
+        def dying(self, s, d):
+            calls["n"] += 1
+            if calls["n"] >= 1:
+                raise OSError("injected link failure")
+            real(self, s, d)
+
+        monkeypatch.setattr(type(c.fs), "link_or_copy", dying)
+        with _pytest.raises(OSError):
+            c.clone_item("srcf", "ghost")
+        monkeypatch.undo()
+        assert not c.item_exists("ghost")
+        # the name is reusable afterwards
+        rep = c.clone_item("srcf", "ghost")
+        assert rep["files_linked"] >= 1
+        assert c.item("ghost").data.count() == 200
