@@ -762,6 +762,42 @@ def _cut_spans(
     )
 
 
+def dedup_repeats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """WITHIN-document exact repetition trimming: every ``k``-token
+    window whose gram already occurred EARLIER in the same document
+    is cut — repeated boilerplate paragraphs, templated spans, and
+    period-p loops collapse to their first occurrence (the in-doc
+    sibling of :func:`dedup_substrings`; the Gopher repetition RULES
+    only flag such docs — this cleans them).
+
+    Returns one row per doc: the original columns + ``cleaned_text``,
+    ``n_spans_removed``, ``n_tokens_removed``.
+
+    Scale shape: positional grams explode once; the first-occurrence
+    position is a ``min(s)`` window over ``(id, gram)`` — doc-keyed,
+    so the shuffle is the SAME doc-keyed exchange the span merge
+    needs (one sort extends it); cutting is the shared in-row
+    machinery. No cross-doc join at all."""
+    from pyspark.sql import Window
+
+    t = tokens(text_col)
+    grams = docs.select(
+        F.col(id_col), F.explode(_pos_grams(t, k)).alias("p")
+    ).select(id_col, F.col("p.s").alias("s"), F.col("p.g").alias("g"))
+    first = Window.partitionBy(id_col, "g")
+    hits = (
+        grams.withColumn("_s0", F.min("s").over(first))
+        .filter(F.col("s") > F.col("_s0"))
+        .select(id_col, "s")
+    )
+    return _cut_spans(docs, hits, id_col, t, k)
+
+
 def dedup_substrings(
     docs: DataFrame,
     text_col: str = "text",

@@ -4912,6 +4912,88 @@ def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repeat_dedup_stats",
+    # WITHIN-document repetition trimming (functions.text
+    # .dedup_repeats): windows whose gram occurred EARLIER in the same
+    # doc are cut. The synthetic corpus has no natural in-doc repeats,
+    # so the probe derives one — each doc's first 12 tokens re-appended
+    # — with the SAME expression on both sides; the operator must cut
+    # exactly the appended copy (windows fully inside it match their
+    # originals; junction-spanning windows don't), leaving the
+    # original text. Oracle replays derivation + min-first-occurrence
+    # + the shared islands/cut/md5 tail.
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+        list_concat({_TOKS}, ({_TOKS})[1:12]) AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS s, array_to_string(toks[i:i+7], ' ') AS g
+      FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+    hits AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               MIN(s) OVER (PARTITION BY doc_id, g) AS s0
+        FROM grams) WHERE s > s0),
+    brk AS (
+      SELECT doc_id, s,
+        CASE WHEN s > COALESCE(MAX(s + 8) OVER (
+            PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS b
+      FROM hits),
+    isl AS (SELECT doc_id, s, SUM(b) OVER (
+        PARTITION BY doc_id ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM brk),
+    spans AS (SELECT doc_id, MIN(s) AS s, MAX(s) + 8 AS e
+              FROM isl GROUP BY doc_id, island),
+    tok_idx AS (SELECT doc_id, i - 1 AS i, toks[i] AS x
+                FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+    removed AS (SELECT DISTINCT ti.doc_id, ti.i FROM tok_idx ti
+                JOIN spans sp ON sp.doc_id = ti.doc_id
+                             AND ti.i >= sp.s AND ti.i < sp.e),
+    kept AS (SELECT ti.doc_id, ti.i, ti.x FROM tok_idx ti
+             LEFT JOIN removed r ON r.doc_id = ti.doc_id
+                                AND r.i = ti.i
+             WHERE r.i IS NULL),
+    agg AS (SELECT doc_id, string_agg(x, ' ' ORDER BY i) AS txt,
+                   COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+    nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans
+            GROUP BY doc_id)
+    SELECT t.doc_id,
+      CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+      CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
+        AS n_tokens_removed,
+      md5(COALESCE(agg.txt, '')) AS cleaned_md5
+    FROM t LEFT JOIN nsp USING (doc_id) LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def repeat_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document repetition trimming over a derived repeated corpus
+    (each doc's first 12 tokens re-appended): dedup_repeats must cut
+    exactly the appended copy. One doc-keyed shuffle total — the
+    first-occurrence window shares the span merge's exchange; no
+    cross-doc join anywhere."""
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = X.tokens("text")
+    derived = doc.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.concat(toks, F.slice(toks, 1, 12))
+        ).alias("text"),
+    )
+    out = X.dedup_repeats(derived, k=8)
+    return out.select(
+        "doc_id",
+        F.col("n_spans_removed").alias("n_spans"),
+        "n_tokens_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    )
+
+
+@register(
     "decontam_spans_stats",
     # GPT-3/PaLM-style SPAN-level benchmark decontamination: remove
     # (not flag) every corpus token span matching a benchmark n-gram,
@@ -5198,6 +5280,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # al. semantics — keep-first-owner span removal; family siblings
     # in-window: line_dedup_stats + near_dedup_kept_docs)
     "substring_dedup_stats",
+    # round-8 addition: within-DOCUMENT repetition trimming (the
+    # cleaning sibling of the Gopher repetition flags; family
+    # siblings in-window: same as substring_dedup_stats)
+    "repeat_dedup_stats",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -834,3 +834,34 @@ def test_dedup_substrings_hand_cases(spark):
     assert out[2]["n_tokens_removed"] == 5
     assert out[3]["cleaned_text"] == "p q r s p q r s"
     assert out[3]["n_spans_removed"] == 0
+
+
+def test_dedup_repeats_hand_cases(spark):
+    """In-doc repetition trimming: a repeated >=k-token span collapses
+    to its first occurrence; period-1 runs collapse; distinct text
+    and cross-doc duplicates are untouched."""
+    from pystore_spark.functions.text import dedup_repeats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "p q r s p q r s",  # full repeat -> first copy kept
+                "a a a a a",  # period-1 run
+                "u v w x y z",  # clean
+                "p q r s t u v w",  # doc 1's prefix: cross-doc is NOT
+            ],                      # this operator's business
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_repeats(
+            spark.createDataFrame(docs), k=4
+        ).collect()
+    }
+    assert out[1]["cleaned_text"] == "p q r s"
+    assert out[1]["n_tokens_removed"] == 4
+    assert out[2]["cleaned_text"] == "a"
+    assert out[3]["cleaned_text"] == "u v w x y z"
+    assert out[3]["n_spans_removed"] == 0
+    assert out[4]["cleaned_text"] == "p q r s t u v w"
