@@ -470,6 +470,26 @@ class CurationPipeline:
         )
         return self
 
+    def dedup_repeats(self, k: int = 10):
+        """WITHIN-document repetition trimming (functions.text
+        .dedup_repeats): repeated ``k``-token spans collapse to their
+        first in-doc occurrence — the cleaning counterpart of the
+        Gopher repetition flags. Cardinality unchanged."""
+        id_col, txt = self.id_col, self.text_col
+
+        def g(df: DataFrame) -> DataFrame:
+            out = X.dedup_repeats(
+                df, text_col=txt, id_col=id_col, k=k
+            )
+            return out.withColumn(
+                txt, F.col("cleaned_text")
+            ).drop(
+                "cleaned_text", "n_spans_removed", "n_tokens_removed"
+            )
+
+        self._stages.append((f"dedup_repeats(k={k})", _GLOBAL, g))
+        return self
+
     # ------------------------------------------------------------------
     # execution
     # ------------------------------------------------------------------

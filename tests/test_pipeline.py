@@ -307,3 +307,20 @@ def test_dedup_substrings_stage(spark):
     }
     assert out[1] == "a b c d e f g h"
     assert out[2] == "x y z"
+
+
+def test_dedup_repeats_stage(spark):
+    from pystore_spark.pipeline import CurationPipeline
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "text": ["p q r s p q r s"]}
+        )
+    )
+    out = (
+        CurationPipeline(docs)
+        .dedup_repeats(k=4)
+        .dataframe()
+        .collect()
+    )
+    assert out[0]["text"] == "p q r s"
