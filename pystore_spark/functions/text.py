@@ -762,6 +762,67 @@ def _cut_spans(
     )
 
 
+def split_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-document chunking for training — the counterpart of
+    :func:`pack_sequences` (that one packs SHORT docs up to a budget;
+    this one splits LONG docs down to it): each document becomes
+    ``ceil((n - overlap) / (max_tokens - overlap))`` chunks of at most
+    ``max_tokens`` tokens, consecutive chunks sharing ``overlap``
+    tokens (sliding-window pretraining / FIM prep). Sub-``max`` docs
+    pass through as their own single chunk; empty docs yield one
+    empty chunk (no rows vanish).
+
+    Returns one row per chunk: the doc's columns + ``chunk_id``
+    (0-based), ``chunk_text``, ``n_chunk_tokens``.
+
+    Scale shape: pure Column work — tokens once, chunk starts from a
+    ``sequence`` expression, one ``posexplode``-shaped generator per
+    row. NO shuffle at all: chunking is row-local, so it composes
+    with any downstream repartition for free."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens); got {overlap}"
+        )
+    step = max_tokens - overlap
+    t = tokens(text_col)
+    starts = F.when(
+        F.size(t) > max_tokens,
+        F.sequence(
+            F.lit(0),
+            # last chunk start: the smallest multiple of `step`
+            # whose window [s, s+max) reaches the end
+            (
+                F.ceil(
+                    (F.size(t) - F.lit(max_tokens))
+                    / F.lit(float(step))
+                ).cast("long")
+            )
+            * F.lit(step),
+            F.lit(step),
+        ),
+    ).otherwise(F.array(F.lit(0).cast("long")))
+    exploded = docs.withColumn("_t", t).select(
+        "*", F.posexplode(starts).alias("chunk_id", "_s")
+    )
+    chunk = F.slice(
+        F.col("_t"), F.col("_s").cast("int") + 1, max_tokens
+    )
+    return exploded.select(
+        *docs.columns,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
 def dedup_repeats(
     docs: DataFrame,
     text_col: str = "text",

@@ -4912,6 +4912,48 @@ def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks_stats",
+    # long-document chunking (functions.text.split_documents):
+    # sliding windows of 64 tokens with 8-token overlap — starts at
+    # multiples of 56, last start the smallest multiple whose window
+    # reaches the end; sub-64 docs pass through as one chunk. Pure
+    # row-local generator on the Spark side (NO shuffle); the oracle
+    # replays the start arithmetic with generate_series.
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks,
+        CASE WHEN len(toks) > 64 THEN
+          generate_series(0,
+            CAST(ceil((len(toks) - 64) / 56.0) AS BIGINT) * 56, 56)
+        ELSE [CAST(0 AS BIGINT)] END AS starts
+      FROM t)
+    SELECT doc_id,
+      CAST(s // 56 AS BIGINT) AS chunk_id,
+      CAST(len(toks[s + 1 : s + 64]) AS BIGINT) AS n_chunk_tokens,
+      md5(array_to_string(toks[s + 1 : s + 64], ' ')) AS chunk_md5
+    FROM st, unnest(starts) AS u(s)
+    """,
+    tags=("text", "chunking", "pipeline"),
+)
+def doc_chunks_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk manifest over the documents table
+    (max_tokens=64, overlap=8): one row per training chunk with an
+    md5 pinning every token in every position. Chunking is row-local
+    — the executed plan has NO exchange."""
+    doc = X.widen_parallelism(load_table(spark, sf_dir, "documents"))
+    out = X.split_documents(
+        doc.select("doc_id", "text"), max_tokens=64, overlap=8
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+@register(
     "repeat_dedup_stats",
     # WITHIN-document repetition trimming (functions.text
     # .dedup_repeats): windows whose gram occurred EARLIER in the same
@@ -5284,6 +5326,9 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # cleaning sibling of the Gopher repetition flags; family
     # siblings in-window: same as substring_dedup_stats)
     "repeat_dedup_stats",
+    # round-8 addition: long-document sliding-window chunking — the
+    # splitting counterpart of pack_sequences (in-window sibling)
+    "doc_chunks_stats",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -865,3 +865,54 @@ def test_dedup_repeats_hand_cases(spark):
     assert out[3]["cleaned_text"] == "u v w x y z"
     assert out[3]["n_spans_removed"] == 0
     assert out[4]["cleaned_text"] == "p q r s t u v w"
+
+
+def test_split_documents_hand_cases(spark):
+    """Sliding-window chunking: exact cover with overlap, short docs
+    pass through, boundaries never lose tokens."""
+    from pystore_spark.functions.text import split_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                " ".join(str(i) for i in range(10)),  # 10 toks
+                "a b c",  # short: single chunk
+                "",  # empty: one empty chunk, no vanishing row
+            ],
+        }
+    )
+    out = split_documents(
+        spark.createDataFrame(docs), max_tokens=4, overlap=1
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6 cover 0-9 with the last window [6,10)
+    c1 = sorted(by[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in c1] == [
+        "0 1 2 3", "3 4 5 6", "6 7 8 9",
+    ]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
+    # every token appears; consecutive chunks share exactly 1 token
+    assert len(by[2]) == 1 and by[2][0]["chunk_text"] == "a b c"
+    assert len(by[3]) == 1 and by[3][0]["chunk_text"] == ""
+    assert by[3][0]["n_chunk_tokens"] == 0
+    # uneven tail: 11 tokens, max 4, overlap 1 -> starts 0,3,6,9;
+    # the last chunk is the 2-token remainder [9, 11)
+    docs2 = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [9], "text": [" ".join(map(str, range(11)))]}
+        )
+    )
+    c9 = sorted(
+        split_documents(docs2, max_tokens=4, overlap=1).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_text"] for r in c9] == [
+        "0 1 2 3", "3 4 5 6", "6 7 8 9", "9 10",
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_documents(docs2, max_tokens=4, overlap=4)
