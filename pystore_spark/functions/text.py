@@ -695,13 +695,15 @@ def _cut_spans(
     docs: DataFrame, hits: DataFrame, id_col: str, t: "Column", n: int
 ) -> DataFrame:
     """Shared span-removal machinery (decontaminate_spans,
-    dedup_substrings): merge the hit starts ``(id, s)`` — each a
-    ``[s, s+n)`` token window — into maximal spans per doc with one
-    gaps-and-islands window pass (ONE doc-keyed shuffle of the HIT
-    rows only; clean docs never shuffle), then cut them from the
-    token array INSIDE the row via filter/transform/exists. Returns
-    the docs' columns + ``cleaned_text``/``n_spans_removed``/
-    ``n_tokens_removed``."""
+    dedup_substrings, dedup_repeats): merge the hit starts ``(id,
+    s)`` — each a ``[s, s+n)`` token window — into maximal spans per
+    doc with one gaps-and-islands window pass (a doc-keyed shuffle of
+    the HIT rows only), then cut them from the token array INSIDE the
+    row via filter/transform/exists. The per-doc spans frame joins
+    back onto the docs — it is hit-doc-sized, so AQE broadcasts it
+    while small; a corpus where MOST docs carry hits pays one honest
+    doc-keyed join shuffle. Returns the docs' columns +
+    ``cleaned_text``/``n_spans_removed``/``n_tokens_removed``."""
     from pyspark.sql import Window
 
     w_prev = (
