@@ -67,3 +67,24 @@ def test_no_forbidden_plan_patterns(spark, name):
         if pat == "BroadcastNestedLoopJoin" and name in ALLOWED_SCALAR_JOIN:
             continue
         assert pat not in plan, f"{name}: {pat} in physical plan"
+
+
+def test_doc_chunks_plan_is_shuffle_free(spark):
+    """split_documents claims row-local chunking — the executed plan
+    of its registry query must contain no DATA-DEPENDENT exchange.
+    The only allowed Exchange is widen_parallelism's explicit
+    RoundRobin repartition of the tiny test input (a scan-width knob,
+    not part of the operator)."""
+    import re
+
+    from pystore_spark.queries import QUERIES
+
+    df = QUERIES["doc_chunks_stats"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert not bad, bad
+    assert not re.search(r"hashpartitioning|rangepartitioning", plan)
