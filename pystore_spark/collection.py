@@ -4741,6 +4741,8 @@ class Collection:
         salt: str = "",
         metadata: dict | None = None,
         overwrite: bool = False,
+        split_max_tokens: int | None = None,
+        split_overlap: int = 0,
     ) -> dict:
         """Export a curated corpus as deterministic training shards —
         the batch-prep terminal of the pipeline (curate → dedup → mix
@@ -4806,6 +4808,31 @@ class Collection:
         df = (
             self.item(source).data if isinstance(source, str) else source
         )
+        if split_max_tokens:
+            # long-doc chunking BEFORE sharding/encoding: each chunk
+            # becomes its own row with id "{doc}#{chunk}" (string —
+            # the md5 sharder casts to string anyway), so a doc longer
+            # than the pack budget ships as budget-sized pieces
+            # instead of one oversized pack. Row-local, no shuffle.
+            chunks = X.split_documents(
+                df,
+                split_max_tokens,
+                split_overlap,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            df = chunks.select(
+                *[c for c in df.columns if c != text_col],
+                F.col("chunk_text").alias(text_col),
+                "chunk_id",
+            ).withColumn(
+                id_col,
+                F.concat_ws(
+                    "#",
+                    F.col(id_col).cast("string"),
+                    F.col("chunk_id").cast("string"),
+                ),
+            ).drop("chunk_id")
         if encode_ids:
             from pystore_spark.functions.bpe import bpe_encode_ids
 

@@ -431,3 +431,42 @@ def test_export_jsonl_trainer_handoff(test_collection, spark, tmp_path):
         c.export_jsonl("corpus", out, n_shards=4)
     rep2 = c.export_jsonl("corpus", out, n_shards=4, overwrite=True)
     assert rep2["n_rows"] == 30
+
+
+def test_export_splits_long_documents(test_collection, spark):
+    """split_max_tokens chunks long docs BEFORE sharding/packing: each
+    chunk ships as its own row with id '{doc}#{chunk}', every chunk
+    fits the window, no token lost at the seams, short docs pass
+    through one-to-one."""
+    import pandas as pd
+
+    c = test_collection
+    long_text = " ".join(f"w{i}" for i in range(100))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [long_text, "short doc only five tokens"],
+        }
+    )
+    c.write("corpus", docs, index_col="doc_id")
+    rep = c.export_training_shards(
+        "sh",
+        "corpus",
+        n_shards=2,
+        pack_budget=64,
+        split_max_tokens=40,
+        split_overlap=4,
+    )
+    out = c.item("sh").data.toPandas()
+    # doc 1: starts 0,36,72 -> 3 chunks; doc 2: 1 chunk
+    assert rep["n_rows"] == len(out) == 4
+    ids = sorted(out["doc_id"])
+    assert ids == ["1#0", "1#1", "1#2", "2#0"]
+    by = dict(zip(out["doc_id"], out["text"]))
+    toks = long_text.split()
+    assert by["1#0"] == " ".join(toks[0:40])
+    assert by["1#1"] == " ".join(toks[36:76])
+    assert by["1#2"] == " ".join(toks[72:100])
+    assert by["2#0"] == "short doc only five tokens"
+    # packing counted CHUNK tokens (all <= budget)
+    assert (out["n_tokens"] <= 40).all()
