@@ -4819,7 +4819,6 @@ class Collection:
                 split_max_tokens,
                 split_overlap,
                 text_col=text_col,
-                id_col=id_col,
             )
             df = chunks.select(
                 *[c for c in df.columns if c != text_col],

@@ -482,15 +482,30 @@ class PyStoreBatchReader(DataSourceReader):
         # one driver-side read per dv dir: small masks ship with
         # their partitions instead of each executor task rescanning
         # the shared dir
-        self._shipped = _ship_positions(
-            self._item_dir,
-            [
-                (rel, e.get("ref"), int(e.get("n", 0)))
-                for rel, e in dv.items()
-            ],
-            base=self._dv_base,
-        )
+        self._dv_entries = [
+            (rel, e.get("ref"), int(e.get("n", 0)))
+            for rel, e in dv.items()
+        ]
+        self._shipped_cache: dict | None = None
         self._pushed: list = []
+
+    def _shipped_for(self, keep: "set[str] | None") -> dict:
+        """Driver-side dv-position shipping, AFTER file pruning:
+        masks are fetched only for the masked files the scan will
+        actually read (a pruned one-day read of a 10k-file item must
+        not pay hundreds of mask-dir GETs at plan time). Cached —
+        partitions() may be invoked more than once per scan."""
+        if self._shipped_cache is None:
+            self._shipped_cache = _ship_positions(
+                self._item_dir,
+                [
+                    e
+                    for e in self._dv_entries
+                    if keep is None or e[0] in keep
+                ],
+                base=self._dv_base,
+            )
+        return self._shipped_cache
 
     def pushFilters(self, filters):
         # keep the picklable Filter dataclasses on self (the arrow
@@ -546,10 +561,11 @@ class PyStoreBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         keep = self._pruned_rels()
+        shipped = self._shipped_for(keep)
         return [
             FilePartition(
                 p, rel=rel, mask_ref=ref,
-                positions=self._shipped.get(rel),
+                positions=shipped.get(rel),
             )
             for p, rel, ref in self._parts
             if keep is None or rel in keep

@@ -167,9 +167,9 @@ def asof_join_banded(
 
     r_on = right_on or on
     bk = "_bandk_asof"
-    clash = {bk, "_bandsrc_asof", "_rl_asof", "_rf_asof"} & (
-        set(left.columns) | set(right.columns)
-    )
+    clash = {
+        bk, "_bandsrc_asof", "_rl_asof", "_rf_asof", "_crow_asof",
+    } & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(
             f"column name(s) {sorted(clash)} collide with "
@@ -229,19 +229,25 @@ def asof_join_banded(
                 F.col(bk).asc(), F.col("_bandsrc_asof").asc()
             ).rowsBetween(1, Window.unboundedFollowing)
         pick = F.last if back else F.first
-        build_only = lambda c: F.when(  # noqa: E731
-            F.col("_bandsrc_asof") == 0, F.col(c)
+        # carry ONE whole row as a struct — per-column picks with
+        # ignorenulls would back-fill a NULL value in the boundary
+        # row from an older band's row, fabricating a row that never
+        # existed (the same rule as one_side's payload pick)
+        payload = F.when(
+            F.col("_bandsrc_asof") == 0,
+            F.struct(*[F.col(c) for c in right.columns]),
         )
-        carried = tagged
-        for c in right.columns:
-            carried = carried.withColumn(
-                f"_c_{c}", pick(build_only(c), ignorenulls=True).over(w)
-            )
+        carried = tagged.withColumn(
+            "_crow_asof", pick(payload, ignorenulls=True).over(w)
+        )
         return (
             carried.filter(F.col("_bandsrc_asof") == 1)
             .select(
                 F.col(bk),
-                *[F.col(f"_c_{c}").alias(c) for c in right.columns],
+                *[
+                    F.col(f"_crow_asof.{c}").alias(c)
+                    for c in right.columns
+                ],
             )
             .filter(F.col(r_on).isNotNull())
         )
@@ -382,12 +388,21 @@ def asof_join(
     build_only = lambda c: F.when(  # noqa: E731
         F.col("_asof_probe") == 0, F.col(c)
     )
+    build_only_struct = lambda s: F.when(  # noqa: E731
+        F.col("_asof_probe") == 0, s
+    )
 
     def one_side(df, back: bool, tag: str):
         """Apply one directional pass, adding `_asof_rt{tag}` and
         `{out}{tag}` matched columns. The tie order at equal _t
         decides exact-match semantics: the build row must fall inside
-        the probe's frame iff exact matches count."""
+        the probe's frame iff exact matches count.
+
+        The matched row is picked as ONE struct, never per column:
+        per-column last/first(..., ignorenulls) would back-fill a
+        NULL value in the matched row from an OLDER row — a synthetic
+        row that never existed (merge_asof carries the matched row's
+        NULLs verbatim)."""
         build_first = back == allow_exact_matches
         tie = (
             F.col("_asof_probe").asc()
@@ -405,15 +420,23 @@ def asof_join(
                 Window.currentRow, Window.unboundedFollowing
             )
             pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-        df = df.withColumn(
-            f"_asof_rt{tag}", pick(build_only("_asof_t")).over(w)
+        payload = F.struct(
+            F.col("_asof_t").alias("_t"),
+            *[
+                F.col(out_names[c]).alias(f"_v{i}")
+                for i, c in enumerate(values)
+            ],
         )
-        for c in values:
+        row = pick(build_only_struct(payload)).over(w)
+        df = df.withColumn(f"_asof_row{tag}", row).withColumn(
+            f"_asof_rt{tag}", F.col(f"_asof_row{tag}._t")
+        )
+        for i, c in enumerate(values):
             df = df.withColumn(
                 f"{out_names[c]}{tag}",
-                pick(build_only(out_names[c])).over(w),
+                F.col(f"_asof_row{tag}._v{i}"),
             )
-        return df
+        return df.drop(f"_asof_row{tag}")
 
     def tol_ok(back: bool, rt):
         if isinstance(tolerance, str):

@@ -661,8 +661,15 @@ def decontaminate_spans(
     """
     bt = bench_text_col or text_col
     t = tokens(text_col)
+    # fixed-length n-grams ONLY (standard n-gram decontamination: a
+    # benchmark doc SHORTER than n tokens contributes nothing —
+    # shingles()'s sub-n whole-doc fallback gram could never equal a
+    # corpus positional n-gram anyway, so drop it explicitly rather
+    # than let it imply short eval strings get scrubbed)
     bench_grams = (
-        bench.select(F.explode(shingles(bt, n)).alias("g")).distinct()
+        bench.select(F.explode(shingles(bt, n)).alias("g"))
+        .filter(F.size(F.split(F.col("g"), " ")) == n)
+        .distinct()
     )
     hits = (
         docs.select(id_col, F.explode(_pos_grams(t, n)).alias("p"))
@@ -670,7 +677,7 @@ def decontaminate_spans(
         .join(F.broadcast(bench_grams), "g")
         .select(id_col, "s")
     )
-    return _cut_spans(docs, hits, id_col, t, n)
+    return _cut_spans(docs, hits, id_col, t, n, text_col)
 
 
 def _pos_grams(tok_col: "Column", n: int) -> "Column":
@@ -692,7 +699,12 @@ def _pos_grams(tok_col: "Column", n: int) -> "Column":
 
 
 def _cut_spans(
-    docs: DataFrame, hits: DataFrame, id_col: str, t: "Column", n: int
+    docs: DataFrame,
+    hits: DataFrame,
+    id_col: str,
+    t: "Column",
+    n: int,
+    text_col: str,
 ) -> DataFrame:
     """Shared span-removal machinery (decontaminate_spans,
     dedup_substrings, dedup_repeats): merge the hit starts ``(id,
@@ -752,9 +764,18 @@ def _cut_spans(
     )
     return joined.withColumn("_kept", kept).select(
         *docs.columns,
-        F.concat_ws(
-            " ", F.transform(F.col("_kept"), lambda p: p["x"])
-        ).alias("cleaned_text"),
+        # zero-hit docs keep their ORIGINAL text byte-identical —
+        # rejoining untouched tokens would destroy newlines/tabs
+        # corpus-wide (and coerce NULL text to ""); only docs that
+        # actually lost a span are whitespace-normalized by the cut
+        F.when(
+            F.col("_n_spans").isNotNull(),
+            F.concat_ws(
+                " ", F.transform(F.col("_kept"), lambda p: p["x"])
+            ),
+        )
+        .otherwise(F.col(text_col))
+        .alias("cleaned_text"),
         F.coalesce(F.col("_n_spans"), F.lit(0).cast("bigint")).alias(
             "n_spans_removed"
         ),
@@ -769,7 +790,6 @@ def split_documents(
     max_tokens: int,
     overlap: int = 0,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Long-document chunking for training — the counterpart of
     :func:`pack_sequences` (that one packs SHORT docs up to a budget;
@@ -794,7 +814,11 @@ def split_documents(
             f"overlap must be in [0, max_tokens); got {overlap}"
         )
     step = max_tokens - overlap
-    t = tokens(text_col)
+    # NULL text → empty token array, not NULL: a NULL slice would
+    # make F.size report -1 chunk tokens and corrupt pack budgets
+    t = F.coalesce(
+        tokens(text_col), F.expr("CAST(array() AS array<string>)")
+    )
     starts = F.when(
         F.size(t) > max_tokens,
         F.sequence(
@@ -858,7 +882,7 @@ def dedup_repeats(
         .filter(F.col("s") > F.col("_s0"))
         .select(id_col, "s")
     )
-    return _cut_spans(docs, hits, id_col, t, k)
+    return _cut_spans(docs, hits, id_col, t, k, text_col)
 
 
 def dedup_substrings(
@@ -904,4 +928,4 @@ def dedup_substrings(
         .filter(F.col(id_col) > F.col("_owner"))
         .select(id_col, "s")
     )
-    return _cut_spans(docs, hits, id_col, t, k)
+    return _cut_spans(docs, hits, id_col, t, k, text_col)

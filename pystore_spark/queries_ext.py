@@ -4849,7 +4849,7 @@ def clone_item_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-grams -> per-gram min-owner -> hits where owner < id -> the
     # same islands/cut/md5 tail as decontam_spans_stats.
     sql=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
     grams AS (
       SELECT doc_id, i - 1 AS s, array_to_string(toks[i:i+7], ' ') AS g
       FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
@@ -4886,7 +4886,8 @@ def clone_item_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
       CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
         AS n_tokens_removed,
-      md5(COALESCE(agg.txt, '')) AS cleaned_md5
+      md5(CASE WHEN nsp.n_spans IS NULL THEN text
+               ELSE COALESCE(agg.txt, '') END) AS cleaned_md5
     FROM t LEFT JOIN nsp USING (doc_id) LEFT JOIN agg USING (doc_id)
     """,
     tags=("text", "dedup", "pipeline"),
@@ -5007,7 +5008,9 @@ def doc_chunks_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
       CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
         AS n_tokens_removed,
-      md5(COALESCE(agg.txt, '')) AS cleaned_md5
+      md5(CASE WHEN nsp.n_spans IS NULL
+               THEN array_to_string(toks, ' ')
+               ELSE COALESCE(agg.txt, '') END) AS cleaned_md5
     FROM t LEFT JOIN nsp USING (doc_id) LEFT JOIN agg USING (doc_id)
     """,
     tags=("text", "dedup", "pipeline"),
@@ -5045,7 +5048,7 @@ def repeat_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-join of the kept tokens; md5 over the cleaned text pins
     # every kept token in every position.
     sql=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents
                WHERE doc_id >= 20),
     bg AS (SELECT DISTINCT unnest({_SHINGLES}) AS g FROM documents
            WHERE doc_id < 20),
@@ -5083,7 +5086,8 @@ def repeat_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
       CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
         AS n_tokens_removed,
-      md5(COALESCE(agg.txt, '')) AS cleaned_md5
+      md5(CASE WHEN nsp.n_spans IS NULL THEN text
+               ELSE COALESCE(agg.txt, '') END) AS cleaned_md5
     FROM t LEFT JOIN nsp USING (doc_id) LEFT JOIN agg USING (doc_id)
     """,
     tags=("text", "contamination", "pipeline"),

@@ -303,3 +303,51 @@ def test_banded_numeric_axis_and_collisions(spark):
             spark.createDataFrame(right),
             on="t", band_seconds=100,
         )
+
+
+@pytest.mark.parametrize("banded", [False, True])
+def test_null_values_in_matched_rows_carry_verbatim(spark, banded):
+    """REGRESSION (round-8 review): per-column last/first picks with
+    ignorenulls used to back-fill a NULL value in the matched row
+    from an OLDER row — fabricating a row that never existed. The
+    matched row must carry its NULLs verbatim, exactly like
+    merge_asof."""
+    from pystore_spark.functions.joins import (
+        asof_join, asof_join_banded,
+    )
+
+    left = pd.DataFrame(
+        {"t": [200_000.0, 15.0], "lv": [1, 2]}
+    )
+    right = pd.DataFrame(
+        {"ts": [10.0, 90_100.0], "px": [1.0, None]}
+    )
+    exp = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("ts"),
+        left_on="t",
+        right_on="ts",
+        direction="backward",
+    ).set_index("lv")["px"]
+    if banded:
+        out = asof_join_banded(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t", right_on="ts",
+            band_seconds=86_400,
+            values=["px"],
+            direction="backward",
+        )
+    else:
+        out = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t", right_on="ts",
+            values=["px"],
+            direction="backward",
+        )
+    got = {r["lv"]: r["px"] for r in out.collect()}
+    # probe at t=200000 matches ts=90100 whose px IS NULL — it must
+    # stay NULL, never back-fill px=1.0 from ts=10
+    assert got[1] is None and pd.isna(exp.loc[1])
+    assert got[2] == 1.0 and exp.loc[2] == 1.0
