@@ -145,6 +145,21 @@ def estimate_pandas_bytes(pdf: pd.DataFrame) -> int:
     return shallow + 48 * n_obj * len(pdf)
 
 
+def concat_live(frames: Sequence[pd.DataFrame | pd.Series],
+                ignore_index: bool = True):
+    """``pd.concat`` excluding empty entries: pandas deprecated letting
+    empty frames participate in result-dtype inference (FutureWarning,
+    behavior flips in a future release) — dropping them up front keeps
+    today's dtypes under both. All-empty returns the first entry."""
+    live = [f for f in frames if len(f)]
+    if not live:
+        return frames[0]
+    if len(live) == 1:
+        out = live[0]
+        return out.reset_index(drop=True) if ignore_index else out
+    return pd.concat(live, ignore_index=ignore_index)
+
+
 def dir_bytes(path: Path) -> int:
     from pystore_spark.fs import fs_for
 
@@ -442,7 +457,7 @@ def merge_arrow(
             )
         return pa.concat_tables([ex, inc], promote_options="permissive")
 
-    comb = pd.concat([ex_k, inc_k], ignore_index=True)
+    comb = concat_live([ex_k, inc_k])
     n_ex = len(ex_k)
     if strategy == "keep_first":
         dup = comb.duplicated(keep="first").to_numpy()
@@ -478,7 +493,7 @@ def merge_pandas(
         incoming = incoming.sort_values(order_col, kind="stable")
 
     if strategy == "keep_all":
-        return pd.concat([existing, incoming], ignore_index=True)
+        return concat_live([existing, incoming])
     if strategy == "error":
         overlap = int(
             incoming.set_index(keys).index.isin(
@@ -490,13 +505,13 @@ def merge_pandas(
                 f"append would create {overlap} duplicate index entries "
                 "(duplicate_handling='error')"
             )
-        return pd.concat([existing, incoming], ignore_index=True)
+        return concat_live([existing, incoming])
     if strategy == "keep_first":
         fresh = incoming.drop_duplicates(subset=keys, keep="first")
         mask = ~fresh.set_index(keys).index.isin(existing.set_index(keys).index)
-        return pd.concat([existing, fresh[mask]], ignore_index=True)
+        return concat_live([existing, fresh[mask]])
     # keep_last
-    merged = pd.concat([existing, incoming], ignore_index=True)
+    merged = concat_live([existing, incoming])
     return merged.drop_duplicates(subset=keys, keep="last")
 
 

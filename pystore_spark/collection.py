@@ -3062,9 +3062,11 @@ class Collection:
         sizes = man.get("sizes") or {}
         shared = 0
         refs = sorted(dvm.dv_refs(man))
+        linked: list[str] = []  # rels created so far, for exact undo
         try:
             for rel in rels:
                 fs.link_or_copy(src_base / rel, dst_dir / rel)
+                linked.append(rel)
                 shared += int(sizes.get(rel, 0))
             # deletion-vector masks: the clone's manifest carries the
             # SAME dv map, so the referenced dirs must exist under the
@@ -3074,6 +3076,7 @@ class Collection:
                     fs.link_or_copy(
                         f, dst_dir / ref / PurePosixPath(f).name
                     )
+                    linked.append(f"{ref}/{PurePosixPath(f).name}")
             # bloom sidecars are keyed by file rel path — identical in
             # the clone, so linking keeps point-lookup pruning warm
             from pystore_spark import bloom as bl
@@ -3084,6 +3087,7 @@ class Collection:
                 fs.link_or_copy(
                     f, dst_dir / bl.BLOOM_DIR / PurePosixPath(f).name
                 )
+                linked.append(f"{bl.BLOOM_DIR}/{PurePosixPath(f).name}")
             meta = dict(man.get("metadata") or {})
             meta["_cloned_from"] = {
                 "item": src,
@@ -3105,9 +3109,38 @@ class Collection:
         except Exception:
             # a failed clone (vacuumed source file mid-link, lost
             # must-not-exist race) must not leave a manifest-less
-            # ghost dir that item_exists() would report as an item
-            if utils.read_manifest(dst_dir) is None:
+            # ghost dir that item_exists() would report as an item —
+            # and when a CONCURRENT writer committed dst mid-link, it
+            # must not leave OUR links orphaned inside that item's
+            # directory: delete exactly the paths this clone created,
+            # minus anything the winning manifest references (a rival
+            # identical clone links the very same rels; deleting them
+            # would corrupt the winner)
+            man2 = utils.read_manifest(dst_dir)
+            if man2 is None:
                 utils.rm_tree(dst_dir)
+            else:
+                owned = set(man2.get("files") or [])
+                dv_dirs = tuple(
+                    f"{r}/" for r in dvm.dv_refs(man2)
+                )
+                same_clone = (
+                    (man2.get("metadata") or {}).get("_cloned_from")
+                    == {
+                        "item": src,
+                        "version": int(man.get("version", 0)),
+                        "snapshot": snapshot,
+                    }
+                )
+                for rel in linked:
+                    if rel in owned or rel.startswith(dv_dirs):
+                        continue
+                    if same_clone:
+                        continue  # winner shares every linked path
+                    try:
+                        fs.delete(dst_dir / rel)
+                    except OSError:
+                        pass
             raise
         self.clear_metadata_cache(dst)
         return {
@@ -4820,6 +4853,24 @@ class Collection:
                 split_overlap,
                 text_col=text_col,
             )
+            # composite id must stay injective: a NULL source id would
+            # silently collapse under concat_ws (it skips NULLs) and a
+            # raw '#' in a source id could collide with a chunk id
+            # (doc '1#0' vs doc '1' chunk 0) — so NULLs raise in-plan
+            # (no extra job) and '#'/'\' escape before the separator
+            sid = F.col(id_col).cast("string")
+            sid = F.when(
+                sid.isNull(),
+                F.raise_error(F.lit(
+                    f"split_max_tokens requires non-NULL {id_col!r} "
+                    "ids (the chunk id composes with them)"
+                )).cast("string"),
+            ).otherwise(
+                F.regexp_replace(
+                    F.regexp_replace(sid, r"\\", r"\\\\"),
+                    "#", r"\\#",
+                )
+            )
             df = chunks.select(
                 *[c for c in df.columns if c != text_col],
                 F.col("chunk_text").alias(text_col),
@@ -4828,7 +4879,7 @@ class Collection:
                 id_col,
                 F.concat_ws(
                     "#",
-                    F.col(id_col).cast("string"),
+                    sid,
                     F.col("chunk_id").cast("string"),
                 ),
             ).drop("chunk_id")
@@ -5590,16 +5641,25 @@ class Collection:
             )
 
         if zorder:
-            from pystore_spark.partition import zorder_value
+            from pystore_spark.partition import zorder_route, zorder_value
 
             n = max(1, int(npartitions)) if npartitions is not None else _size_based_n()
             plan = PartitionPlan("size", npartitions=n)
             zv = zorder_value(df, list(zorder))
+            # deterministic equal-count routing (exact histogram +
+            # hash-preimage router) instead of repartitionByRange's
+            # sampled boundaries: layouts — and therefore pruning
+            # behavior — are reproducible across runs
+            from pystore_spark.partition import ZORDER_BITS
+
+            routed, route_col = zorder_route(
+                df.withColumn("_zv", zv), F.col("_zv"), n,
+                z_bits=ZORDER_BITS * len(zorder),
+            )
             shaped = (
-                df.withColumn("_zv", zv)
-                .repartitionByRange(n, F.col("_zv"))
+                routed.repartition(n, F.col(route_col))
                 .sortWithinPartitions("_zv")
-                .drop("_zv")
+                .drop("_zv", route_col)
             )
             strategy = "zorder"
             sidecar["_zorder_columns"] = list(zorder)

@@ -50,6 +50,16 @@ DV_FOLD_MASKED_FRACTION = float(
     os.environ.get("PYSTORE_SPARK_DV_FOLD_MASKED_FRACTION", 0.30)
 )
 
+# dedup_substrings hot-gram split point: a gram occurring in more rows
+# than this is boilerplate-hot — its (gram → first-owner) row is
+# broadcast so the hot key never shuffles, while cold keys keep the
+# plain gram-keyed join with per-key rows bounded by this cap
+# (functions/text.dedup_substrings). The hot set is ≤ total_grams/cap
+# rows by construction.
+SUBSTRING_HOT_GRAM_ROWS = int(
+    os.environ.get("PYSTORE_SPARK_SUBSTRING_HOT_GRAM_ROWS", 262_144)
+)
+
 _path: str | None = None
 
 

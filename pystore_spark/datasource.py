@@ -486,17 +486,24 @@ class PyStoreBatchReader(DataSourceReader):
             (rel, e.get("ref"), int(e.get("n", 0)))
             for rel, e in dv.items()
         ]
-        self._shipped_cache: dict | None = None
+        self._shipped_cache: dict[
+            "frozenset[str] | None", dict
+        ] = {}
         self._pushed: list = []
 
     def _shipped_for(self, keep: "set[str] | None") -> dict:
         """Driver-side dv-position shipping, AFTER file pruning:
         masks are fetched only for the masked files the scan will
         actually read (a pruned one-day read of a 10k-file item must
-        not pay hundreds of mask-dir GETs at plan time). Cached —
-        partitions() may be invoked more than once per scan."""
-        if self._shipped_cache is None:
-            self._shipped_cache = _ship_positions(
+        not pay hundreds of mask-dir GETs at plan time). Cached BY
+        keep-set — partitions() may be invoked more than once per
+        scan, and a re-plan with a different pruning outcome must not
+        reuse a narrower fetch (a stale cache would omit masks for
+        files that now survive, resurrecting dv-deleted rows)."""
+        key = None if keep is None else frozenset(keep)
+        hit = self._shipped_cache.get(key)
+        if hit is None:
+            hit = self._shipped_cache[key] = _ship_positions(
                 self._item_dir,
                 [
                     e
@@ -505,7 +512,7 @@ class PyStoreBatchReader(DataSourceReader):
                 ],
                 base=self._dv_base,
             )
-        return self._shipped_cache
+        return hit
 
     def pushFilters(self, filters):
         # keep the picklable Filter dataclasses on self (the arrow

@@ -658,6 +658,9 @@ def decontaminate_spans(
 
     Islands merge on token positions, so two hits sharing even one
     token collapse into one removed span.
+
+    PRECONDITION: ``id_col`` unique across ``docs`` (see _cut_spans —
+    duplicated ids would fan out and cross-apply spans).
     """
     bt = bench_text_col or text_col
     t = tokens(text_col)
@@ -715,7 +718,14 @@ def _cut_spans(
     back onto the docs — it is hit-doc-sized, so AQE broadcasts it
     while small; a corpus where MOST docs carry hits pays one honest
     doc-keyed join shuffle. Returns the docs' columns +
-    ``cleaned_text``/``n_spans_removed``/``n_tokens_removed``."""
+    ``cleaned_text``/``n_spans_removed``/``n_tokens_removed``.
+
+    PRECONDITION: ``id_col`` values must be UNIQUE across ``docs``
+    (the standard documents-table contract). A duplicated id fans out
+    in the spans join and applies one row's spans to every same-id
+    row; dedup_substrings' min-owner ordering likewise assumes a
+    total order on ids. Callers' docstrings state this; tests assert
+    it on the fixture tables (count == count_distinct)."""
     from pyspark.sql import Window
 
     w_prev = (
@@ -869,7 +879,10 @@ def dedup_repeats(
     position is a ``min(s)`` window over ``(id, gram)`` — doc-keyed,
     so the shuffle is the SAME doc-keyed exchange the span merge
     needs (one sort extends it); cutting is the shared in-row
-    machinery. No cross-doc join at all."""
+    machinery. No cross-doc join at all.
+
+    PRECONDITION: ``id_col`` unique across ``docs`` (see _cut_spans —
+    duplicated ids would fan out and cross-apply spans)."""
     from pyspark.sql import Window
 
     t = tokens(text_col)
@@ -890,6 +903,7 @@ def dedup_substrings(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 20,
+    hot_gram_rows: int | None = None,
 ) -> DataFrame:
     """WITHIN-corpus exact substring dedup (the Lee et al.
     "Deduplicating Training Data Makes Language Models Better"
@@ -911,21 +925,50 @@ def dedup_substrings(
       cost class as the MinHash shingle pass;
     * the per-gram first owner is a map-side-combinable ``min(id)``;
       a window is a hit iff its gram's owner id < its own doc id, so
-      the ownership join is gram-keyed (no skew beyond gram
-      frequency; a pathological hot gram is a boilerplate string that
-      SHOULD be cut everywhere but its owner);
+      the ownership join is gram-keyed;
+    * **hot-gram skew guard**: a boilerplate gram present in millions
+      of docs would land one reducer in a plain gram-keyed join, so
+      the census also counts occurrences and splits at
+      ``hot_gram_rows`` (default ``config.SUBSTRING_HOT_GRAM_ROWS``):
+      hot grams' (gram → owner) rows — at most ``total/cap`` of them
+      by construction — BROADCAST, so hot keys never shuffle at all
+      (their hits resolve map-side, and a broadcast anti-join keeps
+      them out of the cold exchange); cold keys keep the shuffle join
+      with per-key rows bounded by the cap;
     * span merge + cutting reuse the decontamination machinery: one
       doc-keyed shuffle of the HIT rows, in-row token dropping, no
       Python anywhere.
+
+    PRECONDITION: ``id_col`` unique and totally ordered across
+    ``docs`` (see _cut_spans; min-owner semantics need it).
     """
+    from pystore_spark import config
+
+    cap = int(
+        hot_gram_rows
+        if hot_gram_rows is not None
+        else config.SUBSTRING_HOT_GRAM_ROWS
+    )
     t = tokens(text_col)
     grams = docs.select(
         F.col(id_col), F.explode(_pos_grams(t, k)).alias("p")
     ).select(id_col, F.col("p.s").alias("s"), F.col("p.g").alias("g"))
-    owners = grams.groupBy("g").agg(F.min(id_col).alias("_owner"))
-    hits = (
-        grams.join(owners, "g")
+    owners = grams.groupBy("g").agg(
+        F.min(id_col).alias("_owner"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    hot = owners.filter(F.col("_cnt") > cap).select("g", "_owner")
+    cold = owners.filter(F.col("_cnt") <= cap).select("g", "_owner")
+    hits_hot = (
+        grams.join(F.broadcast(hot), "g")
         .filter(F.col(id_col) > F.col("_owner"))
         .select(id_col, "s")
     )
+    hits_cold = (
+        grams.join(F.broadcast(hot.select("g")), "g", "left_anti")
+        .join(cold, "g")
+        .filter(F.col(id_col) > F.col("_owner"))
+        .select(id_col, "s")
+    )
+    hits = hits_cold.unionByName(hits_hot)
     return _cut_spans(docs, hits, id_col, t, k, text_col)

@@ -400,3 +400,92 @@ def zorder_value(
                 ).cast("long")
             )
     return z
+
+
+def exact_route_ids(spark, n: int) -> list[int]:
+    """``n`` long values ``r_0..r_{n-1}`` with
+    ``pmod(murmur3_hash(r_p), n) == p`` — hash-preimages that make
+    ``df.repartition(n, route_col)`` an EXACT router: a row carrying
+    ``r_p`` lands in Spark partition ``p``, no collisions, no sampling.
+
+    Spark's hash partitioning is ``pmod(hash(expr), n)``; the preimages
+    are found by evaluating ``F.hash`` over a small candidate range
+    (one tiny job, ≤ a few·n rows — negligible on the offline
+    compaction path that uses this). Deterministic: murmur3 is seeded
+    constant in Spark, candidates scan ascending.
+    """
+    routes: dict[int, int] = {}
+    lo = 0
+    while len(routes) < n:
+        hi = lo + max(64, 8 * n)
+        rows = (
+            spark.range(lo, hi)
+            .select(
+                F.col("id"),
+                F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"),
+            )
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: r["id"]):
+            routes.setdefault(int(r["p"]), int(r["id"]))
+        lo = hi
+    return [routes[p] for p in range(n)]
+
+
+def zorder_route(
+    df: DataFrame, zv: Column, n: int, z_bits: int = 63
+) -> tuple[DataFrame, str]:
+    """Deterministic equal-count routing of rows into ``n`` z-ordered
+    output partitions. Returns ``(df_with_route_col, route_col_name)``.
+
+    Replaces ``repartitionByRange(n, zv)``, whose reservoir boundary
+    sampling makes file boundaries vary run-to-run (a flaky layout is
+    a flaky pruning guarantee). Here the boundaries come from an EXACT
+    histogram of the z-value's high bits:
+
+    1. one aggregation ``groupBy(zv >> shift).count()`` — granule
+       count bounded at ``max(4096, 16·n)`` (driver-collected; a few
+       MB even at 100k output files);
+    2. driver-side cumulative walk assigns each granule a bucket
+       0..n-1 at equal row share (deterministic: granules ascending);
+    3. the granule→bucket map broadcast-joins back (O(1)/row), and the
+       bucket id maps through :func:`exact_route_ids` so the final
+       ``repartition(n, route)`` places bucket *b* in partition *b*
+       exactly.
+
+    Every step is a pure function of the data — layouts are
+    reproducible across runs and machines.
+    """
+    spark = df.sparkSession
+    # granule = high bits of the z-value; resolution scales with n so
+    # boundaries can always split finely enough
+    target_granules = max(4096, 16 * n)
+    shift = 0
+    max_z_bits = max(1, min(63, z_bits))
+    while (1 << (max_z_bits - shift)) > target_granules and shift < max_z_bits:
+        shift += 1
+    g = F.shiftright(zv, shift).alias("_zg")
+    hist = sorted(
+        (int(r["_zg"]), int(r["count"]))
+        for r in df.select(g).groupBy("_zg").count().collect()
+    )
+    total = sum(c for _, c in hist) or 1
+    routes = exact_route_ids(spark, n)
+    mapping = []
+    cum = 0
+    for gv, c in hist:
+        bucket = min(n - 1, int(cum * n // total))
+        mapping.append((gv, routes[bucket]))
+        cum += c
+    map_df = spark.createDataFrame(
+        mapping, T.StructType([
+            T.StructField("_zg", T.LongType()),
+            T.StructField("_zroute", T.LongType()),
+        ])
+    )
+    out = df.withColumn("_zg", F.shiftright(zv, shift)).join(
+        F.broadcast(map_df), "_zg", "left"
+    ).drop("_zg").withColumn(
+        "_zroute", F.coalesce(F.col("_zroute"), F.lit(routes[0]))
+    )
+    return out, "_zroute"

@@ -140,7 +140,10 @@ class BatchTransaction(Transaction):
                 frames = [c[0] for c in chunks]
                 kwargs = chunks[0][1]
                 if all(isinstance(f, pd.DataFrame) for f in frames):
-                    data = pd.concat(frames)
+                    # empties excluded: their participation in concat
+                    # dtype inference is deprecated (FutureWarning)
+                    live = [f for f in frames if len(f)] or frames[:1]
+                    data = pd.concat(live) if len(live) > 1 else live[0]
                 else:
                     data = frames[0]
                     for f in frames[1:]:

@@ -916,3 +916,34 @@ def test_split_documents_hand_cases(spark):
 
     with _pytest.raises(ValueError):
         split_documents(docs2, max_tokens=4, overlap=4)
+
+
+def test_dedup_substrings_hot_gram_guard(spark):
+    """Hot-gram skew guard: with a boilerplate k-gram present in many
+    docs and the cap forced low, (a) results are identical to the
+    all-cold formulation, (b) the executed plan resolves hot keys via
+    BroadcastHashJoin — the hot gram never rides a gram-keyed
+    exchange (the one reducer that would melt at 100 TB)."""
+    from pystore_spark.functions.text import dedup_substrings
+
+    boiler = "all rights reserved by the original author entirely"
+    rows = [(1, f"{boiler} owner body one")] + [
+        (i, f"doc {i} unique words here {boiler}")
+        for i in range(2, 42)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = dedup_substrings(docs, k=8, hot_gram_rows=5)
+    plain = dedup_substrings(docs, k=8, hot_gram_rows=10_000_000)
+    g = {r["doc_id"]: r for r in guarded.collect()}
+    p = {r["doc_id"]: r for r in plain.collect()}
+    assert set(g) == set(p)
+    for i in g:
+        assert g[i]["cleaned_text"] == p[i]["cleaned_text"]
+        assert g[i]["n_spans_removed"] == p[i]["n_spans_removed"]
+    # owner keeps the boilerplate; every later doc loses it
+    assert boiler in g[1]["cleaned_text"]
+    assert all(boiler not in g[i]["cleaned_text"] for i in range(2, 42))
+
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -470,3 +470,37 @@ def test_export_splits_long_documents(test_collection, spark):
     assert by["2#0"] == "short doc only five tokens"
     # packing counted CHUNK tokens (all <= budget)
     assert (out["n_tokens"] <= 40).all()
+
+
+def test_export_split_composite_ids_are_injective(test_collection):
+    """A source id containing '#' must not collide with another doc's
+    chunk id (doc '1#0' vs doc '1' chunk 0): '#'/'\\' escape before
+    the separator joins, and NULL ids raise instead of silently
+    collapsing to the bare chunk number (concat_ws skips NULLs)."""
+    import pandas as pd
+    import pytest
+
+    c = test_collection
+    long_text = " ".join(f"w{i}" for i in range(50))
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["1", "1#0"],
+            "text": [long_text, "short doc"],
+        }
+    )
+    c.write("corpus2", docs, index_col="doc_id")
+    c.export_training_shards(
+        "sh2", "corpus2", n_shards=1, split_max_tokens=40,
+    )
+    out = c.item("sh2").data.toPandas()
+    assert len(out) == len(set(out["doc_id"])) == 3
+    # doc '1' chunk 0 and doc '1#0' chunk 0 stay distinct
+    assert "1#0" in set(out["doc_id"])          # doc '1', chunk 0
+    assert "1\\#0#0" in set(out["doc_id"])      # doc '1#0', chunk 0
+
+    nulls = pd.DataFrame({"doc_id": [None], "text": ["x y z"]})
+    c.write("corpus3", nulls, index_col="doc_id")
+    with pytest.raises(Exception, match="non-NULL"):
+        c.export_training_shards(
+            "sh3", "corpus3", n_shards=1, split_max_tokens=4,
+        )

@@ -87,17 +87,26 @@ def test_flatten_handles_timedelta_and_category(old_keys, new_keys):
     assert isinstance(restored["per"].dtype, pd.PeriodDtype)
 
 
+def _concat(frames):
+    # exclude empty entries: pandas deprecated their participation in
+    # result-dtype inference (FutureWarning → behavior change)
+    live = [f for f in frames if len(f)]
+    if not live:
+        return frames[0]
+    return pd.concat(live) if len(live) > 1 else live[0]
+
+
 def _reference_merge(existing: pd.DataFrame, incoming: pd.DataFrame,
                      strategy: str) -> pd.DataFrame:
     """pandas model of merge semantics (the reference's spec)."""
     if strategy == "keep_all":
-        return pd.concat([existing, incoming])
+        return _concat([existing, incoming])
     if strategy == "keep_first":
         inc = incoming[~incoming.index.duplicated(keep="first")]
         inc = inc[~inc.index.isin(existing.index)]
-        return pd.concat([existing, inc])
+        return _concat([existing, inc])
     # keep_last
-    merged = pd.concat([existing, incoming])
+    merged = _concat([existing, incoming])
     return merged[~merged.index.duplicated(keep="last")]
 
 

@@ -546,3 +546,58 @@ class TestCloneItem:
         rep = c.clone_item("srcf", "ghost")
         assert rep["files_linked"] >= 1
         assert c.item("ghost").data.count() == 200
+
+    def test_clone_loser_removes_links_from_winner_dir(
+        self, test_collection, monkeypatch
+    ):
+        """A concurrent writer that commits dst between the clone's
+        link phase and its must-not-exist manifest CAS wins; the
+        losing clone must remove exactly the files IT linked — not
+        leave them orphaned inside the winner's directory, and not
+        touch anything the winner's manifest references."""
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+
+        from pystore_spark import utils
+        from pystore_spark.exceptions import ConcurrentCommitError
+
+        c = test_collection
+        df = pd.DataFrame(
+            {"v": np.arange(300, dtype="float64")},
+            index=pd.date_range("2023-01-01", periods=300, freq="min"),
+        )
+        c.write("srcw", df)
+        src_rels = set(
+            utils.read_manifest(c._item_path("srcw"))["files"]
+        )
+
+        winner = pd.DataFrame(
+            {"w": [1.0, 2.0]},
+            index=pd.date_range("2030-01-01", periods=2),
+        )
+        real = type(c.fs).link_or_copy
+        fired = {"done": False}
+
+        def hijack(self, s, d):
+            real(self, s, d)
+            if not fired["done"]:
+                fired["done"] = True
+                # the concurrent winner (overwrite: the clone's
+                # partial link dir makes item_exists true already)
+                c.write("race", winner, overwrite=True)
+
+        monkeypatch.setattr(type(c.fs), "link_or_copy", hijack)
+        with _pytest.raises(ConcurrentCommitError):
+            c.clone_item("srcw", "race")
+        monkeypatch.undo()
+
+        # winner intact and readable
+        out = c.item("race").to_pandas()
+        assert list(out["w"]) == [1.0, 2.0]
+        # none of the clone's linked rels remain in the winner's dir
+        dst = c._item_path("race")
+        leftovers = {
+            rel for rel in src_rels if (dst / rel).exists()
+        }
+        assert leftovers == set()

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from pystore_spark import manifest as mf, utils
 
@@ -320,3 +321,38 @@ def test_scan_report_quantifies_zorder_payoff(test_collection):
     out = it.to_pandas()
     assert ((out["x"] >= 100) & (out["x"] < 200)).all()
     assert ((out["y"] >= 400) & (out["y"] < 500)).all()
+
+
+def test_zorder_layout_is_deterministic(test_collection):
+    """Same data → byte-identical file boundaries on every run: the
+    router derives boundaries from an exact histogram + hash-preimage
+    routing (partition.zorder_route), not sampled range exchange —
+    so the pruning guarantees above cannot flake under machine load."""
+    data = _grid_data(8_000)
+    test_collection.write("a", data)
+    test_collection.write("b", data)
+    for it in ("a", "b"):
+        test_collection.rebalance_partitions(it, zorder=["x", "y"], npartitions=8)
+    ra = sorted(_file_ranges(test_collection, "a", "x"))
+    rb = sorted(_file_ranges(test_collection, "b", "x"))
+    assert ra == rb
+    # and re-running the rewrite on the same item reproduces it too
+    test_collection.rebalance_partitions("a", zorder=["x", "y"], npartitions=8)
+    assert sorted(_file_ranges(test_collection, "a", "x")) == ra
+
+
+def test_exact_route_ids_are_exact():
+    from pyspark.sql import SparkSession
+
+    from pystore_spark.partition import exact_route_ids
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    for n in (1, 2, 7, 16):
+        ids = exact_route_ids(spark, n)
+        assert len(ids) == n
+        got = (
+            spark.createDataFrame([(i,) for i in ids], "r long")
+            .select(F.pmod(F.hash("r"), F.lit(n)).alias("p"), "r")
+            .collect()
+        )
+        assert sorted(int(r["p"]) for r in got) == list(range(n))
