@@ -366,6 +366,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # session-accumulation probe (round-9 drift root-cause): re-time
+    # three of the EARLIEST queries after the whole pass. If the same
+    # plan in the same session is now slower, time-in-session (JVM
+    # heap/GC, accumulated listener state at stage ~1000) is degrading
+    # the numbers; if it re-times flat, a round-over-round drift is
+    # host noise or a real plan change, not session aging.
+    drift: dict[str, float] = {}
+    for name in ("scan_filter_pushdown", "dedup_anti_join",
+                 "revenue_by_nation"):
+        spec = QUERIES.get(name)
+        if spec is None or name not in timings:
+            continue
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = spec.spark_fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        drift[name] = round(best / timings[name], 3)
+
     timings["storage_write_append_read"] = round(
         _storage_bench(spark, sf_dir), 4
     )
@@ -393,6 +413,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "regressions": regressions,
                 "regressions_vs": prev_artifact,
+                "session_drift_retime": drift,
                 "baseline": {
                     "engine": "pandas_pyarrow_singlenode",
                     "note": (

@@ -3163,6 +3163,7 @@ class Collection:
         for key, role in (
             ("_dedup_index", "dedup_index"),
             ("_line_index", "line_index"),
+            ("_substring_index", "substring_index"),
             ("_vector_index", "vector_index"),
             ("_matview", "matview"),
             ("_rollup", "rollup"),
@@ -4263,6 +4264,48 @@ class Collection:
 
         return LI.refresh_line_index(self, index_item)
 
+    def build_substring_index(
+        self,
+        index_item: str,
+        source,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 20,
+        overwrite: bool = False,
+    ) -> dict:
+        """Materialize the corpus ``k``-token gram census (one row per
+        distinct gram, md5-keyed, prefix-zonemapped) so later ingests
+        cut corpus-duplicated passages from incoming documents in
+        O(batch) — exact substring dedup ACROSS TIME
+        (substring_index.py; the Lee-et-al operator's LSM sibling of
+        :meth:`build_line_index`)."""
+        from pystore_spark import substring_index as SI
+
+        return SI.build_substring_index(
+            self, index_item, source, text_col=text_col,
+            id_col=id_col, k=k, overwrite=overwrite,
+        )
+
+    def dedup_substrings_incremental(
+        self, index_item: str, df: DataFrame, update_index: bool = True
+    ) -> "tuple[DataFrame, dict]":
+        """Cut every ``k``-token window the stored census owns (plus
+        batch-internal lower-id duplicates) from the incoming frame,
+        registering the batch's new grams in the delta tier — see
+        substring_index.py."""
+        from pystore_spark import substring_index as SI
+
+        return SI.dedup_substrings_incremental(
+            self, index_item, df, update_index=update_index
+        )
+
+    def refresh_substring_index(self, index_item: str) -> dict:
+        """Fold the gram census's delta tier into the sorted base
+        (LSM merge; also runs via :meth:`maintain`)."""
+        from pystore_spark import substring_index as SI
+
+        return SI.refresh_substring_index(self, index_item)
+
     def verify_index(
         self, item, index_item: str, deep: bool = False
     ) -> dict:
@@ -4298,6 +4341,10 @@ class Collection:
             return DI.verify_index(self, item, index_item)
         if meta.get(LI.META_KEY):
             return LI.verify_index(self, item, index_item, deep=deep)
+        from pystore_spark import substring_index as SI
+
+        if meta.get(SI.META_KEY):
+            return SI.verify_index(self, item, index_item, deep=deep)
         vx = meta.get("_vector_index")
         if vx:
             idc = vx["id_col"]
@@ -4373,6 +4420,10 @@ class Collection:
             return DI.repair_index(self, item, index_item)
         if meta.get(LI.META_KEY):
             return LI.repair_index(self, item, index_item)
+        from pystore_spark import substring_index as SI
+
+        if meta.get(SI.META_KEY):
+            return SI.repair_index(self, item, index_item)
         vx = meta.get("_vector_index")
         if vx:
             idc = vx["id_col"]
@@ -4430,6 +4481,7 @@ class Collection:
         pipeline: Any = None,
         dedup_index: str | None = None,
         line_index: str | None = None,
+        substring_index: str | None = None,
         within_batch: bool = False,
         create_missing: bool = True,
         record_funnel: bool = True,
@@ -4471,6 +4523,16 @@ class Collection:
           ownership resolves AFTER the probe, among survivors only —
           resolving it first could hand a shared line to a doc the
           probe then drops, losing the line from the corpus entirely.
+        * ``substring_index`` — name of a gram census built with
+          :meth:`build_substring_index`; when set, every ``k``-token
+          passage the stored corpus owns is cut from the incoming
+          docs (plus batch-internal lower-id duplicates — exact
+          substring dedup ACROSS ingests, O(batch), see
+          substring_index.py), and the batch's new grams register in
+          the census delta AFTER the append succeeds, re-censused
+          from survivors' stored text when the doc probe drops rows.
+          Mutually exclusive with ``line_index`` in one ingest (both
+          rewrite text; run spans first, lines in a second ingest).
         * ``record_funnel=True`` (default) executes the pipeline via
           :meth:`CurationPipeline.run` — every shuffling stage runs
           ONCE with its output checkpointed, and the counts come from
@@ -4528,6 +4590,31 @@ class Collection:
             )
             if record_funnel:
                 funnel_rows = [("input", n_in)]
+
+        sub_report: dict | None = None
+        if substring_index is not None:
+            if line_index is not None:
+                raise ValueError(
+                    "substring_index and line_index are both "
+                    "text-surgery censuses; combine them across two "
+                    "ingests (spans first, then lines) so each "
+                    "census registers exactly its stored bytes"
+                )
+            from pystore_spark import substring_index as SI
+
+            # corpus-duplicated passages are cut BEFORE the doc probe
+            # (the doc is judged on its novel remainder — the same C4
+            # posture as the line census); registration is DEFERRED
+            # until after the append and recomputed from survivors'
+            # stored text when the probe drops docs, so the census
+            # only ever owns stored bytes
+            curated, sub_report = SI.dedup_substrings_incremental(
+                self, substring_index, curated, update_index=False
+            )
+            if record_funnel:
+                funnel_rows.append(
+                    (f"substring_index:{substring_index}", n_curated)
+                )
 
         line_report: dict | None = None
         pending_lines = None
@@ -4703,19 +4790,70 @@ class Collection:
                 self, line_index, pending_lines, marker=replay_marker
             )
 
+        if sub_report is not None:
+            from pystore_spark import substring_index as SI
+
+            pending_grams = sub_report.pop("_new_census", None)
+            dropped = (
+                rep.get("dropped_ids")
+                if dedup_index is not None
+                else None
+            ) or []
+            if dropped:
+                # re-census from survivors' stored text: grams owned
+                # solely by probe-dropped docs must never register (a
+                # census gram carried by no stored document silently
+                # strips novel content from every future batch)
+                meta_si = SI._index_meta(self, substring_index)
+                surv = curated.filter(
+                    ~F.col(meta_si["id_col"]).isin(dropped)
+                )
+                pending_grams = (
+                    SI._census(
+                        surv, meta_si["text_col"],
+                        meta_si["id_col"], int(meta_si["k"]),
+                    )
+                    .join(
+                        SI._stored_grams(
+                            self, substring_index, meta_si
+                        ),
+                        on="gh", how="left_anti",
+                    )
+                    .select(
+                        F.current_timestamp().alias("added_at"),
+                        "ghp", "gh", "owner",
+                    )
+                )
+                sub_report["n_new_grams"] = pending_grams.count()
+            if pending_grams is not None:
+                # strictly AFTER the successful append
+                SI.register_new_grams(
+                    self, substring_index, pending_grams,
+                    marker=replay_marker,
+                )
+
         # the ingest target joins each active index's recorded corpus
         # scope (cross-item verify/repair; idempotent no-op when
         # already recorded — append_with_dedup registers on the
         # single-call path, this covers the decomposed + line paths)
-        if dedup_index is not None or line_index is not None:
+        if (
+            dedup_index is not None
+            or line_index is not None
+            or substring_index is not None
+        ):
             from pystore_spark import dedup_index as DI
             from pystore_spark import line_index as LI
+            from pystore_spark import substring_index as SI
 
             if dedup_index is not None:
                 DI._register_source_item(self, dedup_index, item)
             if line_index is not None:
                 DI._register_source_item(
                     self, line_index, item, meta_key=LI.META_KEY
+                )
+            if substring_index is not None:
+                DI._register_source_item(
+                    self, substring_index, item, meta_key=SI.META_KEY
                 )
 
         # insertion-ordered stage list; a repeated stage name gets a
@@ -4736,6 +4874,8 @@ class Collection:
         }
         if line_report is not None:
             report["line_index"] = line_report
+        if sub_report is not None:
+            report["substring_index"] = sub_report
         if record_funnel and not data_committed:
             last = {
                 k: v for k, v in report.items() if k != "funnel"
@@ -5470,6 +5610,15 @@ class Collection:
                         res["line_index"] = self.refresh_line_index(n)
                 except Exception as exc:
                     res["line_index_error"] = str(exc)
+                from pystore_spark import substring_index as SI
+
+                try:
+                    if (self.get_item_metadata(n) or {}).get(SI.META_KEY):
+                        res["substring_index"] = (
+                            self.refresh_substring_index(n)
+                        )
+                except Exception as exc:
+                    res["substring_index_error"] = str(exc)
             if refresh_vector_indexes:
                 try:
                     if (self.get_item_metadata(n) or {}).get(
@@ -5486,6 +5635,7 @@ class Collection:
                     scoped = (
                         nm.get("_dedup_index")
                         or nm.get("_line_index")
+                        or nm.get("_substring_index")
                         or nm.get("_vector_index")
                     )
                     if scoped:

@@ -3398,6 +3398,171 @@ def incremental_line_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_index_probe",
+    # Mirrors the PERSISTENT GRAM-CENSUS append path end to end
+    # (substring_index.py — the Lee-et-al operator made incremental).
+    # Census algebra the oracle replays: census0 = the stored corpus'
+    # distinct 8-grams; a batch window is cut iff its gram is in the
+    # census OR a lower-id batch doc carries it (both hit sets merge
+    # and cut ONCE — the batch-operator union semantics); the census
+    # then grows by the batch's CLEANED-text grams (census ⊆ stored
+    # bytes), so batch 2 loses passages batch 1 registered. Cleaned
+    # text is md5-pinned; zero-hit docs stay byte-identical.
+    sql=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    c0 AS (
+      SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+      FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+      WHERE doc_id % 2 = 0),
+    b1 AS (SELECT doc_id, text, toks FROM t WHERE doc_id % 4 = 1),
+    g1 AS (
+      SELECT doc_id, i - 1 AS s, array_to_string(toks[i:i+7], ' ') AS g
+      FROM b1, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+    own1 AS (SELECT g, MIN(doc_id) AS own FROM g1 GROUP BY g),
+    h1 AS (SELECT g1.doc_id, s FROM g1 JOIN own1 USING (g)
+           WHERE g1.doc_id > own1.own
+              OR g IN (SELECT g FROM c0)),
+    brk1 AS (
+      SELECT doc_id, s,
+        CASE WHEN s > COALESCE(MAX(s + 8) OVER (
+            PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS b
+      FROM h1),
+    isl1 AS (SELECT doc_id, s, SUM(b) OVER (
+        PARTITION BY doc_id ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM brk1),
+    sp1 AS (SELECT doc_id, MIN(s) AS s, MAX(s) + 8 AS e
+            FROM isl1 GROUP BY doc_id, island),
+    ti1 AS (SELECT doc_id, i - 1 AS i, toks[i] AS x
+            FROM b1, unnest(generate_series(1, len(toks))) AS u(i)),
+    rm1 AS (SELECT DISTINCT ti.doc_id, ti.i FROM ti1 ti
+            JOIN sp1 sp ON sp.doc_id = ti.doc_id
+                       AND ti.i >= sp.s AND ti.i < sp.e),
+    k1 AS (SELECT ti.doc_id, ti.i, ti.x FROM ti1 ti
+           LEFT JOIN rm1 r ON r.doc_id = ti.doc_id AND r.i = ti.i
+           WHERE r.i IS NULL),
+    agg1 AS (SELECT doc_id, string_agg(x, ' ' ORDER BY i) AS txt,
+                    COUNT(*) AS n_kept FROM k1 GROUP BY doc_id),
+    c1t AS (SELECT doc_id, array_agg(x ORDER BY i) AS toks
+            FROM k1 GROUP BY doc_id),
+    c1new AS (
+      SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+      FROM c1t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+    c1 AS (SELECT g FROM c0 UNION SELECT g FROM c1new),
+    b2 AS (SELECT doc_id, text, toks FROM t WHERE doc_id % 4 = 3),
+    g2 AS (
+      SELECT doc_id, i - 1 AS s, array_to_string(toks[i:i+7], ' ') AS g
+      FROM b2, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+    own2 AS (SELECT g, MIN(doc_id) AS own FROM g2 GROUP BY g),
+    h2 AS (SELECT g2.doc_id, s FROM g2 JOIN own2 USING (g)
+           WHERE g2.doc_id > own2.own
+              OR g IN (SELECT g FROM c1)),
+    brk2 AS (
+      SELECT doc_id, s,
+        CASE WHEN s > COALESCE(MAX(s + 8) OVER (
+            PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS b
+      FROM h2),
+    isl2 AS (SELECT doc_id, s, SUM(b) OVER (
+        PARTITION BY doc_id ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM brk2),
+    sp2 AS (SELECT doc_id, MIN(s) AS s, MAX(s) + 8 AS e
+            FROM isl2 GROUP BY doc_id, island),
+    ti2 AS (SELECT doc_id, i - 1 AS i, toks[i] AS x
+            FROM b2, unnest(generate_series(1, len(toks))) AS u(i)),
+    rm2 AS (SELECT DISTINCT ti.doc_id, ti.i FROM ti2 ti
+            JOIN sp2 sp ON sp.doc_id = ti.doc_id
+                       AND ti.i >= sp.s AND ti.i < sp.e),
+    k2 AS (SELECT ti.doc_id, ti.i, ti.x FROM ti2 ti
+           LEFT JOIN rm2 r ON r.doc_id = ti.doc_id AND r.i = ti.i
+           WHERE r.i IS NULL),
+    agg2 AS (SELECT doc_id, string_agg(x, ' ' ORDER BY i) AS txt,
+                    COUNT(*) AS n_kept FROM k2 GROUP BY doc_id)
+    SELECT b.doc_id,
+      CAST(len(b.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+        AS n_tokens_removed,
+      md5(CASE WHEN ns.doc_id IS NULL THEN b.text
+               ELSE COALESCE(a.txt, '') END) AS cleaned_md5
+    FROM b1 b LEFT JOIN agg1 a USING (doc_id)
+    LEFT JOIN (SELECT DISTINCT doc_id FROM sp1) ns USING (doc_id)
+    UNION ALL
+    SELECT b.doc_id,
+      CAST(len(b.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+        AS n_tokens_removed,
+      md5(CASE WHEN ns.doc_id IS NULL THEN b.text
+               ELSE COALESCE(a.txt, '') END) AS cleaned_md5
+    FROM b2 b LEFT JOIN agg2 a USING (doc_id)
+    LEFT JOIN (SELECT DISTINCT doc_id FROM sp2) ns USING (doc_id)
+    """,
+    tags=("dedup", "text", "pipeline", "storage", "incremental"),
+)
+def substring_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end INCREMENTAL exact substring dedup through REAL
+    storage: write the even-id half of `documents` as a corpus item,
+    build the persistent gram census (Collection.build_substring_index,
+    k=8), then run the odd-id half through
+    Collection.dedup_substrings_incremental in two sequential batches —
+    each batch loses every ≥8-token passage the census owns (including
+    passages batch 1 just registered in the delta tier) plus batch-
+    internal lower-id duplicates, all in O(batch) instead of the
+    O(corpus) gram re-shuffle the batch operator pays
+    (substring_index.py; the substring sibling of
+    incremental_line_probe). Emits per incoming doc the removed token
+    count and the md5 of the cleaned text."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = doc.filter(F.col("doc_id") % 2 == 0)
+    batches = [
+        doc.filter(F.col("doc_id") % 4 == 1),
+        doc.filter(F.col("doc_id") % 4 == 3),
+    ]
+    tmp = tempfile.mkdtemp(prefix="ps_substr_probe_")
+    old_path = cfg._path
+    rows: list[tuple[int, int, str]] = []
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("substr_probe_store", spark=spark).collection("c")
+        col.write("corpus", stored, index_col="doc_id")
+        col.build_substring_index("gidx", "corpus", k=8)
+        for batch in batches:
+            cleaned, _ = col.dedup_substrings_incremental("gidx", batch)
+            orig = batch.select(
+                "doc_id",
+                F.size(X.tokens("text")).cast("long").alias("_n0"),
+            )
+            got = cleaned.select(
+                "doc_id",
+                F.size(X.tokens("text")).cast("long").alias("_n1"),
+                F.md5("text").alias("cleaned_md5"),
+            ).join(orig, "doc_id")
+            rows.extend(
+                (
+                    int(r["doc_id"]),
+                    int(r["_n0"] - r["_n1"]),
+                    r["cleaned_md5"],
+                )
+                for r in got.collect()
+            )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    # batch-bounded verdicts re-emitted as a local frame so the result
+    # does not depend on the deleted temp warehouse
+    return spark.createDataFrame(
+        rows, "doc_id bigint, n_tokens_removed bigint, cleaned_md5 string"
+    )
+
+
+@register(
     "index_audit_probe",
     # oracle = the CONSTRUCTED truth of the audit/repair lifecycle:
     # phase 1 writes ⅔ of docs and indexes them (pre_indexed), ⅓
@@ -5221,21 +5386,39 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "datasource_read_probe",
     "gopher_quality_flags", "c4_quality_flags",
     "encoding_quality_flags", "dsir_importance_weights",
-    "bpe_tokenize_counts", "bpe_token_stats", "bpe_encode_ids",
+    # round-9 rotation (VERDICT r8 item 5): bpe_token_stats demoted
+    # (3 green rounds — token-count family keeps bpe_tokenize_counts
+    # + bpe_encode_ids in-window)
+    "bpe_tokenize_counts", "bpe_encode_ids",
+    # ROUND-9 PROMOTIONS (VERDICT r8 item 5: the round-8 tail
+    # flagships had zero driver-scale CORRECTNESS rows): within-doc
+    # repetition trimming, long-doc chunking, zero-copy shallow
+    # clone, keyless banded as-of
+    "repeat_dedup_stats", "doc_chunks_stats",
+    "clone_item_probe", "asof_keyless_banded",
+    # round-9 NEW flagship: the persistent gram-census index — exact
+    # substring dedup ACROSS ingests in O(batch) through real storage
+    # (substring_index.py; exact_dedup_groups demoted, 3 green rounds
+    # — the exact-hash dedup family stays evidenced in-window by this
+    # probe's census semantics + substring_dedup_stats' tail oracle;
+    # line_dedup_stats demoted, 3 green rounds — the line family
+    # keeps incremental_line_probe, the strictly stronger end-to-end
+    # exerciser)
+    "substring_index_probe",
     # dedup stack (lsh_band_stats/simhash rotated out with 5 green
-    # rounds; the signature kernel keeps four in-window exercisers —
+    # rounds; the signature kernel keeps in-window exercisers —
     # near_dedup_kept_docs, neardup_cluster_ids, both incremental
     # probes — plus the round-6 cross-item flagship)
-    "exact_dedup_groups",
     "index_audit_probe", "near_dedup_kept_docs",
     "incremental_dedup_probe",
     "cross_item_dedup_probe",
-    "line_dedup_stats", "incremental_line_probe",
+    "incremental_line_probe",
     # similarity / ANN (ann_ivf_label_topk rotated out with 5 green
-    # rounds; the IVF family keeps embedding_quantization_audit —
-    # quantized IVF search — in-window)
+    # rounds; signlsh_candidate_topk demoted round 9, 3 green rounds
+    # — the LSH-bucketed ANN family stays evidenced in-window by
+    # embedding_quantization_audit's quantized IVF search +
+    # embedding_cosine_topk_vectorized's exact baseline)
     "embedding_cosine_topk_vectorized",
-    "signlsh_candidate_topk",
     "embedding_quantization_audit",
     # timeseries / sampling / packing / export / corpus reporting
     # (round-6 promotions: weighted A-ExpJ sampling, mixture planning,
@@ -5243,9 +5426,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # audit, corpus mix report — stratified_sample/downcast rotated
     # out, their families covered by the promoted samplers and
     # schema_evolve_projection)
+    # (approx_distinct_audit demoted round 9, 3 green rounds — the
+    # sketch-audit family stays evidenced in-window by
+    # histogram_percentile_probe + corpus_mix_report)
     "weighted_sample_topk", "mixture_plan",
     "pack_sequences", "shard_manifest",
-    "corpus_drift_psi", "approx_distinct_audit", "corpus_mix_report",
+    "corpus_drift_psi", "corpus_mix_report",
     "curation_funnel",
     # round-6 continuation flagship: change data feed, additive-mode
     # cost claim enforced in-probe (quality_funnel, 4 green rounds,
@@ -5309,30 +5495,25 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "doc_length_histogram", "ohlc_resample",
     "quality_classifier_scores", "near_dedup_recall_audit",
     "lm_perplexity_scores",
-    # round-8 additions, TAIL-registered: the keyless banded as-of
-    # operator's oracle query (DuckDB native ASOF LEFT JOIN; family
-    # sibling in-window: interval_join_banded) and span-level
-    # benchmark decontamination (functions.text.decontaminate_spans;
-    # family sibling in-window: token_bloom_contains_probe's
-    # contamination probes). Both take the in-repo oracle gate now
-    # and queue for window slots next rotation.
-    "asof_keyless_banded", "decontam_spans_stats",
-    # round-8 addition: zero-copy shallow clone (data branching) —
-    # independence + zero-copy claims asserted in-probe, values by
-    # the storage-blind oracle (family sibling in-window:
-    # dv_delete_probe's merge-on-read lifecycle)
-    "clone_item_probe",
-    # round-8 addition: within-corpus exact substring dedup (Lee et
-    # al. semantics — keep-first-owner span removal; family siblings
-    # in-window: line_dedup_stats + near_dedup_kept_docs)
+    # round-8 tail additions that remain tail-registered: span-level
+    # benchmark decontamination (family sibling in-window:
+    # token_bloom_contains_probe's contamination probes) and
+    # within-corpus exact substring dedup (family siblings in-window:
+    # substring_index_probe — the same cut semantics through real
+    # storage — plus near_dedup_kept_docs)
+    "decontam_spans_stats",
     "substring_dedup_stats",
-    # round-8 addition: within-DOCUMENT repetition trimming (the
-    # cleaning sibling of the Gopher repetition flags; family
-    # siblings in-window: same as substring_dedup_stats)
-    "repeat_dedup_stats",
-    # round-8 addition: long-document sliding-window chunking — the
-    # splitting counterpart of pack_sequences (in-window sibling)
-    "doc_chunks_stats",
+    # round-9 demotions (VERDICT r8 item 5 rotation — each ≥3 green
+    # driver rounds r06-r08, families kept in-window as documented at
+    # the promotion sites above): token-count family by
+    # bpe_tokenize_counts + bpe_encode_ids; exact-hash dedup family
+    # by substring_index_probe + the incremental probes; line family
+    # by incremental_line_probe; LSH-ANN family by
+    # embedding_quantization_audit + embedding_cosine_topk_vectorized;
+    # sketch-audit family by histogram_percentile_probe +
+    # corpus_mix_report
+    "bpe_token_stats", "exact_dedup_groups", "line_dedup_stats",
+    "signlsh_candidate_topk", "approx_distinct_audit",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

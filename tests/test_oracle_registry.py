@@ -26,25 +26,29 @@ WINDOW = 50
 
 # window composition is rotated per round on judge direction; the sets
 # below pin the CURRENT intent so an accidental reorder fails loudly.
-# Round-8 promotions (VERDICT r7 item 1): the round-7 flagships that
-# were tail-registered under round-6's no-rotation directive — the
-# deletion-vector DML probes, near-dup cluster assignments, KN
-# sufficient statistics — plus the NEW interpolated-KN scorer.
+# Round-9 promotions (VERDICT r8 item 5): the round-8 tail flagships —
+# repetition trimming, long-doc chunking, shallow clone, keyless
+# banded as-of — plus the NEW persistent gram-census probe
+# (incremental exact substring dedup through real storage).
 PROMOTED = {
-    "dv_delete_probe", "dv_update_probe",
-    "neardup_cluster_ids", "kneser_ney_counts",
-    "kneser_ney_logprob",
+    "repeat_dedup_stats", "doc_chunks_stats",
+    "clone_item_probe", "asof_keyless_banded",
+    "substring_index_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
 RETAINED = {
+    # round-8 promotions, kept (1 green round each)
+    "dv_delete_probe", "dv_update_probe",
+    "neardup_cluster_ids", "kneser_ney_counts",
+    "kneser_ney_logprob",
     # round-6 promotions, kept (2 green rounds each)
     "unpivot_lineitem_measures", "gapfill_locf_daily",
     "gopher_quality_flags", "c4_quality_flags",
     "encoding_quality_flags", "dsir_importance_weights",
-    "bpe_token_stats", "incremental_line_probe",
+    "incremental_line_probe",
     "weighted_sample_topk", "mixture_plan", "pack_sequences",
-    "shard_manifest", "corpus_drift_psi", "approx_distinct_audit",
+    "shard_manifest", "corpus_drift_psi",
     "corpus_mix_report",
     "bpe_tokenize_counts", "cross_item_dedup_probe", "bpe_encode_ids",
     "bloom_point_lookup_probe", "token_bloom_contains_probe",
@@ -56,11 +60,9 @@ RETAINED = {
     "tfidf_top_terms", "near_dedup_kept_docs",
     "event_seq_applyinpandas",
     "incremental_dedup_probe",
-    "line_dedup_stats",
-    "index_audit_probe", "signlsh_candidate_topk",
+    "index_audit_probe",
     "interval_join_banded", "embedding_quantization_audit",
     "curation_funnel",
-    "exact_dedup_groups",
 }
 # rotated OUT of the window — each was driver-green in ≥1 prior
 # CORRECTNESS round (round-6 demotions: ≥3 rounds, heavy_hitters 2)
@@ -127,6 +129,16 @@ ROTATED_OUT = {
     "doc_length_histogram", "ohlc_resample",
     "quality_classifier_scores", "near_dedup_recall_audit",
     "lm_perplexity_scores",
+    # round-9 demotions (VERDICT r8 item 5 rotation — each 3 green
+    # driver rounds r06-r08): token-count family kept in-window by
+    # bpe_tokenize_counts + bpe_encode_ids; exact-hash dedup family by
+    # substring_index_probe + the incremental probes; line family by
+    # incremental_line_probe; LSH-ANN family by
+    # embedding_quantization_audit + embedding_cosine_topk_vectorized;
+    # sketch-audit family by histogram_percentile_probe +
+    # corpus_mix_report:
+    "bpe_token_stats", "exact_dedup_groups", "line_dedup_stats",
+    "signlsh_candidate_topk", "approx_distinct_audit",
     # round-5 continuation / round-5 / round-4 demotions (families
     # documented in queries_ext.QUERY_PRIORITY):
     "minhash_signatures",

@@ -601,3 +601,90 @@ class TestCloneItem:
             rel for rel in src_rels if (dst / rel).exists()
         }
         assert leftovers == set()
+
+    def test_clone_dml_vacuum_interaction_both_directions(
+        self, test_collection
+    ):
+        """Round-9 brief #7: row-level DML ON THE CLONE followed by a
+        zero-retention vacuum of the SOURCE (and vice versa) must
+        never reclaim bytes the other item's manifests reference —
+        hard-linked data files and carried dv mask dirs are owned
+        per-item, so each side's GC can only unlink its own names."""
+        import numpy as np
+        import pandas as pd
+
+        c = test_collection
+        df = pd.DataFrame(
+            {"v": np.arange(4_000, dtype="float64")},
+            index=pd.date_range("2023-01-01", periods=4_000, freq="min"),
+        )
+        c.write("src", df)
+        c.delete_where("src", [[("v", "<", 100.0)]], mode="dv")  # carried mask
+        c.clone_item("src", "cl")
+        assert c.item("cl").data.count() == 3_900
+
+        # DML on the CLONE (dv delete + update + merge), then vacuum
+        # the SOURCE with zero retention
+        c.delete_where("cl", [[("v", ">=", 3_900.0)]], mode="dv")
+        c.update_where("cl", [[("v", "==", 150.0)]], {"v": "1.5"})
+        up = pd.DataFrame(
+            {"v": [99999.5]},
+            index=pd.DatetimeIndex([df.index[200]]),
+        )
+        c.merge_into("cl", up, on="index")
+        n_cl = c.item("cl").data.count()
+        assert n_cl == 3_800
+        c.vacuum("src", retention=0.0)
+        out = c.item("cl").to_pandas()
+        assert len(out) == n_cl
+        assert (out["v"] == 1.5).sum() == 1   # update survived
+        assert (out["v"] == 99999.5).sum() == 1  # merge survived
+        assert (out["v"] == 150.0).sum() == 0
+        # source unaffected by clone DML, still fully readable
+        assert c.item("src").data.count() == 3_900
+
+        # and the REVERSE: DML on the source, vacuum the CLONE
+        c.delete_where("src", [[("v", ">=", 3_000.0)]], mode="dv")
+        c.update_where("src", [[("v", "==", 250.0)]], {"v": "2.5"})
+        n_src = c.item("src").data.count()
+        c.vacuum("cl", retention=0.0)
+        src_out = c.item("src").to_pandas()
+        assert len(src_out) == n_src
+        assert (src_out["v"] == 2.5).sum() == 1
+        # clone still intact after its own vacuum
+        assert c.item("cl").data.count() == n_cl
+
+    def test_bucketed_clone_dml_vacuum_interaction(
+        self, test_collection
+    ):
+        """The bucketed variant of the clone/DML/GC interaction: dv
+        DML on a bucketed clone + source vacuum (and reverse) keep
+        both catalog relations mask-correct."""
+        import numpy as np
+        import pandas as pd
+
+        c = test_collection
+        pdf = pd.DataFrame(
+            {
+                "k": np.arange(600, dtype="int64"),
+                "v": np.arange(600, dtype="float64"),
+            },
+            index=pd.date_range("2023-01-01", periods=600, freq="min"),
+        )
+        c.write("bsrc", pdf, bucket_by="k", n_buckets=4)
+        c.delete_where("bsrc", [[("v", "<", 50.0)]], mode="dv")
+        c.clone_item("bsrc", "bcl")
+        assert c.item("bcl").data.count() == 550
+
+        c.delete_where("bcl", [[("v", ">=", 500.0)]], mode="dv")
+        c.update_where("bcl", [[("v", "==", 100.0)]], {"v": "9.5"}, mode="dv")
+        c.vacuum("bsrc", retention=0.0)
+        out = c.item("bcl").to_pandas()
+        assert len(out) == 450
+        assert (out["v"] == 9.5).sum() == 1
+        assert c.item("bsrc").data.count() == 550
+
+        c.delete_where("bsrc", [[("v", ">=", 550.0)]], mode="dv")
+        c.vacuum("bcl", retention=0.0)
+        assert c.item("bsrc").data.count() == 500
+        assert c.item("bcl").data.count() == 450
