@@ -338,8 +338,22 @@ def main() -> None:
     spark = get_spark(app_name="pystore_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer caches
-    QUERIES["index_minmax"].spark_fn(spark, sf_dir).count()
+    # Global warmup: ONE untimed pass over the full query list before
+    # anything is timed. Round-9 drift root-cause: per-query
+    # warmup+min-of-3 was NOT enough — the end-of-session retime ran
+    # the first queries 2-4x faster than their in-pass measurement
+    # (session_drift_retime 0.23-0.43), i.e. JVM JIT tiering (C2
+    # compiles the scan/exchange/codegen hot paths only after many
+    # executions) was billed to whichever short queries ran first,
+    # and that bill varied round-over-round with import surface and
+    # host. After this pass every timed query sees the same
+    # steady-state JVM.
+    for name in BENCH_QUERIES:
+        spec = QUERIES.get(name)
+        if spec is not None:
+            spec.spark_fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
 
     # Each query: one warmup run (page-cache + codegen for THIS query's
     # inputs — testdata is regenerated between rounds, so the first

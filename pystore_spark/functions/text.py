@@ -230,6 +230,82 @@ def tfidf_scores(
     )
 
 
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+):
+    """Okapi BM25 retrieval: score every document against a bag of
+    ``query_terms`` and return the ``top_k`` (id, bm25) rows — the
+    classic sparse-retrieval kernel a training-data pipeline uses for
+    retrieval-based decontamination and quality mining (parity target:
+    the scoring loop of ranaroussi/pystore has no analog; formula per
+    Robertson/Sparck-Jones with the Lucene ``ln(1+(N-df+.5)/(df+.5))``
+    idf).
+
+    Scale shape: document length is a per-row expression (no pass);
+    corpus stats (N, Σdl) are ONE map-side-combinable aggregation; the
+    token stream is filtered to the query bag with a literal In
+    predicate BEFORE any shuffle, so only hit rows (docs × query
+    terms, not docs × vocabulary) reach the tf groupBy; per-term
+    document frequencies are ≤|query| rows and broadcast back. Final
+    top-k is a TakeOrdered, never a full sort. Per-term contributions
+    are rounded at 12 decimals and summed as DECIMAL(20,12) so the
+    score is order-independent (engine-parity discipline of
+    token_entropy).
+    """
+    if not query_terms:
+        raise ValueError("query_terms is empty")
+    df = widen_parallelism(df)
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("dl"), toks.alias("a")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    ).collect()[0]
+    n_docs = float(stats["n_docs"])
+    avgdl = float(stats["total_dl"]) / float(stats["n_docs"])
+    hits = (
+        base.select(id_col, "dl", F.explode("a").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = F.round(
+        (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom, 12
+    )
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .select(F.col(id_col), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(20,12)")).cast("double"),
+                6,
+            ).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), built with higher-order
     functions — stays inside codegen."""

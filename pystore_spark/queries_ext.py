@@ -1623,6 +1623,57 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_retrieval_topk",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_LOWER_TOKS} AS a FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(len(a)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avgdl
+      FROM toks),
+    hits AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, unnest(a) AS term
+        FROM toks) t
+      WHERE term IN ('spark', 'query', 'window', 'vector')
+      GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+        ROUND((ln(CAST(1.0 AS DOUBLE)
+                  + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                    / (d.df + CAST(0.5 AS DOUBLE)))
+               * (h.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+              / (h.tf + CAST(1.2 AS DOUBLE)
+                 * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * h.dl / s.avgdl)),
+              12) AS c
+      FROM hits h JOIN dfreq d USING (term), stats s)
+    SELECT doc_id,
+      ROUND(CAST(SUM(CAST(c AS DECIMAL(20,12))) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval", "pipeline"),
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over the corpus for a fixed query bag — the
+    sparse-retrieval kernel (retrieval-based decontamination, quality
+    mining). Document length is a per-row expression; the token
+    stream is cut to query-term hits by a literal In predicate BEFORE
+    the tf shuffle; per-term document frequencies broadcast; final
+    top-k is a TakeOrdered. Per-term contributions round at 12
+    decimals and sum as DECIMAL(20,12) — order-independent across
+    engines (the token_entropy discipline)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return X.bm25_topk(
+        doc, ["spark", "query", "window", "vector"],
+        text_col="text", id_col="doc_id", top_k=10,
+    )
+
+
+@register(
     "repetition_scores",
     sql=f"""
     WITH s AS (SELECT doc_id, {_ALL_SHINGLES} AS a FROM documents)
@@ -5514,6 +5565,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # corpus_mix_report
     "bpe_token_stats", "exact_dedup_groups", "line_dedup_stats",
     "signlsh_candidate_topk", "approx_distinct_audit",
+    # round-9 tail addition: Okapi BM25 sparse retrieval (family
+    # siblings in-window: tfidf_top_terms' term-weighting oracle,
+    # token_bloom_contains_probe's contamination probes)
+    "bm25_retrieval_topk",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -413,6 +413,7 @@ def curated_ingest_sink(
     pipeline: Any = None,
     dedup_index: str | None = None,
     line_index: str | None = None,
+    substring_index: str | None = None,
     sink_key: str | None = None,
     within_batch: bool = False,
     record_funnel: bool = False,
@@ -421,9 +422,10 @@ def curated_ingest_sink(
     """``foreachBatch`` function running the FULL daily ingest per
     micro-batch (Collection.ingest): pipeline stages (including
     global ones — the micro-batch is a plain frame inside
-    foreachBatch), corpus-owned line removal via the persistent line
-    census, near-dedup probe via the persistent MinHash index, append
-    — all O(batch). The streaming face of the complete curation
+    foreachBatch), corpus-owned line or k-gram span removal via the
+    persistent line/gram census (``line_index`` / ``substring_index``,
+    mutually exclusive per ingest), near-dedup probe via the
+    persistent MinHash index, append — all O(batch). The streaming face of the complete curation
     operation; :func:`dedup_merge_sink` is the dedup-only subset.
 
     Exactly-once in both directions (same machinery as
@@ -442,7 +444,11 @@ def curated_ingest_sink(
             return
         replayed = _last_applied(collection, item, key) >= int(batch_id)
         if replayed:
-            if dedup_index is None and line_index is None:
+            if (
+                dedup_index is None
+                and line_index is None
+                and substring_index is None
+            ):
                 return  # no index steps to repair — data landed
             # metadata-only fast path: when every index tier already
             # recorded this batch's marker, only the stream checkpoint
@@ -462,6 +468,14 @@ def curated_ingest_sink(
                         "delta_item"
                     ]
                 )
+            if substring_index is not None:
+                from pystore_spark import substring_index as SI
+
+                names.append(
+                    SI._index_meta(collection, substring_index)[
+                        "delta_item"
+                    ]
+                )
             if all(
                 DI._marker_current(collection, n, marker)
                 for n in names
@@ -473,6 +487,7 @@ def curated_ingest_sink(
             pipeline=pipeline,
             dedup_index=dedup_index,
             line_index=line_index,
+            substring_index=substring_index,
             within_batch=within_batch,
             create_missing=True,
             record_funnel=record_funnel,

@@ -852,3 +852,82 @@ def test_merge_sink_streaming_matview(spark, test_collection):
         col.matview("sm_mv", refresh="never").toPandas()["n"].sum()
         == 13
     )
+
+
+def test_curated_sink_substring_census_cut_and_crash_repair(
+    spark, test_collection, monkeypatch
+):
+    """curated_ingest_sink(substring_index=): per micro-batch, every
+    k-token passage the stored corpus owns is cut from incoming docs
+    via the persistent gram census, the batch's novel grams register
+    in the delta, and a crash between the data commit and
+    register_new_grams is healed by the replayed batch (data append
+    skipped, registration repaired) — the same exactly-once contract
+    the dedup/line sinks carry."""
+    import pandas as pd
+    import pytest
+
+    import pystore_spark.substring_index as SI
+    from pystore_spark.streaming import curated_ingest_sink
+
+    c = test_collection
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    docs = pd.DataFrame({
+        "doc_id": range(2),
+        "text": [
+            f"first stored doc body here {passage}",
+            "second stored doc alone with its own words only",
+        ],
+    })
+    c.write("gdocs", docs, index_col="doc_id")
+    c.build_substring_index("ggx", "gdocs", k=6)
+    sink = curated_ingest_sink(
+        c, "gdocs", substring_index="ggx", index_col="doc_id"
+    )
+
+    # batch 0 carries a corpus-owned passage (cut before storage) and
+    # introduces a NOVEL passage the census must come to own
+    novel = "fresh streaming passage about adaptive query execution today"
+    b0 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": [f"intro words {passage} then {novel}"],
+    }))
+
+    orig = SI.register_new_grams
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before registering grams")
+
+    monkeypatch.setattr(SI, "register_new_grams", boom)
+    with pytest.raises(RuntimeError, match="crash before registering"):
+        sink(b0, 0)
+    monkeypatch.setattr(SI, "register_new_grams", orig)
+    # the data committed (stripped of the corpus-owned passage)...
+    stored = {
+        r["doc_id"]: r["text"] for r in c.item("gdocs").data.collect()
+    }
+    assert set(stored) == {0, 1, 100}
+    assert passage not in stored[100]
+    assert "intro words" in stored[100]
+    assert novel in stored[100]
+    # ...but the novel grams never registered: repair via replay
+    sink(b0, 0)
+    assert c.item("gdocs").data.count() == 3  # nothing re-appended
+
+    # the census now owns the novel passage: a later batch loses it
+    b1 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [200],
+        "text": [f"later doc opens {novel} and closes differently"],
+    }))
+    sink(b1, 1)
+    stored = {
+        r["doc_id"]: r["text"] for r in c.item("gdocs").data.collect()
+    }
+    assert novel not in stored[200]
+    assert "later doc opens" in stored[200]
+
+    # replaying a fully-landed batch is a metadata-only no-op
+    sink(b1, 1)
+    assert c.item("gdocs").data.count() == 4
+    chk = c.verify_index(None, "ggx", deep=True)
+    assert chk["ok"], chk
