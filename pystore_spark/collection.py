@@ -4306,6 +4306,60 @@ class Collection:
 
         return SI.refresh_substring_index(self, index_item)
 
+    def register_benchmark(
+        self,
+        registry: str,
+        bench: str,
+        data: Any,
+        text_col: str = "text",
+        n: int = 13,
+        replace: bool = False,
+    ) -> dict:
+        """Shingle an eval set ONCE and store its distinct ``n``-grams
+        under ``bench`` in a persistent registry item, so every later
+        :meth:`ingest(decontam_registry=...) <ingest>` scrubs against
+        it without re-deriving grams (benchmarks.py — the
+        span-decontamination face of the persistent-index family)."""
+        from pystore_spark import benchmarks as BM
+
+        df, _, _, _ = self._prepare_input(data)
+        return BM.register_benchmark(
+            self, registry, bench, df, text_col=text_col, n=n,
+            replace=replace,
+        )
+
+    def registered_benchmarks(self, registry: str) -> list:
+        """``[{"bench", "n_grams"}, ...]`` for a benchmark registry."""
+        from pystore_spark import benchmarks as BM
+
+        return BM.registered_benchmarks(self, registry)
+
+    def unregister_benchmark(self, registry: str, bench: str) -> dict:
+        """Remove one benchmark's grams from a registry (the last
+        benchmark's removal deletes the registry item)."""
+        from pystore_spark import benchmarks as BM
+
+        return BM.unregister_benchmark(self, registry, bench)
+
+    def decontaminate_against(
+        self,
+        registry: str,
+        docs: Any,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        benchmarks: list | None = None,
+    ) -> "tuple[DataFrame, dict]":
+        """Cut every registered (or named) benchmark's spans from a
+        frame — GPT-3/PaLM span decontamination against stored eval
+        grams; see benchmarks.py."""
+        from pystore_spark import benchmarks as BM
+
+        df, _, _, _ = self._prepare_input(docs)
+        return BM.decontaminate_against(
+            self, registry, df, text_col=text_col, id_col=id_col,
+            benchmarks=benchmarks,
+        )
+
     def verify_index(
         self, item, index_item: str, deep: bool = False
     ) -> dict:
@@ -4482,6 +4536,8 @@ class Collection:
         dedup_index: str | None = None,
         line_index: str | None = None,
         substring_index: str | None = None,
+        decontam_registry: str | None = None,
+        decontam_benchmarks: list | None = None,
         within_batch: bool = False,
         create_missing: bool = True,
         record_funnel: bool = True,
@@ -4533,6 +4589,15 @@ class Collection:
           from survivors' stored text when the doc probe drops rows.
           Mutually exclusive with ``line_index`` in one ingest (both
           rewrite text; run spans first, lines in a second ingest).
+        * ``decontam_registry`` — name of a benchmark registry built
+          with :meth:`register_benchmark`; every registered (or
+          ``decontam_benchmarks``-named) eval set's ``n``-gram spans
+          are cut from the incoming docs as the FIRST text-surgery
+          step — before the census strips and the doc probe, so
+          benchmark content never reaches storage and never counts as
+          novel content (benchmarks.py). Read-only against the
+          registry: no registration back, so replayed batches re-cut
+          deterministically with no marker machinery.
         * ``record_funnel=True`` (default) executes the pipeline via
           :meth:`CurationPipeline.run` — every shuffling stage runs
           ONCE with its output checkpointed, and the counts come from
@@ -4590,6 +4655,51 @@ class Collection:
             )
             if record_funnel:
                 funnel_rows = [("input", n_in)]
+
+        decon_report: dict | None = None
+        if decontam_registry is not None:
+            from pystore_spark import benchmarks as BM
+
+            # FIRST text-surgery step: eval spans are scrubbed before
+            # the census strips and the doc probe, so benchmark
+            # content never influences what the corpus judges as
+            # novel (and never reaches storage, from which a census
+            # would register it). Read-only against the registry —
+            # no registration back, no replay-marker machinery; a
+            # replayed batch re-cuts deterministically.
+            # id/text columns: follow the census/probe meta when one
+            # is present (surgery and probe must key identically),
+            # else the append's index_col, else the documents default
+            id_c, text_c = "doc_id", "text"
+            if substring_index is not None:
+                from pystore_spark import substring_index as SI
+
+                m = SI._index_meta(self, substring_index)
+                id_c, text_c = m["id_col"], m["text_col"]
+            elif line_index is not None:
+                from pystore_spark import line_index as LI
+
+                m = LI._index_meta(self, line_index)
+                id_c, text_c = m["id_col"], m["text_col"]
+            elif dedup_index is not None:
+                from pystore_spark import dedup_index as DI
+
+                m = DI._index_meta(self, dedup_index)
+                id_c, text_c = m["id_col"], m["text_col"]
+            elif append_kwargs.get("index_col"):
+                id_c = append_kwargs["index_col"]
+            curated, decon_report = BM.decontaminate_against(
+                self,
+                decontam_registry,
+                curated,
+                text_col=text_c,
+                id_col=id_c,
+                benchmarks=decontam_benchmarks,
+            )
+            if record_funnel:
+                funnel_rows.append(
+                    (f"decontam:{decontam_registry}", n_curated)
+                )
 
         sub_report: dict | None = None
         if substring_index is not None:
@@ -4876,6 +4986,8 @@ class Collection:
             report["line_index"] = line_report
         if sub_report is not None:
             report["substring_index"] = sub_report
+        if decon_report is not None:
+            report["decontam"] = decon_report
         if record_funnel and not data_committed:
             last = {
                 k: v for k, v in report.items() if k != "funnel"

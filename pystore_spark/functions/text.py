@@ -750,6 +750,25 @@ def decontaminate_spans(
         .filter(F.size(F.split(F.col("g"), " ")) == n)
         .distinct()
     )
+    return decontaminate_spans_with_grams(
+        docs, bench_grams, text_col=text_col, id_col=id_col, n=n
+    )
+
+
+def decontaminate_spans_with_grams(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Core of :func:`decontaminate_spans` for a PRECOMPUTED distinct
+    benchmark-gram frame (single column ``g`` of exactly-``n``-token
+    grams) — the persistent benchmark registry (benchmarks.py) stores
+    grams once and feeds them here per ingest. Same output columns,
+    same scale shape (grams broadcast, hit rows only shuffle), same
+    ``id_col``-uniqueness precondition."""
+    t = tokens(text_col)
     hits = (
         docs.select(id_col, F.explode(_pos_grams(t, n)).alias("p"))
         .select(id_col, F.col("p.s").alias("s"), F.col("p.g").alias("g"))

@@ -5330,6 +5330,134 @@ def decontam_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decon_scope_sql(label: str, bench_pred: str) -> str:
+    """One scope of the decontam_registry_probe oracle: the
+    decontam_spans_stats span-cut algebra (positional trigrams → hash
+    join vs the benchmark gram set → gaps-and-islands merge →
+    token-index anti-join → ordered re-join, md5-pinned) with the
+    benchmark set restricted by ``bench_pred`` — the registry's
+    named-subset read must cut exactly as if only those eval docs had
+    been shingled."""
+    return f"""
+    SELECT * FROM (
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents
+               WHERE doc_id >= 20),
+    bg AS (SELECT DISTINCT unnest({_SHINGLES}) AS g FROM documents
+           WHERE {bench_pred}),
+    grams AS (
+      SELECT doc_id, i - 1 AS s, array_to_string(toks[i:i+2], ' ') AS g
+      FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+    hits AS (SELECT grams.doc_id, s FROM grams JOIN bg USING (g)),
+    brk AS (
+      SELECT doc_id, s,
+        CASE WHEN s > COALESCE(MAX(s + 3) OVER (
+            PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS b
+      FROM hits),
+    isl AS (SELECT doc_id, s, SUM(b) OVER (
+        PARTITION BY doc_id ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM brk),
+    spans AS (SELECT doc_id, MIN(s) AS s, MAX(s) + 3 AS e
+              FROM isl GROUP BY doc_id, island),
+    tok_idx AS (SELECT doc_id, i - 1 AS i, toks[i] AS x
+                FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+    removed AS (SELECT DISTINCT ti.doc_id, ti.i FROM tok_idx ti
+                JOIN spans sp ON sp.doc_id = ti.doc_id
+                             AND ti.i >= sp.s AND ti.i < sp.e),
+    kept AS (SELECT ti.doc_id, ti.i, ti.x FROM tok_idx ti
+             LEFT JOIN removed r ON r.doc_id = ti.doc_id
+                                AND r.i = ti.i
+             WHERE r.i IS NULL),
+    agg AS (SELECT doc_id, string_agg(x, ' ' ORDER BY i) AS txt,
+                   COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+    nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans
+            GROUP BY doc_id)
+    SELECT '{label}' AS scope, t.doc_id,
+      CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
+        AS n_tokens_removed,
+      md5(CASE WHEN nsp.n_spans IS NULL THEN text
+               ELSE COALESCE(agg.txt, '') END) AS cleaned_md5
+    FROM t LEFT JOIN nsp USING (doc_id) LEFT JOIN agg USING (doc_id)
+    ) scope_{label}
+    """
+
+
+@register(
+    "decontam_registry_probe",
+    # The PERSISTENT BENCHMARK REGISTRY end to end (benchmarks.py):
+    # eval sets are shingled ONCE into a stored (bench, g) item and
+    # every later scrub reads grams from storage instead of
+    # re-deriving them. Two scopes pin both read paths: 'all' (the
+    # whole registry — must cut byte-identically to the batch
+    # decontaminate_spans over the union of the eval frames, i.e. the
+    # decontam_spans_stats algebra) and 'evalA' (a named subset —
+    # the bench-indexed layout prunes to one benchmark's files).
+    sql=_decon_scope_sql("all", "doc_id < 20")
+    + " UNION ALL "
+    + _decon_scope_sql("evalA", "doc_id < 10"),
+    tags=("text", "contamination", "pipeline", "storage"),
+)
+def decontam_registry_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end benchmark-registry decontamination through REAL
+    storage: register docs 0-9 as eval set 'evalA' and docs 10-19 as
+    'evalB' (trigram registry, Collection.register_benchmark), then
+    scrub docs ≥20 twice via Collection.decontaminate_against — once
+    against the full registry, once against the named subset
+    ['evalA'] — and emit per (scope, doc) the removed-token count and
+    the md5 of the cleaned text. Registry grams broadcast; the only
+    corpus-sized work per scope is the positional-gram explode and
+    one hit-rows-only doc shuffle (decontaminate_spans' shape)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_a = doc.filter(F.col("doc_id") < 10)
+    eval_b = doc.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    corpus = doc.filter(F.col("doc_id") >= 20)
+    orig = corpus.select(
+        "doc_id", F.size(X.tokens("text")).cast("long").alias("_n0")
+    )
+    tmp = tempfile.mkdtemp(prefix="ps_decon_probe_")
+    old_path = cfg._path
+    rows: list[tuple[str, int, int, str]] = []
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("decon_probe_store", spark=spark).collection("c")
+        col.register_benchmark("breg", "evalA", eval_a, n=3)
+        col.register_benchmark("breg", "evalB", eval_b, n=3)
+        for scope, names in (("all", None), ("evalA", ["evalA"])):
+            cleaned, _ = col.decontaminate_against(
+                "breg", corpus, benchmarks=names
+            )
+            got = cleaned.select(
+                "doc_id",
+                F.size(X.tokens("text")).cast("long").alias("_n1"),
+                F.md5("text").alias("cleaned_md5"),
+            ).join(orig, "doc_id")
+            rows.extend(
+                (
+                    scope,
+                    int(r["doc_id"]),
+                    int(r["_n0"] - r["_n1"]),
+                    r["cleaned_md5"],
+                )
+                for r in got.collect()
+            )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "scope string, doc_id bigint, n_tokens_removed bigint, "
+        "cleaned_md5 string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -5569,6 +5697,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # siblings in-window: tfidf_top_terms' term-weighting oracle,
     # token_bloom_contains_probe's contamination probes)
     "bm25_retrieval_topk",
+    # round-9 tail addition: persistent benchmark registry for span
+    # decontamination through real storage (family siblings
+    # in-window: substring_index_probe's census cut through storage;
+    # decontam_spans_stats' batch operator in the tail)
+    "decontam_registry_probe",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

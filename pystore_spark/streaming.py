@@ -436,7 +436,10 @@ def curated_ingest_sink(
     skipped. ``record_funnel`` defaults False here: the per-batch
     funnel accounting and metadata stamp are extra jobs a
     low-latency stream usually skips (the replay marker is
-    independent of it)."""
+    independent of it). A benchmark-registry scrub rides through
+    ``ingest_kwargs`` (``decontam_registry=...``): it reads stored
+    grams and writes nothing back, so it needs no replay repair —
+    a replayed batch re-cuts deterministically."""
     key = sink_key or "default"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
