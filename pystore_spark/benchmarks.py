@@ -103,15 +103,15 @@ def register_benchmark(
                 "gram length"
             )
         names = {r["bench"] for r in registered_benchmarks(col, registry)}
-        if bench in names:
-            if not replace:
-                raise ValueError(
-                    f"benchmark {bench!r} already registered in "
-                    f"{registry!r}; pass replace=True to re-register"
-                )
-            unregister_benchmark(col, registry, bench)
-            if not col.item_exists(registry):
-                exists = False  # it was the only benchmark
+        if bench in names and not replace:
+            raise ValueError(
+                f"benchmark {bench!r} already registered in "
+                f"{registry!r}; pass replace=True to re-register"
+            )
+    else:
+        names = set()
+    # validate the REPLACEMENT before touching the existing state —
+    # a zero-gram frame must fail without destroying the old grams
     rows = rows.localCheckpoint(eager=True)
     n_grams = rows.count()
     if n_grams == 0:
@@ -120,6 +120,10 @@ def register_benchmark(
             "doc shorter than n tokens?) — registering it would be a "
             "silent no-op scrub"
         )
+    if bench in names:
+        unregister_benchmark(col, registry, bench)
+        if not col.item_exists(registry):
+            exists = False  # it was the only benchmark
     if exists:
         col.append(registry, rows, duplicate_handling="keep_all")
     else:

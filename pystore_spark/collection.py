@@ -3132,15 +3132,34 @@ class Collection:
                         "snapshot": snapshot,
                     }
                 )
-                for rel in linked:
-                    if rel in owned or rel.startswith(dv_dirs):
-                        continue
-                    if same_clone:
-                        continue  # winner shares every linked path
-                    try:
-                        fs.delete(dst_dir / rel)
-                    except OSError:
-                        pass
+                if not same_clone:
+                    from pystore_spark import bloom as bl
+
+                    # a rival clone of the SAME src (any version/
+                    # snapshot) linked the identical bloom sidecar
+                    # set — fs.list_files(BLOOM_DIR) is version-
+                    # independent — so deleting bloom rels would
+                    # destroy the winner's point-lookup pruning; a
+                    # non-clone winner never linked them, delete
+                    winner_src = (
+                        (man2.get("metadata") or {}).get(
+                            "_cloned_from"
+                        )
+                        or {}
+                    ).get("item")
+                    keep_blooms = winner_src == src
+                    bloom_prefix = f"{bl.BLOOM_DIR}/"
+                    for rel in linked:
+                        if rel in owned or rel.startswith(dv_dirs):
+                            continue
+                        if keep_blooms and rel.startswith(
+                            bloom_prefix
+                        ):
+                            continue
+                        try:
+                            fs.delete(dst_dir / rel)
+                        except OSError:
+                            pass
             raise
         self.clear_metadata_cache(dst)
         return {
@@ -4620,6 +4639,15 @@ class Collection:
         plain sidecar update AFTER the data commit (a crash between
         the two loses the report, never data).
         """
+        if substring_index is not None and line_index is not None:
+            # argument validation BEFORE any Spark work (the decontam
+            # scrub used to run a full batch job ahead of this raise)
+            raise ValueError(
+                "substring_index and line_index are both "
+                "text-surgery censuses; combine them across two "
+                "ingests (spans first, then lines) so each "
+                "census registers exactly its stored bytes"
+            )
         prepared, _, nrows_hint, _ = self._prepare_input(
             data,
             epochdate=bool(append_kwargs.get("epochdate", False)),
@@ -4703,13 +4731,6 @@ class Collection:
 
         sub_report: dict | None = None
         if substring_index is not None:
-            if line_index is not None:
-                raise ValueError(
-                    "substring_index and line_index are both "
-                    "text-surgery censuses; combine them across two "
-                    "ingests (spans first, then lines) so each "
-                    "census registers exactly its stored bytes"
-                )
             from pystore_spark import substring_index as SI
 
             # corpus-duplicated passages are cut BEFORE the doc probe
@@ -4901,6 +4922,7 @@ class Collection:
             )
 
         if sub_report is not None:
+            from pystore_spark import dedup_index as DI
             from pystore_spark import substring_index as SI
 
             pending_grams = sub_report.pop("_new_census", None)
@@ -4918,23 +4940,52 @@ class Collection:
                 surv = curated.filter(
                     ~F.col(meta_si["id_col"]).isin(dropped)
                 )
-                pending_grams = (
-                    SI._census(
-                        surv, meta_si["text_col"],
-                        meta_si["id_col"], int(meta_si["k"]),
-                    )
-                    .join(
-                        SI._stored_grams(
-                            self, substring_index, meta_si
-                        ),
-                        on="gh", how="left_anti",
-                    )
-                    .select(
-                        F.current_timestamp().alias("added_at"),
-                        "ghp", "gh", "owner",
-                    )
+                pending_grams = SI.survivors_census(
+                    self, substring_index, meta_si, surv
                 )
                 sub_report["n_new_grams"] = pending_grams.count()
+            elif (
+                pending_grams is not None
+                and dedup_index is not None
+                and rep.get("replayed")
+            ):
+                # CLEAN dedup replay (data + dedup deltas committed,
+                # probe skipped): the original drop set is hidden, so
+                # the pre-probe census could register grams of docs
+                # the original run dropped — orphan grams that
+                # silently strip novel content from every future
+                # batch. The append landed before the crash, so
+                # STORAGE is the survivor record: re-census from the
+                # batch docs that actually exist in the item
+                # (index-range-pruned id scan + one semi-join). Only
+                # when the gram delta's marker is actually behind —
+                # a fully-landed replay skips the recompute entirely.
+                meta_si = SI._index_meta(self, substring_index)
+                if not DI._marker_current(
+                    self, meta_si["delta_item"], replay_marker
+                ):
+                    idc = meta_si["id_col"]
+                    rng = curated.agg(
+                        F.min(idc).alias("lo"), F.max(idc).alias("hi")
+                    ).collect()[0]
+                    if rng["lo"] is None:
+                        surv = curated  # empty batch
+                    else:
+                        stored_ids = self.item(
+                            item,
+                            filters=[
+                                (idc, ">=", rng["lo"]),
+                                (idc, "<=", rng["hi"]),
+                            ],
+                            columns=[idc],
+                        ).data
+                        surv = curated.join(
+                            stored_ids, idc, "leftsemi"
+                        )
+                    pending_grams = SI.survivors_census(
+                        self, substring_index, meta_si, surv
+                    )
+                    sub_report["n_new_grams"] = pending_grams.count()
             if pending_grams is not None:
                 # strictly AFTER the successful append
                 SI.register_new_grams(

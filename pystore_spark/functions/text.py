@@ -269,6 +269,13 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
     ).collect()[0]
+    if not stats["n_docs"]:
+        # empty corpus: empty top-k with the output schema, not a
+        # float(None)/division crash downstream of a zero-row filter
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {base.schema[id_col].dataType.simpleString()}"
+            ", bm25 double"
+        )
     n_docs = float(stats["n_docs"])
     avgdl = float(stats["total_dl"]) / float(stats["n_docs"])
     hits = (

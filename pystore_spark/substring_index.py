@@ -269,6 +269,31 @@ def dedup_substrings_incremental(
     return out, report
 
 
+def survivors_census(col, index_item: str, meta: dict, surv_df) -> DataFrame:
+    """Delta-tier census rows for a frame of SURVIVING batch docs
+    (cleaned stored text): their grams minus everything the tiers
+    already own. Checkpointed — callers count it, emptiness-check it
+    and write it (the uncached plan used to re-execute the explode +
+    anti-join up to three times)."""
+    return (
+        _census(
+            surv_df, meta["text_col"], meta["id_col"], int(meta["k"])
+        )
+        .join(
+            _stored_grams(col, index_item, meta),
+            on="gh",
+            how="left_anti",
+        )
+        .select(
+            F.current_timestamp().alias("added_at"),
+            "ghp",
+            "gh",
+            "owner",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def register_new_grams(
     col, index_item: str, new_census: DataFrame,
     marker: tuple | None = None,

@@ -140,10 +140,9 @@ class BatchTransaction(Transaction):
                 frames = [c[0] for c in chunks]
                 kwargs = chunks[0][1]
                 if all(isinstance(f, pd.DataFrame) for f in frames):
-                    # empties excluded: their participation in concat
-                    # dtype inference is deprecated (FutureWarning)
-                    live = [f for f in frames if len(f)] or frames[:1]
-                    data = pd.concat(live) if len(live) > 1 else live[0]
+                    from pystore_spark.arrow_path import concat_live
+
+                    data = concat_live(frames, ignore_index=False)
                 else:
                     data = frames[0]
                     for f in frames[1:]:

@@ -204,3 +204,25 @@ def test_ingest_decontam_before_substring_census(reg_col, spark):
     assert rep["decontam"]["n_spans_removed"] == 1
     chk = c.verify_index(None, "sgx", deep=True)
     assert chk["ok"], chk
+
+
+def test_failed_replace_preserves_old_benchmark(reg_col, spark):
+    """Review finding (round 9): replace=True used to unregister the
+    old grams BEFORE validating the replacement — a zero-gram frame
+    raised AND destroyed the benchmark (silently ending its scrubs).
+    Validation now runs first; the old grams survive the failure."""
+    c = reg_col
+    with pytest.raises(ValueError, match="no 4-grams"):
+        c.register_benchmark(
+            "breg", "evalA", _docs(spark, [(0, "too short")]),
+            n=4, replace=True,
+        )
+    # old registration intact and still scrubbing
+    assert [r["bench"] for r in c.registered_benchmarks("breg")] == [
+        "evalA", "evalB",
+    ]
+    out, _ = c.decontaminate_against(
+        "breg", _docs(spark, [(1, f"pre {EVAL1} post")]),
+        benchmarks=["evalA"],
+    )
+    assert EVAL1 not in out.collect()[0]["text"]

@@ -947,3 +947,15 @@ def test_dedup_substrings_hot_gram_guard(spark):
 
     plan = guarded._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    """Review finding (round 9): an empty corpus used to crash on
+    float(None) from the stats row; it now returns an empty top-k
+    with the output schema."""
+    from pystore_spark.functions.text import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_topk(empty, ["spark"])
+    assert out.columns == ["doc_id", "bm25"]
+    assert out.count() == 0

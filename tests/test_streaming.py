@@ -931,3 +931,103 @@ def test_curated_sink_substring_census_cut_and_crash_repair(
     assert c.item("gdocs").data.count() == 4
     chk = c.verify_index(None, "ggx", deep=True)
     assert chk["ok"], chk
+
+
+def test_clean_dedup_replay_never_registers_dropped_doc_grams(
+    spark, test_collection, monkeypatch
+):
+    """Review finding (round 9): with dedup_index + substring_index in
+    one sink, a crash AFTER append_with_dedup fully landed (data +
+    both dedup delta markers stamped) but BEFORE gram registration
+    used to replay through append_with_dedup's clean-replay early
+    return (dropped_ids=[]), registering the PRE-probe census — grams
+    owned solely by probe-dropped docs entered the census and would
+    silently strip novel content from every future batch. The repair
+    now re-censuses from the batch docs that actually EXIST in
+    storage (the append landed before the crash, so storage is the
+    survivor record)."""
+    import pandas as pd
+    import pytest
+
+    import pystore_spark.substring_index as SI
+    from pystore_spark.streaming import curated_ingest_sink
+
+    c = test_collection
+    base3 = " ".join(f"w{i}" for i in range(60))
+    docs = pd.DataFrame({
+        "doc_id": [1, 3],
+        "text": [
+            "opening doc " + " ".join(f"a{i}" for i in range(20)),
+            base3,
+        ],
+    })
+    c.write("rdocs", docs, index_col="doc_id")
+    c.build_substring_index("rgx", "rdocs", k=12)
+    c.build_dedup_index(
+        "rdx", "rdocs", threshold=0.3, num_hashes=16, bands=16
+    )
+    sink = curated_ingest_sink(
+        c, "rdocs", dedup_index="rdx", substring_index="rgx",
+        index_col="doc_id",
+    )
+
+    # doc 40 changes every 10th word of stored doc 3 (no k=12 window
+    # matches -> the strip leaves it intact; the MinHash probe still
+    # drops it) and carries a 13-token passage of its own; doc 41 is
+    # a genuine survivor
+    near_dup = base3
+    for i in range(5, 60, 10):
+        near_dup = near_dup.replace(f"w{i} ", f"CHANGED{i} ").replace(
+            f" w{i}", f" CHANGED{i}"
+        )
+    poison = " ".join(f"p{i}" for i in range(13))
+    surv_passage = " ".join(f"z{i}" for i in range(25))
+    b0 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [40, 41],
+        "text": [near_dup + " " + poison, surv_passage],
+    }))
+
+    orig = SI.register_new_grams
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before registering grams")
+
+    monkeypatch.setattr(SI, "register_new_grams", boom)
+    with pytest.raises(RuntimeError, match="crash before registering"):
+        sink(b0, 0)
+    monkeypatch.setattr(SI, "register_new_grams", orig)
+    # data + dedup deltas landed: 40 dropped, 41 stored
+    ids = {
+        r["doc_id"]
+        for r in c.item("rdocs").data.select("doc_id").collect()
+    }
+    assert ids == {1, 3, 41}
+
+    sink(b0, 0)  # replay: clean dedup replay + gram-census repair
+
+    tiers = c.item("rgx").data.select("owner")
+    if c.item_exists("rgx__delta"):
+        tiers = tiers.unionByName(
+            c.item("rgx__delta").data.select("owner")
+        )
+    assert tiers.filter("owner = 40").count() == 0  # the orphan class
+    assert tiers.filter("owner = 41").count() > 0
+    chk = c.verify_index(None, "rgx", deep=True)
+    assert chk["ok"], chk
+
+    # semantics downstream: the dropped doc's passage must SURVIVE a
+    # later batch (nothing stored carries it); the survivor's must not
+    out, _ = c.dedup_substrings_incremental(
+        "rgx",
+        spark.createDataFrame(pd.DataFrame({
+            "doc_id": [200, 201],
+            "text": [
+                f"keeps this {poison} trailing tail words",
+                f"loses this {surv_passage} trailing tail words",
+            ],
+        })),
+        update_index=False,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert poison in got[200]
+    assert surv_passage not in got[201]

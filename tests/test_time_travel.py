@@ -688,3 +688,99 @@ class TestCloneItem:
         c.vacuum("bcl", retention=0.0)
         assert c.item("bsrc").data.count() == 500
         assert c.item("bcl").data.count() == 450
+
+
+class TestCloneBloomRace:
+    def test_rival_clone_win_keeps_bloom_sidecars(
+        self, test_collection, monkeypatch
+    ):
+        """Review finding (round 9): two clones of the SAME source
+        racing on one dst at DIFFERENT versions are not `same_clone`,
+        but both link the identical bloom sidecar set (the bloom dir
+        listing is version-independent) — the loser's cleanup used to
+        delete the winner's bloom links (they are in no manifest and
+        under no dv dir), silently destroying its point-lookup
+        pruning. Bloom rels are now kept whenever the winner cloned
+        the same source. The rival's win is simulated by landing the
+        manifest it would have committed (its links are the same
+        hard-link names the loser already created)."""
+        import pandas as pd
+        import pytest as _pytest
+
+        from pystore_spark import bloom as bl
+        from pystore_spark import utils
+        from pystore_spark.exceptions import ConcurrentCommitError
+
+        c = test_collection
+        docs = pd.DataFrame({
+            "doc_id": range(50),
+            "v": [float(i) for i in range(50)],
+        })
+        c.write("srcb", docs, index_col="doc_id", bloom=["doc_id"],
+                npartitions=4)
+        man_v1 = utils.read_manifest(c._item_path("srcb"))
+        c.append(
+            "srcb",
+            pd.DataFrame({"doc_id": [100], "v": [1.0]}),
+            duplicate_handling="keep_all",
+        )  # version 2: WE clone latest; the rival committed version 1
+
+        real = type(c.fs).link_or_copy
+        fired = {"done": False}
+
+        def hijack(self, s, d):
+            real(self, s, d)
+            if not fired["done"]:
+                fired["done"] = True
+                meta = dict(man_v1.get("metadata") or {})
+                meta["_cloned_from"] = {
+                    "item": "srcb",
+                    "version": int(man_v1.get("version", 0)),
+                    "snapshot": None,
+                }
+                # the rival linked ITS version's rels itself (the
+                # append rewrote a bucket, so v1 has files v2 lacks)
+                for rel in man_v1["files"]:
+                    try:
+                        real(
+                            c.fs,
+                            c._item_path("srcb") / rel,
+                            c._item_path("raceb") / rel,
+                        )
+                    except OSError:
+                        pass  # already linked by the loser
+                utils.write_manifest(
+                    c._item_path("raceb"),
+                    man_v1["files"],
+                    meta,
+                    version=1,
+                    stats=man_v1.get("stats"),
+                    sizes=man_v1.get("sizes"),
+                    dv=man_v1.get("dv"),
+                    if_match=None,
+                )
+
+        monkeypatch.setattr(type(c.fs), "link_or_copy", hijack)
+        with _pytest.raises(ConcurrentCommitError):
+            c.clone_item("srcb", "raceb")
+        monkeypatch.undo()
+        c.clear_metadata_cache("raceb")
+
+        # winner readable at ITS version (the source's v1 slice)
+        out = c.item("raceb").to_pandas()
+        assert len(out) == 50
+        # the winner's bloom sidecars survived the loser's cleanup
+        dst = c._item_path("raceb")
+        blooms = list(
+            c.fs.list_files(dst / bl.BLOOM_DIR, ".parquet")
+        )
+        assert blooms, "rival-clone cleanup deleted the bloom links"
+        # and pruning still engages on a point lookup
+        rep = c.item(
+            "raceb", filters=[("doc_id", "==", 7)]
+        ).scan_report()
+        assert rep["n_files_selected"] <= rep["n_files_live"]
+        got = c.item(
+            "raceb", filters=[("doc_id", "==", 7)]
+        ).to_pandas()
+        assert list(got.index) == [7]  # doc_id is the pandas index
