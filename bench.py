@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     # dedup (positional-gram explode, one gram shuffle, in-row cuts)
     "decontam_spans_stats",
     "substring_dedup_stats",
+    # round-9 flagship: Okapi BM25 sparse retrieval (query-bag
+    # In-filter before any shuffle, broadcast df, TakeOrdered top-k)
+    "bm25_retrieval_topk",
 ]
 
 

@@ -4325,6 +4325,52 @@ class Collection:
 
         return SI.refresh_substring_index(self, index_item)
 
+    def build_text_index(
+        self,
+        index_item: str,
+        source,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        overwrite: bool = False,
+    ) -> dict:
+        """Materialize the inverted postings index (one row per
+        distinct (term, doc) pair, term-sorted and zonemapped; exact
+        corpus stats in the sidecar) so :meth:`search_bm25` reads
+        ONLY the query terms' postings — BM25 retrieval in O(query),
+        not the O(corpus) token re-shuffle the batch operator pays
+        per call (text_index.py)."""
+        from pystore_spark import text_index as TI
+
+        return TI.build_text_index(
+            self, index_item, source, text_col=text_col,
+            id_col=id_col, overwrite=overwrite,
+        )
+
+    def search_bm25(
+        self,
+        index_item: str,
+        query_terms: list,
+        k1: float = 1.2,
+        b: float = 0.75,
+        top_k: int = 10,
+    ) -> DataFrame:
+        """BM25 top-k against the persistent inverted index —
+        identical results to ``functions/text.bm25_topk`` over the
+        indexed corpus (shared scoring core), term-pruned postings
+        read (text_index.py)."""
+        from pystore_spark import text_index as TI
+
+        return TI.search_bm25(
+            self, index_item, query_terms, k1=k1, b=b, top_k=top_k
+        )
+
+    def refresh_text_index(self, index_item: str) -> dict:
+        """Fold the postings delta tier into the term-sorted base
+        (LSM merge; also runs via :meth:`maintain`)."""
+        from pystore_spark import text_index as TI
+
+        return TI.refresh_text_index(self, index_item)
+
     def register_benchmark(
         self,
         registry: str,
@@ -4418,6 +4464,10 @@ class Collection:
 
         if meta.get(SI.META_KEY):
             return SI.verify_index(self, item, index_item, deep=deep)
+        from pystore_spark import text_index as TI
+
+        if meta.get(TI.META_KEY):
+            return TI.verify_index(self, item, index_item)
         vx = meta.get("_vector_index")
         if vx:
             idc = vx["id_col"]
@@ -4497,6 +4547,10 @@ class Collection:
 
         if meta.get(SI.META_KEY):
             return SI.repair_index(self, item, index_item)
+        from pystore_spark import text_index as TI
+
+        if meta.get(TI.META_KEY):
+            return TI.repair_index(self, item, index_item)
         vx = meta.get("_vector_index")
         if vx:
             idc = vx["id_col"]
@@ -4555,6 +4609,7 @@ class Collection:
         dedup_index: str | None = None,
         line_index: str | None = None,
         substring_index: str | None = None,
+        text_index: str | None = None,
         decontam_registry: str | None = None,
         decontam_benchmarks: list | None = None,
         within_batch: bool = False,
@@ -4608,6 +4663,14 @@ class Collection:
           from survivors' stored text when the doc probe drops rows.
           Mutually exclusive with ``line_index`` in one ingest (both
           rewrite text; run spans first, lines in a second ingest).
+        * ``text_index`` — name of an inverted postings index built
+          with :meth:`build_text_index`; the docs that actually LAND
+          in storage (probe survivors, final stored text) are indexed
+          into the postings delta in O(batch) and the sidecar corpus
+          stats bump atomically, so :meth:`search_bm25` stays exact
+          across ingests (text_index.py). Registration is
+          marker-stamped in both halves (delta append + stats CAS) —
+          replay-safe like the censuses.
         * ``decontam_registry`` — name of a benchmark registry built
           with :meth:`register_benchmark`; every registered (or
           ``decontam_benchmarks``-named) eval set's ``n``-gram spans
@@ -4993,6 +5056,56 @@ class Collection:
                     marker=replay_marker,
                 )
 
+        ti_report: dict | None = None
+        if text_index is not None:
+            from pystore_spark import text_index as TI
+
+            # index exactly the docs that LANDED in storage, with the
+            # text they landed with — strictly AFTER the append
+            meta_ti = TI._index_meta(self, text_index)
+            idc_t = meta_ti["id_col"]
+            if dedup_index is not None and rep.get("replayed"):
+                # clean dedup replay hides the drop set — storage is
+                # the survivor record (same recipe as the gram
+                # replay repair above); register_docs' two markers
+                # make the re-registration idempotent anyway
+                rng = curated.agg(
+                    F.min(idc_t).alias("lo"),
+                    F.max(idc_t).alias("hi"),
+                ).collect()[0]
+                if rng["lo"] is None:
+                    stored_batch = curated
+                else:
+                    sids = self.item(
+                        item,
+                        filters=[
+                            (idc_t, ">=", rng["lo"]),
+                            (idc_t, "<=", rng["hi"]),
+                        ],
+                        columns=[idc_t],
+                    ).data
+                    stored_batch = curated.join(
+                        sids, idc_t, "leftsemi"
+                    )
+            elif kept_lines is not None:
+                stored_batch = final_df  # survivors, finalized text
+            elif dedup_index is not None:
+                dropped_t = rep.get("dropped_ids") or []
+                stored_batch = (
+                    curated.filter(~F.col(idc_t).isin(dropped_t))
+                    if dropped_t
+                    else curated
+                )
+            else:
+                stored_batch = curated
+            ti_report = TI.register_docs(
+                self, text_index, stored_batch, marker=replay_marker
+            )
+            if record_funnel:
+                funnel_rows.append(
+                    (f"text_index:{text_index}", n_appended)
+                )
+
         # the ingest target joins each active index's recorded corpus
         # scope (cross-item verify/repair; idempotent no-op when
         # already recorded — append_with_dedup registers on the
@@ -5001,10 +5114,12 @@ class Collection:
             dedup_index is not None
             or line_index is not None
             or substring_index is not None
+            or text_index is not None
         ):
             from pystore_spark import dedup_index as DI
             from pystore_spark import line_index as LI
             from pystore_spark import substring_index as SI
+            from pystore_spark import text_index as TI
 
             if dedup_index is not None:
                 DI._register_source_item(self, dedup_index, item)
@@ -5015,6 +5130,10 @@ class Collection:
             if substring_index is not None:
                 DI._register_source_item(
                     self, substring_index, item, meta_key=SI.META_KEY
+                )
+            if text_index is not None:
+                DI._register_source_item(
+                    self, text_index, item, meta_key=TI.META_KEY
                 )
 
         # insertion-ordered stage list; a repeated stage name gets a
@@ -5039,6 +5158,8 @@ class Collection:
             report["substring_index"] = sub_report
         if decon_report is not None:
             report["decontam"] = decon_report
+        if ti_report is not None:
+            report["text_index"] = ti_report
         if record_funnel and not data_committed:
             last = {
                 k: v for k, v in report.items() if k != "funnel"
@@ -5782,6 +5903,15 @@ class Collection:
                         )
                 except Exception as exc:
                     res["substring_index_error"] = str(exc)
+                from pystore_spark import text_index as TI
+
+                try:
+                    if (self.get_item_metadata(n) or {}).get(TI.META_KEY):
+                        res["text_index"] = (
+                            self.refresh_text_index(n)
+                        )
+                except Exception as exc:
+                    res["text_index_error"] = str(exc)
             if refresh_vector_indexes:
                 try:
                     if (self.get_item_metadata(n) or {}).get(

@@ -284,16 +284,36 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
+    return bm25_rank(hits, n_docs, avgdl, id_col, k1, b, top_k)
+
+
+def bm25_rank(
+    hits: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 scoring core over a HIT-postings frame ``(id_col, term,
+    tf, dl)`` — shared by :func:`bm25_topk` (in-memory corpus pass)
+    and the persistent inverted index's ``search_bm25``
+    (text_index.py), so the two paths can never diverge in score
+    algebra or float-op order. Per-term document frequencies are
+    counted from the hits (one row per (term, doc)), broadcast back;
+    contributions round at 12 decimals and sum as DECIMAL(20,12)
+    (order-independent); final top-k is a TakeOrdered."""
     dfreq = hits.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
     )
     contrib = F.round(
         (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom, 12

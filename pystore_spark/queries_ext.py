@@ -1622,9 +1622,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bm25_retrieval_topk",
-    sql=f"""
+_BM25_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, {_LOWER_TOKS} AS a FROM documents),
     stats AS (
@@ -1654,7 +1652,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
       ROUND(CAST(SUM(CAST(c AS DECIMAL(20,12))) AS DOUBLE), 6) AS bm25
     FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
-    """,
+    """
+
+
+@register(
+    "bm25_retrieval_topk",
+    sql=_BM25_ORACLE,
     tags=("text", "retrieval", "pipeline"),
 )
 def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1671,6 +1674,62 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc, ["spark", "query", "window", "vector"],
         text_col="text", id_col="doc_id", top_k=10,
     )
+
+
+@register(
+    "bm25_index_probe",
+    # The PERSISTENT INVERTED INDEX end to end (text_index.py): the
+    # oracle is the full-corpus BM25 top-10 — the SAME SQL as
+    # bm25_retrieval_topk — while the engine side answers it from
+    # STORED postings built over half the corpus and extended by an
+    # incremental registration of the other half (delta tier + CAS
+    # stats bump). Any drift in the postings, the denormalized dl,
+    # the integer corpus stats, or the shared scoring core breaks
+    # hash equality.
+    sql=_BM25_ORACLE,
+    tags=("text", "retrieval", "pipeline", "storage", "incremental"),
+)
+def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through REAL storage, incrementally: write the even-id
+    half of `documents` as a corpus item, build the inverted postings
+    index (Collection.build_text_index — term-sorted, zonemapped,
+    exact integer corpus stats in the sidecar), ingest the odd half
+    with ``text_index=`` (O(batch) postings append + atomic stats
+    bump), then answer the query bag via Collection.search_bm25 —
+    which reads ONLY the query terms' postings (term-pruned base
+    files + delta row groups) and must match the one-pass batch
+    operator over the full corpus exactly (shared bm25_rank core)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = doc.filter(F.col("doc_id") % 2 == 0)
+    second = doc.filter(F.col("doc_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="ps_bm25_probe_")
+    old_path = cfg._path
+    rows: list[tuple[int, float]] = []
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("bm25_probe_store", spark=spark).collection("c")
+        col.write("corpus", first, index_col="doc_id")
+        col.build_text_index("tix", "corpus")
+        col.ingest(
+            "corpus", second, text_index="tix", index_col="doc_id"
+        )
+        got = col.search_bm25(
+            "tix", ["spark", "query", "window", "vector"], top_k=10
+        )
+        rows = [
+            (int(r["doc_id"]), float(r["bm25"]))
+            for r in got.collect()
+        ]
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, bm25 double")
 
 
 @register(
@@ -5702,6 +5761,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # in-window: substring_index_probe's census cut through storage;
     # decontam_spans_stats' batch operator in the tail)
     "decontam_registry_probe",
+    # round-9 tail addition: persistent inverted text index — BM25
+    # through real storage, postings built incrementally (family
+    # siblings in-window: the incremental probes; bm25_retrieval_topk
+    # pins the batch operator in the tail with the SAME oracle)
+    "bm25_index_probe",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -1,0 +1,217 @@
+"""Persistent inverted text index (text_index.py): BM25 retrieval in
+O(query-term postings). Covers build, EQUIVALENCE with the batch
+bm25_topk operator (shared scoring core — results must be identical),
+incremental registration through ingest (survivors only, exact stats),
+marker idempotence, the maintain() fold, and verify/repair."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pystore_spark import text_index as TI
+from pystore_spark.functions import text as X
+
+QUERY = ["spark", "query", "window", "vector"]
+
+VOCAB = (
+    "spark query window vector join filter scan merge sort data "
+    "table row group batch stream agg key value line part"
+).split()
+
+
+def _corpus(n, seed=0, start=0):
+    import random
+
+    rng = random.Random(seed)
+    return pd.DataFrame({
+        "doc_id": range(start, start + n),
+        "text": [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(8, 40)))
+            for _ in range(n)
+        ],
+    })
+
+
+@pytest.fixture()
+def ti_col(test_collection, spark):
+    c = test_collection
+    c.write("corpus", _corpus(40), index_col="doc_id")
+    c.build_text_index("tix", "corpus")
+    return c
+
+
+def _ranked(df):
+    return [
+        (r["doc_id"], r["bm25"])
+        for r in df.orderBy("doc_id").collect()
+    ]
+
+
+def test_search_equals_batch_operator(ti_col, spark):
+    c = ti_col
+    got = c.search_bm25("tix", QUERY, top_k=10)
+    exp = X.bm25_topk(
+        c.item("corpus").data, QUERY, top_k=10
+    )
+    assert _ranked(got) == _ranked(exp)
+    assert got.columns == ["doc_id", "bm25"]
+
+
+def test_build_records_exact_stats(ti_col):
+    meta = ti_col.get_item_metadata("tix")[TI.META_KEY]
+    docs = ti_col.item("corpus").to_pandas(sort=False)
+    assert meta["n_docs"] == len(docs)
+    assert meta["total_dl"] == int(
+        docs["text"].str.split().str.len().sum()
+    )
+    chk = ti_col.verify_index(None, "tix")
+    assert chk["ok"], chk
+
+
+def test_empty_query_raises(ti_col):
+    with pytest.raises(ValueError, match="query_terms is empty"):
+        ti_col.search_bm25("tix", [])
+
+
+def test_ingest_registers_and_search_stays_exact(ti_col, spark):
+    """ingest(text_index=) indexes the appended docs O(batch); a
+    search after the ingest must equal the batch operator over the
+    FULL stored corpus (delta postings + bumped stats both counted)."""
+    c = ti_col
+    batch = spark.createDataFrame(
+        _corpus(15, seed=7, start=100)
+    )
+    rep = c.ingest(
+        "corpus", batch, text_index="tix", index_col="doc_id"
+    )
+    assert rep["text_index"]["n_docs_indexed"] == 15
+    assert "text_index:tix" in rep["funnel"]
+    got = c.search_bm25("tix", QUERY, top_k=10)
+    exp = X.bm25_topk(c.item("corpus").data, QUERY, top_k=10)
+    assert _ranked(got) == _ranked(exp)
+    chk = c.verify_index(None, "tix")
+    assert chk["ok"], chk
+
+
+def test_ingest_with_dedup_registers_survivors_only(
+    test_collection, spark
+):
+    """A probe-dropped doc must contribute NEITHER postings NOR stats
+    — otherwise every later search scores against phantom corpus
+    members."""
+    c = test_collection
+    base = " ".join(VOCAB) + " " + " ".join(VOCAB[::-1])
+    c.write(
+        "corpusT",
+        pd.DataFrame({"doc_id": [1], "text": [base]}),
+        index_col="doc_id",
+    )
+    c.build_text_index("tix2", "corpusT")
+    c.build_dedup_index(
+        "didxT", "corpusT", threshold=0.3, num_hashes=16, bands=16
+    )
+    batch = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": [base + " extra", "novel words only here today"],
+    }))
+    rep = c.ingest(
+        "corpusT", batch, dedup_index="didxT", text_index="tix2",
+        index_col="doc_id",
+    )
+    assert rep["n_dropped_dedup"] == 1
+    assert rep["text_index"]["n_docs_indexed"] == 1
+    got = c.search_bm25("tix2", ["novel", "spark"], top_k=10)
+    exp = X.bm25_topk(
+        c.item("corpusT").data, ["novel", "spark"], top_k=10
+    )
+    assert _ranked(got) == _ranked(exp)
+    chk = c.verify_index(None, "tix2")
+    assert chk["ok"], chk
+
+
+def test_register_marker_idempotent(ti_col, spark):
+    """The two-marker contract: re-registering the same batch under
+    the same marker bumps NEITHER the postings NOR the stats."""
+    c = ti_col
+    batch = spark.createDataFrame(_corpus(5, seed=3, start=500))
+    TI.register_docs(c, "tix", batch, marker=("k", 1))
+    meta1 = c.get_item_metadata("tix")[TI.META_KEY]
+    n1 = c.item("tix__delta").data.count()
+    TI.register_docs(c, "tix", batch, marker=("k", 1))  # replay
+    meta2 = c.get_item_metadata("tix")[TI.META_KEY]
+    assert meta2["n_docs"] == meta1["n_docs"]
+    assert meta2["total_dl"] == meta1["total_dl"]
+    assert c.item("tix__delta").data.count() == n1
+
+
+def test_maintain_folds_delta(ti_col, spark):
+    c = ti_col
+    batch = spark.createDataFrame(_corpus(10, seed=5, start=200))
+    c.ingest("corpus", batch, text_index="tix", index_col="doc_id")
+    before = _ranked(c.search_bm25("tix", QUERY, top_k=10))
+    rep = c.refresh_text_index("tix")
+    assert rep["postings_folded"] > 0
+    assert not c.item("tix__delta").data.count()
+    after = _ranked(c.search_bm25("tix", QUERY, top_k=10))
+    assert after == before
+    chk = c.verify_index(None, "tix")
+    assert chk["ok"], chk
+
+
+def test_verify_flags_and_repair_fixes_drift(ti_col, spark):
+    """Out-of-band corpus append -> missing docs; out-of-band corpus
+    delete -> orphan postings + stale stats. repair_index fixes both
+    O(drift) and resets the stats to corpus truth."""
+    c = ti_col
+    # drift 1: docs appended without the index in the loop
+    c.append(
+        "corpus",
+        _corpus(6, seed=9, start=300),
+        duplicate_handling="keep_all",
+    )
+    chk = c.verify_index(None, "tix")
+    assert not chk["ok"]
+    assert chk["n_missing"] == 6
+    assert not chk["stats_ok"]
+    rep = c.repair_index(None, "tix")
+    assert rep["n_indexed"] == 6
+    chk = c.verify_index(None, "tix")
+    assert chk["ok"], chk
+    # search exactness restored
+    got = c.search_bm25("tix", QUERY, top_k=10)
+    exp = X.bm25_topk(c.item("corpus").data, QUERY, top_k=10)
+    assert _ranked(got) == _ranked(exp)
+    # drift 2: docs deleted out-of-band
+    c.delete_where("corpus", [("doc_id", "in", [0, 1, 2])])
+    chk = c.verify_index(None, "tix")
+    assert not chk["ok"]
+    assert chk["n_orphans"] == 3
+    rep = c.repair_index(None, "tix")
+    assert rep["n_orphans_dropped"] == 3
+    chk = c.verify_index(None, "tix")
+    assert chk["ok"], chk
+    got = c.search_bm25("tix", QUERY, top_k=10)
+    exp = X.bm25_topk(c.item("corpus").data, QUERY, top_k=10)
+    assert _ranked(got) == _ranked(exp)
+
+
+def test_build_overwrite_guard(ti_col):
+    from pystore_spark.exceptions import ItemExistsError
+
+    with pytest.raises(ItemExistsError):
+        ti_col.build_text_index("tix", "corpus")
+    ti_col.build_text_index("tix", "corpus", overwrite=True)
+
+
+def test_not_a_text_index_raises(test_collection):
+    c = test_collection
+    c.write(
+        "plainT",
+        pd.DataFrame({"doc_id": [1], "text": ["x y z"]}),
+        index_col="doc_id",
+    )
+    from pystore_spark.exceptions import StorageError
+
+    with pytest.raises(StorageError, match="not a text index"):
+        c.search_bm25("plainT", ["x"])
