@@ -414,6 +414,7 @@ def curated_ingest_sink(
     dedup_index: str | None = None,
     line_index: str | None = None,
     substring_index: str | None = None,
+    text_index: str | None = None,
     sink_key: str | None = None,
     within_batch: bool = False,
     record_funnel: bool = False,
@@ -451,6 +452,7 @@ def curated_ingest_sink(
                 dedup_index is None
                 and line_index is None
                 and substring_index is None
+                and text_index is None
             ):
                 return  # no index steps to repair — data landed
             # metadata-only fast path: when every index tier already
@@ -479,7 +481,18 @@ def curated_ingest_sink(
                         "delta_item"
                     ]
                 )
-            if all(
+            text_current = True
+            if text_index is not None:
+                from pystore_spark import text_index as TI
+
+                meta_ti = TI._index_meta(collection, text_index)
+                names.append(meta_ti["delta_item"])
+                # the postings index carries a SECOND marker for its
+                # stats bump, recorded inside the base sidecar meta —
+                # both halves must be current for the fast path
+                commits = meta_ti.get("_stats_commits") or {}
+                text_current = commits.get(key, -1) >= int(batch_id)
+            if text_current and all(
                 DI._marker_current(collection, n, marker)
                 for n in names
             ):
@@ -491,6 +504,7 @@ def curated_ingest_sink(
             dedup_index=dedup_index,
             line_index=line_index,
             substring_index=substring_index,
+            text_index=text_index,
             within_batch=within_batch,
             create_missing=True,
             record_funnel=record_funnel,

@@ -1031,3 +1031,73 @@ def test_clean_dedup_replay_never_registers_dropped_doc_grams(
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     assert poison in got[200]
     assert surv_passage not in got[201]
+
+
+def test_curated_sink_text_index_crash_repair(
+    spark, test_collection, monkeypatch
+):
+    """curated_ingest_sink(text_index=): a crash between the data
+    commit and the postings registration is healed by the replayed
+    batch (data append skipped, postings + stats repaired), and a
+    fully-landed replay takes the metadata-only fast path — which for
+    this index checks BOTH markers (delta sidecar + the stats commit
+    recorded in the base meta)."""
+    import pandas as pd
+    import pytest
+
+    import pystore_spark.text_index as TI
+    from pystore_spark.functions import text as X
+    from pystore_spark.streaming import curated_ingest_sink
+
+    c = test_collection
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            "spark query window spark filter join data",
+            "vector scan merge sort window query table",
+        ],
+    })
+    c.write("tdocs", docs, index_col="doc_id")
+    c.build_text_index("ttx", "tdocs")
+    sink = curated_ingest_sink(
+        c, "tdocs", text_index="ttx", index_col="doc_id"
+    )
+
+    b0 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["spark spark vector novel retrieval words here"],
+    }))
+
+    orig = TI.register_docs
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before postings")
+
+    monkeypatch.setattr(TI, "register_docs", boom)
+    with pytest.raises(RuntimeError, match="crash before postings"):
+        sink(b0, 0)
+    monkeypatch.setattr(TI, "register_docs", orig)
+    # data landed, index didn't: search is stale vs the batch operator
+    assert c.item("tdocs").data.count() == 3
+
+    sink(b0, 0)  # replay repairs postings + stats
+    assert c.item("tdocs").data.count() == 3  # no re-append
+    q = ["spark", "vector", "query"]
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in c.search_bm25("ttx", q, top_k=10).collect()
+    ]
+    exp = [
+        (r["doc_id"], r["bm25"])
+        for r in X.bm25_topk(c.item("tdocs").data, q, top_k=10).collect()
+    ]
+    assert sorted(got) == sorted(exp)
+    chk = c.verify_index(None, "ttx")
+    assert chk["ok"], chk
+
+    # fully-landed replay: metadata-only fast path, nothing changes
+    meta_before = c.get_item_metadata("ttx")[TI.META_KEY]
+    sink(b0, 0)
+    meta_after = c.get_item_metadata("ttx")[TI.META_KEY]
+    assert meta_after["n_docs"] == meta_before["n_docs"]
+    assert meta_after["total_dl"] == meta_before["total_dl"]
