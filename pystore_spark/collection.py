@@ -4332,6 +4332,7 @@ class Collection:
         text_col: str = "text",
         id_col: str = "doc_id",
         overwrite: bool = False,
+        npartitions: int | None = None,
     ) -> dict:
         """Materialize the inverted postings index (one row per
         distinct (term, doc) pair, term-sorted and zonemapped; exact
@@ -4344,6 +4345,7 @@ class Collection:
         return TI.build_text_index(
             self, index_item, source, text_col=text_col,
             id_col=id_col, overwrite=overwrite,
+            npartitions=npartitions,
         )
 
     def search_bm25(

@@ -9,12 +9,16 @@ postings the way the MinHash/line/gram censuses persist their state
 substring_index.py):
 
 * **base tier** — one row per distinct ``(term, doc)`` pair of the
-  stored corpus: ``(term, doc_id, tf BIGINT, dl BIGINT)``, sorted and
-  zonemapped on ``term``. A query's ``("term", "in", [...])`` filter
-  prunes base FILES by the manifest min/max, so a search reads ONLY
-  the query terms' postings — cost scales with the postings of the
-  query bag, never the corpus. ``dl`` (document token length) is
-  denormalized onto every posting so scoring needs no second lookup.
+  stored corpus: ``(tp BIGINT, term, doc_id, tf BIGINT, dl BIGINT)``,
+  sorted and zonemapped on ``tp`` — the term's 14-hex md5-prefix key
+  (parquet string footer stats are truncated/unreliable, so the
+  manifest zonemap is numeric-only; same recipe as lhp/ghp). A
+  query's ``("tp", "in", [...])`` filter prunes base FILES by the
+  manifest min/max (an exact term filter behind it guards prefix
+  collisions), so a search reads ONLY the query terms' postings —
+  cost scales with the postings of the query bag, never the corpus.
+  ``dl`` (document token length) is denormalized onto every posting
+  so scoring needs no second lookup.
 * **corpus statistics** — ``n_docs`` / ``total_dl`` live in the base
   item's sidecar as EXACT integers, bumped by each registration via
   the manifest-CAS metadata update (a concurrent bump can never lose
@@ -57,9 +61,30 @@ from pystore_spark.functions import text as X
 META_KEY = "_text_index"
 
 
+def _tp(term_col) -> Any:
+    """First-14-hex bigint prefix of the term's md5 — the base tier's
+    sort/zonemap key. Parquet footer stats for STRING columns are
+    truncated/unreliable, so the manifest zonemap records numeric
+    columns only (manifest.gather_file_stats); the hash-prefix key is
+    the same recipe the line/gram censuses use (lhp/ghp). Prefix
+    collisions are handled by an exact term filter after the scan."""
+    return F.conv(F.substring(F.md5(term_col), 1, 14), 16, 10).cast(
+        "bigint"
+    )
+
+
+def term_prefix(term: str) -> int:
+    """Driver-side twin of :func:`_tp` (md5 is md5 — the Spark and
+    hashlib digests are identical), used to build the pruning filter
+    for a query bag."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:14], 16)
+
+
 def _postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(term, doc_id, tf, dl) — one row per distinct (term, doc) of
-    the lowercased whitespace token stream (the bm25_topk
+    """(tp, term, doc_id, tf, dl) — one row per distinct (term, doc)
+    of the lowercased whitespace token stream (the bm25_topk
     tokenization, so index and batch operator can never diverge).
     One explode + one map-side-combinable (term, doc) groupBy; ``dl``
     is a per-row expression carried through the explode, no join."""
@@ -72,6 +97,13 @@ def _postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .select(
+            _tp(F.col("term")).alias("tp"),
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+        )
     )
 
 
@@ -93,6 +125,7 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     overwrite: bool = False,
+    npartitions: int | None = None,
 ) -> dict:
     """Full postings build over a stored item (by name), a LIST of
     item names (one index across a multi-item corpus; ids must be
@@ -135,10 +168,11 @@ def build_text_index(
     col.write(
         index_item,
         posts,
-        index_col="term",
-        zonemap=["term"],
+        index_col="tp",
+        zonemap=["tp"],
         overwrite=overwrite,
         sidecar_extra={META_KEY: meta},
+        **({"npartitions": npartitions} if npartitions else {}),
     )
     if col.item_exists(meta["delta_item"]):
         col.delete_item(meta["delta_item"])
@@ -183,14 +217,15 @@ def search_bm25(
             [], "doc_id string, bm25 double"
         )
     avgdl = float(meta["total_dl"]) / float(n_docs)
-    flt = [("term", "in", sorted(set(query_terms)))]
+    terms = sorted(set(query_terms))
+    flt = [("tp", "in", [term_prefix(t) for t in terms])]
     hits = DI._union_tiers(
         col,
         index_item,
         meta["delta_item"],
         ["term", "doc_id", "tf", "dl"],
         filters=flt,
-    ).filter(F.col("term").isin(list(query_terms)))
+    ).filter(F.col("term").isin(terms))
     return X.bm25_rank(
         hits, n_docs, avgdl, id_col="doc_id", k1=k1, b=b, top_k=top_k
     )
@@ -224,6 +259,7 @@ def register_docs(
         _postings(df, text_col, id_col)
         .select(
             F.current_timestamp().alias("added_at"),
+            "tp",
             "term",
             "doc_id",
             "tf",
@@ -321,11 +357,11 @@ def refresh_text_index(col, index_item: str) -> dict:
     if not n:
         return {"postings_folded": 0}
     base = DI._read_frame(col, index_item).select(
-        "term", "doc_id", "tf", "dl"
+        "tp", "term", "doc_id", "tf", "dl"
     )
     merged = base.unionByName(
         DI._item_frame(col, delta_it).select(
-            "term", "doc_id", "tf", "dl"
+            "tp", "term", "doc_id", "tf", "dl"
         )
     )
     # stats live in the sidecar — re-read FRESH meta at write time so
@@ -334,8 +370,8 @@ def refresh_text_index(col, index_item: str) -> dict:
     col.write(
         index_item,
         merged,
-        index_col="term",
-        zonemap=["term"],
+        index_col="tp",
+        zonemap=["tp"],
         overwrite=True,
         sidecar_extra={META_KEY: fresh},
     )
@@ -428,7 +464,7 @@ def repair_index(col, item, index_item: str) -> dict:
             _postings(batch, text_col, id_col)
             .select(
                 F.current_timestamp().alias("added_at"),
-                "term", "doc_id", "tf", "dl",
+                "tp", "term", "doc_id", "tf", "dl",
             )
         )
         delta = meta["delta_item"]

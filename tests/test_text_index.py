@@ -215,3 +215,28 @@ def test_not_a_text_index_raises(test_collection):
 
     with pytest.raises(StorageError, match="not a text index"):
         c.search_bm25("plainT", ["x"])
+
+
+def test_search_prunes_postings_files(test_collection, spark):
+    """The O(query) claim, structurally: with the base postings split
+    across several term-sorted files, a query-bag search must SELECT
+    a strict subset of files via the manifest term zonemap — the scan
+    never touches postings of terms outside the query."""
+    c = test_collection
+    c.write("corpusP", _corpus(120, seed=11), index_col="doc_id")
+    c.build_text_index("tpx", "corpusP", npartitions=6)
+    rep = c.item(
+        "tpx",
+        filters=[(
+            "tp", "in",
+            [TI.term_prefix("spark"), TI.term_prefix("vector")],
+        )],
+    ).scan_report()
+    assert rep["n_files_live"] >= 4
+    assert rep["n_files_selected"] < rep["n_files_live"]
+    # and the pruned search is still exact
+    got = _ranked(c.search_bm25("tpx", ["spark", "vector"], top_k=10))
+    exp = _ranked(
+        X.bm25_topk(c.item("corpusP").data, ["spark", "vector"], top_k=10)
+    )
+    assert got == exp
