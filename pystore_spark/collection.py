@@ -4713,6 +4713,33 @@ class Collection:
                 "ingests (spans first, then lines) so each "
                 "census registers exactly its stored bytes"
             )
+        if text_index is not None:
+            # the postings registration filters probe-dropped ids and
+            # (on replay) reconstructs survivors by id range — a
+            # mismatched key column would silently filter NOTHING and
+            # index phantom docs, so every combined index must key on
+            # the text index's id column
+            from pystore_spark import dedup_index as _DI
+            from pystore_spark import line_index as _LI
+            from pystore_spark import substring_index as _SI
+            from pystore_spark import text_index as _TI
+
+            _idc_t = _TI._index_meta(self, text_index)["id_col"]
+            for _nm, _mod in (
+                (dedup_index, _DI),
+                (line_index, _LI),
+                (substring_index, _SI),
+            ):
+                if _nm is None:
+                    continue
+                _other = _mod._index_meta(self, _nm)["id_col"]
+                if _other != _idc_t:
+                    raise ValueError(
+                        f"text index {text_index!r} (id_col="
+                        f"{_idc_t!r}) and index {_nm!r} (id_col="
+                        f"{_other!r}) must key on the same id "
+                        "column to be combined in one ingest"
+                    )
         prepared, _, nrows_hint, _ = self._prepare_input(
             data,
             epochdate=bool(append_kwargs.get("epochdate", False)),

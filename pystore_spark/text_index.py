@@ -213,19 +213,35 @@ def search_bm25(
     meta = _index_meta(col, index_item)
     n_docs = int(meta.get("n_docs") or 0)
     if n_docs == 0:
+        # empty top-k with the INDEXED id type (an index built over
+        # an empty corpus still round-trips the postings schema)
+        id_t = (
+            col.item(index_item)
+            .data.schema["doc_id"]
+            .dataType.simpleString()
+        )
         return col.spark.createDataFrame(
-            [], "doc_id string, bm25 double"
+            [], f"doc_id {id_t}, bm25 double"
         )
     avgdl = float(meta["total_dl"]) / float(n_docs)
     terms = sorted(set(query_terms))
     flt = [("tp", "in", [term_prefix(t) for t in terms])]
-    hits = DI._union_tiers(
-        col,
-        index_item,
-        meta["delta_item"],
-        ["term", "doc_id", "tf", "dl"],
-        filters=flt,
-    ).filter(F.col("term").isin(terms))
+    hits = (
+        DI._union_tiers(
+            col,
+            index_item,
+            meta["delta_item"],
+            ["term", "doc_id", "tf", "dl"],
+            filters=flt,
+        )
+        .filter(F.col("term").isin(terms))
+        # a fold crash (or a read landing between the fold's base
+        # overwrite and its delta trim) can expose a posting in BOTH
+        # tiers; duplicate (term, doc) rows are byte-identical, so
+        # one query-postings-sized dedup keeps scoring exact under
+        # that window instead of double-counting tf and df
+        .dropDuplicates(["term", "doc_id"])
+    )
     return X.bm25_rank(
         hits, n_docs, avgdl, id_col="doc_id", k1=k1, b=b, top_k=top_k
     )
@@ -254,21 +270,33 @@ def register_docs(
     meta = _index_meta(col, index_item)
     delta = meta["delta_item"]
     text_col, id_col = meta["text_col"], meta["id_col"]
+    # marker checks FIRST — a fully-landed replay pays no Spark job,
+    # a delta-landed one pays only the cheap stats aggregation
+    # (_stats_commits only grows, so a cached "current" is safe; a
+    # stale "behind" just falls into the idempotent CAS below)
+    delta_current = DI._marker_current(col, delta, marker)
+    stats_current = marker is not None and int(
+        (meta.get("_stats_commits") or {}).get(marker[0], -1)
+    ) >= int(marker[1])
+    if delta_current and stats_current:
+        return {"n_docs_indexed": 0, "n_postings": 0,
+                "replayed": True}
     bn, bdl = _doc_stats(df, text_col)
-    posts = (
-        _postings(df, text_col, id_col)
-        .select(
-            F.current_timestamp().alias("added_at"),
-            "tp",
-            "term",
-            "doc_id",
-            "tf",
-            "dl",
+    n_postings = 0
+    if not delta_current:
+        posts = (
+            _postings(df, text_col, id_col)
+            .select(
+                F.current_timestamp().alias("added_at"),
+                "tp",
+                "term",
+                "doc_id",
+                "tf",
+                "dl",
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    n_postings = posts.count()
-    if not DI._marker_current(col, delta, marker):
+        n_postings = posts.count()
         sidecar = DI._marker_sidecar(marker)
         if not n_postings:
             # token-free batch: no postings, but advance the replay
@@ -342,10 +370,13 @@ def refresh_text_index(col, index_item: str) -> dict:
     """Fold the delta tier into the sorted, term-zonemapped base (LSM
     merge, wired into ``Collection.maintain``). Same concurrency
     discipline as the sibling indexes: the fold pins the delta
-    generations it reads and the trim removes exactly those, so
-    postings appended mid-fold survive to the next fold. Postings are
-    append-only per (term, doc) — no conflict rule needed, the merge
-    is a plain union."""
+    generations it reads and the trim removes exactly those (postings
+    appended mid-fold survive to the next fold), and the merge is
+    BASE WINS on (term, doc) — a crash between the base overwrite and
+    the delta trim leaves folded rows in both tiers, and a plain
+    union would re-fold them into permanent duplicates on the next
+    run (search dedups its hit rows, so even the crash window itself
+    never double-counts)."""
     from pystore_spark import dedup_index as DI
 
     meta = _index_meta(col, index_item)
@@ -359,14 +390,26 @@ def refresh_text_index(col, index_item: str) -> dict:
     base = DI._read_frame(col, index_item).select(
         "tp", "term", "doc_id", "tf", "dl"
     )
+    latest = DI._item_frame(col, delta_it).select(
+        "tp", "term", "doc_id", "tf", "dl"
+    ).dropDuplicates(["term", "doc_id"])
     merged = base.unionByName(
-        DI._item_frame(col, delta_it).select(
-            "tp", "term", "doc_id", "tf", "dl"
-        )
+        latest.join(
+            base.select("term", "doc_id"),
+            on=["term", "doc_id"],
+            how="left_anti",
+        ).select("tp", "term", "doc_id", "tf", "dl")
     )
-    # stats live in the sidecar — re-read FRESH meta at write time so
-    # a registration landing mid-fold keeps its counter bump
-    fresh = _index_meta(col, index_item)
+    # stats live in the sidecar — re-read meta CACHE-FRESH right
+    # before the write so a registration's counter bump landing
+    # during the fold's data jobs is carried (the 300s metadata TTL
+    # would otherwise serve a pre-fold snapshot); the residual
+    # read-to-write window is the maintain() serialization discipline
+    # shared by every fold (CollectionLock), and repair_index resets
+    # stats to corpus truth if it is ever lost
+    fresh = (
+        col.get_item_metadata(index_item, use_cache=False) or {}
+    ).get(META_KEY) or meta
     col.write(
         index_item,
         merged,

@@ -240,3 +240,73 @@ def test_search_prunes_postings_files(test_collection, spark):
         X.bm25_topk(c.item("corpusP").data, ["spark", "vector"], top_k=10)
     )
     assert got == exp
+
+
+def test_fold_crash_then_refold_never_duplicates(ti_col, spark, monkeypatch):
+    """Review finding (round 9): a crash between the fold's base
+    overwrite and its delta trim leaves folded postings in BOTH
+    tiers; a plain-union re-fold would duplicate them permanently
+    (double tf/df -> wrong BM25 forever, invisible to fsck). The
+    merge is BASE WINS on (term, doc) and search dedups its hit rows,
+    so both the crash window and the re-fold stay exact."""
+    import pystore_spark.dedup_index as DI
+
+    c = ti_col
+    batch = spark.createDataFrame(_corpus(10, seed=5, start=200))
+    c.ingest("corpus", batch, text_index="tix", index_col="doc_id")
+    exp = _ranked(
+        X.bm25_topk(c.item("corpus").data, QUERY, top_k=10)
+    )
+
+    orig = DI.trim_delta
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before trim")
+
+    monkeypatch.setattr(DI, "trim_delta", boom)
+    with pytest.raises(RuntimeError, match="crash before trim"):
+        c.refresh_text_index("tix")
+    monkeypatch.setattr(DI, "trim_delta", orig)
+    # crash window: postings live in BOTH tiers — search still exact
+    assert _ranked(c.search_bm25("tix", QUERY, top_k=10)) == exp
+    # re-fold: no permanent duplication
+    c.refresh_text_index("tix")
+    assert _ranked(c.search_bm25("tix", QUERY, top_k=10)) == exp
+    dup = (
+        c.item("tix").data.groupBy("term", "doc_id").count()
+        .filter("count > 1").count()
+    )
+    assert dup == 0
+    chk = c.verify_index(None, "tix")
+    assert chk["ok"], chk
+
+
+def test_ingest_rejects_mismatched_id_cols(ti_col, spark):
+    """Review finding (round 9): combining a text index with a dedup
+    index keyed on a DIFFERENT id column used to silently filter
+    nothing (phantom registrations); it now raises before any work."""
+    c = ti_col
+    docs = c.item("corpus").data.withColumnRenamed("doc_id", "uid")
+    c.write("corpusU", docs.toPandas(), index_col="uid")
+    c.build_dedup_index(
+        "didxU", "corpusU", text_col="text", id_col="uid",
+        threshold=0.3, num_hashes=16, bands=16,
+    )
+    with pytest.raises(ValueError, match="same id column"):
+        c.ingest(
+            "corpus",
+            spark.createDataFrame(_corpus(2, seed=1, start=900)),
+            dedup_index="didxU", text_index="tix",
+            index_col="doc_id",
+        )
+
+
+def test_empty_corpus_search_keeps_id_type(test_collection, spark):
+    """Review finding (round 9): the empty-index fast path used to
+    hardcode a string doc_id; it now round-trips the indexed type."""
+    c = test_collection
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    c.build_text_index("tex", empty)
+    out = c.search_bm25("tex", ["spark"])
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "bigint"
