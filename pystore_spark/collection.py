@@ -5958,6 +5958,7 @@ class Collection:
                         nm.get("_dedup_index")
                         or nm.get("_line_index")
                         or nm.get("_substring_index")
+                        or nm.get("_text_index")
                         or nm.get("_vector_index")
                     )
                     if scoped:

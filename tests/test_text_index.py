@@ -310,3 +310,19 @@ def test_empty_corpus_search_keeps_id_type(test_collection, spark):
     out = c.search_bm25("tex", ["spark"])
     assert out.count() == 0
     assert dict(out.dtypes)["doc_id"] == "bigint"
+
+
+def test_maintain_folds_and_verifies_text_index(ti_col, spark):
+    """maintain() must fold the postings delta and include the text
+    index in its verify sweep (the scoped-index list)."""
+    c = ti_col
+    c.ingest(
+        "corpus",
+        spark.createDataFrame(_corpus(5, seed=13, start=700)),
+        text_index="tix", index_col="doc_id",
+    )
+    rep = c.maintain(verify_indexes=True)
+    ti_rep = rep.get("tix") or {}
+    assert ti_rep.get("text_index", {}).get("postings_folded", 0) > 0
+    assert "verify" in ti_rep
+    assert ti_rep["verify"]["ok"], ti_rep["verify"]
