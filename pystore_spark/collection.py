@@ -4366,6 +4366,27 @@ class Collection:
             self, index_item, query_terms, k1=k1, b=b, top_k=top_k
         )
 
+    def search_bm25_many(
+        self,
+        index_item: str,
+        queries: Any,
+        query_id_col: str = "query_id",
+        terms_col: str = "terms",
+        k1: float = 1.2,
+        b: float = 0.75,
+        top_k: int = 10,
+    ) -> DataFrame:
+        """BM25 top-k for MANY query bags in one pass — per-query
+        rows exactly equal to :meth:`search_bm25` (one shared
+        contribution pass over the union vocabulary; text_index.py)."""
+        from pystore_spark import text_index as TI
+
+        df, _, _, _ = self._prepare_input(queries)
+        return TI.search_bm25_many(
+            self, index_item, df, query_id_col=query_id_col,
+            terms_col=terms_col, k1=k1, b=b, top_k=top_k,
+        )
+
     def refresh_text_index(self, index_item: str) -> dict:
         """Fold the postings delta tier into the term-sorted base
         (LSM merge; also runs via :meth:`maintain`)."""

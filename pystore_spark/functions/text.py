@@ -304,6 +304,29 @@ def bm25_rank(
     counted from the hits (one row per (term, doc)), broadcast back;
     contributions round at 12 decimals and sum as DECIMAL(20,12)
     (order-independent); final top-k is a TakeOrdered."""
+    return (
+        bm25_contributions(hits, n_docs, avgdl, id_col, k1, b)
+        .groupBy(id_col)
+        .agg(_bm25_fold())
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+
+
+def bm25_contributions(
+    hits: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(term, doc) BM25 contribution ``(id_col, term, c)`` —
+    query-INDEPENDENT (idf depends on the term's df, the saturation
+    on tf/dl), which is what lets the multi-query search score every
+    query bag from ONE contribution pass. Rounded at 12 decimals (the
+    order-independence discipline); the fold over ``c`` is
+    :func:`_bm25_fold`."""
     dfreq = hits.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -318,19 +341,18 @@ def bm25_rank(
     contrib = F.round(
         (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom, 12
     )
-    return (
-        hits.join(F.broadcast(dfreq), "term")
-        .select(F.col(id_col), contrib.alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.round(
-                F.sum(F.col("c").cast("decimal(20,12)")).cast("double"),
-                6,
-            ).alias("bm25")
-        )
-        .orderBy(F.col("bm25").desc(), F.col(id_col))
-        .limit(top_k)
+    return hits.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col), "term", contrib.alias("c")
     )
+
+
+def _bm25_fold():
+    """Order-independent score fold: 12-decimal contributions summed
+    as DECIMAL(20,12), rounded to 6 — shared by every BM25 consumer
+    so partial-aggregation order can never change a score."""
+    return F.round(
+        F.sum(F.col("c").cast("decimal(20,12)")).cast("double"), 6
+    ).alias("bm25")
 
 
 def shingles(col: str | Column, n: int = 3) -> Column:

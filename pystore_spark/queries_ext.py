@@ -1622,7 +1622,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_ORACLE = f"""
+def _bm25_oracle_sql(terms_sql: str) -> str:
+    """The BM25 top-10 oracle for one query bag (term list as a SQL
+    literal list) — shared by the batch operator, the storage probe,
+    and (per bag, UNION ALL) the multi-query probe."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, {_LOWER_TOKS} AS a FROM documents),
     stats AS (
@@ -1634,7 +1638,7 @@ _BM25_ORACLE = f"""
       SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
         SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, unnest(a) AS term
         FROM toks) t
-      WHERE term IN ('spark', 'query', 'window', 'vector')
+      WHERE term IN ({terms_sql})
       GROUP BY doc_id, dl, term),
     dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
               FROM hits GROUP BY term),
@@ -1653,6 +1657,28 @@ _BM25_ORACLE = f"""
       ROUND(CAST(SUM(CAST(c AS DECIMAL(20,12))) AS DOUBLE), 6) AS bm25
     FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
     """
+
+
+_BM25_BAGS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("q1", ("spark", "query", "window", "vector")),
+    ("q2", ("join", "filter", "table")),
+    ("q3", ("data", "merge")),
+)
+
+
+def _bm25_bag_sql(qid: str, terms: tuple[str, ...]) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    SELECT '{qid}' AS query_id, doc_id, bm25,
+      CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+        AS rank
+    FROM ({_bm25_oracle_sql(terms_sql)}) bag_{qid}
+    """
+
+
+_BM25_ORACLE = _bm25_oracle_sql(
+    "'spark', 'query', 'window', 'vector'"
+)
 
 
 @register(
@@ -1730,6 +1756,62 @@ def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg._path = old_path
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, bm25 double")
+
+
+@register(
+    "bm25_multiquery_topk",
+    # MANY query bags in one pass (text_index.search_bm25_many): one
+    # shared contribution pass over the union vocabulary's postings,
+    # broadcast (query -> term) map, per-(query, doc) decimal fold,
+    # rank window. The oracle is the per-bag BM25 SQL UNION ALL'd —
+    # every bag's rows must equal its standalone top-10 exactly.
+    sql=" UNION ALL ".join(
+        _bm25_bag_sql(q, ts) for q, ts in _BM25_BAGS
+    ),
+    tags=("text", "retrieval", "pipeline", "storage"),
+)
+def bm25_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 through REAL storage: build the inverted
+    postings index over `documents`, then answer THREE query bags in
+    one Collection.search_bm25_many call — per-query results must
+    match each bag's standalone oracle (contributions are
+    query-independent, so the shared pass cannot change a score)."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="ps_bm25_many_")
+    old_path = cfg._path
+    rows: list[tuple[str, int, float, int]] = []
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("bm25_many_store", spark=spark).collection("c")
+        col.write("corpus", doc, index_col="doc_id")
+        col.build_text_index("tix", "corpus")
+        queries = spark.createDataFrame(
+            [(q, list(ts)) for q, ts in _BM25_BAGS],
+            "query_id string, terms array<string>",
+        )
+        got = col.search_bm25_many("tix", queries, top_k=10)
+        rows = [
+            (
+                r["query_id"],
+                int(r["doc_id"]),
+                float(r["bm25"]),
+                int(r["rank"]),
+            )
+            for r in got.collect()
+        ]
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "query_id string, doc_id bigint, bm25 double, rank int",
+    )
 
 
 @register(
@@ -5766,6 +5848,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # siblings in-window: the incremental probes; bm25_retrieval_topk
     # pins the batch operator in the tail with the SAME oracle)
     "bm25_index_probe",
+    # round-9 tail addition: multi-query BM25 (one shared
+    # contribution pass over the union vocabulary; per-bag rows must
+    # equal the standalone top-10)
+    "bm25_multiquery_topk",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

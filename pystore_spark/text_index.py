@@ -247,6 +247,87 @@ def search_bm25(
     )
 
 
+def search_bm25_many(
+    col,
+    index_item: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 top-k for MANY query bags in one pass — the batch face of
+    :func:`search_bm25` (retrieval-based decontamination or quality
+    mining runs thousands of eval queries, not one). ``queries`` is
+    ``(query_id, array<string> terms)``; returns ``(query_id, doc_id,
+    bm25, rank)`` with ``rank ≤ top_k`` per query — each query's rows
+    EXACTLY equal to its single-query search (BM25 contributions are
+    query-independent, so one contribution pass over the union
+    vocabulary's postings serves every bag; the per-(query, doc)
+    fold then sums each bag's own terms).
+
+    Scale shape: the postings read is pruned to the UNION of the
+    query vocabularies (tp zonemap); contributions are computed once;
+    the (query_id → term) map is broadcast (query-set-sized); one
+    (query, doc) shuffle of contribution rows; per-query top-k is a
+    rank window (WindowGroupLimit keeps map-side state at k rows).
+    PRECONDITION: query_id unique per bag."""
+    from pyspark.sql import Window
+
+    from pystore_spark import dedup_index as DI
+
+    meta = _index_meta(col, index_item)
+    n_docs = int(meta.get("n_docs") or 0)
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("term")
+    ).distinct()
+    terms = sorted(
+        r["term"] for r in qterms.select("term").distinct().collect()
+    )
+    if not terms:
+        raise ValueError("queries contribute no terms")
+    if n_docs == 0:
+        id_t = (
+            col.item(index_item)
+            .data.schema["doc_id"]
+            .dataType.simpleString()
+        )
+        q_t = queries.schema[query_id_col].dataType.simpleString()
+        return col.spark.createDataFrame(
+            [],
+            f"{query_id_col} {q_t}, doc_id {id_t}, bm25 double, "
+            "rank int",
+        )
+    avgdl = float(meta["total_dl"]) / float(n_docs)
+    flt = [("tp", "in", [term_prefix(t) for t in terms])]
+    hits = (
+        DI._union_tiers(
+            col,
+            index_item,
+            meta["delta_item"],
+            ["term", "doc_id", "tf", "dl"],
+            filters=flt,
+        )
+        .filter(F.col("term").isin(terms))
+        .dropDuplicates(["term", "doc_id"])
+    )
+    contribs = X.bm25_contributions(
+        hits, n_docs, avgdl, id_col="doc_id", k1=k1, b=b
+    )
+    scored = (
+        contribs.join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, "doc_id")
+        .agg(X._bm25_fold())
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= top_k)
+
+
 def register_docs(
     col,
     index_item: str,

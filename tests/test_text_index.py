@@ -326,3 +326,42 @@ def test_maintain_folds_and_verifies_text_index(ti_col, spark):
     assert ti_rep.get("text_index", {}).get("postings_folded", 0) > 0
     assert "verify" in ti_rep
     assert ti_rep["verify"]["ok"], ti_rep["verify"]
+
+
+def test_multiquery_equals_per_query_search(ti_col, spark):
+    """search_bm25_many: each bag's rows must EXACTLY equal its
+    standalone search_bm25 top-k (contributions are query-independent
+    — the shared pass can never change a score), with rank the
+    1-based position."""
+    c = ti_col
+    bags = {
+        "q1": QUERY,
+        "q2": ["join", "filter", "table"],
+        "q3": ["data", "merge"],
+    }
+    queries = spark.createDataFrame(
+        [(q, ts) for q, ts in bags.items()],
+        "query_id string, terms array<string>",
+    )
+    got = c.search_bm25_many("tix", queries, top_k=5)
+    by_q: dict = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["bm25"])
+        )
+    for q, terms in bags.items():
+        single = [
+            (i + 1, r["doc_id"], r["bm25"])
+            for i, r in enumerate(
+                c.search_bm25("tix", terms, top_k=5).collect()
+            )
+        ]
+        assert sorted(by_q[q]) == single, q
+
+
+def test_multiquery_empty_terms_raises(ti_col, spark):
+    queries = spark.createDataFrame(
+        [("q1", [])], "query_id string, terms array<string>"
+    )
+    with pytest.raises(ValueError, match="no terms"):
+        ti_col.search_bm25_many("tix", queries)
