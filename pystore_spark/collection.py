@@ -1895,6 +1895,8 @@ class Collection:
             scoped = (
                 m.get(DI.META_KEY)
                 or m.get(LI.META_KEY)
+                or m.get("_substring_index")
+                or m.get("_text_index")
                 or m.get("_vector_index")
             )
             if scoped and item in DI._source_items(scoped):

@@ -279,3 +279,16 @@ def test_repair_drops_orphan_owners(census_col, spark):
     rep = c.repair_index("corpus", "gidx")
     assert rep["n_removed"] == chk["n_orphan_owner"]
     assert c.verify_index("corpus", "gidx")["ok"]
+
+
+def test_delete_where_repairs_substring_census(census_col):
+    """delete_where(repair_indexes=True) must reach the gram census
+    too (same repair-hook gap as the text index: the scope scan
+    dispatched on dedup/line/vector sidecars only)."""
+    c = census_col
+    rep = c.delete_where(
+        "corpus", [("doc_id", "==", 3)], repair_indexes=True
+    )
+    assert "gidx" in rep["index_repairs"]
+    chk = c.verify_index(None, "gidx", deep=True)
+    assert chk["ok"], chk

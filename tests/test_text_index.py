@@ -365,3 +365,20 @@ def test_multiquery_empty_terms_raises(ti_col, spark):
     )
     with pytest.raises(ValueError, match="no terms"):
         ti_col.search_bm25_many("tix", queries)
+
+
+def test_delete_where_repairs_text_index(ti_col):
+    """delete_where(repair_indexes=True) must reach the text index
+    (the post-delete repair hook dispatched on dedup/line/vector
+    sidecars only and skipped substring/text — the scope scan now
+    covers all five index families)."""
+    c = ti_col
+    rep = c.delete_where(
+        "corpus", [("doc_id", "in", [5, 6])], repair_indexes=True
+    )
+    assert rep["index_repairs"]["tix"]["n_orphans_dropped"] == 2
+    chk = c.verify_index(None, "tix")
+    assert chk["ok"], chk
+    got = c.search_bm25("tix", QUERY, top_k=10)
+    exp = X.bm25_topk(c.item("corpus").data, QUERY, top_k=10)
+    assert _ranked(got) == _ranked(exp)
