@@ -46,7 +46,8 @@ from pyspark.sql import functions as F
 from pystore_spark.exceptions import StorageError
 from pystore_spark.functions import text as X
 
-META_KEY = "benchmark_registry"
+META_KEY = "_benchmark_registry"  # sidecar key (the index-family
+# underscore convention — describe()/maintain() dispatch on it)
 
 
 def _registry_meta(col, registry: str) -> dict:

@@ -3185,6 +3185,8 @@ class Collection:
             ("_dedup_index", "dedup_index"),
             ("_line_index", "line_index"),
             ("_substring_index", "substring_index"),
+            ("_text_index", "text_index"),
+            ("_benchmark_registry", "benchmark_registry"),
             ("_vector_index", "vector_index"),
             ("_matview", "matview"),
             ("_rollup", "rollup"),

@@ -382,3 +382,16 @@ def test_delete_where_repairs_text_index(ti_col):
     got = c.search_bm25("tix", QUERY, top_k=10)
     exp = X.bm25_topk(c.item("corpus").data, QUERY, top_k=10)
     assert _ranked(got) == _ranked(exp)
+
+
+def test_describe_reports_index_roles(ti_col, spark):
+    assert ti_col.describe("tix")["roles"].get("text_index")
+    ti_col.register_benchmark(
+        "bregD", "e1",
+        spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        ),
+        n=3,
+    )
+    assert ti_col.describe("bregD")["roles"].get("benchmark_registry")
