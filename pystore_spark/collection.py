@@ -4921,21 +4921,19 @@ class Collection:
                         "ingest"
                     )
                 incoming, _, _, _ = self._prepare_input(curated)
-                n_probe_in, dropped_ids, _feats, _cd = DI._probe_report(
+                (
+                    n_probe_in, n_drop, drop_df, _feats, _cd_df, _n_cd,
+                ) = DI._probe_report(
                     self, dedup_index, meta_di, incoming,
                     within_batch=within_batch,
                     replay_marker=replay_marker,
                     data_committed=data_committed,
                 )
-                survivors = (
-                    curated.filter(~F.col(idc).isin(dropped_ids))
-                    if dropped_ids
-                    else curated
-                )
-                surv_lines = (
-                    kept_lines.filter(~F.col(idc).isin(dropped_ids))
-                    if dropped_ids
-                    else kept_lines
+                # drop set stays distributed (left-anti, never isin of
+                # a collected list — round-9 verdict #1)
+                survivors = DI._drop_anti(curated, idc, drop_df, n_drop)
+                surv_lines = DI._drop_anti(
+                    kept_lines, idc, drop_df, n_drop
                 )
                 final_df, pending_lines, n_hot = (
                     LI.finalize_batch_lines(
@@ -4943,7 +4941,7 @@ class Collection:
                     )
                 )
                 line_report["n_new_lines"] = pending_lines.count()
-                n_kept = n_probe_in - len(dropped_ids)
+                n_kept = n_probe_in - n_drop
                 if n_kept:
                     if not data_committed:
                         if create_missing and not self.item_exists(
@@ -4973,12 +4971,8 @@ class Collection:
                     )
                     if not tiers_current:
                         if n_hot == 0:
-                            feats_final = (
-                                _feats.filter(
-                                    ~F.col(idc).isin(dropped_ids)
-                                )
-                                if dropped_ids
-                                else _feats
+                            feats_final = DI._drop_anti(
+                                _feats, idc, drop_df, n_drop
                             )
                         else:
                             feats_final = DI._compute_features(
@@ -4988,21 +4982,35 @@ class Collection:
                             self, meta_di, feats_final,
                             marker=replay_marker,
                         )
+                sample, truncated = DI._drop_sample(
+                    drop_df, idc, n_drop
+                )
                 rep = {
                     "n_incoming": n_probe_in,
-                    "n_dropped": len(dropped_ids),
+                    "n_dropped": n_drop,
                     "n_appended": 0 if data_committed else n_kept,
-                    "dropped_ids": dropped_ids,
+                    "dropped_ids": sample,
+                    **(
+                        {"dropped_ids_truncated": True}
+                        if truncated
+                        else {}
+                    ),
                 }
+                dedup_drop_df: DataFrame | None = drop_df
+                dedup_n_drop = n_drop
             else:
+                sink: dict = {}
                 rep = DI.append_with_dedup(
                     self, item, curated, dedup_index,
                     within_batch=within_batch,
                     create_missing=create_missing,
                     replay_marker=replay_marker,
                     data_committed=data_committed,
+                    _sink=sink,
                     **append_kwargs,
                 )
+                dedup_drop_df = sink.get("drop_df")
+                dedup_n_drop = sink.get("n_dropped", 0)
             if n_curated < 0:
                 # record_funnel=False skipped the pipeline counts, but
                 # the probe counted its frame anyway — backfill the
@@ -5043,19 +5051,19 @@ class Collection:
             from pystore_spark import substring_index as SI
 
             pending_grams = sub_report.pop("_new_census", None)
-            dropped = (
-                rep.get("dropped_ids")
-                if dedup_index is not None
-                else None
-            ) or []
-            if dropped:
+            n_ddrop = (
+                dedup_n_drop if dedup_index is not None else 0
+            )
+            if n_ddrop:
                 # re-census from survivors' stored text: grams owned
                 # solely by probe-dropped docs must never register (a
                 # census gram carried by no stored document silently
-                # strips novel content from every future batch)
+                # strips novel content from every future batch). The
+                # FULL distributed drop frame, not the report's capped
+                # sample — a truncated set would orphan grams.
                 meta_si = SI._index_meta(self, substring_index)
-                surv = curated.filter(
-                    ~F.col(meta_si["id_col"]).isin(dropped)
+                surv = DI._drop_anti(
+                    curated, meta_si["id_col"], dedup_drop_df, n_ddrop
                 )
                 pending_grams = SI.survivors_census(
                     self, substring_index, meta_si, surv
@@ -5144,11 +5152,11 @@ class Collection:
             elif kept_lines is not None:
                 stored_batch = final_df  # survivors, finalized text
             elif dedup_index is not None:
-                dropped_t = rep.get("dropped_ids") or []
-                stored_batch = (
-                    curated.filter(~F.col(idc_t).isin(dropped_t))
-                    if dropped_t
-                    else curated
+                from pystore_spark import dedup_index as _DDI
+
+                # FULL distributed drop frame (not the capped sample)
+                stored_batch = _DDI._drop_anti(
+                    curated, idc_t, dedup_drop_df, dedup_n_drop
                 )
             else:
                 stored_batch = curated

@@ -68,7 +68,13 @@ META_KEY = "_dedup_index"
 # rely on the join alone
 MAX_PUSHDOWN_KEYS = 20_000
 
-# test hook: when set to a list, _probe_ids appends (stage, physical
+#: cap on DRIVER-collected dropped-id samples in ingest reports. The
+#: drop set itself stays a distributed frame (survivors are carved out
+#: by left-anti joins, never ``isin`` of a collected list); only a
+#: sorted sample of at most this many ids rides the report dict.
+DROP_ID_SAMPLE = 10_000
+
+# test hook: when set to a list, _probe_drop_frame appends (stage, physical
 # plan) pairs so plan-shape tests can assert the broadcast/no-cartesian
 # discipline of the probe's INTERNAL plans (the public API collects
 # eagerly, so the registry-wide plan sweep can't see them)
@@ -353,12 +359,18 @@ def _compute_features(col, meta, incoming: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-def _probe_ids(
+def _probe_drop_frame(
     col, index_item: str, meta: dict, feats: DataFrame, thr: float,
     exclude_old: DataFrame | None = None,
-) -> list:
-    """Drop set as a sorted driver list (probe output is batch-
-    bounded by construction). O(new + touched index files); the
+) -> DataFrame:
+    """Drop set as a DISTRIBUTED one-column ``(<id_col>,)`` frame,
+    materialized (eager localCheckpoint) so the callers' count /
+    anti-join / sample actions reuse it without re-probing. The drop
+    set stays off the driver: a bulk backfill of an overlapping crawl
+    can drop millions of ids, and collecting them into an
+    ``isin(...)`` In-expression is the one shape that would not
+    survive that (round-9 verdict #1) — survivors are carved out with
+    a left-anti join instead. O(new + touched index files); the
     corpus item is never read. ``exclude_old`` (a one-column id
     frame) removes candidates whose STORED side is one of those ids —
     the replay-repair path passes the batch's own ids so a probe
@@ -423,7 +435,7 @@ def _probe_ids(
         ).collect()
     ]
     if not old_ids:
-        return []
+        return feats.select(id_col).limit(0)
     doc_filters = (
         [(id_col, "in", sorted(old_ids))]
         if len(old_ids) <= MAX_PUSHDOWN_KEYS
@@ -444,7 +456,36 @@ def _probe_ids(
         .distinct()
     )
     _capture("verify", drop)
-    return sorted(r[id_col] for r in drop.collect())
+    return drop.localCheckpoint(eager=True)
+
+
+def _drop_anti(
+    df: DataFrame, id_col: str, drop_df: DataFrame | None,
+    n_dropped: int,
+) -> DataFrame:
+    """Survivors of ``df`` under the drop frame — a left-anti join on
+    ``id_col``, never an ``isin`` of a collected list (the drop set is
+    O(batch duplicates) and must stay distributed). No-op when the
+    drop set is empty."""
+    if not n_dropped or drop_df is None:
+        return df
+    return df.join(
+        drop_df.select(F.col(drop_df.columns[0]).alias(id_col)),
+        on=id_col,
+        how="left_anti",
+    )
+
+
+def _drop_sample(
+    drop_df: DataFrame | None, id_col: str, n_dropped: int
+) -> tuple[list, bool]:
+    """Sorted, :data:`DROP_ID_SAMPLE`-capped id sample for report
+    dicts — a TakeOrdered, never a full collect (the line_index.py:491
+    discipline). Returns ``(sample, truncated)``."""
+    if not n_dropped or drop_df is None:
+        return [], False
+    rows = drop_df.orderBy(id_col).limit(DROP_ID_SAMPLE).collect()
+    return [r[id_col] for r in rows], n_dropped > DROP_ID_SAMPLE
 
 
 def probe(
@@ -454,17 +495,13 @@ def probe(
     threshold: float | None = None,
 ) -> DataFrame:
     """Incoming docs that near-duplicate the INDEXED corpus: returns
-    the distinct ``(<id_col>,)`` drop set (see :func:`_probe_ids` for
-    the plan shape)."""
+    the distinct ``(<id_col>,)`` drop set as a DISTRIBUTED frame (see
+    :func:`_probe_drop_frame` for the plan shape) — callers anti-join
+    it against the batch, so the drop set never lands on the driver."""
     meta = _index_meta(col, index_item)
-    id_col = meta["id_col"]
     thr = meta["threshold"] if threshold is None else float(threshold)
     feats = _compute_features(col, meta, incoming)
-    ids = _probe_ids(col, index_item, meta, feats, thr)
-    id_type = feats.schema[id_col].dataType.simpleString()
-    return incoming.sparkSession.createDataFrame(
-        [(i,) for i in ids], f"{id_col} {id_type}"
-    )
+    return _probe_drop_frame(col, index_item, meta, feats, thr)
 
 
 #: base-item sidecar key holding replay markers of DELETED delta
@@ -679,13 +716,17 @@ def _probe_report(
     within_batch: bool = False,
     replay_marker: tuple | None = None,
     data_committed: bool = False,
-) -> tuple[int, list, DataFrame, list]:
+) -> tuple[int, int, DataFrame | None, DataFrame, DataFrame | None, int]:
     """The probe phase of :func:`append_with_dedup`, append-free:
     optional within-batch near-dedup, feature computation, corpus
-    probe. Returns ``(n_incoming, dropped_ids, feats, corpus_drop)``
-    — doc counts in id space (a batch with duplicate ids would
-    otherwise report phantom appends); ``feats`` are the materialized
-    features of the within-batch survivors. Also the probe half of
+    probe. Returns ``(n_incoming, n_dropped, drop_df, feats,
+    corpus_drop_df, n_corpus_dropped)`` — doc counts in id space (a
+    batch with duplicate ids would otherwise report phantom appends);
+    ``drop_df``/``corpus_drop_df`` are DISTRIBUTED one-column
+    ``(<id_col>,)`` frames, materialized, or ``None`` when empty
+    (the drop set never lands on the driver — callers anti-join it,
+    see :func:`_drop_anti`); ``feats`` are the materialized features
+    of the within-batch survivors. Also the probe half of
     ``Collection.ingest``'s decomposed line-index + dedup-index path.
 
     ``data_committed=True`` (replay repair) removes candidates the
@@ -695,7 +736,8 @@ def _probe_report(
     from pystore_spark.functions.dedup import near_dedup
 
     id_col, text_col = meta["id_col"], meta["text_col"]
-    dropped: set = set()
+    wb_drop: DataFrame | None = None
+    n_wb = 0
     probe_frame = incoming
     if within_batch:
         kept_wb = near_dedup(
@@ -705,24 +747,38 @@ def _probe_report(
             bands=meta["bands"],
             shingle_n=meta["shingle_n"],
         )
-        wb_drop = incoming.select(id_col).join(
-            kept_wb.select(id_col), on=id_col, how="left_anti"
+        wb_drop = (
+            incoming.select(id_col)
+            .distinct()
+            .join(kept_wb.select(id_col), on=id_col, how="left_anti")
+            .localCheckpoint(eager=True)
         )
-        dropped.update(r[id_col] for r in wb_drop.collect())
+        n_wb = wb_drop.count()
+        if n_wb == 0:
+            wb_drop = None
         probe_frame = kept_wb
     feats = _compute_features(col, meta, probe_frame)
     n_probe = feats.select(id_col).distinct().count()
-    n_in = n_probe + len(dropped)
+    n_in = n_probe + n_wb
     if n_probe == 0:
-        return n_in, sorted(dropped), feats, []
-    corpus_drop = _probe_ids(
+        return n_in, n_wb, wb_drop, feats, None, 0
+    corpus_drop = _probe_drop_frame(
         col, index_item, meta, feats, meta["threshold"],
         exclude_old=_replay_exclusion(col, meta, incoming, replay_marker)
         if data_committed
         else None,
     )
-    dropped.update(corpus_drop)
-    return n_in, sorted(dropped), feats, corpus_drop
+    n_cd = corpus_drop.count()
+    if n_cd == 0:
+        return n_in, n_wb, wb_drop, feats, None, 0
+    # wb-dropped ids never reach the probe (feats are built from the
+    # wb survivors), so the two drop sets are disjoint by construction
+    drop_df = (
+        corpus_drop
+        if wb_drop is None
+        else wb_drop.unionByName(corpus_drop).localCheckpoint(eager=True)
+    )
+    return n_in, n_wb + n_cd, drop_df, feats, corpus_drop, n_cd
 
 
 def append_with_dedup(
@@ -734,6 +790,7 @@ def append_with_dedup(
     create_missing: bool = False,
     replay_marker: tuple | None = None,
     data_committed: bool = False,
+    _sink: dict | None = None,
     **append_kwargs: Any,
 ) -> dict:
     """Append ``data`` to ``item``, dropping documents that
@@ -744,9 +801,15 @@ def append_with_dedup(
 
     ``within_batch=True`` additionally near-dedups the incoming batch
     against itself (batch-sized cost) before probing. Returns
-    ``{n_incoming, n_dropped, n_appended, dropped_ids}`` (the drop set
-    as a list — it is probe-output-sized, already driver-bounded by
-    the batch).
+    ``{n_incoming, n_dropped, n_appended, dropped_ids}`` —
+    ``dropped_ids`` is a sorted sample capped at
+    :data:`DROP_ID_SAMPLE` (plus ``dropped_ids_truncated: True`` when
+    capped); the full drop set stays a distributed frame and survivors
+    are carved out by a left-anti join, so a bulk backfill with
+    millions of duplicates never materializes ids on the driver.
+    ``_sink`` (internal): when a dict is passed, the distributed drop
+    frame is stashed under ``_sink["drop_df"]`` for sibling-index
+    consumers (``Collection.ingest``).
 
     ``replay_marker=(sink_key, batch_id)`` stamps each index-delta
     append with its own exactly-once marker (streaming sinks);
@@ -779,25 +842,34 @@ def append_with_dedup(
     # APPEND below filters the caller's ORIGINAL data so the target
     # item's own index/merge semantics apply untouched
     incoming, _, _, _ = col._prepare_input(data)
-    n_in, dropped_ids, feats, corpus_drop = _probe_report(
-        col, index_item, meta, incoming, within_batch,
-        replay_marker=replay_marker, data_committed=data_committed,
+    n_in, n_dropped, drop_df, feats, corpus_drop_df, n_cd = (
+        _probe_report(
+            col, index_item, meta, incoming, within_batch,
+            replay_marker=replay_marker, data_committed=data_committed,
+        )
     )
-    n_kept = n_in - len(dropped_ids)
+    if _sink is not None:
+        _sink["drop_df"] = drop_df
+        _sink["n_dropped"] = n_dropped
+    n_kept = n_in - n_dropped
     if n_kept:
         if not data_committed:
             if isinstance(data, pd.DataFrame):
+                # pandas input is driver-sized by definition, so the
+                # drop set (⊆ batch ids) is too — collecting it here
+                # is bounded by data the caller already holds locally
+                ids = (
+                    set()
+                    if drop_df is None
+                    else {r[id_col] for r in drop_df.collect()}
+                )
                 kept_data: Any = (
-                    data[~data[id_col].isin(dropped_ids)]
+                    data[~data[id_col].isin(ids)]
                     if id_col in data.columns
-                    else data[~data.index.isin(dropped_ids)]
+                    else data[~data.index.isin(ids)]
                 )
-            else:  # Spark DataFrame
-                kept_data = (
-                    data.filter(~F.col(id_col).isin(dropped_ids))
-                    if dropped_ids
-                    else data
-                )
+            else:  # Spark DataFrame: drop set stays distributed
+                kept_data = _drop_anti(data, id_col, drop_df, n_dropped)
             if create_missing and not col.item_exists(item):
                 # streaming first batch: the target corpus doesn't
                 # exist yet — create it (mirrors streaming.merge_sink's
@@ -808,21 +880,19 @@ def append_with_dedup(
                 col.append(item, kept_data, **append_kwargs)
         # index the survivors from the MATERIALIZED features (no
         # re-hash, no probe re-execution)
-        kept_feats = (
-            feats.filter(~F.col(id_col).isin(corpus_drop))
-            if corpus_drop
-            else feats
-        )
+        kept_feats = _drop_anti(feats, id_col, corpus_drop_df, n_cd)
         _index_delta_append(col, meta, kept_feats, marker=replay_marker)
     # a dedup-append into an item the index did not cover yet widens
     # the index's recorded corpus scope (cross-item dedup: one shared
     # index, several corpus items; verify/repair audit all of them)
     _register_source_item(col, index_item, item)
+    sample, truncated = _drop_sample(drop_df, id_col, n_dropped)
     return {
         "n_incoming": n_in,
-        "n_dropped": len(dropped_ids),
+        "n_dropped": n_dropped,
         "n_appended": 0 if data_committed else n_kept,
-        "dropped_ids": dropped_ids,
+        "dropped_ids": sample,
+        **({"dropped_ids_truncated": True} if truncated else {}),
         **({"replayed": True} if data_committed else {}),
     }
 

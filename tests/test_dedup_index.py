@@ -629,3 +629,74 @@ def test_concurrent_source_registration_cas(test_collection):
     meta = c.get_item_metadata("regidx", use_cache=False)[DI.META_KEY]
     assert set(meta["source_items"]) == {"reg_src", "reg_x", "reg_y"}
     assert c.verify_index(None, "regidx")["ok"]
+
+
+def test_bulk_backfill_drop_set_stays_distributed(corpus, monkeypatch):
+    """Round-9 verdict #1: a high-dup-rate bulk backfill (the normal
+    case when re-ingesting an overlapping crawl) must never collect
+    the full drop set onto the driver. With DROP_ID_SAMPLE pinned
+    below the drop count: the report carries the exact n_dropped, a
+    capped+sorted id sample with the truncated flag, and the append
+    still filters by the FULL distributed drop frame (survivors exact,
+    index delta gets survivors only)."""
+    c = corpus
+    stored = _docs(range(10))
+    monkeypatch.setattr(DI, "DROP_ID_SAMPLE", 4)
+    dup_ids = list(range(100, 112))  # 12 near-dups of stored docs
+    inc = pd.DataFrame(
+        {
+            "doc_id": dup_ids + [500, 501],
+            "text": [
+                stored.loc[i % 10, "text"] + " tiny edit"
+                for i in dup_ids
+            ]
+            + [
+                "a wholly novel document about adaptive query "
+                "execution and shuffle partition coalescing",
+                "another novel text concerning broadcast joins and "
+                "skew salting strategies in distributed engines",
+            ],
+        }
+    )
+    rep = c.append_dedup("corpus", inc, "cidx")
+    assert rep["n_incoming"] == 14
+    assert rep["n_dropped"] == 12
+    assert rep["n_appended"] == 2
+    assert rep["dropped_ids_truncated"] is True
+    assert rep["dropped_ids"] == [100, 101, 102, 103]  # sorted cap
+    got = {
+        r["doc_id"]
+        for r in c.item("corpus").data.select("doc_id").collect()
+    }
+    assert got == set(range(10)) | {500, 501}
+    # delta tier indexed ONLY the survivors (anti-join on the full
+    # distributed frame, not the truncated sample)
+    delta_ids = {
+        r["doc_id"]
+        for r in c.item("cidx__docs_delta").data.select("doc_id").collect()
+    }
+    assert delta_ids == {500, 501}
+
+
+def test_probe_returns_distributed_frame(corpus, spark):
+    """probe() now returns the drop set as a distributed frame whose
+    plan is the probe itself (no driver createDataFrame round-trip):
+    schema is (<id_col>,) with the incoming id type, values exact."""
+    c = corpus
+    stored = _docs(range(10))
+    inc = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [700, 701],
+                "text": [
+                    stored.loc[2, "text"],
+                    "fresh content about columnar layouts and zone "
+                    "maps pruning parquet row groups at scan time",
+                ],
+            }
+        )
+    )
+    drop = c.probe_dedup_index("cidx", inc)
+    assert drop.columns == ["doc_id"]
+    assert drop.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert [r["doc_id"] for r in drop.collect()] == [700]
