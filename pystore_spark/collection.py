@@ -3939,7 +3939,13 @@ class Collection:
         cents = S.train_ivf_centroids(
             df, vec_col, id_col, n_cells=n_cells, n_iters=n_iters
         )
-        assigned = S._assign_cells(df, vec_col, cents)
+        assigned = S._assign_cells(df, vec_col, cents, with_dist=True)
+        # build-time quantization quality + cell balance (one
+        # map-side-combinable agg; n_cells rows to the driver) — the
+        # baseline the staleness audit compares against as appends
+        # accumulate against PINNED centroids
+        build_stats = S.ivf_cell_stats(assigned)
+        assigned = assigned.drop("_cdist")
         if quantize:
             assigned = S.quantized_select(assigned, vec_col)
         self.write(
@@ -3953,8 +3959,10 @@ class Collection:
                     "vec_col": vec_col,
                     "id_col": id_col,
                     "n_cells": int(n_cells),
+                    "n_iters": int(n_iters),
                     "centroids": cents,
                     "quantized": bool(quantize),
+                    "build_stats": build_stats,
                     # lets maintain(verify_indexes=True) pair the
                     # index with its corpus for the nightly fsck
                     "source_item": source_items[0]
@@ -3967,7 +3975,7 @@ class Collection:
         return {
             "n_cells": int(n_cells),
             "dim": len(cents[0]),
-            "n_vectors": None,  # not counted — write is lazy-planned
+            "n_vectors": build_stats["n_vectors"],
         }
 
     def append_vector_index(
@@ -4083,6 +4091,167 @@ class Collection:
         )
         trim_delta(self, delta, it_delta, id_col)
         return {"folded": n}
+
+    def _vector_index_frame(
+        self, index_item: str, it_meta: dict
+    ) -> "DataFrame":
+        """Base ∪ delta of a vector index with FLOAT vectors restored
+        (quantized tiers dequantize on the fly) and the latest delta
+        generation winning on id conflict — the shared read for the
+        staleness audit and the retrain."""
+        from pystore_spark.dedup_index import (
+            _item_frame,
+            _latest_generation,
+            _read_frame,
+        )
+        from pystore_spark.functions import similarity as S
+
+        id_col = it_meta["id_col"]
+        base = _read_frame(self, index_item)
+        cur = base
+        delta = f"{index_item}__delta"
+        if self.item_exists(delta):
+            delta_f = _item_frame(self, self.item(delta))
+            latest = (
+                _latest_generation(delta_f, id_col)
+                .dropDuplicates([id_col])
+                .select(*base.columns)
+            )
+            cur = base.join(
+                latest.select(id_col), on=id_col, how="left_anti"
+            ).unionByName(latest)
+        if it_meta.get("quantized"):
+            cur = cur.withColumn(
+                it_meta["vec_col"],
+                S.dequantize_int8(F.col("_q8"), F.col("_q8_scale")),
+            ).drop("_q8", "_q8_scale")
+        return cur
+
+    def vector_index_staleness(self, index_item: str) -> dict:
+        """Centroid-staleness audit for an IVF index:
+        :meth:`append_vector_index` assigns new vectors to centroids
+        PINNED at build time, so under distribution drift the KMeans
+        objective (mean squared distance to the assigned centroid)
+        rises and cells unbalance — recall sags with no error
+        anywhere. Re-measures the build-time stats over the CURRENT
+        base ∪ delta (one pass, one map-side-combinable agg; n_cells
+        rows to the driver) and flags ``stale=True`` once the mean
+        distance or the cell skew exceeds its configured ratio
+        (config.VECTOR_STALENESS_*). Surfaced by :meth:`verify_index`
+        and acted on by :meth:`maintain` → :meth:`retrain_vector_index`.
+        Indexes built before build-stats existed report
+        ``available=False`` (rebuild once to enable)."""
+        from pystore_spark import config
+        from pystore_spark.functions import similarity as S
+
+        it_meta = (self.get_item_metadata(index_item) or {}).get(
+            "_vector_index"
+        )
+        if not it_meta:
+            raise StorageError(
+                f"item {index_item!r} is not a vector index"
+            )
+        built = it_meta.get("build_stats") or {}
+        if not built.get("n_vectors"):
+            return {"available": False, "stale": False}
+        cents = [[float(x) for x in c] for c in it_meta["centroids"]]
+        cur = self._vector_index_frame(index_item, it_meta)
+        now = S.ivf_cell_stats(
+            S._assign_cells(
+                cur.select(it_meta["vec_col"]),
+                it_meta["vec_col"], cents, with_dist=True,
+            )
+        )
+        dist_ratio = now["mean_dist"] / max(built["mean_dist"], 1e-12)
+        skew_ratio = now["cell_skew"] / max(built["cell_skew"], 1.0)
+        return {
+            "available": True,
+            "stale": (
+                dist_ratio > config.VECTOR_STALENESS_DIST_RATIO
+                or skew_ratio > config.VECTOR_STALENESS_SKEW_RATIO
+            ),
+            "n_vectors": now["n_vectors"],
+            "growth": now["n_vectors"] / max(built["n_vectors"], 1),
+            "mean_dist": now["mean_dist"],
+            "build_mean_dist": built["mean_dist"],
+            "mean_dist_ratio": dist_ratio,
+            "cell_skew": now["cell_skew"],
+            "build_cell_skew": built["cell_skew"],
+            "cell_skew_ratio": skew_ratio,
+            "thresholds": {
+                "dist_ratio": config.VECTOR_STALENESS_DIST_RATIO,
+                "skew_ratio": config.VECTOR_STALENESS_SKEW_RATIO,
+            },
+        }
+
+    def retrain_vector_index(
+        self, index_item: str, n_iters: int | None = None
+    ) -> dict:
+        """Retrain the IVF coarse quantizer over the CURRENT corpus
+        (base ∪ delta, latest generation per id) and reassign every
+        vector — the cure for centroid staleness
+        (:meth:`vector_index_staleness`). Cost: ``n_iters + 2`` passes
+        over the index (training iterations + stats + rewrite) — a
+        deliberate maintenance operation, triggered by
+        :meth:`maintain` only when the audit says stale, never on the
+        append path. The rewrite lands cell-sorted + zonemapped with
+        fresh centroids and build stats in the sidecar
+        (``retrained_at`` / ``n_retrains`` record the history);
+        the delta tier folds in and is trimmed, exactly like
+        :meth:`refresh_vector_index`. Serialize with appenders (the
+        maintain window / CollectionLock)."""
+        from datetime import datetime, timezone
+
+        from pystore_spark.dedup_index import trim_delta
+        from pystore_spark.functions import similarity as S
+
+        it_meta = (self.get_item_metadata(index_item) or {}).get(
+            "_vector_index"
+        )
+        if not it_meta:
+            raise StorageError(
+                f"item {index_item!r} is not a vector index"
+            )
+        vec_col, id_col = it_meta["vec_col"], it_meta["id_col"]
+        iters = (
+            int(n_iters)
+            if n_iters is not None
+            else int(it_meta.get("n_iters", 2))
+        )
+        delta = f"{index_item}__delta"
+        it_delta = self.item(delta) if self.item_exists(delta) else None
+        cur = self._vector_index_frame(index_item, it_meta).drop("cell")
+        cents = S.train_ivf_centroids(
+            cur, vec_col, id_col,
+            n_cells=int(it_meta["n_cells"]), n_iters=iters,
+        )
+        assigned = S._assign_cells(cur, vec_col, cents, with_dist=True)
+        stats = S.ivf_cell_stats(assigned)
+        assigned = assigned.drop("_cdist")
+        if it_meta.get("quantized"):
+            assigned = S.quantized_select(assigned, vec_col)
+        new_meta = dict(it_meta)
+        new_meta.update(
+            centroids=cents,
+            build_stats=stats,
+            retrained_at=datetime.now(timezone.utc).isoformat(),
+            n_retrains=int(it_meta.get("n_retrains", 0)) + 1,
+        )
+        self.write(
+            index_item,
+            assigned,
+            index_col="cell", zonemap=["cell"],
+            overwrite=True,
+            sidecar_extra={"_vector_index": new_meta},
+        )
+        if it_delta is not None:
+            trim_delta(self, delta, it_delta, id_col)
+        return {
+            "retrained": True,
+            "n_vectors": stats["n_vectors"],
+            "n_retrains": new_meta["n_retrains"],
+            "build_stats": stats,
+        }
 
     def search_vector_index(
         self,
@@ -4525,12 +4694,20 @@ class Collection:
                 for r in tagged.groupBy("_src")
                 .agg(F.count(F.lit(1)).alias("_n")).collect()
             }
+            # centroid-staleness audit (recall drifts invisibly as
+            # appends accumulate against build-time centroids): one
+            # extra pass over the index vectors, n_cells rows to the
+            # driver. Drift here does NOT flip ok — it is a quality
+            # signal, repaired by retrain (maintain does it), not an
+            # id-space inconsistency.
+            staleness = self.vector_index_staleness(index_item)
             return {
                 "items": items,
                 "n_corpus_vectors": corpus_ids.count(),
                 "n_indexed_vectors": idx_ids.count(),
                 "n_missing": n_missing,
                 "n_stale": n_stale,
+                "staleness": staleness,
                 "per_item": {
                     nm: {
                         "n_vectors": tot_by.get(nm, 0),
@@ -5982,6 +6159,18 @@ class Collection:
                         res["vector_index"] = self.refresh_vector_index(
                             n
                         )
+                        # centroid-staleness check AFTER the fold (the
+                        # audit reads base ∪ delta either way; folding
+                        # first keeps the retrain's rewrite minimal).
+                        # Retrain only when the audit says stale —
+                        # the n_iters+2-pass rewrite is never paid on
+                        # a healthy index.
+                        stl = self.vector_index_staleness(n)
+                        res["vector_index_staleness"] = stl
+                        if stl.get("stale"):
+                            res["vector_index_retrain"] = (
+                                self.retrain_vector_index(n)
+                            )
                 except Exception as exc:
                     res["vector_index_error"] = str(exc)
             if verify_indexes:

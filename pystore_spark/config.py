@@ -60,6 +60,21 @@ SUBSTRING_HOT_GRAM_ROWS = int(
     os.environ.get("PYSTORE_SPARK_SUBSTRING_HOT_GRAM_ROWS", 262_144)
 )
 
+# IVF vector-index centroid-staleness thresholds: appended vectors are
+# cell-assigned with centroids PINNED at build time, so under
+# distribution drift the per-vector KMeans objective (mean squared
+# distance to the assigned centroid) rises and cell sizes unbalance —
+# recall sags invisibly. The staleness audit flags the index once the
+# current mean distance exceeds DIST_RATIO × the build-time figure or
+# the cell skew exceeds SKEW_RATIO × the build-time skew;
+# maintain() then retrains + reassigns (Collection.retrain_vector_index)
+VECTOR_STALENESS_DIST_RATIO = float(
+    os.environ.get("PYSTORE_SPARK_VECTOR_STALENESS_DIST_RATIO", 1.25)
+)
+VECTOR_STALENESS_SKEW_RATIO = float(
+    os.environ.get("PYSTORE_SPARK_VECTOR_STALENESS_SKEW_RATIO", 4.0)
+)
+
 _path: str | None = None
 
 

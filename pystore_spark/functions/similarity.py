@@ -362,12 +362,15 @@ def brute_force_topk_vectorized(
 
 
 def _assign_cells(
-    df: DataFrame, vec_col: str, centroids: list[list[float]]
+    df: DataFrame, vec_col: str, centroids: list[list[float]],
+    with_dist: bool = False,
 ) -> DataFrame:
     """Assign each vector to the nearest centroid (squared L2), tie
     broken by lowest cell id — via ``array_min`` over an array of
     ``struct<dist, cell>`` (lexicographic struct comparison), fully
-    JVM-side."""
+    JVM-side. ``with_dist=True`` additionally keeps the squared
+    distance to the assigned centroid as ``_cdist`` (the staleness
+    audit's raw signal — see :func:`ivf_cell_stats`)."""
     structs = []
     for cell, cent in enumerate(centroids):
         carr = F.array(*[F.lit(float(v)) for v in cent])
@@ -383,7 +386,42 @@ def _assign_cells(
         structs.append(
             F.struct(dist.alias("dist"), F.lit(cell).alias("cell"))
         )
-    return df.withColumn("cell", F.array_min(F.array(*structs))["cell"])
+    best = F.array_min(F.array(*structs))
+    out = df.withColumn("cell", best["cell"])
+    if with_dist:
+        out = out.withColumn("_cdist", best["dist"])
+    return out
+
+
+def ivf_cell_stats(assigned: DataFrame, dist_col: str = "_cdist") -> dict:
+    """Cell-balance + quantization-quality summary of an assigned
+    frame (from :func:`_assign_cells` ``with_dist=True``): ONE
+    map-side-combinable groupBy("cell") agg; only n_cells rows reach
+    the driver. Returns ``{n_vectors, mean_dist, cell_skew}`` where
+    ``mean_dist`` is the mean squared distance to the assigned
+    centroid (the KMeans objective per vector) and ``cell_skew`` is
+    max cell size / mean cell size over non-empty cells. Captured at
+    build time and re-measured by the staleness audit: appended
+    vectors are assigned to centroids PINNED at build, so at 100×
+    corpus growth with distribution drift the objective rises and
+    cells unbalance long before recall visibly sags."""
+    rows = (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dist_col).alias("sd"),
+        )
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    if not n:
+        return {"n_vectors": 0, "mean_dist": 0.0, "cell_skew": 1.0}
+    sizes = [r["n"] for r in rows]
+    return {
+        "n_vectors": int(n),
+        "mean_dist": float(sum(r["sd"] for r in rows)) / n,
+        "cell_skew": float(max(sizes)) / (float(n) / len(sizes)),
+    }
 
 
 def assign_probe_cells(
