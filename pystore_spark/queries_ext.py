@@ -5697,8 +5697,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # the Gopher/C4/encoding rule sets, DSIR importance weights, and
     # REAL BPE tokenization — bpe_tokenize_counts supersedes
     # text_token_stats/bpe_token_stats as the token-count family
-    # representative in-window)
-    "text_quality_scores", "tfidf_top_terms",
+    # representative in-window; text_quality_scores demoted round 10,
+    # 6 green rounds — the quality family keeps gopher/c4/encoding
+    # flags in-window)
+    "tfidf_top_terms",
     # round-6 continuation flagship: the native format("pystore")
     # source with version-offset streaming (vocab_topk, 4 green
     # rounds, demoted; the top-k frequency family stays evidenced
@@ -5726,20 +5728,27 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # exerciser)
     "substring_index_probe",
     # dedup stack (lsh_band_stats/simhash rotated out with 5 green
-    # rounds; the signature kernel keeps in-window exercisers —
-    # near_dedup_kept_docs, neardup_cluster_ids, both incremental
-    # probes — plus the round-6 cross-item flagship)
-    "index_audit_probe", "near_dedup_kept_docs",
+    # rounds; near_dedup_kept_docs demoted round 10, 6 green rounds —
+    # the signature kernel keeps in-window exercisers:
+    # neardup_cluster_ids, both incremental probes, the round-6
+    # cross-item flagship)
+    "index_audit_probe",
     "incremental_dedup_probe",
     "cross_item_dedup_probe",
     "incremental_line_probe",
     # similarity / ANN (ann_ivf_label_topk rotated out with 5 green
-    # rounds; signlsh_candidate_topk demoted round 9, 3 green rounds
-    # — the LSH-bucketed ANN family stays evidenced in-window by
-    # embedding_quantization_audit's quantized IVF search +
-    # embedding_cosine_topk_vectorized's exact baseline)
-    "embedding_cosine_topk_vectorized",
+    # rounds; signlsh_candidate_topk demoted round 9, 3 green rounds;
+    # embedding_cosine_topk_vectorized demoted round 10, 6 green
+    # rounds — the ANN family stays evidenced in-window by
+    # embedding_quantization_audit's quantized IVF search)
     "embedding_quantization_audit",
+    # ROUND-10 PROMOTIONS (VERDICT r9 item 4: the round-9 tail
+    # flagships had zero driver-scale CORRECTNESS rows): persistent
+    # benchmark-decontamination registry through real storage,
+    # persistent inverted text index (O(query) BM25 search), and
+    # multi-query BM25's shared contribution pass
+    "decontam_registry_probe", "bm25_index_probe",
+    "bm25_multiquery_topk",
     # timeseries / sampling / packing / export / corpus reporting
     # (round-6 promotions: weighted A-ExpJ sampling, mixture planning,
     # sequence packing, shard manifest, PSI drift, approx-distinct
@@ -5838,20 +5847,14 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # siblings in-window: tfidf_top_terms' term-weighting oracle,
     # token_bloom_contains_probe's contamination probes)
     "bm25_retrieval_topk",
-    # round-9 tail addition: persistent benchmark registry for span
-    # decontamination through real storage (family siblings
-    # in-window: substring_index_probe's census cut through storage;
-    # decontam_spans_stats' batch operator in the tail)
-    "decontam_registry_probe",
-    # round-9 tail addition: persistent inverted text index — BM25
-    # through real storage, postings built incrementally (family
-    # siblings in-window: the incremental probes; bm25_retrieval_topk
-    # pins the batch operator in the tail with the SAME oracle)
-    "bm25_index_probe",
-    # round-9 tail addition: multi-query BM25 (one shared
-    # contribution pass over the union vocabulary; per-bag rows must
-    # equal the standalone top-10)
-    "bm25_multiquery_topk",
+    # round-10 demotions (VERDICT r9 item 4 rotation — each 6 green
+    # driver rounds r04-r09, families kept in-window as documented at
+    # the promotion sites above): quality family by gopher/c4/
+    # encoding_quality_flags; near-dedup family by neardup_cluster_ids
+    # + both incremental probes; ANN family by
+    # embedding_quantization_audit
+    "text_quality_scores", "near_dedup_kept_docs",
+    "embedding_cosine_topk_vectorized",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

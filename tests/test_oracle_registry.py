@@ -26,19 +26,21 @@ WINDOW = 50
 
 # window composition is rotated per round on judge direction; the sets
 # below pin the CURRENT intent so an accidental reorder fails loudly.
-# Round-9 promotions (VERDICT r8 item 5): the round-8 tail flagships —
-# repetition trimming, long-doc chunking, shallow clone, keyless
-# banded as-of — plus the NEW persistent gram-census probe
-# (incremental exact substring dedup through real storage).
+# Round-10 promotions (VERDICT r9 item 4): the round-9 tail flagships
+# — persistent benchmark-decontamination registry, persistent inverted
+# text index (O(query) BM25 through storage), multi-query BM25.
 PROMOTED = {
-    "repeat_dedup_stats", "doc_chunks_stats",
-    "clone_item_probe", "asof_keyless_banded",
-    "substring_index_probe",
+    "decontam_registry_probe", "bm25_index_probe",
+    "bm25_multiquery_topk",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
 RETAINED = {
-    # round-8 promotions, kept (1 green round each)
+    # round-9 promotions, kept (1 green round each)
+    "repeat_dedup_stats", "doc_chunks_stats",
+    "clone_item_probe", "asof_keyless_banded",
+    "substring_index_probe",
+    # round-8 promotions, kept (2 green rounds each)
     "dv_delete_probe", "dv_update_probe",
     "neardup_cluster_ids", "kneser_ney_counts",
     "kneser_ney_logprob",
@@ -57,7 +59,7 @@ RETAINED = {
     "colocated_join_probe", "change_feed_probe",
     "datasource_read_probe",
     # earlier retentions
-    "tfidf_top_terms", "near_dedup_kept_docs",
+    "tfidf_top_terms",
     "event_seq_applyinpandas",
     "incremental_dedup_probe",
     "index_audit_probe",
@@ -139,6 +141,13 @@ ROTATED_OUT = {
     # corpus_mix_report:
     "bpe_token_stats", "exact_dedup_groups", "line_dedup_stats",
     "signlsh_candidate_topk", "approx_distinct_audit",
+    # round-10 demotions (VERDICT r9 item 4 rotation — each 6 green
+    # driver rounds r04-r09): quality family kept in-window by
+    # gopher/c4/encoding_quality_flags; near-dedup family by
+    # neardup_cluster_ids + the incremental probes; ANN family by
+    # embedding_quantization_audit:
+    "text_quality_scores", "near_dedup_kept_docs",
+    "embedding_cosine_topk_vectorized",
     # round-5 continuation / round-5 / round-4 demotions (families
     # documented in queries_ext.QUERY_PRIORITY):
     "minhash_signatures",
