@@ -395,3 +395,33 @@ def test_describe_reports_index_roles(ti_col, spark):
         n=3,
     )
     assert ti_col.describe("bregD")["roles"].get("benchmark_registry")
+
+
+def test_delete_half_corpus_repair_matches_fresh_build(ti_col, spark):
+    """Round-9 verdict #5: a delete that removes corpus docs leaves
+    the BM25 corpus stats (n_docs / total_dl) stale — a drifted avgdl
+    skews EVERY score silently. delete_where(repair_indexes=True) must
+    decrement them: after deleting half the corpus and repairing,
+    search_bm25 must equal a FRESH index built over the survivors
+    bit-for-bit."""
+    c = ti_col
+    rep = c.delete_where(
+        "corpus", [("doc_id", "<", 20)], repair_indexes=True
+    )
+    assert rep["n_deleted"] == 20
+    assert "tix" in rep["index_repairs"]
+
+    audit = c.verify_index("corpus", "tix")
+    assert audit["ok"] and audit["stats_ok"], audit
+    assert audit["meta_n_docs"] == 20  # decremented, not build-time 40
+
+    # fresh ground-truth index over the surviving corpus
+    c.build_text_index("tix_fresh", "corpus")
+    got = _ranked(c.search_bm25("tix", QUERY, top_k=10))
+    want = _ranked(c.search_bm25("tix_fresh", QUERY, top_k=10))
+    assert got == want  # bit-for-bit: same docs, same scores
+    # and both equal the batch operator on the survivors
+    exp = _ranked(
+        X.bm25_topk(c.item("corpus").data, QUERY, top_k=10)
+    )
+    assert got == exp
