@@ -176,6 +176,57 @@ class CurationPipeline:
             total = c if total is None else total + c
         return self.filter(f"pii<={max_hits}", total <= max_hits)
 
+    def filter_decodable(
+        self,
+        media_col: str = "payload",
+        decoder: str = "real",
+        kinds: "Sequence[str] | None" = None,
+    ):
+        """Gate multimodal rows on container decodability of a binary
+        ``media_col``: a row whose payload fails the header decode —
+        or decodes to a kind outside ``kinds`` — drops before any
+        downstream stage wastes work on it. The decode kernel is the
+        same ``DECODERS`` entry :func:`multimodal.extract_features`
+        uses (``"real"`` = the pure-Python PNG/JPEG/GIF/WAV header
+        parsers; full pixel/sample decode needs codec libraries and
+        stays out of scope — functions/multimodal.py). Runs as an
+        Arrow-batched ``mapInPandas`` over the full row: schema
+        unchanged, no shuffle, and the Python cost is one header
+        parse per row, not a pixel decode."""
+        from pystore_spark.functions import multimodal as M
+
+        decode = M.DECODERS[decoder]
+        want = set(kinds) if kinds is not None else None
+        col = media_col
+
+        def g(df: DataFrame) -> DataFrame:
+            schema = df.schema
+
+            def run(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        yield pdf
+                        continue
+
+                    def ok(payload) -> bool:
+                        if payload is None:
+                            return False
+                        try:
+                            d = decode(bytes(payload))
+                        except Exception:
+                            return False
+                        return want is None or d["kind"] in want
+
+                    yield pdf[pdf[col].map(ok)]
+
+            return df.mapInPandas(run, schema)
+
+        name = "decodable[" + decoder + (
+            "," + ",".join(sorted(want)) if want else ""
+        ) + "]"
+        self._stages.append((name, _GLOBAL, g))
+        return self
+
     # ------------------------------------------------------------------
     # row-local transforms
     # ------------------------------------------------------------------

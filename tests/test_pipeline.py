@@ -324,3 +324,46 @@ def test_dedup_repeats_stage(spark):
         .collect()
     )
     assert out[0]["text"] == "p q r s"
+
+
+def test_filter_decodable_gates_on_real_headers(spark):
+    """Multimodal gating stage (round-9 verdict item 6): rows whose
+    binary payload fails the container-header decode — or decodes to
+    a kind outside the allow-list — drop before downstream stages.
+    Exercised with genuine PNG bytes, a marker-accurate JPEG stream,
+    a WAV container, corrupt bytes, and a NULL payload."""
+    from pystore_spark.functions import multimodal as M
+
+    rows = [
+        (0, "a png doc", bytearray(M.write_png(32, 16))),
+        (1, "a jpeg doc", bytearray(M.write_jpeg_headers(640, 480))),
+        (2, "corrupt", bytearray(b"\x89PNG\r\n\x1a\nXXXX")),
+        (3, "not media", bytearray(b"plain text bytes")),
+        (4, "null payload", None),
+        (5, "a wav doc", bytearray(
+            b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + b"data" + (4).to_bytes(4, "little") + bytes(4)
+        )),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, payload binary"
+    )
+
+    p = CurationPipeline(docs).filter_decodable("payload")
+    got = sorted(r["doc_id"] for r in p.dataframe().collect())
+    assert got == [0, 1, 5]
+    fun = {r["stage"]: r["n_surviving"] for r in p.funnel().collect()}
+    assert fun["decodable[real]"] == 3
+
+    # kind allow-list: images only — the WAV row drops too
+    p2 = CurationPipeline(docs).filter_decodable(
+        "payload", kinds=["png", "jpeg"]
+    )
+    got2 = sorted(r["doc_id"] for r in p2.dataframe().collect())
+    assert got2 == [0, 1]
+    # schema unchanged (row-preserving mapInPandas gate)
+    assert p2.dataframe().columns == ["doc_id", "text", "payload"]
