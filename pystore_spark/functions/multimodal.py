@@ -63,14 +63,17 @@ def _fake_decode(payload: bytes) -> dict:
 
 def _real_decode(payload: bytes) -> dict:
     """Container-header decoder for real media bytes — pure Python, no
-    codec libraries. Parses PNG (IHDR), GIF (logical screen), and WAV
-    (RIFF fmt/data) headers; pixel/sample decode still needs codec
-    libs and stays out of scope here.
+    codec libraries. Parses PNG (IHDR), JPEG (SOF marker walk), GIF
+    (logical screen), WAV (RIFF fmt/data), FLAC (STREAMINFO), and
+    ISO-BMFF/MP4 (moov → mvhd/tkhd) headers; pixel/sample/entropy
+    decode still needs codec libs and stays out of scope here.
 
     Feature mapping into the generic FEATURE_SCHEMA:
       image: width/height = pixels, n_frames = 1
-      wav:   width = sample_rate, height = bits_per_sample,
-             n_frames = sample frames (data bytes / frame size)
+      wav/flac: width = sample_rate, height = bits_per_sample,
+             n_frames = sample frames
+      mp4:  width/height = first track's pixels (0 if audio-only),
+             n_frames = duration in whole timescale seconds
     """
     import binascii
 
@@ -122,6 +125,73 @@ def _real_decode(payload: bytes) -> dict:
                 break
             pos += 2 + seg_len
         raise ValueError("malformed JPEG: no SOF frame header found")
+    if payload[:4] == b"fLaC":
+        # FLAC: the first metadata block MUST be STREAMINFO (type 0,
+        # 34 bytes). Its tail u64 packs sample_rate(20) channels-1(3)
+        # bits-1(5) total_samples(36). Same feature mapping as WAV:
+        # width = sample_rate, height = bits_per_sample, n_frames =
+        # inter-channel sample frames. Entropy (subframe) decode needs
+        # a codec lib; the header does not.
+        if len(payload) < 42 or (payload[4] & 0x7F) != 0:
+            raise ValueError(
+                "malformed FLAC: STREAMINFO not first metadata block"
+            )
+        (packed,) = struct.unpack(">Q", payload[18:26])
+        rate = packed >> 44
+        bits = ((packed >> 36) & 0x1F) + 1
+        total = packed & ((1 << 36) - 1)
+        return {"kind": "flac", "width": int(rate), "height": int(bits),
+                "n_frames": int(total), "n_bytes": n_bytes,
+                "checksum": checksum}
+    if payload[4:8] == b"ftyp":
+        # ISO-BMFF (MP4/MOV/M4A): walk top-level boxes to moov, then
+        # moov children for mvhd (timescale/duration) and the first
+        # tkhd (track dims, 16.16 fixed). width/height = track pixels
+        # (0 for audio-only), n_frames = media duration in WHOLE
+        # timescale seconds — sample tables (stts/stsz) and frame
+        # decode stay codec-library territory.
+        def boxes(lo: int, hi: int):
+            pos = lo
+            while pos + 8 <= hi:
+                (blen,) = struct.unpack(">I", payload[pos:pos + 4])
+                btyp = payload[pos + 4:pos + 8]
+                if blen < 8:
+                    break  # 64-bit/zero-size boxes: out of scope
+                yield btyp, pos + 8, min(pos + blen, hi)
+                pos += blen
+
+        width = height = secs = 0
+        for typ, lo, hi in boxes(0, n_bytes):
+            if typ != b"moov":
+                continue
+            for ityp, ilo, ihi in boxes(lo, hi):
+                if ityp == b"mvhd" and ihi - ilo >= 20:
+                    ver = payload[ilo]
+                    if ver == 1:
+                        (ts,) = struct.unpack(
+                            ">I", payload[ilo + 20:ilo + 24]
+                        )
+                        (dur,) = struct.unpack(
+                            ">Q", payload[ilo + 24:ilo + 32]
+                        )
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", payload[ilo + 12:ilo + 20]
+                        )
+                    secs = int(dur // max(ts, 1))
+                elif ityp == b"trak" and not (width or height):
+                    for ttyp, tlo, thi in boxes(ilo, ihi):
+                        if ttyp == b"tkhd" and thi - tlo >= 84:
+                            ver = payload[tlo]
+                            off = tlo + (88 if ver == 1 else 76)
+                            w16, h16 = struct.unpack(
+                                ">II", payload[off:off + 8]
+                            )
+                            width, height = w16 >> 16, h16 >> 16
+            return {"kind": "mp4", "width": int(width),
+                    "height": int(height), "n_frames": int(secs),
+                    "n_bytes": n_bytes, "checksum": checksum}
+        raise ValueError("malformed MP4: no moov box found")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # walk RIFF chunks for fmt and data
         pos, rate, bits, channels, data_len = 12, 0, 0, 1, 0
@@ -139,9 +209,9 @@ def _real_decode(payload: bytes) -> dict:
                 "n_frames": int(data_len // frame_size),
                 "n_bytes": n_bytes, "checksum": checksum}
     raise ValueError(
-        "unsupported media container (expected PNG, JPEG, GIF, or "
-        "WAV); full pixel/sample decode requires codec libraries not "
-        "present here"
+        "unsupported media container (expected PNG, JPEG, GIF, WAV, "
+        "FLAC, or ISO-BMFF/MP4); full pixel/sample decode requires "
+        "codec libraries not present here"
     )
 
 
@@ -188,6 +258,56 @@ def write_jpeg_headers(width: int, height: int) -> bytes:
         + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
         + b"\xff\xd9"
     )
+
+
+def write_flac_headers(
+    sample_rate: int, bits: int, total_samples: int
+) -> bytes:
+    """Structurally valid FLAC stream head (fLaC magic + last-block
+    STREAMINFO) — real header layout for exercising the STREAMINFO
+    parser; carries no audio frames."""
+    packed = (
+        (sample_rate << 44)
+        | (0 << 41)  # channels-1 (mono)
+        | ((bits - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = (
+        struct.pack(">HH", 4096, 4096)  # min/max block size
+        + bytes(6)  # min/max frame size (unknown)
+        + struct.pack(">Q", packed)
+        + bytes(16)  # md5 of unencoded audio (unknown)
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def write_mp4_headers(
+    width: int, height: int, timescale: int = 1000, duration: int = 0
+) -> bytes:
+    """Minimal ISO-BMFF skeleton (ftyp + moov{mvhd, trak{tkhd}}) —
+    real box layout for exercising the mvhd/tkhd parser; carries no
+    sample data."""
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # creation/modification time
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + bytes(10) + bytes(36) + bytes(24) + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">I", duration) + bytes(8)
+        + bytes(8)  # layer/alt-group/volume/reserved
+        + bytes(36)  # identity matrix slot (zeros fine for the probe)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
 
 
 DECODERS: dict[str, Callable[[bytes], dict]] = {

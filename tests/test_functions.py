@@ -270,6 +270,41 @@ def test_multimodal_real_decoder_jpeg_sof(spark):
         M.DECODERS["real"](b"\xff\xd8\xff\xd9")
 
 
+def test_multimodal_real_decoder_flac_and_mp4(spark):
+    """FLAC STREAMINFO (sample rate / bits / total samples from the
+    packed u64) and ISO-BMFF (moov -> mvhd timescale+duration, first
+    trak's tkhd 16.16 dims) through extract_features — the audio and
+    video container probes; entropy/sample decode stays codec-lib
+    territory by design."""
+    rows = [
+        (0, "audio", M.write_flac_headers(48000, 24, 96000), None),
+        (1, "video", M.write_mp4_headers(
+            1280, 720, timescale=600, duration=3000
+        ), None),
+        (2, "audio", M.write_mp4_headers(
+            0, 0, timescale=1000, duration=2500
+        ), None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in M.extract_features(df, decoder="real").collect()
+    }
+    assert feats[0]["kind"] == "flac"
+    assert (feats[0]["width"], feats[0]["height"]) == (48000, 24)
+    assert feats[0]["n_frames"] == 96000
+    assert feats[1]["kind"] == "mp4"
+    assert (feats[1]["width"], feats[1]["height"]) == (1280, 720)
+    assert feats[1]["n_frames"] == 5  # 3000 / 600 whole seconds
+    assert (feats[2]["width"], feats[2]["height"]) == (0, 0)  # audio-only
+
+    # malformed edges fail loudly
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        M.DECODERS["real"](b"fLaC\x04xxxx")
+    with pytest.raises(ValueError, match="no moov"):
+        M.DECODERS["real"](bytes(4) + b"ftypisom")
+
+
 def test_multimodal_real_decoder_rejects_unknown_container(spark):
     rows = [(0, "img", M.encode_fake_media(0, "img", 8, 8), None)]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
