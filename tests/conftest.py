@@ -12,12 +12,83 @@ import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 
+# ---------------------------------------------------------------------------
+# slow tier (round-9 verdict #7): the default gate (`pytest tests/`,
+# pytest.ini addopts `-m "not slow"`) stays fast; the stress tier —
+# concurrency hammers, randomized long chains, multi-commit
+# lifecycles, crash-replay matrices — runs with `-m slow` (both tiers
+# via tools/round_start.sh). Central name list so the tier is one
+# auditable block instead of decorators scattered over 20 files.
+# Rule: every name here is a STRESS variant of a feature that keeps a
+# fast-tier test; nothing here is a feature's only coverage.
+SLOW_TESTS = {
+    # randomized / property / long-chain
+    "test_dv_vacuum_long_chain_randomized",
+    "test_update_where_dv_rewrite_parity_randomized",
+    "test_incremental_fold_equals_rebuild_randomized",
+    "test_dedup_lines_properties",
+    # multi-commit lifecycles (every stage has its own fast test)
+    "test_full_curated_corpus_lifecycle",
+    "test_multi_day_ingest_lifecycle",
+    "test_clone_dml_vacuum_interaction_both_directions",
+    "test_bucketed_clone_dml_vacuum_interaction",
+    "test_incremental_equals_batch_dedup_on_union",
+    "test_next_batch_loses_passages_registered_by_previous",
+    # streaming crash-replay matrix (the representative
+    # test_dedup_sink_replay_repairs_crashed_index_append stays fast)
+    "test_clean_dedup_replay_never_registers_dropped_doc_grams",
+    "test_curated_sink_text_index_crash_repair",
+    "test_curated_sink_substring_census_cut_and_crash_repair",
+    "test_curated_sink_replay_repairs_crashed_line_registration",
+    "test_replay_probe_ignores_batch_own_index_rows",
+    "test_replay_exclusion_spares_presto_stored_rows",
+    "test_replay_markers_survive_delta_deletion_by_repair",
+    # concurrency hammers / races (single-writer correctness of each
+    # op is fast-tier; these pin the CAS/lock behavior under load)
+    "test_cas_counter_survives_multiprocess_hammer",
+    "test_two_driver_compact_append_race",
+    "test_concurrent_locked_appends_lose_nothing",
+    "test_concurrent_reads_never_see_missing_files",
+    "test_concurrent_create_same_item_loses_visibly",
+    "test_merge_survives_concurrent_appends",
+    "test_fold_preserves_concurrent_delta_appends",
+    "test_threaded_append_on_bucketed_item",
+    "test_concurrent_bucketed_appends_both_land",
+    "test_compact_preserves_concurrent_metadata",
+    "test_compact_detects_concurrent_append",
+    "test_threaded_append_enforced",
+    "test_threaded_bucketed_append_enforced",
+    "test_delete_preserves_concurrent_metadata_updates",
+    "test_concurrent_ingest_totals_never_lose_increments",
+    "test_s3_concurrent_reads_never_see_missing_files",
+    "test_rewrite_conflicts_with_concurrent_dv_commit",
+    "test_whole_item_rewrites_conflict_with_concurrent_dv",
+    "test_dv_delete_retries_when_concurrent_mask_commit_lands",
+    "test_append_threaded",
+    "test_append_dedup_sugar_threaded",
+    "test_whole_item_append_detects_concurrent_commit",
+    "test_write_threaded",
+    "test_concurrent_source_registration_cas",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = getattr(item, "originalname", None) or item.name
+        if name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
     from pystore_spark.session import get_spark
 
-    s = get_spark(app_name="pystore_spark_tests", master="local[4]",
+    # local[4]/4-shuffle-partitions measured as fast as local[8/16]
+    # suite-wide (job-scheduling latency dominates the tiny-data
+    # tests; only the compute-heavy index files gain from threads) —
+    # override with PYSTORE_SPARK_TEST_CPUS when iterating on those
+    n = os.environ.get("PYSTORE_SPARK_TEST_CPUS", "4")
+    s = get_spark(app_name="pystore_spark_tests", master=f"local[{n}]",
                   shuffle_partitions=4)
     yield s
 
