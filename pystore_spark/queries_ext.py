@@ -1120,6 +1120,104 @@ def _ivf_kmeans_oracle_sql(
     return "\n".join(parts)
 
 
+def _ivf_staleness_oracle_sql(
+    n_cells: int = 8, n_iters: int = 2, dim: int = 64,
+    quant: str = "10000000.0",
+) -> str:
+    """Staleness-audit oracle: train the deterministic KMeans over the
+    EVEN-id half of the corpus (the 'build-time' snapshot), then
+    assign the FULL corpus to those pinned centroids and report per
+    cell the size and the mean squared distance — exactly the
+    engine's ``ivf_cell_stats`` math (the signal
+    ``vector_index_staleness`` thresholds on). Distances fold through
+    ROUND(·,9)::DECIMAL(20,9) so the per-cell mean is
+    order-independent on both engines."""
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> ({v}[i]::DOUBLE - {c}[i]) * ({v}[i]::DOUBLE - {c}[i])), "
+        "(x,y) -> x+y)"
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 2 = 0),",
+        "va AS (SELECT vec_id, embedding FROM embeddings),",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS INTEGER) AS cell, "
+        "list_transform(embedding, x -> x::DOUBLE) AS cent "
+        "FROM embeddings WHERE vec_id % 2 = 0 "
+        f"ORDER BY vec_id LIMIT {n_cells}),",
+    ]
+    for it in range(1, n_iters + 1):
+        d = dist.format(v="v.embedding", c="c.cent")
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cell FROM ("
+            f"SELECT v.vec_id, c.cell, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {d}, c.cell) AS rn "
+            f"FROM v, c{it - 1} c) WHERE rn = 1),"
+        )
+        parts.append(
+            f"u{it} AS (SELECT cell, list(comp ORDER BY i) AS cent "
+            f"FROM (SELECT a.cell, i.i, "
+            f"(CAST(SUM(CAST(FLOOR(v.embedding[i.i]::DOUBLE * {quant}) "
+            f"AS BIGINT)) AS DOUBLE) / COUNT(*)) / {quant} AS comp "
+            f"FROM v JOIN a{it} a USING (vec_id), "
+            f"(SELECT unnest(generate_series(1, {dim})) AS i) i "
+            f"GROUP BY a.cell, i.i) GROUP BY cell),"
+        )
+        parts.append(
+            f"c{it} AS (SELECT c{it - 1}.cell, "
+            f"COALESCE(u{it}.cent, c{it - 1}.cent) AS cent "
+            f"FROM c{it - 1} LEFT JOIN u{it} USING (cell)),"
+        )
+    d = dist.format(v="va.embedding", c="c.cent")
+    parts.append(
+        f"f AS (SELECT vec_id, cell, d FROM ("
+        f"SELECT va.vec_id, c.cell, {d} AS d, row_number() OVER ("
+        f"PARTITION BY va.vec_id ORDER BY {d}, c.cell) AS rn "
+        f"FROM va, c{n_iters} c) WHERE rn = 1)"
+    )
+    parts.append(
+        "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+        "ROUND(CAST(SUM(CAST(ROUND(d, 9) AS DECIMAL(20,9))) AS DOUBLE)"
+        " / COUNT(*), 6) AS mean_dist "
+        "FROM f GROUP BY cell"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "ivf_staleness_stats",
+    sql=_ivf_staleness_oracle_sql(),
+    tags=("similarity", "ann", "audit"),
+)
+def ivf_staleness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-staleness audit math, oracle-checked: centroids train
+    over the even-id half of the embedding corpus (the 'build-time'
+    snapshot), the FULL corpus assigns to those pinned centroids, and
+    per cell the size + mean squared distance come back — the exact
+    per-cell signal ``Collection.vector_index_staleness`` aggregates
+    into its mean-dist/skew ratios (functions/similarity.py
+    ivf_cell_stats). Distances are bit-identical on both engines (the
+    same IEEE left-fold as ivf_kmeans_index) and fold through
+    ROUND(·,9)::DECIMAL(20,9) so the mean is order-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    build = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = S.train_ivf_centroids(
+        build, "embedding", "vec_id", n_cells=8, n_iters=2
+    )
+    assigned = S._assign_cells(emb, "embedding", cents, with_dist=True)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(
+                F.round(F.col("_cdist"), 9).cast("decimal(20,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_dist"),
+    )
+
+
 @register(
     "ivf_kmeans_index",
     sql=_ivf_kmeans_oracle_sql(),
@@ -5855,6 +5953,13 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # embedding_quantization_audit
     "text_quality_scores", "near_dedup_kept_docs",
     "embedding_cosine_topk_vectorized",
+    # round-10 tail addition: the centroid-staleness audit math
+    # (vector_index_staleness / ivf_cell_stats) oracle-checked — train
+    # on the even-id half, assign the full corpus to the pinned
+    # centroids, per-cell size + order-independent mean squared
+    # distance (family sibling in-window: embedding_quantization_audit;
+    # ivf_kmeans_index pins the trainer itself in the tail)
+    "ivf_staleness_stats",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
