@@ -5423,6 +5423,124 @@ class Collection:
             self.clear_metadata_cache(item)
         return report
 
+    @staticmethod
+    def _escape_export_id(id_col: str, require_non_null: bool = True):
+        """The injective source-id encoding split exports compose
+        chunk ids with (and store as ``_src_id``): NULLs raise
+        in-plan, ``\\``/``#`` escape before the ``#`` separator."""
+        sid = F.col(id_col).cast("string")
+        esc = F.regexp_replace(
+            F.regexp_replace(sid, r"\\", r"\\\\"), "#", r"\\#"
+        )
+        if not require_non_null:
+            return esc
+        return F.when(
+            sid.isNull(),
+            F.raise_error(F.lit(
+                f"split_max_tokens requires non-NULL {id_col!r} "
+                "ids (the chunk id composes with them)"
+            )).cast("string"),
+        ).otherwise(esc)
+
+    def _export_row_plan(
+        self,
+        df: DataFrame,
+        *,
+        id_col: str,
+        text_col: str,
+        n_shards: int,
+        salt: str,
+        pack_budget: int | None,
+        token_col: Any,
+        token_counter: str,
+        encode_ids: bool,
+        split_max_tokens: int | None,
+        split_overlap: int,
+        shards: "Sequence[int] | None" = None,
+    ) -> DataFrame:
+        """The export-row pipeline shared by the full export and the
+        incremental shard refresh: (optional) long-doc chunking →
+        deterministic md5 shard assignment → (optional) restriction to
+        a shard subset → (optional) BPE encode → (optional) shard-local
+        packing → one-task-per-shard layout. Every stage after the
+        shard filter is SHARD-LOCAL (encode is per-row; pack is an
+        exclusive prefix sum within the shard), so rebuilding a shard
+        subset reproduces the full export's rows for those shards
+        byte-for-byte — the invariant the refresh relies on."""
+        from pystore_spark.functions import sampling as SA
+        from pystore_spark.functions import text as X
+
+        if token_col is None and token_counter == "bpe" and not encode_ids:
+            # (with encode_ids the budget comes from size(input_ids)
+            # below — one tokenization, not two)
+            from pystore_spark.functions.bpe import bpe_count_udf
+
+            token_col = bpe_count_udf()(F.col(text_col))
+        if split_max_tokens:
+            # long-doc chunking BEFORE sharding/encoding: each chunk
+            # becomes its own row with id "{doc}#{chunk}" (string —
+            # the md5 sharder casts to string anyway), so a doc longer
+            # than the pack budget ships as budget-sized pieces
+            # instead of one oversized pack. Row-local, no shuffle.
+            # The escaped source id persists as ``_src_id`` so the
+            # refresh can map changed docs to their OLD chunk shards.
+            chunks = X.split_documents(
+                df,
+                split_max_tokens,
+                split_overlap,
+                text_col=text_col,
+            )
+            sid = self._escape_export_id(id_col)
+            df = chunks.select(
+                *[c for c in df.columns if c != text_col],
+                F.col("chunk_text").alias(text_col),
+                "chunk_id",
+            ).withColumn("_src_id", sid).withColumn(
+                id_col,
+                F.concat_ws(
+                    "#",
+                    F.col("_src_id"),
+                    F.col("chunk_id").cast("string"),
+                ),
+            ).drop("chunk_id")
+        sharded = SA.assign_shards(df, id_col, n_shards, salt)
+        if shards is not None:
+            # refresh path: everything downstream is shard-local, so
+            # restricting here reproduces exactly those shards' rows
+            # while the expensive stages (encode, pack) run on the
+            # affected subset only
+            sharded = sharded.filter(
+                F.col("shard").isin([int(s) for s in shards])
+            )
+        if encode_ids:
+            from pystore_spark.functions.bpe import bpe_encode_ids
+
+            ids = bpe_encode_ids(sharded, text_col, id_col)
+            sharded = sharded.join(ids, on=id_col)
+            if token_col is None and token_counter == "bpe":
+                # the budget counts exactly what the shards carry
+                token_col = F.size("input_ids").cast("bigint")
+        if pack_budget:
+            # pack in the SAME (shard_pos, id) order the physical
+            # layout sorts by, so each pack's rows are contiguous in
+            # the written shard files — a trainer streams fixed-token
+            # batches without buffering the shard
+            sharded = X.pack_sequences(
+                sharded,
+                id_col,
+                budget=pack_budget,
+                token_col=(
+                    token_col
+                    if token_col is not None
+                    else X.token_count(text_col)
+                ),
+                shard_col="shard",
+                order_cols=["shard_pos", id_col],
+            )
+        return sharded.repartition(
+            n_shards, "shard"
+        ).sortWithinPartitions("shard", "shard_pos", id_col)
+
     def export_training_shards(
         self,
         export_item: str,
@@ -5487,12 +5605,6 @@ class Collection:
             )
         if token_col is not None:
             token_counter = "custom"  # caller-supplied column wins
-        elif token_counter == "bpe" and not encode_ids:
-            # (with encode_ids the budget comes from size(input_ids)
-            # below — one tokenization, not two)
-            from pystore_spark.functions.bpe import bpe_count_udf
-
-            token_col = bpe_count_udf()(F.col(text_col))
 
         item_path = self._item_path(export_item)
         if self.fs.exists(item_path) and not overwrite:
@@ -5504,85 +5616,29 @@ class Collection:
         df = (
             self.item(source).data if isinstance(source, str) else source
         )
-        if split_max_tokens:
-            # long-doc chunking BEFORE sharding/encoding: each chunk
-            # becomes its own row with id "{doc}#{chunk}" (string —
-            # the md5 sharder casts to string anyway), so a doc longer
-            # than the pack budget ships as budget-sized pieces
-            # instead of one oversized pack. Row-local, no shuffle.
-            chunks = X.split_documents(
-                df,
-                split_max_tokens,
-                split_overlap,
-                text_col=text_col,
-            )
-            # composite id must stay injective: a NULL source id would
-            # silently collapse under concat_ws (it skips NULLs) and a
-            # raw '#' in a source id could collide with a chunk id
-            # (doc '1#0' vs doc '1' chunk 0) — so NULLs raise in-plan
-            # (no extra job) and '#'/'\' escape before the separator
-            sid = F.col(id_col).cast("string")
-            sid = F.when(
-                sid.isNull(),
-                F.raise_error(F.lit(
-                    f"split_max_tokens requires non-NULL {id_col!r} "
-                    "ids (the chunk id composes with them)"
-                )).cast("string"),
-            ).otherwise(
-                F.regexp_replace(
-                    F.regexp_replace(sid, r"\\", r"\\\\"),
-                    "#", r"\\#",
-                )
-            )
-            df = chunks.select(
-                *[c for c in df.columns if c != text_col],
-                F.col("chunk_text").alias(text_col),
-                "chunk_id",
-            ).withColumn(
-                id_col,
-                F.concat_ws(
-                    "#",
-                    sid,
-                    F.col("chunk_id").cast("string"),
-                ),
-            ).drop("chunk_id")
-        if encode_ids:
-            from pystore_spark.functions.bpe import bpe_encode_ids
-
-            ids = bpe_encode_ids(df, text_col, id_col)
-            df = df.join(ids, on=id_col)
-            if token_col is None and token_counter == "bpe":
-                # the budget counts exactly what the shards carry
-                token_col = F.size("input_ids").cast("bigint")
-        sharded = SA.assign_shards(df, id_col, n_shards, salt)
-        if pack_budget:
-            # pack in the SAME (shard_pos, id) order the physical
-            # layout sorts by, so each pack's rows are contiguous in
-            # the written shard files — a trainer streams fixed-token
-            # batches without buffering the shard
-            sharded = X.pack_sequences(
-                sharded,
-                id_col,
-                budget=pack_budget,
-                token_col=(
-                    token_col
-                    if token_col is not None
-                    else X.token_count(text_col)
-                ),
-                shard_col="shard",
-                order_cols=["shard_pos", id_col],
-            )
-        shaped = sharded.repartition(
-            n_shards, "shard"
-        ).sortWithinPartitions("shard", "shard_pos", id_col)
+        shaped = self._export_row_plan(
+            df,
+            id_col=id_col, text_col=text_col,
+            n_shards=n_shards, salt=salt,
+            pack_budget=pack_budget, token_col=token_col,
+            token_counter=token_counter, encode_ids=encode_ids,
+            split_max_tokens=split_max_tokens,
+            split_overlap=split_overlap,
+        )
 
         export_meta = {
             "n_shards": int(n_shards),
             "salt": salt,
             "id_col": id_col,
+            "text_col": text_col,
             "pack_budget": pack_budget,
             "token_counter": token_counter,
             "encode_ids": bool(encode_ids),
+            "split_max_tokens": split_max_tokens,
+            "split_overlap": int(split_overlap),
+            # the incremental refresh re-reads the source by name;
+            # DataFrame-sourced exports must pass source= to refresh
+            "source_item": source if isinstance(source, str) else None,
         }
         sidecar = {
             **(metadata or {}),
@@ -5630,6 +5686,209 @@ class Collection:
         utils.update_metadata_cas(self._item_path(export_item), stamp)
         self.clear_metadata_cache(export_item)
         return export_meta
+
+    def refresh_training_shards(
+        self,
+        export_item: str,
+        changed: Any,
+        source: Any = None,
+        token_col: Any = None,
+    ) -> dict:
+        """Incrementally refresh a :meth:`export_training_shards` item
+        after the source corpus changed — rewrite ONLY the shards that
+        a changed document touches, never the whole export. The
+        100 TB rationale: a daily ingest touches a fraction of the
+        corpus, but the md5 sharder scatters it across shards;
+        re-exporting everything re-encodes and re-shuffles 100 TB to
+        refresh a 1 % delta. Because every stage after shard
+        assignment is SHARD-LOCAL (encode per-row; packing an
+        exclusive prefix sum within the shard — see
+        ``_export_row_plan``), a rebuilt shard is byte-identical to
+        what a full re-export would produce, so refresh ∘ change ≡
+        re-export (pinned by tests).
+
+        ``changed``: the SOURCE ids added/updated/deleted since the
+        export — a one-column DataFrame, a pandas frame, or a list
+        (your ingest report / :meth:`changes` / :meth:`diff` knows).
+        Deleted ids are fine: their shard rebuilds from the current
+        source and the rows vanish; a shard left empty is dropped from
+        the manifest. Cost: affected shards for unsplit exports come
+        straight from md5(changed ids) — no export scan; split
+        exports additionally read the export's (``_src_id``, shard)
+        columns to find the OLD chunks' shards (chunk counts change
+        with the text). The rebuild reads the current source, prunes
+        to affected shards before encode/pack, and commits through the
+        partition-scoped manifest swap (untouched shards keep their
+        exact files — readers see pre- or post-refresh, never half).
+
+        ``source`` defaults to the recorded ``source_item``;
+        DataFrame-sourced exports must pass it. ``token_col`` is
+        required again only for exports built with a custom token
+        column (a Column can't persist in the sidecar)."""
+        from pystore_spark.functions import sampling as SA
+
+        meta_all = self.get_item_metadata(export_item) or {}
+        em = dict(meta_all.get("_training_export") or {})
+        if not em:
+            raise StorageError(
+                f"item {export_item!r} is not a training-shard export"
+            )
+        if "text_col" not in em:
+            raise StorageError(
+                f"export {export_item!r} predates incremental refresh "
+                "(no recorded text_col) — re-export once with the "
+                "current engine to enable it"
+            )
+        if em.get("token_counter") == "custom" and token_col is None:
+            raise ValueError(
+                "this export was built with a caller-supplied "
+                "token_col; pass the same token_col= to refresh"
+            )
+        id_col = em["id_col"]
+        n_shards = int(em["n_shards"])
+        split = em.get("split_max_tokens")
+        src = source if source is not None else em.get("source_item")
+        if src is None:
+            raise ValueError(
+                "export was built from a DataFrame; pass source="
+            )
+        self._require_spark_fs("training-shard refresh")
+        df = self.item(src).data if isinstance(src, str) else src
+
+        # --- normalize the changed-id set (driver-bounded by the
+        # caller's change report; a one-column frame stays distributed)
+        import pandas as pd
+
+        spark = df.sparkSession
+        if isinstance(changed, DataFrame):
+            ch = changed.select(
+                F.col(changed.columns[0]).alias(id_col)
+            ).distinct()
+        elif isinstance(changed, pd.DataFrame):
+            ch = spark.createDataFrame(changed.iloc[:, [0]]).select(
+                F.col(str(changed.columns[0])).alias(id_col)
+            ).distinct()
+        else:
+            vals = sorted(set(changed))
+            if not vals:
+                return {"n_shards_rebuilt": 0, "shards": []}
+            src_type = df.schema[id_col].dataType.simpleString()
+            ch = spark.createDataFrame(
+                [(v,) for v in vals], f"{id_col} {src_type}"
+            )
+        # --- affected shards --------------------------------------
+        if split:
+            # old chunks' shards from the export's (_src_id, shard)
+            # columns (column-pruned scan); new chunks' shards from
+            # chunking the changed docs still present in the source
+            exp = self.item(export_item).data
+            if "_src_id" not in exp.columns:
+                raise StorageError(
+                    f"split export {export_item!r} predates _src_id — "
+                    "re-export once to enable incremental refresh"
+                )
+            esc = ch.select(
+                self._escape_export_id(id_col).alias("_src_id")
+            )
+            old_sh = (
+                exp.join(F.broadcast(esc), "_src_id", "left_semi")
+                .select("shard")
+            )
+            new_rows = self._export_row_plan(
+                df.join(F.broadcast(ch), id_col, "left_semi"),
+                id_col=id_col, text_col=em["text_col"],
+                n_shards=n_shards, salt=em["salt"],
+                pack_budget=None, token_col=None,
+                token_counter="whitespace", encode_ids=False,
+                split_max_tokens=split,
+                split_overlap=int(em.get("split_overlap") or 0),
+            )
+            affected = sorted(
+                r["shard"]
+                for r in old_sh.unionByName(
+                    new_rows.select("shard")
+                ).distinct().collect()
+            )
+        else:
+            # id alone determines the shard — no export scan at all
+            affected = sorted(
+                r["shard"]
+                for r in SA.assign_shards(
+                    ch, id_col, n_shards, em["salt"]
+                ).select("shard").distinct().collect()
+            )
+        if not affected:
+            return {"n_shards_rebuilt": 0, "shards": []}
+
+        # --- rebuild exactly those shards from the current source ---
+        shaped = self._export_row_plan(
+            df,
+            id_col=id_col, text_col=em["text_col"],
+            n_shards=n_shards, salt=em["salt"],
+            pack_budget=em.get("pack_budget"),
+            token_col=token_col,
+            token_counter=em.get("token_counter", "whitespace"),
+            encode_ids=bool(em.get("encode_ids")),
+            split_max_tokens=split,
+            split_overlap=int(em.get("split_overlap") or 0),
+            shards=affected,
+        ).localCheckpoint(eager=True)
+        with_rows = {
+            r["shard"]
+            for r in shaped.select("shard").distinct().collect()
+        }
+        drop = {f"shard={s}" for s in affected if s not in with_rows}
+
+        def write_fn(tmp) -> None:
+            (
+                shaped.write.mode("overwrite")
+                .option("compression", "snappy")
+                .partitionBy("shard")
+                .parquet(str(tmp))
+            )
+
+        # partition-scoped commit: only the affected shard dirs swap;
+        # untouched shards keep their exact files (and the metadata is
+        # re-read at the commit point — sidecar=None)
+        self._commit_staged(
+            export_item, write_fn, None, scope="buckets",
+            drop_buckets=drop,
+        )
+        self.clear_metadata_cache(export_item)
+
+        balance = (
+            self.item(export_item)
+            .data.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("shards_nonempty"),
+                F.sum("n").alias("n_rows"),
+                F.min("n").alias("min_shard_rows"),
+                F.max("n").alias("max_shard_rows"),
+            )
+            .collect()[0]
+        )
+
+        def stamp(meta: dict) -> dict:
+            m = dict(meta.get("_training_export") or {})
+            m.update(
+                n_rows=int(balance["n_rows"] or 0),
+                shards_nonempty=int(balance["shards_nonempty"] or 0),
+                min_shard_rows=int(balance["min_shard_rows"] or 0),
+                max_shard_rows=int(balance["max_shard_rows"] or 0),
+                n_refreshes=int(m.get("n_refreshes") or 0) + 1,
+            )
+            meta["_training_export"] = m
+            return meta
+
+        utils.update_metadata_cas(self._item_path(export_item), stamp)
+        self.clear_metadata_cache(export_item)
+        return {
+            "n_shards_rebuilt": len(with_rows & set(affected)),
+            "n_shards_dropped": len(drop),
+            "shards": affected,
+            "n_rows": int(balance["n_rows"] or 0),
+        }
 
     def export_jsonl(
         self,

@@ -504,3 +504,120 @@ def test_export_split_composite_ids_are_injective(test_collection):
         c.export_training_shards(
             "sh3", "corpus3", n_shards=1, split_max_tokens=4,
         )
+
+
+def test_refresh_training_shards_incremental_equals_full_reexport(
+    test_collection, spark
+):
+    """Incremental shard refresh: after appends, an upsert, and a
+    delete, refreshing ONLY the affected shards must equal a full
+    re-export bit-for-bit (every post-shard stage is shard-local), and
+    shards no changed doc touches must keep their EXACT files (the
+    partition-scoped manifest swap never rewrites them)."""
+    from pystore_spark import utils as U
+
+    c = test_collection
+    c.write("corpus", _docs(range(40)), index_col="doc_id")
+    c.export_training_shards(
+        "shards", "corpus", n_shards=8, pack_budget=64
+    )
+    man0 = U.read_manifest(c._item_path("shards"))
+    files0 = {}
+    for f in man0["files"]:
+        files0.setdefault(f.split("/")[0], set()).add(f)
+
+    # mutate the corpus: 3 new docs, 1 updated (keep_last upsert),
+    # 1 deleted
+    c.append("corpus", _docs(range(40, 43)))
+    upd = _docs([3])
+    upd["text"] = "completely rewritten text for document three " * 3
+    c.append("corpus", upd)  # keep_last upsert on doc_id
+    c.delete_where("corpus", [("doc_id", "==", 7)])
+    changed = [3, 7, 40, 41, 42]
+
+    rep = c.refresh_training_shards("shards", changed)
+    assert 1 <= len(rep["shards"]) <= 5  # md5 scatter, ≤ one per id
+
+    # ground truth: a full re-export of the current corpus
+    c.export_training_shards(
+        "shards_full", "corpus", n_shards=8, pack_budget=64
+    )
+    cols = ["shard", "shard_pos", "doc_id", "text", "n_tokens",
+            "pack_id"]
+    got = (
+        c.item("shards").data.select(cols)
+        .orderBy(*cols).toPandas().reset_index(drop=True)
+    )
+    want = (
+        c.item("shards_full").data.select(cols)
+        .orderBy(*cols).toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # untouched shards kept their exact committed files
+    man1 = U.read_manifest(c._item_path("shards"))
+    files1 = {}
+    for f in man1["files"]:
+        files1.setdefault(f.split("/")[0], set()).add(f)
+    touched = {f"shard={s}" for s in rep["shards"]}
+    for d, fl in files0.items():
+        if d not in touched:
+            assert files1.get(d) == fl, d
+    for d in touched:
+        if d in files0 and d in files1:
+            assert files1[d] != files0[d], d
+    # metadata stats refreshed + refresh counted
+    em = c.get_item_metadata("shards")["_training_export"]
+    assert em["n_rows"] == 42 and em["n_refreshes"] == 1
+
+
+def test_refresh_training_shards_split_chunks_and_empty_shard(
+    test_collection, spark
+):
+    """Split-export refresh: a text edit that CHANGES a doc's chunk
+    count must rebuild both the old chunks' shards (found via the
+    persisted _src_id column) and the new ones; deleting the only doc
+    of a shard drops that shard from the manifest."""
+    c = test_collection
+    long_text = " ".join(f"w{i}" for i in range(100))
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 9)),
+            "text": [long_text] + [
+                f"short document number {i} with several words"
+                for i in range(2, 9)
+            ],
+        }
+    )
+    c.write("corpus", docs, index_col="doc_id")
+    c.export_training_shards(
+        "sh", "corpus", n_shards=6, split_max_tokens=40,
+        split_overlap=4,
+    )
+    # doc 1 shrinks from 3 chunks to 1; doc 5 is deleted outright
+    upd = pd.DataFrame(
+        {"doc_id": [1], "text": ["now just a handful of tokens"]}
+    )
+    c.append("corpus", upd)
+    c.delete_where("corpus", [("doc_id", "==", 5)])
+
+    rep = c.refresh_training_shards("sh", [1, 5])
+    c.export_training_shards(
+        "sh_full", "corpus", n_shards=6, split_max_tokens=40,
+        split_overlap=4,
+    )
+    cols = ["shard", "shard_pos", "doc_id", "text"]
+    got = (
+        c.item("sh").data.select(cols)
+        .orderBy(*cols).toPandas().reset_index(drop=True)
+    )
+    want = (
+        c.item("sh_full").data.select(cols)
+        .orderBy(*cols).toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert rep["n_shards_rebuilt"] + rep["n_shards_dropped"] >= 1
+    # old chunk ids of doc 1 are gone, the single new chunk remains
+    ids = set(got["doc_id"])
+    assert "1#0" in ids and "1#1" not in ids and "1#2" not in ids
+    assert not any(i.startswith("5#") for i in ids)
