@@ -5696,16 +5696,20 @@ class Collection:
     ) -> dict:
         """Incrementally refresh a :meth:`export_training_shards` item
         after the source corpus changed — rewrite ONLY the shards that
-        a changed document touches, never the whole export. The
-        100 TB rationale: a daily ingest touches a fraction of the
-        corpus, but the md5 sharder scatters it across shards;
-        re-exporting everything re-encodes and re-shuffles 100 TB to
-        refresh a 1 % delta. Because every stage after shard
-        assignment is SHARD-LOCAL (encode per-row; packing an
-        exclusive prefix sum within the shard — see
-        ``_export_row_plan``), a rebuilt shard is byte-identical to
-        what a full re-export would produce, so refresh ∘ change ≡
+        a changed document touches, never the whole export. Because
+        every stage after shard assignment is SHARD-LOCAL (encode
+        per-row; packing an exclusive prefix sum within the shard —
+        see ``_export_row_plan``), a rebuilt shard is byte-identical
+        to what a full re-export would produce, so refresh ∘ change ≡
         re-export (pinned by tests).
+
+        Scope the win honestly: the md5 sharder SCATTERS changed ids,
+        so expected touched shards = n·(1−(1−1/n)^c) for c changed
+        docs over n shards — refresh beats re-export when c ≲ n
+        (takedown/GDPR removals, corrections, small patch batches: one
+        deleted doc at 100k shards rewrites ONE shard instead of
+        100 TB), and degenerates to a full rebuild when a bulk ingest
+        touches every shard. BENCH_EXPORT_REFRESH measures the ratio.
 
         ``changed``: the SOURCE ids added/updated/deleted since the
         export — a one-column DataFrame, a pandas frame, or a list
@@ -5856,38 +5860,42 @@ class Collection:
         )
         self.clear_metadata_cache(export_item)
 
-        balance = (
-            self.item(export_item)
-            .data.groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(
-                F.count(F.lit(1)).alias("shards_nonempty"),
-                F.sum("n").alias("n_rows"),
-                F.min("n").alias("min_shard_rows"),
-                F.max("n").alias("max_shard_rows"),
-            )
-            .collect()[0]
-        )
+        # balance restamp from parquet FOOTER row counts — O(files)
+        # metadata reads, never a data scan (a refresh must not pay an
+        # export-sized job to update four counters)
+        import pyarrow.parquet as pq
+
+        item_path = self._item_path(export_item)
+        man = utils.read_manifest(item_path) or {}
+        per_shard: dict[str, int] = {}
+        for rel in man.get("files") or []:
+            d = rel.split("/")[0]
+            with self.fs.open_read(item_path / rel) as fh:
+                per_shard[d] = per_shard.get(d, 0) + int(
+                    pq.ParquetFile(fh).metadata.num_rows
+                )
+        sizes = [n for n in per_shard.values() if n]
+        n_rows = sum(sizes)
 
         def stamp(meta: dict) -> dict:
             m = dict(meta.get("_training_export") or {})
             m.update(
-                n_rows=int(balance["n_rows"] or 0),
-                shards_nonempty=int(balance["shards_nonempty"] or 0),
-                min_shard_rows=int(balance["min_shard_rows"] or 0),
-                max_shard_rows=int(balance["max_shard_rows"] or 0),
+                n_rows=int(n_rows),
+                shards_nonempty=len(sizes),
+                min_shard_rows=int(min(sizes)) if sizes else 0,
+                max_shard_rows=int(max(sizes)) if sizes else 0,
                 n_refreshes=int(m.get("n_refreshes") or 0) + 1,
             )
             meta["_training_export"] = m
             return meta
 
-        utils.update_metadata_cas(self._item_path(export_item), stamp)
+        utils.update_metadata_cas(item_path, stamp)
         self.clear_metadata_cache(export_item)
         return {
             "n_shards_rebuilt": len(with_rows & set(affected)),
             "n_shards_dropped": len(drop),
             "shards": affected,
-            "n_rows": int(balance["n_rows"] or 0),
+            "n_rows": int(n_rows),
         }
 
     def export_jsonl(

@@ -1,0 +1,143 @@
+"""Incremental shard-refresh scale evidence: refresh cost vs delta size.
+
+`Collection.refresh_training_shards` rewrites only the shards a
+changed document touches. The md5 sharder scatters changed ids, so the
+expected touched-shard count is n·(1−(1−1/n)^c) for c changed docs —
+the refresh wins when c ≲ n_shards (takedowns, corrections, small
+patches) and degenerates to a full rebuild under bulk change. This
+tool measures both regimes directly on the sf0.1 documents table with
+encode_ids=True (BPE encode is the dominant export cost, exactly the
+stage the refresh confines to affected shards):
+
+* small delta (3 changed docs over 64 shards → ≤3 shards rebuilt)
+* bulk delta (500 changed docs → nearly every shard touched)
+
+each timed against a full re-export of the same mutated corpus, with
+equality of the refreshed item vs the re-export asserted (hash of
+every row) so the speedup is never bought with drift.
+
+Writes BENCH_EXPORT_REFRESH.json at the repo root.
+Usage: python tools/export_refresh_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+    from pystore_spark.session import get_spark
+    from pystore_spark.sources import load_table
+
+    spark = get_spark(app_name="export_refresh_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="ps_exref_scale_")
+    old_path = cfg._path
+    out: dict = {"metric": "export_refresh_vs_full_reexport"}
+    n_shards = 64
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("scale", spark=spark).collection("c")
+        base = load_table(
+            spark, "/root/testdata/sf0.1", "documents"
+        ).select("doc_id", "text")
+        # 10× replication with shifted ids and rotated text (the
+        # scale_probe recipe): ~50k docs, so the BPE encode is a real
+        # cost instead of job-latency noise
+        copies = [
+            base.select(
+                (F.col("doc_id") + 100_000 * k).alias("doc_id"),
+                F.concat(F.lit(f"copy{k} "), F.col("text")).alias(
+                    "text"
+                ),
+            )
+            for k in range(10)
+        ]
+        docs = copies[0]
+        for c_ in copies[1:]:
+            docs = docs.unionByName(c_)
+        docs = docs.localCheckpoint(eager=True)
+        col.write("corpus", docs, index_col="doc_id")
+        results = {}
+        for label, n_changed in (("delta_3", 3), ("delta_500", 500)):
+            exp = f"exp_{label}"
+            col.export_training_shards(
+                exp, "corpus", n_shards=n_shards, pack_budget=512,
+                encode_ids=True,
+            )
+            changed = [
+                r["doc_id"]
+                for r in docs.orderBy("doc_id")
+                .limit(n_changed)
+                .select("doc_id")
+                .collect()
+            ]
+            upd = (
+                docs.filter(F.col("doc_id").isin(changed))
+                .withColumn(
+                    "text",
+                    F.concat(F.lit(f"edited for {label} "), F.col("text")),
+                )
+            )
+            col.append("corpus", upd)  # keep_last upsert on doc_id
+
+            t0 = time.time()
+            rep = col.refresh_training_shards(exp, changed)
+            refresh_sec = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            col.export_training_shards(
+                f"full_{label}", "corpus", n_shards=n_shards,
+                pack_budget=512, encode_ids=True,
+            )
+            full_sec = round(time.time() - t0, 3)
+
+            # equality gate: the speedup must not be bought with drift
+            cols = ["shard", "shard_pos", "doc_id", "text", "n_tokens",
+                    "pack_id"]
+            h = lambda it: (
+                col.item(it).data.select(
+                    F.md5(F.concat_ws("\x1f", *cols)).alias("h")
+                ).agg(F.sum(F.conv(F.substring("h", 1, 14), 16, 10)
+                            .cast("decimal(38,0)")).alias("s"))
+                .collect()[0]["s"]
+            )
+            assert h(exp) == h(f"full_{label}"), label
+            results[label] = {
+                "n_changed_docs": n_changed,
+                "n_shards_rebuilt": rep["n_shards_rebuilt"],
+                "refresh_sec": refresh_sec,
+                "full_reexport_sec": full_sec,
+                "speedup": round(full_sec / max(refresh_sec, 1e-9), 2),
+            }
+            # restore the corpus for the next regime (re-edit is fine:
+            # each regime re-exports its own baseline first)
+        out["results"] = results
+        out["n_shards"] = n_shards
+        out["note"] = (
+            "expected touched shards = n*(1-(1-1/n)^c); small deltas "
+            "rebuild c shards, bulk deltas degenerate to full rebuild"
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+    Path(__file__).resolve().parent.parent.joinpath(
+        "BENCH_EXPORT_REFRESH.json"
+    ).write_text(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
