@@ -4252,6 +4252,106 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_refresh_probe",
+    # storage-layout-blind oracle: the refreshed export must equal the
+    # md5-shard assignment of the EXPECTED final corpus (initial minus
+    # deletions, updates applied, additions in) — same hash recipe as
+    # shard_manifest / functions/sampling.assign_shards
+    sql="""
+    WITH cur AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 2 THEN 'edited ' || text
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 10 != 4)
+    SELECT doc_id,
+      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+        AS BIGINT) % 16 AS shard,
+      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+        AS BIGINT) AS shard_pos,
+      md5(text) AS text_md5
+    FROM cur
+    """,
+    tags=("storage", "export", "incremental"),
+)
+def shard_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental shard refresh through REAL storage: export a
+    corpus, then append / upsert / delete documents and refresh only
+    the affected shards (Collection.refresh_training_shards). The
+    oracle is storage-layout-blind — the refreshed export must equal
+    the md5-shard assignment of the expected final corpus — and the
+    probe additionally asserts the partition-scoped commit's contract
+    in-place: shards no changed doc touches keep their EXACT manifest
+    files."""
+    import shutil
+    import tempfile
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+    from pystore_spark import utils as U
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    initial = doc.filter(F.col("doc_id") % 10 != 1)
+    added = doc.filter(F.col("doc_id") % 10 == 1)
+    updated = doc.filter(F.col("doc_id") % 10 == 2).withColumn(
+        "text", F.concat(F.lit("edited "), F.col("text"))
+    )
+    changed = sorted(
+        r["doc_id"]
+        for r in doc.filter(
+            (F.col("doc_id") % 10).isin(1, 2, 4)
+        ).select("doc_id").collect()
+    )
+    deleted = [i for i in changed if i % 10 == 4]
+    tmp = tempfile.mkdtemp(prefix="ps_shref_probe_")
+    old_path = cfg._path
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("shref_store", spark=spark).collection("c")
+        col.write("corpus", initial, index_col="doc_id")
+        col.export_training_shards("exp", "corpus", n_shards=16)
+        man0 = U.read_manifest(col._item_path("exp"))
+        col.append("corpus", added)
+        col.append("corpus", updated)  # keep_last upsert on doc_id
+        col.delete_where("corpus", [("doc_id", "in", deleted)])
+        rep = col.refresh_training_shards("exp", changed)
+        man1 = U.read_manifest(col._item_path("exp"))
+        dirs0: dict = {}
+        for f in man0["files"]:
+            dirs0.setdefault(f.split("/")[0], set()).add(f)
+        dirs1: dict = {}
+        for f in man1["files"]:
+            dirs1.setdefault(f.split("/")[0], set()).add(f)
+        touched = {f"shard={s}" for s in rep["shards"]}
+        for d, fl in dirs0.items():
+            if d not in touched:
+                assert dirs1.get(d) == fl, (
+                    f"untouched {d} was rewritten by the refresh"
+                )
+        rows = sorted(
+            (
+                int(r["doc_id"]), int(r["shard"]),
+                int(r["shard_pos"]), r["text_md5"],
+            )
+            for r in col.item("exp")
+            .data.select(
+                "doc_id", "shard", "shard_pos",
+                F.md5("text").alias("text_md5"),
+            )
+            .collect()
+        )
+    finally:
+        cfg._path = old_path
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, shard bigint, shard_pos bigint, "
+        "text_md5 string",
+    )
+
+
+@register(
     "mixture_plan",
     # temperature-scaled source mixing (alpha = 0.5, 2-epoch token
     # budget); tmass rounds to 6 and totals as DECIMAL so the float
@@ -5960,6 +6060,13 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # distance (family sibling in-window: embedding_quantization_audit;
     # ivf_kmeans_index pins the trainer itself in the tail)
     "ivf_staleness_stats",
+    # round-10 tail addition: incremental shard refresh through real
+    # storage — append/upsert/delete then refresh only the affected
+    # shards; oracle = md5-shard assignment of the expected final
+    # corpus; untouched shards' manifest files asserted unchanged
+    # in-probe (family siblings in-window: shard_manifest's hash
+    # recipe via pack/shard queries, the incremental index probes)
+    "shard_refresh_probe",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
