@@ -1340,6 +1340,7 @@ class Collection:
         item: str,
         filters: Sequence,
         repair_indexes: bool = False,
+        refresh_exports: bool = False,
         mode: str = "rewrite",
     ) -> dict:
         """Row-level DELETE: remove the rows matching the tuple-DNF
@@ -1364,7 +1365,14 @@ class Collection:
         covers this item is repaired (O(drift) tier rewrites, see
         :meth:`repair_index`), so a GDPR-style removal immediately
         stops the index dropping new docs against the removed
-        content; results land under ``index_repairs``. The flag stays
+        content; results land under ``index_repairs``.
+        ``refresh_exports=True`` extends the same takedown discipline
+        to downstream TRAINING EXPORTS (:meth:`exports_of`): the
+        matching ids are captured before the rows vanish and each
+        export rebuilds only its affected shards
+        (:meth:`refresh_training_shards`) — a GDPR removal reaches the
+        shards a trainer actually reads, not just the source item;
+        results land under ``export_refreshes``. The flags stay
         opt-in because repair rewrites index tiers and must be
         serialized with concurrent appenders (the same contract as
         calling :meth:`repair_index` yourself). Rollups still refresh
@@ -1411,6 +1419,22 @@ class Collection:
                 "delete_item to drop the whole item"
             )
         pred = F.coalesce(raw_pred, F.lit(False))
+        # takedown completeness: capture the matching ids BEFORE the
+        # rows vanish, one frame per export id column (distinct +
+        # materialized — the refresh anti-joins it, never collects it)
+        changed_ids: dict[str, DataFrame] = {}
+        if refresh_exports:
+            for name in self.exports_of(item):
+                em = (self.get_item_metadata(name) or {}).get(
+                    "_training_export"
+                ) or {}
+                idc = em.get("id_col")
+                if idc and idc not in changed_ids:
+                    changed_ids[idc] = (
+                        self.item(item, filters=filters, columns=[idc])
+                        .data.distinct()
+                        .localCheckpoint(eager=True)
+                    )
         last_exc: Exception | None = None
         out: dict | None = None
         for attempt in range(3):
@@ -1426,6 +1450,10 @@ class Collection:
             raise last_exc
         if repair_indexes and out.get("n_deleted"):
             out["index_repairs"] = self._repair_indexes_of(item)
+        if refresh_exports and out.get("n_deleted"):
+            out["export_refreshes"] = self._refresh_exports_of(
+                item, changed_ids
+            )
         return out
 
     def update_where(
@@ -1434,6 +1462,7 @@ class Collection:
         filters: Sequence,
         set: Mapping[str, Any],
         repair_indexes: bool = False,
+        refresh_exports: bool = False,
         mode: str = "rewrite",
     ) -> dict:
         """Row-level UPDATE: assign ``set``'s ``{column: expression}``
@@ -1467,8 +1496,9 @@ class Collection:
 
         Derived state (matviews, rollups, dedup/line/vector indexes)
         goes stale either way — ``repair_indexes=True`` repairs
-        covering indexes after the commit, as in
-        :meth:`delete_where`. No reference counterpart: the
+        covering indexes after the commit, and
+        ``refresh_exports=True`` rebuilds the affected shards of every
+        downstream training export, as in :meth:`delete_where`. No reference counterpart: the
         reference engine's only row mutation is whole-item overwrite
         (pystore/collection.py write with overwrite=True)."""
         from pystore_spark import bucketed as _bk
@@ -1521,6 +1551,22 @@ class Collection:
             )
             for c, e in assignments.items()
         }
+        # capture matching ids pre-update for export refresh (ids are
+        # stable — index/bucket columns are not assignable, and a
+        # caller updating an export's id column must refresh manually)
+        changed_ids: dict[str, DataFrame] = {}
+        if refresh_exports:
+            for name in self.exports_of(item):
+                em = (self.get_item_metadata(name) or {}).get(
+                    "_training_export"
+                ) or {}
+                idc = em.get("id_col")
+                if idc and idc not in changed_ids:
+                    changed_ids[idc] = (
+                        self.item(item, filters=filters, columns=[idc])
+                        .data.distinct()
+                        .localCheckpoint(eager=True)
+                    )
         last_exc: Exception | None = None
         out: dict | None = None
         for attempt in range(3):
@@ -1540,6 +1586,10 @@ class Collection:
             raise last_exc
         if repair_indexes and out.get("n_updated"):
             out["index_repairs"] = self._repair_indexes_of(item)
+        if refresh_exports and out.get("n_updated"):
+            out["export_refreshes"] = self._refresh_exports_of(
+                item, changed_ids
+            )
         return out
 
     def _update_where_dv_once(
@@ -3707,6 +3757,44 @@ class Collection:
         carry = self.item(rollup_item).data.filter(~cond)
         _rewrite(carry.unionByName(recomputed))
         return {"mode": "incremental", "changed_buckets": len(changed)}
+
+    def exports_of(self, item: str) -> list[str]:
+        """Training-shard exports built from ``item``
+        (``_training_export.source_item`` sidecar scan) — the
+        downstream artifacts a takedown must reach."""
+        out = []
+        for name in self.items:
+            em = (self.get_item_metadata(name) or {}).get(
+                "_training_export"
+            )
+            if em and em.get("source_item") == item:
+                out.append(name)
+        return out
+
+    def _refresh_exports_of(
+        self, item: str, changed_ids: dict[str, "DataFrame"]
+    ) -> dict[str, dict]:
+        """Refresh every export of ``item`` with the pre-captured
+        changed-id frames (keyed by id column — delete/update capture
+        them BEFORE the rows vanish). Exports the automatic path can't
+        serve (custom token columns — a Column can't persist) report
+        a reason instead of failing the DML that triggered them."""
+        results: dict[str, dict] = {}
+        for name in self.exports_of(item):
+            em = (self.get_item_metadata(name) or {}).get(
+                "_training_export"
+            ) or {}
+            ch = changed_ids.get(em.get("id_col"))
+            try:
+                if ch is None:
+                    raise StorageError(
+                        f"no changed-id capture for id_col "
+                        f"{em.get('id_col')!r}"
+                    )
+                results[name] = self.refresh_training_shards(name, ch)
+            except Exception as exc:
+                results[name] = {"error": str(exc)}
+        return results
 
     def rollups_of(self, item: str) -> list[str]:
         """Rollup items materialized from ``item`` (sidecar scan)."""

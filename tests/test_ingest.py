@@ -621,3 +621,62 @@ def test_refresh_training_shards_split_chunks_and_empty_shard(
     ids = set(got["doc_id"])
     assert "1#0" in ids and "1#1" not in ids and "1#2" not in ids
     assert not any(i.startswith("5#") for i in ids)
+
+
+def test_delete_where_refresh_exports_reaches_training_shards(
+    test_collection, spark
+):
+    """GDPR completeness: a takedown must reach the shards a trainer
+    actually reads, not just the source item. delete_where(
+    refresh_exports=True) captures the matching ids before the rows
+    vanish and rebuilds only their shards in every export of the item;
+    update_where gets the same flag. Exports the automatic path can't
+    serve report a reason instead of failing the DML."""
+    c = test_collection
+    c.write("corpus", _docs(range(30)), index_col="doc_id")
+    c.export_training_shards("exp_a", "corpus", n_shards=8)
+    c.export_training_shards(
+        "exp_b", "corpus", n_shards=4, pack_budget=64
+    )
+    assert sorted(c.exports_of("corpus")) == ["exp_a", "exp_b"]
+
+    rep = c.delete_where(
+        "corpus", [("doc_id", "in", [4, 9])], refresh_exports=True
+    )
+    assert rep["n_deleted"] == 2
+    er = rep["export_refreshes"]
+    assert set(er) == {"exp_a", "exp_b"}
+    for name in ("exp_a", "exp_b"):
+        assert "error" not in er[name]
+        ids = {
+            r["doc_id"]
+            for r in c.item(name).data.select("doc_id").collect()
+        }
+        assert ids == set(range(30)) - {4, 9}
+
+    # update flows through too: the exported text follows the source
+    upd = c.update_where(
+        "corpus", [("doc_id", "==", 5)],
+        {"text": F.lit("redacted text five")},
+        refresh_exports=True,
+    )
+    assert upd["n_updated"] == 1 and set(upd["export_refreshes"]) == {
+        "exp_a", "exp_b"
+    }
+    (row,) = (
+        c.item("exp_a").data.filter(F.col("doc_id") == 5)
+        .select("text").collect()
+    )
+    assert row["text"] == "redacted text five"
+    # equivalence with a fresh export of the mutated corpus
+    c.export_training_shards("exp_ref", "corpus", n_shards=8)
+    cols = ["shard", "shard_pos", "doc_id", "text"]
+    got = (
+        c.item("exp_a").data.select(cols).orderBy(*cols)
+        .toPandas().reset_index(drop=True)
+    )
+    want = (
+        c.item("exp_ref").data.select(cols).orderBy(*cols)
+        .toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
