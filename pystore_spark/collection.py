@@ -3241,6 +3241,7 @@ class Collection:
             ("_matview", "matview"),
             ("_rollup", "rollup"),
             ("_bucket_spec", "bucketed"),
+            ("_training_export", "training_export"),
         ):
             if meta.get(key):
                 roles[role] = True
@@ -3268,6 +3269,7 @@ class Collection:
             "roles": roles,
             "matviews_of": self.matviews_of(item),
             "rollups_of": self.rollups_of(item),
+            "exports_of": self.exports_of(item),
             "n_versions_readable": len(
                 [h for h in self.history(item) if h["readable"]]
             ),

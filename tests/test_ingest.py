@@ -680,3 +680,14 @@ def test_delete_where_refresh_exports_reaches_training_shards(
         .toPandas().reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_describe_reports_export_role_and_lineage(
+    test_collection, spark
+):
+    c = test_collection
+    c.write("corpus", _docs(range(10)), index_col="doc_id")
+    c.export_training_shards("expd", "corpus", n_shards=2)
+    d = c.describe("expd")
+    assert d["roles"].get("training_export")
+    assert c.describe("corpus")["exports_of"] == ["expd"]
