@@ -691,3 +691,31 @@ def test_describe_reports_export_role_and_lineage(
     d = c.describe("expd")
     assert d["roles"].get("training_export")
     assert c.describe("corpus")["exports_of"] == ["expd"]
+
+
+def test_refresh_staled_shard_files_are_gc_able(
+    test_collection, spark, monkeypatch
+):
+    """The partition-scoped refresh moves replaced shard files to the
+    manifest's stale map; the standard retention GC must reclaim them
+    (hive shard dirs are just parent dirs to the manifest protocol)."""
+    from pystore_spark import config
+    from pystore_spark import utils as U
+
+    c = test_collection
+    c.write("corpus", _docs(range(20)), index_col="doc_id")
+    c.export_training_shards("expg", "corpus", n_shards=4)
+    c.append("corpus", _docs(range(20, 23)))
+    rep = c.refresh_training_shards("expg", [20, 21, 22])
+    man = U.read_manifest(c._item_path("expg"))
+    n_stale = len(man.get("stale") or {})
+    # ≥1: every rebuilt shard that HAD files stales them (an affected
+    # shard can have been empty pre-refresh, so not necessarily ≥
+    # n_shards_rebuilt)
+    assert n_stale >= 1 and rep["n_shards_rebuilt"] >= 1
+    monkeypatch.setattr(config, "STALE_RETENTION_SECONDS", 0.0)
+    removed = c.recover_item("expg")
+    assert removed >= n_stale
+    man2 = U.read_manifest(c._item_path("expg"))
+    assert not man2.get("stale")
+    assert c.item("expg").data.count() == 23  # live set intact
