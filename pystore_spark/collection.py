@@ -5988,6 +5988,77 @@ class Collection:
             "n_rows": int(n_rows),
         }
 
+    def verify_export(
+        self, export_item: str, source: Any = None
+    ) -> dict:
+        """fsck between a training-shard export and its source corpus
+        — the export-side sibling of :meth:`verify_index`: documents
+        present in the source but missing from the export (a trainer
+        silently under-samples them) and export rows whose document no
+        longer exists in the source (deleted/taken-down content still
+        shipping to trainers — the drift a GDPR audit looks for).
+        Id-space only (column-pruned scans, two anti-joins, no text
+        read); repair is :meth:`refresh_training_shards` with the
+        reported sample — or any changed-id set you trust more."""
+        em = (self.get_item_metadata(export_item) or {}).get(
+            "_training_export"
+        )
+        if not em:
+            raise StorageError(
+                f"item {export_item!r} is not a training-shard export"
+            )
+        src = source if source is not None else em.get("source_item")
+        if src is None:
+            raise ValueError(
+                "export was built from a DataFrame; pass source="
+            )
+        id_col = em["id_col"]
+        df = self.item(src).data if isinstance(src, str) else src
+        exp = self.item(export_item).data
+        split = bool(em.get("split_max_tokens"))
+        if split:
+            # chunk rows key on the ESCAPED source id persisted at
+            # export time; samples are reported in that form (feed a
+            # refresh from your own changed-id records, not these)
+            if "_src_id" not in exp.columns:
+                raise StorageError(
+                    f"split export {export_item!r} predates _src_id — "
+                    "re-export once to enable the audit"
+                )
+            exp_ids = exp.select(
+                F.col("_src_id").alias("_k")
+            ).distinct()
+            src_ids = df.select(
+                self._escape_export_id(id_col).alias("_k")
+            ).distinct()
+        else:
+            exp_ids = exp.select(F.col(id_col).alias("_k")).distinct()
+            src_ids = df.select(F.col(id_col).alias("_k")).distinct()
+        exp_ids = exp_ids.localCheckpoint(eager=True)
+        src_ids = src_ids.localCheckpoint(eager=True)
+        missing = src_ids.join(exp_ids, "_k", "left_anti")
+        stale = exp_ids.join(src_ids, "_k", "left_anti")
+        n_missing, n_stale = missing.count(), stale.count()
+        sample = 100
+        return {
+            "ok": not (n_missing or n_stale),
+            "n_source_docs": src_ids.count(),
+            "n_exported_docs": exp_ids.count(),
+            "n_missing": n_missing,
+            "n_stale": n_stale,
+            # capped samples (line_index.py discipline); for UNSPLIT
+            # exports these are native ids — hand them straight to
+            # refresh_training_shards
+            "missing_sample": sorted(
+                r["_k"]
+                for r in missing.limit(sample).collect()
+            ),
+            "stale_sample": sorted(
+                r["_k"] for r in stale.limit(sample).collect()
+            ),
+            "samples_escaped": split,
+        }
+
     def export_jsonl(
         self,
         source: Any,

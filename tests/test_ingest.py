@@ -719,3 +719,34 @@ def test_refresh_staled_shard_files_are_gc_able(
     man2 = U.read_manifest(c._item_path("expg"))
     assert not man2.get("stale")
     assert c.item("expg").data.count() == 23  # live set intact
+
+
+def test_verify_export_flags_drift_and_refresh_repairs(
+    test_collection, spark
+):
+    """verify_export: the export-side fsck (sibling of verify_index).
+    Out-of-band source changes leave the export silently stale — the
+    audit reports missing docs (under-sampled by trainers) and stale
+    docs (taken-down content still shipping); refresh with the
+    missing/stale ids repairs, audit goes green."""
+    c = test_collection
+    c.write("corpus", _docs(range(20)), index_col="doc_id")
+    c.export_training_shards("expv", "corpus", n_shards=4)
+    assert c.verify_export("expv")["ok"]
+
+    # out-of-band drift: docs added and deleted WITHOUT refresh
+    c.append("corpus", _docs([50, 51]))
+    c.delete_where("corpus", [("doc_id", "==", 3)])
+    audit = c.verify_export("expv")
+    assert not audit["ok"]
+    assert audit["n_missing"] == 2 and audit["n_stale"] == 1
+    assert audit["missing_sample"] == [50, 51]
+    assert audit["stale_sample"] == [3]
+    assert audit["samples_escaped"] is False
+
+    # the audit's samples drive the repair directly (unsplit export)
+    c.refresh_training_shards(
+        "expv", audit["missing_sample"] + audit["stale_sample"]
+    )
+    after = c.verify_export("expv")
+    assert after["ok"] and after["n_exported_docs"] == 21
