@@ -75,6 +75,33 @@ VECTOR_STALENESS_SKEW_RATIO = float(
     os.environ.get("PYSTORE_SPARK_VECTOR_STALENESS_SKEW_RATIO", 4.0)
 )
 
+# Incremental shard-refresh source pruning (Collection.
+# refresh_training_shards): the rebuild restricts the full-width
+# source read to affected-shard rows via a key set computed from
+# COLUMN-PRUNED scans (id column only / the export's partition-pruned
+# (_src_id, shard) columns). Key sets up to ISIN_CAP become a
+# PUSHABLE In(id) predicate — parquet row-group stats / dictionaries
+# / blooms skip the text pages outright (the takedown case: a one-doc
+# refresh stops reading the whole corpus text). Up to BROADCAST_CAP
+# they become a broadcast left-semi join (ids-only build side; the
+# full-width source never shuffles). Beyond that — or when at least
+# FULLSCAN_FRACTION of the shards are affected — the refresh is
+# degenerate by the scatter math (n·(1−(1−1/n)^c)) and takes the
+# plain full-scan plan a bulk rebuild wants anyway.
+EXPORT_PRUNE_ISIN_CAP = int(
+    os.environ.get("PYSTORE_SPARK_EXPORT_PRUNE_ISIN_CAP", 4096)
+)
+EXPORT_PRUNE_BROADCAST_CAP = int(
+    os.environ.get(
+        "PYSTORE_SPARK_EXPORT_PRUNE_BROADCAST_CAP", 2_000_000
+    )
+)
+EXPORT_PRUNE_FULLSCAN_FRACTION = float(
+    os.environ.get(
+        "PYSTORE_SPARK_EXPORT_PRUNE_FULLSCAN_FRACTION", 0.5
+    )
+)
+
 _path: str | None = None
 
 
