@@ -438,11 +438,20 @@ def merge_arrow(
     input order (or ``order_col``) is the within-incoming tiebreaker,
     keep_last collapses pre-existing duplicate keys, keep_first
     preserves them."""
+    from pystore_spark.merge import INPUT_ORD_COL
+
     ex, inc = _align_tables(ex, inc)
     if order_col is not None and order_col in inc.column_names:
         inc = inc.take(
             pc.sort_indices(inc, sort_keys=[(order_col, "ascending")])
         )
+        if order_col == INPUT_ORD_COL:
+            # the reserved stamped ordinal (merge.INPUT_ORD_COL) is
+            # plumbing — once incoming is sorted by it, drop it so it
+            # never reaches storage (mirrors merge_append._strip)
+            inc = inc.drop_columns([INPUT_ORD_COL])
+            if INPUT_ORD_COL in ex.column_names:
+                ex = ex.drop_columns([INPUT_ORD_COL])
     if strategy == "keep_all":
         return pa.concat_tables([ex, inc], promote_options="permissive")
 
@@ -491,6 +500,12 @@ def merge_pandas(
     incoming = incoming.reindex(columns=cols)
     if order_col is not None and order_col in incoming.columns:
         incoming = incoming.sort_values(order_col, kind="stable")
+        from pystore_spark.merge import INPUT_ORD_COL
+
+        if order_col == INPUT_ORD_COL:
+            # reserved stamped ordinal: plumbing, never stored
+            existing = existing.drop(columns=[INPUT_ORD_COL])
+            incoming = incoming.drop(columns=[INPUT_ORD_COL])
 
     if strategy == "keep_all":
         return concat_live([existing, incoming])
@@ -577,8 +592,15 @@ def try_append(
     data_cols = [c for c in dataset.schema.names if c != PARTITION_COL]
 
     # schema compatibility — same check & message as the Spark path
+    # (the reserved stamped ordinal is merge plumbing, not schema)
+    from pystore_spark.merge import INPUT_ORD_COL
+
     missing = [c for c in data_cols if c not in inc_tbl.column_names]
-    extra = [c for c in inc_tbl.column_names if c not in data_cols]
+    extra = [
+        c
+        for c in inc_tbl.column_names
+        if c not in data_cols and c != INPUT_ORD_COL
+    ]
     if validate_schema and (missing or extra):
         raise ValidationError(
             "schema mismatch on append: "

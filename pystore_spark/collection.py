@@ -1021,8 +1021,16 @@ class Collection:
             evo["version"] = int(evo.get("version", 1)) + 1
             sidecar["_schema_evolution"] = evo
         elif validate_schema:
+            from pystore_spark.merge import INPUT_ORD_COL
+
             missing = [c for c in ex_cols if c not in incoming.columns]
-            extra = [c for c in incoming.columns if c not in ex_cols]
+            extra = [
+                c
+                for c in incoming.columns
+                if c not in ex_cols and c != INPUT_ORD_COL
+                # the reserved stamped ordinal is merge plumbing (the
+                # dedup-ingest determinism stamp) — merge strips it
+            ]
             if missing or extra:
                 raise ValidationError(
                     "schema mismatch on append: "
@@ -4042,11 +4050,20 @@ class Collection:
         # build-time quantization quality + cell balance (one
         # map-side-combinable agg; n_cells rows to the driver) — the
         # baseline the staleness audit compares against as appends
-        # accumulate against PINNED centroids
-        build_stats = S.ivf_cell_stats(assigned)
-        assigned = assigned.drop("_cdist")
+        # accumulate against PINNED centroids. Quantized indexes
+        # measure it AFTER the int8 roundtrip, because that is the
+        # signal the audit re-measures (ADVICE r10: exact-float build
+        # stats bake quantization noise into every dist_ratio).
         if quantize:
-            assigned = S.quantized_select(assigned, vec_col)
+            assigned = S.quantized_select(
+                assigned.drop("_cdist"), vec_col
+            )
+            build_stats = S.quantized_cell_stats(
+                assigned, vec_col, cents
+            )
+        else:
+            build_stats = S.ivf_cell_stats(assigned)
+            assigned = assigned.drop("_cdist")
         self.write(
             index_item,
             assigned,
@@ -4261,18 +4278,35 @@ class Collection:
                 it_meta["vec_col"], cents, with_dist=True,
             )
         )
-        dist_ratio = now["mean_dist"] / max(built["mean_dist"], 1e-12)
+        # a build mean_dist of ~0 (n_vectors <= n_cells, or perfectly
+        # clustered data) makes any ratio explode through a tiny
+        # denominator floor — treat it as NOT COMPARABLE and decide on
+        # skew alone instead of flagging a spurious retrain (ADVICE
+        # r10); the report carries dist_comparable so maintain logs
+        # show why the dist criterion was skipped
+        dist_comparable = (
+            built["mean_dist"] > config.VECTOR_STALENESS_DIST_EPS
+        )
+        dist_ratio = (
+            now["mean_dist"] / built["mean_dist"]
+            if dist_comparable
+            else None
+        )
         skew_ratio = now["cell_skew"] / max(built["cell_skew"], 1.0)
         return {
             "available": True,
             "stale": (
-                dist_ratio > config.VECTOR_STALENESS_DIST_RATIO
+                (
+                    dist_comparable
+                    and dist_ratio > config.VECTOR_STALENESS_DIST_RATIO
+                )
                 or skew_ratio > config.VECTOR_STALENESS_SKEW_RATIO
             ),
             "n_vectors": now["n_vectors"],
             "growth": now["n_vectors"] / max(built["n_vectors"], 1),
             "mean_dist": now["mean_dist"],
             "build_mean_dist": built["mean_dist"],
+            "dist_comparable": dist_comparable,
             "mean_dist_ratio": dist_ratio,
             "cell_skew": now["cell_skew"],
             "build_cell_skew": built["cell_skew"],
@@ -4325,10 +4359,16 @@ class Collection:
             n_cells=int(it_meta["n_cells"]), n_iters=iters,
         )
         assigned = S._assign_cells(cur, vec_col, cents, with_dist=True)
-        stats = S.ivf_cell_stats(assigned)
-        assigned = assigned.drop("_cdist")
         if it_meta.get("quantized"):
-            assigned = S.quantized_select(assigned, vec_col)
+            # stats in the quantized domain — the staleness audit's
+            # own signal (see build_vector_index / ADVICE r10)
+            assigned = S.quantized_select(
+                assigned.drop("_cdist"), vec_col
+            )
+            stats = S.quantized_cell_stats(assigned, vec_col, cents)
+        else:
+            stats = S.ivf_cell_stats(assigned)
+            assigned = assigned.drop("_cdist")
         new_meta = dict(it_meta)
         new_meta.update(
             centroids=cents,

@@ -74,6 +74,13 @@ VECTOR_STALENESS_DIST_RATIO = float(
 VECTOR_STALENESS_SKEW_RATIO = float(
     os.environ.get("PYSTORE_SPARK_VECTOR_STALENESS_SKEW_RATIO", 4.0)
 )
+# A build-time mean distance at or below this is "not comparable":
+# ratios against a ~0 denominator (n_vectors <= n_cells, perfectly
+# clustered data) explode without meaning anything — the staleness
+# audit then decides on cell skew alone (reported dist_comparable).
+VECTOR_STALENESS_DIST_EPS = float(
+    os.environ.get("PYSTORE_SPARK_VECTOR_STALENESS_DIST_EPS", 1e-9)
+)
 
 # Incremental shard-refresh source pruning (Collection.
 # refresh_training_shards): the rebuild restricts the full-width

@@ -870,6 +870,32 @@ def append_with_dedup(
                 )
             else:  # Spark DataFrame: drop set stays distributed
                 kept_data = _drop_anti(data, id_col, drop_df, n_dropped)
+                if (
+                    n_dropped
+                    and drop_df is not None
+                    and "order_col" not in append_kwargs
+                    and not (
+                        create_missing and not col.item_exists(item)
+                    )
+                ):
+                    # the anti-join reshuffles the batch, so keep-last
+                    # winners would depend on task scheduling — stamp
+                    # a pre-join input-order ordinal and rank by it
+                    # (merge strips it; round-10 verdict #4). The
+                    # ingest knows its own batch: no caller action,
+                    # no nondeterminism warning.
+                    from pystore_spark.merge import INPUT_ORD_COL
+
+                    kept_data = _drop_anti(
+                        data.withColumn(
+                            INPUT_ORD_COL,
+                            F.monotonically_increasing_id(),
+                        ),
+                        id_col, drop_df, n_dropped,
+                    )
+                    append_kwargs = {
+                        **append_kwargs, "order_col": INPUT_ORD_COL,
+                    }
             if create_missing and not col.item_exists(item):
                 # streaming first batch: the target corpus doesn't
                 # exist yet — create it (mirrors streaming.merge_sink's

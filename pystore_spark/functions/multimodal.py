@@ -164,10 +164,19 @@ def _real_decode(payload: bytes) -> dict:
         for typ, lo, hi in boxes(0, n_bytes):
             if typ != b"moov":
                 continue
+            # size guards are VERSION-AWARE (ADVICE r10): v1 boxes
+            # carry 64-bit times, so mvhd v1 reads up to ilo+32 and
+            # tkhd v1 up to tlo+96 — a truncated v1 box must fall
+            # through to the documented malformed-ValueError path,
+            # never raise struct.error from an executor
             for ityp, ilo, ihi in boxes(lo, hi):
                 if ityp == b"mvhd" and ihi - ilo >= 20:
                     ver = payload[ilo]
                     if ver == 1:
+                        if ihi - ilo < 32:
+                            raise ValueError(
+                                "malformed MP4: truncated mvhd v1 box"
+                            )
                         (ts,) = struct.unpack(
                             ">I", payload[ilo + 20:ilo + 24]
                         )
@@ -183,6 +192,11 @@ def _real_decode(payload: bytes) -> dict:
                     for ttyp, tlo, thi in boxes(ilo, ihi):
                         if ttyp == b"tkhd" and thi - tlo >= 84:
                             ver = payload[tlo]
+                            if ver == 1 and thi - tlo < 96:
+                                raise ValueError(
+                                    "malformed MP4: truncated tkhd "
+                                    "v1 box"
+                                )
                             off = tlo + (88 if ver == 1 else 76)
                             w16, h16 = struct.unpack(
                                 ">II", payload[off:off + 8]

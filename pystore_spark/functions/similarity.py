@@ -628,3 +628,24 @@ def quantized_select(df: DataFrame, vec_col: str) -> DataFrame:
         q.alias("_q8"),
         scale.alias("_q8_scale"),
     )
+
+
+def quantized_cell_stats(
+    qdf: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> dict:
+    """Build-domain cell stats for a QUANTIZED index: dequantize the
+    int8 codes and re-run nearest-centroid assignment, so the stored
+    ``build_stats`` measure the SAME signal the staleness audit
+    re-measures (``vector_index_staleness`` reads dequantized
+    vectors). Computing build stats on the exact float vectors instead
+    would bake a quantization-noise bias into every ``dist_ratio`` —
+    tightly clustered corpora would flag stale with zero drift and
+    trigger a spurious O(index) retrain on the first maintain()."""
+    rt = qdf.withColumn(
+        vec_col, dequantize_int8(F.col("_q8"), F.col("_q8_scale"))
+    )
+    return ivf_cell_stats(
+        _assign_cells(
+            rt.select(vec_col), vec_col, centroids, with_dist=True
+        )
+    )

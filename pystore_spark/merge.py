@@ -42,6 +42,16 @@ from pystore_spark.exceptions import DataIntegrityError
 SRC_COL = "_src"
 ORD_COL = "_ord"
 
+#: Reserved name for a caller-stamped input-order ordinal. Ingest
+#: paths that reshuffle their batch before appending (the dedup-index
+#: anti-join against the drop set) stamp this column on the ORIGINAL
+#: frame — while its row order is still the meaningful "input order"
+#: — and pass ``order_col=INPUT_ORD_COL``: keep-first/keep-last
+#: winners are then pinned to the pre-shuffle order instead of task
+#: scheduling, and the merge strips the column after ranking so it
+#: never reaches storage (round-10 verdict #4).
+INPUT_ORD_COL = "_ord_input"
+
 STRATEGIES = ("keep_last", "keep_first", "keep_all", "error")
 
 # logical operators whose output row order is a shuffle artifact —
@@ -116,7 +126,12 @@ def dedup_within(
     if order_col is not None:
         ordered = df
         ord_expr = F.col(order_col)
-        drop_cols = ["_rn"]
+        # the reserved stamped ordinal is plumbing, not data
+        drop_cols = (
+            ["_rn", INPUT_ORD_COL]
+            if order_col == INPUT_ORD_COL
+            else ["_rn"]
+        )
     else:
         _warn_if_order_unreliable(df, "dedup_within")
         ordered = df.withColumn(ORD_COL, F.monotonically_increasing_id())
@@ -143,8 +158,16 @@ def merge_append(
     if strategy not in STRATEGIES:
         raise ValueError(f"duplicate_handling must be one of {STRATEGIES}")
 
+    def _strip(df: DataFrame) -> DataFrame:
+        # the reserved stamped ordinal never reaches storage
+        return (
+            df.drop(INPUT_ORD_COL)
+            if order_col == INPUT_ORD_COL
+            else df
+        )
+
     if strategy == "keep_all":
-        return _union(existing, incoming)
+        return _strip(_union(existing, incoming))
 
     if strategy == "error":
         overlap = (
@@ -157,7 +180,7 @@ def merge_append(
                 f"append would create {overlap} duplicate index entries "
                 "(duplicate_handling='error')"
             )
-        return _union(existing, incoming)
+        return _strip(_union(existing, incoming))
 
     if strategy == "keep_first":
         # existing wins: drop incoming rows whose key already exists
@@ -186,7 +209,7 @@ def merge_append(
         order_exprs.append(F.col(order_col).desc())
     order_exprs.append(F.col(ORD_COL).desc())
     w = Window.partitionBy(*keys).orderBy(*order_exprs)
-    return (
+    return _strip(
         unioned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", SRC_COL, ORD_COL)

@@ -700,3 +700,42 @@ def test_probe_returns_distributed_frame(corpus, spark):
     assert drop.columns == ["doc_id"]
     assert drop.schema["doc_id"].dataType.simpleString() == "bigint"
     assert [r["doc_id"] for r in drop.collect()] == [700]
+
+
+def test_spark_append_dedup_deterministic_no_warning(corpus, spark):
+    """A dedup-ingest append with drops puts an anti-join into the
+    append input, which used to fire merge_append's nondeterminism
+    warning and leave keep-last winners to task scheduling. The path
+    now stamps a pre-join input-order ordinal (merge.INPUT_ORD_COL)
+    and ranks by it: no warning, the LAST input occurrence wins even
+    though the merged plan contains the shuffling join, and the
+    ordinal never reaches storage."""
+    import warnings as W
+
+    c = corpus
+    stored = _docs(range(10))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [300, 301, 301],
+            "text": [
+                stored.loc[4, "text"],  # near-dup → non-empty drop set
+                "candidate one entirely novel words about engines",
+                "candidate two the final winner with novel content",
+            ],
+        }
+    )
+    inc = spark.createDataFrame(pdf)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        rep = c.append_dedup("corpus", inc, "cidx")
+    assert rep["n_dropped"] == 1 and rep["n_appended"] >= 1
+    assert not [
+        w for w in rec if "nondeterministic" in str(w.message)
+    ], [str(w.message) for w in rec]
+    rows = (
+        c.item("corpus").data.filter("doc_id = 301")
+        .select("text").collect()
+    )
+    assert len(rows) == 1
+    assert rows[0]["text"].startswith("candidate two")
+    assert "_ord_input" not in c.item("corpus").data.columns

@@ -994,3 +994,38 @@ def test_bm25_empty_corpus_returns_empty(spark):
     out = bm25_topk(empty, ["spark"])
     assert out.columns == ["doc_id", "bm25"]
     assert out.count() == 0
+
+
+def test_multimodal_truncated_v1_boxes_raise_valueerror():
+    """ADVICE r10: mvhd/tkhd version-1 boxes carry 64-bit times, so a
+    truncated v1 box must take the documented malformed-ValueError
+    path — never struct.error from inside an executor (opaque job
+    failure). filter_decodable catches Exception either way; this pins
+    the error TYPE for extract_features callers."""
+    import struct
+
+    import pytest
+
+    def box(typ, body):
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    # mvhd v1 but only 24 body bytes (needs >= 32 to read the 64-bit
+    # duration at +24..32)
+    mvhd_v1_short = box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(20))
+    with pytest.raises(ValueError, match="truncated mvhd v1"):
+        M._real_decode(ftyp + box(b"moov", mvhd_v1_short))
+
+    # valid v0 mvhd + tkhd v1 with an 84-byte body (passes the v0
+    # guard, needs >= 96 for the v1 dims at +88..96)
+    mvhd_v0 = box(
+        b"mvhd",
+        bytes(4) + bytes(8) + struct.pack(">II", 1000, 3000)
+        + bytes(80),
+    )
+    tkhd_v1_short = box(b"tkhd", bytes([1, 0, 0, 0]) + bytes(80))
+    with pytest.raises(ValueError, match="truncated tkhd v1"):
+        M._real_decode(
+            ftyp
+            + box(b"moov", mvhd_v0 + box(b"trak", tkhd_v1_short))
+        )

@@ -484,3 +484,41 @@ def test_centroid_staleness_audit_and_retrain(test_collection, spark):
     assert (not c.item_exists("vidx__delta")) or (
         c.item("vidx__delta").data.count() == 0
     )
+
+
+def test_quantized_build_stats_measure_audit_signal(
+    test_collection, emb
+):
+    """ADVICE r10: build_stats for a QUANTIZED index must be measured
+    after the int8 quantize→dequantize roundtrip — the same signal
+    vector_index_staleness re-measures — or quantization noise biases
+    every dist_ratio and a drift-free index flags stale on the first
+    maintain(). With matched domains, zero drift ⇒ ratio ≈ 1."""
+    c = test_collection
+    c.build_vector_index(
+        "q_ivf", emb, n_cells=4, n_iters=2, quantize=True,
+    )
+    st = c.vector_index_staleness("q_ivf")
+    assert st["available"] and st["dist_comparable"]
+    # no appends, no drift: the audit re-measures the build corpus —
+    # dist and skew ratios must be ~exactly 1, never biased upward
+    assert st["mean_dist_ratio"] == pytest.approx(1.0, abs=1e-6)
+    assert st["cell_skew_ratio"] == pytest.approx(1.0, abs=1e-9)
+    assert not st["stale"]
+
+
+def test_staleness_zero_build_dist_not_comparable(test_collection, emb):
+    """A build mean_dist of ~0 (n_vectors <= n_cells: every vector IS
+    a centroid) used to explode dist_ratio through the 1e-12 floor and
+    flag a spurious retrain; it now reports dist_comparable=False and
+    the stale decision falls to cell skew alone."""
+    c = test_collection
+    tiny = emb.filter("vec_id < 4")  # 4 vectors, 4 cells → dist 0
+    c.build_vector_index("tiny_ivf", tiny, n_cells=4, n_iters=2)
+    meta = c.get_item_metadata("tiny_ivf")["_vector_index"]
+    assert meta["build_stats"]["mean_dist"] <= 1e-9
+    st = c.vector_index_staleness("tiny_ivf")
+    assert st["available"]
+    assert st["dist_comparable"] is False
+    assert st["mean_dist_ratio"] is None
+    assert not st["stale"]  # no drift, and no exploding ratio
