@@ -6792,7 +6792,13 @@ class Collection:
         whose build recorded a ``source_item`` — the nightly fsck;
         drift is REPORTED under ``verify``, never auto-repaired
         (repair rewrites tiers and must be serialized with appenders
-        — run :meth:`repair_index` deliberately).
+        — run :meth:`repair_index` deliberately). Training-shard
+        exports get the same treatment: every export whose recorded
+        source still exists is audited by :meth:`verify_export`
+        (id-space anti-joins, capped samples) and reported under
+        ``verify_export`` — taken-down docs still shipping to
+        trainers surface on the nightly clock; repair is
+        :meth:`refresh_training_shards`, run deliberately.
 
         Rollup items themselves are skipped as primary targets (their
         content is derived; they are refreshed via their base item)."""
@@ -6890,6 +6896,25 @@ class Collection:
                             res["verify"] = self.verify_index(srcs, n)
                 except Exception as exc:
                     res["verify_error"] = str(exc)
+                try:
+                    em = (self.get_item_metadata(n) or {}).get(
+                        "_training_export"
+                    )
+                    if em and em.get("source_item") and self.item_exists(
+                        em["source_item"]
+                    ):
+                        # training exports get the same nightly fsck
+                        # as indexes (round-10 verdict #6): id-space
+                        # anti-joins with capped samples
+                        # (verify_export) — out-of-band source drift
+                        # (a takedown that skipped refresh_exports)
+                        # surfaces here instead of shipping to
+                        # trainers until someone audits by hand.
+                        # Report-only, like verify_index: repair is
+                        # refresh_training_shards, run deliberately.
+                        res["verify_export"] = self.verify_export(n)
+                except Exception as exc:
+                    res["verify_export_error"] = str(exc)
             if gc:
                 try:
                     res["gc_removed"] = self.recover_item(n)

@@ -5877,20 +5877,26 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # stays evidenced in-window by histogram_percentile_probe +
     # corpus_mix_report; ohlc_resample demoted, 3 green rounds —
     # resample/window family stays evidenced by gapfill_locf_daily +
-    # event_seq_applyinpandas)
-    "dv_delete_probe", "dv_update_probe",
+    # event_seq_applyinpandas). Round 11: dv_delete_probe demoted
+    # (3 green rounds r08-r10) — the merge-on-read family stays
+    # evidenced in-window by dv_update_probe, whose update clause
+    # exercises the same mask write + anti-join read plus the insert.
+    "dv_update_probe",
     # round-8 promotion: single-linkage near-dup cluster assignments
     # over LSH candidate pairs (near_dedup_recall_audit demoted, 3
     # green rounds — the near-dedup family keeps near_dedup_kept_docs
     # AND this cluster query in-window)
     "neardup_cluster_ids",
     # round-8 promotions: Kneser-Ney sufficient statistics + the
-    # interpolated-KN per-doc scorer built on them, NEW this round
+    # interpolated-KN per-doc scorer built on them
     # (quality_classifier_scores demoted, 3 green rounds — quality
     # family keeps gopher/c4/encoding/text_quality flags in-window;
-    # lm_perplexity_scores demoted, 4 green rounds — the LM-scoring
-    # family is now evidenced by BOTH kn queries in-window)
-    "kneser_ney_counts", "kneser_ney_logprob",
+    # lm_perplexity_scores demoted, 4 green rounds). Round 11:
+    # kneser_ney_counts demoted (3 green rounds r08-r10) — the
+    # LM-scoring family stays evidenced in-window by
+    # kneser_ney_logprob, which is built ON those same sufficient
+    # statistics and fails if they drift.
+    "kneser_ney_logprob",
     # text analysis + published quality gates (round-6 promotions:
     # the Gopher/C4/encoding rule sets, DSIR importance weights, and
     # REAL BPE tokenization — bpe_tokenize_counts supersedes
@@ -5947,6 +5953,16 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # multi-query BM25's shared contribution pass
     "decontam_registry_probe", "bm25_index_probe",
     "bm25_multiquery_topk",
+    # ROUND-11 PROMOTIONS (VERDICT r10 item 2: the round-10 tail
+    # flagships had zero driver-scale CORRECTNESS rows): the IVF
+    # centroid-staleness audit math (train on the even-id half,
+    # assign the full corpus to the pinned centroids, per-cell size +
+    # order-independent mean squared distance — the exact signal
+    # maintain() retrains on), and the incremental shard refresh
+    # through real storage (append/upsert/delete then rebuild ONLY
+    # the affected shards; untouched manifest files asserted
+    # unchanged in-probe)
+    "ivf_staleness_stats", "shard_refresh_probe",
     # timeseries / sampling / packing / export / corpus reporting
     # (round-6 promotions: weighted A-ExpJ sampling, mixture planning,
     # sequence packing, shard manifest, PSI drift, approx-distinct
@@ -6053,20 +6069,13 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # embedding_quantization_audit
     "text_quality_scores", "near_dedup_kept_docs",
     "embedding_cosine_topk_vectorized",
-    # round-10 tail addition: the centroid-staleness audit math
-    # (vector_index_staleness / ivf_cell_stats) oracle-checked — train
-    # on the even-id half, assign the full corpus to the pinned
-    # centroids, per-cell size + order-independent mean squared
-    # distance (family sibling in-window: embedding_quantization_audit;
-    # ivf_kmeans_index pins the trainer itself in the tail)
-    "ivf_staleness_stats",
-    # round-10 tail addition: incremental shard refresh through real
-    # storage — append/upsert/delete then refresh only the affected
-    # shards; oracle = md5-shard assignment of the expected final
-    # corpus; untouched shards' manifest files asserted unchanged
-    # in-probe (family siblings in-window: shard_manifest's hash
-    # recipe via pack/shard queries, the incremental index probes)
-    "shard_refresh_probe",
+    # round-11 demotions (VERDICT r10 item 2 rotation — each 3 green
+    # driver rounds r08-r10, promoted round 8): the merge-on-read DV
+    # family stays evidenced in-window by dv_update_probe (update =
+    # the same mask write + anti-join read plus the insert); the
+    # LM-scoring family by kneser_ney_logprob (built on the counts'
+    # own sufficient statistics — drift there fails it too)
+    "dv_delete_probe", "kneser_ney_counts",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -750,3 +750,34 @@ def test_verify_export_flags_drift_and_refresh_repairs(
     )
     after = c.verify_export("expv")
     assert after["ok"] and after["n_exported_docs"] == 21
+
+
+def test_maintain_audits_training_exports(test_collection, spark):
+    """Round-10 verdict #6: indexes got the nightly fsck via
+    maintain(verify_indexes=True) but exports only on demand. Seed
+    out-of-band drift (source changes WITHOUT refresh_exports) and
+    maintain must surface it under verify_export — report-only, the
+    export itself untouched."""
+    c = test_collection
+    c.write("corpus", _docs(range(20)), index_col="doc_id")
+    c.export_training_shards("expm", "corpus", n_shards=4)
+
+    res = c.maintain("expm", verify_indexes=True)
+    assert res["expm"]["verify_export"]["ok"]
+
+    c.append("corpus", _docs([70, 71]))
+    c.delete_where("corpus", [("doc_id", "==", 2)])
+    res = c.maintain("expm", verify_indexes=True)
+    audit = res["expm"]["verify_export"]
+    assert not audit["ok"]
+    assert audit["n_missing"] == 2 and audit["n_stale"] == 1
+    # report-only: the export still has the stale doc until a
+    # deliberate refresh repairs it
+    ids = {
+        r["doc_id"]
+        for r in c.item("expm").data.select("doc_id").collect()
+    }
+    assert 2 in ids and 70 not in ids
+    # without the flag, no export audit runs
+    res2 = c.maintain("expm", verify_indexes=False)
+    assert "verify_export" not in res2["expm"]

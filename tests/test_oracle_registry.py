@@ -26,23 +26,27 @@ WINDOW = 50
 
 # window composition is rotated per round on judge direction; the sets
 # below pin the CURRENT intent so an accidental reorder fails loudly.
-# Round-10 promotions (VERDICT r9 item 4): the round-9 tail flagships
-# — persistent benchmark-decontamination registry, persistent inverted
-# text index (O(query) BM25 through storage), multi-query BM25.
+# Round-11 promotions (VERDICT r10 item 2): the round-10 tail
+# flagships — the IVF centroid-staleness audit math and the
+# incremental shard refresh through real storage.
 PROMOTED = {
-    "decontam_registry_probe", "bm25_index_probe",
-    "bm25_multiquery_topk",
+    "ivf_staleness_stats", "shard_refresh_probe",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
 RETAINED = {
-    # round-9 promotions, kept (1 green round each)
+    # round-10 promotions, kept (1 green round each)
+    "decontam_registry_probe", "bm25_index_probe",
+    "bm25_multiquery_topk",
+    # round-9 promotions, kept (2 green rounds each)
     "repeat_dedup_stats", "doc_chunks_stats",
     "clone_item_probe", "asof_keyless_banded",
     "substring_index_probe",
-    # round-8 promotions, kept (2 green rounds each)
-    "dv_delete_probe", "dv_update_probe",
-    "neardup_cluster_ids", "kneser_ney_counts",
+    # round-8 promotions, kept (3 green rounds; dv_update_probe
+    # carries the merge-on-read family, kneser_ney_logprob the
+    # LM-scoring family — their siblings demoted round 11)
+    "dv_update_probe",
+    "neardup_cluster_ids",
     "kneser_ney_logprob",
     # round-6 promotions, kept (2 green rounds each)
     "unpivot_lineitem_measures", "gapfill_locf_daily",
@@ -148,6 +152,10 @@ ROTATED_OUT = {
     # embedding_quantization_audit:
     "text_quality_scores", "near_dedup_kept_docs",
     "embedding_cosine_topk_vectorized",
+    # round-11 demotions (each 3 green driver rounds r08-r10):
+    # merge-on-read DV family kept in-window by dv_update_probe;
+    # LM-scoring family by kneser_ney_logprob:
+    "dv_delete_probe", "kneser_ney_counts",
     # round-5 continuation / round-5 / round-4 demotions (families
     # documented in queries_ext.QUERY_PRIORITY):
     "minhash_signatures",
