@@ -4,13 +4,21 @@ transforms over ``mapInPandas``.
 
 ``DECODERS`` holds two kernels: ``"fake"`` parses the deterministic
 synthetic header (the default for plumbing tests), and ``"real"``
-parses genuine PNG / GIF / WAV container headers in pure Python —
-dimensions, sample rate, frame counts — with no codec libraries.
-Full pixel/sample decode (image resize kernels, audio resample)
-still needs codec libs absent from this container; those remain the
-one explicitly out-of-scope step, while everything Spark-side
-(schema, Arrow batching, partition flow) is real and tested against
-real PNG/WAV bytes.
+parses genuine PNG / JPEG / GIF / WAV / FLAC / MP4 container headers
+in pure Python — dimensions, sample rate, frame counts — with no
+codec libraries.
+
+Beyond headers, the formats stdlib can FULLY decode get real payload
+kernels: PNG pixels (zlib inflate + scanline unfilter —
+:func:`decode_png_pixels`, :func:`image_pixel_stats`,
+:func:`resize_images`) and WAV PCM samples
+(:func:`decode_wav_samples`, :func:`audio_sample_stats`). Formats
+whose payload needs an entropy codec (JPEG scan data, FLAC
+subframes, MP4 samples) raise ``NotImplementedError`` inside the
+kernels and surface as keep-and-flag ``error`` rows — the documented
+environment gate — while the Spark-side plumbing (mapInPandas,
+schemas, Arrow batching, partition flow) is identical and real for
+every format.
 """
 
 from __future__ import annotations
@@ -406,3 +414,344 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             ),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# real PAYLOAD decode — the formats stdlib can fully decode
+# ---------------------------------------------------------------------------
+# PNG's only compression is zlib DEFLATE and its filters are simple
+# per-scanline predictors, so full pixel access needs no codec
+# library; WAV PCM is raw samples behind a RIFF header. Everything
+# codec-bound (JPEG entropy decode, FLAC subframes, MP4 sample data)
+# stays behind NotImplementedError — the documented environment gate
+# — while the Spark-side plumbing (mapInPandas kernels, schemas,
+# Arrow batching) is identical for every format.
+
+
+def decode_png_pixels(payload: bytes):
+    """Full PNG pixel decode, stdlib + numpy only: IDAT inflate +
+    per-scanline unfilter (None/Sub/Up/Average/Paeth). Supports the
+    8-bit gray / RGB / RGBA color types (0/2/6); palette and 16-bit
+    variants raise NotImplementedError (re-encode upstream). Returns
+    a ``(height, width, channels)`` uint8 ndarray."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n" or payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG (or IHDR not first chunk)")
+    width, height = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type = payload[24], payload[25]
+    if payload[26] != 0 or payload[28] != 0:
+        raise NotImplementedError(
+            "nonzero PNG compression/interlace method"
+        )
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None or bit_depth != 8:
+        raise NotImplementedError(
+            f"PNG color_type={color_type} bit_depth={bit_depth}: only "
+            "8-bit gray/RGB/RGBA decode without a codec library"
+        )
+    # walk chunks, concatenating IDAT
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctyp = payload[pos + 4:pos + 8]
+        if ctyp == b"IDAT":
+            idat += payload[pos + 8:pos + 8 + clen]
+        elif ctyp == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("malformed PNG: IDAT size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(
+        height, stride + 1
+    )
+    filters, data = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros_like(data)
+    prior = np.zeros(stride, dtype=np.int64)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        row = data[y].copy()
+        f = filters[y]
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub: left within the row — sequential scan
+            cur = row
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 2:  # Up: fully vectorized
+            cur = (row + prior) & 0xFF
+        elif f == 3:  # Average
+            cur = row
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = row
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: unknown filter {f}")
+        out[y] = cur
+        prior = cur
+    return out.astype(np.uint8).reshape(height, width, channels)
+
+
+def encode_png(arr) -> bytes:
+    """Encode a ``(h, w)`` or ``(h, w, channels)`` uint8 ndarray as a
+    real PNG (filter 0, one zlib stream) — gray / RGB / RGBA by
+    channel count. The write half of :func:`decode_png_pixels`, used
+    by :func:`resize_images` to re-encode resized payloads."""
+    import binascii
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = binascii.crc32(tag + body) & 0xFFFFFFFF
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", crc)
+        )
+
+    rows = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * ch)],
+        axis=1,
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav_samples(payload: bytes):
+    """Full WAV PCM sample decode (stdlib struct + numpy): returns
+    ``(samples, sample_rate)`` with samples a ``(frames, channels)``
+    int32 ndarray. 8-bit (unsigned) and 16-bit (signed LE) PCM;
+    compressed WAV formats raise NotImplementedError."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_code, rate, bits, channels = 12, 1, 0, 0, 1
+    data = b""
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack(
+                "<HHI", payload[pos + 8:pos + 16]
+            )
+            (bits,) = struct.unpack("<H", payload[pos + 22:pos + 24])
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if fmt_code != 1:
+        raise NotImplementedError(
+            f"WAV format code {fmt_code}: only PCM decodes without a "
+            "codec library"
+        )
+    if bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2"
+        ).astype(np.int32)
+    elif bits == 8:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+        )
+    else:
+        raise NotImplementedError(f"WAV PCM bit depth {bits}")
+    frames = len(samples) // max(channels, 1)
+    return samples[: frames * channels].reshape(frames, channels), rate
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("std", T.DoubleType()),
+        T.StructField("min", T.IntegerType()),
+        T.StructField("max", T.IntegerType()),
+        T.StructField("entropy", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _content_stats(values, ndigits: int = 6) -> dict:
+    """Shared content-statistics kernel: mean/std/min/max + Shannon
+    entropy over a 256-bin histogram, rounded for cross-engine
+    determinism."""
+    import numpy as np
+
+    flat = values.reshape(-1).astype(np.float64)
+    hist, _ = np.histogram(values.reshape(-1), bins=256)
+    p = hist[hist > 0] / flat.size
+    return {
+        "mean": round(float(flat.mean()), ndigits),
+        "std": round(float(flat.std()), ndigits),
+        "min": int(values.min()),
+        "max": int(values.max()),
+        "entropy": round(float(-(p * np.log2(p)).sum()), ndigits),
+    }
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel-content features over a binary image column —
+    per-image mean/std/min/max/entropy from the full decoded bitmap
+    (decode_png_pixels), the content signal a curation gate needs
+    beyond container dims (flat/blank images, synthetic gradients,
+    near-zero-entropy screenshots). Arrow-batched ``mapInPandas``;
+    rows whose payload needs a codec library (JPEG entropy data, ...)
+    report ``error`` instead of failing the job — the same
+    keep-and-flag contract as pipeline quality gates."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                base = {
+                    "media_id": int(mid), "kind": None, "width": None,
+                    "height": None, "channels": None, "mean": None,
+                    "std": None, "min": None, "max": None,
+                    "entropy": None, "error": None,
+                }
+                try:
+                    px = decode_png_pixels(payload)
+                    h, w, ch = px.shape
+                    base.update(
+                        kind="png", width=w, height=h, channels=ch,
+                        **_content_stats(px),
+                    )
+                except (NotImplementedError, ValueError) as exc:
+                    base["error"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
+def audio_sample_stats(df: DataFrame) -> DataFrame:
+    """REAL sample-content features over a binary audio column: per
+    clip mean/std/min/max/entropy of the PCM samples plus rate and
+    frame count (decode_wav_samples). Same keep-and-flag error
+    contract as :func:`image_pixel_stats`."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("std", T.DoubleType()),
+            T.StructField("min", T.IntegerType()),
+            T.StructField("max", T.IntegerType()),
+            T.StructField("entropy", T.DoubleType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                base = {
+                    "media_id": int(mid), "sample_rate": None,
+                    "n_frames": None, "channels": None, "mean": None,
+                    "std": None, "min": None, "max": None,
+                    "entropy": None, "error": None,
+                }
+                try:
+                    samples, rate = decode_wav_samples(payload)
+                    base.update(
+                        sample_rate=int(rate),
+                        n_frames=int(samples.shape[0]),
+                        channels=int(samples.shape[1]),
+                        **_content_stats(samples),
+                    )
+                except (NotImplementedError, ValueError) as exc:
+                    base["error"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int
+) -> DataFrame:
+    """REAL image resize over a binary column: decode → deterministic
+    nearest-neighbor resample (numpy index mapping — no codec, no
+    interpolation-library variance across hosts) → re-encode as PNG.
+    Returns the input schema with ``payload`` replaced and the target
+    dims stamped into ``meta``; undecodable payloads pass through
+    UNCHANGED with an ``resize_error`` meta entry (keep-and-flag).
+    Row-local mapInPandas — no shuffle at any corpus size."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta", T.MapType(T.StringType(), T.StringType())
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                meta = dict(meta or {})
+                meta["target_w"] = str(width)
+                meta["target_h"] = str(height)
+                try:
+                    px = decode_png_pixels(payload)
+                    h, w, _ = px.shape
+                    ys = np.minimum(
+                        (np.arange(height) * h) // height, h - 1
+                    )
+                    xs = np.minimum(
+                        (np.arange(width) * w) // width, w - 1
+                    )
+                    payloads.append(encode_png(px[ys][:, xs]))
+                except (NotImplementedError, ValueError) as exc:
+                    meta["resize_error"] = str(exc)
+                    payloads.append(payload)
+                metas.append(meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out[["media_id", "kind", "payload", "meta"]]
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1029,3 +1029,88 @@ def test_multimodal_truncated_v1_boxes_raise_valueerror():
             ftyp
             + box(b"moov", mvhd_v0 + box(b"trak", tkhd_v1_short))
         )
+
+
+def test_png_pixel_roundtrip_and_filters():
+    """decode_png_pixels inverts every scanline filter: encode with
+    filter 0 (our encoder), decode, and compare to the generating
+    function; then a zlib/filtered PNG from encode_png with RGB."""
+    import numpy as np
+
+    px_fn = lambda x, y: (x * 7 + y * 13) % 256
+    png = M.write_png(20, 12, px_fn)
+    arr = M.decode_png_pixels(png)
+    assert arr.shape == (12, 20, 1)
+    want = np.array(
+        [[px_fn(x, y) for x in range(20)] for y in range(12)],
+        dtype=np.uint8,
+    )
+    assert (arr[:, :, 0] == want).all()
+
+    rgb = np.stack([want, want, 255 - want], axis=-1)
+    again = M.decode_png_pixels(M.encode_png(rgb))
+    assert again.shape == (12, 20, 3)
+    assert (again == rgb).all()
+
+    # 16-bit / palette variants are the documented codec gate
+    deep = bytearray(M.write_png(4, 4))
+    deep[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(NotImplementedError):
+        M.decode_png_pixels(bytes(deep))
+
+
+def test_image_pixel_stats_and_resize(spark):
+    """Real content features + resize over binary image columns:
+    entropy separates a constant image from a gradient; resize
+    produces a real decodable PNG at the target dims; undecodable
+    payloads keep-and-flag instead of failing the job."""
+    import io
+    import wave
+
+    import numpy as np
+
+    flat = M.write_png(16, 16, lambda x, y: 77)
+    grad = M.write_png(16, 16, lambda x, y: (x * 16 + y) % 256)
+    jpeg = M.write_jpeg_headers(8, 8)  # codec-bound: flagged
+    rows = [
+        (0, "img", flat, None),
+        (1, "img", grad, None),
+        (2, "img", jpeg, None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    stats = {
+        r["media_id"]: r for r in M.image_pixel_stats(df).collect()
+    }
+    assert stats[0]["entropy"] == 0.0 and stats[0]["std"] == 0.0
+    assert stats[0]["mean"] == 77.0
+    assert stats[1]["entropy"] > 7.0  # near-uniform 256 levels
+    assert stats[2]["error"] and stats[2]["mean"] is None
+
+    resized = {
+        r["media_id"]: r
+        for r in M.resize_images(df, 4, 6).collect()
+    }
+    out = M.decode_png_pixels(bytes(resized[1]["payload"]))
+    assert out.shape == (6, 4, 1)
+    assert resized[1]["meta"]["target_w"] == "4"
+    # nearest-neighbor determinism: top-left pixel survives
+    assert int(out[0, 0, 0]) == (0 * 16 + 0) % 256
+    assert "resize_error" in resized[2]["meta"]
+    assert bytes(resized[2]["payload"]) == jpeg  # passthrough
+
+    # audio: PCM sample stats from a real wave-module clip
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        sig = np.arange(-500, 500, dtype="<i2")
+        w.writeframes(sig.tobytes())
+    adf = spark.createDataFrame(
+        [(5, "aud", buf.getvalue(), None)], M.MEDIA_SCHEMA
+    )
+    (arow,) = M.audio_sample_stats(adf).collect()
+    assert arow["sample_rate"] == 8000 and arow["n_frames"] == 1000
+    assert arow["min"] == -500 and arow["max"] == 499
+    assert arow["mean"] == pytest.approx(-0.5)
+    assert arow["error"] is None
