@@ -608,19 +608,37 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def _content_stats(values, ndigits: int = 6) -> dict:
     """Shared content-statistics kernel: mean/std/min/max + Shannon
-    entropy over a 256-bin histogram, rounded for cross-engine
-    determinism."""
+    entropy over the EXACT integer value distribution (unique-value
+    counts, not a range-binned histogram — bin edges would depend on
+    the data range and defeat a SQL ``GROUP BY v`` oracle). For
+    byte-ish integer data every intermediate (sums, means, squared
+    deviations) is exactly representable in float64, so an oracle
+    reproduces mean/std bit-for-bit; rounding covers the last-ulp
+    libm variance in log2."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     import numpy as np
 
+    def _r(x: float) -> float:
+        # HALF-AWAY rounding, matching SQL ROUND (Spark/DuckDB).
+        # Python's round() is banker's, and byte-valued data makes
+        # mean/entropy exact DYADIC rationals that land exactly on
+        # .5 boundaries — the two rules then disagree for real.
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-ndigits), rounding=ROUND_HALF_UP
+            )
+        )
+
     flat = values.reshape(-1).astype(np.float64)
-    hist, _ = np.histogram(values.reshape(-1), bins=256)
-    p = hist[hist > 0] / flat.size
+    _, counts = np.unique(values.reshape(-1), return_counts=True)
+    p = counts / flat.size
     return {
-        "mean": round(float(flat.mean()), ndigits),
-        "std": round(float(flat.std()), ndigits),
+        "mean": _r(flat.mean()),
+        "std": _r(flat.std()),
         "min": int(values.min()),
         "max": int(values.max()),
-        "entropy": round(float(-(p * np.log2(p)).sum()), ndigits),
+        "entropy": _r(-(p * np.log2(p)).sum()),
     }
 
 

@@ -5800,6 +5800,95 @@ def decontam_registry_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
+_IMAGE_CONTENT_SQL = """
+WITH d AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64
+),
+g AS (
+  SELECT d.doc_id,
+         CAST((x.i * d.doc_id + y.i) % 256 AS BIGINT) AS v
+  FROM d,
+       (SELECT unnest(generate_series(0, 15)) AS i) x,
+       (SELECT unnest(generate_series(0, 15)) AS i) y
+),
+m AS (
+  SELECT doc_id, AVG(v) AS mu,
+         CAST(MIN(v) AS INTEGER) AS vmin,
+         CAST(MAX(v) AS INTEGER) AS vmax
+  FROM g GROUP BY doc_id
+),
+c AS (
+  SELECT doc_id, v, COUNT(*)::DOUBLE / 256.0 AS p
+  FROM g GROUP BY doc_id, v
+)
+SELECT g.doc_id,
+  CAST(16 AS INTEGER) AS width,
+  CAST(16 AS INTEGER) AS height,
+  ROUND(m.mu, 6) AS mean,
+  ROUND(SQRT(AVG((g.v - m.mu) * (g.v - m.mu))), 6) AS std,
+  m.vmin AS min,
+  m.vmax AS max,
+  (SELECT ROUND(-SUM(c.p * LOG2(c.p)), 6)
+   FROM c WHERE c.doc_id = g.doc_id) AS entropy
+FROM g JOIN m USING (doc_id)
+GROUP BY g.doc_id, m.mu, m.vmin, m.vmax
+"""
+
+
+@register(
+    "image_content_stats",
+    sql=_IMAGE_CONTENT_SQL,
+    tags=("multimodal", "content", "decode"),
+)
+def image_content_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL image decode path oracle-checked end-to-end without a
+    codec library: per doc a deterministic 16×16 grayscale PNG is
+    ENCODED from the formula ``(x·doc_id + y) mod 256``
+    (multimodal.write_png — real zlib stream), then
+    ``image_pixel_stats`` DECODES it (IDAT inflate + scanline
+    unfilter) and computes content features. The DuckDB oracle never
+    sees PNG bytes — it computes the same statistics straight from
+    the generating formula — so any defect in encode∘decode or the
+    stats kernel breaks the hash match. Arithmetic is exact by
+    construction: 256 byte-valued ints keep every sum/mean/squared
+    deviation exactly representable in float64 on both engines
+    (mean = int/2⁸), entropy rounds past last-ulp log2 variance."""
+    import pandas as pd_  # noqa: ICN001 (local alias, matches file style)
+
+    from pystore_spark.functions import multimodal as M
+
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").limit(64)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [
+                M.write_png(
+                    16, 16,
+                    (lambda d: lambda x, y: (x * d + y) % 256)(int(i)),
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd_.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "img",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = doc.mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return M.image_pixel_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "width", "height", "mean", "std", "min", "max", "entropy",
+    )
+
+
 # The driver's CORRECTNESS gate oracle-checks the first 50 registered
 # queries, so registration order IS the coverage window. The order
 # below pins it explicitly: one query per SURVEY §2 operator family
@@ -6076,6 +6165,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # LM-scoring family by kneser_ney_logprob (built on the counts'
     # own sufficient statistics — drift there fails it too)
     "dv_delete_probe", "kneser_ney_counts",
+    # round-11 tail addition: the full PNG encode∘decode path +
+    # pixel-content stats oracle-checked against the generating
+    # formula (the oracle never sees PNG bytes — a decode defect
+    # breaks the hash); the multimodal family's first hard
+    # correctness signal beyond pytest
+    "image_content_stats",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
