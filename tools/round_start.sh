@@ -11,7 +11,7 @@ cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
 echo "== full-registry oracle gate @ ${SF_DIR} =="
 python tools/check_correctness.py "${SF_DIR}"
-echo "== pytest (default tier) =="
-python -m pytest tests/ -x -q
+echo "== pytest (default tier, 5-way sharded — tools/fast_gate.sh) =="
+bash tools/fast_gate.sh
 echo "== pytest (slow tier: hammers, chains, crash matrices) =="
 python -m pytest tests/ -x -q -m slow
