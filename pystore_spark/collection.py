@@ -5889,6 +5889,7 @@ class Collection:
         affected: "Sequence[int]",
         changed_esc: "DataFrame | None" = None,
         export_frame: "DataFrame | None" = None,
+        source_bytes: "int | None" = None,
     ) -> "tuple[DataFrame, str]":
         """Restrict the full-width source read of an incremental shard
         refresh to the rows that belong to the AFFECTED shards — the
@@ -5926,6 +5927,15 @@ class Collection:
         id_col = em["id_col"]
         n_shards = int(em["n_shards"])
         split = bool(em.get("split_max_tokens"))
+        if (
+            source_bytes is not None
+            and source_bytes < config.EXPORT_PRUNE_MIN_SOURCE_BYTES
+        ):
+            # below the gate the whole text scan costs less than the
+            # key-set pass + join — pruning would be pure overhead
+            # (measured: the plain plan beats every prune tier at the
+            # toy benches; the tiers exist for the 100 TB regime)
+            return df, "full_scan"
         if len(affected) >= max(
             1,
             int(n_shards * config.EXPORT_PRUNE_FULLSCAN_FRACTION),
@@ -6144,10 +6154,18 @@ class Collection:
         # rebuild exactly those shards from the current source (see
         # _pruned_refresh_source — the text column is no longer read
         # corpus-wide; the in-plan shard filter keeps byte-equality)
+        from pystore_spark.partition import estimate_size_bytes
+
+        source_bytes = (
+            mf.item_bytes(self._item_path(src))
+            if isinstance(src, str)
+            else estimate_size_bytes(df)
+        )
         src_df, prune_tier = self._pruned_refresh_source(
             df, em, affected,
             changed_esc=esc if split else None,
             export_frame=exp if split else None,
+            source_bytes=source_bytes,
         )
         shaped = self._export_row_plan(
             src_df,

@@ -88,15 +88,23 @@ VECTOR_STALENESS_DIST_EPS = float(
 # COLUMN-PRUNED scans (id column only / the export's partition-pruned
 # (_src_id, shard) columns). Key sets up to ISIN_CAP become a
 # PUSHABLE In(id) predicate — parquet row-group stats / dictionaries
-# / blooms skip the text pages outright (the takedown case: a one-doc
-# refresh stops reading the whole corpus text). Up to BROADCAST_CAP
-# they become a broadcast left-semi join (ids-only build side; the
-# full-width source never shuffles). Beyond that — or when at least
-# FULLSCAN_FRACTION of the shards are affected — the refresh is
-# degenerate by the scatter math (n·(1−(1−1/n)^c)) and takes the
-# plain full-scan plan a bulk rebuild wants anyway.
+# / blooms skip the text pages outright. The cap is POINT-LOOKUP
+# sized on purpose: a thousands-literal In() is a planner cost at any
+# data size (measured 3× slower than the plain scan at the sf1
+# probe), so anything larger takes the broadcast left-semi join
+# (ids-only build side; the full-width source never shuffles) up to
+# BROADCAST_CAP. Beyond that — or when at least FULLSCAN_FRACTION of
+# the shards are affected — the refresh is degenerate by the scatter
+# math (n·(1−(1−1/n)^c)) and takes the plain full-scan plan a bulk
+# rebuild wants anyway.
+#
+# Pruning itself only pays once the text it AVOIDS reading outweighs
+# the key-set pass + join (0.2-1.5 s fixed at local toy scale —
+# BENCH_EXPORT_REFRESH's prune_tier audit — constant at cluster
+# scale): sources below MIN_SOURCE_BYTES take the plain scan — free
+# at that size — and the tiers engage where they matter.
 EXPORT_PRUNE_ISIN_CAP = int(
-    os.environ.get("PYSTORE_SPARK_EXPORT_PRUNE_ISIN_CAP", 4096)
+    os.environ.get("PYSTORE_SPARK_EXPORT_PRUNE_ISIN_CAP", 64)
 )
 EXPORT_PRUNE_BROADCAST_CAP = int(
     os.environ.get(
@@ -106,6 +114,11 @@ EXPORT_PRUNE_BROADCAST_CAP = int(
 EXPORT_PRUNE_FULLSCAN_FRACTION = float(
     os.environ.get(
         "PYSTORE_SPARK_EXPORT_PRUNE_FULLSCAN_FRACTION", 0.5
+    )
+)
+EXPORT_PRUNE_MIN_SOURCE_BYTES = int(
+    os.environ.get(
+        "PYSTORE_SPARK_EXPORT_PRUNE_MIN_SOURCE_BYTES", 1 << 30
     )
 )
 

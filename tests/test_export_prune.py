@@ -36,6 +36,9 @@ def _docs(ids, tail=""):
 def _force_tier(monkeypatch, tier: str) -> None:
     from pystore_spark import config
 
+    # test corpora are far below the size gate that keeps toy-scale
+    # refreshes on the plain scan — zero it so the tiers engage
+    monkeypatch.setattr(config, "EXPORT_PRUNE_MIN_SOURCE_BYTES", 0)
     if tier == "semi_join":
         monkeypatch.setattr(config, "EXPORT_PRUNE_ISIN_CAP", 0)
     elif tier == "full_scan":
@@ -248,3 +251,18 @@ def test_refresh_restamp_reads_no_untouched_footers(
     em = c.get_item_metadata("shards")["_training_export"]
     assert em["n_rows"] == 41
     assert sum(em["shard_rows"].values()) == 41
+
+
+def test_small_source_auto_selects_plain_scan(test_collection):
+    """Below EXPORT_PRUNE_MIN_SOURCE_BYTES the whole text scan is
+    cheaper than any key-set pass — the refresh must pick the plain
+    plan on its own (measured: every prune tier loses at toy scale;
+    they exist for the 100 TB regime)."""
+    c = test_collection
+    c.write("corpus", _docs(range(40)), index_col="doc_id")
+    c.export_training_shards(
+        "shards", "corpus", n_shards=16, pack_budget=64
+    )
+    c.append("corpus", _docs([99]))
+    rep = c.refresh_training_shards("shards", [99])
+    assert rep["source_prune"] == "full_scan"

@@ -124,11 +124,44 @@ def main() -> None:
             }
             # restore the corpus for the next regime (re-edit is fine:
             # each regime re-exports its own baseline first)
+        # --- prune-tier cost audit (round-11): at this toy scale the
+        # size gate keeps the refresh on the plain scan (pruning's
+        # saved text-read is ~free here); force each tier on the
+        # delta_3 scenario to record what the gate is protecting
+        # against and what the 100 TB path costs in fixed overhead.
+        tier_secs: dict[str, float] = {}
+        changed = [
+            r["doc_id"]
+            for r in docs.orderBy("doc_id").limit(3)
+            .select("doc_id").collect()
+        ]
+        for tier, patch in (
+            ("full_scan_gated", {}),
+            ("isin", {"EXPORT_PRUNE_MIN_SOURCE_BYTES": 0,
+                      "EXPORT_PRUNE_ISIN_CAP": 100_000}),
+            ("semi_join", {"EXPORT_PRUNE_MIN_SOURCE_BYTES": 0,
+                           "EXPORT_PRUNE_ISIN_CAP": 0}),
+        ):
+            saved = {k: getattr(cfg, k) for k in patch}
+            for k, v in patch.items():
+                setattr(cfg, k, v)
+            t0 = time.time()
+            rep = col.refresh_training_shards("exp_delta_3", changed)
+            tier_secs[tier] = round(time.time() - t0, 3)
+            for k, v in saved.items():
+                setattr(cfg, k, v)
+            assert rep["source_prune"] == tier.split("_gated")[0], rep
+        out["prune_tier_secs_delta3"] = tier_secs
         out["results"] = results
         out["n_shards"] = n_shards
         out["note"] = (
             "expected touched shards = n*(1-(1-1/n)^c); small deltas "
-            "rebuild c shards, bulk deltas degenerate to full rebuild"
+            "rebuild c shards, bulk deltas degenerate to full rebuild. "
+            "prune_tier_secs_delta3: same 3-doc refresh with each "
+            "source-prune tier forced — at this corpus size the plain "
+            "scan wins (the size gate's point); the key-set tiers' "
+            "fixed overhead is what a 100 TB corpus amortizes against "
+            "its avoided text read"
         )
     finally:
         cfg._path = old_path
