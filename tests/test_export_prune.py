@@ -266,3 +266,61 @@ def test_small_source_auto_selects_plain_scan(test_collection):
     c.append("corpus", _docs([99]))
     rep = c.refresh_training_shards("shards", [99])
     assert rep["source_prune"] == "full_scan"
+
+
+def test_split_string_ids_with_escapes_unescape_and_push(
+    test_collection, monkeypatch
+):
+    """Split exports keyed by STRING ids containing the escape
+    characters ('#', '\\'): the capped path must UNESCAPE the export's
+    _src_id keys back to the raw id domain so the filter pushes as
+    In(doc_id), the refresh stays byte-equal, and the unescape
+    exactly inverts the injective encoding."""
+    from pystore_spark import config
+
+    c = test_collection
+    long_text = " ".join(f"w{i}" for i in range(90))
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["a#1", "a\\2", "plain", "x#y#z"],
+            "text": [
+                long_text,
+                f"short doc two {long_text[:40]}",
+                "short document three with several words",
+                "short document four with several words",
+            ],
+        }
+    )
+    c.write("corpus", docs, index_col="doc_id")
+    c.export_training_shards(
+        "sh", "corpus", n_shards=12, split_max_tokens=40,
+    )
+    upd = pd.DataFrame(
+        {"doc_id": ["a#1"], "text": ["tiny replacement text"]}
+    )
+    c.append("corpus", upd)
+    monkeypatch.setattr(config, "EXPORT_PRUNE_MIN_SOURCE_BYTES", 0)
+    rep = c.refresh_training_shards("sh", ["a#1"])
+    # string ids unescape and push as In(doc_id) — the isin tier
+    assert rep["source_prune"] == "isin"
+    c.export_training_shards(
+        "sh_full", "corpus", n_shards=12, split_max_tokens=40,
+    )
+    cols = ["shard", "shard_pos", "doc_id", "text"]
+    got = (
+        c.item("sh").data.select(cols)
+        .orderBy(*cols).toPandas().reset_index(drop=True)
+    )
+    want = (
+        c.item("sh_full").data.select(cols)
+        .orderBy(*cols).toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the unescape inverts the injective encoding exactly
+    from pystore_spark.collection import Collection
+    from pyspark.sql import types as T
+
+    vals, ok = Collection._unescape_export_ids(
+        ["a\\#1", "a\\\\2", "x\\#y\\#z"], T.StringType()
+    )
+    assert ok and vals == ["a#1", "a\\2", "x#y#z"]
