@@ -361,22 +361,20 @@ def brute_force_topk_vectorized(
     )
 
 
-def _assign_cells(
-    df: DataFrame, vec_col: str, centroids: list[list[float]],
-    with_dist: bool = False,
-) -> DataFrame:
-    """Assign each vector to the nearest centroid (squared L2), tie
-    broken by lowest cell id — via ``array_min`` over an array of
-    ``struct<dist, cell>`` (lexicographic struct comparison), fully
-    JVM-side. ``with_dist=True`` additionally keeps the squared
-    distance to the assigned centroid as ``_cdist`` (the staleness
-    audit's raw signal — see :func:`ivf_cell_stats`)."""
+def _nearest_cell_struct(
+    vec: Column, centroids: list[list[float]]
+) -> Column:
+    """``struct<dist, cell>`` of the nearest centroid (squared L2,
+    tie broken by lowest cell id) for an arbitrary vector EXPRESSION
+    — ``array_min`` over ``struct<dist, cell>`` (lexicographic struct
+    comparison), fully JVM-side. Shared by the IVF assigner and the
+    per-subspace PQ encoder (where ``vec`` is a slice)."""
     structs = []
     for cell, cent in enumerate(centroids):
         carr = F.array(*[F.lit(float(v)) for v in cent])
         dist = F.aggregate(
             F.zip_with(
-                F.col(vec_col),
+                vec,
                 carr,
                 lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
             ),
@@ -386,7 +384,19 @@ def _assign_cells(
         structs.append(
             F.struct(dist.alias("dist"), F.lit(cell).alias("cell"))
         )
-    best = F.array_min(F.array(*structs))
+    return F.array_min(F.array(*structs))
+
+
+def _assign_cells(
+    df: DataFrame, vec_col: str, centroids: list[list[float]],
+    with_dist: bool = False,
+) -> DataFrame:
+    """Assign each vector to the nearest centroid (squared L2), tie
+    broken by lowest cell id — see :func:`_nearest_cell_struct`.
+    ``with_dist=True`` additionally keeps the squared distance to the
+    assigned centroid as ``_cdist`` (the staleness audit's raw signal
+    — see :func:`ivf_cell_stats`)."""
+    best = _nearest_cell_struct(F.col(vec_col), centroids)
     out = df.withColumn("cell", best["cell"])
     if with_dist:
         out = out.withColumn("_cdist", best["dist"])
@@ -648,4 +658,174 @@ def quantized_cell_stats(
         _assign_cells(
             rt.select(vec_col), vec_col, centroids, with_dist=True
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 16-32x embedding compression tier
+# ---------------------------------------------------------------------------
+# Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011, public): split the vector into m subvectors,
+# learn an independent small codebook per subspace, store each vector
+# as m codes. At dim=64 float32 that is 256 B -> m bytes-ish (codes +
+# no scale), far past int8's 4x — the difference between 25 TB and
+# ~2 TB of vector payload at the 100 TB corpus. Distances are
+# asymmetric (ADC): the QUERY stays float, each subspace contributes
+# a lookup-table entry ||q_j - codebook_j[code]||^2, and a vector's
+# distance is the sum of m table lookups — JVM-side here via
+# zip_with + element_at over a broadcast per-query LUT, no UDF.
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    n_cells: int = 256,
+    n_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks with the SAME deterministic
+    KMeans as the IVF coarse quantizer (:func:`train_ivf_centroids` —
+    id-ordered init, quantized-mean updates), run on the sliced
+    vectors. Returns ``m × n_cells × (dim/m)`` floats — metadata-sized
+    by construction, persistable in an item sidecar."""
+    first = df.select(vec_col).filter(
+        F.col(vec_col).isNotNull()
+    ).first()
+    if first is None:
+        raise ValueError("cannot train PQ codebooks: no vectors")
+    dim = len(first[vec_col])
+    if dim % m:
+        raise ValueError(
+            f"dim {dim} not divisible into m={m} subvectors"
+        )
+    d_sub = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            id_col,
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("_sub"),
+        )
+        books.append(
+            train_ivf_centroids(
+                sub, "_sub", id_col, n_cells=n_cells, n_iters=n_iters
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Replace ``vec_col`` with its PQ codes ``_pq`` (array<smallint>,
+    one code per subspace — nearest codebook entry by squared L2,
+    ties to the lowest code, matching the trainer's assigner). Pure
+    projection, no shuffle; the inverse (approximate) is
+    :func:`pq_decode_col`."""
+    codes = []
+    off = 1
+    for cb in codebooks:
+        d_sub = len(cb[0])
+        sub = F.slice(F.col(vec_col), off, d_sub)
+        codes.append(
+            _nearest_cell_struct(sub, cb)["cell"].cast("smallint")
+        )
+        off += d_sub
+    return df.select(
+        *[c for c in df.columns if c != vec_col],
+        F.array(*codes).alias("_pq"),
+    )
+
+
+def pq_decode_col(
+    codes: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Reconstruct the (approximate) float vector from PQ codes —
+    concatenated codebook rows selected per subspace. JVM-side:
+    element_at into per-subspace literal tables, flattened."""
+    parts = []
+    for j, cb in enumerate(codebooks):
+        table = F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in cent])
+                for cent in cb
+            ]
+        )
+        parts.append(
+            F.element_at(
+                table, F.element_at(codes, j + 1).cast("int") + 1
+            )
+        )
+    return F.flatten(F.array(*parts))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query a LUT of
+    ``||q_j − codebook_j[c]||²`` is computed driver-side (queries are
+    driver-sized by construction, like every topk here), broadcast,
+    and each candidate's distance is the sum of m ``element_at``
+    lookups selected by its codes — ``zip_with`` + ``aggregate``,
+    whole-stage-codegen JVM, no UDF and no full-width shuffle (the
+    codes frame streams; ranking shuffles (q_id, id, dist) only).
+    Distance folds are sequential left folds, so a SQL oracle
+    reproduces them bit-for-bit. Returns
+    ``(q_id, <id_col>, rank, dist)``."""
+    qid = query_id_col or f"q_{id_col}"
+    n_cells = max(len(cb) for cb in codebooks)
+    m = len(codebooks)
+    qrows = queries.select(id_col, vec_col).collect()
+    rows = []
+    for r in qrows:
+        q = [float(x) for x in r[vec_col]]
+        lut, off = [], 0
+        for cb in codebooks:
+            d_sub = len(cb[0])
+            qs = q[off:off + d_sub]
+            for cent in cb:
+                s = 0.0
+                for a, b in zip(qs, cent):
+                    s += (a - b) * (a - b)
+                lut.append(s)
+            lut.extend([0.0] * (n_cells - len(cb)))  # ragged pad
+            off += d_sub
+        rows.append((r[id_col], lut))
+    spark = codes_df.sparkSession
+    qdf = spark.createDataFrame(
+        rows,
+        schema=(
+            f"{qid} {queries.schema[id_col].dataType.simpleString()}, "
+            "_lut array<double>"
+        ),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("_pq"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(
+                F.col("_lut"),
+                (j * n_cells + c.cast("int") + 1).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes_df.crossJoin(F.broadcast(qdf))
+        .select(qid, id_col, dist.alias("dist"))
+    )
+    w = Window.partitionBy(qid).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, id_col, "rank", "dist")
     )

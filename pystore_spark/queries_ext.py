@@ -1218,6 +1218,138 @@ def ivf_staleness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_adc_oracle_sql(
+    m: int = 2, n_cells: int = 4, n_iters: int = 2, dim: int = 64,
+    k: int = 5, quant: str = "10000000.0",
+) -> str:
+    """Product-quantization ADC oracle: per SUBSPACE, replay the
+    deterministic KMeans (same unrolled-CTE recipe as the IVF
+    oracles) over the even-id half's sliced vectors, assign every
+    vector its per-subspace code, then score each query against
+    every vector as the SUM of per-subspace squared distances to the
+    coded centroids — exactly the LUT sum ``pq_adc_topk`` folds
+    JVM-side. Distance folds are sequential on both engines; the
+    byte-valued quant trick makes centroid means bit-identical."""
+    d_sub = dim // m
+    parts = [
+        "WITH va AS (SELECT vec_id, embedding FROM embeddings),",
+        "vt AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 2 = 0),",
+        "q AS (SELECT vec_id AS q_vec_id, embedding "
+        "FROM embeddings WHERE vec_id < 3),",
+    ]
+    for j in range(m):
+        off = j * d_sub
+        lo, hi = off + 1, off + d_sub
+        p = f"s{j}_"
+        dist = (
+            f"list_reduce(list_transform(generate_series(1, {d_sub}),"
+            f" i -> ({{v}}[i + {off}]::DOUBLE - {{c}}[i]) *"
+            f" ({{v}}[i + {off}]::DOUBLE - {{c}}[i])), (x,y) -> x+y)"
+        )
+        parts.append(
+            f"{p}c0 AS (SELECT CAST(row_number() OVER "
+            "(ORDER BY vec_id) - 1 AS INTEGER) AS cell, "
+            f"list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) "
+            "AS cent FROM embeddings WHERE vec_id % 2 = 0 "
+            f"ORDER BY vec_id LIMIT {n_cells}),"
+        )
+        for it in range(1, n_iters + 1):
+            d = dist.format(v="v.embedding", c="c.cent")
+            parts.append(
+                f"{p}a{it} AS (SELECT vec_id, cell FROM ("
+                f"SELECT v.vec_id, c.cell, row_number() OVER ("
+                f"PARTITION BY v.vec_id ORDER BY {d}, c.cell) AS rn "
+                f"FROM vt v, {p}c{it - 1} c) WHERE rn = 1),"
+            )
+            parts.append(
+                f"{p}u{it} AS (SELECT cell, list(comp ORDER BY i) AS "
+                f"cent FROM (SELECT a.cell, i.i, "
+                f"(CAST(SUM(CAST(FLOOR(v.embedding[i.i + {off}]"
+                f"::DOUBLE * {quant}) AS BIGINT)) AS DOUBLE) "
+                f"/ COUNT(*)) / {quant} AS comp "
+                f"FROM vt v JOIN {p}a{it} a USING (vec_id), "
+                f"(SELECT unnest(generate_series(1, {d_sub})) AS i) i "
+                f"GROUP BY a.cell, i.i) GROUP BY cell),"
+            )
+            parts.append(
+                f"{p}c{it} AS (SELECT {p}c{it - 1}.cell, "
+                f"COALESCE({p}u{it}.cent, {p}c{it - 1}.cent) AS cent "
+                f"FROM {p}c{it - 1} LEFT JOIN {p}u{it} USING (cell)),"
+            )
+        d = dist.format(v="va.embedding", c="c.cent")
+        parts.append(
+            f"{p}code AS (SELECT vec_id, cell FROM ("
+            f"SELECT va.vec_id, c.cell, row_number() OVER ("
+            f"PARTITION BY va.vec_id ORDER BY {d}, c.cell) AS rn "
+            f"FROM va, {p}c{n_iters} c) WHERE rn = 1),"
+        )
+    qdists = []
+    joins = []
+    for j in range(m):
+        off = j * d_sub
+        p = f"s{j}_"
+        joins.append(
+            f"JOIN {p}code x{j} ON x{j}.vec_id = x0.vec_id "
+            f"JOIN {p}c{n_iters} cb{j} ON cb{j}.cell = x{j}.cell"
+            if j
+            else f"JOIN {p}c{n_iters} cb0 ON cb0.cell = x0.cell"
+        )
+        qdists.append(
+            f"list_reduce(list_transform(generate_series(1, {d_sub}),"
+            f" i -> (q.embedding[i + {off}]::DOUBLE - cb{j}.cent[i]) *"
+            f" (q.embedding[i + {off}]::DOUBLE - cb{j}.cent[i])), "
+            "(x,y) -> x+y)"
+        )
+    parts.append(
+        "scored AS (SELECT q.q_vec_id, x0.vec_id, "
+        f"0.0 + {' + '.join(qdists)} AS dist "
+        f"FROM q, s0_code x0 {' '.join(joins)})"
+    )
+    parts.append(
+        "SELECT q_vec_id, vec_id, CAST(rank AS INTEGER) AS rank, "
+        "ROUND(dist, 6) AS dist FROM ("
+        "SELECT q_vec_id, vec_id, dist, row_number() OVER ("
+        "PARTITION BY q_vec_id ORDER BY dist, vec_id) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "pq_adc_topk",
+    sql=_pq_adc_oracle_sql(),
+    tags=("similarity", "ann", "pq", "compression"),
+)
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end, oracle-checked: train m=2
+    per-subspace codebooks with the deterministic KMeans over the
+    even-id half (functions/similarity.train_pq_codebooks), encode
+    EVERY vector to per-subspace codes (pq_encode — dim floats →
+    m codes, the 16-32× vector-compression tier at real parameters),
+    and rank all vectors per query by the asymmetric distance
+    (pq_adc_topk — per-query LUT broadcast, ``zip_with`` +
+    ``element_at`` JVM fold, no UDF). The DuckDB oracle replays the
+    per-subspace training, coding, and LUT sums with bit-identical
+    arithmetic — codebooks, codes, and distances all hash-match."""
+    from pystore_spark.functions import similarity as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = SS.train_pq_codebooks(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        "embedding", "vec_id", m=2, n_cells=4, n_iters=2,
+    )
+    codes = SS.pq_encode(emb, "embedding", books)
+    out = SS.pq_adc_topk(
+        codes, emb.filter("vec_id < 3"), "embedding", "vec_id",
+        books, k=5,
+    )
+    return out.select(
+        "q_vec_id", "vec_id", "rank",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 @register(
     "ivf_kmeans_index",
     sql=_ivf_kmeans_oracle_sql(),
@@ -6171,6 +6303,13 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # breaks the hash); the multimodal family's first hard
     # correctness signal beyond pytest
     "image_content_stats",
+    # round-11 tail addition: product quantization — per-subspace
+    # deterministic-KMeans codebooks, m-code encoding (the 16-32×
+    # vector-compression tier), and asymmetric-distance top-k with a
+    # JVM LUT fold; the oracle replays training/coding/LUT sums with
+    # bit-identical arithmetic (family siblings in-window:
+    # embedding_quantization_audit, ivf_staleness_stats)
+    "pq_adc_topk",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

@@ -1114,3 +1114,99 @@ def test_image_pixel_stats_and_resize(spark):
     assert arow["min"] == -500 and arow["max"] == 499
     assert arow["mean"] == pytest.approx(-0.5)
     assert arow["error"] is None
+
+
+def test_pq_encode_decode_and_adc_identity(spark):
+    """Product quantization: codes are m smallints; the ADC distance
+    (sum of per-subspace LUT entries) must equal the exact squared L2
+    between the float query and the DECODED (reconstructed) vector —
+    the algebraic identity PQ search rests on — and compression is
+    real (m codes vs dim floats)."""
+    from pystore_spark.functions import similarity as S
+    from pystore_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = S.train_pq_codebooks(
+        emb, "embedding", "vec_id", m=8, n_cells=16, n_iters=2
+    )
+    assert len(books) == 8 and len(books[0]) == 16
+    assert len(books[0][0]) == 8  # dim 64 / m 8
+
+    codes = S.pq_encode(emb, "embedding", books)
+    row = codes.select("_pq").first()
+    assert len(row["_pq"]) == 8
+    assert all(0 <= c < 16 for c in row["_pq"])
+
+    queries = emb.filter("vec_id < 3")
+    got = S.pq_adc_topk(
+        codes, queries, "embedding", "vec_id", books, k=5
+    ).toPandas()
+    assert set(got.columns) == {"q_vec_id", "vec_id", "rank", "dist"}
+    assert sorted(got["q_vec_id"].unique()) == [0, 1, 2]
+    assert got.groupby("q_vec_id")["rank"].max().eq(5).all()
+
+    # the ADC identity: dist(q, x) == ||q - decode(codes_x)||^2
+    recon = codes.withColumn(
+        "_dec", S.pq_decode_col(F.col("_pq"), books)
+    )
+    q0 = [
+        float(v)
+        for v in emb.filter("vec_id = 0").first()["embedding"]
+    ]
+    import numpy as np
+
+    dec = {
+        r["vec_id"]: np.array(r["_dec"])
+        for r in recon.select("vec_id", "_dec").collect()
+    }
+    for _, r in got[got["q_vec_id"] == 0].iterrows():
+        exact = float(((np.array(q0) - dec[r["vec_id"]]) ** 2).sum())
+        assert abs(exact - r["dist"]) < 1e-9, (r["vec_id"], exact)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        S.train_pq_codebooks(
+            emb, "embedding", "vec_id", m=7, n_cells=4
+        )
+
+
+def test_pq_recall_vs_exact_l2(spark):
+    """PQ is approximate — pin a measured recall floor against exact
+    squared-L2 top-k so codebook or ADC regressions surface as a
+    recall drop (everything deterministic: same numbers every run)."""
+    from pystore_spark.functions import similarity as S
+    from pystore_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = S.train_pq_codebooks(
+        emb, "embedding", "vec_id", m=16, n_cells=16, n_iters=2
+    )
+    codes = S.pq_encode(emb, "embedding", books)
+    queries = emb.filter("vec_id < 10")
+    got = S.pq_adc_topk(
+        codes, queries, "embedding", "vec_id", books, k=10
+    ).toPandas()
+
+    import numpy as np
+
+    vecs = {
+        r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+        for r in emb.collect()
+    }
+    hits = total = 0
+    for qid in range(10):
+        d = {
+            vid: float(((vecs[qid] - v) ** 2).sum())
+            for vid, v in vecs.items()
+        }
+        truth = {
+            vid
+            for vid, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+        }
+        approx = set(got[got["q_vec_id"] == qid]["vec_id"])
+        hits += len(truth & approx)
+        total += 10
+    # measured 0.44 on this corpus: the synthetic embeddings are
+    # near-uniform random — PQ's documented worst case (no cluster
+    # structure to exploit). The floor pins regressions, not quality;
+    # real embedding corpora cluster and recall rises with them.
+    assert hits / total >= 0.35, hits / total
