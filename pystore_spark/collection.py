@@ -3994,7 +3994,9 @@ class Collection:
         n_cells: int = 8,
         n_iters: int = 2,
         overwrite: bool = False,
-        quantize: bool = False,
+        quantize: "bool | str" = False,
+        pq_m: int = 8,
+        pq_cells: int = 16,
     ) -> dict:
         """Materialize an IVF (inverted-file) ANN index over an
         embedding DataFrame, a stored item name, or a LIST of item
@@ -4022,11 +4024,34 @@ class Collection:
         difference between 100 TB and 25 TB of vectors); probes
         dequantize candidates on the fly and the recall cost is
         bounded (test_vector_index pins recall@5 within 1 point of
-        the float index at equal nprobe). Returns
+        the float index at equal nprobe).
+
+        ``quantize="pq"`` is the compression tier PAST int8: product
+        quantization (similarity.train_pq_codebooks / pq_encode) —
+        ``pq_m`` codes per vector instead of dim floats, 16-32× at
+        realistic parameters. Probes reconstruct candidates from the
+        persisted codebooks (the inverted-list read stays that much
+        lighter; scoring is unchanged), appends encode with the same
+        codebooks, and the staleness audit/retrain measure in the
+        PQ domain so zero drift reads as ratio 1.0. ``pq_cells`` is
+        capped pragmatically (the JVM argmin builds n_cells branch
+        expressions per subspace — at 256×8 the plan outgrows
+        codegen; 16-64 cells/subspace keeps it compiled and already
+        gives 16^m effective centroids). Returns
         ``{n_cells, dim, n_vectors}``."""
         from pystore_spark.functions import similarity as S
 
         from pystore_spark.dedup_index import _read_frame
+
+        if quantize not in (False, True, "int8", "pq"):
+            raise ValueError(
+                "quantize must be False, True/'int8', or 'pq', got "
+                f"{quantize!r}"
+            )
+        if quantize == "pq" and not 2 <= int(pq_cells) <= 256:
+            raise ValueError(
+                f"pq_cells must be in [2, 256], got {pq_cells}"
+            )
 
         source_items: list[str] = []
         if isinstance(source, str):
@@ -4054,7 +4079,28 @@ class Collection:
         # measure it AFTER the int8 roundtrip, because that is the
         # signal the audit re-measures (ADVICE r10: exact-float build
         # stats bake quantization noise into every dist_ratio).
-        if quantize:
+        pq_books = None
+        if quantize == "pq":
+            pq_books = S.train_pq_codebooks(
+                df, vec_col, id_col,
+                m=int(pq_m), n_cells=int(pq_cells), n_iters=n_iters,
+            )
+            assigned = S.pq_encode(
+                assigned.drop("_cdist"), vec_col, pq_books
+            )
+            rt = S.vq_decode_cols(
+                assigned,
+                {
+                    "quantized": "pq", "vec_col": vec_col,
+                    "pq_codebooks": pq_books,
+                },
+            )
+            build_stats = S.ivf_cell_stats(
+                S._assign_cells(
+                    rt.select(vec_col), vec_col, cents, with_dist=True
+                )
+            )
+        elif quantize:
             assigned = S.quantized_select(
                 assigned.drop("_cdist"), vec_col
             )
@@ -4077,7 +4123,15 @@ class Collection:
                     "n_cells": int(n_cells),
                     "n_iters": int(n_iters),
                     "centroids": cents,
-                    "quantized": bool(quantize),
+                    "quantized": (
+                        "pq" if quantize == "pq" else bool(quantize)
+                    ),
+                    **(
+                        {"pq_codebooks": pq_books, "pq_m": int(pq_m),
+                         "pq_cells": int(pq_cells)}
+                        if pq_books is not None
+                        else {}
+                    ),
                     "build_stats": build_stats,
                     # lets maintain(verify_indexes=True) pair the
                     # index with its corpus for the nightly fsck
@@ -4120,8 +4174,7 @@ class Collection:
             )
         cents = [[float(x) for x in c] for c in it_meta["centroids"]]
         assigned = S._assign_cells(vectors, it_meta["vec_col"], cents)
-        if it_meta.get("quantized"):
-            assigned = S.quantized_select(assigned, it_meta["vec_col"])
+        assigned = S.vq_encode_select(assigned, it_meta)
         delta = f"{index_item}__delta"
         # frozen driver-side stamp (session tz UTC) — same reason as
         # dedup_index._index_delta_append: current_timestamp()
@@ -4236,12 +4289,7 @@ class Collection:
             cur = base.join(
                 latest.select(id_col), on=id_col, how="left_anti"
             ).unionByName(latest)
-        if it_meta.get("quantized"):
-            cur = cur.withColumn(
-                it_meta["vec_col"],
-                S.dequantize_int8(F.col("_q8"), F.col("_q8_scale")),
-            ).drop("_q8", "_q8_scale")
-        return cur
+        return S.vq_decode_cols(cur, it_meta)
 
     def vector_index_staleness(self, index_item: str) -> dict:
         """Centroid-staleness audit for an IVF index:
@@ -4359,7 +4407,35 @@ class Collection:
             n_cells=int(it_meta["n_cells"]), n_iters=iters,
         )
         assigned = S._assign_cells(cur, vec_col, cents, with_dist=True)
-        if it_meta.get("quantized"):
+        new_books = None
+        if it_meta.get("quantized") == "pq":
+            # retrain the per-subspace codebooks alongside the coarse
+            # centroids (the index is rebuilt anyway); training reads
+            # the RECONSTRUCTED vectors — information already lost to
+            # quantization stays lost, same property as the int8
+            # tier's dequantized retrain
+            new_books = S.train_pq_codebooks(
+                cur, vec_col, id_col,
+                m=int(it_meta.get("pq_m", 8)),
+                n_cells=int(it_meta.get("pq_cells", 16)),
+                n_iters=iters,
+            )
+            assigned = S.pq_encode(
+                assigned.drop("_cdist"), vec_col, new_books
+            )
+            rt = S.vq_decode_cols(
+                assigned,
+                {
+                    "quantized": "pq", "vec_col": vec_col,
+                    "pq_codebooks": new_books,
+                },
+            )
+            stats = S.ivf_cell_stats(
+                S._assign_cells(
+                    rt.select(vec_col), vec_col, cents, with_dist=True
+                )
+            )
+        elif it_meta.get("quantized"):
             # stats in the quantized domain — the staleness audit's
             # own signal (see build_vector_index / ADVICE r10)
             assigned = S.quantized_select(
@@ -4375,6 +4451,11 @@ class Collection:
             build_stats=stats,
             retrained_at=datetime.now(timezone.utc).isoformat(),
             n_retrains=int(it_meta.get("n_retrains", 0)) + 1,
+            **(
+                {"pq_codebooks": new_books}
+                if new_books is not None
+                else {}
+            ),
         )
         self.write(
             index_item,
@@ -4460,13 +4541,10 @@ class Collection:
             # distinct — semi-join semantics already ignore duplicate
             # right-side keys; deduping first would add an exchange)
             cand = cand.join(allowed.select(idc), idc, "left_semi")
-        if meta.get("quantized"):
-            # decode the int8 codes for the (pruned) candidates only —
-            # the scan stays 4× lighter, scoring is unchanged
-            cand = cand.withColumn(
-                meta["vec_col"],
-                S.dequantize_int8(F.col("_q8"), F.col("_q8_scale")),
-            ).drop("_q8", "_q8_scale")
+        # decode the compressed candidates only (int8 dequantize or PQ
+        # codebook reconstruction) — the scan stays 4×/16-32× lighter,
+        # scoring is unchanged
+        cand = S.vq_decode_cols(cand, meta)
         return S.ivf_topk(
             cand,
             qa,

@@ -829,3 +829,44 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(qid, id_col, "rank", "dist")
     )
+
+
+def vq_encode_select(df: DataFrame, meta: dict) -> DataFrame:
+    """Tier-dispatched vector compression for a persistent index
+    frame: ``quantized`` in the index sidecar is False (float),
+    True/"int8" (symmetric per-vector int8 — :func:`quantized_select`)
+    or ``"pq"`` (product-quantization codes — :func:`pq_encode` with
+    the persisted codebooks). One entry point so the base build, the
+    delta append, and the retrain can never drift in schema."""
+    mode = meta.get("quantized")
+    if not mode:
+        return df
+    if mode == "pq":
+        books = [
+            [[float(x) for x in cent] for cent in cb]
+            for cb in meta["pq_codebooks"]
+        ]
+        return pq_encode(df, meta["vec_col"], books)
+    return quantized_select(df, meta["vec_col"])
+
+
+def vq_decode_cols(df: DataFrame, meta: dict) -> DataFrame:
+    """Inverse of :func:`vq_encode_select`: restore the float vector
+    column of a quantized index frame (int8 dequantize or PQ codebook
+    reconstruction) — the shared read for search candidates, the
+    staleness audit, and the retrain."""
+    mode = meta.get("quantized")
+    vec_col = meta["vec_col"]
+    if not mode:
+        return df
+    if mode == "pq":
+        books = [
+            [[float(x) for x in cent] for cent in cb]
+            for cb in meta["pq_codebooks"]
+        ]
+        return df.withColumn(
+            vec_col, pq_decode_col(F.col("_pq"), books)
+        ).drop("_pq")
+    return df.withColumn(
+        vec_col, dequantize_int8(F.col("_q8"), F.col("_q8_scale"))
+    ).drop("_q8", "_q8_scale")
