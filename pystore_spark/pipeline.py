@@ -227,6 +227,61 @@ class CurationPipeline:
         self._stages.append((name, _GLOBAL, g))
         return self
 
+    def filter_image_content(
+        self,
+        media_col: str = "payload",
+        min_entropy: float = 0.0,
+        min_width: int = 0,
+        min_height: int = 0,
+        drop_undecodable: bool = False,
+    ):
+        """Gate image rows on PIXEL CONTENT, not just container
+        headers: blank/near-constant images (entropy below
+        ``min_entropy`` bits) and sub-threshold dimensions drop — the
+        image-side analog of the text quality gates, possible because
+        PNG payloads fully decode in-process
+        (functions/multimodal.decode_png_pixels). Payloads that need
+        a codec library (JPEG entropy data, ...) PASS by default —
+        content unknown is not content bad; set
+        ``drop_undecodable=True`` for a PNG-only corpus. Arrow-batched
+        ``mapInPandas``, schema unchanged, no shuffle."""
+        from pystore_spark.functions import multimodal as M
+
+        col = media_col
+
+        def g(df: DataFrame) -> DataFrame:
+            schema = df.schema
+
+            def run(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        yield pdf
+                        continue
+
+                    def ok(payload) -> bool:
+                        if payload is None:
+                            return False
+                        try:
+                            px = M.decode_png_pixels(bytes(payload))
+                        except Exception:
+                            return not drop_undecodable
+                        h, w, _ = px.shape
+                        if w < min_width or h < min_height:
+                            return False
+                        st = M._content_stats(px)
+                        return st["entropy"] >= min_entropy
+
+                    yield pdf[pdf[col].map(ok)]
+
+            return df.mapInPandas(run, schema)
+
+        name = (
+            f"image_content[entropy>={min_entropy},"
+            f"{min_width}x{min_height}]"
+        )
+        self._stages.append((name, _GLOBAL, g))
+        return self
+
     # ------------------------------------------------------------------
     # row-local transforms
     # ------------------------------------------------------------------

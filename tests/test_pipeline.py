@@ -367,3 +367,34 @@ def test_filter_decodable_gates_on_real_headers(spark):
     assert got2 == [0, 1]
     # schema unchanged (row-preserving mapInPandas gate)
     assert p2.dataframe().columns == ["doc_id", "text", "payload"]
+
+
+def test_filter_image_content_gates_on_pixels(spark):
+    """filter_image_content drops blank/low-entropy and undersized
+    images from DECODED pixels; codec-bound payloads pass by default
+    (content unknown is not content bad) and drop only when asked."""
+    from pystore_spark.functions import multimodal as M
+
+    rows = [
+        (0, "img", M.write_png(16, 16, lambda x, y: 99), None),     # blank
+        (1, "img", M.write_png(16, 16, lambda x, y: (x * 16 + y) % 256), None),
+        (2, "img", M.write_png(4, 4, lambda x, y: (x * 4 + y) % 256), None),  # tiny
+        (3, "img", M.write_jpeg_headers(64, 64), None),             # codec-bound
+    ]
+    docs = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    p = CurationPipeline(docs).filter_image_content(
+        "payload", min_entropy=1.0, min_width=8, min_height=8
+    )
+    kept = {r["media_id"] for r in p.dataframe().collect()}
+    assert kept == {1, 3}  # gradient survives; jpeg passes unjudged
+    fun = {
+        r["stage"]: r["n_surviving"] for r in p.funnel().collect()
+    }
+    assert fun["image_content[entropy>=1.0,8x8]"] == 2
+
+    p2 = CurationPipeline(docs).filter_image_content(
+        "payload", min_entropy=1.0, min_width=8, min_height=8,
+        drop_undecodable=True,
+    )
+    kept2 = {r["media_id"] for r in p2.dataframe().collect()}
+    assert kept2 == {1}
