@@ -47,6 +47,10 @@ ALLOWED_SCALAR_JOIN = {
     # 1-row bigram-type-total T broadcast into the vocabulary-scaled
     # KN model frame (queries_ext.kneser_ney_logprob)
     "kneser_ney_logprob",
+    # driver-sized query LUTs (3 rows) broadcast-crossed against the
+    # PQ codes frame — the intended ADC scoring shape (every
+    # candidate scores against every query; similarity.pq_adc_topk)
+    "pq_adc_topk",
 }
 
 
