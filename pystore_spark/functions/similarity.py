@@ -774,10 +774,12 @@ def pq_adc_topk(
     and each candidate's distance is the sum of m ``element_at``
     lookups selected by its codes — ``zip_with`` + ``aggregate``,
     whole-stage-codegen JVM, no UDF and no full-width shuffle (the
-    codes frame streams; ranking shuffles (q_id, id, dist) only).
-    Distance folds are sequential left folds, so a SQL oracle
-    reproduces them bit-for-bit. Returns
-    ``(q_id, <id_col>, rank, dist)``."""
+    codes frame streams; ranking shuffles (q_id, id, dist) only, and
+    the rank filter plans a map-side ``WindowGroupLimit`` — each task
+    forwards at most k rows per query, so the exchange carries
+    O(k·queries·tasks), never the corpus). Distance folds are
+    sequential left folds, so a SQL oracle reproduces them
+    bit-for-bit. Returns ``(q_id, <id_col>, rank, dist)``."""
     qid = query_id_col or f"q_{id_col}"
     n_cells = max(len(cb) for cb in codebooks)
     m = len(codebooks)
