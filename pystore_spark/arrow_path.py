@@ -592,14 +592,17 @@ def try_append(
     data_cols = [c for c in dataset.schema.names if c != PARTITION_COL]
 
     # schema compatibility — same check & message as the Spark path
-    # (the reserved stamped ordinal is merge plumbing, not schema)
+    # (the reserved stamped ordinal is merge plumbing, not schema —
+    # exempt ONLY when order_col names it and merge will strip it)
     from pystore_spark.merge import INPUT_ORD_COL
 
+    ord_exempt = order_col == INPUT_ORD_COL
     missing = [c for c in data_cols if c not in inc_tbl.column_names]
     extra = [
         c
         for c in inc_tbl.column_names
-        if c not in data_cols and c != INPUT_ORD_COL
+        if c not in data_cols
+        and not (c == INPUT_ORD_COL and ord_exempt)
     ]
     if validate_schema and (missing or extra):
         raise ValidationError(

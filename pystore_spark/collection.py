@@ -1023,13 +1023,19 @@ class Collection:
         elif validate_schema:
             from pystore_spark.merge import INPUT_ORD_COL
 
+            # the reserved stamped ordinal is merge plumbing (the
+            # dedup-ingest determinism stamp) and is exempt ONLY when
+            # the merge will actually strip it (order_col names it) —
+            # a user column that merely shares the name still raises
+            ord_exempt = (
+                kwargs.get("order_col") == INPUT_ORD_COL
+            )
             missing = [c for c in ex_cols if c not in incoming.columns]
             extra = [
                 c
                 for c in incoming.columns
-                if c not in ex_cols and c != INPUT_ORD_COL
-                # the reserved stamped ordinal is merge plumbing (the
-                # dedup-ingest determinism stamp) — merge strips it
+                if c not in ex_cols
+                and not (c == INPUT_ORD_COL and ord_exempt)
             ]
             if missing or extra:
                 raise ValidationError(
@@ -4052,6 +4058,8 @@ class Collection:
             raise ValueError(
                 f"pq_cells must be in [2, 256], got {pq_cells}"
             )
+        if quantize == "pq" and int(pq_m) < 1:
+            raise ValueError(f"pq_m must be >= 1, got {pq_m}")
 
         source_items: list[str] = []
         if isinstance(source, str):
@@ -5747,18 +5755,30 @@ class Collection:
             # bpe_token_counts — Python confined to the Zipf-bounded
             # vocab, counts back via a broadcastable join), never the
             # per-row UDF, which stays for streaming micro-batches
-            # (round-10 verdict #3). The helper column drops after
-            # packing so shard bytes are unchanged.
+            # (round-10 verdict #3). The count depends on the TEXT
+            # alone, so the join keys on a null-safe text hash against
+            # a DISTINCT-text counts frame — many-to-one by
+            # construction: duplicate ids cannot multiply rows and
+            # null-id rows cannot vanish (an id-keyed inner join did
+            # both). Helper columns drop after packing so shard bytes
+            # are unchanged.
             from pystore_spark.functions.bpe import bpe_token_counts
 
+            tkey = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+            sharded = sharded.withColumn("_bpe_tkey", tkey)
             counts = bpe_token_counts(
-                sharded, text_col=text_col, id_col=id_col
+                sharded.select(
+                    F.col("_bpe_tkey"), F.col(text_col)
+                ).dropDuplicates(["_bpe_tkey"]),
+                text_col=text_col,
+                id_col="_bpe_tkey",
             )
             sharded = sharded.join(
                 counts.select(
-                    id_col, F.col("n_bpe_tokens").alias("_bpe_n")
+                    "_bpe_tkey",
+                    F.col("n_bpe_tokens").alias("_bpe_n"),
                 ),
-                on=id_col,
+                on="_bpe_tkey",
             )
             token_col = F.col("_bpe_n").cast("bigint")
         if pack_budget:
@@ -5779,7 +5799,7 @@ class Collection:
                 order_cols=["shard_pos", id_col],
             )
         if bpe_batch:
-            sharded = sharded.drop("_bpe_n")
+            sharded = sharded.drop("_bpe_n", "_bpe_tkey")
         return sharded.repartition(
             n_shards, "shard"
         ).sortWithinPartitions("shard", "shard_pos", id_col)
@@ -6056,9 +6076,20 @@ class Collection:
                 # it just can't push into the parquet reader
                 return df.filter(key_expr.isin(vals)), "expr_isin"
             return df.filter(F.col(id_col).isin(vals)), "isin"
-        if (
-            keys.count() <= config.EXPORT_PRUNE_BROADCAST_CAP
-        ):
+        # broadcast-tier gate: the key count is bounded by the
+        # affected shards' persisted row counts (the sidecar map —
+        # matches corpus docs per shard for unsplit exports, a
+        # conservative chunk-count overestimate for split ones; new
+        # changed docs add at most the driver-bounded change set), so
+        # no extra id-scan job runs at exactly the scale the tiers
+        # exist for; legacy exports without the map pay one count()
+        # of the column-pruned keys
+        sr = em.get("shard_rows") or {}
+        if sr:
+            n_keys = sum(int(sr.get(str(s), 0)) for s in aff)
+        else:
+            n_keys = keys.count()
+        if n_keys <= config.EXPORT_PRUNE_BROADCAST_CAP:
             right = F.broadcast(
                 keys.select(F.col(keys.columns[0]).alias("_prune_key"))
             )

@@ -883,9 +883,22 @@ def append_with_dedup(
                     # a pre-join input-order ordinal and rank by it
                     # (merge strips it; round-10 verdict #4). The
                     # ingest knows its own batch: no caller action,
-                    # no nondeterminism warning.
-                    from pystore_spark.merge import INPUT_ORD_COL
+                    # no nondeterminism warning for a well-ordered
+                    # input. If the CALLER's batch plan is itself
+                    # shuffle-derived, the stamp pins only this run's
+                    # arbitrary layout — surface the original warning
+                    # so the caller knows to pass order_col=.
+                    from pystore_spark.merge import (
+                        INPUT_ORD_COL,
+                        _warn_if_order_unreliable,
+                    )
 
+                    if append_kwargs.get(
+                        "duplicate_handling", "keep_last"
+                    ) in ("keep_first", "keep_last"):
+                        _warn_if_order_unreliable(
+                            data, "append_dedup input"
+                        )
                     kept_data = _drop_anti(
                         data.withColumn(
                             INPUT_ORD_COL,

@@ -669,7 +669,11 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
                         kind="png", width=w, height=h, channels=ch,
                         **_content_stats(px),
                     )
-                except (NotImplementedError, ValueError) as exc:
+                except Exception as exc:  # noqa: BLE001 — the
+                    # keep-and-flag contract: truncated/corrupt
+                    # bytes raise struct.error / zlib.error /
+                    # IndexError from inside the decoders, and a
+                    # single bad row must flag, never kill the job
                     base["error"] = str(exc)
                 rows.append(base)
             yield pd.DataFrame(rows)
@@ -715,7 +719,11 @@ def audio_sample_stats(df: DataFrame) -> DataFrame:
                         channels=int(samples.shape[1]),
                         **_content_stats(samples),
                     )
-                except (NotImplementedError, ValueError) as exc:
+                except Exception as exc:  # noqa: BLE001 — the
+                    # keep-and-flag contract: truncated/corrupt
+                    # bytes raise struct.error / zlib.error /
+                    # IndexError from inside the decoders, and a
+                    # single bad row must flag, never kill the job
                     base["error"] = str(exc)
                 rows.append(base)
             yield pd.DataFrame(rows)
@@ -763,7 +771,11 @@ def resize_images(
                         (np.arange(width) * w) // width, w - 1
                     )
                     payloads.append(encode_png(px[ys][:, xs]))
-                except (NotImplementedError, ValueError) as exc:
+                except Exception as exc:  # noqa: BLE001 — the
+                    # keep-and-flag contract: truncated/corrupt
+                    # bytes raise struct.error / zlib.error /
+                    # IndexError from inside the decoders, and a
+                    # single bad row must flag, never kill the job
                     meta["resize_error"] = str(exc)
                     payloads.append(payload)
                 metas.append(meta)

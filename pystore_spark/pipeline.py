@@ -260,7 +260,8 @@ class CurationPipeline:
 
                     def ok(payload) -> bool:
                         if payload is None:
-                            return False
+                            # content unknown, like codec-bound bytes
+                            return not drop_undecodable
                         try:
                             px = M.decode_png_pixels(bytes(payload))
                         except Exception:

@@ -187,3 +187,24 @@ def test_append_epochdate_item(test_collection):
     assert len(out) == 8
     assert isinstance(out.index, pd.DatetimeIndex)
     assert out.loc[pd.Timestamp("2024-01-04"), "value"] == 100.0
+
+
+def test_user_column_named_ord_input_still_raises(test_collection):
+    """The reserved merge ordinal (_ord_input) is schema-exempt ONLY
+    when order_col names it (the dedup-ingest stamp, which merge
+    strips). A user column that merely shares the name must still
+    raise ValidationError — never silently widen the stored schema."""
+    import pandas as pd
+    import pytest
+
+    from pystore_spark.exceptions import ValidationError
+
+    c = test_collection
+    idx = pd.date_range("2024-01-01", periods=4, freq="D")
+    c.write("g", pd.DataFrame({"v": [1.0, 2, 3, 4]}, index=idx))
+    bad = pd.DataFrame(
+        {"v": [5.0], "_ord_input": [1]},
+        index=pd.DatetimeIndex([idx[-1] + pd.Timedelta(days=1)]),
+    )
+    with pytest.raises(ValidationError, match="_ord_input"):
+        c.append("g", bad)

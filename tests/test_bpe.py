@@ -378,3 +378,43 @@ def test_property_engine_equals_reference_on_random_words():
                 assert "".join(got) == w  # lossless segmentation
 
     check()
+
+
+def test_export_bpe_counts_row_preserving_on_duplicate_ids(
+    test_collection, spark
+):
+    """The batch BPE count join keys on a text hash against a
+    DISTINCT-text counts frame — many-to-one by construction: stored
+    duplicate ids must neither multiply export rows nor inflate
+    n_tokens (an id-keyed inner join did both)."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2],
+            "text": [
+                "same text here",
+                "same text here",
+                "another document with more words",
+            ],
+        }
+    )
+    c = test_collection
+    c.write("bpc", spark.createDataFrame(docs), npartitions=1)
+    assert c.item("bpc").data.count() == 3  # dups stored as-is
+    c.export_training_shards(
+        "bpc_exp", "bpc", id_col="doc_id", n_shards=2,
+        pack_budget=30, token_counter="bpe",
+    )
+    out = c.item("bpc_exp").data.toPandas()
+    assert len(out) == 3  # row-preserving
+    truth = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in B.bpe_token_counts(
+            c.item("bpc").data.dropDuplicates(["doc_id"]),
+            "text", "doc_id",
+        ).collect()
+    }
+    for _, r in out.iterrows():
+        assert r["n_tokens"] == truth[r["doc_id"]], r["doc_id"]
+    assert "_bpe_tkey" not in out.columns

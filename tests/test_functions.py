@@ -1210,3 +1210,36 @@ def test_pq_recall_vs_exact_l2(spark):
     # structure to exploit). The floor pins regressions, not quality;
     # real embedding corpora cluster and recall rises with them.
     assert hits / total >= 0.35, hits / total
+
+
+def test_pixel_stats_keep_and_flag_on_corrupt_bytes(spark):
+    """Keep-and-flag must survive ARBITRARY garbage, not just the
+    decoders' own ValueErrors: truncated IHDR (struct.error), corrupt
+    IDAT (zlib.error), and short buffers (IndexError) all surface as
+    error rows — one bad payload never kills the job."""
+    good = M.write_png(8, 8)
+    rows = [
+        (0, "img", good, None),
+        (1, "img", good[:20], None),              # truncated IHDR
+        (2, "img", good[:40] + b"\x00" * 30, None),  # corrupt IDAT
+        (3, "img", b"\x89PNG\r\n\x1a\n\x00\x00", None),  # tiny
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    stats = {
+        r["media_id"]: r for r in M.image_pixel_stats(df).collect()
+    }
+    assert stats[0]["error"] is None and stats[0]["width"] == 8
+    for i in (1, 2, 3):
+        assert stats[i]["error"], i
+    out = {
+        r["media_id"]: r
+        for r in M.resize_images(df, 4, 4).collect()
+    }
+    assert "resize_error" in out[1]["meta"]
+    # audio: truncated fmt chunk flags too
+    bad_wav = b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01"
+    adf = spark.createDataFrame(
+        [(9, "aud", bad_wav, None)], M.MEDIA_SCHEMA
+    )
+    (arow,) = M.audio_sample_stats(adf).collect()
+    assert arow["error"]

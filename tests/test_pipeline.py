@@ -380,17 +380,19 @@ def test_filter_image_content_gates_on_pixels(spark):
         (1, "img", M.write_png(16, 16, lambda x, y: (x * 16 + y) % 256), None),
         (2, "img", M.write_png(4, 4, lambda x, y: (x * 4 + y) % 256), None),  # tiny
         (3, "img", M.write_jpeg_headers(64, 64), None),             # codec-bound
+        (4, "img", None, None),                                     # no payload
     ]
     docs = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     p = CurationPipeline(docs).filter_image_content(
         "payload", min_entropy=1.0, min_width=8, min_height=8
     )
     kept = {r["media_id"] for r in p.dataframe().collect()}
-    assert kept == {1, 3}  # gradient survives; jpeg passes unjudged
+    # gradient survives; jpeg and NULL payload pass unjudged
+    assert kept == {1, 3, 4}
     fun = {
         r["stage"]: r["n_surviving"] for r in p.funnel().collect()
     }
-    assert fun["image_content[entropy>=1.0,8x8]"] == 2
+    assert fun["image_content[entropy>=1.0,8x8]"] == 3
 
     p2 = CurationPipeline(docs).filter_image_content(
         "payload", min_entropy=1.0, min_width=8, min_height=8,
