@@ -3296,6 +3296,32 @@ class Collection:
             "n_versions_readable": len(
                 [h for h in self.history(item) if h["readable"]]
             ),
+            **(
+                {
+                    # compression tier of a vector index (False /
+                    # True=int8 / "pq") + its geometry — what an
+                    # operator checks before sizing a search
+                    "vector_index": {
+                        "quantized": (meta["_vector_index"] or {}).get(
+                            "quantized", False
+                        ),
+                        "n_cells": (meta["_vector_index"] or {}).get(
+                            "n_cells"
+                        ),
+                        "pq_m": (meta["_vector_index"] or {}).get(
+                            "pq_m"
+                        ),
+                        "pq_cells": (meta["_vector_index"] or {}).get(
+                            "pq_cells"
+                        ),
+                        "n_retrains": (meta["_vector_index"] or {}).get(
+                            "n_retrains", 0
+                        ),
+                    }
+                }
+                if meta.get("_vector_index")
+                else {}
+            ),
         }
 
     def item_size_bytes(self, item: str) -> int:

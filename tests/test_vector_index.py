@@ -589,3 +589,16 @@ def test_pq_index_tier_end_to_end(test_collection, emb):
         c.build_vector_index(
             "bad", emb, quantize="int4", overwrite=True
         )
+
+
+def test_describe_reports_vector_index_tier(test_collection, emb):
+    c = test_collection
+    c.build_vector_index(
+        "dq", emb, n_cells=4, quantize="pq", pq_m=8, pq_cells=16
+    )
+    d = c.describe("dq")
+    assert d["roles"].get("vector_index")
+    vi = d["vector_index"]
+    assert vi["quantized"] == "pq"
+    assert vi["pq_m"] == 8 and vi["pq_cells"] == 16
+    assert vi["n_cells"] == 4 and vi["n_retrains"] == 0
