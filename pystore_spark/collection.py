@@ -29,6 +29,7 @@ from typing import Any, Callable, Iterable, Mapping, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as SparkWindow
 from pyspark.sql import functions as F
 
 from pystore_spark import utils
@@ -4515,6 +4516,8 @@ class Collection:
         nprobe: int = 1,
         query_id_col: str | None = None,
         allowed: DataFrame | None = None,
+        rerank: bool = True,
+        rerank_factor: int = 10,
     ) -> DataFrame:
         """ANN top-k against a :meth:`build_vector_index` item:
         queries are assigned their ``nprobe`` nearest cells from the
@@ -4531,7 +4534,21 @@ class Collection:
         semi-join against it BEFORE ranking, so every query still gets
         k survivors from within the filter, not k-minus-filtered —
         the standard pre-filter formulation; at high selectivity raise
-        ``nprobe`` to keep recall."""
+        ``nprobe`` to keep recall.
+
+        PQ tier — IVFADC+rerank (Jegou et al. 2011): candidates in the
+        probed cells are scored on their CODES via the broadcast
+        per-query LUT sum (:func:`similarity.pq_adc_cell_topk`), never
+        decoded in bulk — at dim=64/m=8 that is ~16× less arithmetic
+        and no array<double> materialization per candidate. With
+        ``rerank=True`` (default) only the ADC top ``k*rerank_factor``
+        per query are decoded and re-scored with exact cosine, so the
+        result matches the full-reconstruction path whenever the true
+        top-k sits inside the shortlist (pinned by tests at
+        rerank_factor=10). ``rerank=False`` returns pure-ADC ranking
+        with ``score = -L2²(query, reconstruction)`` rounded to 6
+        (higher = closer) — cheapest, recall measured in BENCH_PQ.
+        Both knobs are ignored for float/int8 tiers."""
         from pystore_spark.functions import similarity as S
 
         it = self.item(index_item)
@@ -4575,15 +4592,78 @@ class Collection:
             # distinct — semi-join semantics already ignore duplicate
             # right-side keys; deduping first would add an exchange)
             cand = cand.join(allowed.select(idc), idc, "left_semi")
-        # decode the compressed candidates only (int8 dequantize or PQ
-        # codebook reconstruction) — the scan stays 4×/16-32× lighter,
-        # scoring is unchanged
+        vec_col, idc = meta["vec_col"], meta["id_col"]
+        if meta.get("quantized") == "pq":
+            # ADC path: rank on codes (LUT sums), decode at most the
+            # per-query shortlist — never the probed cells in bulk
+            books = [
+                [[float(x) for x in cent] for cent in cb]
+                for cb in meta["pq_codebooks"]
+            ]
+            qid = query_id_col or f"q_{idc}"
+            c = max(k, int(k) * int(rerank_factor)) if rerank else k
+            shortlist = S.pq_adc_cell_topk(
+                cand, qa, vec_col, idc, "cell", books,
+                k=c, query_id_col=qid,
+            )
+            if not rerank:
+                return shortlist.select(
+                    qid, idc,
+                    F.round(-F.col("dist"), 6).alias("score"),
+                )
+            # exact rerank of the decoded shortlist. The shortlist is
+            # |queries|·c rows — driver-bounded by construction, so it
+            # is collected ONCE (the method is already eager on the
+            # probed-cell set) rather than recomputing the ADC scan
+            # for both the pair frame and the decode semi-join.
+            sl_rows = shortlist.select(qid, idc).collect()
+            spark = cand.sparkSession
+            pairs = F.broadcast(
+                spark.createDataFrame(
+                    [(r[qid], r[idc]) for r in sl_rows],
+                    schema=shortlist.select(qid, idc).schema,
+                )
+            )
+            # broadcast semi-join (not a giant In() literal — the
+            # export-prune bench showed thousands of literals cost
+            # more to plan than they save)
+            dec = S.vq_decode_cols(
+                cand.join(
+                    F.broadcast(pairs.select(idc).distinct()),
+                    idc, "left_semi",
+                ).select(idc, "_pq"),
+                meta,
+            )
+            qv = F.broadcast(
+                queries.select(
+                    F.col(idc).alias(qid), F.col(vec_col).alias("_qvec")
+                )
+            )
+            scored = (
+                pairs.join(dec, idc).join(qv, qid)
+                .select(
+                    qid, idc,
+                    F.round(
+                        S.cosine(F.col("_qvec"), F.col(vec_col)), 6
+                    ).alias("score"),
+                )
+            )
+            w = SparkWindow.partitionBy(qid).orderBy(
+                F.col("score").desc(), F.col(idc)
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .drop("rank")
+            )
+        # int8 dequantizes on the fly; float passes through — the scan
+        # stays 4× lighter, scoring unchanged
         cand = S.vq_decode_cols(cand, meta)
         return S.ivf_topk(
             cand,
             qa,
-            meta["vec_col"],
-            meta["id_col"],
+            vec_col,
+            idc,
             "cell",
             k=k,
             query_id_col=query_id_col,

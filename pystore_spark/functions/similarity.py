@@ -782,23 +782,11 @@ def pq_adc_topk(
     bit-for-bit. Returns ``(q_id, <id_col>, rank, dist)``."""
     qid = query_id_col or f"q_{id_col}"
     n_cells = max(len(cb) for cb in codebooks)
-    m = len(codebooks)
     qrows = queries.select(id_col, vec_col).collect()
-    rows = []
-    for r in qrows:
-        q = [float(x) for x in r[vec_col]]
-        lut, off = [], 0
-        for cb in codebooks:
-            d_sub = len(cb[0])
-            qs = q[off:off + d_sub]
-            for cent in cb:
-                s = 0.0
-                for a, b in zip(qs, cent):
-                    s += (a - b) * (a - b)
-                lut.append(s)
-            lut.extend([0.0] * (n_cells - len(cb)))  # ragged pad
-            off += d_sub
-        rows.append((r[id_col], lut))
+    rows = [
+        (r[id_col], _pq_lut(r[vec_col], codebooks, n_cells))
+        for r in qrows
+    ]
     spark = codes_df.sparkSession
     qdf = spark.createDataFrame(
         rows,
@@ -807,18 +795,7 @@ def pq_adc_topk(
             "_lut array<double>"
         ),
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("_pq"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.element_at(
-                F.col("_lut"),
-                (j * n_cells + c.cast("int") + 1).cast("int"),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dist = _pq_adc_dist(len(codebooks), n_cells)
     scored = (
         codes_df.crossJoin(F.broadcast(qdf))
         .select(qid, id_col, dist.alias("dist"))
@@ -830,6 +807,100 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid, id_col, "rank", "dist")
+    )
+
+
+def _pq_lut(qvec, codebooks: list[list[list[float]]],
+            n_cells: int) -> list[float]:
+    """Flattened per-query ADC lookup table: for subspace j and code c,
+    entry ``j*n_cells + c`` is ``||q_j − codebook_j[c]||²``; ragged
+    codebooks pad with 0.0 so ``element_at`` indexing stays uniform."""
+    q = [float(x) for x in qvec]
+    lut, off = [], 0
+    for cb in codebooks:
+        d_sub = len(cb[0])
+        qs = q[off:off + d_sub]
+        for cent in cb:
+            s = 0.0
+            for a, b in zip(qs, cent):
+                s += (a - b) * (a - b)
+            lut.append(s)
+        lut.extend([0.0] * (n_cells - len(cb)))  # ragged pad
+        off += d_sub
+    return lut
+
+
+def _pq_adc_dist(m: int, n_cells: int) -> Column:
+    """ADC distance Column over a ``_pq`` codes column and a broadcast
+    ``_lut`` column: sequential left fold of the m table lookups (so a
+    SQL oracle folding in the same order hash-matches)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("_pq"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(
+                F.col("_lut"),
+                (j * n_cells + c.cast("int") + 1).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_adc_cell_topk(
+    codes_df: DataFrame,
+    qa: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Cell-restricted ADC top-k — the IVFADC search kernel
+    (Jegou et al. 2011, public): ``qa`` is the probe-cell frame from
+    :func:`assign_probe_cells` (one row per query × probed cell,
+    driver-sized by construction), collected once to build each
+    query's broadcast LUT; candidates join on cell equality (never a
+    cross join), are scored by the m-lookup LUT sum WITHOUT decoding
+    the codes to floats, and rank per query with a map-side
+    ``WindowGroupLimit``. This is the cheap shortlist stage of
+    IVFADC+rerank: only the ≤k survivors per query ever get decoded.
+    Self-matches (candidate id == query id) are excluded, matching
+    :func:`ivf_topk`. Returns ``(q_id, <id_col>, dist)``."""
+    qid = query_id_col or f"q_{id_col}"
+    n_cells = max(len(cb) for cb in codebooks)
+    qrows = qa.select(id_col, vec_col, cell_col).collect()
+    seen: dict = {}
+    rows = []
+    for r in qrows:
+        key = r[id_col]
+        if key not in seen:
+            seen[key] = _pq_lut(r[vec_col], codebooks, n_cells)
+        rows.append((key, int(r[cell_col]), seen[key]))
+    spark = codes_df.sparkSession
+    qdf = spark.createDataFrame(
+        rows,
+        schema=(
+            f"{qid} {qa.schema[id_col].dataType.simpleString()}, "
+            "_qcell int, _lut array<double>"
+        ),
+    )
+    codes_df = widen_parallelism(codes_df)
+    dist = _pq_adc_dist(len(codebooks), n_cells)
+    scored = codes_df.join(
+        F.broadcast(qdf),
+        (F.col(cell_col) == F.col("_qcell"))
+        & (F.col(id_col) != F.col(qid)),
+    ).select(qid, id_col, dist.alias("dist"))
+    w = Window.partitionBy(qid).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, id_col, "dist")
     )
 
 

@@ -602,3 +602,116 @@ def test_describe_reports_vector_index_tier(test_collection, emb):
     assert vi["quantized"] == "pq"
     assert vi["pq_m"] == 8 and vi["pq_cells"] == 16
     assert vi["n_cells"] == 4 and vi["n_retrains"] == 0
+
+
+def test_pq_search_adc_rerank_matches_reconstruction(
+    test_collection, emb
+):
+    """IVFADC+rerank ≡ the full-reconstruction path (decode every
+    probed candidate, cosine-rank) on this corpus at the default
+    rerank_factor: the ADC shortlist is wide enough that the true
+    cosine top-k of the reconstructions always survives, so wiring
+    ADC in changed the PLAN, not the answers."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pystore_spark.functions import similarity as S
+
+    c = test_collection
+    c.build_vector_index(
+        "pq_adc", emb, n_cells=4, n_iters=2,
+        quantize="pq", pq_m=8, pq_cells=16,
+    )
+    meta = c.get_item_metadata("pq_adc")["_vector_index"]
+    q = emb.filter("vec_id < 8")
+    got = (
+        c.search_vector_index("pq_adc", q, k=5, nprobe=2)
+        .toPandas()
+        .sort_values(["q_vec_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    # reference: the pre-r12 reconstruction path, rebuilt inline —
+    # decode ALL probed candidates, then exact cosine ivf_topk
+    cents = [[float(x) for x in cc] for cc in meta["centroids"]]
+    qa = S.assign_probe_cells(q, "embedding", cents, nprobe=2)
+    cells = sorted(
+        r["cell"] for r in qa.select("cell").distinct().collect()
+    )
+    cand = c.item("pq_adc").data.filter(F.col("cell").isin(cells))
+    cand = S.vq_decode_cols(cand, meta)
+    want = (
+        S.ivf_topk(cand, qa, "embedding", "vec_id", "cell", k=5)
+        .toPandas()
+        .sort_values(["q_vec_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pq_search_plan_no_bulk_decode(test_collection, emb):
+    """The ranking stage of a PQ search never decodes codes to floats:
+    rerank=False plans contain NO codebook reconstruction (the
+    `flatten` that pq_decode_col emits), and the ADC shortlist kernel
+    itself is decode-free — decode happens only for the ≤k·factor
+    shortlisted rows behind a broadcast semi-join."""
+    from pystore_spark.functions import similarity as S
+
+    c = test_collection
+    c.build_vector_index(
+        "pq_plan", emb, n_cells=4, n_iters=2,
+        quantize="pq", pq_m=8, pq_cells=16,
+    )
+    meta = c.get_item_metadata("pq_plan")["_vector_index"]
+    q = emb.filter("vec_id < 3")
+
+    pure = c.search_vector_index(
+        "pq_plan", q, k=5, nprobe=2, rerank=False
+    )
+    plan = pure._jdf.queryExecution().optimizedPlan().toString()
+    assert "flatten" not in plan.lower()
+    assert pure.count() == 15  # still k per query
+
+    # the shortlist kernel (what rerank=True ranks with) is also
+    # decode-free
+    books = [
+        [[float(x) for x in cb2] for cb2 in cb]
+        for cb in meta["pq_codebooks"]
+    ]
+    cents = [[float(x) for x in cc] for cc in meta["centroids"]]
+    qa = S.assign_probe_cells(q, "embedding", cents, nprobe=2)
+    sl = S.pq_adc_cell_topk(
+        c.item("pq_plan").data, qa, "embedding", "vec_id", "cell",
+        books, k=50,
+    )
+    sl_plan = sl._jdf.queryExecution().optimizedPlan().toString()
+    assert "flatten" not in sl_plan.lower()
+
+    # rerank=True decodes — but only behind the shortlist semi-join
+    rr = c.search_vector_index("pq_plan", q, k=5, nprobe=2)
+    rr_plan = rr._jdf.queryExecution().optimizedPlan().toString()
+    assert "flatten" in rr_plan.lower()  # decode present...
+    assert "leftsemi" in rr_plan.lower().replace(" ", "")  # ...scoped
+
+
+def test_pq_search_rerank_off_recall(test_collection, emb):
+    """Pure-ADC ordering (rerank=False) keeps useful recall vs the
+    reranked exact ordering even on this worst-case (near-uniform)
+    corpus; the floor pins regressions."""
+    c = test_collection
+    c.build_vector_index(
+        "pq_rec", emb, n_cells=4, n_iters=2,
+        quantize="pq", pq_m=8, pq_cells=16,
+    )
+    q = emb.filter("vec_id < 10")
+    exact = c.search_vector_index("pq_rec", q, k=5, nprobe=2).toPandas()
+    adc = c.search_vector_index(
+        "pq_rec", q, k=5, nprobe=2, rerank=False
+    ).toPandas()
+    assert set(adc.columns) == {"q_vec_id", "vec_id", "score"}
+    assert adc.groupby("q_vec_id")["vec_id"].count().eq(5).all()
+    hits = 0
+    for qid in exact["q_vec_id"].unique():
+        a = set(exact[exact["q_vec_id"] == qid]["vec_id"])
+        b = set(adc[adc["q_vec_id"] == qid]["vec_id"])
+        hits += len(a & b)
+    assert hits / (5 * exact["q_vec_id"].nunique()) >= 0.2
