@@ -6131,8 +6131,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # rounds, demoted; the top-k frequency family stays evidenced
     # in-window by tfidf_top_terms)
     "datasource_read_probe",
+    # (encoding_quality_flags demoted round 12, 6 green rounds
+    # r06-r11 — the quality family keeps gopher_quality_flags +
+    # c4_quality_flags in-window)
     "gopher_quality_flags", "c4_quality_flags",
-    "encoding_quality_flags", "dsir_importance_weights",
+    "dsir_importance_weights",
     # round-9 rotation (VERDICT r8 item 5): bpe_token_stats demoted
     # (3 green rounds — token-count family keeps bpe_tokenize_counts
     # + bpe_encode_ids in-window)
@@ -6193,10 +6196,21 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # (approx_distinct_audit demoted round 9, 3 green rounds — the
     # sketch-audit family stays evidenced in-window by
     # histogram_percentile_probe + corpus_mix_report)
+    # (corpus_drift_psi demoted round 12, 6 green rounds r06-r11 —
+    # the corpus-reporting/sketch family keeps corpus_mix_report +
+    # histogram_percentile_probe in-window)
     "weighted_sample_topk", "mixture_plan",
     "pack_sequences", "shard_manifest",
-    "corpus_drift_psi", "corpus_mix_report",
+    "corpus_mix_report",
     "curation_funnel",
+    # ROUND-12 PROMOTIONS (VERDICT r11 item 2: the round-11 tail
+    # flagships had zero driver-scale CORRECTNESS rows): the full PNG
+    # encode∘decode path + pixel-content stats oracle-checked against
+    # the generating formula (the multimodal family's first driver
+    # row), and product quantization — per-subspace KMeans codebooks,
+    # m-code encoding, asymmetric-distance top-k with a JVM LUT fold
+    # (the kernel search_vector_index's PQ tier now ranks with)
+    "image_content_stats", "pq_adc_topk",
     # round-6 continuation flagship: change data feed, additive-mode
     # cost claim enforced in-probe (quality_funnel, 4 green rounds,
     # demoted; the funnel family stays evidenced in-window by
@@ -6297,19 +6311,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # LM-scoring family by kneser_ney_logprob (built on the counts'
     # own sufficient statistics — drift there fails it too)
     "dv_delete_probe", "kneser_ney_counts",
-    # round-11 tail addition: the full PNG encode∘decode path +
-    # pixel-content stats oracle-checked against the generating
-    # formula (the oracle never sees PNG bytes — a decode defect
-    # breaks the hash); the multimodal family's first hard
-    # correctness signal beyond pytest
-    "image_content_stats",
-    # round-11 tail addition: product quantization — per-subspace
-    # deterministic-KMeans codebooks, m-code encoding (the 16-32×
-    # vector-compression tier), and asymmetric-distance top-k with a
-    # JVM LUT fold; the oracle replays training/coding/LUT sums with
-    # bit-identical arithmetic (family siblings in-window:
-    # embedding_quantization_audit, ivf_staleness_stats)
-    "pq_adc_topk",
+    # round-12 demotions (VERDICT r11 item 2 rotation — each 6 green
+    # driver rounds r06-r11, families kept in-window as documented at
+    # the promotion sites above): quality family by
+    # gopher_quality_flags + c4_quality_flags; corpus-reporting/
+    # sketch family by corpus_mix_report + histogram_percentile_probe
+    "encoding_quality_flags", "corpus_drift_psi",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

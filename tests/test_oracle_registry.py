@@ -26,15 +26,17 @@ WINDOW = 50
 
 # window composition is rotated per round on judge direction; the sets
 # below pin the CURRENT intent so an accidental reorder fails loudly.
-# Round-11 promotions (VERDICT r10 item 2): the round-10 tail
-# flagships — the IVF centroid-staleness audit math and the
-# incremental shard refresh through real storage.
+# Round-12 promotions (VERDICT r11 item 2): the round-11 tail
+# flagships — PNG encode∘decode pixel-content stats and the PQ
+# asymmetric-distance top-k kernel.
 PROMOTED = {
-    "ivf_staleness_stats", "shard_refresh_probe",
+    "image_content_stats", "pq_adc_topk",
 }
 # earlier-round promotions/retentions that keep their window slot
 # (their family has no redundant sibling in-window)
 RETAINED = {
+    # round-11 promotions, kept (1 green round each)
+    "ivf_staleness_stats", "shard_refresh_probe",
     # round-10 promotions, kept (1 green round each)
     "decontam_registry_probe", "bm25_index_probe",
     "bm25_multiquery_topk",
@@ -51,10 +53,10 @@ RETAINED = {
     # round-6 promotions, kept (2 green rounds each)
     "unpivot_lineitem_measures", "gapfill_locf_daily",
     "gopher_quality_flags", "c4_quality_flags",
-    "encoding_quality_flags", "dsir_importance_weights",
+    "dsir_importance_weights",
     "incremental_line_probe",
     "weighted_sample_topk", "mixture_plan", "pack_sequences",
-    "shard_manifest", "corpus_drift_psi",
+    "shard_manifest",
     "corpus_mix_report",
     "bpe_tokenize_counts", "cross_item_dedup_probe", "bpe_encode_ids",
     "bloom_point_lookup_probe", "token_bloom_contains_probe",
@@ -156,6 +158,11 @@ ROTATED_OUT = {
     # merge-on-read DV family kept in-window by dv_update_probe;
     # LM-scoring family by kneser_ney_logprob:
     "dv_delete_probe", "kneser_ney_counts",
+    # round-12 demotions (each 6 green driver rounds r06-r11):
+    # quality family kept in-window by gopher_quality_flags +
+    # c4_quality_flags; corpus-reporting/sketch family by
+    # corpus_mix_report + histogram_percentile_probe:
+    "encoding_quality_flags", "corpus_drift_psi",
     # round-5 continuation / round-5 / round-4 demotions (families
     # documented in queries_ext.QUERY_PRIORITY):
     "minhash_signatures",
