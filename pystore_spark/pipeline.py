@@ -112,24 +112,55 @@ class CurationPipeline:
         """Budget gate on REAL BPE token counts (functions/bpe.py —
         the merge loop over the shipped public-format merges file),
         not the whitespace proxy: documents outside
-        ``[min_tokens, max_tokens]`` true tokens drop. The count runs
-        as an Arrow-batched per-word-cached UDF (bpe_count_udf) so the
-        stage composes into one lazy pass with the Column-expression
-        gates around it; pipelines keyed by doc id that can afford a
-        vocabulary join should precompute ``bpe_token_counts`` and
-        filter on the column instead."""
-        from pystore_spark.functions.bpe import bpe_count_udf
+        ``[min_tokens, max_tokens]`` true tokens drop.
 
-        def cond():
-            c = bpe_count_udf(merges)(F.col(self.text_col))
+        Batch frames take the distinct-vocabulary plan
+        (:func:`bpe.bpe_token_counts` — one JVM regex explode, the
+        Python merge loop confined to the Zipf-bounded vocab, counts
+        back via a broadcastable join), keyed on a null-safe text hash
+        so duplicate/null doc ids neither multiply nor drop rows —
+        the same rewrite the shard-export path uses. Streaming
+        micro-batches, where a corpus-wide vocabulary join is
+        impossible, fall back to the Arrow-batched per-word-cached
+        UDF (bpe_count_udf) inside :meth:`apply`; both paths depend
+        on the text alone, so the kept set is identical."""
+        from pystore_spark.functions.bpe import (
+            bpe_count_udf,
+            bpe_token_counts,
+        )
+
+        text_col = self.text_col
+
+        def batch(df: DataFrame) -> DataFrame:
+            tkey = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+            keyed = df.withColumn("_bpe_tkey", tkey)
+            counts = bpe_token_counts(
+                keyed.select("_bpe_tkey", text_col)
+                .dropDuplicates(["_bpe_tkey"]),
+                text_col=text_col,
+                id_col="_bpe_tkey",
+                merges=merges,
+            )
+            cond = F.col("n_bpe_tokens") >= min_tokens
+            if max_tokens is not None:
+                cond = cond & (F.col("n_bpe_tokens") <= max_tokens)
+            keep = counts.filter(cond).select("_bpe_tkey")
+            return keyed.join(
+                keep, "_bpe_tkey", "left_semi"
+            ).drop("_bpe_tkey")
+
+        def stream_cond():
+            c = bpe_count_udf(merges)(F.col(text_col))
             out = c >= min_tokens
             if max_tokens is not None:
                 out = out & (c <= max_tokens)
             return out
 
-        return self.filter(
-            f"bpe_tokens[{min_tokens},{max_tokens}]", cond
+        batch.streaming_fallback = stream_cond
+        self._stages.append(
+            (f"bpe_tokens[{min_tokens},{max_tokens}]", _GLOBAL, batch)
         )
+        return self
 
     def filter_quality(self, min_score: float):
         return self.filter(
@@ -622,6 +653,14 @@ class CurationPipeline:
                 df = payload(df)
             else:
                 if streaming:
+                    # stages whose batch plan needs corpus-wide state
+                    # but whose PREDICATE is row-local (the BPE budget
+                    # gate) carry a streaming fallback Column — same
+                    # kept set, per-row UDF instead of the vocab join
+                    fb = getattr(payload, "streaming_fallback", None)
+                    if fb is not None:
+                        df = df.filter(fb())
+                        continue
                     raise ValueError(
                         f"stage {name!r} is corpus-global and cannot "
                         "run on a streaming DataFrame; apply it in a "

@@ -400,3 +400,74 @@ def test_filter_image_content_gates_on_pixels(spark):
     )
     kept2 = {r["media_id"] for r in p2.dataframe().collect()}
     assert kept2 == {1}
+
+
+def test_filter_bpe_tokens_batch_uses_vocab_join(spark):
+    """Batch frames take the distinct-vocabulary plan (r11 verdict
+    #2 footnote retired): the stage registers corpus-global, keys on
+    the null-safe text hash — duplicate ids, null ids and duplicate
+    texts neither multiply nor drop rows — and the kept set matches
+    the per-row UDF definition exactly."""
+    from pystore_spark.functions import bpe as B
+    from pystore_spark.pipeline import CurationPipeline
+
+    rows = [
+        (0, "scan window order sort part value key line " * 4),
+        (0, "scan"),            # duplicate id, different text
+        (None, "scan"),         # null id
+        (2, None),              # null text → 0 tokens
+        (3, "scan"),            # duplicate text of two rows above
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    long_n = B.bpe_token_counts(
+        df.filter("doc_id = 0 and length(text) > 10"), "text", "doc_id"
+    ).collect()[0]["n_bpe_tokens"]
+
+    p = CurationPipeline(df).filter_bpe_tokens(min_tokens=1)
+    assert p._stages[-1][1] == "global"  # vocab join, not per-row UDF
+    got = p.dataframe().select("doc_id", "text").collect()
+    # ≥1 keeps every non-null text; the null-text row (0 tokens)
+    # drops; dup ids/null ids survive the text-hash-keyed join
+    kept_texts = [r["text"] for r in got]
+    assert len(got) == 4 and None not in kept_texts
+
+    p2 = CurationPipeline(df).filter_bpe_tokens(min_tokens=long_n)
+    assert [r["doc_id"] for r in p2.dataframe().collect()] == [0]
+    # funnel accounts the stage as its own row
+    fun = p2.funnel().collect()
+    assert [r["n_surviving"] for r in fun] == [5, 1]
+
+
+def test_filter_bpe_tokens_streaming_fallback(spark, tmp_path):
+    """The BPE budget gate no longer raises on streams: apply()
+    routes it through the row-local UDF fallback, and the kept set
+    matches the batch vocab-join plan."""
+    from pystore_spark.pipeline import CurationPipeline
+
+    rows = [
+        (0, "scan window order sort part value key line " * 4),
+        (1, "scan"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = CurationPipeline(df).filter_bpe_tokens(min_tokens=3)
+    want = sorted(r["doc_id"] for r in p.dataframe().collect())
+
+    src = str(tmp_path / "bpe_src")
+    df.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = p.apply(sdf)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bpe_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.sql("select doc_id from bpe_stream").collect()
+    )
+    assert got == want
