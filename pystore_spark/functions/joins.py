@@ -8,6 +8,8 @@ or forced shuffle-hash joins).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -16,6 +18,78 @@ class SinglePartitionAsofWarning(UserWarning):
     """asof_join planned a keyless (single-partition) sort — correct
     but serial; see the asof_join docstring for the banded scale
     formulation."""
+
+
+#: combined plan-stat size (bytes) above which a keyless asof_join
+#: re-routes itself through :func:`asof_join_banded` instead of
+#: warning about the single-partition sort. Below it the serial plan
+#: is genuinely cheaper (no band shuffle, no min/max pre-scan) and the
+#: warning still fires. Env-overridable for tests and ops.
+ASOF_AUTO_BAND_MIN_BYTES = int(
+    os.environ.get(
+        "PYSTORE_ASOF_AUTO_BAND_MIN_BYTES", 256 * 1024 * 1024
+    )
+)
+#: how many time bands the auto-router aims for — enough parallelism
+#: to keep 32-wide executors busy with headroom for skewed bands,
+#: small enough that the carry pass (one row per band) stays
+#: metadata-scale
+ASOF_AUTO_BAND_TARGET_BANDS = 256
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for the frame — planning-time
+    only (no job). None when plan introspection is unavailable
+    (Connect)."""
+    try:
+        size = (
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()
+        )
+        return int(str(size))  # py4j yields int or java BigInt
+    except Exception:
+        return None
+
+
+def _auto_band_seconds(
+    left: DataFrame, right: DataFrame, on: str, r_on: str
+) -> int | None:
+    """Band width for the keyless-asof auto-router: None when the
+    combined Catalyst size estimate is under
+    :data:`ASOF_AUTO_BAND_MIN_BYTES` (or unavailable) — the caller
+    keeps the warned single-partition plan. Above it, one min/max
+    aggregation over each side (column-pruned scans; parquet footer
+    stats make them near-free) sizes the time axis, and the width
+    targets :data:`ASOF_AUTO_BAND_TARGET_BANDS` bands."""
+    ls, rs = _plan_size_bytes(left), _plan_size_bytes(right)
+    if ls is None or rs is None:
+        return None
+    if ls + rs < ASOF_AUTO_BAND_MIN_BYTES:
+        return None
+
+    def rng(df: DataFrame, col: str) -> tuple[int, int] | None:
+        c = F.col(col)
+        if dict(df.dtypes).get(col) in ("timestamp", "timestamp_ntz"):
+            c = c.cast("timestamp").cast("long")
+        else:
+            c = c.cast("double")
+        row = df.select(
+            F.min(c).alias("lo"), F.max(c).alias("hi")
+        ).first()
+        if row is None or row["lo"] is None:
+            return None
+        return int(row["lo"]), int(row["hi"])
+
+    lr, rr = rng(left, on), rng(right, r_on)
+    spans = [s for s in (lr, rr) if s is not None]
+    if not spans:
+        return None  # both sides empty — serial plan is free anyway
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    width = (hi - lo + 1 + ASOF_AUTO_BAND_TARGET_BANDS - 1) // (
+        ASOF_AUTO_BAND_TARGET_BANDS
+    )
+    return max(1, int(width))
 
 
 def salted_join(
@@ -319,11 +393,16 @@ def asof_join(
     .. warning:: With no ``by`` keys the window is
        ``Window.partitionBy()`` — ONE partition sorting both frames
        end-to-end, matching keyless ``merge_asof`` semantics but
-       serial at scale. For large keyless as-of joins use
-       :func:`asof_join_banded`, which turns the time axis into a
-       synthetic equi-key with exact carry-in handling at band edges.
-       A ``SinglePartitionAsofWarning`` is emitted so the serial plan
-       can't ship silently.
+       serial at scale. Above
+       :data:`ASOF_AUTO_BAND_MIN_BYTES` (combined Catalyst size
+       estimate; env ``PYSTORE_ASOF_AUTO_BAND_MIN_BYTES``) the call
+       re-routes itself through :func:`asof_join_banded`
+       automatically — output-identical, time axis banded into
+       :data:`ASOF_AUTO_BAND_TARGET_BANDS` synthetic equi-keys with
+       exact carry-in handling, at the cost of one min/max pre-scan
+       per side to size the bands. Below the threshold the serial
+       plan is kept and a ``SinglePartitionAsofWarning`` is emitted
+       so it can't ship silently.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be backward|forward|nearest")
@@ -335,6 +414,26 @@ def asof_join(
     if len(by) != len(r_by):
         raise ValueError("by and right_by must have equal length")
     if not by:
+        # auto-band above the size threshold: the banded plan is
+        # output-identical (merge_asof parity pinned for both paths in
+        # tests/test_asof_join.py), so re-routing is a pure physical
+        # rewrite — the single-partition sort can't ship at scale
+        # even when the caller ignores warnings
+        auto = _auto_band_seconds(left, right, on, r_on)
+        if auto is not None:
+            return asof_join_banded(
+                left,
+                right,
+                on,
+                band_seconds=auto,
+                right_on=right_on,
+                values=values,
+                direction=direction,
+                tolerance=tolerance,
+                allow_exact_matches=allow_exact_matches,
+                right_time_as=right_time_as,
+                suffix=suffix,
+            )
         import warnings
 
         warnings.warn(

@@ -351,3 +351,100 @@ def test_null_values_in_matched_rows_carry_verbatim(spark, banded):
     # stay NULL, never back-fill px=1.0 from ts=10
     assert got[1] is None and pd.isna(exp.loc[1])
     assert got[2] == 1.0 and exp.loc[2] == 1.0
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_keyless_auto_bands_above_threshold(
+    spark, frames, direction, exact, monkeypatch
+):
+    """Above the size threshold a keyless asof_join re-routes itself
+    through asof_join_banded: no SinglePartitionAsofWarning, and the
+    output is identical to the (warned) serial plan across every
+    direction/exactness combination — including the band-edge carry
+    cases the banded docstring enumerates (the fixture's time axis
+    spans many auto-sized bands)."""
+    import warnings as W
+
+    from pystore_spark.functions import joins as J
+
+    left, right = frames
+    lf = spark.createDataFrame(left.drop(columns=["grp"]))
+    rf = spark.createDataFrame(right.drop(columns=["g"]))
+
+    def run():
+        return (
+            asof_join(
+                lf, rf, on="t", right_on="ts",
+                values=["px", "qty"], direction=direction,
+                allow_exact_matches=exact,
+            )
+            .toPandas()
+            .sort_values(["t", "lval"])
+            .reset_index(drop=True)
+        )
+
+    # serial reference (threshold effectively infinite → warns)
+    monkeypatch.setattr(J, "ASOF_AUTO_BAND_MIN_BYTES", 1 << 60)
+    with pytest.warns(J.SinglePartitionAsofWarning):
+        want = run()
+
+    # auto-banded (threshold 0 → routes, must NOT warn)
+    monkeypatch.setattr(J, "ASOF_AUTO_BAND_MIN_BYTES", 0)
+    with W.catch_warnings():
+        W.simplefilter("error", J.SinglePartitionAsofWarning)
+        got = run()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_keyless_auto_band_tolerance_and_plan(spark, frames, monkeypatch):
+    """Auto-banded keyless join honors tolerance identically, and the
+    executed plan partitions the window by the synthetic band key —
+    never a global single-partition sort."""
+    import warnings as W
+
+    from pystore_spark.functions import joins as J
+
+    left, right = frames
+    lf = spark.createDataFrame(left.drop(columns=["grp"]))
+    rf = spark.createDataFrame(right.drop(columns=["g"]))
+
+    kw = dict(
+        on="t", right_on="ts", values=["px"], tolerance="45 minutes"
+    )
+    monkeypatch.setattr(J, "ASOF_AUTO_BAND_MIN_BYTES", 1 << 60)
+    with pytest.warns(J.SinglePartitionAsofWarning):
+        want = (
+            asof_join(lf, rf, **kw)
+            .toPandas().sort_values(["t", "lval"])
+            .reset_index(drop=True)
+        )
+    monkeypatch.setattr(J, "ASOF_AUTO_BAND_MIN_BYTES", 0)
+    with W.catch_warnings():
+        W.simplefilter("error", J.SinglePartitionAsofWarning)
+        out = asof_join(lf, rf, **kw)
+        got = (
+            out.toPandas().sort_values(["t", "lval"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(got, want)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bandk_asof" in plan  # windows keyed by the band
+
+
+def test_keyless_auto_band_threshold_respected(spark, monkeypatch):
+    """Below the threshold nothing is re-routed: tiny frames keep the
+    serial plan and the warning — the banded machinery (two extra
+    shuffles + a min/max pre-scan) would cost more than it saves."""
+    from pystore_spark.functions import joins as J
+
+    left = pd.DataFrame({"t": [1.0, 5.0], "lv": [10, 20]})
+    right = pd.DataFrame({"t": [0.0, 4.0], "px": [1.0, 2.0]})
+    monkeypatch.setattr(J, "ASOF_AUTO_BAND_MIN_BYTES", 1 << 60)
+    with pytest.warns(J.SinglePartitionAsofWarning):
+        out = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t", values=["px"],
+        ).toPandas().sort_values("t").reset_index(drop=True)
+    assert list(out["px"]) == [1.0, 2.0]
