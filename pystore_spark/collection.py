@@ -6193,6 +6193,13 @@ class Collection:
         sr = em.get("shard_rows") or {}
         if sr:
             n_keys = sum(int(sr.get(str(s), 0)) for s in aff)
+            if split and changed_esc is not None:
+                # the split key set is old contributors ∪ changed ids;
+                # shard_rows covers only the former (ADVICE r11) — add
+                # the (driver-bounded by contract) change-set count so
+                # a large change report can't push the broadcast build
+                # side past the cap without degrading to full_scan
+                n_keys += changed_esc.count()
         else:
             n_keys = keys.count()
         if n_keys <= config.EXPORT_PRUNE_BROADCAST_CAP:
@@ -6238,7 +6245,20 @@ class Collection:
         (your ingest report / :meth:`changes` / :meth:`diff` knows).
         Deleted ids are fine: their shard rebuilds from the current
         source and the rows vanish; a shard left empty is dropped from
-        the manifest. Cost: affected shards for unsplit exports come
+        the manifest.
+
+        .. warning:: ``changed`` must be COMPLETE — every id whose
+           text was added, updated, or deleted since the export. For
+           SPLIT exports the pruned source membership is derived from
+           the old export's contributors plus this report, so a
+           source doc added without being reported is silently
+           excluded from rebuilt shards (the unsplit path, which
+           recomputes membership from current source ids, would
+           incidentally pick it up — the two flavors differ exactly
+           when the contract is violated). Byte-equality with a full
+           re-export is guaranteed only under a complete report;
+           :meth:`maintain`'s ``verify_export`` fsck is the backstop
+           that surfaces drift from an incomplete one (ADVICE r11). Cost: affected shards for unsplit exports come
         straight from md5(changed ids) — no export scan; split
         exports additionally read the export's (``_src_id``, shard)
         columns to find the OLD chunks' shards (chunk counts change

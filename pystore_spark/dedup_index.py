@@ -888,6 +888,11 @@ def append_with_dedup(
                     # shuffle-derived, the stamp pins only this run's
                     # arbitrary layout — surface the original warning
                     # so the caller knows to pass order_col=.
+                    # Gated on the strategies where input order picks
+                    # winners: for keep_all/error the ordinal is dead
+                    # weight (merge would strip it but pay an extra
+                    # sort), and a bucketed target would reject the
+                    # unexpected column outright (ADVICE r11).
                     from pystore_spark.merge import (
                         INPUT_ORD_COL,
                         _warn_if_order_unreliable,
@@ -899,16 +904,17 @@ def append_with_dedup(
                         _warn_if_order_unreliable(
                             data, "append_dedup input"
                         )
-                    kept_data = _drop_anti(
-                        data.withColumn(
-                            INPUT_ORD_COL,
-                            F.monotonically_increasing_id(),
-                        ),
-                        id_col, drop_df, n_dropped,
-                    )
-                    append_kwargs = {
-                        **append_kwargs, "order_col": INPUT_ORD_COL,
-                    }
+                        kept_data = _drop_anti(
+                            data.withColumn(
+                                INPUT_ORD_COL,
+                                F.monotonically_increasing_id(),
+                            ),
+                            id_col, drop_df, n_dropped,
+                        )
+                        append_kwargs = {
+                            **append_kwargs,
+                            "order_col": INPUT_ORD_COL,
+                        }
             if create_missing and not col.item_exists(item):
                 # streaming first batch: the target corpus doesn't
                 # exist yet — create it (mirrors streaming.merge_sink's

@@ -35,6 +35,13 @@ from pyspark.sql import types as T
 #   4s kind | H width | H height | I n_frames
 _HEADER = struct.Struct("<4sHHI")
 
+#: hard ceiling on a single PNG's decoded byte size (height ×
+#: (width·channels + 1)). Rows declaring more are flagged as
+#: malformed instead of letting a decompression bomb allocate
+#: executor memory — 256 MiB covers a 9000×9000 RGBA frame, far past
+#: curation-corpus imagery; raise it for genuine large-format work.
+PNG_MAX_DECODED_BYTES = 256 * 1024 * 1024
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -463,9 +470,22 @@ def decode_png_pixels(payload: bytes):
         elif ctyp == b"IEND":
             break
         pos += 12 + clen  # len + type + body + crc
-    raw = zlib.decompress(bytes(idat))
+    # bounded inflate (ADVICE r11): a crafted small PNG declaring
+    # large dimensions (or an IDAT stream inflating past them —
+    # the classic decompression bomb) must flag the ROW, not
+    # MemoryError the executor. The declared-geometry cap rejects
+    # absurd headers before allocating; decompressobj with
+    # max_length stops the inflate at expected+1 bytes, so a bomb
+    # costs at most one image worth of memory.
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    if expected > PNG_MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG declares {width}x{height}x{channels} = {expected} "
+            f"decoded bytes, over the {PNG_MAX_DECODED_BYTES} cap"
+        )
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("malformed PNG: IDAT size mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(
         height, stride + 1

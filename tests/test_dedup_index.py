@@ -739,3 +739,36 @@ def test_spark_append_dedup_deterministic_no_warning(corpus, spark):
     assert len(rows) == 1
     assert rows[0]["text"].startswith("candidate two")
     assert "_ord_input" not in c.item("corpus").data.columns
+
+
+def test_append_dedup_keep_all_into_bucketed_target(corpus, spark):
+    """ADVICE r11: the input-order ordinal stamp is gated on the
+    strategies whose winners it decides (keep_first/keep_last). A
+    dedup-append with drops into a BUCKETED target — which accepts
+    only keep_all with an exact name+type schema match — must not
+    grow a surprise _ord_input column and fail validation."""
+    c = corpus
+    stored = _docs(range(10))
+    c.write(
+        "bcorpus",
+        spark.createDataFrame(_docs(range(10))),
+        bucket_by="doc_id",
+        n_buckets=4,
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [900, 901],
+            "text": [
+                stored.loc[3, "text"],  # near-dup → non-empty drop set
+                "a wholly novel document about bucketed appends",
+            ],
+        }
+    )
+    inc = spark.createDataFrame(pdf).select("doc_id", "text")
+    rep = c.append_dedup(
+        "bcorpus", inc, "cidx", duplicate_handling="keep_all"
+    )
+    assert rep["n_dropped"] == 1 and rep["n_appended"] == 1
+    out = c.item("bcorpus").data
+    assert "_ord_input" not in out.columns
+    assert out.filter("doc_id = 901").count() == 1

@@ -1243,3 +1243,51 @@ def test_pixel_stats_keep_and_flag_on_corrupt_bytes(spark):
     )
     (arow,) = M.audio_sample_stats(adf).collect()
     assert arow["error"]
+
+
+def test_png_decompression_bomb_flags_row(spark):
+    """ADVICE r11: a crafted small PNG declaring huge dimensions (or
+    an IDAT inflating past them) must raise ValueError — flagged
+    per-row by the stats kernels — never inflate unbounded and
+    MemoryError the executor."""
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(body)) + typ + body
+            + _s.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    def png_with(width, height, raw):
+        ihdr = _s.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # declared geometry over the cap: rejected BEFORE any inflate
+    bomb = png_with(60_000, 60_000, b"\x00" * 10)
+    assert len(bomb) < 1024  # tiny on the wire
+    with pytest.raises(ValueError, match="cap"):
+        M.decode_png_pixels(bomb)
+
+    # in-cap geometry but an IDAT stream inflating past it: the
+    # bounded decompressobj stops at expected+1 and flags
+    over = png_with(4, 4, b"\x00" * (4 * 5 + 4096))
+    with pytest.raises(ValueError, match="IDAT size mismatch"):
+        M.decode_png_pixels(over)
+
+    # an exact-size stream with trailing zlib garbage still decodes
+    # (unconsumed tail ignored, like the old unbounded path)
+    good = M.write_png(4, 4, lambda x, y: (x + y) % 256)
+    arr = M.decode_png_pixels(good)
+    assert arr.shape == (4, 4, 1)
+    # and the stats kernel keeps-and-flags the bomb row
+    df = spark.createDataFrame([(0, "img", bomb, None)], M.MEDIA_SCHEMA)
+    row = M.image_pixel_stats(df).collect()[0]
+    assert row["error"] and row["mean"] is None
