@@ -1,0 +1,174 @@
+"""PQ vs int8 vs float vector-index tiers: recall + probe cost.
+
+The compression-tier choice (build_vector_index's ``quantize=``) is a
+recall-for-bytes trade; this tool makes it evidence-backed the way the
+other index probes are:
+
+* **recall@10 per tier** against exact brute-force cosine over the
+  raw float corpus (the same nprobe for every tier, so the measured
+  delta is the QUANTIZATION cost, not the IVF cell-pruning cost —
+  the float tier's recall is the shared IVF ceiling). PQ is measured
+  both reranked (IVFADC+rerank, the default) and pure-ADC
+  (rerank=False, the cheapest path).
+* **probe wall-time per tier at 1x and 10x corpus** — search cost
+  must scale with the probed cells, not the corpus, for every tier
+  (the BENCH_CLUSTERS-style flatness check; at these toy sizes the
+  ratio is job-overhead-dominated, so the bar is "well under 10x").
+
+Corpus: the sf0.1 embeddings table (5,000 x dim-64 float vectors) and
+a 10x replication with md5-rotated values (distinct vectors, same
+distribution). Near-uniform random embeddings are PQ's documented
+WORST case (no cluster structure for the codebooks to exploit), so
+the recall numbers here are a floor, not a showcase.
+
+Writes BENCH_PQ.json at the repo root.
+Usage: python tools/pq_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+K = 10
+NPROBE = 4
+N_CELLS = 16
+N_QUERIES = 20
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import pystore_spark as ps
+    from pystore_spark import config as cfg
+    from pystore_spark.functions import similarity as S
+    from pystore_spark.session import get_spark
+    from pystore_spark.sources import load_table
+
+    spark = get_spark(app_name="pq_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="ps_pq_scale_")
+    old_path = cfg._path
+    out: dict = {
+        "metric": "vector_tier_recall_and_probe_cost",
+        "k": K,
+        "nprobe": NPROBE,
+        "n_cells": N_CELLS,
+    }
+    try:
+        cfg.set_path(tmp)
+        col = ps.store("scale", spark=spark).collection("c")
+        base = load_table(
+            spark, "/root/testdata/sf0.1", "embeddings"
+        ).select("vec_id", "embedding")
+        # 10x: shift ids, rotate each vector by a per-copy offset so
+        # the copies are distinct points of the same distribution
+        copies = [
+            base.select(
+                (F.col("vec_id") + 100_000 * k).alias("vec_id"),
+                (
+                    F.col("embedding")
+                    if k == 0
+                    else F.expr(
+                        "transform(embedding, "
+                        f"(x, i) -> element_at(embedding, "
+                        f"1 + (i + {k}) % size(embedding)))"
+                    )
+                ).alias("embedding"),
+            )
+            for k in range(10)
+        ]
+        big = copies[0]
+        for c_ in copies[1:]:
+            big = big.unionByName(c_)
+        big = big.localCheckpoint(eager=True)
+
+        queries = base.filter(f"vec_id < {N_QUERIES}")
+        q_ids = [r["vec_id"] for r in queries.select("vec_id").collect()]
+
+        def exact_topk(corpus):
+            got = S.brute_force_topk(
+                corpus, queries, "embedding", "vec_id", k=K
+            ).collect()
+            truth: dict = {q: set() for q in q_ids}
+            for r in got:
+                truth[r["q_vec_id"]].add(r["vec_id"])
+            return truth
+
+        def recall(res_rows, truth):
+            hits = sum(
+                1
+                for r in res_rows
+                if r["vec_id"] in truth.get(r["q_vec_id"], ())
+            )
+            return round(hits / (K * len(truth)), 3)
+
+        tiers = {
+            "float": dict(),
+            "int8": dict(quantize="int8"),
+            "pq": dict(quantize="pq", pq_m=8, pq_cells=32),
+        }
+        results: dict = {}
+        for scale_label, corpus in (("corpus_5k", base), ("corpus_50k", big)):
+            truth = exact_topk(corpus)
+            scale_res: dict = {}
+            for tier, kw in tiers.items():
+                name = f"idx_{tier}_{scale_label}"
+                col.build_vector_index(
+                    name, corpus, n_cells=N_CELLS, n_iters=2, **kw
+                )
+                variants = [("search", dict())]
+                if tier == "pq":
+                    variants.append(("search_adc_only", dict(rerank=False)))
+                tier_res: dict = {}
+                for vlabel, skw in variants:
+                    # warmup then min-of-3 steady state
+                    col.search_vector_index(
+                        name, queries, k=K, nprobe=NPROBE, **skw
+                    ).collect()
+                    best, rows = float("inf"), None
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        rows = col.search_vector_index(
+                            name, queries, k=K, nprobe=NPROBE, **skw
+                        ).collect()
+                        best = min(best, time.perf_counter() - t0)
+                    tier_res[vlabel] = {
+                        "sec": round(best, 2),
+                        "recall_at_10": recall(rows, truth),
+                    }
+                scale_res[tier] = tier_res
+            results[scale_label] = scale_res
+        out["results"] = results
+        ratios = {}
+        for tier in tiers:
+            small = results["corpus_5k"][tier]["search"]["sec"]
+            bigt = results["corpus_50k"][tier]["search"]["sec"]
+            ratios[tier] = round(bigt / max(small, 1e-9), 2)
+        out["probe_time_ratio_10x_corpus"] = ratios
+        ceiling = results["corpus_50k"]["float"]["search"]["recall_at_10"]
+        out["ivf_recall_ceiling_50k"] = ceiling
+        out["verdict"] = (
+            "flat probes, quantization cost measured"
+            if all(r < 10.0 for r in ratios.values())
+            else "super-linear probe — REGRESSION"
+        )
+    finally:
+        cfg.set_path(old_path) if old_path else None
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    Path(
+        Path(__file__).resolve().parent.parent / "BENCH_PQ.json"
+    ).write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
