@@ -3315,6 +3315,9 @@ class Collection:
                         "pq_cells": (meta["_vector_index"] or {}).get(
                             "pq_cells"
                         ),
+                        "pq_residual": (meta["_vector_index"] or {}).get(
+                            "pq_residual", False
+                        ),
                         "n_retrains": (meta["_vector_index"] or {}).get(
                             "n_retrains", 0
                         ),
@@ -4030,6 +4033,7 @@ class Collection:
         quantize: "bool | str" = False,
         pq_m: int = 8,
         pq_cells: int = 16,
+        pq_residual: bool = True,
     ) -> dict:
         """Materialize an IVF (inverted-file) ANN index over an
         embedding DataFrame, a stored item name, or a LIST of item
@@ -4062,15 +4066,25 @@ class Collection:
         ``quantize="pq"`` is the compression tier PAST int8: product
         quantization (similarity.train_pq_codebooks / pq_encode) —
         ``pq_m`` codes per vector instead of dim floats, 16-32× at
-        realistic parameters. Probes reconstruct candidates from the
-        persisted codebooks (the inverted-list read stays that much
-        lighter; scoring is unchanged), appends encode with the same
-        codebooks, and the staleness audit/retrain measure in the
-        PQ domain so zero drift reads as ratio 1.0. ``pq_cells`` is
-        capped pragmatically (the JVM argmin builds n_cells branch
-        expressions per subspace — at 256×8 the plan outgrows
-        codegen; 16-64 cells/subspace keeps it compiled and already
-        gives 16^m effective centroids). Returns
+        realistic parameters. Searches ADC-score the codes with
+        per-query lookup tables and decode only the reranked
+        shortlist (:meth:`search_vector_index`), appends encode with
+        the same codebooks, and the staleness audit/retrain measure
+        in the PQ domain so zero drift reads as ratio 1.0.
+        ``pq_cells`` is capped pragmatically (the JVM argmin builds
+        n_cells branch expressions per subspace — at 256×8 the plan
+        outgrows codegen; 16-64 cells/subspace keeps it compiled and
+        already gives 16^m effective centroids).
+
+        ``pq_residual`` (default True) quantizes the RESIDUAL
+        ``vector − centroid[cell]`` instead of the raw vector — the
+        IVFADC formulation proper (Jegou et al. 2011 §IV): residual
+        magnitudes are bounded by the cell radius, so the same
+        codebook budget spends itself on within-cell variation and
+        recall at equal bytes improves (BENCH_PQ measures the gap).
+        Search LUTs become per-(query, probed-cell); storage layout
+        and API are unchanged. Set False for the raw-vector variant
+        (codes then decode without the cell column). Returns
         ``{n_cells, dim, n_vectors}``."""
         from pystore_spark.functions import similarity as S
 
@@ -4116,20 +4130,30 @@ class Collection:
         # stats bake quantization noise into every dist_ratio).
         pq_books = None
         if quantize == "pq":
+            train_src = (
+                assigned.select(
+                    F.col(id_col),
+                    S.residualize(
+                        F.col(vec_col), F.col("cell"), cents
+                    ).alias(vec_col),
+                )
+                if pq_residual
+                else df
+            )
             pq_books = S.train_pq_codebooks(
-                df, vec_col, id_col,
+                train_src, vec_col, id_col,
                 m=int(pq_m), n_cells=int(pq_cells), n_iters=n_iters,
             )
-            assigned = S.pq_encode(
-                assigned.drop("_cdist"), vec_col, pq_books
+            vi_tmp = {
+                "quantized": "pq", "vec_col": vec_col,
+                "pq_codebooks": pq_books,
+                "pq_residual": bool(pq_residual),
+                "centroids": cents,
+            }
+            assigned = S.vq_encode_select(
+                assigned.drop("_cdist"), vi_tmp
             )
-            rt = S.vq_decode_cols(
-                assigned,
-                {
-                    "quantized": "pq", "vec_col": vec_col,
-                    "pq_codebooks": pq_books,
-                },
-            )
+            rt = S.vq_decode_cols(assigned, vi_tmp)
             build_stats = S.ivf_cell_stats(
                 S._assign_cells(
                     rt.select(vec_col), vec_col, cents, with_dist=True
@@ -4163,7 +4187,8 @@ class Collection:
                     ),
                     **(
                         {"pq_codebooks": pq_books, "pq_m": int(pq_m),
-                         "pq_cells": int(pq_cells)}
+                         "pq_cells": int(pq_cells),
+                         "pq_residual": bool(pq_residual)}
                         if pq_books is not None
                         else {}
                     ),
@@ -4448,23 +4473,35 @@ class Collection:
             # centroids (the index is rebuilt anyway); training reads
             # the RECONSTRUCTED vectors — information already lost to
             # quantization stays lost, same property as the int8
-            # tier's dequantized retrain
+            # tier's dequantized retrain. Residual indexes retrain on
+            # residuals vs the NEW centroids.
+            residual = bool(it_meta.get("pq_residual"))
+            train_src = (
+                assigned.select(
+                    F.col(id_col),
+                    S.residualize(
+                        F.col(vec_col), F.col("cell"), cents
+                    ).alias(vec_col),
+                )
+                if residual
+                else cur
+            )
             new_books = S.train_pq_codebooks(
-                cur, vec_col, id_col,
+                train_src, vec_col, id_col,
                 m=int(it_meta.get("pq_m", 8)),
                 n_cells=int(it_meta.get("pq_cells", 16)),
                 n_iters=iters,
             )
-            assigned = S.pq_encode(
-                assigned.drop("_cdist"), vec_col, new_books
+            vi_tmp = {
+                "quantized": "pq", "vec_col": vec_col,
+                "pq_codebooks": new_books,
+                "pq_residual": residual,
+                "centroids": cents,
+            }
+            assigned = S.vq_encode_select(
+                assigned.drop("_cdist"), vi_tmp
             )
-            rt = S.vq_decode_cols(
-                assigned,
-                {
-                    "quantized": "pq", "vec_col": vec_col,
-                    "pq_codebooks": new_books,
-                },
-            )
+            rt = S.vq_decode_cols(assigned, vi_tmp)
             stats = S.ivf_cell_stats(
                 S._assign_cells(
                     rt.select(vec_col), vec_col, cents, with_dist=True
@@ -4605,6 +4642,7 @@ class Collection:
             shortlist = S.pq_adc_cell_topk(
                 cand, qa, vec_col, idc, "cell", books,
                 k=c, query_id_col=qid,
+                centroids=cents if meta.get("pq_residual") else None,
             )
             if not rerank:
                 return shortlist.select(
@@ -4627,13 +4665,16 @@ class Collection:
             # broadcast semi-join (not a giant In() literal — the
             # export-prune bench showed thousands of literals cost
             # more to plan than they save)
+            dec_cols = [idc, "_pq"] + (
+                ["cell"] if meta.get("pq_residual") else []
+            )
             dec = S.vq_decode_cols(
                 cand.join(
                     F.broadcast(pairs.select(idc).distinct()),
                     idc, "left_semi",
-                ).select(idc, "_pq"),
+                ).select(*dec_cols),
                 meta,
-            )
+            ).drop("cell")
             qv = F.broadcast(
                 queries.select(
                     F.col(idc).alias(qid), F.col(vec_col).alias("_qvec")

@@ -857,6 +857,7 @@ def pq_adc_cell_topk(
     codebooks: list[list[list[float]]],
     k: int = 5,
     query_id_col: str | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Cell-restricted ADC top-k — the IVFADC search kernel
     (Jegou et al. 2011, public): ``qa`` is the probe-cell frame from
@@ -868,17 +869,28 @@ def pq_adc_cell_topk(
     ``WindowGroupLimit``. This is the cheap shortlist stage of
     IVFADC+rerank: only the ≤k survivors per query ever get decoded.
     Self-matches (candidate id == query id) are excluded, matching
-    :func:`ivf_topk`. Returns ``(q_id, <id_col>, dist)``."""
+    :func:`ivf_topk`. Returns ``(q_id, <id_col>, dist)``.
+
+    ``centroids`` — residual-PQ mode (IVFADC proper): the codes
+    quantize ``x − centroid[cell]``, so each (query, probed-cell)
+    pair gets its OWN LUT built from ``q − centroid[cell]`` — the
+    per-cell LUT of Jegou et al. §IV. Distance stays the exact L2
+    between query and reconstruction, just in residual coordinates:
+    ``||q − (c + r)||² = ||(q − c) − r||²``."""
     qid = query_id_col or f"q_{id_col}"
     n_cells = max(len(cb) for cb in codebooks)
     qrows = qa.select(id_col, vec_col, cell_col).collect()
     seen: dict = {}
     rows = []
     for r in qrows:
-        key = r[id_col]
+        cell = int(r[cell_col])
+        key = (r[id_col], cell) if centroids is not None else r[id_col]
         if key not in seen:
-            seen[key] = _pq_lut(r[vec_col], codebooks, n_cells)
-        rows.append((key, int(r[cell_col]), seen[key]))
+            q = [float(x) for x in r[vec_col]]
+            if centroids is not None:
+                q = [a - b for a, b in zip(q, centroids[cell])]
+            seen[key] = _pq_lut(q, codebooks, n_cells)
+        rows.append((r[id_col], cell, seen[key]))
     spark = codes_df.sparkSession
     qdf = spark.createDataFrame(
         rows,
@@ -904,6 +916,38 @@ def pq_adc_cell_topk(
     )
 
 
+def centroid_table(centroids: list[list[float]]) -> Column:
+    """The coarse-centroid matrix as a literal array<array<double>>
+    Column — ``element_at(table, cell + 1)`` is the JVM-side centroid
+    lookup used by residual encode/decode."""
+    return F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in cent])
+            for cent in centroids
+        ]
+    )
+
+
+def residualize(
+    vec: Column, cell: Column, centroids: list[list[float]]
+) -> Column:
+    """``vec − centroid[cell]`` (double) — the residual the IVFADC
+    formulation quantizes instead of the raw vector (Jegou et al.
+    2011 §IV): residual magnitudes are bounded by the cell radius, so
+    the same codebook budget spends itself on within-cell variation
+    and quantization error drops. Pure projection, no shuffle."""
+    cent = F.element_at(centroid_table(centroids), cell.cast("int") + 1)
+    return F.zip_with(vec, cent, lambda x, c: x.cast("double") - c)
+
+
+def unresidualize(
+    res: Column, cell: Column, centroids: list[list[float]]
+) -> Column:
+    """Inverse of :func:`residualize`: ``centroid[cell] + residual``."""
+    cent = F.element_at(centroid_table(centroids), cell.cast("int") + 1)
+    return F.zip_with(res, cent, lambda r, c: r + c)
+
+
 def vq_encode_select(df: DataFrame, meta: dict) -> DataFrame:
     """Tier-dispatched vector compression for a persistent index
     frame: ``quantized`` in the index sidecar is False (float),
@@ -919,7 +963,23 @@ def vq_encode_select(df: DataFrame, meta: dict) -> DataFrame:
             [[float(x) for x in cent] for cent in cb]
             for cb in meta["pq_codebooks"]
         ]
-        return pq_encode(df, meta["vec_col"], books)
+        vec_col = meta["vec_col"]
+        if meta.get("pq_residual"):
+            # IVFADC: quantize the residual vs the assigned coarse
+            # centroid (requires the frame's cell column — every
+            # index frame carries it by construction)
+            if "cell" not in df.columns:
+                raise ValueError(
+                    "residual PQ encode needs the 'cell' column"
+                )
+            cents = [
+                [float(x) for x in c] for c in meta["centroids"]
+            ]
+            df = df.withColumn(
+                vec_col,
+                residualize(F.col(vec_col), F.col("cell"), cents),
+            )
+        return pq_encode(df, vec_col, books)
     return quantized_select(df, meta["vec_col"])
 
 
@@ -937,9 +997,17 @@ def vq_decode_cols(df: DataFrame, meta: dict) -> DataFrame:
             [[float(x) for x in cent] for cent in cb]
             for cb in meta["pq_codebooks"]
         ]
-        return df.withColumn(
-            vec_col, pq_decode_col(F.col("_pq"), books)
-        ).drop("_pq")
+        rec = pq_decode_col(F.col("_pq"), books)
+        if meta.get("pq_residual"):
+            if "cell" not in df.columns:
+                raise ValueError(
+                    "residual PQ decode needs the 'cell' column"
+                )
+            cents = [
+                [float(x) for x in c] for c in meta["centroids"]
+            ]
+            rec = unresidualize(rec, F.col("cell"), cents)
+        return df.withColumn(vec_col, rec).drop("_pq")
     return df.withColumn(
         vec_col, dequantize_int8(F.col("_q8"), F.col("_q8_scale"))
     ).drop("_q8", "_q8_scale")

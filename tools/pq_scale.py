@@ -8,8 +8,8 @@ other index probes are:
   raw float corpus (the same nprobe for every tier, so the measured
   delta is the QUANTIZATION cost, not the IVF cell-pruning cost —
   the float tier's recall is the shared IVF ceiling). PQ is measured
-  both reranked (IVFADC+rerank, the default) and pure-ADC
-  (rerank=False, the cheapest path).
+  raw (pq_residual=False) and residual (IVFADC proper, the default),
+  each both reranked and pure-ADC (rerank=False, cheapest).
 * **probe wall-time per tier at 1x and 10x corpus** — search cost
   must scale with the probed cells, not the corpus, for every tier
   (the BENCH_CLUSTERS-style flatness check; at these toy sizes the
@@ -19,7 +19,12 @@ Corpus: the sf0.1 embeddings table (5,000 x dim-64 float vectors) and
 a 10x replication with md5-rotated values (distinct vectors, same
 distribution). Near-uniform random embeddings are PQ's documented
 WORST case (no cluster structure for the codebooks to exploit), so
-the recall numbers here are a floor, not a showcase.
+the recall numbers here are a floor, not a showcase — and the
+residual tier's edge over raw PQ, clear on the natural 5k corpus, can
+flatten into noise on the synthesized 50k one (uniform cells have
+residuals as unstructured as the vectors themselves; on clustered
+real-world embeddings the residual win is the documented IVFADC
+result, and tests pin it strictly on the natural corpus).
 
 Writes BENCH_PQ.json at the repo root.
 Usage: python tools/pq_scale.py
@@ -113,7 +118,10 @@ def main() -> None:
         tiers = {
             "float": dict(),
             "int8": dict(quantize="int8"),
-            "pq": dict(quantize="pq", pq_m=8, pq_cells=32),
+            "pq_raw": dict(
+                quantize="pq", pq_m=8, pq_cells=32, pq_residual=False
+            ),
+            "pq_residual": dict(quantize="pq", pq_m=8, pq_cells=32),
         }
         results: dict = {}
         for scale_label, corpus in (("corpus_5k", base), ("corpus_50k", big)):
@@ -125,7 +133,7 @@ def main() -> None:
                     name, corpus, n_cells=N_CELLS, n_iters=2, **kw
                 )
                 variants = [("search", dict())]
-                if tier == "pq":
+                if tier.startswith("pq"):
                     variants.append(("search_adc_only", dict(rerank=False)))
                 tier_res: dict = {}
                 for vlabel, skw in variants:
