@@ -1350,6 +1350,216 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_residual_adc_oracle_sql(
+    m: int = 2, coarse_cells: int = 4, pq_cells: int = 4,
+    n_iters: int = 2, dim: int = 64, k: int = 5, nprobe: int = 2,
+    quant: str = "10000000.0",
+) -> str:
+    """Residual-IVFADC oracle: replay the COARSE deterministic KMeans
+    over the even-id half, assign every vector, subtract the assigned
+    centroid (the residual the engine quantizes), replay the
+    per-subspace KMeans over the even-id residuals, code every
+    residual, assign each query its ``nprobe`` nearest coarse cells,
+    and score candidates in the probed cells by the per-(query, cell)
+    LUT sum ``Σ_j ||(q − c_cell)_j − codebook_j[code]||²`` — exactly
+    :func:`similarity.pq_adc_cell_topk` with ``centroids=``. Every
+    arithmetic step (quantized-int centroid means, sequential L2
+    folds, double subtraction) is the bit-identical recipe of the
+    sibling IVF/PQ oracles."""
+    d_sub = dim // m
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> ({v}[i]::DOUBLE - {c}[i]) * ({v}[i]::DOUBLE - {c}[i])), "
+        "(x,y) -> x+y)"
+    )
+    parts = [
+        "WITH va AS (SELECT vec_id, embedding FROM embeddings),",
+        "v AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 2 = 0),",
+        # coarse KMeans on the even half (init: first cells by id)
+        "cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS INTEGER) AS cell, "
+        "list_transform(embedding, x -> x::DOUBLE) AS cent "
+        f"FROM v ORDER BY vec_id LIMIT {coarse_cells}),",
+    ]
+    for it in range(1, n_iters + 1):
+        d = dist.format(v="v.embedding", c="c.cent")
+        parts.append(
+            f"cca{it} AS (SELECT vec_id, cell FROM ("
+            f"SELECT v.vec_id, c.cell, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {d}, c.cell) AS rn "
+            f"FROM v, cc{it - 1} c) WHERE rn = 1),"
+        )
+        parts.append(
+            f"ccu{it} AS (SELECT cell, list(comp ORDER BY i) AS cent "
+            f"FROM (SELECT a.cell, i.i, "
+            f"(CAST(SUM(CAST(FLOOR(v.embedding[i.i]::DOUBLE * {quant}) "
+            f"AS BIGINT)) AS DOUBLE) / COUNT(*)) / {quant} AS comp "
+            f"FROM v JOIN cca{it} a USING (vec_id), "
+            f"(SELECT unnest(generate_series(1, {dim})) AS i) i "
+            f"GROUP BY a.cell, i.i) GROUP BY cell),"
+        )
+        parts.append(
+            f"cc{it} AS (SELECT cc{it - 1}.cell, "
+            f"COALESCE(ccu{it}.cent, cc{it - 1}.cent) AS cent "
+            f"FROM cc{it - 1} LEFT JOIN ccu{it} USING (cell)),"
+        )
+    dfin = dist.format(v="va.embedding", c="c.cent")
+    parts.append(
+        f"cassign AS (SELECT vec_id, cell FROM ("
+        f"SELECT va.vec_id, c.cell, row_number() OVER ("
+        f"PARTITION BY va.vec_id ORDER BY {dfin}, c.cell) AS rn "
+        f"FROM va, cc{n_iters} c) WHERE rn = 1),"
+    )
+    # residual vectors (double), full corpus + even-id training half
+    parts.append(
+        f"rva AS (SELECT va.vec_id, ca.cell, "
+        f"list_transform(generate_series(1, {dim}), "
+        "i -> va.embedding[i]::DOUBLE - cc.cent[i]) AS remb "
+        f"FROM va JOIN cassign ca USING (vec_id) "
+        f"JOIN cc{n_iters} cc ON cc.cell = ca.cell),"
+    )
+    parts.append(
+        "rv AS (SELECT vec_id, remb FROM rva WHERE vec_id % 2 = 0),"
+    )
+    # per-subspace KMeans over residuals + coding of ALL residuals
+    for j in range(m):
+        off = j * d_sub
+        lo, hi = off + 1, off + d_sub
+        p = f"s{j}_"
+        sdist = (
+            f"list_reduce(list_transform(generate_series(1, {d_sub}),"
+            f" i -> ({{v}}[i + {off}] - {{c}}[i]) *"
+            f" ({{v}}[i + {off}] - {{c}}[i])), (x,y) -> x+y)"
+        )
+        parts.append(
+            f"{p}c0 AS (SELECT CAST(row_number() OVER "
+            "(ORDER BY vec_id) - 1 AS INTEGER) AS cell, "
+            f"remb[{lo}:{hi}] AS cent FROM rv "
+            f"ORDER BY vec_id LIMIT {pq_cells}),"
+        )
+        for it in range(1, n_iters + 1):
+            d = sdist.format(v="v.remb", c="c.cent")
+            parts.append(
+                f"{p}a{it} AS (SELECT vec_id, cell FROM ("
+                f"SELECT v.vec_id, c.cell, row_number() OVER ("
+                f"PARTITION BY v.vec_id ORDER BY {d}, c.cell) AS rn "
+                f"FROM rv v, {p}c{it - 1} c) WHERE rn = 1),"
+            )
+            parts.append(
+                f"{p}u{it} AS (SELECT cell, list(comp ORDER BY i) AS "
+                f"cent FROM (SELECT a.cell, i.i, "
+                f"(CAST(SUM(CAST(FLOOR(v.remb[i.i + {off}]"
+                f" * {quant}) AS BIGINT)) AS DOUBLE) "
+                f"/ COUNT(*)) / {quant} AS comp "
+                f"FROM rv v JOIN {p}a{it} a USING (vec_id), "
+                f"(SELECT unnest(generate_series(1, {d_sub})) AS i) i "
+                f"GROUP BY a.cell, i.i) GROUP BY cell),"
+            )
+            parts.append(
+                f"{p}c{it} AS (SELECT {p}c{it - 1}.cell, "
+                f"COALESCE({p}u{it}.cent, {p}c{it - 1}.cent) AS cent "
+                f"FROM {p}c{it - 1} LEFT JOIN {p}u{it} USING (cell)),"
+            )
+        d = sdist.format(v="rva.remb", c="c.cent")
+        parts.append(
+            f"{p}code AS (SELECT vec_id, cell FROM ("
+            f"SELECT rva.vec_id, c.cell, row_number() OVER ("
+            f"PARTITION BY rva.vec_id ORDER BY {d}, c.cell) AS rn "
+            f"FROM rva, {p}c{n_iters} c) WHERE rn = 1),"
+        )
+    # queries + their nprobe nearest coarse cells
+    dq = dist.format(v="q.embedding", c="c.cent")
+    parts.append(
+        "q AS (SELECT vec_id AS q_vec_id, embedding "
+        "FROM embeddings WHERE vec_id < 3),"
+    )
+    parts.append(
+        f"probes AS (SELECT q_vec_id, cell FROM ("
+        f"SELECT q.q_vec_id, c.cell, row_number() OVER ("
+        f"PARTITION BY q.q_vec_id ORDER BY {dq}, c.cell) AS rn "
+        f"FROM q, cc{n_iters} c) WHERE rn <= {nprobe}),"
+    )
+    qdists, joins = [], []
+    for j in range(m):
+        off = j * d_sub
+        p = f"s{j}_"
+        joins.append(
+            f"JOIN {p}code x{j} ON x{j}.vec_id = ca.vec_id "
+            f"JOIN {p}c{n_iters} cb{j} ON cb{j}.cell = x{j}.cell"
+        )
+        qdists.append(
+            f"list_reduce(list_transform(generate_series(1, {d_sub}),"
+            f" i -> ((q.embedding[i + {off}]::DOUBLE - "
+            f"cc.cent[i + {off}]) - cb{j}.cent[i]) *"
+            f" ((q.embedding[i + {off}]::DOUBLE - "
+            f"cc.cent[i + {off}]) - cb{j}.cent[i])), (x,y) -> x+y)"
+        )
+    parts.append(
+        "scored AS (SELECT q.q_vec_id, ca.vec_id, "
+        f"0.0 + {' + '.join(qdists)} AS dist "
+        "FROM q JOIN probes p ON p.q_vec_id = q.q_vec_id "
+        "JOIN cassign ca ON ca.cell = p.cell "
+        f"AND ca.vec_id != q.q_vec_id "
+        f"JOIN cc{n_iters} cc ON cc.cell = ca.cell "
+        f"{' '.join(joins)})"
+    )
+    parts.append(
+        "SELECT q_vec_id, vec_id, ROUND(dist, 6) AS dist FROM ("
+        "SELECT q_vec_id, vec_id, dist, row_number() OVER ("
+        "PARTITION BY q_vec_id ORDER BY dist, vec_id) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "pq_residual_adc_topk",
+    sql=_pq_residual_adc_oracle_sql(),
+    tags=("similarity", "ann", "pq", "compression", "residual"),
+)
+def pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual product quantization end-to-end, oracle-checked — the
+    IVFADC formulation search_vector_index's default PQ tier runs
+    (Jegou et al. 2011 §IV): train the coarse quantizer on the
+    even-id half, assign every vector, quantize the RESIDUAL
+    ``x − centroid[cell]`` with per-subspace codebooks trained on the
+    even-id residuals, assign each query its nprobe nearest coarse
+    cells, and rank candidates inside the probed cells by the
+    per-(query, cell) LUT sum over residual coordinates
+    (similarity.pq_adc_cell_topk with ``centroids=``, self-matches
+    excluded). The DuckDB oracle replays coarse training, residual
+    subtraction, codebook training, coding, probe assignment and the
+    LUT folds with bit-identical arithmetic."""
+    from pystore_spark.functions import similarity as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = SS.train_ivf_centroids(
+        even, "embedding", "vec_id", n_cells=4, n_iters=2
+    )
+    assigned = SS._assign_cells(emb, "embedding", cents)
+    res = assigned.withColumn(
+        "embedding",
+        SS.residualize(F.col("embedding"), F.col("cell"), cents),
+    )
+    books = SS.train_pq_codebooks(
+        res.filter(F.col("vec_id") % 2 == 0),
+        "embedding", "vec_id", m=2, n_cells=4, n_iters=2,
+    )
+    codes = SS.pq_encode(res, "embedding", books)
+    qa = SS.assign_probe_cells(
+        emb.filter("vec_id < 3"), "embedding", cents, nprobe=2
+    )
+    out = SS.pq_adc_cell_topk(
+        codes, qa, "embedding", "vec_id", "cell", books,
+        k=5, centroids=cents,
+    )
+    return out.select(
+        "q_vec_id", "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
 @register(
     "ivf_kmeans_index",
     sql=_ivf_kmeans_oracle_sql(),
@@ -6317,6 +6527,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # gopher_quality_flags + c4_quality_flags; corpus-reporting/
     # sketch family by corpus_mix_report + histogram_percentile_probe
     "encoding_quality_flags", "corpus_drift_psi",
+    # round-12 tail addition: residual IVFADC (Jegou §IV) — the
+    # default PQ-tier search path end-to-end: coarse KMeans replay,
+    # residual subtraction, per-subspace codebooks on residuals,
+    # probe-cell assignment, per-(query,cell) LUT scoring (family
+    # siblings in-window: pq_adc_topk, ivf_staleness_stats)
+    "pq_residual_adc_topk",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)
