@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     # round-9 flagship: Okapi BM25 sparse retrieval (query-bag
     # In-filter before any shuffle, broadcast df, TakeOrdered top-k)
     "bm25_retrieval_topk",
+    # round-12 flagships: residual IVFADC (coarse KMeans + residual
+    # PQ coding + per-(query,cell) LUT scoring — the default PQ-tier
+    # search kernel) and the full PNG encode∘decode pixel-stats
+    # pipeline (Arrow-batched mapInPandas, row-local)
+    "pq_residual_adc_topk",
+    "image_content_stats",
 ]
 
 
