@@ -132,6 +132,11 @@ class CurationPipeline:
         text_col = self.text_col
 
         def batch(df: DataFrame) -> DataFrame:
+            if "_bpe_tkey" in df.columns:
+                raise ValueError(
+                    "column '_bpe_tkey' collides with "
+                    "filter_bpe_tokens's working column — rename it"
+                )
             tkey = F.md5(F.coalesce(F.col(text_col), F.lit("")))
             keyed = df.withColumn("_bpe_tkey", tkey)
             counts = bpe_token_counts(

@@ -471,3 +471,14 @@ def test_filter_bpe_tokens_streaming_fallback(spark, tmp_path):
         for r in spark.sql("select doc_id from bpe_stream").collect()
     )
     assert got == want
+
+
+def test_filter_bpe_tokens_working_column_collision_raises(spark):
+    from pystore_spark.pipeline import CurationPipeline
+
+    df = spark.createDataFrame(
+        [(0, "scan", "x")], "doc_id long, text string, _bpe_tkey string"
+    )
+    p = CurationPipeline(df).filter_bpe_tokens(min_tokens=1)
+    with pytest.raises(ValueError, match="_bpe_tkey"):
+        p.dataframe().collect()

@@ -780,3 +780,23 @@ def test_pq_residual_encoding_beats_raw_and_roundtrips(
     assert meta2["pq_residual"] is True
     st = c.vector_index_staleness("pqr_res")
     assert st["available"] and not st["stale"]
+
+
+def test_pq_search_respects_allowed_filter(test_collection, emb):
+    """Filtered ANN composes with the ADC path: the allowed semi-join
+    restricts candidates BEFORE the shortlist, so every query still
+    gets k survivors drawn only from the allowed subset — for both
+    reranked and pure-ADC PQ searches."""
+    c = test_collection
+    c.build_vector_index(
+        "pq_allow", emb, n_cells=4, n_iters=2,
+        quantize="pq", pq_m=8, pq_cells=16,
+    )
+    allowed = emb.filter("vec_id % 3 = 0").select("vec_id")
+    q = emb.filter("vec_id < 4")
+    for kw in (dict(), dict(rerank=False)):
+        got = c.search_vector_index(
+            "pq_allow", q, k=4, nprobe=4, allowed=allowed, **kw
+        ).toPandas()
+        assert got.groupby("q_vec_id")["vec_id"].count().eq(4).all()
+        assert (got["vec_id"] % 3 == 0).all()

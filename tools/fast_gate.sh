@@ -9,10 +9,10 @@
 # construction (same collection order in every process), so a green
 # fast gate is exactly a green `pytest tests/`.
 #
-#   bash tools/fast_gate.sh [n_shards]   # default 5
+#   bash tools/fast_gate.sh [n_shards]   # default 8
 set -u
 cd "$(dirname "$0")/.."
-N="${1:-${PYSTORE_FAST_GATE_SHARDS:-5}}"
+N="${1:-${PYSTORE_FAST_GATE_SHARDS:-8}}"
 echo "== fast gate: ${N}-way sharded pytest (default tier) =="
 start=$(date +%s)
 pids=()
