@@ -24,12 +24,19 @@ class SinglePartitionAsofWarning(UserWarning):
 #: re-routes itself through :func:`asof_join_banded` instead of
 #: warning about the single-partition sort. Below it the serial plan
 #: is genuinely cheaper (no band shuffle, no min/max pre-scan) and the
-#: warning still fires. Env-overridable for tests and ops.
+#: warning still fires. The env var is read ONCE at import (set it
+#: before the process starts); at runtime patch the module attribute.
 ASOF_AUTO_BAND_MIN_BYTES = int(
     os.environ.get(
         "PYSTORE_ASOF_AUTO_BAND_MIN_BYTES", 256 * 1024 * 1024
     )
 )
+#: Catalyst returns spark.sql.defaultSizeInBytes (Long.MaxValue) for
+#: stat-less relations (JDBC, LogicalRDD) — an estimate that large
+#: means "unknown", not "huge"; treat it as unavailable so tiny
+#: stat-less frames keep the lazy serial plan instead of eagerly
+#: running min/max jobs
+_SIZE_ESTIMATE_CEILING = 1 << 62
 #: how many time bands the auto-router aims for — enough parallelism
 #: to keep 32-wide executors busy with headroom for skewed bands,
 #: small enough that the carry pass (one row per band) stays
@@ -42,13 +49,15 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     only (no job). None when plan introspection is unavailable
     (Connect)."""
     try:
-        size = (
-            df._jdf.queryExecution().optimizedPlan().stats()
-            .sizeInBytes()
-        )
-        return int(str(size))  # py4j yields int or java BigInt
+        size = int(
+            str(
+                df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        )  # py4j yields int or java BigInt
     except Exception:
         return None
+    return None if size >= _SIZE_ESTIMATE_CEILING else size
 
 
 def _auto_band_seconds(
@@ -80,7 +89,13 @@ def _auto_band_seconds(
             return None
         return int(row["lo"]), int(row["hi"])
 
-    lr, rr = rng(left, on), rng(right, r_on)
+    try:
+        lr, rr = rng(left, on), rng(right, r_on)
+    except Exception:
+        # time key the band math can't handle (DateType, strings
+        # under ANSI, ...) — keep the warned serial plan, which is
+        # correct for any orderable type
+        return None
     spans = [s for s in (lr, rr) if s is not None]
     if not spans:
         return None  # both sides empty — serial plan is free anyway
@@ -400,9 +415,13 @@ def asof_join(
        automatically — output-identical, time axis banded into
        :data:`ASOF_AUTO_BAND_TARGET_BANDS` synthetic equi-keys with
        exact carry-in handling, at the cost of one min/max pre-scan
-       per side to size the bands. Below the threshold the serial
-       plan is kept and a ``SinglePartitionAsofWarning`` is emitted
-       so it can't ship silently.
+       per side to size the bands. Below the threshold — or when the
+       size is UNKNOWN (stat-less relations like JDBC/RDD-backed
+       frames report defaultSizeInBytes) or the time type has no band
+       arithmetic (DateType) — the serial plan is kept and a
+       ``SinglePartitionAsofWarning`` is emitted so it can't ship
+       silently; call :func:`asof_join_banded` explicitly to band a
+       frame the router can't size.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be backward|forward|nearest")

@@ -484,8 +484,13 @@ def decode_png_pixels(payload: bytes):
             f"PNG declares {width}x{height}x{channels} = {expected} "
             f"decoded bytes, over the {PNG_MAX_DECODED_BYTES} cap"
         )
-    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
-    if len(raw) != expected:
+    inflater = zlib.decompressobj()
+    raw = inflater.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not inflater.eof:
+        # wrong size, over-long stream (bomb), or a stream truncated
+        # before its trailer that happens to yield exactly `expected`
+        # bytes — the unbounded zlib.decompress flagged that last case
+        # too (self-review r12)
         raise ValueError("malformed PNG: IDAT size mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(
         height, stride + 1

@@ -8,6 +8,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql.functions import col as F_col
+
 from pystore_spark.functions.joins import asof_join
 
 
@@ -356,7 +358,7 @@ def test_null_values_in_matched_rows_carry_verbatim(spark, banded):
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("exact", [True, False])
 def test_keyless_auto_bands_above_threshold(
-    spark, frames, direction, exact, monkeypatch
+    spark, frames, direction, exact, monkeypatch, tmp_path
 ):
     """Above the size threshold a keyless asof_join re-routes itself
     through asof_join_banded: no SinglePartitionAsofWarning, and the
@@ -369,8 +371,13 @@ def test_keyless_auto_bands_above_threshold(
     from pystore_spark.functions import joins as J
 
     left, right = frames
-    lf = spark.createDataFrame(left.drop(columns=["grp"]))
-    rf = spark.createDataFrame(right.drop(columns=["g"]))
+    # parquet-backed frames carry REAL Catalyst size stats (in-memory
+    # createDataFrame relations report defaultSizeInBytes = unknown,
+    # which the router treats as "keep the serial plan")
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(left.drop(columns=["grp"])).write.parquet(lp)
+    spark.createDataFrame(right.drop(columns=["g"])).write.parquet(rp)
+    lf, rf = spark.read.parquet(lp), spark.read.parquet(rp)
 
     def run():
         return (
@@ -397,7 +404,9 @@ def test_keyless_auto_bands_above_threshold(
     pd.testing.assert_frame_equal(got, want)
 
 
-def test_keyless_auto_band_tolerance_and_plan(spark, frames, monkeypatch):
+def test_keyless_auto_band_tolerance_and_plan(
+    spark, frames, monkeypatch, tmp_path
+):
     """Auto-banded keyless join honors tolerance identically, and the
     executed plan partitions the window by the synthetic band key —
     never a global single-partition sort."""
@@ -406,8 +415,10 @@ def test_keyless_auto_band_tolerance_and_plan(spark, frames, monkeypatch):
     from pystore_spark.functions import joins as J
 
     left, right = frames
-    lf = spark.createDataFrame(left.drop(columns=["grp"]))
-    rf = spark.createDataFrame(right.drop(columns=["g"]))
+    lp, rp = str(tmp_path / "l2"), str(tmp_path / "r2")
+    spark.createDataFrame(left.drop(columns=["grp"])).write.parquet(lp)
+    spark.createDataFrame(right.drop(columns=["g"])).write.parquet(rp)
+    lf, rf = spark.read.parquet(lp), spark.read.parquet(rp)
 
     kw = dict(
         on="t", right_on="ts", values=["px"], tolerance="45 minutes"
@@ -448,3 +459,47 @@ def test_keyless_auto_band_threshold_respected(spark, monkeypatch):
             on="t", values=["px"],
         ).toPandas().sort_values("t").reset_index(drop=True)
     assert list(out["px"]) == [1.0, 2.0]
+
+
+def test_keyless_auto_band_unsupported_time_type_falls_back(
+    spark, monkeypatch, tmp_path
+):
+    """Self-review r12: a time key the band math can't handle (DATE)
+    must fall back to the warned serial plan — correct for any
+    orderable type — instead of throwing from the min/max pre-scan."""
+    from pystore_spark.functions import joins as J
+
+    lp, rp = str(tmp_path / "dl"), str(tmp_path / "dr")
+    spark.createDataFrame(
+        [("2024-01-02", 1), ("2024-01-05", 2)], "d string, lv int"
+    ).select(F_col("d").cast("date").alias("d"), "lv").write.parquet(lp)
+    spark.createDataFrame(
+        [("2024-01-01", 1.5), ("2024-01-04", 2.5)], "d string, px double"
+    ).select(F_col("d").cast("date").alias("d"), "px").write.parquet(rp)
+    left, right = spark.read.parquet(lp), spark.read.parquet(rp)
+    monkeypatch.setattr(J, "ASOF_AUTO_BAND_MIN_BYTES", 0)
+    with pytest.warns(J.SinglePartitionAsofWarning):
+        out = (
+            asof_join(left, right, on="d", values=["px"])
+            .toPandas().sort_values("lv").reset_index(drop=True)
+        )
+    assert list(out["px"]) == [1.5, 2.5]
+
+
+def test_stat_less_relation_size_treated_as_unknown(spark):
+    """Catalyst reports defaultSizeInBytes (Long.MaxValue) for
+    stat-less relations (LogicalRDD, JDBC) — that means UNKNOWN, not
+    huge: the size probe returns None so tiny stat-less frames keep
+    the lazy serial plan instead of eagerly running min/max jobs."""
+    from pystore_spark.functions import joins as J
+
+    rdd = spark.sparkContext.parallelize([(1.0, 1), (2.0, 2)])
+    df = spark.createDataFrame(rdd, "t double, v int")
+    assert J._plan_size_bytes(df) is None
+    # every PySpark createDataFrame relation is RDD-backed → unknown
+    assert J._plan_size_bytes(
+        spark.createDataFrame([(1.0, 1)], "t double, v int")
+    ) is None
+    # a stats-bearing relation still reports a real size
+    sz = J._plan_size_bytes(spark.range(5).toDF("t"))
+    assert sz is not None and 0 < sz < J._SIZE_ESTIMATE_CEILING

@@ -1291,3 +1291,31 @@ def test_png_decompression_bomb_flags_row(spark):
     df = spark.createDataFrame([(0, "img", bomb, None)], M.MEDIA_SCHEMA)
     row = M.image_pixel_stats(df).collect()[0]
     assert row["error"] and row["mean"] is None
+
+
+def test_png_truncated_trailer_flags_row():
+    """Self-review r12: a deflate stream cut just before its adler32
+    trailer inflates to exactly the expected byte count — the bounded
+    decompressobj must still flag it (eof unset), matching the old
+    unbounded zlib.decompress behavior."""
+    import struct as _s
+    import zlib
+
+    good = M.write_png(4, 4, lambda x, y: (x * 3 + y) % 256)
+    # locate the IDAT chunk and truncate its zlib stream by 4 bytes
+    pos = 8
+    out = bytearray()
+    out += good[:8]
+    while pos + 8 <= len(good):
+        (clen,) = _s.unpack(">I", good[pos:pos + 4])
+        ctyp = good[pos + 4:pos + 8]
+        body = good[pos + 8:pos + 8 + clen]
+        if ctyp == b"IDAT":
+            body = body[:-4]  # drop the adler32 trailer
+        out += _s.pack(">I", len(body)) + ctyp + body
+        out += _s.pack(">I", zlib.crc32(ctyp + body) & 0xFFFFFFFF)
+        if ctyp == b"IEND":
+            break
+        pos += 12 + clen
+    with pytest.raises(ValueError, match="IDAT size mismatch"):
+        M.decode_png_pixels(bytes(out))

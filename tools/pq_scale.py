@@ -169,7 +169,7 @@ def main() -> None:
             else "super-linear probe — REGRESSION"
         )
     finally:
-        cfg.set_path(old_path) if old_path else None
+        cfg._path = old_path
         shutil.rmtree(tmp, ignore_errors=True)
 
     Path(

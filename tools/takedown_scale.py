@@ -152,7 +152,7 @@ def main() -> None:
             else "AUDIT FAILURE"
         )
     finally:
-        cfg.set_path(old_path) if old_path else None
+        cfg._path = old_path
         cfg.EXPORT_PRUNE_MIN_SOURCE_BYTES = old_min
         cfg.EXPORT_PRUNE_ISIN_CAP = old_isin
         shutil.rmtree(tmp, ignore_errors=True)
