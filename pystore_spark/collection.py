@@ -4638,56 +4638,41 @@ class Collection:
                 for cb in meta["pq_codebooks"]
             ]
             qid = query_id_col or f"q_{idc}"
+            residual = bool(meta.get("pq_residual"))
             c = max(k, int(k) * int(rerank_factor)) if rerank else k
             shortlist = S.pq_adc_cell_topk(
                 cand, qa, vec_col, idc, "cell", books,
                 k=c, query_id_col=qid,
-                centroids=cents if meta.get("pq_residual") else None,
+                centroids=cents if residual else None,
+                # carry the codes (+cell for residual decode) through
+                # the ranking so the rerank decodes the survivors
+                # in-plan — ONE scan of the probed cells, fully lazy
+                payload_cols=(
+                    ("_pq", "cell") if residual else ("_pq",)
+                ) if rerank else (),
             )
             if not rerank:
                 return shortlist.select(
                     qid, idc,
                     F.round(-F.col("dist"), 6).alias("score"),
                 )
-            # exact rerank of the decoded shortlist. The shortlist is
-            # |queries|·c rows — driver-bounded by construction, so it
-            # is collected ONCE (the method is already eager on the
-            # probed-cell set) rather than recomputing the ADC scan
-            # for both the pair frame and the decode semi-join.
-            sl_rows = shortlist.select(qid, idc).collect()
-            spark = cand.sparkSession
-            pairs = F.broadcast(
-                spark.createDataFrame(
-                    [(r[qid], r[idc]) for r in sl_rows],
-                    schema=shortlist.select(qid, idc).schema,
-                )
-            )
-            # broadcast semi-join (not a giant In() literal — the
-            # export-prune bench showed thousands of literals cost
-            # more to plan than they save)
-            dec_cols = [idc, "_pq"] + (
-                ["cell"] if meta.get("pq_residual") else []
-            )
+            # exact rerank: decode the ≤k·factor survivors per query
+            # (rank shuffle carried m smallints per row extra; the
+            # decode touches only shortlist rows) and re-score with
+            # exact cosine against the broadcast query vectors
             dec = S.vq_decode_cols(
-                cand.join(
-                    F.broadcast(pairs.select(idc).distinct()),
-                    idc, "left_semi",
-                ).select(*dec_cols),
-                meta,
+                shortlist.drop("dist"), meta
             ).drop("cell")
             qv = F.broadcast(
                 queries.select(
                     F.col(idc).alias(qid), F.col(vec_col).alias("_qvec")
                 )
             )
-            scored = (
-                pairs.join(dec, idc).join(qv, qid)
-                .select(
-                    qid, idc,
-                    F.round(
-                        S.cosine(F.col("_qvec"), F.col(vec_col)), 6
-                    ).alias("score"),
-                )
+            scored = dec.join(qv, qid).select(
+                qid, idc,
+                F.round(
+                    S.cosine(F.col("_qvec"), F.col(vec_col)), 6
+                ).alias("score"),
             )
             w = SparkWindow.partitionBy(qid).orderBy(
                 F.col("score").desc(), F.col(idc)

@@ -858,6 +858,7 @@ def pq_adc_cell_topk(
     k: int = 5,
     query_id_col: str | None = None,
     centroids: list[list[float]] | None = None,
+    payload_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Cell-restricted ADC top-k — the IVFADC search kernel
     (Jegou et al. 2011, public): ``qa`` is the probe-cell frame from
@@ -876,7 +877,12 @@ def pq_adc_cell_topk(
     pair gets its OWN LUT built from ``q − centroid[cell]`` — the
     per-cell LUT of Jegou et al. §IV. Distance stays the exact L2
     between query and reconstruction, just in residual coordinates:
-    ``||q − (c + r)||² = ||(q − c) − r||²``."""
+    ``||q − (c + r)||² = ||(q − c) − r||²``.
+
+    ``payload_cols`` — extra candidate columns carried through the
+    ranking (e.g. the codes themselves), so a rerank stage can decode
+    the survivors WITHOUT re-scanning the candidate frame — the rank
+    shuffle grows by m smallints per row, the scan count stays 1."""
     qid = query_id_col or f"q_{id_col}"
     n_cells = max(len(cb) for cb in codebooks)
     qrows = qa.select(id_col, vec_col, cell_col).collect()
@@ -905,14 +911,14 @@ def pq_adc_cell_topk(
         F.broadcast(qdf),
         (F.col(cell_col) == F.col("_qcell"))
         & (F.col(id_col) != F.col(qid)),
-    ).select(qid, id_col, dist.alias("dist"))
+    ).select(qid, id_col, dist.alias("dist"), *payload_cols)
     w = Window.partitionBy(qid).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(qid, id_col, "dist")
+        .select(qid, id_col, "dist", *payload_cols)
     )
 
 

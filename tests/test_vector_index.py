@@ -686,11 +686,23 @@ def test_pq_search_plan_no_bulk_decode(test_collection, emb):
     sl_plan = sl._jdf.queryExecution().optimizedPlan().toString()
     assert "flatten" not in sl_plan.lower()
 
-    # rerank=True decodes — but only behind the shortlist semi-join
+    # rerank=True decodes — but only the ranked shortlist, carried
+    # through the window as code payloads: the decode (`flatten`) is
+    # present, and the physical plan scans the index item exactly
+    # ONCE (no second pass to re-fetch survivor codes)
     rr = c.search_vector_index("pq_plan", q, k=5, nprobe=2)
-    rr_plan = rr._jdf.queryExecution().optimizedPlan().toString()
-    assert "flatten" in rr_plan.lower()  # decode present...
-    assert "leftsemi" in rr_plan.lower().replace(" ", "")  # ...scoped
+    rr_opt = rr._jdf.queryExecution().optimizedPlan().toString()
+    assert "flatten" in rr_opt.lower()  # decode present...
+    rr_phys = rr._jdf.queryExecution().executedPlan().toString()
+    # only the index item's files carry the codes column, so the
+    # number of scans whose ReadSchema includes _pq IS the number of
+    # passes over the index (path strings truncate in plan output)
+    idx_scans = [
+        ln
+        for ln in rr_phys.splitlines()
+        if "ReadSchema" in ln and "_pq" in ln
+    ]
+    assert len(idx_scans) == 1, rr_phys
 
 
 def test_pq_search_rerank_off_recall(test_collection, emb):
