@@ -138,6 +138,50 @@ def cosine_dedup_pairs(
     )
 
 
+def semdedup_kept(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.95,
+    quant: float = 1e7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
+    semantic deduplication with NO pre-given blocking key.
+    Deterministic KMeans (:func:`build_ivf_index_deterministic`)
+    clusters the embedding space; near-duplicate pairs are searched
+    ONLY within each cluster (the cluster-local quadratic is the
+    paper's whole point: Σ nᵢ² ≪ n² when n_cells scales with the
+    corpus); of each pair above the cosine ``threshold`` the larger
+    id drops. Returns the kept rows with their ``cell`` assignment
+    attached.
+
+    Keep rule: a row drops iff SOME smaller-id row in the same
+    cluster is ≥ ``threshold`` similar — the deterministic analogue
+    of the paper's keep-one-per-group sweep (they keep a random/
+    centroid-extremal member; id order is reproducible across
+    engines). Like the paper, near-dups that KMeans split across
+    cluster boundaries are not compared — raise ``n_iters``/lower
+    ``n_cells`` to trade recall for cost.
+
+    Scale shape: training is n_iters × (projection + ONE map-side
+    combined groupBy of n_cells·dim longs); assignment is a pure
+    projection; the pair join shuffles on ``cell`` only; the final
+    keep is a broadcast-able left-anti join on the (sparse) drop
+    set. No all-pairs stage anywhere."""
+    assigned = build_ivf_index_deterministic(
+        df, vec_col, id_col, n_cells=n_cells, n_iters=n_iters,
+        quant=quant,
+    )
+    pairs = cosine_dedup_pairs(
+        assigned, vec_col, id_col, block_col="cell",
+        threshold=threshold,
+    )
+    dropped = pairs.select(F.col("id_j").alias(id_col))
+    return assigned.join(dropped, id_col, "left_anti")
+
+
 def lsh_signs(
     n_planes: int, dim: int, seed: int = 7
 ) -> list[list[int]]:

@@ -1066,16 +1066,20 @@ def embedding_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-def _ivf_kmeans_oracle_sql(
+def _kmeans_cte_parts(
     n_cells: int = 8, n_iters: int = 2, dim: int = 64,
     quant: str = "10000000.0",
-) -> str:
-    """Unroll deterministic Lloyd's KMeans (see
-    ``build_ivf_index_deterministic``) into plain CTEs — every
-    iteration is the same (assign → quantized-int-sum update) pair,
-    arithmetic chosen so DuckDB replays Spark bit-for-bit: int64 sums
-    are order-independent, the divisions and the squared-L2 left fold
-    are correctly-rounded IEEE ops."""
+) -> tuple[list[str], str]:
+    """Shared CTE chain unrolling deterministic Lloyd's KMeans (see
+    ``build_ivf_index_deterministic``) — every iteration is the same
+    (assign → quantized-int-sum update) pair, arithmetic chosen so
+    DuckDB replays Spark bit-for-bit: int64 sums are
+    order-independent, the divisions and the squared-L2 left fold are
+    correctly-rounded IEEE ops. Returns ``(parts, final_assign)``:
+    ``parts`` starts with ``WITH v AS (...)`` and every chunk ends in
+    a comma (append further CTEs or strip the last comma);
+    ``final_assign`` names the (vec_id, cell) CTE holding the
+    converged assignment."""
     dist = (
         f"list_reduce(list_transform(generate_series(1, {dim}), "
         "i -> ({v}[i]::DOUBLE - {c}[i]) * ({v}[i]::DOUBLE - {c}[i])), "
@@ -1112,12 +1116,50 @@ def _ivf_kmeans_oracle_sql(
             f"COALESCE(u{it}.cent, c{it - 1}.cent) AS cent "
             f"FROM c{it - 1} LEFT JOIN u{it} USING (cell)),"
         )
+    return parts, f"a{n_iters + 1}"
+
+
+def _ivf_kmeans_oracle_sql(
+    n_cells: int = 8, n_iters: int = 2, dim: int = 64,
+    quant: str = "10000000.0",
+) -> str:
+    """Cell-population summary of the deterministic KMeans replay
+    (:func:`_kmeans_cte_parts`)."""
+    parts, fin = _kmeans_cte_parts(n_cells, n_iters, dim, quant)
+    parts = list(parts)
     parts[-1] = parts[-1].rstrip(",")
     parts.append(
         f"SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors "
-        f"FROM a{n_iters + 1} GROUP BY cell"
+        f"FROM {fin} GROUP BY cell"
     )
     return "\n".join(parts)
+
+
+def _semdedup_oracle_sql(
+    n_cells: int = 8, n_iters: int = 2, dim: int = 64,
+    threshold: str = "0.99",
+) -> str:
+    """SemDeDup replay: deterministic-KMeans assignment
+    (:func:`_kmeans_cte_parts`), cluster-local cosine pairs rounded
+    to 6 (the fold arithmetic of ``similarity.cosine_dedup_pairs``),
+    drop the larger id of every pair ≥ threshold, return kept
+    (vec_id, cell)."""
+    parts, fin = _kmeans_cte_parts(n_cells, n_iters, dim)
+    cos = (
+        f"ROUND({_DOT.format(a='a.embedding', b='b.embedding')} "
+        f"/ ({_NORM.format(a='a.embedding')} "
+        f"* {_NORM.format(a='b.embedding')}), 6)"
+    )
+    return "\n".join(parts) + f"""
+    s AS (SELECT v.vec_id, v.embedding, {fin}.cell
+          FROM v JOIN {fin} USING (vec_id)),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM s a JOIN s b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {threshold})
+    SELECT s.vec_id, s.cell FROM s
+    WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = s.vec_id)
+    """
 
 
 def _ivf_staleness_oracle_sql(
@@ -1578,6 +1620,28 @@ def ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexed.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+@register(
+    "semdedup_kept_docs",
+    sql=_semdedup_oracle_sql(threshold="0.35"),
+    tags=("similarity", "dedup", "semdedup"),
+)
+def semdedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): label-free semantic dedup —
+    deterministic KMeans clusters the embeddings, cosine near-dup
+    pairs are found cluster-locally, the larger id of each pair
+    above threshold drops. End-to-end oracle: DuckDB replays the
+    KMeans rounds, the fold-cosine pair scores, and the anti-join
+    keep rule. Threshold 0.35 because the synthetic corpus is
+    near-uniform (max within-cluster cosine ~0.5 — no true dups to
+    find); real embedding corpora run 0.95+."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = S.semdedup_kept(
+        emb, "embedding", "vec_id", n_cells=8, n_iters=2,
+        threshold=0.35,
+    )
+    return kept.select("vec_id", "cell")
 
 
 @register(
@@ -6533,6 +6597,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # probe-cell assignment, per-(query,cell) LUT scoring (family
     # siblings in-window: pq_adc_topk, ivf_staleness_stats)
     "pq_residual_adc_topk",
+    # round-12 tail addition: SemDeDup (Abbas et al. 2023) — label-free
+    # semantic dedup, KMeans clusters as the blocking key with
+    # cluster-local cosine pairs and a deterministic keep-smallest-id
+    # sweep (family siblings in-window: ivf_staleness_stats' KMeans
+    # replay, dedup_anti_join / neardup_cluster_ids for the keep rule)
+    "semdedup_kept_docs",
 )
 
 from pystore_spark.queries import QUERIES  # noqa: E402  (registry rebind)

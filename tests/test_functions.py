@@ -1319,3 +1319,48 @@ def test_png_truncated_trailer_flags_row():
         pos += 12 + clen
     with pytest.raises(ValueError, match="IDAT size mismatch"):
         M.decode_png_pixels(bytes(out))
+
+
+def test_semdedup_kept_drops_within_cluster_near_dups(spark):
+    """SemDeDup keep rule: within a learned KMeans cluster, a row
+    with a smaller-id neighbor above the cosine threshold drops;
+    near-orthogonal rows survive; the paper's documented blind spot
+    (near-dups split across cluster boundaries) is NOT compared."""
+    # two tight groups on opposite axes + one lone mid vector: with
+    # n_cells=2 KMeans separates the groups; each group's tight pair
+    # collapses to its smallest id
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [0.99, 0.02, 0.0, 0.0]),   # ~dup of 0 -> drops
+        (2, [0.0, 0.0, 1.0, 0.03]),
+        (3, [0.0, 0.0, 0.98, 0.01]),   # ~dup of 2 -> drops
+        (4, [0.4, 0.1, 0.0, 0.9]),     # lone -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    kept = S.semdedup_kept(
+        df, "vec", "vec_id", n_cells=2, n_iters=2, threshold=0.95
+    )
+    out = {r["vec_id"]: r["cell"] for r in kept.collect()}
+    assert set(out) == {0, 2, 4}
+    # cell column is the KMeans assignment (both dup groups landed
+    # with their survivor)
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in S.build_ivf_index_deterministic(
+            df, "vec", "vec_id", n_cells=2, n_iters=2
+        ).collect()
+    }
+    assert out == {i: assigned[i] for i in (0, 2, 4)}
+
+
+def test_semdedup_keeps_everything_below_threshold(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [-1.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    kept = S.semdedup_kept(
+        df, "vec", "vec_id", n_cells=2, n_iters=1, threshold=0.9
+    )
+    assert sorted(r["vec_id"] for r in kept.collect()) == [0, 1, 2]
