@@ -462,16 +462,49 @@ class CurationPipeline:
         dim: int | None = None,
         n_planes: int = 16,
         band_bits: int = 4,
+        method: str = "lsh",
+        n_cells: int = 64,
+        n_iters: int = 2,
     ):
-        """SemDeDup-style semantic dedup on an embedding column: sign-
-        LSH candidate pairs → exact cosine verify at ``threshold`` →
-        drop every document that has a verified smaller-id duplicate
-        (the standard greedy keep-min rule — deterministic; unlike the
-        connected-components variant it never chains A~B~C into one
-        cluster, which for semantic dedup is usually the wanted
-        behavior). Candidate generation is bucketed (quadratic only
-        within LSH bands); nothing scores all pairs."""
+        """Semantic dedup on an embedding column: candidate pairs →
+        exact cosine verify at ``threshold`` → drop every document
+        that has a verified smaller-id duplicate (the standard greedy
+        keep-min rule — deterministic; unlike the connected-components
+        variant it never chains A~B~C into one cluster, which for
+        semantic dedup is usually the wanted behavior). Nothing
+        scores all pairs.
+
+        ``method`` picks the candidate generator:
+
+        - ``"lsh"`` (default): sign-LSH band buckets — quadratic only
+          within bands, recall tunable via ``n_planes``/``band_bits``.
+        - ``"kmeans"``: SemDeDup proper (Abbas et al. 2023,
+          similarity.semdedup_kept) — deterministic KMeans with
+          ``n_cells``/``n_iters`` as the blocking key, quadratic only
+          within each learned cluster. Prefer it when near-dups are
+          paraphrase-distance (LSH sign bits miss them) and scale
+          ``n_cells`` with the corpus so cluster sizes stay bounded."""
+        if method not in ("lsh", "kmeans"):
+            raise ValueError("method must be 'lsh' or 'kmeans'")
         id_col = self.id_col
+
+        def g_kmeans(df: DataFrame) -> DataFrame:
+            from pystore_spark.functions import similarity as S
+
+            kept = S.semdedup_kept(
+                df.select(F.col(id_col), F.col(vec_col)),
+                vec_col, id_col,
+                n_cells=n_cells, n_iters=n_iters,
+                threshold=float(threshold),
+            ).select(id_col)
+            return df.join(kept, id_col, "left_semi")
+
+        if method == "kmeans":
+            self._stages.append(
+                (f"dedup_embedding[kmeans]@{threshold}", _GLOBAL,
+                 g_kmeans)
+            )
+            return self
 
         def g(df: DataFrame) -> DataFrame:
             from pystore_spark.functions import similarity as S

@@ -191,6 +191,48 @@ def test_dedup_embedding_drops_near_duplicates(spark):
     assert fun["n_surviving"].tolist() == [10, 7]
 
 
+def test_dedup_embedding_kmeans_method(spark):
+    """SemDeDup-proper candidate generation (learned KMeans clusters
+    as the blocking key) finds the same duplicate group as the LSH
+    method on a corpus where both block the near-copies together, and
+    keeps every extra column of the frame."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8).astype("float32")
+    # id 0 and ids 7-9 are near-copies of `base`; 1-6 are distinct —
+    # the copies interleave with distinct ids so the smallest-id
+    # KMeans init doesn't seed every centroid inside the dup group
+    # (which would split it across cells — the paper's documented
+    # cross-cluster blind spot)
+    rows = [(0, [float(x) for x in base], "doc 0")]
+    for i in range(1, 7):
+        v = rng.normal(size=8).astype("float32")
+        rows.append((i, [float(x) for x in v], f"doc {i}"))
+    for i in range(7, 10):
+        v = base + rng.normal(scale=1e-4, size=8).astype("float32")
+        rows.append((i, [float(x) for x in v], f"doc {i}"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, emb array<float>, text string"
+    )
+
+    out = (
+        CurationPipeline(df)
+        .dedup_embedding(
+            "emb", threshold=0.99, method="kmeans", n_cells=2
+        )
+        .dataframe()
+        .toPandas()
+    )
+    ids = set(out["doc_id"])
+    assert 0 in ids and not ({7, 8, 9} & ids)
+    assert {1, 2, 3, 4, 5, 6} <= ids
+    assert set(out.columns) == {"doc_id", "emb", "text"}
+
+    with pytest.raises(ValueError, match="lsh.*kmeans|kmeans.*lsh"):
+        CurationPipeline(df).dedup_embedding("emb", method="simhash")
+
+
 def test_report_summarizes_funnel(docs):
     rep = (
         CurationPipeline(docs)
