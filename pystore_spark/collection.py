@@ -4695,6 +4695,53 @@ class Collection:
             query_id_col=query_id_col,
         )
 
+    def semantic_dedup_probe(
+        self,
+        index_item: str,
+        batch: DataFrame,
+        threshold: float = 0.95,
+        nprobe: int = 1,
+    ) -> DataFrame:
+        """Incremental SemDeDup against a persistent vector index —
+        the embedding analogue of :meth:`append_dedup`'s O(new) text
+        probe: ONLY the incoming batch is scored (assigned to the
+        PERSISTED centroids, searched in its ``nprobe`` cells via
+        :meth:`search_vector_index`); the stored corpus is read
+        cell-pruned, never rescanned in full, so probe cost tracks
+        the batch, not the corpus. Returns one row per batch vector
+        whose nearest stored neighbor is at cosine ≥ ``threshold``:
+        ``(<id_col>, dup_of, score)`` — anti-join the batch against
+        it to keep only semantically novel rows before ingest.
+
+        Batch rows sharing an id with a stored vector never match
+        THEMSELVES (the search's self-exclusion), so re-probing
+        already-ingested docs reports only true neighbors. Recall
+        caveats are the index's: a duplicate sitting in an unprobed
+        cell is missed (raise ``nprobe``), and quantized tiers score
+        the threshold against exact cosine — int8 dequantizes, the
+        PQ tier reranks its ADC shortlist — so quantization noise
+        moves RANKING, not the reported score's meaning."""
+        meta = (self.item(index_item).metadata or {}).get(
+            "_vector_index"
+        )
+        if not meta:
+            raise StorageError(
+                f"item {index_item!r} is not a vector index "
+                "(build_vector_index creates one)"
+            )
+        idc = meta["id_col"]
+        hits = self.search_vector_index(
+            index_item, batch, k=1, nprobe=nprobe,
+            query_id_col="_probe_id",
+        )
+        return hits.filter(
+            F.col("score") >= F.lit(float(threshold))
+        ).select(
+            F.col("_probe_id").alias(idc),
+            F.col(idc).alias("dup_of"),
+            "score",
+        )
+
     # ------------------------------------------------------------------
     # persistent incremental near-dedup index (see dedup_index.py)
     # ------------------------------------------------------------------

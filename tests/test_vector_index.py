@@ -812,3 +812,76 @@ def test_pq_search_respects_allowed_filter(test_collection, emb):
         ).toPandas()
         assert got.groupby("q_vec_id")["vec_id"].count().eq(4).all()
         assert (got["vec_id"] % 3 == 0).all()
+
+
+def test_semantic_dedup_probe_flags_stored_near_dups(
+    test_collection, emb, spark
+):
+    """Incremental SemDeDup: a batch vector near-identical to a
+    stored one is reported with its stored neighbor; novel vectors
+    are not. Probe cost is batch-shaped (search_vector_index's
+    cell-pruned read — pinned elsewhere); this pins semantics."""
+    from pyspark.sql import functions as F
+
+    test_collection.build_vector_index(
+        "sdp_ivf", emb, n_cells=4, n_iters=2, overwrite=True
+    )
+    # batch: vec_id 10_000 = a stored vector nudged 1e-6; vec_id 7 =
+    # the stored corpus' own row re-submitted UNDER ITS OWN ID
+    # (self-exclusion: must match a NEIGHBOR, not itself); 10_002 =
+    # an orthogonal novelty
+    stored = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter("vec_id in (3, 7)").collect()
+    }
+    near = [float(x) + 1e-6 for x in stored[3]]
+    dim = len(near)
+    novel = [100.0 if i == 0 else 0.0 for i in range(dim)]
+    batch = spark.createDataFrame(
+        [
+            (10_000, near),
+            (7, [float(x) for x in stored[7]]),
+            (10_002, novel),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    hits = test_collection.semantic_dedup_probe(
+        "sdp_ivf", batch, threshold=0.999, nprobe=4
+    ).toPandas()
+    by_id = hits.set_index("vec_id")
+    assert 10_000 in by_id.index
+    assert by_id.loc[10_000, "dup_of"] == 3
+    assert by_id.loc[10_000, "score"] >= 0.999
+    assert 10_002 not in by_id.index
+    # the re-submitted stored row is excluded from matching ITSELF;
+    # its nearest true NEIGHBOR clears 0.999 only if the corpus has a
+    # real dup of id 7 — the near-uniform synthetic corpus doesn't
+    assert 7 not in by_id.index
+
+    # the novel-only anti-join keeps exactly the non-duplicates
+    kept = batch.join(
+        test_collection.semantic_dedup_probe(
+            "sdp_ivf", batch, threshold=0.999, nprobe=4
+        ).select("vec_id"),
+        "vec_id",
+        "left_anti",
+    )
+    assert sorted(r["vec_id"] for r in kept.collect()) == [
+        7, 10_002,
+    ]
+
+
+def test_semantic_dedup_probe_rejects_non_index(test_collection, emb):
+    import numpy as np
+    import pandas as pd
+
+    from pystore_spark.exceptions import StorageError
+
+    test_collection.write(
+        "sdp_plain",
+        pd.DataFrame({"v": np.arange(4.0)}),
+        overwrite=True,
+    )
+    with pytest.raises(StorageError, match="not a vector index"):
+        test_collection.semantic_dedup_probe("sdp_plain", emb)
