@@ -405,6 +405,121 @@ def brute_force_topk_vectorized(
     )
 
 
+#: cell count at which ``method="auto"`` assignment switches from the
+#: fold-expression argmin to the vectorized GEMM kernel. Below it the
+#: Catalyst expression (n_cells × dim literal nodes) stays inside
+#: whole-stage codegen and is bit-reproducible in the DuckDB oracle;
+#: above it the expression outgrows codegen (compile time and
+#: interpreted eval both blow up — BENCH_SEMDEDUP measured 6×
+#: build/probe cost at 160 cells) while the Arrow-batched
+#: numpy path is O(rows·cells·dim) BLAS with none of that.
+GEMM_ASSIGN_MIN_CELLS = 64
+
+
+def _resolve_assign_method(
+    method: str, centroids: list[list[float]]
+) -> str:
+    if method == "auto":
+        return (
+            "gemm"
+            if len(centroids) >= GEMM_ASSIGN_MIN_CELLS
+            else "fold"
+        )
+    if method not in ("fold", "gemm"):
+        raise ValueError("method must be auto|fold|gemm")
+    return method
+
+
+def _gemm_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    nprobe: int = 1,
+    with_dist: bool = False,
+) -> DataFrame:
+    """Vectorized centroid assignment: one ``X @ Cᵀ`` GEMM per Arrow
+    batch (``d² = ‖x‖² − 2x·c + ‖c‖²``), argmin/arg-nprobe-smallest
+    with the SAME lowest-cell tie-break as the fold path (stable sort
+    on exact-equal distances). Distances are BLAS-summation-ordered,
+    so a 1-ulp near-tie can assign differently than the fold
+    expression — callers needing the DuckDB-replayable contract pass
+    ``method="fold"``. Null vectors yield a null cell (and null
+    ``_cdist``) at nprobe=1 and are dropped by the multi-probe
+    explode (nothing to probe). ``nprobe>1`` explodes each row to
+    its nprobe nearest cells, ascending distance."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_norms = (C * C).sum(axis=1)
+    n_take = min(int(nprobe), len(centroids))
+    fields = list(df.schema.fields) + [
+        T.StructField("cell", T.IntegerType())
+    ]
+    if with_dist:
+        fields.append(T.StructField("_cdist", T.DoubleType()))
+    schema = T.StructType(fields)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["cell"] = pd.Series([], dtype="Int32")
+                if with_dist:
+                    out["_cdist"] = pd.Series([], dtype="float64")
+                yield out
+                continue
+            vecs = pdf[vec_col]
+            ok = vecs.map(lambda v: v is not None)
+            rows = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+            ) if ok.any() else np.zeros((0, C.shape[1]))
+            d = (
+                (rows * rows).sum(axis=1)[:, None]
+                - 2.0 * (rows @ C.T)
+                + c_norms[None, :]
+            )
+            if n_take == 1:
+                cells = d.argmin(axis=1)
+                cell_col = pd.Series(
+                    pd.array([None] * len(pdf), dtype="Int32"),
+                    index=pdf.index,
+                )
+                cell_col[ok] = cells.astype("int32")
+                out = pdf.copy()
+                out["cell"] = cell_col
+                if with_dist:
+                    dist_col = pd.Series(
+                        np.nan, index=pdf.index, dtype="float64"
+                    )
+                    if len(d):
+                        dist_col[ok] = d[
+                            np.arange(len(d)), cells
+                        ]
+                    out["_cdist"] = dist_col
+                yield out
+                continue
+            # multi-probe: stable argsort keeps the lowest-cell order
+            # on exact-equal distances, then each row explodes to its
+            # n_take nearest cells
+            order = (
+                np.argsort(d, axis=1, kind="stable")[:, :n_take]
+                if len(d)
+                else np.zeros((0, n_take), dtype=np.int64)
+            )
+            keep = pdf[ok]
+            out = keep.loc[keep.index.repeat(n_take)].copy()
+            out["cell"] = order.reshape(-1).astype("int32")
+            if with_dist:
+                out["_cdist"] = np.take_along_axis(
+                    d, order, axis=1
+                ).reshape(-1)
+            yield out.reset_index(drop=True)
+
+    return df.mapInPandas(run, schema)
+
+
 def _nearest_cell_struct(
     vec: Column, centroids: list[list[float]]
 ) -> Column:
@@ -433,13 +548,26 @@ def _nearest_cell_struct(
 
 def _assign_cells(
     df: DataFrame, vec_col: str, centroids: list[list[float]],
-    with_dist: bool = False,
+    with_dist: bool = False, method: str = "auto",
 ) -> DataFrame:
     """Assign each vector to the nearest centroid (squared L2), tie
-    broken by lowest cell id — see :func:`_nearest_cell_struct`.
-    ``with_dist=True`` additionally keeps the squared distance to the
-    assigned centroid as ``_cdist`` (the staleness audit's raw signal
-    — see :func:`ivf_cell_stats`)."""
+    broken by lowest cell id. ``with_dist=True`` additionally keeps
+    the squared distance to the assigned centroid as ``_cdist`` (the
+    staleness audit's raw signal — see :func:`ivf_cell_stats`).
+
+    ``method="auto"`` picks the physical kernel by cell count:
+    under :data:`GEMM_ASSIGN_MIN_CELLS` the fold expression
+    (:func:`_nearest_cell_struct` — codegen'd, DuckDB-replayable
+    bit-for-bit); at or above it the Arrow-batched GEMM
+    (:func:`_gemm_assign` — the n_cells × dim expression tree
+    otherwise outgrows codegen and dominates build/probe cost).
+    Exact-equality ties break to the lowest cell on BOTH kernels;
+    only sub-ulp near-ties can differ, so force ``"fold"`` when an
+    oracle must replay large-C assignments exactly."""
+    if _resolve_assign_method(method, centroids) == "gemm":
+        return _gemm_assign(
+            df, vec_col, centroids, nprobe=1, with_dist=with_dist
+        )
     best = _nearest_cell_struct(F.col(vec_col), centroids)
     out = df.withColumn("cell", best["cell"])
     if with_dist:
@@ -483,12 +611,17 @@ def assign_probe_cells(
     vec_col: str,
     centroids: list[list[float]],
     nprobe: int = 1,
+    method: str = "auto",
 ) -> DataFrame:
     """Multi-probe assignment: each row explodes to its ``nprobe``
     nearest cells (ascending distance, cell id tie-break) — the probe
     side of IVF search. nprobe=1 degenerates to
     :func:`_assign_cells`'s argmin. Pure projection + explode, no
-    shuffle; output rows = input × nprobe."""
+    shuffle; output rows = input × nprobe. ``method`` as in
+    :func:`_assign_cells` — large cell counts route through the
+    GEMM kernel instead of the C-way sort expression."""
+    if _resolve_assign_method(method, centroids) == "gemm":
+        return _gemm_assign(df, vec_col, centroids, nprobe=nprobe)
     structs = []
     for cell, cent in enumerate(centroids):
         carr = F.array(*[F.lit(float(v)) for v in cent])
@@ -518,6 +651,7 @@ def build_ivf_index_deterministic(
     n_cells: int = 8,
     n_iters: int = 2,
     quant: float = 1e7,
+    method: str = "auto",
 ) -> DataFrame:
     """Distributed Lloyd's KMeans with bit-reproducible arithmetic —
     the oracle-checkable IVF index build (``build_ivf_index`` keeps
@@ -549,12 +683,20 @@ def build_ivf_index_deterministic(
     oracle (both cast the same int64 to double), just 1-ulp rounded;
     true int64 overflow needs >9e9 rows per cell. Lower ``quant`` if
     either bound is approached.
+
+    ``method``: the bit-exact replay contract above holds for the
+    fold assignment kernel, which ``"auto"`` uses below
+    :data:`GEMM_ASSIGN_MIN_CELLS`; at larger cell counts auto
+    switches to the vectorized GEMM kernel (BLAS-ordered distance
+    sums — sub-ulp near-ties may assign differently). Pass
+    ``method="fold"`` to keep the oracle contract at any C, paying
+    the expression-size cost.
     """
     df = widen_parallelism(df)
     cents = train_ivf_centroids(
-        df, vec_col, id_col, n_cells, n_iters, quant
+        df, vec_col, id_col, n_cells, n_iters, quant, method
     )
-    return _assign_cells(df, vec_col, cents)
+    return _assign_cells(df, vec_col, cents, method=method)
 
 
 def train_ivf_centroids(
@@ -564,6 +706,7 @@ def train_ivf_centroids(
     n_cells: int = 8,
     n_iters: int = 2,
     quant: float = 1e7,
+    method: str = "auto",
 ) -> list[list[float]]:
     """The training half of :func:`build_ivf_index_deterministic`,
     exposed separately so the centroids can be PERSISTED (e.g. in an
@@ -585,7 +728,7 @@ def train_ivf_centroids(
         )
     dim = len(cents[0])
     for _ in range(n_iters):
-        assigned = _assign_cells(df, vec_col, cents)
+        assigned = _assign_cells(df, vec_col, cents, method=method)
         sums = [
             F.sum(
                 F.floor(

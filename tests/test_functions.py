@@ -1364,3 +1364,82 @@ def test_semdedup_keeps_everything_below_threshold(spark):
         df, "vec", "vec_id", n_cells=2, n_iters=1, threshold=0.9
     )
     assert sorted(r["vec_id"] for r in kept.collect()) == [0, 1, 2]
+
+
+def test_gemm_assign_matches_fold_kernel(spark):
+    """The vectorized GEMM assignment (auto above
+    GEMM_ASSIGN_MIN_CELLS) must agree with the codegen fold
+    expression away from sub-ulp ties: same argmin cell, same
+    multi-probe cell sets in the same order, same _cdist to 1e-9."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(64, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(64)]
+    rows.append((64, None))  # null vector
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    cents = [[float(x) for x in rng.normal(size=16)] for _ in range(7)]
+
+    fold = {
+        r["vec_id"]: (r["cell"], r["_cdist"])
+        for r in S._assign_cells(
+            df.filter("vec is not null"), "vec", cents,
+            with_dist=True, method="fold",
+        ).collect()
+    }
+    gemm = {
+        r["vec_id"]: (r["cell"], r["_cdist"])
+        for r in S._assign_cells(
+            df, "vec", cents, with_dist=True, method="gemm"
+        ).collect()
+    }
+    assert gemm[64] == (None, None)  # null vec -> null assignment
+    for i in range(64):
+        assert gemm[i][0] == fold[i][0]
+        assert abs(gemm[i][1] - fold[i][1]) < 1e-9
+
+    probe_fold = (
+        S.assign_probe_cells(
+            df.filter("vec is not null"), "vec", cents,
+            nprobe=3, method="fold",
+        )
+        .groupBy("vec_id")
+        .agg(F.collect_list("cell").alias("cells"))
+        .collect()
+    )
+    probe_gemm = {
+        r["vec_id"]: r["cells"]
+        for r in S.assign_probe_cells(
+            df, "vec", cents, nprobe=3, method="gemm"
+        )
+        .groupBy("vec_id")
+        .agg(F.collect_list("cell").alias("cells"))
+        .collect()
+    }
+    assert 64 not in probe_gemm  # null rows dropped by multi-probe
+    for r in probe_fold:
+        assert probe_gemm[r["vec_id"]] == r["cells"]
+
+
+def test_gemm_assign_exact_tie_breaks_to_lowest_cell(spark):
+    """Duplicate centroids: exact-equal distances must pick the
+    lowest cell id on the GEMM kernel, matching the fold kernel."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, vec array<double>",
+    )
+    cents = [[0.0, 1.0], [1.0, 0.0], [1.0, 0.0]]  # cells 1,2 identical
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in S._assign_cells(
+            df, "vec", cents, method="gemm"
+        ).collect()
+    }
+    assert got == {0: 1, 1: 0}
+    probed = (
+        S.assign_probe_cells(df, "vec", cents, nprobe=3, method="gemm")
+        .filter("vec_id = 0")
+        .select("cell")
+        .collect()
+    )
+    assert [r["cell"] for r in probed] == [1, 2, 0]
