@@ -4071,10 +4071,14 @@ class Collection:
         shortlist (:meth:`search_vector_index`), appends encode with
         the same codebooks, and the staleness audit/retrain measure
         in the PQ domain so zero drift reads as ratio 1.0.
-        ``pq_cells`` is capped pragmatically (the JVM argmin builds
-        n_cells branch expressions per subspace — at 256×8 the plan
-        outgrows codegen; 16-64 cells/subspace keeps it compiled and
-        already gives 16^m effective centroids).
+        ``pq_cells`` up to 63 encodes with the codegen'd fold argmin
+        (DuckDB-replayable); 64 and above — including the STANDARD
+        256-cells/subspace = one-byte-per-code geometry — routes
+        through the Arrow-batched GEMM coder automatically
+        (similarity.GEMM_ASSIGN_MIN_CELLS), whose per-batch
+        rows×cells GEMMs don't outgrow codegen the way 256×8 fold
+        expressions did. The toy-scale default stays 16 (oracle
+        replay + tiny corpora train few distinct cells anyway).
 
         ``pq_residual`` (default True) quantizes the RESIDUAL
         ``vector − centroid[cell]`` instead of the raw vector — the

@@ -902,13 +902,27 @@ def train_pq_codebooks(
 
 
 def pq_encode(
-    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]]
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    method: str = "auto",
 ) -> DataFrame:
     """Replace ``vec_col`` with its PQ codes ``_pq`` (array<smallint>,
     one code per subspace — nearest codebook entry by squared L2,
     ties to the lowest code, matching the trainer's assigner). Pure
     projection, no shuffle; the inverse (approximate) is
-    :func:`pq_decode_col`."""
+    :func:`pq_decode_col`.
+
+    ``method`` as in :func:`_assign_cells`: ``"auto"`` keeps the
+    codegen'd fold expression (DuckDB-replayable) below
+    :data:`GEMM_ASSIGN_MIN_CELLS` cells per subspace and switches to
+    the Arrow-batched GEMM kernel above it — which is what makes the
+    STANDARD PQ geometry (256 cells/subspace = one byte per code)
+    usable: m=8 × 256 fold expressions outgrow codegen, eight
+    (rows × 256) GEMMs per batch don't."""
+    big = max(codebooks, key=len)
+    if _resolve_assign_method(method, big) == "gemm":
+        return _gemm_pq_encode(df, vec_col, codebooks)
     codes = []
     off = 1
     for cb in codebooks:
@@ -922,6 +936,63 @@ def pq_encode(
         *[c for c in df.columns if c != vec_col],
         F.array(*codes).alias("_pq"),
     )
+
+
+def _gemm_pq_encode(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Vectorized PQ coding: per Arrow batch, one small GEMM per
+    subspace (``d² = ‖x_j‖² − 2 x_j·c + ‖c‖²`` against that
+    subspace's codebook), argmin with the fold kernel's lowest-code
+    tie-break (numpy argmin returns the first minimum). Null vectors
+    code to a null ``_pq``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    c_norms = [(C * C).sum(axis=1) for C in Cs]
+    d_subs = [C.shape[1] for C in Cs]
+    offs = np.concatenate([[0], np.cumsum(d_subs)])
+    keep_cols = [c for c in df.columns if c != vec_col]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != vec_col]
+        + [T.StructField("_pq", T.ArrayType(T.ShortType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[keep_cols].copy()
+            if len(pdf) == 0:
+                out["_pq"] = pd.Series([], dtype=object)
+                yield out
+                continue
+            vecs = pdf[vec_col]
+            ok = vecs.map(lambda v: v is not None)
+            coded: list = []
+            if ok.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+                )
+                codes = np.empty((len(X), len(Cs)), dtype=np.int16)
+                for j, C in enumerate(Cs):
+                    Xj = X[:, offs[j]:offs[j + 1]]
+                    d = (
+                        (Xj * Xj).sum(axis=1)[:, None]
+                        - 2.0 * (Xj @ C.T)
+                        + c_norms[j][None, :]
+                    )
+                    codes[:, j] = d.argmin(axis=1).astype(np.int16)
+                coded = [row.tolist() for row in codes]
+            it = iter(coded)
+            out["_pq"] = pd.Series(
+                [next(it) if is_ok else None for is_ok in ok],
+                index=pdf.index,
+                dtype=object,
+            )
+            yield out
+
+    return df.mapInPandas(run, schema)
 
 
 def pq_decode_col(

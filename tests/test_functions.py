@@ -1443,3 +1443,47 @@ def test_gemm_assign_exact_tie_breaks_to_lowest_cell(spark):
         .collect()
     )
     assert [r["cell"] for r in probed] == [1, 2, 0]
+
+
+def test_gemm_pq_encode_matches_fold_kernel(spark):
+    """The GEMM PQ coder must agree with the fold expression away
+    from sub-ulp ties — including ragged codebooks (fewer trained
+    cells in one subspace) and null vectors — and unlock the
+    standard 256-cells/subspace geometry the fold kernel's codegen
+    cap disallows."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 12))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows.append((40, None))
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    books = [
+        [[float(x) for x in rng.normal(size=4)] for _ in range(6)],
+        [[float(x) for x in rng.normal(size=4)] for _ in range(3)],
+        [[float(x) for x in rng.normal(size=4)] for _ in range(6)],
+    ]
+    fold = {
+        r["vec_id"]: r["_pq"]
+        for r in S.pq_encode(
+            df.filter("vec is not null"), "vec", books, method="fold"
+        ).collect()
+    }
+    gemm = {
+        r["vec_id"]: r["_pq"]
+        for r in S.pq_encode(df, "vec", books, method="gemm").collect()
+    }
+    assert gemm[40] is None
+    for i in range(40):
+        assert gemm[i] == fold[i]
+
+    # 256-cell geometry runs through the GEMM path under auto
+    big_books = [
+        [[float(x) for x in rng.normal(size=6)] for _ in range(256)]
+        for _ in range(2)
+    ]
+    coded = S.pq_encode(
+        df.filter("vec is not null"), "vec", big_books
+    ).collect()
+    assert all(len(r["_pq"]) == 2 for r in coded)
+    assert all(0 <= c < 256 for r in coded for c in r["_pq"])

@@ -885,3 +885,25 @@ def test_semantic_dedup_probe_rejects_non_index(test_collection, emb):
     )
     with pytest.raises(StorageError, match="not a vector index"):
         test_collection.semantic_dedup_probe("sdp_plain", emb)
+
+
+def test_pq_index_256_cell_geometry(test_collection, emb):
+    """The standard one-byte-per-code PQ geometry (256 cells per
+    subspace) builds and searches end-to-end — the GEMM coder makes
+    it feasible (the fold expression at 256x8 outgrew codegen, the
+    documented pre-GEMM cap)."""
+    c = test_collection
+    c.build_vector_index(
+        "pq256", emb, n_cells=4, n_iters=1,
+        quantize="pq", pq_m=4, pq_cells=256,
+    )
+    meta = c.get_item_metadata("pq256")["_vector_index"]
+    assert meta["pq_cells"] == 256
+    assert len(meta["pq_codebooks"]) == 4
+    assert all(len(cb) <= 256 for cb in meta["pq_codebooks"])
+    q = emb.filter("vec_id < 3")
+    got = c.search_vector_index("pq256", q, k=5, nprobe=2).toPandas()
+    assert got.groupby("q_vec_id")["vec_id"].count().eq(5).all()
+    # codes stay in one-byte range
+    stored = c.item("pq256").data.select("_pq").limit(50).collect()
+    assert all(0 <= code < 256 for r in stored for code in r["_pq"])
