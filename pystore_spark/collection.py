@@ -4135,12 +4135,10 @@ class Collection:
         pq_books = None
         if quantize == "pq":
             train_src = (
-                assigned.select(
-                    F.col(id_col),
-                    S.residualize(
-                        F.col(vec_col), F.col("cell"), cents
-                    ).alias(vec_col),
-                )
+                S.residualize_frame(
+                    assigned.select(id_col, vec_col, "cell"),
+                    vec_col, "cell", cents,
+                ).select(id_col, vec_col)
                 if pq_residual
                 else df
             )
@@ -4481,12 +4479,10 @@ class Collection:
             # residuals vs the NEW centroids.
             residual = bool(it_meta.get("pq_residual"))
             train_src = (
-                assigned.select(
-                    F.col(id_col),
-                    S.residualize(
-                        F.col(vec_col), F.col("cell"), cents
-                    ).alias(vec_col),
-                )
+                S.residualize_frame(
+                    assigned.select(id_col, vec_col, "cell"),
+                    vec_col, "cell", cents,
+                ).select(id_col, vec_col)
                 if residual
                 else cur
             )

@@ -1212,6 +1212,75 @@ def unresidualize(
     return F.zip_with(res, cent, lambda r, c: r + c)
 
 
+def _apply_residual_frame(
+    df: DataFrame,
+    vec_col: str,
+    cell_col: str,
+    centroids: list[list[float]],
+    sign: int,
+) -> DataFrame:
+    """Frame-level residual transform that scales with the coarse
+    cell count: below :data:`GEMM_ASSIGN_MIN_CELLS` the centroid
+    matrix inlines as a literal (:func:`centroid_table` — one
+    codegen'd projection, DuckDB-replayable); at or above it the
+    literal would put n_cells × dim nodes in the plan, so the
+    centroids become a broadcast (cell, _cent) frame joined on the
+    cell column instead — same arithmetic, same output order
+    semantics (broadcast hash join streams the left side), plan size
+    O(1) in n_cells. ``sign=-1`` residualizes, ``+1`` restores."""
+    op = (
+        (lambda x, c: x.cast("double") - c)
+        if sign < 0
+        else (lambda r, c: r + c)
+    )
+    if len(centroids) < GEMM_ASSIGN_MIN_CELLS:
+        cent = F.element_at(
+            centroid_table(centroids), F.col(cell_col).cast("int") + 1
+        )
+        return df.withColumn(
+            vec_col, F.zip_with(F.col(vec_col), cent, op)
+        )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        schema=f"{cell_col} int, _cent array<double>",
+    )
+    return (
+        df.withColumn(cell_col, F.col(cell_col).cast("int"))
+        # LEFT join: a null/unknown cell nulls the vector via the
+        # null _cent (matching element_at's null propagation on the
+        # literal path) instead of dropping the row
+        .join(F.broadcast(cdf), cell_col, "left")
+        .withColumn(
+            vec_col, F.zip_with(F.col(vec_col), F.col("_cent"), op)
+        )
+        .drop("_cent")
+    )
+
+
+def residualize_frame(
+    df: DataFrame,
+    vec_col: str,
+    cell_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """``vec := vec − centroid[cell]`` over a whole frame — the
+    IVFADC residual (see :func:`residualize`), with the centroid
+    lookup auto-switched from inline literal to broadcast join at
+    large cell counts (:func:`_apply_residual_frame`)."""
+    return _apply_residual_frame(df, vec_col, cell_col, centroids, -1)
+
+
+def unresidualize_frame(
+    df: DataFrame,
+    vec_col: str,
+    cell_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Inverse of :func:`residualize_frame`."""
+    return _apply_residual_frame(df, vec_col, cell_col, centroids, +1)
+
+
 def vq_encode_select(df: DataFrame, meta: dict) -> DataFrame:
     """Tier-dispatched vector compression for a persistent index
     frame: ``quantized`` in the index sidecar is False (float),
@@ -1239,10 +1308,7 @@ def vq_encode_select(df: DataFrame, meta: dict) -> DataFrame:
             cents = [
                 [float(x) for x in c] for c in meta["centroids"]
             ]
-            df = df.withColumn(
-                vec_col,
-                residualize(F.col(vec_col), F.col("cell"), cents),
-            )
+            df = residualize_frame(df, vec_col, "cell", cents)
         return pq_encode(df, vec_col, books)
     return quantized_select(df, meta["vec_col"])
 
@@ -1270,7 +1336,10 @@ def vq_decode_cols(df: DataFrame, meta: dict) -> DataFrame:
             cents = [
                 [float(x) for x in c] for c in meta["centroids"]
             ]
-            rec = unresidualize(rec, F.col("cell"), cents)
+            return unresidualize_frame(
+                df.withColumn(vec_col, rec).drop("_pq"),
+                vec_col, "cell", cents,
+            )
         return df.withColumn(vec_col, rec).drop("_pq")
     return df.withColumn(
         vec_col, dequantize_int8(F.col("_q8"), F.col("_q8_scale"))

@@ -1487,3 +1487,57 @@ def test_gemm_pq_encode_matches_fold_kernel(spark):
     ).collect()
     assert all(len(r["_pq"]) == 2 for r in coded)
     assert all(0 <= c < 256 for r in coded for c in r["_pq"])
+
+
+def test_residualize_frame_join_path_matches_literal(spark):
+    """At >= GEMM_ASSIGN_MIN_CELLS coarse cells the residual
+    transform switches from an inline centroid literal (n_cells x dim
+    plan nodes) to a broadcast join — output must be identical, rows
+    with a null cell must null the vector (not drop), and the
+    round-trip must restore the input."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    n_cells = S.GEMM_ASSIGN_MIN_CELLS
+    cents = [[float(x) for x in rng.normal(size=6)] for _ in range(n_cells)]
+    rows = [
+        (i, [float(x) for x in rng.normal(size=6)], i % n_cells)
+        for i in range(20)
+    ]
+    rows.append((20, [1.0] * 6, None))  # null cell
+    df = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>, cell int"
+    )
+
+    join_out = {
+        r["vec_id"]: r["vec"]
+        for r in S.residualize_frame(df, "vec", "cell", cents).collect()
+    }
+    lit_out = {
+        r["vec_id"]: r["vec"]
+        for r in df.withColumn(
+            "vec", S.residualize(F.col("vec"), F.col("cell"), cents)
+        ).collect()
+    }
+    assert set(join_out) == set(lit_out) == set(range(21))
+    assert join_out[20] is None and lit_out[20] is None
+    for i in range(20):
+        assert join_out[i] == lit_out[i]
+
+    # round-trip restores the input (small-cell literal path too)
+    back = S.unresidualize_frame(
+        S.residualize_frame(df.filter("cell is not null"), "vec",
+                            "cell", cents),
+        "vec", "cell", cents,
+    ).collect()
+    orig = {r[0]: r[1] for r in rows[:20]}
+    for r in back:
+        assert all(
+            abs(a - b) < 1e-12 for a, b in zip(r["vec"], orig[r["vec_id"]])
+        )
+    # the join path actually engaged (plan has a broadcast join, not
+    # a giant literal)
+    plan = S.residualize_frame(
+        df, "vec", "cell", cents
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -122,6 +122,12 @@ def main() -> None:
                 quantize="pq", pq_m=8, pq_cells=32, pq_residual=False
             ),
             "pq_residual": dict(quantize="pq", pq_m=8, pq_cells=32),
+            # one-byte codes (the Jegou et al. standard geometry) —
+            # feasible since the GEMM coder; same 8 bytes/vector as
+            # the 32-cell tiers but 256^8 effective centroids
+            "pq_residual_256": dict(
+                quantize="pq", pq_m=8, pq_cells=256
+            ),
         }
         results: dict = {}
         for scale_label, corpus in (("corpus_5k", base), ("corpus_50k", big)):
