@@ -4604,9 +4604,18 @@ class Collection:
         )
         from pystore_spark.dedup_index import _read_frame
 
-        cand = _read_frame(
-            self, index_item, filters=[("cell", "in", cells)]
-        )
+        # a diverse query batch can probe most cells — then the
+        # per-cell In() literal costs planner time (the same
+        # many-literal-In() cost BENCH_EXPORT_REFRESH measured) and
+        # prunes nothing, so read the whole index instead; the join
+        # in ivf_topk/pq_adc_cell_topk still restricts scoring to
+        # each query's own cells
+        if len(cells) >= 0.8 * len(cents):
+            cand = _read_frame(self, index_item)
+        else:
+            cand = _read_frame(
+                self, index_item, filters=[("cell", "in", cells)]
+            )
         # LSM read path: vectors appended since the last fold live in
         # the delta tier (small, unsorted — scanned whole with a
         # row-level cell filter)

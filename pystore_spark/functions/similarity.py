@@ -1313,11 +1313,64 @@ def vq_encode_select(df: DataFrame, meta: dict) -> DataFrame:
     return quantized_select(df, meta["vec_col"])
 
 
+def _numpy_pq_decode(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """PQ reconstruction for LARGE codebooks: per Arrow batch, m
+    numpy row-gathers + one concatenate — the Column decoder
+    (:func:`pq_decode_col`) inlines m × n_cells × d_sub literal
+    nodes, which at the standard 256-cell geometry (8×256×8 ≈ 16k
+    nodes) dominates the plan the same way the fold argmin did.
+    Null codes decode to a null vector."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    keep_cols = [c for c in df.columns if c != "_pq"]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "_pq"]
+        + [T.StructField(vec_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[keep_cols].copy()
+            if len(pdf) == 0:
+                out[vec_col] = pd.Series([], dtype=object)
+                yield out
+                continue
+            codes_ser = pdf["_pq"]
+            ok = codes_ser.map(lambda c: c is not None)
+            decoded: list = []
+            if ok.any():
+                codes = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in codes_ser[ok]]
+                )
+                vecs = np.concatenate(
+                    [Cs[j][codes[:, j]] for j in range(len(Cs))],
+                    axis=1,
+                )
+                decoded = [row.tolist() for row in vecs]
+            it = iter(decoded)
+            out[vec_col] = pd.Series(
+                [next(it) if is_ok else None for is_ok in ok],
+                index=pdf.index,
+                dtype=object,
+            )
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def vq_decode_cols(df: DataFrame, meta: dict) -> DataFrame:
     """Inverse of :func:`vq_encode_select`: restore the float vector
     column of a quantized index frame (int8 dequantize or PQ codebook
     reconstruction) — the shared read for search candidates, the
-    staleness audit, and the retrain."""
+    staleness audit, and the retrain. Large PQ codebooks
+    (≥ :data:`GEMM_ASSIGN_MIN_CELLS` cells/subspace) reconstruct via
+    the Arrow-batched gather (:func:`_numpy_pq_decode`) instead of
+    the literal-table expression."""
     mode = meta.get("quantized")
     vec_col = meta["vec_col"]
     if not mode:
@@ -1327,6 +1380,20 @@ def vq_decode_cols(df: DataFrame, meta: dict) -> DataFrame:
             [[float(x) for x in cent] for cent in cb]
             for cb in meta["pq_codebooks"]
         ]
+        if max(len(cb) for cb in books) >= GEMM_ASSIGN_MIN_CELLS:
+            dec = _numpy_pq_decode(df, vec_col, books)
+            if meta.get("pq_residual"):
+                if "cell" not in dec.columns:
+                    raise ValueError(
+                        "residual PQ decode needs the 'cell' column"
+                    )
+                cents = [
+                    [float(x) for x in c] for c in meta["centroids"]
+                ]
+                return unresidualize_frame(
+                    dec, vec_col, "cell", cents
+                )
+            return dec
         rec = pq_decode_col(F.col("_pq"), books)
         if meta.get("pq_residual"):
             if "cell" not in df.columns:

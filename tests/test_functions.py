@@ -1541,3 +1541,39 @@ def test_residualize_frame_join_path_matches_literal(spark):
         df, "vec", "cell", cents
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_numpy_pq_decode_matches_literal_decoder(spark):
+    """Large-codebook PQ reconstruction (Arrow-batched gather) must
+    byte-match the literal-table Column decoder, including null
+    codes, and compose with the residual restore."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    n_cells = S.GEMM_ASSIGN_MIN_CELLS
+    books = [
+        [[float(x) for x in rng.normal(size=4)] for _ in range(n_cells)],
+        [[float(x) for x in rng.normal(size=4)] for _ in range(5)],
+    ]
+    rows = [
+        (i, [int(rng.integers(0, n_cells)), int(rng.integers(0, 5))])
+        for i in range(30)
+    ]
+    rows.append((30, None))
+    df = spark.createDataFrame(rows, "vec_id long, _pq array<smallint>")
+
+    meta = {"quantized": "pq", "vec_col": "vec", "pq_codebooks": books}
+    got = {
+        r["vec_id"]: r["vec"]
+        for r in S.vq_decode_cols(df, meta).collect()
+    }
+    want = {
+        r["vec_id"]: r["vec"]
+        for r in df.filter("_pq is not null")
+        .withColumn("vec", S.pq_decode_col(F.col("_pq"), books))
+        .drop("_pq")
+        .collect()
+    }
+    assert got[30] is None
+    for i in range(30):
+        assert got[i] == want[i]
