@@ -1072,7 +1072,27 @@ def _pq_lut(qvec, codebooks: list[list[list[float]]],
             n_cells: int) -> list[float]:
     """Flattened per-query ADC lookup table: for subspace j and code c,
     entry ``j*n_cells + c`` is ``||q_j − codebook_j[c]||²``; ragged
-    codebooks pad with 0.0 so ``element_at`` indexing stays uniform."""
+    codebooks pad with 0.0 so ``element_at`` indexing stays uniform.
+
+    Arithmetic: the pure-Python left fold below is what the DuckDB
+    oracle replays term-for-term; at ≥ :data:`GEMM_ASSIGN_MIN_CELLS`
+    cells (no oracle at that size — the driver-side loop would cost
+    ~n_cells·dim Python ops per (query, cell) row) the sums vectorize
+    through numpy instead."""
+    if n_cells >= GEMM_ASSIGN_MIN_CELLS:
+        import numpy as np
+
+        q = np.asarray(qvec, dtype=np.float64)
+        lut, off = [], 0
+        for cb in codebooks:
+            C = np.asarray(cb, dtype=np.float64)
+            d_sub = C.shape[1]
+            diff = q[off:off + d_sub][None, :] - C
+            cells = (diff * diff).sum(axis=1)
+            lut.extend(cells.tolist())
+            lut.extend([0.0] * (n_cells - len(cb)))
+            off += d_sub
+        return lut
     q = [float(x) for x in qvec]
     lut, off = [], 0
     for cb in codebooks:
