@@ -451,6 +451,10 @@ def _gemm_assign(
     import pandas as pd
     from pyspark.sql import types as T
 
+    # withColumn-replace semantics: a pre-existing cell/_cdist column
+    # is overwritten, exactly like the fold path's withColumn
+    drop = {"cell"} | ({"_cdist"} if with_dist else set())
+    df = df.drop(*(c for c in df.columns if c in drop))
     C = np.asarray(centroids, dtype=np.float64)
     c_norms = (C * C).sum(axis=1)
     n_take = min(int(nprobe), len(centroids))
@@ -954,9 +958,9 @@ def _gemm_pq_encode(
     c_norms = [(C * C).sum(axis=1) for C in Cs]
     d_subs = [C.shape[1] for C in Cs]
     offs = np.concatenate([[0], np.cumsum(d_subs)])
-    keep_cols = [c for c in df.columns if c != vec_col]
+    keep_cols = [c for c in df.columns if c not in (vec_col, "_pq")]
     schema = T.StructType(
-        [f for f in df.schema.fields if f.name != vec_col]
+        [f for f in df.schema.fields if f.name in keep_cols]
         + [T.StructField("_pq", T.ArrayType(T.ShortType()))]
     )
 
@@ -1260,6 +1264,11 @@ def _apply_residual_frame(
         return df.withColumn(
             vec_col, F.zip_with(F.col(vec_col), cent, op)
         )
+    if "_cent" in df.columns:
+        raise ValueError(
+            "column '_cent' collides with the residual transform's "
+            "working column — rename it"
+        )
     spark = df.sparkSession
     cdf = spark.createDataFrame(
         [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
@@ -1347,9 +1356,9 @@ def _numpy_pq_decode(
     from pyspark.sql import types as T
 
     Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
-    keep_cols = [c for c in df.columns if c != "_pq"]
+    keep_cols = [c for c in df.columns if c not in ("_pq", vec_col)]
     schema = T.StructType(
-        [f for f in df.schema.fields if f.name != "_pq"]
+        [f for f in df.schema.fields if f.name in keep_cols]
         + [T.StructField(vec_col, T.ArrayType(T.DoubleType()))]
     )
 
