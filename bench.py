@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     # pipeline (Arrow-batched mapInPandas, row-local)
     "pq_residual_adc_topk",
     "image_content_stats",
+    # round-12 flagship: SemDeDup — label-free semantic dedup over
+    # learned KMeans clusters (cluster-local pair join, anti-join
+    # keep rule)
+    "semdedup_kept_docs",
 ]
 
 

@@ -4027,7 +4027,7 @@ class Collection:
         source,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
-        n_cells: int = 8,
+        n_cells: "int | str" = 8,
         n_iters: int = 2,
         overwrite: bool = False,
         quantize: "bool | str" = False,
@@ -4088,8 +4088,13 @@ class Collection:
         recall at equal bytes improves (BENCH_PQ measures the gap).
         Search LUTs become per-(query, probed-cell); storage layout
         and API are unchanged. Set False for the raw-vector variant
-        (codes then decode without the cell column). Returns
-        ``{n_cells, dim, n_vectors}``."""
+        (codes then decode without the cell column).
+
+        ``n_cells="auto"`` sizes the coarse quantizer as ~4·√N
+        (capped at 65,536) — the standard IVF heuristic; large cell
+        counts are practical because assignment/coding/decode switch
+        to the GEMM kernels past similarity.GEMM_ASSIGN_MIN_CELLS.
+        Returns ``{n_cells, dim, n_vectors}``."""
         from pystore_spark.functions import similarity as S
 
         from pystore_spark.dedup_index import _read_frame
@@ -4121,6 +4126,19 @@ class Collection:
                 df = df.unionByName(_read_frame(self, nm))
         else:
             df = source
+        if n_cells == "auto":
+            # the standard IVF sizing heuristic (FAISS guidance):
+            # ~4·√N cells keeps inverted lists at ~√N/4 vectors, so
+            # probe cost and training cost stay balanced as the
+            # corpus grows. One count() job; feasible at any C since
+            # assignment/coding route through the GEMM kernels past
+            # similarity.GEMM_ASSIGN_MIN_CELLS.
+            n = df.count()
+            n_cells = max(1, min(65_536, int(4 * n ** 0.5)))
+        elif not isinstance(n_cells, int):
+            raise ValueError(
+                f"n_cells must be an int or 'auto', got {n_cells!r}"
+            )
         cents = S.train_ivf_centroids(
             df, vec_col, id_col, n_cells=n_cells, n_iters=n_iters
         )

@@ -907,3 +907,22 @@ def test_pq_index_256_cell_geometry(test_collection, emb):
     # codes stay in one-byte range
     stored = c.item("pq256").data.select("_pq").limit(50).collect()
     assert all(0 <= code < 256 for r in stored for code in r["_pq"])
+
+
+def test_build_vector_index_auto_cells(test_collection, emb):
+    """n_cells='auto' sizes the coarse quantizer ~4*sqrt(N) (GEMM
+    kernel territory) and the index remains searchable end-to-end."""
+    res = test_collection.build_vector_index(
+        "auto_ivf", emb, n_cells="auto", n_iters=1, overwrite=True
+    )
+    n = emb.count()
+    assert res["n_cells"] == int(4 * n ** 0.5)
+    got = test_collection.search_vector_index(
+        "auto_ivf", emb.filter("vec_id < 3"), k=5, nprobe=4
+    ).toPandas()
+    assert got.groupby("q_vec_id")["vec_id"].count().eq(5).all()
+
+    with pytest.raises(ValueError, match="auto"):
+        test_collection.build_vector_index(
+            "bad_ivf", emb, n_cells="sqrt", overwrite=True
+        )
