@@ -4229,7 +4229,10 @@ class Collection:
         }
 
     def append_vector_index(
-        self, index_item: str, vectors: DataFrame
+        self,
+        index_item: str,
+        vectors: DataFrame,
+        sidecar_extra: "dict | None" = None,
     ) -> dict:
         """Add vectors to a persistent IVF index WITHOUT retraining or
         rebuilding: new rows are cell-assigned with the PERSISTED
@@ -4270,17 +4273,24 @@ class Collection:
             "*",
         )
         if self.item_exists(delta):
-            self.append(delta, rows, duplicate_handling="keep_all")
+            self.append(
+                delta, rows, duplicate_handling="keep_all",
+                sidecar_extra=sidecar_extra,
+            )
         else:
             try:
-                self.write(delta, rows, index_col="added_at")
+                self.write(
+                    delta, rows, index_col="added_at",
+                    sidecar_extra=sidecar_extra,
+                )
             except (ConcurrentCommitError, ItemExistsError):
                 # concurrent first-appends race to CREATE the delta
                 # tier — the loser appends instead of failing (same
                 # fix as dedup_index._index_delta_append)
                 self.clear_metadata_cache(delta)
                 self.append(
-                    delta, rows, duplicate_handling="keep_all"
+                    delta, rows, duplicate_handling="keep_all",
+                    sidecar_extra=sidecar_extra,
                 )
         return {"delta_item": delta}
 

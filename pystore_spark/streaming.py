@@ -221,6 +221,95 @@ def dedup_merge_sink(
     return sink
 
 
+def semantic_dedup_sink(
+    collection,
+    item: str,
+    index_item: str,
+    threshold: float = 0.95,
+    nprobe: int = 1,
+    sink_key: str | None = None,
+    index_survivors: bool = True,
+    **append_kwargs: Any,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function: SemDeDup each micro-batch against
+    the stored corpus via the persistent VECTOR index
+    (Collection.semantic_dedup_probe — O(batch), cell-pruned reads,
+    never a corpus rescan): batch rows whose nearest stored neighbor
+    clears the cosine ``threshold`` drop, survivors append to
+    ``item``, and (``index_survivors=True``) the survivors'
+    ``(id, vector)`` rows land in the index's delta tier so LATER
+    batches dedup against them too — the embedding analogue of
+    :func:`dedup_merge_sink`.
+
+    Exactly-once: the data append and the index-delta append each
+    carry their own batch-id marker in their target's sidecar
+    (written atomically with the commit), so a replayed micro-batch
+    skips whichever side already committed and re-runs only the
+    other. The probe itself reads only the INDEX, so recomputing it
+    on replay is deterministic regardless of the data commit.
+    Ordering: data first — a crash between the two appends leaves
+    committed docs briefly invisible to future probes (duplicates
+    may slip through until the replay repairs the index), never the
+    reverse, where ghost index entries would suppress docs that were
+    never stored.
+
+    Within-batch near-dups are NOT compared (both survive —
+    neither is stored yet); pre-collapse the batch with
+    ``similarity.semdedup_kept`` when micro-batches can carry their
+    own duplicates."""
+    key = sink_key or "default"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bid = int(batch_id)
+        meta = (
+            collection.get_item_metadata(index_item) or {}
+        ).get("_vector_index")
+        if not meta:
+            raise ValueError(
+                f"item {index_item!r} is not a vector index "
+                "(build_vector_index creates one)"
+            )
+        idc = meta["id_col"]
+        hits = collection.semantic_dedup_probe(
+            index_item, batch_df, threshold=threshold, nprobe=nprobe
+        )
+        # pinned once: survivors feed up to three actions (empty
+        # check, data append, index append) — without the checkpoint
+        # each would re-run the probe
+        survivors = batch_df.join(
+            hits.select(idc), idc, "left_anti"
+        ).localCheckpoint(eager=True)
+        if survivors.isEmpty():
+            return
+        if not collection.item_exists(item):
+            collection.write(
+                item, survivors,
+                sidecar_extra={COMMITS_KEY: {key: bid}},
+            )
+        elif _last_applied(collection, item, key) < bid:
+            collection.append(
+                item,
+                survivors,
+                sidecar_extra={COMMITS_KEY: {key: bid}},
+                **append_kwargs,
+            )
+        if index_survivors:
+            delta = f"{index_item}__delta"
+            if _last_applied(collection, delta, key) < bid:
+                # the full survivor rows, not just (id, vector): the
+                # index base carries the source's payload columns and
+                # probes union base ∪ delta by the base's column set
+                collection.append_vector_index(
+                    index_item,
+                    survivors,
+                    sidecar_extra={COMMITS_KEY: {key: bid}},
+                )
+
+    return sink
+
+
 def ingest_stream(
     collection,
     item: str,

@@ -1101,3 +1101,59 @@ def test_curated_sink_text_index_crash_repair(
     meta_after = c.get_item_metadata("ttx")[TI.META_KEY]
     assert meta_after["n_docs"] == meta_before["n_docs"]
     assert meta_after["total_dl"] == meta_before["total_dl"]
+
+
+def test_semantic_dedup_sink_probes_vector_index_per_batch(
+    spark, test_collection
+):
+    """Streaming SemDeDup: each micro-batch drops rows whose nearest
+    stored embedding clears the threshold, survivors append AND join
+    the index delta so later batches dedup against them; a replayed
+    batch id double-appends neither the data nor the index."""
+    import pandas as pd
+
+    from pystore_spark.sources import load_table
+    from pystore_spark.streaming import semantic_dedup_sink
+
+    c = test_collection
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c.write("svecs", emb.toPandas(), index_col="vec_id")
+    c.build_vector_index("svix", "svecs", n_cells=4, n_iters=1)
+
+    stored = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id in (5, 9)").collect()
+    }
+    novel = [7.0] + [0.0] * (len(stored[5]) - 1)
+    sink = semantic_dedup_sink(
+        c, "svecs", "svix", threshold=0.999, nprobe=4
+    )
+    b0 = spark.createDataFrame(
+        [(1000, stored[5], 0), (1001, novel, 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    sink(b0, 0)
+    ids = {
+        r["vec_id"]
+        for r in c.item("svecs").data.select("vec_id").collect()
+    }
+    assert 1000 not in ids and 1001 in ids  # dup dropped, novel kept
+
+    # replay: neither the data nor the index delta grows
+    n_data = c.item("svecs").data.count()
+    n_delta = c.item("svix__delta").data.count()
+    sink(b0, 0)
+    assert c.item("svecs").data.count() == n_data
+    assert c.item("svix__delta").data.count() == n_delta
+
+    # batch 1 repeats batch 0's survivor -> dropped via the DELTA
+    b1 = spark.createDataFrame(
+        [(2000, novel, 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    sink(b1, 1)
+    ids = {
+        r["vec_id"]
+        for r in c.item("svecs").data.select("vec_id").collect()
+    }
+    assert 2000 not in ids and 1001 in ids
