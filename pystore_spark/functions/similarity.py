@@ -146,6 +146,7 @@ def semdedup_kept(
     n_iters: int = 2,
     threshold: float = 0.95,
     quant: float = 1e7,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
     semantic deduplication with NO pre-given blocking key.
@@ -161,7 +162,12 @@ def semdedup_kept(
     cluster is ≥ ``threshold`` similar — the deterministic analogue
     of the paper's keep-one-per-group sweep (they keep a random/
     centroid-extremal member; id order is reproducible across
-    engines). Like the paper, near-dups that KMeans split across
+    engines). ``prefer_col`` replaces the id preference with a
+    QUALITY preference: of each near-dup pair the row with the
+    higher ``prefer_col`` wins (ties, including nulls on both sides,
+    fall back to smaller id; a null loses to a non-null) — keep the
+    best-scoring member of each duplicate neighborhood instead of
+    the oldest. Like the paper, near-dups that KMeans split across
     cluster boundaries are not compared — raise ``n_iters``/lower
     ``n_cells`` to trade recall for cost.
 
@@ -178,7 +184,36 @@ def semdedup_kept(
         assigned, vec_col, id_col, block_col="cell",
         threshold=threshold,
     )
-    dropped = pairs.select(F.col("id_j").alias(id_col))
+    if prefer_col is not None:
+        # per-pair loser by (prefer desc, id asc): the group's
+        # maximum-(prefer, -id) member loses no pair, so every
+        # duplicate neighborhood keeps at least one row
+        p = assigned.select(F.col(id_col), F.col(prefer_col))
+        pw = pairs.join(
+            p.select(
+                F.col(id_col).alias("id_i"),
+                F.col(prefer_col).alias("_pi"),
+            ),
+            "id_i",
+        ).join(
+            p.select(
+                F.col(id_col).alias("id_j"),
+                F.col(prefer_col).alias("_pj"),
+            ),
+            "id_j",
+        )
+        loser = (
+            F.when(F.col("_pj") > F.col("_pi"), F.col("id_i"))
+            .when(F.col("_pi") > F.col("_pj"), F.col("id_j"))
+            .when(
+                F.col("_pi").isNull() & F.col("_pj").isNotNull(),
+                F.col("id_i"),
+            )
+            .otherwise(F.col("id_j"))  # ties/null-null: larger id
+        )
+        dropped = pw.select(loser.alias(id_col))
+    else:
+        dropped = pairs.select(F.col("id_j").alias(id_col))
     return assigned.join(dropped, id_col, "left_anti")
 
 

@@ -465,6 +465,7 @@ class CurationPipeline:
         method: str = "lsh",
         n_cells: int = 64,
         n_iters: int = 2,
+        prefer_col: str | None = None,
     ):
         """Semantic dedup on an embedding column: candidate pairs →
         exact cosine verify at ``threshold`` → drop every document
@@ -483,19 +484,32 @@ class CurationPipeline:
           ``n_cells``/``n_iters`` as the blocking key, quadratic only
           within each learned cluster. Prefer it when near-dups are
           paraphrase-distance (LSH sign bits miss them) and scale
-          ``n_cells`` with the corpus so cluster sizes stay bounded."""
+          ``n_cells`` with the corpus so cluster sizes stay bounded.
+          ``prefer_col`` keeps the highest-scoring member of each
+          duplicate group instead of the smallest id (kmeans method
+          only — see similarity.semdedup_kept)."""
         if method not in ("lsh", "kmeans"):
             raise ValueError("method must be 'lsh' or 'kmeans'")
         id_col = self.id_col
 
+        if prefer_col is not None and method != "kmeans":
+            raise ValueError(
+                "prefer_col needs method='kmeans' (the LSH method "
+                "keeps the smallest id)"
+            )
+
         def g_kmeans(df: DataFrame) -> DataFrame:
             from pystore_spark.functions import similarity as S
 
+            cols = [F.col(id_col), F.col(vec_col)] + (
+                [F.col(prefer_col)] if prefer_col else []
+            )
             kept = S.semdedup_kept(
-                df.select(F.col(id_col), F.col(vec_col)),
+                df.select(*cols),
                 vec_col, id_col,
                 n_cells=n_cells, n_iters=n_iters,
                 threshold=float(threshold),
+                prefer_col=prefer_col,
             ).select(id_col)
             return df.join(kept, id_col, "left_semi")
 

@@ -1577,3 +1577,36 @@ def test_numpy_pq_decode_matches_literal_decoder(spark):
     assert got[30] is None
     for i in range(30):
         assert got[i] == want[i]
+
+
+def test_semdedup_prefer_col_keeps_best_quality(spark):
+    """prefer_col: of each near-dup group the highest-quality row
+    survives instead of the smallest id; null quality loses to
+    non-null; ties fall back to smallest id."""
+    rows = [
+        (0, [1.0, 0.01, 0.0], 0.2),
+        (1, [0.99, 0.02, 0.0], 0.9),    # best of group A -> kept
+        (2, [0.98, 0.015, 0.0], None),  # null loses
+        (3, [0.0, 0.0, 1.0], 0.5),
+        (4, [0.0, 0.01, 0.99], 0.5),    # tie with 3 -> larger id drops
+        (5, [0.5, -0.5, 0.5], 0.1),     # lone -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>, quality double"
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in S.semdedup_kept(
+            df, "vec", "vec_id", n_cells=2, n_iters=2,
+            threshold=0.95, prefer_col="quality",
+        ).collect()
+    )
+    assert kept == [1, 3, 5]
+    # default id rule on the same frame keeps the smallest ids
+    kept_id = sorted(
+        r["vec_id"]
+        for r in S.semdedup_kept(
+            df, "vec", "vec_id", n_cells=2, n_iters=2, threshold=0.95
+        ).collect()
+    )
+    assert kept_id == [0, 3, 5]
