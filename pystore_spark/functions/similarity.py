@@ -115,26 +115,89 @@ def cosine_dedup_pairs(
     id_col: str,
     block_col: str,
     threshold: float = 0.95,
+    max_block_size: int = 1000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold,
-    blocked by ``block_col`` (quadratic only within blocks)."""
+    blocked by ``block_col`` (quadratic only within blocks).
+
+    Skew guard (same design as dedup.lsh_candidate_pairs, where the
+    rationale — AQE cannot split a self-join's both-sides-hot
+    partition — is documented): when some block exceeds
+    ``max_block_size`` rows, each member gets a deterministic salt
+    group in [0, G) with G = ceil(block_n / max_block_size) and the
+    join key becomes (block, g_left, g_right) — per-task pair work is
+    bounded by ~max_block_size² however skewed the blocks are.
+    Uniform blocks take the plain join (one cheap counts agg is the
+    only extra cost)."""
     df = widen_parallelism(df)
     slim = df.select(F.col(id_col), F.col(block_col), F.col(vec_col))
-    a, b = slim.alias("a"), slim.alias("b")
+
+    def score(lhs: str, rhs: str) -> Column:
+        return F.round(
+            cosine(F.col(f"{lhs}.{vec_col}"), F.col(f"{rhs}.{vec_col}")),
+            6,
+        ).alias("score")
+
+    counts = slim.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
+    max_bn = counts.agg(F.max("_bn").alias("m")).first()["m"] or 0
+    if max_bn <= max_block_size:
+        a, b = slim.alias("a"), slim.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_i"),
+                F.col(f"b.{id_col}").alias("id_j"),
+                score("a", "b"),
+            )
+            .filter(F.col("score") >= threshold)
+        )
+    g = F.greatest(
+        F.ceil(F.col("_bn") / max_block_size).cast("int"), F.lit(1)
+    )
+    salted = slim.join(counts, block_col).select(
+        F.col(id_col),
+        F.col(block_col),
+        F.col(vec_col),
+        g.alias("_g"),
+        F.pmod(F.xxhash64(F.col(id_col)), g).cast("int").alias("_s"),
+    )
+    left = salted.select(
+        id_col, block_col, vec_col,
+        F.col("_s").alias("_g1"),
+        F.explode(F.sequence(F.col("_s"), F.col("_g") - 1)).alias("_g2"),
+    )
+    right = salted.select(
+        id_col, block_col, vec_col,
+        F.explode(F.sequence(F.lit(0), F.col("_s"))).alias("_g1"),
+        F.col("_s").alias("_g2"),
+    )
+    a, b = left.alias("a"), right.alias("b")
+    # id order is canonicalized AFTER the join (roles are fixed by
+    # salt); equal-salt pairs match in both role assignments, so the
+    # dropDuplicates below dedupes them (score is symmetric)
     return (
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a._g1") == F.col("b._g1"))
+            & (F.col("a._g2") == F.col("b._g2"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_i"),
-            F.col(f"b.{id_col}").alias("id_j"),
-            F.round(
-                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
-            ).alias("score"),
+            F.least(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_i"),
+            F.greatest(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_j"),
+            score("a", "b"),
         )
         .filter(F.col("score") >= threshold)
+        .dropDuplicates(["id_i", "id_j"])
     )
 
 

@@ -1610,3 +1610,35 @@ def test_semdedup_prefer_col_keeps_best_quality(spark):
         ).collect()
     )
     assert kept_id == [0, 3, 5]
+
+
+def test_cosine_dedup_pairs_salted_path_matches_plain(spark):
+    """Hot-block skew guard: forcing the salted group-pair join (tiny
+    max_block_size) must produce exactly the plain join's pair set
+    and scores — every unordered pair covered once, equal-salt
+    mirrors deduped."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(30):  # one hot block of near-dups + noise
+        v = base + rng.normal(scale=(1e-4 if i % 3 == 0 else 1.0), size=8)
+        rows.append((i, "blk", [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, blk string, vec array<double>")
+
+    plain = {
+        (r["id_i"], r["id_j"]): r["score"]
+        for r in S.cosine_dedup_pairs(
+            df, "vec", "vec_id", "blk", threshold=0.9,
+            max_block_size=1000,
+        ).collect()
+    }
+    salted = {
+        (r["id_i"], r["id_j"]): r["score"]
+        for r in S.cosine_dedup_pairs(
+            df, "vec", "vec_id", "blk", threshold=0.9,
+            max_block_size=4,
+        ).collect()
+    }
+    assert plain and salted == plain
