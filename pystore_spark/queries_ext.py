@@ -1635,7 +1635,11 @@ def semdedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMeans rounds, the fold-cosine pair scores, and the anti-join
     keep rule. Threshold 0.35 because the synthetic corpus is
     near-uniform (max within-cluster cosine ~0.5 — no true dups to
-    find); real embedding corpora run 0.95+."""
+    find); real embedding corpora run 0.95+. n_cells is PINNED at 8
+    for the oracle's unrolled CTE size, so this query's cluster-local
+    pair term grows with (n/8)² — the production configuration scales
+    n_cells with the corpus (the paper's recipe; measured linear in
+    BENCH_SEMDEDUP) or passes n_cells='auto' at index build."""
     emb = load_table(spark, sf_dir, "embeddings")
     kept = S.semdedup_kept(
         emb, "embedding", "vec_id", n_cells=8, n_iters=2,
