@@ -205,7 +205,7 @@ def semdedup_kept(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    n_cells: int = 8,
+    n_cells: "int | str" = "auto",
     n_iters: int = 2,
     threshold: float = 0.95,
     quant: float = 1e7,
@@ -238,7 +238,19 @@ def semdedup_kept(
     combined groupBy of n_cells·dim longs); assignment is a pure
     projection; the pair join shuffles on ``cell`` only; the final
     keep is a broadcast-able left-anti join on the (sparse) drop
-    set. No all-pairs stage anywhere."""
+    set. No all-pairs stage anywhere.
+
+    ``n_cells="auto"`` (default) scales the cluster count with the
+    corpus — ~4·√N, capped at 65,536 — which is what keeps the
+    cluster-local quadratic LINEAR in N (BENCH_SEMDEDUP measures it);
+    a fixed cell count re-grows an (N/C)² term as the corpus does."""
+    if n_cells == "auto":
+        n = df.count()
+        n_cells = max(1, min(65_536, int(4 * n ** 0.5)))
+    elif not isinstance(n_cells, int):
+        raise ValueError(
+            f"n_cells must be an int or 'auto', got {n_cells!r}"
+        )
     assigned = build_ivf_index_deterministic(
         df, vec_col, id_col, n_cells=n_cells, n_iters=n_iters,
         quant=quant,

@@ -1642,3 +1642,21 @@ def test_cosine_dedup_pairs_salted_path_matches_plain(spark):
         ).collect()
     }
     assert plain and salted == plain
+
+
+def test_semdedup_auto_cells(spark):
+    """n_cells='auto' (default) scales clusters ~4*sqrt(N) so the
+    cluster-local quadratic stays linear in N."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    kept = S.semdedup_kept(df, "vec", "vec_id", threshold=0.999)
+    assert kept.count() == 100  # random vectors: nothing near-dup
+    cells = kept.select("cell").distinct().count()
+    assert 1 < cells <= int(4 * 100 ** 0.5)
+    with pytest.raises(ValueError, match="auto"):
+        S.semdedup_kept(df, "vec", "vec_id", n_cells="sqrt")
