@@ -4127,14 +4127,10 @@ class Collection:
         else:
             df = source
         if n_cells == "auto":
-            # the standard IVF sizing heuristic (FAISS guidance):
-            # ~4·√N cells keeps inverted lists at ~√N/4 vectors, so
-            # probe cost and training cost stay balanced as the
-            # corpus grows. One count() job; feasible at any C since
-            # assignment/coding route through the GEMM kernels past
-            # similarity.GEMM_ASSIGN_MIN_CELLS.
-            n = df.count()
-            n_cells = max(1, min(65_536, int(4 * n ** 0.5)))
+            # one count() job; feasible at any C since assignment/
+            # coding route through the GEMM kernels past
+            # similarity.GEMM_ASSIGN_MIN_CELLS
+            n_cells = S.auto_n_cells(df.count())
         elif not isinstance(n_cells, int):
             raise ValueError(
                 f"n_cells must be an int or 'auto', got {n_cells!r}"
@@ -4628,7 +4624,12 @@ class Collection:
             queries, meta["vec_col"], cents, nprobe=nprobe
         )
         cells = sorted(
-            r["cell"] for r in qa.select("cell").distinct().collect()
+            r["cell"]
+            for r in qa.select("cell").distinct().collect()
+            # a null-vector query assigns no cell (GEMM kernel,
+            # nprobe=1) — nothing to probe for it, and None must not
+            # reach the sort (review r12)
+            if r["cell"] is not None
         )
         from pystore_spark.dedup_index import _read_frame
 

@@ -177,15 +177,21 @@ def cosine_dedup_pairs(
     )
     a, b = left.alias("a"), right.alias("b")
     # id order is canonicalized AFTER the join (roles are fixed by
-    # salt); equal-salt pairs match in both role assignments, so the
-    # dropDuplicates below dedupes them (score is symmetric)
+    # salt); an equal-salt pair would match in both role assignments,
+    # so same-group pairs additionally require a.id < b.id — each
+    # unordered pair survives exactly once with NO dedup exchange
+    # (review r12: dropDuplicates here shuffled the full pair set)
     return (
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
             & (F.col("a._g1") == F.col("b._g1"))
             & (F.col("a._g2") == F.col("b._g2"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (
+                (F.col("a._g1") != F.col("a._g2"))
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
         )
         .select(
             F.least(
@@ -197,7 +203,6 @@ def cosine_dedup_pairs(
             score("a", "b"),
         )
         .filter(F.col("score") >= threshold)
-        .dropDuplicates(["id_i", "id_j"])
     )
 
 
@@ -245,8 +250,7 @@ def semdedup_kept(
     cluster-local quadratic LINEAR in N (BENCH_SEMDEDUP measures it);
     a fixed cell count re-grows an (N/C)² term as the corpus does."""
     if n_cells == "auto":
-        n = df.count()
-        n_cells = max(1, min(65_536, int(4 * n ** 0.5)))
+        n_cells = auto_n_cells(df.count())
     elif not isinstance(n_cells, int):
         raise ValueError(
             f"n_cells must be an int or 'auto', got {n_cells!r}"
@@ -255,6 +259,11 @@ def semdedup_kept(
         df, vec_col, id_col, n_cells=n_cells, n_iters=n_iters,
         quant=quant,
     )
+    # pin the assignment once: it feeds the pair join's both sides,
+    # the block-size count, the prefer lookups, and the final
+    # anti-join base — without this the full-corpus assignment
+    # lineage re-runs 4-6× (review r12)
+    assigned = assigned.localCheckpoint(eager=True)
     pairs = cosine_dedup_pairs(
         assigned, vec_col, id_col, block_col="cell",
         threshold=threshold,
@@ -524,6 +533,14 @@ def brute_force_topk_vectorized(
 #: build/probe cost at 160 cells) while the Arrow-batched
 #: numpy path is O(rows·cells·dim) BLAS with none of that.
 GEMM_ASSIGN_MIN_CELLS = 64
+
+
+def auto_n_cells(n: int) -> int:
+    """The shared ``n_cells="auto"`` sizing policy: ~4·√N (FAISS
+    guidance — inverted lists of ~√N/4 vectors balance probe and
+    training cost), capped at 65,536. One definition so
+    build_vector_index and semdedup_kept cannot drift."""
+    return max(1, min(65_536, int(4 * n ** 0.5)))
 
 
 def _resolve_assign_method(
@@ -853,7 +870,11 @@ def train_ivf_centroids(
             for i in range(dim)
         ]
         rows = (
-            assigned.groupBy("cell")
+            # null vectors carry a null cell (GEMM kernel) — they
+            # must not form a null update group (review r12: the
+            # float(None) crash on dirty corpora at auto cell counts)
+            assigned.filter(F.col("cell").isNotNull())
+            .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"), *sums)
             .collect()
         )

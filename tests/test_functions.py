@@ -1660,3 +1660,29 @@ def test_semdedup_auto_cells(spark):
     assert 1 < cells <= int(4 * 100 ** 0.5)
     with pytest.raises(ValueError, match="auto"):
         S.semdedup_kept(df, "vec", "vec_id", n_cells="sqrt")
+
+
+def test_gemm_training_tolerates_null_vectors(spark):
+    """Review r12: a null embedding must not crash KMeans training or
+    SemDeDup when the GEMM kernel engages (>= 64 cells / auto) — the
+    null row carries a null cell and is excluded from centroid
+    updates and near-dup pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(70)
+    ]
+    rows.append((70, None))
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    n_cells = S.GEMM_ASSIGN_MIN_CELLS
+    cents = S.train_ivf_centroids(
+        df, "vec", "vec_id", n_cells=n_cells, n_iters=2
+    )
+    assert len(cents) == n_cells
+    kept = S.semdedup_kept(
+        df, "vec", "vec_id", n_cells=n_cells, threshold=0.999
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert 70 in ids  # the null row survives (nothing to compare)
+    assert len(ids) == 71

@@ -926,3 +926,30 @@ def test_build_vector_index_auto_cells(test_collection, emb):
         test_collection.build_vector_index(
             "bad_ivf", emb, n_cells="sqrt", overwrite=True
         )
+
+
+def test_search_tolerates_null_query_vectors_at_large_cells(
+    test_collection, emb, spark
+):
+    """Review r12: a null query embedding assigns no probe cell under
+    the GEMM kernel (>= 64 cells); search and the dedup probe must
+    skip it instead of failing on the None-vs-int cell sort."""
+    from pyspark.sql import functions as F
+
+    test_collection.build_vector_index(
+        "nq_ivf", emb, n_cells=64, n_iters=1, overwrite=True
+    )
+    q = emb.filter("vec_id < 2").unionByName(
+        spark.createDataFrame(
+            [(9999, None, 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+    )
+    got = test_collection.search_vector_index(
+        "nq_ivf", q, k=3, nprobe=1
+    ).toPandas()
+    assert set(got["q_vec_id"]) == {0, 1}  # null query yields no rows
+    hits = test_collection.semantic_dedup_probe(
+        "nq_ivf", q, threshold=0.5, nprobe=1
+    ).toPandas()
+    assert 9999 not in set(hits["vec_id"])

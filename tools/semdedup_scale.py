@@ -94,6 +94,7 @@ def main() -> None:
         )
 
         results: dict = {}
+        raw_probe: dict = {}
         for label, corpus, n_cells in (
             ("corpus_1x", base, N_CELLS_1X),
             ("corpus_10x", big, N_CELLS_1X * 10),
@@ -138,6 +139,7 @@ def main() -> None:
                     item, batch, threshold=THRESHOLD, nprobe=1
                 ).collect()
                 best = min(best, time.perf_counter() - t0)
+            raw_probe[label] = best
             results[label] = {
                 "n_rows": n_rows,
                 "semdedup_sec": round(batch_sec, 2),
@@ -152,8 +154,11 @@ def main() -> None:
         out["pairs_ratio_10x_corpus"] = round(
             r10["candidate_pairs"] / r1["candidate_pairs"], 2
         )
+        # ratio from the UNROUNDED timings: a sub-5ms probe rounds
+        # to 0.00 for display and must not divide-by-zero here
         out["probe_ratio_10x_corpus"] = round(
-            r10["probe_sec"] / r1["probe_sec"], 2
+            raw_probe["corpus_10x"] / max(raw_probe["corpus_1x"], 1e-9),
+            2,
         )
         quad = r10["candidate_pairs"] / r1["candidate_pairs"] > 30
         probe_flat = out["probe_ratio_10x_corpus"] < 2.0
