@@ -858,8 +858,14 @@ def train_ivf_centroids(
             f"vectors in column {vec_col!r}"
         )
     dim = len(cents[0])
+    # null vectors take no part in training (they'd form a null
+    # update group under the GEMM kernel — review r12 — and inflated
+    # cell-0 denominators under the fold kernel). Filtering the RAW
+    # column keeps the predicate scan-pushable instead of
+    # re-evaluating the derived cell expression
+    clean = df.filter(F.col(vec_col).isNotNull())
     for _ in range(n_iters):
-        assigned = _assign_cells(df, vec_col, cents, method=method)
+        assigned = _assign_cells(clean, vec_col, cents, method=method)
         sums = [
             F.sum(
                 F.floor(
@@ -870,11 +876,7 @@ def train_ivf_centroids(
             for i in range(dim)
         ]
         rows = (
-            # null vectors carry a null cell (GEMM kernel) — they
-            # must not form a null update group (review r12: the
-            # float(None) crash on dirty corpora at auto cell counts)
-            assigned.filter(F.col("cell").isNotNull())
-            .groupBy("cell")
+            assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"), *sums)
             .collect()
         )
