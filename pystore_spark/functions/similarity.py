@@ -215,6 +215,7 @@ def semdedup_kept(
     threshold: float = 0.95,
     quant: float = 1e7,
     prefer_col: str | None = None,
+    max_block_size: int = 1000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
     semantic deduplication with NO pre-given blocking key.
@@ -248,7 +249,9 @@ def semdedup_kept(
     ``n_cells="auto"`` (default) scales the cluster count with the
     corpus — ~4·√N, capped at 65,536 — which is what keeps the
     cluster-local quadratic LINEAR in N (BENCH_SEMDEDUP measures it);
-    a fixed cell count re-grows an (N/C)² term as the corpus does."""
+    a fixed cell count re-grows an (N/C)² term as the corpus does.
+    ``max_block_size`` is the hot-cluster skew guard forwarded to
+    :func:`cosine_dedup_pairs` (salted group-pair join above it)."""
     if n_cells == "auto":
         n_cells = auto_n_cells(df.count())
     elif not isinstance(n_cells, int):
@@ -266,7 +269,7 @@ def semdedup_kept(
     assigned = assigned.localCheckpoint(eager=True)
     pairs = cosine_dedup_pairs(
         assigned, vec_col, id_col, block_col="cell",
-        threshold=threshold,
+        threshold=threshold, max_block_size=max_block_size,
     )
     if prefer_col is not None:
         # per-pair loser by (prefer desc, id asc): the group's
