@@ -229,6 +229,7 @@ def semantic_dedup_sink(
     nprobe: int = 1,
     sink_key: str | None = None,
     index_survivors: bool = True,
+    within_batch: bool = False,
     **append_kwargs: Any,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function: SemDeDup each micro-batch against
@@ -253,10 +254,14 @@ def semantic_dedup_sink(
     reverse, where ghost index entries would suppress docs that were
     never stored.
 
-    Within-batch near-dups are NOT compared (both survive —
-    neither is stored yet); pre-collapse the batch with
-    ``similarity.semdedup_kept`` when micro-batches can carry their
-    own duplicates."""
+    ``within_batch=True`` additionally collapses near-dups INSIDE
+    each micro-batch before the stored-corpus probe: the batch is
+    cell-assigned with the index's PERSISTED centroids (no training
+    job), pairs are cluster-local within the batch, and the smaller
+    id of each pair wins — so a micro-batch carrying its own
+    duplicates lands deduplicated. Off by default: it adds a
+    batch-local pair join per micro-batch, and upstream
+    exactly-once ingest often guarantees unique rows already."""
     key = sink_key or "default"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -272,6 +277,21 @@ def semantic_dedup_sink(
                 "(build_vector_index creates one)"
             )
         idc = meta["id_col"]
+        if within_batch:
+            from pystore_spark.functions import similarity as S
+
+            vec_col = meta["vec_col"]
+            cents = [
+                [float(x) for x in c] for c in meta["centroids"]
+            ]
+            assigned = S._assign_cells(
+                batch_df.select(idc, vec_col), vec_col, cents
+            )
+            intra = S.cosine_dedup_pairs(
+                assigned, vec_col, idc, block_col="cell",
+                threshold=threshold,
+            ).select(F.col("id_j").alias(idc))
+            batch_df = batch_df.join(intra, idc, "left_anti")
         hits = collection.semantic_dedup_probe(
             index_item, batch_df, threshold=threshold, nprobe=nprobe
         )

@@ -1157,3 +1157,34 @@ def test_semantic_dedup_sink_probes_vector_index_per_batch(
         for r in c.item("svecs").data.select("vec_id").collect()
     }
     assert 2000 not in ids and 1001 in ids
+
+
+def test_semantic_dedup_sink_within_batch(spark, test_collection):
+    """within_batch=True collapses a micro-batch's OWN near-dups
+    (cell-assigned with the persisted centroids — no training) before
+    the stored-corpus probe; the smaller id survives."""
+    from pystore_spark.sources import load_table
+    from pystore_spark.streaming import semantic_dedup_sink
+
+    c = test_collection
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c.write("wvecs", emb.toPandas(), index_col="vec_id")
+    c.build_vector_index("wvix", "wvecs", n_cells=4, n_iters=1)
+
+    dim = len(emb.first()["embedding"])
+    novel = [7.0] + [0.0] * (dim - 1)
+    near = [7.0005] + [0.0] * (dim - 1)
+    sink = semantic_dedup_sink(
+        c, "wvecs", "wvix", threshold=0.999, nprobe=4,
+        within_batch=True,
+    )
+    b0 = spark.createDataFrame(
+        [(3000, novel, 0), (3001, near, 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    sink(b0, 0)
+    ids = {
+        r["vec_id"]
+        for r in c.item("wvecs").data.select("vec_id").collect()
+    }
+    assert 3000 in ids and 3001 not in ids
