@@ -560,6 +560,23 @@ def _resolve_assign_method(
     return method
 
 
+def _bc_or_value(df: DataFrame, payload):
+    """Ship a kernel's constant matrix to executors ONCE via a Spark
+    broadcast instead of closure-capturing it into every task binary
+    (at auto-scaled cell counts the centroid matrix is tens of MB —
+    per-task shipping multiplies that by the task count). Falls back
+    to the raw value where no SparkContext is reachable (Connect);
+    returns an object with a ``.value`` attribute either way."""
+    try:
+        return df.sparkSession.sparkContext.broadcast(payload)
+    except Exception:
+        class _Plain:
+            def __init__(self, v):
+                self.value = v
+
+        return _Plain(payload)
+
+
 def _gemm_assign(
     df: DataFrame,
     vec_col: str,
@@ -585,8 +602,7 @@ def _gemm_assign(
     # is overwritten, exactly like the fold path's withColumn
     drop = {"cell"} | ({"_cdist"} if with_dist else set())
     df = df.drop(*(c for c in df.columns if c in drop))
-    C = np.asarray(centroids, dtype=np.float64)
-    c_norms = (C * C).sum(axis=1)
+    bc = _bc_or_value(df, np.asarray(centroids, dtype=np.float64))
     n_take = min(int(nprobe), len(centroids))
     fields = list(df.schema.fields) + [
         T.StructField("cell", T.IntegerType())
@@ -604,6 +620,8 @@ def _gemm_assign(
                     out["_cdist"] = pd.Series([], dtype="float64")
                 yield out
                 continue
+            C = bc.value
+            c_norms = (C * C).sum(axis=1)
             vecs = pdf[vec_col]
             ok = vecs.map(lambda v: v is not None)
             rows = np.stack(
@@ -1090,10 +1108,9 @@ def _gemm_pq_encode(
     import pandas as pd
     from pyspark.sql import types as T
 
-    Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
-    c_norms = [(C * C).sum(axis=1) for C in Cs]
-    d_subs = [C.shape[1] for C in Cs]
-    offs = np.concatenate([[0], np.cumsum(d_subs)])
+    bc = _bc_or_value(
+        df, [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    )
     keep_cols = [c for c in df.columns if c not in (vec_col, "_pq")]
     schema = T.StructType(
         [f for f in df.schema.fields if f.name in keep_cols]
@@ -1107,6 +1124,10 @@ def _gemm_pq_encode(
                 out["_pq"] = pd.Series([], dtype=object)
                 yield out
                 continue
+            Cs = bc.value
+            offs = np.concatenate(
+                [[0], np.cumsum([C.shape[1] for C in Cs])]
+            )
             vecs = pdf[vec_col]
             ok = vecs.map(lambda v: v is not None)
             coded: list = []
@@ -1120,7 +1141,7 @@ def _gemm_pq_encode(
                     d = (
                         (Xj * Xj).sum(axis=1)[:, None]
                         - 2.0 * (Xj @ C.T)
-                        + c_norms[j][None, :]
+                        + (C * C).sum(axis=1)[None, :]
                     )
                     codes[:, j] = d.argmin(axis=1).astype(np.int16)
                 coded = [row.tolist() for row in codes]
@@ -1491,7 +1512,9 @@ def _numpy_pq_decode(
     import pandas as pd
     from pyspark.sql import types as T
 
-    Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    bc = _bc_or_value(
+        df, [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    )
     keep_cols = [c for c in df.columns if c not in ("_pq", vec_col)]
     schema = T.StructType(
         [f for f in df.schema.fields if f.name in keep_cols]
@@ -1505,6 +1528,7 @@ def _numpy_pq_decode(
                 out[vec_col] = pd.Series([], dtype=object)
                 yield out
                 continue
+            Cs = bc.value
             codes_ser = pdf["_pq"]
             ok = codes_ser.map(lambda c: c is not None)
             decoded: list = []
