@@ -4620,6 +4620,11 @@ class Collection:
                 "(build_vector_index creates one)"
             )
         cents = [[float(x) for x in c] for c in meta["centroids"]]
+        # a null query vector has no nearest anything — drop it ONCE
+        # here so every tier and both assignment kernels agree
+        # (review r12: the PQ tier's driver-side LUT build crashed on
+        # the null-cell row the fold/GEMM assigners emit)
+        queries = queries.filter(F.col(meta["vec_col"]).isNotNull())
         qa = S.assign_probe_cells(
             queries, meta["vec_col"], cents, nprobe=nprobe
         )

@@ -265,8 +265,13 @@ def semdedup_kept(
     # pin the assignment once: it feeds the pair join's both sides,
     # the block-size count, the prefer lookups, and the final
     # anti-join base — without this the full-corpus assignment
-    # lineage re-runs 4-6× (review r12)
-    assigned = assigned.localCheckpoint(eager=True)
+    # lineage re-runs 4-6×. persist, not localCheckpoint: this frame
+    # is O(corpus) and checkpoint blocks are not fault-tolerant — a
+    # lost executor must be able to recompute its partitions
+    # (review r12)
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = cosine_dedup_pairs(
         assigned, vec_col, id_col, block_col="cell",
         threshold=threshold, max_block_size=max_block_size,
@@ -560,21 +565,57 @@ def _resolve_assign_method(
     return method
 
 
+class _Plain:
+    def __init__(self, v):
+        self.value = v
+
+
+#: digest-keyed LRU of live kernel-constant broadcasts. Two jobs: (1)
+#: a steady-state stream probing the same index re-USES one broadcast
+#: per micro-batch instead of registering a fresh copy each batch;
+#: (2) eviction calls unpersist(), so rotating payloads (KMeans
+#: iterations) cannot accumulate stale broadcast blocks on executors
+#: until GC gets around to them (review r12).
+_BC_CACHE: "dict[tuple, Any]" = {}
+_BC_CACHE_CAP = 8
+
+
 def _bc_or_value(df: DataFrame, payload):
     """Ship a kernel's constant matrix to executors ONCE via a Spark
     broadcast instead of closure-capturing it into every task binary
     (at auto-scaled cell counts the centroid matrix is tens of MB —
     per-task shipping multiplies that by the task count). Falls back
     to the raw value where no SparkContext is reachable (Connect);
-    returns an object with a ``.value`` attribute either way."""
-    try:
-        return df.sparkSession.sparkContext.broadcast(payload)
-    except Exception:
-        class _Plain:
-            def __init__(self, v):
-                self.value = v
+    genuine broadcast failures (size limits, serialization) propagate
+    rather than silently reinstating per-task shipping. Returns an
+    object with a ``.value`` attribute either way."""
+    import hashlib
 
+    try:
+        sc = df.sparkSession.sparkContext
+    except Exception:  # Connect: no SparkContext — closure capture
         return _Plain(payload)
+    mats = payload if isinstance(payload, list) else [payload]
+    h = hashlib.md5()
+    for m in mats:
+        h.update(str(m.shape).encode())
+        h.update(m.tobytes())
+    key = (id(sc), len(mats), h.hexdigest())
+    hit = _BC_CACHE.pop(key, None)
+    if hit is not None:
+        _BC_CACHE[key] = hit  # LRU refresh
+        return hit
+    bc = sc.broadcast(payload)
+    _BC_CACHE[key] = bc
+    while len(_BC_CACHE) > _BC_CACHE_CAP:
+        # plain dicts iterate in insertion order — first key is the
+        # least recently used (hits re-insert above)
+        old = _BC_CACHE.pop(next(iter(_BC_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return bc
 
 
 def _gemm_assign(
@@ -612,6 +653,9 @@ def _gemm_assign(
     schema = T.StructType(fields)
 
     def run(batches):
+        # once per task, executor-side — not per Arrow batch
+        C = bc.value
+        c_norms = (C * C).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 out = pdf.copy()
@@ -620,8 +664,6 @@ def _gemm_assign(
                     out["_cdist"] = pd.Series([], dtype="float64")
                 yield out
                 continue
-            C = bc.value
-            c_norms = (C * C).sum(axis=1)
             vecs = pdf[vec_col]
             ok = vecs.map(lambda v: v is not None)
             rows = np.stack(
@@ -1118,16 +1160,18 @@ def _gemm_pq_encode(
     )
 
     def run(batches):
+        # once per task, executor-side — not per Arrow batch
+        Cs = bc.value
+        offs = np.concatenate(
+            [[0], np.cumsum([C.shape[1] for C in Cs])]
+        )
+        c_norms = [(C * C).sum(axis=1) for C in Cs]
         for pdf in batches:
             out = pdf[keep_cols].copy()
             if len(pdf) == 0:
                 out["_pq"] = pd.Series([], dtype=object)
                 yield out
                 continue
-            Cs = bc.value
-            offs = np.concatenate(
-                [[0], np.cumsum([C.shape[1] for C in Cs])]
-            )
             vecs = pdf[vec_col]
             ok = vecs.map(lambda v: v is not None)
             coded: list = []
@@ -1141,7 +1185,7 @@ def _gemm_pq_encode(
                     d = (
                         (Xj * Xj).sum(axis=1)[:, None]
                         - 2.0 * (Xj @ C.T)
-                        + (C * C).sum(axis=1)[None, :]
+                        + c_norms[j][None, :]
                     )
                     codes[:, j] = d.argmin(axis=1).astype(np.int16)
                 coded = [row.tolist() for row in codes]
@@ -1522,13 +1566,13 @@ def _numpy_pq_decode(
     )
 
     def run(batches):
+        Cs = bc.value  # once per task, executor-side
         for pdf in batches:
             out = pdf[keep_cols].copy()
             if len(pdf) == 0:
                 out[vec_col] = pd.Series([], dtype=object)
                 yield out
                 continue
-            Cs = bc.value
             codes_ser = pdf["_pq"]
             ok = codes_ser.map(lambda c: c is not None)
             decoded: list = []

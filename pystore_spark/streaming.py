@@ -291,7 +291,13 @@ def semantic_dedup_sink(
                 assigned, vec_col, idc, block_col="cell",
                 threshold=threshold,
             ).select(F.col("id_j").alias(idc))
-            batch_df = batch_df.join(intra, idc, "left_anti")
+            # pinned: the intra-deduped batch feeds the probe, the
+            # survivors checkpoint, and (PQ tier) the LUT collect —
+            # without this the batch-local pair join re-runs per
+            # action (review r12)
+            batch_df = batch_df.join(
+                intra, idc, "left_anti"
+            ).localCheckpoint(eager=True)
         hits = collection.semantic_dedup_probe(
             index_item, batch_df, threshold=threshold, nprobe=nprobe
         )

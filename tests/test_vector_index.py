@@ -953,3 +953,14 @@ def test_search_tolerates_null_query_vectors_at_large_cells(
         "nq_ivf", q, threshold=0.5, nprobe=1
     ).toPandas()
     assert 9999 not in set(hits["vec_id"])
+    # the PQ tier builds driver-side LUTs from the collected probe
+    # frame — a null-cell row crashed int(cell) there (review r12);
+    # null queries must be dropped before any tier's kernel
+    test_collection.build_vector_index(
+        "nq_pq", emb, n_cells=4, n_iters=1, overwrite=True,
+        quantize="pq", pq_m=4, pq_cells=8,
+    )
+    got_pq = test_collection.search_vector_index(
+        "nq_pq", q, k=3, nprobe=2
+    ).toPandas()
+    assert set(got_pq["q_vec_id"]) == {0, 1}
