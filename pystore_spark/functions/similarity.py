@@ -21,6 +21,47 @@ from pyspark.sql import functions as F
 from pystore_spark.functions.text import widen_parallelism
 
 
+# ---------------------------------------------------------------------------
+# SQL-text expression builders
+# ---------------------------------------------------------------------------
+# The kernel expressions below (nearest-centroid folds, LUT folds,
+# literal centroid tables) are built PER CENTROID SET. Building them
+# through the Column API costs one py4j round-trip per operator —
+# measured 60-225 ms per higher-order lambda / 64-float literal — so a
+# C=4, dim=64 assign expression took ~0.3 s of DRIVER time before a
+# single task ran, multiplied by every KMeans iteration and subspace.
+# Rendering the same tree as ONE SQL string and parsing it with
+# F.expr() is ~8 ms and yields the identical Catalyst expression
+# (float literals round-trip exactly through repr() → the parser's
+# correctly-rounded Double.parseDouble), so results are bit-identical
+# and the DuckDB-replay contract is untouched (r12 optimization).
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quoted column identifier for SQL-text kernels."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_double(x) -> str:
+    """Exact SQL double literal: repr() emits the shortest string that
+    round-trips the IEEE value, and Spark's parser is correctly
+    rounded, so the parsed literal is bit-identical to F.lit(x)."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        return f"CAST('{v}' AS DOUBLE)"
+    return repr(v) + "D"
+
+
+def _sql_vec(vals) -> str:
+    """array<double> literal text."""
+    return "array(" + ",".join(_sql_double(v) for v in vals) + ")"
+
+
+def _sql_mat(mat) -> str:
+    """array<array<double>> literal text (centroid/codebook table)."""
+    return "array(" + ",".join(_sql_vec(row) for row in mat) + ")"
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -714,6 +755,24 @@ def _gemm_assign(
     return df.mapInPandas(run, schema)
 
 
+def _nearest_cell_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """SQL text of ``struct<dist, cell>`` of the nearest centroid
+    (squared L2, tie broken by lowest cell id) for a vector expression
+    given as SQL text — ``array_min`` over ``struct<dist, cell>``
+    (lexicographic struct comparison), fully JVM-side. Shared by the
+    IVF assigner and the per-subspace PQ encoder (where ``vec_sql`` is
+    a slice). Same tree as :func:`_nearest_cell_struct`, built ~40×
+    faster (module header: SQL-text builders)."""
+    cells = ",".join(
+        "named_struct('dist', aggregate(zip_with(%s, %s, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x), 'cell', %d)"
+        % (vec_sql, _sql_vec(cent), cell)
+        for cell, cent in enumerate(centroids)
+    )
+    return "array_min(array(%s))" % cells
+
+
 def _nearest_cell_struct(
     vec: Column, centroids: list[list[float]]
 ) -> Column:
@@ -721,7 +780,10 @@ def _nearest_cell_struct(
     tie broken by lowest cell id) for an arbitrary vector EXPRESSION
     — ``array_min`` over ``struct<dist, cell>`` (lexicographic struct
     comparison), fully JVM-side. Shared by the IVF assigner and the
-    per-subspace PQ encoder (where ``vec`` is a slice)."""
+    per-subspace PQ encoder (where ``vec`` is a slice).
+
+    Column-API twin of :func:`_nearest_cell_sql` for callers holding
+    an arbitrary Column; internal hot paths use the SQL builder."""
     structs = []
     for cell, cent in enumerate(centroids):
         carr = F.array(*[F.lit(float(v)) for v in cent])
@@ -762,10 +824,10 @@ def _assign_cells(
         return _gemm_assign(
             df, vec_col, centroids, nprobe=1, with_dist=with_dist
         )
-    best = _nearest_cell_struct(F.col(vec_col), centroids)
-    out = df.withColumn("cell", best["cell"])
+    best = _nearest_cell_sql(_sql_ident(vec_col), centroids)
+    out = df.withColumn("cell", F.expr(f"({best}).cell"))
     if with_dist:
-        out = out.withColumn("_cdist", best["dist"])
+        out = out.withColumn("_cdist", F.expr(f"({best}).dist"))
     return out
 
 
@@ -816,25 +878,20 @@ def assign_probe_cells(
     GEMM kernel instead of the C-way sort expression."""
     if _resolve_assign_method(method, centroids) == "gemm":
         return _gemm_assign(df, vec_col, centroids, nprobe=nprobe)
-    structs = []
-    for cell, cent in enumerate(centroids):
-        carr = F.array(*[F.lit(float(v)) for v in cent])
-        dist = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                carr,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        structs.append(
-            F.struct(dist.alias("dist"), F.lit(cell).alias("cell"))
-        )
-    ranked = F.slice(F.array_sort(F.array(*structs)), 1, int(nprobe))
+    vec_sql = _sql_ident(vec_col)
+    structs = ",".join(
+        "named_struct('dist', aggregate(zip_with(%s, %s, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x), 'cell', %d)"
+        % (vec_sql, _sql_vec(cent), cell)
+        for cell, cent in enumerate(centroids)
+    )
     return df.withColumn(
         "cell",
-        F.explode(F.transform(ranked, lambda s: s["cell"])),
+        F.expr(
+            "explode(transform(slice(array_sort(array(%s)), 1, %d), "
+            "s -> s.cell))" % (structs, int(nprobe))
+        ),
     )
 
 
@@ -927,14 +984,15 @@ def train_ivf_centroids(
     # column keeps the predicate scan-pushable instead of
     # re-evaluating the derived cell expression
     clean = df.filter(F.col(vec_col).isNotNull())
+    vec_sql = _sql_ident(vec_col)
     for _ in range(n_iters):
         assigned = _assign_cells(clean, vec_col, cents, method=method)
+        # SQL-text agg columns (module header: SQL-text builders) —
+        # same floor/cast/sum tree, one parse per component
         sums = [
-            F.sum(
-                F.floor(
-                    F.element_at(F.col(vec_col), i + 1).cast("double")
-                    * F.lit(quant)
-                ).cast("bigint")
+            F.expr(
+                "sum(CAST(FLOOR(CAST(element_at(%s, %d) AS DOUBLE) "
+                "* %s) AS BIGINT))" % (vec_sql, i + 1, _sql_double(quant))
             ).alias(f"s{i}")
             for i in range(dim)
         ]
@@ -1123,18 +1181,19 @@ def pq_encode(
     big = max(codebooks, key=len)
     if _resolve_assign_method(method, big) == "gemm":
         return _gemm_pq_encode(df, vec_col, codebooks)
+    vec_sql = _sql_ident(vec_col)
     codes = []
     off = 1
     for cb in codebooks:
         d_sub = len(cb[0])
-        sub = F.slice(F.col(vec_col), off, d_sub)
+        sub = f"slice({vec_sql}, {off}, {d_sub})"
         codes.append(
-            _nearest_cell_struct(sub, cb)["cell"].cast("smallint")
+            f"CAST(({_nearest_cell_sql(sub, cb)}).cell AS SMALLINT)"
         )
         off += d_sub
     return df.select(
         *[c for c in df.columns if c != vec_col],
-        F.array(*codes).alias("_pq"),
+        F.expr("array(%s)" % ",".join(codes)).alias("_pq"),
     )
 
 
@@ -1205,15 +1264,12 @@ def pq_decode_col(
 ) -> Column:
     """Reconstruct the (approximate) float vector from PQ codes —
     concatenated codebook rows selected per subspace. JVM-side:
-    element_at into per-subspace literal tables, flattened."""
+    element_at into per-subspace literal tables, flattened. The
+    tables render as ONE parsed literal each (module header: SQL-text
+    builders) so plan construction is O(1) py4j calls per subspace."""
     parts = []
     for j, cb in enumerate(codebooks):
-        table = F.array(
-            *[
-                F.array(*[F.lit(float(v)) for v in cent])
-                for cent in cb
-            ]
-        )
+        table = F.expr(_sql_mat(cb))
         parts.append(
             F.element_at(
                 table, F.element_at(codes, j + 1).cast("int") + 1
@@ -1316,18 +1372,13 @@ def _pq_lut(qvec, codebooks: list[list[list[float]]],
 def _pq_adc_dist(m: int, n_cells: int) -> Column:
     """ADC distance Column over a ``_pq`` codes column and a broadcast
     ``_lut`` column: sequential left fold of the m table lookups (so a
-    SQL oracle folding in the same order hash-matches)."""
-    return F.aggregate(
-        F.zip_with(
-            F.col("_pq"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.element_at(
-                F.col("_lut"),
-                (j * n_cells + c.cast("int") + 1).cast("int"),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    SQL oracle folding in the same order hash-matches). Built as one
+    parsed SQL string (module header: SQL-text builders)."""
+    return F.expr(
+        "aggregate(zip_with(_pq, sequence(0, %d), "
+        "(c, j) -> element_at(_lut, "
+        "CAST(j * %d + CAST(c AS INT) + 1 AS INT))), "
+        "0.0D, (acc, x) -> acc + x)" % (m - 1, n_cells)
     )
 
 
@@ -1408,13 +1459,10 @@ def pq_adc_cell_topk(
 def centroid_table(centroids: list[list[float]]) -> Column:
     """The coarse-centroid matrix as a literal array<array<double>>
     Column — ``element_at(table, cell + 1)`` is the JVM-side centroid
-    lookup used by residual encode/decode."""
-    return F.array(
-        *[
-            F.array(*[F.lit(float(v)) for v in cent])
-            for cent in centroids
-        ]
-    )
+    lookup used by residual encode/decode. Rendered as ONE parsed
+    literal (module header: SQL-text builders) instead of
+    n_cells × dim py4j lit() calls."""
+    return F.expr(_sql_mat(centroids))
 
 
 def residualize(
@@ -1459,11 +1507,22 @@ def _apply_residual_frame(
         else (lambda r, c: r + c)
     )
     if len(centroids) < GEMM_ASSIGN_MIN_CELLS:
-        cent = F.element_at(
-            centroid_table(centroids), F.col(cell_col).cast("int") + 1
+        op_sql = (
+            "(x, c) -> CAST(x AS DOUBLE) - c"
+            if sign < 0
+            else "(r, c) -> r + c"
         )
         return df.withColumn(
-            vec_col, F.zip_with(F.col(vec_col), cent, op)
+            vec_col,
+            F.expr(
+                "zip_with(%s, element_at(%s, CAST(%s AS INT) + 1), %s)"
+                % (
+                    _sql_ident(vec_col),
+                    _sql_mat(centroids),
+                    _sql_ident(cell_col),
+                    op_sql,
+                )
+            ),
         )
     if "_cent" in df.columns:
         raise ValueError(
