@@ -1116,6 +1116,48 @@ def test_image_pixel_stats_and_resize(spark):
     assert arow["error"] is None
 
 
+def test_pq_fused_trainer_matches_per_subspace(spark):
+    """The fused PQ trainer (one init collect + one aggregation job
+    per iteration across ALL subspaces — r12 optimization) must
+    return codebooks bit-identical to training each subspace
+    independently through train_ivf_centroids on sliced frames, on
+    BOTH tiers: the SQL fold tier and the GEMM partial-agg kernel
+    (same assignment arithmetic, order-independent int64 sums)."""
+    from pystore_spark.functions import similarity as S
+    from pystore_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def per_subspace(m, n_cells):
+        dim = len(emb.select("embedding").first()["embedding"])
+        d_sub = dim // m
+        return [
+            S.train_ivf_centroids(
+                emb.select(
+                    "vec_id",
+                    F.slice(
+                        F.col("embedding"), j * d_sub + 1, d_sub
+                    ).alias("_sub"),
+                ),
+                "_sub",
+                "vec_id",
+                n_cells=n_cells,
+                n_iters=2,
+            )
+            for j in range(m)
+        ]
+
+    # fold tier (< GEMM_ASSIGN_MIN_CELLS entries per subspace)
+    assert S.train_pq_codebooks(
+        emb, "embedding", "vec_id", m=4, n_cells=8, n_iters=2
+    ) == per_subspace(4, 8)
+    # GEMM tier (>= GEMM_ASSIGN_MIN_CELLS): the in-kernel partial
+    # aggregation folds to the same int64 sums
+    assert S.train_pq_codebooks(
+        emb, "embedding", "vec_id", m=4, n_cells=64, n_iters=2
+    ) == per_subspace(4, 64)
+
+
 def test_pq_encode_decode_and_adc_identity(spark):
     """Product quantization: codes are m smallints; the ADC distance
     (sum of per-subspace LUT entries) must equal the exact squared L2
@@ -1351,6 +1393,25 @@ def test_semdedup_kept_drops_within_cluster_near_dups(spark):
         ).collect()
     }
     assert out == {i: assigned[i] for i in (0, 2, 4)}
+
+
+def test_semdedup_pin_cache_bounded(spark):
+    """Repeated semdedup_kept calls must not accumulate persisted
+    assignment frames without bound: the pin registry evicts past
+    its cap, so a bench loop or pipeline retry cannot age the session
+    with dead cached blocks (r12 optimization)."""
+    from pystore_spark.functions import similarity as S
+    from pystore_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for _ in range(3):
+        S.semdedup_kept(
+            emb, "embedding", "vec_id", n_cells=4, n_iters=1,
+            threshold=0.35,
+        ).write.mode("overwrite").format("noop").save()
+    assert len(S._PIN_CACHE) <= S._PIN_CACHE_CAP
+    live = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert live <= S._PIN_CACHE_CAP
 
 
 def test_semdedup_keeps_everything_below_threshold(spark):
