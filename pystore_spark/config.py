@@ -122,6 +122,22 @@ EXPORT_PRUNE_MIN_SOURCE_BYTES = int(
     )
 )
 
+# cosine_dedup_pairs' hot-block skew gate costs one eager max-count
+# job before the pair join can plan. Below this Catalyst size
+# estimate the gate is SKIPPED and the plain block join runs
+# unconditionally: at ~500 B/vector row the default (4 MiB ≈ 9k
+# rows) bounds even the fully-skewed worst case (every row in one
+# block) at ~8e7 pair folds — seconds of distributed work — so the
+# probe job costs more than the skew it guards against. Identical
+# results either way (the salted and plain joins are parity-pinned);
+# this only picks the physical plan by input size, the
+# EXPORT_PRUNE_MIN_SOURCE_BYTES discipline applied to SemDeDup.
+COSINE_SKEW_GATE_MIN_BYTES = int(
+    os.environ.get(
+        "PYSTORE_SPARK_COSINE_SKEW_GATE_MIN_BYTES", 4 << 20
+    )
+)
+
 _path: str | None = None
 
 

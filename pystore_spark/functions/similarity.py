@@ -217,9 +217,27 @@ def cosine_dedup_pairs(
             6,
         ).alias("score")
 
-    counts = slim.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
-    max_bn = counts.agg(F.max("_bn").alias("m")).first()["m"] or 0
-    if max_bn <= max_block_size:
+    # size-gated skew probe (the EXPORT_PRUNE_MIN_SOURCE_BYTES
+    # discipline): below COSINE_SKEW_GATE_MIN_BYTES even the fully
+    # skewed worst case is bounded cheap, so the eager max-count job
+    # costs more than the skew it guards — take the plain join
+    # without probing. Same results on either path (parity-pinned);
+    # only the physical plan differs.
+    from pystore_spark import config
+    from pystore_spark.partition import estimate_size_bytes
+
+    est = estimate_size_bytes(slim)
+    small = (
+        est is not None and est < config.COSINE_SKEW_GATE_MIN_BYTES
+    )
+    if not small:
+        counts = slim.groupBy(block_col).agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        max_bn = (
+            counts.agg(F.max("_bn").alias("m")).first()["m"] or 0
+        )
+    if small or max_bn <= max_block_size:
         a, b = slim.alias("a"), slim.alias("b")
         return (
             a.join(

@@ -1673,12 +1673,21 @@ def test_semdedup_prefer_col_keeps_best_quality(spark):
     assert kept_id == [0, 3, 5]
 
 
-def test_cosine_dedup_pairs_salted_path_matches_plain(spark):
+def test_cosine_dedup_pairs_salted_path_matches_plain(
+    spark, monkeypatch
+):
     """Hot-block skew guard: forcing the salted group-pair join (tiny
-    max_block_size) must produce exactly the plain join's pair set
-    and scores — every unordered pair covered once, equal-salt
-    mirrors deduped."""
+    max_block_size, size gate disabled so the probe actually runs)
+    must produce exactly the plain join's pair set and scores — every
+    unordered pair covered once, equal-salt mirrors deduped."""
     import numpy as np
+
+    from pystore_spark import config
+
+    # the r12 size gate would route this tiny frame to the plain join
+    # regardless of max_block_size; force the probe on so the salted
+    # branch is exercised
+    monkeypatch.setattr(config, "COSINE_SKEW_GATE_MIN_BYTES", 0)
 
     rng = np.random.default_rng(21)
     base = rng.normal(size=8)
@@ -1703,6 +1712,19 @@ def test_cosine_dedup_pairs_salted_path_matches_plain(spark):
         ).collect()
     }
     assert plain and salted == plain
+    # and the gate itself: under the default threshold this tiny frame
+    # must take the plain path even at max_block_size=4 — same pairs
+    monkeypatch.setattr(
+        config, "COSINE_SKEW_GATE_MIN_BYTES", 4 << 20
+    )
+    gated = {
+        (r["id_i"], r["id_j"]): r["score"]
+        for r in S.cosine_dedup_pairs(
+            df, "vec", "vec_id", "blk", threshold=0.9,
+            max_block_size=4,
+        ).collect()
+    }
+    assert gated == plain
 
 
 def test_semdedup_auto_cells(spark):
