@@ -16,6 +16,7 @@ Defaults chosen for correctness + scale:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -62,9 +63,22 @@ def get_spark(
     return spark
 
 
+#: sessions already configured this process — configure() is called
+#: from every load_table()/entry() so hot query paths hit it hundreds
+#: of times per bench run; the conf round-trips and the data-source
+#: re-registration are pure py4j overhead after the first call
+#: (r12 optimization). WeakSet: a stopped session's entry drops with
+#: the object, and a NEW session object (even with the same confs)
+#: configures fresh.
+_CONFIGURED: "weakref.WeakSet" = weakref.WeakSet()
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an externally created
-    session (the driver hands us its own SparkSession)."""
+    session (the driver hands us its own SparkSession). Idempotent
+    and memoized per session object — repeat calls are a set lookup."""
+    if spark in _CONFIGURED:
+        return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # int64 µs adjusted-to-UTC — the one parquet timestamp encoding the
@@ -87,4 +101,8 @@ def configure(spark: SparkSession) -> SparkSession:
         datasource.register(spark)
     except Exception:
         pass  # Python Data Source API needs Spark 4; best-effort
+    try:
+        _CONFIGURED.add(spark)
+    except TypeError:
+        pass  # non-weakref-able session stub (tests/Connect mocks)
     return spark
