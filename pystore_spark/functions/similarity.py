@@ -471,32 +471,45 @@ def signlsh_candidate_pairs(
     dots) and scale shape (shuffle on (band, key), quadratic only
     within buckets)."""
     signs = lsh_signs(n_planes, dim, seed)
-    q = F.lit(float(quant))
-    bits = []
-    for row in signs:
-        sarr = F.array(*[F.lit(s) for s in row])
-        intdot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                sarr,
-                lambda x, s: F.floor(x.cast("double") * q) * s.cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        bits.append((intdot >= 0).cast("int"))
-    n_bands = n_planes // band_bits
-    band_structs = []
-    for b in range(n_bands):
-        key = F.lit(0)
-        for j in range(band_bits):
-            key = key + bits[b * band_bits + j] * F.lit(2**j)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.alias("key"))
-        )
+    # SQL-text build (module header) + two per-row savings, both
+    # bit-identical: the quantized component array floor(x·quant) is
+    # hoisted into ONE projection instead of being re-derived inside
+    # every plane's fold (n_planes× less floor work per row — the
+    # products and the int64 fold order are unchanged), and each
+    # plane's dot folds over that exact-integer array.
     df = widen_parallelism(df)
-    buckets = df.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    qd = _sql_double(float(quant))
+    qdf = df.select(
+        F.col(id_col),
+        F.expr(
+            "transform(%s, x -> FLOOR(CAST(x AS DOUBLE) * %s))"
+            % (_sql_ident(vec_col), qd)
+        ).alias("_qv"),
+    )
+
+    def bit(p: int) -> str:
+        sarr = "array(%s)" % ",".join(str(s) for s in signs[p])
+        return (
+            "CAST(aggregate(zip_with(_qv, %s, "
+            "(x, s) -> x * CAST(s AS BIGINT)), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x) >= 0 AS INT)" % sarr
+        )
+
+    n_bands = n_planes // band_bits
+    band_structs = ",".join(
+        "named_struct('band', %d, 'key', (0 + %s))"
+        % (
+            b,
+            " + ".join(
+                "(%s) * %d" % (bit(b * band_bits + j), 2**j)
+                for j in range(band_bits)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    buckets = qdf.select(
+        F.col(id_col),
+        F.expr("explode(array(%s))" % band_structs).alias("bk"),
     ).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
@@ -557,7 +570,14 @@ def signlsh_candidate_topk(
         df, vec_col, id_col, dim, n_planes, band_bits, quant, seed
     )
     df = widen_parallelism(df)
-    slim = df.select(F.col(id_col), F.col(vec_col))
+    # per-row norms precomputed before the rescore joins — identical
+    # operands, bit-identical scores, 1 fold per pair instead of 3
+    # (see cosine_dedup_pairs)
+    slim = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm2(F.col(vec_col)).alias("_n2"),
+    )
     scored = (
         cand.join(
             slim.alias("va"), F.col("id_i") == F.col(f"va.{id_col}")
@@ -567,7 +587,9 @@ def signlsh_candidate_topk(
             "id_i",
             "id_j",
             F.round(
-                cosine(F.col(f"va.{vec_col}"), F.col(f"vb.{vec_col}")), 6
+                dot(F.col(f"va.{vec_col}"), F.col(f"vb.{vec_col}"))
+                / (F.col("va._n2") * F.col("vb._n2")),
+                6,
             ).alias("score"),
         )
     )
@@ -1067,28 +1089,43 @@ def train_ivf_centroids(
     # column keeps the predicate scan-pushable instead of
     # re-evaluating the derived cell expression
     clean = df.filter(F.col(vec_col).isNotNull())
-    vec_sql = _sql_ident(vec_col)
+    # tall update aggregation (r12 optimization): quantize the vector
+    # once per row, posexplode, and group by (cell, component) — ONE
+    # int64 sum buffer per group instead of dim wide agg buffers per
+    # cell (the 64-buffer HashAggregate measured ~30% slower per
+    # iteration job). A leading NULL sentinel element makes pos 0
+    # carry the exact per-cell ROW count (a short/empty vector still
+    # counts toward n while contributing only its existing
+    # components — the wide element_at semantics). Sums are the same
+    # order-independent int64 folds, so centroids are bit-identical.
+    q_sql = (
+        "posexplode(concat(array(CAST(NULL AS BIGINT)), "
+        "transform(%s, x -> CAST(FLOOR(CAST(x AS DOUBLE) * %s) "
+        "AS BIGINT))))" % (_sql_ident(vec_col), _sql_double(quant))
+    )
     for _ in range(n_iters):
         assigned = _assign_cells(clean, vec_col, cents, method=method)
-        # SQL-text agg columns (module header: SQL-text builders) —
-        # same floor/cast/sum tree, one parse per component
-        sums = [
-            F.expr(
-                "sum(CAST(FLOOR(CAST(element_at(%s, %d) AS DOUBLE) "
-                "* %s) AS BIGINT))" % (vec_sql, i + 1, _sql_double(quant))
-            ).alias(f"s{i}")
-            for i in range(dim)
-        ]
         rows = (
-            assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            assigned.select(
+                "cell", F.expr(q_sql).alias("pos", "q")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("q").alias("s"))
             .collect()
         )
+        per_cell_n = {
+            r["cell"]: r["c"] for r in rows if r["pos"] == 0
+        }
+        sums = {
+            (r["cell"], r["pos"] - 1): r["s"]
+            for r in rows
+            if r["pos"] > 0
+        }
         new_cents = list(cents)
-        for r in rows:
-            n = r["n"]
-            new_cents[r["cell"]] = [
-                (float(r[f"s{i}"]) / n) / quant for i in range(dim)
+        for cell, n in per_cell_n.items():
+            new_cents[cell] = [
+                (float(sums[(cell, i)]) / n) / quant
+                for i in range(dim)
             ]
         cents = new_cents
     return cents
@@ -1265,44 +1302,60 @@ def train_pq_codebooks(
     clean = df.filter(F.col(vec_col).isNotNull())
     use_gemm = len(vecs) >= GEMM_ASSIGN_MIN_CELLS
     vec_sql = _sql_ident(vec_col)
-    sums = [
-        F.expr(
-            "sum(CAST(FLOOR(CAST(element_at(_sub, %d) AS DOUBLE) "
-            "* %s) AS BIGINT))" % (i + 1, _sql_double(quant))
-        ).alias(f"s{i}")
-        for i in range(d_sub)
-    ]
+    # tall (j, cell, component) sums with a NULL sentinel for the row
+    # count — same layout as train_ivf_centroids' update job (see the
+    # comment there); the subvector quantizes once per (row, j)
+    q_sub = (
+        "posexplode(concat(array(CAST(NULL AS BIGINT)), "
+        "transform(_sub, x -> CAST(FLOOR(CAST(x AS DOUBLE) * %s) "
+        "AS BIGINT))))" % _sql_double(quant)
+    )
     for _ in range(n_iters):
         if use_gemm:
             exploded = _gemm_subspace_partials(
                 clean, vec_col, books, quant
             )
-            grouped = exploded.groupBy("j", "cell").agg(
+            rows = exploded.groupBy("j", "cell").agg(
                 F.sum("n").alias("n"),
                 *[
                     F.sum(f"s{i}").alias(f"s{i}")
                     for i in range(d_sub)
                 ],
+            ).collect()
+            for r in rows:
+                n = r["n"]
+                books[r["j"]][r["cell"]] = [
+                    (float(r[f"s{i}"]) / n) / quant
+                    for i in range(d_sub)
+                ]
+            continue
+        structs = ",".join(
+            "named_struct('j', %d, 'cell', (%s).cell, '_sub', %s)"
+            % (j, _nearest_cell_sql(sub_sql, books[j]), sub_sql)
+            for j in range(m)
+            for sub_sql in (
+                f"slice({vec_sql}, {j * d_sub + 1}, {d_sub})",
             )
-        else:
-            structs = ",".join(
-                "named_struct('j', %d, 'cell', (%s).cell, '_sub', %s)"
-                % (j, _nearest_cell_sql(sub_sql, books[j]), sub_sql)
-                for j in range(m)
-                for sub_sql in (
-                    f"slice({vec_sql}, {j * d_sub + 1}, {d_sub})",
-                )
-            )
-            exploded = clean.select(
-                F.expr("inline(array(%s))" % structs)
-            )
-            grouped = exploded.groupBy("j", "cell").agg(
-                F.count(F.lit(1)).alias("n"), *sums
-            )
-        for r in grouped.collect():
-            n = r["n"]
-            books[r["j"]][r["cell"]] = [
-                (float(r[f"s{i}"]) / n) / quant for i in range(d_sub)
+        )
+        rows = (
+            clean.select(F.expr("inline(array(%s))" % structs))
+            .select("j", "cell", F.expr(q_sub).alias("pos", "q"))
+            .groupBy("j", "cell", "pos")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("q").alias("s"))
+            .collect()
+        )
+        per_jc_n = {
+            (r["j"], r["cell"]): r["c"] for r in rows if r["pos"] == 0
+        }
+        sums = {
+            (r["j"], r["cell"], r["pos"] - 1): r["s"]
+            for r in rows
+            if r["pos"] > 0
+        }
+        for (j, cell), n in per_jc_n.items():
+            books[j][cell] = [
+                (float(sums[(j, cell, i)]) / n) / quant
+                for i in range(d_sub)
             ]
     return books
 
