@@ -1116,6 +1116,33 @@ def test_image_pixel_stats_and_resize(spark):
     assert arow["error"] is None
 
 
+def test_sql_double_literal_roundtrips_exactly(spark):
+    """The r12 SQL-text kernel builders inline float literals via
+    repr(); Spark's parser must reproduce the exact IEEE value for
+    every notation repr can emit (plain, scientific, negative, tiny,
+    huge, zero) or kernels would drift from the Column-API trees."""
+    import struct
+
+    from pystore_spark.functions.similarity import _sql_double
+
+    vals = [
+        0.0, -0.0, 1.0, -1.5, 0.1, 1 / 3, 2.5e-05, -7.1e-12,
+        1e16, -3.14159e100, 5e-324, 1.7976931348623157e308,
+        123456.789012345678, float("nan"), float("inf"),
+        float("-inf"),
+    ]
+    row = spark.sql(
+        "SELECT " + ", ".join(
+            f"{_sql_double(v)} AS c{i}" for i, v in enumerate(vals)
+        )
+    ).first()
+    for i, v in enumerate(vals):
+        got = row[f"c{i}"]
+        assert struct.pack(">d", got) == struct.pack(">d", v), (
+            v, got
+        )
+
+
 def test_pq_fused_trainer_matches_per_subspace(spark):
     """The fused PQ trainer (one init collect + one aggregation job
     per iteration across ALL subspaces — r12 optimization) must
