@@ -122,6 +122,20 @@ EXPORT_PRUNE_MIN_SOURCE_BYTES = int(
     )
 )
 
+# dedup_substrings' hot-gram census costs two eager jobs (census
+# materialization + max-count gate) before the ownership join can
+# plan. Below this Catalyst size estimate of the input docs the whole
+# min-owner computation runs as ONE window over the gram shuffle
+# instead — no census, no gate, identical hits (min per gram is min
+# per gram) — because at that size even a corpus-wide boilerplate
+# gram's window partition is bounded by the input itself. Larger
+# corpora keep the census + hot/cold split.
+SUBSTRING_WINDOW_MIN_BYTES = int(
+    os.environ.get(
+        "PYSTORE_SPARK_SUBSTRING_WINDOW_MIN_BYTES", 64 << 20
+    )
+)
+
 # cosine_dedup_pairs' hot-block skew gate costs one eager max-count
 # job before the pair join can plan. Below this Catalyst size
 # estimate the gate is SKIPPED and the plain block join runs

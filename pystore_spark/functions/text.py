@@ -265,32 +265,40 @@ def bm25_topk(
     base = df.select(
         F.col(id_col), F.size(toks).alias("dl"), toks.alias("a")
     )
+    # corpus stats stay IN-PLAN (r12 optimization): the one-row
+    # (n_docs, avgdl) aggregate broadcast-crossJoins onto the hit
+    # postings instead of an eager collect — one job instead of two,
+    # and the score algebra sees the identical doubles (the same
+    # bigint counts cast to double and divided by the same IEEE op,
+    # in-plan instead of driver-side). An empty corpus yields zero
+    # hit rows, so the old empty-schema special case falls out of the
+    # same plan.
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
-    ).collect()[0]
-    if not stats["n_docs"]:
-        # empty corpus: empty top-k with the output schema, not a
-        # float(None)/division crash downstream of a zero-row filter
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} {base.schema[id_col].dataType.simpleString()}"
-            ", bm25 double"
-        )
-    n_docs = float(stats["n_docs"])
-    avgdl = float(stats["total_dl"]) / float(stats["n_docs"])
+    ).select(
+        F.col("n_docs").cast("double").alias("_nd"),
+        (
+            F.col("total_dl").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("_avgdl"),
+    )
     hits = (
         base.select(id_col, "dl", F.explode("a").alias("term"))
         .filter(F.col("term").isin(list(query_terms)))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .crossJoin(F.broadcast(stats))
     )
-    return bm25_rank(hits, n_docs, avgdl, id_col, k1, b, top_k)
+    return bm25_rank(
+        hits, F.col("_nd"), F.col("_avgdl"), id_col, k1, b, top_k
+    )
 
 
 def bm25_rank(
     hits: DataFrame,
-    n_docs: float,
-    avgdl: float,
+    n_docs: "float | Column",
+    avgdl: "float | Column",
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
@@ -315,8 +323,8 @@ def bm25_rank(
 
 def bm25_contributions(
     hits: DataFrame,
-    n_docs: float,
-    avgdl: float,
+    n_docs: "float | Column",
+    avgdl: "float | Column",
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
@@ -326,17 +334,25 @@ def bm25_contributions(
     on tf/dl), which is what lets the multi-query search score every
     query bag from ONE contribution pass. Rounded at 12 decimals (the
     order-independence discipline); the fold over ``c`` is
-    :func:`_bm25_fold`."""
+    :func:`_bm25_fold`.
+
+    ``n_docs``/``avgdl`` may be Columns (a broadcast one-row stats
+    frame crossJoined onto ``hits`` — the in-plan corpus-stats path
+    of :func:`bm25_topk`) or driver floats (the persistent index's
+    sidecar stats); the expression tree and therefore the float-op
+    order is identical either way."""
+    nd = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
+    ad = avgdl if isinstance(avgdl, Column) else F.lit(float(avgdl))
     dfreq = hits.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        + (nd - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / ad
     )
     contrib = F.round(
         (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom, 12
@@ -1099,6 +1115,27 @@ def dedup_substrings(
     grams = docs.select(
         F.col(id_col), F.explode(_pos_grams(t, k)).alias("p")
     ).select(id_col, F.col("p.s").alias("s"), F.col("p.g").alias("g"))
+    # small-input tier (r12 optimization, the COSINE_SKEW_GATE
+    # discipline): below SUBSTRING_WINDOW_MIN_BYTES the census
+    # materialization + gate jobs cost more than they prune — the
+    # min-owner is ONE window over the same gram shuffle, fully lazy,
+    # and a window partition is bounded by the whole (small) input so
+    # the hot-gram guard has nothing to guard. Identical hits: the
+    # per-gram min id is the per-gram min id on either path
+    # (parity-pinned).
+    from pystore_spark.partition import estimate_size_bytes
+
+    est = estimate_size_bytes(docs)
+    if est is not None and est < config.SUBSTRING_WINDOW_MIN_BYTES:
+        from pyspark.sql import Window
+
+        owner = F.min(id_col).over(Window.partitionBy("g"))
+        hits = (
+            grams.withColumn("_owner", owner)
+            .filter(F.col(id_col) > F.col("_owner"))
+            .select(id_col, "s")
+        )
+        return _cut_spans(docs, hits, id_col, t, k, text_col)
     # census materialized ONCE (eager localCheckpoint of the distinct-
     # gram frame — the narrowest frame serving both the gate and the
     # ownership join): the gate costs one max-agg over it instead of a

@@ -953,12 +953,16 @@ def test_split_documents_hand_cases(spark):
         split_documents(docs2, max_tokens=4, overlap=4)
 
 
-def test_dedup_substrings_hot_gram_guard(spark):
+def test_dedup_substrings_hot_gram_guard(spark, monkeypatch):
     """Hot-gram skew guard: with a boilerplate k-gram present in many
     docs and the cap forced low, (a) results are identical to the
     all-cold formulation, (b) the executed plan resolves hot keys via
     BroadcastHashJoin — the hot gram never rides a gram-keyed
-    exchange (the one reducer that would melt at 100 TB)."""
+    exchange (the one reducer that would melt at 100 TB). The r12
+    small-input window tier is disabled here so the census paths are
+    actually exercised — and pinned equal to the window tier at the
+    end."""
+    from pystore_spark import config
     from pystore_spark.functions.text import dedup_substrings
 
     boiler = "all rights reserved by the original author entirely"
@@ -968,6 +972,7 @@ def test_dedup_substrings_hot_gram_guard(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
+    monkeypatch.setattr(config, "SUBSTRING_WINDOW_MIN_BYTES", 0)
     guarded = dedup_substrings(docs, k=8, hot_gram_rows=5)
     plain = dedup_substrings(docs, k=8, hot_gram_rows=10_000_000)
     g = {r["doc_id"]: r for r in guarded.collect()}
@@ -982,6 +987,16 @@ def test_dedup_substrings_hot_gram_guard(spark):
 
     plan = guarded._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+    # window tier (default gate for this tiny frame): identical rows
+    monkeypatch.setattr(
+        config, "SUBSTRING_WINDOW_MIN_BYTES", 64 << 20
+    )
+    w = {r["doc_id"]: r for r in dedup_substrings(docs, k=8).collect()}
+    assert set(w) == set(p)
+    for i in w:
+        assert w[i]["cleaned_text"] == p[i]["cleaned_text"]
+        assert w[i]["n_spans_removed"] == p[i]["n_spans_removed"]
 
 
 def test_bm25_empty_corpus_returns_empty(spark):
