@@ -1446,14 +1446,18 @@ def test_semdedup_pin_cache_bounded(spark):
     from pystore_spark.sources import load_table
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # other tests in the shared session may hold their own persisted/
+    # checkpointed RDDs — assert on the DELTA this loop adds, not the
+    # session-global count
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     for _ in range(3):
         S.semdedup_kept(
             emb, "embedding", "vec_id", n_cells=4, n_iters=1,
             threshold=0.35,
         ).write.mode("overwrite").format("noop").save()
     assert len(S._PIN_CACHE) <= S._PIN_CACHE_CAP
-    live = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert live <= S._PIN_CACHE_CAP
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= S._PIN_CACHE_CAP
 
 
 def test_semdedup_keeps_everything_below_threshold(spark):

@@ -51,6 +51,11 @@ ALLOWED_SCALAR_JOIN = {
     # PQ codes frame — the intended ADC scoring shape (every
     # candidate scores against every query; similarity.pq_adc_topk)
     "pq_adc_topk",
+    # 1-row (n_docs, avgdl) corpus-stats aggregate broadcast-crossed
+    # onto the hit postings — the r12 in-plan stats rewrite of
+    # functions/text.bm25_topk (one job instead of an eager collect
+    # + scoring job)
+    "bm25_retrieval_topk",
 }
 
 
