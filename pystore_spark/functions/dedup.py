@@ -368,25 +368,27 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("nbr", id_col)
         )
+        # the old component is in hand while the new one is computed,
+        # so the convergence flag rides the SAME pass (labels only
+        # ever decrease, so changed ⇔ new < old) — the check below
+        # then scans the checkpoint instead of re-joining old vs new
+        # labels every round (r12 optimization: one shuffle per
+        # iteration, not two)
+        new_comp = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        )
         updated = (
             labels.join(nbr_min, on=id_col, how="left")
             .select(
                 F.col(id_col),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp < F.col("component")).alias("_chg"),
             )
         )
         updated = updated.localCheckpoint(eager=True)  # cut lineage growth
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), on=id_col)
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("_chg").limit(1).count()
+        labels = updated.drop("_chg")
         if changed == 0:
             break
     return labels
