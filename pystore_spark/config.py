@@ -152,6 +152,16 @@ COSINE_SKEW_GATE_MIN_BYTES = int(
     )
 )
 
+# same discipline for lsh_candidate_pairs' bucket-count probe: below
+# this input estimate even one bucket holding every doc is a bounded
+# cheap self-join, so the eager max-count job is skipped and the
+# plain per-bucket join runs (identical pair set — parity-pinned).
+LSH_SKEW_GATE_MIN_BYTES = int(
+    os.environ.get(
+        "PYSTORE_SPARK_LSH_SKEW_GATE_MIN_BYTES", 4 << 20
+    )
+)
+
 _path: str | None = None
 
 

@@ -181,14 +181,28 @@ def lsh_candidate_pairs(
     # (id + band key per band) next to what it saves; swap for a
     # reliable checkpoint if executor loss matters more than speed.
     banded = banded.localCheckpoint(eager=True)
-    counts = banded.groupBy("band_idx", "band_key").agg(
-        F.count(F.lit(1)).alias("_bn")
-    )
-    # cheap gate (one agg job over the already-materialized narrow
-    # frame): when no bucket exceeds the cap — the common case — the
-    # plain self-join needs no salting and skips two shuffles
-    max_bn = counts.agg(F.max("_bn").alias("m")).first()["m"] or 0
-    if max_bn <= max_bucket_size:
+    # size-gated probe (r12, the COSINE_SKEW_GATE discipline): below
+    # LSH_SKEW_GATE_MIN_BYTES even a bucket holding every doc is a
+    # bounded cheap self-join, so the max-count job costs more than
+    # the skew it guards — take the plain join without probing.
+    # Identical pair set either way (salted ≡ plain parity-pinned).
+    from pystore_spark import config as _cfg
+    from pystore_spark.partition import estimate_size_bytes
+
+    est = estimate_size_bytes(df)
+    small = est is not None and est < _cfg.LSH_SKEW_GATE_MIN_BYTES
+    if not small:
+        counts = banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        # cheap gate (one agg job over the already-materialized
+        # narrow frame): when no bucket exceeds the cap — the common
+        # case — the plain self-join needs no salting and skips two
+        # shuffles
+        max_bn = (
+            counts.agg(F.max("_bn").alias("m")).first()["m"] or 0
+        )
+    if small or max_bn <= max_bucket_size:
         a = banded.alias("a")
         b = banded.alias("b")
         return (

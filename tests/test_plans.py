@@ -80,7 +80,7 @@ def test_outer_join_histogram_preaggregates(spark):
     assert join_pos != -1
 
 
-def test_lsh_hot_bucket_is_salt_split(spark):
+def test_lsh_hot_bucket_is_salt_split(spark, monkeypatch):
     """One band key holding a large share of docs must not serialize
     the LSH self-join onto one task (VERDICT r2 'Next round' #5).
 
@@ -107,6 +107,12 @@ def test_lsh_hot_bucket_is_salt_split(spark):
         ],
     })
     df = spark.createDataFrame(pdf).repartition(8)
+    # the r12 size gate would route this tiny frame to the plain join
+    # regardless of max_bucket_size; force the probe on so the salted
+    # branch is exercised
+    from pystore_spark import config
+
+    monkeypatch.setattr(config, "LSH_SKEW_GATE_MIN_BYTES", 0)
     # cap far below the hot-bucket size → salting must engage (G=8)
     salted = lsh_candidate_pairs(
         df, "text", "doc_id", num_hashes=8, bands=4, max_bucket_size=50
@@ -118,6 +124,12 @@ def test_lsh_hot_bucket_is_salt_split(spark):
     )
     want = {(r["id_i"], r["id_j"]) for r in plain.collect()}
     assert got == want
+    # the default gate on this tiny frame: same pair set again
+    monkeypatch.setattr(config, "LSH_SKEW_GATE_MIN_BYTES", 4 << 20)
+    gated = lsh_candidate_pairs(
+        df, "text", "doc_id", num_hashes=8, bands=4, max_bucket_size=50
+    )
+    assert {(r["id_i"], r["id_j"]) for r in gated.collect()} == want
     # the hot clique is fully present
     hot_pairs = {(i, j) for (i, j) in got if i < hot and j < hot}
     assert len(hot_pairs) == hot * (hot - 1) // 2
