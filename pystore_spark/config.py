@@ -162,6 +162,31 @@ LSH_SKEW_GATE_MIN_BYTES = int(
     )
 )
 
+# the deterministic KMeans trainers (coarse IVF + PQ codebooks) run
+# 1 + n_iters sequential driver-blocking Spark jobs per training call
+# — each a tiny scan + aggregation whose wall time at small inputs is
+# dominated by fixed job-launch cost (~0.2-0.5 s of scheduling/AQE/
+# py4j, r12 verdict's "job-sequence-bound" finding). Below this
+# Catalyst size estimate of the TRAINING frame the trainer collects
+# (id, vec) ONCE and runs the identical fold/quantized-mean recipe in
+# numpy on the driver — one job instead of 1 + n_iters, bit-identical
+# centroids (parity-pinned; the numpy loop accumulates components in
+# the same sequential order as the fold expression). Larger inputs —
+# i.e. anything at production scale — keep the distributed iteration.
+# The row cap bounds driver memory when Catalyst underestimates a
+# post-filter frame (ADVICE r12): the collect is LIMIT'ed to cap+1
+# rows and falls back to the distributed path when the cap is hit.
+KMEANS_DRIVER_TRAIN_MAX_BYTES = int(
+    os.environ.get(
+        "PYSTORE_SPARK_KMEANS_DRIVER_TRAIN_MAX_BYTES", 32 << 20
+    )
+)
+KMEANS_DRIVER_TRAIN_MAX_ROWS = int(
+    os.environ.get(
+        "PYSTORE_SPARK_KMEANS_DRIVER_TRAIN_MAX_ROWS", 262_144
+    )
+)
+
 _path: str | None = None
 
 

@@ -378,12 +378,14 @@ def semdedup_kept(
     a fixed cell count re-grows an (N/C)² term as the corpus does.
     ``max_block_size`` is the hot-cluster skew guard forwarded to
     :func:`cosine_dedup_pairs` (salted group-pair join above it)."""
-    if n_cells == "auto":
-        n_cells = auto_n_cells(df.count())
-    elif not isinstance(n_cells, int):
+    if n_cells != "auto" and not isinstance(n_cells, int):
         raise ValueError(
             f"n_cells must be an int or 'auto', got {n_cells!r}"
         )
+    # "auto" resolves inside train_ivf_centroids: the driver-local
+    # training tier derives N from its one collect (no dedicated
+    # count job — r12 verdict item); the distributed path counts
+    # once, same ~4·√N policy either way
     assigned = build_ivf_index_deterministic(
         df, vec_col, id_col, n_cells=n_cells, n_iters=n_iters,
         quant=quant,
@@ -697,6 +699,134 @@ def auto_n_cells(n: int) -> int:
     return max(1, min(65_536, int(4 * n ** 0.5)))
 
 
+# ---------------------------------------------------------------------------
+# Driver-local training tier (r13 optimization)
+# ---------------------------------------------------------------------------
+# The deterministic trainers run 1 + n_iters sequential driver-blocking
+# jobs; at small inputs each job's wall time is fixed launch cost
+# (scheduling + AQE re-planning + py4j — the r12 verdict's
+# "job-sequence-bound" finding: 8 cores beat 32 on the vector
+# flagships). Below KMEANS_DRIVER_TRAIN_MAX_BYTES the trainer collects
+# (id, vec) ONCE and replays the identical fold/quantized-mean recipe
+# in numpy: distances accumulate COMPONENT-sequentially (vectorized
+# over rows × cells, sequential over i — the same IEEE add/mul order
+# as the fold expression's left fold), argmin's first-minimum matches
+# array_min's lowest-cell tie-break, and the update sums are the same
+# order-independent int64 folds. Centroids are therefore bit-identical
+# to the distributed fold tier (parity-pinned). Anything the local
+# replay cannot reproduce exactly — GEMM-tier cell counts (BLAS
+# summation order), NaN components (Spark orders NaN largest,
+# np.argmin propagates it), ragged/null-element vectors (zip_with
+# null semantics), non-sortable ids — falls back to the distributed
+# path, as does any input over the size/row gates.
+
+
+def _collect_train_rows(df, vec_col: str, id_col: str):
+    """Collect ``(id, vec)`` for the driver-local training tier, or
+    return None when the input must stay distributed. One Spark job;
+    the caller's init window is the first rows of the id-sorted
+    result, exactly the distributed ``orderBy(id).limit(C)`` window.
+    The size gate reads the Catalyst estimate of the PROJECTED frame;
+    ``spark.driver.maxResultSize`` backstops an underestimate (a
+    failed collect degrades to the distributed path, results
+    unchanged)."""
+    from pystore_spark import config
+    from pystore_spark.partition import estimate_size_bytes
+
+    slim = df.select(id_col, vec_col)
+    est = estimate_size_bytes(slim)
+    if est is None or est >= config.KMEANS_DRIVER_TRAIN_MAX_BYTES:
+        return None
+    try:
+        rows = slim.collect()
+    except Exception:  # maxResultSize / transient — stay distributed
+        return None
+    if len(rows) > config.KMEANS_DRIVER_TRAIN_MAX_ROWS:
+        return None
+    out = []
+    dim = None
+    for r in rows:
+        rid, v = r[0], r[1]
+        if rid is None:
+            return None  # orderBy null placement — keep distributed
+        if v is not None:
+            if dim is None:
+                dim = len(v)
+            elif len(v) != dim:
+                return None  # ragged: zip_with null semantics
+            vv = []
+            for x in v:
+                # null element / NaN / quant-overflow components all
+                # have engine-specific semantics the local replay
+                # does not reproduce — bail to the exact path
+                if x is None:
+                    return None
+                fx = float(x)
+                if fx != fx or fx > 1e11 or fx < -1e11:
+                    return None
+                vv.append(fx)
+            v = vv
+        out.append((rid, v))
+    try:
+        out.sort(key=lambda t: t[0])
+    except TypeError:
+        return None
+    return out
+
+
+def _local_fold_assign(X, C):
+    """Component-sequential squared-L2 argmin — the fold expression's
+    exact IEEE op order (vectorized over rows × cells, sequential
+    over components), first-minimum = lowest-cell tie-break."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(X.shape[1]):
+        d = X[:, i, None] - C[None, :, i]
+        acc += d * d
+    return acc.argmin(axis=1)
+
+
+def _local_fold_kmeans(
+    vecs: "list[list[float]]",
+    cents: "list[list[float]]",
+    n_iters: int,
+    quant: float,
+) -> "list[list[float]]":
+    """Driver-local Lloyd's iterations, bit-identical to the
+    distributed fold tier: per iteration assign every vector to the
+    nearest centroid (component-SEQUENTIAL squared-L2 accumulation —
+    the fold expression's exact add/mul order — argmin first-minimum
+    = lowest-cell tie-break) and recompute each non-empty cell's
+    centroid as ``(double(sum(floor(x*quant) as int64)) / n) / quant``
+    (int64 sums are order-independent; the two divisions are the same
+    correctly-rounded IEEE ops as the distributed update and the
+    DuckDB oracle). Empty cells keep their previous centroid."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] == 0:
+        return cents
+    dim = X.shape[1]
+    for _ in range(n_iters):
+        C = np.asarray(cents, dtype=np.float64)
+        k = C.shape[0]
+        cells = _local_fold_assign(X, C)
+        Q = np.floor(X * quant).astype(np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, cells, Q)
+        counts = np.bincount(cells, minlength=k)
+        new = list(cents)
+        for c in range(k):
+            n = int(counts[c])
+            if n:
+                new[c] = (
+                    sums[c].astype(np.float64) / n / quant
+                ).tolist()
+        cents = new
+    return cents
+
+
 def _resolve_assign_method(
     method: str, centroids: list[list[float]]
 ) -> str:
@@ -1004,7 +1134,7 @@ def build_ivf_index_deterministic(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    n_cells: int = 8,
+    n_cells: "int | str" = 8,
     n_iters: int = 2,
     quant: float = 1e7,
     method: str = "auto",
@@ -1048,18 +1178,24 @@ def build_ivf_index_deterministic(
     ``method="fold"`` to keep the oracle contract at any C, paying
     the expression-size cost.
     """
-    df = widen_parallelism(df)
+    # training gets the UNwidened frame: results are partitioning-
+    # independent, and the driver-local tier's one collect would
+    # otherwise pay an extra AQE shuffle job for the repartition
+    # (r13); the distributed iteration widens itself. Only the
+    # returned per-row assignment projection needs the spread.
     cents = train_ivf_centroids(
         df, vec_col, id_col, n_cells, n_iters, quant, method
     )
-    return _assign_cells(df, vec_col, cents, method=method)
+    return _assign_cells(
+        widen_parallelism(df), vec_col, cents, method=method
+    )
 
 
 def train_ivf_centroids(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    n_cells: int = 8,
+    n_cells: "int | str" = 8,
     n_iters: int = 2,
     quant: float = 1e7,
     method: str = "auto",
@@ -1068,7 +1204,42 @@ def train_ivf_centroids(
     exposed separately so the centroids can be PERSISTED (e.g. in an
     index item's metadata — Collection.build_vector_index) and later
     probes assign queries without retraining. Same determinism
-    contract and shuffle shape as documented above."""
+    contract and shuffle shape as documented above.
+
+    ``n_cells="auto"`` resolves the shared ~4·√N policy
+    (:func:`auto_n_cells`) here: the driver-local tier derives N from
+    the rows it already collected (no dedicated count job); the
+    distributed path counts once.
+
+    Driver-local tier (r13): below the
+    ``KMEANS_DRIVER_TRAIN_MAX_BYTES`` Catalyst estimate the whole
+    iteration runs on the driver from ONE collect — bit-identical
+    centroids (see the tier header above
+    :func:`_collect_train_rows`) at 1 job instead of 1 + n_iters.
+    GEMM-tier cell counts keep the distributed kernel (its BLAS
+    summation order is the contract callers opted into)."""
+    local_rows = (
+        _collect_train_rows(df, vec_col, id_col)
+        if method != "gemm"
+        else None
+    )
+    if local_rows is not None:
+        if n_cells == "auto":
+            n_cells = auto_n_cells(len(local_rows))
+        init = [v for _i, v in local_rows[:n_cells] if v is not None]
+        if not init:
+            raise ValueError(
+                "cannot train IVF centroids: the source has no "
+                f"non-null vectors in column {vec_col!r}"
+            )
+        if method == "fold" or len(init) < GEMM_ASSIGN_MIN_CELLS:
+            vecs = [v for _i, v in local_rows if v is not None]
+            return _local_fold_kmeans(vecs, init, n_iters, quant)
+        # auto at GEMM-tier C: the distributed kernel's arithmetic
+        # is the contract — fall through (the collect still resolved
+        # n_cells="auto" without a count job)
+    if n_cells == "auto":
+        n_cells = auto_n_cells(df.count())
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )
@@ -1087,8 +1258,12 @@ def train_ivf_centroids(
     # update group under the GEMM kernel — review r12 — and inflated
     # cell-0 denominators under the fold kernel). Filtering the RAW
     # column keeps the predicate scan-pushable instead of
-    # re-evaluating the derived cell expression
-    clean = df.filter(F.col(vec_col).isNotNull())
+    # re-evaluating the derived cell expression. Widening spreads the
+    # CPU-bound per-iteration assignment off a single small split
+    # (no-op at real scale); it stays OFF the init collect above and
+    # the whole driver-local tier — order-independent sums make the
+    # trained centroids partitioning-invariant either way
+    clean = widen_parallelism(df.filter(F.col(vec_col).isNotNull()))
     # tall update aggregation (r12 optimization): quantize the vector
     # once per row, posexplode, and group by (cell, component) — ONE
     # int64 sum buffer per group instead of dim wide agg buffers per
@@ -1269,6 +1444,39 @@ def train_pq_codebooks(
     order-independent, so codebooks are bit-identical to the
     per-subspace trainer on the fold tier (parity pinned in tests)."""
     quant = 1e7  # train_ivf_centroids' default — the oracle replays it
+    local_rows = _collect_train_rows(df, vec_col, id_col)
+    if local_rows is not None:
+        init = [v for _i, v in local_rows[:n_cells] if v is not None]
+        if not init:
+            if not any(v is not None for _i, v in local_rows):
+                raise ValueError(
+                    "cannot train PQ codebooks: no vectors"
+                )
+            raise ValueError(
+                "cannot train PQ codebooks: no non-null vectors in "
+                f"the first {n_cells} rows (by {id_col!r}) of column "
+                f"{vec_col!r}"
+            )
+        if len(init) < GEMM_ASSIGN_MIN_CELLS:
+            ldim = len(init[0])
+            if ldim % m:
+                raise ValueError(
+                    f"dim {ldim} not divisible into m={m} subvectors"
+                )
+            ld = ldim // m
+            lvecs = [v for _i, v in local_rows if v is not None]
+            # subspaces are independent — the per-subspace local loop
+            # equals the fused distributed fold tier (parity-pinned)
+            return [
+                _local_fold_kmeans(
+                    [v[j * ld:(j + 1) * ld] for v in lvecs],
+                    [v[j * ld:(j + 1) * ld] for v in init],
+                    n_iters,
+                    quant,
+                )
+                for j in range(m)
+            ]
+        # GEMM-tier C: keep the distributed kernel's arithmetic
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )
@@ -1279,16 +1487,18 @@ def train_pq_codebooks(
     ]
     if not vecs:
         # distinguish an all-null corpus (the historical first()-probe
-        # message) from an all-null init window (the per-subspace
-        # trainer's message) — one extra job on the error path only
+        # message) from an all-null init window (ADVICE r12: name the
+        # caller-visible column, not the removed trainer's internal
+        # '_sub') — one extra job on the error path only
         has_any = (
             df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         )
         if has_any is None:
             raise ValueError("cannot train PQ codebooks: no vectors")
         raise ValueError(
-            "cannot train IVF centroids: the source has no non-null "
-            "vectors in column '_sub'"
+            "cannot train PQ codebooks: no non-null vectors in "
+            f"the first {n_cells} rows (by {id_col!r}) of column "
+            f"{vec_col!r}"
         )
     dim = len(vecs[0])
     if dim % m:
@@ -1358,6 +1568,89 @@ def train_pq_codebooks(
                 for i in range(d_sub)
             ]
     return books
+
+
+def train_residual_pq(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 4,
+    m: int = 2,
+    pq_cells: int = 4,
+    n_iters: int = 2,
+    quant: float = 1e7,
+) -> "tuple[list[list[float]], list[list[list[float]]]]":
+    """Fused residual-IVFADC training: coarse centroids AND the
+    per-subspace residual codebooks from ONE pass over the training
+    frame. Returns ``(centroids, codebooks)``.
+
+    Equivalent by construction to the unfused sequence
+    ``cents = train_ivf_centroids(df); books = train_pq_codebooks(
+    residualize_frame(assign(df)))`` — which is exactly what the
+    distributed fallback runs. The driver-local tier (r13, same gate
+    as the trainers) collects (id, vec) ONCE and derives everything —
+    coarse KMeans, fold assignment, residual subtraction
+    (``x_double − cent[cell]`` per component, the ``residualize``
+    projection's IEEE ops), and the per-subspace codebook KMeans — on
+    the driver: 1 Spark job instead of the unfused local tier's 2
+    (or the fully distributed 2·(1 + n_iters)). Bit-identical on
+    every path (parity-pinned); GEMM-tier cell counts keep the
+    distributed kernels."""
+    local_rows = (
+        _collect_train_rows(df, vec_col, id_col)
+        if n_cells < GEMM_ASSIGN_MIN_CELLS
+        and pq_cells < GEMM_ASSIGN_MIN_CELLS
+        else None
+    )
+    if local_rows is not None:
+        init = [v for _i, v in local_rows[:n_cells] if v is not None]
+        if init:
+            import numpy as np
+
+            vecs = [v for _i, v in local_rows if v is not None]
+            cents = _local_fold_kmeans(vecs, init, n_iters, quant)
+            X = np.asarray(vecs, dtype=np.float64)
+            C = np.asarray(cents, dtype=np.float64)
+            cells = _local_fold_assign(X, C)
+            R = X - C[cells]  # residualize: per-component double sub
+            # a residual row is null iff the source vector is, and
+            # null rows still occupy PQ init-window slots (exactly
+            # train_pq_codebooks' orderBy(id).limit window over the
+            # residual frame)
+            res_it = iter(r.tolist() for r in R)
+            res_all = [
+                next(res_it) if v is not None else None
+                for _i, v in local_rows
+            ]
+            rinit = [r for r in res_all[:pq_cells] if r is not None]
+            res = [r for r in res_all if r is not None]
+            dim = len(rinit[0]) if rinit else 0
+            if rinit and dim % m == 0:
+                d_sub = dim // m
+                books = [
+                    _local_fold_kmeans(
+                        [r[j * d_sub:(j + 1) * d_sub] for r in res],
+                        [r[j * d_sub:(j + 1) * d_sub] for r in rinit],
+                        n_iters,
+                        quant,
+                    )
+                    for j in range(m)
+                ]
+                return cents, books
+        # empty/odd-dim init windows: the unfused path owns the
+        # error messages — fall through
+    cents = train_ivf_centroids(
+        df, vec_col, id_col, n_cells=n_cells, n_iters=n_iters,
+        quant=quant,
+    )
+    res = _assign_cells(df, vec_col, cents).withColumn(
+        vec_col,
+        residualize(F.col(vec_col), F.col("cell"), cents),
+    )
+    books = train_pq_codebooks(
+        res, vec_col, id_col, m=m, n_cells=pq_cells, n_iters=n_iters,
+    )
+    return cents, books
 
 
 def _gemm_subspace_partials(

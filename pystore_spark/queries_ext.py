@@ -1577,17 +1577,18 @@ def pq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     even = emb.filter(F.col("vec_id") % 2 == 0)
-    cents = SS.train_ivf_centroids(
-        even, "embedding", "vec_id", n_cells=4, n_iters=2
+    # fused training (r13): coarse centroids + residual codebooks
+    # from one pass — equivalent by construction to the unfused
+    # train_ivf_centroids → assign → residualize → train_pq_codebooks
+    # sequence (the fallback inside), oracle-checked end to end
+    cents, books = SS.train_residual_pq(
+        even, "embedding", "vec_id", n_cells=4, m=2, pq_cells=4,
+        n_iters=2,
     )
     assigned = SS._assign_cells(emb, "embedding", cents)
     res = assigned.withColumn(
         "embedding",
         SS.residualize(F.col("embedding"), F.col("cell"), cents),
-    )
-    books = SS.train_pq_codebooks(
-        res.filter(F.col("vec_id") % 2 == 0),
-        "embedding", "vec_id", m=2, n_cells=4, n_iters=2,
     )
     codes = SS.pq_encode(res, "embedding", books)
     qa = SS.assign_probe_cells(

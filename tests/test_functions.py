@@ -1200,6 +1200,102 @@ def test_pq_fused_trainer_matches_per_subspace(spark):
     ) == per_subspace(4, 64)
 
 
+def test_driver_local_trainer_matches_distributed(spark, monkeypatch):
+    """The r13 driver-local training tier (one collect + numpy fold
+    replay) must return bit-identical centroids/codebooks to the
+    distributed iteration on every trainer — including n_cells="auto"
+    resolution and the fused residual trainer — and must refuse
+    inputs whose semantics it cannot replay exactly."""
+    from pystore_spark import config
+    from pystore_spark.functions import similarity as S
+    from pystore_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+
+    def distributed(fn):
+        monkeypatch.setattr(config, "KMEANS_DRIVER_TRAIN_MAX_BYTES", 0)
+        try:
+            return fn()
+        finally:
+            monkeypatch.setattr(
+                config, "KMEANS_DRIVER_TRAIN_MAX_BYTES", 32 << 20
+            )
+
+    # local tier actually fires at this size
+    assert S._collect_train_rows(even, "embedding", "vec_id")
+
+    for kw in (
+        dict(n_cells=4, n_iters=2),
+        dict(n_cells="auto", n_iters=1),
+    ):
+        local = S.train_ivf_centroids(even, "embedding", "vec_id", **kw)
+        dist = distributed(
+            lambda: S.train_ivf_centroids(
+                even, "embedding", "vec_id", **kw
+            )
+        )
+        assert local == dist
+
+    lb = S.train_pq_codebooks(
+        even, "embedding", "vec_id", m=2, n_cells=4, n_iters=2
+    )
+    db = distributed(
+        lambda: S.train_pq_codebooks(
+            even, "embedding", "vec_id", m=2, n_cells=4, n_iters=2
+        )
+    )
+    assert lb == db
+
+    # fused residual trainer == the unfused distributed sequence
+    fc, fb = S.train_residual_pq(
+        even, "embedding", "vec_id", n_cells=4, m=2, pq_cells=4,
+        n_iters=2,
+    )
+    def unfused():
+        cents = S.train_ivf_centroids(
+            even, "embedding", "vec_id", n_cells=4, n_iters=2
+        )
+        res = S._assign_cells(emb, "embedding", cents).withColumn(
+            "embedding",
+            S.residualize(F.col("embedding"), F.col("cell"), cents),
+        )
+        books = S.train_pq_codebooks(
+            res.filter(F.col("vec_id") % 2 == 0),
+            "embedding", "vec_id", m=2, n_cells=4, n_iters=2,
+        )
+        return cents, books
+    uc, ub = distributed(unfused)
+    assert fc == uc and fb == ub
+
+    # refusal paths: semantics the numpy replay does not reproduce
+    nan_df = spark.createDataFrame(
+        [(0, [1.0, float("nan")]), (1, [0.5, 0.5])],
+        "vec_id int, embedding array<double>",
+    )
+    assert S._collect_train_rows(nan_df, "embedding", "vec_id") is None
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.5])],
+        "vec_id int, embedding array<double>",
+    )
+    assert S._collect_train_rows(ragged, "embedding", "vec_id") is None
+
+    # null vectors occupy init-window slots on both tiers
+    nulls = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0]), (2, [3.0, 1.0]), (3, [0.0, 9.0])],
+        "vec_id int, embedding array<double>",
+    )
+    ln = S.train_ivf_centroids(
+        nulls, "embedding", "vec_id", n_cells=2, n_iters=1
+    )
+    dn = distributed(
+        lambda: S.train_ivf_centroids(
+            nulls, "embedding", "vec_id", n_cells=2, n_iters=1
+        )
+    )
+    assert ln == dn and len(ln) == 1  # null took one init slot
+
+
 def test_pq_encode_decode_and_adc_identity(spark):
     """Product quantization: codes are m smallints; the ADC distance
     (sum of per-subspace LUT entries) must equal the exact squared L2
