@@ -1937,6 +1937,111 @@ def _pq_lut(qvec, codebooks: list[list[list[float]]],
     return lut
 
 
+def _pq_lut_sql(
+    vec_sql: str, codebooks: list[list[list[float]]], n_cells: int
+) -> str:
+    """SQL text of the flattened ADC LUT (array<double>, m·n_cells
+    entries, ragged codebooks padded with 0.0) for a query-vector
+    expression whose elements are ALREADY double — the in-plan twin
+    of :func:`_pq_lut`'s pure-Python fold. Entry ``j*n_cells + c``
+    folds ``(x − y)²`` component-sequentially over subspace j's
+    slice: the same IEEE add/mul order as the Python
+    ``s += (a − b) * (a − b)`` loop, so values are bit-identical
+    (parity-pinned by ``test_pq_adc_inplan_lut_matches_collect``)."""
+    entries = []
+    off = 1
+    for cb in codebooks:
+        d_sub = len(cb[0])
+        sub = f"slice({vec_sql}, {off}, {d_sub})"
+        for cent in cb:
+            entries.append(
+                "aggregate(zip_with(%s, %s, (x, y) -> "
+                "(x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+                % (sub, _sql_vec(cent))
+            )
+        entries.extend(["0.0D"] * (n_cells - len(cb)))
+        off += d_sub
+    return "array(%s)" % ",".join(entries)
+
+
+def _pq_lut_frame_inplan(
+    qa: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    codebooks: list[list[list[float]]],
+    n_cells: int,
+    qid: str,
+    centroids: "list[list[float]] | None",
+) -> DataFrame:
+    """``(qid, _qcell int, _lut array<double>)`` built as a lazy
+    projection over the probe frame — NO driver collect, no
+    createDataFrame round-trip: the LUT folds ride the broadcast
+    build of the candidate join's query side (r13 optimization; the
+    r12 verdict measured the search path as a sequence of
+    driver-blocking jobs). Arithmetic is the exact op order of the
+    driver path (:func:`_pq_lut_frame_collect`): the query vector is
+    cast to double once (Python's ``float(x)``), residual mode
+    subtracts ``centroid[cell]`` per component first (Python's
+    ``a − b``), and each LUT entry is the component-sequential
+    ``(x − y)²`` fold. Plan size is m·n_cells folds — gated to the
+    sub-GEMM tier by the caller."""
+    vec_sql = _sql_ident(vec_col)
+    cell_int = "CAST(%s AS INT)" % _sql_ident(cell_col)
+    if centroids is not None:
+        qv = (
+            "zip_with(%s, element_at(%s, %s + 1), "
+            "(x, c) -> CAST(x AS DOUBLE) - c)"
+            % (vec_sql, _sql_mat(centroids), cell_int)
+        )
+    else:
+        qv = "transform(%s, x -> CAST(x AS DOUBLE))" % vec_sql
+    return qa.select(
+        F.col(id_col).alias(qid),
+        F.expr(cell_int).alias("_qcell"),
+        F.expr(qv).alias("_qv"),
+    ).select(
+        qid,
+        "_qcell",
+        F.expr(_pq_lut_sql("_qv", codebooks, n_cells)).alias("_lut"),
+    )
+
+
+def _pq_lut_frame_collect(
+    qa: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    codebooks: list[list[list[float]]],
+    n_cells: int,
+    qid: str,
+    centroids: "list[list[float]] | None",
+) -> DataFrame:
+    """Driver-side LUT build (collect + numpy/pure-Python fold +
+    createDataFrame) — the GEMM-tier path, where an in-plan
+    expression would put m·n_cells folds in the plan but
+    :func:`_pq_lut` vectorizes the same sums through numpy."""
+    qrows = qa.select(id_col, vec_col, cell_col).collect()
+    seen: dict = {}
+    rows = []
+    for r in qrows:
+        cell = int(r[cell_col])
+        key = (r[id_col], cell) if centroids is not None else r[id_col]
+        if key not in seen:
+            q = [float(x) for x in r[vec_col]]
+            if centroids is not None:
+                q = [a - b for a, b in zip(q, centroids[cell])]
+            seen[key] = _pq_lut(q, codebooks, n_cells)
+        rows.append((r[id_col], cell, seen[key]))
+    return qa.sparkSession.createDataFrame(
+        rows,
+        schema=(
+            f"{qid} {qa.schema[id_col].dataType.simpleString()}, "
+            "_qcell int, _lut array<double>"
+        ),
+    )
+
+
 def _pq_adc_dist(m: int, n_cells: int) -> Column:
     """ADC distance Column over a ``_pq`` codes column and a broadcast
     ``_lut`` column: sequential left fold of the m table lookups (so a
@@ -1987,26 +2092,23 @@ def pq_adc_cell_topk(
     shuffle grows by m smallints per row, the scan count stays 1."""
     qid = query_id_col or f"q_{id_col}"
     n_cells = max(len(cb) for cb in codebooks)
-    qrows = qa.select(id_col, vec_col, cell_col).collect()
-    seen: dict = {}
-    rows = []
-    for r in qrows:
-        cell = int(r[cell_col])
-        key = (r[id_col], cell) if centroids is not None else r[id_col]
-        if key not in seen:
-            q = [float(x) for x in r[vec_col]]
-            if centroids is not None:
-                q = [a - b for a, b in zip(q, centroids[cell])]
-            seen[key] = _pq_lut(q, codebooks, n_cells)
-        rows.append((r[id_col], cell, seen[key]))
-    spark = codes_df.sparkSession
-    qdf = spark.createDataFrame(
-        rows,
-        schema=(
-            f"{qid} {qa.schema[id_col].dataType.simpleString()}, "
-            "_qcell int, _lut array<double>"
-        ),
-    )
+    # LUT-frame tier dispatch (r13): below the GEMM plan-size bound
+    # the per-query LUT is a lazy in-plan projection riding the
+    # broadcast build — the probe frame's collect job disappears from
+    # the search (one action instead of collect + action). At
+    # GEMM-tier cell counts the driver path stays: m·n_cells folds
+    # would bloat the plan while numpy batches the same sums.
+    # Bit-identical values either way (parity-pinned).
+    if n_cells < GEMM_ASSIGN_MIN_CELLS:
+        qdf = _pq_lut_frame_inplan(
+            qa, vec_col, id_col, cell_col, codebooks, n_cells, qid,
+            centroids,
+        )
+    else:
+        qdf = _pq_lut_frame_collect(
+            qa, vec_col, id_col, cell_col, codebooks, n_cells, qid,
+            centroids,
+        )
     codes_df = widen_parallelism(codes_df)
     dist = _pq_adc_dist(len(codebooks), n_cells)
     scored = codes_df.join(

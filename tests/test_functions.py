@@ -1296,6 +1296,52 @@ def test_driver_local_trainer_matches_distributed(spark, monkeypatch):
     assert ln == dn and len(ln) == 1  # null took one init slot
 
 
+def test_pq_adc_inplan_lut_matches_collect(spark):
+    """The r13 in-plan LUT projection (no driver collect in the ADC
+    search path) must be bit-identical to the driver-side LUT build
+    on both modes — plain PQ and residual IVFADC (per-(query, cell)
+    LUTs)."""
+    from pystore_spark.functions import similarity as S
+    from pystore_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    cents, books = S.train_residual_pq(
+        even, "embedding", "vec_id", n_cells=4, m=2, pq_cells=4,
+        n_iters=2,
+    )
+    qa = S.assign_probe_cells(
+        emb.filter("vec_id < 5"), "embedding", cents, nprobe=2
+    )
+    n_cells = max(len(cb) for cb in books)
+    for cn in (cents, None):
+        inplan = S._pq_lut_frame_inplan(
+            qa, "embedding", "vec_id", "cell", books, n_cells,
+            "q_vec_id", cn,
+        ).collect()
+        coll = S._pq_lut_frame_collect(
+            qa, "embedding", "vec_id", "cell", books, n_cells,
+            "q_vec_id", cn,
+        ).collect()
+        canon = lambda rows: sorted(  # noqa: E731
+            (r["q_vec_id"], r["_qcell"], tuple(r["_lut"])) for r in rows
+        )
+        assert canon(inplan) == canon(coll)  # exact doubles
+    # end-to-end: the dispatched search kernel output is unchanged
+    out = S.pq_adc_cell_topk(
+        S.pq_encode(
+            S.residualize_frame(
+                S._assign_cells(emb, "embedding", cents),
+                "embedding", "cell", cents,
+            ),
+            "embedding", books,
+        ),
+        qa.filter("vec_id < 3"), "embedding", "vec_id", "cell",
+        books, k=5, centroids=cents,
+    )
+    assert out.count() > 0
+
+
 def test_pq_encode_decode_and_adc_identity(spark):
     """Product quantization: codes are m smallints; the ADC distance
     (sum of per-subspace LUT entries) must equal the exact squared L2
