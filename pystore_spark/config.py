@@ -162,6 +162,24 @@ LSH_SKEW_GATE_MIN_BYTES = int(
     )
 )
 
+# bm25_topk tier gate (r13): ABOVE this Catalyst size estimate of the
+# (id, text) projection the corpus stats, per-term document
+# frequencies and hit postings all derive from ONE pinned
+# (id, term) aggregation — the corpus is scanned and tokenized once
+# instead of four times (the two-scan plan holds four copies of the
+# scan+tokenize subtree), measured 2.3x faster at a 16x sf0.1 corpus
+# and the only shape that survives 100 TB (4x the scan work never
+# amortizes). BELOW it the two-scan plan stays: at toy scale the
+# four subtrees run as concurrent cheap stages and the pin's extra
+# exchange + materialization costs more than the re-scans it saves
+# (measured 1.51 vs 1.71 s at sf0.1). Same results bit-for-bit on
+# both tiers (parity-pinned).
+BM25_SHARED_SCAN_MIN_BYTES = int(
+    os.environ.get(
+        "PYSTORE_SPARK_BM25_SHARED_SCAN_MIN_BYTES", 32 << 20
+    )
+)
+
 # the deterministic KMeans trainers (coarse IVF + PQ codebooks) run
 # 1 + n_iters sequential driver-blocking Spark jobs per training call
 # — each a tiny scan + aggregation whose wall time at small inputs is

@@ -304,32 +304,15 @@ def cosine_dedup_pairs(
     )
 
 
-#: bounded FIFO of live pinned assignment frames. Each semdedup_kept
-#: call persists one O(corpus) frame that materializes lazily with
-#: the caller's action, so the function itself can never unpersist it
-#: — repeated calls in one session (bench loops, pipeline retries)
-#: previously accumulated dead cached blocks until executor storage
-#: memory degraded the whole session (r12 optimization: the round-12
-#: bench measured a 1.4-1.8× end-of-session drift from exactly this).
-#: Evicting the oldest pin only drops a performance hint: a still-live
-#: reference to an evicted frame recomputes from lineage, results
-#: unchanged.
-_PIN_CACHE: "list" = []
-_PIN_CACHE_CAP = 2
-
-
-def _pin_frame(df: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
-    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PIN_CACHE.append(pinned)
-    while len(_PIN_CACHE) > _PIN_CACHE_CAP:
-        old = _PIN_CACHE.pop(0)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    return pinned
+# the bounded pin FIFO moved to pystore_spark.partition (r13: bm25's
+# shared tokenized child pins through the same registry) — these
+# aliases keep the established names; _PIN_CACHE is the SAME list
+# object partition mutates
+from pystore_spark.partition import (  # noqa: E402
+    _PIN_CACHE,
+    _PIN_CACHE_CAP,
+    pin_frame as _pin_frame,
+)
 
 
 def semdedup_kept(

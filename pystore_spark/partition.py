@@ -113,6 +113,81 @@ def _floor_to_parallelism(n: int, nrows: int | None, parallelism: int) -> int:
     return max(n, floor, 1)
 
 
+#: bounded FIFO of live pinned frames (r12 optimization, generalized
+#: r13). A kernel that persists an intermediate so several plan
+#: consumers materialize it once (semdedup's O(corpus) assignment,
+#: bm25's shared (id, term) aggregation) cannot unpersist it itself —
+#: the frame materializes lazily with the caller's action — so
+#: repeated calls in one session previously accumulated dead cached
+#: blocks until executor storage memory degraded the whole session
+#: (the round-12 bench measured a 1.4-1.8x end-of-session drift from
+#: exactly this). Evicting the oldest pin only drops a performance
+#: hint: a still-live reference to an evicted frame recomputes from
+#: lineage, results unchanged. Cap is env-tunable and the registry is
+#: lock-guarded for concurrent callers (ADVICE r12); note eviction is
+#: FIFO by pin order — interleaving more than cap concurrent
+#: pipelines trades their reuse away, never their correctness.
+import os as _os
+import threading as _threading
+
+_PIN_CACHE: list = []
+_PIN_CACHE_CAP = int(
+    _os.environ.get("PYSTORE_SPARK_PIN_CACHE_CAP", 2)
+)
+_PIN_LOCK = _threading.Lock()
+
+
+def pin_frame(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK — a lost executor recomputes
+    from lineage; checkpoint blocks would not be fault-tolerant) and
+    register it in the bounded FIFO, unpersisting the oldest past the
+    cap."""
+    from pyspark import StorageLevel
+
+    # Spark's CacheManager keys entries on the CANONICALIZED plan: a
+    # kernel re-invoked on the same input (bench loop, pipeline
+    # retry) re-pins an identical plan, which maps to the SAME cache
+    # entry. Two consequences the registry must handle explicitly:
+    # (1) unpersisting an evicted old pin would clobber a live
+    # same-plan pin's cache mid-query (measured: bm25's shared child
+    # silently recomputed 4x, 1.1 s -> 3.4 s warm); (2) letting the
+    # entry survive would hand the NEXT invocation the previous
+    # call's materialized blocks — cross-run reuse the bench contract
+    # forbids (every timed run must compute from the parquet inputs).
+    # So: retire any live same-plan pin FIRST, then persist fresh —
+    # each call gets within-query reuse only, and FIFO eviction past
+    # the cap can then unpersist unconditionally (same-plan
+    # duplicates never coexist).
+    try:
+        new_plan = df._jdf.queryExecution().analyzed()
+        with _PIN_LOCK:
+            stale = [
+                lv
+                for lv in _PIN_CACHE
+                if new_plan.sameResult(
+                    lv._jdf.queryExecution().analyzed()
+                )
+            ]
+            for lv in stale:
+                _PIN_CACHE.remove(lv)
+        for lv in stale:
+            lv.unpersist()
+    except Exception:
+        pass
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    with _PIN_LOCK:
+        _PIN_CACHE.append(pinned)
+        evict = []
+        while len(_PIN_CACHE) > _PIN_CACHE_CAP:
+            evict.append(_PIN_CACHE.pop(0))
+    for old in evict:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return pinned
+
+
 def estimate_size_bytes(df: DataFrame) -> int | None:
     """Best-effort logical-plan size estimate (Catalyst stats)."""
     try:

@@ -1011,6 +1011,97 @@ def test_bm25_empty_corpus_returns_empty(spark):
     assert out.count() == 0
 
 
+def test_bm25_shared_child_matches_twoscan(spark, monkeypatch, tmp_path):
+    """The r13 shared-child tier (stats and hit postings from ONE
+    pinned tokenized child, gated ON above
+    BM25_SHARED_SCAN_MIN_BYTES — and for stats-less sources, where
+    the scale-safe tier is the right unknown-size default) must be
+    bit-identical to the two-scan form — including duplicate ids
+    (n_docs counts ROWS), null/empty text (sentinel still emitted;
+    dl = size(null) semantics preserved), and repeated query terms in
+    a doc (tf) and in the bag (dedup). The default-gate (small) tier
+    is exercised too, from a parquet source that carries stats."""
+    from pystore_spark import config
+    from pystore_spark.functions.text import bm25_rank, bm25_topk, tokens
+
+    rows = [
+        (1, "spark window spark query engine"),
+        (2, "vector search with window functions"),
+        (1, "duplicate id doc with query terms query"),  # dup id
+        (3, None),  # null text
+        (4, ""),  # empty text
+        (5, "no matching terms at all here"),
+        (6, "spark spark spark window"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bag = ["spark", "query", "window", "vector", "spark"]  # dup term
+
+    def twoscan(df):  # the pre-r13 formulation, verbatim
+        toks = tokens(F.lower(F.col("text")))
+        base = df.select(
+            F.col("doc_id"), F.size(toks).alias("dl"), toks.alias("a")
+        )
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        ).select(
+            F.col("n_docs").cast("double").alias("_nd"),
+            (
+                F.col("total_dl").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("_avgdl"),
+        )
+        hits = (
+            base.select("doc_id", "dl", F.explode("a").alias("term"))
+            .filter(F.col("term").isin(list(bag)))
+            .groupBy("doc_id", "term")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.first("dl").alias("dl"),
+            )
+            .crossJoin(F.broadcast(stats))
+        )
+        return bm25_rank(
+            hits, F.col("_nd"), F.col("_avgdl"), "doc_id", 1.2, 0.75, 10
+        )
+
+    want = twoscan(docs).collect()
+
+    # shared-child tier (force the gate ON for this tiny frame)
+    monkeypatch.setattr(config, "BM25_SHARED_SCAN_MIN_BYTES", 0)
+    out_df = bm25_topk(docs, bag, top_k=10)
+    got = out_df.collect()
+    assert [(r["doc_id"], r["bm25"]) for r in got] == [
+        (r["doc_id"], r["bm25"]) for r in want
+    ]
+    assert len(got) > 0
+    # plan shape: the corpus is scanned/tokenized once — every
+    # consumer reads the pinned (id, term) aggregation (inspect the
+    # FINAL adaptive plan, after the collect above materialized it).
+    # ≥2 cache consumers over ONE InMemoryRelation — persist
+    # semantics guarantee its child (the scan+tokenize) computes once
+    # per partition (the node's description reprints the cached plan,
+    # so raw scan-string counts over the text are meaningless)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2 or (
+        plan.count("TableCacheQueryStage") >= 2
+    )
+
+    # default gate: a small PARQUET corpus (Catalyst stats exist)
+    # takes the two-scan tier — same rows, and NO pin in the plan
+    monkeypatch.setattr(config, "BM25_SHARED_SCAN_MIN_BYTES", 32 << 20)
+    pq = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(pq)
+    docs_pq = spark.read.parquet(pq)
+    small_df = bm25_topk(docs_pq, bag, top_k=10)
+    small = small_df.collect()
+    assert [(r["doc_id"], r["bm25"]) for r in small] == [
+        (r["doc_id"], r["bm25"]) for r in want
+    ]
+    small_plan = small_df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in small_plan
+
+
 def test_multimodal_truncated_v1_boxes_raise_valueerror():
     """ADVICE r10: mvhd/tkhd version-1 boxes carry 64-bit times, so a
     truncated v1 box must take the documented malformed-ValueError
