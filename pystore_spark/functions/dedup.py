@@ -189,7 +189,9 @@ def lsh_candidate_pairs(
     from pystore_spark import config as _cfg
     from pystore_spark.partition import estimate_size_bytes
 
-    est = estimate_size_bytes(df)
+    # distrust_filters (ADVICE r12): see estimate_size_bytes — never
+    # skip the skew probe on a post-filter/join estimate
+    est = estimate_size_bytes(df, distrust_filters=True)
     small = est is not None and est < _cfg.LSH_SKEW_GATE_MIN_BYTES
     if not small:
         counts = banded.groupBy("band_idx", "band_key").agg(

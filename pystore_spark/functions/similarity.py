@@ -226,7 +226,10 @@ def cosine_dedup_pairs(
     from pystore_spark import config
     from pystore_spark.partition import estimate_size_bytes
 
-    est = estimate_size_bytes(slim)
+    # distrust_filters (ADVICE r12): a post-filter/join estimate can
+    # underestimate — fall through to the probe rather than silently
+    # skip the single-reducer skew guard
+    est = estimate_size_bytes(slim, distrust_filters=True)
     small = (
         est is not None and est < config.COSINE_SKEW_GATE_MIN_BYTES
     )

@@ -1206,7 +1206,10 @@ def dedup_substrings(
     # (parity-pinned).
     from pystore_spark.partition import estimate_size_bytes
 
-    est = estimate_size_bytes(docs)
+    # distrust_filters (ADVICE r12): the window tier's per-gram
+    # partition is only bounded when the INPUT is genuinely small —
+    # a post-filter/join underestimate must take the census tier
+    est = estimate_size_bytes(docs, distrust_filters=True)
     if est is not None and est < config.SUBSTRING_WINDOW_MIN_BYTES:
         from pyspark.sql import Window
 

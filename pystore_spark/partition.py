@@ -188,10 +188,26 @@ def pin_frame(df: DataFrame) -> DataFrame:
     return pinned
 
 
-def estimate_size_bytes(df: DataFrame) -> int | None:
-    """Best-effort logical-plan size estimate (Catalyst stats)."""
+def estimate_size_bytes(
+    df: DataFrame, distrust_filters: bool = False
+) -> int | None:
+    """Best-effort logical-plan size estimate (Catalyst stats).
+
+    ``distrust_filters=True`` (ADVICE r12): return None — "unknown",
+    so size-gated SKEW guards fall through to their cheap probe —
+    when the optimized plan contains Filter/Join nodes, whose
+    size-only estimates can drift far from reality (a join can
+    multiply, and compressed-source ratios propagate through
+    selections). Callers whose small-tier has its own second-line
+    defense (the KMeans driver tier's row cap + maxResultSize
+    fallback) keep the plain estimate; callers whose small-tier would
+    silently skip a single-reducer guard pass the flag."""
     try:
         jdf = df._jdf  # noqa: SLF001 — no public stats API in PySpark
+        if distrust_filters:
+            plan_s = str(jdf.queryExecution().optimizedPlan())
+            if "Filter " in plan_s or "Join " in plan_s:
+                return None
         stats = jdf.queryExecution().optimizedPlan().stats()
         # py4j auto-converts scala BigInt to Python int; str() covers both
         size = int(str(stats.sizeInBytes()))

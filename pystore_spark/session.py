@@ -76,9 +76,22 @@ _CONFIGURED: "weakref.WeakSet" = weakref.WeakSet()
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an externally created
     session (the driver hands us its own SparkSession). Idempotent
-    and memoized per session object — repeat calls are a set lookup."""
+    and memoized per session object — repeat calls are a set lookup
+    plus ONE sentinel conf read (ADVICE r12: memoization must stay
+    self-healing — if external code mutates a pinned conf after the
+    first call, e.g. the session timeZone, the fast path detects the
+    drift and falls through to full reconfiguration instead of
+    silently computing on the wrong settings)."""
     if spark in _CONFIGURED:
-        return spark
+        try:
+            if (
+                spark.conf.get("spark.sql.session.timeZone")
+                == "UTC"
+            ):
+                return spark
+            _CONFIGURED.discard(spark)  # drifted — reconfigure
+        except Exception:
+            return spark  # conf bridge unavailable (mock/Connect stub)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # int64 µs adjusted-to-UTC — the one parquet timestamp encoding the

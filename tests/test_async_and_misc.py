@@ -337,3 +337,24 @@ def test_async_round6_surface(spark, test_collection):
 
     asyncio.run(flow())
     ac.close()
+
+
+def test_configure_self_heals_conf_drift(spark):
+    """ADVICE r12: configure() memoization must stay self-healing —
+    the fast path verifies one sentinel conf and falls through to
+    full reconfiguration when external code mutated it."""
+    from pystore_spark.session import configure
+
+    configure(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/New_York"
+        )
+        configure(spark)  # memo hit must detect drift and re-assert
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
