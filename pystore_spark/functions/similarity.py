@@ -723,11 +723,16 @@ def _collect_train_rows(df, vec_col: str, id_col: str):
     est = estimate_size_bytes(slim)
     if est is None or est >= config.KMEANS_DRIVER_TRAIN_MAX_BYTES:
         return None
+    cap = config.KMEANS_DRIVER_TRAIN_MAX_ROWS
     try:
-        rows = slim.collect()
+        # LIMIT cap+1 bounds driver memory BEFORE the collect when the
+        # size estimate lied low: at ≤ cap rows the limit is a no-op
+        # (all rows arrive, order irrelevant — sorted below); past it
+        # the cap+1'th row proves overflow and we stay distributed
+        rows = slim.limit(cap + 1).collect()
     except Exception:  # maxResultSize / transient — stay distributed
         return None
-    if len(rows) > config.KMEANS_DRIVER_TRAIN_MAX_ROWS:
+    if len(rows) > cap:
         return None
     out = []
     dim = None

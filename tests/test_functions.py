@@ -1386,6 +1386,22 @@ def test_driver_local_trainer_matches_distributed(spark, monkeypatch):
     )
     assert ln == dn and len(ln) == 1  # null took one init slot
 
+    # row-cap overflow: a lying size estimate cannot pull an
+    # over-cap frame onto the driver — the LIMIT cap+1 collect
+    # detects it and the trainer stays distributed (same centroids)
+    monkeypatch.setattr(config, "KMEANS_DRIVER_TRAIN_MAX_ROWS", 3)
+    assert S._collect_train_rows(even, "embedding", "vec_id") is None
+    capped = S.train_ivf_centroids(
+        even, "embedding", "vec_id", n_cells=4, n_iters=1
+    )
+    monkeypatch.setattr(
+        config, "KMEANS_DRIVER_TRAIN_MAX_ROWS", 262_144
+    )
+    uncapped = S.train_ivf_centroids(
+        even, "embedding", "vec_id", n_cells=4, n_iters=1
+    )
+    assert capped == uncapped
+
 
 def test_pq_adc_inplan_lut_matches_collect(spark):
     """The r13 in-plan LUT projection (no driver collect in the ADC
