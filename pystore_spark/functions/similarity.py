@@ -1634,9 +1634,13 @@ def train_residual_pq(
         df, vec_col, id_col, n_cells=n_cells, n_iters=n_iters,
         quant=quant,
     )
-    res = _assign_cells(df, vec_col, cents).withColumn(
-        vec_col,
-        residualize(F.col(vec_col), F.col("cell"), cents),
+    # residualize_frame, not the inline-literal residualize: the
+    # distributed fallback also serves GEMM-tier cell counts, where
+    # the frame-level helper switches the centroid lookup to a
+    # broadcast join instead of an n_cells x dim literal (same
+    # arithmetic — _apply_residual_frame's parity contract)
+    res = residualize_frame(
+        _assign_cells(df, vec_col, cents), vec_col, "cell", cents
     )
     books = train_pq_codebooks(
         res, vec_col, id_col, m=m, n_cells=pq_cells, n_iters=n_iters,
@@ -1987,7 +1991,14 @@ def _pq_lut_frame_inplan(
         )
     else:
         qv = "transform(%s, x -> CAST(x AS DOUBLE))" % vec_sql
-    return qa.select(
+    # a null query vector (or the null cell the GEMM assigner emits
+    # for one) has no LUT — drop the row here so it cannot inject
+    # NULL distances that would rank first under asc ordering; engine
+    # call sites already filter null-vec queries upstream (review
+    # r12), this keeps the kernel safe for direct callers too
+    return qa.filter(
+        F.col(vec_col).isNotNull() & F.col(cell_col).isNotNull()
+    ).select(
         F.col(id_col).alias(qid),
         F.expr(cell_int).alias("_qcell"),
         F.expr(qv).alias("_qv"),

@@ -160,20 +160,29 @@ def pin_frame(df: DataFrame) -> DataFrame:
     # duplicates never coexist).
     try:
         new_plan = df._jdf.queryExecution().analyzed()
-        with _PIN_LOCK:
-            stale = [
-                lv
-                for lv in _PIN_CACHE
-                if new_plan.sameResult(
-                    lv._jdf.queryExecution().analyzed()
-                )
-            ]
-            for lv in stale:
-                _PIN_CACHE.remove(lv)
-        for lv in stale:
-            lv.unpersist()
     except Exception:
-        pass
+        new_plan = None
+    if new_plan is not None:
+        stale = []
+        with _PIN_LOCK:
+            for lv in list(_PIN_CACHE):
+                try:
+                    same = new_plan.sameResult(
+                        lv._jdf.queryExecution().analyzed()
+                    )
+                except Exception:
+                    # a dead/stopped pin must not block retiring the
+                    # others — cross-run cache reuse is the failure
+                    # mode being prevented here
+                    continue
+                if same:
+                    _PIN_CACHE.remove(lv)
+                    stale.append(lv)
+        for lv in stale:
+            try:
+                lv.unpersist()
+            except Exception:
+                pass
     pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
     with _PIN_LOCK:
         _PIN_CACHE.append(pinned)

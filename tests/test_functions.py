@@ -1434,6 +1434,20 @@ def test_pq_adc_inplan_lut_matches_collect(spark):
             (r["q_vec_id"], r["_qcell"], tuple(r["_lut"])) for r in rows
         )
         assert canon(inplan) == canon(coll)  # exact doubles
+    # a null query vector must be DROPPED by the in-plan frame (no
+    # NULL LUT ranking first, no crash) — engine call sites filter
+    # upstream; the kernel stays safe for direct callers
+    nulls_qa = spark.createDataFrame(
+        [(0, None, 1), (1, [0.5] * 64, 0)],
+        "vec_id int, embedding array<double>, cell int",
+    )
+    nq = S._pq_lut_frame_inplan(
+        nulls_qa, "embedding", "vec_id", "cell", books, n_cells,
+        "q_vec_id", None,
+    ).collect()
+    assert [r["q_vec_id"] for r in nq] == [1]
+    assert all(x is not None for x in nq[0]["_lut"])
+
     # end-to-end: the dispatched search kernel output is unchanged
     out = S.pq_adc_cell_topk(
         S.pq_encode(
