@@ -707,7 +707,9 @@ def auto_n_cells(n: int) -> int:
 # path, as does any input over the size/row gates.
 
 
-def _collect_train_rows(df, vec_col: str, id_col: str):
+def _collect_train_rows(
+    df, vec_col: str, id_col: str, quant: float = 1e7
+):
     """Collect ``(id, vec)`` for the driver-local training tier, or
     return None when the input must stay distributed. One Spark job;
     the caller's init window is the first rows of the id-sorted
@@ -715,7 +717,10 @@ def _collect_train_rows(df, vec_col: str, id_col: str):
     The size gate reads the Catalyst estimate of the PROJECTED frame;
     ``spark.driver.maxResultSize`` backstops an underestimate (a
     failed collect degrades to the distributed path, results
-    unchanged)."""
+    unchanged). ``quant`` sizes the int64-overflow bail: past
+    ``~2^63 / quant`` Java's BIGINT cast saturates while numpy's
+    astype is platform-undefined, so such components keep the exact
+    distributed path."""
     from pystore_spark import config
     from pystore_spark.partition import estimate_size_bytes
 
@@ -734,12 +739,21 @@ def _collect_train_rows(df, vec_col: str, id_col: str):
         return None
     if len(rows) > cap:
         return None
+    # quant-aware overflow bound (review r13): |x|·quant must stay
+    # clear of 2^63; also keep the historical 1e11 ceiling as a
+    # conservative floor for embedding-scale data
+    bound = min(1e11, 9.0e18 / max(float(quant), 1.0))
     out = []
     dim = None
     for r in rows:
         rid, v = r[0], r[1]
-        if rid is None:
-            return None  # orderBy null placement — keep distributed
+        if rid is None or (
+            isinstance(rid, float) and rid != rid
+        ):
+            # null/NaN id: orderBy placement (nulls/NaN ordering) is
+            # engine-specific and Python's sort treats NaN keys as
+            # incomparable-silently — keep distributed
+            return None
         if v is not None:
             if dim is None:
                 dim = len(v)
@@ -753,7 +767,7 @@ def _collect_train_rows(df, vec_col: str, id_col: str):
                 if x is None:
                     return None
                 fx = float(x)
-                if fx != fx or fx > 1e11 or fx < -1e11:
+                if fx != fx or fx > bound or fx < -bound:
                     return None
                 vv.append(fx)
             v = vv
@@ -1209,9 +1223,22 @@ def train_ivf_centroids(
     :func:`_collect_train_rows`) at 1 job instead of 1 + n_iters.
     GEMM-tier cell counts keep the distributed kernel (its BLAS
     summation order is the contract callers opted into)."""
+    # collect only when the local tier can actually apply (review
+    # r13): an integer GEMM-tier cell count under method="auto" always
+    # falls through to the distributed kernel, so the collect would be
+    # a wasted full-frame job. n_cells="auto" still collects — the
+    # collect then doubles as the auto-resolution count.
+    applicable = method != "gemm" and (
+        method == "fold"
+        or n_cells == "auto"
+        or (
+            isinstance(n_cells, int)
+            and n_cells < GEMM_ASSIGN_MIN_CELLS
+        )
+    )
     local_rows = (
-        _collect_train_rows(df, vec_col, id_col)
-        if method != "gemm"
+        _collect_train_rows(df, vec_col, id_col, quant=quant)
+        if applicable
         else None
     )
     if local_rows is not None:
@@ -1435,7 +1462,14 @@ def train_pq_codebooks(
     order-independent, so codebooks are bit-identical to the
     per-subspace trainer on the fold tier (parity pinned in tests)."""
     quant = 1e7  # train_ivf_centroids' default — the oracle replays it
-    local_rows = _collect_train_rows(df, vec_col, id_col)
+    # precheck the tier (review r13): at GEMM-tier n_cells (the 256
+    # default) the local path below always falls through — skip the
+    # otherwise-wasted full-frame collect
+    local_rows = (
+        _collect_train_rows(df, vec_col, id_col, quant=quant)
+        if n_cells < GEMM_ASSIGN_MIN_CELLS
+        else None
+    )
     if local_rows is not None:
         init = [v for _i, v in local_rows[:n_cells] if v is not None]
         if not init:
@@ -1587,8 +1621,13 @@ def train_residual_pq(
     (or the fully distributed 2·(1 + n_iters)). Bit-identical on
     every path (parity-pinned); GEMM-tier cell counts keep the
     distributed kernels."""
+    # overflow bound must cover BOTH quantizers: the caller's coarse
+    # quant and the books' pinned 1e7 (residual magnitudes are
+    # bounded by ~2x the input bound, inside the guard's margin)
     local_rows = (
-        _collect_train_rows(df, vec_col, id_col)
+        _collect_train_rows(
+            df, vec_col, id_col, quant=max(float(quant), 1e7)
+        )
         if n_cells < GEMM_ASSIGN_MIN_CELLS
         and pq_cells < GEMM_ASSIGN_MIN_CELLS
         else None
@@ -1623,7 +1662,12 @@ def train_residual_pq(
                         [r[j * d_sub:(j + 1) * d_sub] for r in res],
                         [r[j * d_sub:(j + 1) * d_sub] for r in rinit],
                         n_iters,
-                        quant,
+                        # books train with train_pq_codebooks' PINNED
+                        # 1e7, NOT the coarse quant — the unfused
+                        # sequence this function must equal always
+                        # does (review r13: a caller quant != 1e7
+                        # previously made the tiers diverge)
+                        1e7,
                     )
                     for j in range(m)
                 ]
@@ -1902,7 +1946,10 @@ def _pq_lut(qvec, codebooks: list[list[list[float]]],
     oracle replays term-for-term; at ≥ :data:`GEMM_ASSIGN_MIN_CELLS`
     cells (no oracle at that size — the driver-side loop would cost
     ~n_cells·dim Python ops per (query, cell) row) the sums vectorize
-    through numpy instead."""
+    through numpy instead. A query shorter than the codebook dim
+    contributes only its available components (Python ``zip``
+    truncates); the in-plan twin matches via ``coalesce(·, 0)`` on
+    the padded tail."""
     if n_cells >= GEMM_ASSIGN_MIN_CELLS:
         import numpy as np
 
@@ -1949,9 +1996,17 @@ def _pq_lut_sql(
         d_sub = len(cb[0])
         sub = f"slice({vec_sql}, {off}, {d_sub})"
         for cent in cb:
+            # coalesce(·, 0) on the fold body: zip_with PADS a short
+            # query slice with nulls where Python's zip TRUNCATES —
+            # a missing component must contribute 0 to the sum, not
+            # null the whole LUT entry (review r13: null distances
+            # would rank first under asc order). For well-formed
+            # inputs x is never null, coalesce returns it unchanged,
+            # and the IEEE op sequence is identical.
             entries.append(
                 "aggregate(zip_with(%s, %s, (x, y) -> "
-                "(x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+                "(x - y) * (x - y)), 0.0D, "
+                "(acc, x) -> acc + coalesce(x, 0.0D))"
                 % (sub, _sql_vec(cent))
             )
         entries.extend(["0.0D"] * (n_cells - len(cb)))

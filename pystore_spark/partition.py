@@ -162,9 +162,16 @@ def pin_frame(df: DataFrame) -> DataFrame:
         new_plan = df._jdf.queryExecution().analyzed()
     except Exception:
         new_plan = None
-    if new_plan is not None:
+    # ONE critical section for retire-scan + persist + append: a
+    # check-then-act gap would let two concurrent same-plan pinners
+    # both pass the scan and register duplicates sharing one
+    # CacheManager entry, which later FIFO eviction would unpersist
+    # under the survivor (review r13). The py4j calls inside are
+    # short (tiny driver-side plans) and this lock guards nothing
+    # else.
+    with _PIN_LOCK:
         stale = []
-        with _PIN_LOCK:
+        if new_plan is not None:
             for lv in list(_PIN_CACHE):
                 try:
                     same = new_plan.sameResult(
@@ -183,8 +190,7 @@ def pin_frame(df: DataFrame) -> DataFrame:
                 lv.unpersist()
             except Exception:
                 pass
-    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
-    with _PIN_LOCK:
+        pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
         _PIN_CACHE.append(pinned)
         evict = []
         while len(_PIN_CACHE) > _PIN_CACHE_CAP:

@@ -1027,7 +1027,11 @@ def test_bm25_shared_child_matches_twoscan(spark, monkeypatch, tmp_path):
     rows = [
         (1, "spark window spark query engine"),
         (2, "vector search with window functions"),
-        (1, "duplicate id doc with query terms query"),  # dup id
+        # dup id; SAME token count as doc 1's first row (dl=5) so the
+        # per-(id, term) first(dl) is deterministic in VALUE — with
+        # different dls Spark's first() would be plan-order-dependent
+        # and the cross-tier assertion unsound (review r13)
+        (1, "dup id doc query query"),
         (3, None),  # null text
         (4, ""),  # empty text
         (5, "no matching terms at all here"),
@@ -1338,6 +1342,21 @@ def test_driver_local_trainer_matches_distributed(spark, monkeypatch):
     )
     assert lb == db
 
+    # non-default coarse quant: the books must still train with
+    # train_pq_codebooks' PINNED 1e7 on BOTH tiers (review r13 —
+    # the local tier previously used the caller's quant for books)
+    qc_l, qb_l = S.train_residual_pq(
+        even, "embedding", "vec_id", n_cells=4, m=2, pq_cells=4,
+        n_iters=1, quant=1e5,
+    )
+    qc_d, qb_d = distributed(
+        lambda: S.train_residual_pq(
+            even, "embedding", "vec_id", n_cells=4, m=2, pq_cells=4,
+            n_iters=1, quant=1e5,
+        )
+    )
+    assert qc_l == qc_d and qb_l == qb_d
+
     # fused residual trainer == the unfused distributed sequence
     fc, fb = S.train_residual_pq(
         even, "embedding", "vec_id", n_cells=4, m=2, pq_cells=4,
@@ -1434,6 +1453,25 @@ def test_pq_adc_inplan_lut_matches_collect(spark):
             (r["q_vec_id"], r["_qcell"], tuple(r["_lut"])) for r in rows
         )
         assert canon(inplan) == canon(coll)  # exact doubles
+    # a query SHORTER than the codebook dim contributes only its
+    # available components on both tiers (Python zip truncates; the
+    # in-plan fold coalesces the padded tail to 0) — review r13
+    short_qa = spark.createDataFrame(
+        [(7, [0.25] * 32, 1)],
+        "vec_id int, embedding array<double>, cell int",
+    )
+    si = S._pq_lut_frame_inplan(
+        short_qa, "embedding", "vec_id", "cell", books, n_cells,
+        "q_vec_id", None,
+    ).collect()
+    sc_ = S._pq_lut_frame_collect(
+        short_qa, "embedding", "vec_id", "cell", books, n_cells,
+        "q_vec_id", None,
+    ).collect()
+    assert [tuple(r["_lut"]) for r in si] == [
+        tuple(r["_lut"]) for r in sc_
+    ]
+
     # a null query vector must be DROPPED by the in-plan frame (no
     # NULL LUT ranking first, no crash) — engine call sites filter
     # upstream; the kernel stays safe for direct callers
